@@ -1,0 +1,216 @@
+package graft.dag
+
+import org.apache.spark.sql.DataFrame
+
+/** A DAG vertex with fit/transform semantics — the engine analogue of the
+  * reference's `NodeBase` (/root/reference/mldag/core/mldagbase.py:273-765).
+  * Slots are explicit `Port` declarations instead of introspected Python
+  * signatures; wiring uses the same `>>` / `<<` / `node("slot")` DSL.
+  */
+trait Node {
+  def inputs: Seq[Port]
+  def outputs: Seq[Port]
+
+  /** Estimator phase. Stateless nodes keep the default no-op (reference
+    * `FunctionNode.fit`, mldagbase.py:842-854). Estimators override and store
+    * fitted state (the only eager step — Spark ML fits are actions).
+    */
+  def fit(ctx: Ctx, in: In): Unit = ()
+
+  /** Produce this node's outputs from its bound inputs. Results are lazy
+    * DataFrames — "execution" is plan composition (SURVEY.md §3).
+    */
+  def transform(ctx: Ctx, in: In): Map[String, DataFrame]
+
+  /** Reference `NodeBase.fit_transform` (mldagbase.py:689-691). */
+  def fitTransform(ctx: Ctx, in: In): Map[String, DataFrame] = { fit(ctx, in); transform(ctx, in) }
+
+  // ------------------------------------------------------------------
+  // identity & attachment (reference VertexBase: belongs to <=1 graph,
+  // /root/reference/mldag/core/graph.py:10-26)
+  // ------------------------------------------------------------------
+  private[dag] var attached: Option[Dag] = None
+  private[dag] var assignedName: Option[String] = None
+
+  def name: String = assignedName.getOrElse(defaultName)
+
+  /** Set an explicit name (before attaching to a dag). */
+  def named(n: String): this.type = {
+    if (attached.nonEmpty)
+      throw new GraftException(s"cannot rename node '$name' after it was added to a dag")
+    assignedName = Some(n); this
+  }
+
+  /** Base for auto-naming (reference to_snake_case(class) + counter dedup,
+    * mldagbase.py:357-362). */
+  protected def defaultName: String = Naming.snake(getClass.getSimpleName.stripSuffix("$"))
+  private[dag] def nameBase: String = assignedName.getOrElse(defaultName)
+
+  // ------------------------------------------------------------------
+  // wiring DSL (reference __rshift__/__lshift__/__getitem__,
+  // mldagbase.py:364-447)
+  // ------------------------------------------------------------------
+  /** Address a slot: `node("x") >> other("y")` (reference `node['x']`). */
+  def apply(slot: String): Slot = Slot(this, slot)
+
+  def >>(down: Node): down.type = { Dag.connect(this, None, down, None); down }
+  def >>(down: Slot): Node = { Dag.connect(this, None, down.node, Some(down.slot)); down.node }
+  /** Export ALL output slots as DAG outputs (reference NodeBase.__rshift__ → dag,
+    * mldagbase.py:407-411). */
+  def >>(dag: Dag): Unit = outputs.foreach(p => dag.setOutput(p.name, this, Some(p.name)))
+  def >>(out: DagOutput): Unit = out.dag.setOutput(out.outName, this, None)
+
+  def <<(up: Node): this.type = { Dag.connect(up, None, this, None); this }
+  def <<(up: Slot): this.type = { Dag.connect(up.node, Some(up.slot), this, None); this }
+
+  /** Order-only scheduling dependency, no data (reference `dependencies`,
+    * mldagbase.py:278-299). Needed only for side-effecting sinks under lazy eval. */
+  def after(other: Node): this.type = {
+    val dag = attached.orElse(other.attached).getOrElse(
+      throw new GraftException("attach nodes to a dag before adding dependencies"))
+    dag.add(other); dag.add(this)
+    dag.addDependency(other.name, this.name)
+    this
+  }
+
+  override def toString: String = s"${getClass.getSimpleName}($name)"
+}
+
+/** Slot proxy for wiring (reference `NodeSlot`, mldagbase.py:89-191). Direction
+  * is contextual: on the left of `>>` it is an output slot, on the right an input.
+  */
+final case class Slot(node: Node, slot: String) {
+  def >>(down: Node): down.type = { Dag.connect(node, Some(slot), down, None); down }
+  def >>(down: Slot): Node = { Dag.connect(node, Some(slot), down.node, Some(down.slot)); down.node }
+  def >>(out: DagOutput): Unit = out.dag.setOutput(out.outName, node, Some(slot))
+  def <<(up: Node): Node = { Dag.connect(up, None, node, Some(slot)); node }
+  def <<(up: Slot): Node = { Dag.connect(up.node, Some(up.slot), node, Some(slot)); node }
+}
+
+/** Handle for a DAG-level named input (reference `MLDagInput`,
+  * /root/reference/mldag/core/_connectable_utils.py:70-80). `dag.input("x") >> node`
+  * binds the run-time argument "x" to the node's inferred input slot.
+  */
+final class DagInput(private[dag] val dag: Dag, val inName: String) {
+  def >>(down: Node): down.type = { dag.setInput(down, Some(inName), None); down }
+  def >>(down: Slot): Node = { dag.setInput(down.node, Some(inName), Some(down.slot)); down.node }
+}
+
+/** Handle for a DAG-level named output (reference `MLDagOutput`,
+  * _connectable_utils.py:83-90). `node("res") >> dag.output("x")`.
+  */
+final class DagOutput(private[dag] val dag: Dag, val outName: String) {
+  def <<(up: Node): Unit = dag.setOutput(outName, up, None)
+  def <<(up: Slot): Unit = dag.setOutput(outName, up.node, Some(up.slot))
+}
+
+// ======================================================================
+// Concrete node kinds
+// ======================================================================
+
+/** Wraps a plain function as a stateless node (reference `FunctionNode`,
+  * mldagbase.py:768-854). `fit` is a no-op.
+  */
+class FnNode(
+    val inputs: Seq[Port],
+    val outputs: Seq[Port],
+    f: (Ctx, In) => Map[String, DataFrame],
+    base: String = "fn")
+  extends Node {
+  override protected def defaultName: String = base
+  override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = f(ctx, in)
+}
+
+object FnNode {
+  /** One DataFrame in, one out — the workhorse stage (cf. `df.transform`). */
+  def map1(base: String)(f: DataFrame => DataFrame): FnNode =
+    new FnNode(Seq(Port("df")), Seq(Port("result")),
+      (_, in) => Map("result" -> f(in("df"))), base)
+  /** Two DataFrames in (ports left/right), one out. */
+  def map2(base: String)(f: (DataFrame, DataFrame) => DataFrame): FnNode =
+    new FnNode(Seq(Port("left"), Port("right")), Seq(Port("result")),
+      (_, in) => Map("result" -> f(in("left"), in("right"))), base)
+  /** Variadic fan-in: every upstream payload accumulates into one Seq
+    * (reference `_handle_var_pos`, mldag.py:99-128). */
+  def mapMany(base: String)(f: Seq[DataFrame] => DataFrame): FnNode =
+    new FnNode(Seq(Port("dfs", variadic = true)), Seq(Port("result")),
+      (_, in) => Map("result" -> f(in.seq("dfs"))), base)
+}
+
+/** Identity node (reference `DummyNode`, mldagbase.py:1254-1266). */
+class IdentityNode extends Node {
+  val inputs = Seq(Port("df"))
+  val outputs = Seq(Port("result"))
+  override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = Map("result" -> in("df"))
+}
+
+/** Base for stateful estimator nodes (reference `EstimatorNode`,
+  * mldagbase.py:857-977): `fit` trains and stores a model, `transform` applies
+  * it. Fitted state lives on the node, so re-applying it elsewhere (weight
+  * sharing) sees the same model.
+  */
+abstract class EstimatorNode extends Node {
+  type Model
+  @volatile private[dag] var model: Option[Model] = None
+  def fitModel(ctx: Ctx, in: In): Model
+  def applyModel(m: Model, ctx: Ctx, in: In): Map[String, DataFrame]
+  final override def fit(ctx: Ctx, in: In): Unit = model = Some(fitModel(ctx, in))
+  final override def transform(ctx: Ctx, in: In): Map[String, DataFrame] =
+    applyModel(model.getOrElse(
+      throw new GraftException(s"estimator node '$name' transformed before fit")), ctx, in)
+  def isFitted: Boolean = model.isDefined
+}
+
+/** Wraps any `org.apache.spark.ml` Estimator as a node (the sklearn-style
+  * case of reference EstimatorNode). Ports: df -> result.
+  */
+class SparkMlNode(
+    est: org.apache.spark.ml.Estimator[_ <: org.apache.spark.ml.Model[_]],
+    base: String = "ml")
+  extends EstimatorNode {
+  type Model = org.apache.spark.ml.Transformer
+  override protected def defaultName: String = base
+  val inputs = Seq(Port("df"))
+  val outputs = Seq(Port("result"))
+  def fitModel(ctx: Ctx, in: In): Model = est.fit(in("df"))
+  def applyModel(m: Model, ctx: Ctx, in: In): Map[String, DataFrame] =
+    Map("result" -> m.transform(in("df")))
+  def fittedModel: Option[org.apache.spark.ml.Transformer] = model
+}
+
+/** Weight sharing: re-applies an already-fitted node elsewhere in the DAG,
+  * referenced by name and resolved lazily in-graph (reference `TransformNode`,
+  * mldagbase.py:1120-1188). `fit` is a no-op; a scheduling dependency on the
+  * parent is added automatically so fit happens first.
+  */
+class TransformNode(val parentName: String) extends Node {
+  private def parent: Node = attached match {
+    case Some(d) => d.nodeOpt(parentName).getOrElse(
+      throw new GraftException(s"transform node '$name': parent '$parentName' not in dag"))
+    case None => throw new GraftException(s"transform node '$name' not attached to a dag")
+  }
+  def inputs: Seq[Port] = parent.inputs
+  def outputs: Seq[Port] = parent.outputs
+  override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = parent.transform(ctx, in)
+}
+
+/** Nests a whole DAG as a single node (reference `MLDagNode`,
+  * mldagbase.py:980-1117). Inner inputs/outputs become this node's ports;
+  * Catalyst still sees one fused plan because everything stays lazy.
+  */
+class SubDagNode(val inner: Dag, base: String = "sub_dag") extends Node {
+  override protected def defaultName: String = base
+  def inputs: Seq[Port] = inner.inputPorts
+  def outputs: Seq[Port] = inner.outputNames.map(Port(_))
+  override def fit(ctx: Ctx, in: In): Unit = { inner.fitSeq(ctx, in.toMap); () }
+  override def transform(ctx: Ctx, in: In): Map[String, DataFrame] =
+    inner.transformSeq(ctx, in.toMap).outputs
+}
+
+object Node {
+  /** Reference `as_node` factory (mldagbase.py:1191-1226). */
+  def of(f: DataFrame => DataFrame, name: String = "fn"): FnNode = FnNode.map1(name)(f)
+  def of(dag: Dag): SubDagNode = new SubDagNode(dag)
+  /** Reference `as_transform` (mldagbase.py:1229-1251). */
+  def asTransform(parent: Node): TransformNode = new TransformNode(parent.name)
+}

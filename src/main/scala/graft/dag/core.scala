@@ -1,0 +1,58 @@
+package graft.dag
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** A named input/output slot on a node.
+  *
+  * Mirrors the reference's `InputParameter`/`ReturnParameter`
+  * (/root/reference/mldag/utils.py:28-33) — but declared explicitly instead of
+  * introspected from Python signatures (SURVEY.md §1.3). `variadic` ports
+  * accumulate every upstream payload into a Seq (reference `*args` fan-in,
+  * /root/reference/mldag/mldag.py:99-128).
+  */
+final case class Port(name: String, variadic: Boolean = false, required: Boolean = true)
+
+/** Per-run context handed to every node invocation. */
+final case class Ctx(spark: SparkSession, runId: String)
+object Ctx {
+  def apply(spark: SparkSession): Ctx = Ctx(spark, java.util.UUID.randomUUID().toString)
+}
+
+/** Payloads delivered to one node invocation: port name -> accumulated
+  * upstream values (edge-insertion order). The reference's equivalent is the
+  * `{slot: value}` dict built by `_populate_node_inputs`
+  * (/root/reference/mldag/mldag.py:255-300).
+  */
+final class In(private val m: Map[String, Seq[DataFrame]]) {
+  /** The single payload bound to `port`; errors on 0 or >1 (use seq for variadics). */
+  def apply(port: String): DataFrame = m.get(port) match {
+    case Some(Seq(df)) => df
+    case Some(s) if s.nonEmpty =>
+      throw new SlotException(s"port '$port' received ${s.size} payloads; read it with seq()")
+    case _ => throw new SlotException(s"no payload bound to port '$port' (bound: ${m.keySet.mkString(", ")})")
+  }
+  def seq(port: String): Seq[DataFrame] = m.getOrElse(port, Nil)
+  def get(port: String): Option[DataFrame] = m.get(port).flatMap(_.headOption)
+  def ports: Set[String] = m.keySet
+  def toMap: Map[String, Seq[DataFrame]] = m
+}
+object In {
+  val empty = new In(Map.empty)
+  def apply(m: Map[String, Seq[DataFrame]]): In = new In(m)
+  def single(pairs: (String, DataFrame)*): In = new In(pairs.map { case (k, v) => k -> Seq(v) }.toMap)
+}
+
+/** Root exception (reference `MldagException`, /root/reference/mldag/exceptions.py:1-3). */
+class GraftException(msg: String, cause: Throwable = null) extends RuntimeException(msg, cause)
+/** Wiring/validation errors on slots (unknown port, double-write, arity). */
+class SlotException(msg: String) extends GraftException(msg)
+/** DAG contains a cycle (reference detects as "no roots", mldag.py:434-435). */
+class CycleException(msg: String) extends GraftException(msg)
+/** Run-time argument binding errors (reference `_parse_arguments`, mldagbase.py:1915-1982). */
+class BindingException(msg: String) extends GraftException(msg)
+
+private[dag] object Naming {
+  /** Reference `to_snake_case` default node naming (/root/reference/mldag/utils.py:36-37). */
+  def snake(s: String): String =
+    s.replaceAll("([a-z0-9])([A-Z])", "$1_$2").replaceAll("([A-Z]+)([A-Z][a-z])", "$1_$2").toLowerCase
+}

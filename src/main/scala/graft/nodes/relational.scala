@@ -1,0 +1,257 @@
+package graft.nodes
+
+import graft.dag._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions.{broadcast, col, expr}
+
+/** Relational node library (SURVEY.md §2.2): thin, declarative wrappers over
+  * org.apache.spark.sql so Catalyst keeps full visibility — predicate
+  * pushdown, column pruning, join selection, AQE all apply unchanged. Nodes
+  * with string-expression params are JSON-serializable (DagJson registry).
+  */
+
+/** Scan: data enters the DAG (reference has none — payloads arrive as
+  * in-memory arguments, /root/reference/mldag/mldag.py:523-599). Columns may
+  * be pruned at the source for scan efficiency.
+  */
+class SourceNode(path: String, format: String = "parquet", columns: Seq[String] = Nil)
+  extends Node {
+  override protected def defaultName: String = "source"
+  val inputs: Seq[Port] = Nil
+  val outputs = Seq(Port("result"))
+  override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
+    val df = ctx.spark.read.format(format).load(path)
+    Map("result" -> (if (columns.nonEmpty) df.select(columns.map(col): _*) else df))
+  }
+}
+object SourceNode {
+  def parquet(path: String, columns: String*): SourceNode =
+    new SourceNode(path, "parquet", columns)
+  /** Convenience for the testdata layout: table name under an sf dir. */
+  def table(sfDir: String, table: String, columns: String*): SourceNode =
+    new SourceNode(s"$sfDir/$table.parquet", "parquet", columns).named(table)
+}
+
+/** Sink: terminal write. The one place order-only dependencies matter under
+  * lazy evaluation (sink barriers, SURVEY.md §1.2).
+  */
+class SinkNode(path: String, format: String = "parquet", mode: String = "overwrite",
+               partitionBy: Seq[String] = Nil) extends Node {
+  override protected def defaultName: String = "sink"
+  val inputs = Seq(Port("df"))
+  val outputs = Seq(Port("result"))
+  override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
+    val df = in("df")
+    val w = df.write.format(format).mode(mode)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).save(path)
+    Map("result" -> df)
+  }
+}
+
+/** Projection via SQL expressions (`selectExpr`); covers scalar functions and
+  * window functions (`... over (partition by ...)`) alike, all codegen'd.
+  */
+class ProjectNode(exprs: Seq[String]) extends Node {
+  override protected def defaultName: String = "project"
+  val inputs = Seq(Port("df"))
+  val outputs = Seq(Port("result"))
+  override def transform(ctx: Ctx, in: In): Map[String, DataFrame] =
+    Map("result" -> in("df").selectExpr(exprs: _*))
+}
+object ProjectNode { def apply(exprs: String*): ProjectNode = new ProjectNode(exprs) }
+
+/** Add/replace columns, keeping the rest (`withColumn` composition). */
+class WithColumnsNode(cols: Seq[(String, String)]) extends Node {
+  override protected def defaultName: String = "with_columns"
+  val inputs = Seq(Port("df"))
+  val outputs = Seq(Port("result"))
+  override def transform(ctx: Ctx, in: In): Map[String, DataFrame] =
+    Map("result" -> cols.foldLeft(in("df")) { case (d, (n, e)) => d.withColumn(n, expr(e)) })
+}
+object WithColumnsNode { def apply(cols: (String, String)*): WithColumnsNode = new WithColumnsNode(cols) }
+
+/** Filter; predicate is a SQL expression so it reaches the parquet scan as a
+  * pushed filter (verify with .explain: PushedFilters).
+  */
+class FilterNode(condition: String) extends Node {
+  override protected def defaultName: String = "filter"
+  val inputs = Seq(Port("df"))
+  val outputs = Seq(Port("result"))
+  override def transform(ctx: Ctx, in: In): Map[String, DataFrame] =
+    Map("result" -> in("df").filter(condition))
+}
+object FilterNode { def apply(c: String): FilterNode = new FilterNode(c) }
+
+/** Join node: equi (using-columns) or theta (arbitrary condition referencing
+  * l./r. aliases); all Spark join types (inner/left/right/full/left_semi/
+  * left_anti/cross). `broadcastRight` hints the small side — at 100 TB a dim
+  * table must broadcast, never shuffle the fact side.
+  */
+class JoinNode(
+    joinType: String = "inner",
+    using: Seq[String] = Nil,
+    condition: Option[String] = None,
+    broadcastRight: Boolean = false)
+  extends Node {
+  override protected def defaultName: String = "join"
+  val inputs = Seq(Port("left"), Port("right"))
+  val outputs = Seq(Port("result"))
+  override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
+    val l = in("left").alias("l")
+    val r0 = in("right").alias("r")
+    val r = if (broadcastRight) broadcast(r0) else r0
+    val joined = (using, condition) match {
+      case (u, None) if u.nonEmpty => l.join(r, u, joinType)
+      case (_, Some(c)) => l.join(r, expr(c), joinType)
+      case _ => throw new GraftException("JoinNode needs `using` columns or a `condition`")
+    }
+    Map("result" -> joined)
+  }
+}
+object JoinNode {
+  def using(cols: Seq[String], joinType: String = "inner", broadcastRight: Boolean = false): JoinNode =
+    new JoinNode(joinType, using = cols, broadcastRight = broadcastRight)
+  def on(condition: String, joinType: String = "inner", broadcastRight: Boolean = false): JoinNode =
+    new JoinNode(joinType, condition = Some(condition), broadcastRight = broadcastRight)
+}
+
+/** Hash/sort aggregation. Catalyst plans partial (map-side) + final stages
+  * automatically; `groupingSets` switches to cube/rollup/GROUPING SETS.
+  */
+class AggNode(
+    groupBy: Seq[String],
+    aggs: Seq[String],
+    grouping: String = "groupby") // groupby | cube | rollup
+  extends Node {
+  override protected def defaultName: String = "agg"
+  val inputs = Seq(Port("df"))
+  val outputs = Seq(Port("result"))
+  override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
+    val df = in("df")
+    val aggCols = aggs.map(expr)
+    val grouped = grouping match {
+      case "groupby" => df.groupBy(groupBy.map(col): _*)
+      case "cube"    => df.cube(groupBy.map(col): _*)
+      case "rollup"  => df.rollup(groupBy.map(col): _*)
+      case other     => throw new GraftException(s"unknown grouping kind '$other'")
+    }
+    val res =
+      if (aggCols.isEmpty) throw new GraftException("AggNode needs at least one aggregate")
+      else grouped.agg(aggCols.head, aggCols.tail: _*)
+    Map("result" -> res)
+  }
+}
+object AggNode {
+  def apply(groupBy: Seq[String], aggs: String*): AggNode = new AggNode(groupBy, aggs)
+  def cube(groupBy: Seq[String], aggs: String*): AggNode = new AggNode(groupBy, aggs, "cube")
+  def rollup(groupBy: Seq[String], aggs: String*): AggNode = new AggNode(groupBy, aggs, "rollup")
+}
+
+/** Global sort (range-partitioned exchange — one total order across the
+  * cluster). Use TopKNode when only the head is needed.
+  */
+class SortNode(exprs: Seq[String]) extends Node {
+  override protected def defaultName: String = "sort"
+  val inputs = Seq(Port("df"))
+  val outputs = Seq(Port("result"))
+  override def transform(ctx: Ctx, in: In): Map[String, DataFrame] =
+    Map("result" -> in("df").orderBy(exprs.map(expr): _*))
+}
+object SortNode { def apply(exprs: String*): SortNode = new SortNode(exprs) }
+
+class LimitNode(n: Int) extends Node {
+  override protected def defaultName: String = "limit"
+  val inputs = Seq(Port("df"))
+  val outputs = Seq(Port("result"))
+  override def transform(ctx: Ctx, in: In): Map[String, DataFrame] =
+    Map("result" -> in("df").limit(n))
+}
+
+/** Top-k: orderBy + limit fuse into TakeOrderedAndProject — per-partition
+  * heaps then a k-row merge on the driver; no global sort at any scale.
+  */
+class TopKNode(k: Int, sortExprs: Seq[String]) extends Node {
+  override protected def defaultName: String = "top_k"
+  val inputs = Seq(Port("df"))
+  val outputs = Seq(Port("result"))
+  override def transform(ctx: Ctx, in: In): Map[String, DataFrame] =
+    Map("result" -> in("df").orderBy(sortExprs.map(expr): _*).limit(k))
+}
+object TopKNode { def apply(k: Int, sortExprs: String*): TopKNode = new TopKNode(k, sortExprs) }
+
+/** Set operations. Union is variadic fan-in (the relational analogue of the
+  * reference's `*args` accumulation, SURVEY.md §2.1 #21); intersect/except
+  * take exactly two inputs.
+  */
+class UnionNode(byName: Boolean = true, distinct: Boolean = false) extends Node {
+  override protected def defaultName: String = "union"
+  val inputs = Seq(Port("dfs", variadic = true))
+  val outputs = Seq(Port("result"))
+  override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
+    val dfs = in.seq("dfs")
+    if (dfs.isEmpty) throw new GraftException("UnionNode received no inputs")
+    val u = dfs.reduce((a, b) => if (byName) a.unionByName(b) else a.union(b))
+    Map("result" -> (if (distinct) u.distinct() else u))
+  }
+}
+
+class SetOpNode(op: String) extends Node { // intersect | intersectAll | except | exceptAll
+  override protected def defaultName: String = op.toLowerCase
+  val inputs = Seq(Port("left"), Port("right"))
+  val outputs = Seq(Port("result"))
+  override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
+    val (l, r) = (in("left"), in("right"))
+    val res = op match {
+      case "intersect"    => l.intersect(r)
+      case "intersectAll" => l.intersectAll(r)
+      case "except"       => l.except(r)
+      case "exceptAll"    => l.exceptAll(r)
+      case other          => throw new GraftException(s"unknown set op '$other'")
+    }
+    Map("result" -> res)
+  }
+}
+
+/** Distinct / exact dedup on all or selected columns (`dropDuplicates` =
+  * hash-shuffle on the key columns; first-row-per-key is nondeterministic, so
+  * oracle-checked dedup queries use group-by-min instead).
+  */
+class DistinctNode(cols: Seq[String] = Nil) extends Node {
+  override protected def defaultName: String = "distinct"
+  val inputs = Seq(Port("df"))
+  val outputs = Seq(Port("result"))
+  override def transform(ctx: Ctx, in: In): Map[String, DataFrame] =
+    Map("result" -> (if (cols.isEmpty) in("df").distinct() else in("df").dropDuplicates(cols)))
+}
+
+/** Arbitrary SQL over named input ports: each port is registered as a temp
+  * view named after the port. The fully general relational node — anything
+  * Catalyst can parse.
+  */
+class SqlNode(sql: String, ports: Seq[String]) extends Node {
+  override protected def defaultName: String = "sql"
+  val inputs: Seq[Port] = ports.map(Port(_))
+  val outputs = Seq(Port("result"))
+  override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
+    ports.foreach(p => in(p).createOrReplaceTempView(p))
+    Map("result" -> ctx.spark.sql(sql))
+  }
+}
+object SqlNode { def apply(sql: String, ports: String*): SqlNode = new SqlNode(sql, ports) }
+
+/** Repartition/coalesce — explicit shuffle control for co-located downstream
+  * joins or write sizing.
+  */
+class RepartitionNode(n: Int, byCols: Seq[String] = Nil, coalesce: Boolean = false) extends Node {
+  override protected def defaultName: String = "repartition"
+  val inputs = Seq(Port("df"))
+  val outputs = Seq(Port("result"))
+  override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
+    val df = in("df")
+    val out =
+      if (coalesce) df.coalesce(n)
+      else if (byCols.nonEmpty) df.repartition(n, byCols.map(col): _*)
+      else df.repartition(n)
+    Map("result" -> out)
+  }
+}

@@ -1,0 +1,47 @@
+package graft.queries
+
+import graft.dag._
+import graft.nodes._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Query corpus: every SURVEY.md §2 operator exercised through the DAG API,
+  * each with a DuckDB oracle (SparkEntry.oracleSql) where SQL-expressible.
+  * Column aliases MUST match between the DAG query and the oracle — the
+  * driver sorts columns by name before hashing.
+  */
+object Queries {
+
+  /** Run a single-output dag built by `build` and return that output. */
+  def run(spark: SparkSession)(build: Dag => Unit): DataFrame = {
+    val d = new Dag()
+    build(d)
+    val out = d.transform(Ctx(spark)).outputs
+    require(out.size == 1, s"expected one dag output, got ${out.keys}")
+    out.head._2
+  }
+
+  // --------------------------------------------------------------
+  // q1_agg — TPC-H Q1 shape: scan → pushed filter → hash agg.
+  // Sums cast to decimal so Spark and DuckDB agree bit-for-bit
+  // (double summation order differs across engines).
+  // --------------------------------------------------------------
+  def q1_agg(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
+    d.add(SourceNode.table(dir, "lineitem")) >>
+      FilterNode("l_shipdate <= timestamp'1998-09-02 00:00:00'") >>
+      new AggNode(Seq("l_returnflag", "l_linestatus"), Seq(
+        "sum(cast(l_quantity as decimal(18,2))) as sum_qty",
+        "sum(cast(l_extendedprice as decimal(18,2))) as sum_base_price",
+        "count(*) as count_order")) >>
+      SortNode("l_returnflag", "l_linestatus") >>
+      d.output("result")
+  }
+  val q1Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  sum(cast(l_quantity as decimal(18,2))) AS sum_qty,
+      |  sum(cast(l_extendedprice as decimal(18,2))) AS sum_base_price,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= timestamp '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+}
