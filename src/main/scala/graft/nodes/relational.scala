@@ -4,6 +4,31 @@ import graft.dag._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions.{broadcast, col, expr}
 
+/** Parse "col [asc|desc] [nulls first|last]" sort strings into Columns —
+  * `functions.expr` alone rejects sort-order suffixes.
+  */
+object SortExprs {
+  def sortCol(s: String): Column = {
+    val t = s.trim
+    val (body, nulls) = t.toLowerCase match {
+      case l if l.endsWith(" nulls first") => (t.dropRight(12).trim, Some("first"))
+      case l if l.endsWith(" nulls last")  => (t.dropRight(11).trim, Some("last"))
+      case _ => (t, None)
+    }
+    val (e, desc) = body.toLowerCase match {
+      case l if l.endsWith(" desc") => (body.dropRight(5).trim, true)
+      case l if l.endsWith(" asc")  => (body.dropRight(4).trim, false)
+      case _ => (body, false)
+    }
+    (desc, nulls) match {
+      case (false, None | Some("first")) => expr(e).asc_nulls_first
+      case (false, _)                    => expr(e).asc_nulls_last
+      case (true, None | Some("last"))   => expr(e).desc_nulls_last
+      case (true, _)                     => expr(e).desc_nulls_first
+    }
+  }
+}
+
 /** Relational node library (SURVEY.md §2.2): thin, declarative wrappers over
   * org.apache.spark.sql so Catalyst keeps full visibility — predicate
   * pushdown, column pruning, join selection, AQE all apply unchanged. Nodes
@@ -14,22 +39,32 @@ import org.apache.spark.sql.functions.{broadcast, col, expr}
   * in-memory arguments, /root/reference/mldag/mldag.py:523-599). Columns may
   * be pruned at the source for scan efficiency.
   */
-class SourceNode(path: String, format: String = "parquet", columns: Seq[String] = Nil)
+class SourceNode(path: String, format: String = "parquet", columns: Seq[String] = Nil,
+                 nanosTsCols: Seq[String] = Nil)
   extends Node {
   override protected def defaultName: String = "source"
   val inputs: Seq[Port] = Nil
   val outputs = Seq(Port("result"))
   override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
-    val df = ctx.spark.read.format(format).load(path)
+    // Parquet TIMESTAMP(NANOS) is unreadable by Spark natively; read as
+    // epoch-nanos long, then convert declared columns to micros timestamps.
+    if (nanosTsCols.nonEmpty)
+      ctx.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df0 = ctx.spark.read.format(format).load(path)
+    val df = nanosTsCols.foldLeft(df0)((d, c) =>
+      d.withColumn(c, expr(s"timestamp_micros($c div 1000)")))
     Map("result" -> (if (columns.nonEmpty) df.select(columns.map(col): _*) else df))
   }
 }
 object SourceNode {
   def parquet(path: String, columns: String*): SourceNode =
     new SourceNode(path, "parquet", columns)
-  /** Convenience for the testdata layout: table name under an sf dir. */
+  /** Convenience for the testdata layout: table name under an sf dir.
+    * `events.ts` is written as TIMESTAMP(NANOS) by the generator.
+    */
   def table(sfDir: String, table: String, columns: String*): SourceNode =
-    new SourceNode(s"$sfDir/$table.parquet", "parquet", columns).named(table)
+    new SourceNode(s"$sfDir/$table.parquet", "parquet", columns,
+      nanosTsCols = if (table == "events") Seq("ts") else Nil).named(table)
 }
 
 /** Sink: terminal write. The one place order-only dependencies matter under
@@ -155,7 +190,7 @@ class SortNode(exprs: Seq[String]) extends Node {
   val inputs = Seq(Port("df"))
   val outputs = Seq(Port("result"))
   override def transform(ctx: Ctx, in: In): Map[String, DataFrame] =
-    Map("result" -> in("df").orderBy(exprs.map(expr): _*))
+    Map("result" -> in("df").orderBy(exprs.map(SortExprs.sortCol): _*))
 }
 object SortNode { def apply(exprs: String*): SortNode = new SortNode(exprs) }
 
@@ -175,7 +210,7 @@ class TopKNode(k: Int, sortExprs: Seq[String]) extends Node {
   val inputs = Seq(Port("df"))
   val outputs = Seq(Port("result"))
   override def transform(ctx: Ctx, in: In): Map[String, DataFrame] =
-    Map("result" -> in("df").orderBy(sortExprs.map(expr): _*).limit(k))
+    Map("result" -> in("df").orderBy(sortExprs.map(SortExprs.sortCol): _*).limit(k))
 }
 object TopKNode { def apply(k: Int, sortExprs: String*): TopKNode = new TopKNode(k, sortExprs) }
 

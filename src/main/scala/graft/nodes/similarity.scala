@@ -1,0 +1,159 @@
+package graft.nodes
+
+import graft.dag._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions.{broadcast, col, expr, row_number}
+
+/** Similarity-search node family over an embedding column
+  * (`ArrayType(FloatType)`), north-star scope. Vector math uses builtin
+  * higher-order functions (`zip_with` + `aggregate` in double precision) —
+  * codegen'd, no UDFs.
+  */
+object VecExprs {
+  /** Dot product of two array columns, accumulated in double. */
+  def dot(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), cast(0 as double), (acc, v) -> acc + v)"
+  def norm(a: String): String = s"sqrt(${dot(a, a)})"
+  def cosine(a: String, b: String, normA: String, normB: String): String =
+    s"${dot(a, b)} / ($normA * $normB)"
+}
+
+/** Brute-force cosine top-k: every query row against every corpus row.
+  * The queries side is broadcast (it must be small — that is the contract of
+  * brute-force kNN); the corpus streams through in one narrow pass, then one
+  * shuffle on query id for the per-query top-k window. At 100 TB corpus this
+  * is the exact-answer baseline; use LshKnnNode when the corpus-side pass
+  * itself is too slow.
+  */
+class BruteForceKnnNode(
+    k: Int = 10,
+    idCol: String = "vec_id",
+    vecCol: String = "embedding",
+    queryIdCol: String = "query_id")
+  extends Node {
+  override protected def defaultName: String = "knn"
+  val inputs = Seq(Port("corpus"), Port("queries"))
+  val outputs = Seq(Port("result"))
+  override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
+    val corpus = in("corpus")
+      .select(col(idCol), col(vecCol).as("__cv"))
+      .withColumn("__cnorm", expr(VecExprs.norm("__cv")))
+    val queries = in("queries")
+      .select(col(queryIdCol), col(vecCol).as("__qv"))
+      .withColumn("__qnorm", expr(VecExprs.norm("__qv")))
+    val scored = corpus.join(broadcast(queries))
+      .withColumn("score", expr(VecExprs.cosine("__cv", "__qv", "__cnorm", "__qnorm")))
+    val w = Window.partitionBy(queryIdCol).orderBy(col("score").desc, col(idCol).asc)
+    Map("result" -> scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col(idCol), col("score"), col("rank")))
+  }
+}
+
+/** LSH-bucketed approximate kNN: random-hyperplane signatures (sign of the
+  * dot product against `numPlanes` deterministic pseudo-random hyperplanes,
+  * derived per-dimension from xxhash64 — reproducible with no stored model),
+  * candidates = corpus rows whose signature matches a query signature in at
+  * least one of `tables` independent hash tables, exact cosine rescoring on
+  * candidates only.
+  *
+  * Scale path: corpus signatures are computed once in a narrow pass and the
+  * join is an equi-join on (table, signature) — one shuffle each side instead
+  * of the quadratic cross product. Recall tunes with tables × planes.
+  */
+class LshKnnNode(
+    k: Int = 10,
+    numPlanes: Int = 8,
+    tables: Int = 4,
+    idCol: String = "vec_id",
+    vecCol: String = "embedding",
+    queryIdCol: String = "query_id")
+  extends Node {
+  override protected def defaultName: String = "lsh_knn"
+  val inputs = Seq(Port("corpus"), Port("queries"))
+  val outputs = Seq(Port("result"))
+
+  /** signature of `vec` in hash table t: numPlanes sign bits packed into a long.
+    * Hyperplane component for (table t, plane p, dim d) =
+    * xxhash64(t, p, d) scaled to [-0.5, 0.5) — deterministic everywhere.
+    */
+  private def sigExpr(vec: String): String =
+    s"""transform(sequence(0, ${tables - 1}), t ->
+       |  aggregate(sequence(0, ${numPlanes - 1}), 0L, (acc, p) ->
+       |    acc + if(
+       |      aggregate(zip_with($vec, sequence(0, size($vec) - 1),
+       |        (x, d) -> cast(x as double) * (cast(pmod(xxhash64(t, p, d), 1000000) as double) / 1000000.0 - 0.5)),
+       |        cast(0 as double), (a, v) -> a + v) > 0,
+       |      shiftleft(1L, p), 0L)))""".stripMargin
+
+  override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
+    val corpus = in("corpus")
+      .select(col(idCol), col(vecCol).as("__cv"))
+      .withColumn("__cnorm", expr(VecExprs.norm("__cv")))
+      .withColumn("__sigs", expr(sigExpr("__cv")))
+      .selectExpr(idCol, "__cv", "__cnorm", "posexplode(__sigs) as (tbl, sig)")
+    val queries = in("queries")
+      .select(col(queryIdCol), col(vecCol).as("__qv"))
+      .withColumn("__qnorm", expr(VecExprs.norm("__qv")))
+      .withColumn("__sigs", expr(sigExpr("__qv")))
+      .selectExpr(queryIdCol, "__qv", "__qnorm", "posexplode(__sigs) as (tbl, sig)")
+    val candidates = corpus.join(broadcast(queries), Seq("tbl", "sig"))
+      .dropDuplicates(queryIdCol, idCol)
+      .withColumn("score", expr(VecExprs.cosine("__cv", "__qv", "__cnorm", "__qnorm")))
+    val w = Window.partitionBy(queryIdCol).orderBy(col("score").desc, col(idCol).asc)
+    Map("result" -> candidates
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col(idCol), col("score"), col("rank")))
+  }
+}
+
+/** Embedding-cosine near-duplicate pairs above a threshold. Blocking via the
+  * same hyperplane LSH (pairs must share a full signature in some table) keeps
+  * the pair space sub-quadratic; exact cosine verifies. `bruteForce = true`
+  * bypasses blocking (exact answer, only for small/verification runs).
+  */
+class EmbeddingNearDupNode(
+    threshold: Double = 0.95,
+    numPlanes: Int = 8,
+    tables: Int = 6,
+    idCol: String = "vec_id",
+    vecCol: String = "embedding",
+    bruteForce: Boolean = false)
+  extends Node {
+  override protected def defaultName: String = "embedding_near_dup"
+  val inputs = Seq(Port("df"))
+  val outputs = Seq(Port("result"))
+  override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
+    val base = in("df")
+      .select(col(idCol), col(vecCol).as("__v"))
+      .withColumn("__norm", expr(VecExprs.norm("__v")))
+    val pairs =
+      if (bruteForce) {
+        val a = base.select(col(idCol).as("id_a"), col("__v").as("va"), col("__norm").as("na"))
+        val b = base.select(col(idCol).as("id_b"), col("__v").as("vb"), col("__norm").as("nb"))
+        a.join(b, col("id_a") < col("id_b"))
+      } else {
+        val sigExprStr = // reuse the LSH signature for self-join blocking
+          s"""transform(sequence(0, ${tables - 1}), t ->
+             |  aggregate(sequence(0, ${numPlanes - 1}), 0L, (acc, p) ->
+             |    acc + if(
+             |      aggregate(zip_with(__v, sequence(0, size(__v) - 1),
+             |        (x, d) -> cast(x as double) * (cast(pmod(xxhash64(t, p, d), 1000000) as double) / 1000000.0 - 0.5)),
+             |        cast(0 as double), (a, v) -> a + v) > 0,
+             |      shiftleft(1L, p), 0L)))""".stripMargin
+        val sigs = base.withColumn("__sigs", expr(sigExprStr))
+          .selectExpr(idCol, "__v", "__norm", "posexplode(__sigs) as (tbl, sig)")
+        val a = sigs.select(col(idCol).as("id_a"), col("__v").as("va"), col("__norm").as("na"), col("tbl"), col("sig"))
+        val b = sigs.select(col(idCol).as("id_b"), col("__v").as("vb"), col("__norm").as("nb"), col("tbl"), col("sig"))
+        a.join(b, Seq("tbl", "sig")).filter(col("id_a") < col("id_b"))
+          .dropDuplicates("id_a", "id_b")
+      }
+    Map("result" -> pairs
+      .withColumn("score", expr(VecExprs.cosine("va", "vb", "na", "nb")))
+      .filter(col("score") >= threshold)
+      .select(col("id_a"), col("id_b"), col("score")))
+  }
+}

@@ -1,0 +1,179 @@
+package graft.queries
+
+import graft.dag._
+import graft.nodes._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** North-star operator corpus (training-data pipeline ops over `documents` /
+  * `embeddings`). DuckDB-oracle queries use only functions both engines
+  * compute identically (md5, regexp, integer arithmetic, single IEEE double
+  * ops); hash-seeded ops (xxhash64 minhash/simhash/LSH) are registered
+  * without oracle → driver records a rows-only check.
+  */
+object NorthStar {
+  import Queries.run
+
+  // DuckDB needs the 'g' flag for global regexp_replace; Spark is global by default.
+  private val sparkNorm = "regexp_replace(lower(trim(text)), '\\s+', ' ')"
+  private val duckNorm = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+  // ---- exact dedup on normalized-text fingerprint ----
+  def q20_dedup_exact(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
+    d.add(SourceNode.table(dir, "documents")) >>
+      new ExactDedupNode(Seq(s"md5(cast($sparkNorm as binary))"), "doc_id") >>
+      d.output("result")
+  }
+  val q20Sql: String =
+    s"""SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+       |FROM documents GROUP BY md5($duckNorm)""".stripMargin
+
+  // ---- token counting (whitespace + BPE-ish regex) ----
+  def q21_token_count(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
+    val src = d.add(SourceNode.table(dir, "documents"))
+    src >> new TokenCountNode("text") >>
+      ProjectNode("doc_id", "ws_tokens", "bpe_tokens") >>
+      d.output("result")
+  }
+  val q21Sql: String =
+    """SELECT doc_id,
+      |  len(regexp_split_to_array(lower(trim(text)), '\s+')) AS ws_tokens,
+      |  len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\s]')) AS bpe_tokens
+      |FROM documents""".stripMargin
+
+  // ---- quality scoring (length / punct / digit / stopword ratios) ----
+  def q22_quality(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
+    d.add(SourceNode.table(dir, "documents")) >>
+      new QualityScoreNode("text") >>
+      ProjectNode("doc_id", "n_tokens", "mean_word_len", "punct_ratio", "digit_ratio", "stopword_ratio") >>
+      d.output("result")
+  }
+  val q22Sql: String = {
+    val toks = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+    val stop = QualityScoreNode.enStop.map(s => s"'$s'").mkString("[", ", ", "]")
+    s"""SELECT doc_id,
+       |  len($toks) AS n_tokens,
+       |  cast(length(regexp_replace(text, '\\s+', '', 'g')) as double) / greatest(len($toks), 1) AS mean_word_len,
+       |  cast(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) as double) / greatest(length(text), 1) AS punct_ratio,
+       |  cast(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) as double) / greatest(length(text), 1) AS digit_ratio,
+       |  cast(len(list_filter($toks, t -> list_contains($stop, t))) as double) / greatest(len($toks), 1) AS stopword_ratio
+       |FROM documents""".stripMargin
+  }
+
+  // ---- language ID (stopword-marker argmax) vs the labeled lang column ----
+  def q23_lang_id(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
+    d.add(SourceNode.table(dir, "documents")) >>
+      new LangIdNode("text") >>
+      AggNode(Seq("lang", "pred_lang"), "count(*) as n") >>
+      SortNode("lang", "pred_lang") >>
+      d.output("result")
+  }
+
+  // ---- document fingerprint (md5 whole-doc; winnowing variant rows-only) ----
+  def q24_fingerprint(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
+    d.add(SourceNode.table(dir, "documents")) >>
+      new FingerprintNode("text") >>
+      ProjectNode("doc_id", "doc_md5") >>
+      d.output("result")
+  }
+  val q24Sql: String =
+    s"SELECT doc_id, md5($duckNorm) AS doc_md5 FROM documents"
+
+  // ---- near-dup: MinHash+LSH, SimHash, n-gram Jaccard (hash-seeded → rows-only) ----
+  def q25_minhash_dedup(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
+    d.add(SourceNode.table(dir, "documents")) >>
+      new MinHashDedupNode(jaccardThreshold = 0.5) >>
+      d.output("result")
+  }
+  def q26_simhash_dedup(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
+    d.add(SourceNode.table(dir, "documents")) >>
+      new SimHashDedupNode(maxHamming = 8) >>
+      d.output("result")
+  }
+  def q27_ngram_jaccard(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
+    d.add(SourceNode.table(dir, "documents")) >>
+      new NgramJaccardNode(threshold = 0.2) >>
+      d.output("result")
+  }
+
+  // ---- similarity search: brute-force cosine top-k (oracle: same fold order
+  // in DuckDB list lambdas) and LSH-bucketed ANN (rows-only) ----
+  def q28_knn_brute(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
+    val emb = d.add(SourceNode.table(dir, "embeddings"))
+    val queries = emb >> FilterNode("vec_id < 5") >>
+      ProjectNode("vec_id as query_id", "embedding").named("queryset")
+    val knn = d.add(new BruteForceKnnNode(k = 10))
+    emb("result") >> knn("corpus"); queries >> knn("queries")
+    knn >> ProjectNode("query_id", "vec_id", "rank") >> d.output("result")
+  }
+  val q28Sql: String =
+    """SELECT query_id, vec_id, rank FROM (
+      |  SELECT q.vec_id AS query_id, c.vec_id,
+      |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |      (list_sum(list_transform(range(1, 65), i -> c.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE))
+      |       / (sqrt(list_sum(list_transform(range(1, 65), i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)))
+      |        * sqrt(list_sum(list_transform(range(1, 65), i -> q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE))))) DESC,
+      |      c.vec_id ASC) AS rank
+      |  FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 5) q) t
+      |WHERE rank <= 10""".stripMargin
+
+  def q29_ann_lsh(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
+    val emb = d.add(SourceNode.table(dir, "embeddings"))
+    val queries = emb >> FilterNode("vec_id < 5") >>
+      ProjectNode("vec_id as query_id", "embedding").named("queryset")
+    val knn = d.add(new LshKnnNode(k = 10, numPlanes = 6, tables = 8))
+    emb("result") >> knn("corpus"); queries >> knn("queries")
+    knn >> ProjectNode("query_id", "vec_id", "rank") >> d.output("result")
+  }
+
+  // ---- embedding-cosine near-dup pairs (brute force = exact oracle) ----
+  def q30_embedding_neardup(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
+    d.add(SourceNode.table(dir, "embeddings")) >>
+      new EmbeddingNearDupNode(threshold = 0.3, bruteForce = true) >>
+      FnNode.map1("rounded") { df =>
+        import org.apache.spark.sql.functions._
+        df.select(col("id_a"), col("id_b")) // score dropped: float compare risk
+      } >>
+      d.output("result")
+  }
+  val q30Sql: String =
+    """SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |WHERE (list_sum(list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+      |   / (sqrt(list_sum(list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))
+      |    * sqrt(list_sum(list_transform(range(1, 65), i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))))) >= 0.3""".stripMargin
+
+  // ---- multimodal plumbing: binary payload → decode stub → resize → frame sample ----
+  def q31_multimodal(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
+    d.add(SourceNode.table(dir, "documents")) >>
+      new BinaryPayloadNode("text") >>
+      new DecodeImageStubNode() >>
+      new ResizeImageStubNode(224, 224) >>
+      ProjectNode("doc_id", "image_meta.width as w", "image_meta.height as h",
+        "resized_meta.width as rw", "size(features) as n_features") >>
+      d.output("result")
+  }
+  def q32_frame_sample(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
+    d.add(SourceNode.table(dir, "documents")) >>
+      new BinaryPayloadNode("text") >>
+      new FrameSampleStubNode(stride = 50, maxFrames = 4) >>
+      AggNode(Seq("doc_id"), "count(*) as n_frames", "max(frame_ts_ms) as last_ts_ms") >>
+      d.output("result")
+  }
+
+  /** (name, query, oracleSql | null) */
+  val entries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+    ("q20_dedup_exact", q20_dedup_exact _, q20Sql),
+    ("q21_token_count", q21_token_count _, q21Sql),
+    ("q22_quality", q22_quality _, q22Sql),
+    ("q23_lang_id", q23_lang_id _, null),
+    ("q24_fingerprint", q24_fingerprint _, q24Sql),
+    ("q25_minhash_dedup", q25_minhash_dedup _, null),
+    ("q26_simhash_dedup", q26_simhash_dedup _, null),
+    ("q27_ngram_jaccard", q27_ngram_jaccard _, null),
+    ("q28_knn_brute", q28_knn_brute _, q28Sql),
+    ("q29_ann_lsh", q29_ann_lsh _, null),
+    ("q30_embedding_neardup", q30_embedding_neardup _, q30Sql),
+    ("q31_multimodal", q31_multimodal _, null),
+    ("q32_frame_sample", q32_frame_sample _, null),
+  )
+}

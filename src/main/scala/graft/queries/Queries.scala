@@ -44,4 +44,13 @@ object Queries {
       |WHERE l_shipdate <= timestamp '1998-09-02 00:00:00'
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Full registry: (name, query, oracleSql | null = rows-only check). */
+  val registry: Seq[(String, (SparkSession, String) => DataFrame, String)] =
+    Seq(("q1_agg", q1_agg _, q1Sql)) ++ Relational.entries ++ NorthStar.entries
+
+  val all: Map[String, (SparkSession, String) => DataFrame] =
+    registry.map { case (n, f, _) => n -> f }.toMap
+  val oracles: Map[String, String] =
+    registry.collect { case (n, _, sql) if sql != null => n -> sql }.toMap
 }

@@ -1,0 +1,275 @@
+package graft
+
+import graft.dag._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** DAG builder + execution semantics — ScalaTest ports of the reference's
+  * tests/test_graph.py and tests/test_mldag.py behaviors (SURVEY.md §5).
+  */
+class DagSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  private def df1: DataFrame = Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v")
+  private def ctx = Ctx(spark)
+
+  // ---------------- wiring & naming ----------------
+
+  test("auto-naming dedups with a counter (reference add_vertex override)") {
+    val d = new Dag()
+    val a = d.add(new IdentityNode)
+    val b = d.add(new IdentityNode)
+    val c = d.add(new IdentityNode)
+    assert(Seq(a.name, b.name, c.name) == Seq("identity_node", "identity_node1", "identity_node2"))
+  }
+
+  test("explicit names are kept; renaming after attach fails") {
+    val d = new Dag()
+    val n = d.add(new IdentityNode().named("x"))
+    assert(n.name == "x")
+    assertThrows[GraftException](n.named("y"))
+  }
+
+  test("cross-dag attach rejected (reference graph.py:80-127)") {
+    val d1 = new Dag("d1"); val d2 = new Dag("d2")
+    val n = d1.add(new IdentityNode)
+    assertThrows[GraftException](d2.add(n))
+  }
+
+  test("cross-dag connect rejected") {
+    val d1 = new Dag("d1"); val d2 = new Dag("d2")
+    val a = d1.add(new IdentityNode)
+    val b = d2.add(new IdentityNode)
+    assertThrows[GraftException](a >> b)
+  }
+
+  test("slot inference: single output to single input; explicit slots validated") {
+    val d = new Dag()
+    val a = d.add(new IdentityNode)
+    val b = d.add(new IdentityNode)
+    a >> b
+    assertThrows[SlotException](a("nope") >> b)
+    assertThrows[SlotException](a >> b("nope"))
+  }
+
+  test("non-variadic input takes exactly one writer") {
+    val d = new Dag()
+    val a = d.add(new IdentityNode)
+    val b = d.add(new IdentityNode)
+    val c = d.add(new IdentityNode)
+    a >> c
+    assertThrows[SlotException](b >> c)
+  }
+
+  test("variadic port accumulates many writers (reference *args fan-in)") {
+    val d = new Dag()
+    val s1 = d.add(FnNode.map1("s1")(_ => df1))
+    val s2 = d.add(FnNode.map1("s2")(_ => df1))
+    d.setInput(s1, Some("in"), Some("df")); d.setInput(s2, Some("in"), Some("df"))
+    val u = d.add(FnNode.mapMany("u")(dfs => dfs.reduce(_ union _)))
+    s1 >> u("dfs"); s2 >> u("dfs")
+    u >> d.output("result")
+    val out = d.transform(ctx, Map("in" -> df1))("result")
+    assert(out.count() == 6)
+  }
+
+  // ---------------- structure ----------------
+
+  test("topo order respects data edges and order-only deps; cycle throws") {
+    val d = new Dag()
+    val a = d.add(new IdentityNode().named("a"))
+    val b = d.add(new IdentityNode().named("b"))
+    val c = d.add(new IdentityNode().named("c"))
+    a >> b
+    c.after(b) // order-only
+    val order = d.topoOrder.map(_.name)
+    assert(order.indexOf("a") < order.indexOf("b"))
+    assert(order.indexOf("b") < order.indexOf("c"))
+
+    val d2 = new Dag()
+    val x = d2.add(FnNode.map2("x")((l, _) => l))
+    val y = d2.add(FnNode.map2("y")((l, _) => l))
+    x >> y("left"); y >> x("left")
+    assertThrows[CycleException](d2.topoOrder)
+  }
+
+  test("roots and leaves (reference test_graph root/leaf identification)") {
+    val d = new Dag()
+    val a = d.add(new IdentityNode().named("a"))
+    val b = d.add(new IdentityNode().named("b"))
+    val c = d.add(new IdentityNode().named("c"))
+    a >> b; b >> c
+    assert(d.roots.map(_.name) == Seq("a"))
+    assert(d.leaves.map(_.name) == Seq("c"))
+  }
+
+  test("graph surgery: removeNode drops touching edges/binds; disconnect") {
+    val d = new Dag()
+    val a = d.add(new IdentityNode().named("a"))
+    val b = d.add(new IdentityNode().named("b"))
+    val c = d.add(new IdentityNode().named("c"))
+    a >> b; b >> c
+    d.removeNode(b)
+    assert(d.nodeNames == Seq("a", "c"))
+    assert(d.roots.map(_.name).toSet == Set("a", "c"))
+    val d2 = new Dag()
+    val x = d2.add(new IdentityNode().named("x"))
+    val y = d2.add(new IdentityNode().named("y"))
+    x >> y
+    d2.disconnect(x, y)
+    assertThrows[GraftException](d2.disconnect(x, y))
+  }
+
+  test("validate() flags unbound required inputs") {
+    val d = new Dag()
+    val n = d.add(new IdentityNode)
+    n >> d.output("o")
+    assertThrows[SlotException](d.validate())
+  }
+
+  // ---------------- dag-level inputs/outputs & binding ----------------
+
+  test("dag input binds to run-time argument; unknown/missing bindings error") {
+    val d = new Dag()
+    val n = d.add(FnNode.map1("double")(df => df.withColumn("id", col("id") * 2)))
+    d.input("x") >> n
+    n >> d.output("result")
+    val out = d.transform(ctx, Map("x" -> df1))("result")
+    assert(out.agg(sum("id")).as[Long].head() == 12)
+    assertThrows[BindingException](d.transform(ctx, Map.empty))
+    assertThrows[BindingException](d.transform(ctx, Map("x" -> df1, "zzz" -> df1)))
+  }
+
+  test("dag >> node exposes unbound inputs; name collision gets _node suffix " +
+    "(reference 'arg1_test_foo1', tests/test_mldag.py:44)") {
+    val d = new Dag()
+    val a = d.add(FnNode.map1("foo")(identity))
+    val b = d.add(FnNode.map1("bar")(identity))
+    d >> a
+    d >> b // same port name 'df' → suffixed
+    assert(d.inputNames == Seq("df", "df_bar"))
+  }
+
+  test("duplicate dag output name rejected; output slot inference") {
+    val d = new Dag()
+    val n = d.add(new IdentityNode)
+    d.setOutput("o", n)
+    assertThrows[SlotException](d.setOutput("o", n))
+  }
+
+  test("run exposes outputs and nodeOutputs (reference MLDagRun)") {
+    val d = new Dag()
+    val n = d.add(FnNode.map1("f")(df => df.filter(col("id") > 1)))
+    d.input("x") >> n
+    n >> d.output("result")
+    val run = d.transform(ctx, Map("x" -> df1))
+    assert(run("result").count() == 2)
+    assert(run.nodeOutputs("f")("result").count() == 2)
+    assertThrows[GraftException](run("nope"))
+  }
+
+  // ---------------- fit/transform split ----------------
+
+  /** Estimator that records the fit count and subtracts the fitted mean. */
+  private class MeanCenterNode extends EstimatorNode {
+    type Model = Double
+    var fitCount = 0
+    val inputs = Seq(Port("df")); val outputs = Seq(Port("result"))
+    def fitModel(ctx: Ctx, in: In): Double = {
+      fitCount += 1
+      in("df").agg(avg("id")).collect()(0).getDouble(0)
+    }
+    def applyModel(m: Double, ctx: Ctx, in: In): Map[String, DataFrame] =
+      Map("result" -> in("df").withColumn("centered", col("id") - lit(m)))
+  }
+
+  test("estimator: transform before fit errors; fit-then-transform works") {
+    val d = new Dag()
+    val est = d.add(new MeanCenterNode)
+    d.input("x") >> est
+    est >> d.output("result")
+    assertThrows[GraftException](d.transform(ctx, Map("x" -> df1)))
+    d.fit(ctx, Map("x" -> df1))
+    assert(est.fitCount == 1)
+    val out = d.transform(ctx, Map("x" -> df1))("result")
+    assert(out.agg(sum("centered")).as[Double].head() == 0.0)
+  }
+
+  test("fit does not transform leaf nodes; transform does (mldag.py:380)") {
+    var leafTransformed = 0
+    val d = new Dag()
+    val n = d.add(new FnNode(Seq(Port("df")), Seq(Port("result")),
+      (_, in) => { leafTransformed += 1; Map("result" -> in("df")) }, "leaf"))
+    d.input("x") >> n
+    d.fit(ctx, Map("x" -> df1))
+    assert(leafTransformed == 0)
+    d.transform(ctx, Map("x" -> df1))
+    assert(leafTransformed == 1)
+  }
+
+  test("TransformNode shares the fitted parent and schedules after it") {
+    val d = new Dag()
+    val est = d.add(new MeanCenterNode().named("center"))
+    val reuse = d.add(new TransformNode("center").named("center_again"))
+    d.input("x") >> est
+    d.input("y") >> reuse("df")
+    est >> d.output("o1"); reuse("result") >> d.output("o2")
+    val order = d.topoOrder.map(_.name)
+    assert(order.indexOf("center") < order.indexOf("center_again"))
+    val big = Seq(10, 20, 30).toDF("id")
+    d.fit(ctx, Map("x" -> df1, "y" -> big))
+    assert(est.fitCount == 1) // reuse site does NOT refit
+    val run = d.transform(ctx, Map("x" -> df1, "y" -> big))
+    // both sites subtract the mean fitted on x (=2.0)
+    assert(run("o2").agg(sum("centered")).as[Double].head() == 54.0)
+  }
+
+  // ---------------- nesting ----------------
+
+  test("nested dag as node: inner inputs/outputs become ports; results flow") {
+    val inner = new Dag("inner")
+    val f = inner.add(FnNode.map1("inc")(df => df.withColumn("id", col("id") + 1)))
+    inner.input("df") >> f
+    f >> inner.output("result")
+    val outer = new Dag("outer")
+    val sub = outer.add(inner.asNode)
+    val g = outer.add(FnNode.map1("dbl")(df => df.withColumn("id", col("id") * 2)))
+    outer.input("x") >> sub("df")
+    sub("result") >> g
+    g >> outer.output("result")
+    val out = outer.transform(ctx, Map("x" -> df1))("result")
+    assert(out.agg(sum("id")).as[Long].head() == 18) // ((1..3)+1)*2
+  }
+
+  // ---------------- diamond fan-out persist ----------------
+
+  test("diamond fan-out: shared subtree persisted once, unpersist releases") {
+    val d = new Dag()
+    var computed = 0
+    val src = d.add(new FnNode(Nil, Seq(Port("result")),
+      (_, _) => { computed += 1; Map("result" -> df1) }, "src"))
+    val l = d.add(FnNode.map1("l")(df => df.filter(col("id") > 1)))
+    val r = d.add(FnNode.map1("r")(df => df.filter(col("id") < 3)))
+    src >> l; src >> r
+    l >> d.output("lo"); r >> d.output("ro")
+    val run = d.transform(ctx)
+    assert(run.persisted.size == 1)
+    assert(run.persisted.head.storageLevel.useMemory)
+    assert(run("lo").count() == 2 && run("ro").count() == 2)
+    run.unpersist()
+    assert(!run.persisted.head.storageLevel.useMemory)
+  }
+
+  test("listener hooks fire around fit and transform (reference mixins)") {
+    val d = new Dag()
+    val t = new TimingListener
+    d.addListener(t)
+    val n = d.add(FnNode.map1("f")(identity))
+    d.input("x") >> n
+    n >> d.output("result")
+    d.fitTransform(ctx, Map("x" -> df1))
+    assert(t.transformNanos.contains("f"))
+  }
+}

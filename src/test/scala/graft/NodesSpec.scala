@@ -1,0 +1,149 @@
+package graft
+
+import graft.dag._
+import graft.nodes._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Operator-library semantics on tiny in-memory frames (hermetic; the full
+  * oracle diff vs DuckDB runs via tools/compare.py at sf0.01).
+  */
+class NodesSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  private def ctx = Ctx(spark)
+
+  private def runOne(build: Dag => Unit): DataFrame = {
+    val d = new Dag()
+    build(d)
+    d.transform(ctx).outputs("result")
+  }
+
+  private def docs: DataFrame = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (3L, "the quick brown fox jumped over the lazy dog"), // near dup
+    (4L, "completely different text about spark engines and scale"),
+  ).toDF("doc_id", "text")
+
+  private def srcNode(df: DataFrame, nm: String = "src"): FnNode =
+    new FnNode(Nil, Seq(Port("result")), (_, _) => Map("result" -> df), nm)
+
+  test("ExactDedupNode keeps min-id survivor with dup_count") {
+    val out = runOne { d =>
+      d.add(srcNode(docs)) >> new ExactDedupNode(Seq("md5(cast(text as binary))"), "doc_id") >>
+        d.output("result")
+    }.orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L), (3L, 1L), (4L, 1L)))
+  }
+
+  test("MinHashDedupNode finds the near-dup pair and not the unrelated doc") {
+    val pairs = runOne { d =>
+      d.add(srcNode(docs)) >> new MinHashDedupNode(jaccardThreshold = 0.5) >> d.output("result")
+    }.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L))) // identical docs always collide
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("SimHashDedupNode: identical docs at hamming 0; unrelated doc excluded") {
+    val rows = runOne { d =>
+      d.add(srcNode(docs)) >> new SimHashDedupNode(maxHamming = 8) >> d.output("result")
+    }.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(rows.exists(r => r._1 == 1L && r._2 == 2L && r._3 == 0))
+    assert(!rows.exists(r => r._1 == 4L || r._2 == 4L))
+  }
+
+  test("BruteForceKnnNode: rank 1 is the vector itself (cosine 1.0)") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f)),
+    ).toDF("vec_id", "embedding")
+    val out = runOne { d =>
+      val corpus = d.add(srcNode(emb, "corpus"))
+      val queries = d.add(srcNode(emb.filter(col("vec_id") === 0L)
+        .select(col("vec_id").as("query_id"), col("embedding")), "queries"))
+      val knn = d.add(new BruteForceKnnNode(k = 2))
+      corpus >> knn("corpus"); queries >> knn("queries")
+      knn >> d.output("result")
+    }.orderBy("rank").collect()
+    assert(out(0).getAs[Long]("vec_id") == 0L && math.abs(out(0).getAs[Double]("score") - 1.0) < 1e-9)
+    assert(out(1).getAs[Long]("vec_id") == 1L)
+  }
+
+  test("LshKnnNode self-match survives bucketing (same signature everywhere)") {
+    val emb = (0L until 20L).map(i =>
+      (i, Array.tabulate(8)(j => math.sin(i * 7.0 + j).toFloat))).toDF("vec_id", "embedding")
+    val out = runOne { d =>
+      val corpus = d.add(srcNode(emb, "corpus"))
+      val queries = d.add(srcNode(
+        emb.limit(3).select(col("vec_id").as("query_id"), col("embedding")), "queries"))
+      val knn = d.add(new LshKnnNode(k = 3, numPlanes = 4, tables = 4))
+      corpus >> knn("corpus"); queries >> knn("queries")
+      knn >> d.output("result")
+    }
+    val top1 = out.filter(col("rank") === 1).select("query_id", "vec_id").as[(Long, Long)].collect()
+    assert(top1.forall { case (q, v) => q == v })
+  }
+
+  test("TokenCountNode counts whitespace and BPE-ish tokens") {
+    val out = runOne { d =>
+      d.add(srcNode(Seq((1L, "Hello, world! 42")).toDF("doc_id", "text"))) >>
+        new TokenCountNode("text") >> d.output("result")
+    }.select("ws_tokens", "bpe_tokens").as[(Int, Int)].head()
+    assert(out._1 == 3) // Hello, | world! | 42
+    assert(out._2 == 5) // Hello , world ! 42
+  }
+
+  test("LangIdNode predicts en for English text") {
+    val out = runOne { d =>
+      d.add(srcNode(Seq((1L, "the cat and the dog are in the house with a bird", "en"))
+        .toDF("doc_id", "text", "lang"))) >>
+        new LangIdNode("text") >> d.output("result")
+    }.select("pred_lang").as[String].head()
+    assert(out == "en")
+  }
+
+  test("AsofJoinNode picks latest right row at or before left time") {
+    val trades = Seq((1L, 100L, 10.0), (1L, 200L, 11.0), (2L, 150L, 20.0))
+      .toDF("sym", "t", "px")
+    val quotes = Seq((1L, 90L, 9.9), (1L, 150L, 10.5), (1L, 250L, 11.5), (2L, 100L, 19.5))
+      .toDF("sym", "qt", "bid")
+    val out = runOne { d =>
+      val l = d.add(srcNode(trades, "trades"))
+      val r = d.add(srcNode(quotes, "quotes"))
+      val j = d.add(new AsofJoinNode(
+        leftKeys = Seq("sym"), rightKeys = Seq("sym"),
+        leftTime = "t", rightTime = "qt",
+        leftIdCols = Seq("sym", "t"), rightTieBreak = "qt"))
+      l >> j("left"); r >> j("right")
+      j >> d.output("result")
+    }.select(col("l.sym"), col("t"), col("qt"), col("bid"))
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(out == Set((1L, 100L, 90L, 9.9), (1L, 200L, 150L, 10.5), (2L, 150L, 100L, 19.5)))
+  }
+
+  test("TopKNode plans TakeOrderedAndProject (no global sort at scale)") {
+    val d = new Dag()
+    d.add(srcNode(docs)) >> TopKNode(2, "doc_id desc") >> d.output("result")
+    val out = d.transform(ctx).outputs("result")
+    assert(out.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
+    assert(out.select("doc_id").as[Long].collect().toSeq == Seq(4L, 3L))
+  }
+
+  test("JoinNode broadcastRight produces a BroadcastHashJoin") {
+    val l = (1L to 100L).toDF("k")
+    val r = (1L to 5L).toDF("k2")
+    val out = runOne { d =>
+      val ln = d.add(srcNode(l, "l")); val rn = d.add(srcNode(r, "r"))
+      val j = d.add(JoinNode.on("l.k = r.k2", broadcastRight = true))
+      ln >> j("left"); rn >> j("right")
+      j >> d.output("result")
+    }
+    assert(out.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    assert(out.count() == 5)
+  }
+}
