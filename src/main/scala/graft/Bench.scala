@@ -12,7 +12,7 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val only: Option[Set[String]] =
       if (args.nonEmpty) Some(args(0).split(",").toSet) else None
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val results = SparkEntry.queryOrder.map(n => n -> SparkEntry.queries(n))
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
         val t0 = System.nanoTime()

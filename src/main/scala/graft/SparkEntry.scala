@@ -8,6 +8,8 @@ object SparkEntry {
     Queries.q1_agg(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.all
+  /** Registry order (q1 first — cheap session warmup before timed heavies). */
+  def queryOrder: Seq[String] = Queries.registry.map(_._1)
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Queries.oracles

@@ -1,0 +1,126 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Codegen'd dot product over two numeric array columns, accumulated in
+  * double — the hot inner loop of similarity search. The builtin equivalent
+  * (`aggregate(zip_with(a, b, …))`) runs interpreted per element with a
+  * closure call and boxing per lambda step; this expression compiles to a
+  * tight primitive `for` loop inside whole-stage codegen, worth >10× on
+  * brute-force kNN / near-dup scoring.
+  *
+  * Usage: registered as SQL function `vec_dot` (VecFunctions.register /
+  * GraftExtensions), so expression-string nodes can call
+  * `vec_dot(emb_a, emb_b)` anywhere.
+  */
+case class VecDot(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(e => e.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"vec_dot needs array<float|double> inputs, got ${left.dataType} / ${right.dataType}")
+  }
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_dot"
+
+  private def elemType(e: Expression): DataType = e.dataType.asInstanceOf[ArrayType].elementType
+  private def accessor(t: DataType): String = t match {
+    case FloatType => "getFloat"
+    case _         => "getDouble"
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    val (fa, fb) = (elemType(left) == FloatType, elemType(right) == FloatType)
+    var i = 0
+    var sum = 0.0
+    while (i < n) {
+      val x = if (fa) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (fb) b.getFloat(i).toDouble else b.getDouble(i)
+      sum += x * y
+      i += 1
+    }
+    sum
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val (accA, accB) = (accessor(elemType(left)), accessor(elemType(right)))
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val sum = ctx.freshName("sum")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $sum = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $sum += ((double) $a.$accA($i)) * ((double) $b.$accB($i));
+         |}
+         |${ev.value} = $sum;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): VecDot =
+    copy(left = newLeft, right = newRight)
+}
+
+object VecFunctions {
+  private def intLit(e: Expression): Int =
+    e.eval(null) match {
+      case i: Int => i
+      case other  => throw new IllegalArgumentException(s"expected int literal, got $other")
+    }
+  /** Idempotently register graft's vector/sketch functions into a session. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      "vec_dot", exprs => VecDot(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "minhash_bands", exprs => MinHashBands(exprs(0), intLit(exprs(1)), intLit(exprs(2))), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "shingle_hashes", exprs => ShingleHashes(exprs(0), intLit(exprs(1))), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "simhash64", exprs => SimHash64(exprs(0)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "lsh_signs", exprs => LshSigns(exprs(0), intLit(exprs(1)), intLit(exprs(2))), "scala_udf")
+  }
+}
+
+/** `spark.sql.extensions=graft.functions.GraftExtensions` wires the functions
+  * in at session build time (the deployment path for a shared cluster).
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    def lit(e: Expression): Int = e.eval(null).asInstanceOf[Int]
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      (exprs: Seq[Expression]) => VecDot(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_bands"),
+      new ExpressionInfo(classOf[MinHashBands].getName, "minhash_bands"),
+      (exprs: Seq[Expression]) => MinHashBands(exprs(0), lit(exprs(1)), lit(exprs(2)))))
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (exprs: Seq[Expression]) => SimHash64(exprs(0))))
+    ext.injectFunction((
+      FunctionIdentifier("lsh_signs"),
+      new ExpressionInfo(classOf[LshSigns].getName, "lsh_signs"),
+      (exprs: Seq[Expression]) => LshSigns(exprs(0), lit(exprs(1)), lit(exprs(2)))))
+  }
+}

@@ -53,29 +53,23 @@ class MinHashDedupNode(
   val inputs = Seq(Port("df"))
   val outputs = Seq(Port("result"))
   override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
+    graft.functions.VecFunctions.register(ctx.spark)
     val toks = TextExprs.tokensExpr(textCol)
-    val shingles = s"array_distinct(${TextExprs.shinglesExpr("__toks", shingleN)})"
-    // CRITICAL expression-shape point: Catalyst's CollapseProject inlines
-    // upstream aliases into higher-order-function lambdas, and interpreted
-    // HOF evaluation has no subexpression elimination — an inlined split()
-    // re-tokenizes per lambda element, turning O(tokens) into O(tokens^2)
-    // per hash. So (1) shingles are materialized behind a cache boundary
-    // before the minhash expressions reference them, and (2) each band hash
-    // computes only its OWN rowsPerBand minhashes (no shared __sig alias to
-    // inline repeatedly): total work stays numHashes * |shingles| per doc.
+    // Shingles are HASHED longs, not strings (`shingle_hashes` mixes word
+    // hashes — no concat_ws/slice interpreted per element, ~10x cheaper, and
+    // the verify-join payload shrinks from ~300 strings to ~300 longs per
+    // doc). Materialized behind a cache boundary so CollapseProject cannot
+    // inline split() into downstream consumers (re-tokenizing per element).
     val sh = in("df")
       .withColumn("__toks", expr(toks))
-      .withColumn("__shingles", expr(shingles))
+      .withColumn("__shingles", expr(s"shingle_hashes(__toks, $shingleN)"))
       .filter("size(__shingles) > 0")
       .select(col(idCol), col("__shingles"))
       .persist()
-    val bandHashes =
-      s"""transform(sequence(0, ${bands - 1}), b ->
-         |  xxhash64(b, transform(sequence(b * $rowsPerBand, b * $rowsPerBand + ${rowsPerBand - 1}),
-         |    i -> array_min(transform(__shingles, s -> xxhash64(s, i))))))""".stripMargin
     // Candidate generation is SKINNY — ids and band key only. Shingle arrays
     // never enter the self-join shuffle; they are joined back per unique pair.
-    val signed = sh.select(col(idCol), expr(bandHashes).as("__bands")).persist()
+    val signed = sh.select(col(idCol),
+      expr(s"minhash_bands(__shingles, $numHashes, $bands)").as("__bands"))
     val buckets = signed.selectExpr(idCol, "posexplode(__bands) as (band, band_hash)")
     val a = buckets.select(col(idCol).as("id_a"), col("band"), col("band_hash"))
     val b = buckets.select(col(idCol).as("id_b"), col("band"), col("band_hash"))
@@ -111,25 +105,18 @@ class SimHashDedupNode(
   val outputs = Seq(Port("result"))
   override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
     val toks = TextExprs.tokensExpr(textCol)
-    val simhash =
-      """aggregate(sequence(0, 63), 0L, (acc, i) ->
-        |  acc + if(aggregate(__hashes, 0L, (a, h) -> a + if(((h >> i) & 1) = 1, 1L, -1L)) > 0,
-        |           shiftleft(1L, i), 0L))""".stripMargin
     val chunkBits = 64 / chunks
     val chunkArr =
       s"transform(sequence(0, ${chunks - 1}), c -> (__simhash >> (c * $chunkBits)) & ${(1L << chunkBits) - 1}L)"
-    // Same shape as MinHash: token hashes are materialized behind a cache
-    // boundary BEFORE the 64-bit fold references them (CollapseProject would
-    // otherwise inline split() per bit per token — see MinHashDedupNode).
-    // The simhash long is cheap to carry, so no verify-side join is needed.
-    val hashed = in("df")
-      .withColumn("__hashes", expr(s"transform($toks, t -> xxhash64(t))"))
-      .filter("size(__hashes) > 0")
-      .select(col(idCol), col("__hashes"))
-      .persist()
-    val signed = hashed
-      .withColumn("__simhash", expr(simhash))
-      .select(col(idCol), col("__simhash"), expr(chunkArr).as("__chunks"))
+    // Same shape as MinHash but the signature is one compiled kernel call
+    // (`simhash64` hashes each token once, then votes bits); the simhash long
+    // is cheap to carry, so no verify-side join is needed.
+    graft.functions.VecFunctions.register(ctx.spark)
+    val signed = in("df")
+      .withColumn("__toks", expr(toks))
+      .filter("size(__toks) > 0")
+      .select(col(idCol), expr("simhash64(__toks)").as("__simhash"))
+      .withColumn("__chunks", expr(chunkArr))
       .persist()
     val buckets = signed.selectExpr(idCol, "__simhash", "posexplode(__chunks) as (chunk_idx, chunk_val)")
     val a = buckets.select(col(idCol).as("id_a"), col("__simhash").as("sh_a"), col("chunk_idx"), col("chunk_val"))
@@ -163,10 +150,11 @@ class NgramJaccardNode(
     val toks = TextExprs.tokensExpr(textCol)
     // persist: consumed three times (inverted index + both verify joins);
     // also a cache boundary so collapsed projections don't re-tokenize per
-    // shingle element inside the transform() lambda
+    // shingle element. Shingles are hashed longs (see MinHashDedupNode).
+    graft.functions.VecFunctions.register(ctx.spark)
     val docs = in("df")
       .withColumn("__toks", expr(toks))
-      .withColumn("__shingles", expr(s"array_distinct(${TextExprs.shinglesExpr("__toks", shingleN)})"))
+      .withColumn("__shingles", expr(s"shingle_hashes(__toks, $shingleN)"))
       .filter("size(__shingles) > 0")
       .select(col(idCol), col("__shingles"))
       .persist()

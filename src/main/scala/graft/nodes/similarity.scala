@@ -11,12 +11,18 @@ import org.apache.spark.sql.functions.{broadcast, col, expr, row_number}
   * codegen'd, no UDFs.
   */
 object VecExprs {
-  /** Dot product of two array columns, accumulated in double. */
-  def dot(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), cast(0 as double), (acc, v) -> acc + v)"
+  /** Dot product of two array columns, accumulated in double. Uses the
+    * codegen'd `vec_dot` expression (graft.functions.VecDot) — the builtin
+    * `aggregate(zip_with(...))` equivalent runs interpreted per element and
+    * dominates brute-force scoring cost. Nodes call [[ensure]] first.
+    */
+  def dot(a: String, b: String): String = s"vec_dot($a, $b)"
   def norm(a: String): String = s"sqrt(${dot(a, a)})"
   def cosine(a: String, b: String, normA: String, normB: String): String =
     s"${dot(a, b)} / ($normA * $normB)"
+  /** Idempotent per-session registration of the vec functions. */
+  def ensure(spark: org.apache.spark.sql.SparkSession): Unit =
+    graft.functions.VecFunctions.register(spark)
 }
 
 /** Brute-force cosine top-k: every query row against every corpus row.
@@ -36,6 +42,7 @@ class BruteForceKnnNode(
   val inputs = Seq(Port("corpus"), Port("queries"))
   val outputs = Seq(Port("result"))
   override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
+    VecExprs.ensure(ctx.spark)
     val corpus = in("corpus")
       .select(col(idCol), col(vecCol).as("__cv"))
       .withColumn("__cnorm", expr(VecExprs.norm("__cv")))
@@ -75,20 +82,15 @@ class LshKnnNode(
   val inputs = Seq(Port("corpus"), Port("queries"))
   val outputs = Seq(Port("result"))
 
-  /** signature of `vec` in hash table t: numPlanes sign bits packed into a long.
-    * Hyperplane component for (table t, plane p, dim d) =
-    * xxhash64(t, p, d) scaled to [-0.5, 0.5) — deterministic everywhere.
+  /** signature of `vec` in hash table t: numPlanes sign bits packed into a
+    * long. Hyperplane components are mix-derived uniforms (deterministic
+    * everywhere, no stored model); computed by the compiled `lsh_signs`
+    * kernel (graft.functions.LshSigns).
     */
-  private def sigExpr(vec: String): String =
-    s"""transform(sequence(0, ${tables - 1}), t ->
-       |  aggregate(sequence(0, ${numPlanes - 1}), 0L, (acc, p) ->
-       |    acc + if(
-       |      aggregate(zip_with($vec, sequence(0, size($vec) - 1),
-       |        (x, d) -> cast(x as double) * (cast(pmod(xxhash64(t, p, d), 1000000) as double) / 1000000.0 - 0.5)),
-       |        cast(0 as double), (a, v) -> a + v) > 0,
-       |      shiftleft(1L, p), 0L)))""".stripMargin
+  private def sigExpr(vec: String): String = s"lsh_signs($vec, $tables, $numPlanes)"
 
   override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
+    VecExprs.ensure(ctx.spark)
     val corpus = in("corpus")
       .select(col(idCol), col(vecCol).as("__cv"))
       .withColumn("__cnorm", expr(VecExprs.norm("__cv")))
@@ -127,6 +129,7 @@ class EmbeddingNearDupNode(
   val inputs = Seq(Port("df"))
   val outputs = Seq(Port("result"))
   override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
+    VecExprs.ensure(ctx.spark)
     val base = in("df")
       .select(col(idCol), col(vecCol).as("__v"))
       .withColumn("__norm", expr(VecExprs.norm("__v")))
@@ -136,14 +139,8 @@ class EmbeddingNearDupNode(
         val b = base.select(col(idCol).as("id_b"), col("__v").as("vb"), col("__norm").as("nb"))
         a.join(b, col("id_a") < col("id_b"))
       } else {
-        val sigExprStr = // reuse the LSH signature for self-join blocking
-          s"""transform(sequence(0, ${tables - 1}), t ->
-             |  aggregate(sequence(0, ${numPlanes - 1}), 0L, (acc, p) ->
-             |    acc + if(
-             |      aggregate(zip_with(__v, sequence(0, size(__v) - 1),
-             |        (x, d) -> cast(x as double) * (cast(pmod(xxhash64(t, p, d), 1000000) as double) / 1000000.0 - 0.5)),
-             |        cast(0 as double), (a, v) -> a + v) > 0,
-             |      shiftleft(1L, p), 0L)))""".stripMargin
+        // reuse the LSH signature for self-join blocking (compiled kernel)
+        val sigExprStr = s"lsh_signs(__v, $tables, $numPlanes)"
         val sigs = base.withColumn("__sigs", expr(sigExprStr))
           .selectExpr(idCol, "__v", "__norm", "posexplode(__sigs) as (tbl, sig)")
         val a = sigs.select(col(idCol).as("id_a"), col("__v").as("va"), col("__norm").as("na"), col("tbl"), col("sig"))

@@ -1,0 +1,116 @@
+package graft.nodes
+
+import graft.dag._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured Streaming nodes (SURVEY.md §2.2 "Streaming" — strictly additive;
+  * the reference is batch-only). Streaming DataFrames are still DataFrames, so
+  * the relational nodes (FilterNode, ProjectNode, …) compose unchanged between
+  * a stream source and a stream sink; only source/sink/watermark semantics are
+  * streaming-specific.
+  *
+  * Scale: a file-stream source shards by files; state stores (window aggs,
+  * mapGroupsWithState) partition by grouping key — the same shuffle-key
+  * reasoning as batch applies to watermarked stateful ops.
+  */
+
+/** File-based stream source. Streaming requires an explicit schema, inferred
+  * here from a one-off batch read of the same path (cheap: footer-only).
+  */
+class StreamSourceNode(path: String, format: String = "parquet",
+                       nanosTsCols: Seq[String] = Nil) extends Node {
+  override protected def defaultName: String = "stream_source"
+  val inputs: Seq[Port] = Nil
+  val outputs = Seq(Port("result"))
+  override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
+    if (nanosTsCols.nonEmpty)
+      ctx.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = ctx.spark.read.format(format).load(path).schema
+    // File-stream sources require a DIRECTORY; stage single files behind a
+    // temp dir with a symlink (no data copy).
+    val streamPath = {
+      val f = new java.io.File(path)
+      if (f.isFile) {
+        val dir = java.nio.file.Files.createTempDirectory(s"graft_stream_${name}_")
+        java.nio.file.Files.createSymbolicLink(dir.resolve(f.getName), f.toPath)
+        dir.toFile.deleteOnExit()
+        dir.toString
+      } else path
+    }
+    val df0 = ctx.spark.readStream.format(format).schema(schema).load(streamPath)
+    val df = nanosTsCols.foldLeft(df0)((d, c) =>
+      d.withColumn(c, expr(s"timestamp_micros($c div 1000)")))
+    Map("result" -> df)
+  }
+}
+object StreamSourceNode {
+  /** Testdata layout helper (events.ts is TIMESTAMP(NANOS)). */
+  def table(sfDir: String, table: String): StreamSourceNode =
+    new StreamSourceNode(s"$sfDir/$table.parquet", "parquet",
+      nanosTsCols = if (table == "events") Seq("ts") else Nil).named(s"${table}_stream")
+}
+
+/** Event-time watermark: bounds state retention and defines late-data cutoff
+  * for downstream windowed aggregations.
+  */
+class WatermarkNode(tsCol: String, delay: String) extends Node {
+  override protected def defaultName: String = "watermark"
+  val inputs = Seq(Port("df"))
+  val outputs = Seq(Port("result"))
+  override def transform(ctx: Ctx, in: In): Map[String, DataFrame] =
+    Map("result" -> in("df").withWatermark(tsCol, delay))
+}
+
+/** Windowed aggregation over event time: tumbling (no slide), sliding, or
+  * session windows (`gap` set). groupBy keys are appended after the window.
+  */
+class StreamWindowAggNode(
+    tsCol: String,
+    duration: String,
+    slide: Option[String] = None,
+    gap: Option[String] = None,
+    keys: Seq[String] = Nil,
+    aggs: Seq[String]) extends Node {
+  override protected def defaultName: String = "stream_window_agg"
+  val inputs = Seq(Port("df"))
+  val outputs = Seq(Port("result"))
+  override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
+    import org.apache.spark.sql.functions.{session_window, window}
+    val w = gap match {
+      case Some(g) => session_window(col(tsCol), g)
+      case None => slide match {
+        case Some(s) => window(col(tsCol), duration, s)
+        case None    => window(col(tsCol), duration)
+      }
+    }
+    val grouped = in("df").groupBy(w +: keys.map(col): _*)
+    val aggCols = aggs.map(expr)
+    Map("result" -> grouped.agg(aggCols.head, aggCols.tail: _*))
+  }
+}
+
+/** Terminal for a streaming plan: runs the query with Trigger.AvailableNow
+  * (process everything currently available, then stop) into an in-memory
+  * table and returns that table as a batch DataFrame. This turns a streaming
+  * pipeline into something Verify/Bench can consume; production sinks swap
+  * the format for kafka/parquet with a real trigger.
+  */
+class StreamRunNode(queryName: String, outputMode: String = "append",
+                    timeoutMs: Long = 120000) extends Node {
+  override protected def defaultName: String = "stream_run"
+  val inputs = Seq(Port("df"))
+  val outputs = Seq(Port("result"))
+  override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
+    val q = in("df").writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(timeoutMs)
+    if (q.isActive) q.stop()
+    Map("result" -> ctx.spark.table(queryName))
+  }
+}

@@ -1,0 +1,238 @@
+package graft.queries
+
+import graft.dag._
+import graft.nodes._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Second breadth wave: cube/approx aggregates, array/map scalar functions,
+  * full set-op variants, outer joins, UDAF/UDTF analogues, session windows,
+  * and Structured Streaming (tumbling + session) — each with a DuckDB oracle
+  * where both engines compute bit-identical results.
+  */
+object Extra {
+  import Queries.run
+
+  // ---- q18: exceptAll / intersectAll / union distinct ----
+  def q18_setops_all(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
+    val li = d.add(SourceNode.table(dir, "lineitem"))
+    val a = li >> FilterNode("l_quantity >= 25") >> ProjectNode("l_suppkey as sk").named("a")
+    val b = li("result") >> FilterNode("l_quantity >= 40").named("f2") >> ProjectNode("l_suppkey as sk").named("b")
+    val ea = d.add(new SetOpNode("exceptAll").named("ea"))
+    a >> ea("left"); b >> ea("right")
+    val ia = d.add(new SetOpNode("intersectAll").named("ia"))
+    a("result") >> ia("left"); b("result") >> ia("right")
+    val u = d.add(new UnionNode(distinct = true))
+    val ta = ea >> ProjectNode("sk", "'ea' as tag").named("ta")
+    val tb = ia >> ProjectNode("sk", "'ia' as tag").named("tb")
+    ta >> u("dfs"); tb >> u("dfs")
+    u >> AggNode(Seq("tag"), "count(*) as n", "count(distinct sk) as n_sk") >>
+      SortNode("tag") >> d.output("result")
+  }
+  val q18Sql: String =
+    """WITH a AS (SELECT l_suppkey AS sk FROM lineitem WHERE l_quantity >= 25),
+      |     b AS (SELECT l_suppkey AS sk FROM lineitem WHERE l_quantity >= 40),
+      |     u AS (
+      |  SELECT DISTINCT * FROM (
+      |    SELECT sk, 'ea' AS tag FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b) x
+      |    UNION ALL
+      |    SELECT sk, 'ia' AS tag FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b) y) z)
+      |SELECT tag, count(*) AS n, count(DISTINCT sk) AS n_sk FROM u
+      |GROUP BY tag ORDER BY tag""".stripMargin
+
+  // ---- q19: array & map scalar functions (scalars projected out so both
+  // engines' results compare exactly) ----
+  def q19_array_map(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
+    d.add(SourceNode.table(dir, "part")) >>
+      WithColumnsNode(
+        "words" -> "split(p_name, ' ')",
+        "brandmap" -> "map('brand', p_brand, 'type', p_type)") >>
+      ProjectNode(
+        "p_partkey",
+        "size(words) as n_words",
+        "element_at(sort_array(words), 1) as first_sorted",
+        "array_contains(words, 'green') as has_green",
+        "size(array_distinct(words)) as n_distinct_words",
+        "array_join(slice(sort_array(words), 1, 2), '_') as first2",
+        "aggregate(transform(words, w -> length(w)), 0, (a, x) -> a + x) as total_chars",
+        "element_at(brandmap, 'brand') as brand_v",
+        "size(map_keys(brandmap)) as n_keys") >>
+      d.output("result")
+  }
+  val q19Sql: String =
+    """SELECT p_partkey,
+      |  len(string_split(p_name, ' ')) AS n_words,
+      |  list_sort(string_split(p_name, ' '))[1] AS first_sorted,
+      |  list_contains(string_split(p_name, ' '), 'green') AS has_green,
+      |  len(list_distinct(string_split(p_name, ' '))) AS n_distinct_words,
+      |  array_to_string(list_sort(string_split(p_name, ' '))[1:2], '_') AS first2,
+      |  list_sum(list_transform(string_split(p_name, ' '), w -> length(w)))::INT AS total_chars,
+      |  p_brand AS brand_v,
+      |  2 AS n_keys
+      |FROM part""".stripMargin
+
+  // ---- q33: full outer join with null-key handling ----
+  def q33_full_outer(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
+    val cust = d.add(SourceNode.table(dir, "customer"))
+    val ord = d.add(SourceNode.table(dir, "orders"))
+    val bigOrders = ord >> FilterNode("o_totalprice > 300000") >>
+      AggNode(Seq("o_custkey"), "count(*) as n_big", "sum(cast(o_totalprice as decimal(18,2))) as big_total").named("big")
+    val j = d.add(JoinNode.on("l.c_custkey = r.o_custkey", joinType = "full_outer"))
+    cust("result") >> j("left"); bigOrders >> j("right")
+    j >> ProjectNode("coalesce(c_custkey, o_custkey) as ck",
+        "c_mktsegment", "coalesce(n_big, 0) as n_big", "big_total") >>
+      d.output("result")
+  }
+  val q33Sql: String =
+    """SELECT coalesce(c_custkey, o_custkey) AS ck, c_mktsegment,
+      |  coalesce(n_big, 0) AS n_big, big_total
+      |FROM customer FULL OUTER JOIN (
+      |  SELECT o_custkey, count(*) AS n_big,
+      |         sum(cast(o_totalprice as decimal(18,2))) AS big_total
+      |  FROM orders WHERE o_totalprice > 300000 GROUP BY o_custkey) b
+      |ON c_custkey = o_custkey""".stripMargin
+
+  // ---- q34: cube with exact distinct counts ----
+  def q34_cube(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
+    d.add(SourceNode.table(dir, "lineitem")) >>
+      AggNode.cube(Seq("l_returnflag", "l_linestatus"),
+        "count(*) as n",
+        "count(distinct l_suppkey) as n_supp",
+        "sum(cast(l_quantity as decimal(18,2))) as qty") >>
+      d.output("result")
+  }
+  val q34Sql: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n,
+      |  count(DISTINCT l_suppkey) AS n_supp,
+      |  sum(cast(l_quantity as decimal(18,2))) AS qty
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
+
+  // ---- q35: approx_count_distinct (HLL++ sketch; estimates are
+  // engine-specific → rows-only check; the exact-count column IS deterministic) ----
+  def q35_approx_distinct(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
+    d.add(SourceNode.table(dir, "lineitem")) >>
+      AggNode(Seq("l_returnflag"),
+        "approx_count_distinct(l_partkey) as approx_parts",
+        "count(distinct l_partkey) as exact_parts") >>
+      SortNode("l_returnflag") >>
+      d.output("result")
+  }
+
+  // ---- q36: UDAF (typed Aggregator with map-side partial agg) ----
+  def q36_udaf(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
+    d.add(SourceNode.table(dir, "lineitem")) >>
+      new RegisterUdafsNode() >>
+      WithColumnsNode(
+        "price_cents" -> "cast(round(l_extendedprice * 100) as bigint)",
+        "qty_l" -> "cast(l_quantity as bigint)") >>
+      AggNode(Seq("l_returnflag"), "sum_prod(price_cents, qty_l) as weighted_cents") >>
+      SortNode("l_returnflag") >>
+      d.output("result")
+  }
+  val q36Sql: String =
+    """SELECT l_returnflag,
+      |  sum(cast(round(l_extendedprice * 100) as bigint) * cast(l_quantity as bigint)) AS weighted_cents
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---- q37: UDTF analogue — explode tokens, aggregate term frequencies ----
+  def q37_explode_tokens(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
+    d.add(SourceNode.table(dir, "documents")) >>
+      new ExplodeNode("split(lower(trim(text)), '\\\\s+')", Seq("pos", "tok"), Seq("doc_id")) >>
+      FilterNode("length(tok) >= 8") >>
+      AggNode(Seq("tok"), "count(*) as tf", "count(distinct doc_id) as df") >>
+      FilterNode("tf >= 10") >>
+      SortNode("tf desc", "tok") >>
+      d.output("result")
+  }
+  val q37Sql: String =
+    """SELECT tok, count(*) AS tf, count(DISTINCT doc_id) AS df FROM (
+      |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+      |  FROM documents) t
+      |WHERE length(tok) >= 8
+      |GROUP BY tok HAVING count(*) >= 10 ORDER BY tf DESC, tok""".stripMargin
+
+  // ---- q38: batch session windows (30-min gap per user) vs a
+  // gaps-and-islands oracle ----
+  def q38_session_window(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
+    val src = d.add(SourceNode.table(dir, "events"))
+    src >> FnNode.map1("sessionize") { df =>
+      import org.apache.spark.sql.functions._
+      df.groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("session_window.start").as("session_start"), col("n_events"))
+    } >> AggNode(Seq("user_id"),
+        "count(*) as n_sessions",
+        "max(n_events) as max_events",
+        "min(session_start) as first_start") >>
+      SortNode("user_id") >>
+      d.output("result")
+  }
+  val q38Sql: String =
+    """WITH marked AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+      |              > INTERVAL 30 MINUTE OR
+      |              lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events),
+      |sess AS (
+      |  SELECT user_id, ts,
+      |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM marked),
+      |agg AS (
+      |  SELECT user_id, sid, count(*) AS n_events, min(ts) AS session_start
+      |  FROM sess GROUP BY user_id, sid)
+      |SELECT user_id, count(*) AS n_sessions, max(n_events) AS max_events,
+      |  min(session_start) AS first_start
+      |FROM agg GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ---- q39: Structured Streaming tumbling window — same answer as the
+  // batch q16 (complete output mode emits every window) ----
+  def q39_stream_tumbling(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
+    val src = d.add(StreamSourceNode.table(dir, "events"))
+    src >> new WatermarkNode("ts", "1 hour") >>
+      new StreamWindowAggNode("ts", "1 hour", keys = Seq("event_type"),
+        aggs = Seq("count(*) as n", "sum(cast(value as decimal(18,2))) as sum_value")) >>
+      FnNode.map1("flatten") { df =>
+        import org.apache.spark.sql.functions._
+        df.select(col("window.start").as("ws"), col("event_type"), col("n"), col("sum_value"))
+      } >>
+      new StreamRunNode(s"q39_sink_${System.nanoTime()}", outputMode = "complete") >>
+      d.output("result")
+  }
+  val q39Sql: String = Relational.q16Sql
+
+  // ---- q40: streaming session windows per user (complete mode), reduced to
+  // the same shape as the q38 oracle ----
+  def q40_stream_session(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
+    val src = d.add(StreamSourceNode.table(dir, "events"))
+    src >> new WatermarkNode("ts", "1 hour") >>
+      new StreamWindowAggNode("ts", "30 minutes", gap = Some("30 minutes"),
+        keys = Seq("user_id"), aggs = Seq("count(*) as n_events")) >>
+      FnNode.map1("flatten") { df =>
+        import org.apache.spark.sql.functions._
+        df.select(col("user_id"), col("session_window.start").as("session_start"), col("n_events"))
+      } >>
+      new StreamRunNode(s"q40_sink_${System.nanoTime()}", outputMode = "complete") >>
+      AggNode(Seq("user_id"),
+        "count(*) as n_sessions",
+        "max(n_events) as max_events",
+        "min(session_start) as first_start") >>
+      SortNode("user_id") >>
+      d.output("result")
+  }
+  val q40Sql: String = q38Sql
+
+  val entries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+    ("q18_setops_all", q18_setops_all _, q18Sql),
+    ("q19_array_map", q19_array_map _, q19Sql),
+    ("q33_full_outer", q33_full_outer _, q33Sql),
+    ("q34_cube", q34_cube _, q34Sql),
+    ("q35_approx_distinct", q35_approx_distinct _, null),
+    ("q36_udaf", q36_udaf _, q36Sql),
+    ("q37_explode_tokens", q37_explode_tokens _, q37Sql),
+    ("q38_session_window", q38_session_window _, q38Sql),
+    ("q39_stream_tumbling", q39_stream_tumbling _, q39Sql),
+    ("q40_stream_session", q40_stream_session _, q40Sql),
+  )
+}
