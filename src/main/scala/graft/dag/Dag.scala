@@ -44,6 +44,10 @@ final class Dag(val dagName: String = "dag") {
   // ------------------------------------------------------------------
   def nodes: Seq[Node] = nodeMap.values.toSeq
   def nodeNames: Seq[String] = nodeMap.keys.toSeq
+  /** Data edges in insertion order (read-only view). */
+  def dataEdges: Seq[Edge] = edges.toSeq
+  /** Order-only dependencies (before, after) in insertion order. */
+  def dependencies: Seq[(String, String)] = deps.toSeq
   def node(name: String): Node =
     nodeMap.getOrElse(name, throw new GraftException(s"no node '$name' in dag '$dagName'"))
   def nodeOpt(name: String): Option[Node] = nodeMap.get(name)

@@ -1,0 +1,167 @@
+package graft.dag
+
+import scala.collection.mutable
+
+/** Topology serialization — the engine analogue of the reference's
+  * `Graph.to_dict`/`from_dict` (/root/reference/mldag/core/graph.py:938-1077),
+  * which round-trips vertices+edges as `{module, class, params}` dicts and
+  * re-imports classes by name. Here the import-by-name step is a
+  * reflection-free REGISTRY: each serializable node class contributes a
+  * factory keyed by its kind string; nodes expose their constructor params
+  * as a JSON-able map (`Node.jsonParams`).
+  *
+  * Closure-carrying nodes (FnNode) are not serializable — the reference had
+  * the same boundary (pickled functions must be importable, not lambdas).
+  */
+object DagJson {
+  type Params = Map[String, Any]
+  type Factory = Params => Node
+
+  private val registry = mutable.Map[String, Factory]()
+  def register(kind: String)(f: Factory): Unit = registry(kind) = f
+
+  // ---------------- params accessors (tolerant of json4s numeric widening) --
+  implicit class P(val m: Params) extends AnyVal {
+    def str(k: String): String = m(k).asInstanceOf[String]
+    def strOpt(k: String): Option[String] = m.get(k).collect { case s: String => s }
+    def int(k: String): Int = m(k) match { case i: Int => i; case l: Long => l.toInt; case b: BigInt => b.toInt }
+    def dbl(k: String): Double = m(k) match { case d: Double => d; case i: Int => i.toDouble; case l: Long => l.toDouble; case b: BigInt => b.toDouble }
+    def bool(k: String): Boolean = m(k).asInstanceOf[Boolean]
+    def boolOr(k: String, d: Boolean): Boolean = m.get(k).fold(d)(_.asInstanceOf[Boolean])
+    def strs(k: String): Seq[String] = m.getOrElse(k, Nil).asInstanceOf[Seq[Any]].map(_.toString)
+    def pairs(k: String): Seq[(String, String)] =
+      m.getOrElse(k, Nil).asInstanceOf[Seq[Any]].map {
+        case s: Seq[_] => (s(0).toString, s(1).toString)
+        case (a, b)    => (a.toString, b.toString)
+      }
+  }
+
+  // ---------------- JSON writer/parser (json4s ships with Spark) -----------
+  import org.json4s._
+  import org.json4s.jackson.JsonMethods
+
+  private def toJValue(v: Any): JValue = v match {
+    case null            => JNull
+    case s: String       => JString(s)
+    case i: Int          => JInt(i)
+    case l: Long         => JLong(l)
+    case d: Double       => JDouble(d)
+    case b: Boolean      => JBool(b)
+    case o: Option[_]    => o.fold[JValue](JNull)(toJValue)
+    case (a, b)          => JArray(List(toJValue(a), toJValue(b)))
+    case s: Seq[_]       => JArray(s.map(toJValue).toList)
+    case m: Map[_, _]    => JObject(m.map { case (k, x) => k.toString -> toJValue(x) }.toList)
+    case other           => JString(other.toString)
+  }
+
+  private def fromJValue(v: JValue): Any = v match {
+    case JNull | JNothing => null
+    case JString(s)       => s
+    case JInt(i)          => if (i.isValidInt) i.toInt else i.toLong
+    case JLong(l)         => l
+    case JDouble(d)       => d
+    case JDecimal(d)      => d.toDouble
+    case JBool(b)         => b
+    case JArray(xs)       => xs.map(fromJValue)
+    case JObject(fs)      => fs.map { case (k, x) => k -> fromJValue(x) }.toMap
+    case JSet(xs)         => xs.map(fromJValue)
+  }
+
+  def toJson(dag: Dag): String = {
+    val nodes = dag.nodes.map { n =>
+      val kind = n.jsonKind.getOrElse(
+        throw new GraftException(
+          s"node '${n.name}' (${n.getClass.getSimpleName}) is not JSON-serializable " +
+            "(closure-carrying nodes cannot round-trip; give the node a jsonKind/jsonParams)"))
+      JObject(List(
+        "name" -> JString(n.name),
+        "kind" -> JString(kind),
+        "params" -> toJValue(n.jsonParams)))
+    }
+    val edges = dag.edges.map(e =>
+      JArray(List(JString(e.from), JString(e.fromPort), JString(e.to), JString(e.toPort))))
+    val deps = dag.deps.map { case (a, b) => JArray(List(JString(a), JString(b))) }
+    val ins = dag.inputBinds.map(b =>
+      JArray(List(JString(b.inName), JString(b.node), JString(b.port))))
+    val outs = dag.outputBinds.map { case (o, (n, p)) =>
+      JArray(List(JString(o), JString(n), JString(p)))
+    }
+    JsonMethods.compact(JsonMethods.render(JObject(List(
+      "dag" -> JString(dag.dagName),
+      "nodes" -> JArray(nodes.toList),
+      "edges" -> JArray(edges.toList),
+      "deps" -> JArray(deps.toList),
+      "inputs" -> JArray(ins.toList),
+      "outputs" -> JArray(outs.toList)))))
+  }
+
+  def fromJson(json: String): Dag = {
+    val root = JsonMethods.parse(json)
+    val JString(name) = root \ "dag"
+    val dag = new Dag(name)
+    val byName = mutable.Map[String, Node]()
+    (root \ "nodes").asInstanceOf[JArray].arr.foreach { jn =>
+      val JString(nm) = jn \ "name"
+      val JString(kind) = jn \ "kind"
+      val params = fromJValue(jn \ "params").asInstanceOf[Map[String, Any]]
+      val factory = registry.getOrElse(kind,
+        throw new GraftException(s"no factory registered for node kind '$kind'"))
+      val node = factory(params).named(nm)
+      dag.add(node)
+      byName(nm) = node
+    }
+    def quad(j: JValue): (String, String, String, String) = {
+      val JArray(List(JString(a), JString(b), JString(c), JString(d))) = j
+      (a, b, c, d)
+    }
+    def triple(j: JValue): (String, String, String) = {
+      val JArray(List(JString(a), JString(b), JString(c))) = j
+      (a, b, c)
+    }
+    (root \ "edges").asInstanceOf[JArray].arr.foreach { j =>
+      val (from, fp, to, tp) = quad(j)
+      dag.connect(byName(from), Some(fp), byName(to), Some(tp))
+    }
+    (root \ "deps").asInstanceOf[JArray].arr.foreach { j =>
+      val JArray(List(JString(a), JString(b))) = j
+      dag.addDependency(a, b)
+    }
+    (root \ "inputs").asInstanceOf[JArray].arr.foreach { j =>
+      val (in, n, p) = triple(j)
+      dag.setInput(byName(n), Some(in), Some(p))
+    }
+    (root \ "outputs").asInstanceOf[JArray].arr.foreach { j =>
+      val (o, n, p) = triple(j)
+      dag.setOutput(o, byName(n), Some(p))
+    }
+    dag
+  }
+}
+
+/** DOT rendering — the cheap equivalent of the reference's graphviz display
+  * (/root/reference/mldag/display.py:17-358): node boxes, labeled slot edges,
+  * dashed order-only dependency edges, dag inputs/outputs as ovals.
+  */
+object DagDot {
+  private def esc(s: String) = s.replace("\"", "\\\"")
+  def toDot(dag: Dag): String = {
+    val sb = new StringBuilder(s"digraph \"${esc(dag.dagName)}\" {\n  rankdir=LR;\n")
+    dag.nodes.foreach(n =>
+      sb ++= s"""  "${esc(n.name)}" [shape=box, label="${esc(n.name)}\\n(${n.getClass.getSimpleName})"];\n""")
+    dag.edges.foreach(e =>
+      sb ++= s"""  "${esc(e.from)}" -> "${esc(e.to)}" [label="${esc(e.fromPort)}→${esc(e.toPort)}"];\n""")
+    dag.deps.foreach { case (a, b) =>
+      sb ++= s"""  "${esc(a)}" -> "${esc(b)}" [style=dashed, label="dep"];\n"""
+    }
+    dag.inputBinds.foreach { b =>
+      sb ++= s"""  "in:${esc(b.inName)}" [shape=oval, style=dotted];\n"""
+      sb ++= s"""  "in:${esc(b.inName)}" -> "${esc(b.node)}" [label="${esc(b.port)}"];\n"""
+    }
+    dag.outputBinds.foreach { case (o, (n, p)) =>
+      sb ++= s"""  "out:${esc(o)}" [shape=oval, style=dotted];\n"""
+      sb ++= s"""  "${esc(n)}" -> "out:${esc(o)}" [label="${esc(p)}"];\n"""
+    }
+    sb ++= "}\n"
+    sb.toString
+  }
+}

@@ -25,6 +25,14 @@ trait Node {
   /** Reference `NodeBase.fit_transform` (mldagbase.py:689-691). */
   def fitTransform(ctx: Ctx, in: In): Map[String, DataFrame] = { fit(ctx, in); transform(ctx, in) }
 
+  /** Topology serialization hooks (reference to_dict's {module, class, params},
+    * graph.py:938-1077). `jsonKind` names a factory in DagJson's registry;
+    * `jsonParams` is the JSON-able constructor-parameter map. None = not
+    * serializable (closure-carrying nodes, like unpicklable lambdas).
+    */
+  def jsonKind: Option[String] = None
+  def jsonParams: Map[String, Any] = Map.empty
+
   // ------------------------------------------------------------------
   // identity & attachment (reference VertexBase: belongs to <=1 graph,
   // /root/reference/mldag/core/graph.py:10-26)
@@ -159,6 +167,20 @@ abstract class EstimatorNode extends Node {
     applyModel(model.getOrElse(
       throw new GraftException(s"estimator node '$name' transformed before fit")), ctx, in)
   def isFitted: Boolean = model.isDefined
+
+  /** Fitted-state persistence (reference per-node `dump(f)`/`load(f)` pickle,
+    * mldagbase.py:744-765, 954-977): java serialization of the model. Nodes
+    * whose model is not `Serializable` override (e.g. SparkMlNode → MLWriter).
+    */
+  def saveFitted(path: String): Unit = {
+    val m = model.getOrElse(throw new GraftException(s"estimator node '$name' not fitted"))
+    val os = new java.io.ObjectOutputStream(new java.io.FileOutputStream(path))
+    try os.writeObject(m.asInstanceOf[AnyRef]) finally os.close()
+  }
+  def loadFitted(path: String): Unit = {
+    val is = new java.io.ObjectInputStream(new java.io.FileInputStream(path))
+    try model = Some(is.readObject().asInstanceOf[Model]) finally is.close()
+  }
 }
 
 /** Wraps any `org.apache.spark.ml` Estimator as a node (the sklearn-style

@@ -1,0 +1,65 @@
+package graft.nodes
+
+import graft.dag._
+import graft.dag.DagJson.P
+
+/** Central registry wiring the node library into DagJson (reference
+  * to_dict/from_dict re-imports classes by name, graph.py:938-1077; here it
+  * is an explicit factory table — no reflection). `ensure` is idempotent;
+  * call before DagJson.fromJson. Closure-carrying nodes (FnNode,
+  * SubDagNode's inner lambdas) are intentionally absent — same boundary as
+  * pickling unimportable Python lambdas in the reference.
+  */
+object NodeRegistry {
+  lazy val ensure: Unit = {
+    import DagJson.register
+    register("source")(p => new SourceNode(p.str("path"), p.str("format"), p.strs("columns"), p.strs("nanosTsCols")))
+    register("sink")(p => new SinkNode(p.str("path"), p.str("format"), p.str("mode"), p.strs("partitionBy")))
+    register("project")(p => new ProjectNode(p.strs("exprs")))
+    register("with_columns")(p => new WithColumnsNode(p.pairs("cols")))
+    register("filter")(p => new FilterNode(p.str("condition")))
+    register("join")(p => new JoinNode(p.str("joinType"), p.strs("using"), p.strOpt("condition"), p.bool("broadcastRight")))
+    register("agg")(p => new AggNode(p.strs("groupBy"), p.strs("aggs"), p.str("grouping")))
+    register("sort")(p => new SortNode(p.strs("exprs")))
+    register("limit")(p => new LimitNode(p.int("n")))
+    register("top_k")(p => new TopKNode(p.int("k"), p.strs("sortExprs")))
+    register("union")(p => new UnionNode(p.bool("byName"), p.bool("distinct")))
+    register("set_op")(p => new SetOpNode(p.str("op")))
+    register("distinct")(p => new DistinctNode(p.strs("cols")))
+    register("sql")(p => new SqlNode(p.str("sql"), p.strs("ports")))
+    register("repartition")(p => new RepartitionNode(p.int("n"), p.strs("byCols"), p.bool("coalesce")))
+    register("identity")(_ => new IdentityNode)
+    register("window")(p => new WindowNode(p.strs("partitionBy"), p.strs("orderBy"), p.pairs("cols"),
+      p.m.get("frameLo").map(_ => (p.m("frameLo").toString.toLong, p.m("frameHi").toString.toLong))))
+    register("asof_join")(p => new AsofJoinNode(p.strs("leftKeys"), p.strs("rightKeys"),
+      p.str("leftTime"), p.str("rightTime"), p.strs("leftIdCols"), p.str("rightTieBreak"),
+      p.str("joinType"), p.bool("forward")))
+    register("exact_dedup")(p => new ExactDedupNode(p.strs("keyExprs"), p.str("idCol")))
+    register("minhash_dedup")(p => new MinHashDedupNode(p.str("idCol"), p.str("textCol"),
+      p.int("numHashes"), p.int("bands"), p.int("shingleN"), p.dbl("jaccardThreshold")))
+    register("simhash_dedup")(p => new SimHashDedupNode(p.str("idCol"), p.str("textCol"),
+      p.int("maxHamming"), p.int("chunks")))
+    register("ngram_jaccard")(p => new NgramJaccardNode(p.str("idCol"), p.str("textCol"),
+      p.int("shingleN"), p.dbl("threshold"), p.int("maxDocFreq")))
+    register("token_count")(p => new TokenCountNode(p.str("textCol")))
+    register("quality_score")(p => new QualityScoreNode(p.str("textCol"), p.strs("stopwords")))
+    register("fingerprint")(p => new FingerprintNode(p.str("textCol"), p.int("k"), p.int("window")))
+    register("knn")(p => new BruteForceKnnNode(p.int("k"), p.str("idCol"), p.str("vecCol"), p.str("queryIdCol")))
+    register("lsh_knn")(p => new LshKnnNode(p.int("k"), p.int("numPlanes"), p.int("tables"),
+      p.str("idCol"), p.str("vecCol"), p.str("queryIdCol")))
+    register("embedding_near_dup")(p => new EmbeddingNearDupNode(p.dbl("threshold"),
+      p.int("numPlanes"), p.int("tables"), p.str("idCol"), p.str("vecCol"), p.bool("bruteForce")))
+    register("binary_payload")(p => new BinaryPayloadNode(p.str("srcCol"), p.str("outCol")))
+    register("decode_image")(p => new DecodeImageStubNode(p.str("payloadCol")))
+    register("resize_image")(p => new ResizeImageStubNode(p.int("targetW"), p.int("targetH")))
+    register("frame_sample")(p => new FrameSampleStubNode(p.int("stride"), p.int("maxFrames"), p.str("payloadCol")))
+    register("register_udafs")(p => new RegisterUdafsNode(p.strs("names")))
+    register("explode")(p => new ExplodeNode(p.str("arrayExpr"), p.strs("outCols"), p.strs("keep")))
+    register("stream_source")(p => new StreamSourceNode(p.str("path"), p.str("format"), p.strs("nanosTsCols")))
+    register("watermark")(p => new WatermarkNode(p.str("tsCol"), p.str("delay")))
+    register("stream_window_agg")(p => new StreamWindowAggNode(p.str("tsCol"), p.str("duration"),
+      p.strOpt("slide"), p.strOpt("gap"), p.strs("keys"), p.strs("aggs")))
+    register("stream_run")(p => new StreamRunNode(p.str("queryName"), p.str("outputMode"),
+      p.m("timeoutMs").toString.toLong))
+  }
+}

@@ -16,10 +16,12 @@ import org.apache.spark.sql.functions.{col, expr}
   * row, which is not oracle-checkable). One hash shuffle on the key —
   * map-side partial aggregation halves the shuffle volume automatically.
   */
-class ExactDedupNode(keyExprs: Seq[String], idCol: String) extends Node {
+class ExactDedupNode(val keyExprs: Seq[String], val idCol: String) extends Node {
   override protected def defaultName: String = "exact_dedup"
   val inputs = Seq(Port("df"))
   val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("exact_dedup")
+  override def jsonParams: Map[String, Any] = Map("keyExprs" -> keyExprs, "idCol" -> idCol)
   override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
     val keyed = in("df").withColumn("__key", expr(keyExprs.mkString("concat_ws('\\u0001', ", ", ", ")")))
     val survivors = keyed.groupBy(col("__key"))
@@ -40,18 +42,20 @@ class ExactDedupNode(keyExprs: Seq[String], idCol: String) extends Node {
   * BEFORE the verify join so each pair's Jaccard is computed once.
   */
 class MinHashDedupNode(
-    idCol: String = "doc_id",
-    textCol: String = "text",
-    numHashes: Int = 32,
-    bands: Int = 8,
-    shingleN: Int = 3,
-    jaccardThreshold: Double = 0.8)
+    val idCol: String = "doc_id",
+    val textCol: String = "text",
+    val numHashes: Int = 32,
+    val bands: Int = 8,
+    val shingleN: Int = 3,
+    val jaccardThreshold: Double = 0.8)
   extends Node {
   require(numHashes % bands == 0, "numHashes must divide into bands")
   private val rowsPerBand = numHashes / bands
   override protected def defaultName: String = "minhash_dedup"
   val inputs = Seq(Port("df"))
   val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("minhash_dedup")
+  override def jsonParams: Map[String, Any] = Map("idCol" -> idCol, "textCol" -> textCol, "numHashes" -> numHashes, "bands" -> bands, "shingleN" -> shingleN, "jaccardThreshold" -> jaccardThreshold)
   override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
     graft.functions.VecFunctions.register(ctx.spark)
     val toks = TextExprs.tokensExpr(textCol)
@@ -95,14 +99,16 @@ class MinHashDedupNode(
   * shuffle shape as MinHash; signature is one narrow map.
   */
 class SimHashDedupNode(
-    idCol: String = "doc_id",
-    textCol: String = "text",
-    maxHamming: Int = 3,
-    chunks: Int = 4)
+    val idCol: String = "doc_id",
+    val textCol: String = "text",
+    val maxHamming: Int = 3,
+    val chunks: Int = 4)
   extends Node {
   override protected def defaultName: String = "simhash_dedup"
   val inputs = Seq(Port("df"))
   val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("simhash_dedup")
+  override def jsonParams: Map[String, Any] = Map("idCol" -> idCol, "textCol" -> textCol, "maxHamming" -> maxHamming, "chunks" -> chunks)
   override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
     val toks = TextExprs.tokensExpr(textCol)
     val chunkBits = 64 / chunks
@@ -137,15 +143,17 @@ class SimHashDedupNode(
   * quadratic and unusable at scale.
   */
 class NgramJaccardNode(
-    idCol: String = "doc_id",
-    textCol: String = "text",
-    shingleN: Int = 2,
-    threshold: Double = 0.3,
-    maxDocFreq: Int = 20) // only block on shingles rarer than this (skew guard)
+    val idCol: String = "doc_id",
+    val textCol: String = "text",
+    val shingleN: Int = 2,
+    val threshold: Double = 0.3,
+    val maxDocFreq: Int = 20) // only block on shingles rarer than this (skew guard)
   extends Node {
   override protected def defaultName: String = "ngram_jaccard"
   val inputs = Seq(Port("df"))
   val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("ngram_jaccard")
+  override def jsonParams: Map[String, Any] = Map("idCol" -> idCol, "textCol" -> textCol, "shingleN" -> shingleN, "threshold" -> threshold, "maxDocFreq" -> maxDocFreq)
   override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
     val toks = TextExprs.tokensExpr(textCol)
     // persist: consumed three times (inverted index + both verify joins);

@@ -29,10 +29,12 @@ object MultimodalSchemas {
   * has no real blobs; production replaces this source with parquet/binaryFile
   * scans of real media).
   */
-class BinaryPayloadNode(srcCol: String, outCol: String = "payload") extends Node {
+class BinaryPayloadNode(val srcCol: String, val outCol: String = "payload") extends Node {
   override protected def defaultName: String = "binary_payload"
   val inputs = Seq(Port("df"))
   val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("binary_payload")
+  override def jsonParams: Map[String, Any] = Map("srcCol" -> srcCol, "outCol" -> outCol)
   override def transform(ctx: Ctx, in: In): Map[String, DataFrame] =
     Map("result" -> in("df").withColumn(outCol, expr(s"cast($srcCol as binary)")))
 }
@@ -43,10 +45,12 @@ class BinaryPayloadNode(srcCol: String, outCol: String = "payload") extends Node
   * "codec init" amortized across the batch (the reason this is mapPartitions
   * and not a per-row UDF).
   */
-class DecodeImageStubNode(payloadCol: String = "payload") extends Node {
+class DecodeImageStubNode(val payloadCol: String = "payload") extends Node {
   override protected def defaultName: String = "decode_image"
   val inputs = Seq(Port("df"))
   val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("decode_image")
+  override def jsonParams: Map[String, Any] = Map("payloadCol" -> payloadCol)
   override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
     val df = in("df")
     val outSchema = StructType(df.schema.fields ++ Seq(
@@ -75,10 +79,12 @@ class DecodeImageStubNode(payloadCol: String = "payload") extends Node {
   * Narrow map via builtin expressions over the struct (a real resize would be
   * another mapPartitions over the payload).
   */
-class ResizeImageStubNode(targetW: Int, targetH: Int) extends Node {
+class ResizeImageStubNode(val targetW: Int, val targetH: Int) extends Node {
   override protected def defaultName: String = "resize_image"
   val inputs = Seq(Port("df"))
   val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("resize_image")
+  override def jsonParams: Map[String, Any] = Map("targetW" -> targetW, "targetH" -> targetH)
   override def transform(ctx: Ctx, in: In): Map[String, DataFrame] =
     Map("result" -> in("df").withColumn("resized_meta",
       expr(s"named_struct('width', $targetW, 'height', $targetH, " +
@@ -89,11 +95,13 @@ class ResizeImageStubNode(targetW: Int, targetH: Int) extends Node {
   * frame index up to `maxFrames` as (frame_idx, frame_meta) rows — the
   * explode pattern a real frame sampler uses (one row per sampled frame).
   */
-class FrameSampleStubNode(stride: Int = 10, maxFrames: Int = 5, payloadCol: String = "payload")
+class FrameSampleStubNode(val stride: Int = 10, val maxFrames: Int = 5, val payloadCol: String = "payload")
   extends Node {
   override protected def defaultName: String = "frame_sample"
   val inputs = Seq(Port("df"))
   val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("frame_sample")
+  override def jsonParams: Map[String, Any] = Map("stride" -> stride, "maxFrames" -> maxFrames, "payloadCol" -> payloadCol)
   override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
     // fake frame count derived from payload length (deterministic)
     val frames = s"sequence(0, least(cast(length($payloadCol) / $stride as int), ${maxFrames - 1}))"

@@ -39,12 +39,14 @@ object SortExprs {
   * in-memory arguments, /root/reference/mldag/mldag.py:523-599). Columns may
   * be pruned at the source for scan efficiency.
   */
-class SourceNode(path: String, format: String = "parquet", columns: Seq[String] = Nil,
-                 nanosTsCols: Seq[String] = Nil)
+class SourceNode(val path: String, val format: String = "parquet", val columns: Seq[String] = Nil,
+                 val nanosTsCols: Seq[String] = Nil)
   extends Node {
   override protected def defaultName: String = "source"
   val inputs: Seq[Port] = Nil
   val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("source")
+  override def jsonParams: Map[String, Any] = Map("path" -> path, "format" -> format, "columns" -> columns, "nanosTsCols" -> nanosTsCols)
   override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
     // Parquet TIMESTAMP(NANOS) is unreadable by Spark natively; read as
     // epoch-nanos long, then convert declared columns to micros timestamps.
@@ -70,11 +72,13 @@ object SourceNode {
 /** Sink: terminal write. The one place order-only dependencies matter under
   * lazy evaluation (sink barriers, SURVEY.md §1.2).
   */
-class SinkNode(path: String, format: String = "parquet", mode: String = "overwrite",
-               partitionBy: Seq[String] = Nil) extends Node {
+class SinkNode(val path: String, val format: String = "parquet", val mode: String = "overwrite",
+               val partitionBy: Seq[String] = Nil) extends Node {
   override protected def defaultName: String = "sink"
   val inputs = Seq(Port("df"))
   val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("sink")
+  override def jsonParams: Map[String, Any] = Map("path" -> path, "format" -> format, "mode" -> mode, "partitionBy" -> partitionBy)
   override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
     val df = in("df")
     val w = df.write.format(format).mode(mode)
@@ -86,20 +90,24 @@ class SinkNode(path: String, format: String = "parquet", mode: String = "overwri
 /** Projection via SQL expressions (`selectExpr`); covers scalar functions and
   * window functions (`... over (partition by ...)`) alike, all codegen'd.
   */
-class ProjectNode(exprs: Seq[String]) extends Node {
+class ProjectNode(val exprs: Seq[String]) extends Node {
   override protected def defaultName: String = "project"
   val inputs = Seq(Port("df"))
   val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("project")
+  override def jsonParams: Map[String, Any] = Map("exprs" -> exprs)
   override def transform(ctx: Ctx, in: In): Map[String, DataFrame] =
     Map("result" -> in("df").selectExpr(exprs: _*))
 }
 object ProjectNode { def apply(exprs: String*): ProjectNode = new ProjectNode(exprs) }
 
 /** Add/replace columns, keeping the rest (`withColumn` composition). */
-class WithColumnsNode(cols: Seq[(String, String)]) extends Node {
+class WithColumnsNode(val cols: Seq[(String, String)]) extends Node {
   override protected def defaultName: String = "with_columns"
   val inputs = Seq(Port("df"))
   val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("with_columns")
+  override def jsonParams: Map[String, Any] = Map("cols" -> cols)
   override def transform(ctx: Ctx, in: In): Map[String, DataFrame] =
     Map("result" -> cols.foldLeft(in("df")) { case (d, (n, e)) => d.withColumn(n, expr(e)) })
 }
@@ -108,10 +116,12 @@ object WithColumnsNode { def apply(cols: (String, String)*): WithColumnsNode = n
 /** Filter; predicate is a SQL expression so it reaches the parquet scan as a
   * pushed filter (verify with .explain: PushedFilters).
   */
-class FilterNode(condition: String) extends Node {
+class FilterNode(val condition: String) extends Node {
   override protected def defaultName: String = "filter"
   val inputs = Seq(Port("df"))
   val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("filter")
+  override def jsonParams: Map[String, Any] = Map("condition" -> condition)
   override def transform(ctx: Ctx, in: In): Map[String, DataFrame] =
     Map("result" -> in("df").filter(condition))
 }
@@ -123,14 +133,16 @@ object FilterNode { def apply(c: String): FilterNode = new FilterNode(c) }
   * table must broadcast, never shuffle the fact side.
   */
 class JoinNode(
-    joinType: String = "inner",
-    using: Seq[String] = Nil,
-    condition: Option[String] = None,
-    broadcastRight: Boolean = false)
+    val joinType: String = "inner",
+    val using: Seq[String] = Nil,
+    val condition: Option[String] = None,
+    val broadcastRight: Boolean = false)
   extends Node {
   override protected def defaultName: String = "join"
   val inputs = Seq(Port("left"), Port("right"))
   val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("join")
+  override def jsonParams: Map[String, Any] = Map("joinType" -> joinType, "using" -> using, "condition" -> condition, "broadcastRight" -> broadcastRight)
   override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
     val l = in("left").alias("l")
     val r0 = in("right").alias("r")
@@ -154,13 +166,15 @@ object JoinNode {
   * automatically; `groupingSets` switches to cube/rollup/GROUPING SETS.
   */
 class AggNode(
-    groupBy: Seq[String],
-    aggs: Seq[String],
-    grouping: String = "groupby") // groupby | cube | rollup
+    val groupBy: Seq[String],
+    val aggs: Seq[String],
+    val grouping: String = "groupby") // groupby | cube | rollup
   extends Node {
   override protected def defaultName: String = "agg"
   val inputs = Seq(Port("df"))
   val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("agg")
+  override def jsonParams: Map[String, Any] = Map("groupBy" -> groupBy, "aggs" -> aggs, "grouping" -> grouping)
   override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
     val df = in("df")
     val aggCols = aggs.map(expr)
@@ -185,19 +199,23 @@ object AggNode {
 /** Global sort (range-partitioned exchange — one total order across the
   * cluster). Use TopKNode when only the head is needed.
   */
-class SortNode(exprs: Seq[String]) extends Node {
+class SortNode(val exprs: Seq[String]) extends Node {
   override protected def defaultName: String = "sort"
   val inputs = Seq(Port("df"))
   val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("sort")
+  override def jsonParams: Map[String, Any] = Map("exprs" -> exprs)
   override def transform(ctx: Ctx, in: In): Map[String, DataFrame] =
     Map("result" -> in("df").orderBy(exprs.map(SortExprs.sortCol): _*))
 }
 object SortNode { def apply(exprs: String*): SortNode = new SortNode(exprs) }
 
-class LimitNode(n: Int) extends Node {
+class LimitNode(val n: Int) extends Node {
   override protected def defaultName: String = "limit"
   val inputs = Seq(Port("df"))
   val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("limit")
+  override def jsonParams: Map[String, Any] = Map("n" -> n)
   override def transform(ctx: Ctx, in: In): Map[String, DataFrame] =
     Map("result" -> in("df").limit(n))
 }
@@ -205,10 +223,12 @@ class LimitNode(n: Int) extends Node {
 /** Top-k: orderBy + limit fuse into TakeOrderedAndProject — per-partition
   * heaps then a k-row merge on the driver; no global sort at any scale.
   */
-class TopKNode(k: Int, sortExprs: Seq[String]) extends Node {
+class TopKNode(val k: Int, val sortExprs: Seq[String]) extends Node {
   override protected def defaultName: String = "top_k"
   val inputs = Seq(Port("df"))
   val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("top_k")
+  override def jsonParams: Map[String, Any] = Map("k" -> k, "sortExprs" -> sortExprs)
   override def transform(ctx: Ctx, in: In): Map[String, DataFrame] =
     Map("result" -> in("df").orderBy(sortExprs.map(SortExprs.sortCol): _*).limit(k))
 }
@@ -218,10 +238,12 @@ object TopKNode { def apply(k: Int, sortExprs: String*): TopKNode = new TopKNode
   * reference's `*args` accumulation, SURVEY.md §2.1 #21); intersect/except
   * take exactly two inputs.
   */
-class UnionNode(byName: Boolean = true, distinct: Boolean = false) extends Node {
+class UnionNode(val byName: Boolean = true, val distinct: Boolean = false) extends Node {
   override protected def defaultName: String = "union"
   val inputs = Seq(Port("dfs", variadic = true))
   val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("union")
+  override def jsonParams: Map[String, Any] = Map("byName" -> byName, "distinct" -> distinct)
   override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
     val dfs = in.seq("dfs")
     if (dfs.isEmpty) throw new GraftException("UnionNode received no inputs")
@@ -230,10 +252,12 @@ class UnionNode(byName: Boolean = true, distinct: Boolean = false) extends Node 
   }
 }
 
-class SetOpNode(op: String) extends Node { // intersect | intersectAll | except | exceptAll
+class SetOpNode(val op: String) extends Node { // intersect | intersectAll | except | exceptAll
   override protected def defaultName: String = op.toLowerCase
   val inputs = Seq(Port("left"), Port("right"))
   val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("set_op")
+  override def jsonParams: Map[String, Any] = Map("op" -> op)
   override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
     val (l, r) = (in("left"), in("right"))
     val res = op match {
@@ -251,10 +275,12 @@ class SetOpNode(op: String) extends Node { // intersect | intersectAll | except 
   * hash-shuffle on the key columns; first-row-per-key is nondeterministic, so
   * oracle-checked dedup queries use group-by-min instead).
   */
-class DistinctNode(cols: Seq[String] = Nil) extends Node {
+class DistinctNode(val cols: Seq[String] = Nil) extends Node {
   override protected def defaultName: String = "distinct"
   val inputs = Seq(Port("df"))
   val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("distinct")
+  override def jsonParams: Map[String, Any] = Map("cols" -> cols)
   override def transform(ctx: Ctx, in: In): Map[String, DataFrame] =
     Map("result" -> (if (cols.isEmpty) in("df").distinct() else in("df").dropDuplicates(cols)))
 }
@@ -263,10 +289,12 @@ class DistinctNode(cols: Seq[String] = Nil) extends Node {
   * view named after the port. The fully general relational node — anything
   * Catalyst can parse.
   */
-class SqlNode(sql: String, ports: Seq[String]) extends Node {
+class SqlNode(val sql: String, val ports: Seq[String]) extends Node {
   override protected def defaultName: String = "sql"
   val inputs: Seq[Port] = ports.map(Port(_))
   val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("sql")
+  override def jsonParams: Map[String, Any] = Map("sql" -> sql, "ports" -> ports)
   override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
     ports.foreach(p => in(p).createOrReplaceTempView(p))
     Map("result" -> ctx.spark.sql(sql))
@@ -277,10 +305,12 @@ object SqlNode { def apply(sql: String, ports: String*): SqlNode = new SqlNode(s
 /** Repartition/coalesce — explicit shuffle control for co-located downstream
   * joins or write sizing.
   */
-class RepartitionNode(n: Int, byCols: Seq[String] = Nil, coalesce: Boolean = false) extends Node {
+class RepartitionNode(val n: Int, val byCols: Seq[String] = Nil, val coalesce: Boolean = false) extends Node {
   override protected def defaultName: String = "repartition"
   val inputs = Seq(Port("df"))
   val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("repartition")
+  override def jsonParams: Map[String, Any] = Map("n" -> n, "byCols" -> byCols, "coalesce" -> coalesce)
   override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
     val df = in("df")
     val out =

@@ -33,14 +33,16 @@ object VecExprs {
   * itself is too slow.
   */
 class BruteForceKnnNode(
-    k: Int = 10,
-    idCol: String = "vec_id",
-    vecCol: String = "embedding",
-    queryIdCol: String = "query_id")
+    val k: Int = 10,
+    val idCol: String = "vec_id",
+    val vecCol: String = "embedding",
+    val queryIdCol: String = "query_id")
   extends Node {
   override protected def defaultName: String = "knn"
   val inputs = Seq(Port("corpus"), Port("queries"))
   val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("knn")
+  override def jsonParams: Map[String, Any] = Map("k" -> k, "idCol" -> idCol, "vecCol" -> vecCol, "queryIdCol" -> queryIdCol)
   override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
     VecExprs.ensure(ctx.spark)
     val corpus = in("corpus")
@@ -71,16 +73,18 @@ class BruteForceKnnNode(
   * of the quadratic cross product. Recall tunes with tables × planes.
   */
 class LshKnnNode(
-    k: Int = 10,
-    numPlanes: Int = 8,
-    tables: Int = 4,
-    idCol: String = "vec_id",
-    vecCol: String = "embedding",
-    queryIdCol: String = "query_id")
+    val k: Int = 10,
+    val numPlanes: Int = 8,
+    val tables: Int = 4,
+    val idCol: String = "vec_id",
+    val vecCol: String = "embedding",
+    val queryIdCol: String = "query_id")
   extends Node {
   override protected def defaultName: String = "lsh_knn"
   val inputs = Seq(Port("corpus"), Port("queries"))
   val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("lsh_knn")
+  override def jsonParams: Map[String, Any] = Map("k" -> k, "numPlanes" -> numPlanes, "tables" -> tables, "idCol" -> idCol, "vecCol" -> vecCol, "queryIdCol" -> queryIdCol)
 
   /** signature of `vec` in hash table t: numPlanes sign bits packed into a
     * long. Hyperplane components are mix-derived uniforms (deterministic
@@ -118,16 +122,18 @@ class LshKnnNode(
   * bypasses blocking (exact answer, only for small/verification runs).
   */
 class EmbeddingNearDupNode(
-    threshold: Double = 0.95,
-    numPlanes: Int = 8,
-    tables: Int = 6,
-    idCol: String = "vec_id",
-    vecCol: String = "embedding",
-    bruteForce: Boolean = false)
+    val threshold: Double = 0.95,
+    val numPlanes: Int = 8,
+    val tables: Int = 6,
+    val idCol: String = "vec_id",
+    val vecCol: String = "embedding",
+    val bruteForce: Boolean = false)
   extends Node {
   override protected def defaultName: String = "embedding_near_dup"
   val inputs = Seq(Port("df"))
   val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("embedding_near_dup")
+  override def jsonParams: Map[String, Any] = Map("threshold" -> threshold, "numPlanes" -> numPlanes, "tables" -> tables, "idCol" -> idCol, "vecCol" -> vecCol, "bruteForce" -> bruteForce)
   override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
     VecExprs.ensure(ctx.spark)
     val base = in("df")

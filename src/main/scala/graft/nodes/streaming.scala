@@ -19,11 +19,13 @@ import org.apache.spark.sql.streaming.Trigger
 /** File-based stream source. Streaming requires an explicit schema, inferred
   * here from a one-off batch read of the same path (cheap: footer-only).
   */
-class StreamSourceNode(path: String, format: String = "parquet",
-                       nanosTsCols: Seq[String] = Nil) extends Node {
+class StreamSourceNode(val path: String, val format: String = "parquet",
+                       val nanosTsCols: Seq[String] = Nil) extends Node {
   override protected def defaultName: String = "stream_source"
   val inputs: Seq[Port] = Nil
   val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("stream_source")
+  override def jsonParams: Map[String, Any] = Map("path" -> path, "format" -> format, "nanosTsCols" -> nanosTsCols)
   override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
     if (nanosTsCols.nonEmpty)
       ctx.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -55,10 +57,12 @@ object StreamSourceNode {
 /** Event-time watermark: bounds state retention and defines late-data cutoff
   * for downstream windowed aggregations.
   */
-class WatermarkNode(tsCol: String, delay: String) extends Node {
+class WatermarkNode(val tsCol: String, val delay: String) extends Node {
   override protected def defaultName: String = "watermark"
   val inputs = Seq(Port("df"))
   val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("watermark")
+  override def jsonParams: Map[String, Any] = Map("tsCol" -> tsCol, "delay" -> delay)
   override def transform(ctx: Ctx, in: In): Map[String, DataFrame] =
     Map("result" -> in("df").withWatermark(tsCol, delay))
 }
@@ -67,15 +71,17 @@ class WatermarkNode(tsCol: String, delay: String) extends Node {
   * session windows (`gap` set). groupBy keys are appended after the window.
   */
 class StreamWindowAggNode(
-    tsCol: String,
-    duration: String,
-    slide: Option[String] = None,
-    gap: Option[String] = None,
-    keys: Seq[String] = Nil,
-    aggs: Seq[String]) extends Node {
+    val tsCol: String,
+    val duration: String,
+    val slide: Option[String] = None,
+    val gap: Option[String] = None,
+    val keys: Seq[String] = Nil,
+    val aggs: Seq[String]) extends Node {
   override protected def defaultName: String = "stream_window_agg"
   val inputs = Seq(Port("df"))
   val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("stream_window_agg")
+  override def jsonParams: Map[String, Any] = Map("tsCol" -> tsCol, "duration" -> duration, "slide" -> slide, "gap" -> gap, "keys" -> keys, "aggs" -> aggs)
   override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
     import org.apache.spark.sql.functions.{session_window, window}
     val w = gap match {
@@ -97,11 +103,13 @@ class StreamWindowAggNode(
   * pipeline into something Verify/Bench can consume; production sinks swap
   * the format for kafka/parquet with a real trigger.
   */
-class StreamRunNode(queryName: String, outputMode: String = "append",
-                    timeoutMs: Long = 120000) extends Node {
+class StreamRunNode(val queryName: String, val outputMode: String = "append",
+                    val timeoutMs: Long = 120000) extends Node {
   override protected def defaultName: String = "stream_run"
   val inputs = Seq(Port("df"))
   val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("stream_run")
+  override def jsonParams: Map[String, Any] = Map("queryName" -> queryName, "outputMode" -> outputMode, "timeoutMs" -> timeoutMs)
   override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
     val q = in("df").writeStream
       .format("memory")

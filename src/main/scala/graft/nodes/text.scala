@@ -22,10 +22,12 @@ object TextExprs {
   * (word pieces + standalone punctuation), the standard proxy for LLM token
   * budgeting. Pure narrow map — no shuffle.
   */
-class TokenCountNode(textCol: String = "text") extends Node {
+class TokenCountNode(val textCol: String = "text") extends Node {
   override protected def defaultName: String = "token_count"
   val inputs = Seq(Port("df"))
   val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("token_count")
+  override def jsonParams: Map[String, Any] = Map("textCol" -> textCol)
   override def transform(ctx: Ctx, in: In): Map[String, DataFrame] =
     Map("result" -> in("df")
       .withColumn("ws_tokens", expr(s"size(${TextExprs.tokensExpr(textCol)})"))
@@ -36,11 +38,13 @@ class TokenCountNode(textCol: String = "text") extends Node {
   * mean word length, stopword ratio — the cheap filters applied before
   * expensive dedup/model scoring in a training-data pipeline. Narrow map.
   */
-class QualityScoreNode(textCol: String = "text", stopwords: Seq[String] = QualityScoreNode.enStop)
+class QualityScoreNode(val textCol: String = "text", val stopwords: Seq[String] = QualityScoreNode.enStop)
   extends Node {
   override protected def defaultName: String = "quality_score"
   val inputs = Seq(Port("df"))
   val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("quality_score")
+  override def jsonParams: Map[String, Any] = Map("textCol" -> textCol, "stopwords" -> stopwords)
   override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
     val toks = TextExprs.tokensExpr(textCol)
     val stopArr = stopwords.map(s => s"'$s'").mkString("array(", ", ", ")")
@@ -67,7 +71,7 @@ object QualityScoreNode {
   * narrow map over tokens with a broadcast-size marker table baked into the
   * expression — is identical at any scale.
   */
-class LangIdNode(textCol: String = "text", markers: Seq[(String, Seq[String])] = LangIdNode.defaultMarkers)
+class LangIdNode(val textCol: String = "text", val markers: Seq[(String, Seq[String])] = LangIdNode.defaultMarkers)
   extends Node {
   override protected def defaultName: String = "lang_id"
   val inputs = Seq(Port("df"))
@@ -105,10 +109,12 @@ object LangIdNode {
   * window of character k-gram hashes, the classic local fingerprint for
   * plagiarism-style matching. All builtin expressions.
   */
-class FingerprintNode(textCol: String = "text", k: Int = 8, window: Int = 16) extends Node {
+class FingerprintNode(val textCol: String = "text", val k: Int = 8, val window: Int = 16) extends Node {
   override protected def defaultName: String = "fingerprint"
   val inputs = Seq(Port("df"))
   val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("fingerprint")
+  override def jsonParams: Map[String, Any] = Map("textCol" -> textCol, "k" -> k, "window" -> window)
   override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
     val norm = s"regexp_replace(lower(trim($textCol)), '\\\\s+', ' ')"
     // char k-gram hashes over the normalized text

@@ -30,10 +30,12 @@ object SumProductAgg extends Aggregator[(Long, Long), Long, Long] {
   * unchanged — an explicit DAG step so downstream expression nodes can
   * reference the names, and the registration is visible in the topology.
   */
-class RegisterUdafsNode(names: Seq[String] = Seq("sum_prod")) extends Node {
+class RegisterUdafsNode(val names: Seq[String] = Seq("sum_prod")) extends Node {
   override protected def defaultName: String = "register_udafs"
   val inputs = Seq(Port("df"))
   val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("register_udafs")
+  override def jsonParams: Map[String, Any] = Map("names" -> names)
   override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
     names.foreach {
       case "sum_prod" => ctx.spark.udf.register("sum_prod", udaf(SumProductAgg))
@@ -47,10 +49,12 @@ class RegisterUdafsNode(names: Seq[String] = Seq("sum_prod")) extends Node {
   * (explode/posexplode/inline). Spark has no standalone UDTF; `explode` over
   * a builtin-computed array is the idiomatic, codegen-friendly equivalent.
   */
-class ExplodeNode(arrayExpr: String, outCols: Seq[String], keep: Seq[String]) extends Node {
+class ExplodeNode(val arrayExpr: String, val outCols: Seq[String], val keep: Seq[String]) extends Node {
   override protected def defaultName: String = "explode"
   val inputs = Seq(Port("df"))
   val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("explode")
+  override def jsonParams: Map[String, Any] = Map("arrayExpr" -> arrayExpr, "outCols" -> outCols, "keep" -> keep)
   override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
     val gen = s"posexplode($arrayExpr) as (${outCols.mkString(", ")})"
     Map("result" -> in("df").selectExpr(keep ++ Seq(gen): _*))

@@ -16,14 +16,16 @@ import org.apache.spark.sql.functions.{col, expr, row_number}
   * nondeterministic under ties and a silent cross-engine mismatch.
   */
 class WindowNode(
-    partitionBy: Seq[String],
-    orderBy: Seq[String],
-    cols: Seq[(String, String)], // name -> aggregate/analytic expression, e.g. "lag(x, 1)"
-    frame: Option[(Long, Long)] = None) // rowsBetween bounds
+    val partitionBy: Seq[String],
+    val orderBy: Seq[String],
+    val cols: Seq[(String, String)], // name -> aggregate/analytic expression, e.g. "lag(x, 1)"
+    val frame: Option[(Long, Long)] = None) // rowsBetween bounds
   extends Node {
   override protected def defaultName: String = "window"
   val inputs = Seq(Port("df"))
   val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("window")
+  override def jsonParams: Map[String, Any] = Map("partitionBy" -> partitionBy, "orderBy" -> orderBy, "cols" -> cols) ++ frame.fold(Map.empty[String, Any]) { case (lo, hi) => Map("frameLo" -> lo, "frameHi" -> hi) }
   override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
     val base = Window.partitionBy(partitionBy.map(col): _*).orderBy(orderBy.map(SortExprs.sortCol): _*)
     val framed = frame.fold(base) { case (lo, hi) => base.rowsBetween(lo, hi) }
@@ -60,18 +62,20 @@ object WindowNode {
   * with the join keys. No driver-side state; scales linearly with matches.
   */
 class AsofJoinNode(
-    leftKeys: Seq[String],
-    rightKeys: Seq[String],
-    leftTime: String,
-    rightTime: String,
-    leftIdCols: Seq[String], // unique id of a left row (window partition)
-    rightTieBreak: String,   // unique right column for deterministic pick under time ties
-    joinType: String = "inner", // inner | left
-    forward: Boolean = false)
+    val leftKeys: Seq[String],
+    val rightKeys: Seq[String],
+    val leftTime: String,
+    val rightTime: String,
+    val leftIdCols: Seq[String], // unique id of a left row (window partition)
+    val rightTieBreak: String,   // unique right column for deterministic pick under time ties
+    val joinType: String = "inner", // inner | left
+    val forward: Boolean = false)
   extends Node {
   override protected def defaultName: String = "asof_join"
   val inputs = Seq(Port("left"), Port("right"))
   val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("asof_join")
+  override def jsonParams: Map[String, Any] = Map("leftKeys" -> leftKeys, "rightKeys" -> rightKeys, "leftTime" -> leftTime, "rightTime" -> rightTime, "leftIdCols" -> leftIdCols, "rightTieBreak" -> rightTieBreak, "joinType" -> joinType, "forward" -> forward)
   override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
     val l = in("left").alias("l")
     val r = in("right").alias("r")

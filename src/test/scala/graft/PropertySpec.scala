@@ -1,0 +1,87 @@
+package graft
+
+import graft.dag._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based invariants (SURVEY.md §5: random-DAG topology + operator
+  * algebra). Driven through plain ScalaCheck inside ScalaTest (no bridge
+  * artifact in the offline cache).
+  */
+class PropertySpec extends AnyFunSuite {
+
+  private def check(p: Prop): Unit = {
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(60), p)
+    assert(r.passed, r.status.toString)
+  }
+
+  /** Random DAG: n identity-ish nodes, forward edges only (i < j) — acyclic
+    * by construction — plus random order-only deps.
+    */
+  private val genDagSpec: Gen[(Int, Seq[(Int, Int)], Seq[(Int, Int)])] = for {
+    n <- Gen.choose(2, 12)
+    nEdges <- Gen.choose(0, n * 2)
+    edges <- Gen.listOfN(nEdges, for {
+      i <- Gen.choose(0, n - 2)
+      j <- Gen.choose(i + 1, n - 1)
+    } yield (i, j))
+    nDeps <- Gen.choose(0, n)
+    deps <- Gen.listOfN(nDeps, for {
+      i <- Gen.choose(0, n - 2)
+      j <- Gen.choose(i + 1, n - 1)
+    } yield (i, j))
+  } yield (n, edges, deps)
+
+  test("topoOrder respects every data edge and dependency on random DAGs") {
+    check(Prop.forAll(genDagSpec) { case (n, edges, deps) =>
+      val d = new Dag()
+      val nodes = (0 until n).map { i =>
+        d.add(new FnNode(Seq(Port("dfs", variadic = true)), Seq(Port("result")),
+          (_, _) => Map.empty, s"n$i"))
+      }
+      edges.foreach { case (i, j) => nodes(i)("result") >> nodes(j)("dfs") }
+      deps.foreach { case (i, j) => nodes(j).after(nodes(i)) }
+      val pos = d.topoOrder.map(_.name).zipWithIndex.toMap
+      edges.forall { case (i, j) => pos(s"n$i") < pos(s"n$j") } &&
+        deps.forall { case (i, j) => pos(s"n$i") < pos(s"n$j") } &&
+        pos.size == n
+    })
+  }
+
+  test("backward edge always raises CycleException on random DAG chains") {
+    check(Prop.forAll(Gen.choose(2, 8)) { n =>
+      val d = new Dag()
+      val nodes = (0 until n).map { i =>
+        d.add(new FnNode(Seq(Port("dfs", variadic = true)), Seq(Port("result")),
+          (_, _) => Map.empty, s"n$i"))
+      }
+      (0 until n - 1).foreach(i => nodes(i)("result") >> nodes(i + 1)("dfs"))
+      nodes(n - 1)("result") >> nodes(0)("dfs") // close the cycle
+      Prop.throws(classOf[CycleException])(d.topoOrder)
+    })
+  }
+
+  test("shingle_hashes is deterministic, sorted, distinct; equal token seqs collide") {
+    lazy val spark = SparkFixture.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.expr
+    graft.functions.VecFunctions.register(spark)
+    val genToks = Gen.nonEmptyListOf(Gen.oneOf("a", "b", "cat", "dog", "the", "xyz"))
+    check(Prop.forAll(genToks) { toks =>
+      val df = Seq((1, toks), (2, toks)).toDF("id", "toks")
+        .withColumn("sh", expr("shingle_hashes(toks, 3)"))
+      val rows = df.select("sh").as[Seq[Long]].collect()
+      rows(0) == rows(1) &&                       // deterministic
+        rows(0) == rows(0).sorted &&              // sorted
+        rows(0).distinct.size == rows(0).size     // distinct
+    })
+  }
+
+  test("auto-naming never collides on random add sequences") {
+    check(Prop.forAll(Gen.listOfN(12, Gen.oneOf("a", "b", "c"))) { bases =>
+      val d = new Dag()
+      bases.foreach(b => d.add(new FnNode(Nil, Seq(Port("result")), (_, _) => Map.empty, b)))
+      d.nodeNames.distinct.size == d.nodeNames.size
+    })
+  }
+}

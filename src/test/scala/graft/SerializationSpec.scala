@@ -1,0 +1,112 @@
+package graft
+
+import graft.dag._
+import graft.nodes._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Topology JSON round-trip (reference Graph.to_dict/from_dict,
+  * graph.py:938-1077), DOT rendering (display.py), and fitted-state
+  * persistence (per-node dump/load pickle, mldagbase.py:954-977).
+  */
+class SerializationSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  NodeRegistry.ensure
+
+  private def buildDag(dir: String): Dag = {
+    val d = new Dag("roundtrip")
+    val src = d.add(SourceNode.table(dir, "orders"))
+    val f = d.add(new FilterNode("o_totalprice > 1000"))
+    val agg = d.add(new AggNode(Seq("o_orderstatus"), Seq("count(*) as n", "sum(cast(o_totalprice as decimal(18,2))) as total")))
+    val srt = d.add(new SortNode(Seq("o_orderstatus")))
+    src >> f; f >> agg; agg >> srt
+    srt >> d.output("result")
+    d
+  }
+
+  test("JSON round-trip reproduces topology and results") {
+    val dir = "/root/testdata/sf0.001"
+    val d1 = buildDag(dir)
+    val json = DagJson.toJson(d1)
+    val d2 = DagJson.fromJson(json)
+    assert(d2.nodeNames == d1.nodeNames)
+    assert(d2.dataEdges == d1.dataEdges)
+    assert(d2.outputNames == d1.outputNames)
+    val r1 = d1.transform(Ctx(spark)).outputs("result").collect().map(_.toString).toSeq
+    val r2 = d2.transform(Ctx(spark)).outputs("result").collect().map(_.toString).toSeq
+    assert(r1 == r2)
+    // double round-trip is stable
+    assert(DagJson.toJson(d2) == json)
+  }
+
+  test("round-trip covers joins, windows, dedup, similarity, streaming params") {
+    val d = new Dag("many")
+    val a = d.add(new SourceNode("/tmp/x.parquet", "parquet", Seq("c1", "c2")))
+    val j = d.add(JoinNode.on("l.a = r.b", joinType = "left", broadcastRight = true))
+    val w = d.add(new WindowNode(Seq("k"), Seq("t asc"), Seq("rs" -> "sum(v)"), frame = Some((Long.MinValue, 0L))))
+    val m = d.add(new MinHashDedupNode(numHashes = 64, bands = 16, jaccardThreshold = 0.7))
+    val knn = d.add(new LshKnnNode(k = 5, numPlanes = 12, tables = 3))
+    val st = d.add(new StreamWindowAggNode("ts", "1 hour", slide = Some("30 minutes"),
+      keys = Seq("k"), aggs = Seq("count(*) as n")))
+    a >> j("left")
+    val json = DagJson.toJson(d)
+    val d2 = DagJson.fromJson(json)
+    val j2 = d2.node(j.name).asInstanceOf[JoinNode]
+    assert(j2.joinType == "left" && j2.condition.contains("l.a = r.b") && j2.broadcastRight)
+    val w2 = d2.node(w.name).asInstanceOf[WindowNode]
+    assert(w2.frame.contains((Long.MinValue, 0L)))
+    val m2 = d2.node(m.name).asInstanceOf[MinHashDedupNode]
+    assert(m2.numHashes == 64 && m2.bands == 16 && m2.jaccardThreshold == 0.7)
+    val k2 = d2.node(knn.name).asInstanceOf[LshKnnNode]
+    assert(k2.numPlanes == 12 && k2.tables == 3)
+    val s2 = d2.node(st.name).asInstanceOf[StreamWindowAggNode]
+    assert(s2.slide.contains("30 minutes") && s2.gap.isEmpty)
+  }
+
+  test("closure-carrying nodes refuse serialization with a clear error") {
+    val d = new Dag()
+    d.add(FnNode.map1("f")(identity))
+    val e = intercept[GraftException](DagJson.toJson(d))
+    assert(e.getMessage.contains("not JSON-serializable"))
+  }
+
+  test("DOT rendering includes nodes, slot edges, deps, dag inputs/outputs") {
+    val d = new Dag("dotted")
+    val a = d.add(new IdentityNode().named("a"))
+    val b = d.add(new IdentityNode().named("b"))
+    val c = d.add(new IdentityNode().named("c"))
+    a >> b
+    c.after(b)
+    d.input("x") >> a
+    b >> d.output("res")
+    val dot = DagDot.toDot(d)
+    assert(dot.contains("\"a\" -> \"b\""))
+    assert(dot.contains("style=dashed"))
+    assert(dot.contains("\"in:x\" -> \"a\""))
+    assert(dot.contains("\"b\" -> \"out:res\""))
+  }
+
+  test("estimator fitted state saves and loads (reference dump/load)") {
+    class MeanNode extends EstimatorNode {
+      type Model = java.lang.Double
+      val inputs = Seq(Port("df")); val outputs = Seq(Port("result"))
+      def fitModel(ctx: Ctx, in: In): java.lang.Double =
+        in("df").agg(avg("id")).collect()(0).getDouble(0)
+      def applyModel(m: java.lang.Double, ctx: Ctx, in: In) =
+        Map("result" -> in("df").withColumn("c", col("id") - lit(m.doubleValue)))
+    }
+    val df = Seq(1, 2, 3).toDF("id")
+    val n1 = new MeanNode
+    n1.fit(Ctx(spark), In.single("df" -> df))
+    val tmp = java.io.File.createTempFile("graft_model", ".bin").getAbsolutePath
+    n1.saveFitted(tmp)
+    val n2 = new MeanNode
+    assert(!n2.isFitted)
+    n2.loadFitted(tmp)
+    assert(n2.isFitted)
+    val out = n2.transform(Ctx(spark), In.single("df" -> df))("result")
+    assert(out.agg(sum("c")).as[Double].head() == 0.0)
+  }
+}
