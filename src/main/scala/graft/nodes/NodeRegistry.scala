@@ -61,5 +61,8 @@ object NodeRegistry {
       p.strOpt("slide"), p.strOpt("gap"), p.strs("keys"), p.strs("aggs")))
     register("stream_run")(p => new StreamRunNode(p.str("queryName"), p.str("outputMode"),
       p.m("timeoutMs").toString.toLong))
+    register("salted_join")(p => new SaltedJoinNode(p.strs("leftKeys"), p.strs("rightKeys"),
+      p.int("buckets"), p.str("joinType")))
+    register("stream_stateful_count")(p => new StreamStatefulCountNode(p.str("keyCol")))
   }
 }

@@ -97,6 +97,35 @@ class StreamWindowAggNode(
   }
 }
 
+/** Arbitrary stateful streaming: per-key running count via
+  * `mapGroupsWithState` — the custom-state primitive (KeyValueGroupedDataset)
+  * for logic windowed aggs can't express. State lives in the state store,
+  * partitioned by key: the same shuffle-key scaling as any keyed aggregation.
+  * With a bounded source + Trigger.AvailableNow the final counts equal the
+  * batch groupBy-count, which is what the oracle checks.
+  */
+class StreamStatefulCountNode(val keyCol: String) extends Node {
+  override protected def defaultName: String = "stream_stateful_count"
+  val inputs = Seq(Port("df"))
+  val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("stream_stateful_count")
+  override def jsonParams: Map[String, Any] = Map("keyCol" -> keyCol)
+  override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val keyed = in("df").select(col(keyCol).cast("long"))
+      .as[Long](Encoders.scalaLong)
+      .groupByKey(identity)(Encoders.scalaLong)
+    val counted = keyed.mapGroupsWithState[Long, (Long, Long)](GroupStateTimeout.NoTimeout) {
+      (key, values, state) =>
+        val c = state.getOption.getOrElse(0L) + values.size
+        state.update(c)
+        (key, c)
+    }(Encoders.scalaLong, Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+    Map("result" -> counted.toDF(keyCol, "cnt"))
+  }
+}
+
 /** Terminal for a streaming plan: runs the query with Trigger.AvailableNow
   * (process everything currently available, then stop) into an in-memory
   * table and returns that table as a batch DataFrame. This turns a streaming

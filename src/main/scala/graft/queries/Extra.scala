@@ -223,6 +223,42 @@ object Extra {
   }
   val q40Sql: String = q38Sql
 
+  // ---- q41: stateful streaming (mapGroupsWithState running count per user;
+  // update mode emits the final count for a bounded source) ----
+  def q41_stream_stateful(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
+    val src = d.add(StreamSourceNode.table(dir, "events"))
+    src >> new StreamStatefulCountNode("user_id") >>
+      new StreamRunNode(s"q41_sink_${System.nanoTime()}", outputMode = "update") >>
+      // update mode re-emits a key on every batch; keep the final (max) count
+      AggNode(Seq("user_id"), "max(cnt) as cnt") >>
+      SortNode("user_id") >>
+      d.output("result")
+  }
+  val q41Sql: String =
+    "SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id ORDER BY user_id"
+
+  // ---- q42: sliding windows (1h window, 30m slide — every event lands in
+  // two windows; oracle enumerates both buckets per event) ----
+  def q42_stream_sliding(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
+    val src = d.add(StreamSourceNode.table(dir, "events"))
+    src >> new WatermarkNode("ts", "1 hour") >>
+      new StreamWindowAggNode("ts", "1 hour", slide = Some("30 minutes"),
+        keys = Seq("event_type"), aggs = Seq("count(*) as n")) >>
+      FnNode.map1("flatten") { df =>
+        import org.apache.spark.sql.functions._
+        df.select(col("window.start").as("ws"), col("event_type"), col("n"))
+      } >>
+      new StreamRunNode(s"q42_sink_${System.nanoTime()}", outputMode = "complete") >>
+      d.output("result")
+  }
+  val q42Sql: String =
+    """SELECT ws, event_type, count(*) AS n FROM (
+      |  SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+      |                 time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes']) AS ws,
+      |         event_type
+      |  FROM events) t
+      |GROUP BY ws, event_type""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q18_setops_all", q18_setops_all _, q18Sql),
     ("q19_array_map", q19_array_map _, q19Sql),
@@ -234,5 +270,7 @@ object Extra {
     ("q38_session_window", q38_session_window _, q38Sql),
     ("q39_stream_tumbling", q39_stream_tumbling _, q39Sql),
     ("q40_stream_session", q40_stream_session _, q40Sql),
+    ("q41_stream_stateful", q41_stream_stateful _, q41Sql),
+    ("q42_stream_sliding", q42_stream_sliding _, q42Sql),
   )
 }

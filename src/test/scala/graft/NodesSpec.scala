@@ -134,6 +134,19 @@ class NodesSpec extends AnyFunSuite {
     assert(out.select("doc_id").as[Long].collect().toSeq == Seq(4L, 3L))
   }
 
+  test("SaltedJoinNode matches a plain equi-join's result on a skewed key") {
+    val l = (1L to 200L).map(i => (if (i <= 150) 1L else i, i)).toDF("k", "v") // 75% on key 1
+    val r = Seq((1L, "hot"), (160L, "cold"), (999L, "miss")).toDF("k2", "tag")
+    val out = runOne { d =>
+      val ln = d.add(srcNode(l, "l")); val rn = d.add(srcNode(r, "r"))
+      val j = d.add(new SaltedJoinNode(Seq("k"), Seq("k2"), buckets = 8))
+      ln >> j("left"); rn >> j("right")
+      j >> d.output("result")
+    }
+    val plain = l.join(r, l("k") === r("k2")).count()
+    assert(out.count() == plain && plain == 151)
+  }
+
   test("JoinNode broadcastRight produces a BroadcastHashJoin") {
     val l = (1L to 100L).toDF("k")
     val r = (1L to 5L).toDF("k2")

@@ -1,0 +1,53 @@
+package graft
+
+import graft.queries.{Queries, Relational}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan audits — the properties that decide 100 TB behavior must not
+  * regress: predicate pushdown to the parquet scan, column pruning
+  * (ReadSchema), broadcast of dimension tables, partial aggregation, top-k
+  * without a global sort. Checked against explain output at sf0.001.
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  // formatted explain includes scan metadata (PushedFilters/ReadSchema)
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+
+  test("q1: filter pushed to parquet scan; scan pruned to needed columns") {
+    val p = planOf(Queries.q1_agg(spark, dir))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    // 5 of 16 lineitem columns read
+    assert(p.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double," +
+      "l_returnflag:string,l_linestatus:string,l_shipdate:timestamp_ntz>"))
+    assert(p.contains("partial_sum"), "map-side partial aggregation expected")
+  }
+
+  test("q2: post-join date filter pushes through the join into the orders scan") {
+    val p = planOf(Relational.q2_join_star(spark, dir))
+    assert(p.contains("GreaterThanOrEqual(o_orderdate,1996-01-01"))
+    assert(p.contains("BroadcastHashJoin"))
+    // region filter r_name = 'ASIA' pushed into the region scan
+    assert(p.contains("EqualTo(r_name,ASIA)"))
+    // lineitem pruned to the 3 columns the query needs
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_extendedprice:double,l_discount:double>"))
+  }
+
+  test("q3: top-k compiles to TakeOrderedAndProject, not a global sort") {
+    val p = planOf(Relational.q3_topk(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q4/q5: semi and anti joins stay semi/anti in the physical plan") {
+    assert(planOf(Relational.q4_semi_join(spark, dir)).contains("LeftSemi"))
+    assert(planOf(Relational.q5_anti_join(spark, dir)).contains("LeftAnti"))
+  }
+
+  test("q6: ranking window partitions by the window key, single window node") {
+    val p = planOf(Relational.q6_window_rank(spark, dir))
+    assert(p.contains("Window"))
+    assert(p.contains("row_number"))
+  }
+}
