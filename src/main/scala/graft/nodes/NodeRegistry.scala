@@ -42,6 +42,10 @@ object NodeRegistry {
     register("ngram_jaccard")(p => new NgramJaccardNode(p.str("idCol"), p.str("textCol"),
       p.int("shingleN"), p.dbl("threshold"), p.int("maxDocFreq")))
     register("token_count")(p => new TokenCountNode(p.str("textCol")))
+    register("lang_id")(p => new LangIdNode(p.str("textCol"),
+      p.m("markers").asInstanceOf[Seq[Any]].map { case s: Seq[Any] @unchecked =>
+        s.head.toString -> s(1).asInstanceOf[Seq[Any]].map(_.toString)
+      }))
     register("quality_score")(p => new QualityScoreNode(p.str("textCol"), p.strs("stopwords")))
     register("fingerprint")(p => new FingerprintNode(p.str("textCol"), p.int("k"), p.int("window")))
     register("knn")(p => new BruteForceKnnNode(p.int("k"), p.str("idCol"), p.str("vecCol"), p.str("queryIdCol")))

@@ -92,6 +92,24 @@ class MinHashDedupNode(
   }
 }
 
+/** Survivor selection over near-dup PAIRS: keep every doc that never appears
+  * on the higher-id side of a pair (greedy keep-lowest-id — the standard
+  * single-pass policy; exact transitive clustering would need iterative
+  * connected components, which no one runs at 100 TB for dedup). One
+  * left-anti join against the distinct id_b side.
+  */
+class DedupSurvivorsNode(idCol: String = "doc_id") extends Node {
+  override protected def defaultName: String = "dedup_survivors"
+  val inputs = Seq(Port("docs"), Port("pairs"))
+  val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("dedup_survivors")
+  override def jsonParams: Map[String, Any] = Map("idCol" -> idCol)
+  override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
+    val losers = in("pairs").select(col("id_b").as(idCol)).distinct()
+    Map("result" -> in("docs").join(losers, Seq(idCol), "left_anti"))
+  }
+}
+
 /** SimHash near-duplicate pairs: 64-bit simhash from token xxhash64s (each
   * bit = sign of the token-vote sum), candidate pairs share at least one of
   * `chunks` 16-bit chunks (pigeonhole: hamming <= chunks-1 guarantees a

@@ -76,6 +76,9 @@ class LangIdNode(val textCol: String = "text", val markers: Seq[(String, Seq[Str
   override protected def defaultName: String = "lang_id"
   val inputs = Seq(Port("df"))
   val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("lang_id")
+  override def jsonParams: Map[String, Any] =
+    Map("textCol" -> textCol, "markers" -> markers.map { case (l, ws) => Seq[Any](l, ws) })
   override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
     val toks = TextExprs.tokensExpr(textCol)
     val scored = markers.foldLeft(in("df").withColumn("__toks", expr(toks))) {

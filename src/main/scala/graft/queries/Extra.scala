@@ -259,6 +259,49 @@ object Extra {
       |  FROM events) t
       |GROUP BY ws, event_type""".stripMargin
 
+  // ---- q43: estimator fit/transform + weight sharing through the DAG ----
+  // An ml.Pipeline (Tokenizer -> HashingTF -> IDF) is FIT on the English
+  // subset only, then the fitted model is re-applied to ALL documents at a
+  // second site via TransformNode (the reference's weight-sharing flagship,
+  // mldagbase.py:1120-1188). Output is per-doc tf-idf vector stats.
+  def q43_tfidf_fit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.Pipeline
+    import org.apache.spark.ml.feature.{HashingTF, IDF, RegexTokenizer}
+    val d = new Dag("tfidf")
+    val src = d.add(SourceNode.table(dir, "documents"))
+    val en = src >> FilterNode("lang = 'en'")
+    val pipe = new Pipeline().setStages(Array(
+      new RegexTokenizer().setInputCol("text").setOutputCol("toks").setPattern("\\s+"),
+      new HashingTF().setInputCol("toks").setOutputCol("tf").setNumFeatures(1024),
+      new IDF().setInputCol("tf").setOutputCol("tfidf")))
+    val fitNode = d.add(new SparkMlNode(pipe, "tfidf_model"))
+    en >> fitNode
+    val reuse = d.add(new TransformNode("tfidf_model").named("tfidf_all"))
+    src("result") >> reuse("df")
+    reuse("result") >>
+      FnNode.map1("stats") { df =>
+        import org.apache.spark.ml.functions.vector_to_array
+        import org.apache.spark.sql.functions._
+        df.withColumn("arr", vector_to_array(col("tfidf")))
+          .select(col("doc_id"), expr("size(filter(arr, v -> v != 0.0D))").as("nnz"))
+          .orderBy("doc_id")
+      } >>
+      d.output("result")
+    val ctx = Ctx(spark)
+    d.fit(ctx)
+    d.transform(ctx).outputs("result")
+  }
+
+  // ---- q44: end-to-end dedup with survivor selection (docs minus the
+  // higher-id side of every near-dup pair) ----
+  def q44_dedup_survivors(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
+    val src = d.add(SourceNode.table(dir, "documents"))
+    val pairs = src >> new MinHashDedupNode(jaccardThreshold = 0.5)
+    val surv = d.add(new DedupSurvivorsNode())
+    src("result") >> surv("docs"); pairs >> surv("pairs")
+    surv >> ProjectNode("doc_id", "lang") >> SortNode("doc_id") >> d.output("result")
+  }
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q18_setops_all", q18_setops_all _, q18Sql),
     ("q19_array_map", q19_array_map _, q19Sql),
@@ -272,5 +315,7 @@ object Extra {
     ("q40_stream_session", q40_stream_session _, q40Sql),
     ("q41_stream_stateful", q41_stream_stateful _, q41Sql),
     ("q42_stream_sliding", q42_stream_sliding _, q42Sql),
+    ("q43_tfidf_fit", q43_tfidf_fit _, null),
+    ("q44_dedup_survivors", q44_dedup_survivors _, null),
   )
 }
