@@ -397,7 +397,7 @@ final class Dag(val dagName: String = "dag") {
             val out = rawOut.map { case (p, df) =>
               val nConsumers = consumerCount.getOrElse((n.name, p), 0) +
                 (if (isDagOutput((n.name, p))) 1 else 0)
-              if (persistAtFanout && nConsumers >= 2) {
+              if (persistAtFanout && nConsumers >= 2 && n.persistableOutput) {
                 df.persist(fanoutStorageLevel)
                 persisted += df
                 p -> df

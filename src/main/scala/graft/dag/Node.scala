@@ -33,6 +33,13 @@ trait Node {
   def jsonKind: Option[String] = None
   def jsonParams: Map[String, Any] = Map.empty
 
+  /** Whether the fan-out persist rule may cache this node's outputs. Source
+    * scans return false: caching a scan materializes it FULL WIDTH and blocks
+    * per-consumer column pruning/pushdown — at scale, re-scanning pruned
+    * columnar files beats caching the unpruned frame every time.
+    */
+  def persistableOutput: Boolean = true
+
   // ------------------------------------------------------------------
   // identity & attachment (reference VertexBase: belongs to <=1 graph,
   // /root/reference/mldag/core/graph.py:10-26)

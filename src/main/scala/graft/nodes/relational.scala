@@ -43,6 +43,7 @@ class SourceNode(val path: String, val format: String = "parquet", val columns: 
                  val nanosTsCols: Seq[String] = Nil)
   extends Node {
   override protected def defaultName: String = "source"
+  override def persistableOutput: Boolean = false // never cache a raw scan
   val inputs: Seq[Port] = Nil
   val outputs = Seq(Port("result"))
   override def jsonKind: Option[String] = Some("source")

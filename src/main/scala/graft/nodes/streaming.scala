@@ -22,6 +22,7 @@ import org.apache.spark.sql.streaming.Trigger
 class StreamSourceNode(val path: String, val format: String = "parquet",
                        val nanosTsCols: Seq[String] = Nil) extends Node {
   override protected def defaultName: String = "stream_source"
+  override def persistableOutput: Boolean = false // streams cannot persist
   val inputs: Seq[Port] = Nil
   val outputs = Seq(Port("result"))
   override def jsonKind: Option[String] = Some("stream_source")
