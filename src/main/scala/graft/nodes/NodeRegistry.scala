@@ -68,5 +68,12 @@ object NodeRegistry {
     register("salted_join")(p => new SaltedJoinNode(p.strs("leftKeys"), p.strs("rightKeys"),
       p.int("buckets"), p.str("joinType")))
     register("stream_stateful_count")(p => new StreamStatefulCountNode(p.str("keyCol")))
+    register("pivot")(p => new PivotNode(p.strs("groupBy"), p.str("pivotCol"), p.strs("pivotValues"), p.str("agg")))
+    register("unpivot")(p => new UnpivotNode(p.strs("ids"), p.strs("values"), p.str("varCol"), p.str("valCol")))
+    register("resample")(p => new ResampleNode(p.str("keyCol"), p.str("timeCol"), p.str("grain"),
+      p.strs("aggs"), p.strs("fillZero")))
+    register("ivf_knn")(p => new IvfKnnNode(p.int("k"), p.int("nClusters"), p.int("nProbe"),
+      p.str("idCol"), p.str("vecCol"), p.str("queryIdCol")))
+    register("dedup_survivors")(p => new DedupSurvivorsNode(p.str("idCol")))
   }
 }

@@ -116,6 +116,78 @@ class LshKnnNode(
   }
 }
 
+/** IVF (inverted-file) approximate kNN — the scale path beyond hyperplane
+  * LSH: a k-means coarse quantizer is FIT over (a sample of) the corpus, each
+  * corpus vector is assigned to its nearest centroid (one narrow pass), and a
+  * query only scores vectors in its `nProbe` nearest clusters. Cuts the
+  * scored-candidate count by ~k/nProbe versus brute force at equal recall on
+  * clustered data. Estimator node: the trained quantizer persists for reuse
+  * (weight sharing / save-load like any fitted state).
+  *
+  * At 100 TB the corpus pass is one shuffle on cluster id; the centroid table
+  * (k rows) broadcasts everywhere.
+  */
+class IvfKnnNode(
+    val k: Int = 10,
+    val nClusters: Int = 16,
+    val nProbe: Int = 2,
+    val idCol: String = "vec_id",
+    val vecCol: String = "embedding",
+    val queryIdCol: String = "query_id")
+  extends EstimatorNode {
+  type Model = org.apache.spark.ml.clustering.KMeansModel
+  override protected def defaultName: String = "ivf_knn"
+  val inputs = Seq(Port("corpus"), Port("queries"))
+  val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("ivf_knn")
+  override def jsonParams: Map[String, Any] =
+    Map("k" -> k, "nClusters" -> nClusters, "nProbe" -> nProbe,
+      "idCol" -> idCol, "vecCol" -> vecCol, "queryIdCol" -> queryIdCol)
+
+  private def withVec(df: DataFrame, in: String): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    df.withColumn("__features", array_to_vector(col(in)))
+  }
+
+  def fitModel(ctx: Ctx, in: In): Model = {
+    import org.apache.spark.ml.clustering.KMeans
+    new KMeans().setK(nClusters).setSeed(42L).setFeaturesCol("__features")
+      .fit(withVec(in("corpus"), vecCol))
+  }
+
+  def applyModel(m: Model, ctx: Ctx, in: In): Map[String, DataFrame] = {
+    VecExprs.ensure(ctx.spark)
+    val spark = ctx.spark
+    // broadcast-able centroid table: (cluster id, centroid array)
+    import spark.implicits._
+    val centroids = m.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }.toSeq.toDF("__cluster", "__centroid")
+    val corpus = m.transform(withVec(in("corpus"), vecCol))
+      .withColumnRenamed(m.getPredictionCol, "__cluster")
+      .select(col(idCol), col(vecCol).as("__cv"), col("__cluster"))
+      .withColumn("__cnorm", expr(VecExprs.norm("__cv")))
+    // each query → its nProbe nearest centroids (tiny cross join, broadcast)
+    val queries = in("queries")
+      .select(col(queryIdCol), col(vecCol).as("__qv"))
+      .withColumn("__qnorm", expr(VecExprs.norm("__qv")))
+    val probed = queries.join(broadcast(centroids))
+      .withColumn("__cdist", expr(
+        "aggregate(zip_with(__qv, __centroid, (a, b) -> (cast(a as double) - b) * (cast(a as double) - b)), 0D, (s, v) -> s + v)"))
+      .withColumn("__pr", row_number().over(
+        Window.partitionBy(queryIdCol).orderBy(col("__cdist").asc, col("__cluster").asc)))
+      .filter(col("__pr") <= nProbe)
+      .select(col(queryIdCol), col("__qv"), col("__qnorm"), col("__cluster"))
+    // score only within probed clusters
+    val scored = corpus.join(broadcast(probed), Seq("__cluster"))
+      .withColumn("score", expr(VecExprs.cosine("__cv", "__qv", "__cnorm", "__qnorm")))
+    val w = Window.partitionBy(queryIdCol).orderBy(col("score").desc, col(idCol).asc)
+    Map("result" -> scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col(idCol), col("score"), col("rank")))
+  }
+}
+
 /** Embedding-cosine near-duplicate pairs above a threshold. Blocking via the
   * same hyperplane LSH (pairs must share a full signature in some table) keeps
   * the pair space sub-quadratic; exact cosine verifies. `bruteForce = true`

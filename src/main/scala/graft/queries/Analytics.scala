@@ -1,0 +1,127 @@
+package graft.queries
+
+import graft.dag._
+import graft.nodes._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Third breadth wave: pivot/unpivot, percentiles, time-series resample with
+  * gap-fill, vector centroids, and IVF approximate nearest neighbors.
+  */
+object Analytics {
+  import Queries.run
+
+  private val priorities = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+  // ---- q45: pivot (explicit values → single-pass plan) ----
+  def q45_pivot(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
+    d.add(SourceNode.table(dir, "orders")) >>
+      new PivotNode(Seq("o_orderstatus"), "o_orderpriority", priorities,
+        "sum(cast(o_totalprice as decimal(18,2)))") >>
+      SortNode("o_orderstatus") >>
+      d.output("result")
+  }
+  val q45Sql: String = {
+    val cases = priorities.map(p =>
+      s"""sum(CASE WHEN o_orderpriority = '$p' THEN cast(o_totalprice as decimal(18,2)) END) AS "$p"""")
+      .mkString(",\n  ")
+    s"""SELECT o_orderstatus,\n  $cases\nFROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+  }
+
+  // ---- q46: unpivot/melt (wide → long) ----
+  def q46_unpivot(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
+    d.add(SourceNode.table(dir, "part")) >>
+      WithColumnsNode(
+        "size_d" -> "cast(p_size as double)",
+        "price_d" -> "cast(p_retailprice as double)") >>
+      new UnpivotNode(Seq("p_partkey"), Seq("size_d", "price_d"), "metric", "v") >>
+      d.output("result")
+  }
+  val q46Sql: String =
+    """SELECT p_partkey, 'size_d' AS metric, cast(p_size as double) AS v FROM part
+      |UNION ALL
+      |SELECT p_partkey, 'price_d' AS metric, cast(p_retailprice as double) AS v FROM part""".stripMargin
+
+  // ---- q47: exact + interpolated percentiles per group ----
+  def q47_percentile(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
+    d.add(SourceNode.table(dir, "lineitem")) >>
+      AggNode(Seq("l_returnflag"),
+        "percentile(l_quantity, 0.5D) as med_qty",
+        "percentile(l_quantity, 0.9D) as p90_qty",
+        "count(*) as n") >>
+      SortNode("l_returnflag") >>
+      d.output("result")
+  }
+  val q47Sql: String =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.5) AS med_qty,
+      |  quantile_cont(l_quantity, 0.9) AS p90_qty,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---- q48: resample events to daily grain per type, zero-filled gaps ----
+  def q48_resample(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
+    d.add(SourceNode.table(dir, "events")) >>
+      new ResampleNode("event_type", "ts", "day",
+        aggs = Seq("count(*) as n", "sum(cast(value as decimal(18,2))) as sum_v"),
+        fillZero = Seq("n")) >>
+      SortNode("event_type", "bucket") >>
+      d.output("result")
+  }
+  val q48Sql: String =
+    """WITH b AS (SELECT min(date_trunc('day', ts)) AS lo, max(date_trunc('day', ts)) AS hi FROM events),
+      |grid AS (
+      |  SELECT et.event_type, gs.bucket
+      |  FROM (SELECT DISTINCT event_type FROM events) et,
+      |       (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS bucket FROM b) gs),
+      |agg AS (
+      |  SELECT event_type, date_trunc('day', ts) AS bucket, count(*) AS n,
+      |         sum(cast(value as decimal(18,2))) AS sum_v
+      |  FROM events GROUP BY 1, 2)
+      |SELECT g.event_type, g.bucket, coalesce(a.n, 0) AS n, a.sum_v
+      |FROM grid g LEFT JOIN agg a USING (event_type, bucket)
+      |ORDER BY g.event_type, g.bucket""".stripMargin
+
+  // ---- q49: per-group embedding centroid (element-wise decimal sums) ----
+  def q49_centroid(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
+    d.add(SourceNode.table(dir, "embeddings")) >>
+      WithColumnsNode("grp" -> "cast(vec_id % 4 as bigint)") >>
+      new ExplodeNode("embedding", Seq("pos", "v"), Seq("grp")) >>
+      AggNode(Seq("grp", "pos"),
+        // float -> double is exact widening on both engines; float -> decimal
+        // directly may round via the float's shortest decimal repr instead
+        "sum(cast(cast(v as double) as decimal(20,9))) as sum_v",
+        "count(*) as n") >>
+      SortNode("grp", "pos") >>
+      d.output("result")
+  }
+  val q49Sql: String =
+    """SELECT vec_id % 4 AS grp, r.range AS pos,
+      |  sum(cast(cast(embedding[r.range + 1] as double) as decimal(20,9))) AS sum_v,
+      |  count(*) AS n
+      |FROM embeddings, range(64) r
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---- q50: IVF approximate kNN (k-means quantizer fit + probe-limited
+  // exact rescore; rows-only — cluster assignment is implementation-defined) ----
+  def q50_ivf_knn(spark: SparkSession, dir: String): DataFrame = {
+    val d = new Dag("ivf")
+    val emb = d.add(SourceNode.table(dir, "embeddings"))
+    val queries = emb >> FilterNode("vec_id < 5") >>
+      ProjectNode("vec_id as query_id", "embedding").named("queryset")
+    val ivf = d.add(new IvfKnnNode(k = 10, nClusters = 8, nProbe = 2))
+    emb("result") >> ivf("corpus"); queries >> ivf("queries")
+    ivf >> ProjectNode("query_id", "vec_id", "rank") >> d.output("result")
+    val ctx = Ctx(spark)
+    d.fit(ctx)
+    d.transform(ctx).outputs("result")
+  }
+
+  val entries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+    ("q45_pivot", q45_pivot _, q45Sql),
+    ("q46_unpivot", q46_unpivot _, q46Sql),
+    ("q47_percentile", q47_percentile _, q47Sql),
+    ("q48_resample", q48_resample _, q48Sql),
+    ("q49_centroid", q49_centroid _, q49Sql),
+    ("q50_ivf_knn", q50_ivf_knn _, null),
+  )
+}

@@ -89,6 +89,26 @@ class NodesSpec extends AnyFunSuite {
     assert(top1.forall { case (q, v) => q == v })
   }
 
+  test("IvfKnnNode: fit quantizer, probe clusters, self-match at rank 1") {
+    // 3 well-separated clusters of 8-dim vectors
+    val emb = (0L until 30L).map { i =>
+      val c = (i % 3).toInt
+      (i, Array.tabulate(8)(j => (c * 10.0 + math.sin(i * 3.1 + j)).toFloat))
+    }.toDF("vec_id", "embedding")
+    val d = new Dag()
+    val corpus = d.add(srcNode(emb, "corpus"))
+    val queries = d.add(srcNode(
+      emb.filter(col("vec_id") < 6).select(col("vec_id").as("query_id"), col("embedding")), "queries"))
+    val ivf = d.add(new IvfKnnNode(k = 3, nClusters = 3, nProbe = 1))
+    corpus >> ivf("corpus"); queries >> ivf("queries")
+    ivf >> d.output("result")
+    val c = Ctx(spark)
+    d.fit(c)
+    val out = d.transform(c).outputs("result")
+    val top1 = out.filter(col("rank") === 1).select("query_id", "vec_id").as[(Long, Long)].collect()
+    assert(top1.length == 6 && top1.forall { case (q, v) => q == v })
+  }
+
   test("TokenCountNode counts whitespace and BPE-ish tokens") {
     val out = runOne { d =>
       d.add(srcNode(Seq((1L, "Hello, world! 42")).toDF("doc_id", "text"))) >>
