@@ -92,6 +92,49 @@ class MinHashDedupNode(
   }
 }
 
+/** Connected components over near-dup PAIRS → cluster ids, by iterative
+  * min-label propagation: each node's label becomes the min of its own and
+  * its neighbors' labels until a fixed point. Iterations are full lazy plans
+  * with a localCheckpoint per round (truncates lineage — otherwise the plan
+  * doubles every iteration) and one count() action to test convergence.
+  * Diameter of near-dup clusters is tiny in practice (boilerplate families),
+  * so this converges in a handful of rounds; each round is one shuffle on id.
+  */
+class ConnectedComponentsNode(idA: String = "id_a", idB: String = "id_b", maxIter: Int = 15)
+  extends Node {
+  override protected def defaultName: String = "connected_components"
+  val inputs = Seq(Port("pairs"))
+  val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("connected_components")
+  override def jsonParams: Map[String, Any] = Map("idA" -> idA, "idB" -> idB, "maxIter" -> maxIter)
+  override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
+    import org.apache.spark.sql.functions.{least, min}
+    val pairs = in("pairs").select(col(idA).as("a"), col(idB).as("b"))
+    // undirected adjacency, both directions
+    val edges = pairs.union(pairs.select(col("b").as("a"), col("a").as("b"))).persist()
+    var labels = edges.select(col("a").as("id"), col("a").as("label"))
+      .union(edges.select(col("b").as("id"), col("b").as("label")))
+      .groupBy("id").agg(min("label").as("label"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val neighborMin = edges.join(labels, edges("b") === labels("id"))
+        .groupBy(edges("a").as("id")).agg(min("label").as("nlabel"))
+      val updated = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"), least(col("label"), col("nlabel")).as("label"))
+        .localCheckpoint()
+      val changes = updated.alias("u").join(labels.alias("o"), "id")
+        .filter(col("u.label") =!= col("o.label")).count()
+      labels = updated
+      converged = changes == 0
+      iter += 1
+    }
+    edges.unpersist()
+    Map("result" -> labels.withColumnRenamed("label", "cluster_id"))
+  }
+}
+
 /** Survivor selection over near-dup PAIRS: keep every doc that never appears
   * on the higher-id side of a pair (greedy keep-lowest-id — the standard
   * single-pass policy; exact transitive clustering would need iterative

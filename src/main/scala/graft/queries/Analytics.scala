@@ -116,6 +116,64 @@ object Analytics {
     d.transform(ctx).outputs("result")
   }
 
+  // ---- q51: end-to-end training-data pipeline, fully oracle-checkable:
+  // quality gate -> language gate -> exact dedup survivor join -> per-lang
+  // token budget. The near-dup variant (minhash -> components) is q52. ----
+  def q51_pipeline(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
+    val src = d.add(SourceNode.table(dir, "documents"))
+    val scored = src >> new QualityScoreNode("text") >>
+      FilterNode("n_tokens >= 20 and punct_ratio < 0.2 and digit_ratio < 0.3")
+    val keyed = scored >> WithColumnsNode(
+      "norm_key" -> "md5(cast(regexp_replace(lower(trim(text)), '\\\\s+', ' ') as binary))")
+    // deterministic survivor: min doc_id per normalized-text key
+    val survivors = keyed >> FnNode.map1("keep_min") { df =>
+      import org.apache.spark.sql.functions._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("norm_key").orderBy(col("doc_id").asc)
+      df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+    }
+    survivors >> new TokenCountNode("text") >>
+      AggNode(Seq("lang"),
+        "count(*) as n_docs",
+        "sum(cast(ws_tokens as bigint)) as total_tokens",
+        "sum(cast(bpe_tokens as bigint)) as total_bpe") >>
+      SortNode("lang") >>
+      d.output("result")
+  }
+  val q51Sql: String = {
+    val toks = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+    s"""WITH q AS (
+       |  SELECT *,
+       |    len($toks) AS n_tokens,
+       |    cast(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) as double) / greatest(length(text), 1) AS punct_ratio,
+       |    cast(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) as double) / greatest(length(text), 1) AS digit_ratio
+       |  FROM documents),
+       |f AS (SELECT * FROM q WHERE n_tokens >= 20 AND punct_ratio < 0.2 AND digit_ratio < 0.3),
+       |s AS (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+       |      ORDER BY doc_id) AS rn
+       |    FROM f) WHERE rn = 1)
+       |SELECT lang, count(*) AS n_docs,
+       |  sum(cast(len($toks) as bigint)) AS total_tokens,
+       |  sum(cast(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]')) as bigint)) AS total_bpe
+       |FROM s GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
+  // ---- q52: near-dup clustering — minhash pairs -> connected components ->
+  // cluster size histogram (rows-only: hash-seeded) ----
+  def q52_dedup_clusters(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
+    val src = d.add(SourceNode.table(dir, "documents"))
+    val pairs = src >> new MinHashDedupNode(jaccardThreshold = 0.5)
+    val cc = d.add(new ConnectedComponentsNode())
+    pairs >> cc("pairs")
+    cc >> AggNode(Seq("cluster_id"), "count(*) as cluster_size") >>
+      AggNode(Seq("cluster_size"), "count(*) as n_clusters").named("hist") >>
+      SortNode("cluster_size") >>
+      d.output("result")
+  }
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q45_pivot", q45_pivot _, q45Sql),
     ("q46_unpivot", q46_unpivot _, q46Sql),
@@ -123,5 +181,7 @@ object Analytics {
     ("q48_resample", q48_resample _, q48Sql),
     ("q49_centroid", q49_centroid _, q49Sql),
     ("q50_ivf_knn", q50_ivf_knn _, null),
+    ("q51_pipeline", q51_pipeline _, q51Sql),
+    ("q52_dedup_clusters", q52_dedup_clusters _, null),
   )
 }

@@ -89,6 +89,20 @@ class NodesSpec extends AnyFunSuite {
     assert(top1.forall { case (q, v) => q == v })
   }
 
+  test("ConnectedComponentsNode labels chains and leaves singletons apart") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (7L, 8L), (8L, 9L), (3L, 4L))
+      .toDF("id_a", "id_b")
+    val out = runOne { d =>
+      val p = d.add(srcNode(pairs, "pairs"))
+      val cc = d.add(new ConnectedComponentsNode())
+      p >> cc("pairs")
+      cc >> d.output("result")
+    }.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(out(_) == 1L)) // chain 1-2-3-4
+    assert(Seq(5L, 6L).forall(out(_) == 5L))
+    assert(Seq(7L, 8L, 9L).forall(out(_) == 7L))
+  }
+
   test("IvfKnnNode: fit quantizer, probe clusters, self-match at rank 1") {
     // 3 well-separated clusters of 8-dim vectors
     val emb = (0L until 30L).map { i =>
