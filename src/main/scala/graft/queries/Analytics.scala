@@ -183,5 +183,38 @@ object Analytics {
     ("q50_ivf_knn", q50_ivf_knn _, null),
     ("q51_pipeline", q51_pipeline _, q51Sql),
     ("q52_dedup_clusters", q52_dedup_clusters _, null),
+    ("q53_misc_funcs", q53_misc_funcs _, q53Sql),
   )
+
+  // ---- q53: bitwise / conditional / string-distance scalar functions ----
+  def q53_misc_funcs(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
+    d.add(SourceNode.table(dir, "supplier")) >>
+      ProjectNode(
+        "s_suppkey",
+        "s_suppkey & 255 as band",
+        "s_suppkey | 4096 as orred",
+        "cast(s_suppkey as bigint) ^ 21 as xored",
+        "shiftleft(cast(s_suppkey as bigint), 3) as shifted",
+        "repeat(substring(s_name, 1, 2), 2) as name_rep",
+        "translate(s_name, '#', '-') as name_t",
+        "levenshtein(s_name, reverse(s_name)) as lev",
+        "greatest(s_acctbal, 0.0D) as bal_pos",
+        "nullif(s_nationkey, 0) as nk_nullable",
+        "ifnull(nullif(s_nationkey, 0), -1) as nk_filled") >>
+      SortNode("s_suppkey") >>
+      d.output("result")
+  }
+  def q53Sql: String =
+    """SELECT s_suppkey,
+      |  s_suppkey & 255 AS band,
+      |  s_suppkey | 4096 AS orred,
+      |  xor(cast(s_suppkey as bigint), 21) AS xored,
+      |  cast(s_suppkey as bigint) << 3 AS shifted,
+      |  repeat(substring(s_name, 1, 2), 2) AS name_rep,
+      |  translate(s_name, '#', '-') AS name_t,
+      |  levenshtein(s_name, reverse(s_name)) AS lev,
+      |  greatest(s_acctbal, 0.0) AS bal_pos,
+      |  nullif(s_nationkey, 0) AS nk_nullable,
+      |  ifnull(nullif(s_nationkey, 0), -1) AS nk_filled
+      |FROM supplier ORDER BY s_suppkey""".stripMargin
 }

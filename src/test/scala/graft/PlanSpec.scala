@@ -45,6 +45,36 @@ class PlanSpec extends AnyFunSuite {
     assert(planOf(Relational.q5_anti_join(spark, dir)).contains("LeftAnti"))
   }
 
+  test("bucketed tables join with zero shuffle (co-located join)") {
+    val spark0 = spark
+    import spark0.implicits._
+    Seq("bkt_a", "bkt_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) { // stale location from an aborted previous run
+        loc.listFiles().foreach(_.delete()); loc.delete()
+      }
+    }
+    val a = (1L to 1000L).map(i => (i, s"a$i")).toDF("k", "va")
+    val b = (1L to 1000L).map(i => (i, i * 2)).toDF("k", "vb")
+    a.write.mode("overwrite").bucketBy(8, "k").sortBy("k").saveAsTable("bkt_a")
+    b.write.mode("overwrite").bucketBy(8, "k").sortBy("k").saveAsTable("bkt_b")
+    // force the shuffle-based path: with broadcast allowed, tiny tables take
+    // BroadcastHashJoin and the planner disables bucketed reads entirely
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n$plan")
+      assert(plan.contains("SortMergeJoin"))
+      assert(joined.count() == 1000)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE bkt_a"); spark.sql("DROP TABLE bkt_b")
+    }
+  }
+
   test("q6: ranking window partitions by the window key, single window node") {
     val p = planOf(Relational.q6_window_rank(spark, dir))
     assert(p.contains("Window"))
