@@ -150,6 +150,54 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
   override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
 }
 
+/** winnow_fp(text, k, window) -> sorted distinct array<long>: winnowing
+  * document fingerprint (Schleimer/Wilkerson/Aiken, SIGMOD'03) — rolling
+  * k-gram hashes over the normalized text, minimum per window. Compiled:
+  * one pass for the gram hashes, one monotonic-deque-free pass for window
+  * minima (window is small, linear rescan is fine).
+  */
+case class WinnowFingerprint(child: Expression, k: Int, window: Int)
+  extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_fp"
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString.toLowerCase.trim.replaceAll("\\s+", " ")
+    val n = s.length
+    if (n == 0) return new GenericArrayData(Array.empty[Long])
+    val grams = math.max(n - k + 1, 1)
+    val gh = new Array[Long](grams)
+    var i = 0
+    while (i < grams) {
+      var h = 0L
+      var j = i
+      val end = math.min(i + k, n)
+      while (j < end) { h = Mix.mix(h ^ s.charAt(j).toLong) ; j += 1 }
+      gh(i) = h
+      i += 1
+    }
+    val nWin = math.max(grams - window + 1, 1)
+    val mins = new Array[Long](nWin)
+    i = 0
+    while (i < nWin) {
+      var mn = Long.MaxValue
+      var j = i
+      val end = math.min(i + window, grams)
+      while (j < end) { if (gh(j) < mn) mn = gh(j); j += 1 }
+      mins(i) = mn
+      i += 1
+    }
+    java.util.Arrays.sort(mins)
+    var uniq = 0
+    i = 0
+    while (i < nWin) {
+      if (i == 0 || mins(i) != mins(i - 1)) { mins(uniq) = mins(i); uniq += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(mins, uniq))
+  }
+  override protected def withNewChildInternal(c: Expression): WinnowFingerprint = copy(child = c)
+}
+
 /** lsh_signs(vec, tables, planes) -> array<long>: for each hash table, the
   * sign bits of the vector against `planes` deterministic pseudo-random
   * hyperplanes (component (t,p,d) = mix-derived uniform in [-0.5, 0.5)).

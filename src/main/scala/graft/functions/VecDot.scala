@@ -95,6 +95,8 @@ object VecFunctions {
       "simhash64", exprs => SimHash64(exprs(0)), "scala_udf")
     reg.createOrReplaceTempFunction(
       "lsh_signs", exprs => LshSigns(exprs(0), intLit(exprs(1)), intLit(exprs(2))), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "winnow_fp", exprs => WinnowFingerprint(exprs(0), intLit(exprs(1)), intLit(exprs(2))), "scala_udf")
   }
 }
 

@@ -57,6 +57,7 @@ object NodeRegistry {
     register("decode_image")(p => new DecodeImageStubNode(p.str("payloadCol")))
     register("resize_image")(p => new ResizeImageStubNode(p.int("targetW"), p.int("targetH")))
     register("frame_sample")(p => new FrameSampleStubNode(p.int("stride"), p.int("maxFrames"), p.str("payloadCol")))
+    register("audio_chunk")(p => new AudioChunkStubNode(p.str("payloadCol"), p.int("chunkMs"), p.int("maxChunks")))
     register("register_udafs")(p => new RegisterUdafsNode(p.strs("names")))
     register("explode")(p => new ExplodeNode(p.str("arrayExpr"), p.strs("outCols"), p.strs("keep")))
     register("stream_source")(p => new StreamSourceNode(p.str("path"), p.str("format"), p.strs("nanosTsCols")))

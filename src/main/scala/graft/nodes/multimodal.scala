@@ -91,6 +91,45 @@ class ResizeImageStubNode(val targetW: Int, val targetH: Int) extends Node {
         "'channels', image_meta.channels, 'format', image_meta.format)")))
 }
 
+/** Audio-chunk stub: binary payload → fixed-duration chunk rows with a small
+  * deterministic feature vector per chunk (the MFCC-shaped contract). Same
+  * mapPartitions batch structure a real audio codec needs (decoder init per
+  * partition, frame loop per row); the codec itself is a `???`-equivalent
+  * deterministic fake derived from the payload bytes.
+  */
+class AudioChunkStubNode(payloadCol: String = "payload", chunkMs: Int = 1000, maxChunks: Int = 8)
+  extends Node {
+  override protected def defaultName: String = "audio_chunk"
+  val inputs = Seq(Port("df"))
+  val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("audio_chunk")
+  override def jsonParams: Map[String, Any] =
+    Map("payloadCol" -> payloadCol, "chunkMs" -> chunkMs, "maxChunks" -> maxChunks)
+  override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
+    val df = in("df")
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("chunk_idx", IntegerType, nullable = false),
+      StructField("chunk_start_ms", LongType, nullable = false),
+      StructField("mfcc", ArrayType(FloatType, containsNull = false), nullable = true)))
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    val (cMs, maxC) = (chunkMs, maxChunks)
+    val out = df.flatMap { row =>
+      val bytes = row.getAs[Array[Byte]](payloadIdx)
+      if (bytes == null) Iterator.empty
+      else {
+        // ??? real decoder goes here; fake duration = bytes.length ms
+        val nChunks = math.min(math.max(bytes.length / cMs, 1), maxC)
+        (0 until nChunks).iterator.map { c =>
+          val h = java.util.Arrays.hashCode(bytes) * 31 + c
+          val mfcc = Array.tabulate(13)(i => ((h * (i + 7)) % 1000) / 1000.0f)
+          Row.fromSeq(row.toSeq ++ Seq(c, c.toLong * cMs, mfcc))
+        }
+      }
+    }(RowEncoder.encoderFor(outSchema))
+    Map("result" -> out.toDF())
+  }
+}
+
 /** Frame-sampling stub for video-like payloads: emits every `stride`-th
   * frame index up to `maxFrames` as (frame_idx, frame_meta) rows — the
   * explode pattern a real frame sampler uses (one row per sampled frame).

@@ -108,9 +108,10 @@ object LangIdNode {
 }
 
 /** Document fingerprinting: whole-document md5 over normalized text (exact
-  * dedup key) plus a winnowing-style rolling fingerprint — min xxhash64 per
-  * window of character k-gram hashes, the classic local fingerprint for
-  * plagiarism-style matching. All builtin expressions.
+  * dedup key) plus a winnowing rolling fingerprint — min rolling k-gram hash
+  * per window (Schleimer et al.), computed by the compiled `winnow_fp`
+  * kernel; the pure-SQL formulation re-evaluated the normalization per
+  * k-gram (interpreted HOF inlining — see graft.functions.Sketches).
   */
 class FingerprintNode(val textCol: String = "text", val k: Int = 8, val window: Int = 16) extends Node {
   override protected def defaultName: String = "fingerprint"
@@ -119,16 +120,10 @@ class FingerprintNode(val textCol: String = "text", val k: Int = 8, val window: 
   override def jsonKind: Option[String] = Some("fingerprint")
   override def jsonParams: Map[String, Any] = Map("textCol" -> textCol, "k" -> k, "window" -> window)
   override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
+    graft.functions.VecFunctions.register(ctx.spark)
     val norm = s"regexp_replace(lower(trim($textCol)), '\\\\s+', ' ')"
-    // char k-gram hashes over the normalized text
-    val grams =
-      s"transform(sequence(1, greatest(length($norm) - ${k - 1}, 1)), i -> xxhash64(substring($norm, i, $k)))"
-    val winnow =
-      s"""array_distinct(transform(
-         |  sequence(0, greatest(size($grams) - $window, 0), $window),
-         |  w -> array_min(slice($grams, w + 1, $window))))""".stripMargin
     Map("result" -> in("df")
       .withColumn("doc_md5", expr(s"md5(cast($norm as binary))"))
-      .withColumn("winnow_fp", expr(winnow)))
+      .withColumn("winnow_fp", expr(s"winnow_fp($textCol, $k, $window)")))
   }
 }

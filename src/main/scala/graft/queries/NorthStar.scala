@@ -159,6 +159,17 @@ object NorthStar {
       AggNode(Seq("doc_id"), "count(*) as n_frames", "max(frame_ts_ms) as last_ts_ms") >>
       d.output("result")
   }
+  def q54_audio_chunks(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
+    d.add(SourceNode.table(dir, "documents")) >>
+      new BinaryPayloadNode("text") >>
+      new AudioChunkStubNode(chunkMs = 100, maxChunks = 4) >>
+      AggNode(Seq("doc_id"),
+        "count(*) as n_chunks",
+        "max(chunk_start_ms) as last_start_ms",
+        "sum(size(mfcc)) as total_coeffs") >>
+      SortNode("doc_id") >>
+      d.output("result")
+  }
 
   /** (name, query, oracleSql | null) */
   val entries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
@@ -175,5 +186,6 @@ object NorthStar {
     ("q30_embedding_neardup", q30_embedding_neardup _, q30Sql),
     ("q31_multimodal", q31_multimodal _, null),
     ("q32_frame_sample", q32_frame_sample _, null),
+    ("q54_audio_chunks", q54_audio_chunks _, null),
   )
 }
