@@ -470,9 +470,33 @@ trait NodeListener {
   def afterTransform(n: Node, ctx: Ctx): Unit = ()
 }
 
+/** Bridge to Spark's QueryExecutionListener: per-ACTION wall time and row
+  * counts as Spark reports them (the complement of TimingListener, which sees
+  * only plan-composition time under lazy evaluation — reference mixins wrap
+  * eager per-node calls, so one hook sufficed there; here the real work
+  * happens at action time inside Spark).
+  */
+final class SparkMetricsListener extends org.apache.spark.sql.util.QueryExecutionListener {
+  final case class ActionMetric(funcName: String, durationNs: Long, outputRows: Option[Long])
+  val actions = new java.util.concurrent.ConcurrentLinkedQueue[ActionMetric]()
+  override def onSuccess(funcName: String,
+      qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = {
+    val rows = Option(qe.executedPlan.metrics.get("numOutputRows")).flatten.map(_.value)
+    actions.add(ActionMetric(funcName, durationNs, rows))
+  }
+  override def onFailure(funcName: String,
+      qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit =
+    actions.add(ActionMetric(s"$funcName!failed", -1L, None))
+  def attach(spark: org.apache.spark.sql.SparkSession): this.type = {
+    spark.listenerManager.register(this); this
+  }
+  def detach(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.listenerManager.unregister(this)
+}
+
 /** Built-in wall-clock listener. Note: transforms are lazy, so transform time
   * here measures plan-composition cost; real work shows up in Spark's
-  * QueryExecutionListener at action time.
+  * QueryExecutionListener at action time (SparkMetricsListener).
   */
 final class TimingListener extends NodeListener {
   val fitNanos = mutable.LinkedHashMap[String, Long]()

@@ -262,6 +262,22 @@ class DagSpec extends AnyFunSuite {
     assert(!run.persisted.head.storageLevel.useMemory)
   }
 
+  test("SparkMetricsListener records action metrics via QueryExecutionListener") {
+    val m = new SparkMetricsListener().attach(spark)
+    try {
+      val d = new Dag()
+      val n = d.add(FnNode.map1("f")(df => df.filter(col("id") > 1)))
+      d.input("x") >> n
+      n >> d.output("result")
+      d.transform(ctx, Map("x" -> df1))("result").count()
+      // listener delivery is async; poll briefly
+      val deadline = System.currentTimeMillis() + 5000
+      while (m.actions.isEmpty && System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(!m.actions.isEmpty)
+      assert(m.actions.peek().funcName == "count")
+    } finally m.detach(spark)
+  }
+
   test("listener hooks fire around fit and transform (reference mixins)") {
     val d = new Dag()
     val t = new TimingListener
