@@ -152,6 +152,22 @@ object FnNode {
       (_, in) => Map("result" -> f(in.seq("dfs"))), base)
 }
 
+/** Typed stage: `Dataset[A] => Dataset[B]` with case-class Encoders — the
+  * type-safe variant of FnNode for pipelines whose row shape is statically
+  * known (SURVEY §1.1). The frame is decoded to `Dataset[A]` at the node
+  * boundary and re-erased after, so composition with untyped nodes is free.
+  */
+class TypedFnNode[A: org.apache.spark.sql.Encoder, B: org.apache.spark.sql.Encoder](
+    f: org.apache.spark.sql.Dataset[A] => org.apache.spark.sql.Dataset[B],
+    base: String = "typed_fn")
+  extends Node {
+  override protected def defaultName: String = base
+  val inputs = Seq(Port("df"))
+  val outputs = Seq(Port("result"))
+  override def transform(ctx: Ctx, in: In): Map[String, DataFrame] =
+    Map("result" -> f(in("df").as[A]).toDF())
+}
+
 /** Identity node (reference `DummyNode`, mldagbase.py:1254-1266). */
 class IdentityNode extends Node {
   val inputs = Seq(Port("df"))

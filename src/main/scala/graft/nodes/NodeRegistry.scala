@@ -23,7 +23,7 @@ object NodeRegistry {
     register("sort")(p => new SortNode(p.strs("exprs")))
     register("limit")(p => new LimitNode(p.int("n")))
     register("top_k")(p => new TopKNode(p.int("k"), p.strs("sortExprs")))
-    register("union")(p => new UnionNode(p.bool("byName"), p.bool("distinct")))
+    register("union")(p => new UnionNode(p.bool("byName"), p.bool("distinct"), p.boolOr("allowMissingColumns", false)))
     register("set_op")(p => new SetOpNode(p.str("op")))
     register("distinct")(p => new DistinctNode(p.strs("cols")))
     register("sql")(p => new SqlNode(p.str("sql"), p.strs("ports")))

@@ -239,16 +239,18 @@ object TopKNode { def apply(k: Int, sortExprs: String*): TopKNode = new TopKNode
   * reference's `*args` accumulation, SURVEY.md §2.1 #21); intersect/except
   * take exactly two inputs.
   */
-class UnionNode(val byName: Boolean = true, val distinct: Boolean = false) extends Node {
+class UnionNode(val byName: Boolean = true, val distinct: Boolean = false,
+                val allowMissingColumns: Boolean = false) extends Node {
   override protected def defaultName: String = "union"
   val inputs = Seq(Port("dfs", variadic = true))
   val outputs = Seq(Port("result"))
   override def jsonKind: Option[String] = Some("union")
-  override def jsonParams: Map[String, Any] = Map("byName" -> byName, "distinct" -> distinct)
+  override def jsonParams: Map[String, Any] = Map("byName" -> byName, "distinct" -> distinct, "allowMissingColumns" -> allowMissingColumns)
   override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
     val dfs = in.seq("dfs")
     if (dfs.isEmpty) throw new GraftException("UnionNode received no inputs")
-    val u = dfs.reduce((a, b) => if (byName) a.unionByName(b) else a.union(b))
+    val u = dfs.reduce((a, b) =>
+      if (byName) a.unionByName(b, allowMissingColumns) else a.union(b))
     Map("result" -> (if (distinct) u.distinct() else u))
   }
 }

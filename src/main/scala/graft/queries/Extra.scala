@@ -302,6 +302,29 @@ object Extra {
     surv >> ProjectNode("doc_id", "lang") >> SortNode("doc_id") >> d.output("result")
   }
 
+  // ---- q55: stream-static join — a streaming fact joined to a static
+  // dimension (no state needed for the static side), aggregated and checked
+  // against the batch oracle ----
+  def q55_stream_static_join(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
+    val ev = d.add(StreamSourceNode.table(dir, "events"))
+    val cust = d.add(SourceNode.table(dir, "customer"))
+    val j = d.add(JoinNode.on("l.user_id = r.c_custkey", broadcastRight = true))
+    ev >> j("left"); cust >> j("right")
+    j >> new StreamWindowAggNode("ts", "6 hours", keys = Seq("c_mktsegment"),
+        aggs = Seq("count(*) as n", "sum(cast(value as decimal(18,2))) as sum_v")) >>
+      FnNode.map1("flatten") { df =>
+        import org.apache.spark.sql.functions._
+        df.select(col("window.start").as("ws"), col("c_mktsegment"), col("n"), col("sum_v"))
+      } >>
+      new StreamRunNode(s"q55_sink_${System.nanoTime()}", outputMode = "complete") >>
+      d.output("result")
+  }
+  val q55Sql: String =
+    """SELECT time_bucket(INTERVAL '6 hours', ts) AS ws, c_mktsegment,
+      |  count(*) AS n, sum(cast(value as decimal(18,2))) AS sum_v
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY 1, 2""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q18_setops_all", q18_setops_all _, q18Sql),
     ("q19_array_map", q19_array_map _, q19Sql),
@@ -317,5 +340,6 @@ object Extra {
     ("q42_stream_sliding", q42_stream_sliding _, q42Sql),
     ("q43_tfidf_fit", q43_tfidf_fit _, null),
     ("q44_dedup_survivors", q44_dedup_survivors _, null),
+    ("q55_stream_static_join", q55_stream_static_join _, q55Sql),
   )
 }

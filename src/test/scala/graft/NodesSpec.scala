@@ -168,6 +168,38 @@ class NodesSpec extends AnyFunSuite {
     assert(out.select("doc_id").as[Long].collect().toSeq == Seq(4L, 3L))
   }
 
+  test("TypedFnNode maps a typed Dataset with case-class encoders") {
+    import NodesSpec.{Doc, Stat}
+    val out = runOne { d =>
+      d.add(srcNode(docs)) >>
+        d.add(new TypedFnNode[Doc, Stat](_.map(x => Stat(x.doc_id, x.text.length)))) >>
+        d.output("result")
+    }.orderBy("doc_id").as[(Long, Int)].collect()
+    assert(out.head == (1L, 43))
+    assert(out.length == 4)
+  }
+
+  test("SinkNode writes and the result re-reads identically") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString + "/out"
+    val out = runOne { d =>
+      d.add(srcNode(docs)) >> new SinkNode(dir) >> d.output("result")
+    }
+    assert(out.count() == 4)
+    assert(spark.read.parquet(dir).count() == 4)
+  }
+
+  test("UnionNode allowMissingColumns null-fills absent columns") {
+    val a = Seq((1L, "x")).toDF("id", "v")
+    val b = Seq(2L).toDF("id")
+    val out = runOne { d =>
+      val an = d.add(srcNode(a, "a")); val bn = d.add(srcNode(b, "b"))
+      val u = d.add(new UnionNode(allowMissingColumns = true))
+      an >> u("dfs"); bn >> u("dfs")
+      u >> d.output("result")
+    }.orderBy("id").collect()
+    assert(out.length == 2 && out(1).isNullAt(1))
+  }
+
   test("SaltedJoinNode matches a plain equi-join's result on a skewed key") {
     val l = (1L to 200L).map(i => (if (i <= 150) 1L else i, i)).toDF("k", "v") // 75% on key 1
     val r = Seq((1L, "hot"), (160L, "cold"), (999L, "miss")).toDF("k2", "tag")
@@ -193,4 +225,9 @@ class NodesSpec extends AnyFunSuite {
     assert(out.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
     assert(out.count() == 5)
   }
+}
+
+object NodesSpec {
+  case class Doc(doc_id: Long, text: String)
+  case class Stat(doc_id: Long, len: Int)
 }
