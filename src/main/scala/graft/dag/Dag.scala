@@ -476,8 +476,9 @@ trait NodeListener {
   * eager per-node calls, so one hook sufficed there; here the real work
   * happens at action time inside Spark).
   */
+final case class ActionMetric(funcName: String, durationNs: Long, outputRows: Option[Long])
+
 final class SparkMetricsListener extends org.apache.spark.sql.util.QueryExecutionListener {
-  final case class ActionMetric(funcName: String, durationNs: Long, outputRows: Option[Long])
   val actions = new java.util.concurrent.ConcurrentLinkedQueue[ActionMetric]()
   override def onSuccess(funcName: String,
       qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = {

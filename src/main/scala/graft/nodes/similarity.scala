@@ -151,7 +151,11 @@ class IvfKnnNode(
 
   def fitModel(ctx: Ctx, in: In): Model = {
     import org.apache.spark.ml.clustering.KMeans
+    // coarse quantizer: cluster quality beyond ~10 iterations buys no recall
+    // (assignments near boundaries just move between probed clusters), while
+    // every extra iteration is a full pass over the corpus
     new KMeans().setK(nClusters).setSeed(42L).setFeaturesCol("__features")
+      .setMaxIter(10).setTol(1e-3)
       .fit(withVec(in("corpus"), vecCol))
   }
 

@@ -75,6 +75,21 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("partitioned sink output is partition-pruned on read") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString + "/docs"
+    Seq((1L, "en", "a"), (2L, "de", "b"), (3L, "en", "c"))
+      .toDF("doc_id", "lang", "text")
+      .write.partitionBy("lang").parquet(dir)
+    val read = spark.read.parquet(dir).filter($"lang" === "en")
+    val p = read.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("PartitionFilters") && p.contains("lang"))
+    // the partition predicate must NOT appear as a data filter
+    assert(!p.contains("PushedFilters: [IsNotNull(lang)"))
+    assert(read.count() == 2)
+  }
+
   test("q6: ranking window partitions by the window key, single window node") {
     val p = planOf(Relational.q6_window_rank(spark, dir))
     assert(p.contains("Window"))
