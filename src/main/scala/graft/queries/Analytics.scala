@@ -87,16 +87,18 @@ object Analytics {
       WithColumnsNode("grp" -> "cast(vec_id % 4 as bigint)") >>
       new ExplodeNode("embedding", Seq("pos", "v"), Seq("grp")) >>
       AggNode(Seq("grp", "pos"),
-        // float -> double is exact widening on both engines; float -> decimal
-        // directly may round via the float's shortest decimal repr instead
-        "sum(cast(cast(v as double) as decimal(20,9))) as sum_v",
+        // Exact cross-engine arithmetic: float -> double widening is exact,
+        // *2^24 and floor are exact IEEE ops, and bigint sums are
+        // order-independent. (A decimal(20,9) cast instead ties at the 9th
+        // decimal and Spark rounds HALF_UP vs DuckDB HALF_EVEN.)
+        "sum(cast(floor(cast(v as double) * 16777216.0D) as bigint)) as sum_scaled",
         "count(*) as n") >>
       SortNode("grp", "pos") >>
       d.output("result")
   }
   val q49Sql: String =
     """SELECT vec_id % 4 AS grp, r.range AS pos,
-      |  sum(cast(cast(embedding[r.range + 1] as double) as decimal(20,9))) AS sum_v,
+      |  sum(cast(floor(cast(embedding[r.range + 1] as double) * 16777216.0) as bigint)) AS sum_scaled,
       |  count(*) AS n
       |FROM embeddings, range(64) r
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
