@@ -1,0 +1,56 @@
+package graft
+
+import graft.dag._
+import graft.nodes._
+import graft.queries.Queries
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** 10x scale probe (dev main, not part of the driver contract): clones sf0.1
+  * tables 10x into /tmp with shifted ids — documents keep 10-way duplicate
+  * families (the realistic web-crawl dedup load) — then times the operators
+  * whose cost could scale superlinearly. Run:
+  *   SPARK_GRAFT_CPUS=16 sbt "runMain graft.Scale10"
+  */
+object Scale10 {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val src = "/root/testdata/sf0.1"
+    val out = "/tmp/scale10"
+
+    def clone10(table: String, idCols: Seq[String]): Unit = {
+      val p = s"$out/$table.parquet"
+      if (new java.io.File(p).exists()) return
+      if (table == "events") spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val base = spark.read.parquet(s"$src/$table.parquet")
+      val copies = (0 until 10).map { i =>
+        idCols.foldLeft(base)((d, c) => d.withColumn(c, col(c) + lit(i.toLong * 100000000L)))
+      }
+      copies.reduce(_ unionByName _).write.mode("overwrite").parquet(p)
+    }
+    clone10("documents", Seq("doc_id"))
+    clone10("embeddings", Seq("vec_id"))
+    clone10("events", Seq("event_id")) // user_id NOT shifted: same user population
+
+    def time(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[scale10] $label%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
+      spark.catalog.clearCache()
+    }
+
+    val names = Seq("q20_dedup_exact", "q21_token_count", "q22_quality", "q24_fingerprint",
+      "q25_minhash_dedup", "q26_simhash_dedup", "q27_ngram_jaccard", "q29_ann_lsh",
+      "q50_ivf_knn", "q51_pipeline", "q52_dedup_clusters", "q13_json", "q16_tumbling_window")
+    names.foreach { n =>
+      try time(n)(Queries.all(n)(spark, out).count())
+      catch { case e: Throwable => println(s"[scale10] $n FAILED: ${e.getMessage}") }
+    }
+    spark.stop()
+  }
+}

@@ -47,7 +47,8 @@ class MinHashDedupNode(
     val numHashes: Int = 32,
     val bands: Int = 8,
     val shingleN: Int = 3,
-    val jaccardThreshold: Double = 0.8)
+    val jaccardThreshold: Double = 0.8,
+    val maxBucket: Int = 1000) // drop pathological LSH buckets (quadratic pair guard)
   extends Node {
   require(numHashes % bands == 0, "numHashes must divide into bands")
   private val rowsPerBand = numHashes / bands
@@ -55,7 +56,7 @@ class MinHashDedupNode(
   val inputs = Seq(Port("df"))
   val outputs = Seq(Port("result"))
   override def jsonKind: Option[String] = Some("minhash_dedup")
-  override def jsonParams: Map[String, Any] = Map("idCol" -> idCol, "textCol" -> textCol, "numHashes" -> numHashes, "bands" -> bands, "shingleN" -> shingleN, "jaccardThreshold" -> jaccardThreshold)
+  override def jsonParams: Map[String, Any] = Map("idCol" -> idCol, "textCol" -> textCol, "numHashes" -> numHashes, "bands" -> bands, "shingleN" -> shingleN, "jaccardThreshold" -> jaccardThreshold, "maxBucket" -> maxBucket)
   override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
     graft.functions.VecFunctions.register(ctx.spark)
     val toks = TextExprs.tokensExpr(textCol)
@@ -74,7 +75,12 @@ class MinHashDedupNode(
     // never enter the self-join shuffle; they are joined back per unique pair.
     val signed = sh.select(col(idCol),
       expr(s"minhash_bands(__shingles, $numHashes, $bands)").as("__bands"))
-    val buckets = signed.selectExpr(idCol, "posexplode(__bands) as (band, band_hash)")
+    val buckets0 = signed.selectExpr(idCol, "posexplode(__bands) as (band, band_hash)")
+    // bucket-size guard: a bucket of B docs yields B^2/2 pairs; buckets past
+    // maxBucket are boilerplate families whose pairs add cost, not signal
+    val okBuckets = buckets0.groupBy("band", "band_hash").count()
+      .filter(col("count") <= maxBucket).select("band", "band_hash")
+    val buckets = buckets0.join(okBuckets, Seq("band", "band_hash")).persist()
     val a = buckets.select(col(idCol).as("id_a"), col("band"), col("band_hash"))
     val b = buckets.select(col(idCol).as("id_b"), col("band"), col("band_hash"))
     val candidates = a.join(b, Seq("band", "band_hash"))
@@ -163,13 +169,14 @@ class SimHashDedupNode(
     val idCol: String = "doc_id",
     val textCol: String = "text",
     val maxHamming: Int = 3,
-    val chunks: Int = 4)
+    val chunks: Int = 4,
+    val maxBucket: Int = 1000) // drop pathological chunk buckets (quadratic pair guard)
   extends Node {
   override protected def defaultName: String = "simhash_dedup"
   val inputs = Seq(Port("df"))
   val outputs = Seq(Port("result"))
   override def jsonKind: Option[String] = Some("simhash_dedup")
-  override def jsonParams: Map[String, Any] = Map("idCol" -> idCol, "textCol" -> textCol, "maxHamming" -> maxHamming, "chunks" -> chunks)
+  override def jsonParams: Map[String, Any] = Map("idCol" -> idCol, "textCol" -> textCol, "maxHamming" -> maxHamming, "chunks" -> chunks, "maxBucket" -> maxBucket)
   override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
     val toks = TextExprs.tokensExpr(textCol)
     val chunkBits = 64 / chunks
@@ -185,7 +192,10 @@ class SimHashDedupNode(
       .select(col(idCol), expr("simhash64(__toks)").as("__simhash"))
       .withColumn("__chunks", expr(chunkArr))
       .persist()
-    val buckets = signed.selectExpr(idCol, "__simhash", "posexplode(__chunks) as (chunk_idx, chunk_val)")
+    val buckets0 = signed.selectExpr(idCol, "__simhash", "posexplode(__chunks) as (chunk_idx, chunk_val)")
+    val okBuckets = buckets0.groupBy("chunk_idx", "chunk_val").count()
+      .filter(col("count") <= maxBucket).select("chunk_idx", "chunk_val")
+    val buckets = buckets0.join(okBuckets, Seq("chunk_idx", "chunk_val")).persist()
     val a = buckets.select(col(idCol).as("id_a"), col("__simhash").as("sh_a"), col("chunk_idx"), col("chunk_val"))
     val b = buckets.select(col(idCol).as("id_b"), col("__simhash").as("sh_b"), col("chunk_idx"), col("chunk_val"))
     val verified = a.join(b, Seq("chunk_idx", "chunk_val"))
@@ -208,13 +218,14 @@ class NgramJaccardNode(
     val textCol: String = "text",
     val shingleN: Int = 2,
     val threshold: Double = 0.3,
-    val maxDocFreq: Int = 20) // only block on shingles rarer than this (skew guard)
+    val maxDocFreq: Int = 20,          // absolute floor for the DF cap
+    val maxDocFreqFraction: Double = 0.02) // effective cap = max(floor, fraction*N)
   extends Node {
   override protected def defaultName: String = "ngram_jaccard"
   val inputs = Seq(Port("df"))
   val outputs = Seq(Port("result"))
   override def jsonKind: Option[String] = Some("ngram_jaccard")
-  override def jsonParams: Map[String, Any] = Map("idCol" -> idCol, "textCol" -> textCol, "shingleN" -> shingleN, "threshold" -> threshold, "maxDocFreq" -> maxDocFreq)
+  override def jsonParams: Map[String, Any] = Map("idCol" -> idCol, "textCol" -> textCol, "shingleN" -> shingleN, "threshold" -> threshold, "maxDocFreq" -> maxDocFreq, "maxDocFreqFraction" -> maxDocFreqFraction)
   override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
     val toks = TextExprs.tokensExpr(textCol)
     // persist: consumed three times (inverted index + both verify joins);
@@ -230,7 +241,11 @@ class NgramJaccardNode(
     val inverted = docs.select(col(idCol), expr("explode(__shingles) as shingle"))
     // document-frequency filter: frequent shingles create quadratic hot
     // buckets and carry no signal — the standard prefix/df filter
-    val rare = inverted.groupBy("shingle").count().filter(col("count") <= maxDocFreq).select("shingle")
+    // DF cap must scale with corpus size: an absolute cap silently zeroes
+    // the blocking under k-way duplication (every shingle's DF multiplies by
+    // k). One cheap count() sizes the corpus.
+    val dfCap = math.max(maxDocFreq.toLong, math.ceil(maxDocFreqFraction * docs.count()).toLong)
+    val rare = inverted.groupBy("shingle").count().filter(col("count") <= dfCap).select("shingle")
     val blocked = inverted.join(rare, Seq("shingle"))
     val pairs = blocked.as("a").join(blocked.as("b"), Seq("shingle"))
       .filter(col(s"a.$idCol") < col(s"b.$idCol"))
