@@ -12,6 +12,8 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val only: Option[Set[String]] =
       if (args.nonEmpty) Some(args(0).split(",").toSet) else None
+    // JVM/session warmup so the first timed query doesn't absorb startup
+    spark.range(1000).selectExpr("sum(id)").collect()
     val results = SparkEntry.queryOrder.map(n => n -> SparkEntry.queries(n))
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>

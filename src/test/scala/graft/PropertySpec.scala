@@ -77,6 +77,20 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("scheduler throughput: 10k-node chain topo-sorts in well under a second " +
+    "(reference rescans were O(V^2 E), mldag.py:456-458)") {
+    val d = new Dag()
+    val nodes = (0 until 10000).map(i =>
+      d.add(new FnNode(Seq(Port("dfs", variadic = true)), Seq(Port("result")),
+        (_, _) => Map.empty, s"n$i")))
+    (0 until 9999).foreach(i => nodes(i)("result") >> nodes(i + 1)("dfs"))
+    val t0 = System.nanoTime()
+    val order = d.topoOrder
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(order.size == 10000)
+    assert(ms < 1000.0, s"topo sort took $ms ms")
+  }
+
   test("auto-naming never collides on random add sequences") {
     check(Prop.forAll(Gen.listOfN(12, Gen.oneOf("a", "b", "c"))) { bases =>
       val d = new Dag()
