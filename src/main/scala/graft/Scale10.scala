@@ -14,6 +14,8 @@ import org.apache.spark.sql.functions._
   */
 object Scale10 {
   def main(args: Array[String]): Unit = {
+    val factor = if (args.nonEmpty) args(0).toInt else 10
+    val queries = if (args.length > 1) args(1).split(",").toSeq else Nil
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -21,21 +23,22 @@ object Scale10 {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val src = "/root/testdata/sf0.1"
-    val out = "/tmp/scale10"
+    val out = s"/tmp/scale$factor"
 
-    def clone10(table: String, idCols: Seq[String]): Unit = {
+    def cloneK(table: String, idCols: Seq[String]): Unit = {
       val p = s"$out/$table.parquet"
       if (new java.io.File(p).exists()) return
       if (table == "events") spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val base = spark.read.parquet(s"$src/$table.parquet")
-      val copies = (0 until 10).map { i =>
+      val copies = (0 until factor).map { i =>
         idCols.foldLeft(base)((d, c) => d.withColumn(c, col(c) + lit(i.toLong * 100000000L)))
       }
-      copies.reduce(_ unionByName _).write.mode("overwrite").parquet(p)
+      copies.reduce(_ unionByName _).repartition(math.max(factor, 8))
+        .write.mode("overwrite").parquet(p)
     }
-    clone10("documents", Seq("doc_id"))
-    clone10("embeddings", Seq("vec_id"))
-    clone10("events", Seq("event_id")) // user_id NOT shifted: same user population
+    cloneK("documents", Seq("doc_id"))
+    cloneK("embeddings", Seq("vec_id"))
+    cloneK("events", Seq("event_id")) // user_id NOT shifted: same user population
 
     def time(label: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
@@ -44,9 +47,10 @@ object Scale10 {
       spark.catalog.clearCache()
     }
 
-    val names = Seq("q20_dedup_exact", "q21_token_count", "q22_quality", "q24_fingerprint",
+    val defaults = Seq("q20_dedup_exact", "q21_token_count", "q22_quality", "q24_fingerprint",
       "q25_minhash_dedup", "q26_simhash_dedup", "q27_ngram_jaccard", "q29_ann_lsh",
       "q50_ivf_knn", "q51_pipeline", "q52_dedup_clusters", "q13_json", "q16_tumbling_window")
+    val names = if (queries.nonEmpty) queries else defaults
     names.foreach { n =>
       try time(n)(Queries.all(n)(spark, out).count())
       catch { case e: Throwable => println(s"[scale10] $n FAILED: ${e.getMessage}") }

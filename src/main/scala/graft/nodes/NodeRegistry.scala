@@ -36,9 +36,9 @@ object NodeRegistry {
       p.str("joinType"), p.bool("forward")))
     register("exact_dedup")(p => new ExactDedupNode(p.strs("keyExprs"), p.str("idCol")))
     register("minhash_dedup")(p => new MinHashDedupNode(p.str("idCol"), p.str("textCol"),
-      p.int("numHashes"), p.int("bands"), p.int("shingleN"), p.dbl("jaccardThreshold"), p.int("maxBucket")))
+      p.int("numHashes"), p.int("bands"), p.int("shingleN"), p.dbl("jaccardThreshold"), p.int("maxBucket"), p.boolOr("collapseExact", true)))
     register("simhash_dedup")(p => new SimHashDedupNode(p.str("idCol"), p.str("textCol"),
-      p.int("maxHamming"), p.int("chunks"), p.int("maxBucket")))
+      p.int("maxHamming"), p.int("chunks"), p.int("maxBucket"), p.boolOr("collapseExact", true)))
     register("ngram_jaccard")(p => new NgramJaccardNode(p.str("idCol"), p.str("textCol"),
       p.int("shingleN"), p.dbl("threshold"), p.int("maxDocFreq"), p.dbl("maxDocFreqFraction")))
     register("token_count")(p => new TokenCountNode(p.str("textCol")))

@@ -48,7 +48,8 @@ class MinHashDedupNode(
     val bands: Int = 8,
     val shingleN: Int = 3,
     val jaccardThreshold: Double = 0.8,
-    val maxBucket: Int = 1000) // drop pathological LSH buckets (quadratic pair guard)
+    val maxBucket: Int = 1000, // drop pathological LSH buckets (quadratic pair guard)
+    val collapseExact: Boolean = true) // collapse byte-identical texts first (see below)
   extends Node {
   require(numHashes % bands == 0, "numHashes must divide into bands")
   private val rowsPerBand = numHashes / bands
@@ -56,16 +57,25 @@ class MinHashDedupNode(
   val inputs = Seq(Port("df"))
   val outputs = Seq(Port("result"))
   override def jsonKind: Option[String] = Some("minhash_dedup")
-  override def jsonParams: Map[String, Any] = Map("idCol" -> idCol, "textCol" -> textCol, "numHashes" -> numHashes, "bands" -> bands, "shingleN" -> shingleN, "jaccardThreshold" -> jaccardThreshold, "maxBucket" -> maxBucket)
+  override def jsonParams: Map[String, Any] = Map("idCol" -> idCol, "textCol" -> textCol, "numHashes" -> numHashes, "bands" -> bands, "shingleN" -> shingleN, "jaccardThreshold" -> jaccardThreshold, "maxBucket" -> maxBucket, "collapseExact" -> collapseExact)
   override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
     graft.functions.VecFunctions.register(ctx.spark)
     val toks = TextExprs.tokensExpr(textCol)
+    // Exact-duplicate collapse FIRST: a k-way duplicated document family
+    // yields k^2/2 near-dup pairs — quadratic OUTPUT no pipeline can afford
+    // (the 100x probe hit 27M pairs / 522 s without this). Collapsing
+    // byte-identical normalized texts to their min-id representative makes
+    // near-dup cost a function of DISTINCT content; exact duplicates are
+    // ExactDedupNode's (cheap, linear) job.
+    val base =
+      if (collapseExact) MinHashDedupNode.collapse(in("df"), idCol, textCol)
+      else in("df")
     // Shingles are HASHED longs, not strings (`shingle_hashes` mixes word
     // hashes — no concat_ws/slice interpreted per element, ~10x cheaper, and
     // the verify-join payload shrinks from ~300 strings to ~300 longs per
     // doc). Materialized behind a cache boundary so CollapseProject cannot
     // inline split() into downstream consumers (re-tokenizing per element).
-    val sh = in("df")
+    val sh = base
       .withColumn("__toks", expr(toks))
       .withColumn("__shingles", expr(s"shingle_hashes(__toks, $shingleN)"))
       .filter("size(__shingles) > 0")
@@ -95,6 +105,18 @@ class MinHashDedupNode(
       .filter(col("jaccard") >= jaccardThreshold)
       .select("id_a", "id_b", "jaccard")
     Map("result" -> verified)
+  }
+}
+
+object MinHashDedupNode {
+  /** One representative (min id) per byte-identical normalized text. */
+  private[nodes] def collapse(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.row_number
+    val w = Window
+      .partitionBy(expr(s"md5(cast(regexp_replace(lower(trim($textCol)), '\\\\s+', ' ') as binary))"))
+      .orderBy(col(idCol).asc)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 }
 
@@ -170,13 +192,14 @@ class SimHashDedupNode(
     val textCol: String = "text",
     val maxHamming: Int = 3,
     val chunks: Int = 4,
-    val maxBucket: Int = 1000) // drop pathological chunk buckets (quadratic pair guard)
+    val maxBucket: Int = 1000, // drop pathological chunk buckets (quadratic pair guard)
+    val collapseExact: Boolean = true) // collapse byte-identical texts first (see MinHashDedupNode)
   extends Node {
   override protected def defaultName: String = "simhash_dedup"
   val inputs = Seq(Port("df"))
   val outputs = Seq(Port("result"))
   override def jsonKind: Option[String] = Some("simhash_dedup")
-  override def jsonParams: Map[String, Any] = Map("idCol" -> idCol, "textCol" -> textCol, "maxHamming" -> maxHamming, "chunks" -> chunks, "maxBucket" -> maxBucket)
+  override def jsonParams: Map[String, Any] = Map("idCol" -> idCol, "textCol" -> textCol, "maxHamming" -> maxHamming, "chunks" -> chunks, "maxBucket" -> maxBucket, "collapseExact" -> collapseExact)
   override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
     val toks = TextExprs.tokensExpr(textCol)
     val chunkBits = 64 / chunks
@@ -186,7 +209,10 @@ class SimHashDedupNode(
     // (`simhash64` hashes each token once, then votes bits); the simhash long
     // is cheap to carry, so no verify-side join is needed.
     graft.functions.VecFunctions.register(ctx.spark)
-    val signed = in("df")
+    val base =
+      if (collapseExact) MinHashDedupNode.collapse(in("df"), idCol, textCol)
+      else in("df")
+    val signed = base
       .withColumn("__toks", expr(toks))
       .filter("size(__toks) > 0")
       .select(col(idCol), expr("simhash64(__toks)").as("__simhash"))

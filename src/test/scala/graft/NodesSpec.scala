@@ -39,19 +39,42 @@ class NodesSpec extends AnyFunSuite {
     assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L), (3L, 1L), (4L, 1L)))
   }
 
-  test("MinHashDedupNode finds the near-dup pair and not the unrelated doc") {
+  // long docs with a 1-token perturbation: jaccard ~0.9, collision certain
+  private def longDocs: DataFrame = {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    Seq(
+      (1L, base),
+      (2L, base), // exact dup of 1
+      (3L, base.replace("w7", "zz")), // near dup of 1
+      (4L, (100 to 140).map(i => s"v$i").mkString(" ")),
+    ).toDF("doc_id", "text")
+  }
+
+  test("MinHashDedupNode: near-dup pair between distinct texts; exact dups collapsed") {
     val pairs = runOne { d =>
-      d.add(srcNode(docs)) >> new MinHashDedupNode(jaccardThreshold = 0.5) >> d.output("result")
+      d.add(srcNode(longDocs)) >> new MinHashDedupNode(jaccardThreshold = 0.5) >> d.output("result")
     }.select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    assert(pairs.contains((1L, 2L))) // identical docs always collide
+    assert(pairs.contains((1L, 3L))) // the perturbed doc is a near dup
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L)) // 2 ≡ 1, collapsed away
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
-  test("SimHashDedupNode: identical docs at hamming 0; unrelated doc excluded") {
+  test("MinHashDedupNode collapseExact=false keeps exact-dup pairs") {
+    val pairs = runOne { d =>
+      d.add(srcNode(docs)) >>
+        new MinHashDedupNode(jaccardThreshold = 0.5, collapseExact = false) >> d.output("result")
+    }.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L))) // identical docs always collide
+  }
+
+  test("SimHashDedupNode: near-dup pair survives; dup and unrelated docs excluded") {
     val rows = runOne { d =>
-      d.add(srcNode(docs)) >> new SimHashDedupNode(maxHamming = 8) >> d.output("result")
+      // chunks=8 → pigeonhole guarantees candidate generation up to hamming 7;
+      // the perturbed pair measures hamming 6 with these fixed hashes
+      d.add(srcNode(longDocs)) >> new SimHashDedupNode(maxHamming = 8, chunks = 8) >> d.output("result")
     }.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
-    assert(rows.exists(r => r._1 == 1L && r._2 == 2L && r._3 == 0))
+    assert(rows.exists(r => r._1 == 1L && r._2 == 3L && r._3 <= 8))
+    assert(!rows.exists(r => r._1 == 2L || r._2 == 2L))
     assert(!rows.exists(r => r._1 == 4L || r._2 == 4L))
   }
 
