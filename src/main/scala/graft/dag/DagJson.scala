@@ -95,6 +95,13 @@ object DagJson {
       "outputs" -> JArray(outs.toList)))))
   }
 
+  /** Persist/load a topology to/from a file (reference round-trips dicts the
+    * caller serializes; here the file form is first-class). */
+  def save(dag: Dag, path: String): Unit =
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), toJson(dag))
+  def load(path: String): Dag =
+    fromJson(java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
+
   def fromJson(json: String): Dag = {
     val root = JsonMethods.parse(json)
     val JString(name) = root \ "dag"

@@ -39,6 +39,10 @@ class SerializationSpec extends AnyFunSuite {
     assert(r1 == r2)
     // double round-trip is stable
     assert(DagJson.toJson(d2) == json)
+    // file round-trip
+    val f = java.io.File.createTempFile("graft_dag", ".json").getAbsolutePath
+    DagJson.save(d1, f)
+    assert(DagJson.load(f).nodeNames == d1.nodeNames)
   }
 
   test("round-trip covers joins, windows, dedup, similarity, streaming params") {
