@@ -16,13 +16,13 @@ object Analytics {
   def q45_pivot(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
     d.add(SourceNode.table(dir, "orders")) >>
       new PivotNode(Seq("o_orderstatus"), "o_orderpriority", priorities,
-        "sum(cast(o_totalprice as decimal(18,2)))") >>
+        "cast(sum(cast(o_totalprice as decimal(18,2))) as double)") >>
       SortNode("o_orderstatus") >>
       d.output("result")
   }
   val q45Sql: String = {
     val cases = priorities.map(p =>
-      s"""sum(CASE WHEN o_orderpriority = '$p' THEN cast(o_totalprice as decimal(18,2)) END) AS "$p"""")
+      s"""cast(sum(CASE WHEN o_orderpriority = '$p' THEN cast(o_totalprice as decimal(18,2)) END) as double) AS "$p"""")
       .mkString(",\n  ")
     s"""SELECT o_orderstatus,\n  $cases\nFROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
   }
@@ -62,7 +62,7 @@ object Analytics {
   def q48_resample(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
     d.add(SourceNode.table(dir, "events")) >>
       new ResampleNode("event_type", "ts", "day",
-        aggs = Seq("count(*) as n", "sum(cast(value as decimal(18,2))) as sum_v"),
+        aggs = Seq("count(*) as n", "cast(sum(cast(value as decimal(18,2))) as double) as sum_v"),
         fillZero = Seq("n")) >>
       SortNode("event_type", "bucket") >>
       d.output("result")
@@ -75,7 +75,7 @@ object Analytics {
       |       (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS bucket FROM b) gs),
       |agg AS (
       |  SELECT event_type, date_trunc('day', ts) AS bucket, count(*) AS n,
-      |         sum(cast(value as decimal(18,2))) AS sum_v
+      |         cast(sum(cast(value as decimal(18,2))) as double) AS sum_v
       |  FROM events GROUP BY 1, 2)
       |SELECT g.event_type, g.bucket, coalesce(a.n, 0) AS n, a.sum_v
       |FROM grid g LEFT JOIN agg a USING (event_type, bucket)
@@ -98,7 +98,7 @@ object Analytics {
   }
   val q49Sql: String =
     """SELECT vec_id % 4 AS grp, r.range AS pos,
-      |  sum(cast(floor(cast(embedding[r.range + 1] as double) * 16777216.0) as bigint)) AS sum_scaled,
+      |  cast(sum(cast(floor(cast(embedding[r.range + 1] as double) * 16777216.0) as bigint)) as bigint) AS sum_scaled,
       |  count(*) AS n
       |FROM embeddings, range(64) r
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
@@ -158,8 +158,8 @@ object Analytics {
        |      ORDER BY doc_id) AS rn
        |    FROM f) WHERE rn = 1)
        |SELECT lang, count(*) AS n_docs,
-       |  sum(cast(len($toks) as bigint)) AS total_tokens,
-       |  sum(cast(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]')) as bigint)) AS total_bpe
+       |  cast(sum(cast(len($toks) as bigint)) as bigint) AS total_tokens,
+       |  cast(sum(cast(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]')) as bigint)) as bigint) AS total_bpe
        |FROM s GROUP BY lang ORDER BY lang""".stripMargin
   }
 

@@ -75,7 +75,8 @@ object Extra {
     val cust = d.add(SourceNode.table(dir, "customer"))
     val ord = d.add(SourceNode.table(dir, "orders"))
     val bigOrders = ord >> FilterNode("o_totalprice > 300000") >>
-      AggNode(Seq("o_custkey"), "count(*) as n_big", "sum(cast(o_totalprice as decimal(18,2))) as big_total").named("big")
+      AggNode(Seq("o_custkey"), "count(*) as n_big",
+        "cast(sum(cast(o_totalprice as decimal(18,2))) as double) as big_total").named("big")
     val j = d.add(JoinNode.on("l.c_custkey = r.o_custkey", joinType = "full_outer"))
     cust("result") >> j("left"); bigOrders >> j("right")
     j >> ProjectNode("coalesce(c_custkey, o_custkey) as ck",
@@ -87,7 +88,7 @@ object Extra {
       |  coalesce(n_big, 0) AS n_big, big_total
       |FROM customer FULL OUTER JOIN (
       |  SELECT o_custkey, count(*) AS n_big,
-      |         sum(cast(o_totalprice as decimal(18,2))) AS big_total
+      |         cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS big_total
       |  FROM orders WHERE o_totalprice > 300000 GROUP BY o_custkey) b
       |ON c_custkey = o_custkey""".stripMargin
 
@@ -97,13 +98,13 @@ object Extra {
       AggNode.cube(Seq("l_returnflag", "l_linestatus"),
         "count(*) as n",
         "count(distinct l_suppkey) as n_supp",
-        "sum(cast(l_quantity as decimal(18,2))) as qty") >>
+        "cast(sum(cast(l_quantity as decimal(18,2))) as double) as qty") >>
       d.output("result")
   }
   val q34Sql: String =
     """SELECT l_returnflag, l_linestatus, count(*) AS n,
       |  count(DISTINCT l_suppkey) AS n_supp,
-      |  sum(cast(l_quantity as decimal(18,2))) AS qty
+      |  cast(sum(cast(l_quantity as decimal(18,2))) as double) AS qty
       |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
 
   // ---- q35: approx_count_distinct (HLL++ sketch; estimates are
@@ -130,7 +131,7 @@ object Extra {
   }
   val q36Sql: String =
     """SELECT l_returnflag,
-      |  sum(cast(round(l_extendedprice * 100) as bigint) * cast(l_quantity as bigint)) AS weighted_cents
+      |  cast(sum(cast(round(l_extendedprice * 100) as bigint) * cast(l_quantity as bigint)) as bigint) AS weighted_cents
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   // ---- q37: UDTF analogue — explode tokens, aggregate term frequencies ----
@@ -192,7 +193,7 @@ object Extra {
     val src = d.add(StreamSourceNode.table(dir, "events"))
     src >> new WatermarkNode("ts", "1 hour") >>
       new StreamWindowAggNode("ts", "1 hour", keys = Seq("event_type"),
-        aggs = Seq("count(*) as n", "sum(cast(value as decimal(18,2))) as sum_value")) >>
+        aggs = Seq("count(*) as n", "cast(sum(cast(value as decimal(18,2))) as double) as sum_value")) >>
       FnNode.map1("flatten") { df =>
         import org.apache.spark.sql.functions._
         df.select(col("window.start").as("ws"), col("event_type"), col("n"), col("sum_value"))
@@ -311,7 +312,7 @@ object Extra {
     val j = d.add(JoinNode.on("l.user_id = r.c_custkey", broadcastRight = true))
     ev >> j("left"); cust >> j("right")
     j >> new StreamWindowAggNode("ts", "6 hours", keys = Seq("c_mktsegment"),
-        aggs = Seq("count(*) as n", "sum(cast(value as decimal(18,2))) as sum_v")) >>
+        aggs = Seq("count(*) as n", "cast(sum(cast(value as decimal(18,2))) as double) as sum_v")) >>
       FnNode.map1("flatten") { df =>
         import org.apache.spark.sql.functions._
         df.select(col("window.start").as("ws"), col("c_mktsegment"), col("n"), col("sum_v"))
@@ -321,7 +322,7 @@ object Extra {
   }
   val q55Sql: String =
     """SELECT time_bucket(INTERVAL '6 hours', ts) AS ws, c_mktsegment,
-      |  count(*) AS n, sum(cast(value as decimal(18,2))) AS sum_v
+      |  count(*) AS n, cast(sum(cast(value as decimal(18,2))) as double) AS sum_v
       |FROM events JOIN customer ON user_id = c_custkey
       |GROUP BY 1, 2""".stripMargin
 

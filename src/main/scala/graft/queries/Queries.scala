@@ -22,23 +22,27 @@ object Queries {
 
   // --------------------------------------------------------------
   // q1_agg — TPC-H Q1 shape: scan → pushed filter → hash agg.
-  // Sums cast to decimal so Spark and DuckDB agree bit-for-bit
-  // (double summation order differs across engines).
+  // Sums accumulate in decimal (exact, order-independent) and the FINAL
+  // value is cast to double on BOTH engines: the exact sum's unscaled
+  // value stays below 2^53, so decimal→double is a single correct
+  // rounding of the same rational on each side → bit-identical float64.
+  // (Leaving the output as decimal fails the driver's hash: Spark parquet
+  // decimals keep trailing zeros, DuckDB's pandas path prints float64.)
   // --------------------------------------------------------------
   def q1_agg(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
     d.add(SourceNode.table(dir, "lineitem")) >>
       FilterNode("l_shipdate <= timestamp'1998-09-02 00:00:00'") >>
       new AggNode(Seq("l_returnflag", "l_linestatus"), Seq(
-        "sum(cast(l_quantity as decimal(18,2))) as sum_qty",
-        "sum(cast(l_extendedprice as decimal(18,2))) as sum_base_price",
+        "cast(sum(cast(l_quantity as decimal(18,2))) as double) as sum_qty",
+        "cast(sum(cast(l_extendedprice as decimal(18,2))) as double) as sum_base_price",
         "count(*) as count_order")) >>
       SortNode("l_returnflag", "l_linestatus") >>
       d.output("result")
   }
   val q1Sql: String =
     """SELECT l_returnflag, l_linestatus,
-      |  sum(cast(l_quantity as decimal(18,2))) AS sum_qty,
-      |  sum(cast(l_extendedprice as decimal(18,2))) AS sum_base_price,
+      |  cast(sum(cast(l_quantity as decimal(18,2))) as double) AS sum_qty,
+      |  cast(sum(cast(l_extendedprice as decimal(18,2))) as double) AS sum_base_price,
       |  count(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= timestamp '1998-09-02 00:00:00'

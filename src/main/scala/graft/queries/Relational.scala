@@ -32,14 +32,14 @@ object Relational {
 
     j4 >> FilterNode("r_name = 'ASIA' and o_orderdate >= date'1996-01-01' and o_orderdate < date'1998-01-01'") >>
       new AggNode(Seq("n_name"), Seq(
-        "sum(cast(l_extendedprice * (1 - l_discount) as decimal(18,4))) as revenue",
+        "cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(18,4))) as double) as revenue",
         "count(*) as n_items")) >>
       SortNode("revenue desc", "n_name") >>
       d.output("result")
   }
   val q2Sql: String =
     """SELECT n_name,
-      |  sum(cast(l_extendedprice * (1 - l_discount) as decimal(18,4))) AS revenue,
+      |  cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(18,4))) as double) AS revenue,
       |  count(*) AS n_items
       |FROM lineitem
       |JOIN orders   ON l_orderkey = o_orderkey
@@ -111,15 +111,16 @@ object Relational {
         "prev_price" -> "lag(o_totalprice, 1)",
         "run_spend" -> "sum(cast(o_totalprice as decimal(18,2)))"),
         frame = Some((Long.MinValue, 0L))) >>
+      WithColumnsNode("run_spend" -> "cast(run_spend as double)") >>
       ProjectNode("o_custkey", "o_orderkey", "prev_price", "run_spend") >>
       d.output("result")
   }
   val q7Sql: String =
     """SELECT o_custkey, o_orderkey,
       |  lag(o_totalprice, 1) OVER w AS prev_price,
-      |  sum(cast(o_totalprice as decimal(18,2))) OVER
+      |  cast(sum(cast(o_totalprice as decimal(18,2))) OVER
       |    (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
-      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_spend
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as double) AS run_spend
       |FROM orders
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)""".stripMargin
 
@@ -127,13 +128,13 @@ object Relational {
   def q8_rollup(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
     d.add(SourceNode.table(dir, "lineitem")) >>
       AggNode.rollup(Seq("l_returnflag", "l_linestatus"),
-        "sum(cast(l_quantity as decimal(18,2))) as sum_qty",
+        "cast(sum(cast(l_quantity as decimal(18,2))) as double) as sum_qty",
         "count(*) as n") >>
       d.output("result")
   }
   val q8Sql: String =
     """SELECT l_returnflag, l_linestatus,
-      |  sum(cast(l_quantity as decimal(18,2))) AS sum_qty, count(*) AS n
+      |  cast(sum(cast(l_quantity as decimal(18,2))) as double) AS sum_qty, count(*) AS n
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
 
   // ---- q9: distinct aggregates ----
@@ -213,8 +214,8 @@ object Relational {
         "price2" -> "cast(cast(o_totalprice as decimal(18,2)) * cast(o_totalprice as decimal(18,2)) as decimal(28,4))") >>
       AggNode(Seq("o_year", "o_month"),
         "count(*) as n_orders",
-        "sum(cast(o_totalprice as decimal(18,2))) as sum_price",
-        "sum(price2) as sum_price2",
+        "cast(sum(cast(o_totalprice as decimal(18,2))) as double) as sum_price",
+        "cast(sum(price2) as string) as sum_price2",
         "min(cast(o_orderdate as date)) as first_day") >>
       SortNode("o_year", "o_month") >>
       d.output("result")
@@ -222,8 +223,8 @@ object Relational {
   val q12Sql: String =
     """SELECT year(o_orderdate) AS o_year, month(o_orderdate) AS o_month,
       |  count(*) AS n_orders,
-      |  sum(cast(o_totalprice as decimal(18,2))) AS sum_price,
-      |  sum(cast(cast(o_totalprice as decimal(18,2)) * cast(o_totalprice as decimal(18,2)) as decimal(28,4))) AS sum_price2,
+      |  cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS sum_price,
+      |  cast(cast(sum(cast(cast(o_totalprice as decimal(18,2)) * cast(o_totalprice as decimal(18,2)) as decimal(28,4))) as decimal(38,4)) as varchar) AS sum_price2,
       |  min(cast(o_orderdate as date)) AS first_day
       |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
@@ -241,7 +242,7 @@ object Relational {
   }
   val q13Sql: String =
     """SELECT event_type, count(*) AS n,
-      |  sum(cast(json_extract_string(props, '$.k') as bigint)) AS sum_k,
+      |  cast(sum(cast(json_extract_string(props, '$.k') as bigint)) as bigint) AS sum_k,
       |  min(cast(json_extract_string(props, '$.k') as bigint)) AS min_k,
       |  max(cast(json_extract_string(props, '$.k') as bigint)) AS max_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
@@ -255,13 +256,13 @@ object Relational {
     ord >> j("left"); li >> j("right")
     j >> AggNode(Seq("o_orderpriority"),
         "count(*) as n_fast_items",
-        "sum(cast(l_quantity as decimal(18,2))) as qty") >>
+        "cast(sum(cast(l_quantity as decimal(18,2))) as double) as qty") >>
       SortNode("o_orderpriority") >>
       d.output("result")
   }
   val q14Sql: String =
     """SELECT o_orderpriority, count(*) AS n_fast_items,
-      |  sum(cast(l_quantity as decimal(18,2))) AS qty
+      |  cast(sum(cast(l_quantity as decimal(18,2))) as double) AS qty
       |FROM orders JOIN lineitem
       |  ON o_orderkey = l_orderkey
       | AND l_shipdate >= o_orderdate AND l_shipdate <= o_orderdate + INTERVAL 30 DAY
@@ -294,14 +295,15 @@ object Relational {
       FnNode.map1("tumble") { df =>
         import org.apache.spark.sql.functions._
         df.groupBy(window(col("ts"), "1 hour"), col("event_type"))
-          .agg(count(lit(1)).as("n"), sum(expr("cast(value as decimal(18,2))")).as("sum_value"))
+          .agg(count(lit(1)).as("n"),
+            expr("cast(sum(cast(value as decimal(18,2))) as double)").as("sum_value"))
           .select(col("window.start").as("ws"), col("event_type"), col("n"), col("sum_value"))
       } >>
       d.output("result")
   }
   val q16Sql: String =
     """SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS n,
-      |  sum(cast(value as decimal(18,2))) AS sum_value
+      |  cast(sum(cast(value as decimal(18,2))) as double) AS sum_value
       |FROM events GROUP BY 1, 2""".stripMargin
 
   // ---- q17: SqlNode (GROUPING SETS through raw SQL) ----
@@ -309,7 +311,7 @@ object Relational {
     val src = d.add(SourceNode.table(dir, "orders"))
     val sql = d.add(SqlNode(
       """SELECT o_orderstatus, o_orderpriority,
-        |  count(*) AS n, sum(cast(o_totalprice as decimal(18,2))) AS total
+        |  count(*) AS n, cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS total
         |FROM orders_v
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin,
       "orders_v"))
@@ -318,7 +320,7 @@ object Relational {
   }
   val q17Sql: String =
     """SELECT o_orderstatus, o_orderpriority,
-      |  count(*) AS n, sum(cast(o_totalprice as decimal(18,2))) AS total
+      |  count(*) AS n, cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS total
       |FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin
 
   val entries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
