@@ -38,9 +38,11 @@ object NodeRegistry {
     register("minhash_dedup")(p => new MinHashDedupNode(p.str("idCol"), p.str("textCol"),
       p.int("numHashes"), p.int("bands"), p.int("shingleN"), p.dbl("jaccardThreshold"), p.int("maxBucket"), p.boolOr("collapseExact", true)))
     register("simhash_dedup")(p => new SimHashDedupNode(p.str("idCol"), p.str("textCol"),
-      p.int("maxHamming"), p.int("chunks"), p.int("maxBucket"), p.boolOr("collapseExact", true)))
+      p.int("maxHamming"), p.int("chunks"), p.int("maxBucket"), p.boolOr("collapseExact", true),
+      p.boolOr("partialRecall", false)))
     register("ngram_jaccard")(p => new NgramJaccardNode(p.str("idCol"), p.str("textCol"),
-      p.int("shingleN"), p.dbl("threshold"), p.int("maxDocFreq"), p.dbl("maxDocFreqFraction")))
+      p.int("shingleN"), p.dbl("threshold"), p.int("maxDocFreq"), p.dbl("maxDocFreqFraction"),
+      Option(p.m.getOrElse("corpusSizeHint", null)).map(_.toString.toLong)))
     register("token_count")(p => new TokenCountNode(p.str("textCol")))
     register("lang_id")(p => new LangIdNode(p.str("textCol"),
       p.m("markers").asInstanceOf[Seq[Any]].map { case s: Seq[Any] @unchecked =>
@@ -52,7 +54,8 @@ object NodeRegistry {
     register("lsh_knn")(p => new LshKnnNode(p.int("k"), p.int("numPlanes"), p.int("tables"),
       p.str("idCol"), p.str("vecCol"), p.str("queryIdCol")))
     register("embedding_near_dup")(p => new EmbeddingNearDupNode(p.dbl("threshold"),
-      p.int("numPlanes"), p.int("tables"), p.str("idCol"), p.str("vecCol"), p.bool("bruteForce")))
+      p.int("numPlanes"), p.int("tables"), p.str("idCol"), p.str("vecCol"), p.bool("bruteForce"),
+      p.m.get("maxBruteRows").map(_.toString.toLong).getOrElse(200000L)))
     register("binary_payload")(p => new BinaryPayloadNode(p.str("srcCol"), p.str("outCol")))
     register("decode_image")(p => new DecodeImageStubNode(p.str("payloadCol")))
     register("resize_image")(p => new ResizeImageStubNode(p.int("targetW"), p.int("targetH")))

@@ -122,11 +122,19 @@ object MinHashDedupNode {
 
 /** Connected components over near-dup PAIRS → cluster ids, by iterative
   * min-label propagation: each node's label becomes the min of its own and
-  * its neighbors' labels until a fixed point. Iterations are full lazy plans
-  * with a localCheckpoint per round (truncates lineage — otherwise the plan
-  * doubles every iteration) and one count() action to test convergence.
-  * Diameter of near-dup clusters is tiny in practice (boilerplate families),
-  * so this converges in a handful of rounds; each round is one shuffle on id.
+  * its neighbors' labels until a fixed point. Diameter of near-dup clusters
+  * is tiny in practice (boilerplate families), so this converges in a
+  * handful of rounds.
+  *
+  * Cost shape per round = ONE materializing action (the eager
+  * localCheckpoint, which also truncates lineage — otherwise the plan
+  * doubles every iteration). Convergence detection rides inside the
+  * checkpointed frame as a `__changed` flag, so the follow-up count() only
+  * reads already-cached blocks instead of re-running a join (the per-round
+  * compare-join was the dominant cost at local[32]). Edges are hash-
+  * partitioned on the join key `b` ONCE and persisted, so every round's
+  * propagate-join reuses that layout and only the (small) labels side
+  * shuffles.
   */
 class ConnectedComponentsNode(idA: String = "id_a", idB: String = "id_b", maxIter: Int = 15)
   extends Node {
@@ -138,8 +146,13 @@ class ConnectedComponentsNode(idA: String = "id_a", idB: String = "id_b", maxIte
   override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
     import org.apache.spark.sql.functions.{least, min}
     val pairs = in("pairs").select(col(idA).as("a"), col(idB).as("b"))
-    // undirected adjacency, both directions
-    val edges = pairs.union(pairs.select(col("b").as("a"), col("a").as("b"))).persist()
+    // undirected adjacency, both directions; partitioned by the join key so
+    // the per-round join never re-shuffles the edge set (matches the shuffle
+    // partition count the labels side arrives with)
+    val np = ctx.spark.sessionState.conf.numShufflePartitions
+    val edges = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
+      .repartition(np, col("b"))
+      .persist()
     var labels = edges.select(col("a").as("id"), col("a").as("label"))
       .union(edges.select(col("b").as("id"), col("b").as("label")))
       .groupBy("id").agg(min("label").as("label"))
@@ -150,11 +163,11 @@ class ConnectedComponentsNode(idA: String = "id_a", idB: String = "id_b", maxIte
       val neighborMin = edges.join(labels, edges("b") === labels("id"))
         .groupBy(edges("a").as("id")).agg(min("label").as("nlabel"))
       val updated = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"), least(col("label"), col("nlabel")).as("label"))
+        .select(col("id"), least(col("label"), col("nlabel")).as("label"),
+          (col("nlabel") < col("label")).as("__changed"))
         .localCheckpoint()
-      val changes = updated.alias("u").join(labels.alias("o"), "id")
-        .filter(col("u.label") =!= col("o.label")).count()
-      labels = updated
+      val changes = updated.filter(col("__changed")).count() // cached-read only
+      labels = updated.drop("__changed")
       converged = changes == 0
       iter += 1
     }
@@ -183,25 +196,41 @@ class DedupSurvivorsNode(idCol: String = "doc_id") extends Node {
 
 /** SimHash near-duplicate pairs: 64-bit simhash from token xxhash64s (each
   * bit = sign of the token-vote sum), candidate pairs share at least one of
-  * `chunks` 16-bit chunks (pigeonhole: hamming <= chunks-1 guarantees a
-  * shared chunk), verified with `bit_count(xor) <= maxHamming`. Same
-  * shuffle shape as MinHash; signature is one narrow map.
+  * `chunks` bit-chunks (pigeonhole: hamming <= chunks-1 guarantees a shared
+  * chunk), verified with `bit_count(xor) <= maxHamming`. Same shuffle shape
+  * as MinHash; signature is one narrow map.
+  *
+  * Recall contract: full recall for pairs at hamming <= maxHamming REQUIRES
+  * chunks >= maxHamming + 1. `chunks = 0` (default) auto-derives exactly
+  * that; an explicit smaller value must opt in via `partialRecall = true`
+  * (pairs beyond hamming chunks-1 are then found only if they happen to
+  * share a chunk). Manku et al. (WWW'07) use maxHamming = 3 on 64-bit
+  * fingerprints — the default here.
   */
 class SimHashDedupNode(
     val idCol: String = "doc_id",
     val textCol: String = "text",
     val maxHamming: Int = 3,
-    val chunks: Int = 4,
+    val chunks: Int = 0, // 0 = auto (maxHamming + 1, exact-recall pigeonhole)
     val maxBucket: Int = 1000, // drop pathological chunk buckets (quadratic pair guard)
-    val collapseExact: Boolean = true) // collapse byte-identical texts first (see MinHashDedupNode)
+    val collapseExact: Boolean = true, // collapse byte-identical texts first (see MinHashDedupNode)
+    val partialRecall: Boolean = false) // required opt-in for chunks <= maxHamming
   extends Node {
+  private val effChunks = if (chunks == 0) maxHamming + 1 else chunks
+  require(effChunks >= 1 && effChunks <= 64, s"chunks must be in [1, 64], got $effChunks")
+  require(effChunks > maxHamming || partialRecall,
+    s"chunks=$effChunks cannot guarantee recall at maxHamming=$maxHamming " +
+      "(pigeonhole needs chunks > maxHamming); pass partialRecall=true to accept misses")
   override protected def defaultName: String = "simhash_dedup"
   val inputs = Seq(Port("df"))
   val outputs = Seq(Port("result"))
   override def jsonKind: Option[String] = Some("simhash_dedup")
-  override def jsonParams: Map[String, Any] = Map("idCol" -> idCol, "textCol" -> textCol, "maxHamming" -> maxHamming, "chunks" -> chunks, "maxBucket" -> maxBucket, "collapseExact" -> collapseExact)
+  override def jsonParams: Map[String, Any] = Map("idCol" -> idCol, "textCol" -> textCol, "maxHamming" -> maxHamming, "chunks" -> chunks, "maxBucket" -> maxBucket, "collapseExact" -> collapseExact, "partialRecall" -> partialRecall)
   override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
     val toks = TextExprs.tokensExpr(textCol)
+    val chunks = effChunks
+    // uneven split is fine: chunks * chunkBits may cover < 64 bits; bits past
+    // the covered range never force a mismatch, so recall is preserved
     val chunkBits = 64 / chunks
     val chunkArr =
       s"transform(sequence(0, ${chunks - 1}), c -> (__simhash >> (c * $chunkBits)) & ${(1L << chunkBits) - 1}L)"
@@ -245,13 +274,14 @@ class NgramJaccardNode(
     val shingleN: Int = 2,
     val threshold: Double = 0.3,
     val maxDocFreq: Int = 20,          // absolute floor for the DF cap
-    val maxDocFreqFraction: Double = 0.02) // effective cap = max(floor, fraction*N)
+    val maxDocFreqFraction: Double = 0.02, // effective cap = max(floor, fraction*N)
+    val corpusSizeHint: Option[Long] = None) // known N skips the sizing count entirely
   extends Node {
   override protected def defaultName: String = "ngram_jaccard"
   val inputs = Seq(Port("df"))
   val outputs = Seq(Port("result"))
   override def jsonKind: Option[String] = Some("ngram_jaccard")
-  override def jsonParams: Map[String, Any] = Map("idCol" -> idCol, "textCol" -> textCol, "shingleN" -> shingleN, "threshold" -> threshold, "maxDocFreq" -> maxDocFreq, "maxDocFreqFraction" -> maxDocFreqFraction)
+  override def jsonParams: Map[String, Any] = Map("idCol" -> idCol, "textCol" -> textCol, "shingleN" -> shingleN, "threshold" -> threshold, "maxDocFreq" -> maxDocFreq, "maxDocFreqFraction" -> maxDocFreqFraction, "corpusSizeHint" -> corpusSizeHint.map(_.toString).orNull)
   override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
     val toks = TextExprs.tokensExpr(textCol)
     // persist: consumed three times (inverted index + both verify joins);
@@ -269,8 +299,12 @@ class NgramJaccardNode(
     // buckets and carry no signal — the standard prefix/df filter
     // DF cap must scale with corpus size: an absolute cap silently zeroes
     // the blocking under k-way duplication (every shingle's DF multiplies by
-    // k). One cheap count() sizes the corpus.
-    val dfCap = math.max(maxDocFreq.toLong, math.ceil(maxDocFreqFraction * docs.count()).toLong)
+    // k). At 100 TB pass corpusSizeHint (catalog stats / a prior listener
+    // count) to avoid the sizing action; without a hint the count() doubles
+    // as the materialization of the persisted `docs` frame, which the three
+    // downstream consumers reuse — not an extra pass over the raw input.
+    val n = corpusSizeHint.getOrElse(docs.count())
+    val dfCap = math.max(maxDocFreq.toLong, math.ceil(maxDocFreqFraction * n).toLong)
     val rare = inverted.groupBy("shingle").count().filter(col("count") <= dfCap).select("shingle")
     val blocked = inverted.join(rare, Seq("shingle"))
     val pairs = blocked.as("a").join(blocked.as("b"), Seq("shingle"))

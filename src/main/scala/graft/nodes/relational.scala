@@ -51,9 +51,18 @@ class SourceNode(val path: String, val format: String = "parquet", val columns: 
   override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
     // Parquet TIMESTAMP(NANOS) is unreadable by Spark natively; read as
     // epoch-nanos long, then convert declared columns to micros timestamps.
-    if (nanosTsCols.nonEmpty)
-      ctx.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df0 = ctx.spark.read.format(format).load(path)
+    // The nanosAsLong flag is a session conf consulted at scan time, so it is
+    // set on a CLONED session (shared SparkContext, isolated SQLConf) — the
+    // caller's session is never mutated, and concurrent DAGs on the shared
+    // session are unaffected.
+    val readSession =
+      if (nanosTsCols.isEmpty) ctx.spark
+      else {
+        val s = ctx.spark.newSession()
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        s
+      }
+    val df0 = readSession.read.format(format).load(path)
     val df = nanosTsCols.foldLeft(df0)((d, c) =>
       d.withColumn(c, expr(s"timestamp_micros($c div 1000)")))
     Map("result" -> (if (columns.nonEmpty) df.select(columns.map(col): _*) else df))

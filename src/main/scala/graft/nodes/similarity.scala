@@ -195,7 +195,11 @@ class IvfKnnNode(
 /** Embedding-cosine near-duplicate pairs above a threshold. Blocking via the
   * same hyperplane LSH (pairs must share a full signature in some table) keeps
   * the pair space sub-quadratic; exact cosine verifies. `bruteForce = true`
-  * bypasses blocking (exact answer, only for small/verification runs).
+  * bypasses blocking (exact answer, only for small/verification runs) — the
+  * resulting self-join is quadratic, so it is guarded by `maxBruteRows`: the
+  * node counts the input and refuses to run past the cap rather than silently
+  * launching a scale-killing cartesian (the count is one skinny pass over an
+  * input that is small by contract).
   */
 class EmbeddingNearDupNode(
     val threshold: Double = 0.95,
@@ -203,13 +207,14 @@ class EmbeddingNearDupNode(
     val tables: Int = 6,
     val idCol: String = "vec_id",
     val vecCol: String = "embedding",
-    val bruteForce: Boolean = false)
+    val bruteForce: Boolean = false,
+    val maxBruteRows: Long = 200000L)
   extends Node {
   override protected def defaultName: String = "embedding_near_dup"
   val inputs = Seq(Port("df"))
   val outputs = Seq(Port("result"))
   override def jsonKind: Option[String] = Some("embedding_near_dup")
-  override def jsonParams: Map[String, Any] = Map("threshold" -> threshold, "numPlanes" -> numPlanes, "tables" -> tables, "idCol" -> idCol, "vecCol" -> vecCol, "bruteForce" -> bruteForce)
+  override def jsonParams: Map[String, Any] = Map("threshold" -> threshold, "numPlanes" -> numPlanes, "tables" -> tables, "idCol" -> idCol, "vecCol" -> vecCol, "bruteForce" -> bruteForce, "maxBruteRows" -> maxBruteRows)
   override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
     VecExprs.ensure(ctx.spark)
     val base = in("df")
@@ -217,6 +222,12 @@ class EmbeddingNearDupNode(
       .withColumn("__norm", expr(VecExprs.norm("__v")))
     val pairs =
       if (bruteForce) {
+        val n = in("df").select(col(idCol)).count()
+        if (n > maxBruteRows)
+          throw new GraftException(
+            s"EmbeddingNearDupNode(bruteForce=true) refused: input has $n rows > " +
+              s"maxBruteRows=$maxBruteRows — the quadratic self-join would launch " +
+              "a cartesian at scale; use LSH blocking (bruteForce=false) or raise the cap explicitly")
         val a = base.select(col(idCol).as("id_a"), col("__v").as("va"), col("__norm").as("na"))
         val b = base.select(col(idCol).as("id_b"), col("__v").as("vb"), col("__norm").as("nb"))
         a.join(b, col("id_a") < col("id_b"))

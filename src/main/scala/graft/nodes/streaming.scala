@@ -28,9 +28,16 @@ class StreamSourceNode(val path: String, val format: String = "parquet",
   override def jsonKind: Option[String] = Some("stream_source")
   override def jsonParams: Map[String, Any] = Map("path" -> path, "format" -> format, "nanosTsCols" -> nanosTsCols)
   override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
-    if (nanosTsCols.nonEmpty)
-      ctx.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = ctx.spark.read.format(format).load(path).schema
+    // Same session-conf isolation as SourceNode: nanosAsLong is set on a
+    // CLONED session so the shared session is never mutated.
+    val readSession =
+      if (nanosTsCols.isEmpty) ctx.spark
+      else {
+        val s = ctx.spark.newSession()
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        s
+      }
+    val schema = readSession.read.format(format).load(path).schema
     // File-stream sources require a DIRECTORY; stage single files behind a
     // temp dir with a symlink (no data copy).
     val streamPath = {
@@ -42,7 +49,7 @@ class StreamSourceNode(val path: String, val format: String = "parquet",
         dir.toString
       } else path
     }
-    val df0 = ctx.spark.readStream.format(format).schema(schema).load(streamPath)
+    val df0 = readSession.readStream.format(format).schema(schema).load(streamPath)
     val df = nanosTsCols.foldLeft(df0)((d, c) =>
       d.withColumn(c, expr(s"timestamp_micros($c div 1000)")))
     Map("result" -> df)
@@ -149,6 +156,8 @@ class StreamRunNode(val queryName: String, val outputMode: String = "append",
       .start()
     q.awaitTermination(timeoutMs)
     if (q.isActive) q.stop()
-    Map("result" -> ctx.spark.table(queryName))
+    // the memory sink registers its table in the session that OWNS the
+    // streaming frame (which may be a per-source clone — see StreamSourceNode)
+    Map("result" -> in("df").sparkSession.table(queryName))
   }
 }

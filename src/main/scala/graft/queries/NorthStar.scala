@@ -86,7 +86,9 @@ object NorthStar {
   }
   def q26_simhash_dedup(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
     d.add(SourceNode.table(dir, "documents")) >>
-      new SimHashDedupNode(maxHamming = 8) >>
+      // maxHamming=3 on 64-bit fingerprints is the standard near-dup radius
+      // (Manku et al., WWW'07); chunks auto-derive to 4 → exact recall
+      new SimHashDedupNode(maxHamming = 3) >>
       d.output("result")
   }
   def q27_ngram_jaccard(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>

@@ -69,13 +69,46 @@ class NodesSpec extends AnyFunSuite {
 
   test("SimHashDedupNode: near-dup pair survives; dup and unrelated docs excluded") {
     val rows = runOne { d =>
-      // chunks=8 → pigeonhole guarantees candidate generation up to hamming 7;
+      // chunks auto-derives to maxHamming+1 = 9 → full recall up to hamming 8;
       // the perturbed pair measures hamming 6 with these fixed hashes
-      d.add(srcNode(longDocs)) >> new SimHashDedupNode(maxHamming = 8, chunks = 8) >> d.output("result")
+      d.add(srcNode(longDocs)) >> new SimHashDedupNode(maxHamming = 8) >> d.output("result")
     }.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
     assert(rows.exists(r => r._1 == 1L && r._2 == 3L && r._3 <= 8))
     assert(!rows.exists(r => r._1 == 2L || r._2 == 2L))
     assert(!rows.exists(r => r._1 == 4L || r._2 == 4L))
+  }
+
+  test("SimHashDedupNode rejects chunks <= maxHamming unless partialRecall") {
+    intercept[IllegalArgumentException] {
+      new SimHashDedupNode(maxHamming = 8, chunks = 4)
+    }
+    new SimHashDedupNode(maxHamming = 8, chunks = 4, partialRecall = true) // opt-in ok
+  }
+
+  test("SimHashDedupNode finds EVERY pair within maxHamming (vs brute force)") {
+    // 30 docs drawn from two boilerplate families plus noise words — a crafted
+    // corpus with real sub-maxHamming pairs; verify node output == exhaustive
+    // hamming self-join on the same simhash values
+    graft.functions.VecFunctions.register(spark)
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val corpus = (0L until 30L).map { i =>
+      val fam = if (i % 2 == 0) base else (50 to 80).map(j => s"alt$j").mkString(" ")
+      (i, fam + " " + s"extra${i / 6}") // small per-group perturbation
+    }.toDF("doc_id", "text")
+    val h = 6
+    val node = new SimHashDedupNode(maxHamming = h, collapseExact = false, maxBucket = 10000)
+    val got = runOne { d =>
+      d.add(srcNode(corpus)) >> node >> d.output("result")
+    }.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val toks = TextExprs.tokensExpr("text")
+    val signed = corpus.withColumn("__toks", expr(toks))
+      .select(col("doc_id"), expr("simhash64(__toks)").as("sh"))
+    val want = signed.as("a").join(signed.as("b"),
+        col("a.doc_id") < col("b.doc_id") &&
+          expr("bit_count(a.sh ^ b.sh)") <= h)
+      .select(col("a.doc_id"), col("b.doc_id")).as[(Long, Long)].collect().toSet
+    assert(want.nonEmpty, "crafted corpus must contain sub-threshold pairs")
+    assert(got == want)
   }
 
   test("BruteForceKnnNode: rank 1 is the vector itself (cosine 1.0)") {
