@@ -365,19 +365,32 @@ final class Dag(val dagName: String = "dag") {
     listeners.foreach(_.onRunStart(ctx.runId, this))
     try {
       topoOrder.foreach { n =>
-        // gather inputs: dag binds first (bind order), then edges (insertion order)
-        val acc = mutable.LinkedHashMap[String, mutable.ArrayBuffer[DataFrame]]()
+        // gather inputs: dag binds first (bind order), then edges (insertion
+        // order); each payload is tagged with its origin name, and keyed
+        // variadic ports reject duplicate origins (reference duplicate-kwarg
+        // error, _handle_var_key, mldag.py:150-155)
+        val acc = mutable.LinkedHashMap[String, mutable.ArrayBuffer[(String, DataFrame)]]()
+        val keyedPorts = n.inputs.filter(_.keyed).map(_.name).toSet
+        def put(port: String, origin: String, df: DataFrame): Unit = {
+          val buf = acc.getOrElseUpdate(port, mutable.ArrayBuffer())
+          if (keyedPorts(port) && buf.exists(_._1 == origin))
+            throw new SlotException(
+              s"duplicate keyed payload '$origin' for port '${n.name}.$port'")
+          buf += ((origin, df))
+        }
         inputBinds.filter(_.node == n.name).foreach { b =>
           bindings.get(b.inName).foreach { dfs =>
-            acc.getOrElseUpdate(b.port, mutable.ArrayBuffer()) ++= dfs
+            dfs.zipWithIndex.foreach { case (df, i) =>
+              put(b.port, if (dfs.size == 1) b.inName else s"${b.inName}$i", df)
+            }
           }
         }
         edges.filter(_.to == n.name).foreach { e =>
           nodeOutputs.get(e.from).flatMap(_.get(e.fromPort)).foreach { df =>
-            acc.getOrElseUpdate(e.toPort, mutable.ArrayBuffer()) ++= Seq(df)
+            put(e.toPort, e.from, df)
           }
         }
-        val in = In(acc.map { case (k, v) => k -> v.toSeq }.toMap)
+        val in = In.tagged(acc.map { case (k, v) => k -> v.toSeq }.toMap)
         try {
           if (doFit) {
             listeners.foreach(_.beforeFit(n, ctx))

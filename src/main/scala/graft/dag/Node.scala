@@ -150,6 +150,12 @@ object FnNode {
   def mapMany(base: String)(f: Seq[DataFrame] => DataFrame): FnNode =
     new FnNode(Seq(Port("dfs", variadic = true)), Seq(Port("result")),
       (_, in) => Map("result" -> f(in.seq("dfs"))), base)
+  /** Keyed variadic fan-in: payloads arrive as upstream-name -> DataFrame,
+    * duplicate keys rejected at delivery (reference `_handle_var_key` /
+    * `**kwargs`, mldag.py:131-165). */
+  def mapKeyed(base: String)(f: Map[String, DataFrame] => DataFrame): FnNode =
+    new FnNode(Seq(Port("dfs", variadic = true, keyed = true)), Seq(Port("result")),
+      (_, in) => Map("result" -> f(in.keyed("dfs"))), base)
 }
 
 /** Typed stage: `Dataset[A] => Dataset[B]` with case-class Encoders — the

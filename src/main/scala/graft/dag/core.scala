@@ -8,9 +8,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (/root/reference/mldag/utils.py:28-33) — but declared explicitly instead of
   * introspected from Python signatures (SURVEY.md §1.3). `variadic` ports
   * accumulate every upstream payload into a Seq (reference `*args` fan-in,
-  * /root/reference/mldag/mldag.py:99-128).
+  * /root/reference/mldag/mldag.py:99-128). `keyed` variadic ports accumulate
+  * payloads into a name->payload map keyed by the upstream node (or dag-input)
+  * name, rejecting duplicate keys (reference `**kwargs` fan-in,
+  * `_handle_var_key`, /root/reference/mldag/mldag.py:131-165).
   */
-final case class Port(name: String, variadic: Boolean = false, required: Boolean = true)
+final case class Port(name: String, variadic: Boolean = false, required: Boolean = true,
+                      keyed: Boolean = false) {
+  require(!keyed || variadic, s"port '$name': keyed ports must be variadic")
+}
 
 /** Per-run context handed to every node invocation. */
 final case class Ctx(spark: SparkSession, runId: String)
@@ -19,27 +25,40 @@ object Ctx {
 }
 
 /** Payloads delivered to one node invocation: port name -> accumulated
-  * upstream values (edge-insertion order). The reference's equivalent is the
-  * `{slot: value}` dict built by `_populate_node_inputs`
+  * upstream values (edge-insertion order), each tagged with the name of the
+  * upstream node (or dag input) that produced it. The reference's equivalent
+  * is the `{slot: value}` dict built by `_populate_node_inputs`
   * (/root/reference/mldag/mldag.py:255-300).
   */
-final class In(private val m: Map[String, Seq[DataFrame]]) {
+final class In(private val m: Map[String, Seq[(String, DataFrame)]]) {
   /** The single payload bound to `port`; errors on 0 or >1 (use seq for variadics). */
   def apply(port: String): DataFrame = m.get(port) match {
-    case Some(Seq(df)) => df
+    case Some(Seq((_, df))) => df
     case Some(s) if s.nonEmpty =>
       throw new SlotException(s"port '$port' received ${s.size} payloads; read it with seq()")
     case _ => throw new SlotException(s"no payload bound to port '$port' (bound: ${m.keySet.mkString(", ")})")
   }
-  def seq(port: String): Seq[DataFrame] = m.getOrElse(port, Nil)
-  def get(port: String): Option[DataFrame] = m.get(port).flatMap(_.headOption)
+  def seq(port: String): Seq[DataFrame] = m.getOrElse(port, Nil).map(_._2)
+  /** Keyed variadic view: upstream name -> payload, insertion-ordered.
+    * Duplicate keys are rejected at accumulation time (Dag.run), mirroring
+    * the reference's duplicate-kwarg error (mldag.py:150-155).
+    */
+  def keyed(port: String): Map[String, DataFrame] = {
+    val entries = m.getOrElse(port, Nil)
+    scala.collection.immutable.ListMap(entries: _*)
+  }
+  def get(port: String): Option[DataFrame] = m.get(port).flatMap(_.headOption).map(_._2)
   def ports: Set[String] = m.keySet
-  def toMap: Map[String, Seq[DataFrame]] = m
+  def toMap: Map[String, Seq[DataFrame]] = m.map { case (k, v) => k -> v.map(_._2) }
 }
 object In {
   val empty = new In(Map.empty)
-  def apply(m: Map[String, Seq[DataFrame]]): In = new In(m)
-  def single(pairs: (String, DataFrame)*): In = new In(pairs.map { case (k, v) => k -> Seq(v) }.toMap)
+  /** Payloads without meaningful origin names get positional keys. */
+  def apply(m: Map[String, Seq[DataFrame]]): In =
+    new In(m.map { case (k, v) => k -> v.zipWithIndex.map { case (df, i) => (i.toString, df) } })
+  def tagged(m: Map[String, Seq[(String, DataFrame)]]): In = new In(m)
+  def single(pairs: (String, DataFrame)*): In =
+    new In(pairs.map { case (k, v) => k -> Seq((k, v)) }.toMap)
 }
 
 /** Root exception (reference `MldagException`, /root/reference/mldag/exceptions.py:1-3). */

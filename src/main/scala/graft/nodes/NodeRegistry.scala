@@ -25,6 +25,7 @@ object NodeRegistry {
     register("top_k")(p => new TopKNode(p.int("k"), p.strs("sortExprs")))
     register("union")(p => new UnionNode(p.bool("byName"), p.bool("distinct"), p.boolOr("allowMissingColumns", false)))
     register("set_op")(p => new SetOpNode(p.str("op")))
+    register("tagged_union")(p => new TaggedUnionNode(p.str("keyCol"), p.boolOr("allowMissingColumns", false)))
     register("distinct")(p => new DistinctNode(p.strs("cols")))
     register("sql")(p => new SqlNode(p.str("sql"), p.strs("ports")))
     register("repartition")(p => new RepartitionNode(p.int("n"), p.strs("byCols"), p.bool("coalesce")))

@@ -264,6 +264,30 @@ class UnionNode(val byName: Boolean = true, val distinct: Boolean = false,
   }
 }
 
+/** Keyed variadic fan-in (the relational analogue of the reference's
+  * `**kwargs` accumulation, `_handle_var_key`, mldag.py:131-165): every
+  * upstream payload arrives keyed by its node name — duplicate keys error at
+  * wiring-delivery time — and the union tags each row with its source key in
+  * `keyCol` (provenance for merged corpora). Column sets may differ across
+  * sources when `allowMissingColumns`.
+  */
+class TaggedUnionNode(val keyCol: String = "source",
+                      val allowMissingColumns: Boolean = false) extends Node {
+  override protected def defaultName: String = "tagged_union"
+  val inputs = Seq(Port("dfs", variadic = true, keyed = true))
+  val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("tagged_union")
+  override def jsonParams: Map[String, Any] = Map("keyCol" -> keyCol, "allowMissingColumns" -> allowMissingColumns)
+  override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
+    val dfs = in.keyed("dfs")
+    if (dfs.isEmpty) throw new GraftException("TaggedUnionNode received no inputs")
+    val tagged = dfs.map { case (k, df) =>
+      df.withColumn(keyCol, org.apache.spark.sql.functions.lit(k))
+    }
+    Map("result" -> tagged.reduce(_.unionByName(_, allowMissingColumns)))
+  }
+}
+
 class SetOpNode(val op: String) extends Node { // intersect | intersectAll | except | exceptAll
   override protected def defaultName: String = op.toLowerCase
   val inputs = Seq(Port("left"), Port("right"))

@@ -323,6 +323,63 @@ object Relational {
       |  count(*) AS n, cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS total
       |FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin
 
+  // ---- q58: sink round-trip — write partitioned parquet through SinkNode,
+  // read it back through a scan, aggregate with partition pruning. The sink
+  // write happens eagerly inside SinkNode.transform, and the readback node
+  // consumes the sink's passthrough port, so topo order guarantees
+  // write-before-read (the one place order-only dependencies matter under
+  // lazy evaluation — SURVEY.md §1.2). Oracle = the same rows straight from
+  // the source table, so the driver verifies the write+read cycle preserves
+  // data and partition-column values exactly.
+  def q58_sink_roundtrip(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
+    val sinkPath = s"${sys.props("java.io.tmpdir")}/graft_q58_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    val src = d.add(SourceNode.table(dir, "orders"))
+    val sink = d.add(new SinkNode(sinkPath, partitionBy = Seq("o_orderpriority")))
+    src >> FilterNode("o_totalprice > 200000") >> sink("df")
+    val readback = d.add(new FnNode(Seq(Port("df")), Seq(Port("result")),
+      (ctx, _) => Map("result" -> ctx.spark.read.parquet(sinkPath)), "readback"))
+    sink >> readback("df") // order-only dependency: read after write
+    readback >>
+      FilterNode("o_orderpriority in ('1-URGENT', '2-HIGH')") >> // partition pruning
+      AggNode(Seq("o_orderpriority"),
+        "count(*) as n",
+        "cast(sum(cast(o_totalprice as decimal(18,2))) as double) as total") >>
+      SortNode("o_orderpriority") >>
+      d.output("result")
+  }
+  val q58Sql: String =
+    """SELECT o_orderpriority, count(*) AS n,
+      |  cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS total
+      |FROM orders
+      |WHERE o_totalprice > 200000 AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ---- q59: keyed variadic fan-in (**kwargs analogue) — two source nodes
+  // merge through TaggedUnionNode, each row tagged with its upstream node's
+  // name; the tag keys come from the DAG wiring, not the data ----
+  def q59_tagged_union(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
+    val ord = d.add(SourceNode.table(dir, "orders"))
+    val big = ord >> FilterNode("o_totalprice > 300000") >>
+      ProjectNode("o_orderkey", "o_totalprice").named("big_spend")
+    val urgent = ord("result") >> FilterNode("o_orderpriority = '1-URGENT'").named("f_urgent") >>
+      ProjectNode("o_orderkey", "o_totalprice").named("urgent")
+    val u = d.add(new TaggedUnionNode())
+    big >> u("dfs"); urgent >> u("dfs")
+    u >> AggNode(Seq("source"),
+        "count(*) as n",
+        "cast(sum(cast(o_totalprice as decimal(18,2))) as double) as total") >>
+      SortNode("source") >>
+      d.output("result")
+  }
+  val q59Sql: String =
+    """SELECT source, count(*) AS n,
+      |  cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS total
+      |FROM (
+      |  SELECT 'big_spend' AS source, o_totalprice FROM orders WHERE o_totalprice > 300000
+      |  UNION ALL
+      |  SELECT 'urgent' AS source, o_totalprice FROM orders WHERE o_orderpriority = '1-URGENT')
+      |GROUP BY source ORDER BY source""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q2_join_star", q2_join_star _, q2Sql),
     ("q3_topk", q3_topk _, q3Sql),
@@ -340,5 +397,7 @@ object Relational {
     ("q15_asof_join", q15_asof_join _, q15Sql),
     ("q16_tumbling_window", q16_tumbling_window _, q16Sql),
     ("q17_grouping_sets", q17_grouping_sets _, q17Sql),
+    ("q58_sink_roundtrip", q58_sink_roundtrip _, q58Sql),
+    ("q59_tagged_union", q59_tagged_union _, q59Sql),
   )
 }

@@ -75,6 +75,49 @@ class DagSpec extends AnyFunSuite {
     assert(out.count() == 6)
   }
 
+  test("keyed variadic port delivers upstream-name -> payload map (**kwargs fan-in)") {
+    val d = new Dag()
+    val s1 = d.add(FnNode.map1("alpha")(_ => df1))
+    val s2 = d.add(FnNode.map1("beta")(_ => df1.withColumn("id", col("id") + 10)))
+    d.setInput(s1, Some("in"), Some("df")); d.setInput(s2, Some("in"), Some("df"))
+    var seenKeys: Seq[String] = Nil
+    val merge = d.add(FnNode.mapKeyed("merge") { dfs =>
+      seenKeys = dfs.keys.toSeq
+      dfs.map { case (k, df) => df.withColumn("src", lit(k)) }
+        .reduce(_ unionByName _)
+    })
+    s1 >> merge("dfs"); s2 >> merge("dfs")
+    merge >> d.output("result")
+    val out = d.transform(ctx, Map("in" -> df1))("result")
+    assert(seenKeys == Seq("alpha", "beta")) // insertion order, named by upstream
+    assert(out.count() == 6)
+    assert(out.select("src").distinct().as[String].collect().toSet == Set("alpha", "beta"))
+  }
+
+  test("keyed variadic port rejects duplicate keys (reference duplicate-kwarg error)") {
+    val d = new Dag()
+    val s1 = d.add(FnNode.map1("alpha")(_ => df1))
+    d.setInput(s1, Some("in"), Some("df"))
+    val merge = d.add(FnNode.mapKeyed("merge")(dfs => dfs.values.reduce(_ union _)))
+    s1 >> merge("dfs"); s1 >> merge("dfs") // same upstream twice -> duplicate key
+    merge >> d.output("result")
+    val e = intercept[GraftException](d.transform(ctx, Map("in" -> df1)))
+    assert(e.getMessage.contains("duplicate keyed payload 'alpha'"))
+  }
+
+  test("TaggedUnionNode tags rows with their source node name") {
+    val d = new Dag()
+    val a = d.add(FnNode.map1("big")(_ => df1.filter(col("id") >= 2)))
+    val b = d.add(FnNode.map1("small")(_ => df1.filter(col("id") < 2)))
+    d.setInput(a, Some("in"), Some("df")); d.setInput(b, Some("in"), Some("df"))
+    val u = d.add(new nodes.TaggedUnionNode())
+    a >> u("dfs"); b >> u("dfs")
+    u >> d.output("result")
+    val out = d.transform(ctx, Map("in" -> df1))("result")
+    assert(out.groupBy("source").count().as[(String, Long)].collect().toMap ==
+      Map("big" -> 2L, "small" -> 1L))
+  }
+
   // ---------------- structure ----------------
 
   test("topo order respects data edges and order-only deps; cycle throws") {
