@@ -145,30 +145,93 @@ object DagJson {
   }
 }
 
-/** DOT rendering — the cheap equivalent of the reference's graphviz display
-  * (/root/reference/mldag/display.py:17-358): node boxes, labeled slot edges,
-  * dashed order-only dependency edges, dag inputs/outputs as ovals.
+/** DOT rendering — the equivalent of the reference's graphviz display
+  * (/root/reference/mldag/display.py:17-358): record-shaped node boxes with
+  * input/output PORT ROWS (display.py's HTML-table rows, rendered as graphviz
+  * record fields so edges can anchor on their slots), nested SubDagNodes as
+  * `cluster_` subgraphs with their own dag-input/output port ovals
+  * (display.py:120-200 path-prefixed recursion), dashed order-only dependency
+  * edges, and dag inputs/outputs as dotted ovals.
   */
 object DagDot {
   private def esc(s: String) = s.replace("\"", "\\\"")
+  private def rec(s: String) = // record-field text: escape the record metachars
+    s.replaceAll("([{}<>|])", "\\\\$1")
+
   def toDot(dag: Dag): String = {
     val sb = new StringBuilder(s"digraph \"${esc(dag.dagName)}\" {\n  rankdir=LR;\n")
-    dag.nodes.foreach(n =>
-      sb ++= s"""  "${esc(n.name)}" [shape=box, label="${esc(n.name)}\\n(${n.getClass.getSimpleName})"];\n""")
-    dag.edges.foreach(e =>
-      sb ++= s"""  "${esc(e.from)}" -> "${esc(e.to)}" [label="${esc(e.fromPort)}→${esc(e.toPort)}"];\n""")
-    dag.deps.foreach { case (a, b) =>
-      sb ++= s"""  "${esc(a)}" -> "${esc(b)}" [style=dashed, label="dep"];\n"""
-    }
+    renderBody(dag, "", "  ", sb)
     dag.inputBinds.foreach { b =>
       sb ++= s"""  "in:${esc(b.inName)}" [shape=oval, style=dotted];\n"""
-      sb ++= s"""  "in:${esc(b.inName)}" -> "${esc(b.node)}" [label="${esc(b.port)}"];\n"""
+      val (to, hp) = inEndpoint(dag, "", b.node, b.port)
+      sb ++= s"""  "in:${esc(b.inName)}" -> $to [label="${esc(b.port)}"$hp];\n"""
     }
     dag.outputBinds.foreach { case (o, (n, p)) =>
       sb ++= s"""  "out:${esc(o)}" [shape=oval, style=dotted];\n"""
-      sb ++= s"""  "${esc(n)}" -> "out:${esc(o)}" [label="${esc(p)}"];\n"""
+      val (from, tp) = outEndpoint(dag, "", n, p)
+      sb ++= s"""  $from -> "out:${esc(o)}" [label="${esc(p)}"$tp];\n"""
     }
     sb ++= "}\n"
     sb.toString
+  }
+
+  /** Edge endpoint for a payload ARRIVING at `(node, port)`: a SubDagNode
+    * resolves to its inner dag-input oval inside the cluster; a plain node
+    * anchors on its input record field.
+    */
+  private def inEndpoint(dag: Dag, path: String, node: String, port: String): (String, String) =
+    dag.node(node) match {
+      case sd: SubDagNode => (s""""${esc(s"$path${sd.name}/in:$port")}"""", "")
+      case _ => (s""""${esc(s"$path$node")}"""", s""", headport="i_${esc(port)}"""")
+    }
+
+  /** Edge endpoint for a payload LEAVING `(node, port)` — dual of inEndpoint. */
+  private def outEndpoint(dag: Dag, path: String, node: String, port: String): (String, String) =
+    dag.node(node) match {
+      case sd: SubDagNode => (s""""${esc(s"$path${sd.name}/out:$port")}"""", "")
+      case _ => (s""""${esc(s"$path$node")}"""", s""", tailport="o_${esc(port)}"""")
+    }
+
+  private def renderBody(dag: Dag, path: String, indent: String, sb: StringBuilder): Unit = {
+    dag.nodes.foreach {
+      case sd: SubDagNode =>
+        val cpath = s"$path${sd.name}/"
+        sb ++= s"""${indent}subgraph "cluster_${esc(cpath)}" {\n"""
+        sb ++= s"""$indent  label="${esc(sd.name)} : ${esc(sd.inner.dagName)}"; style=rounded;\n"""
+        // the inner dag's named inputs/outputs become port ovals INSIDE the
+        // cluster (reference _render_mldag_ports, display.py:144-167)
+        sd.inner.inputBinds.map(_.inName).distinct.foreach { in =>
+          sb ++= s"""$indent  "${esc(s"${cpath}in:$in")}" [shape=oval, style=dotted, label="${esc(in)}"];\n"""
+        }
+        sd.inner.outputBinds.keys.foreach { o =>
+          sb ++= s"""$indent  "${esc(s"${cpath}out:$o")}" [shape=oval, style=dotted, label="${esc(o)}"];\n"""
+        }
+        renderBody(sd.inner, cpath, indent + "  ", sb)
+        // wire the port ovals to their inner bindings
+        sd.inner.inputBinds.foreach { b =>
+          val (to, hp) = inEndpoint(sd.inner, cpath, b.node, b.port)
+          sb ++= s"""$indent  "${esc(s"${cpath}in:${b.inName}")}" -> $to [label="${esc(b.port)}"$hp];\n"""
+        }
+        sd.inner.outputBinds.foreach { case (o, (n, p)) =>
+          val (from, tp) = outEndpoint(sd.inner, cpath, n, p)
+          sb ++= s"""$indent  $from -> "${esc(s"${cpath}out:$o")}" [label="${esc(p)}"$tp];\n"""
+        }
+        sb ++= s"$indent}\n"
+      case n =>
+        // record node: {input port row | name (class) | output port row}
+        val ins = if (n.inputs.isEmpty) "" else
+          "{" + n.inputs.map(p => s"<i_${p.name}> ${rec(p.name)}").mkString("|") + "}|"
+        val outs = if (n.outputs.isEmpty) "" else
+          "|{" + n.outputs.map(p => s"<o_${p.name}> ${rec(p.name)}").mkString("|") + "}"
+        sb ++= s"""$indent"${esc(s"$path${n.name}")}" [shape=record, label="{$ins${rec(n.name)}\\n(${n.getClass.getSimpleName})$outs}"];\n"""
+    }
+    dag.edges.foreach { e =>
+      val (from, tp) = outEndpoint(dag, path, e.from, e.fromPort)
+      val (to, hp) = inEndpoint(dag, path, e.to, e.toPort)
+      sb ++= s"""$indent$from -> $to [label="${esc(e.fromPort)}→${esc(e.toPort)}"$tp$hp];\n"""
+    }
+    dag.deps.foreach { case (a, b) =>
+      sb ++= s"""$indent"${esc(s"$path$a")}" -> "${esc(s"$path$b")}" [style=dashed, label="dep"];\n"""
+    }
   }
 }

@@ -227,6 +227,41 @@ class SparkMlNode(
   def applyModel(m: Model, ctx: Ctx, in: In): Map[String, DataFrame] =
     Map("result" -> m.transform(in("df")))
   def fittedModel: Option[org.apache.spark.ml.Transformer] = model
+
+  /** Fitted-state persistence through spark.ml's own MLWritable/MLReadable
+    * (reference `EstimatorNode.dump`, mldagbase.py:954-977): a directory of
+    * parquet + JSON metadata that survives Spark version upgrades, unlike
+    * java serialization of internal classes. `path` is a directory.
+    */
+  override def saveFitted(path: String): Unit = {
+    val m = model.getOrElse(throw new GraftException(s"estimator node '$name' not fitted"))
+    m match {
+      case w: org.apache.spark.ml.util.MLWritable => w.write.overwrite().save(path)
+      case other => throw new GraftException(
+        s"estimator node '$name': fitted model ${other.getClass.getName} is not MLWritable")
+    }
+  }
+  override def loadFitted(path: String): Unit = {
+    // the model class name is recorded in the MLWriter metadata; dispatch to
+    // the matching MLReadable companion via its static `load`
+    val metaFile = new java.io.File(path, "metadata")
+    val line = {
+      val files = Option(metaFile.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith("part-")).sortBy(_.getName)
+      if (files.isEmpty) throw new GraftException(s"no MLWriter metadata under $path")
+      val src = scala.io.Source.fromFile(files.head)
+      try src.getLines().next() finally src.close()
+    }
+    val className = {
+      val m = """"class":"([^"]+)"""".r.findFirstMatchIn(line)
+      m.map(_.group(1)).getOrElse(
+        throw new GraftException(s"malformed MLWriter metadata under $path"))
+    }
+    val companion = Class.forName(className + "$")
+    val module = companion.getField("MODULE$").get(null)
+    val loaded = companion.getMethod("load", classOf[String]).invoke(module, path)
+    model = Some(loaded.asInstanceOf[Model])
+  }
 }
 
 /** Weight sharing: re-applies an already-fitted node elsewhere in the DAG,

@@ -92,6 +92,29 @@ class SerializationSpec extends AnyFunSuite {
     assert(dot.contains("\"b\" -> \"out:res\""))
   }
 
+  test("nested dag renders as a cluster subgraph with port ovals and record slots") {
+    val inner = new Dag("cleaner")
+    val f = inner.add(FnNode.map1("norm")(df => df))
+    inner.input("raw") >> f
+    f >> inner.output("clean")
+    val outer = new Dag("pipeline")
+    val src = outer.add(FnNode.map1("src")(df => df))
+    val sub = outer.add(inner.asNode)
+    val sink = outer.add(FnNode.map1("sink")(df => df))
+    outer.input("x") >> src
+    src >> sub("raw"); sub("clean") >> sink
+    sink >> outer.output("res")
+    val dot = DagDot.toDot(outer)
+    assert(dot.contains("subgraph \"cluster_cleaner/\""))            // SubDagNode cluster
+    assert(dot.contains("\"cleaner/in:raw\""))                       // inner input oval
+    assert(dot.contains("\"cleaner/out:clean\""))                    // inner output oval
+    assert(dot.contains("\"cleaner/norm\""))                         // path-prefixed inner node
+    assert(dot.contains("\"src\" -> \"cleaner/in:raw\""))            // outer edge lands on port
+    assert(dot.contains("\"cleaner/out:clean\" -> \"sink\""))        // and leaves from port
+    assert(dot.contains("<i_df> df"))                                // record input port row
+    assert(dot.contains("<o_result> result"))                        // record output port row
+  }
+
   test("estimator fitted state saves and loads (reference dump/load)") {
     class MeanNode extends EstimatorNode {
       type Model = java.lang.Double
@@ -112,5 +135,29 @@ class SerializationSpec extends AnyFunSuite {
     assert(n2.isFitted)
     val out = n2.transform(Ctx(spark), In.single("df" -> df))("result")
     assert(out.agg(sum("c")).as[Double].head() == 0.0)
+  }
+
+  test("SparkMlNode fitted pipeline round-trips through MLWriter/MLReader") {
+    import org.apache.spark.ml.Pipeline
+    import org.apache.spark.ml.feature.{HashingTF, IDF, RegexTokenizer}
+    val docs = Seq((1L, "spark engines at scale"), (2L, "spark catalyst plans"),
+      (3L, "graft dedup minhash")).toDF("doc_id", "text")
+    val pipe = new Pipeline().setStages(Array(
+      new RegexTokenizer().setInputCol("text").setOutputCol("toks").setPattern("\\s+"),
+      new HashingTF().setInputCol("toks").setOutputCol("tf").setNumFeatures(64),
+      new IDF().setInputCol("tf").setOutputCol("tfidf")))
+    val n1 = new SparkMlNode(pipe, "tfidf")
+    n1.fit(Ctx(spark), In.single("df" -> docs))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ml_model").toString + "/m"
+    n1.saveFitted(dir) // MLWriter directory: parquet + JSON metadata, version-stable
+    val n2 = new SparkMlNode(pipe, "tfidf2")
+    assert(!n2.isFitted)
+    n2.loadFitted(dir)
+    assert(n2.isFitted)
+    val a = n1.transform(Ctx(spark), In.single("df" -> docs))("result")
+      .select("doc_id", "tfidf").collect().map(_.toString).sorted
+    val b = n2.transform(Ctx(spark), In.single("df" -> docs))("result")
+      .select("doc_id", "tfidf").collect().map(_.toString).sorted
+    assert(a.sameElements(b))
   }
 }
