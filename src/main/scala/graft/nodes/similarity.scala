@@ -151,11 +151,14 @@ class IvfKnnNode(
 
   def fitModel(ctx: Ctx, in: In): Model = {
     import org.apache.spark.ml.clustering.KMeans
-    // coarse quantizer: cluster quality beyond ~10 iterations buys no recall
+    // coarse quantizer: cluster quality beyond a few iterations buys no recall
     // (assignments near boundaries just move between probed clusters), while
-    // every extra iteration is a full pass over the corpus
+    // every extra iteration is a full pass + a scheduler round trip. Random
+    // init skips the k-means|| sweep (2 extra passes) a coarse quantizer
+    // doesn't need; at 100 TB the fit input should additionally be a bounded
+    // sample of the corpus — quantizer training cost must not scale with it.
     new KMeans().setK(nClusters).setSeed(42L).setFeaturesCol("__features")
-      .setMaxIter(10).setTol(1e-3)
+      .setInitMode("random").setMaxIter(5).setTol(1e-2)
       .fit(withVec(in("corpus"), vecCol))
   }
 

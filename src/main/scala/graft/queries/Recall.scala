@@ -37,7 +37,7 @@ object Recall {
 
     val brute = d.add(new BruteForceKnnNode(k = 10).named("brute"))
     emb("result") >> brute("corpus"); queries >> brute("queries")
-    val lsh = d.add(new LshKnnNode(k = 10, numPlanes = 1, tables = 32).named("lsh"))
+    val lsh = d.add(new LshKnnNode(k = 10, numPlanes = 1, tables = 16).named("lsh"))
     emb("result") >> lsh("corpus"); queries("result") >> lsh("queries")
 
     val cmp = d.add(new FnNode(Seq(Port("brute"), Port("lsh")), Seq(Port("result")),
@@ -83,14 +83,19 @@ object Recall {
       collapseExact = false) // input is pre-collapsed (shared with the truth side)
 
     val cmp = d.add(new FnNode(Seq(Port("docs"), Port("pairs")), Seq(Port("result")),
-      (_, in) => {
+      (ctx, in) => {
         import org.apache.spark.sql.functions._
+        graft.functions.VecFunctions.register(ctx.spark)
         val toks = TextExprs.tokensExpr("text")
+        // HASHED shingles (compiled kernel, one pass) — set-identical to the
+        // oracle's string shingles absent xxhash64 collisions, the same
+        // equivalence the MinHash verify step already relies on; persisted
+        // because both cartesian sides consume it
         val sh = in("docs")
           .withColumn("__toks", expr(toks))
-          .withColumn("sh", expr(
-            s"array_distinct(${TextExprs.shinglesExpr("__toks", 3)})"))
+          .withColumn("sh", expr("array_distinct(shingle_hashes(__toks, 3))"))
           .select(col("doc_id"), col("sh"))
+          .persist()
         // intentional bounded cartesian: <=400-row audit sample, the exact
         // baseline every sampled recall check needs (guarded by auditFilter)
         val truePairs = sh.as("a").join(sh.as("b"),
