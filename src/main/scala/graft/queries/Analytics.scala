@@ -91,6 +91,9 @@ object Analytics {
         // *2^24 and floor are exact IEEE ops, and bigint sums are
         // order-independent. (A decimal(20,9) cast instead ties at the 9th
         // decimal and Spark rounds HALF_UP vs DuckDB HALF_EVEN.)
+        // Overflow bound: |v| <= 1 so each scaled term is < 2^24; int64
+        // holds ~2^39 (~5e11) rows per (grp, pos) group before the oracle's
+        // CAST(HUGEINT AS BIGINT) and Spark's wrapping sum could diverge.
         "sum(cast(floor(cast(v as double) * 16777216.0D) as bigint)) as sum_scaled",
         "count(*) as n") >>
       SortNode("grp", "pos") >>

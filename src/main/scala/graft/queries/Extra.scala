@@ -119,6 +119,11 @@ object Extra {
   }
 
   // ---- q36: UDAF (typed Aggregator with map-side partial agg) ----
+  // Overflow bound: weighted_cents sums price_cents * qty (< 2^33 per row);
+  // int64 holds ~2^63, so per-group row counts up to ~2^29 (~5e8) are safe.
+  // Past that the oracle-side CAST(HUGEINT AS BIGINT) and Spark's non-ANSI
+  // wrap diverge (DuckDB errors, Spark wraps) — at larger scale pre-bucket
+  // the group keys or accumulate in decimal.
   def q36_udaf(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
     d.add(SourceNode.table(dir, "lineitem")) >>
       new RegisterUdafsNode() >>

@@ -215,6 +215,11 @@ object Relational {
       AggNode(Seq("o_year", "o_month"),
         "count(*) as n_orders",
         "cast(sum(cast(o_totalprice as decimal(18,2))) as double) as sum_price",
+        // sum_price2 is INTENTIONALLY a string: the squared-price sum's
+        // unscaled value exceeds 2^53, so a double cast is no longer a
+        // single correct rounding and the engines could diverge; the
+        // stringified decimal is the only bit-exact cross-engine form.
+        // Numeric consumers should aggregate price2 upstream instead.
         "cast(sum(price2) as string) as sum_price2",
         "min(cast(o_orderdate as date)) as first_day") >>
       SortNode("o_year", "o_month") >>

@@ -16,6 +16,12 @@ same way):
     sum(BIGINT) to HUGEINT -> float64 -> '99111.0' != '99111');
   - int32 vs int64 and timestamp[ns] vs [us] are harmless (same str form).
 
+Mimic fidelity depends on pandas/pyarrow null+float renderings ('nan',
+'None', 'NaT', float64 repr) matching the driver's. Validated against the
+driver with pandas 2.2.2 / pyarrow 16.1.0 / duckdb 1.0.0 (r01+r02 verdicts
+reproduced exactly); if this environment's versions move, re-validate
+against the next CORRECTNESS_r{N}.json before trusting local verdicts.
+
 Usage:
     python3 tools/compare.py <outDir> <sfDir> [queryFilter,...]
 """
@@ -39,6 +45,24 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         s = s.sort_values(by=list(s.columns), ignore_index=True)
     return s
 
+# The bit-identical hash strategy for decimal sums cast to double relies on
+# the exact sum's unscaled value staying below 2^53, so decimal->double is a
+# single correct rounding of the same rational on both engines. Queries use
+# scale <= 4, so any float column whose magnitude nears 2^53 / 10^4 is at
+# risk of silent rounding divergence at a bigger scale factor — fail LOUDLY
+# here instead of flaking at the driver (ADVICE r02).
+DOUBLE_EXACT_BOUND = 2.0 ** 53 / 10_000
+
+def bound_check(name, df):
+    import numpy as np
+    bad = []
+    for c in df.columns:
+        if df[c].dtype.kind == "f":
+            mx = np.nanmax(np.abs(df[c].to_numpy())) if len(df) else 0.0
+            if mx >= DOUBLE_EXACT_BOUND:
+                bad.append((c, mx))
+    return bad
+
 fails = 0
 for name in sorted(oracle):
     if only and name not in only:
@@ -47,10 +71,16 @@ for name in sorted(oracle):
     if not os.path.isdir(qdir):
         print(f"FAIL {name}: no spark output dir"); fails += 1; continue
     try:
-        got = canon(pd.read_parquet(qdir))
+        raw_got = pd.read_parquet(qdir)
+        got = canon(raw_got)
         want = canon(con.execute(oracle[name]).df())
     except Exception as e:
         print(f"FAIL {name}: {e}"); fails += 1; continue
+    over = bound_check(name, raw_got)
+    if over:
+        print(f"FAIL {name}: double-exactness bound exceeded (|v|*10^4 >= 2^53): {over} "
+              "— decimal->double casts are no longer a single rounding; re-scale the query")
+        fails += 1; continue
     if list(got.columns) != list(want.columns):
         print(f"FAIL {name}: columns {list(got.columns)} != {list(want.columns)}"); fails += 1; continue
     if len(got) != len(want):
