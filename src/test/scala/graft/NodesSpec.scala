@@ -216,6 +216,42 @@ class NodesSpec extends AnyFunSuite {
     assert(out == Set((1L, 100L, 90L, 9.9), (1L, 200L, 150L, 10.5), (2L, 150L, 100L, 19.5)))
   }
 
+  test("AsofJoinNode forward=true picks earliest right row at or after left time") {
+    val trades = Seq((1L, 100L, 10.0), (1L, 200L, 11.0), (2L, 150L, 20.0), (2L, 300L, 21.0))
+      .toDF("sym", "t", "px")
+    val quotes = Seq((1L, 90L, 9.9), (1L, 150L, 10.5), (1L, 250L, 11.5), (2L, 200L, 19.5))
+      .toDF("sym", "qt", "bid")
+    val out = runOne { d =>
+      val l = d.add(srcNode(trades, "trades"))
+      val r = d.add(srcNode(quotes, "quotes"))
+      val j = d.add(new AsofJoinNode(
+        leftKeys = Seq("sym"), rightKeys = Seq("sym"),
+        leftTime = "t", rightTime = "qt",
+        leftIdCols = Seq("sym", "t"), rightTieBreak = "qt",
+        joinType = "left", forward = true))
+      l >> j("left"); r >> j("right")
+      j >> d.output("result")
+    }.select(col("l.sym"), col("t"), col("qt"), col("bid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1.0 else r.getDouble(3))).toSet
+    // (1,100)->150 (earliest >=), (1,200)->250, (2,150)->200,
+    // (2,300)-> no quote at or after: left join keeps the row with nulls
+    assert(out == Set((1L, 100L, 150L, 10.5), (1L, 200L, 250L, 11.5),
+      (2L, 150L, 200L, 19.5), (2L, 300L, -1L, -1.0)))
+  }
+
+  test("EmbeddingNearDupNode bruteForce refuses inputs past maxBruteRows") {
+    val emb = (0L until 50L).map(i =>
+      (i, Array.tabulate(4)(j => math.sin(i + j).toFloat))).toDF("vec_id", "embedding")
+    val d = new Dag()
+    d.add(srcNode(emb, "emb")) >>
+      new EmbeddingNearDupNode(threshold = 0.9, bruteForce = true, maxBruteRows = 10) >>
+      d.output("result")
+    val e = intercept[GraftException](d.transform(ctx))
+    assert(e.getMessage.contains("refused"))
+  }
+
   test("TopKNode plans TakeOrderedAndProject (no global sort at scale)") {
     val d = new Dag()
     d.add(srcNode(docs)) >> TopKNode(2, "doc_id desc") >> d.output("result")
