@@ -45,6 +45,16 @@ object NodeRegistry {
       p.int("shingleN"), p.dbl("threshold"), p.int("maxDocFreq"), p.dbl("maxDocFreqFraction"),
       Option(p.m.getOrElse("corpusSizeHint", null)).map(_.toString.toLong)))
     register("token_count")(p => new TokenCountNode(p.str("textCol")))
+    register("split")(p => new SplitNode(p.str("idCol"),
+      p.m("splits").asInstanceOf[Seq[Any]].map { case s: Seq[Any] @unchecked =>
+        s.head.toString -> s(1).toString.toDouble.toInt
+      }, p.str("outCol")))
+    register("chunk")(p => new ChunkNode(p.str("idCol"), p.str("textCol"),
+      p.int("chunkTokens"), p.int("overlap")))
+    register("redact")(p => new RedactNode(p.str("textCol"), p.str("outCol"),
+      p.m("patterns").asInstanceOf[Seq[Any]].map { case s: Seq[Any] @unchecked =>
+        s.head.toString -> s(1).toString
+      }))
     register("lang_id")(p => new LangIdNode(p.str("textCol"),
       p.m("markers").asInstanceOf[Seq[Any]].map { case s: Seq[Any] @unchecked =>
         s.head.toString -> s(1).asInstanceOf[Seq[Any]].map(_.toString)

@@ -107,6 +107,108 @@ object LangIdNode {
   )
 }
 
+/** Deterministic dataset splitting (train/val/test) by HASH, not by random
+  * sampler: a row's split is a pure function of its id (md5 hex prefix mod
+  * 100 against cumulative percent buckets), so the assignment is stable
+  * across runs, engines, partitionings, and scale — the property a 100 TB
+  * training-data pipeline actually needs (seeded samplers are partition-
+  * order-dependent and irreproducible across engines). Narrow map, zero
+  * shuffle; any engine that can md5 reproduces the split exactly.
+  */
+class SplitNode(
+    val idCol: String = "doc_id",
+    val splits: Seq[(String, Int)] = Seq("train" -> 90, "val" -> 5, "test" -> 5),
+    val outCol: String = "split")
+  extends Node {
+  require(splits.map(_._2).sum == 100, "split percents must sum to 100")
+  override protected def defaultName: String = "split"
+  val inputs = Seq(Port("df"))
+  val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("split")
+  override def jsonParams: Map[String, Any] = Map("idCol" -> idCol, "outCol" -> outCol,
+    "splits" -> splits.map { case (n, p) => Seq[Any](n, p) })
+  override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
+    // bucket = first 8 md5 hex chars as int mod 100 — identical arithmetic
+    // in any engine with md5 + conv
+    val bucket = s"cast(conv(substring(md5(cast($idCol as string)), 1, 8), 16, 10) as bigint) % 100"
+    val cuts = splits.scanLeft(0) { case (acc, (_, p)) => acc + p }.tail
+    val cases = splits.zip(cuts).map { case ((nm, _), hi) => s"when __b < $hi then '$nm'" }
+      .mkString("case ", " ", " end")
+    Map("result" -> in("df")
+      .withColumn("__b", expr(bucket))
+      .withColumn(outCol, expr(cases))
+      .drop("__b"))
+  }
+}
+
+/** Overlapping token-window chunking: split long documents into fixed-size
+  * token chunks with `overlap` tokens of context carried between adjacent
+  * chunks — the standard preprocessing for context-bounded LLM training.
+  * sequence + slice + posexplode: one narrow pass, output rows carry
+  * (id, chunk_idx, chunk_text, n_chunk_tokens); no shuffle.
+  */
+class ChunkNode(
+    val idCol: String = "doc_id",
+    val textCol: String = "text",
+    val chunkTokens: Int = 64,
+    val overlap: Int = 8)
+  extends Node {
+  require(overlap < chunkTokens, "overlap must be smaller than the chunk size")
+  override protected def defaultName: String = "chunk"
+  val inputs = Seq(Port("df"))
+  val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("chunk")
+  override def jsonParams: Map[String, Any] = Map("idCol" -> idCol, "textCol" -> textCol,
+    "chunkTokens" -> chunkTokens, "overlap" -> overlap)
+  override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
+    val stride = chunkTokens - overlap
+    val toks = TextExprs.tokensExpr(textCol)
+    // starts: 0, stride, 2*stride, ... while start < size (always >= 1 chunk)
+    val starts = s"sequence(0, greatest(cast(ceil((size(__toks) - $chunkTokens) / cast($stride as double)) as int), 0))"
+    Map("result" -> in("df")
+      .withColumn("__toks", expr(toks))
+      .selectExpr(idCol,
+        s"posexplode(transform($starts, s -> slice(__toks, s * $stride + 1, $chunkTokens))) as (chunk_idx, __chunk)")
+      .selectExpr(idCol, "chunk_idx",
+        "array_join(__chunk, ' ') as chunk_text",
+        "size(__chunk) as n_chunk_tokens"))
+  }
+}
+
+/** PII redaction: regexp-replace a configurable pattern list (emails, phone
+  * numbers, SSN-shaped ids, IPv4 by default) with typed placeholder tags.
+  * Pure narrow map over codegen'd regexp_replace — the shape of every
+  * scrubbing pass in a training-data pipeline.
+  */
+class RedactNode(
+    val textCol: String = "text",
+    val outCol: String = "redacted",
+    val patterns: Seq[(String, String)] = RedactNode.defaultPatterns)
+  extends Node {
+  override protected def defaultName: String = "redact"
+  val inputs = Seq(Port("df"))
+  val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("redact")
+  override def jsonParams: Map[String, Any] = Map("textCol" -> textCol, "outCol" -> outCol,
+    "patterns" -> patterns.map { case (t, p) => Seq[Any](t, p) })
+  override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
+    val chain = patterns.foldLeft(textCol) { case (acc, (tag, pat)) =>
+      s"regexp_replace($acc, '$pat', '<$tag>')"
+    }
+    Map("result" -> in("df").withColumn(outCol, expr(chain)))
+  }
+}
+object RedactNode {
+  /** (tag, regex) — order matters: earlier patterns must not produce text a
+    * later pattern re-matches. */
+  val defaultPatterns: Seq[(String, String)] = Seq(
+    "EMAIL" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\\\.[A-Za-z]{2,}",
+    "SSN"   -> "\\\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\\\b",
+    "PHONE" -> "\\\\b(\\\\+?1[ .-]?)?(\\\\([0-9]{3}\\\\)|[0-9]{3})[ .-][0-9]{3}[ .-][0-9]{4}\\\\b",
+    "IPV4"  -> "\\\\b([0-9]{1,3}\\\\.){3}[0-9]{1,3}\\\\b",
+  )
+}
+
 /** Document fingerprinting: whole-document md5 over normalized text (exact
   * dedup key) plus a winnowing rolling fingerprint — min rolling k-gram hash
   * per window (Schleimer et al.), computed by the compiled `winnow_fp`

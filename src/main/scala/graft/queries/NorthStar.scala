@@ -173,6 +173,87 @@ object NorthStar {
       d.output("result")
   }
 
+  // ---- q60: deterministic hash-mod train/val/test split ----
+  def q60_split(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
+    d.add(SourceNode.table(dir, "documents")) >>
+      new SplitNode() >>
+      AggNode(Seq("split"), "count(*) as n", "min(doc_id) as first_id") >>
+      SortNode("split") >>
+      d.output("result")
+  }
+  val q60Sql: String =
+    """SELECT split, count(*) AS n, min(doc_id) AS first_id FROM (
+      |  SELECT doc_id,
+      |    CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split
+      |  FROM (SELECT doc_id,
+      |          cast('0x' || substring(md5(cast(doc_id as varchar)), 1, 8) as ubigint) % 100 AS b
+      |        FROM documents) t) s
+      |GROUP BY split ORDER BY split""".stripMargin
+
+  // ---- q61: overlapping token-window chunking ----
+  def q61_chunk(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
+    d.add(SourceNode.table(dir, "documents")) >>
+      new ChunkNode(chunkTokens = 32, overlap = 4) >>
+      AggNode(Seq("doc_id"),
+        "count(*) as n_chunks",
+        "sum(cast(n_chunk_tokens as bigint)) as total_tokens",
+        "max(length(chunk_text)) as max_chunk_chars") >>
+      SortNode("doc_id") >>
+      d.output("result")
+  }
+  val q61Sql: String = {
+    // same stride arithmetic: starts 0, 28, 56, ... (chunk 32, overlap 4);
+    // DuckDB list slicing t[a:b] is 1-based inclusive like Spark slice()
+    val toks = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+    s"""SELECT doc_id, count(*) AS n_chunks,
+       |  cast(sum(len(chunk)) as bigint) AS total_tokens,
+       |  max(length(array_to_string(chunk, ' '))) AS max_chunk_chars
+       |FROM (
+       |  SELECT doc_id, toks[(s * 28 + 1):(s * 28 + 32)] AS chunk
+       |  FROM (SELECT doc_id, $toks AS toks FROM documents) d,
+       |       (SELECT unnest(range(0, 1000)) AS s) g
+       |  WHERE s <= greatest(cast(ceil((len(toks) - 32) / 28.0) as int), 0)) c
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- q62: PII redaction — deterministic PII injected per row, scrubbed,
+  // tag occurrences counted; oracle replicates the regexp chain in DuckDB ----
+  def q62_redact(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
+    val src = d.add(SourceNode.table(dir, "documents"))
+    src >> WithColumnsNode(
+        "text2" -> ("concat(text, ' contact user', cast(doc_id as string), " +
+          "'@example.com or 555-123-', lpad(cast(doc_id % 10000 as string), 4, '0'), " +
+          "' ssn 123-45-6789 ip 10.0.0.', cast(doc_id % 256 as string))")) >>
+      new RedactNode("text2") >>
+      ProjectNode("doc_id",
+        "cast((length(redacted) - length(replace(redacted, '<EMAIL>', ''))) / 7 as bigint) as n_email",
+        "cast((length(redacted) - length(replace(redacted, '<SSN>', ''))) / 5 as bigint) as n_ssn",
+        "cast((length(redacted) - length(replace(redacted, '<PHONE>', ''))) / 7 as bigint) as n_phone",
+        "cast((length(redacted) - length(replace(redacted, '<IPV4>', ''))) / 6 as bigint) as n_ipv4") >>
+      SortNode("doc_id") >>
+      d.output("result")
+  }
+  val q62Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    text || ' contact user' || cast(doc_id as varchar) || '@example.com or 555-123-'
+      |      || lpad(cast(doc_id % 10000 as varchar), 4, '0')
+      |      || ' ssn 123-45-6789 ip 10.0.0.' || cast(doc_id % 256 as varchar) AS text2
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(regexp_replace(text2,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |    '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g'),
+      |    '\b(\+?1[ .-]?)?(\([0-9]{3}\)|[0-9]{3})[ .-][0-9]{3}[ .-][0-9]{4}\b', '<PHONE>', 'g'),
+      |    '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IPV4>', 'g') AS redacted
+      |  FROM t)
+      |SELECT doc_id,
+      |  cast((length(redacted) - length(replace(redacted, '<EMAIL>', ''))) / 7 as bigint) AS n_email,
+      |  cast((length(redacted) - length(replace(redacted, '<SSN>', ''))) / 5 as bigint) AS n_ssn,
+      |  cast((length(redacted) - length(replace(redacted, '<PHONE>', ''))) / 7 as bigint) AS n_phone,
+      |  cast((length(redacted) - length(replace(redacted, '<IPV4>', ''))) / 6 as bigint) AS n_ipv4
+      |FROM r ORDER BY doc_id""".stripMargin
+
   /** (name, query, oracleSql | null) */
   val entries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q20_dedup_exact", q20_dedup_exact _, q20Sql),
@@ -189,5 +270,8 @@ object NorthStar {
     ("q31_multimodal", q31_multimodal _, null),
     ("q32_frame_sample", q32_frame_sample _, null),
     ("q54_audio_chunks", q54_audio_chunks _, null),
+    ("q60_split", q60_split _, q60Sql),
+    ("q61_chunk", q61_chunk _, q61Sql),
+    ("q62_redact", q62_redact _, q62Sql),
   )
 }

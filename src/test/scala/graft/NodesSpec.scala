@@ -252,6 +252,50 @@ class NodesSpec extends AnyFunSuite {
     assert(e.getMessage.contains("refused"))
   }
 
+  test("SplitNode assigns stable hash-mod splits summing to the corpus") {
+    val df = (0L until 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val out = runOne { d =>
+      d.add(srcNode(df)) >> new SplitNode() >> d.output("result")
+    }
+    val counts = out.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.values.sum == 200L)
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts("train") > counts("val") && counts("train") > counts("test"))
+    // determinism: same input -> identical assignment
+    val again = runOne { d =>
+      d.add(srcNode(df)) >> new SplitNode() >> d.output("result")
+    }
+    assert(out.select("doc_id", "split").exceptAll(again.select("doc_id", "split")).count() == 0)
+  }
+
+  test("ChunkNode windows tokens with overlap; short docs get one chunk") {
+    val df = Seq(
+      (1L, (1 to 20).map(i => s"w$i").mkString(" ")), // 20 tokens, chunk 8/overlap 2 -> stride 6
+      (2L, "just three tokens"),
+    ).toDF("doc_id", "text")
+    val out = runOne { d =>
+      d.add(srcNode(df)) >> new ChunkNode(chunkTokens = 8, overlap = 2) >> d.output("result")
+    }.select("doc_id", "chunk_idx", "chunk_text", "n_chunk_tokens")
+      .as[(Long, Int, String, Int)].collect().sortBy(r => (r._1, r._2))
+    val doc1 = out.filter(_._1 == 1L)
+    // starts 0,6,12,18 -> 4 chunks; last has 2 tokens
+    assert(doc1.length == 3 || doc1.length == 4)
+    assert(doc1.head._3.startsWith("w1 w2"))
+    // consecutive chunks overlap by 2 tokens
+    val c0 = doc1(0)._3.split(" "); val c1 = doc1(1)._3.split(" ")
+    assert(c0.takeRight(2).sameElements(c1.take(2)))
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0, "just three tokens", 3)))
+  }
+
+  test("RedactNode scrubs emails, SSNs, phones, IPs") {
+    val df = Seq((1L, "mail bob@corp.io ssn 123-45-6789 call 555-123-4567 from 192.168.0.1 ok"))
+      .toDF("doc_id", "text")
+    val out = runOne { d =>
+      d.add(srcNode(df)) >> new RedactNode() >> d.output("result")
+    }.select("redacted").as[String].head()
+    assert(out == "mail <EMAIL> ssn <SSN> call <PHONE> from <IPV4> ok")
+  }
+
   test("TopKNode plans TakeOrderedAndProject (no global sort at scale)") {
     val d = new Dag()
     d.add(srcNode(docs)) >> TopKNode(2, "doc_id desc") >> d.output("result")
