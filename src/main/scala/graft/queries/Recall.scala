@@ -34,11 +34,19 @@ object Recall {
     val emb = d.add(SourceNode.table(dir, "embeddings"))
     val queries = emb >> FilterNode("vec_id < 50") >>
       ProjectNode("vec_id as query_id", "embedding").named("queryset")
+    // the audit CORPUS is a deterministic 10% hash-sample (same id-hash trick
+    // as SplitNode — engine-independent, partition-order-independent): the
+    // recall identity LSH-top-k == brute-top-k holds over any shared corpus,
+    // so sampling bounds audit cost without weakening the check; at larger
+    // scale, lower the fraction — audit cost must not track corpus size
+    val corpus = emb("result") >> FilterNode(
+      "cast(conv(substring(md5(cast(vec_id as string)), 1, 8), 16, 10) as bigint) % 10 = 0")
+      .named("corpus_sample")
 
     val brute = d.add(new BruteForceKnnNode(k = 10).named("brute"))
-    emb("result") >> brute("corpus"); queries >> brute("queries")
+    corpus >> brute("corpus"); queries >> brute("queries")
     val lsh = d.add(new LshKnnNode(k = 10, numPlanes = 1, tables = 16).named("lsh"))
-    emb("result") >> lsh("corpus"); queries("result") >> lsh("queries")
+    corpus("result") >> lsh("corpus"); queries("result") >> lsh("queries")
 
     val cmp = d.add(new FnNode(Seq(Port("brute"), Port("lsh")), Seq(Port("result")),
       (_, in) => {
