@@ -153,21 +153,54 @@ object DagJson {
   * (display.py:120-200 path-prefixed recursion), dashed order-only dependency
   * edges, and dag inputs/outputs as dotted ovals.
   */
+/** Render palette (reference style/default.yml + dark_background.yml
+  * equivalents): graph background, node fill/outline/text, edge color, and
+  * the dag-input/output oval accent. */
+final case class DotStyle(
+    background: String,
+    nodeFill: String, nodeOutline: String, nodeText: String,
+    edge: String,
+    portFill: String, portOutline: String, portText: String) {
+  private[dag] def graphAttrs: String =
+    s"""  bgcolor="$background";\n  edge [color="$edge", fontcolor="$nodeText"];\n""" +
+      s"""  node [style=filled, fillcolor="$nodeFill", color="$nodeOutline", fontcolor="$nodeText"];\n"""
+  private[dag] def portAttrs: String =
+    s""", style="filled,dotted", fillcolor="$portFill", color="$portOutline", fontcolor="$portText""""
+}
+object DotStyle {
+  /** Light palette (reference style/default.yml). */
+  val default: DotStyle = DotStyle(
+    background = "#ffffff",
+    nodeFill = "#a1c9f4", nodeOutline = "#82b6ed", nodeText = "#000000",
+    edge = "#00000077",
+    portFill = "#f6bd98", portOutline = "#f6bd98", portText = "#000000")
+  /** Dark palette (reference style/dark_background.yml). */
+  val dark: DotStyle = DotStyle(
+    background = "#1e1e1e",
+    nodeFill = "#2d4f76", nodeOutline = "#82b6ed", nodeText = "#eeeeee",
+    edge = "#ffffff77",
+    portFill = "#7a4a22", portOutline = "#f6bd98", portText = "#eeeeee")
+}
+
 object DagDot {
   private def esc(s: String) = s.replace("\"", "\\\"")
   private def rec(s: String) = // record-field text: escape the record metachars
     s.replaceAll("([{}<>|])", "\\\\$1")
 
-  def toDot(dag: Dag): String = {
+  def toDot(dag: Dag): String = toDot(dag, None)
+  def toDot(dag: Dag, style: DotStyle): String = toDot(dag, Some(style))
+  private def toDot(dag: Dag, style: Option[DotStyle]): String = {
     val sb = new StringBuilder(s"digraph \"${esc(dag.dagName)}\" {\n  rankdir=LR;\n")
-    renderBody(dag, "", "  ", sb)
+    style.foreach(s => sb ++= s.graphAttrs)
+    val pa = style.map(_.portAttrs).getOrElse("")
+    renderBody(dag, "", "  ", sb, pa)
     dag.inputBinds.foreach { b =>
-      sb ++= s"""  "in:${esc(b.inName)}" [shape=oval, style=dotted];\n"""
+      sb ++= s"""  "in:${esc(b.inName)}" [shape=oval, style=dotted$pa];\n"""
       val (to, hp) = inEndpoint(dag, "", b.node, b.port)
       sb ++= s"""  "in:${esc(b.inName)}" -> $to [label="${esc(b.port)}"$hp];\n"""
     }
     dag.outputBinds.foreach { case (o, (n, p)) =>
-      sb ++= s"""  "out:${esc(o)}" [shape=oval, style=dotted];\n"""
+      sb ++= s"""  "out:${esc(o)}" [shape=oval, style=dotted$pa];\n"""
       val (from, tp) = outEndpoint(dag, "", n, p)
       sb ++= s"""  $from -> "out:${esc(o)}" [label="${esc(p)}"$tp];\n"""
     }
@@ -192,7 +225,8 @@ object DagDot {
       case _ => (s""""${esc(s"$path$node")}"""", s""", tailport="o_${esc(port)}"""")
     }
 
-  private def renderBody(dag: Dag, path: String, indent: String, sb: StringBuilder): Unit = {
+  private def renderBody(dag: Dag, path: String, indent: String, sb: StringBuilder,
+                         pa: String = ""): Unit = {
     dag.nodes.foreach {
       case sd: SubDagNode =>
         val cpath = s"$path${sd.name}/"
@@ -201,12 +235,12 @@ object DagDot {
         // the inner dag's named inputs/outputs become port ovals INSIDE the
         // cluster (reference _render_mldag_ports, display.py:144-167)
         sd.inner.inputBinds.map(_.inName).distinct.foreach { in =>
-          sb ++= s"""$indent  "${esc(s"${cpath}in:$in")}" [shape=oval, style=dotted, label="${esc(in)}"];\n"""
+          sb ++= s"""$indent  "${esc(s"${cpath}in:$in")}" [shape=oval, style=dotted, label="${esc(in)}"$pa];\n"""
         }
         sd.inner.outputBinds.keys.foreach { o =>
-          sb ++= s"""$indent  "${esc(s"${cpath}out:$o")}" [shape=oval, style=dotted, label="${esc(o)}"];\n"""
+          sb ++= s"""$indent  "${esc(s"${cpath}out:$o")}" [shape=oval, style=dotted, label="${esc(o)}"$pa];\n"""
         }
-        renderBody(sd.inner, cpath, indent + "  ", sb)
+        renderBody(sd.inner, cpath, indent + "  ", sb, pa)
         // wire the port ovals to their inner bindings
         sd.inner.inputBinds.foreach { b =>
           val (to, hp) = inEndpoint(sd.inner, cpath, b.node, b.port)

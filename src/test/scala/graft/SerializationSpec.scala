@@ -115,6 +115,21 @@ class SerializationSpec extends AnyFunSuite {
     assert(dot.contains("<o_result> result"))                        // record output port row
   }
 
+  test("DOT styles: default and dark palettes color graph, nodes, ports") {
+    val d = new Dag("styled")
+    val a = d.add(FnNode.map1("a")(df => df))
+    d.input("x") >> a
+    a >> d.output("y")
+    val light = DagDot.toDot(d, DotStyle.default)
+    assert(light.contains("bgcolor=\"#ffffff\""))
+    assert(light.contains("fillcolor=\"#a1c9f4\""))
+    val dark = DagDot.toDot(d, DotStyle.dark)
+    assert(dark.contains("bgcolor=\"#1e1e1e\""))
+    assert(dark.contains("fontcolor=\"#eeeeee\""))
+    // unstyled rendering unchanged
+    assert(!DagDot.toDot(d).contains("bgcolor"))
+  }
+
   test("estimator fitted state saves and loads (reference dump/load)") {
     class MeanNode extends EstimatorNode {
       type Model = java.lang.Double
