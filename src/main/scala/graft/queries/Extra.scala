@@ -107,16 +107,24 @@ object Extra {
       |  cast(sum(cast(l_quantity as decimal(18,2))) as double) AS qty
       |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
 
-  // ---- q35: approx_count_distinct (HLL++ sketch; estimates are
-  // engine-specific → rows-only check; the exact-count column IS deterministic) ----
+  // ---- q35: approx_count_distinct (HLL++ sketch). The raw estimate is
+  // engine-specific, but it IS deterministic for given data, so the query
+  // emits the exact count plus a within-5%-relative-error flag — an
+  // oracle-checkable accuracy CONTRACT for the sketch (default rsd 0.05)
+  // instead of a rows-only count. ----
   def q35_approx_distinct(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
     d.add(SourceNode.table(dir, "lineitem")) >>
       AggNode(Seq("l_returnflag"),
         "approx_count_distinct(l_partkey) as approx_parts",
         "count(distinct l_partkey) as exact_parts") >>
+      ProjectNode("l_returnflag", "exact_parts",
+        "abs(cast(approx_parts as double) - exact_parts) / exact_parts <= 0.05 as within_5pct") >>
       SortNode("l_returnflag") >>
       d.output("result")
   }
+  val q35Sql: String =
+    """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts, true AS within_5pct
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   // ---- q36: UDAF (typed Aggregator with map-side partial agg) ----
   // Overflow bound: weighted_cents sums price_cents * qty (< 2^33 per row);
@@ -336,7 +344,7 @@ object Extra {
     ("q19_array_map", q19_array_map _, q19Sql),
     ("q33_full_outer", q33_full_outer _, q33Sql),
     ("q34_cube", q34_cube _, q34Sql),
-    ("q35_approx_distinct", q35_approx_distinct _, null),
+    ("q35_approx_distinct", q35_approx_distinct _, q35Sql),
     ("q36_udaf", q36_udaf _, q36Sql),
     ("q37_explode_tokens", q37_explode_tokens _, q37Sql),
     ("q38_session_window", q38_session_window _, q38Sql),

@@ -67,6 +67,25 @@ object NorthStar {
       SortNode("lang", "pred_lang") >>
       d.output("result")
   }
+  // oracle replicates the marker-argmax (first-listed language wins ties,
+  // 'und' when no marker hits) with the same tokenization
+  val q23Sql: String = {
+    val toks = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+    val markers = LangIdNode.defaultMarkers
+    val scoreCols = markers.map { case (l, ws) =>
+      val arr = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_filter(toks, t -> list_contains($arr, t))) AS s_$l"
+    }.mkString(",\n    ")
+    val best = markers.map { case (l, _) => s"s_$l" }.mkString("greatest(", ", ", ")")
+    val pick = markers.map { case (l, _) => s"WHEN s_$l = best THEN '$l'" }.mkString(" ")
+    val names = markers.map { case (l, _) => s"s_$l" }.mkString(", ")
+    s"""SELECT lang, pred_lang, count(*) AS n FROM (
+       |  SELECT lang, CASE WHEN best = 0 THEN 'und' $pick END AS pred_lang FROM (
+       |    SELECT lang, $names, $best AS best FROM (
+       |      SELECT lang, $scoreCols
+       |      FROM (SELECT lang, $toks AS toks FROM documents) t0) s) b)
+       |GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin
+  }
 
   // ---- document fingerprint (md5 whole-doc; winnowing variant rows-only) ----
   def q24_fingerprint(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
@@ -161,6 +180,16 @@ object NorthStar {
       AggNode(Seq("doc_id"), "count(*) as n_frames", "max(frame_ts_ms) as last_ts_ms") >>
       d.output("result")
   }
+  // the frame-sample stub's output is a pure function of the payload BYTE
+  // length, so (unlike the hashCode-derived image/audio fakes) it is
+  // oracle-checkable: n = least(floor(bytes/stride), maxFrames-1) + 1.
+  // DuckDB cast(double as int) ROUNDS; floor() first for parity with
+  // Spark's truncating cast.
+  val q32Sql: String =
+    """SELECT doc_id,
+      |  least(cast(floor(octet_length(encode(text)) / 50) as int), 3) + 1 AS n_frames,
+      |  cast(least(cast(floor(octet_length(encode(text)) / 50) as int), 3) as bigint) * 50000 AS last_ts_ms
+      |FROM documents""".stripMargin
   def q54_audio_chunks(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
     d.add(SourceNode.table(dir, "documents")) >>
       new BinaryPayloadNode("text") >>
@@ -259,7 +288,7 @@ object NorthStar {
     ("q20_dedup_exact", q20_dedup_exact _, q20Sql),
     ("q21_token_count", q21_token_count _, q21Sql),
     ("q22_quality", q22_quality _, q22Sql),
-    ("q23_lang_id", q23_lang_id _, null),
+    ("q23_lang_id", q23_lang_id _, q23Sql),
     ("q24_fingerprint", q24_fingerprint _, q24Sql),
     ("q25_minhash_dedup", q25_minhash_dedup _, null),
     ("q26_simhash_dedup", q26_simhash_dedup _, null),
@@ -268,7 +297,7 @@ object NorthStar {
     ("q29_ann_lsh", q29_ann_lsh _, null),
     ("q30_embedding_neardup", q30_embedding_neardup _, q30Sql),
     ("q31_multimodal", q31_multimodal _, null),
-    ("q32_frame_sample", q32_frame_sample _, null),
+    ("q32_frame_sample", q32_frame_sample _, q32Sql),
     ("q54_audio_chunks", q54_audio_chunks _, null),
     ("q60_split", q60_split _, q60Sql),
     ("q61_chunk", q61_chunk _, q61Sql),
