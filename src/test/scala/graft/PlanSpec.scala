@@ -95,4 +95,31 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Window"))
     assert(p.contains("row_number"))
   }
+
+  test("split/chunk/redact stay narrow: no exchange before the first aggregation") {
+    import graft.dag._
+    import graft.nodes._
+    def build(f: Dag => Unit): org.apache.spark.sql.DataFrame = {
+      val d = new Dag(); f(d); d.transform(Ctx(spark)).outputs("result")
+    }
+    // SplitNode: pure per-row hash arithmetic — a filter on one split must
+    // compile to scan + filter + project only (zero shuffles end to end)
+    val sp = planOf(build { d =>
+      d.add(SourceNode.table(dir, "documents")) >> new SplitNode() >>
+        FilterNode("split = 'train'") >> d.output("result")
+    })
+    assert(!sp.contains("Exchange"), s"SplitNode pipeline must not shuffle:\n$sp")
+    // ChunkNode: tokenize + generate — narrow Generate, no Exchange
+    val ch = planOf(build { d =>
+      d.add(SourceNode.table(dir, "documents")) >>
+        new ChunkNode(chunkTokens = 16, overlap = 2) >> d.output("result")
+    })
+    assert(ch.contains("Generate"), "chunking should be a Generate (posexplode)")
+    assert(!ch.contains("Exchange"), s"ChunkNode must not shuffle:\n$ch")
+    // RedactNode: regexp chain in one projection over the scan
+    val re = planOf(build { d =>
+      d.add(SourceNode.table(dir, "documents")) >> new RedactNode() >> d.output("result")
+    })
+    assert(!re.contains("Exchange"), s"RedactNode must not shuffle:\n$re")
+  }
 }
