@@ -93,6 +93,12 @@ object Extra {
       |ON c_custkey = o_custkey""".stripMargin
 
   // ---- q34: cube with exact distinct counts ----
+  // Scale note: cube + count(DISTINCT) expands 4 grouping sets x distinct
+  // keys before the shuffle (Catalyst Expand) — the correct plan for EXACT
+  // answers, which the oracle requires. At 100 TB swap the distinct for
+  // approx_count_distinct (q35 pins its 5% contract) or pre-aggregate
+  // (group by keys+suppkey, then cube over that) when exactness per
+  // grouping set is not required.
   def q34_cube(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
     d.add(SourceNode.table(dir, "lineitem")) >>
       AggNode.cube(Seq("l_returnflag", "l_linestatus"),
@@ -339,6 +345,51 @@ object Extra {
       |FROM events JOIN customer ON user_id = c_custkey
       |GROUP BY 1, 2""".stripMargin
 
+  // ---- q63: stream-STREAM join (two watermarked streams, event-time range
+  // condition bounding the join state) — composed entirely from existing
+  // nodes: the same JoinNode works on streaming frames; watermarks + the
+  // time-range predicate let Spark expire buffered state on both sides.
+  // Append-mode join output is batch-aggregated after the sink. ----
+  def q63_stream_stream_join(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
+    val a = d.add(StreamSourceNode.table(dir, "events").named("ev_a"))
+    val b = d.add(StreamSourceNode.table(dir, "events").named("ev_b"))
+    val wa = a >> new WatermarkNode("ts", "1 hour").named("wm_a") >>
+      FnNode.map1("pick_a") { df => df.selectExpr("user_id as ua", "ts as ts_a", "event_id as eid_a") }
+    val wb = b >> new WatermarkNode("ts", "1 hour").named("wm_b") >>
+      FnNode.map1("pick_b") { df => df.selectExpr("user_id as ub", "ts as ts_b", "event_id as eid_b") }
+    val j = d.add(JoinNode.on(
+      "l.ua = r.ub and r.ts_b > l.ts_a and r.ts_b <= l.ts_a + interval 30 minutes"))
+    wa >> j("left"); wb >> j("right")
+    j >> new StreamRunNode(s"q63_sink_${System.nanoTime()}", outputMode = "append") >>
+      AggNode(Seq("ua"), "count(*) as n_pairs") >>
+      SortNode("ua") >>
+      d.output("result")
+  }
+  val q63Sql: String =
+    """SELECT a.user_id AS ua, count(*) AS n_pairs
+      |FROM events a JOIN events b
+      |  ON a.user_id = b.user_id AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+      |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin
+
+  // ---- q64: streaming deduplication — dropDuplicates over a watermarked
+  // stream (the streaming arm of the dedup family); the deduped row set is
+  // emission-order-nondeterministic, so the query pins the DETERMINISTIC
+  // invariant: the distinct-key count equals the batch answer. ----
+  def q64_stream_dedup(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
+    val src = d.add(StreamSourceNode.table(dir, "events"))
+    src >> new WatermarkNode("ts", "1 hour") >>
+      FnNode.map1("keys") { df => df.selectExpr("user_id", "event_type", "ts") } >>
+      new DistinctNode(Seq("user_id", "event_type")) >>
+      new StreamRunNode(s"q64_sink_${System.nanoTime()}", outputMode = "append") >>
+      AggNode(Seq("event_type"), "count(*) as n_users") >>
+      SortNode("event_type") >>
+      d.output("result")
+  }
+  val q64Sql: String =
+    """SELECT event_type, count(*) AS n_users FROM (
+      |  SELECT DISTINCT user_id, event_type FROM events) t
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q18_setops_all", q18_setops_all _, q18Sql),
     ("q19_array_map", q19_array_map _, q19Sql),
@@ -355,5 +406,7 @@ object Extra {
     ("q43_tfidf_fit", q43_tfidf_fit _, null),
     ("q44_dedup_survivors", q44_dedup_survivors _, null),
     ("q55_stream_static_join", q55_stream_static_join _, q55Sql),
+    ("q63_stream_stream_join", q63_stream_stream_join _, q63Sql),
+    ("q64_stream_dedup", q64_stream_dedup _, q64Sql),
   )
 }
