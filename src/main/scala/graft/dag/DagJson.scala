@@ -67,33 +67,61 @@ object DagJson {
     case JSet(xs)         => xs.map(fromJValue)
   }
 
-  def toJson(dag: Dag): String = {
-    val nodes = dag.nodes.map { n =>
+  /** Topology as plain Scala collections — reusable for nesting: a
+    * SubDagNode's params embed its inner dag via this map form (reference
+    * MLDagNode round-trips through Graph.to_dict the same way).
+    */
+  def dagToMap(dag: Dag): Map[String, Any] = Map(
+    "dag" -> dag.dagName,
+    "nodes" -> dag.nodes.map { n =>
       val kind = n.jsonKind.getOrElse(
         throw new GraftException(
           s"node '${n.name}' (${n.getClass.getSimpleName}) is not JSON-serializable " +
             "(closure-carrying nodes cannot round-trip; give the node a jsonKind/jsonParams)"))
-      JObject(List(
-        "name" -> JString(n.name),
-        "kind" -> JString(kind),
-        "params" -> toJValue(n.jsonParams)))
+      Map("name" -> n.name, "kind" -> kind, "params" -> n.jsonParams)
+    },
+    "edges" -> dag.edges.map(e => Seq(e.from, e.fromPort, e.to, e.toPort)).toSeq,
+    "deps" -> dag.deps.map { case (a, b) => Seq(a, b) }.toSeq,
+    "inputs" -> dag.inputBinds.map(b => Seq(b.inName, b.node, b.port)).toSeq,
+    "outputs" -> dag.outputBinds.map { case (o, (n, p)) => Seq(o, n, p) }.toSeq)
+
+  def dagFromMap(m: Map[String, Any]): Dag = {
+    val dag = new Dag(m("dag").toString)
+    val byName = mutable.Map[String, Node]()
+    m("nodes").asInstanceOf[Seq[Any]].foreach { any =>
+      val jn = any.asInstanceOf[Map[String, Any]]
+      val nm = jn("name").toString
+      val kind = jn("kind").toString
+      val params = jn("params").asInstanceOf[Map[String, Any]]
+      val factory = registry.getOrElse(kind,
+        throw new GraftException(s"no factory registered for node kind '$kind'"))
+      val node = factory(params).named(nm)
+      dag.add(node)
+      byName(nm) = node
     }
-    val edges = dag.edges.map(e =>
-      JArray(List(JString(e.from), JString(e.fromPort), JString(e.to), JString(e.toPort))))
-    val deps = dag.deps.map { case (a, b) => JArray(List(JString(a), JString(b))) }
-    val ins = dag.inputBinds.map(b =>
-      JArray(List(JString(b.inName), JString(b.node), JString(b.port))))
-    val outs = dag.outputBinds.map { case (o, (n, p)) =>
-      JArray(List(JString(o), JString(n), JString(p)))
+    def strs(any: Any): Seq[String] = any.asInstanceOf[Seq[Any]].map(_.toString)
+    m("edges").asInstanceOf[Seq[Any]].foreach { j =>
+      val Seq(from, fp, to, tp) = strs(j)
+      dag.connect(byName(from), Some(fp), byName(to), Some(tp))
     }
-    JsonMethods.compact(JsonMethods.render(JObject(List(
-      "dag" -> JString(dag.dagName),
-      "nodes" -> JArray(nodes.toList),
-      "edges" -> JArray(edges.toList),
-      "deps" -> JArray(deps.toList),
-      "inputs" -> JArray(ins.toList),
-      "outputs" -> JArray(outs.toList)))))
+    m("deps").asInstanceOf[Seq[Any]].foreach { j =>
+      val Seq(a, b) = strs(j); dag.addDependency(a, b)
+    }
+    m("inputs").asInstanceOf[Seq[Any]].foreach { j =>
+      val Seq(in, n, p) = strs(j); dag.setInput(byName(n), Some(in), Some(p))
+    }
+    m("outputs").asInstanceOf[Seq[Any]].foreach { j =>
+      val Seq(o, n, p) = strs(j); dag.setOutput(o, byName(n), Some(p))
+    }
+    dag
   }
+
+  // nested-dag node factory lives here (dag-core kind, not node library)
+  register("sub_dag")(p => new SubDagNode(
+    dagFromMap(p.m("dag").asInstanceOf[Map[String, Any]]), p.str("base")))
+
+  def toJson(dag: Dag): String =
+    JsonMethods.compact(JsonMethods.render(toJValue(dagToMap(dag))))
 
   /** Persist/load a topology to/from a file (reference round-trips dicts the
     * caller serializes; here the file form is first-class). */
@@ -102,47 +130,8 @@ object DagJson {
   def load(path: String): Dag =
     fromJson(java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
 
-  def fromJson(json: String): Dag = {
-    val root = JsonMethods.parse(json)
-    val JString(name) = root \ "dag"
-    val dag = new Dag(name)
-    val byName = mutable.Map[String, Node]()
-    (root \ "nodes").asInstanceOf[JArray].arr.foreach { jn =>
-      val JString(nm) = jn \ "name"
-      val JString(kind) = jn \ "kind"
-      val params = fromJValue(jn \ "params").asInstanceOf[Map[String, Any]]
-      val factory = registry.getOrElse(kind,
-        throw new GraftException(s"no factory registered for node kind '$kind'"))
-      val node = factory(params).named(nm)
-      dag.add(node)
-      byName(nm) = node
-    }
-    def quad(j: JValue): (String, String, String, String) = {
-      val JArray(List(JString(a), JString(b), JString(c), JString(d))) = j
-      (a, b, c, d)
-    }
-    def triple(j: JValue): (String, String, String) = {
-      val JArray(List(JString(a), JString(b), JString(c))) = j
-      (a, b, c)
-    }
-    (root \ "edges").asInstanceOf[JArray].arr.foreach { j =>
-      val (from, fp, to, tp) = quad(j)
-      dag.connect(byName(from), Some(fp), byName(to), Some(tp))
-    }
-    (root \ "deps").asInstanceOf[JArray].arr.foreach { j =>
-      val JArray(List(JString(a), JString(b))) = j
-      dag.addDependency(a, b)
-    }
-    (root \ "inputs").asInstanceOf[JArray].arr.foreach { j =>
-      val (in, n, p) = triple(j)
-      dag.setInput(byName(n), Some(in), Some(p))
-    }
-    (root \ "outputs").asInstanceOf[JArray].arr.foreach { j =>
-      val (o, n, p) = triple(j)
-      dag.setOutput(o, byName(n), Some(p))
-    }
-    dag
-  }
+  def fromJson(json: String): Dag =
+    dagFromMap(fromJValue(JsonMethods.parse(json)).asInstanceOf[Map[String, Any]])
 }
 
 /** DOT rendering — the equivalent of the reference's graphviz display

@@ -284,13 +284,19 @@ class TransformNode(val parentName: String) extends Node {
   * mldagbase.py:980-1117). Inner inputs/outputs become this node's ports;
   * Catalyst still sees one fused plan because everything stays lazy.
   */
-class SubDagNode(val inner: Dag, base: String = "sub_dag") extends Node {
+class SubDagNode(val inner: Dag, val base: String = "sub_dag") extends Node {
   override protected def defaultName: String = base
   def inputs: Seq[Port] = inner.inputPorts
   def outputs: Seq[Port] = inner.outputNames.map(Port(_))
   override def fit(ctx: Ctx, in: In): Unit = { inner.fitSeq(ctx, in.toMap); () }
   override def transform(ctx: Ctx, in: In): Map[String, DataFrame] =
     inner.transformSeq(ctx, in.toMap).outputs
+  /** Nested topology serializes recursively (reference MLDagNode through
+    * Graph.to_dict); fails with the closure error if the inner dag holds a
+    * non-serializable node. */
+  override def jsonKind: Option[String] = Some("sub_dag")
+  override def jsonParams: Map[String, Any] =
+    Map("dag" -> DagJson.dagToMap(inner), "base" -> base)
 }
 
 object Node {

@@ -115,6 +115,29 @@ class SerializationSpec extends AnyFunSuite {
     assert(dot.contains("<o_result> result"))                        // record output port row
   }
 
+  test("nested dag JSON round-trip (reference MLDagNode through to_dict)") {
+    nodes.NodeRegistry.ensure
+    val inner = new Dag("cleaner")
+    val f = inner.add(new FilterNode("id >= 2").named("keep"))
+    val p = inner.add(new ProjectNode(Seq("id", "v")).named("proj"))
+    inner.input("raw") >> f
+    f >> p
+    p >> inner.output("clean")
+    val outer = new Dag("outer_pipe")
+    val sub = outer.add(inner.asNode)
+    outer.input("x") >> sub
+    sub("clean") >> outer.output("res")
+    val json = DagJson.toJson(outer)
+    assert(json.contains("\"kind\":\"sub_dag\""))
+    val back = DagJson.fromJson(json)
+    val subBack = back.nodes.collectFirst { case s: SubDagNode => s }.get
+    assert(subBack.inner.dagName == "cleaner")
+    assert(subBack.inner.nodeNames == Seq("keep", "proj"))
+    val df = Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v")
+    val out = back.transform(Ctx(spark), Map("x" -> df))("res")
+    assert(out.select("id").as[Int].collect().sorted.toSeq == Seq(2, 3))
+  }
+
   test("DOT styles: default and dark palettes color graph, nodes, ports") {
     val d = new Dag("styled")
     val a = d.add(FnNode.map1("a")(df => df))
