@@ -176,48 +176,59 @@ object DagDot {
   private def rec(s: String) = // record-field text: escape the record metachars
     s.replaceAll("([{}<>|])", "\\\\$1")
 
-  def toDot(dag: Dag): String = toDot(dag, None)
-  def toDot(dag: Dag, style: DotStyle): String = toDot(dag, Some(style))
-  private def toDot(dag: Dag, style: Option[DotStyle]): String = {
+  def toDot(dag: Dag): String = toDot(dag, None, Int.MaxValue)
+  def toDot(dag: Dag, style: DotStyle): String = toDot(dag, Some(style), Int.MaxValue)
+  /** `maxDepth` caps nested-cluster recursion (reference `max_mldag_depth`,
+    * display.py:17-40): SubDagNodes deeper than the cap render as plain
+    * record nodes instead of expanded clusters. */
+  def toDot(dag: Dag, style: Option[DotStyle], maxDepth: Int): String = {
     val sb = new StringBuilder(s"digraph \"${esc(dag.dagName)}\" {\n  rankdir=LR;\n")
     style.foreach(s => sb ++= s.graphAttrs)
     val pa = style.map(_.portAttrs).getOrElse("")
-    renderBody(dag, "", "  ", sb, pa)
+    renderBody(dag, "", "  ", sb, pa, maxDepth)
     dag.inputBinds.foreach { b =>
       sb ++= s"""  "in:${esc(b.inName)}" [shape=oval, style=dotted$pa];\n"""
-      val (to, hp) = inEndpoint(dag, "", b.node, b.port)
+      val (to, hp) = inEndpoint(dag, "", b.node, b.port, maxDepth)
       sb ++= s"""  "in:${esc(b.inName)}" -> $to [label="${esc(b.port)}"$hp];\n"""
     }
     dag.outputBinds.foreach { case (o, (n, p)) =>
       sb ++= s"""  "out:${esc(o)}" [shape=oval, style=dotted$pa];\n"""
-      val (from, tp) = outEndpoint(dag, "", n, p)
+      val (from, tp) = outEndpoint(dag, "", n, p, maxDepth)
       sb ++= s"""  $from -> "out:${esc(o)}" [label="${esc(p)}"$tp];\n"""
     }
     sb ++= "}\n"
     sb.toString
   }
 
-  /** Edge endpoint for a payload ARRIVING at `(node, port)`: a SubDagNode
-    * resolves to its inner dag-input oval inside the cluster; a plain node
-    * anchors on its input record field.
+  private def depthOf(path: String): Int = path.count(_ == '/')
+  private def expanded(path: String, maxDepth: Int): Boolean = depthOf(path) < maxDepth
+
+  /** Edge endpoint for a payload ARRIVING at `(node, port)`: an EXPANDED
+    * SubDagNode resolves to its inner dag-input oval inside the cluster; a
+    * collapsed one (past maxDepth) or a plain node anchors on its input
+    * record field.
     */
-  private def inEndpoint(dag: Dag, path: String, node: String, port: String): (String, String) =
+  private def inEndpoint(dag: Dag, path: String, node: String, port: String,
+                         maxDepth: Int): (String, String) =
     dag.node(node) match {
-      case sd: SubDagNode => (s""""${esc(s"$path${sd.name}/in:$port")}"""", "")
+      case sd: SubDagNode if expanded(path, maxDepth) =>
+        (s""""${esc(s"$path${sd.name}/in:$port")}"""", "")
       case _ => (s""""${esc(s"$path$node")}"""", s""", headport="i_${esc(port)}"""")
     }
 
   /** Edge endpoint for a payload LEAVING `(node, port)` — dual of inEndpoint. */
-  private def outEndpoint(dag: Dag, path: String, node: String, port: String): (String, String) =
+  private def outEndpoint(dag: Dag, path: String, node: String, port: String,
+                          maxDepth: Int): (String, String) =
     dag.node(node) match {
-      case sd: SubDagNode => (s""""${esc(s"$path${sd.name}/out:$port")}"""", "")
+      case sd: SubDagNode if expanded(path, maxDepth) =>
+        (s""""${esc(s"$path${sd.name}/out:$port")}"""", "")
       case _ => (s""""${esc(s"$path$node")}"""", s""", tailport="o_${esc(port)}"""")
     }
 
   private def renderBody(dag: Dag, path: String, indent: String, sb: StringBuilder,
-                         pa: String = ""): Unit = {
+                         pa: String = "", maxDepth: Int = Int.MaxValue): Unit = {
     dag.nodes.foreach {
-      case sd: SubDagNode =>
+      case sd: SubDagNode if expanded(path, maxDepth) =>
         val cpath = s"$path${sd.name}/"
         sb ++= s"""${indent}subgraph "cluster_${esc(cpath)}" {\n"""
         sb ++= s"""$indent  label="${esc(sd.name)} : ${esc(sd.inner.dagName)}"; style=rounded;\n"""
@@ -229,14 +240,14 @@ object DagDot {
         sd.inner.outputBinds.keys.foreach { o =>
           sb ++= s"""$indent  "${esc(s"${cpath}out:$o")}" [shape=oval, style=dotted, label="${esc(o)}"$pa];\n"""
         }
-        renderBody(sd.inner, cpath, indent + "  ", sb, pa)
+        renderBody(sd.inner, cpath, indent + "  ", sb, pa, maxDepth)
         // wire the port ovals to their inner bindings
         sd.inner.inputBinds.foreach { b =>
-          val (to, hp) = inEndpoint(sd.inner, cpath, b.node, b.port)
+          val (to, hp) = inEndpoint(sd.inner, cpath, b.node, b.port, maxDepth)
           sb ++= s"""$indent  "${esc(s"${cpath}in:${b.inName}")}" -> $to [label="${esc(b.port)}"$hp];\n"""
         }
         sd.inner.outputBinds.foreach { case (o, (n, p)) =>
-          val (from, tp) = outEndpoint(sd.inner, cpath, n, p)
+          val (from, tp) = outEndpoint(sd.inner, cpath, n, p, maxDepth)
           sb ++= s"""$indent  $from -> "${esc(s"${cpath}out:$o")}" [label="${esc(p)}"$tp];\n"""
         }
         sb ++= s"$indent}\n"
@@ -249,8 +260,8 @@ object DagDot {
         sb ++= s"""$indent"${esc(s"$path${n.name}")}" [shape=record, label="{$ins${rec(n.name)}\\n(${n.getClass.getSimpleName})$outs}"];\n"""
     }
     dag.edges.foreach { e =>
-      val (from, tp) = outEndpoint(dag, path, e.from, e.fromPort)
-      val (to, hp) = inEndpoint(dag, path, e.to, e.toPort)
+      val (from, tp) = outEndpoint(dag, path, e.from, e.fromPort, maxDepth)
+      val (to, hp) = inEndpoint(dag, path, e.to, e.toPort, maxDepth)
       sb ++= s"""$indent$from -> $to [label="${esc(e.fromPort)}→${esc(e.toPort)}"$tp$hp];\n"""
     }
     dag.deps.foreach { case (a, b) =>

@@ -113,6 +113,11 @@ class SerializationSpec extends AnyFunSuite {
     assert(dot.contains("\"cleaner/out:clean\" -> \"sink\""))        // and leaves from port
     assert(dot.contains("<i_df> df"))                                // record input port row
     assert(dot.contains("<o_result> result"))                        // record output port row
+    // depth cap: at maxDepth 0 the subdag renders as a plain record node
+    val capped = DagDot.toDot(outer, None, 0)
+    assert(!capped.contains("subgraph"))
+    assert(capped.contains("\"cleaner\"") && capped.contains("SubDagNode"))
+    assert(capped.contains("\"src\" -> \"cleaner\""))
   }
 
   test("nested dag JSON round-trip (reference MLDagNode through to_dict)") {
