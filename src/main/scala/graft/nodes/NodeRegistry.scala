@@ -13,8 +13,11 @@ import graft.dag.DagJson.P
 object NodeRegistry {
   lazy val ensure: Unit = {
     import DagJson.register
-    register("source")(p => new SourceNode(p.str("path"), p.str("format"), p.strs("columns"), p.strs("nanosTsCols")))
-    register("sink")(p => new SinkNode(p.str("path"), p.str("format"), p.str("mode"), p.strs("partitionBy")))
+    register("source")(p => new SourceNode(p.str("path"), p.str("format"), p.strs("columns"), p.strs("nanosTsCols"),
+      p.m.get("options").collect { case m: Map[_, _] => m.map { case (k, v) => k.toString -> v.toString } }.getOrElse(Map.empty),
+      p.strOpt("schemaDdl")))
+    register("sink")(p => new SinkNode(p.str("path"), p.str("format"), p.str("mode"), p.strs("partitionBy"),
+      p.m.get("options").collect { case m: Map[_, _] => m.map { case (k, v) => k.toString -> v.toString } }.getOrElse(Map.empty)))
     register("project")(p => new ProjectNode(p.strs("exprs")))
     register("with_columns")(p => new WithColumnsNode(p.pairs("cols")))
     register("filter")(p => new FilterNode(p.str("condition")))

@@ -40,14 +40,16 @@ object SortExprs {
   * be pruned at the source for scan efficiency.
   */
 class SourceNode(val path: String, val format: String = "parquet", val columns: Seq[String] = Nil,
-                 val nanosTsCols: Seq[String] = Nil)
+                 val nanosTsCols: Seq[String] = Nil,
+                 val options: Map[String, String] = Map.empty,
+                 val schemaDdl: Option[String] = None) // explicit schema (DDL) — text formats
   extends Node {
   override protected def defaultName: String = "source"
   override def persistableOutput: Boolean = false // never cache a raw scan
   val inputs: Seq[Port] = Nil
   val outputs = Seq(Port("result"))
   override def jsonKind: Option[String] = Some("source")
-  override def jsonParams: Map[String, Any] = Map("path" -> path, "format" -> format, "columns" -> columns, "nanosTsCols" -> nanosTsCols)
+  override def jsonParams: Map[String, Any] = Map("path" -> path, "format" -> format, "columns" -> columns, "nanosTsCols" -> nanosTsCols, "options" -> options, "schemaDdl" -> schemaDdl.orNull)
   override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
     // Parquet TIMESTAMP(NANOS) is unreadable by Spark natively; read as
     // epoch-nanos long, then convert declared columns to micros timestamps.
@@ -62,7 +64,9 @@ class SourceNode(val path: String, val format: String = "parquet", val columns: 
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         s
       }
-    val df0 = readSession.read.format(format).load(path)
+    val reader0 = readSession.read.format(format).options(options)
+    val reader = schemaDdl.fold(reader0)(reader0.schema)
+    val df0 = reader.load(path)
     val df = nanosTsCols.foldLeft(df0)((d, c) =>
       d.withColumn(c, expr(s"timestamp_micros($c div 1000)")))
     Map("result" -> (if (columns.nonEmpty) df.select(columns.map(col): _*) else df))
@@ -83,15 +87,16 @@ object SourceNode {
   * lazy evaluation (sink barriers, SURVEY.md §1.2).
   */
 class SinkNode(val path: String, val format: String = "parquet", val mode: String = "overwrite",
-               val partitionBy: Seq[String] = Nil) extends Node {
+               val partitionBy: Seq[String] = Nil,
+               val options: Map[String, String] = Map.empty) extends Node {
   override protected def defaultName: String = "sink"
   val inputs = Seq(Port("df"))
   val outputs = Seq(Port("result"))
   override def jsonKind: Option[String] = Some("sink")
-  override def jsonParams: Map[String, Any] = Map("path" -> path, "format" -> format, "mode" -> mode, "partitionBy" -> partitionBy)
+  override def jsonParams: Map[String, Any] = Map("path" -> path, "format" -> format, "mode" -> mode, "partitionBy" -> partitionBy, "options" -> options)
   override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
     val df = in("df")
-    val w = df.write.format(format).mode(mode)
+    val w = df.write.format(format).mode(mode).options(options)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).save(path)
     Map("result" -> df)
   }

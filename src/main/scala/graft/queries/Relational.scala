@@ -385,6 +385,45 @@ object Relational {
       |  SELECT 'urgent' AS source, o_totalprice FROM orders WHERE o_orderpriority = '1-URGENT')
       |GROUP BY source ORDER BY source""".stripMargin
 
+  // ---- q65: multi-format source/sink round-trip — the same rows written as
+  // CSV (header) and JSON, read back through SourceNode's text-format path
+  // (explicit DDL schema + options), merged via TaggedUnionNode and
+  // aggregated. Doubles round-trip text formats exactly (shortest-repr
+  // printing + exact parse), and the decimal cast happens after readback so
+  // both format arms and the oracle share the same arithmetic. ----
+  def q65_format_roundtrip(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
+    val tmp = s"${sys.props("java.io.tmpdir")}/graft_q65_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    val ddl = "o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE"
+    val src = d.add(SourceNode.table(dir, "orders"))
+    val slim = src >> FilterNode("o_totalprice > 250000") >>
+      ProjectNode("o_orderkey", "o_orderstatus", "o_totalprice").named("slim")
+    val csvSink = d.add(new SinkNode(s"$tmp/csv", "csv", options = Map("header" -> "true")).named("csv_sink"))
+    val jsonSink = d.add(new SinkNode(s"$tmp/json", "json").named("json_sink"))
+    slim >> csvSink("df"); slim("result") >> jsonSink("df")
+    // order-only dependency through the sinks' passthrough ports
+    val csvBack = d.add(new FnNode(Seq(Port("df")), Seq(Port("result")),
+      (ctx, _) => Map("result" -> ctx.spark.read.schema(ddl)
+        .option("header", "true").csv(s"$tmp/csv")), "csv_rb"))
+    val jsonBack = d.add(new FnNode(Seq(Port("df")), Seq(Port("result")),
+      (ctx, _) => Map("result" -> ctx.spark.read.schema(ddl).json(s"$tmp/json")), "json_rb"))
+    csvSink >> csvBack("df"); jsonSink >> jsonBack("df")
+    val u = d.add(new TaggedUnionNode())
+    csvBack >> u("dfs"); jsonBack >> u("dfs")
+    u >> AggNode(Seq("source", "o_orderstatus"),
+        "count(*) as n",
+        "cast(sum(cast(o_totalprice as decimal(18,2))) as double) as total") >>
+      SortNode("source", "o_orderstatus") >>
+      d.output("result")
+  }
+  val q65Sql: String =
+    """SELECT source, o_orderstatus, count(*) AS n,
+      |  cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS total
+      |FROM (
+      |  SELECT 'csv_rb' AS source, o_orderstatus, o_totalprice FROM orders WHERE o_totalprice > 250000
+      |  UNION ALL
+      |  SELECT 'json_rb' AS source, o_orderstatus, o_totalprice FROM orders WHERE o_totalprice > 250000)
+      |GROUP BY source, o_orderstatus ORDER BY source, o_orderstatus""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q2_join_star", q2_join_star _, q2Sql),
     ("q3_topk", q3_topk _, q3Sql),
@@ -404,5 +443,6 @@ object Relational {
     ("q17_grouping_sets", q17_grouping_sets _, q17Sql),
     ("q58_sink_roundtrip", q58_sink_roundtrip _, q58Sql),
     ("q59_tagged_union", q59_tagged_union _, q59Sql),
+    ("q65_format_roundtrip", q65_format_roundtrip _, q65Sql),
   )
 }
