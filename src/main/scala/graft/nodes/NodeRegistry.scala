@@ -93,6 +93,7 @@ object NodeRegistry {
     register("ivf_knn")(p => new IvfKnnNode(p.int("k"), p.int("nClusters"), p.int("nProbe"),
       p.str("idCol"), p.str("vecCol"), p.str("queryIdCol")))
     register("dedup_survivors")(p => new DedupSurvivorsNode(p.str("idCol")))
-    register("connected_components")(p => new ConnectedComponentsNode(p.str("idA"), p.str("idB"), p.int("maxIter")))
+    register("connected_components")(p => new ConnectedComponentsNode(p.str("idA"), p.str("idB"), p.int("maxIter"),
+      p.boolOr("halving", false), p.boolOr("failOnNonConverged", true)))
   }
 }

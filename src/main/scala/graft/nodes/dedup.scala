@@ -136,15 +136,17 @@ object MinHashDedupNode {
   * propagate-join reuses that layout and only the (small) labels side
   * shuffles.
   */
-class ConnectedComponentsNode(idA: String = "id_a", idB: String = "id_b", maxIter: Int = 15)
+class ConnectedComponentsNode(idA: String = "id_a", idB: String = "id_b", maxIter: Int = 15,
+                              halving: Boolean = false, failOnNonConverged: Boolean = true)
   extends Node {
   override protected def defaultName: String = "connected_components"
   val inputs = Seq(Port("pairs"))
   val outputs = Seq(Port("result"))
   override def jsonKind: Option[String] = Some("connected_components")
-  override def jsonParams: Map[String, Any] = Map("idA" -> idA, "idB" -> idB, "maxIter" -> maxIter)
+  override def jsonParams: Map[String, Any] = Map("idA" -> idA, "idB" -> idB, "maxIter" -> maxIter,
+    "halving" -> halving, "failOnNonConverged" -> failOnNonConverged)
   override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
-    import org.apache.spark.sql.functions.{least, min}
+    import org.apache.spark.sql.functions.{coalesce, least, min}
     val pairs = in("pairs").select(col(idA).as("a"), col(idB).as("b"))
     // undirected adjacency, both directions; partitioned by the join key so
     // the per-round join never re-shuffles the edge set (matches the shuffle
@@ -162,9 +164,24 @@ class ConnectedComponentsNode(idA: String = "id_a", idB: String = "id_b", maxIte
     while (!converged && iter < maxIter) {
       val neighborMin = edges.join(labels, edges("b") === labels("id"))
         .groupBy(edges("a").as("id")).agg(min("label").as("nlabel"))
-      val updated = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"), least(col("label"), col("nlabel")).as("label"),
-          (col("nlabel") < col("label")).as("__changed"))
+      val stepped = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"), least(col("label"), col("nlabel")).as("label"))
+      // pointer halving (label <- label(label), path compression): turns
+      // convergence from O(diameter) into O(log diameter) rounds at the cost
+      // of one extra self-join per round. Near-dup clusters have tiny
+      // diameters, so the default skips it; enable for deep chain/graph
+      // workloads (the alternative at extreme scale is alternating
+      // large-star/small-star, Kiveris et al., same O(log) round bound).
+      val next =
+        if (!halving) stepped
+        else {
+          val ptr = stepped.select(col("id").as("pid"), col("label").as("plabel"))
+          stepped.join(ptr, stepped("label") === ptr("pid"), "left")
+            .select(stepped("id"),
+              least(stepped("label"), coalesce(col("plabel"), stepped("label"))).as("label"))
+        }
+      val updated = next.join(labels.select(col("id"), col("label").as("__old")), Seq("id"))
+        .select(col("id"), col("label"), (col("label") < col("__old")).as("__changed"))
         .localCheckpoint()
       val changes = updated.filter(col("__changed")).count() // cached-read only
       labels = updated.drop("__changed")
@@ -172,6 +189,11 @@ class ConnectedComponentsNode(idA: String = "id_a", idB: String = "id_b", maxIte
       iter += 1
     }
     edges.unpersist()
+    if (!converged && failOnNonConverged)
+      throw new GraftException(
+        s"connected components did not converge within maxIter=$maxIter rounds — " +
+          "labels would be silently non-minimal; raise maxIter or enable halving=true " +
+          "(O(log diameter) rounds)")
     Map("result" -> labels.withColumnRenamed("label", "cluster_id"))
   }
 }

@@ -159,6 +159,30 @@ class NodesSpec extends AnyFunSuite {
     assert(Seq(7L, 8L, 9L).forall(out(_) == 7L))
   }
 
+  test("ConnectedComponentsNode halving labels a 60-chain in O(log d) rounds") {
+    // plain propagation needs ~59 rounds for a 60-node chain; halving must
+    // finish within 10 (failOnNonConverged throws otherwise)
+    val chain = (0L until 59L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = runOne { d =>
+      val p = d.add(srcNode(chain, "pairs"))
+      val cc = d.add(new ConnectedComponentsNode(maxIter = 10, halving = true))
+      p >> cc("pairs")
+      cc >> d.output("result")
+    }.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == 60 && out.values.forall(_ == 0L))
+  }
+
+  test("ConnectedComponentsNode fails loudly when maxIter is too small") {
+    val chain = (0L until 30L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val d = new Dag()
+    val p = d.add(srcNode(chain, "pairs"))
+    val cc = d.add(new ConnectedComponentsNode(maxIter = 3))
+    p >> cc("pairs")
+    cc >> d.output("result")
+    val e = intercept[GraftException](d.transform(ctx).outputs("result"))
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("IvfKnnNode: fit quantizer, probe clusters, self-match at rank 1") {
     // 3 well-separated clusters of 8-dim vectors
     val emb = (0L until 30L).map { i =>
