@@ -164,25 +164,27 @@ class ConnectedComponentsNode(idA: String = "id_a", idB: String = "id_b", maxIte
     while (!converged && iter < maxIter) {
       val neighborMin = edges.join(labels, edges("b") === labels("id"))
         .groupBy(edges("a").as("id")).agg(min("label").as("nlabel"))
-      val stepped = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"), least(col("label"), col("nlabel")).as("label"))
       // pointer halving (label <- label(label), path compression): turns
       // convergence from O(diameter) into O(log diameter) rounds at the cost
       // of one extra self-join per round. Near-dup clusters have tiny
-      // diameters, so the default skips it; enable for deep chain/graph
-      // workloads (the alternative at extreme scale is alternating
-      // large-star/small-star, Kiveris et al., same O(log) round bound).
-      val next =
-        if (!halving) stepped
-        else {
-          val ptr = stepped.select(col("id").as("pid"), col("label").as("plabel"))
-          stepped.join(ptr, stepped("label") === ptr("pid"), "left")
-            .select(stepped("id"),
-              least(stepped("label"), coalesce(col("plabel"), stepped("label"))).as("label"))
-        }
-      val updated = next.join(labels.select(col("id"), col("label").as("__old")), Seq("id"))
-        .select(col("id"), col("label"), (col("label") < col("__old")).as("__changed"))
-        .localCheckpoint()
+      // diameters, so the default skips it — and keeps the change flag
+      // inline (no diff join); enable for deep chain/graph workloads (the
+      // alternative at extreme scale is alternating large-star/small-star,
+      // Kiveris et al., same O(log) round bound).
+      val updated = (if (!halving) {
+        labels.join(neighborMin, Seq("id"), "left")
+          .select(col("id"), least(col("label"), col("nlabel")).as("label"),
+            (col("nlabel") < col("label")).as("__changed"))
+      } else {
+        val stepped = labels.join(neighborMin, Seq("id"), "left")
+          .select(col("id"), least(col("label"), col("nlabel")).as("label"))
+        val ptr = stepped.select(col("id").as("pid"), col("label").as("plabel"))
+        stepped.join(ptr, stepped("label") === ptr("pid"), "left")
+          .select(stepped("id"),
+            least(stepped("label"), coalesce(col("plabel"), stepped("label"))).as("label"))
+          .join(labels.select(col("id"), col("label").as("__old")), Seq("id"))
+          .select(col("id"), col("label"), (col("label") < col("__old")).as("__changed"))
+      }).localCheckpoint()
       val changes = updated.filter(col("__changed")).count() // cached-read only
       labels = updated.drop("__changed")
       converged = changes == 0
