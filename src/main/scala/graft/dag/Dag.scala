@@ -170,10 +170,9 @@ final class Dag(val dagName: String = "dag") {
 
   def inputNames: Seq[String] = inputBinds.map(_.inName).distinct.toSeq
   def inputPorts: Seq[Port] = inputNames.map { n =>
-    val variadic = inputBinds.filter(_.inName == n).exists { b =>
-      nodeMap(b.node).inputs.find(_.name == b.port).exists(_.variadic)
-    }
-    Port(n, variadic)
+    val bound = inputBinds.filter(_.inName == n)
+      .flatMap(b => nodeMap(b.node).inputs.find(_.name == b.port))
+    Port(n, bound.exists(_.variadic), keyed = bound.exists(_.keyed))
   }
   def outputNames: Seq[String] = outputBinds.keys.toSeq
 
@@ -325,7 +324,7 @@ final class Dag(val dagName: String = "dag") {
   def fit(ctx: Ctx, bindings: Map[String, DataFrame] = Map.empty): DagRun =
     fitSeq(ctx, bindings.map { case (k, v) => k -> Seq(v) })
   def fitSeq(ctx: Ctx, bindings: Map[String, Seq[DataFrame]]): DagRun =
-    run(ctx, bindings, doFit = true, transformLeaves = false)
+    run(ctx, tagBindings(bindings), doFit = true, transformLeaves = false)
 
   /** Inference run over previously fitted nodes; leaves included
     * (mldag.py:561-599). Pure lazy DataFrame composition.
@@ -333,7 +332,22 @@ final class Dag(val dagName: String = "dag") {
   def transform(ctx: Ctx, bindings: Map[String, DataFrame] = Map.empty): DagRun =
     transformSeq(ctx, bindings.map { case (k, v) => k -> Seq(v) })
   def transformSeq(ctx: Ctx, bindings: Map[String, Seq[DataFrame]]): DagRun =
-    run(ctx, bindings, doFit = false, transformLeaves = true)
+    run(ctx, tagBindings(bindings), doFit = false, transformLeaves = true)
+
+  /** Tagged entry points: nested dags (SubDagNode) forward payloads with
+    * their ORIGINAL upstream origin names so keyed-port semantics (names,
+    * duplicate rejection) behave identically nested or flat. */
+  private[dag] def fitTagged(ctx: Ctx, b: Map[String, Seq[(String, DataFrame)]]): DagRun =
+    run(ctx, b, doFit = true, transformLeaves = false)
+  private[dag] def transformTagged(ctx: Ctx, b: Map[String, Seq[(String, DataFrame)]]): DagRun =
+    run(ctx, b, doFit = false, transformLeaves = true)
+
+  /** Untagged payloads get their bind name as origin (positional suffix only
+    * when one name carries several payloads). */
+  private def tagBindings(b: Map[String, Seq[DataFrame]]): Map[String, Seq[(String, DataFrame)]] =
+    b.map { case (k, v) =>
+      k -> v.zipWithIndex.map { case (df, i) => (if (v.size == 1) k else s"$k$i", df) }
+    }
 
   def fitTransform(ctx: Ctx, bindings: Map[String, DataFrame] = Map.empty): DagRun = {
     fit(ctx, bindings); transform(ctx, bindings)
@@ -341,7 +355,7 @@ final class Dag(val dagName: String = "dag") {
 
   private def run(
       ctx: Ctx,
-      bindings: Map[String, Seq[DataFrame]],
+      bindings: Map[String, Seq[(String, DataFrame)]],
       doFit: Boolean,
       transformLeaves: Boolean): DagRun = {
     validate()
@@ -379,11 +393,7 @@ final class Dag(val dagName: String = "dag") {
           buf += ((origin, df))
         }
         inputBinds.filter(_.node == n.name).foreach { b =>
-          bindings.get(b.inName).foreach { dfs =>
-            dfs.zipWithIndex.foreach { case (df, i) =>
-              put(b.port, if (dfs.size == 1) b.inName else s"${b.inName}$i", df)
-            }
-          }
+          bindings.get(b.inName).foreach(_.foreach { case (origin, df) => put(b.port, origin, df) })
         }
         edges.filter(_.to == n.name).foreach { e =>
           nodeOutputs.get(e.from).flatMap(_.get(e.fromPort)).foreach { df =>

@@ -265,7 +265,19 @@ object DagDot {
       sb ++= s"""$indent$from -> $to [label="${esc(e.fromPort)}→${esc(e.toPort)}"$tp$hp];\n"""
     }
     dag.deps.foreach { case (a, b) =>
-      sb ++= s"""$indent"${esc(s"$path$a")}" -> "${esc(s"$path$b")}" [style=dashed, label="dep"];\n"""
+      // dep endpoints on an EXPANDED SubDagNode must anchor inside the
+      // cluster (its plain id does not exist as a node there); use the first
+      // inner port oval, falling back to the first inner node
+      def depId(n: String): String = dag.node(n) match {
+        case sd: SubDagNode if expanded(path, maxDepth) =>
+          val cpath = s"$path${sd.name}/"
+          sd.inner.inputBinds.headOption.map(bn => s"${cpath}in:${bn.inName}")
+            .orElse(sd.inner.outputBinds.headOption.map { case (o, _) => s"${cpath}out:$o" })
+            .orElse(sd.inner.nodeNames.headOption.map(cpath + _))
+            .getOrElse(s"$path$n")
+        case _ => s"$path$n"
+      }
+      sb ++= s"""$indent"${esc(depId(a))}" -> "${esc(depId(b))}" [style=dashed, label="dep"];\n"""
     }
   }
 }

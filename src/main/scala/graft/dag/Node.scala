@@ -242,18 +242,23 @@ class SparkMlNode(
     }
   }
   override def loadFitted(path: String): Unit = {
-    // the model class name is recorded in the MLWriter metadata; dispatch to
-    // the matching MLReadable companion via its static `load`
-    val metaFile = new java.io.File(path, "metadata")
+    // the model class name is recorded in the MLWriter metadata; read it via
+    // the Hadoop FileSystem API (hdfs://, s3a://, local all work — MLWriter
+    // saves to any of them, so load must too), then dispatch to the matching
+    // MLReadable companion's static `load`
+    val spark = org.apache.spark.sql.SparkSession.active
+    val metaDir = new org.apache.hadoop.fs.Path(path, "metadata")
+    val fs = metaDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = Option(fs.globStatus(new org.apache.hadoop.fs.Path(metaDir, "part-*")))
+      .getOrElse(Array.empty).sortBy(_.getPath.getName)
+    if (parts.isEmpty) throw new GraftException(s"no MLWriter metadata under $path")
     val line = {
-      val files = Option(metaFile.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.getName.startsWith("part-")).sortBy(_.getName)
-      if (files.isEmpty) throw new GraftException(s"no MLWriter metadata under $path")
-      val src = scala.io.Source.fromFile(files.head)
-      try src.getLines().next() finally src.close()
+      val in = fs.open(parts.head.getPath)
+      try new java.io.BufferedReader(new java.io.InputStreamReader(in, "UTF-8")).readLine()
+      finally in.close()
     }
     val className = {
-      val m = """"class":"([^"]+)"""".r.findFirstMatchIn(line)
+      val m = """"class":"([^"]+)"""".r.findFirstMatchIn(Option(line).getOrElse(""))
       m.map(_.group(1)).getOrElse(
         throw new GraftException(s"malformed MLWriter metadata under $path"))
     }
@@ -288,9 +293,10 @@ class SubDagNode(val inner: Dag, val base: String = "sub_dag") extends Node {
   override protected def defaultName: String = base
   def inputs: Seq[Port] = inner.inputPorts
   def outputs: Seq[Port] = inner.outputNames.map(Port(_))
-  override def fit(ctx: Ctx, in: In): Unit = { inner.fitSeq(ctx, in.toMap); () }
+  // tagged forwarding: keyed-port origin names survive the nesting boundary
+  override def fit(ctx: Ctx, in: In): Unit = { inner.fitTagged(ctx, in.taggedMap); () }
   override def transform(ctx: Ctx, in: In): Map[String, DataFrame] =
-    inner.transformSeq(ctx, in.toMap).outputs
+    inner.transformTagged(ctx, in.taggedMap).outputs
   /** Nested topology serializes recursively (reference MLDagNode through
     * Graph.to_dict); fails with the closure error if the inner dag holds a
     * non-serializable node. */

@@ -50,6 +50,9 @@ final class In(private val m: Map[String, Seq[(String, DataFrame)]]) {
   def get(port: String): Option[DataFrame] = m.get(port).flatMap(_.headOption).map(_._2)
   def ports: Set[String] = m.keySet
   def toMap: Map[String, Seq[DataFrame]] = m.map { case (k, v) => k -> v.map(_._2) }
+  /** Origin-tagged view — lets nested dags (SubDagNode) forward keyed
+    * payloads without losing the upstream names. */
+  private[dag] def taggedMap: Map[String, Seq[(String, DataFrame)]] = m
 }
 object In {
   val empty = new In(Map.empty)

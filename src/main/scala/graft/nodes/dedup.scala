@@ -241,10 +241,12 @@ class SimHashDedupNode(
     val partialRecall: Boolean = false) // required opt-in for chunks <= maxHamming
   extends Node {
   private val effChunks = if (chunks == 0) maxHamming + 1 else chunks
-  require(effChunks >= 1 && effChunks <= 64, s"chunks must be in [1, 64], got $effChunks")
-  require(effChunks > maxHamming || partialRecall,
-    s"chunks=$effChunks cannot guarantee recall at maxHamming=$maxHamming " +
-      "(pigeonhole needs chunks > maxHamming); pass partialRecall=true to accept misses")
+  if (effChunks < 1 || effChunks > 64)
+    throw new GraftException(s"simhash chunks must be in [1, 64], got $effChunks")
+  if (effChunks <= maxHamming && !partialRecall)
+    throw new GraftException(
+      s"simhash chunks=$effChunks cannot guarantee recall at maxHamming=$maxHamming " +
+        "(pigeonhole needs chunks > maxHamming); pass partialRecall=true to accept misses")
   override protected def defaultName: String = "simhash_dedup"
   val inputs = Seq(Port("df"))
   val outputs = Seq(Port("result"))

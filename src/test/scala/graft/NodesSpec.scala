@@ -79,7 +79,7 @@ class NodesSpec extends AnyFunSuite {
   }
 
   test("SimHashDedupNode rejects chunks <= maxHamming unless partialRecall") {
-    intercept[IllegalArgumentException] {
+    intercept[GraftException] {
       new SimHashDedupNode(maxHamming = 8, chunks = 4)
     }
     new SimHashDedupNode(maxHamming = 8, chunks = 4, partialRecall = true) // opt-in ok
