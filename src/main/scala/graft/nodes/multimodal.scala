@@ -63,10 +63,14 @@ class DecodeImageStubNode(val payloadCol: String = "payload") extends Node {
         val bytes = row.getAs[Array[Byte]](payloadIdx)
         if (bytes == null) Row.fromSeq(row.toSeq ++ Seq(null, null))
         else {
-          // ??? real codec goes here; deterministic fake below
-          val h = java.util.Arrays.hashCode(bytes)
-          val meta = Row(64 + math.abs(h % 512), 64 + math.abs((h / 512) % 512), 3, "fake/rgb")
-          val feats = (0 until 8).map(i => ((h * (i + 1)) % 1000) / 1000.0f).toArray
+          // ??? real codec goes here; deterministic fake below. The fake is a
+          // pure function of the payload BYTE LENGTH (not a JVM hashCode) so
+          // the whole pipeline stays oracle-checkable cross-engine — the
+          // plumbing (mapPartitions batching, schema, null handling) is what
+          // a real codec swap preserves.
+          val h = bytes.length
+          val meta = Row(64 + h % 512, 64 + (h / 512) % 512, 3, "fake/rgb")
+          val feats = (0 until 8).map(i => ((h.toLong * (i + 1)) % 1000) / 1000.0f).toArray
           Row.fromSeq(row.toSeq ++ Seq(meta, feats))
         }
       }

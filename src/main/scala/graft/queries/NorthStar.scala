@@ -173,6 +173,14 @@ object NorthStar {
         "resized_meta.width as rw", "size(features) as n_features") >>
       d.output("result")
   }
+  // the decode stub's fake metadata is a pure function of payload byte
+  // length, so the full mapPartitions pipeline oracles exactly
+  val q31Sql: String =
+    """SELECT doc_id,
+      |  64 + octet_length(encode(text)) % 512 AS w,
+      |  64 + cast(floor(octet_length(encode(text)) / 512) as int) % 512 AS h,
+      |  224 AS rw, 8 AS n_features
+      |FROM documents""".stripMargin
   def q32_frame_sample(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
     d.add(SourceNode.table(dir, "documents")) >>
       new BinaryPayloadNode("text") >>
@@ -197,10 +205,19 @@ object NorthStar {
       AggNode(Seq("doc_id"),
         "count(*) as n_chunks",
         "max(chunk_start_ms) as last_start_ms",
-        "sum(size(mfcc)) as total_coeffs") >>
+        "cast(sum(size(mfcc)) as bigint) as total_coeffs") >>
       SortNode("doc_id") >>
       d.output("result")
   }
+  // the aggregated outputs depend only on chunk COUNT (a pure function of
+  // byte length: min(max(len/100, 1), 4)), not the per-chunk fake mfcc
+  // values, so the flatMap pipeline oracles exactly
+  val q54Sql: String =
+    """SELECT doc_id,
+      |  least(greatest(cast(floor(octet_length(encode(text)) / 100) as int), 1), 4) AS n_chunks,
+      |  cast((least(greatest(cast(floor(octet_length(encode(text)) / 100) as int), 1), 4) - 1) as bigint) * 100 AS last_start_ms,
+      |  cast(least(greatest(cast(floor(octet_length(encode(text)) / 100) as int), 1), 4) as bigint) * 13 AS total_coeffs
+      |FROM documents""".stripMargin
 
   // ---- q60: deterministic hash-mod train/val/test split ----
   def q60_split(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
@@ -299,9 +316,9 @@ object NorthStar {
     ("q28_knn_brute", q28_knn_brute _, q28Sql),
     ("q29_ann_lsh", q29_ann_lsh _, null),
     ("q30_embedding_neardup", q30_embedding_neardup _, q30Sql),
-    ("q31_multimodal", q31_multimodal _, null),
+    ("q31_multimodal", q31_multimodal _, q31Sql),
     ("q32_frame_sample", q32_frame_sample _, q32Sql),
-    ("q54_audio_chunks", q54_audio_chunks _, null),
+    ("q54_audio_chunks", q54_audio_chunks _, q54Sql),
     ("q60_split", q60_split _, q60Sql),
     ("q61_chunk", q61_chunk _, q61Sql),
     ("q62_redact", q62_redact _, q62Sql),
