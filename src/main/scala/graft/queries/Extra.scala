@@ -313,14 +313,37 @@ object Extra {
   }
 
   // ---- q44: end-to-end dedup with survivor selection (docs minus the
-  // higher-id side of every near-dup pair) ----
+  // higher-id side of every near-dup pair). At threshold 0.8 with 16 bands
+  // the LSH S-curve is saturated (miss < 5e-8 per pair — the q57-verified
+  // regime), so the minhash pair set deterministically equals the exact
+  // string-shingle Jaccard pair set and the whole pipeline oracles: DuckDB
+  // recomputes collapse -> exact pairs -> survivor anti-join. ----
   def q44_dedup_survivors(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
     val src = d.add(SourceNode.table(dir, "documents"))
-    val pairs = src >> new MinHashDedupNode(jaccardThreshold = 0.5)
+    val pairs = src >> new MinHashDedupNode(
+      numHashes = 32, bands = 16, shingleN = 3, jaccardThreshold = 0.8)
     val surv = d.add(new DedupSurvivorsNode())
     src("result") >> surv("docs"); pairs >> surv("pairs")
     surv >> ProjectNode("doc_id", "lang") >> SortNode("doc_id") >> d.output("result")
   }
+  val q44Sql: String =
+    """WITH c AS (
+      |  SELECT doc_id, text FROM (
+      |    SELECT doc_id, text, row_number() OVER (
+      |      PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+      |      ORDER BY doc_id) AS rn
+      |    FROM documents) t WHERE rn = 1),
+      |s AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+      |      i -> array_to_string(toks[i:i+2], ' '))) AS sh
+      |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM c) t),
+      |losers AS (
+      |  SELECT DISTINCT b.doc_id FROM s a JOIN s b ON a.doc_id < b.doc_id
+      |  WHERE cast(len(list_distinct(list_intersect(a.sh, b.sh))) as double)
+      |        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8)
+      |SELECT doc_id, lang FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+      |ORDER BY doc_id""".stripMargin
 
   // ---- q55: stream-static join — a streaming fact joined to a static
   // dimension (no state needed for the static side), aggregated and checked
@@ -404,7 +427,7 @@ object Extra {
     ("q41_stream_stateful", q41_stream_stateful _, q41Sql),
     ("q42_stream_sliding", q42_stream_sliding _, q42Sql),
     ("q43_tfidf_fit", q43_tfidf_fit _, null),
-    ("q44_dedup_survivors", q44_dedup_survivors _, null),
+    ("q44_dedup_survivors", q44_dedup_survivors _, q44Sql),
     ("q55_stream_static_join", q55_stream_static_join _, q55Sql),
     ("q63_stream_stream_join", q63_stream_stream_join _, q63Sql),
     ("q64_stream_dedup", q64_stream_dedup _, q64Sql),

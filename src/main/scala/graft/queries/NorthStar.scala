@@ -110,6 +110,10 @@ object NorthStar {
       new SimHashDedupNode(maxHamming = 3) >>
       d.output("result")
   }
+  // rows-only by design: DF blocking trades recall for boundedness — at
+  // sf0.01 it finds 21 of 25 exact-Jaccard pairs (the 4 missed share ONLY
+  // corpus-frequent shingles, which the DF cap drops as blocking keys) with
+  // 100% precision; an exact oracle would fail on that intended tradeoff
   def q27_ngram_jaccard(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
     d.add(SourceNode.table(dir, "documents")) >>
       new NgramJaccardNode(threshold = 0.2) >>
