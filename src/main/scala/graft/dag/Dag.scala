@@ -253,6 +253,27 @@ final class Dag(val dagName: String = "dag") {
     */
   def >>(n: Node): n.type = { setInput(n); n }
 
+  /** Human-readable summary — the discoverability role the reference's
+    * generated fit/transform docstrings played (tests/test_mldag_doc.py:
+    * "i_X : Downstream node - foo"); ports, their bindings, and the node
+    * roster in topo order. The machinery itself (signature synthesis,
+    * numpydoc regeneration) is dropped by design — SURVEY §2.1 #24.
+    */
+  def describe: String = {
+    val sb = new StringBuilder(s"dag '$dagName'\n")
+    sb ++= "inputs:\n"
+    inputBinds.foreach(b => sb ++= s"  ${b.inName} : downstream node - ${b.node} (port ${b.port})\n")
+    sb ++= "outputs:\n"
+    outputBinds.foreach { case (o, (n, p)) => sb ++= s"  $o : output of $n (port $p)\n" }
+    sb ++= "nodes (topo order):\n"
+    topoOrder.foreach { n =>
+      val ins = n.inputs.map(p => p.name +
+        (if (p.keyed) "**" else if (p.variadic) "*" else "")).mkString(", ")
+      sb ++= s"  ${n.name} (${n.getClass.getSimpleName}): [$ins] -> [${n.outputs.map(_.name).mkString(", ")}]\n"
+    }
+    sb.toString
+  }
+
   /** Nest this dag as a node in another dag (reference as_node(dag) → MLDagNode). */
   def asNode: SubDagNode = new SubDagNode(this, Naming.snake(dagName))
 

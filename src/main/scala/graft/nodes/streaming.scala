@@ -20,20 +20,30 @@ import org.apache.spark.sql.streaming.Trigger
   * here from a one-off batch read of the same path (cheap: footer-only).
   */
 class StreamSourceNode(val path: String, val format: String = "parquet",
-                       val nanosTsCols: Seq[String] = Nil) extends Node {
+                       val nanosTsCols: Seq[String] = Nil,
+                       val statePartitions: Option[Int] = None) extends Node {
   override protected def defaultName: String = "stream_source"
   override def persistableOutput: Boolean = false // streams cannot persist
   val inputs: Seq[Port] = Nil
   val outputs = Seq(Port("result"))
   override def jsonKind: Option[String] = Some("stream_source")
-  override def jsonParams: Map[String, Any] = Map("path" -> path, "format" -> format, "nanosTsCols" -> nanosTsCols)
+  override def jsonParams: Map[String, Any] = Map("path" -> path, "format" -> format, "nanosTsCols" -> nanosTsCols, "statePartitions" -> statePartitions.map(_.toString).orNull)
   override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
     // Same session-conf isolation as SourceNode: nanosAsLong is set on an
     // isolated session (runtime confs copied) so the shared session is never
     // mutated and the read still honors the caller's runtime settings.
+    // `statePartitions` right-sizes the stateful-operator fan-out for this
+    // stream (state-store task count should track STATE size, not the batch
+    // default — a bounded local source wants few state tasks; a 100 TB
+    // stream wants many). It pins spark.sql.shuffle.partitions on the
+    // stream's isolated session, which Structured Streaming locks in at the
+    // first batch; aggregate VALUES are partitioning-independent.
+    val overrides =
+      (if (nanosTsCols.nonEmpty) Seq("spark.sql.legacy.parquet.nanosAsLong" -> "true") else Nil) ++
+        statePartitions.map(n => "spark.sql.shuffle.partitions" -> n.toString)
     val readSession =
-      if (nanosTsCols.isEmpty) ctx.spark
-      else SessionIsolation.cloneWith(ctx.spark, "spark.sql.legacy.parquet.nanosAsLong" -> "true")
+      if (overrides.isEmpty) ctx.spark
+      else SessionIsolation.cloneWith(ctx.spark, overrides: _*)
     val schema = readSession.read.format(format).load(path).schema
     // File-stream sources require a DIRECTORY; stage single files behind a
     // temp dir with a symlink (no data copy).
@@ -53,10 +63,12 @@ class StreamSourceNode(val path: String, val format: String = "parquet",
   }
 }
 object StreamSourceNode {
-  /** Testdata layout helper (events.ts is TIMESTAMP(NANOS)). */
-  def table(sfDir: String, table: String): StreamSourceNode =
+  /** Testdata layout helper (events.ts is TIMESTAMP(NANOS)); bounded local
+    * tables carry little state, so the stateful fan-out is right-sized down. */
+  def table(sfDir: String, table: String, statePartitions: Option[Int] = Some(8)): StreamSourceNode =
     new StreamSourceNode(s"$sfDir/$table.parquet", "parquet",
-      nanosTsCols = if (table == "events") Seq("ts") else Nil).named(s"${table}_stream")
+      nanosTsCols = if (table == "events") Seq("ts") else Nil,
+      statePartitions = statePartitions).named(s"${table}_stream")
 }
 
 /** Event-time watermark: bounds state retention and defines late-data cutoff

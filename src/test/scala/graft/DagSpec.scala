@@ -135,6 +135,18 @@ class DagSpec extends AnyFunSuite {
       Map("big" -> 2L, "small" -> 1L))
   }
 
+  test("describe lists inputs with downstream nodes, outputs, and the roster") {
+    val d = new Dag("demo")
+    val f = d.add(FnNode.map1("foo")(df => df))
+    d.input("i_x") >> f
+    f >> d.output("out_y")
+    val s = d.describe
+    assert(s.contains("dag 'demo'"))
+    assert(s.contains("i_x : downstream node - foo (port df)"))
+    assert(s.contains("out_y : output of foo (port result)"))
+    assert(s.contains("foo (FnNode): [df] -> [result]"))
+  }
+
   // ---------------- structure ----------------
 
   test("topo order respects data edges and order-only deps; cycle throws") {
