@@ -500,6 +500,11 @@ final case class DagRun(
     outputs.getOrElse(output, throw new GraftException(
       s"run has no output '$output' (has: ${outputs.keys.mkString(", ")})"))
   def unpersist(): Unit = persisted.foreach(_.unpersist())
+  /** Formatted physical plan of an output — the audit hook behind PlanSpec:
+    * the whole dag fuses into one Catalyst plan per output, and this is it. */
+  def explain(output: String): String =
+    apply(output).queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
 }
 
 /** Per-node lifecycle hooks (reference mixins `_wrap_fit/_wrap_transform`,

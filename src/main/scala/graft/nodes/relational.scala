@@ -9,17 +9,33 @@ import org.apache.spark.sql.functions.{broadcast, col, expr}
   * runtime (time zone, ANSI mode, rebase modes, ...). A true clone copies
   * every modifiable runtime conf from the parent before applying overrides,
   * so an isolated read behaves exactly like the caller's session plus the
-  * override.
+  * override. Conf copy happens at clone CREATION; runtime conf changes made
+  * on the parent after the first clone for a given override-set are not
+  * re-propagated (re-copying under a cached session could mutate confs mid
+  * stream).
   */
 object SessionIsolation {
+  // one isolated session per (parent, override-set): multiple sources in one
+  // dag (e.g. a stream-stream self-join) share a clone instead of spawning
+  // a session each; weak keys let parents be collected
+  private val cache =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      scala.collection.mutable.Map[Seq[(String, String)], org.apache.spark.sql.SparkSession]]()
+
   def cloneWith(parent: org.apache.spark.sql.SparkSession,
-                overrides: (String, String)*): org.apache.spark.sql.SparkSession = {
-    val s = parent.newSession()
-    parent.conf.getAll.foreach { case (k, v) =>
-      if (s.conf.isModifiable(k) && s.conf.getOption(k) != Some(v)) s.conf.set(k, v)
+                overrides: (String, String)*): org.apache.spark.sql.SparkSession = cache.synchronized {
+    val perParent = Option(cache.get(parent)).getOrElse {
+      val m = scala.collection.mutable.Map[Seq[(String, String)], org.apache.spark.sql.SparkSession]()
+      cache.put(parent, m); m
     }
-    overrides.foreach { case (k, v) => s.conf.set(k, v) }
-    s
+    perParent.getOrElseUpdate(overrides.sorted, {
+      val s = parent.newSession()
+      parent.conf.getAll.foreach { case (k, v) =>
+        if (s.conf.isModifiable(k) && s.conf.getOption(k) != Some(v)) s.conf.set(k, v)
+      }
+      overrides.foreach { case (k, v) => s.conf.set(k, v) }
+      s
+    })
   }
 }
 

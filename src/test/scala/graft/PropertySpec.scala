@@ -98,4 +98,21 @@ class PropertySpec extends AnyFunSuite {
       d.nodeNames.distinct.size == d.nodeNames.size
     })
   }
+
+  test("keyed fan-in delivers exactly the upstream-name set, insertion-ordered, " +
+    "on random fan-in widths") {
+    val spark = SparkFixture.spark
+    check(Prop.forAll(Gen.choose(1, 6)) { k =>
+      val d = new Dag()
+      val df = spark.range(1).toDF("id")
+      val ups = (0 until k).map(i =>
+        d.add(new FnNode(Nil, Seq(Port("result")), (_, _) => Map("result" -> df), s"up$i")))
+      var seen: Seq[String] = Nil
+      val sink = d.add(FnNode.mapKeyed("sink") { m => seen = m.keys.toSeq; m.values.head })
+      ups.foreach(u => u >> sink("dfs"))
+      sink >> d.output("result")
+      d.transform(Ctx(spark))
+      seen == (0 until k).map(i => s"up$i")
+    })
+  }
 }
