@@ -167,10 +167,15 @@ object Analytics {
   }
 
   // ---- q52: near-dup clustering — minhash pairs -> connected components ->
-  // cluster size histogram (rows-only: hash-seeded) ----
+  // cluster size histogram. Saturated regime (0.8 / 16 bands, q57-verified):
+  // the pair set equals the exact-Jaccard pair set, so DuckDB can recompute
+  // the FULL graph pipeline — exact pairs, transitive closure by recursive
+  // CTE, min-label components, size histogram — and the distributed
+  // min-label-propagation result is oracle-checked end to end. ----
   def q52_dedup_clusters(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
     val src = d.add(SourceNode.table(dir, "documents"))
-    val pairs = src >> new MinHashDedupNode(jaccardThreshold = 0.5)
+    val pairs = src >> new MinHashDedupNode(
+      numHashes = 32, bands = 16, shingleN = 3, jaccardThreshold = 0.8)
     val cc = d.add(new ConnectedComponentsNode())
     pairs >> cc("pairs")
     cc >> AggNode(Seq("cluster_id"), "count(*) as cluster_size") >>
@@ -178,6 +183,32 @@ object Analytics {
       SortNode("cluster_size") >>
       d.output("result")
   }
+  val q52Sql: String =
+    """WITH RECURSIVE
+      |c AS (
+      |  SELECT doc_id, text FROM (
+      |    SELECT doc_id, text, row_number() OVER (
+      |      PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+      |      ORDER BY doc_id) AS rn
+      |    FROM documents) t WHERE rn = 1),
+      |s AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+      |      i -> array_to_string(toks[i:i+2], ' '))) AS sh
+      |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM c) t),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM s a JOIN s b ON a.doc_id < b.doc_id
+      |  WHERE cast(len(list_distinct(list_intersect(a.sh, b.sh))) as double)
+      |        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+      |edges AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+      |reach(id, label) AS (
+      |  SELECT a, a FROM edges
+      |  UNION
+      |  SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.id),
+      |labels AS (SELECT id, min(label) AS cluster_id FROM reach GROUP BY id),
+      |sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM labels GROUP BY cluster_id)
+      |SELECT cluster_size, count(*) AS n_clusters FROM sizes
+      |GROUP BY cluster_size ORDER BY cluster_size""".stripMargin
 
   val entries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q45_pivot", q45_pivot _, q45Sql),
@@ -187,7 +218,7 @@ object Analytics {
     ("q49_centroid", q49_centroid _, q49Sql),
     ("q50_ivf_knn", q50_ivf_knn _, null),
     ("q51_pipeline", q51_pipeline _, q51Sql),
-    ("q52_dedup_clusters", q52_dedup_clusters _, null),
+    ("q52_dedup_clusters", q52_dedup_clusters _, q52Sql),
     ("q53_misc_funcs", q53_misc_funcs _, q53Sql),
   )
 
