@@ -424,6 +424,26 @@ object Relational {
       |  SELECT 'json_rb' AS source, o_orderstatus, o_totalprice FROM orders WHERE o_totalprice > 250000)
       |GROUP BY source, o_orderstatus ORDER BY source, o_orderstatus""".stripMargin
 
+  // ---- q66: salted skew join — the explicit skew-mitigation path (hot fact
+  // keys spread over `buckets` tasks); salting must be semantically
+  // invisible, which the plain-join oracle pins ----
+  def q66_salted_join(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
+    val li = d.add(SourceNode.table(dir, "lineitem"))
+    val supp = d.add(SourceNode.table(dir, "supplier"))
+    val j = d.add(new SaltedJoinNode(Seq("l_suppkey"), Seq("s_suppkey"), buckets = 8))
+    li >> j("left"); supp >> j("right")
+    j >> AggNode(Seq("s_nationkey"),
+        "count(*) as n",
+        "cast(sum(cast(l_quantity as decimal(18,2))) as double) as qty") >>
+      SortNode("s_nationkey") >>
+      d.output("result")
+  }
+  val q66Sql: String =
+    """SELECT s_nationkey, count(*) AS n,
+      |  cast(sum(cast(l_quantity as decimal(18,2))) as double) AS qty
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q2_join_star", q2_join_star _, q2Sql),
     ("q3_topk", q3_topk _, q3Sql),
@@ -444,5 +464,6 @@ object Relational {
     ("q58_sink_roundtrip", q58_sink_roundtrip _, q58Sql),
     ("q59_tagged_union", q59_tagged_union _, q59Sql),
     ("q65_format_roundtrip", q65_format_roundtrip _, q65Sql),
+    ("q66_salted_join", q66_salted_join _, q66Sql),
   )
 }
