@@ -340,7 +340,9 @@ object Relational {
     val sinkPath = s"${sys.props("java.io.tmpdir")}/graft_q58_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
     val src = d.add(SourceNode.table(dir, "orders"))
     val sink = d.add(new SinkNode(sinkPath, partitionBy = Seq("o_orderpriority")))
-    src >> FilterNode("o_totalprice > 200000") >> sink("df")
+    // write-sizing: coalesce bounds files-per-partition before the write
+    src >> FilterNode("o_totalprice > 200000") >>
+      new RepartitionNode(4, coalesce = true) >> sink("df")
     val readback = d.add(new FnNode(Seq(Port("df")), Seq(Port("result")),
       (ctx, _) => Map("result" -> ctx.spark.read.parquet(sinkPath)), "readback"))
     sink >> readback("df") // order-only dependency: read after write
@@ -424,6 +426,29 @@ object Relational {
       |  SELECT 'json_rb' AS source, o_orderstatus, o_totalprice FROM orders WHERE o_totalprice > 250000)
       |GROUP BY source, o_orderstatus ORDER BY source, o_orderstatus""".stripMargin
 
+  // ---- q67: RANGE window frame — event-time interval frames (30-day
+  // trailing spend per customer), the frame kind ROWS cannot express; SUM
+  // over RANGE includes order-key peers symmetrically, so ties are
+  // deterministic ----
+  def q67_range_window(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
+    val src = d.add(SourceNode.table(dir, "orders"))
+    val sql = d.add(SqlNode(
+      """SELECT o_custkey, o_orderkey,
+        |  cast(sum(cast(o_totalprice as decimal(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate
+        |    RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW) as double) AS spend30
+        |FROM orders_v""".stripMargin,
+      "orders_v"))
+    src >> sql("orders_v")
+    sql >> SortNode("o_custkey", "o_orderkey") >> d.output("result")
+  }
+  val q67Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  cast(sum(cast(o_totalprice as decimal(18,2))) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate
+      |    RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW) as double) AS spend30
+      |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
+
   // ---- q66: salted skew join — the explicit skew-mitigation path (hot fact
   // keys spread over `buckets` tasks); salting must be semantically
   // invisible, which the plain-join oracle pins ----
@@ -465,5 +490,6 @@ object Relational {
     ("q59_tagged_union", q59_tagged_union _, q59Sql),
     ("q65_format_roundtrip", q65_format_roundtrip _, q65Sql),
     ("q66_salted_join", q66_salted_join _, q66Sql),
+    ("q67_range_window", q67_range_window _, q67Sql),
   )
 }
