@@ -320,6 +320,20 @@ class NodesSpec extends AnyFunSuite {
     assert(out == "mail <EMAIL> ssn <SSN> call <PHONE> from <IPV4> ok")
   }
 
+  test("SessionIsolation clones carry runtime confs plus overrides, and cache") {
+    val parent = spark.newSession() // scratch parent so the shared fixture stays clean
+    parent.conf.set("spark.sql.session.timeZone", "America/New_York")
+    val c1 = SessionIsolation.cloneWith(parent, "spark.sql.legacy.parquet.nanosAsLong" -> "true")
+    assert(c1 ne parent)
+    assert(c1.conf.get("spark.sql.session.timeZone") == "America/New_York") // runtime conf copied
+    assert(c1.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true")   // override applied
+    assert(parent.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").forall(_ != "true")) // parent untouched
+    val c2 = SessionIsolation.cloneWith(parent, "spark.sql.legacy.parquet.nanosAsLong" -> "true")
+    assert(c2 eq c1) // cached per (parent, override-set)
+    val c3 = SessionIsolation.cloneWith(parent, "spark.sql.shuffle.partitions" -> "8")
+    assert(c3 ne c1)
+  }
+
   test("TopKNode plans TakeOrderedAndProject (no global sort at scale)") {
     val d = new Dag()
     d.add(srcNode(docs)) >> TopKNode(2, "doc_id desc") >> d.output("result")
