@@ -14,17 +14,21 @@ object Bench {
       if (args.nonEmpty) Some(args(0).split(",").toSet) else None
     // JVM/session warmup so the first timed query doesn't absorb startup
     spark.range(1000).selectExpr("sum(id)").collect()
-    // streaming warmup: state-store + micro-batch machinery init is ~1-2 s
-    // of one-time cost that otherwise lands on the first timed stream query
-    try {
-      val wdir = java.nio.file.Files.createTempDirectory("graft_bench_warm").toString
-      spark.range(8).selectExpr("id", "id % 2 as k").write.mode("overwrite").parquet(wdir)
-      val q = spark.readStream.schema("id BIGINT, k BIGINT").parquet(wdir)
+    // streaming warmup: state-store + micro-batch machinery init is ~1-2 s of
+    // one-time cost that otherwise lands on the first timed stream query;
+    // skipped when the filtered set times no streaming query, temp dir removed
+    val willRunStream = SparkEntry.queryOrder
+      .filter(n => only.forall(_.contains(n))).exists(_.contains("stream"))
+    if (willRunStream) try {
+      val wdir = java.nio.file.Files.createTempDirectory("graft_bench_warm")
+      spark.range(8).selectExpr("id", "id % 2 as k").write.mode("overwrite").parquet(wdir.toString)
+      val q = spark.readStream.schema("id BIGINT, k BIGINT").parquet(wdir.toString)
         .groupBy("k").count()
         .writeStream.format("memory").queryName("warm_stream")
         .outputMode("complete")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
       q.awaitTermination(30000); if (q.isActive) q.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(wdir.toFile)
     } catch { case _: Throwable => } // warmup is best-effort
     val results = SparkEntry.queryOrder.map(n => n -> SparkEntry.queries(n))
       .filter { case (name, _) => only.forall(_.contains(name)) }

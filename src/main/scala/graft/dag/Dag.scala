@@ -460,7 +460,9 @@ final class Dag(val dagName: String = "dag") {
     val outs = outputBinds.flatMap { case (oname, (nname, port)) =>
       nodeOutputs.get(nname).flatMap(_.get(port)).map(oname -> _)
     }.toMap
-    DagRun(ctx.runId, outs, nodeOutputs.toMap, persisted.toSeq)
+    // node-internal persists (Ctx.track) release together with fan-out ones
+    val internal = ctx.internalPersists.toArray(Array.empty[DataFrame]).toSeq
+    DagRun(ctx.runId, outs, nodeOutputs.toMap, persisted.toSeq ++ internal)
   }
 }
 

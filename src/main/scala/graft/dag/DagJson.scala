@@ -267,15 +267,17 @@ object DagDot {
     dag.deps.foreach { case (a, b) =>
       // dep endpoints on an EXPANDED SubDagNode must anchor inside the
       // cluster (its plain id does not exist as a node there); use the first
-      // inner port oval, falling back to the first inner node
-      def depId(n: String): String = dag.node(n) match {
-        case sd: SubDagNode if expanded(path, maxDepth) =>
-          val cpath = s"$path${sd.name}/"
+      // inner port oval, falling back RECURSIVELY through the first inner
+      // node (which may itself be an expanded sub-dag)
+      def depId(n: String): String = depIdIn(dag, path, n)
+      def depIdIn(d: Dag, p: String, n: String): String = d.node(n) match {
+        case sd: SubDagNode if expanded(p, maxDepth) =>
+          val cpath = s"$p${sd.name}/"
           sd.inner.inputBinds.headOption.map(bn => s"${cpath}in:${bn.inName}")
             .orElse(sd.inner.outputBinds.headOption.map { case (o, _) => s"${cpath}out:$o" })
-            .orElse(sd.inner.nodeNames.headOption.map(cpath + _))
-            .getOrElse(s"$path$n")
-        case _ => s"$path$n"
+            .orElse(sd.inner.nodeNames.headOption.map(depIdIn(sd.inner, cpath, _)))
+            .getOrElse(s"$p$n")
+        case _ => s"$p$n"
       }
       sb ++= s"""$indent"${esc(depId(a))}" -> "${esc(depId(b))}" [style=dashed, label="dep"];\n"""
     }

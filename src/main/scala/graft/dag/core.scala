@@ -18,8 +18,18 @@ final case class Port(name: String, variadic: Boolean = false, required: Boolean
   require(!keyed || variadic, s"port '$name': keyed ports must be variadic")
 }
 
-/** Per-run context handed to every node invocation. */
-final case class Ctx(spark: SparkSession, runId: String)
+/** Per-run context handed to every node invocation. `track` registers a
+  * node-INTERNAL persist (cache boundaries inside dedup/similarity nodes)
+  * so `DagRun.unpersist()` releases it along with the fan-out persists —
+  * without it, library callers in long-lived sessions leak executor storage
+  * one cached frame per invocation.
+  */
+final case class Ctx(spark: SparkSession, runId: String) {
+  private[dag] val internalPersists =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+  /** Persist `df` and register it for release at `DagRun.unpersist()`. */
+  def track(df: DataFrame): DataFrame = { df.persist(); internalPersists.add(df); df }
+}
 object Ctx {
   def apply(spark: SparkSession): Ctx = Ctx(spark, java.util.UUID.randomUUID().toString)
 }

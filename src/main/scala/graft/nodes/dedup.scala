@@ -75,12 +75,11 @@ class MinHashDedupNode(
     // the verify-join payload shrinks from ~300 strings to ~300 longs per
     // doc). Materialized behind a cache boundary so CollapseProject cannot
     // inline split() into downstream consumers (re-tokenizing per element).
-    val sh = base
+    val sh = ctx.track(base
       .withColumn("__toks", expr(toks))
       .withColumn("__shingles", expr(s"shingle_hashes(__toks, $shingleN)"))
       .filter("size(__shingles) > 0")
-      .select(col(idCol), col("__shingles"))
-      .persist()
+      .select(col(idCol), col("__shingles")))
     // Candidate generation is SKINNY — ids and band key only. Shingle arrays
     // never enter the self-join shuffle; they are joined back per unique pair.
     val signed = sh.select(col(idCol),
@@ -90,7 +89,7 @@ class MinHashDedupNode(
     // maxBucket are boilerplate families whose pairs add cost, not signal
     val okBuckets = buckets0.groupBy("band", "band_hash").count()
       .filter(col("count") <= maxBucket).select("band", "band_hash")
-    val buckets = buckets0.join(okBuckets, Seq("band", "band_hash")).persist()
+    val buckets = ctx.track(buckets0.join(okBuckets, Seq("band", "band_hash")))
     val a = buckets.select(col(idCol).as("id_a"), col("band"), col("band_hash"))
     val b = buckets.select(col(idCol).as("id_b"), col("band"), col("band_hash"))
     val candidates = a.join(b, Seq("band", "band_hash"))
@@ -267,16 +266,15 @@ class SimHashDedupNode(
     val base =
       if (collapseExact) MinHashDedupNode.collapse(in("df"), idCol, textCol)
       else in("df")
-    val signed = base
+    val signed = ctx.track(base
       .withColumn("__toks", expr(toks))
       .filter("size(__toks) > 0")
       .select(col(idCol), expr("simhash64(__toks)").as("__simhash"))
-      .withColumn("__chunks", expr(chunkArr))
-      .persist()
+      .withColumn("__chunks", expr(chunkArr)))
     val buckets0 = signed.selectExpr(idCol, "__simhash", "posexplode(__chunks) as (chunk_idx, chunk_val)")
     val okBuckets = buckets0.groupBy("chunk_idx", "chunk_val").count()
       .filter(col("count") <= maxBucket).select("chunk_idx", "chunk_val")
-    val buckets = buckets0.join(okBuckets, Seq("chunk_idx", "chunk_val")).persist()
+    val buckets = ctx.track(buckets0.join(okBuckets, Seq("chunk_idx", "chunk_val")))
     val a = buckets.select(col(idCol).as("id_a"), col("__simhash").as("sh_a"), col("chunk_idx"), col("chunk_val"))
     val b = buckets.select(col(idCol).as("id_b"), col("__simhash").as("sh_b"), col("chunk_idx"), col("chunk_val"))
     val verified = a.join(b, Seq("chunk_idx", "chunk_val"))
@@ -314,12 +312,11 @@ class NgramJaccardNode(
     // also a cache boundary so collapsed projections don't re-tokenize per
     // shingle element. Shingles are hashed longs (see MinHashDedupNode).
     graft.functions.VecFunctions.register(ctx.spark)
-    val docs = in("df")
+    val docs = ctx.track(in("df")
       .withColumn("__toks", expr(toks))
       .withColumn("__shingles", expr(s"shingle_hashes(__toks, $shingleN)"))
       .filter("size(__shingles) > 0")
-      .select(col(idCol), col("__shingles"))
-      .persist()
+      .select(col(idCol), col("__shingles")))
     val inverted = docs.select(col(idCol), expr("explode(__shingles) as shingle"))
     // document-frequency filter: frequent shingles create quadratic hot
     // buckets and carry no signal — the standard prefix/df filter

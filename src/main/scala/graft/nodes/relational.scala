@@ -317,7 +317,7 @@ class TaggedUnionNode(val keyCol: String = "source",
   override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
     val dfs = in.keyed("dfs")
     if (dfs.isEmpty) throw new GraftException("TaggedUnionNode received no inputs")
-    dfs.collect { case (k, df) if df.columns.contains(keyCol) => k }.headOption.foreach { k =>
+    dfs.find(_._2.columns.contains(keyCol)).foreach { case (k, _) =>
       throw new GraftException(
         s"TaggedUnionNode: input '$k' already has a '$keyCol' column — withColumn would " +
           "silently overwrite its provenance; rename the existing column or set a different keyCol")

@@ -226,7 +226,7 @@ class EmbeddingNearDupNode(
     // brute-force mode persists the (small-by-contract) input so the guard
     // count and both self-join sides share ONE materialization of the
     // upstream lineage instead of re-executing it
-    val base = if (bruteForce) base0.persist() else base0
+    val base = if (bruteForce) ctx.track(base0) else base0
     val pairs =
       if (bruteForce) {
         val n = base.count()

@@ -102,11 +102,10 @@ object Recall {
         // oracle's string shingles absent xxhash64 collisions, the same
         // equivalence the MinHash verify step already relies on; persisted
         // because both cartesian sides consume it
-        val sh = in("docs")
+        val sh = ctx.track(in("docs")
           .withColumn("__toks", expr(toks))
           .withColumn("sh", expr("array_distinct(shingle_hashes(__toks, 3))"))
-          .select(col("doc_id"), col("sh"))
-          .persist()
+          .select(col("doc_id"), col("sh")))
         // intentional bounded cartesian: <=400-row audit sample, the exact
         // baseline every sampled recall check needs (guarded by auditFilter)
         val truePairs = sh.as("a").join(sh.as("b"),
