@@ -69,6 +69,46 @@ class SerializationSpec extends AnyFunSuite {
     assert(s2.slide.contains("30 minutes") && s2.gap.isEmpty)
   }
 
+  test("round-trip covers round-3 kinds: split/chunk/redact/tagged_union/source options") {
+    val d = new Dag("r3kinds")
+    val sp = d.add(new SplitNode("id", Seq("train" -> 80, "test" -> 20), "bucket"))
+    val ch = d.add(new ChunkNode("id", "body", chunkTokens = 48, overlap = 6))
+    val re = d.add(new RedactNode("body", "clean", Seq("X" -> "a+b")))
+    val tu = d.add(new TaggedUnionNode("origin", allowMissingColumns = true))
+    val so = d.add(new SourceNode("/tmp/y.csv", "csv", Nil, Nil,
+      options = Map("header" -> "true"), schemaDdl = Some("id BIGINT, body STRING")))
+    val ss = d.add(new StreamSourceNode("/tmp/z.parquet", statePartitions = Some(8)))
+    val json = DagJson.toJson(d)
+    val d2 = DagJson.fromJson(json)
+    val sp2 = d2.node(sp.name).asInstanceOf[SplitNode]
+    assert(sp2.splits == Seq("train" -> 80, "test" -> 20) && sp2.outCol == "bucket")
+    val ch2 = d2.node(ch.name).asInstanceOf[ChunkNode]
+    assert(ch2.chunkTokens == 48 && ch2.overlap == 6)
+    val re2 = d2.node(re.name).asInstanceOf[RedactNode]
+    assert(re2.patterns == Seq("X" -> "a+b") && re2.outCol == "clean")
+    val tu2 = d2.node(tu.name).asInstanceOf[TaggedUnionNode]
+    assert(tu2.keyCol == "origin" && tu2.allowMissingColumns)
+    assert(tu2.inputs.head.keyed) // keyed port survives the round-trip
+    val so2 = d2.node(so.name).asInstanceOf[SourceNode]
+    assert(so2.options == Map("header" -> "true") && so2.schemaDdl.contains("id BIGINT, body STRING"))
+    val ss2 = d2.node(ss.name).asInstanceOf[StreamSourceNode]
+    assert(ss2.statePartitions.contains(8))
+  }
+
+  test("DagRun.unpersist releases node-internal tracked persists (Ctx.track)") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.size
+    val d = new Dag()
+    val docs = Seq((1L, "a b c d e f g"), (2L, "a b c d e f h")).toDF("doc_id", "text")
+    d.add(new FnNode(Nil, Seq(Port("result")), (_, _) => Map("result" -> docs), "src")) >>
+      new MinHashDedupNode(jaccardThreshold = 0.3) >> d.output("result")
+    val run = d.transform(Ctx(spark))
+    run("result").count() // materialize (populates the internal caches)
+    assert(run.persisted.nonEmpty, "minhash internal persists must be tracked")
+    run.unpersist()
+    assert(sc.getPersistentRDDs.size <= before, "tracked persists must be released")
+  }
+
   test("closure-carrying nodes refuse serialization with a clear error") {
     val d = new Dag()
     d.add(FnNode.map1("f")(identity))
