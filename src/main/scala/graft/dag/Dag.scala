@@ -397,7 +397,14 @@ final class Dag(val dagName: String = "dag") {
     val nodeOutputs = mutable.LinkedHashMap[String, Map[String, DataFrame]]()
     val persisted = mutable.ArrayBuffer[DataFrame]()
     val hasDownstreamEdge = edges.map(_.from).toSet
-    listeners.foreach(_.onRunStart(ctx.runId, this))
+    // Active listeners = enclosing runs' (outer-first) + this dag's own; a
+    // SubDagNode's inner run picks these up via the shared Ctx, so an outer
+    // TimingListener times inner nodes too. Saved/restored around the run.
+    val activeListeners: Seq[NodeListener] =
+      ctx.inheritedListeners ++ listeners.filterNot(ctx.inheritedListeners.contains)
+    val prevInherited = ctx.inheritedListeners
+    ctx.inheritedListeners = activeListeners
+    activeListeners.foreach(_.onRunStart(ctx.runId, this))
     try {
       topoOrder.foreach { n =>
         // gather inputs: dag binds first (bind order), then edges (insertion
@@ -424,15 +431,15 @@ final class Dag(val dagName: String = "dag") {
         val in = In.tagged(acc.map { case (k, v) => k -> v.toSeq }.toMap)
         try {
           if (doFit) {
-            listeners.foreach(_.beforeFit(n, ctx))
+            activeListeners.foreach(_.beforeFit(n, ctx))
             n.fit(ctx, in)
-            listeners.foreach(_.afterFit(n, ctx))
+            activeListeners.foreach(_.afterFit(n, ctx))
           }
           val isLeaf = !hasDownstreamEdge(n.name)
           if (transformLeaves || !isLeaf) {
-            listeners.foreach(_.beforeTransform(n, ctx))
+            activeListeners.foreach(_.beforeTransform(n, ctx))
             val rawOut = n.transform(ctx, in)
-            listeners.foreach(_.afterTransform(n, ctx))
+            activeListeners.foreach(_.afterTransform(n, ctx))
             val declared = n.outputs.map(_.name).toSet
             val undeclared = rawOut.keySet.diff(declared)
             if (undeclared.nonEmpty)
@@ -455,7 +462,10 @@ final class Dag(val dagName: String = "dag") {
             throw new GraftException(s"error executing node '${n.name}': ${e.getMessage}", e)
         }
       }
-    } finally listeners.foreach(_.onRunEnd(ctx.runId, this))
+    } finally {
+      ctx.inheritedListeners = prevInherited
+      activeListeners.foreach(_.onRunEnd(ctx.runId, this))
+    }
 
     val outs = outputBinds.flatMap { case (oname, (nname, port)) =>
       nodeOutputs.get(nname).flatMap(_.get(port)).map(oname -> _)

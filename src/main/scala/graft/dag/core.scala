@@ -29,6 +29,14 @@ final case class Ctx(spark: SparkSession, runId: String) {
     new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
   /** Persist `df` and register it for release at `DagRun.unpersist()`. */
   def track(df: DataFrame): DataFrame = { df.persist(); internalPersists.add(df); df }
+  /** Listeners inherited from enclosing dag runs: a SubDagNode's inner run
+    * notifies the OUTER dag's listeners too (the reference instead bans
+    * mixins on nested dags outright, mldagbase.py:68-71 — propagation is the
+    * strictly more useful contract, and it recurses to any depth because the
+    * stack rides on the shared Ctx). Managed by Dag.run; runs are
+    * single-threaded per Ctx, so a plain field with save/restore suffices.
+    */
+  private[dag] var inheritedListeners: Seq[NodeListener] = Nil
 }
 object Ctx {
   def apply(spark: SparkSession): Ctx = Ctx(spark, java.util.UUID.randomUUID().toString)

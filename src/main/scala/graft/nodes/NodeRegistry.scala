@@ -37,7 +37,7 @@ object NodeRegistry {
       p.m.get("frameLo").map(_ => (p.m("frameLo").toString.toLong, p.m("frameHi").toString.toLong))))
     register("asof_join")(p => new AsofJoinNode(p.strs("leftKeys"), p.strs("rightKeys"),
       p.str("leftTime"), p.str("rightTime"), p.strs("leftIdCols"), p.str("rightTieBreak"),
-      p.str("joinType"), p.bool("forward")))
+      p.str("joinType"), p.bool("forward"), p.strOpt("strategy").getOrElse("merge")))
     register("exact_dedup")(p => new ExactDedupNode(p.strs("keyExprs"), p.str("idCol")))
     register("minhash_dedup")(p => new MinHashDedupNode(p.str("idCol"), p.str("textCol"),
       p.int("numHashes"), p.int("bands"), p.int("shingleN"), p.dbl("jaccardThreshold"), p.int("maxBucket"), p.boolOr("collapseExact", true)))
@@ -84,6 +84,9 @@ object NodeRegistry {
       p.strOpt("slide"), p.strOpt("gap"), p.strs("keys"), p.strs("aggs")))
     register("stream_run")(p => new StreamRunNode(p.str("queryName"), p.str("outputMode"),
       p.m("timeoutMs").toString.toLong))
+    register("stream_sink")(p => new StreamSinkNode(p.str("path"), p.str("checkpointPath"),
+      p.str("format"), p.str("outputMode"), p.strs("partitionBy"),
+      p.m("timeoutMs").toString.toLong))
     register("salted_join")(p => new SaltedJoinNode(p.strs("leftKeys"), p.strs("rightKeys"),
       p.int("buckets"), p.str("joinType")))
     register("stream_stateful_count")(p => new StreamStatefulCountNode(p.str("keyCol")))
@@ -92,9 +95,11 @@ object NodeRegistry {
     register("resample")(p => new ResampleNode(p.str("keyCol"), p.str("timeCol"), p.str("grain"),
       p.strs("aggs"), p.strs("fillZero")))
     register("ivf_knn")(p => new IvfKnnNode(p.int("k"), p.int("nClusters"), p.int("nProbe"),
-      p.str("idCol"), p.str("vecCol"), p.str("queryIdCol")))
+      p.str("idCol"), p.str("vecCol"), p.str("queryIdCol"),
+      p.m.get("maxFitRows").map(_.toString.toLong).getOrElse(200000L)))
     register("dedup_survivors")(p => new DedupSurvivorsNode(p.str("idCol")))
     register("connected_components")(p => new ConnectedComponentsNode(p.str("idA"), p.str("idB"), p.int("maxIter"),
-      p.boolOr("halving", false), p.boolOr("failOnNonConverged", true)))
+      p.boolOr("halving", false), p.boolOr("failOnNonConverged", true),
+      p.boolOr("reliableCheckpoint", false)))
   }
 }

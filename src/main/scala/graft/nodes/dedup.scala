@@ -136,14 +136,33 @@ object MinHashDedupNode {
   * shuffles.
   */
 class ConnectedComponentsNode(idA: String = "id_a", idB: String = "id_b", maxIter: Int = 15,
-                              halving: Boolean = false, failOnNonConverged: Boolean = true)
+                              halving: Boolean = false, failOnNonConverged: Boolean = true,
+                              reliableCheckpoint: Boolean = false)
   extends Node {
   override protected def defaultName: String = "connected_components"
   val inputs = Seq(Port("pairs"))
   val outputs = Seq(Port("result"))
   override def jsonKind: Option[String] = Some("connected_components")
   override def jsonParams: Map[String, Any] = Map("idA" -> idA, "idB" -> idB, "maxIter" -> maxIter,
-    "halving" -> halving, "failOnNonConverged" -> failOnNonConverged)
+    "halving" -> halving, "failOnNonConverged" -> failOnNonConverged,
+    "reliableCheckpoint" -> reliableCheckpoint)
+
+  /** Per-round lineage cut. `localCheckpoint` (default) stores blocks on
+    * executors — fast, but a lost executor loses them and the truncated
+    * lineage cannot recompute; on preemptible 100 TB clusters set
+    * `reliableCheckpoint = true` to write rounds to the SparkContext
+    * checkpoint dir (durable shared storage) so a mid-iteration executor
+    * death replays from the checkpoint instead of killing the job.
+    */
+  private def cut(df: DataFrame): DataFrame =
+    if (reliableCheckpoint) {
+      val sc = df.sparkSession.sparkContext
+      if (sc.getCheckpointDir.isEmpty)
+        sc.setCheckpointDir(
+          java.nio.file.Files.createTempDirectory("graft_cc_ckpt_").toString)
+      df.checkpoint()
+    } else df.localCheckpoint()
+
   override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
     import org.apache.spark.sql.functions.{coalesce, least, min}
     val pairs = in("pairs").select(col(idA).as("a"), col(idB).as("b"))
@@ -157,7 +176,7 @@ class ConnectedComponentsNode(idA: String = "id_a", idB: String = "id_b", maxIte
     var labels = edges.select(col("a").as("id"), col("a").as("label"))
       .union(edges.select(col("b").as("id"), col("b").as("label")))
       .groupBy("id").agg(min("label").as("label"))
-      .localCheckpoint()
+      .transform(cut)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -183,7 +202,7 @@ class ConnectedComponentsNode(idA: String = "id_a", idB: String = "id_b", maxIte
             least(stepped("label"), coalesce(col("plabel"), stepped("label"))).as("label"))
           .join(labels.select(col("id"), col("label").as("__old")), Seq("id"))
           .select(col("id"), col("label"), (col("label") < col("__old")).as("__changed"))
-      }).localCheckpoint()
+      }).transform(cut)
       val changes = updated.filter(col("__changed")).count() // cached-read only
       labels = updated.drop("__changed")
       converged = changes == 0

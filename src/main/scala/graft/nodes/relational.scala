@@ -28,14 +28,19 @@ object SessionIsolation {
       val m = scala.collection.mutable.Map[Seq[(String, String)], org.apache.spark.sql.SparkSession]()
       cache.put(parent, m); m
     }
-    perParent.getOrElseUpdate(overrides.sorted, {
-      val s = parent.newSession()
-      parent.conf.getAll.foreach { case (k, v) =>
-        if (s.conf.isModifiable(k) && s.conf.getOption(k) != Some(v)) s.conf.set(k, v)
-      }
-      overrides.foreach { case (k, v) => s.conf.set(k, v) }
-      s
-    })
+    perParent.getOrElseUpdate(overrides.sorted, freshClone(parent, overrides: _*))
+  }
+
+  /** Uncached conf-copied clone: for callers that need PRIVATE session state
+    * (e.g. SqlNode's temp views) rather than a shared conf override. */
+  def freshClone(parent: org.apache.spark.sql.SparkSession,
+                 overrides: (String, String)*): org.apache.spark.sql.SparkSession = {
+    val s = parent.newSession()
+    parent.conf.getAll.foreach { case (k, v) =>
+      if (s.conf.isModifiable(k) && s.conf.getOption(k) != Some(v)) s.conf.set(k, v)
+    }
+    overrides.foreach { case (k, v) => s.conf.set(k, v) }
+    s
   }
 }
 
@@ -362,9 +367,17 @@ class DistinctNode(val cols: Seq[String] = Nil) extends Node {
     Map("result" -> (if (cols.isEmpty) in("df").distinct() else in("df").dropDuplicates(cols)))
 }
 
-/** Arbitrary SQL over named input ports: each port is registered as a temp
-  * view named after the port. The fully general relational node — anything
-  * Catalyst can parse.
+/** Arbitrary SQL over named input ports. The fully general relational node —
+  * anything Catalyst can parse.
+  *
+  * Each port is materialized as a temp view whose PHYSICAL name is suffixed
+  * with this node's name + run id, and the user SQL sees the bare port names
+  * through an injected CTE prelude (`WITH port AS (SELECT * FROM
+  * port__node_runid) ...`). Bare-name views would let two concurrent DAG runs
+  * in one session race on `createOrReplaceTempView` and silently rebind a
+  * neighbor's SQL to the wrong frame; the suffix makes every invocation's
+  * views private. `spark.sql` analyzes eagerly, so the views are dropped
+  * again before returning — nothing leaks into the session catalog.
   */
 class SqlNode(val sql: String, val ports: Seq[String]) extends Node {
   override protected def defaultName: String = "sql"
@@ -373,8 +386,22 @@ class SqlNode(val sql: String, val ports: Seq[String]) extends Node {
   override def jsonKind: Option[String] = Some("sql")
   override def jsonParams: Map[String, Any] = Map("sql" -> sql, "ports" -> ports)
   override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
-    ports.foreach(p => in(p).createOrReplaceTempView(p))
-    Map("result" -> ctx.spark.sql(sql))
+    val suffix = s"${name}_${ctx.runId.replaceAll("[^a-zA-Z0-9]", "")}"
+    def viewName(p: String) = s"${p}__$suffix"
+    ports.foreach(p => in(p).createOrReplaceTempView(viewName(p)))
+    try {
+      val prelude = ports.map(p => s"$p AS (SELECT * FROM ${viewName(p)})")
+        .mkString("WITH ", ", ", " ")
+      // merge with a user-level WITH clause: CTE lists are comma-joined
+      val trimmed = sql.trim
+      val body =
+        if (trimmed.length >= 4 && trimmed.substring(0, 4).equalsIgnoreCase("with"))
+          prelude.stripSuffix(" ") + ", " + trimmed.substring(4).trim
+        else prelude + trimmed
+      Map("result" -> ctx.spark.sql(body))
+    } finally
+      // sql() resolved the plan eagerly; the private views can go right away
+      ports.foreach(p => ctx.spark.catalog.dropTempView(viewName(p)))
   }
 }
 object SqlNode { def apply(sql: String, ports: String*): SqlNode = new SqlNode(sql, ports) }

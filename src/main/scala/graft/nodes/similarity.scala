@@ -133,7 +133,8 @@ class IvfKnnNode(
     val nProbe: Int = 2,
     val idCol: String = "vec_id",
     val vecCol: String = "embedding",
-    val queryIdCol: String = "query_id")
+    val queryIdCol: String = "query_id",
+    val maxFitRows: Long = 200000L)
   extends EstimatorNode {
   type Model = org.apache.spark.ml.clustering.KMeansModel
   override protected def defaultName: String = "ivf_knn"
@@ -142,7 +143,12 @@ class IvfKnnNode(
   override def jsonKind: Option[String] = Some("ivf_knn")
   override def jsonParams: Map[String, Any] =
     Map("k" -> k, "nClusters" -> nClusters, "nProbe" -> nProbe,
-      "idCol" -> idCol, "vecCol" -> vecCol, "queryIdCol" -> queryIdCol)
+      "idCol" -> idCol, "vecCol" -> vecCol, "queryIdCol" -> queryIdCol,
+      "maxFitRows" -> maxFitRows)
+
+  /** Row count actually handed to the last quantizer fit (diagnostic; lets a
+    * spec assert the `maxFitRows` bound without re-running the sample). */
+  @volatile var lastFitRows: Long = -1L
 
   private def withVec(df: DataFrame, in: String): DataFrame = {
     import org.apache.spark.ml.functions.array_to_vector
@@ -151,15 +157,26 @@ class IvfKnnNode(
 
   def fitModel(ctx: Ctx, in: In): Model = {
     import org.apache.spark.ml.clustering.KMeans
-    // coarse quantizer: cluster quality beyond a few iterations buys no recall
-    // (assignments near boundaries just move between probed clusters), while
-    // every extra iteration is a full pass + a scheduler round trip. Random
-    // init skips the k-means|| sweep (2 extra passes) a coarse quantizer
-    // doesn't need; at 100 TB the fit input should additionally be a bounded
-    // sample of the corpus — quantizer training cost must not scale with it.
+    // Quantizer training cost must NOT scale with the corpus: fit on a
+    // bounded DETERMINISTIC sample (md5-mod on the id — engine- and
+    // partition-order-independent, the same trick as SplitNode), never the
+    // full corpus. One skinny count sizes the modulus; k-means then runs its
+    // 5 passes over <= ~maxFitRows rows instead of 100 TB. Cluster quality
+    // beyond a few iterations buys no recall (boundary assignments just move
+    // between probed clusters); random init skips the k-means|| sweep a
+    // coarse quantizer doesn't need.
+    val corpus = in("corpus")
+    val n = corpus.count()
+    val mod = math.max(1L, (n + maxFitRows - 1L) / maxFitRows) // ceil(n / cap)
+    val fitInput =
+      if (mod <= 1L) corpus
+      else corpus.filter(expr(
+        s"cast(conv(substring(md5(cast($idCol as string)), 1, 8), 16, 10) as bigint) % $mod = 0"))
+    val vecs = ctx.track(withVec(fitInput, vecCol))
+    lastFitRows = vecs.count()
     new KMeans().setK(nClusters).setSeed(42L).setFeaturesCol("__features")
       .setInitMode("random").setMaxIter(5).setTol(1e-2)
-      .fit(withVec(in("corpus"), vecCol))
+      .fit(vecs)
   }
 
   def applyModel(m: Model, ctx: Ctx, in: In): Map[String, DataFrame] = {

@@ -149,6 +149,46 @@ class StreamStatefulCountNode(val keyCol: String) extends Node {
   * pipeline into something Verify/Bench can consume; production sinks swap
   * the format for kafka/parquet with a real trigger.
   */
+/** Production stream terminal: exactly-once FILE sink with a checkpoint.
+  * Offsets + sink metadata live under `checkpointPath`, so a killed run
+  * restarted with the same checkpoint resumes from the last committed batch —
+  * already-committed input is never reprocessed and half-written output files
+  * are never visible (the file sink commits atomically via its _spark_metadata
+  * log). `Trigger.AvailableNow` drains whatever is available then stops
+  * (swap for a continuous trigger in an always-on pipeline); the returned
+  * frame is a batch read of the committed output, usable downstream like any
+  * other node output.
+  *
+  * Scale: the sink writes one file per partition per batch — pair with an
+  * upstream RepartitionNode to size files, and put checkpointPath on durable
+  * shared storage (HDFS/S3), never executor-local disk.
+  */
+class StreamSinkNode(val path: String, val checkpointPath: String,
+                     val format: String = "parquet",
+                     val outputMode: String = "append",
+                     val partitionBy: Seq[String] = Nil,
+                     val timeoutMs: Long = 120000) extends Node {
+  override protected def defaultName: String = "stream_sink"
+  val inputs = Seq(Port("df"))
+  val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("stream_sink")
+  override def jsonParams: Map[String, Any] = Map("path" -> path, "checkpointPath" -> checkpointPath, "format" -> format, "outputMode" -> outputMode, "partitionBy" -> partitionBy, "timeoutMs" -> timeoutMs)
+  override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
+    val w0 = in("df").writeStream
+      .format(format)
+      .option("checkpointLocation", checkpointPath)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+    val w = if (partitionBy.nonEmpty) w0.partitionBy(partitionBy: _*) else w0
+    val q = w.start(path)
+    q.awaitTermination(timeoutMs)
+    if (q.isActive) q.stop()
+    // read back through the owning session so nanos/shuffle overrides from a
+    // cloned stream source stay in effect for the batch read too
+    Map("result" -> in("df").sparkSession.read.format(format).load(path))
+  }
+}
+
 class StreamRunNode(val queryName: String, val outputMode: String = "append",
                     val timeoutMs: Long = 120000) extends Node {
   override protected def defaultName: String = "stream_run"

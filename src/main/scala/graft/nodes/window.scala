@@ -54,31 +54,47 @@ object WindowNode {
   * left row, pick the single right row with equal keys and the greatest
   * `rightTime <= leftTime` (backward; `forward` flips to least >=).
   *
-  * Spark-first plan: equi-join on keys (one shuffle pair on the key columns —
-  * Catalyst picks SMJ/shuffled-hash; AQE handles skew), range predicate on the
-  * time columns, then one row per left row via `row_number` over the left
-  * primary key ordered by right time desc with a deterministic id tiebreak.
-  * The window shuffle reuses the join's partitioning when `leftIdCols` start
-  * with the join keys. No driver-side state; scales linearly with matches.
+  * Two strategies:
+  *
+  * `merge` (default, the scale-safe path): union the two sides into one
+  * per-key time-ordered stream and carry the latest right row forward with
+  * `last(_, ignoreNulls)` over a running ROWS frame (`first` looking ahead
+  * for `forward`). The intermediate is exactly L + R rows — NO join anywhere
+  * in the plan — so a hot key with many right rows costs one sort, never the
+  * L×R/2 expansion. One shuffle per side on the keys, then a per-key sort:
+  * the same cost shape as any windowed aggregation, linear at 100 TB.
+  *
+  * `expand`: equi-join on keys with the time-range predicate, then one row
+  * per left row via `row_number` over `leftIdCols`. Every qualifying right
+  * row materializes before the window discards all but one — quadratic in
+  * per-key density; kept only for plans that want the join form (e.g. to
+  * broadcast a tiny right side and skip the left shuffle on keys).
   */
 class AsofJoinNode(
     val leftKeys: Seq[String],
     val rightKeys: Seq[String],
     val leftTime: String,
     val rightTime: String,
-    val leftIdCols: Seq[String], // unique id of a left row (window partition)
+    val leftIdCols: Seq[String], // unique id of a left row (expand-path window partition)
     val rightTieBreak: String,   // unique right column for deterministic pick under time ties
     val joinType: String = "inner", // inner | left
-    val forward: Boolean = false)
+    val forward: Boolean = false,
+    val strategy: String = "merge") // merge | expand
   extends Node {
   override protected def defaultName: String = "asof_join"
   val inputs = Seq(Port("left"), Port("right"))
   val outputs = Seq(Port("result"))
   override def jsonKind: Option[String] = Some("asof_join")
-  override def jsonParams: Map[String, Any] = Map("leftKeys" -> leftKeys, "rightKeys" -> rightKeys, "leftTime" -> leftTime, "rightTime" -> rightTime, "leftIdCols" -> leftIdCols, "rightTieBreak" -> rightTieBreak, "joinType" -> joinType, "forward" -> forward)
-  override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
-    val l = in("left").alias("l")
-    val r = in("right").alias("r")
+  override def jsonParams: Map[String, Any] = Map("leftKeys" -> leftKeys, "rightKeys" -> rightKeys, "leftTime" -> leftTime, "rightTime" -> rightTime, "leftIdCols" -> leftIdCols, "rightTieBreak" -> rightTieBreak, "joinType" -> joinType, "forward" -> forward, "strategy" -> strategy)
+  override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = strategy match {
+    case "merge"  => Map("result" -> mergePath(in("left"), in("right")))
+    case "expand" => Map("result" -> expandPath(in("left"), in("right")))
+    case other    => throw new GraftException(s"asof_join: unknown strategy '$other' (merge | expand)")
+  }
+
+  private def expandPath(left: DataFrame, right: DataFrame): DataFrame = {
+    val l = left.alias("l")
+    val r = right.alias("r")
     val keyCond = leftKeys.zip(rightKeys)
       .map { case (a, b) => col(s"l.$a") === col(s"r.$b") }
       .reduce(_ && _)
@@ -90,7 +106,76 @@ class AsofJoinNode(
       if (forward) Seq(col(rightTime).asc_nulls_last, col(rightTieBreak).asc_nulls_last)
       else Seq(col(rightTime).desc_nulls_last, col(rightTieBreak).desc_nulls_last)
     val w = Window.partitionBy(leftIdCols.map(c => col(s"l.$c")): _*).orderBy(ord: _*)
-    Map("result" -> joined.withColumn("__asof_rn", row_number().over(w))
-      .filter(col("__asof_rn") === 1).drop("__asof_rn"))
+    joined.withColumn("__asof_rn", row_number().over(w))
+      .filter(col("__asof_rn") === 1).drop("__asof_rn")
+  }
+
+  private def mergePath(left: DataFrame, right: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{first, last, lit, struct}
+    import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
+    // Common comparable time type, following SQL comparison coercion (what
+    // the expand path's `<=` does implicitly): any datetime pair promotes to
+    // the wider of DATE < TIMESTAMP_NTZ < TIMESTAMP; anything else must
+    // already agree.
+    val lt = left.schema(leftTime).dataType
+    val rt = right.schema(rightTime).dataType
+    val datetimes = Seq(DateType, TimestampNTZType, TimestampType)
+    val commonT = (lt, rt) match {
+      case (a, b) if a == b => a
+      case (a, b) if datetimes.contains(a) && datetimes.contains(b) =>
+        datetimes(math.max(datetimes.indexOf(a), datetimes.indexOf(b)))
+      case (a, b) => throw new GraftException(
+        s"asof_join: time columns have incomparable types $a vs $b")
+    }
+    def keyed(df: DataFrame, keys: Seq[String]) =
+      keys.zipWithIndex.map { case (k, i) => col(k).as(s"__k$i") }
+    // Right rows with a null key or null time can never match under the
+    // equi+range semantics; dropping them up front means the null-key window
+    // partitions hold left rows only, so no special-casing is needed — an
+    // unmatched left row simply carries a null payload struct.
+    val lPart = left.select(
+      keyed(left, leftKeys) ++ Seq(
+        col(leftTime).cast(commonT).as("__t"),
+        lit(1).as("__side"),
+        struct(left.columns.map(col).toIndexedSeq: _*).as("__lrow")): _*)
+    val rPart = right
+      .filter(rightKeys.map(col(_).isNotNull).reduce(_ && _) && col(rightTime).isNotNull)
+      .select(
+        keyed(right, rightKeys) ++ Seq(
+          col(rightTime).cast(commonT).as("__t"),
+          lit(0).as("__side"),
+          col(rightTieBreak).as("__tb"),
+          struct(right.columns.map(col).toIndexedSeq: _*).as("__rrow")): _*)
+    val merged = lPart.unionByName(rPart, allowMissingColumns = true)
+    val part = Window.partitionBy(leftKeys.indices.map(i => col(s"__k$i")): _*)
+    // Backward: rights sort BEFORE lefts at equal time (<= is inclusive) and
+    // ascending tie-break makes `last` pick the max — the same winner as the
+    // expand path's (time desc, tiebreak desc) rank 1. Forward mirrors it.
+    val matched =
+      if (forward)
+        merged.withColumn("__m", first(col("__rrow"), ignoreNulls = true).over(
+          part.orderBy(col("__t").asc, col("__side").desc, col("__tb").asc)
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      else
+        merged.withColumn("__m", last(col("__rrow"), ignoreNulls = true).over(
+          part.orderBy(col("__t").asc, col("__side").asc, col("__tb").asc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val lefts = matched.filter(col("__side") === 1)
+    val kept = joinType match {
+      case "inner" => lefts.filter(col("__m").isNotNull)
+      case "left"  => lefts
+      case other   => throw new GraftException(
+        s"asof_join(merge): joinType '$other' unsupported (inner | left)")
+    }
+    // Flat output: left columns, then right columns; a right column whose
+    // name collides with a left one gets an `_r` suffix (the expand path
+    // instead relies on l./r. subquery aliases, which a select on struct
+    // fields cannot reproduce).
+    val leftNames = left.columns.toSet
+    val outCols =
+      left.columns.toIndexedSeq.map(c => col("__lrow").getField(c).as(c)) ++
+        right.columns.toIndexedSeq.map(c =>
+          col("__m").getField(c).as(if (leftNames(c)) s"${c}_r" else c))
+    kept.select(outCols: _*)
   }
 }

@@ -22,10 +22,16 @@ object Extra {
     val ia = d.add(new SetOpNode("intersectAll").named("ia"))
     a("result") >> ia("left"); b("result") >> ia("right")
     val u = d.add(new UnionNode(distinct = true))
-    val ta = ea >> ProjectNode("sk", "'ea' as tag").named("ta")
-    val tb = ia >> ProjectNode("sk", "'ia' as tag").named("tb")
+    // distinct each branch BEFORE the union: the set-op outputs are ~100k-row
+    // multisets but only ~|suppliers| distinct keys, so pre-shrinking makes
+    // the union-distinct and the final agg near-free (same rows out — the
+    // branches carry disjoint tags, so per-branch distinct == post-union
+    // distinct). On distinct (sk, tag) rows count(distinct sk) == count(*),
+    // which drops the Expand the distinct-aggregate would otherwise plan.
+    val ta = ea >> ProjectNode("sk", "'ea' as tag").named("ta") >> new DistinctNode().named("da")
+    val tb = ia >> ProjectNode("sk", "'ia' as tag").named("tb") >> new DistinctNode().named("db")
     ta >> u("dfs"); tb >> u("dfs")
-    u >> AggNode(Seq("tag"), "count(*) as n", "count(distinct sk) as n_sk") >>
+    u >> AggNode(Seq("tag"), "count(*) as n", "count(*) as n_sk") >>
       SortNode("tag") >> d.output("result")
   }
   val q18Sql: String =
@@ -413,6 +419,58 @@ object Extra {
       |  SELECT DISTINCT user_id, event_type FROM events) t
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---- q69: exactly-once checkpointed file sink across a restart — the
+  // production streaming surface (StreamSinkNode). The events table is staged
+  // into an input directory in two deterministic halves; the SAME
+  // checkpointed pipeline runs twice (simulating a kill + restart between
+  // file arrivals). The checkpoint must make phase 2 process ONLY the new
+  // file — any reprocessing doubles counts and breaks the hash-exact match
+  // with the batch oracle over the full table. ----
+  def q69_stream_restart(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, StandardCopyOption}
+    import org.apache.spark.sql.functions.expr
+    val work = Files.createTempDirectory("graft_q69_")
+    work.toFile.deleteOnExit()
+    val inDir = Files.createDirectory(work.resolve("in"))
+    val outDir = work.resolve("out").toString
+    val ckpt = work.resolve("ckpt").toString
+    // events.ts is TIMESTAMP(NANOS); stage it as micros so the stream source
+    // needs no nanos special-casing on re-read
+    val evDf = SessionIsolation
+      .cloneWith(spark, "spark.sql.legacy.parquet.nanosAsLong" -> "true")
+      .read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val halfHash = "cast(conv(substring(md5(cast(event_id as string)), 1, 8), 16, 10) as bigint) % 2"
+    def stage(phase: Int): Unit = {
+      val tmp = work.resolve(s"stage_$phase")
+      evDf.filter(s"$halfHash = ${phase - 1}").coalesce(1).write.parquet(tmp.toString)
+      val part = Files.list(tmp).filter(_.getFileName.toString.endsWith(".parquet"))
+        .findFirst().orElseThrow()
+      Files.move(part, inDir.resolve(s"phase$phase.parquet"), StandardCopyOption.ATOMIC_MOVE)
+    }
+    def runPipeline(): DataFrame = {
+      val d = new Dag("q69")
+      d.add(new StreamSourceNode(inDir.toString, "parquet", statePartitions = None)) >>
+        ProjectNode("event_id", "user_id", "event_type", "value") >>
+        new StreamSinkNode(outDir, ckpt) >>
+        d.output("result")
+      d.transform(Ctx(spark)).outputs("result")
+    }
+    stage(1)
+    runPipeline() // phase 1: commits half the events
+    stage(2)
+    val committed = runPipeline() // restart: checkpoint skips phase-1 input
+    committed.groupBy("event_type")
+      .agg(expr("count(*) as n"),
+        expr("count(distinct event_id) as n_events"),
+        expr("cast(sum(cast(value as decimal(18,2))) as double) as sum_v"))
+      .orderBy("event_type")
+  }
+  val q69Sql: String =
+    """SELECT event_type, count(*) AS n, count(DISTINCT event_id) AS n_events,
+      |  cast(sum(cast(value as decimal(18,2))) as double) AS sum_v
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q18_setops_all", q18_setops_all _, q18Sql),
     ("q19_array_map", q19_array_map _, q19Sql),
@@ -431,5 +489,6 @@ object Extra {
     ("q55_stream_static_join", q55_stream_static_join _, q55Sql),
     ("q63_stream_stream_join", q63_stream_stream_join _, q63Sql),
     ("q64_stream_dedup", q64_stream_dedup _, q64Sql),
+    ("q69_stream_restart", q69_stream_restart _, q69Sql),
   )
 }

@@ -141,8 +141,51 @@ object Recall {
       |        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8)
       |SELECT count(*) AS n_true, count(*) AS n_found FROM p""".stripMargin
 
+  // ---- q68: IVF ANN recall@10 vs brute force — probe ALL clusters ----
+  // With nProbe = nClusters every corpus vector is scored for every query
+  // exactly once (each corpus row meets each query through its own cluster's
+  // probe row), so IVF top-k PROVABLY equals brute-force top-k — identical
+  // score expression, identical (score desc, id asc) tie-break —
+  // independently of what the k-means quantizer learned. That pins the whole
+  // IVF mechanism (quantizer fit + sampled fit input + assignment + probe
+  // ranking + rescore): any bug that drops/duplicates/misroutes a corpus
+  // vector breaks the hash-exact identity. q50 keeps the production
+  // nProbe < nClusters config; maxFitRows = 100 deliberately forces the
+  // deterministic md5-mod fit-sample path at every SF.
+  def q68_ivf_recall(spark: SparkSession, dir: String): DataFrame = {
+    val d = new Dag("ivf_recall")
+    val emb = d.add(SourceNode.table(dir, "embeddings"))
+    val queries = emb >> FilterNode("vec_id < 50") >>
+      ProjectNode("vec_id as query_id", "embedding").named("queryset")
+    val corpus = emb("result") >> FilterNode(
+      "cast(conv(substring(md5(cast(vec_id as string)), 1, 8), 16, 10) as bigint) % 10 = 0")
+      .named("corpus_sample")
+    val brute = d.add(new BruteForceKnnNode(k = 10).named("brute"))
+    corpus >> brute("corpus"); queries >> brute("queries")
+    val ivf = d.add(new IvfKnnNode(k = 10, nClusters = 4, nProbe = 4,
+      maxFitRows = 100L).named("ivf"))
+    corpus("result") >> ivf("corpus"); queries("result") >> ivf("queries")
+    val cmp = d.add(new FnNode(Seq(Port("brute"), Port("ivf")), Seq(Port("result")),
+      (_, in) => {
+        import org.apache.spark.sql.functions._
+        val b = in("brute").select(col("query_id"), col("vec_id"))
+        val i = in("ivf").select(col("query_id"), col("vec_id"))
+        Map("result" -> b.join(i, Seq("query_id", "vec_id"))
+          .agg(countDistinct(col("query_id")).as("n_queries"), count(lit(1)).as("hits")))
+      }, "recall_cmp"))
+    brute >> cmp("brute"); ivf >> cmp("ivf")
+    cmp >> d.output("result")
+    val ctx = Ctx(spark)
+    d.fit(ctx)
+    d.transform(ctx).outputs("result")
+  }
+  val q68Sql: String =
+    """SELECT count(*) AS n_queries, count(*) * 10 AS hits
+      |FROM embeddings WHERE vec_id < 50""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q56_ann_recall", q56_ann_recall _, q56Sql),
     ("q57_minhash_recall", q57_minhash_recall _, q57Sql),
+    ("q68_ivf_recall", q68_ivf_recall _, q68Sql),
   )
 }

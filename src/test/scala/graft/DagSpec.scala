@@ -360,4 +360,37 @@ class DagSpec extends AnyFunSuite {
     d.fitTransform(ctx, Map("x" -> df1))
     assert(t.transformNanos.contains("f"))
   }
+
+  test("outer listeners propagate into nested dags, two levels deep") {
+    // reference BANS mixins on nested dags (mldagbase.py:68-71); graft
+    // propagates instead: an outer TimingListener must time inner nodes
+    val innermost = new Dag("deep")
+    val leaf = innermost.add(FnNode.map1("leaf")(identity))
+    innermost >> leaf; leaf >> innermost.output("out")
+    val mid = new Dag("mid")
+    val sub2 = mid.add(innermost.asNode)
+    val m = mid.add(FnNode.map1("mid_fn")(identity))
+    mid >> sub2; sub2 >> m; m >> mid.output("out")
+    val outer = new Dag("outer")
+    val t = new TimingListener
+    outer.addListener(t)
+    val sub1 = outer.add(mid.asNode)
+    outer >> sub1; sub1 >> outer.output("result")
+    outer.transform(ctx, Map(outer.inputNames.head -> df1))
+    assert(t.transformNanos.contains("leaf"), s"saw: ${t.transformNanos.keys}")
+    assert(t.transformNanos.contains("mid_fn"))
+    // and inner dag's own listeners still fire for inner nodes only
+    val t2 = new TimingListener
+    val innermost2 = new Dag("deep2")
+    innermost2.addListener(t2)
+    val leaf2 = innermost2.add(FnNode.map1("leaf2")(identity))
+    innermost2 >> leaf2; leaf2 >> innermost2.output("out")
+    val outer2 = new Dag("outer2")
+    val s2 = outer2.add(innermost2.asNode)
+    val top = outer2.add(FnNode.map1("top_fn")(identity))
+    outer2 >> s2; s2 >> top; top >> outer2.output("result")
+    outer2.transform(ctx, Map(outer2.inputNames.head -> df1))
+    assert(t2.transformNanos.contains("leaf2"))
+    assert(!t2.transformNanos.contains("top_fn")) // inner listener stays inner
+  }
 }

@@ -203,6 +203,70 @@ class NodesSpec extends AnyFunSuite {
     assert(top1.length == 6 && top1.forall { case (q, v) => q == v })
   }
 
+  test("ConnectedComponentsNode reliableCheckpoint mode labels identically") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (7L, 8L), (8L, 9L), (3L, 4L))
+      .toDF("id_a", "id_b")
+    val out = runOne { d =>
+      val p = d.add(srcNode(pairs, "pairs"))
+      val cc = d.add(new ConnectedComponentsNode(reliableCheckpoint = true))
+      p >> cc("pairs")
+      cc >> d.output("result")
+    }.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(out(_) == 1L))
+    assert(Seq(5L, 6L).forall(out(_) == 5L))
+    assert(Seq(7L, 8L, 9L).forall(out(_) == 7L))
+    assert(spark.sparkContext.getCheckpointDir.nonEmpty) // durable rounds engaged
+  }
+
+  test("IvfKnnNode bounds the quantizer fit to maxFitRows") {
+    val emb = (0L until 400L).map { i =>
+      val c = (i % 3).toInt
+      (i, Array.tabulate(8)(j => (c * 10.0 + math.sin(i * 3.1 + j)).toFloat))
+    }.toDF("vec_id", "embedding")
+    val d = new Dag()
+    val corpus = d.add(srcNode(emb, "corpus"))
+    val queries = d.add(srcNode(
+      emb.filter(col("vec_id") < 4).select(col("vec_id").as("query_id"), col("embedding")), "queries"))
+    val ivf = d.add(new IvfKnnNode(k = 3, nClusters = 3, nProbe = 3, maxFitRows = 50L))
+    corpus >> ivf("corpus"); queries >> ivf("queries")
+    ivf >> d.output("result")
+    val c = Ctx(spark)
+    d.fit(c)
+    // md5-mod 1-in-8 sample of 400 rows: deterministic, well under 2x the cap
+    assert(ivf.lastFitRows > 0 && ivf.lastFitRows <= 100L,
+      s"fit saw ${ivf.lastFitRows} rows for maxFitRows=50")
+    // probe-all still returns exact self-matches — sampled quantizer intact
+    val top1 = d.transform(c).outputs("result")
+      .filter(col("rank") === 1).select("query_id", "vec_id").as[(Long, Long)].collect()
+    assert(top1.length == 4 && top1.forall { case (q, v) => q == v })
+  }
+
+  test("SqlNode: same port name in two dags cannot cross-bind; WITH merges") {
+    val dfA = Seq((1L, "a")).toDF("id", "v")
+    val dfB = Seq((2L, "b"), (3L, "c")).toDF("id", "v")
+    def build(df: DataFrame) = {
+      val d = new Dag()
+      d.add(srcNode(df, "src")) >> new SqlNode("SELECT count(*) AS n FROM t", Seq("t")) >>
+        d.output("result")
+      d
+    }
+    // compose BOTH before evaluating either: bare-name views would let the
+    // second registration rebind the first query
+    val outA = build(dfA).transform(ctx).outputs("result")
+    val outB = build(dfB).transform(ctx).outputs("result")
+    assert(outA.as[Long].head() == 1L)
+    assert(outB.as[Long].head() == 2L)
+    // private views were dropped again
+    assert(!spark.catalog.listTables().collect().exists(_.name.contains("__sql")))
+    // user SQL with its own WITH clause merges with the port prelude
+    val outW = runOne { d =>
+      d.add(srcNode(dfB, "src")) >>
+        new SqlNode("WITH big AS (SELECT * FROM t WHERE id > 2) SELECT count(*) AS n FROM big", Seq("t")) >>
+        d.output("result")
+    }
+    assert(outW.as[Long].head() == 1L)
+  }
+
   test("TokenCountNode counts whitespace and BPE-ish tokens") {
     val out = runOne { d =>
       d.add(srcNode(Seq((1L, "Hello, world! 42")).toDF("doc_id", "text"))) >>
@@ -221,48 +285,101 @@ class NodesSpec extends AnyFunSuite {
     assert(out == "en")
   }
 
-  test("AsofJoinNode picks latest right row at or before left time") {
+  private def asofBackward(strategy: String): Set[(Long, Long, Long, Double)] = {
     val trades = Seq((1L, 100L, 10.0), (1L, 200L, 11.0), (2L, 150L, 20.0))
       .toDF("sym", "t", "px")
     val quotes = Seq((1L, 90L, 9.9), (1L, 150L, 10.5), (1L, 250L, 11.5), (2L, 100L, 19.5))
       .toDF("sym", "qt", "bid")
-    val out = runOne { d =>
+    val raw = runOne { d =>
       val l = d.add(srcNode(trades, "trades"))
       val r = d.add(srcNode(quotes, "quotes"))
       val j = d.add(new AsofJoinNode(
         leftKeys = Seq("sym"), rightKeys = Seq("sym"),
         leftTime = "t", rightTime = "qt",
-        leftIdCols = Seq("sym", "t"), rightTieBreak = "qt"))
+        leftIdCols = Seq("sym", "t"), rightTieBreak = "qt", strategy = strategy))
       l >> j("left"); r >> j("right")
       j >> d.output("result")
-    }.select(col("l.sym"), col("t"), col("qt"), col("bid"))
-      .as[(Long, Long, Long, Double)].collect().toSet
-    assert(out == Set((1L, 100L, 90L, 9.9), (1L, 200L, 150L, 10.5), (2L, 150L, 100L, 19.5)))
+    }
+    // expand keeps l./r. subquery aliases; merge flattens with an _r suffix
+    val picked =
+      if (strategy == "expand") raw.select(col("l.sym"), col("t"), col("qt"), col("bid"))
+      else raw.select(col("sym"), col("t"), col("qt"), col("bid"))
+    picked.as[(Long, Long, Long, Double)].collect().toSet
   }
 
-  test("AsofJoinNode forward=true picks earliest right row at or after left time") {
+  test("AsofJoinNode picks latest right row at or before left time (both strategies)") {
+    val expected = Set((1L, 100L, 90L, 9.9), (1L, 200L, 150L, 10.5), (2L, 150L, 100L, 19.5))
+    assert(asofBackward("merge") == expected)
+    assert(asofBackward("expand") == expected)
+  }
+
+  private def asofForward(strategy: String): Set[(Long, Long, Long, Double)] = {
     val trades = Seq((1L, 100L, 10.0), (1L, 200L, 11.0), (2L, 150L, 20.0), (2L, 300L, 21.0))
       .toDF("sym", "t", "px")
     val quotes = Seq((1L, 90L, 9.9), (1L, 150L, 10.5), (1L, 250L, 11.5), (2L, 200L, 19.5))
       .toDF("sym", "qt", "bid")
-    val out = runOne { d =>
+    val raw = runOne { d =>
       val l = d.add(srcNode(trades, "trades"))
       val r = d.add(srcNode(quotes, "quotes"))
       val j = d.add(new AsofJoinNode(
         leftKeys = Seq("sym"), rightKeys = Seq("sym"),
         leftTime = "t", rightTime = "qt",
         leftIdCols = Seq("sym", "t"), rightTieBreak = "qt",
-        joinType = "left", forward = true))
+        joinType = "left", forward = true, strategy = strategy))
       l >> j("left"); r >> j("right")
       j >> d.output("result")
-    }.select(col("l.sym"), col("t"), col("qt"), col("bid"))
-      .collect().map(r => (r.getLong(0), r.getLong(1),
-        if (r.isNullAt(2)) -1L else r.getLong(2),
-        if (r.isNullAt(3)) -1.0 else r.getDouble(3))).toSet
+    }
+    val picked =
+      if (strategy == "expand") raw.select(col("l.sym"), col("t"), col("qt"), col("bid"))
+      else raw.select(col("sym"), col("t"), col("qt"), col("bid"))
+    picked.collect().map(r => (r.getLong(0), r.getLong(1),
+      if (r.isNullAt(2)) -1L else r.getLong(2),
+      if (r.isNullAt(3)) -1.0 else r.getDouble(3))).toSet
+  }
+
+  test("AsofJoinNode forward=true picks earliest right row at or after left time (both strategies)") {
     // (1,100)->150 (earliest >=), (1,200)->250, (2,150)->200,
     // (2,300)-> no quote at or after: left join keeps the row with nulls
-    assert(out == Set((1L, 100L, 150L, 10.5), (1L, 200L, 250L, 11.5),
-      (2L, 150L, 200L, 19.5), (2L, 300L, -1L, -1.0)))
+    val expected = Set((1L, 100L, 150L, 10.5), (1L, 200L, 250L, 11.5),
+      (2L, 150L, 200L, 19.5), (2L, 300L, -1L, -1.0))
+    assert(asofForward("merge") == expected)
+    assert(asofForward("expand") == expected)
+  }
+
+  test("AsofJoinNode merge strategy: time ties, hot keys, and join-free plan") {
+    // hot key: one symbol, many right rows per left row — the expand path
+    // would materialize L*R/2 intermediates; merge must stay L+R with NO
+    // join operator anywhere in the physical plan
+    val trades = (1 to 50).map(i => (1L, i * 10L, i.toDouble)).toDF("sym", "t", "px")
+    val quotes = (1 to 500).map(i => (1L, i.toLong, i / 100.0)).toDF("sym", "qt", "bid")
+    val (mergeOut, plan) = {
+      val raw = runOne { d =>
+        val l = d.add(srcNode(trades, "trades"))
+        val r = d.add(srcNode(quotes, "quotes"))
+        val j = d.add(new AsofJoinNode(
+          leftKeys = Seq("sym"), rightKeys = Seq("sym"),
+          leftTime = "t", rightTime = "qt",
+          leftIdCols = Seq("sym", "t"), rightTieBreak = "qt"))
+        l >> j("left"); r >> j("right")
+        j >> d.output("result")
+      }
+      (raw.select(col("t"), col("qt"), col("bid")).as[(Long, Long, Double)].collect().toSet,
+        raw.queryExecution.executedPlan.toString)
+    }
+    assert(!plan.toLowerCase.contains("join"), s"merge as-of plan must be join-free:\n$plan")
+    // inclusive <=: trade at t=10 matches quote qt=10 exactly
+    assert(mergeOut == (1 to 50).map(i => (i * 10L, i * 10L, i * 10 / 100.0)).toSet)
+    // tie in right time: two quotes at the same qt — max tie-break wins,
+    // matching the expand path's (time desc, tiebreak desc) rank-1 pick
+    val q2 = Seq((1L, 10L, 1.0, 100L), (1L, 10L, 2.0, 200L)).toDF("sym", "qt", "bid", "qid")
+    val t2 = Seq((1L, 15L)).toDF("sym", "t")
+    val tied = runOne { d =>
+      val l = d.add(srcNode(t2, "t2")); val r = d.add(srcNode(q2, "q2"))
+      val j = d.add(new AsofJoinNode(Seq("sym"), Seq("sym"), "t", "qt",
+        Seq("sym", "t"), rightTieBreak = "qid"))
+      l >> j("left"); r >> j("right"); j >> d.output("result")
+    }.select(col("qid")).as[Long].collect().toSeq
+    assert(tied == Seq(200L))
   }
 
   test("EmbeddingNearDupNode bruteForce refuses inputs past maxBruteRows") {
