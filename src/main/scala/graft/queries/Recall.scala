@@ -155,10 +155,10 @@ object Recall {
   def q68_ivf_recall(spark: SparkSession, dir: String): DataFrame = {
     val d = new Dag("ivf_recall")
     val emb = d.add(SourceNode.table(dir, "embeddings"))
-    val queries = emb >> FilterNode("vec_id < 50") >>
+    val queries = emb >> FilterNode("vec_id < 25") >>
       ProjectNode("vec_id as query_id", "embedding").named("queryset")
     val corpus = emb("result") >> FilterNode(
-      "cast(conv(substring(md5(cast(vec_id as string)), 1, 8), 16, 10) as bigint) % 10 = 0")
+      "cast(conv(substring(md5(cast(vec_id as string)), 1, 8), 16, 10) as bigint) % 20 = 0")
       .named("corpus_sample")
     val brute = d.add(new BruteForceKnnNode(k = 10).named("brute"))
     corpus >> brute("corpus"); queries >> brute("queries")
@@ -181,7 +181,7 @@ object Recall {
   }
   val q68Sql: String =
     """SELECT count(*) AS n_queries, count(*) * 10 AS hits
-      |FROM embeddings WHERE vec_id < 50""".stripMargin
+      |FROM embeddings WHERE vec_id < 25""".stripMargin
 
   val entries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q56_ann_recall", q56_ann_recall _, q56Sql),
