@@ -54,6 +54,11 @@ object NodeRegistry {
       }, p.str("outCol")))
     register("chunk")(p => new ChunkNode(p.str("idCol"), p.str("textCol"),
       p.int("chunkTokens"), p.int("overlap")))
+    register("sample")(p => new SampleNode(p.str("idCol"), p.dbl("fraction"),
+      p.strOpt("strataCol"),
+      p.m("fractions").asInstanceOf[Seq[Any]].map { case s: Seq[Any] @unchecked =>
+        s.head.toString -> s(1).toString.toDouble
+      }))
     register("redact")(p => new RedactNode(p.str("textCol"), p.str("outCol"),
       p.m("patterns").asInstanceOf[Seq[Any]].map { case s: Seq[Any] @unchecked =>
         s.head.toString -> s(1).toString

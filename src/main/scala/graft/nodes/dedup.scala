@@ -345,7 +345,17 @@ class NgramJaccardNode(
     // count) to avoid the sizing action; without a hint the count() doubles
     // as the materialization of the persisted `docs` frame, which the three
     // downstream consumers reuse — not an extra pass over the raw input.
-    val n = corpusSizeHint.getOrElse(docs.count())
+    // at-scale nudge (logged, not fatal — the count doubles as the persist
+    // materialization either way): large corpora should supply the hint so
+    // DAG composition stays action-free
+    val n = corpusSizeHint.getOrElse {
+      val counted = docs.count()
+      System.err.println(
+        s"[graft] ngram_jaccard '$name': no corpusSizeHint: counted $counted docs; " +
+          "at scale pass corpusSizeHint (catalog stats or a prior listener count) " +
+          "to keep DAG composition action-free")
+      counted
+    }
     val dfCap = math.max(maxDocFreq.toLong, math.ceil(maxDocFreqFraction * n).toLong)
     val rare = inverted.groupBy("shingle").count().filter(col("count") <= dfCap).select("shingle")
     val blocked = inverted.join(rare, Seq("shingle"))

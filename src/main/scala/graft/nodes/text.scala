@@ -141,6 +141,44 @@ class SplitNode(
   }
 }
 
+/** Deterministic (optionally stratified) sampling by id-hash, the sibling of
+  * [[SplitNode]]: keep a row iff its md5-prefix mod 1e6 falls under the
+  * stratum's threshold. Reproducible across runs, engines, partitionings,
+  * and scale (unlike `df.sample`, whose output depends on partition layout);
+  * a pure narrow filter — zero shuffle, pushes to the scan. Stratified form:
+  * `strataCol` + per-value `fractions` (unlisted values fall back to
+  * `fraction`) — the standard way to downsample dominant languages/sources
+  * while keeping rare strata whole in a training-data mix.
+  */
+class SampleNode(
+    val idCol: String = "doc_id",
+    val fraction: Double = 0.1,
+    val strataCol: Option[String] = None,
+    val fractions: Seq[(String, Double)] = Nil)
+  extends Node {
+  require(fraction >= 0 && fraction <= 1, "fraction must be in [0, 1]")
+  require(fractions.forall { case (_, f) => f >= 0 && f <= 1 }, "fractions must be in [0, 1]")
+  override protected def defaultName: String = "sample"
+  val inputs = Seq(Port("df"))
+  val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("sample")
+  override def jsonParams: Map[String, Any] = Map("idCol" -> idCol, "fraction" -> fraction,
+    "strataCol" -> strataCol.orNull,
+    "fractions" -> fractions.map { case (k, f) => Seq[Any](k, f) })
+  override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
+    // same engine-portable hash as SplitNode, at 1e6 resolution
+    val h = s"cast(conv(substring(md5(cast($idCol as string)), 1, 8), 16, 10) as bigint) % 1000000"
+    def thr(f: Double): Long = math.round(f * 1000000.0)
+    val cut = strataCol match {
+      case None => thr(fraction).toString
+      case Some(c) =>
+        fractions.map { case (k, f) => s"when $c = '$k' then ${thr(f)}" }
+          .mkString("case ", " ", s" else ${thr(fraction)} end")
+    }
+    Map("result" -> in("df").filter(s"($h) < ($cut)"))
+  }
+}
+
 /** Overlapping token-window chunking: split long documents into fixed-size
   * token chunks with `overlap` tokens of context carried between adjacent
   * chunks — the standard preprocessing for context-bounded LLM training.

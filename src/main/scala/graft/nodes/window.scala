@@ -61,8 +61,13 @@ object WindowNode {
   * `last(_, ignoreNulls)` over a running ROWS frame (`first` looking ahead
   * for `forward`). The intermediate is exactly L + R rows — NO join anywhere
   * in the plan — so a hot key with many right rows costs one sort, never the
-  * L×R/2 expansion. One shuffle per side on the keys, then a per-key sort:
-  * the same cost shape as any windowed aggregation, linear at 100 TB.
+  * L×R/2 expansion. The physical plan is ONE Exchange on the key + one
+  * Sort + one Window (NodesSpec pins both the join-free and the
+  * single-Exchange property): the same cost shape as any windowed
+  * aggregation, linear at 100 TB. Column notes: Catalyst prunes the LEFT
+  * payload struct to the fields the query consumes, but the RIGHT payload
+  * rides the shuffle whole (field extraction cannot push through `last`) —
+  * pre-project the right side to the columns you need at scale.
   *
   * `expand`: equi-join on keys with the time-range predicate, then one row
   * per left row via `row_number` over `leftIdCols`. Every qualifying right

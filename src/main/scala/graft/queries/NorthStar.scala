@@ -240,6 +240,26 @@ object NorthStar {
       |        FROM documents) t) s
       |GROUP BY split ORDER BY split""".stripMargin
 
+  // ---- q70: deterministic stratified sampling (SampleNode) — downsample
+  // the dominant order statuses at different rates; hash-exact because the
+  // md5-mod keep-set is a pure function of the id on both engines ----
+  def q70_stratified_sample(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
+    d.add(SourceNode.table(dir, "orders")) >>
+      new SampleNode(idCol = "o_orderkey", fraction = 0.1,
+        strataCol = Some("o_orderstatus"), fractions = Seq("O" -> 0.05, "F" -> 0.2)) >>
+      AggNode(Seq("o_orderstatus"), "count(*) as n",
+        "cast(sum(cast(o_totalprice as decimal(18,2))) as double) as sum_price") >>
+      SortNode("o_orderstatus") >> d.output("result")
+  }
+  val q70Sql: String =
+    """SELECT o_orderstatus, count(*) AS n,
+      |  cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS sum_price
+      |FROM orders
+      |WHERE cast('0x' || substring(md5(cast(o_orderkey as varchar)), 1, 8) as ubigint) % 1000000
+      |  < (CASE WHEN o_orderstatus = 'O' THEN 50000
+      |          WHEN o_orderstatus = 'F' THEN 200000 ELSE 100000 END)
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   // ---- q61: overlapping token-window chunking ----
   def q61_chunk(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
     d.add(SourceNode.table(dir, "documents")) >>
@@ -324,6 +344,7 @@ object NorthStar {
     ("q32_frame_sample", q32_frame_sample _, q32Sql),
     ("q54_audio_chunks", q54_audio_chunks _, q54Sql),
     ("q60_split", q60_split _, q60Sql),
+    ("q70_stratified_sample", q70_stratified_sample _, q70Sql),
     ("q61_chunk", q61_chunk _, q61Sql),
     ("q62_redact", q62_redact _, q62Sql),
   )

@@ -367,6 +367,11 @@ class NodesSpec extends AnyFunSuite {
         raw.queryExecution.executedPlan.toString)
     }
     assert(!plan.toLowerCase.contains("join"), s"merge as-of plan must be join-free:\n$plan")
+    // and the whole operator is ONE shuffle: union (narrow) -> Exchange on
+    // the key -> Sort -> Window; a second Exchange would mean the plan
+    // regressed to shuffling each side separately
+    val nExchanges = "Exchange".r.findAllIn(plan).length
+    assert(nExchanges == 1, s"merge as-of expected exactly 1 Exchange, got $nExchanges:\n$plan")
     // inclusive <=: trade at t=10 matches quote qt=10 exactly
     assert(mergeOut == (1 to 50).map(i => (i * 10L, i * 10L, i * 10 / 100.0)).toSet)
     // tie in right time: two quotes at the same qt — max tie-break wins,
@@ -391,6 +396,24 @@ class NodesSpec extends AnyFunSuite {
       d.output("result")
     val e = intercept[GraftException](d.transform(ctx))
     assert(e.getMessage.contains("refused"))
+  }
+
+  test("SampleNode: deterministic, stratified, zero-shuffle") {
+    val df = (0L until 2000L).map(i => (i, if (i % 2 == 0) "en" else "de")).toDF("doc_id", "lang")
+    def sample() = runOne { d =>
+      d.add(srcNode(df)) >> new SampleNode(idCol = "doc_id", fraction = 0.5,
+        strataCol = Some("lang"), fractions = Seq("de" -> 0.1)) >> d.output("result")
+    }
+    val a = sample().select("doc_id").as[Long].collect().toSet
+    val b = sample().select("doc_id").as[Long].collect().toSet
+    assert(a == b && a.nonEmpty) // pure function of the id
+    val byLang = sample().groupBy("lang").count().as[(String, Long)].collect().toMap
+    // en ~50% of 1000, de ~10% of 1000 (hash-uniform within a few percent)
+    assert(byLang("en") > 400 && byLang("en") < 600, s"en=${byLang("en")}")
+    assert(byLang.getOrElse("de", 0L) > 50 && byLang("de") < 160, s"de=${byLang.get("de")}")
+    // narrow filter: no Exchange anywhere before the collect
+    val plan = sample().queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"sample must be a narrow filter:\n$plan")
   }
 
   test("SplitNode assigns stable hash-mod splits summing to the corpus") {

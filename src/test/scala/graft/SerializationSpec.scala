@@ -95,6 +95,29 @@ class SerializationSpec extends AnyFunSuite {
     assert(ss2.statePartitions.contains(8))
   }
 
+  test("round-trip covers round-4 kinds: asof strategy, ivf cap, cc checkpoint, stream sink, sample") {
+    val d = new Dag("r4kinds")
+    val as = d.add(new AsofJoinNode(Seq("k"), Seq("k"), "lt", "rt", Seq("id"), "tb",
+      joinType = "left", forward = true, strategy = "expand"))
+    val iv = d.add(new IvfKnnNode(k = 7, nClusters = 5, nProbe = 2, maxFitRows = 1234L))
+    val cc = d.add(new ConnectedComponentsNode(maxIter = 9, reliableCheckpoint = true))
+    val sk = d.add(new StreamSinkNode("/tmp/out", "/tmp/ckpt", partitionBy = Seq("dt"),
+      timeoutMs = 5000))
+    val sa = d.add(new SampleNode("id", 0.25, Some("lang"), Seq("en" -> 0.5)))
+    val json = DagJson.toJson(d)
+    val d2 = DagJson.fromJson(json)
+    val as2 = d2.node(as.name).asInstanceOf[AsofJoinNode]
+    assert(as2.strategy == "expand" && as2.forward && as2.joinType == "left")
+    val iv2 = d2.node(iv.name).asInstanceOf[IvfKnnNode]
+    assert(iv2.maxFitRows == 1234L && iv2.nClusters == 5)
+    val cc2 = d2.node(cc.name).asInstanceOf[ConnectedComponentsNode]
+    assert(cc2.jsonParams("reliableCheckpoint") == true && cc2.jsonParams("maxIter") == 9)
+    val sk2 = d2.node(sk.name).asInstanceOf[StreamSinkNode]
+    assert(sk2.checkpointPath == "/tmp/ckpt" && sk2.partitionBy == Seq("dt") && sk2.timeoutMs == 5000L)
+    val sa2 = d2.node(sa.name).asInstanceOf[SampleNode]
+    assert(sa2.fraction == 0.25 && sa2.strataCol.contains("lang") && sa2.fractions == Seq("en" -> 0.5))
+  }
+
   test("DagRun.unpersist releases node-internal tracked persists (Ctx.track)") {
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.size
