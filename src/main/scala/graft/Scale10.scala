@@ -39,6 +39,9 @@ object Scale10 {
     cloneK("documents", Seq("doc_id"))
     cloneK("embeddings", Seq("vec_id"))
     cloneK("events", Seq("event_id")) // user_id NOT shifted: same user population
+    cloneK("orders", Seq("o_orderkey")) // o_custkey NOT shifted: per-key density
+    // grows k-fold on BOTH as-of sides — the expand path's L*R blowup is k^2
+    // per key while the merge path stays (L+R)*k; q15 probes exactly this
 
     def time(label: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
@@ -49,7 +52,8 @@ object Scale10 {
 
     val defaults = Seq("q20_dedup_exact", "q21_token_count", "q22_quality", "q24_fingerprint",
       "q25_minhash_dedup", "q26_simhash_dedup", "q27_ngram_jaccard", "q29_ann_lsh",
-      "q50_ivf_knn", "q51_pipeline", "q52_dedup_clusters", "q13_json", "q16_tumbling_window")
+      "q50_ivf_knn", "q51_pipeline", "q52_dedup_clusters", "q13_json", "q16_tumbling_window",
+      "q15_asof_join")
     val names = if (queries.nonEmpty) queries else defaults
     names.foreach { n =>
       try time(n)(Queries.all(n)(spark, out).count())
