@@ -16,6 +16,8 @@ object NodeRegistry {
     register("source")(p => new SourceNode(p.str("path"), p.str("format"), p.strs("columns"), p.strs("nanosTsCols"),
       p.m.get("options").collect { case m: Map[_, _] => m.map { case (k, v) => k.toString -> v.toString } }.getOrElse(Map.empty),
       p.strOpt("schemaDdl")))
+    register("bucketed_sink")(p => new BucketedSinkNode(p.str("table"), p.strs("bucketCols"),
+      p.int("nBuckets"), p.strs("sortCols"), p.str("format"), p.str("mode")))
     register("sink")(p => new SinkNode(p.str("path"), p.str("format"), p.str("mode"), p.strs("partitionBy"),
       p.m.get("options").collect { case m: Map[_, _] => m.map { case (k, v) => k.toString -> v.toString } }.getOrElse(Map.empty)))
     register("project")(p => new ProjectNode(p.strs("exprs")))

@@ -138,6 +138,48 @@ class SinkNode(val path: String, val format: String = "parquet", val mode: Strin
   }
 }
 
+/** Bucketed managed-table sink: `saveAsTable` with `bucketBy`/`sortBy`, the
+  * cross-JOB co-location primitive (RepartitionNode only helps within one
+  * job). Two tables bucketed on their join keys with equal bucket counts
+  * equi-join with ZERO Exchange on either side (PlanSpec pins this through
+  * the node); at 100 TB, bucketing the fact tables once amortizes the
+  * layout shuffle across every downstream join and keyed aggregation.
+  * Output port re-reads the saved table, so downstream nodes see the
+  * bucketed layout. Bucket count should divide evenly into cluster
+  * parallelism; same-schema overwrite re-uses the table identity.
+  */
+class BucketedSinkNode(val table: String, val bucketCols: Seq[String], val nBuckets: Int,
+                       val sortCols: Seq[String] = Nil, val format: String = "parquet",
+                       val mode: String = "overwrite") extends Node {
+  require(bucketCols.nonEmpty, "BucketedSinkNode needs at least one bucket column")
+  override protected def defaultName: String = "bucketed_sink"
+  val inputs = Seq(Port("df"))
+  val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("bucketed_sink")
+  override def jsonParams: Map[String, Any] = Map("table" -> table, "bucketCols" -> bucketCols,
+    "nBuckets" -> nBuckets, "sortCols" -> sortCols, "format" -> format, "mode" -> mode)
+  override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
+    // Orphaned-location guard: an in-memory catalog forgets managed tables
+    // across sessions while their warehouse directories survive, and
+    // saveAsTable then fails with LOCATION_ALREADY_EXISTS even in overwrite
+    // mode (for the catalog it is a CREATE). An existing location with NO
+    // catalog entry is stale by definition — remove it. Only the default
+    // location of an unqualified table name is handled; qualified names with
+    // external locations are the caller's to manage.
+    if (mode == "overwrite" && !table.contains(".") && !ctx.spark.catalog.tableExists(table)) {
+      val wh = ctx.spark.conf.get("spark.sql.warehouse.dir")
+      val loc = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
+      val fs = loc.getFileSystem(ctx.spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
+    val w0 = in("df").write.format(format).mode(mode)
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+    val w = if (sortCols.nonEmpty) w0.sortBy(sortCols.head, sortCols.tail: _*) else w0
+    w.saveAsTable(table)
+    Map("result" -> ctx.spark.table(table))
+  }
+}
+
 /** Projection via SQL expressions (`selectExpr`); covers scalar functions and
   * window functions (`... over (partition by ...)`) alike, all codegen'd.
   */

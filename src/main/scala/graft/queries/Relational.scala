@@ -361,6 +361,33 @@ object Relational {
       |WHERE o_totalprice > 200000 AND o_orderpriority IN ('1-URGENT', '2-HIGH')
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // ---- q71: bucketed-table sink + co-located join — both sides written
+  // through BucketedSinkNode on their join key with equal bucket counts, so
+  // the downstream equi-join reads co-located buckets and needs NO Exchange
+  // on either side (property pinned in PlanSpec through the same node; the
+  // driver gate here verifies the write -> catalog -> read -> join cycle
+  // preserves values exactly). The bucketed layout amortizes across every
+  // later join/agg on the key — the cross-job RepartitionNode. ----
+  def q71_bucketed_join(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
+    val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val li = d.add(SourceNode.table(dir, "lineitem", "l_orderkey", "l_extendedprice"))
+    val ord = d.add(SourceNode.table(dir, "orders", "o_orderkey", "o_orderpriority"))
+    val bl = li >> new BucketedSinkNode(s"graft_q71_li_$sfx", Seq("l_orderkey"), 8,
+      sortCols = Seq("l_orderkey")).named("bucket_li")
+    val bo = ord("result") >> new BucketedSinkNode(s"graft_q71_ord_$sfx", Seq("o_orderkey"), 8,
+      sortCols = Seq("o_orderkey")).named("bucket_ord")
+    val j = d.add(JoinNode.on("l.l_orderkey = r.o_orderkey"))
+    bl >> j("left"); bo >> j("right")
+    j >> AggNode(Seq("o_orderpriority"), "count(*) as n",
+        "cast(sum(cast(l_extendedprice as decimal(18,2))) as double) as sum_price") >>
+      SortNode("o_orderpriority") >> d.output("result")
+  }
+  val q71Sql: String =
+    """SELECT o_orderpriority, count(*) AS n,
+      |  cast(sum(cast(l_extendedprice as decimal(18,2))) as double) AS sum_price
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   // ---- q59: keyed variadic fan-in (**kwargs analogue) — two source nodes
   // merge through TaggedUnionNode, each row tagged with its upstream node's
   // name; the tag keys come from the DAG wiring, not the data ----
@@ -487,6 +514,7 @@ object Relational {
     ("q16_tumbling_window", q16_tumbling_window _, q16Sql),
     ("q17_grouping_sets", q17_grouping_sets _, q17Sql),
     ("q58_sink_roundtrip", q58_sink_roundtrip _, q58Sql),
+    ("q71_bucketed_join", q71_bucketed_join _, q71Sql),
     ("q59_tagged_union", q59_tagged_union _, q59Sql),
     ("q65_format_roundtrip", q65_format_roundtrip _, q65Sql),
     ("q66_salted_join", q66_salted_join _, q66Sql),

@@ -1,5 +1,7 @@
 package graft
 
+import graft.dag._
+import graft.nodes._
 import graft.queries.{Queries, Relational}
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -57,14 +59,21 @@ class PlanSpec extends AnyFunSuite {
     }
     val a = (1L to 1000L).map(i => (i, s"a$i")).toDF("k", "va")
     val b = (1L to 1000L).map(i => (i, i * 2)).toDF("k", "vb")
-    a.write.mode("overwrite").bucketBy(8, "k").sortBy("k").saveAsTable("bkt_a")
-    b.write.mode("overwrite").bucketBy(8, "k").sortBy("k").saveAsTable("bkt_b")
+    // write both sides through the node (BucketedSinkNode), then join the
+    // node OUTPUTS — the co-location property must survive the node boundary
+    val d = new Dag()
+    val sa = d.add(new BucketedSinkNode("bkt_a", Seq("k"), 8, sortCols = Seq("k")))
+    val sb = d.add(new BucketedSinkNode("bkt_b", Seq("k"), 8, sortCols = Seq("k")))
+    val j = d.add(JoinNode.using(Seq("k")))
+    d.input("a") >> sa; d.input("b") >> sb
+    sa >> j("left"); sb >> j("right")
+    j >> d.output("result")
     // force the shuffle-based path: with broadcast allowed, tiny tables take
     // BroadcastHashJoin and the planner disables bucketed reads entirely
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      val joined = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+      val joined = d.transform(Ctx(spark), Map("a" -> a, "b" -> b)).outputs("result")
       val plan = joined.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n$plan")
       assert(plan.contains("SortMergeJoin"))
