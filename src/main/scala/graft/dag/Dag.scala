@@ -404,8 +404,8 @@ final class Dag(val dagName: String = "dag") {
       ctx.inheritedListeners ++ listeners.filterNot(ctx.inheritedListeners.contains)
     val prevInherited = ctx.inheritedListeners
     ctx.inheritedListeners = activeListeners
-    activeListeners.foreach(_.onRunStart(ctx.runId, this))
     try {
+      activeListeners.foreach(_.onRunStart(ctx.runId, this))
       topoOrder.foreach { n =>
         // gather inputs: dag binds first (bind order), then edges (insertion
         // order); each payload is tagged with its origin name, and keyed
@@ -559,13 +559,18 @@ final class SparkMetricsListener extends org.apache.spark.sql.util.QueryExecutio
 /** Built-in wall-clock listener. Note: transforms are lazy, so transform time
   * here measures plan-composition cost; real work shows up in Spark's
   * QueryExecutionListener at action time (SparkMetricsListener).
+  *
+  * Reentrant: listener propagation into nested dags means a SubDagNode's
+  * before/after pair ENCLOSES its inner nodes' pairs, so start times live on
+  * a stack (events nest strictly), not a single shared slot — with one slot
+  * the subdag would report the LAST inner node's duration as its own.
   */
 final class TimingListener extends NodeListener {
   val fitNanos = mutable.LinkedHashMap[String, Long]()
   val transformNanos = mutable.LinkedHashMap[String, Long]()
-  private var t0 = 0L
-  override def beforeFit(n: Node, ctx: Ctx): Unit = t0 = System.nanoTime()
-  override def afterFit(n: Node, ctx: Ctx): Unit = fitNanos(n.name) = System.nanoTime() - t0
-  override def beforeTransform(n: Node, ctx: Ctx): Unit = t0 = System.nanoTime()
-  override def afterTransform(n: Node, ctx: Ctx): Unit = transformNanos(n.name) = System.nanoTime() - t0
+  private val starts = mutable.Stack[Long]()
+  override def beforeFit(n: Node, ctx: Ctx): Unit = starts.push(System.nanoTime())
+  override def afterFit(n: Node, ctx: Ctx): Unit = fitNanos(n.name) = System.nanoTime() - starts.pop()
+  override def beforeTransform(n: Node, ctx: Ctx): Unit = starts.push(System.nanoTime())
+  override def afterTransform(n: Node, ctx: Ctx): Unit = transformNanos(n.name) = System.nanoTime() - starts.pop()
 }

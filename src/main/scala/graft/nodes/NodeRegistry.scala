@@ -39,7 +39,7 @@ object NodeRegistry {
       p.m.get("frameLo").map(_ => (p.m("frameLo").toString.toLong, p.m("frameHi").toString.toLong))))
     register("asof_join")(p => new AsofJoinNode(p.strs("leftKeys"), p.strs("rightKeys"),
       p.str("leftTime"), p.str("rightTime"), p.strs("leftIdCols"), p.str("rightTieBreak"),
-      p.str("joinType"), p.bool("forward"), p.strOpt("strategy").getOrElse("merge")))
+      p.str("joinType"), p.bool("forward"), p.strOpt("strategy").getOrElse("expand")))
     register("exact_dedup")(p => new ExactDedupNode(p.strs("keyExprs"), p.str("idCol")))
     register("minhash_dedup")(p => new MinHashDedupNode(p.str("idCol"), p.str("textCol"),
       p.int("numHashes"), p.int("bands"), p.int("shingleN"), p.dbl("jaccardThreshold"), p.int("maxBucket"), p.boolOr("collapseExact", true)))

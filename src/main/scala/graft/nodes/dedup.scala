@@ -157,9 +157,23 @@ class ConnectedComponentsNode(idA: String = "id_a", idB: String = "id_b", maxIte
   private def cut(df: DataFrame): DataFrame =
     if (reliableCheckpoint) {
       val sc = df.sparkSession.sparkContext
-      if (sc.getCheckpointDir.isEmpty)
+      if (sc.getCheckpointDir.isEmpty) {
+        // A driver-local temp dir is only durable storage when driver and
+        // executors share the machine (local mode). On a real cluster a
+        // local path silently defeats the flag's purpose — executors write
+        // checkpoints other machines can't read — so demand an explicit
+        // shared-storage dir instead of degrading.
+        if (!sc.isLocal)
+          throw new GraftException(
+            s"connected components '$name': reliableCheckpoint=true requires " +
+              "sparkContext.setCheckpointDir on SHARED storage (HDFS/S3) when " +
+              "running on a cluster — a driver-local default would not survive " +
+              "executor loss")
         sc.setCheckpointDir(
           java.nio.file.Files.createTempDirectory("graft_cc_ckpt_").toString)
+      }
+      // rounds accumulate one skinny labels copy each under the checkpoint
+      // dir (bounded by maxIter); clean the dir between jobs if that matters
       df.checkpoint()
     } else df.localCheckpoint()
 

@@ -167,8 +167,12 @@ class BucketedSinkNode(val table: String, val bucketCols: Seq[String], val nBuck
     // location of an unqualified table name is handled; qualified names with
     // external locations are the caller's to manage.
     if (mode == "overwrite" && !table.contains(".") && !ctx.spark.catalog.tableExists(table)) {
-      val wh = ctx.spark.conf.get("spark.sql.warehouse.dir")
-      val loc = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
+      // resolve the location in the SAME namespace tableExists just checked
+      // (the current database's own location), never the warehouse root —
+      // with a non-default current db, <warehouse>/<table> could be a LIVE
+      // table of another database and deleting it would destroy data
+      val dbLoc = ctx.spark.catalog.getDatabase(ctx.spark.catalog.currentDatabase).locationUri
+      val loc = new org.apache.hadoop.fs.Path(dbLoc, table.toLowerCase)
       val fs = loc.getFileSystem(ctx.spark.sparkContext.hadoopConfiguration)
       if (fs.exists(loc)) fs.delete(loc, true)
     }
@@ -428,7 +432,9 @@ class SqlNode(val sql: String, val ports: Seq[String]) extends Node {
   override def jsonKind: Option[String] = Some("sql")
   override def jsonParams: Map[String, Any] = Map("sql" -> sql, "ports" -> ports)
   override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
-    val suffix = s"${name}_${ctx.runId.replaceAll("[^a-zA-Z0-9]", "")}"
+    // node names may carry any characters the DSL allows (dashes, dots);
+    // view identifiers may not — sanitize the whole suffix, not just the id
+    val suffix = s"${name}_${ctx.runId}".replaceAll("[^a-zA-Z0-9_]", "")
     def viewName(p: String) = s"${p}__$suffix"
     ports.foreach(p => in(p).createOrReplaceTempView(viewName(p)))
     try {

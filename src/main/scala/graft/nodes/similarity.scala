@@ -170,8 +170,7 @@ class IvfKnnNode(
     val mod = math.max(1L, (n + maxFitRows - 1L) / maxFitRows) // ceil(n / cap)
     val fitInput =
       if (mod <= 1L) corpus
-      else corpus.filter(expr(
-        s"cast(conv(substring(md5(cast($idCol as string)), 1, 8), 16, 10) as bigint) % $mod = 0"))
+      else corpus.filter(expr(s"${DetHash.modExpr(idCol, mod)} = 0"))
     val vecs = ctx.track(withVec(fitInput, vecCol))
     lastFitRows = vecs.count()
     new KMeans().setK(nClusters).setSeed(42L).setFeaturesCol("__features")

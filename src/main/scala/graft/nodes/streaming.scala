@@ -181,8 +181,17 @@ class StreamSinkNode(val path: String, val checkpointPath: String,
       .trigger(Trigger.AvailableNow())
     val w = if (partitionBy.nonEmpty) w0.partitionBy(partitionBy: _*) else w0
     val q = w.start(path)
-    q.awaitTermination(timeoutMs)
-    if (q.isActive) q.stop()
+    val finished = q.awaitTermination(timeoutMs)
+    if (!finished) {
+      // stopping mid-drain would return a silently PARTIAL batch read —
+      // the opposite of the exactly-once contract; fail loudly instead
+      // (the checkpoint makes a re-run resume where this one stopped)
+      q.stop()
+      throw new GraftException(
+        s"stream sink '$name' did not drain within ${timeoutMs}ms — output is " +
+          "incomplete; raise timeoutMs and re-run (the checkpoint resumes from " +
+          "the last committed batch)")
+    }
     // read back through the owning session so nanos/shuffle overrides from a
     // cloned stream source stay in effect for the batch read too
     Map("result" -> in("df").sparkSession.read.format(format).load(path))
@@ -203,8 +212,13 @@ class StreamRunNode(val queryName: String, val outputMode: String = "append",
       .outputMode(outputMode)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(timeoutMs)
-    if (q.isActive) q.stop()
+    val finished = q.awaitTermination(timeoutMs)
+    if (!finished) {
+      q.stop()
+      throw new GraftException(
+        s"stream run '$name' did not drain within ${timeoutMs}ms — the memory " +
+          "table would be silently partial; raise timeoutMs")
+    }
     // the memory sink registers its table in the session that OWNS the
     // streaming frame (which may be a per-source clone — see StreamSourceNode)
     Map("result" -> in("df").sparkSession.table(queryName))

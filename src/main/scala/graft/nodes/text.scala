@@ -18,6 +18,22 @@ object TextExprs {
     s"transform(sequence(0, greatest(size($tokens) - $n, 0)), i -> concat_ws(' ', slice($tokens, i + 1, $n)))"
 }
 
+/** THE engine-portable deterministic hash: first 8 md5 hex chars of the
+  * stringified id, as a bigint. Every cross-engine-reproducible contract in
+  * the library — splits, samples, quantizer-fit sampling, audit-corpus
+  * selection, restart staging — derives from this one expression, and its
+  * DuckDB mirror is `cast('0x' || substring(md5(cast(x as varchar)), 1, 8)
+  * as ubigint)`. All call sites MUST go through this helper: a byte-level
+  * divergence at any site silently breaks a determinism contract somewhere
+  * else (seeded samplers are no substitute — they are partition-order-
+  * dependent and engine-specific).
+  */
+object DetHash {
+  def expr(col: String): String =
+    s"cast(conv(substring(md5(cast($col as string)), 1, 8), 16, 10) as bigint)"
+  def modExpr(col: String, mod: Long): String = s"${expr(col)} % $mod"
+}
+
 /** Tokenize + count tokens two ways: whitespace tokens and a BPE-ish regex
   * (word pieces + standalone punctuation), the standard proxy for LLM token
   * budgeting. Pure narrow map — no shuffle.
@@ -130,7 +146,7 @@ class SplitNode(
   override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
     // bucket = first 8 md5 hex chars as int mod 100 — identical arithmetic
     // in any engine with md5 + conv
-    val bucket = s"cast(conv(substring(md5(cast($idCol as string)), 1, 8), 16, 10) as bigint) % 100"
+    val bucket = DetHash.modExpr(idCol, 100)
     val cuts = splits.scanLeft(0) { case (acc, (_, p)) => acc + p }.tail
     val cases = splits.zip(cuts).map { case ((nm, _), hi) => s"when __b < $hi then '$nm'" }
       .mkString("case ", " ", " end")
@@ -167,7 +183,7 @@ class SampleNode(
     "fractions" -> fractions.map { case (k, f) => Seq[Any](k, f) })
   override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
     // same engine-portable hash as SplitNode, at 1e6 resolution
-    val h = s"cast(conv(substring(md5(cast($idCol as string)), 1, 8), 16, 10) as bigint) % 1000000"
+    val h = DetHash.modExpr(idCol, 1000000)
     def thr(f: Double): Long = math.round(f * 1000000.0)
     val cut = strataCol match {
       case None => thr(fraction).toString

@@ -156,14 +156,19 @@ class AsofJoinNode(
     // Backward: rights sort BEFORE lefts at equal time (<= is inclusive) and
     // ascending tie-break makes `last` pick the max — the same winner as the
     // expand path's (time desc, tiebreak desc) rank 1. Forward mirrors it.
+    // Null left times must match NOTHING (the range predicate is null-false
+    // in the expand path): backward's nulls-FIRST ascending order already
+    // puts them before every right row (empty lookback frame); forward needs
+    // nulls LAST so the lookahead frame is empty too — otherwise a null-time
+    // left row would sort first and "match" the partition's earliest right.
     val matched =
       if (forward)
         merged.withColumn("__m", first(col("__rrow"), ignoreNulls = true).over(
-          part.orderBy(col("__t").asc, col("__side").desc, col("__tb").asc)
+          part.orderBy(col("__t").asc_nulls_last, col("__side").desc, col("__tb").asc)
             .rowsBetween(Window.currentRow, Window.unboundedFollowing)))
       else
         merged.withColumn("__m", last(col("__rrow"), ignoreNulls = true).over(
-          part.orderBy(col("__t").asc, col("__side").asc, col("__tb").asc)
+          part.orderBy(col("__t").asc_nulls_first, col("__side").asc, col("__tb").asc)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     val lefts = matched.filter(col("__side") === 1)
     val kept = joinType match {

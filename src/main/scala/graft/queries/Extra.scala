@@ -440,7 +440,7 @@ object Extra {
       .cloneWith(spark, "spark.sql.legacy.parquet.nanosAsLong" -> "true")
       .read.parquet(s"$dir/events.parquet")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    val halfHash = "cast(conv(substring(md5(cast(event_id as string)), 1, 8), 16, 10) as bigint) % 2"
+    val halfHash = DetHash.modExpr("event_id", 2)
     def stage(phase: Int): Unit = {
       val tmp = work.resolve(s"stage_$phase")
       evDf.filter(s"$halfHash = ${phase - 1}").coalesce(1).write.parquet(tmp.toString)

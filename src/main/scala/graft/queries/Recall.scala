@@ -42,8 +42,7 @@ object Recall {
     // recall identity LSH-top-k == brute-top-k holds over any shared corpus,
     // so sampling bounds audit cost without weakening the check; at larger
     // scale, lower the fraction — audit cost must not track corpus size
-    val corpus = emb("result") >> FilterNode(
-      "cast(conv(substring(md5(cast(vec_id as string)), 1, 8), 16, 10) as bigint) % 10 = 0")
+    val corpus = emb("result") >> FilterNode(s"${DetHash.modExpr("vec_id", 10)} = 0")
       .named("corpus_sample")
 
     val brute = d.add(new BruteForceKnnNode(k = 10).named("brute"))
@@ -157,8 +156,7 @@ object Recall {
     val emb = d.add(SourceNode.table(dir, "embeddings"))
     val queries = emb >> FilterNode("vec_id < 25") >>
       ProjectNode("vec_id as query_id", "embedding").named("queryset")
-    val corpus = emb("result") >> FilterNode(
-      "cast(conv(substring(md5(cast(vec_id as string)), 1, 8), 16, 10) as bigint) % 20 = 0")
+    val corpus = emb("result") >> FilterNode(s"${DetHash.modExpr("vec_id", 20)} = 0")
       .named("corpus_sample")
     val brute = d.add(new BruteForceKnnNode(k = 10).named("brute"))
     corpus >> brute("corpus"); queries >> brute("queries")

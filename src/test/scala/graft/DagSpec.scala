@@ -379,6 +379,13 @@ class DagSpec extends AnyFunSuite {
     outer.transform(ctx, Map(outer.inputNames.head -> df1))
     assert(t.transformNanos.contains("leaf"), s"saw: ${t.transformNanos.keys}")
     assert(t.transformNanos.contains("mid_fn"))
+    // reentrancy: the subdag's before/after pair ENCLOSES its inner nodes'
+    // pairs, so its recorded time must be at least each inner node's (a
+    // single shared start slot would make it report the LAST inner node's
+    // duration instead)
+    val subDagTime = t.transformNanos(sub1.name)
+    assert(subDagTime >= t.transformNanos("leaf") && subDagTime >= t.transformNanos("mid_fn"),
+      s"subdag=$subDagTime leaf=${t.transformNanos("leaf")} mid=${t.transformNanos("mid_fn")}")
     // and inner dag's own listeners still fire for inner nodes only
     val t2 = new TimingListener
     val innermost2 = new Dag("deep2")

@@ -346,6 +346,25 @@ class NodesSpec extends AnyFunSuite {
     assert(asofForward("expand") == expected)
   }
 
+  test("AsofJoinNode merge strategy: null left times match nothing, both directions") {
+    // the range predicate is null-false in SQL semantics: a left row with a
+    // null time must produce NO match (forward regression: nulls-first
+    // ascending order once let it "match" the earliest right row)
+    val lefts = Seq((1L, Some(100L)), (1L, None: Option[Long])).toDF("k", "t")
+    val rights = Seq((1L, 50L, "early"), (1L, 150L, "late")).toDF("k", "rt", "tag")
+    for (fwd <- Seq(true, false)) {
+      val out = runOne { d =>
+        val l = d.add(srcNode(lefts, "l")); val r = d.add(srcNode(rights, "r"))
+        val j = d.add(new AsofJoinNode(Seq("k"), Seq("k"), "t", "rt",
+          Seq("k", "t"), rightTieBreak = "rt", joinType = "left", forward = fwd))
+        l >> j("left"); r >> j("right"); j >> d.output("result")
+      }.select(col("t"), col("tag")).collect()
+        .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), Option(r.getString(1)))).toMap
+      assert(out(-1L).isEmpty, s"null left time must not match (forward=$fwd), got ${out(-1L)}")
+      assert(out(100L) == Some(if (fwd) "late" else "early"))
+    }
+  }
+
   test("AsofJoinNode merge strategy: time ties, hot keys, and join-free plan") {
     // hot key: one symbol, many right rows per left row — the expand path
     // would materialize L*R/2 intermediates; merge must stay L+R with NO
