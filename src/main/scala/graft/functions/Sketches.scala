@@ -33,13 +33,16 @@ object Mix {
     XxHash64Function.hash(s, StringType, 42L)
 }
 
-/** shingle_hashes(tokens, n) -> sorted distinct array<long>: hash of each
+/** shingle_hashes(tokens, n[, dedup=true]) -> array<long>: hash of each
   * n-word shingle, built by mixing the word hashes — no string concatenation,
   * no per-shingle allocation. Jaccard over hashed shingles is the standard
   * MinHash formulation (collision odds ~2^-64 are noise next to the sketch's
-  * own error). Sorted output keeps results deterministic and diff-friendly.
+  * own error). Default output is the sorted DISTINCT set (deterministic,
+  * diff-friendly — what the dedup/similarity family wants); `dedup = false`
+  * keeps the positional multiset for consumers that need duplicate counts
+  * (repetition scoring).
   */
-case class ShingleHashes(child: Expression, n: Int)
+case class ShingleHashes(child: Expression, n: Int, dedup: Boolean = true)
   extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "shingle_hashes"
@@ -60,6 +63,7 @@ case class ShingleHashes(child: Expression, n: Int)
       out(i) = h
       i += 1
     }
+    if (!dedup) return new GenericArrayData(out)
     java.util.Arrays.sort(out)
     var uniq = 0
     i = 0

@@ -82,6 +82,11 @@ object VecFunctions {
       case i: Int => i
       case other  => throw new IllegalArgumentException(s"expected int literal, got $other")
     }
+  private def boolLit(e: Expression): Boolean =
+    e.eval(null) match {
+      case b: Boolean => b
+      case other      => throw new IllegalArgumentException(s"expected boolean literal, got $other")
+    }
   /** Idempotently register graft's vector/sketch functions into a session. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -90,7 +95,8 @@ object VecFunctions {
     reg.createOrReplaceTempFunction(
       "minhash_bands", exprs => MinHashBands(exprs(0), intLit(exprs(1)), intLit(exprs(2))), "scala_udf")
     reg.createOrReplaceTempFunction(
-      "shingle_hashes", exprs => ShingleHashes(exprs(0), intLit(exprs(1))), "scala_udf")
+      "shingle_hashes", exprs => ShingleHashes(exprs(0), intLit(exprs(1)),
+        if (exprs.length > 2) boolLit(exprs(2)) else true), "scala_udf")
     reg.createOrReplaceTempFunction(
       "simhash64", exprs => SimHash64(exprs(0)), "scala_udf")
     reg.createOrReplaceTempFunction(

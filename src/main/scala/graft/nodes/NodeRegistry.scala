@@ -70,6 +70,10 @@ object NodeRegistry {
         s.head.toString -> s(1).asInstanceOf[Seq[Any]].map(_.toString)
       }))
     register("quality_score")(p => new QualityScoreNode(p.str("textCol"), p.strs("stopwords")))
+    register("repetition_score")(p => new RepetitionScoreNode(p.str("textCol"),
+      p.m("ns").asInstanceOf[Seq[Any]].map(_.toString.toDouble.toInt)))
+    register("contamination")(p => new ContaminationNode(p.str("idCol"), p.str("textCol"),
+      p.str("benchTextCol"), p.int("shingleN"), p.dbl("minOverlap")))
     register("fingerprint")(p => new FingerprintNode(p.str("textCol"), p.int("k"), p.int("window")))
     register("knn")(p => new BruteForceKnnNode(p.int("k"), p.str("idCol"), p.str("vecCol"), p.str("queryIdCol")))
     register("lsh_knn")(p => new LshKnnNode(p.int("k"), p.int("numPlanes"), p.int("tables"),

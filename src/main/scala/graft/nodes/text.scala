@@ -2,7 +2,7 @@ package graft.nodes
 
 import graft.dag._
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.functions.{col, expr}
 
 /** Text-analysis nodes for LLM-data pipelines (north-star scope, SURVEY.md
   * §2.2). Everything is built from codegen'd `org.apache.spark.sql.functions`
@@ -79,6 +79,85 @@ class QualityScoreNode(val textCol: String = "text", val stopwords: Seq[String] 
 }
 object QualityScoreNode {
   val enStop = Seq("the", "a", "an", "of", "to", "in", "and", "is", "for", "on", "with", "as", "by", "at")
+}
+
+/** Intra-document repetition scoring (the Gopher-style repetition quality
+  * rule): the fraction of duplicate word n-grams inside each document —
+  * boilerplate, keyword stuffing, and degenerate generations score high and
+  * get filtered before they poison a training mix. Computed on HASHED
+  * shingles (compiled `shingle_hashes` kernel — one pass, codegen, identical
+  * distinct-counts to string shingles absent xxhash64 collisions); a pure
+  * narrow map, zero shuffle at any scale.
+  */
+class RepetitionScoreNode(
+    val textCol: String = "text",
+    val ns: Seq[Int] = Seq(2, 3))
+  extends Node {
+  require(ns.nonEmpty && ns.forall(_ >= 1), "ns must be non-empty positive n-gram sizes")
+  override protected def defaultName: String = "repetition_score"
+  val inputs = Seq(Port("df"))
+  val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("repetition_score")
+  override def jsonParams: Map[String, Any] = Map("textCol" -> textCol, "ns" -> ns)
+  override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
+    graft.functions.VecFunctions.register(ctx.spark)
+    val base = in("df").withColumn("__toks", expr(TextExprs.tokensExpr(textCol)))
+    val out = ns.foldLeft(base) { (d, n) =>
+      // dedup=false: the duplicate fraction needs the positional MULTISET
+      // (the 2-arg form returns the distinct set and would make it 0)
+      d.withColumn(s"__sh$n", expr(s"shingle_hashes(__toks, $n, false)"))
+        .withColumn(s"dup${n}gram_frac", expr(
+          s"1.0D - cast(size(array_distinct(__sh$n)) as double) / greatest(size(__sh$n), 1)"))
+        .drop(s"__sh$n")
+    }
+    Map("result" -> out.drop("__toks"))
+  }
+}
+
+/** Benchmark decontamination: for each document, the fraction of its
+  * distinct word n-grams that also occur anywhere in a benchmark/eval set —
+  * train/test overlap that MUST be caught before training. Scale shape: the
+  * benchmark's distinct shingle-hash set is small by definition (eval sets,
+  * not corpora) and broadcasts; docs explode their distinct shingles once
+  * and equi-join against it — per-doc match counts come back on one groupBy
+  * keyed by doc id. No cross product, no driver state; the corpus side is
+  * one narrow pass + one shuffle on the doc id.
+  */
+class ContaminationNode(
+    val idCol: String = "doc_id",
+    val textCol: String = "text",
+    val benchTextCol: String = "text",
+    val shingleN: Int = 3,
+    val minOverlap: Double = 0.0) // keep only docs at/above this fraction
+  extends Node {
+  override protected def defaultName: String = "contamination"
+  val inputs = Seq(Port("docs"), Port("benchmark"))
+  val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("contamination")
+  override def jsonParams: Map[String, Any] = Map("idCol" -> idCol, "textCol" -> textCol,
+    "benchTextCol" -> benchTextCol, "shingleN" -> shingleN, "minOverlap" -> minOverlap)
+  override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
+    import org.apache.spark.sql.functions.broadcast
+    graft.functions.VecFunctions.register(ctx.spark)
+    val bench = in("benchmark")
+      .withColumn("__toks", expr(TextExprs.tokensExpr(benchTextCol)))
+      .select(expr(s"explode(array_distinct(shingle_hashes(__toks, $shingleN)))").as("__sh"))
+      .distinct()
+    val docSh = ctx.track(in("docs")
+      .withColumn("__toks", expr(TextExprs.tokensExpr(textCol)))
+      .withColumn("__sh_set", expr(s"array_distinct(shingle_hashes(__toks, $shingleN))"))
+      .filter("size(__sh_set) > 0")
+      .select(col(idCol), expr("size(__sh_set)").as("n_shingles"), col("__sh_set")))
+    val matched = docSh
+      .select(col(idCol), expr("explode(__sh_set)").as("__sh"))
+      .join(broadcast(bench), Seq("__sh"))
+      .groupBy(idCol).agg(expr("count(*) as n_matched"))
+    Map("result" -> docSh.drop("__sh_set")
+      .join(matched, Seq(idCol), "left")
+      .withColumn("n_matched", expr("coalesce(n_matched, 0L)"))
+      .withColumn("overlap_frac", expr("cast(n_matched as double) / n_shingles"))
+      .filter(s"overlap_frac >= $minOverlap"))
+  }
 }
 
 /** Language identification by stopword-hit scoring: count tokens that appear

@@ -260,6 +260,60 @@ object NorthStar {
       |          WHEN o_orderstatus = 'F' THEN 200000 ELSE 100000 END)
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  // ---- q72: intra-document repetition scoring (Gopher-style quality rule).
+  // Hashed-shingle distinct counts equal string-shingle distinct counts
+  // absent xxhash64 collisions (the q57 equivalence), and the duplicate
+  // fraction is an IEEE division of the same two integers on both engines —
+  // bit-exact doubles. ----
+  def q72_repetition(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
+    d.add(SourceNode.table(dir, "documents")) >>
+      new RepetitionScoreNode(ns = Seq(2, 3)) >>
+      ProjectNode("doc_id", "dup2gram_frac", "dup3gram_frac") >>
+      SortNode("doc_id") >> d.output("result")
+  }
+  val q72Sql: String =
+    """SELECT doc_id,
+      |  1.0 - cast(len(list_distinct(s2)) as double) / greatest(len(s2), 1) AS dup2gram_frac,
+      |  1.0 - cast(len(list_distinct(s3)) as double) / greatest(len(s3), 1) AS dup3gram_frac
+      |FROM (
+      |  SELECT doc_id,
+      |    list_transform(range(1, greatest(len(t) - 1, 1) + 1),
+      |      i -> array_to_string(t[i:i+1], ' ')) AS s2,
+      |    list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+      |      i -> array_to_string(t[i:i+2], ' ')) AS s3
+      |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+      |        FROM documents) toks) sh
+      |ORDER BY doc_id""".stripMargin
+
+  // ---- q73: benchmark decontamination — per-doc fraction of distinct
+  // 3-gram shingles that occur anywhere in a small "eval set" (docs < 20
+  // stand in for it). The benchmark shingle set broadcasts; the corpus side
+  // is one narrow pass + an equi-join + one groupBy on the doc id. ----
+  def q73_contamination(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
+    val src = d.add(SourceNode.table(dir, "documents"))
+    val bench = src >> FilterNode("doc_id < 20").named("bench")
+    val corpus = src("result") >> FilterNode("doc_id >= 20").named("corpus")
+    val cont = d.add(new ContaminationNode(shingleN = 3))
+    corpus >> cont("docs"); bench >> cont("benchmark")
+    cont >> SortNode("doc_id") >> d.output("result")
+  }
+  val q73Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+      |    i -> array_to_string(t[i:i+2], ' '))) AS s
+      |  FROM toks),
+      |bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id < 20),
+      |docs AS (SELECT doc_id, s FROM sh WHERE doc_id >= 20),
+      |m AS (
+      |  SELECT d.doc_id, count(*) AS n_matched
+      |  FROM (SELECT doc_id, unnest(s) AS g FROM docs) d JOIN bench USING (g)
+      |  GROUP BY d.doc_id)
+      |SELECT d.doc_id, len(d.s) AS n_shingles, coalesce(m.n_matched, 0) AS n_matched,
+      |  cast(coalesce(m.n_matched, 0) as double) / len(d.s) AS overlap_frac
+      |FROM docs d LEFT JOIN m ON d.doc_id = m.doc_id ORDER BY d.doc_id""".stripMargin
+
   // ---- q61: overlapping token-window chunking ----
   def q61_chunk(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
     d.add(SourceNode.table(dir, "documents")) >>
@@ -345,6 +399,8 @@ object NorthStar {
     ("q54_audio_chunks", q54_audio_chunks _, q54Sql),
     ("q60_split", q60_split _, q60Sql),
     ("q70_stratified_sample", q70_stratified_sample _, q70Sql),
+    ("q72_repetition", q72_repetition _, q72Sql),
+    ("q73_contamination", q73_contamination _, q73Sql),
     ("q61_chunk", q61_chunk _, q61Sql),
     ("q62_redact", q62_redact _, q62Sql),
   )

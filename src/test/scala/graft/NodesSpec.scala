@@ -276,6 +276,41 @@ class NodesSpec extends AnyFunSuite {
     assert(out._2 == 5) // Hello , world ! 42
   }
 
+  test("RepetitionScoreNode scores duplicated n-grams") {
+    val df = Seq(
+      (1L, "a b a b a b"),            // 2-grams: ab ba ab ba ab — 5 total, 2 distinct
+      (2L, "all words here differ")). // no repeated 2-grams
+      toDF("doc_id", "text")
+    val out = runOne { d =>
+      d.add(srcNode(df)) >> new RepetitionScoreNode(ns = Seq(2)) >> d.output("result")
+    }.select("doc_id", "dup2gram_frac").as[(Long, Double)].collect().toMap
+    assert(math.abs(out(1L) - (1.0 - 2.0 / 5.0)) < 1e-12)
+    assert(out(2L) == 0.0)
+  }
+
+  test("ContaminationNode measures benchmark shingle overlap, broadcast join") {
+    val bench = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over everything"), // shares 3-grams with bench
+      (2L, "completely unrelated content lives here now")).toDF("doc_id", "text")
+    val raw = runOne { d =>
+      val c = d.add(srcNode(corpus, "corpus")); val b = d.add(srcNode(bench, "bench"))
+      val n = d.add(new ContaminationNode(shingleN = 3))
+      c >> n("docs"); b >> n("benchmark"); n >> d.output("result")
+    }
+    val out = raw.select("doc_id", "n_shingles", "n_matched", "overlap_frac")
+      .as[(Long, Int, Long, Double)].collect()
+      .map { case (id, n, m, f) => id -> ((n, m, f)) }.toMap
+    // doc 1: 5 distinct 3-grams, 3 of them ("the quick brown", "quick brown
+    // fox", "brown fox jumps") occur in the benchmark
+    val (n1, m1, f1) = out(1L)
+    assert(n1 == 5 && m1 == 3L && math.abs(f1 - 0.6) < 1e-12)
+    val (_, m2, f2) = out(2L)
+    assert(m2 == 0L && f2 == 0.0)
+    // benchmark side must broadcast — the corpus never shuffles on shingles
+    assert(raw.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+  }
+
   test("LangIdNode predicts en for English text") {
     val out = runOne { d =>
       d.add(srcNode(Seq((1L, "the cat and the dog are in the house with a bird", "en"))
