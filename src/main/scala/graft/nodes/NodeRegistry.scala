@@ -89,7 +89,8 @@ object NodeRegistry {
     register("register_udafs")(p => new RegisterUdafsNode(p.strs("names")))
     register("explode")(p => new ExplodeNode(p.str("arrayExpr"), p.strs("outCols"), p.strs("keep")))
     register("stream_source")(p => new StreamSourceNode(p.str("path"), p.str("format"), p.strs("nanosTsCols"),
-      Option(p.m.getOrElse("statePartitions", null)).map(_.toString.toInt)))
+      Option(p.m.getOrElse("statePartitions", null)).map(_.toString.toInt),
+      p.m.get("options").collect { case m: Map[_, _] => m.map { case (k, v) => k.toString -> v.toString } }.getOrElse(Map.empty)))
     register("watermark")(p => new WatermarkNode(p.str("tsCol"), p.str("delay")))
     register("stream_window_agg")(p => new StreamWindowAggNode(p.str("tsCol"), p.str("duration"),
       p.strOpt("slide"), p.strOpt("gap"), p.strs("keys"), p.strs("aggs")))

@@ -21,13 +21,14 @@ import org.apache.spark.sql.streaming.Trigger
   */
 class StreamSourceNode(val path: String, val format: String = "parquet",
                        val nanosTsCols: Seq[String] = Nil,
-                       val statePartitions: Option[Int] = None) extends Node {
+                       val statePartitions: Option[Int] = None,
+                       val options: Map[String, String] = Map.empty) extends Node {
   override protected def defaultName: String = "stream_source"
   override def persistableOutput: Boolean = false // streams cannot persist
   val inputs: Seq[Port] = Nil
   val outputs = Seq(Port("result"))
   override def jsonKind: Option[String] = Some("stream_source")
-  override def jsonParams: Map[String, Any] = Map("path" -> path, "format" -> format, "nanosTsCols" -> nanosTsCols, "statePartitions" -> statePartitions.map(_.toString).orNull)
+  override def jsonParams: Map[String, Any] = Map("path" -> path, "format" -> format, "nanosTsCols" -> nanosTsCols, "statePartitions" -> statePartitions.map(_.toString).orNull, "options" -> options)
   override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
     // Same session-conf isolation as SourceNode: nanosAsLong is set on an
     // isolated session (runtime confs copied) so the shared session is never
@@ -56,7 +57,12 @@ class StreamSourceNode(val path: String, val format: String = "parquet",
         dir.toString
       } else path
     }
-    val df0 = readSession.readStream.format(format).schema(schema).load(streamPath)
+    // reader options: backpressure knobs (maxFilesPerTrigger,
+    // maxBytesPerTrigger), latestFirst, pathGlobFilter, ... — a bounded
+    // per-trigger intake is what keeps a backlogged 100 TB stream's
+    // micro-batches sized to the cluster instead of one giant first batch
+    val df0 = readSession.readStream.format(format).schema(schema)
+      .options(options).load(streamPath)
     val df = nanosTsCols.foldLeft(df0)((d, c) =>
       d.withColumn(c, expr(s"timestamp_micros($c div 1000)")))
     Map("result" -> df)

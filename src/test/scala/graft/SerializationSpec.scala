@@ -77,7 +77,8 @@ class SerializationSpec extends AnyFunSuite {
     val tu = d.add(new TaggedUnionNode("origin", allowMissingColumns = true))
     val so = d.add(new SourceNode("/tmp/y.csv", "csv", Nil, Nil,
       options = Map("header" -> "true"), schemaDdl = Some("id BIGINT, body STRING")))
-    val ss = d.add(new StreamSourceNode("/tmp/z.parquet", statePartitions = Some(8)))
+    val ss = d.add(new StreamSourceNode("/tmp/z.parquet", statePartitions = Some(8),
+      options = Map("maxFilesPerTrigger" -> "4")))
     val json = DagJson.toJson(d)
     val d2 = DagJson.fromJson(json)
     val sp2 = d2.node(sp.name).asInstanceOf[SplitNode]
@@ -93,6 +94,7 @@ class SerializationSpec extends AnyFunSuite {
     assert(so2.options == Map("header" -> "true") && so2.schemaDdl.contains("id BIGINT, body STRING"))
     val ss2 = d2.node(ss.name).asInstanceOf[StreamSourceNode]
     assert(ss2.statePartitions.contains(8))
+    assert(ss2.options == Map("maxFilesPerTrigger" -> "4"))
   }
 
   test("round-trip covers round-4 kinds: asof strategy, ivf cap, cc checkpoint, stream sink, sample") {
