@@ -30,20 +30,31 @@ object Bench {
       q.awaitTermination(30000); if (q.isActive) q.stop()
       org.apache.commons.io.FileUtils.deleteQuietly(wdir.toFile)
     } catch { case _: Throwable => } // warmup is best-effort
+    val errors = scala.collection.mutable.ArrayBuffer[String]()
     val results = SparkEntry.queryOrder.map(n => n -> SparkEntry.queries(n))
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        val sec = (System.nanoTime() - t0) / 1e9
+        // a failed query must NOT masquerade as a fast success: log the
+        // error, record a sentinel -1 timing, and surface it in the JSON
+        val ok = try { fn(spark, sfDir).count(); true } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            errors += name
+            false
+        }
+        val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
         spark.catalog.clearCache() // node-internal persists must not leak across queries
         System.err.println(f"[bench] $name%-22s $sec%8.2f s")
         name -> sec
       }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    if (errors.nonEmpty)
+      System.err.println(s"[bench] ${errors.size} quer(y/ies) FAILED: ${errors.mkString(", ")}")
     spark.stop()
   }
 }

@@ -65,6 +65,13 @@ final class Dag(val dagName: String = "dag") {
           s"node '${n.name}' already belongs to dag '${d.dagName}', cannot add to '$dagName'")
       case None =>
         val base = n.nameBase
+        // Counter-dedup applies to AUTO names only: silently renaming an
+        // explicitly .named() node would break name-based references
+        // (TransformNode parents, dag.node lookups) to the wrong vertex.
+        if (n.assignedName.nonEmpty && nodeMap.contains(base))
+          throw new GraftException(
+            s"explicit node name '$base' already taken in dag '$dagName' — " +
+              "pick a different .named(...) (auto-named nodes dedup with a counter; explicit names must be unique)")
         val nm =
           if (!nodeMap.contains(base) && n.assignedName.nonEmpty) base
           else if (!nodeMap.contains(base) && !nameCounter.contains(base)) base
@@ -451,6 +458,11 @@ final class Dag(val dagName: String = "dag") {
               if (persistAtFanout && nConsumers >= 2 && n.persistableOutput) {
                 df.persist(fanoutStorageLevel)
                 persisted += df
+                // ALSO registered on the shared Ctx: a NESTED run's DagRun is
+                // discarded by SubDagNode (only .outputs survive), so without
+                // this the inner fan-out persists would be unreleasable — an
+                // executor-storage leak per invocation in long-lived sessions
+                ctx.internalPersists.add(df)
                 p -> df
               } else p -> df
             }
@@ -470,9 +482,14 @@ final class Dag(val dagName: String = "dag") {
     val outs = outputBinds.flatMap { case (oname, (nname, port)) =>
       nodeOutputs.get(nname).flatMap(_.get(port)).map(oname -> _)
     }.toMap
-    // node-internal persists (Ctx.track) release together with fan-out ones
+    // node-internal persists (Ctx.track) release together with fan-out ones;
+    // fan-out persists are already in internalPersists too (nested-run leak
+    // guard above), so distinct-by-reference avoids double entries
     val internal = ctx.internalPersists.toArray(Array.empty[DataFrame]).toSeq
-    DagRun(ctx.runId, outs, nodeOutputs.toMap, persisted.toSeq ++ internal)
+    val all = (persisted.toSeq ++ internal).foldLeft(Vector.empty[DataFrame]) {
+      (acc, df) => if (acc.exists(_ eq df)) acc else acc :+ df
+    }
+    DagRun(ctx.runId, outs, nodeOutputs.toMap, all)
   }
 }
 
@@ -569,8 +586,14 @@ final class TimingListener extends NodeListener {
   val fitNanos = mutable.LinkedHashMap[String, Long]()
   val transformNanos = mutable.LinkedHashMap[String, Long]()
   private val starts = mutable.Stack[Long]()
+  /** Keys are `dagName.nodeName`: with listener propagation an inner dag's
+    * node may share its bare name with an outer one, and bare-name keys
+    * would silently overwrite across levels. (Same-named sibling DAGs can
+    * still collide — name nested dags distinctly when timing matters.) */
+  private def key(n: Node): String =
+    n.attached.map(d => s"${d.dagName}.").getOrElse("") + n.name
   override def beforeFit(n: Node, ctx: Ctx): Unit = starts.push(System.nanoTime())
-  override def afterFit(n: Node, ctx: Ctx): Unit = fitNanos(n.name) = System.nanoTime() - starts.pop()
+  override def afterFit(n: Node, ctx: Ctx): Unit = fitNanos(key(n)) = System.nanoTime() - starts.pop()
   override def beforeTransform(n: Node, ctx: Ctx): Unit = starts.push(System.nanoTime())
-  override def afterTransform(n: Node, ctx: Ctx): Unit = transformNanos(n.name) = System.nanoTime() - starts.pop()
+  override def afterTransform(n: Node, ctx: Ctx): Unit = transformNanos(key(n)) = System.nanoTime() - starts.pop()
 }

@@ -130,5 +130,17 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("lsh_signs"),
       new ExpressionInfo(classOf[LshSigns].getName, "lsh_signs"),
       (exprs: Seq[Expression]) => LshSigns(exprs(0), lit(exprs(1)), lit(exprs(2)))))
+    // keep this list in lockstep with VecFunctions.register — a function
+    // present in one path but not the other makes the same SQL work or fail
+    // depending on HOW the session was built
+    ext.injectFunction((
+      FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
+      (exprs: Seq[Expression]) => ShingleHashes(exprs(0), lit(exprs(1)),
+        if (exprs.length > 2) exprs(2).eval(null).asInstanceOf[Boolean] else true)))
+    ext.injectFunction((
+      FunctionIdentifier("winnow_fp"),
+      new ExpressionInfo(classOf[WinnowFingerprint].getName, "winnow_fp"),
+      (exprs: Seq[Expression]) => WinnowFingerprint(exprs(0), lit(exprs(1)), lit(exprs(2)))))
   }
 }

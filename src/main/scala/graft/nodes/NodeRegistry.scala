@@ -37,9 +37,11 @@ object NodeRegistry {
     register("identity")(_ => new IdentityNode)
     register("window")(p => new WindowNode(p.strs("partitionBy"), p.strs("orderBy"), p.pairs("cols"),
       p.m.get("frameLo").map(_ => (p.m("frameLo").toString.toLong, p.m("frameHi").toString.toLong))))
+    // missing 'strategy' (hand-authored JSON) follows the constructor default
+    // — merge, the linear path; engine-saved JSON always writes the key
     register("asof_join")(p => new AsofJoinNode(p.strs("leftKeys"), p.strs("rightKeys"),
       p.str("leftTime"), p.str("rightTime"), p.strs("leftIdCols"), p.str("rightTieBreak"),
-      p.str("joinType"), p.bool("forward"), p.strOpt("strategy").getOrElse("expand")))
+      p.str("joinType"), p.bool("forward"), p.strOpt("strategy").getOrElse("merge")))
     register("exact_dedup")(p => new ExactDedupNode(p.strs("keyExprs"), p.str("idCol")))
     register("minhash_dedup")(p => new MinHashDedupNode(p.str("idCol"), p.str("textCol"),
       p.int("numHashes"), p.int("bands"), p.int("shingleN"), p.dbl("jaccardThreshold"), p.int("maxBucket"), p.boolOr("collapseExact", true)))

@@ -23,10 +23,14 @@ class ExactDedupNode(val keyExprs: Seq[String], val idCol: String) extends Node 
   override def jsonKind: Option[String] = Some("exact_dedup")
   override def jsonParams: Map[String, Any] = Map("keyExprs" -> keyExprs, "idCol" -> idCol)
   override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
-    val keyed = in("df").withColumn("__key", expr(keyExprs.mkString("concat_ws('\\u0001', ", ", ", ")")))
-    val survivors = keyed.groupBy(col("__key"))
+    // group directly on the key EXPRESSIONS, never a concat_ws string:
+    // concat_ws silently drops null components, so (NULL,'x') and ('x',NULL)
+    // — or a NULL vs an empty string — would collapse into one group and
+    // drop a survivor; native multi-column grouping keeps nulls distinct
+    val survivors = in("df")
+      .groupBy(keyExprs.zipWithIndex.map { case (e, i) => expr(e).as(s"__k$i") }: _*)
       .agg(expr(s"min($idCol) as $idCol"), expr("count(*) as dup_count"))
-    Map("result" -> survivors.drop("__key"))
+    Map("result" -> survivors.select(col(idCol), col("dup_count")))
   }
 }
 

@@ -71,7 +71,9 @@ class ResampleNode(
     Map("keyCol" -> keyCol, "timeCol" -> timeCol, "grain" -> grain, "aggs" -> aggs, "fillZero" -> fillZero)
   override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
     import org.apache.spark.sql.functions.broadcast
-    val df = in("df").withColumn("__bucket", expr(s"date_trunc('$grain', $timeCol)"))
+    // three consumers below (agged, bounds, keys) — persist once so an
+    // expensive upstream lineage is not re-executed per consumer
+    val df = ctx.track(in("df").withColumn("__bucket", expr(s"date_trunc('$grain', $timeCol)")))
     val agged = df.groupBy(col(keyCol), col("__bucket")).agg(expr(aggs.head), aggs.tail.map(expr): _*)
     val bounds = df.agg(expr("min(__bucket) as __lo"), expr("max(__bucket) as __hi"))
     val keys = df.select(keyCol).distinct()

@@ -24,6 +24,12 @@ class SaltedJoinNode(
     joinType: String = "inner")
   extends Node {
   require(buckets > 0, "buckets must be positive")
+  // right/full outer would null-extend each unmatched right row ONCE PER
+  // REPLICA — `buckets`-fold inflated right side with no error; salting only
+  // preserves semantics where unmatched right rows are dropped
+  require(joinType == "inner" || joinType == "left" || joinType == "left_outer",
+    s"SaltedJoinNode: joinType '$joinType' unsupported — right-side replication " +
+      "breaks right/full-outer semantics (use AQE skew handling instead)")
   override protected def defaultName: String = "salted_join"
   val inputs = Seq(Port("left"), Port("right"))
   val outputs = Seq(Port("result"))

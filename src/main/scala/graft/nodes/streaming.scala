@@ -47,15 +47,14 @@ class StreamSourceNode(val path: String, val format: String = "parquet",
       else SessionIsolation.cloneWith(ctx.spark, overrides: _*)
     val schema = readSession.read.format(format).load(path).schema
     // File-stream sources require a DIRECTORY; stage single files behind a
-    // temp dir with a symlink (no data copy).
+    // temp dir with a symlink (no data copy). Staged dirs are cached per
+    // target file — repeat transforms in a long-lived session reuse one dir
+    // instead of leaking one per invocation — and both dir and link register
+    // for exit-deletion (dir first: deleteOnExit runs in reverse order, so
+    // the link goes first and the then-empty dir can follow).
     val streamPath = {
       val f = new java.io.File(path)
-      if (f.isFile) {
-        val dir = java.nio.file.Files.createTempDirectory(s"graft_stream_${name}_")
-        java.nio.file.Files.createSymbolicLink(dir.resolve(f.getName), f.toPath)
-        dir.toFile.deleteOnExit()
-        dir.toString
-      } else path
+      if (f.isFile) StreamSourceNode.stagedDir(f) else path
     }
     // reader options: backpressure knobs (maxFilesPerTrigger,
     // maxBytesPerTrigger), latestFirst, pathGlobFilter, ... — a bounded
@@ -69,6 +68,16 @@ class StreamSourceNode(val path: String, val format: String = "parquet",
   }
 }
 object StreamSourceNode {
+  private val staged = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[nodes] def stagedDir(f: java.io.File): String =
+    staged.computeIfAbsent(f.getCanonicalPath, { _ =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_stream_stage_")
+      dir.toFile.deleteOnExit()
+      val link = java.nio.file.Files.createSymbolicLink(dir.resolve(f.getName), f.toPath)
+      link.toFile.deleteOnExit()
+      dir.toString
+    })
+
   /** Testdata layout helper (events.ts is TIMESTAMP(NANOS)); bounded local
     * tables carry little state, so the stateful fan-out is right-sized down. */
   def table(sfDir: String, table: String, statePartitions: Option[Int] = Some(8)): StreamSourceNode =

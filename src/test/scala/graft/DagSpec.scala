@@ -32,6 +32,41 @@ class DagSpec extends AnyFunSuite {
     assertThrows[GraftException](n.named("y"))
   }
 
+  test("explicit .named collision throws instead of silently renaming") {
+    val d = new Dag()
+    d.add(new IdentityNode().named("model"))
+    // a silent counter-rename would make TransformNode("model") / dag.node
+    // resolve to the WRONG vertex; only auto names dedup
+    val e = intercept[GraftException](d.add(new IdentityNode().named("model")))
+    assert(e.getMessage.contains("explicit node name"))
+    val auto1 = d.add(new IdentityNode)
+    val auto2 = d.add(new IdentityNode)
+    assert(auto1.name != auto2.name) // auto names still counter-dedup
+  }
+
+  test("nested dag fan-out persists are released by the outer run's unpersist") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.size
+    val inner = new Dag("innerp")
+    val src = inner.add(FnNode.map1("srcn")(identity))
+    inner.input("x") >> src
+    val c1 = inner.add(FnNode.map1("c1")(df => df.select("id")))
+    val c2 = inner.add(FnNode.map1("c2")(df => df.select("v")))
+    src >> c1; src >> c2 // diamond inside the nested dag -> fan-out persist
+    c1 >> inner.output("o1"); c2 >> inner.output("o2")
+    val outer = new Dag("outerp")
+    val sub = outer.add(inner.asNode)
+    outer >> sub
+    sub("o1") >> outer.output("r1"); sub("o2") >> outer.output("r2")
+    val run = outer.transform(ctx, Map("x" -> df1))
+    run("r1").count(); run("r2").count()
+    assert(sc.getPersistentRDDs.size > before, "inner fan-out should persist")
+    // the inner DagRun is discarded by SubDagNode; the OUTER run must still
+    // know about (and release) the inner fan-out persist via the shared Ctx
+    run.unpersist()
+    assert(sc.getPersistentRDDs.size == before, "outer unpersist must release inner persists")
+  }
+
   test("cross-dag attach rejected (reference graph.py:80-127)") {
     val d1 = new Dag("d1"); val d2 = new Dag("d2")
     val n = d1.add(new IdentityNode)
@@ -358,7 +393,7 @@ class DagSpec extends AnyFunSuite {
     d.input("x") >> n
     n >> d.output("result")
     d.fitTransform(ctx, Map("x" -> df1))
-    assert(t.transformNanos.contains("f"))
+    assert(t.transformNanos.contains("dag.f"))
   }
 
   test("outer listeners propagate into nested dags, two levels deep") {
@@ -377,15 +412,15 @@ class DagSpec extends AnyFunSuite {
     val sub1 = outer.add(mid.asNode)
     outer >> sub1; sub1 >> outer.output("result")
     outer.transform(ctx, Map(outer.inputNames.head -> df1))
-    assert(t.transformNanos.contains("leaf"), s"saw: ${t.transformNanos.keys}")
-    assert(t.transformNanos.contains("mid_fn"))
+    assert(t.transformNanos.contains("deep.leaf"), s"saw: ${t.transformNanos.keys}")
+    assert(t.transformNanos.contains("mid.mid_fn"))
     // reentrancy: the subdag's before/after pair ENCLOSES its inner nodes'
     // pairs, so its recorded time must be at least each inner node's (a
     // single shared start slot would make it report the LAST inner node's
     // duration instead)
-    val subDagTime = t.transformNanos(sub1.name)
-    assert(subDagTime >= t.transformNanos("leaf") && subDagTime >= t.transformNanos("mid_fn"),
-      s"subdag=$subDagTime leaf=${t.transformNanos("leaf")} mid=${t.transformNanos("mid_fn")}")
+    val subDagTime = t.transformNanos(s"outer.${sub1.name}")
+    assert(subDagTime >= t.transformNanos("deep.leaf") && subDagTime >= t.transformNanos("mid.mid_fn"),
+      s"subdag=$subDagTime leaf=${t.transformNanos("deep.leaf")} mid=${t.transformNanos("mid.mid_fn")}")
     // and inner dag's own listeners still fire for inner nodes only
     val t2 = new TimingListener
     val innermost2 = new Dag("deep2")
@@ -397,7 +432,7 @@ class DagSpec extends AnyFunSuite {
     val top = outer2.add(FnNode.map1("top_fn")(identity))
     outer2 >> s2; s2 >> top; top >> outer2.output("result")
     outer2.transform(ctx, Map(outer2.inputNames.head -> df1))
-    assert(t2.transformNanos.contains("leaf2"))
-    assert(!t2.transformNanos.contains("top_fn")) // inner listener stays inner
+    assert(t2.transformNanos.contains("deep2.leaf2"))
+    assert(!t2.transformNanos.exists(_._1.endsWith("top_fn"))) // inner listener stays inner
   }
 }
