@@ -314,6 +314,86 @@ object NorthStar {
       |  cast(coalesce(m.n_matched, 0) as double) / len(d.s) AS overlap_frac
       |FROM docs d LEFT JOIN m ON d.doc_id = m.doc_id ORDER BY d.doc_id""".stripMargin
 
+  // ---- q74: the full curation pipeline, end to end — repetition gate ->
+  // benchmark decontamination -> exact dedup -> deterministic split -> token
+  // budget per split. Every stage is individually oracled (q72, q73, q20,
+  // q60, q21); this entry pins their COMPOSITION: filters feed joins feed
+  // dedup feed split, all deterministic, so DuckDB replays the whole
+  // pipeline and the per-split document/token budget must match bit-exact.
+  def q74_curation(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
+    val src = d.add(SourceNode.table(dir, "documents"))
+    val bench = src >> FilterNode("doc_id < 10").named("bench")
+    val corpus = src("result") >> FilterNode("doc_id >= 10").named("corpus0")
+    // 1. repetition gate (appends dup3gram_frac, keeps all columns)
+    val rep = corpus >> new RepetitionScoreNode(ns = Seq(3)) >>
+      FilterNode("dup3gram_frac <= 0.2").named("rep_gate")
+    // 2. decontamination: overlap vs the benchmark set; keep clean ids and
+    // join them back (rep fans out to the scorer and the join — persisted)
+    val cont = d.add(new ContaminationNode(shingleN = 3))
+    rep >> cont("docs"); bench >> cont("benchmark")
+    val cleanIds = cont >> FilterNode("overlap_frac < 0.5") >>
+      ProjectNode("doc_id").named("clean_ids")
+    val clean = d.add(JoinNode.using(Seq("doc_id"), broadcastRight = true).named("clean_join"))
+    rep("result") >> clean("left"); cleanIds >> clean("right")
+    // 3. exact dedup on normalized text; survivors join back for their text
+    val ded = d.add(new ExactDedupNode(
+      Seq("md5(cast(regexp_replace(lower(trim(text)), '\\\\s+', ' ') as binary))"),
+      "doc_id").named("exact"))
+    clean >> ded
+    val surv = d.add(JoinNode.using(Seq("doc_id"), broadcastRight = true).named("surv_join"))
+    clean("result") >> surv("left")
+    ded >> ProjectNode("doc_id").named("surv_ids") >> surv("right")
+    // 4. split + token budget
+    surv >> new TokenCountNode() >> new SplitNode() >>
+      AggNode(Seq("split"), "count(*) as n_docs",
+        "cast(sum(ws_tokens) as bigint) as total_tokens") >>
+      SortNode("split") >> d.output("result")
+  }
+  val q74Sql: String =
+    """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id >= 10),
+      |rep AS (
+      |  SELECT doc_id, text FROM (
+      |    SELECT doc_id, text,
+      |      1.0 - cast(len(list_distinct(s3)) as double) / greatest(len(s3), 1) AS f
+      |    FROM (SELECT doc_id, text,
+      |            list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+      |              i -> array_to_string(t[i:i+2], ' ')) AS s3
+      |          FROM (SELECT doc_id, text,
+      |                  regexp_split_to_array(lower(trim(text)), '\s+') AS t
+      |                FROM corpus) a) b) c
+      |  WHERE f <= 0.2),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+      |    i -> array_to_string(t[i:i+2], ' '))) AS s
+      |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM rep) x),
+      |bsh AS (
+      |  SELECT DISTINCT unnest(s) AS g FROM (
+      |    SELECT list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+      |      i -> array_to_string(t[i:i+2], ' '))) AS s
+      |    FROM (SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS t
+      |          FROM documents WHERE doc_id < 10) y) z),
+      |m AS (
+      |  SELECT d.doc_id, count(*) AS nm
+      |  FROM (SELECT doc_id, unnest(s) AS g FROM sh) d JOIN bsh USING (g)
+      |  GROUP BY d.doc_id),
+      |clean AS (
+      |  SELECT r.doc_id, r.text FROM rep r JOIN (
+      |    SELECT sh.doc_id FROM sh LEFT JOIN m ON sh.doc_id = m.doc_id
+      |    WHERE cast(coalesce(m.nm, 0) as double) / len(sh.s) < 0.5) ok
+      |  ON r.doc_id = ok.doc_id),
+      |ded AS (
+      |  SELECT min(doc_id) AS doc_id FROM clean
+      |  GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))),
+      |surv AS (SELECT c.doc_id, c.text FROM clean c JOIN ded USING (doc_id))
+      |SELECT split, count(*) AS n_docs, cast(sum(toks) as bigint) AS total_tokens
+      |FROM (
+      |  SELECT CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split,
+      |    len(regexp_split_to_array(lower(trim(text)), '\s+')) AS toks
+      |  FROM (SELECT doc_id, text,
+      |          cast('0x' || substring(md5(cast(doc_id as varchar)), 1, 8) as ubigint) % 100 AS b
+      |        FROM surv) t) g
+      |GROUP BY split ORDER BY split""".stripMargin
+
   // ---- q61: overlapping token-window chunking ----
   def q61_chunk(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
     d.add(SourceNode.table(dir, "documents")) >>
@@ -401,6 +481,7 @@ object NorthStar {
     ("q70_stratified_sample", q70_stratified_sample _, q70Sql),
     ("q72_repetition", q72_repetition _, q72Sql),
     ("q73_contamination", q73_contamination _, q73Sql),
+    ("q74_curation", q74_curation _, q74Sql),
     ("q61_chunk", q61_chunk _, q61Sql),
     ("q62_redact", q62_redact _, q62Sql),
   )
