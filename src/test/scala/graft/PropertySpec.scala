@@ -99,6 +99,51 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("as-of merge and expand strategies agree on random inputs " +
+    "(keys, ties, null times, both directions, inner and left)") {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    import graft.nodes._
+    val genCase = for {
+      nl <- Gen.choose(0, 10)
+      nr <- Gen.choose(0, 10)
+      lefts <- Gen.listOfN(nl, for {
+        k <- Gen.choose(1L, 3L); t <- Gen.option(Gen.choose(0L, 12L))
+      } yield (k, t))
+      rights <- Gen.listOfN(nr, for {
+        k <- Gen.choose(1L, 3L); t <- Gen.option(Gen.choose(0L, 12L))
+      } yield (k, t))
+      fwd <- Gen.oneOf(true, false)
+      jt <- Gen.oneOf("inner", "left")
+    } yield (lefts, rights, fwd, jt)
+    val p = Prop.forAll(genCase) { case (lefts, rights, fwd, jt) =>
+      val l = lefts.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+        .toDF("lid", "k", "t")
+      val r = rights.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+        .toDF("k2", "rt", "rid")
+      def run(strategy: String): Set[(Long, Option[Long])] = {
+        val d = new Dag()
+        val ln = d.add(new FnNode(Nil, Seq(Port("result")), (_, _) => Map("result" -> l), "l"))
+        val rn = d.add(new FnNode(Nil, Seq(Port("result")), (_, _) => Map("result" -> r), "r"))
+        val j = d.add(new AsofJoinNode(Seq("k"), Seq("k2"), "t", "rt",
+          Seq("lid"), rightTieBreak = "rid", joinType = jt, forward = fwd,
+          strategy = strategy))
+        ln >> j("left"); rn >> j("right"); j >> d.output("result")
+        d.transform(Ctx(spark)).outputs("result")
+          .select("lid", "rid").collect()
+          .map(row => (row.getLong(0),
+            if (row.isNullAt(1)) None else Some(row.getLong(1)))).toSet
+      }
+      val (m, e) = (run("merge"), run("expand"))
+      if (m != e) println(s"MISMATCH fwd=$fwd jt=$jt lefts=$lefts rights=$rights merge=$m expand=$e")
+      m == e
+    }
+    // fewer trials than the pure-graph properties: each trial runs two Spark
+    // jobs; 15 randomized cases still sweep ties/nulls/directions broadly
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), p)
+    assert(res.passed, res.status.toString)
+  }
+
   test("keyed fan-in delivers exactly the upstream-name set, insertion-ordered, " +
     "on random fan-in widths") {
     val spark = SparkFixture.spark
