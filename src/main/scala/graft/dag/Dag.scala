@@ -402,7 +402,6 @@ final class Dag(val dagName: String = "dag") {
     val isDagOutput: Set[(String, String)] = outputBinds.values.toSet
 
     val nodeOutputs = mutable.LinkedHashMap[String, Map[String, DataFrame]]()
-    val persisted = mutable.ArrayBuffer[DataFrame]()
     val hasDownstreamEdge = edges.map(_.from).toSet
     // Active listeners = enclosing runs' (outer-first) + this dag's own; a
     // SubDagNode's inner run picks these up via the shared Ctx, so an outer
@@ -411,6 +410,7 @@ final class Dag(val dagName: String = "dag") {
       ctx.inheritedListeners ++ listeners.filterNot(ctx.inheritedListeners.contains)
     val prevInherited = ctx.inheritedListeners
     ctx.inheritedListeners = activeListeners
+    ctx.runDepth += 1
     try {
       activeListeners.foreach(_.onRunStart(ctx.runId, this))
       topoOrder.foreach { n =>
@@ -457,11 +457,10 @@ final class Dag(val dagName: String = "dag") {
                 (if (isDagOutput((n.name, p))) 1 else 0)
               if (persistAtFanout && nConsumers >= 2 && n.persistableOutput) {
                 df.persist(fanoutStorageLevel)
-                persisted += df
-                // ALSO registered on the shared Ctx: a NESTED run's DagRun is
-                // discarded by SubDagNode (only .outputs survive), so without
-                // this the inner fan-out persists would be unreleasable — an
-                // executor-storage leak per invocation in long-lived sessions
+                // registered on the shared Ctx (not a run-local buffer): a
+                // NESTED run's DagRun is discarded by SubDagNode, so its
+                // persists must surface in the OUTERMOST run's DagRun — the
+                // queue drains there (see below)
                 ctx.internalPersists.add(df)
                 p -> df
               } else p -> df
@@ -475,6 +474,7 @@ final class Dag(val dagName: String = "dag") {
         }
       }
     } finally {
+      ctx.runDepth -= 1
       ctx.inheritedListeners = prevInherited
       activeListeners.foreach(_.onRunEnd(ctx.runId, this))
     }
@@ -482,14 +482,23 @@ final class Dag(val dagName: String = "dag") {
     val outs = outputBinds.flatMap { case (oname, (nname, port)) =>
       nodeOutputs.get(nname).flatMap(_.get(port)).map(oname -> _)
     }.toMap
-    // node-internal persists (Ctx.track) release together with fan-out ones;
-    // fan-out persists are already in internalPersists too (nested-run leak
-    // guard above), so distinct-by-reference avoids double entries
-    val internal = ctx.internalPersists.toArray(Array.empty[DataFrame]).toSeq
-    val all = (persisted.toSeq ++ internal).foldLeft(Vector.empty[DataFrame]) {
-      (acc, df) => if (acc.exists(_ eq df)) acc else acc :+ df
-    }
-    DagRun(ctx.runId, outs, nodeOutputs.toMap, all)
+    // The OUTERMOST TRANSFORM run DRAINS the shared persist queue (fan-out
+    // persists + Ctx.track internals, including everything nested runs
+    // added): each top-level transform's DagRun owns exactly its own
+    // run-tree's persists, so a Ctx reused across runs neither accumulates
+    // entries forever nor lets a later run's unpersist() evict an earlier
+    // run's caches. Fit runs do NOT drain — the idiomatic `d.fit(ctx);
+    // d.transform(ctx)` discards the fit DagRun, so fit-phase persists stay
+    // queued and surface in the next transform's DagRun. Nested runs
+    // hand back an empty list — SubDagNode discards their DagRun anyway.
+    val owned =
+      if (ctx.runDepth == 0 && !doFit) {
+        val buf = mutable.ArrayBuffer[DataFrame]()
+        var df = ctx.internalPersists.poll()
+        while (df != null) { buf += df; df = ctx.internalPersists.poll() }
+        buf.toSeq
+      } else Nil
+    DagRun(ctx.runId, outs, nodeOutputs.toMap, owned)
   }
 }
 

@@ -37,6 +37,14 @@ final case class Ctx(spark: SparkSession, runId: String) {
     * single-threaded per Ctx, so a plain field with save/restore suffices.
     */
   private[dag] var inheritedListeners: Seq[NodeListener] = Nil
+  /** Nesting depth of in-flight Dag.run calls on this Ctx: the persist
+    * queue drains into the DagRun only when the OUTERMOST run finishes, so
+    * (a) nested runs' persists survive into the outer run's DagRun even
+    * though SubDagNode discards the inner one, and (b) a Ctx reused across
+    * sequential top-level runs hands each DagRun only ITS OWN persists —
+    * without the drain, run N's unpersist() would evict runs 1..N-1's still-
+    * in-use caches and the queue would grow for the life of the session. */
+  private[dag] var runDepth: Int = 0
 }
 object Ctx {
   def apply(spark: SparkSession): Ctx = Ctx(spark, java.util.UUID.randomUUID().toString)

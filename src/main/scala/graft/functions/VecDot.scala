@@ -77,12 +77,12 @@ case class VecDot(left: Expression, right: Expression)
 }
 
 object VecFunctions {
-  private def intLit(e: Expression): Int =
+  private[functions] def intLit(e: Expression): Int =
     e.eval(null) match {
       case i: Int => i
       case other  => throw new IllegalArgumentException(s"expected int literal, got $other")
     }
-  private def boolLit(e: Expression): Boolean =
+  private[functions] def boolLit(e: Expression): Boolean =
     e.eval(null) match {
       case b: Boolean => b
       case other      => throw new IllegalArgumentException(s"expected boolean literal, got $other")
@@ -137,7 +137,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("shingle_hashes"),
       new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
       (exprs: Seq[Expression]) => ShingleHashes(exprs(0), lit(exprs(1)),
-        if (exprs.length > 2) exprs(2).eval(null).asInstanceOf[Boolean] else true)))
+        if (exprs.length > 2) VecFunctions.boolLit(exprs(2)) else true)))
     ext.injectFunction((
       FunctionIdentifier("winnow_fp"),
       new ExpressionInfo(classOf[WinnowFingerprint].getName, "winnow_fp"),

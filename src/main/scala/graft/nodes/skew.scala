@@ -25,9 +25,12 @@ class SaltedJoinNode(
   extends Node {
   require(buckets > 0, "buckets must be positive")
   // right/full outer would null-extend each unmatched right row ONCE PER
-  // REPLICA — `buckets`-fold inflated right side with no error; salting only
-  // preserves semantics where unmatched right rows are dropped
-  require(joinType == "inner" || joinType == "left" || joinType == "left_outer",
+  // REPLICA — `buckets`-fold inflated right side with no error. Everything
+  // that only DROPS unmatched right rows is safe: inner, left outer, and
+  // left semi/anti (per left row the salt equality selects exactly one
+  // replica, so existence is unchanged). Spark's alias spellings accepted.
+  private val safeTypes = Set("inner", "left", "leftouter", "semi", "leftsemi", "anti", "leftanti")
+  require(safeTypes.contains(joinType.toLowerCase.replace("_", "")),
     s"SaltedJoinNode: joinType '$joinType' unsupported — right-side replication " +
       "breaks right/full-outer semantics (use AQE skew handling instead)")
   override protected def defaultName: String = "salted_join"

@@ -70,12 +70,21 @@ class StreamSourceNode(val path: String, val format: String = "parquet",
 object StreamSourceNode {
   private val staged = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private[nodes] def stagedDir(f: java.io.File): String =
-    staged.computeIfAbsent(f.getCanonicalPath, { _ =>
-      val dir = java.nio.file.Files.createTempDirectory("graft_stream_stage_")
-      dir.toFile.deleteOnExit()
-      val link = java.nio.file.Files.createSymbolicLink(dir.resolve(f.getName), f.toPath)
-      link.toFile.deleteOnExit()
-      dir.toString
+    staged.compute(f.getCanonicalPath, { (_, cur) =>
+      // revalidate cache hits: a tmp-reaper may have pruned the staging dir,
+      // or the target file may have been recreated leaving the link dangling
+      // — Files.exists follows the symlink, so either case falls through to
+      // a fresh staging dir instead of failing every subsequent read
+      val stale = cur == null ||
+        !java.nio.file.Files.exists(java.nio.file.Paths.get(cur).resolve(f.getName))
+      if (!stale) cur
+      else {
+        val dir = java.nio.file.Files.createTempDirectory("graft_stream_stage_")
+        dir.toFile.deleteOnExit()
+        val link = java.nio.file.Files.createSymbolicLink(dir.resolve(f.getName), f.toPath)
+        link.toFile.deleteOnExit()
+        dir.toString
+      }
     })
 
   /** Testdata layout helper (events.ts is TIMESTAMP(NANOS)); bounded local
