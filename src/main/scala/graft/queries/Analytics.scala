@@ -210,8 +210,30 @@ object Analytics {
       |SELECT cluster_size, count(*) AS n_clusters FROM sizes
       |GROUP BY cluster_size ORDER BY cluster_size""".stripMargin
 
+  // ---- q75: int8 embedding quantization — per-vector scale (exact double
+  // arithmetic: max/127 division of identical doubles) and the quantized
+  // integer sum; floor(x + 0.5) instead of round() makes the integers
+  // engine-independent (no rounding-mode convention involved). ----
+  def q75_quantize(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
+    d.add(SourceNode.table(dir, "embeddings")) >>
+      new QuantizeEmbeddingNode() >>
+      ProjectNode("vec_id", "q_scale",
+        "cast(aggregate(q_embedding, 0L, (a, x) -> a + x) as bigint) as q_sum") >>
+      SortNode("vec_id") >> d.output("result")
+  }
+  val q75Sql: String =
+    """SELECT vec_id, s AS q_scale,
+      |  cast(list_sum(list_transform(embedding,
+      |    x -> cast(floor(cast(x as double) / s + 0.5) as bigint))) as bigint) AS q_sum
+      |FROM (
+      |  SELECT vec_id, embedding,
+      |    greatest(list_max(list_transform(embedding, x -> abs(cast(x as double)))), 1e-30) / 127.0 AS s
+      |  FROM embeddings) t
+      |ORDER BY vec_id""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q45_pivot", q45_pivot _, q45Sql),
+    ("q75_quantize", q75_quantize _, q75Sql),
     ("q46_unpivot", q46_unpivot _, q46Sql),
     ("q47_percentile", q47_percentile _, q47Sql),
     ("q48_resample", q48_resample _, q48Sql),

@@ -276,6 +276,27 @@ class NodesSpec extends AnyFunSuite {
     assert(out._2 == 5) // Hello , world ! 42
   }
 
+  test("QuantizeEmbeddingNode: int8 range, max maps to ±127, zero vectors safe") {
+    val emb = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f)), // max |x| = 1.0 -> that element = -127
+      (2L, Array(0.0f, 0.0f, 0.0f))    // zero vector must not divide by zero
+    ).toDF("vec_id", "embedding")
+    val out = runOne { d =>
+      d.add(srcNode(emb)) >> new QuantizeEmbeddingNode() >> d.output("result")
+    }.select("vec_id", "q_scale", "q_embedding")
+      .as[(Long, Double, Seq[Int])].collect()
+      .map { case (id, s, q) => id -> ((s, q)) }.toMap
+    val (s1, q1) = out(1L)
+    assert(math.abs(s1 - 1.0 / 127.0) < 1e-15)
+    assert(q1 == Seq(64, -127, 32)) // 0.5/s = 63.5 -> floor(64.0) = 64
+    assert(q1.forall(q => q >= -127 && q <= 127))
+    val (_, q2) = out(2L)
+    assert(q2 == Seq(0, 0, 0))
+    // dequantization error bounded by scale/2 per element
+    assert(q1.zip(Seq(0.5, -1.0, 0.25)).forall { case (q, x) =>
+      math.abs(q * s1 - x) <= s1 / 2 + 1e-12 })
+  }
+
   test("RepetitionScoreNode scores duplicated n-grams") {
     val df = Seq(
       (1L, "a b a b a b"),            // 2-grams: ab ba ab ba ab — 5 total, 2 distinct
