@@ -487,17 +487,21 @@ final class Dag(val dagName: String = "dag") {
     // added): each top-level transform's DagRun owns exactly its own
     // run-tree's persists, so a Ctx reused across runs neither accumulates
     // entries forever nor lets a later run's unpersist() evict an earlier
-    // run's caches. Fit runs do NOT drain — the idiomatic `d.fit(ctx);
-    // d.transform(ctx)` discards the fit DagRun, so fit-phase persists stay
-    // queued and surface in the next transform's DagRun. Nested runs
-    // hand back an empty list — SubDagNode discards their DagRun anyway.
+    // run's caches. Fit runs SNAPSHOT without draining: the idiomatic
+    // `d.fit(ctx); d.transform(ctx)` discards the fit DagRun, so fit-phase
+    // persists must stay queued for the transform's drain — but a fit-ONLY
+    // caller (fit-to-serialize workflows) still gets a releasable handle,
+    // and double-unpersist of a frame is a harmless no-op. Nested runs hand
+    // back an empty list — SubDagNode discards their DagRun anyway.
     val owned =
-      if (ctx.runDepth == 0 && !doFit) {
+      if (ctx.runDepth > 0) Nil
+      else if (doFit) ctx.internalPersists.toArray(Array.empty[DataFrame]).toSeq
+      else {
         val buf = mutable.ArrayBuffer[DataFrame]()
         var df = ctx.internalPersists.poll()
         while (df != null) { buf += df; df = ctx.internalPersists.poll() }
         buf.toSeq
-      } else Nil
+      }
     DagRun(ctx.runId, outs, nodeOutputs.toMap, owned)
   }
 }

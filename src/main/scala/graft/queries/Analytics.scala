@@ -213,7 +213,10 @@ object Analytics {
   // ---- q75: int8 embedding quantization — per-vector scale (exact double
   // arithmetic: max/127 division of identical doubles) and the quantized
   // integer sum; floor(x + 0.5) instead of round() makes the integers
-  // engine-independent (no rounding-mode convention involved). ----
+  // engine-independent (no rounding-mode convention involved). The oracle
+  // coalesces list_sum to 0: DuckDB's list_sum of an EMPTY list is NULL
+  // while Spark's aggregate seed yields 0 — moot on the fixed 64-dim
+  // fixture, but a ragged future fixture must not flip the hash gate. ----
   def q75_quantize(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
     d.add(SourceNode.table(dir, "embeddings")) >>
       new QuantizeEmbeddingNode() >>
@@ -223,8 +226,8 @@ object Analytics {
   }
   val q75Sql: String =
     """SELECT vec_id, s AS q_scale,
-      |  cast(list_sum(list_transform(embedding,
-      |    x -> cast(floor(cast(x as double) / s + 0.5) as bigint))) as bigint) AS q_sum
+      |  coalesce(cast(list_sum(list_transform(embedding,
+      |    x -> cast(floor(cast(x as double) / s + 0.5) as bigint))) as bigint), 0) AS q_sum
       |FROM (
       |  SELECT vec_id, embedding,
       |    greatest(list_max(list_transform(embedding, x -> abs(cast(x as double)))), 1e-30) / 127.0 AS s

@@ -45,8 +45,6 @@ class DagSpec extends AnyFunSuite {
   }
 
   test("nested dag fan-out persists are released by the outer run's unpersist") {
-    val sc = spark.sparkContext
-    val before = sc.getPersistentRDDs.size
     val inner = new Dag("innerp")
     val src = inner.add(FnNode.map1("srcn")(identity))
     inner.input("x") >> src
@@ -60,13 +58,16 @@ class DagSpec extends AnyFunSuite {
     sub("o1") >> outer.output("r1"); sub("o2") >> outer.output("r2")
     val run = outer.transform(ctx, Map("x" -> df1))
     run("r1").count(); run("r2").count()
-    assert(sc.getPersistentRDDs.size > before, "inner fan-out should persist")
     // the inner DagRun is discarded by SubDagNode; the OUTER run must still
-    // know about (and release) the inner fan-out persist via the shared Ctx
+    // know about (and release) the inner fan-out persist via the shared Ctx.
+    // Deterministic check (global RDD counts race the async ContextCleaner):
+    // the outer run must OWN the inner persist and unpersist must drop its
+    // storage level back to NONE.
+    assert(run.persisted.nonEmpty, "outer run must own the inner fan-out persist")
+    assert(run.persisted.forall(_.storageLevel != org.apache.spark.storage.StorageLevel.NONE))
     run.unpersist()
-    // <= not ==: the async ContextCleaner may also reap leftovers from
-    // earlier tests in the shared session between the two counts
-    assert(sc.getPersistentRDDs.size <= before, "outer unpersist must release inner persists")
+    assert(run.persisted.forall(_.storageLevel == org.apache.spark.storage.StorageLevel.NONE),
+      "outer unpersist must release inner persists")
   }
 
   test("a Ctx reused across transform runs hands each DagRun only its own persists") {

@@ -106,6 +106,9 @@ class SerializationSpec extends AnyFunSuite {
     val sk = d.add(new StreamSinkNode("/tmp/out", "/tmp/ckpt", partitionBy = Seq("dt"),
       timeoutMs = 5000))
     val sa = d.add(new SampleNode("id", 0.25, Some("lang"), Seq("en" -> 0.5)))
+    val qe = d.add(new QuantizeEmbeddingNode("emb", "q", "qs"))
+    val rs = d.add(new RepetitionScoreNode("body", ns = Seq(2, 4)))
+    val cn = d.add(new ContaminationNode("id", "body", "btext", 4, 0.25))
     val json = DagJson.toJson(d)
     val d2 = DagJson.fromJson(json)
     val as2 = d2.node(as.name).asInstanceOf[AsofJoinNode]
@@ -118,6 +121,12 @@ class SerializationSpec extends AnyFunSuite {
     assert(sk2.checkpointPath == "/tmp/ckpt" && sk2.partitionBy == Seq("dt") && sk2.timeoutMs == 5000L)
     val sa2 = d2.node(sa.name).asInstanceOf[SampleNode]
     assert(sa2.fraction == 0.25 && sa2.strataCol.contains("lang") && sa2.fractions == Seq("en" -> 0.5))
+    val qe2 = d2.node(qe.name).asInstanceOf[QuantizeEmbeddingNode]
+    assert(qe2.vecCol == "emb" && qe2.outCol == "q" && qe2.scaleCol == "qs")
+    val rs2 = d2.node(rs.name).asInstanceOf[RepetitionScoreNode]
+    assert(rs2.textCol == "body" && rs2.ns == Seq(2, 4))
+    val cn2 = d2.node(cn.name).asInstanceOf[ContaminationNode]
+    assert(cn2.benchTextCol == "btext" && cn2.shingleN == 4 && cn2.minOverlap == 0.25)
   }
 
   test("DagRun.unpersist releases node-internal tracked persists (Ctx.track)") {
