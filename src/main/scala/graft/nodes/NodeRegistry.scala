@@ -81,6 +81,8 @@ object NodeRegistry {
     register("lsh_knn")(p => new LshKnnNode(p.int("k"), p.int("numPlanes"), p.int("tables"),
       p.str("idCol"), p.str("vecCol"), p.str("queryIdCol")))
     register("quantize_embedding")(p => new QuantizeEmbeddingNode(p.str("vecCol"), p.str("outCol"), p.str("scaleCol")))
+    register("majority_label")(p => new MajorityLabelNode(p.str("queryIdCol"), p.str("idCol"),
+      p.str("labelCol"), p.str("outCol")))
     register("embedding_near_dup")(p => new EmbeddingNearDupNode(p.dbl("threshold"),
       p.int("numPlanes"), p.int("tables"), p.str("idCol"), p.str("vecCol"), p.bool("bruteForce"),
       p.m.get("maxBruteRows").map(_.toString.toLong).getOrElse(200000L)))

@@ -211,6 +211,43 @@ class IvfKnnNode(
   }
 }
 
+/** Majority-vote label propagation over kNN results — auto-labeling a corpus
+  * from curated seed examples, the standard semi-supervised step in a
+  * training-data pipeline. Composes with ANY neighbor source (BruteForceKnn,
+  * LshKnn, IvfKnn — whatever matches the scale budget): `neighbors` is their
+  * (queryId, id) output, `labels` maps id -> label, and each query gets the
+  * most frequent neighbor label (ties break to the smallest label —
+  * deterministic, oracle-checkable). The neighbor set is queries x k rows —
+  * tiny by construction — so it broadcasts against the big label table; the
+  * vote is one groupBy on (query, label).
+  */
+class MajorityLabelNode(
+    val queryIdCol: String = "query_id",
+    val idCol: String = "vec_id",
+    val labelCol: String = "label",
+    val outCol: String = "pred_label")
+  extends Node {
+  override protected def defaultName: String = "majority_label"
+  val inputs = Seq(Port("neighbors"), Port("labels"))
+  val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("majority_label")
+  override def jsonParams: Map[String, Any] = Map("queryIdCol" -> queryIdCol, "idCol" -> idCol,
+    "labelCol" -> labelCol, "outCol" -> outCol)
+  override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
+    val nbrs = in("neighbors").select(col(queryIdCol), col(idCol))
+    val labeled = in("labels").select(col(idCol), col(labelCol))
+      .join(broadcast(nbrs), Seq(idCol))
+    val votes = labeled.groupBy(col(queryIdCol), col(labelCol))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("votes"))
+    val w = Window.partitionBy(queryIdCol)
+      .orderBy(col("votes").desc, col(labelCol).asc)
+    Map("result" -> votes.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(queryIdCol), col(labelCol).as(outCol), col("votes")))
+  }
+}
+
 /** Symmetric per-vector int8 quantization of an embedding column: scale =
   * max|x| / 127 (floored at 1e-30 so zero vectors stay finite), q_i =
   * floor(x_i / scale + 0.5). Embeddings dominate storage at 100 TB — int8

@@ -234,9 +234,44 @@ object Analytics {
       |  FROM embeddings) t
       |ORDER BY vec_id""".stripMargin
 
+  // ---- q76: kNN label propagation — auto-label 50 query vectors by the
+  // majority label of their brute-force top-10 (deterministic tie-break:
+  // most votes, then smallest label). The oracle replays the exact-double
+  // cosine ranking (q28's proven formulation) plus the vote. ----
+  def q76_knn_label(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
+    val emb = d.add(SourceNode.table(dir, "embeddings"))
+    val queries = emb >> FilterNode("vec_id < 50") >>
+      ProjectNode("vec_id as query_id", "embedding").named("queryset")
+    val knn = d.add(new BruteForceKnnNode(k = 10).named("knn"))
+    emb("result") >> knn("corpus"); queries >> knn("queries")
+    val maj = d.add(new MajorityLabelNode())
+    knn >> maj("neighbors"); emb("result") >> maj("labels")
+    maj >> SortNode("query_id") >> d.output("result")
+  }
+  val q76Sql: String =
+    """WITH nn AS (
+      |  SELECT query_id, vec_id FROM (
+      |    SELECT q.vec_id AS query_id, c.vec_id,
+      |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |        (list_sum(list_transform(range(1, 65), i -> c.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE))
+      |         / (sqrt(list_sum(list_transform(range(1, 65), i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)))
+      |          * sqrt(list_sum(list_transform(range(1, 65), i -> q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE))))) DESC,
+      |        c.vec_id ASC) AS rank
+      |    FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 50) q) t
+      |  WHERE rank <= 10),
+      |v AS (
+      |  SELECT nn.query_id, e.label, count(*) AS votes
+      |  FROM nn JOIN embeddings e ON nn.vec_id = e.vec_id GROUP BY 1, 2)
+      |SELECT query_id, label AS pred_label, votes FROM (
+      |  SELECT query_id, label, votes,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label ASC) AS rn
+      |  FROM v) w
+      |WHERE rn = 1 ORDER BY query_id""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q45_pivot", q45_pivot _, q45Sql),
     ("q75_quantize", q75_quantize _, q75Sql),
+    ("q76_knn_label", q76_knn_label _, q76Sql),
     ("q46_unpivot", q46_unpivot _, q46Sql),
     ("q47_percentile", q47_percentile _, q47Sql),
     ("q48_resample", q48_resample _, q48Sql),

@@ -276,6 +276,31 @@ class NodesSpec extends AnyFunSuite {
     assert(out._2 == 5) // Hello , world ! 42
   }
 
+  test("MajorityLabelNode votes with deterministic tie-break") {
+    val labels = Seq((100L, 7), (101L, 7), (102L, 3), (103L, 1), (104L, 1))
+      .toDF("vec_id", "label")
+    val neighbors2 = Seq(
+      (10L, 100L), (10L, 101L), (10L, 102L), // q10: labels 7,7,3 -> 7 (2 votes)
+      (20L, 100L), (20L, 102L), (20L, 103L), (20L, 104L) // q20: 7,3,1,1 -> 1 (2 votes)
+    ).toDF("query_id", "vec_id")
+    val out = runOne { d =>
+      val n = d.add(srcNode(neighbors2, "nbrs")); val l = d.add(srcNode(labels, "lbls"))
+      val m = d.add(new MajorityLabelNode())
+      n >> m("neighbors"); l >> m("labels"); m >> d.output("result")
+    }.select("query_id", "pred_label", "votes").as[(Long, Int, Long)].collect()
+      .map { case (q, p, v) => q -> ((p, v)) }.toMap
+    assert(out(10L) == ((7, 2L)))
+    assert(out(20L) == ((1, 2L))) // 1x7, 1x3, 2x1 -> label 1
+    // exact tie: two labels with equal votes -> smallest label wins
+    val tied = runOne { d =>
+      val n = d.add(srcNode(Seq((1L, 100L), (1L, 103L)).toDF("query_id", "vec_id"), "nbrs"))
+      val l = d.add(srcNode(labels, "lbls"))
+      val m = d.add(new MajorityLabelNode())
+      n >> m("neighbors"); l >> m("labels"); m >> d.output("result")
+    }.select("pred_label").as[Int].head()
+    assert(tied == 1) // labels 7 and 1, one vote each -> 1
+  }
+
   test("QuantizeEmbeddingNode: int8 range, max maps to ±127, zero vectors safe") {
     val emb = Seq(
       (1L, Array(0.5f, -1.0f, 0.25f)), // max |x| = 1.0 -> that element = -127
