@@ -34,6 +34,10 @@ object NodeRegistry {
     register("distinct")(p => new DistinctNode(p.strs("cols")))
     register("sql")(p => new SqlNode(p.str("sql"), p.strs("ports")))
     register("repartition")(p => new RepartitionNode(p.int("n"), p.strs("byCols"), p.bool("coalesce")))
+    register("router")(p => new RouterNode(
+      p.m("routes").asInstanceOf[Seq[Any]].map { case s: Seq[Any] @unchecked =>
+        s.head.toString -> s(1).toString
+      }, p.strOpt("otherwise")))
     register("identity")(_ => new IdentityNode)
     register("window")(p => new WindowNode(p.strs("partitionBy"), p.strs("orderBy"), p.pairs("cols"),
       p.m.get("frameLo").map(_ => (p.m("frameLo").toString.toLong, p.m("frameHi").toString.toLong))))

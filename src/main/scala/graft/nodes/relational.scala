@@ -454,6 +454,40 @@ class SqlNode(val sql: String, val ports: Seq[String]) extends Node {
 }
 object SqlNode { def apply(sql: String, ports: String*): SqlNode = new SqlNode(sql, ports) }
 
+/** Predicate router — one output PORT per named route: a row lands in the
+  * FIRST route whose predicate matches (declaration order), else in the
+  * optional `otherwise` port. Routing as TOPOLOGY (per-language sinks,
+  * per-source processing branches) instead of a tag column; the multi-output
+  * analogue of FilterNode. Null predicates count as non-matches (SQL
+  * three-valued logic made deterministic via coalesce). The input is
+  * persisted once (Ctx.track) so k branches do not re-execute the upstream
+  * lineage k times; each branch is then a narrow filter over the cache.
+  */
+class RouterNode(val routes: Seq[(String, String)],
+                 val otherwise: Option[String] = Some("otherwise")) extends Node {
+  require(routes.nonEmpty, "RouterNode needs at least one route")
+  require(routes.map(_._1).distinct.size == routes.size, "route names must be unique")
+  override protected def defaultName: String = "router"
+  val inputs = Seq(Port("df"))
+  val outputs: Seq[Port] = routes.map(r => Port(r._1)) ++ otherwise.map(Port(_))
+  override def jsonKind: Option[String] = Some("router")
+  override def jsonParams: Map[String, Any] = Map(
+    "routes" -> routes.map { case (n, p) => Seq[Any](n, p) },
+    "otherwise" -> otherwise.orNull)
+  override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
+    val base = ctx.track(in("df"))
+    def notPrior(i: Int): Seq[String] =
+      routes.take(i).map { case (_, p) => s"not coalesce(($p), false)" }
+    val routed = routes.zipWithIndex.map { case ((nm, pred), i) =>
+      nm -> base.filter((s"coalesce(($pred), false)" +: notPrior(i)).mkString(" and "))
+    }
+    val rest = otherwise.map { nm =>
+      nm -> base.filter(notPrior(routes.size).mkString(" and "))
+    }
+    (routed ++ rest).toMap
+  }
+}
+
 /** Repartition/coalesce — explicit shuffle control for co-located downstream
   * joins or write sizing.
   */

@@ -394,6 +394,39 @@ object NorthStar {
       |        FROM surv) t) g
       |GROUP BY split ORDER BY split""".stripMargin
 
+  // ---- q77: predicate router — first-match routing into per-branch
+  // topology (the multi-output analogue of a tag column): English docs,
+  // then long non-English docs, then everything else; each branch
+  // aggregates independently and the union must reproduce the oracle's
+  // CASE-expression partition exactly (order-sensitive: an English doc
+  // longer than the threshold must land in 'en', not 'long'). ----
+  def q77_router(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
+    val src = d.add(SourceNode.table(dir, "documents"))
+    val r = d.add(new RouterNode(Seq(
+      "en" -> "lang = 'en'",
+      "long" -> "n_chars > 400")))
+    src >> r("df")
+    val u = d.add(new UnionNode())
+    Seq("en", "long", "otherwise").foreach { nm =>
+      val agg = d.add(new AggNode(Nil,
+        Seq("count(*) as n", "cast(sum(n_chars) as bigint) as chars")).named(s"agg_$nm"))
+      r(nm) >> agg("df")
+      val tag = d.add(ProjectNode(s"'$nm' as route", "n", "chars").named(s"tag_$nm"))
+      agg >> tag
+      tag >> u("dfs")
+    }
+    // a route with no rows yields a global-agg 0-row in Spark but no group
+    // in the oracle's GROUP BY — drop empties on both sides' terms
+    u >> FilterNode("n > 0") >> SortNode("route") >> d.output("result")
+  }
+  val q77Sql: String =
+    """SELECT route, count(*) AS n, cast(sum(n_chars) as bigint) AS chars FROM (
+      |  SELECT CASE WHEN lang = 'en' THEN 'en'
+      |              WHEN n_chars > 400 THEN 'long'
+      |              ELSE 'otherwise' END AS route, n_chars
+      |  FROM documents) t
+      |GROUP BY route HAVING count(*) > 0 ORDER BY route""".stripMargin
+
   // ---- q61: overlapping token-window chunking ----
   def q61_chunk(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
     d.add(SourceNode.table(dir, "documents")) >>
@@ -482,6 +515,7 @@ object NorthStar {
     ("q72_repetition", q72_repetition _, q72Sql),
     ("q73_contamination", q73_contamination _, q73Sql),
     ("q74_curation", q74_curation _, q74Sql),
+    ("q77_router", q77_router _, q77Sql),
     ("q61_chunk", q61_chunk _, q61Sql),
     ("q62_redact", q62_redact _, q62Sql),
   )

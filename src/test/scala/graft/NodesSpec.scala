@@ -276,6 +276,27 @@ class NodesSpec extends AnyFunSuite {
     assert(out._2 == 5) // Hello , world ! 42
   }
 
+  test("RouterNode: first-match exclusivity, null predicates, otherwise port") {
+    val df = Seq(
+      (1L, Some("en"), 500L),  // matches both routes -> first wins (en)
+      (2L, Some("de"), 500L),  // long only
+      (3L, Some("de"), 100L),  // neither -> otherwise
+      (4L, None: Option[String], 999L) // null lang: en-pred is NULL -> not a match; long
+    ).toDF("doc_id", "lang", "n_chars")
+    val d = new Dag()
+    val s = d.add(srcNode(df))
+    val r = d.add(new RouterNode(Seq("en" -> "lang = 'en'", "long" -> "n_chars > 400")))
+    s >> r("df")
+    r("en") >> d.output("en"); r("long") >> d.output("long")
+    r("otherwise") >> d.output("otherwise")
+    val run = d.transform(ctx)
+    def ids(port: String) = run(port).select("doc_id").as[Long].collect().toSet
+    assert(ids("en") == Set(1L))
+    assert(ids("long") == Set(2L, 4L)) // doc 1 claimed by the earlier route
+    assert(ids("otherwise") == Set(3L))
+    run.unpersist()
+  }
+
   test("MajorityLabelNode votes with deterministic tie-break") {
     val labels = Seq((100L, 7), (101L, 7), (102L, 3), (103L, 1), (104L, 1))
       .toDF("vec_id", "label")

@@ -127,6 +127,14 @@ class SerializationSpec extends AnyFunSuite {
     assert(rs2.textCol == "body" && rs2.ns == Seq(2, 4))
     val cn2 = d2.node(cn.name).asInstanceOf[ContaminationNode]
     assert(cn2.benchTextCol == "btext" && cn2.shingleN == 4 && cn2.minOverlap == 0.25)
+    val ro = d.add(new RouterNode(Seq("a" -> "x > 1", "b" -> "y = 'z'"), otherwise = None))
+    val json2 = DagJson.toJson(d)
+    val ro2 = DagJson.fromJson(json2).node(ro.name).asInstanceOf[RouterNode]
+    assert(ro2.routes == Seq("a" -> "x > 1", "b" -> "y = 'z'") && ro2.otherwise.isEmpty)
+    assert(ro2.outputs.map(_.name) == Seq("a", "b")) // no otherwise port
+    val ml = d.add(new MajorityLabelNode("q", "id", "lab", "pred"))
+    val ml2 = DagJson.fromJson(DagJson.toJson(d)).node(ml.name).asInstanceOf[MajorityLabelNode]
+    assert(ml2.queryIdCol == "q" && ml2.labelCol == "lab" && ml2.outCol == "pred")
   }
 
   test("DagRun.unpersist releases node-internal tracked persists (Ctx.track)") {
