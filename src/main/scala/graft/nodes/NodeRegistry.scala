@@ -34,10 +34,13 @@ object NodeRegistry {
     register("distinct")(p => new DistinctNode(p.strs("cols")))
     register("sql")(p => new SqlNode(p.str("sql"), p.strs("ports")))
     register("repartition")(p => new RepartitionNode(p.int("n"), p.strs("byCols"), p.bool("coalesce")))
+    // hand-authored-JSON convention: an ABSENT 'otherwise' key follows the
+    // constructor default; an explicit null disables the catch-all port
     register("router")(p => new RouterNode(
       p.m("routes").asInstanceOf[Seq[Any]].map { case s: Seq[Any] @unchecked =>
         s.head.toString -> s(1).toString
-      }, p.strOpt("otherwise")))
+      },
+      if (!p.m.contains("otherwise")) Some("otherwise") else p.strOpt("otherwise")))
     register("identity")(_ => new IdentityNode)
     register("window")(p => new WindowNode(p.strs("partitionBy"), p.strs("orderBy"), p.pairs("cols"),
       p.m.get("frameLo").map(_ => (p.m("frameLo").toString.toLong, p.m("frameHi").toString.toLong))))

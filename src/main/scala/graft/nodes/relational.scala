@@ -461,12 +461,20 @@ object SqlNode { def apply(sql: String, ports: String*): SqlNode = new SqlNode(s
   * analogue of FilterNode. Null predicates count as non-matches (SQL
   * three-valued logic made deterministic via coalesce). The input is
   * persisted once (Ctx.track) so k branches do not re-execute the upstream
-  * lineage k times; each branch is then a narrow filter over the cache.
+  * lineage k times — EXCEPT when the input is a bare source scan, which is
+  * never cached (same reasoning as persistableOutput: re-scanning pruned
+  * columnar files beats caching the unpruned full-width frame). Predicates
+  * must be DETERMINISTIC: each branch re-evaluates them against the shared
+  * input, so a rand()-style predicate would break the disjoint-partition
+  * guarantee (a row could land on several ports or none).
   */
 class RouterNode(val routes: Seq[(String, String)],
                  val otherwise: Option[String] = Some("otherwise")) extends Node {
   require(routes.nonEmpty, "RouterNode needs at least one route")
   require(routes.map(_._1).distinct.size == routes.size, "route names must be unique")
+  require(otherwise.forall(o => !routes.exists(_._1 == o)),
+    s"RouterNode: otherwise port '${otherwise.orNull}' collides with a route name — " +
+      "the duplicate output would silently swallow that route's rows")
   override protected def defaultName: String = "router"
   val inputs = Seq(Port("df"))
   val outputs: Seq[Port] = routes.map(r => Port(r._1)) ++ otherwise.map(Port(_))
@@ -475,7 +483,10 @@ class RouterNode(val routes: Seq[(String, String)],
     "routes" -> routes.map { case (n, p) => Seq[Any](n, p) },
     "otherwise" -> otherwise.orNull)
   override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
-    val base = ctx.track(in("df"))
+    val raw = in("df")
+    val isBareScan = raw.queryExecution.analyzed
+      .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LeafNode]
+    val base = if (isBareScan) raw else ctx.track(raw)
     def notPrior(i: Int): Seq[String] =
       routes.take(i).map { case (_, p) => s"not coalesce(($p), false)" }
     val routed = routes.zipWithIndex.map { case ((nm, pred), i) =>

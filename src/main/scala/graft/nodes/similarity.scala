@@ -235,7 +235,11 @@ class MajorityLabelNode(
     "labelCol" -> labelCol, "outCol" -> outCol)
   override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
     val nbrs = in("neighbors").select(col(queryIdCol), col(idCol))
+    // UNLABELED rows never vote: a NULL-label group would both out-vote real
+    // labels and win ties (Spark sorts nulls first ascending, engines
+    // disagree on that) — an auto-labeling node must predict among labels
     val labeled = in("labels").select(col(idCol), col(labelCol))
+      .filter(col(labelCol).isNotNull)
       .join(broadcast(nbrs), Seq(idCol))
     val votes = labeled.groupBy(col(queryIdCol), col(labelCol))
       .agg(org.apache.spark.sql.functions.count(

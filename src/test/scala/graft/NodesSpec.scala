@@ -320,6 +320,24 @@ class NodesSpec extends AnyFunSuite {
       n >> m("neighbors"); l >> m("labels"); m >> d.output("result")
     }.select("pred_label").as[Int].head()
     assert(tied == 1) // labels 7 and 1, one vote each -> 1
+    // unlabeled rows never vote: 2 null-label neighbors + 1 labeled -> the
+    // real label wins (a NULL group would out-vote it and win ties)
+    val nullLabels = Seq((100L, Some(7)), (101L, None: Option[Int]), (102L, None: Option[Int]))
+      .toDF("vec_id", "label")
+    val pred = runOne { d =>
+      val n = d.add(srcNode(
+        Seq((1L, 100L), (1L, 101L), (1L, 102L)).toDF("query_id", "vec_id"), "nbrs"))
+      val l = d.add(srcNode(nullLabels, "lbls"))
+      val m = d.add(new MajorityLabelNode())
+      n >> m("neighbors"); l >> m("labels"); m >> d.output("result")
+    }.select("pred_label", "votes").as[(Int, Long)].head()
+    assert(pred == ((7, 1L)))
+  }
+
+  test("RouterNode rejects an otherwise port colliding with a route name") {
+    val e = intercept[IllegalArgumentException](
+      new RouterNode(Seq("a" -> "x > 1", "otherwise" -> "x < 0")))
+    assert(e.getMessage.contains("collides"))
   }
 
   test("QuantizeEmbeddingNode: int8 range, max maps to ±127, zero vectors safe") {
