@@ -103,6 +103,8 @@ object VecFunctions {
       "lsh_signs", exprs => LshSigns(exprs(0), intLit(exprs(1)), intLit(exprs(2))), "scala_udf")
     reg.createOrReplaceTempFunction(
       "winnow_fp", exprs => WinnowFingerprint(exprs(0), intLit(exprs(1)), intLit(exprs(2))), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "unicode_norm", exprs => UnicodeNormalize.fromExprs(exprs), "scala_udf")
   }
 }
 
@@ -142,5 +144,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("winnow_fp"),
       new ExpressionInfo(classOf[WinnowFingerprint].getName, "winnow_fp"),
       (exprs: Seq[Expression]) => WinnowFingerprint(exprs(0), lit(exprs(1)), lit(exprs(2)))))
+    ext.injectFunction((
+      FunctionIdentifier("unicode_norm"),
+      new ExpressionInfo(classOf[UnicodeNormalize].getName, "unicode_norm"),
+      (exprs: Seq[Expression]) => UnicodeNormalize.fromExprs(exprs)))
   }
 }

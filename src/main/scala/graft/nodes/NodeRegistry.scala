@@ -70,6 +70,17 @@ object NodeRegistry {
       p.m("fractions").asInstanceOf[Seq[Any]].map { case s: Seq[Any] @unchecked =>
         s.head.toString -> s(1).toString.toDouble
       }))
+    register("sequence_pack")(p => new SequencePackNode(p.str("idCol"), p.str("textCol"),
+      p.strOpt("tokensCol"), p.int("seqLen"), p.int("shards")))
+    register("domain_mix")(p => new DomainMixNode(
+      p.m("multipliers").asInstanceOf[Seq[Any]].map { case s: Seq[Any] @unchecked =>
+        s.head.toString -> s(1).toString.toDouble
+      }, p.str("strataCol"), p.str("idCol"), p.dbl("defaultMultiplier"), p.str("copyCol")))
+    register("line_dedup")(p => new LineDedupNode(p.str("idCol"), p.str("textCol"),
+      p.str("delim"), p.m("maxDocFreq").toString.toLong, p.str("outCol")))
+    register("normalize_text")(p => new NormalizeTextNode(p.str("textCol"), p.str("outCol"),
+      p.str("form"), p.bool("stripControl"), p.bool("collapseWhitespace")))
+    register("interleave")(p => new InterleaveNode(p.str("idCol"), p.int("buckets"), p.str("tagCol")))
     register("redact")(p => new RedactNode(p.str("textCol"), p.str("outCol"),
       p.m("patterns").asInstanceOf[Seq[Any]].map { case s: Seq[Any] @unchecked =>
         s.head.toString -> s(1).toString

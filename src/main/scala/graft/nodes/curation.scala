@@ -1,0 +1,237 @@
+package graft.nodes
+
+import graft.dag._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-set assembly nodes: the stage AFTER filtering/dedup where a
+  * curated corpus becomes an actual training stream — packed sequences,
+  * domain-weighted mixtures, boilerplate removal, normalization, and
+  * deterministic source interleaving. Everything here follows the library's
+  * determinism contract: any sampling/ordering decision is a pure function
+  * of row ids via [[DetHash]], so results are identical across runs,
+  * engines, partition layouts, and scale factors.
+  */
+
+/** Concat-and-split sequence packing — the standard LLM-pretraining layout:
+  * documents are laid end-to-end in a deterministic order and the token
+  * stream is cut into fixed-`seqLen` training sequences. Output annotates
+  * each document with its shard, its start offset in the shard's token
+  * stream, and the first/last sequence indexes it lands in (a doc spanning a
+  * cut appears in consecutive sequences — `n_seqs` of them).
+  *
+  * Scale shape: a single global token stream would serialize the cumulative
+  * sum; instead docs are sharded by id-hash (`shards` independent streams,
+  * the way real packed-pretraining jobs shard their shuffle buffers) and the
+  * running offset is a per-shard window cumsum — ONE shuffle on `shard`,
+  * parallelism = `shards`, no driver state. At 100 TB you raise `shards` to
+  * O(total_tokens / seqLen / target_seqs_per_shard); the per-doc math is
+  * unchanged because offsets never cross shards.
+  */
+class SequencePackNode(
+    val idCol: String = "doc_id",
+    val textCol: String = "text",
+    val tokensCol: Option[String] = None, // precomputed token-count column, else ws-tokenize textCol
+    val seqLen: Int = 512,
+    val shards: Int = 64)
+  extends Node {
+  require(seqLen > 0, "seqLen must be positive")
+  require(shards > 0, "shards must be positive")
+  override protected def defaultName: String = "sequence_pack"
+  val inputs = Seq(Port("df"))
+  val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("sequence_pack")
+  override def jsonParams: Map[String, Any] = Map("idCol" -> idCol, "textCol" -> textCol,
+    "tokensCol" -> tokensCol.orNull, "seqLen" -> seqLen, "shards" -> shards)
+  override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
+    val withTokens = tokensCol match {
+      // null counts → 0, not a null that the window sum would silently skip
+      case Some(c) => in("df").withColumn("n_tokens", coalesce(col(c).cast("bigint"), lit(0L)))
+      case None => in("df").withColumn("n_tokens",
+        expr(s"cast(size(${TextExprs.tokensExpr(textCol)}) as bigint)"))
+    }
+    val w = Window.partitionBy("shard").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Map("result" -> withTokens
+      .withColumn("shard", expr(DetHash.modExpr(idCol, shards)))
+      .withColumn("start_tok", coalesce(sum("n_tokens").over(w), lit(0L)))
+      // empty docs occupy the sequence they start in: greatest(n_tokens, 1)
+      .withColumn("seq_first", expr(s"start_tok div ${seqLen}L"))
+      .withColumn("seq_last", expr(s"(start_tok + greatest(n_tokens, 1L) - 1L) div ${seqLen}L"))
+      .withColumn("n_seqs", expr("seq_last - seq_first + 1L")))
+  }
+}
+
+/** Domain/source-weighted mixture resampling: each stratum gets a target
+  * multiplier m — rows are kept m times in expectation, deterministically.
+  * m < 1 downsamples (keep iff id-hash falls under the fraction), m > 1
+  * upsamples (floor(m) whole copies + one more on the fractional hash band),
+  * the standard way training mixes overweight curated sources and
+  * underweight crawl. Copies are distinguished by `copyCol` (1-based).
+  *
+  * Determinism: the keep/extra-copy decision hashes `strataCol|id`, so the
+  * realized mixture is a pure function of the data — reproducible across
+  * engines and partitionings, unlike `df.sample`. Scale shape: a narrow
+  * per-row map + generator (no shuffle, no driver state); the multiplier
+  * table is baked into the expression (domains are few by definition).
+  */
+class DomainMixNode(
+    val multipliers: Seq[(String, Double)],
+    val strataCol: String = "source",
+    val idCol: String = "doc_id",
+    val defaultMultiplier: Double = 1.0,
+    val copyCol: String = "copy")
+  extends Node {
+  require(multipliers.forall(_._2 >= 0), "multipliers must be >= 0")
+  require(defaultMultiplier >= 0, "defaultMultiplier must be >= 0")
+  override protected def defaultName: String = "domain_mix"
+  val inputs = Seq(Port("df"))
+  val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("domain_mix")
+  override def jsonParams: Map[String, Any] = Map(
+    "multipliers" -> multipliers.map { case (v, m) => Seq[Any](v, m) },
+    "strataCol" -> strataCol, "idCol" -> idCol,
+    "defaultMultiplier" -> defaultMultiplier, "copyCol" -> copyCol)
+
+  private def base(m: Double): Long = math.floor(m).toLong
+  private def thr(m: Double): Long = math.round((m - math.floor(m)) * 1000000L)
+
+  override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
+    def esc(v: String): String = v.replace("\\", "\\\\").replace("'", "\\'")
+    val baseCase = multipliers.map { case (v, m) => s"when $strataCol = '${esc(v)}' then ${base(m)}L" }
+      .mkString("case ", " ", s" else ${base(defaultMultiplier)}L end")
+    val thrCase = multipliers.map { case (v, m) => s"when $strataCol = '${esc(v)}' then ${thr(m)}L" }
+      .mkString("case ", " ", s" else ${thr(defaultMultiplier)}L end")
+    val h = DetHash.modExpr(s"concat($strataCol, '|', $idCol)", 1000000L)
+    // filter zero-copy rows BEFORE the generator: Spark's sequence(1, 0)
+    // counts DOWN to [1, 0] rather than producing an empty array
+    Map("result" -> in("df")
+      .withColumn("__copies", expr(s"($baseCase) + (case when $h < ($thrCase) then 1L else 0L end)"))
+      .filter("__copies >= 1")
+      .withColumn(copyCol, expr("explode(sequence(1L, __copies))"))
+      .drop("__copies"))
+  }
+}
+
+/** Corpus-frequent line removal (the CCNet/RefinedWeb boilerplate filter):
+  * split each document into lines, count how many DISTINCT documents each
+  * exact line occurs in, drop lines above `maxDocFreq`, and reassemble the
+  * survivors in original order. Catches nav bars, cookie banners, license
+  * headers — text that is high-quality per-document but poison at corpus
+  * frequency.
+  *
+  * Scale shape: explode → aggregate line doc-frequencies keyed by md5(line)
+  * (16-byte key, collision-proof in practice, far skinnier than shuffling
+  * raw lines) → one big-big equi-join on that key → one groupBy(doc) to
+  * reassemble. Three shuffles total, all on well-distributed keys; no
+  * broadcast of the frequency table (it is corpus-sized), no driver state.
+  * Reassembly uses conditional aggregation instead of a second join, so
+  * documents whose every line is boilerplate still come out (empty).
+  */
+class LineDedupNode(
+    val idCol: String = "doc_id",
+    val textCol: String = "text",
+    val delim: String = "\n",
+    val maxDocFreq: Long = 1,
+    val outCol: String = "clean_text")
+  extends Node {
+  require(maxDocFreq >= 1, "maxDocFreq must be >= 1")
+  override protected def defaultName: String = "line_dedup"
+  val inputs = Seq(Port("df"))
+  val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("line_dedup")
+  override def jsonParams: Map[String, Any] = Map("idCol" -> idCol, "textCol" -> textCol,
+    "delim" -> delim, "maxDocFreq" -> maxDocFreq, "outCol" -> outCol)
+  override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
+    // Column-API throughout: a literal delimiter never round-trips through
+    // the SQL-string parser (whose escape rules would mangle '\n')
+    val lines = ctx.track(in("df")
+      .select(col(idCol), posexplode(split(col(textCol), java.util.regex.Pattern.quote(delim)))
+        .as(Seq("pos", "line")))
+      .withColumn("__k", md5(col("line").cast("binary"))))
+    val freq = lines.groupBy("__k").agg(countDistinct(idCol).as("line_df"))
+    val keep = col("line_df") <= lit(maxDocFreq)
+    Map("result" -> lines.join(freq, Seq("__k"))
+      .groupBy(idCol)
+      .agg(
+        concat_ws(delim, org.apache.spark.sql.functions.transform(
+          array_sort(collect_list(when(keep, struct(col("pos"), col("line"))))),
+          s => s.getField("line"))).as(outCol),
+        sum(when(keep, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(keep, 0L).otherwise(1L)).as("n_dropped")))
+  }
+}
+
+/** Unicode + whitespace text normalization: NFC (or NFD/NFKC/NFKD) via the
+  * codegen'd [[graft.functions.UnicodeNormalize]] expression, optional
+  * control-character stripping (C0/DEL minus tab/newline/CR), optional
+  * space-run collapse + trim. The canonical first step of any text
+  * pipeline — every downstream hash/dedup/fingerprint assumes one canonical
+  * byte encoding per logical string. Pure narrow map, zero shuffle, fully
+  * inside whole-stage codegen.
+  */
+class NormalizeTextNode(
+    val textCol: String = "text",
+    val outCol: String = "norm_text",
+    val form: String = "NFC",
+    val stripControl: Boolean = true,
+    val collapseWhitespace: Boolean = true)
+  extends Node {
+  graft.functions.UnicodeNormalize.formOf(form) // validate eagerly
+  override protected def defaultName: String = "normalize_text"
+  val inputs = Seq(Port("df"))
+  val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("normalize_text")
+  override def jsonParams: Map[String, Any] = Map("textCol" -> textCol, "outCol" -> outCol,
+    "form" -> form, "stripControl" -> stripControl, "collapseWhitespace" -> collapseWhitespace)
+  override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
+    graft.functions.VecFunctions.register(ctx.spark)
+    var c = expr(s"unicode_norm($textCol, '$form')")
+    if (stripControl)
+      c = regexp_replace(c, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+    if (collapseWhitespace)
+      c = trim(regexp_replace(c, "[ \\t]+", " "))
+    Map("result" -> in("df").withColumn(outCol, c))
+  }
+}
+
+/** Deterministic multi-source interleaving: merge N corpora (keyed fan-in —
+  * each upstream's node name is its mix tag) into one stream whose global
+  * order `ORDER BY (bucket, rnk, src_idx)` alternates sources round-robin
+  * within each of `buckets` hash-buckets. This is the "shuffle the mixture
+  * so no training window is single-source" step, done as a pure function of
+  * ids instead of an RNG, so the stream order is reproducible anywhere.
+  *
+  * Scale shape: a global row_number would serialize; bucketing by id-hash
+  * gives `buckets`-way parallel windows (ONE shuffle) and reading buckets in
+  * order preserves exact local round-robin — the training-relevant property
+  * (uniform source mixing at every stream offset) without any global
+  * sequential pass. Source indexes are assigned by sorted tag name, so the
+  * order is schema-stable, not wiring-order-dependent.
+  */
+class InterleaveNode(
+    val idCol: String = "doc_id",
+    val buckets: Int = 64,
+    val tagCol: String = "mix_src")
+  extends Node {
+  require(buckets > 0, "buckets must be positive")
+  override protected def defaultName: String = "interleave"
+  val inputs = Seq(Port("dfs", variadic = true, keyed = true))
+  val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("interleave")
+  override def jsonParams: Map[String, Any] =
+    Map("idCol" -> idCol, "buckets" -> buckets, "tagCol" -> tagCol)
+  override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
+    val srcs = in.keyed("dfs")
+    if (srcs.isEmpty) throw new GraftException("InterleaveNode received no inputs")
+    val idx = srcs.keys.toSeq.sorted.zipWithIndex.toMap
+    val tagged = srcs.map { case (tag, df) =>
+      df.withColumn(tagCol, lit(tag)).withColumn("src_idx", lit(idx(tag)))
+    }.reduce(_.unionByName(_))
+    val w = Window.partitionBy("bucket", "src_idx").orderBy(idCol)
+    Map("result" -> tagged
+      .withColumn("bucket", expr(DetHash.modExpr(s"concat($tagCol, '|', $idCol)", buckets)))
+      .withColumn("rnk", row_number().over(w)))
+  }
+}

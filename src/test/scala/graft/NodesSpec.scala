@@ -678,6 +678,80 @@ class NodesSpec extends AnyFunSuite {
     assert(out.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
     assert(out.count() == 5)
   }
+
+  // ---------------- round-5 curation nodes ----------------
+
+  test("SequencePackNode: per-shard cumsum offsets and sequence spans") {
+    // shards=1 → one deterministic stream in doc_id order
+    val df = Seq(
+      (1L, (1 to 4).map(i => s"a$i").mkString(" ")),  // 4 tokens
+      (2L, (1 to 8).map(i => s"b$i").mkString(" ")),  // 8 tokens
+      (3L, (1 to 3).map(i => s"c$i").mkString(" ")),  // 3 tokens
+    ).toDF("doc_id", "text")
+    val out = runOne { d =>
+      d.add(srcNode(df)) >> new SequencePackNode(seqLen = 10, shards = 1) >>
+        d.output("result")
+    }.orderBy("doc_id")
+      .select("doc_id", "start_tok", "seq_first", "seq_last", "n_seqs")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // starts 0,4,12; doc2 spans tokens 4..11 → sequences 0 and 1
+    assert(out.toSeq == Seq((1L, 0L, 0L, 0L, 1L), (2L, 4L, 0L, 1L, 2L), (3L, 12L, 1L, 1L, 1L)))
+  }
+
+  test("DomainMixNode: integer multipliers copy exactly, zero drops, default passes") {
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "c")).toDF("doc_id", "source")
+    val out = runOne { d =>
+      d.add(srcNode(df)) >> new DomainMixNode(Seq("a" -> 2.0, "b" -> 0.0)) >>
+        d.output("result")
+    }.orderBy("doc_id", "copy")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("copy")))
+    // a-rows exactly twice (copy 1,2), b dropped, c once via default 1.0
+    assert(out.toSeq == Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L), (4L, 1L)))
+  }
+
+  test("LineDedupNode: drops corpus-frequent lines, reassembles in order, empties survive") {
+    val df = Seq(
+      (1L, "unique one\ncommon banner\nunique two"),
+      (2L, "common banner\nother text"),
+      (3L, "common banner"), // all lines boilerplate → empty doc out
+    ).toDF("doc_id", "text")
+    val out = runOne { d =>
+      d.add(srcNode(df)) >> new LineDedupNode(maxDocFreq = 1) >> d.output("result")
+    }.orderBy("doc_id")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("clean_text"),
+        r.getAs[Long]("n_kept"), r.getAs[Long]("n_dropped")))
+    assert(out.toSeq == Seq(
+      (1L, "unique one\nunique two", 2L, 1L),
+      (2L, "other text", 1L, 1L),
+      (3L, "", 0L, 1L)))
+  }
+
+  test("NormalizeTextNode: NFC composition, control strip, whitespace collapse") {
+    val df = Seq(
+      (1L, "e\u0301clair"),     // e + combining acute → é (NFC)
+      (2L, "a\u0000b\u0007c"),    // control chars stripped
+      (3L, "  a \t  b  "),      // runs collapse, ends trim
+    ).toDF("doc_id", "text")
+    val out = runOne { d =>
+      d.add(srcNode(df)) >> new NormalizeTextNode() >> d.output("result")
+    }.orderBy("doc_id").select("norm_text").collect().map(_.getString(0))
+    assert(out.toSeq == Seq("\u00e9clair", "abc", "a b"))
+  }
+
+  test("InterleaveNode: strict round-robin within a bucket, tags by sorted name") {
+    val a = Seq(1L, 2L, 3L).toDF("doc_id")
+    val b = Seq(10L, 20L).toDF("doc_id")
+    val out = runOne { d =>
+      val an = d.add(srcNode(a, "alpha")); val bn = d.add(srcNode(b, "beta"))
+      val mix = d.add(new InterleaveNode(buckets = 1))
+      an >> mix("dfs"); bn >> mix("dfs")
+      mix >> d.output("result")
+    }.orderBy("bucket", "rnk", "src_idx")
+      .collect().map(r => (r.getAs[String]("mix_src"), r.getAs[Long]("doc_id")))
+    // one bucket → global order alternates sources until beta runs dry
+    assert(out.toSeq == Seq(
+      ("alpha", 1L), ("beta", 10L), ("alpha", 2L), ("beta", 20L), ("alpha", 3L)))
+  }
 }
 
 object NodesSpec {

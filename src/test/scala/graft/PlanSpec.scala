@@ -131,4 +131,33 @@ class PlanSpec extends AnyFunSuite {
     })
     assert(!re.contains("Exchange"), s"RedactNode must not shuffle:\n$re")
   }
+
+  test("curation nodes keep their scale shapes: mix/normalize narrow, pack one exchange") {
+    import graft.dag._
+    import graft.nodes._
+    def build(f: Dag => Unit): org.apache.spark.sql.DataFrame = {
+      val d = new Dag(); f(d); d.transform(Ctx(spark)).outputs("result")
+    }
+    // DomainMixNode: hash arithmetic + generator — zero shuffles
+    val mx = planOf(build { d =>
+      d.add(SourceNode.table(dir, "documents")) >>
+        new DomainMixNode(Seq("src0" -> 2.5)) >> d.output("result")
+    })
+    assert(!mx.contains("Exchange"), s"DomainMixNode must not shuffle:\n$mx")
+    // NormalizeTextNode: one projection over the scan, codegen'd end to end
+    val nm = planOf(build { d =>
+      d.add(SourceNode.table(dir, "documents")) >> new NormalizeTextNode() >> d.output("result")
+    })
+    assert(!nm.contains("Exchange"), s"NormalizeTextNode must not shuffle:\n$nm")
+    // formatted explain marks whole-stage-codegen members with [codegen id : N]
+    assert(nm.contains("codegen id"), "unicode_norm must stay inside codegen")
+    // SequencePackNode: exactly ONE exchange (the shard window partitioning)
+    val pk = planOf(build { d =>
+      d.add(SourceNode.table(dir, "documents")) >>
+        new SequencePackNode(seqLen = 256, shards = 8) >> d.output("result")
+    })
+    // formatted explain prints each physical op once as "(N) Exchange"
+    assert("""\(\d+\) Exchange""".r.findAllIn(pk).size == 1,
+      s"SequencePackNode must shuffle exactly once (shard window):\n$pk")
+  }
 }

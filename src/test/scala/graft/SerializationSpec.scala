@@ -137,6 +137,27 @@ class SerializationSpec extends AnyFunSuite {
     assert(ml2.queryIdCol == "q" && ml2.labelCol == "lab" && ml2.outCol == "pred")
   }
 
+  test("round-trip covers round-5 kinds: pack/mix/line-dedup/normalize/interleave") {
+    val d = new Dag("r5kinds")
+    val pk = d.add(new SequencePackNode("id", "body", Some("ntok"), 1024, 32))
+    val mx = d.add(new DomainMixNode(Seq("web" -> 0.5, "code" -> 3.25), "dom", "id", 0.75, "cp"))
+    val ld = d.add(new LineDedupNode("id", "body", "|", 5L, "clean"))
+    val nt = d.add(new NormalizeTextNode("body", "norm", "NFKC", stripControl = false, collapseWhitespace = false))
+    val il = d.add(new InterleaveNode("id", 128, "tag"))
+    val d2 = DagJson.fromJson(DagJson.toJson(d))
+    val pk2 = d2.node(pk.name).asInstanceOf[SequencePackNode]
+    assert(pk2.tokensCol.contains("ntok") && pk2.seqLen == 1024 && pk2.shards == 32)
+    val mx2 = d2.node(mx.name).asInstanceOf[DomainMixNode]
+    assert(mx2.multipliers == Seq("web" -> 0.5, "code" -> 3.25) &&
+      mx2.strataCol == "dom" && mx2.defaultMultiplier == 0.75 && mx2.copyCol == "cp")
+    val ld2 = d2.node(ld.name).asInstanceOf[LineDedupNode]
+    assert(ld2.delim == "|" && ld2.maxDocFreq == 5L && ld2.outCol == "clean")
+    val nt2 = d2.node(nt.name).asInstanceOf[NormalizeTextNode]
+    assert(nt2.form == "NFKC" && !nt2.stripControl && !nt2.collapseWhitespace)
+    val il2 = d2.node(il.name).asInstanceOf[InterleaveNode]
+    assert(il2.buckets == 128 && il2.tagCol == "tag")
+  }
+
   test("DagRun.unpersist releases node-internal tracked persists (Ctx.track)") {
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.size
