@@ -48,11 +48,20 @@ object Bench {
         System.err.println(f"[bench] $name%-22s $sec%8.2f s")
         name -> sec
       }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // The driver captures only the LAST ~2000 chars of output and parses the
+    // JSON line out of that window (BENCH_r01..r04 all show parsed:null —
+    // 80+ full-name full-precision timings overflow it). Compact encoding:
+    // keys are the qNN prefix (unambiguous — SURVEY §8 numbers every query),
+    // values rounded to 2 decimals. Full names + timings still go to stderr.
+    val shortKey = "^(q\\d+).*$".r
+    val qs = results.map { case (k, v) =>
+      val key = k match { case shortKey(p) => p; case _ => k }
+      "\"" + key + "\":" + (if (v < 0) "-1" else f"$v%.2f")
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    val sfShort = "sf([0-9.]+)$".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse(sfDir)
+    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"errors":$errJson,"sf":$sfShort}""")
     if (errors.nonEmpty)
       System.err.println(s"[bench] ${errors.size} quer(y/ies) FAILED: ${errors.mkString(", ")}")
     spark.stop()
