@@ -90,6 +90,19 @@ object NodeRegistry {
         s.head.toString -> s(1).asInstanceOf[Seq[Any]].map(_.toString)
       }))
     register("quality_score")(p => new QualityScoreNode(p.str("textCol"), p.strs("stopwords")))
+    register("heuristic_filter")(p => new HeuristicFilterNode(p.str("textCol"),
+      p.int("minWords"), p.int("maxWords"), p.dbl("minMeanWordLen"), p.dbl("maxMeanWordLen"),
+      p.dbl("maxSymbolRatio"), p.dbl("maxBulletFrac"), p.dbl("maxEllipsisFrac"),
+      p.dbl("minAlphaWordFrac"), p.int("minStopwordHits"), p.strs("stopwords"),
+      p.bool("keepOnly")))
+    register("vocab_filter")(p => new VocabFilterNode(p.str("idCol"), p.str("textCol"),
+      p.m("minDf").toString.toLong, p.int("maxVocab"), p.dbl("maxOovFrac")))
+    register("domain_quota")(p => new DomainQuotaNode(p.str("strataCol"), p.int("quota"),
+      p.strs("orderBy"), p.str("idCol"), p.str("rankCol")))
+    register("semdedup")(p => new SemDedupNode(p.dbl("threshold"), p.int("nClusters"),
+      p.str("idCol"), p.str("vecCol"),
+      p.m.get("maxFitRows").map(_.toString.toLong).getOrElse(200000L),
+      p.int("maxCluster")))
     register("repetition_score")(p => new RepetitionScoreNode(p.str("textCol"),
       p.m("ns").asInstanceOf[Seq[Any]].map(_.toString.toDouble.toInt)))
     register("contamination")(p => new ContaminationNode(p.str("idCol"), p.str("textCol"),

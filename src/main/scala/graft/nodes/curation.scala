@@ -196,6 +196,40 @@ class NormalizeTextNode(
   }
 }
 
+/** Per-stratum quota capping: keep at most `quota` rows per domain/source,
+  * chosen by rank under `orderBy` (quality score, recency, length — any
+  * expression list) with the id as final tie-break so the cut is a total
+  * order — deterministic across engines and partitionings. This is the
+  * "take the best N pages per domain" curation staple that stops a single
+  * crawled host from dominating a training mix no matter how large it is.
+  * One shuffle (the per-stratum window); no stratum table, no driver state —
+  * works unchanged whether there are 50 domains or 50 million.
+  */
+class DomainQuotaNode(
+    val strataCol: String = "source",
+    val quota: Int = 100,
+    val orderBy: Seq[String] = Seq("n_chars desc"),
+    val idCol: String = "doc_id",
+    val rankCol: String = "q_rank")
+  extends Node {
+  require(quota > 0, "quota must be positive")
+  override protected def defaultName: String = "domain_quota"
+  val inputs = Seq(Port("df"))
+  val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("domain_quota")
+  override def jsonParams: Map[String, Any] = Map("strataCol" -> strataCol,
+    "quota" -> quota, "orderBy" -> orderBy, "idCol" -> idCol, "rankCol" -> rankCol)
+  override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
+    // SortExprs handles the "expr desc" suffix — a bare expr() would parse
+    // "n_chars desc" as n_chars ALIASED 'desc' and silently sort ascending
+    val w = Window.partitionBy(strataCol)
+      .orderBy((orderBy.map(SortExprs.sortCol) :+ col(idCol).asc): _*)
+    Map("result" -> in("df")
+      .withColumn(rankCol, row_number().over(w))
+      .filter(col(rankCol) <= quota))
+  }
+}
+
 /** Deterministic multi-source interleaving: merge N corpora (keyed fan-in —
   * each upstream's node name is its mix tag) into one stream whose global
   * order `ORDER BY (bucket, rnk, src_idx)` alternates sources round-robin

@@ -116,6 +116,39 @@ class LshKnnNode(
   }
 }
 
+/** Shared coarse-quantizer training for the cluster-blocked nodes (IVF kNN,
+  * SemDeDup). Training cost must NOT scale with the corpus: the k-means fit
+  * runs on a bounded DETERMINISTIC sample (md5-mod on the id — engine- and
+  * partition-order-independent, the same trick as SplitNode), never the full
+  * corpus. One skinny count sizes the modulus; k-means then runs its 5
+  * passes over <= ~maxFitRows rows instead of 100 TB. Cluster quality beyond
+  * a few iterations buys nothing here (boundary assignments just move
+  * between probed/blocked clusters); random init skips the k-means|| sweep a
+  * coarse quantizer doesn't need.
+  */
+private[nodes] object QuantizerFit {
+  def withVec(df: DataFrame, in: String): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    df.withColumn("__features", array_to_vector(col(in)))
+  }
+  /** Returns (model, rows actually handed to the fit). */
+  def sampled(ctx: Ctx, corpus: DataFrame, idCol: String, vecCol: String,
+              nClusters: Int, maxFitRows: Long): (org.apache.spark.ml.clustering.KMeansModel, Long) = {
+    import org.apache.spark.ml.clustering.KMeans
+    val n = corpus.count()
+    val mod = math.max(1L, (n + maxFitRows - 1L) / maxFitRows) // ceil(n / cap)
+    val fitInput =
+      if (mod <= 1L) corpus
+      else corpus.filter(expr(s"${DetHash.modExpr(idCol, mod)} = 0"))
+    val vecs = ctx.track(withVec(fitInput, vecCol))
+    val rows = vecs.count()
+    val m = new KMeans().setK(nClusters).setSeed(42L).setFeaturesCol("__features")
+      .setInitMode("random").setMaxIter(5).setTol(1e-2)
+      .fit(vecs)
+    (m, rows)
+  }
+}
+
 /** IVF (inverted-file) approximate kNN — the scale path beyond hyperplane
   * LSH: a k-means coarse quantizer is FIT over (a sample of) the corpus, each
   * corpus vector is assigned to its nearest centroid (one narrow pass), and a
@@ -156,26 +189,9 @@ class IvfKnnNode(
   }
 
   def fitModel(ctx: Ctx, in: In): Model = {
-    import org.apache.spark.ml.clustering.KMeans
-    // Quantizer training cost must NOT scale with the corpus: fit on a
-    // bounded DETERMINISTIC sample (md5-mod on the id — engine- and
-    // partition-order-independent, the same trick as SplitNode), never the
-    // full corpus. One skinny count sizes the modulus; k-means then runs its
-    // 5 passes over <= ~maxFitRows rows instead of 100 TB. Cluster quality
-    // beyond a few iterations buys no recall (boundary assignments just move
-    // between probed clusters); random init skips the k-means|| sweep a
-    // coarse quantizer doesn't need.
-    val corpus = in("corpus")
-    val n = corpus.count()
-    val mod = math.max(1L, (n + maxFitRows - 1L) / maxFitRows) // ceil(n / cap)
-    val fitInput =
-      if (mod <= 1L) corpus
-      else corpus.filter(expr(s"${DetHash.modExpr(idCol, mod)} = 0"))
-    val vecs = ctx.track(withVec(fitInput, vecCol))
-    lastFitRows = vecs.count()
-    new KMeans().setK(nClusters).setSeed(42L).setFeaturesCol("__features")
-      .setInitMode("random").setMaxIter(5).setTol(1e-2)
-      .fit(vecs)
+    val (m, rows) = QuantizerFit.sampled(ctx, in("corpus"), idCol, vecCol, nClusters, maxFitRows)
+    lastFitRows = rows
+    m
   }
 
   def applyModel(m: Model, ctx: Ctx, in: In): Map[String, DataFrame] = {
@@ -335,6 +351,91 @@ class EmbeddingNearDupNode(
           .dropDuplicates("id_a", "id_b")
       }
     Map("result" -> pairs
+      .withColumn("score", expr(VecExprs.cosine("va", "vb", "na", "nb")))
+      .filter(col("score") >= threshold)
+      .select(col("id_a"), col("id_b"), col("score")))
+  }
+}
+
+/** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic near-duplicate
+  * pairs by cluster-then-prune — a k-means coarse quantizer is fit over (a
+  * bounded sample of) the embeddings, every vector is assigned to its
+  * cluster in one narrow pass, and exact cosine runs only WITHIN clusters.
+  * Pair space drops from O(n^2) to sum of per-cluster quadratics — the
+  * standard way semantic dedup scales to web corpora where hyperplane LSH
+  * over-merges (semantically-near texts need not share sketch buckets).
+  * Output is (id_a, id_b, score) pairs above `threshold`, composing with
+  * [[DedupSurvivorsNode]] / [[ConnectedComponentsNode]] exactly like the
+  * MinHash/SimHash families.
+  *
+  * Scale guards, same philosophy as MinHash `maxBucket`: a cluster of B
+  * vectors is B^2/2 pairs, so clusters past `maxCluster` are sub-split
+  * deterministically (id-hash mod ceil(B/maxCluster)) — cross-sub pairs
+  * inside an oversized cluster are the (documented) recall cost of bounding
+  * the quadratic; raise `nClusters` so clusters stay under the cap rather
+  * than leaning on the splitter. The fit is the shared [[QuantizerFit]]
+  * bounded sample; the per-cluster-size table is nClusters rows and
+  * broadcasts.
+  */
+class SemDedupNode(
+    val threshold: Double = 0.95,
+    val nClusters: Int = 256,
+    val idCol: String = "vec_id",
+    val vecCol: String = "embedding",
+    val maxFitRows: Long = 200000L,
+    val maxCluster: Int = 20000)
+  extends EstimatorNode {
+  // None = the nClusters == 1 degenerate config (single block, no quantizer:
+  // Spark KMeans requires k >= 2, and a 1-means fit would be a no-op anyway)
+  // — the audit configuration q84 uses to prove the block machinery loses
+  // nothing (within-block SemDeDup == brute force when there is one block).
+  type Model = Option[org.apache.spark.ml.clustering.KMeansModel]
+  require(nClusters > 0, "nClusters must be positive")
+  require(maxCluster > 0, "maxCluster must be positive")
+  override protected def defaultName: String = "semdedup"
+  val inputs = Seq(Port("df"))
+  val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("semdedup")
+  override def jsonParams: Map[String, Any] = Map("threshold" -> threshold,
+    "nClusters" -> nClusters, "idCol" -> idCol, "vecCol" -> vecCol,
+    "maxFitRows" -> maxFitRows, "maxCluster" -> maxCluster)
+
+  /** Rows handed to the last quantizer fit (spec diagnostic, as in IvfKnn). */
+  @volatile var lastFitRows: Long = -1L
+
+  def fitModel(ctx: Ctx, in: In): Model = {
+    if (nClusters == 1) { lastFitRows = 0L; None }
+    else {
+      val (m, rows) = QuantizerFit.sampled(ctx, in("df"), idCol, vecCol, nClusters, maxFitRows)
+      lastFitRows = rows
+      Some(m)
+    }
+  }
+
+  def applyModel(m: Model, ctx: Ctx, in: In): Map[String, DataFrame] = {
+    VecExprs.ensure(ctx.spark)
+    import org.apache.spark.sql.functions.{broadcast, ceil, count, lit}
+    val clustered = m match {
+      case Some(km) => km.transform(QuantizerFit.withVec(in("df"), vecCol))
+        .withColumnRenamed(km.getPredictionCol, "__cluster")
+      case None => in("df").withColumn("__cluster", lit(0))
+    }
+    val assigned = ctx.track(clustered
+      .select(col(idCol), col(vecCol).as("__v"), col("__cluster"))
+      .withColumn("__norm", expr(VecExprs.norm("__v"))))
+    // nClusters-row size table → broadcast; oversized clusters sub-split by
+    // id-hash so no self-join partition exceeds ~maxCluster rows
+    val sizes = assigned.groupBy("__cluster").agg(count(lit(1)).as("__csize"))
+      .withColumn("__nsub", ceil(col("__csize") / lit(maxCluster.toDouble)).cast("long"))
+      .select("__cluster", "__nsub")
+    val keyed = assigned.join(broadcast(sizes), Seq("__cluster"))
+      .withColumn("__sub", expr(s"${DetHash.expr(idCol)} % __nsub"))
+    val a = keyed.select(col(idCol).as("id_a"), col("__v").as("va"),
+      col("__norm").as("na"), col("__cluster"), col("__sub"))
+    val b = keyed.select(col(idCol).as("id_b"), col("__v").as("vb"),
+      col("__norm").as("nb"), col("__cluster"), col("__sub"))
+    Map("result" -> a.join(b, Seq("__cluster", "__sub"))
+      .filter(col("id_a") < col("id_b"))
       .withColumn("score", expr(VecExprs.cosine("va", "vb", "na", "nb")))
       .filter(col("score") >= threshold)
       .select(col("id_a"), col("id_b"), col("score")))

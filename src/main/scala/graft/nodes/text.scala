@@ -81,6 +81,149 @@ object QualityScoreNode {
   val enStop = Seq("the", "a", "an", "of", "to", "in", "and", "is", "for", "on", "with", "as", "by", "at")
 }
 
+/** The Gopher/C4-style heuristic quality-rule battery — the cheap,
+  * full-corpus gate every training-data pipeline runs before anything
+  * expensive (dedup, model scoring): word-count bounds, mean-word-length
+  * bounds, symbol-to-word ratio (#/ellipsis spam), bullet- and
+  * ellipsis-line fractions, alphabetic-word fraction, and a required-
+  * stopword hit count (Rae et al. 2021 §A1.1.2; Raffel et al. 2020 §2.2).
+  * Emits one boolean per rule plus the conjunction (`keep`) so downstream
+  * can either filter (`keepOnly = true`) or audit WHY documents fail —
+  * per-rule rejection rates are the first thing a curation run reports.
+  * All rules are codegen'd builtin expressions over one tokenization; a
+  * pure narrow map, zero shuffle at any scale.
+  */
+class HeuristicFilterNode(
+    val textCol: String = "text",
+    val minWords: Int = 50,
+    val maxWords: Int = 100000,
+    val minMeanWordLen: Double = 3.0,
+    val maxMeanWordLen: Double = 10.0,
+    val maxSymbolRatio: Double = 0.1,
+    val maxBulletFrac: Double = 0.9,
+    val maxEllipsisFrac: Double = 0.3,
+    val minAlphaWordFrac: Double = 0.8,
+    val minStopwordHits: Int = 2,
+    val stopwords: Seq[String] = HeuristicFilterNode.gopherStop,
+    val keepOnly: Boolean = false)
+  extends Node {
+  require(minWords <= maxWords, "minWords must be <= maxWords")
+  require(minMeanWordLen <= maxMeanWordLen, "minMeanWordLen must be <= maxMeanWordLen")
+  override protected def defaultName: String = "heuristic_filter"
+  val inputs = Seq(Port("df"))
+  val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("heuristic_filter")
+  override def jsonParams: Map[String, Any] = Map("textCol" -> textCol,
+    "minWords" -> minWords, "maxWords" -> maxWords,
+    "minMeanWordLen" -> minMeanWordLen, "maxMeanWordLen" -> maxMeanWordLen,
+    "maxSymbolRatio" -> maxSymbolRatio, "maxBulletFrac" -> maxBulletFrac,
+    "maxEllipsisFrac" -> maxEllipsisFrac, "minAlphaWordFrac" -> minAlphaWordFrac,
+    "minStopwordHits" -> minStopwordHits, "stopwords" -> stopwords,
+    "keepOnly" -> keepOnly)
+  override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
+    val stopArr = stopwords.map(s => s"'$s'").mkString("array(", ", ", ")")
+    // ratios are int/int divisions in double — a single correctly-rounded
+    // float64 any engine reproduces bit-exactly (the q78-q82 contract)
+    val out = in("df")
+      .withColumn("__toks", expr(TextExprs.tokensExpr(textCol)))
+      .withColumn("__lines", expr(s"split($textCol, '\\n')"))
+      .withColumn("n_words", expr("size(__toks)"))
+      .withColumn("mean_word_len", expr(
+        s"cast(length(regexp_replace($textCol, '\\\\s+', '')) as double) / greatest(size(__toks), 1)"))
+      .withColumn("symbol_ratio", expr(
+        s"cast(size(regexp_extract_all($textCol, '#|\\\\.\\\\.\\\\.|…', 0)) as double) / greatest(size(__toks), 1)"))
+      .withColumn("bullet_frac", expr(
+        "cast(size(filter(__lines, l -> l rlike '^\\\\s*[-*•]')) as double) / greatest(size(__lines), 1)"))
+      .withColumn("ellipsis_frac", expr(
+        "cast(size(filter(__lines, l -> l rlike '(\\\\.\\\\.\\\\.|…)\\\\s*$')) as double) / greatest(size(__lines), 1)"))
+      .withColumn("alpha_word_frac", expr(
+        "cast(size(filter(__toks, t -> t rlike '[a-z]')) as double) / greatest(size(__toks), 1)"))
+      .withColumn("stop_hits", expr(s"size(array_intersect(array_distinct(__toks), $stopArr))"))
+      .withColumn("keep", expr(
+        s"""n_words >= $minWords and n_words <= $maxWords
+           | and mean_word_len >= ${minMeanWordLen}D and mean_word_len <= ${maxMeanWordLen}D
+           | and symbol_ratio <= ${maxSymbolRatio}D
+           | and bullet_frac <= ${maxBulletFrac}D
+           | and ellipsis_frac <= ${maxEllipsisFrac}D
+           | and alpha_word_frac >= ${minAlphaWordFrac}D
+           | and stop_hits >= $minStopwordHits""".stripMargin.replace("\n", "")))
+      .drop("__toks", "__lines")
+    Map("result" -> (if (keepOnly) out.filter(col("keep")).drop("keep") else out))
+  }
+}
+object HeuristicFilterNode {
+  /** Gopher's required-stopword list (Rae et al. 2021 §A1.1.2). */
+  val gopherStop = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+}
+
+/** Corpus-vocabulary OOV scoring — the frequency-based cousin of a
+  * perplexity filter that stays engine-exact: `fit` learns the top
+  * `maxVocab` tokens by document frequency (ties broken by token, so the
+  * vocabulary is a deterministic function of the corpus), `transform`
+  * scores every document by the fraction of its token OCCURRENCES outside
+  * that vocabulary. Documents full of rare/garbled tokens score high and
+  * get filtered (`maxOovFrac`); the vocabulary itself is reusable fitted
+  * state (weight sharing, save/load) like any estimator.
+  *
+  * Scale shape: the fit is one explode + groupBy + TakeOrdered capped at
+  * `maxVocab` rows of driver state (a bounded model, like centroids — NOT
+  * corpus-sized); the transform broadcasts the vocabulary against the
+  * exploded corpus and groups once on the doc id. One shuffle each side.
+  */
+class VocabFilterNode(
+    val idCol: String = "doc_id",
+    val textCol: String = "text",
+    val minDf: Long = 2L,
+    val maxVocab: Int = 65536,
+    val maxOovFrac: Double = 1.0) // 1.0 = annotate only, never drop
+  extends EstimatorNode {
+  type Model = Seq[String]
+  require(maxVocab > 0, "maxVocab must be positive")
+  require(maxOovFrac >= 0 && maxOovFrac <= 1, "maxOovFrac must be in [0, 1]")
+  override protected def defaultName: String = "vocab_filter"
+  val inputs = Seq(Port("df"))
+  val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("vocab_filter")
+  override def jsonParams: Map[String, Any] = Map("idCol" -> idCol, "textCol" -> textCol,
+    "minDf" -> minDf, "maxVocab" -> maxVocab, "maxOovFrac" -> maxOovFrac)
+
+  /** The vocabulary learned by the last fit (spec/audit diagnostic). */
+  @volatile var lastVocab: Seq[String] = Nil
+
+  def fitModel(ctx: Ctx, in: In): Model = {
+    import org.apache.spark.sql.functions.{count, lit}
+    // one distinct token row per (doc, token) → count(*) IS the doc frequency
+    val vocab = in("df")
+      .select(expr(s"explode(array_distinct(${TextExprs.tokensExpr(textCol)}))").as("__tok"))
+      .groupBy("__tok").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDf)
+      .orderBy(col("__df").desc, col("__tok").asc) // total order → deterministic cut
+      .limit(maxVocab)
+      .select("__tok").collect().map(_.getString(0)).toSeq
+    lastVocab = vocab
+    vocab
+  }
+
+  def applyModel(vocab: Model, ctx: Ctx, in: In): Map[String, DataFrame] = {
+    import org.apache.spark.sql.functions.{broadcast, coalesce, count, lit, sum, when}
+    val spark = ctx.spark
+    import spark.implicits._
+    val vdf = vocab.toDF("__tok").withColumn("__in_vocab", lit(1))
+    val occurrences = in("df")
+      .select(col(idCol), expr(s"explode(${TextExprs.tokensExpr(textCol)})").as("__tok"))
+    val perDoc = occurrences.join(broadcast(vdf), Seq("__tok"), "left")
+      .groupBy(idCol).agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("__in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+    val scored = in("df").join(perDoc, Seq(idCol), "left")
+      .withColumn("n_tokens", coalesce(col("n_tokens"), lit(0L)))
+      .withColumn("n_oov", coalesce(col("n_oov"), lit(0L)))
+      .withColumn("oov_frac", expr("cast(n_oov as double) / greatest(n_tokens, 1L)"))
+    Map("result" ->
+      (if (maxOovFrac >= 1.0) scored else scored.filter(col("oov_frac") <= maxOovFrac)))
+  }
+}
+
 /** Intra-document repetition scoring (the Gopher-style repetition quality
   * rule): the fraction of duplicate word n-grams inside each document —
   * boilerplate, keyword stuffing, and degenerate generations score high and

@@ -1,0 +1,187 @@
+package graft.queries
+
+import graft.dag._
+import graft.nodes._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Round-5 curation-quality corpus: the heuristic rule battery (q83),
+  * semantic dedup (q84), the corpus-vocabulary OOV estimator (q85), the ORC
+  * storage round-trip (q86), and per-domain quota capping (q87). q83/q85/
+  * q86/q87 are integer/ratio arithmetic → full DuckDB oracles; q84 follows
+  * the q56/q68 recall-identity construction (single-cluster SemDeDup
+  * provably equals the brute-force pair set, so the oracle derives both
+  * counts from the data alone).
+  */
+object Quality {
+  import Queries.run
+
+  /** DuckDB mirror of [[graft.nodes.DetHash.expr]] (see Curation.duckHash). */
+  private def duckHash(col: String, mod: Long): String =
+    s"cast(cast('0x' || substring(md5($col), 1, 8) as ubigint) % $mod as bigint)"
+
+  // ---- q83: Gopher/C4 heuristic quality battery. Thresholds are tuned so
+  // the synthetic corpus splits on word count and stopword hits (the other
+  // rules pass but are still computed and asserted through `keep`). Ratios
+  // are int/int double divisions — engine-exact; keep is cast to int for a
+  // representation-stable hash. ----
+  def q83_heuristic_filter(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
+    d.add(SourceNode.table(dir, "documents")) >>
+      new HeuristicFilterNode(minWords = 40, maxWords = 100000,
+        minMeanWordLen = 2.0, maxMeanWordLen = 10.0,
+        minAlphaWordFrac = 0.8, minStopwordHits = 1) >>
+      ProjectNode("doc_id", "n_words", "mean_word_len", "symbol_ratio",
+        "alpha_word_frac", "stop_hits", "cast(keep as int) as keep") >>
+      d.output("result")
+  }
+  val q83Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, text,
+      |    regexp_split_to_array(lower(trim(text)), '\s+') AS toks,
+      |    string_split(text, chr(10)) AS lines,
+      |    length(regexp_replace(text, '\s+', '', 'g')) AS nchar_ns
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id,
+      |    len(toks) AS n_words,
+      |    cast(nchar_ns as double) / greatest(len(toks), 1) AS mean_word_len,
+      |    cast(len(regexp_extract_all(text, '#|\.\.\.|…')) as double)
+      |      / greatest(len(toks), 1) AS symbol_ratio,
+      |    cast(len(list_filter(lines, l -> regexp_matches(l, '^\s*[-*•]'))) as double)
+      |      / greatest(len(lines), 1) AS bullet_frac,
+      |    cast(len(list_filter(lines, l -> regexp_matches(l, '(\.\.\.|…)\s*$'))) as double)
+      |      / greatest(len(lines), 1) AS ellipsis_frac,
+      |    cast(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) as double)
+      |      / greatest(len(toks), 1) AS alpha_word_frac,
+      |    len(list_intersect(list_distinct(toks),
+      |        ['the','be','to','of','and','that','have','with'])) AS stop_hits
+      |  FROM t)
+      |SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_word_frac, stop_hits,
+      |  cast(n_words >= 40 AND n_words <= 100000
+      |   AND mean_word_len >= 2.0 AND mean_word_len <= 10.0
+      |   AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3
+      |   AND alpha_word_frac >= 0.8 AND stop_hits >= 1 as int) AS keep
+      |FROM m""".stripMargin
+
+  // ---- q84: SemDeDup pair recall vs brute force — single-block identity.
+  // With nClusters = 1 (and maxCluster above the sample size so the
+  // sub-splitter stays out) every pair lands in the same block, so the
+  // SemDeDup pair set PROVABLY equals the brute-force cosine pair set —
+  // identical score expression, identical threshold. That pins the block
+  // self-join, pair dedup, scoring, and thresholding; the k-means quantizer
+  // path shares QuantizerFit with IvfKnnNode, whose full fit+assign
+  // mechanism q68 already pins. The audit corpus is a 10% hash-sample
+  // (audit cost must not track corpus size). ----
+  def q84_semdedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = new Dag("semdedup_recall")
+    val emb = d.add(SourceNode.table(dir, "embeddings"))
+    val sample = emb >> FilterNode(s"${DetHash.modExpr("vec_id", 10)} = 0")
+      .named("corpus_sample")
+    val brute = sample >> new EmbeddingNearDupNode(threshold = 0.3, bruteForce = true)
+      .named("brute")
+    val sem = d.add(new SemDedupNode(threshold = 0.3, nClusters = 1,
+      maxCluster = Int.MaxValue).named("sem"))
+    sample("result") >> sem("df")
+    val cmp = d.add(new FnNode(Seq(Port("brute"), Port("sem")), Seq(Port("result")),
+      (_, in) => {
+        import org.apache.spark.sql.functions._
+        val t = in("brute").select(col("id_a"), col("id_b"))
+        val f = in("sem").select(col("id_a"), col("id_b"))
+        Map("result" -> t.agg(count(lit(1)).as("n_true"))
+          .crossJoin(t.join(f, Seq("id_a", "id_b")).agg(count(lit(1)).as("n_found"))))
+      }, "pair_recall"))
+    brute >> cmp("brute"); sem >> cmp("sem")
+    cmp >> d.output("result")
+    val ctx = Ctx(spark)
+    d.fit(ctx)
+    d.transform(ctx).outputs("result")
+  }
+  val q84Sql: String =
+    s"""WITH s AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  WHERE ${duckHash("cast(vec_id as varchar)", 10)} = 0),
+       |p AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM s a JOIN s b ON a.vec_id < b.vec_id
+       |  WHERE (list_sum(list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+       |     / (sqrt(list_sum(list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))
+       |      * sqrt(list_sum(list_transform(range(1, 65), i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))))) >= 0.3)
+       |SELECT count(*) AS n_true, count(*) AS n_found FROM p""".stripMargin
+
+  // ---- q85: corpus-vocabulary OOV scoring. The vocabulary is the top-20
+  // tokens by document frequency with df >= 5, ties broken by token — a
+  // total order, so the fitted vocab (and hence every OOV count) is a
+  // deterministic function of the corpus both engines derive identically. ----
+  def q85_vocab_oov(spark: SparkSession, dir: String): DataFrame = {
+    val d = new Dag("vocab_oov")
+    val src = d.add(SourceNode.table(dir, "documents"))
+    val vf = d.add(new VocabFilterNode(minDf = 5L, maxVocab = 20))
+    src >> vf("df")
+    vf >> ProjectNode("doc_id", "n_tokens", "n_oov", "oov_frac") >> d.output("result")
+    val ctx = Ctx(spark)
+    d.fit(ctx)
+    d.transform(ctx).outputs("result")
+  }
+  val q85Sql: String =
+    """WITH occ AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+      |  FROM documents),
+      |df AS (SELECT tok, count(DISTINCT doc_id) AS d FROM occ GROUP BY tok),
+      |vocab AS (SELECT tok FROM df WHERE d >= 5 ORDER BY d DESC, tok ASC LIMIT 20)
+      |SELECT o.doc_id,
+      |  count(*) AS n_tokens,
+      |  count(*) FILTER (WHERE v.tok IS NULL) AS n_oov,
+      |  cast(count(*) FILTER (WHERE v.tok IS NULL) as double)
+      |    / greatest(count(*), 1) AS oov_frac
+      |FROM occ o LEFT JOIN vocab v USING (tok)
+      |GROUP BY o.doc_id""".stripMargin
+
+  // ---- q86: ORC storage round-trip — write a filtered projection as ORC
+  // through the sink barrier, read it back, aggregate; the oracle aggregates
+  // the original parquet, so any loss/coercion in the ORC path breaks the
+  // hash (the q65 construction, third format family). ----
+  def q86_orc_roundtrip(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
+    val tmp = s"${sys.props("java.io.tmpdir")}/graft_q86_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    val src = d.add(SourceNode.table(dir, "orders"))
+    val slim = src >> FilterNode("o_totalprice > 250000") >>
+      ProjectNode("o_orderkey", "o_orderstatus", "o_totalprice").named("slim")
+    val orcSink = d.add(new SinkNode(s"$tmp/orc", "orc").named("orc_sink"))
+    slim >> orcSink("df")
+    val orcBack = d.add(new FnNode(Seq(Port("df")), Seq(Port("result")),
+      (ctx, _) => Map("result" -> ctx.spark.read.format("orc").load(s"$tmp/orc")), "orc_rb"))
+    orcSink >> orcBack("df")
+    orcBack >> AggNode(Seq("o_orderstatus"),
+        "count(*) as n",
+        "cast(sum(cast(o_totalprice as decimal(18,2))) as double) as total") >>
+      SortNode("o_orderstatus") >>
+      d.output("result")
+  }
+  val q86Sql: String =
+    """SELECT o_orderstatus, count(*) AS n,
+      |  cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS total
+      |FROM orders WHERE o_totalprice > 250000
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  // ---- q87: per-domain quota — best 5 documents per source by length,
+  // id tie-break. (rank under a total order → hash-exact.) ----
+  def q87_domain_quota(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
+    d.add(SourceNode.table(dir, "documents")) >>
+      new DomainQuotaNode(strataCol = "source", quota = 5,
+        orderBy = Seq("n_chars desc")) >>
+      ProjectNode("doc_id", "source", "n_chars", "q_rank") >>
+      d.output("result")
+  }
+  val q87Sql: String =
+    """SELECT doc_id, source, n_chars, q_rank FROM (
+      |  SELECT doc_id, source, n_chars,
+      |    row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS q_rank
+      |  FROM documents) t
+      |WHERE q_rank <= 5""".stripMargin
+
+  val entries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+    ("q83_heuristic_filter", q83_heuristic_filter _, q83Sql),
+    ("q84_semdedup", q84_semdedup _, q84Sql),
+    ("q85_vocab_oov", q85_vocab_oov _, q85Sql),
+    ("q86_orc_roundtrip", q86_orc_roundtrip _, q86Sql),
+    ("q87_domain_quota", q87_domain_quota _, q87Sql),
+  )
+}

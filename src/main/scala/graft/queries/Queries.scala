@@ -52,7 +52,8 @@ object Queries {
   /** Full registry: (name, query, oracleSql | null = rows-only check). */
   val registry: Seq[(String, (SparkSession, String) => DataFrame, String)] =
     Seq(("q1_agg", q1_agg _, q1Sql)) ++ Relational.entries ++ NorthStar.entries ++
-      Extra.entries ++ Analytics.entries ++ Recall.entries ++ Curation.entries
+      Extra.entries ++ Analytics.entries ++ Recall.entries ++ Curation.entries ++
+      Quality.entries
 
   val all: Map[String, (SparkSession, String) => DataFrame] =
     registry.map { case (n, f, _) => n -> f }.toMap

@@ -752,6 +752,100 @@ class NodesSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(
       ("alpha", 1L), ("beta", 10L), ("alpha", 2L), ("beta", 20L), ("alpha", 3L)))
   }
+
+  test("HeuristicFilterNode: each rule fires on its own pathology") {
+    val good = (1 to 60).map(i => if (i % 7 == 0) "the" else s"word$i").mkString(" ")
+    val cases = Seq(
+      (1L, good),                                       // passes everything
+      (2L, "too short to keep the"),                    // minWords
+      (3L, (1 to 60).map(_ => "### ... ###").mkString(" ")), // symbols + no alpha + no stops
+      (4L, (1 to 60).map(i => s"- bullet $i the\n").mkString), // bullet lines
+      (5L, (1 to 60).map(i => s"word$i").mkString(" ")),     // no stopwords
+    ).toDF("doc_id", "text")
+    val out = runOne { d =>
+      d.add(srcNode(cases)) >> new HeuristicFilterNode(
+        minWords = 40, minMeanWordLen = 2.0, maxMeanWordLen = 12.0,
+        minAlphaWordFrac = 0.8, minStopwordHits = 1) >> d.output("result")
+    }.select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(out(1L) && !out(2L) && !out(3L) && !out(4L) && !out(5L))
+    // keepOnly drops failures AND the keep column
+    val kept = runOne { d =>
+      d.add(srcNode(cases)) >> new HeuristicFilterNode(
+        minWords = 40, minMeanWordLen = 2.0, maxMeanWordLen = 12.0,
+        minAlphaWordFrac = 0.8, minStopwordHits = 1, keepOnly = true) >> d.output("result")
+    }
+    assert(kept.select("doc_id").as[Long].collect().toSeq == Seq(1L))
+    assert(!kept.columns.contains("keep"))
+  }
+
+  test("VocabFilterNode: deterministic top-df vocab, OOV occurrence counts, filter") {
+    val corpus = Seq(
+      (1L, "aa bb cc dd"),
+      (2L, "aa bb cc xx"),
+      (3L, "aa bb yy zz"),
+      (4L, "aa qq rr ss"),
+    ).toDF("doc_id", "text")
+    // df: aa=4 bb=3 cc=2, everything else 1; minDf=2 keeps {aa,bb,cc};
+    // maxVocab=2 cuts at (df desc, token asc) → {aa, bb}
+    val d = new Dag()
+    val vf = d.add(new VocabFilterNode(minDf = 2L, maxVocab = 2))
+    d.add(srcNode(corpus)) >> vf("df")
+    vf >> d.output("result")
+    val c = Ctx(spark)
+    d.fit(c)
+    assert(vf.lastVocab == Seq("aa", "bb"))
+    val out = d.transform(c).outputs("result")
+      .select("doc_id", "n_oov").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 3L))
+    // filter mode: maxOovFrac = 0.5 drops doc 4 (3/4 OOV)
+    val d2 = new Dag()
+    val vf2 = d2.add(new VocabFilterNode(minDf = 2L, maxVocab = 2, maxOovFrac = 0.5))
+    d2.add(srcNode(corpus)) >> vf2("df")
+    vf2 >> d2.output("result")
+    val c2 = Ctx(spark)
+    d2.fit(c2)
+    assert(d2.transform(c2).outputs("result")
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 3L))
+  }
+
+  test("SemDedupNode: single-block identity equals brute force; k>=2 path subsets it") {
+    val emb = (0L until 24L).map { i =>
+      val c = (i % 2).toInt
+      (i, Array.tabulate(8)(j => (c * 5.0 + math.sin(i * 2.7 + j) * 0.1).toFloat))
+    }.toDF("vec_id", "embedding")
+    def pairsOf(n: Int, maxCluster: Int = Int.MaxValue): Set[(Long, Long)] = {
+      val d = new Dag()
+      val sd = d.add(new SemDedupNode(threshold = 0.99, nClusters = n, maxCluster = maxCluster))
+      d.add(srcNode(emb)) >> sd("df")
+      sd >> d.output("result")
+      val c = Ctx(spark)
+      d.fit(c)
+      d.transform(c).outputs("result").select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    }
+    val brute = runOne { d =>
+      d.add(srcNode(emb)) >> new EmbeddingNearDupNode(threshold = 0.99, bruteForce = true) >>
+        d.output("result")
+    }.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(brute.nonEmpty)
+    assert(pairsOf(1) == brute) // one block ⇒ provably identical pair set
+    val two = pairsOf(2) // real quantizer path: no false positives, finds the clusters
+    assert(two.subsetOf(brute) && two.nonEmpty)
+    // sub-splitter engages under a tiny cap and still yields a subset
+    assert(pairsOf(1, maxCluster = 6).subsetOf(brute))
+  }
+
+  test("DomainQuotaNode: desc rank with id tie-break, quota enforced per stratum") {
+    val rows = Seq(
+      (1L, "a", 10), (2L, "a", 30), (3L, "a", 30), (4L, "a", 5),
+      (5L, "b", 1), (6L, "b", 2),
+    ).toDF("doc_id", "source", "n_chars")
+    val out = runOne { d =>
+      d.add(srcNode(rows)) >> new DomainQuotaNode(strataCol = "source", quota = 2,
+        orderBy = Seq("n_chars desc")) >> d.output("result")
+    }.select("doc_id", "q_rank").as[(Long, Int)].collect().toMap
+    // source a: 30(id2) rank1, 30(id3) rank2 — tie broken by id; 10 and 5 cut
+    assert(out == Map(2L -> 1, 3L -> 2, 6L -> 1, 5L -> 2))
+  }
 }
 
 object NodesSpec {

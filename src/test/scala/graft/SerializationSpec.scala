@@ -158,6 +158,26 @@ class SerializationSpec extends AnyFunSuite {
     assert(il2.buckets == 128 && il2.tagCol == "tag")
   }
 
+  test("round-trip covers quality kinds: heuristic/vocab/semdedup/domain-quota") {
+    val d = new Dag("qkinds")
+    val hf = d.add(new HeuristicFilterNode("body", 30, 5000, 2.5, 9.0, 0.2, 0.8, 0.4,
+      0.7, 3, Seq("der", "die"), keepOnly = true))
+    val vf = d.add(new VocabFilterNode("id", "body", 7L, 1024, 0.25))
+    val sd = d.add(new SemDedupNode(0.9, 64, "id", "vec", 5000L, 2048))
+    val dq = d.add(new DomainQuotaNode("dom", 42, Seq("score desc", "ts"), "id", "rk"))
+    val d2 = DagJson.fromJson(DagJson.toJson(d))
+    val hf2 = d2.node(hf.name).asInstanceOf[HeuristicFilterNode]
+    assert(hf2.textCol == "body" && hf2.minWords == 30 && hf2.maxSymbolRatio == 0.2 &&
+      hf2.minStopwordHits == 3 && hf2.stopwords == Seq("der", "die") && hf2.keepOnly)
+    val vf2 = d2.node(vf.name).asInstanceOf[VocabFilterNode]
+    assert(vf2.minDf == 7L && vf2.maxVocab == 1024 && vf2.maxOovFrac == 0.25)
+    val sd2 = d2.node(sd.name).asInstanceOf[SemDedupNode]
+    assert(sd2.threshold == 0.9 && sd2.nClusters == 64 && sd2.maxFitRows == 5000L &&
+      sd2.maxCluster == 2048)
+    val dq2 = d2.node(dq.name).asInstanceOf[DomainQuotaNode]
+    assert(dq2.quota == 42 && dq2.orderBy == Seq("score desc", "ts") && dq2.rankCol == "rk")
+  }
+
   test("DagRun.unpersist releases node-internal tracked persists (Ctx.track)") {
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.size
