@@ -160,4 +160,37 @@ class PlanSpec extends AnyFunSuite {
     assert("""\(\d+\) Exchange""".r.findAllIn(pk).size == 1,
       s"SequencePackNode must shuffle exactly once (shard window):\n$pk")
   }
+
+  test("quality nodes keep their scale shapes: heuristic narrow, quota one exchange") {
+    import graft.dag._
+    import graft.nodes._
+    def build(f: Dag => Unit): org.apache.spark.sql.DataFrame = {
+      val d = new Dag(); f(d); d.transform(Ctx(spark)).outputs("result")
+    }
+    // HeuristicFilterNode: the full rule battery is one narrow projection
+    val hf = planOf(build { d =>
+      d.add(SourceNode.table(dir, "documents")) >>
+        new HeuristicFilterNode(minStopwordHits = 1) >> d.output("result")
+    })
+    assert(!hf.contains("Exchange"), s"HeuristicFilterNode must not shuffle:\n$hf")
+    // DomainQuotaNode: exactly ONE exchange (the per-stratum window)
+    val dq = planOf(build { d =>
+      d.add(SourceNode.table(dir, "documents")) >>
+        new DomainQuotaNode(strataCol = "source", quota = 5,
+          orderBy = Seq("n_chars desc")) >> d.output("result")
+    })
+    assert("""\(\d+\) Exchange""".r.findAllIn(dq).size == 1,
+      s"DomainQuotaNode must shuffle exactly once (stratum window):\n$dq")
+    // VocabFilterNode transform: the vocabulary joins BROADCAST — the only
+    // exchange is the per-doc re-aggregation, never a shuffle of the vocab
+    val d = new Dag()
+    val vf = d.add(new VocabFilterNode(minDf = 2L, maxVocab = 16))
+    d.add(SourceNode.table(dir, "documents")) >> vf("df")
+    vf >> d.output("result")
+    val c = Ctx(spark)
+    d.fit(c)
+    val vp = planOf(d.transform(c).outputs("result"))
+    assert(vp.contains("BroadcastHashJoin") || vp.contains("BroadcastNestedLoopJoin"),
+      s"vocab join must broadcast:\n$vp")
+  }
 }
