@@ -105,7 +105,14 @@ object VecFunctions {
       "winnow_fp", exprs => WinnowFingerprint(exprs(0), intLit(exprs(1)), intLit(exprs(2))), "scala_udf")
     reg.createOrReplaceTempFunction(
       "unicode_norm", exprs => UnicodeNormalize.fromExprs(exprs), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "bpe_encode", exprs => BpeEncode(exprs(0), strLit(exprs(1)).split('\n').toSeq), "scala_udf")
   }
+  private[functions] def strLit(e: Expression): String =
+    e.eval(null) match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case other => throw new IllegalArgumentException(s"expected string literal, got $other")
+    }
 }
 
 /** `spark.sql.extensions=graft.functions.GraftExtensions` wires the functions
@@ -148,5 +155,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("unicode_norm"),
       new ExpressionInfo(classOf[UnicodeNormalize].getName, "unicode_norm"),
       (exprs: Seq[Expression]) => UnicodeNormalize.fromExprs(exprs)))
+    ext.injectFunction((
+      FunctionIdentifier("bpe_encode"),
+      new ExpressionInfo(classOf[BpeEncode].getName, "bpe_encode"),
+      (exprs: Seq[Expression]) => BpeEncode(exprs(0),
+        VecFunctions.strLit(exprs(1)).split('\n').toSeq)))
   }
 }

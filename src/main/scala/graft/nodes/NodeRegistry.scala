@@ -97,6 +97,9 @@ object NodeRegistry {
       p.bool("keepOnly")))
     register("vocab_filter")(p => new VocabFilterNode(p.str("idCol"), p.str("textCol"),
       p.m("minDf").toString.toLong, p.int("maxVocab"), p.dbl("maxOovFrac")))
+    register("bpe_tokenizer")(p => new BpeTokenizerNode(p.str("idCol"), p.str("textCol"),
+      p.int("numMerges"), p.m("maxFitRows").toString.toLong, p.int("maxWordTypes"),
+      p.str("outCol")))
     register("domain_quota")(p => new DomainQuotaNode(p.str("strataCol"), p.int("quota"),
       p.strs("orderBy"), p.str("idCol"), p.str("rankCol")))
     register("semdedup")(p => new SemDedupNode(p.dbl("threshold"), p.int("nClusters"),

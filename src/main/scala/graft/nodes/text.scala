@@ -224,6 +224,75 @@ class VocabFilterNode(
   }
 }
 
+/** Trained byte-pair-encoding tokenizer (Sennrich et al. 2016,
+  * arXiv:1508.07909) — the real subword tokenizer of an LLM pipeline, as an
+  * estimator: `fit` learns `numMerges` merge rules from corpus word
+  * frequencies, `transform` applies them everywhere through the compiled
+  * [[graft.functions.BpeEncode]] kernel (a narrow map — zero shuffle at any
+  * scale).
+  *
+  * Scale shape mirrors every real tokenizer trainer: TRAINING is a bounded
+  * single-node job — a deterministic md5-mod document sample (`maxFitRows`)
+  * feeds one explode + groupBy + TakeOrdered that collects at most
+  * `maxWordTypes` (word, count) rows of driver state, and the merge loop
+  * runs locally on that table; APPLICATION is the distributed part. The
+  * learned merge list is a bounded model (like centroids or the OOV vocab),
+  * reusable via weight sharing and save/load.
+  */
+class BpeTokenizerNode(
+    val idCol: String = "doc_id",
+    val textCol: String = "text",
+    val numMerges: Int = 200,
+    val maxFitRows: Long = 10000L,
+    val maxWordTypes: Int = 50000,
+    val outCol: String = "bpe_tokens")
+  extends EstimatorNode {
+  type Model = Seq[String]
+  require(numMerges >= 0, "numMerges must be >= 0")
+  require(maxFitRows > 0 && maxWordTypes > 0, "fit caps must be positive")
+  override protected def defaultName: String = "bpe_tokenizer"
+  val inputs = Seq(Port("df"))
+  val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("bpe_tokenizer")
+  override def jsonParams: Map[String, Any] = Map("idCol" -> idCol, "textCol" -> textCol,
+    "numMerges" -> numMerges, "maxFitRows" -> maxFitRows,
+    "maxWordTypes" -> maxWordTypes, "outCol" -> outCol)
+
+  /** Merge rules learned by the last fit (spec/audit diagnostic). */
+  @volatile var lastMerges: Seq[String] = Nil
+
+  def fitModel(ctx: Ctx, in: In): Model = {
+    import org.apache.spark.sql.functions.{count, lit}
+    val docs = in("df")
+    val n = docs.count()
+    val mod = math.max(1L, (n + maxFitRows - 1L) / maxFitRows)
+    val sampled = if (mod <= 1L) docs
+      else docs.filter(expr(s"${DetHash.modExpr(idCol, mod)} = 0"))
+    // corpus word-OCCURRENCE counts (BPE trains on term frequency), capped
+    // to the maxWordTypes most frequent types under a total order
+    val wordFreq = sampled
+      .select(expr(s"explode(${TextExprs.tokensExpr(textCol)})").as("__w"))
+      .filter("__w <> ''")
+      .groupBy("__w").agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("__w").asc)
+      .limit(maxWordTypes)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val merges = graft.functions.BpeTrain.train(wordFreq, numMerges)
+    lastMerges = merges
+    merges
+  }
+
+  def applyModel(merges: Model, ctx: Ctx, in: In): Map[String, DataFrame] = {
+    graft.functions.VecFunctions.register(ctx.spark)
+    // merge lines never contain whitespace beyond the single pair separator,
+    // so a newline-joined SQL string literal carries the table losslessly
+    val lit = merges.mkString("\n").replace("\\", "\\\\").replace("'", "\\'")
+    Map("result" -> in("df")
+      .withColumn(outCol, expr(s"bpe_encode($textCol, '$lit')"))
+      .withColumn("n_bpe_tokens", expr(s"size($outCol)")))
+  }
+}
+
 /** Intra-document repetition scoring (the Gopher-style repetition quality
   * rule): the fraction of duplicate word n-grams inside each document —
   * boilerplate, keyword stuffing, and degenerate generations score high and

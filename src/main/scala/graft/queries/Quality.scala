@@ -177,11 +177,39 @@ object Quality {
       |  FROM documents) t
       |WHERE q_rank <= 5""".stripMargin
 
+  // ---- q88: trained BPE tokenizer round-trip. The merge table is learned
+  // from a bounded deterministic sample (how every real tokenizer trains),
+  // applied corpus-wide by the compiled bpe_encode kernel, and pinned by the
+  // construction identity: BPE merging never creates or destroys characters,
+  // so concatenating each document's subword tokens MUST reproduce the
+  // document with its whitespace removed. Any slicing/rank/UTF-8 bug in fit
+  // or apply breaks roundtrip_ok somewhere in the corpus → hash mismatch.
+  // n_words rides along so the row payload is data-derived, not constant. ----
+  def q88_bpe_roundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val d = new Dag("bpe_roundtrip")
+    val src = d.add(SourceNode.table(dir, "documents"))
+    val bpe = d.add(new BpeTokenizerNode(numMerges = 100, maxFitRows = 200L))
+    src >> bpe("df")
+    bpe >> ProjectNode("doc_id",
+      s"size(${TextExprs.tokensExpr("text")}) as n_words",
+      "cast(array_join(bpe_tokens, '') = regexp_replace(lower(text), '\\\\s+', '') as int) as roundtrip_ok") >>
+      d.output("result")
+    val ctx = Ctx(spark)
+    d.fit(ctx)
+    d.transform(ctx).outputs("result")
+  }
+  val q88Sql: String =
+    """SELECT doc_id,
+      |  len(regexp_split_to_array(lower(trim(text)), '\s+')) AS n_words,
+      |  1 AS roundtrip_ok
+      |FROM documents""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q83_heuristic_filter", q83_heuristic_filter _, q83Sql),
     ("q84_semdedup", q84_semdedup _, q84Sql),
     ("q85_vocab_oov", q85_vocab_oov _, q85Sql),
     ("q86_orc_roundtrip", q86_orc_roundtrip _, q86Sql),
     ("q87_domain_quota", q87_domain_quota _, q87Sql),
+    ("q88_bpe_roundtrip", q88_bpe_roundtrip _, q88Sql),
   )
 }

@@ -834,6 +834,41 @@ class NodesSpec extends AnyFunSuite {
     assert(pairsOf(1, maxCluster = 6).subsetOf(brute))
   }
 
+  test("BpeTrain: deterministic merges, count-desc pair-asc tie-break, no singleton merges") {
+    // "abab" x3, "ab" x2: pair (a,b) count 3*2+2 = 8 wins; then (ab,ab) count 3
+    val merges = graft.functions.BpeTrain.train(Seq("abab" -> 3L, "ab" -> 2L), 10)
+    assert(merges.take(2) == Seq("a b", "ab ab"))
+    // a corpus of unique characters has no repeating pair: training stops
+    assert(graft.functions.BpeTrain.train(Seq("xyz" -> 1L), 10).isEmpty)
+  }
+
+  test("BpeTokenizerNode: roundtrip identity, compression grows with merges, fit caps hold") {
+    val corpus = (1L to 60L).map(i =>
+      (i, s"the quick brown fox number $i jumps over the lazy dog über-fast 😀"))
+      .toDF("doc_id", "text")
+    def tokens(numMerges: Int): DataFrame = {
+      val d = new Dag()
+      val bpe = d.add(new BpeTokenizerNode(numMerges = numMerges, maxFitRows = 30L))
+      d.add(srcNode(corpus)) >> bpe("df")
+      bpe >> d.output("result")
+      val c = Ctx(spark)
+      d.fit(c)
+      d.transform(c).outputs("result")
+    }
+    val out = tokens(60)
+    // construction identity: concat(tokens) == text minus whitespace, lowercased
+    // (surrogate-pair emoji and non-ASCII survive the codepoint slicing)
+    assert(out.filter(
+      expr("array_join(bpe_tokens, '') <> regexp_replace(lower(text), '\\\\s+', '')")).count() == 0)
+    // more merges → fewer tokens; zero merges → pure character tokenization
+    val n60 = out.agg(sum("n_bpe_tokens")).head.getLong(0)
+    val n0 = tokens(0).agg(sum("n_bpe_tokens")).head.getLong(0)
+    assert(n60 < n0, s"merges must compress: $n60 !< $n0")
+    val chars = corpus.agg(sum(expr("length(regexp_replace(lower(text), '\\\\s+', ''))")))
+      .head.getLong(0)
+    assert(n0 == chars) // char-level floor
+  }
+
   test("DomainQuotaNode: desc rank with id tie-break, quota enforced per stratum") {
     val rows = Seq(
       (1L, "a", 10), (2L, "a", 30), (3L, "a", 30), (4L, "a", 5),

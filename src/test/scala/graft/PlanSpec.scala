@@ -192,5 +192,15 @@ class PlanSpec extends AnyFunSuite {
     val vp = planOf(d.transform(c).outputs("result"))
     assert(vp.contains("BroadcastHashJoin") || vp.contains("BroadcastNestedLoopJoin"),
       s"vocab join must broadcast:\n$vp")
+    // BpeTokenizerNode transform: the merge table rides in the plan — the
+    // corpus-wide tokenization is a pure narrow map, zero Exchange
+    val bd = new Dag()
+    val bpe = bd.add(new BpeTokenizerNode(numMerges = 20, maxFitRows = 100L))
+    bd.add(SourceNode.table(dir, "documents")) >> bpe("df")
+    bpe >> bd.output("result")
+    val bc = Ctx(spark)
+    bd.fit(bc)
+    val bp = planOf(bd.transform(bc).outputs("result"))
+    assert(!bp.contains("Exchange"), s"BPE apply must not shuffle:\n$bp")
   }
 }

@@ -176,6 +176,10 @@ class SerializationSpec extends AnyFunSuite {
       sd2.maxCluster == 2048)
     val dq2 = d2.node(dq.name).asInstanceOf[DomainQuotaNode]
     assert(dq2.quota == 42 && dq2.orderBy == Seq("score desc", "ts") && dq2.rankCol == "rk")
+    val bp = d.add(new BpeTokenizerNode("id", "body", 300, 2000L, 9999, "toks"))
+    val bp2 = DagJson.fromJson(DagJson.toJson(d)).node(bp.name).asInstanceOf[BpeTokenizerNode]
+    assert(bp2.numMerges == 300 && bp2.maxFitRows == 2000L && bp2.maxWordTypes == 9999 &&
+      bp2.outCol == "toks")
   }
 
   test("DagRun.unpersist releases node-internal tracked persists (Ctx.track)") {
