@@ -105,7 +105,7 @@ object NodeRegistry {
     register("semdedup")(p => new SemDedupNode(p.dbl("threshold"), p.int("nClusters"),
       p.str("idCol"), p.str("vecCol"),
       p.m.get("maxFitRows").map(_.toString.toLong).getOrElse(200000L),
-      p.int("maxCluster")))
+      p.int("maxCluster"), p.boolOr("collapseExact", true)))
     register("repetition_score")(p => new RepetitionScoreNode(p.str("textCol"),
       p.m("ns").asInstanceOf[Seq[Any]].map(_.toString.toDouble.toInt)))
     register("contamination")(p => new ContaminationNode(p.str("idCol"), p.str("textCol"),

@@ -383,7 +383,8 @@ class SemDedupNode(
     val idCol: String = "vec_id",
     val vecCol: String = "embedding",
     val maxFitRows: Long = 200000L,
-    val maxCluster: Int = 20000)
+    val maxCluster: Int = 20000,
+    val collapseExact: Boolean = true) // collapse bit-identical vectors first
   extends EstimatorNode {
   // None = the nClusters == 1 degenerate config (single block, no quantizer:
   // Spark KMeans requires k >= 2, and a 1-means fit would be a no-op anyway)
@@ -398,7 +399,8 @@ class SemDedupNode(
   override def jsonKind: Option[String] = Some("semdedup")
   override def jsonParams: Map[String, Any] = Map("threshold" -> threshold,
     "nClusters" -> nClusters, "idCol" -> idCol, "vecCol" -> vecCol,
-    "maxFitRows" -> maxFitRows, "maxCluster" -> maxCluster)
+    "maxFitRows" -> maxFitRows, "maxCluster" -> maxCluster,
+    "collapseExact" -> collapseExact)
 
   /** Rows handed to the last quantizer fit (spec diagnostic, as in IvfKnn). */
   @volatile var lastFitRows: Long = -1L
@@ -414,11 +416,24 @@ class SemDedupNode(
 
   def applyModel(m: Model, ctx: Ctx, in: In): Map[String, DataFrame] = {
     VecExprs.ensure(ctx.spark)
-    import org.apache.spark.sql.functions.{broadcast, ceil, count, lit}
+    import org.apache.spark.sql.functions.{broadcast, ceil, count, lit, row_number, xxhash64}
+    // Exact-duplicate collapse FIRST (the MinHash collapseExact guard on the
+    // embedding side): a k-way family of bit-identical vectors is k^2/2
+    // cosine-1.0 OUTPUT pairs — quadratic in duplication, measured 90k pairs
+    // on the 10x clone probe before this. One representative (min id) per
+    // distinct vector makes pair output a function of DISTINCT content;
+    // exact duplicates are ExactDedupNode's linear job. Keyed on xxhash64 of
+    // the vector (same collision tradeoff as hashed shingles).
+    val base0 = in("df")
+    val base = if (!collapseExact) base0 else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(xxhash64(col(vecCol))).orderBy(col(idCol).asc)
+      base0.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+    }
     val clustered = m match {
-      case Some(km) => km.transform(QuantizerFit.withVec(in("df"), vecCol))
+      case Some(km) => km.transform(QuantizerFit.withVec(base, vecCol))
         .withColumnRenamed(km.getPredictionCol, "__cluster")
-      case None => in("df").withColumn("__cluster", lit(0))
+      case None => base.withColumn("__cluster", lit(0))
     }
     val assigned = ctx.track(clustered
       .select(col(idCol), col(vecCol).as("__v"), col("__cluster"))

@@ -78,8 +78,11 @@ object Quality {
       .named("corpus_sample")
     val brute = sample >> new EmbeddingNearDupNode(threshold = 0.3, bruteForce = true)
       .named("brute")
+    // collapseExact off: the brute baseline scores RAW vectors, so the
+    // identity must compare like against like (the testdata has no
+    // bit-identical embeddings anyway — collapse is the 10x-clone guard)
     val sem = d.add(new SemDedupNode(threshold = 0.3, nClusters = 1,
-      maxCluster = Int.MaxValue).named("sem"))
+      maxCluster = Int.MaxValue, collapseExact = false).named("sem"))
     sample("result") >> sem("df")
     val cmp = d.add(new FnNode(Seq(Port("brute"), Port("sem")), Seq(Port("result")),
       (_, in) => {

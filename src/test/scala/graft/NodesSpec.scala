@@ -834,6 +834,27 @@ class NodesSpec extends AnyFunSuite {
     assert(pairsOf(1, maxCluster = 6).subsetOf(brute))
   }
 
+  test("SemDedupNode collapses bit-identical vectors before pairing") {
+    val v = Array.tabulate(8)(j => (1.0 + j * 0.1).toFloat)
+    // a 6-way identical family + one scaled copy (cosine 1.0, different bits)
+    val emb = ((0L until 6L).map(i => (i, v)) :+ (9L, v.map(_ * 1.0001f)))
+      .toDF("vec_id", "embedding")
+    def pairs(collapse: Boolean): Set[(Long, Long)] = {
+      val d = new Dag()
+      val sd = d.add(new SemDedupNode(threshold = 0.99, nClusters = 1,
+        collapseExact = collapse))
+      d.add(srcNode(emb)) >> sd("df")
+      sd >> d.output("result")
+      val c = Ctx(spark)
+      d.fit(c)
+      d.transform(c).outputs("result").select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    }
+    // collapsed: one representative per distinct vector → the single
+    // cross-content pair; uncollapsed: the family alone is C(6,2) = 15 pairs
+    assert(pairs(collapse = true) == Set((0L, 9L)))
+    assert(pairs(collapse = false).size == 21) // C(7,2): quadratic in duplication
+  }
+
   test("BpeTrain: deterministic merges, count-desc pair-asc tie-break, no singleton merges") {
     // "abab" x3, "ab" x2: pair (a,b) count 3*2+2 = 8 wins; then (ab,ab) count 3
     val merges = graft.functions.BpeTrain.train(Seq("abab" -> 3L, "ab" -> 2L), 10)

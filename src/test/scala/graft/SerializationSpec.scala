@@ -163,7 +163,7 @@ class SerializationSpec extends AnyFunSuite {
     val hf = d.add(new HeuristicFilterNode("body", 30, 5000, 2.5, 9.0, 0.2, 0.8, 0.4,
       0.7, 3, Seq("der", "die"), keepOnly = true))
     val vf = d.add(new VocabFilterNode("id", "body", 7L, 1024, 0.25))
-    val sd = d.add(new SemDedupNode(0.9, 64, "id", "vec", 5000L, 2048))
+    val sd = d.add(new SemDedupNode(0.9, 64, "id", "vec", 5000L, 2048, collapseExact = false))
     val dq = d.add(new DomainQuotaNode("dom", 42, Seq("score desc", "ts"), "id", "rk"))
     val d2 = DagJson.fromJson(DagJson.toJson(d))
     val hf2 = d2.node(hf.name).asInstanceOf[HeuristicFilterNode]
@@ -173,7 +173,7 @@ class SerializationSpec extends AnyFunSuite {
     assert(vf2.minDf == 7L && vf2.maxVocab == 1024 && vf2.maxOovFrac == 0.25)
     val sd2 = d2.node(sd.name).asInstanceOf[SemDedupNode]
     assert(sd2.threshold == 0.9 && sd2.nClusters == 64 && sd2.maxFitRows == 5000L &&
-      sd2.maxCluster == 2048)
+      sd2.maxCluster == 2048 && !sd2.collapseExact)
     val dq2 = d2.node(dq.name).asInstanceOf[DomainQuotaNode]
     assert(dq2.quota == 42 && dq2.orderBy == Seq("score desc", "ts") && dq2.rankCol == "rk")
     val bp = d.add(new BpeTokenizerNode("id", "body", 300, 2000L, 9999, "toks"))
