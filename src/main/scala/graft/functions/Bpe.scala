@@ -41,6 +41,13 @@ case class BpeEncode(child: Expression, merges: Seq[String]) extends UnaryExpres
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
 
   private def encodeWord(word: String, out: java.util.ArrayList[UTF8String]): Unit = {
+    // pathological unbroken runs (minified JS, base64 blobs) would make the
+    // merge loop O(L^2); real tokenizers cap per-word input the same way
+    // (e.g. WordPiece max_input_chars_per_word). Emitting the run as ONE
+    // token preserves the round-trip identity — no characters are lost.
+    if (word.length > BpeEncode.maxWordChars) {
+      out.add(UTF8String.fromString(word)); return
+    }
     var syms = new java.util.ArrayList[String](word.length)
     var i = 0
     while (i < word.length) { // split into code points, not chars
@@ -92,6 +99,10 @@ case class BpeEncode(child: Expression, merges: Seq[String]) extends UnaryExpres
     new GenericArrayData(out.toArray[AnyRef](new Array[AnyRef](out.size)))
   }
   override protected def withNewChildInternal(c: Expression): BpeEncode = copy(child = c)
+}
+object BpeEncode {
+  /** Per-word merge-loop cap (chars); longer runs pass through whole. */
+  val maxWordChars = 1000
 }
 
 /** Driver-local BPE merge training over a (word, weight) frequency table —

@@ -272,7 +272,7 @@ class BpeTokenizerNode(
     // to the maxWordTypes most frequent types under a total order
     val wordFreq = sampled
       .select(expr(s"explode(${TextExprs.tokensExpr(textCol)})").as("__w"))
-      .filter("__w <> ''")
+      .filter(s"__w <> '' and length(__w) <= ${graft.functions.BpeEncode.maxWordChars}")
       .groupBy("__w").agg(count(lit(1)).as("__c"))
       .orderBy(col("__c").desc, col("__w").asc)
       .limit(maxWordTypes)
