@@ -207,6 +207,78 @@ object Quality {
       |  1 AS roundtrip_ok
       |FROM documents""".stripMargin
 
+  // ---- q89: the round-5 stages composed end to end — heuristic quality
+  // gate (keepOnly) → per-domain quota → trained BPE tokenization →
+  // sequence packing (ws-token counts, so the pack arithmetic stays
+  // DuckDB-derivable) → per-shard stream stats. The BPE stage participates
+  // through the aggregated round-trip identity (n_roundtrip_ok must equal
+  // n_docs per shard), so a regression in ANY stage — a rule, the quota
+  // cut, a merge rule, the shard cumsum — moves some integer in the output
+  // and breaks the hash. ----
+  def q89_pretrain_pipeline(spark: SparkSession, dir: String): DataFrame = {
+    val d = new Dag("pretrain_pipeline")
+    val src = d.add(SourceNode.table(dir, "documents"))
+    val gated = src >>
+      new HeuristicFilterNode(minWords = 40, maxWords = 100000,
+        minMeanWordLen = 2.0, maxMeanWordLen = 10.0,
+        minAlphaWordFrac = 0.8, minStopwordHits = 1, keepOnly = true) >>
+      new DomainQuotaNode(strataCol = "source", quota = 20,
+        orderBy = Seq("n_chars desc"))
+    val bpe = d.add(new BpeTokenizerNode(numMerges = 100, maxFitRows = 200L))
+    gated >> bpe("df")
+    bpe >> new SequencePackNode(seqLen = 256, shards = 8) >>
+      new WithColumnsNode(Seq("rt_ok" ->
+        "cast(array_join(bpe_tokens, '') = regexp_replace(lower(text), '\\\\s+', '') as bigint)")) >>
+      new AggNode(Seq("shard"), Seq(
+        "count(*) as n_docs",
+        "sum(n_tokens) as total_tokens",
+        "max(seq_last) + 1 as n_seqs",
+        "sum(rt_ok) as n_roundtrip_ok")) >>
+      SortNode("shard") >>
+      d.output("result")
+    val ctx = Ctx(spark)
+    d.fit(ctx)
+    d.transform(ctx).outputs("result")
+  }
+  val q89Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, source, n_chars,
+       |    regexp_split_to_array(lower(trim(text)), '\\s+') AS toks,
+       |    string_split(text, chr(10)) AS lines,
+       |    length(regexp_replace(text, '\\s+', '', 'g')) AS nchar_ns, text
+       |  FROM documents),
+       |gated AS (
+       |  SELECT doc_id, source, n_chars, len(toks) AS n_tokens FROM t
+       |  WHERE len(toks) >= 40 AND len(toks) <= 100000
+       |    AND cast(nchar_ns as double) / greatest(len(toks), 1) BETWEEN 2.0 AND 10.0
+       |    AND cast(len(regexp_extract_all(text, '#|\\.\\.\\.|…')) as double)
+       |        / greatest(len(toks), 1) <= 0.1
+       |    AND cast(len(list_filter(lines, l -> regexp_matches(l, '^\\s*[-*•]'))) as double)
+       |        / greatest(len(lines), 1) <= 0.9
+       |    AND cast(len(list_filter(lines, l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$$'))) as double)
+       |        / greatest(len(lines), 1) <= 0.3
+       |    AND cast(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) as double)
+       |        / greatest(len(toks), 1) >= 0.8
+       |    AND len(list_intersect(list_distinct(toks),
+       |        ['the','be','to','of','and','that','have','with'])) >= 1),
+       |quota AS (
+       |  SELECT doc_id, n_tokens FROM (
+       |    SELECT doc_id, n_tokens, row_number() OVER (
+       |      PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS rk
+       |    FROM gated) q WHERE rk <= 20),
+       |packed AS (
+       |  SELECT shard, n_tokens,
+       |    cast(coalesce(sum(n_tokens) OVER (
+       |      PARTITION BY shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) as bigint) AS start_tok
+       |  FROM (SELECT doc_id, n_tokens,
+       |          ${duckHash("cast(doc_id as varchar)", 8)} AS shard
+       |        FROM quota) s)
+       |SELECT shard, count(*) AS n_docs, cast(sum(n_tokens) as bigint) AS total_tokens,
+       |  max((start_tok + greatest(n_tokens, 1) - 1) // 256) + 1 AS n_seqs,
+       |  count(*) AS n_roundtrip_ok
+       |FROM packed GROUP BY shard ORDER BY shard""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q83_heuristic_filter", q83_heuristic_filter _, q83Sql),
     ("q84_semdedup", q84_semdedup _, q84Sql),
@@ -214,5 +286,6 @@ object Quality {
     ("q86_orc_roundtrip", q86_orc_roundtrip _, q86Sql),
     ("q87_domain_quota", q87_domain_quota _, q87Sql),
     ("q88_bpe_roundtrip", q88_bpe_roundtrip _, q88Sql),
+    ("q89_pretrain_pipeline", q89_pretrain_pipeline _, q89Sql),
   )
 }
