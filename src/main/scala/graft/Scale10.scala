@@ -53,7 +53,8 @@ object Scale10 {
     val defaults = Seq("q20_dedup_exact", "q21_token_count", "q22_quality", "q24_fingerprint",
       "q25_minhash_dedup", "q26_simhash_dedup", "q27_ngram_jaccard", "q29_ann_lsh",
       "q50_ivf_knn", "q51_pipeline", "q52_dedup_clusters", "q13_json", "q16_tumbling_window",
-      "q15_asof_join")
+      "q15_asof_join",
+      "q83_heuristic_filter", "q84_semdedup", "q88_bpe_roundtrip", "q89_pretrain_pipeline")
     val names = if (queries.nonEmpty) queries else defaults
     names.foreach { n =>
       try time(n)(Queries.all(n)(spark, out).count())
