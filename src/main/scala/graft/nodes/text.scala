@@ -121,7 +121,8 @@ class HeuristicFilterNode(
     "minStopwordHits" -> minStopwordHits, "stopwords" -> stopwords,
     "keepOnly" -> keepOnly)
   override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
-    val stopArr = stopwords.map(s => s"'$s'").mkString("array(", ", ", ")")
+    def esc(v: String): String = v.replace("\\", "\\\\").replace("'", "\\'")
+    val stopArr = stopwords.map(s => s"'${esc(s)}'").mkString("array(", ", ", ")")
     // ratios are int/int divisions in double — a single correctly-rounded
     // float64 any engine reproduces bit-exactly (the q78-q82 contract)
     val out = in("df")
@@ -209,13 +210,19 @@ class VocabFilterNode(
     val spark = ctx.spark
     import spark.implicits._
     val vdf = vocab.toDF("__tok").withColumn("__in_vocab", lit(1))
-    val occurrences = in("df")
+    // the input feeds both the explode side and the final join-back: persist
+    // unless it is a bare scan (re-reading pruned parquet beats pinning it)
+    val raw = in("df")
+    val base = if (raw.queryExecution.analyzed
+      .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LeafNode]) raw
+    else ctx.track(raw)
+    val occurrences = base
       .select(col(idCol), expr(s"explode(${TextExprs.tokensExpr(textCol)})").as("__tok"))
     val perDoc = occurrences.join(broadcast(vdf), Seq("__tok"), "left")
       .groupBy(idCol).agg(
         count(lit(1)).as("n_tokens"),
         sum(when(col("__in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
-    val scored = in("df").join(perDoc, Seq(idCol), "left")
+    val scored = base.join(perDoc, Seq(idCol), "left")
       .withColumn("n_tokens", coalesce(col("n_tokens"), lit(0L)))
       .withColumn("n_oov", coalesce(col("n_oov"), lit(0L)))
       .withColumn("oov_frac", expr("cast(n_oov as double) / greatest(n_tokens, 1L)"))
