@@ -279,6 +279,47 @@ object Quality {
        |  count(*) AS n_roundtrip_ok
        |FROM packed GROUP BY shard ORDER BY shard""".stripMargin
 
+  // ---- q90: the quality gate in STREAMING mode — the same
+  // HeuristicFilterNode instance drops into a readStream pipeline unchanged
+  // (stateless narrow map), and the per-source keep counts match the batch
+  // oracle exactly. This is the deployment mode where a curation gate runs
+  // on arriving crawl data instead of a full-corpus pass. ----
+  def q90_stream_quality(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
+    val src = d.add(StreamSourceNode.table(dir, "documents"))
+    src >> new HeuristicFilterNode(minWords = 40, maxWords = 100000,
+        minMeanWordLen = 2.0, maxMeanWordLen = 10.0,
+        minAlphaWordFrac = 0.8, minStopwordHits = 1) >>
+      ProjectNode("source", "cast(keep as int) as keep") >>
+      new StreamRunNode(s"q90_sink_${System.nanoTime()}", outputMode = "append") >>
+      new AggNode(Seq("source"), Seq(
+        "count(*) as n_docs",
+        "cast(sum(keep) as bigint) as n_keep")) >>
+      SortNode("source") >>
+      d.output("result")
+  }
+  val q90Sql: String =
+    """WITH t AS (
+      |  SELECT source, text,
+      |    regexp_split_to_array(lower(trim(text)), '\s+') AS toks,
+      |    string_split(text, chr(10)) AS lines,
+      |    length(regexp_replace(text, '\s+', '', 'g')) AS nchar_ns
+      |  FROM documents)
+      |SELECT source, count(*) AS n_docs,
+      |  cast(sum(cast(
+      |    len(toks) >= 40 AND len(toks) <= 100000
+      |    AND cast(nchar_ns as double) / greatest(len(toks), 1) BETWEEN 2.0 AND 10.0
+      |    AND cast(len(regexp_extract_all(text, '#|\.\.\.|…')) as double)
+      |        / greatest(len(toks), 1) <= 0.1
+      |    AND cast(len(list_filter(lines, l -> regexp_matches(l, '^\s*[-*•]'))) as double)
+      |        / greatest(len(lines), 1) <= 0.9
+      |    AND cast(len(list_filter(lines, l -> regexp_matches(l, '(\.\.\.|…)\s*$'))) as double)
+      |        / greatest(len(lines), 1) <= 0.3
+      |    AND cast(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) as double)
+      |        / greatest(len(toks), 1) >= 0.8
+      |    AND len(list_intersect(list_distinct(toks),
+      |        ['the','be','to','of','and','that','have','with'])) >= 1 as int)) as bigint) AS n_keep
+      |FROM t GROUP BY source ORDER BY source""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q83_heuristic_filter", q83_heuristic_filter _, q83Sql),
     ("q84_semdedup", q84_semdedup _, q84Sql),
@@ -287,5 +328,6 @@ object Quality {
     ("q87_domain_quota", q87_domain_quota _, q87Sql),
     ("q88_bpe_roundtrip", q88_bpe_roundtrip _, q88Sql),
     ("q89_pretrain_pipeline", q89_pretrain_pipeline _, q89Sql),
+    ("q90_stream_quality", q90_stream_quality _, q90Sql),
   )
 }

@@ -890,6 +890,45 @@ class NodesSpec extends AnyFunSuite {
     assert(n0 == chars) // char-level floor
   }
 
+  test("VocabFilterNode and BpeTokenizerNode fitted state survives save/load") {
+    val corpus = Seq((1L, "aa bb aa cc"), (2L, "aa bb dd"), (3L, "aa bb ee")).toDF("doc_id", "text")
+    val d = new Dag()
+    val vf = d.add(new VocabFilterNode(minDf = 2L, maxVocab = 8))
+    d.add(srcNode(corpus)) >> vf("df"); vf >> d.output("result")
+    val c = Ctx(spark)
+    d.fit(c)
+    val f = java.nio.file.Files.createTempFile("graft_vocab", ".bin").toString
+    vf.saveFitted(f)
+    val vf2 = new VocabFilterNode(minDf = 2L, maxVocab = 8)
+    vf2.loadFitted(f)
+    assert(vf2.isFitted)
+    val d2 = new Dag()
+    val n2 = d2.add(vf2)
+    d2.add(srcNode(corpus)) >> n2("df"); n2 >> d2.output("result")
+    val out = d2.transform(Ctx(spark)).outputs("result")
+      .select("doc_id", "n_oov").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L)) // cc/dd/ee are OOV
+
+    val bd = new Dag()
+    val bpe = bd.add(new BpeTokenizerNode(numMerges = 5))
+    bd.add(srcNode(corpus)) >> bpe("df"); bpe >> bd.output("result")
+    val bc = Ctx(spark)
+    bd.fit(bc)
+    val bf = java.nio.file.Files.createTempFile("graft_bpe", ".bin").toString
+    bpe.saveFitted(bf)
+    val bpe2 = new BpeTokenizerNode(numMerges = 5)
+    bpe2.loadFitted(bf)
+    val bd2 = new Dag()
+    val bn2 = bd2.add(bpe2)
+    bd2.add(srcNode(corpus)) >> bn2("df"); bn2 >> bd2.output("result")
+    // identical merges → identical tokenization
+    val t1 = bd.transform(bc).outputs("result").select("doc_id", "bpe_tokens")
+      .as[(Long, Seq[String])].collect().toMap
+    val t2 = bd2.transform(Ctx(spark)).outputs("result").select("doc_id", "bpe_tokens")
+      .as[(Long, Seq[String])].collect().toMap
+    assert(t1 == t2 && t1.nonEmpty)
+  }
+
   test("DomainQuotaNode: desc rank with id tie-break, quota enforced per stratum") {
     val rows = Seq(
       (1L, "a", 10), (2L, "a", 30), (3L, "a", 30), (4L, "a", 5),
