@@ -58,6 +58,8 @@ object NodeRegistry {
     register("ngram_jaccard")(p => new NgramJaccardNode(p.str("idCol"), p.str("textCol"),
       p.int("shingleN"), p.dbl("threshold"), p.int("maxDocFreq"), p.dbl("maxDocFreqFraction"),
       Option(p.m.getOrElse("corpusSizeHint", null)).map(_.toString.toLong)))
+    register("span_dup_score")(p => new SpanDupScoreNode(p.str("idCol"), p.str("textCol"),
+      p.int("shingleN"), p.dbl("dropAbove")))
     register("token_count")(p => new TokenCountNode(p.str("textCol")))
     register("split")(p => new SplitNode(p.str("idCol"),
       p.m("splits").asInstanceOf[Seq[Any]].map { case s: Seq[Any] @unchecked =>

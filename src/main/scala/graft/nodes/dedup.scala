@@ -391,3 +391,55 @@ class NgramJaccardNode(
     Map("result" -> verified)
   }
 }
+
+/** Cross-document duplicated-SPAN scoring (the Lee et al. 2022
+  * "Deduplicating Training Data Makes Language Models Better" signal at
+  * span granularity): for each document, the fraction of its distinct
+  * word-`shingleN`-gram spans that occur in at least one OTHER document.
+  * Catches duplication that is not line-aligned (templated text, quoted
+  * passages, mirrored articles) which LineDedupNode misses and whole-doc
+  * sketches under-weight. Docs above `dropAbove` can be filtered.
+  *
+  * Scale shape = LineDedupNode's: one narrow shingle pass (compiled
+  * `shingle_hashes` kernel — 8-byte keys, never raw strings in the
+  * shuffle), one groupBy for span doc-frequencies, one equi-join back, one
+  * groupBy on the doc id. No broadcast of the frequency table (it is
+  * corpus-sized), no driver state. The hashed spans are set-identical to
+  * string spans absent xxhash64 collisions — the same equivalence the
+  * MinHash verify step and the q57 oracle rely on — which is what makes
+  * the q91 oracle exact.
+  */
+class SpanDupScoreNode(
+    val idCol: String = "doc_id",
+    val textCol: String = "text",
+    val shingleN: Int = 8,
+    val dropAbove: Double = 1.0) // 1.0 = annotate only
+  extends Node {
+  require(shingleN >= 1, "shingleN must be >= 1")
+  require(dropAbove >= 0 && dropAbove <= 1, "dropAbove must be in [0, 1]")
+  override protected def defaultName: String = "span_dup_score"
+  val inputs = Seq(Port("df"))
+  val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("span_dup_score")
+  override def jsonParams: Map[String, Any] = Map("idCol" -> idCol, "textCol" -> textCol,
+    "shingleN" -> shingleN, "dropAbove" -> dropAbove)
+  override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
+    import org.apache.spark.sql.functions.{count, lit, sum, when}
+    graft.functions.VecFunctions.register(ctx.spark)
+    val toks = TextExprs.tokensExpr(textCol)
+    val spans = ctx.track(in("df")
+      .withColumn("__toks", expr(toks))
+      .withColumn("__sp", expr(s"array_distinct(shingle_hashes(__toks, $shingleN))"))
+      .filter("size(__sp) > 0")
+      .select(col(idCol), expr("explode(__sp)").as("__h")))
+    // one distinct row per (doc, span) → count(*) IS the span doc-frequency
+    val freq = spans.groupBy("__h").agg(count(lit(1)).as("__df"))
+    val scored = spans.join(freq, Seq("__h"))
+      .groupBy(idCol).agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("__df") > 1, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("shared_frac", expr("cast(n_shared as double) / n_spans"))
+    Map("result" ->
+      (if (dropAbove >= 1.0) scored else scored.filter(col("shared_frac") <= dropAbove)))
+  }
+}

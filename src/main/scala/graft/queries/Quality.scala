@@ -320,6 +320,33 @@ object Quality {
       |        ['the','be','to','of','and','that','have','with'])) >= 1 as int)) as bigint) AS n_keep
       |FROM t GROUP BY source ORDER BY source""".stripMargin
 
+  // ---- q91: cross-document duplicated-span scoring. Hashed 8-gram spans
+  // are set-identical to string spans absent xxhash64 collisions (the q57
+  // equivalence), so DuckDB recomputes the same per-doc shared-span counts
+  // from string spans exactly — including the exact-duplicate families the
+  // generator plants, whose every span is shared. ----
+  def q91_span_dup(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
+    d.add(SourceNode.table(dir, "documents")) >>
+      new SpanDupScoreNode(shingleN = 8) >>
+      ProjectNode("doc_id", "n_spans", "n_shared", "shared_frac") >>
+      d.output("result")
+  }
+  val q91Sql: String =
+    """WITH s AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(1, greatest(len(toks) - 7, 1) + 1),
+      |    i -> array_to_string(toks[i:i+7], ' ')))) AS sp
+      |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      |        FROM documents) t
+      |  WHERE len(toks) > 0),
+      |f AS (SELECT sp, count(*) AS d FROM s GROUP BY sp)
+      |SELECT doc_id,
+      |  count(*) AS n_spans,
+      |  cast(count(*) FILTER (WHERE d > 1) as bigint) AS n_shared,
+      |  cast(count(*) FILTER (WHERE d > 1) as double) / count(*) AS shared_frac
+      |FROM s JOIN f USING (sp)
+      |GROUP BY doc_id""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q83_heuristic_filter", q83_heuristic_filter _, q83Sql),
     ("q84_semdedup", q84_semdedup _, q84Sql),
@@ -329,5 +356,6 @@ object Quality {
     ("q88_bpe_roundtrip", q88_bpe_roundtrip _, q88Sql),
     ("q89_pretrain_pipeline", q89_pretrain_pipeline _, q89Sql),
     ("q90_stream_quality", q90_stream_quality _, q90Sql),
+    ("q91_span_dup", q91_span_dup _, q91Sql),
   )
 }

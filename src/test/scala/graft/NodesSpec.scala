@@ -855,6 +855,25 @@ class NodesSpec extends AnyFunSuite {
     assert(pairs(collapse = false).size == 21) // C(7,2): quadratic in duplication
   }
 
+  test("SpanDupScoreNode: shared spans counted per doc, drop filter applies") {
+    val shared = (1 to 8).map(i => s"s$i").mkString(" ") // one exact 8-gram
+    val docs = Seq(
+      (1L, s"alpha beta $shared gamma delta"), // shares the span with 2
+      (2L, s"$shared completely other tail words here"),
+      (3L, "nothing in common with anything else at all"),
+    ).toDF("doc_id", "text")
+    val out = runOne { d =>
+      d.add(srcNode(docs)) >> new SpanDupScoreNode(shingleN = 8) >> d.output("result")
+    }.select("doc_id", "n_shared").as[(Long, Long)].collect().toMap
+    assert(out(1L) == 1L && out(2L) == 1L && out(3L) == 0L)
+    // dropAbove filters the offenders
+    val kept = runOne { d =>
+      d.add(srcNode(docs)) >> new SpanDupScoreNode(shingleN = 8, dropAbove = 0.0) >>
+        d.output("result")
+    }.select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(3L))
+  }
+
   test("BpeTrain: deterministic merges, count-desc pair-asc tie-break, no singleton merges") {
     // "abab" x3, "ab" x2: pair (a,b) count 3*2+2 = 8 wins; then (ab,ab) count 3
     val merges = graft.functions.BpeTrain.train(Seq("abab" -> 3L, "ab" -> 2L), 10)
