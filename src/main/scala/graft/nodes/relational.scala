@@ -413,6 +413,37 @@ class DistinctNode(val cols: Seq[String] = Nil) extends Node {
     Map("result" -> (if (cols.isEmpty) in("df").distinct() else in("df").dropDuplicates(cols)))
 }
 
+/** Column profiling — the data-quality audit every pipeline runs first on an
+  * unfamiliar table: per column, row count, non-null count, exact distinct
+  * count, and min/max (stringified so heterogeneous columns stack into one
+  * frame; beware engine-specific float formatting — profile numeric columns
+  * through integer/string types when cross-engine comparing). ONE aggregate
+  * pass over the data (multiple distinct counts compile to Spark's Expand —
+  * an audit query's acceptable cost), then a driver-free explode of the
+  * single result row into per-column rows.
+  */
+class ProfileNode(val columns: Seq[String] = Nil) extends Node { // Nil = all
+  override protected def defaultName: String = "profile"
+  val inputs = Seq(Port("df"))
+  val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("profile")
+  override def jsonParams: Map[String, Any] = Map("columns" -> columns)
+  override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
+    val df = in("df")
+    val cols = if (columns.nonEmpty) columns else df.columns.toSeq
+    val aggs = Seq("count(*) as __n") ++ cols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(s"count($c) as __nn_$i", s"count(distinct $c) as __nd_$i",
+        s"cast(min($c) as string) as __mn_$i", s"cast(max($c) as string) as __mx_$i")
+    }
+    val structs = cols.zipWithIndex.map { case (c, i) =>
+      s"struct('$c' as column_name, __n as n_rows, __nn_$i as n_nonnull, " +
+        s"__nd_$i as n_distinct, __mn_$i as min_val, __mx_$i as max_val)"
+    }.mkString("array(", ", ", ")")
+    Map("result" -> df.selectExpr(aggs: _*)
+      .selectExpr(s"inline($structs)"))
+  }
+}
+
 /** Arbitrary SQL over named input ports. The fully general relational node —
   * anything Catalyst can parse.
   *

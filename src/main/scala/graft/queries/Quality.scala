@@ -347,6 +347,30 @@ object Quality {
       |FROM s JOIN f USING (sp)
       |GROUP BY doc_id""".stripMargin
 
+  // ---- q92: one-pass column profiling over orders (bigint/string columns —
+  // engine-stable stringification; see the ProfileNode float caveat). ----
+  def q92_profile(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
+    d.add(SourceNode.table(dir, "orders")) >>
+      new ProfileNode(Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")) >>
+      SortNode("column_name") >>
+      d.output("result")
+  }
+  val q92Sql: String =
+    """SELECT 'o_orderkey' AS column_name, count(*) AS n_rows, count(o_orderkey) AS n_nonnull,
+      |  count(DISTINCT o_orderkey) AS n_distinct,
+      |  cast(min(o_orderkey) as varchar) AS min_val, cast(max(o_orderkey) as varchar) AS max_val
+      |FROM orders
+      |UNION ALL
+      |SELECT 'o_custkey', count(*), count(o_custkey), count(DISTINCT o_custkey),
+      |  cast(min(o_custkey) as varchar), cast(max(o_custkey) as varchar) FROM orders
+      |UNION ALL
+      |SELECT 'o_orderstatus', count(*), count(o_orderstatus), count(DISTINCT o_orderstatus),
+      |  cast(min(o_orderstatus) as varchar), cast(max(o_orderstatus) as varchar) FROM orders
+      |UNION ALL
+      |SELECT 'o_orderpriority', count(*), count(o_orderpriority), count(DISTINCT o_orderpriority),
+      |  cast(min(o_orderpriority) as varchar), cast(max(o_orderpriority) as varchar) FROM orders
+      |ORDER BY column_name""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q83_heuristic_filter", q83_heuristic_filter _, q83Sql),
     ("q84_semdedup", q84_semdedup _, q84Sql),
@@ -357,5 +381,6 @@ object Quality {
     ("q89_pretrain_pipeline", q89_pretrain_pipeline _, q89Sql),
     ("q90_stream_quality", q90_stream_quality _, q90Sql),
     ("q91_span_dup", q91_span_dup _, q91Sql),
+    ("q92_profile", q92_profile _, q92Sql),
   )
 }

@@ -855,6 +855,21 @@ class NodesSpec extends AnyFunSuite {
     assert(pairs(collapse = false).size == 21) // C(7,2): quadratic in duplication
   }
 
+  test("ProfileNode: per-column null/distinct/min/max in one pass; default = all columns") {
+    val df = Seq((1L, Some("a")), (2L, None), (3L, Some("a")), (4L, Some("b")))
+      .toDF("id", "v")
+    val out = runOne { d =>
+      d.add(srcNode(df)) >> new ProfileNode() >> d.output("result")
+    }.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))).toMap
+    assert(out("id") == ((4L, 4L, 4L, "1", "4")))
+    assert(out("v") == ((4L, 3L, 2L, "a", "b"))) // null excluded from all stats
+    val one = runOne { d =>
+      d.add(srcNode(df)) >> new ProfileNode(Seq("v")) >> d.output("result")
+    }.collect()
+    assert(one.length == 1 && one.head.getString(0) == "v")
+  }
+
   test("SpanDupScoreNode: shared spans counted per doc, drop filter applies") {
     val shared = (1 to 8).map(i => s"s$i").mkString(" ") // one exact 8-gram
     val docs = Seq(
