@@ -32,7 +32,7 @@ object NodeRegistry {
     register("set_op")(p => new SetOpNode(p.str("op")))
     register("tagged_union")(p => new TaggedUnionNode(p.str("keyCol"), p.boolOr("allowMissingColumns", false)))
     register("distinct")(p => new DistinctNode(p.strs("cols")))
-    register("profile")(p => new ProfileNode(p.strs("columns")))
+    register("profile")(p => new ProfileNode(p.strs("columns"), p.boolOr("exactDistinct", true)))
     register("sql")(p => new SqlNode(p.str("sql"), p.strs("ports")))
     register("repartition")(p => new RepartitionNode(p.int("n"), p.strs("byCols"), p.bool("coalesce")))
     // hand-authored-JSON convention: an ABSENT 'otherwise' key follows the

@@ -422,17 +422,22 @@ class DistinctNode(val cols: Seq[String] = Nil) extends Node {
   * an audit query's acceptable cost), then a driver-free explode of the
   * single result row into per-column rows.
   */
-class ProfileNode(val columns: Seq[String] = Nil) extends Node { // Nil = all
+class ProfileNode(val columns: Seq[String] = Nil, // Nil = all
+                  val exactDistinct: Boolean = true) extends Node {
   override protected def defaultName: String = "profile"
   val inputs = Seq(Port("df"))
   val outputs = Seq(Port("result"))
   override def jsonKind: Option[String] = Some("profile")
-  override def jsonParams: Map[String, Any] = Map("columns" -> columns)
+  override def jsonParams: Map[String, Any] =
+    Map("columns" -> columns, "exactDistinct" -> exactDistinct)
   override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
     val df = in("df")
     val cols = if (columns.nonEmpty) columns else df.columns.toSeq
+    // exactDistinct=false swaps in HLL sketches: no Expand, strictly one
+    // map-side-combining pass — the 100 TB profiling mode (±~2% counts)
+    val nd = if (exactDistinct) "count(distinct %s)" else "approx_count_distinct(%s)"
     val aggs = Seq("count(*) as __n") ++ cols.zipWithIndex.flatMap { case (c, i) =>
-      Seq(s"count($c) as __nn_$i", s"count(distinct $c) as __nd_$i",
+      Seq(s"count($c) as __nn_$i", s"${nd.format(c)} as __nd_$i",
         s"cast(min($c) as string) as __mn_$i", s"cast(max($c) as string) as __mx_$i")
     }
     val structs = cols.zipWithIndex.map { case (c, i) =>

@@ -868,6 +868,13 @@ class NodesSpec extends AnyFunSuite {
       d.add(srcNode(df)) >> new ProfileNode(Seq("v")) >> d.output("result")
     }.collect()
     assert(one.length == 1 && one.head.getString(0) == "v")
+    // approx mode: no Expand in the plan (one-pass HLL), counts exact at this size
+    val ap = runOne { d =>
+      d.add(srcNode(df)) >> new ProfileNode(Seq("v"), exactDistinct = false) >>
+        d.output("result")
+    }
+    assert(!ap.queryExecution.executedPlan.toString.contains("Expand"))
+    assert(ap.collect().head.getLong(3) == 2L)
   }
 
   test("SpanDupScoreNode: shared spans counted per doc, drop filter applies") {
