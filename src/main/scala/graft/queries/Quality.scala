@@ -371,6 +371,22 @@ object Quality {
       |  cast(min(o_orderpriority) as varchar), cast(max(o_orderpriority) as varchar) FROM orders
       |ORDER BY column_name""".stripMargin
 
+  // ---- q93: corpus heavy-hitters by pure composition — explode tokens →
+  // count → TakeOrderedAndProject, no new node code. Ties at the k-boundary
+  // break by token, so the 25-row cut is a total order both engines share. ----
+  def q93_top_tokens(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
+    d.add(SourceNode.table(dir, "documents")) >>
+      new ExplodeNode(TextExprs.tokensExpr("text"), Seq("pos", "tok"), keep = Nil) >>
+      new AggNode(Seq("tok"), Seq("count(*) as n")) >>
+      new TopKNode(25, Seq("n desc", "tok")) >>
+      d.output("result")
+  }
+  val q93Sql: String =
+    """SELECT tok, count(*) AS n
+      |FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+      |      FROM documents) t
+      |GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 25""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q83_heuristic_filter", q83_heuristic_filter _, q83Sql),
     ("q84_semdedup", q84_semdedup _, q84Sql),
@@ -382,5 +398,6 @@ object Quality {
     ("q90_stream_quality", q90_stream_quality _, q90Sql),
     ("q91_span_dup", q91_span_dup _, q91Sql),
     ("q92_profile", q92_profile _, q92Sql),
+    ("q93_top_tokens", q93_top_tokens _, q93Sql),
   )
 }
