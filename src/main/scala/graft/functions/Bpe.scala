@@ -25,14 +25,38 @@ case class BpeEncode(child: Expression, merges: Seq[String]) extends UnaryExpres
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "bpe_encode"
 
-  // "left right" merge lines -> rank map, built once per task
-  @transient private lazy val rank: java.util.HashMap[String, Integer] = {
-    val m = new java.util.HashMap[String, Integer](merges.size * 2)
-    var i = 0
+  // Interned symbol ids + packed-long pair ranks, built once per task: the
+  // merge loop then tests candidate pairs with primitive map lookups instead
+  // of allocating a concatenated key per pair per round — the hot path when
+  // this kernel runs over 100 TB of text. A symbol absent from the table can
+  // never be part of a ranked pair (id -1 short-circuits).
+  @transient private lazy val symId: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](merges.size * 3)
+    def intern(s: String): Unit = if (!m.containsKey(s)) m.put(s, m.size)
     merges.foreach { line =>
-      if (m.putIfAbsent(line, Integer.valueOf(i)) == null) i += 1
+      val sp = line.indexOf(' ')
+      if (sp > 0) {
+        val a = line.substring(0, sp); val b = line.substring(sp + 1)
+        intern(a); intern(b); intern(a + b)
+      }
     }
     m
+  }
+  @transient private lazy val pairRank: java.util.HashMap[java.lang.Long, Integer] = {
+    val m = new java.util.HashMap[java.lang.Long, Integer](merges.size * 2)
+    var i = 0
+    merges.foreach { line =>
+      val sp = line.indexOf(' ')
+      if (sp > 0) {
+        val a = symId.get(line.substring(0, sp)).longValue()
+        val b = symId.get(line.substring(sp + 1)).longValue()
+        if (m.putIfAbsent(java.lang.Long.valueOf((a << 32) | b), Integer.valueOf(i)) == null) i += 1
+      }
+    }
+    m
+  }
+  private def idOf(s: String): Int = {
+    val v = symId.get(s); if (v == null) -1 else v.intValue()
   }
 
   // Java regex \\s: [ \\t\\n\\x0B\\f\\r] - the same set the oracle-side
@@ -48,42 +72,55 @@ case class BpeEncode(child: Expression, merges: Seq[String]) extends UnaryExpres
     if (word.length > BpeEncode.maxWordChars) {
       out.add(UTF8String.fromString(word)); return
     }
-    var syms = new java.util.ArrayList[String](word.length)
+    var n = 0
+    val syms = new Array[String](word.length)
+    val ids = new Array[Int](word.length)
     var i = 0
     while (i < word.length) { // split into code points, not chars
       val cp = word.codePointAt(i)
-      val n = Character.charCount(cp)
-      syms.add(word.substring(i, i + n))
-      i += n
+      val w = Character.charCount(cp)
+      syms(n) = word.substring(i, i + w)
+      ids(n) = idOf(syms(n))
+      n += 1
+      i += w
     }
-    var done = syms.size < 2
+    var done = n < 2
     while (!done) {
-      // lowest-rank adjacent pair present in this word
+      // lowest-rank adjacent pair present in this word (primitive lookups)
       var bestRank = Int.MaxValue
-      var bestAt = -1
+      var bestA = -1; var bestB = -1
       var j = 0
-      while (j < syms.size - 1) {
-        val r = rank.get(syms.get(j) + " " + syms.get(j + 1))
-        if (r != null && r < bestRank) { bestRank = r; bestAt = j }
+      while (j < n - 1) {
+        if (ids(j) >= 0 && ids(j + 1) >= 0) {
+          val r = pairRank.get(java.lang.Long.valueOf((ids(j).toLong << 32) | ids(j + 1).toLong))
+          if (r != null && r.intValue() < bestRank) {
+            bestRank = r.intValue(); bestA = ids(j); bestB = ids(j + 1)
+          }
+        }
         j += 1
       }
-      if (bestAt < 0) done = true
+      if (bestA < 0) done = true
       else {
-        // merge EVERY occurrence of the chosen pair, left to right
-        val a = syms.get(bestAt); val b = syms.get(bestAt + 1)
-        val next = new java.util.ArrayList[String](syms.size)
-        var k = 0
-        while (k < syms.size) {
-          if (k < syms.size - 1 && syms.get(k) == a && syms.get(k + 1) == b) {
-            next.add(a + b); k += 2
-          } else { next.add(syms.get(k)); k += 1 }
+        // merge EVERY occurrence of the chosen pair, left to right, in place
+        var rd = 0; var wr = 0
+        var mergedStr: String = null; var mergedId = -2
+        while (rd < n) {
+          if (rd < n - 1 && ids(rd) == bestA && ids(rd + 1) == bestB) {
+            if (mergedId == -2) { // resolve the merged symbol once
+              mergedStr = syms(rd) + syms(rd + 1)
+              mergedId = idOf(mergedStr)
+            }
+            syms(wr) = mergedStr; ids(wr) = mergedId
+            rd += 2
+          } else { syms(wr) = syms(rd); ids(wr) = ids(rd); rd += 1 }
+          wr += 1
         }
-        syms = next
-        done = syms.size < 2
+        n = wr
+        done = n < 2
       }
     }
     var t = 0
-    while (t < syms.size) { out.add(UTF8String.fromString(syms.get(t))); t += 1 }
+    while (t < n) { out.add(UTF8String.fromString(syms(t))); t += 1 }
   }
 
   override def nullSafeEval(input: Any): Any = {
