@@ -202,5 +202,15 @@ class PlanSpec extends AnyFunSuite {
     bd.fit(bc)
     val bp = planOf(bd.transform(bc).outputs("result"))
     assert(!bp.contains("Exchange"), s"BPE apply must not shuffle:\n$bp")
+    // SemDedupNode: the nClusters-row size table joins BROADCAST — the big
+    // side never shuffles for it
+    val sd = new Dag()
+    val sem = sd.add(new SemDedupNode(threshold = 0.9, nClusters = 4, maxFitRows = 100L))
+    sd.add(SourceNode.table(dir, "embeddings")) >> sem("df")
+    sem >> sd.output("result")
+    val sc = Ctx(spark)
+    sd.fit(sc)
+    val sp = planOf(sd.transform(sc).outputs("result"))
+    assert(sp.contains("BroadcastHashJoin"), s"semdedup size table must broadcast:\n$sp")
   }
 }

@@ -77,6 +77,31 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("bpe_encode round-trip invariant holds for random text and learned merges") {
+    import graft.functions.{BpeEncode, BpeTrain}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    // mixed-script words incl. an uppercase form, combining accents, CJK, a
+    // surrogate-pair emoji, punctuation runs — everything the codepoint
+    // slicing and lowercasing must survive
+    val word = Gen.oneOf("Alpha", "beta", "GAMMA", "déjà", "中文字", "x😀y", "a.b,c", "zz-top", "Q")
+    val ws = Gen.oneOf(" ", "  ", "\t", "\n", " \r ")
+    val genText = for {
+      n <- Gen.choose(0, 12)
+      lead <- ws
+      parts <- Gen.listOfN(n, for { w <- word; s <- ws } yield w + s)
+    } yield lead + parts.mkString
+    check(Prop.forAll(genText, Gen.choose(0, 30)) { (text: String, numMerges: Int) =>
+      val words = text.toLowerCase.split("[ \\t\\n\\u000B\\f\\r]+").filter(_.nonEmpty)
+      val freq = words.groupBy(identity).map { case (w, g) => (w, g.length.toLong) }
+        .toSeq.sortBy(_._1)
+      val merges = BpeTrain.train(freq, numMerges)
+      val out = BpeEncode(Literal(text), merges).eval(null).asInstanceOf[ArrayData]
+      val concat = (0 until out.numElements()).map(out.getUTF8String(_).toString).mkString
+      concat == text.toLowerCase.replaceAll("[ \\t\\n\\u000B\\f\\r]", "")
+    })
+  }
+
   test("scheduler throughput: 10k-node chain topo-sorts in well under a second " +
     "(reference rescans were O(V^2 E), mldag.py:456-458)") {
     val d = new Dag()
