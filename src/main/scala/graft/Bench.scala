@@ -53,15 +53,21 @@ object Bench {
     // 80+ full-name full-precision timings overflow it). Compact encoding:
     // keys are the qNN prefix (unambiguous — SURVEY §8 numbers every query),
     // values rounded to 2 decimals. Full names + timings still go to stderr.
+    // Locale.ROOT: f"%.2f" uses the JVM default locale — a comma-decimal
+    // locale would emit 12,34 and break the JSON this block exists to fix
+    def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val shortKey = "^(q\\d+).*$".r
     val qs = results.map { case (k, v) =>
       val key = k match { case shortKey(p) => p; case _ => k }
-      "\"" + key + "\":" + (if (v < 0) "-1" else f"$v%.2f")
+      "\"" + key + "\":" + (if (v < 0) "-1" else num(v))
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val sfShort = "sf([0-9.]+)$".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse(sfDir)
-    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"errors":$errJson,"sf":$sfShort}""")
+    // bare number only when the dir parses as sfN; anything else stays a
+    // QUOTED string so the line is valid JSON regardless of the env value
+    val sfShort = "sf([0-9.]+)/*$".r.findFirstMatchIn(sfDir).map(_.group(1))
+      .getOrElse("\"" + sfDir + "\"")
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":$sfShort}""")
     if (errors.nonEmpty)
       System.err.println(s"[bench] ${errors.size} quer(y/ies) FAILED: ${errors.mkString(", ")}")
     spark.stop()

@@ -42,15 +42,15 @@ case class BpeEncode(child: Expression, merges: Seq[String]) extends UnaryExpres
     }
     m
   }
-  @transient private lazy val pairRank: java.util.HashMap[java.lang.Long, Integer] = {
-    val m = new java.util.HashMap[java.lang.Long, Integer](merges.size * 2)
+  @transient private lazy val pairRank: BpeEncode.LongIntMap = {
+    val m = new BpeEncode.LongIntMap(merges.size)
     var i = 0
     merges.foreach { line =>
       val sp = line.indexOf(' ')
       if (sp > 0) {
         val a = symId.get(line.substring(0, sp)).longValue()
         val b = symId.get(line.substring(sp + 1)).longValue()
-        if (m.putIfAbsent(java.lang.Long.valueOf((a << 32) | b), Integer.valueOf(i)) == null) i += 1
+        if (m.putIfAbsent((a << 32) | b, i)) i += 1
       }
     }
     m
@@ -92,9 +92,9 @@ case class BpeEncode(child: Expression, merges: Seq[String]) extends UnaryExpres
       var j = 0
       while (j < n - 1) {
         if (ids(j) >= 0 && ids(j + 1) >= 0) {
-          val r = pairRank.get(java.lang.Long.valueOf((ids(j).toLong << 32) | ids(j + 1).toLong))
-          if (r != null && r.intValue() < bestRank) {
-            bestRank = r.intValue(); bestA = ids(j); bestB = ids(j + 1)
+          val r = pairRank.get((ids(j).toLong << 32) | ids(j + 1).toLong)
+          if (r >= 0 && r < bestRank) {
+            bestRank = r; bestA = ids(j); bestB = ids(j + 1)
           }
         }
         j += 1
@@ -140,6 +140,38 @@ case class BpeEncode(child: Expression, merges: Seq[String]) extends UnaryExpres
 object BpeEncode {
   /** Per-word merge-loop cap (chars); longer runs pass through whole. */
   val maxWordChars = 1000
+
+  /** Minimal open-addressing long->int map (power-of-two table, linear
+    * probing, splitmix finalizer) so the per-pair rank probe in the merge
+    * loop is truly allocation-free — java.util.HashMap[Long, Integer] boxes
+    * a key per lookup. get returns -1 for absent (ranks are >= 0).
+    */
+  private[functions] final class LongIntMap(sizeHint: Int) {
+    private val cap = Integer.highestOneBit(math.max(sizeHint, 8) * 4 - 1) << 1
+    private val mask = cap - 1
+    private val keys = new Array[Long](cap)
+    private val vals = new Array[Int](cap)
+    private val used = new Array[Boolean](cap)
+    private def slot(k: Long): Int = {
+      val h = Mix.mix(k)
+      (h ^ (h >>> 32)).toInt & mask
+    }
+    /** putIfAbsent; returns true when the key was new. */
+    def putIfAbsent(k: Long, v: Int): Boolean = {
+      var i = slot(k)
+      while (used(i) && keys(i) != k) i = (i + 1) & mask
+      if (used(i)) false
+      else { used(i) = true; keys(i) = k; vals(i) = v; true }
+    }
+    def get(k: Long): Int = {
+      var i = slot(k)
+      while (used(i)) {
+        if (keys(i) == k) return vals(i)
+        i = (i + 1) & mask
+      }
+      -1
+    }
+  }
 }
 
 /** Driver-local BPE merge training over a (word, weight) frequency table —

@@ -98,12 +98,16 @@ class DomainMixNode(
   private def thr(m: Double): Long = math.round((m - math.floor(m)) * 1000000L)
 
   override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
-    def esc(v: String): String = v.replace("\\", "\\\\").replace("'", "\\'")
-    val baseCase = multipliers.map { case (v, m) => s"when $strataCol = '${esc(v)}' then ${base(m)}L" }
+    val baseCase = multipliers.map { case (v, m) => s"when $strataCol = '${SqlLit.esc(v)}' then ${base(m)}L" }
       .mkString("case ", " ", s" else ${base(defaultMultiplier)}L end")
-    val thrCase = multipliers.map { case (v, m) => s"when $strataCol = '${esc(v)}' then ${thr(m)}L" }
+    val thrCase = multipliers.map { case (v, m) => s"when $strataCol = '${SqlLit.esc(v)}' then ${thr(m)}L" }
       .mkString("case ", " ", s" else ${thr(defaultMultiplier)}L end")
-    val h = DetHash.modExpr(s"concat($strataCol, '|', $idCol)", 1000000L)
+    // coalesce both hash inputs: a NULL stratum/id would null the concat and
+    // silently take the no-extra-copy branch — the fractional band must
+    // apply to every row (oracle SQL mirrors the same coalesce)
+    val h = DetHash.modExpr(
+      s"concat(coalesce(cast($strataCol as string), ''), '|', coalesce(cast($idCol as string), ''))",
+      1000000L)
     // filter zero-copy rows BEFORE the generator: Spark's sequence(1, 0)
     // counts DOWN to [1, 0] rather than producing an empty array
     Map("result" -> in("df")

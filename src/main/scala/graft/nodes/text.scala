@@ -32,6 +32,18 @@ object DetHash {
   def expr(col: String): String =
     s"cast(conv(substring(md5(cast($col as string)), 1, 8), 16, 10) as bigint)"
   def modExpr(col: String, mod: Long): String = s"${expr(col)} % $mod"
+  /** THE DuckDB mirror of [[modExpr]] (oracle side; `col` must already be a
+    * varchar expression there). One definition — queries must not re-derive
+    * it, or the two arithmetics can silently diverge.
+    */
+  def duckExpr(col: String, mod: Long): String =
+    s"cast(cast('0x' || substring(md5($col), 1, 8) as ubigint) % $mod as bigint)"
+}
+
+/** Spark SQL single-quoted string-literal escaping — shared by every node
+  * that bakes user-supplied strings into a generated expression. */
+object SqlLit {
+  def esc(v: String): String = v.replace("\\", "\\\\").replace("'", "\\'")
 }
 
 /** Tokenize + count tokens two ways: whitespace tokens and a BPE-ish regex
@@ -121,8 +133,7 @@ class HeuristicFilterNode(
     "minStopwordHits" -> minStopwordHits, "stopwords" -> stopwords,
     "keepOnly" -> keepOnly)
   override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
-    def esc(v: String): String = v.replace("\\", "\\\\").replace("'", "\\'")
-    val stopArr = stopwords.map(s => s"'${esc(s)}'").mkString("array(", ", ", ")")
+    val stopArr = stopwords.map(s => s"'${SqlLit.esc(s)}'").mkString("array(", ", ", ")")
     // ratios are int/int divisions in double — a single correctly-rounded
     // float64 any engine reproduces bit-exactly (the q78-q82 contract)
     val out = in("df")

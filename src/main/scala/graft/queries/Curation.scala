@@ -14,10 +14,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Curation {
   import Queries.run
 
-  /** The one DuckDB mirror of [[graft.nodes.DetHash.expr]] (cast back to
-    * signed so output schemas line up with Spark's bigint). */
-  private def duckHash(col: String, mod: Long): String =
-    s"cast(cast('0x' || substring(md5($col), 1, 8) as ubigint) % $mod as bigint)"
+  /** Delegates to the ONE DuckDB mirror of the engine hash (DetHash). */
+  private def duckHash(col: String, mod: Long): String = DetHash.duckExpr(col, mod)
 
   // ---- q78: concat-and-split sequence packing — per-doc shard, stream
   // offset, and first/last sequence index. Window cumsum over id-hash
@@ -63,7 +61,7 @@ object Curation {
        |                           WHEN source = 'src2' THEN 0 ELSE 0 END)
        |       THEN 1 ELSE 0 END) AS copies
        |  FROM (SELECT doc_id, source,
-       |          ${duckHash("source || '|' || cast(doc_id as varchar)", 1000000L)} AS h
+       |          ${duckHash("coalesce(source, '') || '|' || coalesce(cast(doc_id as varchar), '')", 1000000L)} AS h
        |        FROM documents) t) s
        |WHERE copies >= 1""".stripMargin
 

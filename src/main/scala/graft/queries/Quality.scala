@@ -15,9 +15,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Quality {
   import Queries.run
 
-  /** DuckDB mirror of [[graft.nodes.DetHash.expr]] (see Curation.duckHash). */
-  private def duckHash(col: String, mod: Long): String =
-    s"cast(cast('0x' || substring(md5($col), 1, 8) as ubigint) % $mod as bigint)"
+  /** Delegates to the ONE DuckDB mirror of the engine hash (DetHash). */
+  private def duckHash(col: String, mod: Long): String = DetHash.duckExpr(col, mod)
 
   // ---- q83: Gopher/C4 heuristic quality battery. Thresholds are tuned so
   // the synthetic corpus splits on word count and stopword hits (the other
