@@ -155,5 +155,19 @@ object NodeRegistry {
     register("connected_components")(p => new ConnectedComponentsNode(p.str("idA"), p.str("idB"), p.int("maxIter"),
       p.boolOr("halving", false), p.boolOr("failOnNonConverged", true),
       p.boolOr("reliableCheckpoint", false)))
+    register("pagerank")(p => new PageRankNode(p.str("srcCol"), p.str("dstCol"),
+      p.int("iterations"), p.m("scale").toString.toLong, p.int("dampingNum")))
+    register("bloom_join")(p => new BloomJoinNode(p.strs("probeKeys"), p.strs("buildKeys"),
+      p.m("expectedItems").toString.toLong, p.dbl("fpp"), p.str("joinType"),
+      p.bool("broadcastBuild")))
+    register("merge")(p => new MergeNode(p.strs("keys"), p.strOpt("deleteCol"),
+      p.boolOr("broadcastKeys", true)))
+    register("snapshot_diff")(p => new SnapshotDiffNode(p.strs("keys"), p.strs("compareCols"),
+      p.boolOr("includeUnchanged", false), p.str("changeCol")))
+    register("outlier_filter")(p => new OutlierFilterNode(p.strs("groupCols"), p.str("valueExpr"),
+      p.dbl("k"), p.boolOr("dropOutliers", false), p.boolOr("approx", false)))
+    register("inverted_index_topk")(p => new InvertedIndexTopKNode(p.str("idCol"), p.str("textCol"),
+      p.str("queryIdCol"), p.str("queryTextCol"), p.int("k"), p.dbl("maxDfFrac"),
+      p.m.get("corpusSizeHint").collect { case v if v != null => v.toString.toLong }))
   }
 }

@@ -273,3 +273,59 @@ class InterleaveNode(
       .withColumn("rnk", row_number().over(w)))
   }
 }
+
+/** Robust per-group outlier filter (median / MAD): flags values more than
+  * `k` median-absolute-deviations from their group median. The robust
+  * counterpart to z-scoring — means and stddevs are themselves dragged by
+  * the outliers they are supposed to find, while the median/MAD breakdown
+  * point is 50%. Typical pipeline uses: drop pathological document lengths
+  * per source, anomalous per-event values per type, degenerate embedding
+  * norms per shard.
+  *
+  * Emits the input columns plus `med`, `mad`, and a boolean `keep` (cast as
+  * needed downstream); `dropOutliers = true` filters instead of annotating.
+  *
+  * Scale shape: exact medians need a per-group sort, so this is two
+  * aggregate passes (median, then MAD of residuals) with one shuffle each on
+  * `groupCols`, plus the joins back — all on (group, scalar) frames that are
+  * #groups-sized, broadcast-friendly, and AQE-coalesced. For the
+  * billions-of-rows-per-group regime swap `percentile` for
+  * `percentile_approx` via `approx = true`: fixed-memory sketches, same
+  * two-pass structure (approx medians shift thresholds slightly; the keep
+  * decision stays deterministic because the sketch is deterministic).
+  */
+class OutlierFilterNode(
+    val groupCols: Seq[String],
+    val valueExpr: String,
+    val k: Double = 3.0,
+    val dropOutliers: Boolean = false,
+    val approx: Boolean = false)
+  extends Node {
+  require(groupCols.nonEmpty, "groupCols must be non-empty")
+  require(k >= 0, "k must be non-negative")
+  override protected def defaultName: String = "outlier_filter"
+  val inputs = Seq(Port("df"))
+  val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("outlier_filter")
+  override def jsonParams: Map[String, Any] = Map(
+    "groupCols" -> groupCols, "valueExpr" -> valueExpr, "k" -> k,
+    "dropOutliers" -> dropOutliers, "approx" -> approx)
+
+  private def med(e: String): String =
+    if (approx) s"percentile_approx($e, 0.5, 10000)" else s"percentile($e, 0.5)"
+
+  override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
+    // the input feeds both aggregate passes and the final annotate — persist
+    // once so the scan/derivation isn't recomputed three times
+    val df = ctx.track(in("df").withColumn("__v", expr(valueExpr)))
+    val meds = df.groupBy(groupCols.map(col): _*)
+      .agg(expr(med("__v")).as("med"))
+    val withMed = df.join(meds, groupCols)
+    val mads = withMed.groupBy(groupCols.map(col): _*)
+      .agg(expr(med("abs(__v - med)")).as("mad"))
+    val out = withMed.join(mads, groupCols)
+      .withColumn("keep", abs(col("__v") - col("med")) <= lit(k) * col("mad"))
+      .drop("__v")
+    Map("result" -> (if (dropOutliers) out.filter(col("keep")).drop("keep") else out))
+  }
+}

@@ -1,0 +1,116 @@
+package graft.nodes
+
+import graft.dag._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{broadcast, col, lit, not, when}
+
+/** Corpus-evolution operators: a 100 TB training corpus is not rebuilt from
+  * scratch per refresh — deltas are merged in (upsert + tombstone deletes)
+  * and successive snapshots are diffed to audit what changed. The reference
+  * has no incremental surface (its DAGs re-run whole); these extend the
+  * north-star pipeline the same way the streaming nodes do.
+  */
+
+/** Key-based upsert of a delta into a base table (the MERGE INTO shape,
+  * without requiring a transactional table format):
+  *   - every base row whose key appears in `updates` is replaced;
+  *   - update rows marked true in `deleteCol` (if set) are tombstones — the
+  *     base row is removed and the tombstone itself is not inserted;
+  *   - all other update rows are inserted (new keys) or replace (existing).
+  *
+  * Scale shape: one left-anti join of the base against the DISTINCT UPDATE
+  * KEYS ONLY (skinny frame — broadcast by default, since deltas are
+  * typically orders of magnitude smaller than the base; disable
+  * `broadcastKeys` when the delta itself is huge and let it shuffle), then
+  * a union. The base is never shuffled when the keys broadcast — at 100 TB
+  * that is the difference between a metadata-speed refresh and re-keying
+  * the corpus.
+  */
+class MergeNode(
+    val keys: Seq[String],
+    val deleteCol: Option[String] = None,
+    val broadcastKeys: Boolean = true)
+  extends Node {
+  require(keys.nonEmpty, "merge keys must be non-empty")
+  override protected def defaultName: String = "merge"
+  val inputs = Seq(Port("base"), Port("updates"))
+  val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("merge")
+  override def jsonParams: Map[String, Any] = Map(
+    "keys" -> keys, "deleteCol" -> deleteCol.orNull, "broadcastKeys" -> broadcastKeys)
+
+  override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
+    val base = in("base")
+    val updates = in("updates")
+    deleteCol.foreach { c =>
+      require(updates.columns.contains(c),
+        s"merge '$name': deleteCol '$c' missing from updates (${updates.columns.mkString(", ")})")
+    }
+    val payloadCols = updates.columns.filterNot(deleteCol.contains).toSeq
+    require(payloadCols.sorted.sameElements(base.columns.sorted.toSeq),
+      s"merge '$name': update payload columns ${payloadCols.sorted.mkString(",")} " +
+        s"must match base columns ${base.columns.sorted.mkString(",")}")
+    // tombstones participate in the key anti-join (their base rows must go)
+    // but are not inserted
+    val updKeys = updates.select(keys.map(col): _*).distinct()
+    val keyFrame = if (broadcastKeys) broadcast(updKeys) else updKeys
+    val kept = base.join(keyFrame, keys, "left_anti")
+    val inserted = deleteCol match {
+      case Some(c) => updates.filter(not(col(c).cast("boolean"))).drop(c)
+      case None    => updates
+    }
+    Map("result" -> kept.unionByName(inserted.select(base.columns.map(col): _*)))
+  }
+}
+
+/** Snapshot diff: classify every key across two corpus snapshots as added /
+  * removed / changed / unchanged (null-safe column compare). The audit step
+  * a refresh pipeline runs after MergeNode — "what did this delta actually
+  * do" — and the input to incremental downstream recomputes (only `added` +
+  * `changed` keys need re-embedding/re-scoring).
+  *
+  * Scale shape: a single full-outer shuffle join on the key (both sides
+  * pruned to key + compared columns before the exchange); the per-column
+  * null-safe equality folds into one codegen'd boolean — no row hashing, no
+  * UDFs. Emits key columns + `change`; `includeUnchanged = false` (default)
+  * drops the unchanged bulk EARLY so downstream sees only the delta.
+  */
+class SnapshotDiffNode(
+    val keys: Seq[String],
+    val compareCols: Seq[String] = Nil,
+    val includeUnchanged: Boolean = false,
+    val changeCol: String = "change")
+  extends Node {
+  require(keys.nonEmpty, "diff keys must be non-empty")
+  override protected def defaultName: String = "snapshot_diff"
+  val inputs = Seq(Port("old"), Port("new"))
+  val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("snapshot_diff")
+  override def jsonParams: Map[String, Any] = Map(
+    "keys" -> keys, "compareCols" -> compareCols,
+    "includeUnchanged" -> includeUnchanged, "changeCol" -> changeCol)
+
+  override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
+    val oldDf = in("old")
+    val newDf = in("new")
+    val cmp =
+      if (compareCols.nonEmpty) compareCols
+      else oldDf.columns.toSeq.filterNot(keys.contains)
+        .filter(newDf.columns.contains)
+    // prune BEFORE the exchange: only keys + compared columns shuffle
+    val o = oldDf.select((keys ++ cmp).map(col): _*).withColumn("__o", lit(1))
+    val nKeyed = newDf
+      .select((keys.map(col) ++ cmp.map(c => col(c).as(s"__n_$c"))): _*)
+      .withColumn("__n", lit(1))
+    val joined = o.join(nKeyed, keys, "full_outer")
+    val same = cmp.map(c => col(c) <=> col(s"__n_$c"))
+      .foldLeft(lit(true))(_ && _)
+    val change = when(col("__o").isNull, lit("added"))
+      .when(col("__n").isNull, lit("removed"))
+      .when(same, lit("unchanged"))
+      .otherwise(lit("changed"))
+    val out = joined.withColumn(changeCol, change)
+      .select((keys.map(col) :+ col(changeCol)): _*)
+    Map("result" -> (if (includeUnchanged) out else out.filter(col(changeCol) =!= "unchanged")))
+  }
+}

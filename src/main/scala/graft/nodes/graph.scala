@@ -1,0 +1,102 @@
+package graft.nodes
+
+import graft.dag._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{broadcast, col, count, expr, lit, sum}
+
+/** Link-graph authority scoring for web-corpus curation: documents from
+  * high-authority domains get priority in the training mix, low-authority
+  * link farms get down-weighted (the reference has no graph operators; this
+  * is north-star surface alongside dedup/quality, same family as
+  * `ConnectedComponentsNode` — iterative, one materializing action per
+  * round).
+  *
+  * PageRank in FIXED-POINT INTEGER arithmetic: ranks are bigint micro-units
+  * of a total mass `scale`, every step is integer multiply/divide. Two
+  * reasons, both production-grade rather than test conveniences:
+  *   - determinism: float PageRank depends on summation order, which varies
+  *     with partitioning/retries; integer sums are associative-exact, so a
+  *     speculative re-run or a different partition count produces the SAME
+  *     ranks bit-for-bit (and any external engine mirroring the formula
+  *     reproduces them — that is what the q95 DuckDB oracle does);
+  *   - no drift: repeated float normalization accumulates error at 10^9-node
+  *     scale; integer mass can only leak via floor-division remainders,
+  *     bounded by (#edges + N) units per round out of `scale` = 1e12.
+  *
+  * Per round (damping d = dampingNum/100, N nodes, base = scale div N):
+  *   contrib(u)  = rank(u) div outdeg(u)            — u non-dangling
+  *   inflow(v)   = Σ contrib(u) over edges u→v
+  *   dangShare   = (Σ rank(u) over dangling u) div N
+  *   rank'(v)    = ((100-d)·base) div 100 + (d·(inflow(v)+dangShare)) div 100
+  *
+  * Scale shape: edges are deduped, hash-partitioned on `src` ONCE and
+  * persisted, so each round's contribution join reshuffles only the skinny
+  * (id, rank) side; the dangling mass is a one-row aggregate broadcast into
+  * the update (no driver round-trip inside the loop). Lineage is cut per
+  * round exactly like `ConnectedComponentsNode` (localCheckpoint — eager,
+  * truncates the otherwise-doubling plan).
+  */
+class PageRankNode(
+    val srcCol: String = "src",
+    val dstCol: String = "dst",
+    val iterations: Int = 3,
+    val scale: Long = 1000000000000L,
+    val dampingNum: Int = 85)
+  extends Node {
+  require(iterations >= 1, "iterations must be >= 1")
+  require(dampingNum >= 0 && dampingNum <= 100, "dampingNum must be in [0, 100]")
+  override protected def defaultName: String = "pagerank"
+  val inputs = Seq(Port("edges"))
+  val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("pagerank")
+  override def jsonParams: Map[String, Any] = Map(
+    "srcCol" -> srcCol, "dstCol" -> dstCol, "iterations" -> iterations,
+    "scale" -> scale, "dampingNum" -> dampingNum)
+
+  override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
+    val np = ctx.spark.sessionState.conf.numShufflePartitions
+    val edges = ctx.track(
+      in("edges")
+        .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+        .distinct()
+        .repartition(np, col("src")))
+    val nodes = ctx.track(
+      edges.select(col("src").as("id")).union(edges.select(col("dst").as("id"))).distinct())
+    // N and base are driver scalars (one count over the deduped node set —
+    // a #nodes-sized aggregate, not a data-sized one)
+    val n = nodes.count()
+    require(n > 0, s"pagerank '$name': empty edge set")
+    val base = scale / n
+    val teleport = (100L - dampingNum) * base / 100L
+    val outdeg = ctx.track(edges.groupBy("src").agg(count(lit(1)).as("outdeg")))
+    var ranks = nodes.select(col("id"), lit(base).as("rank")).localCheckpoint()
+    var round = 0
+    while (round < iterations) {
+      // dangling nodes hold rank but emit no edges; their mass is spread
+      // uniformly (the standard correction — dropping it deflates totals)
+      val dangling = ranks.join(outdeg, ranks("id") === outdeg("src"), "left_anti")
+        .agg(expr("coalesce(sum(rank), cast(0 as bigint))").as("dang"))
+      val contrib = edges
+        .join(ranks.join(outdeg, ranks("id") === outdeg("src"))
+                .select(ranks("id").as("cid"), expr("rank div outdeg").as("contrib")),
+              edges("src") === col("cid"))
+        .groupBy(edges("dst").as("id")).agg(sum(col("contrib")).as("inflow"))
+      val prev = ranks
+      ranks = nodes.join(contrib, Seq("id"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("id"),
+          (lit(teleport) +
+            expr(s"($dampingNum * (coalesce(inflow, cast(0 as bigint)) " +
+                 s"+ dang div cast($n as bigint))) div 100")).as("rank"))
+        .localCheckpoint()
+      prev.unpersist()
+      round += 1
+    }
+    Map("result" -> ranks)
+  }
+}
+
+object PageRankNode {
+  def apply(srcCol: String, dstCol: String, iterations: Int): PageRankNode =
+    new PageRankNode(srcCol, dstCol, iterations)
+}

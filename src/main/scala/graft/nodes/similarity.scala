@@ -3,7 +3,7 @@ package graft.nodes
 import graft.dag._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.functions.{broadcast, col, expr, row_number}
+import org.apache.spark.sql.functions.{broadcast, col, count, expr, lit, row_number, sum}
 
 /** Similarity-search node family over an embedding column
   * (`ArrayType(FloatType)`), north-star scope. Vector math uses builtin
@@ -454,5 +454,66 @@ class SemDedupNode(
       .withColumn("score", expr(VecExprs.cosine("va", "vb", "na", "nb")))
       .filter(col("score") >= threshold)
       .select(col("id_a"), col("id_b"), col("score")))
+  }
+}
+
+/** Sparse lexical retrieval via an inverted index — the term-based
+  * counterpart to the dense-ANN nodes: score(query, doc) = Σ_t tf_q(t)·
+  * tf_d(t), an integer dot product over shared terms, top-k docs per query.
+  * Integer scoring is deliberate (same reasoning as PageRankNode): exact,
+  * order-independent, reproducible on any engine — IDF/BM25 weighting with
+  * log()/doubles would tie the result to libm rounding. Rank ties break by
+  * doc id.
+  *
+  * Scale shape: this is the posting-list join pattern, not a cross product —
+  * cost is Σ_t df(t)·qf(t) over SHARED terms only. The quadratic hazard is
+  * stopwords ("the" joins every query with every doc); `maxDfFrac` caps
+  * document frequency as a FRACTION of corpus size (an absolute cap would
+  * zero out under corpus growth — same lesson as NgramJaccardNode), pruning
+  * posting lists before the join. The per-query top-k window partitions by
+  * query id — parallel across queries, no global sort.
+  */
+class InvertedIndexTopKNode(
+    val idCol: String = "doc_id",
+    val textCol: String = "text",
+    val queryIdCol: String = "query_id",
+    val queryTextCol: String = "text",
+    val k: Int = 10,
+    val maxDfFrac: Double = 0.5,
+    val corpusSizeHint: Option[Long] = None)
+  extends Node {
+  require(k > 0, "k must be positive")
+  require(maxDfFrac > 0 && maxDfFrac <= 1, "maxDfFrac must be in (0, 1]")
+  override protected def defaultName: String = "inverted_index_topk"
+  val inputs = Seq(Port("corpus"), Port("queries"))
+  val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("inverted_index_topk")
+  override def jsonParams: Map[String, Any] = Map(
+    "idCol" -> idCol, "textCol" -> textCol, "queryIdCol" -> queryIdCol,
+    "queryTextCol" -> queryTextCol, "k" -> k, "maxDfFrac" -> maxDfFrac,
+    "corpusSizeHint" -> corpusSizeHint.map(_.asInstanceOf[Any]).orNull)
+
+  private def termFreqs(df: DataFrame, id: String, text: String): DataFrame =
+    df.select(col(id), expr(s"explode(${TextExprs.tokensExpr(text)})").as("tok"))
+      .groupBy(col(id), col("tok")).agg(count(lit(1)).as("tf"))
+
+  override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
+    // corpus term frequencies feed both the DF pruning and the join
+    val corpusTf = ctx.track(termFreqs(in("corpus"), idCol, textCol))
+    val corpusSize = corpusSizeHint.getOrElse(in("corpus").count())
+    val dfCap = math.max(1L, (maxDfFrac * corpusSize).toLong)
+    // posting-list length cap: df counts DOCUMENTS (not occurrences)
+    val okTerms = corpusTf.groupBy("tok").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap).select("tok")
+    val postings = corpusTf.join(okTerms, Seq("tok"))
+    val queryTf = termFreqs(in("queries"), queryIdCol, queryTextCol)
+      .withColumnRenamed("tf", "qtf")
+    val scored = postings.join(queryTf, Seq("tok"))
+      .groupBy(col(queryIdCol), col(idCol))
+      .agg(sum(expr("tf * qtf")).as("score"))
+    val w = Window.partitionBy(queryIdCol).orderBy(col("score").desc, col(idCol))
+    Map("result" -> scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k))
   }
 }

@@ -1,0 +1,263 @@
+package graft.queries
+
+import graft.dag._
+import graft.nodes._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Round-5 extension corpus: bloom-pruned join (q94), fixed-point integer
+  * PageRank (q95), delta merge/upsert (q96), robust MAD outlier filter
+  * (q97), inverted-index sparse retrieval (q98), and snapshot diff (q99).
+  * All six are integer/exact-double constructions with full DuckDB oracles —
+  * including the two iterative/sketch-flavored ones: PageRank because the
+  * node computes in fixed-point integers (the oracle unrolls the same
+  * integer recurrence), BloomJoin because blooms have no false negatives
+  * (the exact join makes the output independent of fpp).
+  */
+object Advanced {
+  import Queries.run
+
+  // ---- q94: bloom-pruned join. The build side (high-balance suppliers,
+  // ~19% of supplier) is bloomed and broadcast; lineitem is pruned during
+  // its scan before the exact broadcast join. The oracle is the PLAIN join —
+  // bloom false positives are removed by the exact join, false negatives
+  // cannot exist, so the result is fpp-independent. ----
+  def q94_bloom_join(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
+    val li = d.add(SourceNode.table(dir, "lineitem"))
+    val sup = d.add(SourceNode.table(dir, "supplier")) >>
+      FilterNode("s_acctbal > 8000")
+    val bj = d.add(new BloomJoinNode(
+      probeKeys = Seq("l_suppkey"), buildKeys = Seq("s_suppkey"),
+      expectedItems = 10000L, fpp = 0.01, joinType = "inner", broadcastBuild = true))
+    li >> bj("probe"); sup >> bj("build")
+    bj >>
+      new AggNode(Seq("s_name"), Seq(
+        "cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(18,4))) as double) as revenue",
+        "count(*) as n_items")) >>
+      SortNode("s_name") >>
+      d.output("result")
+  }
+  val q94Sql: String =
+    """SELECT s_name,
+      |  cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(18,4))) as double) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE s_acctbal > 8000
+      |GROUP BY s_name ORDER BY s_name""".stripMargin
+
+  // ---- q95: fixed-point integer PageRank, 3 iterations, damping 85/100,
+  // over a deterministic event graph (user_id%37 -> event_id%50; nodes
+  // 37..49 are dangling — in-links only — so the dangling-mass term is
+  // exercised). Integer arithmetic makes the recurrence engine-exact; the
+  // oracle unrolls the identical recurrence with DuckDB's // division. ----
+  def q95_pagerank(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
+    d.add(SourceNode.table(dir, "events")) >>
+      ProjectNode("user_id % 37 as src", "event_id % 50 as dst") >>
+      FilterNode("src <> dst") >>
+      new PageRankNode(srcCol = "src", dstCol = "dst", iterations = 3) >>
+      SortNode("id") >>
+      d.output("result")
+  }
+  // mirrors PageRankNode's recurrence exactly: scale = 10^12, base = scale
+  // div N, teleport = (15*base) div 100, r' = teleport + (85*(inflow +
+  // dang div N)) div 100 with inflow = sum(rank div outdeg) over in-edges.
+  val q95Sql: String =
+    """WITH edges AS (
+      |  SELECT DISTINCT user_id % 37 AS src, event_id % 50 AS dst
+      |  FROM events WHERE user_id % 37 <> event_id % 50),
+      |nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+      |c AS (SELECT count(*) AS n,
+      |             1000000000000 // count(*) AS base,
+      |             (15 * (1000000000000 // count(*))) // 100 AS tp
+      |      FROM nodes),
+      |outdeg AS (SELECT src, count(*) AS odeg FROM edges GROUP BY src),
+      |r0 AS (SELECT id, (SELECT base FROM c) AS rank FROM nodes),
+      |d1 AS (SELECT coalesce(cast(sum(r.rank) as bigint), 0) AS dang
+      |       FROM r0 r LEFT JOIN outdeg o ON r.id = o.src WHERE o.src IS NULL),
+      |i1 AS (SELECT nd.id, (SELECT tp FROM c)
+      |         + (85 * (coalesce(inf.inflow, 0) + (SELECT dang FROM d1) // (SELECT n FROM c))) // 100 AS rank
+      |       FROM nodes nd LEFT JOIN (
+      |         SELECT e.dst AS id, cast(sum(r.rank // o.odeg) as bigint) AS inflow
+      |         FROM edges e JOIN r0 r ON e.src = r.id JOIN outdeg o ON e.src = o.src
+      |         GROUP BY e.dst) inf ON nd.id = inf.id),
+      |d2 AS (SELECT coalesce(cast(sum(r.rank) as bigint), 0) AS dang
+      |       FROM i1 r LEFT JOIN outdeg o ON r.id = o.src WHERE o.src IS NULL),
+      |i2 AS (SELECT nd.id, (SELECT tp FROM c)
+      |         + (85 * (coalesce(inf.inflow, 0) + (SELECT dang FROM d2) // (SELECT n FROM c))) // 100 AS rank
+      |       FROM nodes nd LEFT JOIN (
+      |         SELECT e.dst AS id, cast(sum(r.rank // o.odeg) as bigint) AS inflow
+      |         FROM edges e JOIN i1 r ON e.src = r.id JOIN outdeg o ON e.src = o.src
+      |         GROUP BY e.dst) inf ON nd.id = inf.id),
+      |d3 AS (SELECT coalesce(cast(sum(r.rank) as bigint), 0) AS dang
+      |       FROM i2 r LEFT JOIN outdeg o ON r.id = o.src WHERE o.src IS NULL),
+      |i3 AS (SELECT nd.id, (SELECT tp FROM c)
+      |         + (85 * (coalesce(inf.inflow, 0) + (SELECT dang FROM d3) // (SELECT n FROM c))) // 100 AS rank
+      |       FROM nodes nd LEFT JOIN (
+      |         SELECT e.dst AS id, cast(sum(r.rank // o.odeg) as bigint) AS inflow
+      |         FROM edges e JOIN i2 r ON e.src = r.id JOIN outdeg o ON e.src = o.src
+      |         GROUP BY e.dst) inf ON nd.id = inf.id)
+      |SELECT id, cast(rank as bigint) AS rank FROM i3 ORDER BY id""".stripMargin
+
+  /** The delta used by q96 AND q99: upserts (high-balance customers go
+    * PLATINUM), inserts (10 synthetic STARTUP customers under new keys),
+    * and tombstones (deep-negative balances removed). Built as three
+    * filter/project branches unioned — pure DAG composition.
+    */
+  private def updatesBranch(d: Dag, cust: graft.dag.Slot): graft.dag.Slot = {
+    val upd = d.add(ProjectNode("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+      "'PLATINUM' as c_mktsegment", "false as __del").named("upd_upsert"))
+    val ins = d.add(ProjectNode("c_custkey + 1000000 as c_custkey",
+      "concat('New#', c_name) as c_name", "c_nationkey",
+      "cast(0.0 as double) as c_acctbal", "'STARTUP' as c_mktsegment",
+      "false as __del").named("upd_insert"))
+    val del = d.add(ProjectNode("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+      "c_mktsegment", "true as __del").named("upd_delete"))
+    val fUp = d.add(FilterNode("c_acctbal > 9000").named("f_upsert"))
+    val fIns = d.add(FilterNode("c_custkey < 10").named("f_insert"))
+    val fDel = d.add(FilterNode("c_acctbal < -900").named("f_delete"))
+    cust >> fUp; fUp >> upd
+    cust >> fIns; fIns >> ins
+    cust >> fDel; fDel >> del
+    val u = d.add(new UnionNode(byName = true, distinct = false))
+    upd >> u; ins >> u; del >> u
+    u("result")
+  }
+
+  private val updatesSqlCte: String =
+    """upd AS (
+      |  SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+      |         'PLATINUM' AS c_mktsegment, false AS __del
+      |  FROM customer WHERE c_acctbal > 9000
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000, 'New#' || c_name, c_nationkey,
+      |         cast(0.0 as double), 'STARTUP', false
+      |  FROM customer WHERE c_custkey < 10
+      |  UNION ALL
+      |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment, true
+      |  FROM customer WHERE c_acctbal < -900),
+      |merged AS (
+      |  SELECT * FROM customer
+      |  WHERE c_custkey NOT IN (SELECT c_custkey FROM upd)
+      |  UNION ALL
+      |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+      |  FROM upd WHERE NOT __del)""".stripMargin
+
+  // ---- q96: key-based delta merge (upsert + insert + tombstone delete)
+  // into customer, verified through a per-segment rollup of the merged
+  // table. ----
+  def q96_merge_upsert(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
+    val cust = d.add(SourceNode.table(dir, "customer"))
+    val updates = updatesBranch(d, cust("result"))
+    val m = d.add(new MergeNode(keys = Seq("c_custkey"), deleteCol = Some("__del")))
+    cust >> m("base"); updates >> m("updates")
+    m >>
+      new AggNode(Seq("c_mktsegment"), Seq(
+        "count(*) as n",
+        "cast(sum(cast(c_acctbal as decimal(18,2))) as double) as total_bal")) >>
+      SortNode("c_mktsegment") >>
+      d.output("result")
+  }
+  val q96Sql: String =
+    s"""WITH $updatesSqlCte
+       |SELECT c_mktsegment, count(*) AS n,
+       |  cast(sum(cast(c_acctbal as decimal(18,2))) as double) AS total_bal
+       |FROM merged GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  // ---- q97: robust per-group outlier filter. Values are floored to cents
+  // (integer-valued doubles) so Spark `percentile` and DuckDB
+  // `quantile_cont` interpolate in the exact-double domain — med/mad land on
+  // x.0/x.5 and the keep decision is bit-identical. ----
+  def q97_outlier_mad(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
+    d.add(SourceNode.table(dir, "events")) >>
+      new OutlierFilterNode(groupCols = Seq("event_type"),
+        valueExpr = "cast(floor(value * 100) as double)", k = 3.0) >>
+      new AggNode(Seq("event_type"), Seq(
+        "count(*) as n",
+        "cast(sum(cast(keep as int)) as bigint) as n_keep",
+        "min(med) as med", "min(mad) as mad")) >>
+      SortNode("event_type") >>
+      d.output("result")
+  }
+  val q97Sql: String =
+    """WITH v AS (
+      |  SELECT event_type, cast(floor(value * 100) as double) AS vv FROM events),
+      |m AS (SELECT event_type, quantile_cont(vv, 0.5) AS med FROM v GROUP BY event_type),
+      |w AS (SELECT v.event_type, vv, med FROM v JOIN m USING (event_type)),
+      |md AS (SELECT event_type, quantile_cont(abs(vv - med), 0.5) AS mad
+      |       FROM w GROUP BY event_type)
+      |SELECT w.event_type, count(*) AS n,
+      |  cast(sum(cast(abs(vv - med) <= 3.0 * mad as int)) as bigint) AS n_keep,
+      |  min(w.med) AS med, min(md.mad) AS mad
+      |FROM w JOIN md USING (event_type)
+      |GROUP BY w.event_type ORDER BY w.event_type""".stripMargin
+
+  // ---- q98: sparse lexical retrieval — integer tf dot-product top-k
+  // through the posting-list join, stopword terms pruned by fractional DF
+  // cap. Queries are a deterministic modulus sample of the corpus itself;
+  // ties break by doc_id so the k-cut is a shared total order. ----
+  def q98_sparse_topk(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
+    val docs = d.add(SourceNode.table(dir, "documents"))
+    val qs = d.add(ProjectNode("doc_id as query_id", "text").named("query_docs"))
+    val fq = d.add(FilterNode("doc_id % 97 = 0").named("f_queries"))
+    docs >> fq; fq >> qs
+    val idx = d.add(new InvertedIndexTopKNode(
+      idCol = "doc_id", textCol = "text", queryIdCol = "query_id",
+      queryTextCol = "text", k = 5, maxDfFrac = 0.79))
+    docs >> idx("corpus"); qs >> idx("queries")
+    idx >> SortNode("query_id", "rank") >> d.output("result")
+  }
+  val q98Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+      |  FROM documents),
+      |ctf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+      |ok AS (SELECT tok FROM (SELECT tok, count(*) AS df FROM ctf GROUP BY tok)
+      |       WHERE df <= greatest(1, cast(floor(0.79 * (SELECT count(*) FROM documents)) as bigint))),
+      |qtf AS (SELECT doc_id AS query_id, tok, count(*) AS qtf
+      |        FROM toks WHERE doc_id % 97 = 0 GROUP BY doc_id, tok),
+      |scored AS (
+      |  SELECT query_id, c.doc_id, cast(sum(c.tf * q.qtf) as bigint) AS score
+      |  FROM ctf c JOIN ok USING (tok) JOIN qtf q USING (tok)
+      |  GROUP BY query_id, c.doc_id)
+      |SELECT query_id, doc_id, score, rank FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |                               ORDER BY score DESC, doc_id) AS rank
+      |  FROM scored)
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  // ---- q99: snapshot diff — customer vs its merged refresh (the SAME
+  // delta as q96, rebuilt in-dag), every key classified added / removed /
+  // changed / unchanged via null-safe compare, rolled up by class. ----
+  def q99_snapshot_diff(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
+    val cust = d.add(SourceNode.table(dir, "customer"))
+    val updates = updatesBranch(d, cust("result"))
+    val m = d.add(new MergeNode(keys = Seq("c_custkey"), deleteCol = Some("__del")))
+    cust >> m("base"); updates >> m("updates")
+    val diff = d.add(new SnapshotDiffNode(keys = Seq("c_custkey"), includeUnchanged = true))
+    cust >> diff("old"); m >> diff("new")
+    diff >>
+      new AggNode(Seq("change"), Seq("count(*) as n")) >>
+      SortNode("change") >>
+      d.output("result")
+  }
+  val q99Sql: String =
+    s"""WITH $updatesSqlCte
+       |SELECT change, count(*) AS n FROM (
+       |  SELECT CASE WHEN o.c_custkey IS NULL THEN 'added'
+       |              WHEN n.c_custkey IS NULL THEN 'removed'
+       |              WHEN o.c_name IS NOT DISTINCT FROM n.c_name
+       |               AND o.c_nationkey IS NOT DISTINCT FROM n.c_nationkey
+       |               AND o.c_acctbal IS NOT DISTINCT FROM n.c_acctbal
+       |               AND o.c_mktsegment IS NOT DISTINCT FROM n.c_mktsegment
+       |              THEN 'unchanged' ELSE 'changed' END AS change
+       |  FROM customer o FULL OUTER JOIN merged n ON o.c_custkey = n.c_custkey)
+       |GROUP BY change ORDER BY change""".stripMargin
+
+  val entries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+    ("q94_bloom_join", q94_bloom_join _, q94Sql),
+    ("q95_pagerank", q95_pagerank _, q95Sql),
+    ("q96_merge_upsert", q96_merge_upsert _, q96Sql),
+    ("q97_outlier_mad", q97_outlier_mad _, q97Sql),
+    ("q98_sparse_topk", q98_sparse_topk _, q98Sql),
+    ("q99_snapshot_diff", q99_snapshot_diff _, q99Sql),
+  )
+}

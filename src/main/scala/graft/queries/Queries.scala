@@ -53,7 +53,7 @@ object Queries {
   val registry: Seq[(String, (SparkSession, String) => DataFrame, String)] =
     Seq(("q1_agg", q1_agg _, q1Sql)) ++ Relational.entries ++ NorthStar.entries ++
       Extra.entries ++ Analytics.entries ++ Recall.entries ++ Curation.entries ++
-      Quality.entries
+      Quality.entries ++ Advanced.entries
 
   val all: Map[String, (SparkSession, String) => DataFrame] =
     registry.map { case (n, f, _) => n -> f }.toMap

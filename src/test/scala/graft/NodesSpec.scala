@@ -982,6 +982,137 @@ class NodesSpec extends AnyFunSuite {
     // source a: 30(id2) rank1, 30(id3) rank2 — tie broken by id; 10 and 5 cut
     assert(out == Map(2L -> 1, 3L -> 2, 6L -> 1, 5L -> 2))
   }
+
+  // ---------------- round-5 advanced nodes ----------------
+
+  test("PageRankNode: one-iteration integer recurrence matches hand computation") {
+    // chain 1 -> 2 -> 3 with 3 dangling. N=3, base = 10^12 div 3 = 333333333333,
+    // teleport = (15*base) div 100 = 49999999999, dangShare = base div 3 =
+    // 111111111111. r1(1) = tp + (85*dangShare) div 100 = 144444444443;
+    // r1(2) = r1(3) = tp + (85*(base + dangShare)) div 100 = 427777777776.
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val out = runOne { d =>
+      d.add(srcNode(edges)) >> new PageRankNode("src", "dst", iterations = 1) >>
+        d.output("result")
+    }.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 144444444443L, 2L -> 427777777776L, 3L -> 427777777776L))
+  }
+
+  test("PageRankNode: regular cycle stays uniform, mass conserved, partition-invariant") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    def ranks(df: DataFrame): Map[Long, Long] = runOne { d =>
+      d.add(srcNode(df)) >> new PageRankNode("src", "dst", iterations = 4) >>
+        d.output("result")
+    }.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val r = ranks(edges)
+    val base = 1000000000000L / 3
+    // symmetric graph: all equal; floor-division leaks a bounded remainder
+    assert(r.values.toSet.size == 1)
+    assert(r.values.head <= base && r.values.head >= base - 10)
+    // integer arithmetic is partition-layout-invariant (float PageRank is not)
+    assert(ranks(edges.repartition(7)) == r)
+  }
+
+  test("BloomJoinNode: exact join result for any fpp; unsafe join types rejected") {
+    val probe = (1L to 200L).map(i => (i, s"p$i")).toDF("k", "pv")
+    val build = Seq((5L, "B5"), (10L, "B10")).toDF("bk", "bv")
+    val out = runOne { d =>
+      val p = d.add(srcNode(probe, "p")); val b = d.add(srcNode(build, "b"))
+      val bj = d.add(new BloomJoinNode(Seq("k"), Seq("bk"), expectedItems = 100L,
+        fpp = 0.5, broadcastBuild = true)) // sloppy fpp on purpose — result must be exact
+      p >> bj("probe"); b >> bj("build")
+      bj >> d.output("result")
+    }.select("k", "pv", "bv").as[(Long, String, String)].collect().toSet
+    assert(out == Set((5L, "p5", "B5"), (10L, "p10", "B10")))
+    val semi = runOne { d =>
+      val p = d.add(srcNode(probe, "p")); val b = d.add(srcNode(build, "b"))
+      val bj = d.add(new BloomJoinNode(Seq("k"), Seq("bk"), 100L, 0.01, "left_semi"))
+      p >> bj("probe"); b >> bj("build")
+      bj >> d.output("result")
+    }.select("k").as[Long].collect().toSet
+    assert(semi == Set(5L, 10L))
+    intercept[IllegalArgumentException](new BloomJoinNode(Seq("k"), Seq("bk"), joinType = "left"))
+    intercept[IllegalArgumentException](new BloomJoinNode(Seq("k"), Seq("bk"), joinType = "left_anti"))
+  }
+
+  test("MergeNode: upsert replaces, insert adds, tombstone deletes; schema checked") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val updates = Seq((2L, "B", false), (4L, "D", false), (3L, "dead", true))
+      .toDF("k", "v", "__del")
+    val out = runOne { d =>
+      val b = d.add(srcNode(base, "b")); val u = d.add(srcNode(updates, "u"))
+      val m = d.add(new MergeNode(Seq("k"), Some("__del")))
+      b >> m("base"); u >> m("updates")
+      m >> d.output("result")
+    }.as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "a", 2L -> "B", 4L -> "D"))
+    val badUpdates = Seq((1L, "x", 9.9, false)).toDF("k", "v", "extra", "__del")
+    val err = intercept[Exception] {
+      runOne { d =>
+        val b = d.add(srcNode(base, "b")); val u = d.add(srcNode(badUpdates, "u"))
+        val m = d.add(new MergeNode(Seq("k"), Some("__del")))
+        b >> m("base"); u >> m("updates")
+        m >> d.output("result")
+      }.collect()
+    }
+    assert(err.getMessage.contains("must match base columns"))
+  }
+
+  test("SnapshotDiffNode: added/removed/changed/unchanged with null-safe compare") {
+    val oldDf = Seq((1L, Some("a")), (2L, Some("b")), (3L, Some("c")), (5L, None: Option[String]))
+      .toDF("k", "v")
+    val newDf = Seq((2L, Some("b")), (3L, Some("C")), (4L, Some("d")), (5L, None: Option[String]))
+      .toDF("k", "v")
+    def diff(includeUnchanged: Boolean): Map[Long, String] = runOne { d =>
+      val o = d.add(srcNode(oldDf, "o")); val n = d.add(srcNode(newDf, "n"))
+      val sd = d.add(new SnapshotDiffNode(Seq("k"), includeUnchanged = includeUnchanged))
+      o >> sd("old"); n >> sd("new")
+      sd >> d.output("result")
+    }.as[(Long, String)].collect().toMap
+    assert(diff(true) == Map(1L -> "removed", 2L -> "unchanged", 3L -> "changed",
+      4L -> "added", 5L -> "unchanged")) // null <=> null is unchanged, not changed
+    assert(diff(false) == Map(1L -> "removed", 3L -> "changed", 4L -> "added"))
+  }
+
+  test("OutlierFilterNode: median/MAD gate per group, dropOutliers filters") {
+    val rows = ((1 to 9).map(i => ("g1", i.toDouble)) :+ ("g1", 100.0)) ++
+      Seq(("g2", 5.0), ("g2", 5.0))
+    val df = rows.toDF("g", "v")
+    val out = runOne { d =>
+      d.add(srcNode(df)) >> new OutlierFilterNode(Seq("g"), "v", k = 3.0) >>
+        d.output("result")
+    }.select("g", "v", "med", "mad", "keep").as[(String, Double, Double, Double, Boolean)]
+      .collect()
+    // g1: med of {1..9,100} = 5.5, residual med (MAD) = 2.5+... residuals
+    // {4.5,3.5,2.5,1.5,.5,.5,1.5,2.5,3.5,94.5} -> sorted mid pair (2.5,2.5) = 2.5
+    val g1 = out.filter(_._1 == "g1")
+    assert(g1.forall(r => r._3 == 5.5 && r._4 == 2.5))
+    assert(g1.filter(!_._5).map(_._2).toSeq == Seq(100.0)) // only the outlier fails
+    // g2: mad = 0 -> only exact-median values keep
+    assert(out.filter(_._1 == "g2").forall(_._5))
+    val kept = runOne { d =>
+      d.add(srcNode(df)) >> new OutlierFilterNode(Seq("g"), "v", k = 3.0, dropOutliers = true) >>
+        d.output("result")
+    }.count()
+    assert(kept == 11)
+  }
+
+  test("InvertedIndexTopKNode: integer tf dot-product ranks, fractional DF cap prunes stopwords") {
+    val corpus = Seq((1L, "the a a b"), (2L, "the a c"), (3L, "the b c c"))
+      .toDF("doc_id", "text")
+    val queries = Seq((7L, "the a b")).toDF("query_id", "text")
+    def run(frac: Double): Seq[(Long, Long, Long, Int)] = runOne { d =>
+      val c = d.add(srcNode(corpus, "c")); val q = d.add(srcNode(queries, "q"))
+      val ii = d.add(new InvertedIndexTopKNode(k = 3, maxDfFrac = frac))
+      c >> ii("corpus"); q >> ii("queries")
+      ii >> d.output("result")
+    }.select("query_id", "doc_id", "score", "rank").as[(Long, Long, Long, Int)]
+      .collect().sortBy(_._4).toSeq
+    // frac 0.67 -> cap 2: 'the' (df 3) pruned; scores d1 = 2a+1b = 3, d2 = 1, d3 = 1
+    assert(run(0.67) == Seq((7L, 1L, 3L, 1), (7L, 2L, 1L, 2), (7L, 3L, 1L, 3)))
+    // frac 1.0 -> 'the' kept, +1 for every doc
+    assert(run(1.0) == Seq((7L, 1L, 4L, 1), (7L, 2L, 2L, 2), (7L, 3L, 2L, 3)))
+  }
 }
 
 object NodesSpec {

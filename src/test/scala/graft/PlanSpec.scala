@@ -213,4 +213,44 @@ class PlanSpec extends AnyFunSuite {
     val sp = planOf(sd.transform(sc).outputs("result"))
     assert(sp.contains("BroadcastHashJoin"), s"semdedup size table must broadcast:\n$sp")
   }
+
+  test("advanced nodes keep their scale shapes: bloom prefilter pre-exchange, merge broadcasts keys") {
+    import graft.dag._
+    import graft.nodes._
+    def build(f: Dag => Unit): org.apache.spark.sql.DataFrame = {
+      val d = new Dag(); f(d); d.transform(Ctx(spark)).outputs("result")
+    }
+    // BloomJoinNode: probe side carries the bloom UDF filter and the exact
+    // join broadcasts the build side — the probe never shuffles
+    val bj = planOf(build { d =>
+      val li = d.add(SourceNode.table(dir, "lineitem"))
+      val sup = d.add(SourceNode.table(dir, "supplier")) >> FilterNode("s_acctbal > 8000")
+      val n = d.add(new BloomJoinNode(Seq("l_suppkey"), Seq("s_suppkey"),
+        10000L, 0.01, "inner", broadcastBuild = true))
+      li >> n("probe"); sup >> n("build")
+      n >> d.output("result")
+    })
+    assert(bj.contains("BroadcastHashJoin"), s"bloom join must broadcast the build side:\n$bj")
+    // the probe side reaches the broadcast join WITHOUT an Exchange: the only
+    // allowed exchanges are broadcast ones
+    assert(!bj.replace("BroadcastExchange", "").contains("Exchange"),
+      s"bloom-pruned probe must not shuffle before the join:\n$bj")
+    // MergeNode: the anti join against update keys broadcasts (base side
+    // never shuffles); the union is a plan-only node
+    val mg = planOf(build { d =>
+      val base = d.add(SourceNode.table(dir, "customer"))
+      val upd = d.add(SourceNode.table(dir, "customer").named("upd_src")) >>
+        FilterNode("c_acctbal > 9000")
+      val m = d.add(new MergeNode(Seq("c_custkey")))
+      base >> m("base"); upd >> m("updates")
+      m >> d.output("result")
+    })
+    assert(mg.contains("BroadcastHashJoin") &&
+      (mg.contains("LeftAnti") || mg.contains("left_anti")),
+      s"merge anti-join must broadcast update keys:\n$mg")
+    // exactly ONE shuffle, and it's the SKINNY update-keys distinct — the
+    // base side must reach the anti join straight from its scan
+    assert("""\(\d+\) Exchange""".r.findAllIn(mg).size == 1,
+      s"merge may shuffle only the update-keys distinct, never the base:\n$mg")
+  }
 }

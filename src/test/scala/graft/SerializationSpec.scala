@@ -247,6 +247,36 @@ class SerializationSpec extends AnyFunSuite {
     assert(capped.contains("\"src\" -> \"cleaner\""))
   }
 
+  test("round-trip covers advanced kinds: pagerank/bloom-join/merge/diff/outlier/inverted-index") {
+    val d = new Dag("advkinds")
+    val pr = d.add(new PageRankNode("u", "v", 7, 500000L, 90))
+    val bj = d.add(new BloomJoinNode(Seq("a", "b"), Seq("x", "y"), 4242L, 0.05, "left_semi", broadcastBuild = true))
+    val mg = d.add(new MergeNode(Seq("k1", "k2"), Some("tomb"), broadcastKeys = false))
+    val sd = d.add(new SnapshotDiffNode(Seq("id"), Seq("c1", "c2"), includeUnchanged = true, "delta"))
+    val of = d.add(new OutlierFilterNode(Seq("g"), "v * 2", 2.5, dropOutliers = true, approx = true))
+    val ii = d.add(new InvertedIndexTopKNode("did", "body", "qid", "qbody", 7, 0.33, Some(9999L)))
+    val d2 = DagJson.fromJson(DagJson.toJson(d))
+    val pr2 = d2.node(pr.name).asInstanceOf[PageRankNode]
+    assert(pr2.srcCol == "u" && pr2.dstCol == "v" && pr2.iterations == 7 &&
+      pr2.scale == 500000L && pr2.dampingNum == 90)
+    val bj2 = d2.node(bj.name).asInstanceOf[BloomJoinNode]
+    assert(bj2.probeKeys == Seq("a", "b") && bj2.buildKeys == Seq("x", "y") &&
+      bj2.expectedItems == 4242L && bj2.fpp == 0.05 && bj2.joinType == "left_semi" &&
+      bj2.broadcastBuild)
+    val mg2 = d2.node(mg.name).asInstanceOf[MergeNode]
+    assert(mg2.keys == Seq("k1", "k2") && mg2.deleteCol.contains("tomb") && !mg2.broadcastKeys)
+    val sd2 = d2.node(sd.name).asInstanceOf[SnapshotDiffNode]
+    assert(sd2.keys == Seq("id") && sd2.compareCols == Seq("c1", "c2") &&
+      sd2.includeUnchanged && sd2.changeCol == "delta")
+    val of2 = d2.node(of.name).asInstanceOf[OutlierFilterNode]
+    assert(of2.groupCols == Seq("g") && of2.valueExpr == "v * 2" && of2.k == 2.5 &&
+      of2.dropOutliers && of2.approx)
+    val ii2 = d2.node(ii.name).asInstanceOf[InvertedIndexTopKNode]
+    assert(ii2.idCol == "did" && ii2.textCol == "body" && ii2.queryIdCol == "qid" &&
+      ii2.queryTextCol == "qbody" && ii2.k == 7 && ii2.maxDfFrac == 0.33 &&
+      ii2.corpusSizeHint.contains(9999L))
+  }
+
   test("nested dag JSON round-trip (reference MLDagNode through to_dict)") {
     nodes.NodeRegistry.ensure
     val inner = new Dag("cleaner")
