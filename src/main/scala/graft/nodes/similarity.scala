@@ -517,3 +517,103 @@ class InvertedIndexTopKNode(
       .filter(col("rank") <= k))
   }
 }
+
+/** BM25-quantized retrieval: the InvertedIndexTopKNode posting-list shape
+  * with the two signals raw tf·tf lacks — document-frequency weighting
+  * (rare terms count more) and document-length normalization with tf
+  * saturation (a term's 50th occurrence in a long doc adds almost nothing).
+  *
+  * Scoring is FIXED-POINT INTEGER by contract (the PageRankNode reasoning:
+  * bit-reproducible across engines, partitionings, and retries — no libm
+  * `ln` whose last ulp differs between JVM and C, no float summation
+  * order). The BM25 tf-saturation and length-normalization terms are exact
+  * rationals, so they quantize losslessly; only idf is replaced by its
+  * rational surrogate N/df (monotone in the classic Robertson idf over the
+  * pruned-df range, so ranking behavior is preserved while every score is
+  * an exact integer). With k1 = k1Tenths/10, b = bHundredths/100, S = scale:
+  *
+  *   avgdlC     = (100·Σdl) div N                      — avgdl, hundredths
+  *   idfF(t)    = (N·S) div df(t)
+  *   tfSatF     = (tf·(k1T+10)·100·avgdlC·S) div
+  *                (1000·tf·avgdlC + k1T·(100−bH)·avgdlC + 100·k1T·bH·dl)
+  *   score(q,d) = Σ_t qtf(t) · ((idfF(t)·tfSatF(t,d)) div S)
+  *
+  * The idfF·tfSatF product can exceed int64 at web scale (N ~ 1e11 docs,
+  * df = 1 ⇒ idfF ~ 1e17; tfSatF ≤ 2.2·S), so it is computed in
+  * decimal(38,0) — Catalyst's 128-bit path, same cost class as bigint —
+  * and lands back in int64 after the div (score ≤ qlen·maxqtf·idfF).
+  *
+  * Scale shape: identical to InvertedIndexTopKNode — corpus stats are a
+  * one-row aggregate broadcast into the plan (no driver action), df pruning
+  * via the fractional cap, skinny posting-list equi-join, per-query top-k
+  * window. No new shuffle beyond the tf-only node.
+  */
+class Bm25TopKNode(
+    val idCol: String = "doc_id",
+    val textCol: String = "text",
+    val queryIdCol: String = "query_id",
+    val queryTextCol: String = "text",
+    val k: Int = 10,
+    val maxDfFrac: Double = 0.5,
+    val k1Tenths: Int = 12,
+    val bHundredths: Int = 75,
+    val scale: Long = 1000000L)
+  extends Node {
+  require(k > 0, "k must be positive")
+  require(maxDfFrac > 0 && maxDfFrac <= 1, "maxDfFrac must be in (0, 1]")
+  require(k1Tenths >= 0, "k1Tenths must be >= 0")
+  require(bHundredths >= 0 && bHundredths <= 100, "bHundredths must be in [0, 100]")
+  require(scale > 0, "scale must be positive")
+  override protected def defaultName: String = "bm25_topk"
+  val inputs = Seq(Port("corpus"), Port("queries"))
+  val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("bm25_topk")
+  override def jsonParams: Map[String, Any] = Map(
+    "idCol" -> idCol, "textCol" -> textCol, "queryIdCol" -> queryIdCol,
+    "queryTextCol" -> queryTextCol, "k" -> k, "maxDfFrac" -> maxDfFrac,
+    "k1Tenths" -> k1Tenths, "bHundredths" -> bHundredths, "scale" -> scale)
+
+  override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
+    import org.apache.spark.sql.functions.max
+    val toks = TextExprs.tokensExpr(textCol)
+    // one tokenization pass feeds doc lengths, term freqs, and corpus stats
+    val base = ctx.track(in("corpus")
+      .select(col(idCol), expr(toks).as("__toks"))
+      .withColumn("__dl", expr("size(__toks)")))
+    // one-row corpus stats, broadcast — N and avgdl enter the plan as a
+    // broadcast join, never a collect
+    val stats = base.agg(
+      count(lit(1)).as("__n"), sum(col("__dl")).as("__t"))
+      .withColumn("__avgdlc", expr("(100L * __t) div __n"))
+      .select("__n", "__avgdlc")
+    val ctf = base
+      .select(col(idCol), col("__dl"), expr("explode(__toks)").as("tok"))
+      .groupBy(col(idCol), col("tok"))
+      .agg(count(lit(1)).as("tf"), max(col("__dl")).as("__dl"))
+    val ctfS = ctx.track(ctf.crossJoin(broadcast(stats)))
+    // fractional df cap (stopword pruning), df carried into scoring
+    val terms = ctfS.groupBy("tok").agg(
+      count(lit(1)).as("__df"), max("__n").as("__n2"))
+      .filter(expr(s"__df <= greatest(1L, cast(floor($maxDfFrac * __n2) as bigint))"))
+      .select("tok", "__df")
+    val qtoks = TextExprs.tokensExpr(queryTextCol)
+    val qtf = in("queries")
+      .select(col(queryIdCol), expr(s"explode($qtoks)").as("tok"))
+      .groupBy(col(queryIdCol), col("tok"))
+      .agg(count(lit(1)).as("qtf"))
+    val k1T = k1Tenths; val bH = bHundredths
+    val scored = ctfS.join(terms, Seq("tok")).join(qtf, Seq("tok"))
+      .withColumn("__idf", expr(s"(__n * ${scale}L) div __df"))
+      .withColumn("__tfsat", expr(
+        s"(tf * ${(k1T + 10) * 100}L * __avgdlc * ${scale}L) div " +
+          s"(1000L * tf * __avgdlc + ${k1T * (100 - bH)}L * __avgdlc + ${100 * k1T * bH}L * __dl)"))
+      .withColumn("__contrib", expr(
+        s"cast((cast(__idf as decimal(38,0)) * __tfsat) div ${scale}L as bigint)"))
+      .groupBy(col(queryIdCol), col(idCol))
+      .agg(sum(expr("qtf * __contrib")).as("score"))
+    val w = Window.partitionBy(queryIdCol).orderBy(col("score").desc, col(idCol))
+    Map("result" -> scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k))
+  }
+}

@@ -252,6 +252,51 @@ object Advanced {
        |  FROM customer o FULL OUTER JOIN merged n ON o.c_custkey = n.c_custkey)
        |GROUP BY change ORDER BY change""".stripMargin
 
+  // ---- q100: BM25-quantized retrieval. Same posting-list/query-sample
+  // shape as q98, but scored with Bm25TopKNode's fixed-point contract:
+  // integer df-weighting, tf saturation, and length normalization — the
+  // oracle unrolls the identical integer formula with DuckDB's // division
+  // (constants for k1=1.2, b=0.75: (k1T+10)*100=2200, k1T*(100-bH)=300,
+  // 100*k1T*bH=90000). ----
+  def q100_bm25_topk(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
+    val docs = d.add(SourceNode.table(dir, "documents"))
+    val qs = d.add(ProjectNode("doc_id as query_id", "text").named("query_docs"))
+    val fq = d.add(FilterNode("doc_id % 97 = 0").named("f_queries"))
+    docs >> fq; fq >> qs
+    val bm = d.add(new Bm25TopKNode(
+      idCol = "doc_id", textCol = "text", queryIdCol = "query_id",
+      queryTextCol = "text", k = 5, maxDfFrac = 0.79))
+    docs >> bm("corpus"); qs >> bm("queries")
+    bm >> SortNode("query_id", "rank") >> d.output("result")
+  }
+  val q100Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+      |  FROM documents),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+      |st AS (SELECT count(*) AS n, (100 * sum(dl)) // count(*) AS avgdlc FROM dl),
+      |ctf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+      |terms AS (SELECT tok, count(*) AS df FROM ctf GROUP BY tok
+      |  HAVING count(*) <= greatest(1, cast(floor(0.79 * (SELECT n FROM st)) as bigint))),
+      |qtf AS (SELECT doc_id AS query_id, tok, count(*) AS qtf
+      |        FROM toks WHERE doc_id % 97 = 0 GROUP BY doc_id, tok),
+      |scored AS (
+      |  SELECT query_id, c.doc_id,
+      |    cast(sum(q.qtf * (
+      |      (((SELECT n FROM st) * 1000000) // t.df) *
+      |      ((c.tf * 2200 * (SELECT avgdlc FROM st) * 1000000) //
+      |       (1000 * c.tf * (SELECT avgdlc FROM st)
+      |        + 300 * (SELECT avgdlc FROM st) + 90000 * d.dl))
+      |      // 1000000)) as bigint) AS score
+      |  FROM ctf c JOIN terms t USING (tok) JOIN qtf q USING (tok)
+      |       JOIN dl d ON c.doc_id = d.doc_id
+      |  GROUP BY query_id, c.doc_id)
+      |SELECT query_id, doc_id, score, rank FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |                               ORDER BY score DESC, doc_id) AS rank
+      |  FROM scored)
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q94_bloom_join", q94_bloom_join _, q94Sql),
     ("q95_pagerank", q95_pagerank _, q95Sql),
@@ -259,5 +304,6 @@ object Advanced {
     ("q97_outlier_mad", q97_outlier_mad _, q97Sql),
     ("q98_sparse_topk", q98_sparse_topk _, q98Sql),
     ("q99_snapshot_diff", q99_snapshot_diff _, q99Sql),
+    ("q100_bm25_topk", q100_bm25_topk _, q100Sql),
   )
 }

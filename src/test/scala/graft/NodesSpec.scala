@@ -1113,6 +1113,36 @@ class NodesSpec extends AnyFunSuite {
     // frac 1.0 -> 'the' kept, +1 for every doc
     assert(run(1.0) == Seq((7L, 1L, 4L, 1), (7L, 2L, 2L, 2), (7L, 3L, 2L, 3)))
   }
+
+  test("Bm25TopKNode: fixed-point scores match the documented integer recurrence") {
+    // d1 and d2 have equal tf for their query term, but 'rare' (df 2) must
+    // outweigh 'common' (df 3); d3 repeats 'rare' 5x in a doc 2x as long —
+    // saturation + length norm must keep its score below 6x d1's contribution
+    val corpus = Seq(
+      (1L, "rare f1 f2"), (2L, "common f3 f4"),
+      (3L, "rare rare rare rare rare common"), (4L, "common f7 f8"),
+    ).toDF("doc_id", "text")
+    val queries = Seq((9L, "rare common")).toDF("query_id", "text")
+    val out = runOne { d =>
+      val c = d.add(srcNode(corpus, "c")); val q = d.add(srcNode(queries, "q"))
+      val bm = d.add(new Bm25TopKNode(k = 4, maxDfFrac = 1.0))
+      c >> bm("corpus"); q >> bm("queries")
+      bm >> d.output("result")
+    }.select("query_id", "doc_id", "score", "rank").as[(Long, Long, Long, Int)]
+      .collect().sortBy(r => (r._4, r._2)).toSeq
+    // independent recompute of the documented contract (k1T 12, bH 75, S 1e6)
+    val S = 1000000L; val n = 4L; val avgdlc = (100L * (3 + 3 + 6 + 3)) / n
+    def tfSat(tf: Long, dl: Long): Long =
+      (tf * 2200L * avgdlc * S) / (1000L * tf * avgdlc + 300L * avgdlc + 90000L * dl)
+    def contrib(tf: Long, dl: Long, df: Long): Long = ((n * S) / df) * tfSat(tf, dl) / S
+    val d1 = contrib(1, 3, 2) // rare (df 2) in d1
+    val d2 = contrib(1, 3, 3) // common (df 3) in d2 — and identically in d4
+    val d3 = contrib(5, 6, 2) + contrib(1, 6, 3) // rare x5 + common x1 in d3
+    // d2/d4 tie on score — rank ties break by doc id
+    assert(out == Seq((9L, 3L, d3, 1), (9L, 1L, d1, 2), (9L, 2L, d2, 3), (9L, 4L, d2, 4)))
+    assert(d1 > d2, "rare term (lower df) must outscore common term at equal tf/dl")
+    assert(d3 < 6 * d1, "tf saturation + length norm must cap repeated-term gain")
+  }
 }
 
 object NodesSpec {

@@ -252,5 +252,19 @@ class PlanSpec extends AnyFunSuite {
     // base side must reach the anti join straight from its scan
     assert("""\(\d+\) Exchange""".r.findAllIn(mg).size == 1,
       s"merge may shuffle only the update-keys distinct, never the base:\n$mg")
+    // Bm25TopKNode: the one-row corpus-stats frame enters the plan as a
+    // BROADCAST nested-loop join (never a CartesianProduct, never a collect)
+    val bm = planOf(build { d =>
+      val c = d.add(SourceNode.table(dir, "documents"))
+      val q = d.add(SourceNode.table(dir, "documents").named("q_src")) >>
+        FilterNode("doc_id % 97 = 0") >> ProjectNode("doc_id as query_id", "text")
+      val n = d.add(new Bm25TopKNode(k = 5))
+      c >> n("corpus"); q >> n("queries")
+      n >> d.output("result")
+    })
+    assert(bm.contains("BroadcastNestedLoopJoin"),
+      s"bm25 corpus stats must broadcast into the scoring plan:\n$bm")
+    assert(!bm.contains("CartesianProduct"),
+      s"bm25 must never fall back to a cartesian product:\n$bm")
   }
 }

@@ -275,6 +275,12 @@ class SerializationSpec extends AnyFunSuite {
     assert(ii2.idCol == "did" && ii2.textCol == "body" && ii2.queryIdCol == "qid" &&
       ii2.queryTextCol == "qbody" && ii2.k == 7 && ii2.maxDfFrac == 0.33 &&
       ii2.corpusSizeHint.contains(9999L))
+    val d3 = new Dag("bm25kind")
+    val bm = d3.add(new Bm25TopKNode("did", "body", "qid", "qbody", 7, 0.33, 15, 50, 2000000L))
+    val bm2 = DagJson.fromJson(DagJson.toJson(d3)).node(bm.name).asInstanceOf[Bm25TopKNode]
+    assert(bm2.idCol == "did" && bm2.textCol == "body" && bm2.queryIdCol == "qid" &&
+      bm2.queryTextCol == "qbody" && bm2.k == 7 && bm2.maxDfFrac == 0.33 &&
+      bm2.k1Tenths == 15 && bm2.bHundredths == 50 && bm2.scale == 2000000L)
   }
 
   test("nested dag JSON round-trip (reference MLDagNode through to_dict)") {
