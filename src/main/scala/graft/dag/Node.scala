@@ -188,7 +188,7 @@ class IdentityNode extends Node {
   */
 abstract class EstimatorNode extends Node {
   type Model
-  @volatile private[dag] var model: Option[Model] = None
+  @volatile private[graft] var model: Option[Model] = None
   def fitModel(ctx: Ctx, in: In): Model
   def applyModel(m: Model, ctx: Ctx, in: In): Map[String, DataFrame]
   final override def fit(ctx: Ctx, in: In): Unit = model = Some(fitModel(ctx, in))

@@ -169,6 +169,9 @@ object NodeRegistry {
     register("inverted_index_topk")(p => new InvertedIndexTopKNode(p.str("idCol"), p.str("textCol"),
       p.str("queryIdCol"), p.str("queryTextCol"), p.int("k"), p.dbl("maxDfFrac"),
       p.m.get("corpusSizeHint").collect { case v if v != null => v.toString.toLong }))
+    register("minhash_index")(p => new MinHashIndexNode(p.str("idCol"), p.str("textCol"),
+      p.int("numHashes"), p.int("bands"), p.int("shingleN"),
+      p.dbl("jaccardThreshold"), p.int("maxBucket")))
     register("bm25_topk")(p => new Bm25TopKNode(p.str("idCol"), p.str("textCol"),
       p.str("queryIdCol"), p.str("queryTextCol"), p.int("k"), p.dbl("maxDfFrac"),
       p.int("k1Tenths"), p.int("bHundredths"), p.m("scale").toString.toLong))

@@ -443,3 +443,118 @@ class SpanDupScoreNode(
       (if (dropAbove >= 1.0) scored else scored.filter(col("shared_frac") <= dropAbove)))
   }
 }
+
+/** Incremental near-duplicate detection against a FITTED MinHash/LSH index
+  * — the 100 TB corpus-refresh shape. Re-running whole-corpus near-dup per
+  * delta batch re-pairs the entire corpus (the one cost that cannot be
+  * amortized); instead the corpus is indexed ONCE (`fit`) and each delta
+  * batch is checked against the index (`transform`) touching only
+  * delta-sized work plus one equi-join into the index.
+  *
+  *   - fit(corpus): hashed shingle sets + LSH band buckets of the corpus,
+  *     persisted (MEMORY_AND_DISK — an index is read by every subsequent
+  *     delta batch). Buckets above `maxBucket` are dropped at fit time
+  *     (boilerplate families; same quadratic-candidate guard as
+  *     MinHashDedupNode).
+  *   - transform(delta): shingle + band ONLY the delta, equi-join its band
+  *     keys against the index buckets (skinny: ids + band key), dedupe
+  *     candidates, verify by exact hashed-shingle Jaccard, keep pairs >=
+  *     `jaccardThreshold`. Output: (delta_id, base_id, jaccard) — feed
+  *     survivor selection / MergeNode.
+  *
+  * saveFitted/loadFitted persist the index as TWO PARQUET DIRECTORIES
+  * (`<path>/shingles`, `<path>/buckets`) — the production deployment:
+  * index on object storage, loaded by refresh jobs; java serialization of
+  * a distributed frame would be meaningless.
+  *
+  * Same seeds as MinHashDedupNode (both use `shingle_hashes` /
+  * `minhash_bands`), so identical text produces identical signatures in
+  * both — an exact-duplicate delta row is caught with probability 1, which
+  * is what the q101 identity oracle pins.
+  */
+class MinHashIndexNode(
+    val idCol: String = "doc_id",
+    val textCol: String = "text",
+    val numHashes: Int = 32,
+    val bands: Int = 8,
+    val shingleN: Int = 3,
+    val jaccardThreshold: Double = 0.8,
+    val maxBucket: Int = 1000)
+  extends graft.dag.EstimatorNode {
+  require(numHashes % bands == 0, "numHashes must divide into bands")
+  type Model = MinHashIndexNode.Index
+  override protected def defaultName: String = "minhash_index"
+  val inputs = Seq(Port("corpus"), Port("delta"))
+  val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("minhash_index")
+  override def jsonParams: Map[String, Any] = Map(
+    "idCol" -> idCol, "textCol" -> textCol, "numHashes" -> numHashes,
+    "bands" -> bands, "shingleN" -> shingleN,
+    "jaccardThreshold" -> jaccardThreshold, "maxBucket" -> maxBucket)
+
+  private def sketch(df: DataFrame, outId: String, outSh: String): DataFrame = {
+    val toks = TextExprs.tokensExpr(textCol)
+    df.withColumn("__toks", expr(toks))
+      .withColumn(outSh, expr(s"shingle_hashes(__toks, $shingleN)"))
+      .filter(s"size($outSh) > 0")
+      .select(col(idCol).as(outId), col(outSh))
+  }
+
+  private def bandKeys(sh: DataFrame, id: String, shCol: String): DataFrame =
+    sh.select(col(id),
+        expr(s"minhash_bands($shCol, $numHashes, $bands)").as("__bands"))
+      .selectExpr(id, "posexplode(__bands) as (band, band_hash)")
+
+  def fitModel(ctx: Ctx, in: In): Model = {
+    import org.apache.spark.storage.StorageLevel
+    graft.functions.VecFunctions.register(ctx.spark)
+    val sh = sketch(in("corpus"), "base_id", "__sh_b")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val buckets0 = bandKeys(sh, "base_id", "__sh_b")
+    val ok = buckets0.groupBy("band", "band_hash").count()
+      .filter(col("count") <= maxBucket).select("band", "band_hash")
+    val buckets = buckets0.join(ok, Seq("band", "band_hash"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    MinHashIndexNode.Index(sh, buckets)
+  }
+
+  def applyModel(m: Model, ctx: Ctx, in: In): Map[String, DataFrame] = {
+    graft.functions.VecFunctions.register(ctx.spark)
+    val dsh = ctx.track(sketch(in("delta"), "delta_id", "__sh_d"))
+    val cand = bandKeys(dsh, "delta_id", "__sh_d")
+      .join(m.buckets, Seq("band", "band_hash"))
+      .select("delta_id", "base_id")
+      .dropDuplicates("delta_id", "base_id")
+    val verified = cand
+      .join(dsh, Seq("delta_id"))
+      .join(m.shingles, Seq("base_id"))
+      .withColumn("jaccard",
+        expr("cast(size(array_intersect(__sh_d, __sh_b)) as double) / size(array_union(__sh_d, __sh_b))"))
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select("delta_id", "base_id", "jaccard")
+    Map("result" -> verified)
+  }
+
+  /** Release the persisted index frames (fit again to rebuild). */
+  def unpersistIndex(): Unit = model.foreach { m =>
+    m.shingles.unpersist(); m.buckets.unpersist()
+  }
+
+  override def saveFitted(path: String): Unit = {
+    val m = model.getOrElse(
+      throw new graft.dag.GraftException(s"estimator node '$name' not fitted"))
+    m.shingles.write.mode("overwrite").parquet(s"$path/shingles")
+    m.buckets.write.mode("overwrite").parquet(s"$path/buckets")
+  }
+  override def loadFitted(path: String): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    model = Some(MinHashIndexNode.Index(
+      spark.read.parquet(s"$path/shingles"),
+      spark.read.parquet(s"$path/buckets")))
+  }
+}
+
+object MinHashIndexNode {
+  /** The fitted index: corpus shingle sets + capped LSH band buckets. */
+  case class Index(shingles: DataFrame, buckets: DataFrame)
+}

@@ -297,6 +297,45 @@ object Advanced {
       |  FROM scored)
       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  // ---- q101: incremental near-dup against a FITTED MinHash index. The
+  // corpus is indexed once (fit); a delta batch of relabeled exact copies
+  // (doc_id % 7 = 3, bounded like q57's audit sample) is checked against it
+  // (transform). Identity-oracle construction: threshold 1.0 keeps exactly
+  // the pairs with EQUAL distinct shingle sets, which (a) LSH provably
+  // catches — identical sets => identical signature => same buckets in
+  // every band — and (b) DuckDB derives independently via an equi-join on
+  // the sorted-distinct string-shingle key (q57's string/hashed-shingle
+  // equivalence, modulo xxhash64 collisions ~1e-13). ----
+  def q101_incremental_dedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = new Dag("incdedup")
+    val docs = d.add(SourceNode.table(dir, "documents"))
+    val delta = docs >> FilterNode("doc_id % 7 = 3 and doc_id < 400") >>
+      ProjectNode("doc_id + 1000000 as doc_id", "text").named("delta_docs")
+    val idx = d.add(new MinHashIndexNode(
+      numHashes = 32, bands = 16, shingleN = 3,
+      jaccardThreshold = 1.0, maxBucket = 100000))
+    docs >> idx("corpus"); delta >> idx("delta")
+    idx >> ProjectNode("delta_id", "base_id") >>
+      SortNode("delta_id", "base_id") >> d.output("result")
+    val ctx = Ctx(spark)
+    d.fit(ctx)
+    d.transform(ctx).outputs("result")
+  }
+  val q101Sql: String =
+    """WITH base AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      |  FROM documents),
+      |keyed AS (
+      |  SELECT doc_id,
+      |    array_to_string(list_sort(list_distinct(list_transform(
+      |      range(1, greatest(len(toks) - 2, 1) + 1),
+      |      i -> array_to_string(toks[i:i+2], ' ')))), chr(10)) AS key
+      |  FROM base)
+      |SELECT d.doc_id + 1000000 AS delta_id, b.doc_id AS base_id
+      |FROM keyed d JOIN keyed b USING (key)
+      |WHERE d.doc_id % 7 = 3 AND d.doc_id < 400
+      |ORDER BY delta_id, base_id""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q94_bloom_join", q94_bloom_join _, q94Sql),
     ("q95_pagerank", q95_pagerank _, q95Sql),
@@ -305,5 +344,6 @@ object Advanced {
     ("q98_sparse_topk", q98_sparse_topk _, q98Sql),
     ("q99_snapshot_diff", q99_snapshot_diff _, q99Sql),
     ("q100_bm25_topk", q100_bm25_topk _, q100Sql),
+    ("q101_incremental_dedup", q101_incremental_dedup _, q101Sql),
   )
 }

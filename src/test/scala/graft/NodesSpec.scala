@@ -1143,6 +1143,38 @@ class NodesSpec extends AnyFunSuite {
     assert(d1 > d2, "rare term (lower df) must outscore common term at equal tf/dl")
     assert(d3 < 6 * d1, "tf saturation + length norm must cap repeated-term gain")
   }
+
+  test("MinHashIndexNode: fitted index catches delta duplicates; parquet save/load round-trips") {
+    val delta = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"), // exact copy of docs 1 and 2
+      (12L, "unrelated payload words nothing shared here at all"),
+    ).toDF("doc_id", "text")
+    def pairsVia(node: MinHashIndexNode, needsFit: Boolean): Seq[(Long, Long, Double)] = {
+      val d = new Dag()
+      val c = d.add(srcNode(docs, "c")); val dd = d.add(srcNode(delta, "dd"))
+      val n = d.add(node)
+      c >> n("corpus"); dd >> n("delta")
+      n >> d.output("result")
+      val cx = ctx
+      if (needsFit) d.fit(cx)
+      d.transform(cx).outputs("result")
+        .as[(Long, Long, Double)].collect().sortBy(p => (p._1, p._2)).toSeq
+    }
+    val idx = new MinHashIndexNode(numHashes = 32, bands = 16, jaccardThreshold = 0.8)
+    val out = pairsVia(idx, needsFit = true)
+    // doc 10 duplicates base docs 1 AND 2 (jaccard exactly 1.0 — equal
+    // shingle sets); doc 3 is a near-dup at jaccard 0.4, below threshold;
+    // doc 12 shares nothing. Catching exact dups is deterministic.
+    assert(out == Seq((10L, 1L, 1.0), (10L, 2L, 1.0)))
+    // the index survives a parquet round-trip into a FRESH unfitted node
+    val dir = java.nio.file.Files.createTempDirectory("graft_mh_idx").toString
+    idx.saveFitted(dir)
+    val idx2 = new MinHashIndexNode(numHashes = 32, bands = 16, jaccardThreshold = 0.8)
+    idx2.loadFitted(dir)
+    assert(pairsVia(idx2, needsFit = false) == out)
+    idx.unpersistIndex()
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
 }
 
 object NodesSpec {

@@ -277,10 +277,16 @@ class SerializationSpec extends AnyFunSuite {
       ii2.corpusSizeHint.contains(9999L))
     val d3 = new Dag("bm25kind")
     val bm = d3.add(new Bm25TopKNode("did", "body", "qid", "qbody", 7, 0.33, 15, 50, 2000000L))
-    val bm2 = DagJson.fromJson(DagJson.toJson(d3)).node(bm.name).asInstanceOf[Bm25TopKNode]
+    val mi = d3.add(new MinHashIndexNode("did", "body", 64, 32, 5, 0.9, 777))
+    val d3b = DagJson.fromJson(DagJson.toJson(d3))
+    val bm2 = d3b.node(bm.name).asInstanceOf[Bm25TopKNode]
     assert(bm2.idCol == "did" && bm2.textCol == "body" && bm2.queryIdCol == "qid" &&
       bm2.queryTextCol == "qbody" && bm2.k == 7 && bm2.maxDfFrac == 0.33 &&
       bm2.k1Tenths == 15 && bm2.bHundredths == 50 && bm2.scale == 2000000L)
+    val mi2 = d3b.node(mi.name).asInstanceOf[MinHashIndexNode]
+    assert(mi2.idCol == "did" && mi2.textCol == "body" && mi2.numHashes == 64 &&
+      mi2.bands == 32 && mi2.shingleN == 5 && mi2.jaccardThreshold == 0.9 &&
+      mi2.maxBucket == 777)
   }
 
   test("nested dag JSON round-trip (reference MLDagNode through to_dict)") {
