@@ -169,6 +169,8 @@ object NodeRegistry {
     register("inverted_index_topk")(p => new InvertedIndexTopKNode(p.str("idCol"), p.str("textCol"),
       p.str("queryIdCol"), p.str("queryTextCol"), p.int("k"), p.dbl("maxDfFrac"),
       p.m.get("corpusSizeHint").collect { case v if v != null => v.toString.toLong }))
+    register("sessionize")(p => new SessionizeNode(p.strs("keyCols"), p.str("tsCol"),
+      p.m("gapSeconds").toString.toLong, p.strs("tieBreakCols"), p.str("outCol")))
     register("minhash_index")(p => new MinHashIndexNode(p.str("idCol"), p.str("textCol"),
       p.int("numHashes"), p.int("bands"), p.int("shingleN"),
       p.dbl("jaccardThreshold"), p.int("maxBucket")))

@@ -189,3 +189,54 @@ class AsofJoinNode(
     kept.select(outCols: _*)
   }
 }
+
+/** Batch sessionization: split each key's event stream into sessions at
+  * gaps longer than `gapSeconds`, appending a per-key `session_seq`
+  * (1-based) — the batch counterpart of the streaming session window
+  * (StreamWindowAggNode session mode), for backfills and reprocessing over
+  * historical event logs.
+  *
+  * Gap arithmetic is exact INTEGER MICROSECONDS (`unix_micros`) — float
+  * epoch seconds would make boundary events engine-dependent. The order
+  * within a key is (ts, tieBreakCols...): pass a unique tie-breaker (e.g.
+  * the event id) whenever timestamps can collide, otherwise peer rows
+  * under RANGE semantics would differ across engines.
+  *
+  * Scale shape: ONE shuffle on `keyCols` feeding two window passes over
+  * the same spec (boundary flag, then running sum — Catalyst reuses the
+  * sort+exchange; physical plan has a single Exchange). No global sort, no
+  * driver state; skewed keys are bounded by per-user event counts.
+  */
+class SessionizeNode(
+    val keyCols: Seq[String] = Seq("user_id"),
+    val tsCol: String = "ts",
+    val gapSeconds: Long = 1800L,
+    val tieBreakCols: Seq[String] = Nil,
+    val outCol: String = "session_seq")
+  extends Node {
+  require(keyCols.nonEmpty, "keyCols must be non-empty")
+  require(gapSeconds > 0, "gapSeconds must be positive")
+  override protected def defaultName: String = "sessionize"
+  val inputs = Seq(Port("df"))
+  val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("sessionize")
+  override def jsonParams: Map[String, Any] = Map(
+    "keyCols" -> keyCols, "tsCol" -> tsCol, "gapSeconds" -> gapSeconds,
+    "tieBreakCols" -> tieBreakCols, "outCol" -> outCol)
+
+  override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
+    import org.apache.spark.sql.functions.{lag, sum, when, lit}
+    val ord = (col("__us") +: tieBreakCols.map(col)).map(_.asc)
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(ord: _*)
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gapUs = gapSeconds * 1000000L
+    Map("result" -> in("df")
+      .withColumn("__us", expr(s"unix_micros($tsCol)"))
+      .withColumn("__nb",
+        when(lag(col("__us"), 1).over(w).isNull
+          .or(col("__us") - lag(col("__us"), 1).over(w) > gapUs), 1L)
+          .otherwise(0L))
+      .withColumn(outCol, sum(col("__nb")).over(run))
+      .drop("__us", "__nb"))
+  }
+}

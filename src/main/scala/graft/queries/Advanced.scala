@@ -336,6 +336,35 @@ object Advanced {
       |WHERE d.doc_id % 7 = 3 AND d.doc_id < 400
       |ORDER BY delta_id, base_id""".stripMargin
 
+  // ---- q102: batch sessionization — gap-based session assignment over the
+  // event log (6h gap), rolled up to per-session stats. Gap math is exact
+  // integer microseconds on both engines; event_id breaks timestamp ties;
+  // session_seq cast to bigint in the oracle (DuckDB window sum -> hugeint
+  // -> float64 otherwise). ----
+  def q102_sessionize(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
+    d.add(SourceNode.table(dir, "events")) >>
+      new SessionizeNode(keyCols = Seq("user_id"), tsCol = "ts",
+        gapSeconds = 21600L, tieBreakCols = Seq("event_id")) >>
+      new AggNode(Seq("user_id", "session_seq"), Seq(
+        "count(*) as n_events",
+        "min(ts) as session_start",
+        "(max(unix_micros(ts)) - min(unix_micros(ts))) div 1000000L as dur_sec")) >>
+      SortNode("user_id", "session_seq") >>
+      d.output("result")
+  }
+  val q102Sql: String =
+    """WITH e AS (SELECT user_id, event_id, ts, epoch_us(ts) AS us FROM events),
+      |b AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL
+      |                       OR us - lag(us) OVER w > 21600000000 THEN 1 ELSE 0 END AS nb
+      |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      |s AS (SELECT *, sum(nb) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |                              ROWS UNBOUNDED PRECEDING) AS session_seq FROM b)
+      |SELECT user_id, cast(session_seq as bigint) AS session_seq,
+      |       count(*) AS n_events, min(ts) AS session_start,
+      |       (max(us) - min(us)) // 1000000 AS dur_sec
+      |FROM s GROUP BY user_id, session_seq
+      |ORDER BY user_id, session_seq""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q94_bloom_join", q94_bloom_join _, q94Sql),
     ("q95_pagerank", q95_pagerank _, q95Sql),
@@ -345,5 +374,6 @@ object Advanced {
     ("q99_snapshot_diff", q99_snapshot_diff _, q99Sql),
     ("q100_bm25_topk", q100_bm25_topk _, q100Sql),
     ("q101_incremental_dedup", q101_incremental_dedup _, q101Sql),
+    ("q102_sessionize", q102_sessionize _, q102Sql),
   )
 }

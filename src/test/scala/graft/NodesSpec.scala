@@ -1175,6 +1175,26 @@ class NodesSpec extends AnyFunSuite {
     idx.unpersistIndex()
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
+
+  test("SessionizeNode: gap boundary is strict, per-key independent, ties broken by tieBreakCols") {
+    val ev = Seq(
+      // user 1: gaps 100s / 101s around a 100s threshold -> second gap splits
+      (1L, 10L, "2024-01-01 00:00:00"),
+      (1L, 11L, "2024-01-01 00:01:40"),  // +100s: NOT > gap -> same session
+      (1L, 12L, "2024-01-01 00:03:21"),  // +101s: > gap -> new session
+      // user 2: same-timestamp pair ordered by event_id, then a big gap
+      (2L, 20L, "2024-01-01 00:00:00"),
+      (2L, 21L, "2024-01-01 00:00:00"),
+      (2L, 22L, "2024-01-01 09:00:00"),
+    ).toDF("user_id", "event_id", "s").selectExpr("user_id", "event_id", "cast(s as timestamp) as ts")
+    val out = runOne { d =>
+      d.add(srcNode(ev)) >> new SessionizeNode(Seq("user_id"), "ts", 100L, Seq("event_id")) >>
+        d.output("result")
+    }.select("user_id", "event_id", "session_seq").as[(Long, Long, Long)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(out == Seq((1L, 10L, 1L), (1L, 11L, 1L), (1L, 12L, 2L),
+      (2L, 20L, 1L), (2L, 21L, 1L), (2L, 22L, 2L)))
+  }
 }
 
 object NodesSpec {

@@ -266,5 +266,16 @@ class PlanSpec extends AnyFunSuite {
       s"bm25 corpus stats must broadcast into the scoring plan:\n$bm")
     assert(!bm.contains("CartesianProduct"),
       s"bm25 must never fall back to a cartesian product:\n$bm")
+    // SessionizeNode: boundary flag + running sum share one window spec —
+    // exactly ONE shuffle (the keyCols exchange), one sort
+    val sz = planOf(build { d =>
+      d.add(SourceNode.table(dir, "events")) >>
+        new SessionizeNode(Seq("user_id"), "ts", 3600L, Seq("event_id")) >>
+        d.output("result")
+    })
+    assert("""\(\d+\) Exchange""".r.findAllIn(sz).size == 1,
+      s"sessionize must shuffle once on the key:\n$sz")
+    assert("""\(\d+\) Sort""".r.findAllIn(sz).size == 1,
+      s"sessionize's two window passes must reuse one sort:\n$sz")
   }
 }

@@ -287,6 +287,11 @@ class SerializationSpec extends AnyFunSuite {
     assert(mi2.idCol == "did" && mi2.textCol == "body" && mi2.numHashes == 64 &&
       mi2.bands == 32 && mi2.shingleN == 5 && mi2.jaccardThreshold == 0.9 &&
       mi2.maxBucket == 777)
+    val d4 = new Dag("sesskind")
+    val sz = d4.add(new SessionizeNode(Seq("uid", "dev"), "evt_ts", 7200L, Seq("eid"), "sess"))
+    val sz2 = DagJson.fromJson(DagJson.toJson(d4)).node(sz.name).asInstanceOf[SessionizeNode]
+    assert(sz2.keyCols == Seq("uid", "dev") && sz2.tsCol == "evt_ts" &&
+      sz2.gapSeconds == 7200L && sz2.tieBreakCols == Seq("eid") && sz2.outCol == "sess")
   }
 
   test("nested dag JSON round-trip (reference MLDagNode through to_dict)") {
