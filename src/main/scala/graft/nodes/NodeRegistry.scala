@@ -169,6 +169,9 @@ object NodeRegistry {
     register("inverted_index_topk")(p => new InvertedIndexTopKNode(p.str("idCol"), p.str("textCol"),
       p.str("queryIdCol"), p.str("queryTextCol"), p.int("k"), p.dbl("maxDfFrac"),
       p.m.get("corpusSizeHint").collect { case v if v != null => v.toString.toLong }))
+    register("collocation")(p => new CollocationNode(p.str("textCol"),
+      p.m("minCount").toString.toLong, p.m("discount").toString.toLong,
+      p.int("k"), p.m("scale").toString.toLong))
     register("sessionize")(p => new SessionizeNode(p.strs("keyCols"), p.str("tsCol"),
       p.m("gapSeconds").toString.toLong, p.strs("tieBreakCols"), p.str("outCol")))
     register("minhash_index")(p => new MinHashIndexNode(p.str("idCol"), p.str("textCol"),

@@ -592,3 +592,72 @@ class FingerprintNode(val textCol: String = "text", val k: Int = 8, val window: 
       .withColumn("winnow_fp", expr(s"winnow_fp($textCol, $k, $window)")))
   }
 }
+
+/** Collocation mining — the word2vec phrase-detection score (Mikolov et al.
+  * 2013, "Distributed Representations of Words and Phrases", §4) over
+  * adjacent token bigrams:
+  *
+  *   scoreF(w1 w2) = ((c12 − discount) · T · S) div (c1 · c2)
+  *
+  * with c1/c2/c12 the unigram/bigram occurrence counts, T total tokens, S =
+  * `scale`. High-scoring bigrams are phrases ("new york") worth fusing into
+  * single tokens before BPE/vocab fitting — the standard pre-tokenization
+  * pass for a training corpus. FIXED-POINT INTEGER scoring, same contract
+  * family as PageRankNode/Bm25TopKNode: the c12·T·S product runs in
+  * decimal(38,0) (128-bit; T ~ 1e14 tokens at 100 TB would overflow int64)
+  * and the floor-divided score lands back in int64.
+  *
+  * Scale shape: two narrow explode+count passes (unigrams, bigrams — the
+  * bigram side never materializes strings wider than two tokens), the
+  * one-row token total broadcast into the plan, two equi-joins of the
+  * bigram counts against the (pruned, minCount-filtered) unigram counts,
+  * then a global top-k via TakeOrderedAndProject. No cartesian anywhere;
+  * the join keys are single words, and the minCount filter prunes the long
+  * tail before either join.
+  */
+class CollocationNode(
+    val textCol: String = "text",
+    val minCount: Long = 5L,
+    val discount: Long = 5L,
+    val k: Int = 20,
+    val scale: Long = 1000000L)
+  extends Node {
+  require(minCount >= 1, "minCount must be >= 1")
+  require(discount >= 0, "discount must be >= 0")
+  require(k > 0, "k must be positive")
+  require(scale > 0, "scale must be positive")
+  override protected def defaultName: String = "collocation"
+  val inputs = Seq(Port("df"))
+  val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("collocation")
+  override def jsonParams: Map[String, Any] = Map("textCol" -> textCol,
+    "minCount" -> minCount, "discount" -> discount, "k" -> k, "scale" -> scale)
+
+  override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
+    import org.apache.spark.sql.functions.{broadcast, count, lit, sum}
+    val toksF = ctx.track(in("df")
+      .select(expr(TextExprs.tokensExpr(textCol)).as("__toks")))
+    val uni = toksF.select(expr("explode(__toks)").as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minCount)
+    val stats = toksF.agg(sum(expr("size(__toks)")).as("__t"))
+    // adjacent pairs; sequence() is guarded (it DESCENDS when stop < start)
+    val bi = toksF.filter("size(__toks) >= 2")
+      .select(expr(
+        "explode(transform(sequence(1, size(__toks) - 1), " +
+          "i -> struct(element_at(__toks, i) as w1, element_at(__toks, i + 1) as w2)))").as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+    val scored = bi
+      .join(uni.select(col("w").as("w1"), col("c").as("__c1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("__c2")), Seq("w2"))
+      .crossJoin(broadcast(stats))
+      .withColumn("score", expr(
+        s"cast((cast(n_pair - ${discount}L as decimal(38,0)) * __t * ${scale}L) " +
+          "div (cast(__c1 as decimal(38,0)) * __c2) as bigint)"))
+      .select("w1", "w2", "n_pair", "score")
+    Map("result" -> scored
+      .orderBy(col("score").desc, col("w1"), col("w2")).limit(k))
+  }
+}

@@ -365,6 +365,35 @@ object Advanced {
       |FROM s GROUP BY user_id, session_seq
       |ORDER BY user_id, session_seq""".stripMargin
 
+  // ---- q103: collocation mining — word2vec phrase score over adjacent
+  // bigrams in fixed point (discount 5, scale 1e6), top-20. The oracle
+  // builds bigrams by joining each token to its successor via
+  // list_transform over positions (chr(10) pair separator — tokens cannot
+  // contain whitespace) and mirrors the integer divide. ----
+  def q103_collocations(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
+    d.add(SourceNode.table(dir, "documents")) >>
+      new CollocationNode(textCol = "text", minCount = 5L, discount = 5L, k = 20) >>
+      d.output("result")
+  }
+  val q103Sql: String =
+    """WITH toks AS (
+      |  SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
+      |st AS (SELECT cast(sum(len(t)) as bigint) AS tt FROM toks),
+      |uni AS (SELECT w, count(*) AS c
+      |        FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
+      |        HAVING count(*) >= 5),
+      |bi0 AS (SELECT unnest(list_transform(range(1, len(t)),
+      |          i -> t[i] || chr(10) || t[i+1])) AS pr FROM toks),
+      |bi AS (SELECT split_part(pr, chr(10), 1) AS w1,
+      |              split_part(pr, chr(10), 2) AS w2, count(*) AS n_pair
+      |       FROM bi0 GROUP BY 1, 2 HAVING count(*) >= 5),
+      |sc AS (SELECT w1, w2, n_pair,
+      |         cast(((n_pair - 5) * (SELECT tt FROM st) * 1000000)
+      |              // (u1.c * u2.c) as bigint) AS score
+      |       FROM bi JOIN uni u1 ON bi.w1 = u1.w JOIN uni u2 ON bi.w2 = u2.w)
+      |SELECT w1, w2, n_pair, score FROM sc
+      |ORDER BY score DESC, w1, w2 LIMIT 20""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q94_bloom_join", q94_bloom_join _, q94Sql),
     ("q95_pagerank", q95_pagerank _, q95Sql),
@@ -375,5 +404,6 @@ object Advanced {
     ("q100_bm25_topk", q100_bm25_topk _, q100Sql),
     ("q101_incremental_dedup", q101_incremental_dedup _, q101Sql),
     ("q102_sessionize", q102_sessionize _, q102Sql),
+    ("q103_collocations", q103_collocations _, q103Sql),
   )
 }

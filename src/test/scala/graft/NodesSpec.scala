@@ -1195,6 +1195,27 @@ class NodesSpec extends AnyFunSuite {
     assert(out == Seq((1L, 10L, 1L), (1L, 11L, 1L), (1L, 12L, 2L),
       (2L, 20L, 1L), (2L, 21L, 1L), (2L, 22L, 2L)))
   }
+
+  test("CollocationNode: phrase score follows the fixed-point Mikolov contract") {
+    // 'new york' occurs 3x adjacently; 'the' is frequent but never forms a
+    // repeated bigram with a minCount-surviving partner
+    val rows = Seq(
+      "new york is the city of new york",
+      "the new york subway runs under the streets",
+      "the the the the filler filler filler",
+    ).map(Tuple1(_)).toDF("text")
+    val out = runOne { d =>
+      d.add(srcNode(rows)) >> new CollocationNode(minCount = 3L, discount = 1L, k = 5) >>
+        d.output("result")
+    }.as[(String, String, Long, Long)].collect().toSeq
+    // T = 8 + 8 + 7 = 23 tokens; c(new)=3, c(york)=3, c12(new,york)=3
+    // score = ((3-1) * 23 * 1e6) / (3*3) = 5111111
+    val ny = out.find(r => r._1 == "new" && r._2 == "york")
+    assert(ny.contains(("new", "york", 3L, (2L * 23L * 1000000L) / 9L)))
+    // 'the the' (c12=3, c(the)=7): ((3-1)*23*1e6)/(49) = 938775 — ranked below
+    assert(out.head._1 == "new" && out.head._2 == "york",
+      s"highest-score bigram must be 'new york': $out")
+  }
 }
 
 object NodesSpec {

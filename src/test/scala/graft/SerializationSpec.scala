@@ -292,6 +292,11 @@ class SerializationSpec extends AnyFunSuite {
     val sz2 = DagJson.fromJson(DagJson.toJson(d4)).node(sz.name).asInstanceOf[SessionizeNode]
     assert(sz2.keyCols == Seq("uid", "dev") && sz2.tsCol == "evt_ts" &&
       sz2.gapSeconds == 7200L && sz2.tieBreakCols == Seq("eid") && sz2.outCol == "sess")
+    val d5 = new Dag("collkind")
+    val cl = d5.add(new CollocationNode("body", 9L, 3L, 42, 500000L))
+    val cl2 = DagJson.fromJson(DagJson.toJson(d5)).node(cl.name).asInstanceOf[CollocationNode]
+    assert(cl2.textCol == "body" && cl2.minCount == 9L && cl2.discount == 3L &&
+      cl2.k == 42 && cl2.scale == 500000L)
   }
 
   test("nested dag JSON round-trip (reference MLDagNode through to_dict)") {
