@@ -169,6 +169,8 @@ object NodeRegistry {
     register("inverted_index_topk")(p => new InvertedIndexTopKNode(p.str("idCol"), p.str("textCol"),
       p.str("queryIdCol"), p.str("queryTextCol"), p.int("k"), p.dbl("maxDfFrac"),
       p.m.get("corpusSizeHint").collect { case v if v != null => v.toString.toLong }))
+    register("weighted_sample")(p => new WeightedSampleNode(p.str("idCol"),
+      p.str("probExpr"), p.m("scale").toString.toLong, p.strOpt("keepCol")))
     register("collocation")(p => new CollocationNode(p.str("textCol"),
       p.m("minCount").toString.toLong, p.m("discount").toString.toLong,
       p.int("k"), p.m("scale").toString.toLong))

@@ -661,3 +661,45 @@ class CollocationNode(
       .orderBy(col("score").desc, col("w1"), col("w2")).limit(k))
   }
 }
+
+/** Deterministic weighted (importance) sampling: keep each row with
+  * per-row probability `probExpr` (a SQL expression in [0, 1]), decided by
+  * the engine-portable DetHash — NOT a seeded RNG. The DCLM/quality-
+  * weighted downsampling shape: high-quality docs keep probability 1,
+  * boilerplate keeps 0.1, and the decision for a given id is reproducible
+  * across engines, partitionings, retries, and re-runs (a seeded
+  * `sample()` is none of those). keep iff
+  *
+  *   DetHash(idCol) mod scale  <  floor(probExpr · scale)
+  *
+  * `keepCol = Some(c)` annotates instead of filtering (audit mode — same
+  * contract as HeuristicFilterNode's per-rule columns).
+  *
+  * Scale shape: pure narrow map over the scan — zero shuffle, pushdown
+  * survives (the filter is deterministic, so Catalyst pushes it into the
+  * scan where the source allows).
+  */
+class WeightedSampleNode(
+    val idCol: String = "doc_id",
+    val probExpr: String = "1.0",
+    val scale: Long = 1000000L,
+    val keepCol: Option[String] = None)
+  extends Node {
+  require(scale > 0, "scale must be positive")
+  override protected def defaultName: String = "weighted_sample"
+  val inputs = Seq(Port("df"))
+  val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("weighted_sample")
+  override def jsonParams: Map[String, Any] = Map(
+    "idCol" -> idCol, "probExpr" -> probExpr, "scale" -> scale,
+    "keepCol" -> keepCol.orNull)
+
+  override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
+    val keep =
+      s"${DetHash.modExpr(idCol, scale)} < cast(floor(($probExpr) * $scale) as bigint)"
+    Map("result" -> (keepCol match {
+      case Some(c) => in("df").withColumn(c, expr(keep))
+      case None    => in("df").filter(expr(keep))
+    }))
+  }
+}

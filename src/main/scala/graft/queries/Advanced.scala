@@ -394,6 +394,27 @@ object Advanced {
       |SELECT w1, w2, n_pair, score FROM sc
       |ORDER BY score DESC, w1, w2 LIMIT 20""".stripMargin
 
+  // ---- q104: deterministic weighted sampling — keep probability scales
+  // with document length (least(1.0, n_chars/4000.0)), decided by the
+  // shared DetHash contract, rolled up per (lang, source). The oracle
+  // reproduces the keep decision row-for-row via the DuckDB hash mirror. ----
+  def q104_weighted_sample(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
+    d.add(SourceNode.table(dir, "documents")) >>
+      new WeightedSampleNode(idCol = "doc_id",
+        probExpr = "least(1.0, n_chars / 4000.0)") >>
+      new AggNode(Seq("lang", "source"), Seq(
+        "count(*) as n_kept", "sum(n_chars) as chars_kept")) >>
+      SortNode("lang", "source") >>
+      d.output("result")
+  }
+  val q104Sql: String =
+    s"""SELECT lang, source, count(*) AS n_kept,
+       |  cast(sum(n_chars) as bigint) AS chars_kept
+       |FROM documents
+       |WHERE ${graft.nodes.DetHash.duckExpr("cast(doc_id as varchar)", 1000000L)}
+       |      < cast(floor(least(1.0, n_chars / 4000.0) * 1000000) as bigint)
+       |GROUP BY lang, source ORDER BY lang, source""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q94_bloom_join", q94_bloom_join _, q94Sql),
     ("q95_pagerank", q95_pagerank _, q95Sql),
@@ -405,5 +426,6 @@ object Advanced {
     ("q101_incremental_dedup", q101_incremental_dedup _, q101Sql),
     ("q102_sessionize", q102_sessionize _, q102Sql),
     ("q103_collocations", q103_collocations _, q103Sql),
+    ("q104_weighted_sample", q104_weighted_sample _, q104Sql),
   )
 }

@@ -1216,6 +1216,24 @@ class NodesSpec extends AnyFunSuite {
     assert(out.head._1 == "new" && out.head._2 == "york",
       s"highest-score bigram must be 'new york': $out")
   }
+
+  test("WeightedSampleNode: prob bounds, filter/annotate agreement, id-determinism") {
+    val df = spark.range(1000).selectExpr("id as doc_id", "cast(id % 10 as double) / 10 as p")
+    def kept(probExpr: String): Set[Long] = runOne { d =>
+      d.add(srcNode(df)) >> new WeightedSampleNode("doc_id", probExpr) >> d.output("result")
+    }.select("doc_id").as[Long].collect().toSet
+    assert(kept("0.0").isEmpty, "prob 0 must keep nothing")
+    assert(kept("1.0").size == 1000, "prob 1 must keep everything")
+    val half = kept("0.5")
+    assert(half == kept("0.5"), "keep decision must be deterministic per id")
+    assert(half.size > 350 && half.size < 650, s"~half expected, got ${half.size}")
+    // annotate mode marks exactly the rows filter mode keeps
+    val marked = runOne { d =>
+      d.add(srcNode(df)) >> new WeightedSampleNode("doc_id", "p", keepCol = Some("keep")) >>
+        d.output("result")
+    }.filter("keep").select("doc_id").as[Long].collect().toSet
+    assert(marked == kept("p"))
+  }
 }
 
 object NodesSpec {

@@ -277,5 +277,13 @@ class PlanSpec extends AnyFunSuite {
       s"sessionize must shuffle once on the key:\n$sz")
     assert("""\(\d+\) Sort""".r.findAllIn(sz).size == 1,
       s"sessionize's two window passes must reuse one sort:\n$sz")
+    // WeightedSampleNode: pure narrow map — zero Exchange in the plan
+    val ws = planOf(build { d =>
+      d.add(SourceNode.table(dir, "documents")) >>
+        new WeightedSampleNode("doc_id", "least(1.0, n_chars / 4000.0)") >>
+        d.output("result")
+    })
+    assert(!ws.contains("Exchange"),
+      s"weighted sample must stay narrow (no shuffle):\n$ws")
   }
 }

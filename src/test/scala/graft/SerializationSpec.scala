@@ -294,9 +294,14 @@ class SerializationSpec extends AnyFunSuite {
       sz2.gapSeconds == 7200L && sz2.tieBreakCols == Seq("eid") && sz2.outCol == "sess")
     val d5 = new Dag("collkind")
     val cl = d5.add(new CollocationNode("body", 9L, 3L, 42, 500000L))
-    val cl2 = DagJson.fromJson(DagJson.toJson(d5)).node(cl.name).asInstanceOf[CollocationNode]
+    val wsN = d5.add(new WeightedSampleNode("rid", "score / 2", 4096L, Some("kept")))
+    val d5b = DagJson.fromJson(DagJson.toJson(d5))
+    val cl2 = d5b.node(cl.name).asInstanceOf[CollocationNode]
     assert(cl2.textCol == "body" && cl2.minCount == 9L && cl2.discount == 3L &&
       cl2.k == 42 && cl2.scale == 500000L)
+    val ws2 = d5b.node(wsN.name).asInstanceOf[WeightedSampleNode]
+    assert(ws2.idCol == "rid" && ws2.probExpr == "score / 2" && ws2.scale == 4096L &&
+      ws2.keepCol.contains("kept"))
   }
 
   test("nested dag JSON round-trip (reference MLDagNode through to_dict)") {
