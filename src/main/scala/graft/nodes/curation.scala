@@ -329,3 +329,58 @@ class OutlierFilterNode(
     Map("result" -> (if (dropOutliers) out.filter(col("keep")).drop("keep") else out))
   }
 }
+
+/** Quantile-calibrated filtering: keep the top `keepFrac` of rows by
+  * `scoreExpr` WITHIN each `groupCols` group (globally when empty) without
+  * knowing the threshold a priori — "keep the best 25% per language" is
+  * how quality gates are actually specified, while the raw score scale
+  * drifts with every upstream change. The threshold is the exact
+  * interpolated percentile (Spark `percentile` ≡ DuckDB/ANSI
+  * percentile_cont), so the keep rule is `score >= P_{1-keepFrac}(group)`.
+  *
+  * Two passes by construction (calibration is a global property): one
+  * groupBy computing per-group thresholds — a tiny frame, broadcast back —
+  * then one filter join. The input is persisted across the two passes via
+  * ctx.track. At 100 TB the thresholds side is #groups rows (languages,
+  * domains: thousands at most); the base never shuffles. With `annotate =
+  * true` rows keep flowing with a `keep` flag + `threshold` column (audit
+  * mode). `approx = true` swaps the exact percentile for
+  * approx_percentile(accuracy) — the same knob ProfileNode/OutlierFilterNode
+  * expose for production-scale runs where an exact global sort-by-group is
+  * not worth its memory.
+  */
+class QuantileFilterNode(
+    val scoreExpr: String,
+    val keepFrac: Double = 0.25,
+    val groupCols: Seq[String] = Nil,
+    val annotate: Boolean = false,
+    val approx: Boolean = false,
+    val accuracy: Int = 10000)
+  extends Node {
+  require(keepFrac > 0 && keepFrac <= 1, "keepFrac must be in (0, 1]")
+  override protected def defaultName: String = "quantile_filter"
+  val inputs = Seq(Port("df"))
+  val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("quantile_filter")
+  override def jsonParams: Map[String, Any] = Map("scoreExpr" -> scoreExpr,
+    "keepFrac" -> keepFrac, "groupCols" -> groupCols, "annotate" -> annotate,
+    "approx" -> approx, "accuracy" -> accuracy)
+
+  override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
+    val df = ctx.track(in("df").withColumn("__score", expr(scoreExpr)))
+    val p = 1.0 - keepFrac
+    val pct =
+      if (approx) s"approx_percentile(__score, ${p}D, $accuracy)"
+      else s"percentile(__score, ${p}D)"
+    val thr =
+      if (groupCols.isEmpty) df.agg(expr(s"$pct as __thr"))
+      else df.groupBy(groupCols.map(col): _*).agg(expr(s"$pct as __thr"))
+    val joined =
+      if (groupCols.isEmpty) df.crossJoin(broadcast(thr))
+      else df.join(broadcast(thr), groupCols)
+    val flagged = joined.withColumn("keep", col("__score") >= col("__thr"))
+    Map("result" ->
+      (if (annotate) flagged.withColumnRenamed("__thr", "threshold").drop("__score")
+       else flagged.filter(col("keep")).drop("keep", "__thr", "__score")))
+  }
+}

@@ -415,6 +415,31 @@ object Advanced {
        |      < cast(floor(least(1.0, n_chars / 4000.0) * 1000000) as bigint)
        |GROUP BY lang, source ORDER BY lang, source""".stripMargin
 
+  // ---- q105: quantile-calibrated quality gate — keep the top 25% of
+  // documents by length WITHIN each language (the "best p% per group"
+  // rule). Spark percentile ≡ DuckDB quantile_cont (q47's established
+  // parity); the keep comparison is int >= double with an identical
+  // threshold on both engines. ----
+  def q105_quantile_gate(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
+    d.add(SourceNode.table(dir, "documents")) >>
+      new QuantileFilterNode(scoreExpr = "n_chars", keepFrac = 0.25,
+        groupCols = Seq("lang")) >>
+      new AggNode(Seq("lang"), Seq(
+        "count(*) as n_kept", "min(n_chars) as min_chars",
+        "sum(n_chars) as chars_kept")) >>
+      SortNode("lang") >>
+      d.output("result")
+  }
+  val q105Sql: String =
+    """WITH thr AS (
+      |  SELECT lang, quantile_cont(n_chars, 0.75) AS t
+      |  FROM documents GROUP BY lang)
+      |SELECT d.lang, count(*) AS n_kept, min(n_chars) AS min_chars,
+      |       cast(sum(n_chars) as bigint) AS chars_kept
+      |FROM documents d JOIN thr ON d.lang = thr.lang
+      |WHERE d.n_chars >= thr.t
+      |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q94_bloom_join", q94_bloom_join _, q94Sql),
     ("q95_pagerank", q95_pagerank _, q95Sql),
@@ -427,5 +452,6 @@ object Advanced {
     ("q102_sessionize", q102_sessionize _, q102Sql),
     ("q103_collocations", q103_collocations _, q103Sql),
     ("q104_weighted_sample", q104_weighted_sample _, q104Sql),
+    ("q105_quantile_gate", q105_quantile_gate _, q105Sql),
   )
 }

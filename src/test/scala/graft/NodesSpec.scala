@@ -1234,6 +1234,33 @@ class NodesSpec extends AnyFunSuite {
     }.filter("keep").select("doc_id").as[Long].collect().toSet
     assert(marked == kept("p"))
   }
+
+  test("QuantileFilterNode: per-group calibration, global mode, annotate agreement") {
+    // group a: scores 1..8 (p75 = 6.25 -> keep 7, 8); group b: 10,20,30,40
+    // (p75 = 32.5 -> keep 40)
+    val df = ((1 to 8).map(i => ("a", i.toLong)) ++
+      Seq(("b", 10L), ("b", 20L), ("b", 30L), ("b", 40L))).toDF("g", "score")
+    val grouped = runOne { d =>
+      d.add(srcNode(df)) >> new QuantileFilterNode("score", 0.25, Seq("g")) >>
+        d.output("result")
+    }.select("g", "score").as[(String, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(grouped == Seq(("a", 7L), ("a", 8L), ("b", 40L)))
+    // global mode: p75 over all 12 sorted values interpolates between the
+    // 9th and 10th (10, 20) at fraction .25 -> threshold 12.5 -> 20, 30, 40
+    val global = runOne { d =>
+      d.add(srcNode(df)) >> new QuantileFilterNode("score", 0.25) >> d.output("result")
+    }.select("score").as[Long].collect().sorted.toSeq
+    assert(global == Seq(20L, 30L, 40L))
+    // annotate mode flags exactly the filtered survivors and exposes thresholds
+    val ann = runOne { d =>
+      d.add(srcNode(df)) >> new QuantileFilterNode("score", 0.25, Seq("g"), annotate = true) >>
+        d.output("result")
+    }
+    assert(ann.columns.contains("threshold"))
+    val marked = ann.filter("keep").select("g", "score").as[(String, Long)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(marked == grouped)
+  }
 }
 
 object NodesSpec {

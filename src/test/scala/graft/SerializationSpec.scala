@@ -302,6 +302,13 @@ class SerializationSpec extends AnyFunSuite {
     val ws2 = d5b.node(wsN.name).asInstanceOf[WeightedSampleNode]
     assert(ws2.idCol == "rid" && ws2.probExpr == "score / 2" && ws2.scale == 4096L &&
       ws2.keepCol.contains("kept"))
+    val d6 = new Dag("qfkind")
+    val qf = d6.add(new QuantileFilterNode("len * 2", 0.1, Seq("lang", "src"),
+      annotate = true, approx = true, accuracy = 123))
+    val qf2 = DagJson.fromJson(DagJson.toJson(d6)).node(qf.name).asInstanceOf[QuantileFilterNode]
+    assert(qf2.scoreExpr == "len * 2" && qf2.keepFrac == 0.1 &&
+      qf2.groupCols == Seq("lang", "src") && qf2.annotate && qf2.approx &&
+      qf2.accuracy == 123)
   }
 
   test("nested dag JSON round-trip (reference MLDagNode through to_dict)") {
