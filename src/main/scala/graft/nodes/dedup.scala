@@ -467,6 +467,11 @@ class SpanDupScoreNode(
   * index on object storage, loaded by refresh jobs; java serialization of
   * a distributed frame would be meaningless.
   *
+  * A STREAMING delta works unchanged (live-crawl dedup): transform
+  * detects `isStreaming` and switches to an all-stream-static join plan
+  * (see applyModel) — q106 drives the q101 check through a stream and
+  * matches the same oracle.
+  *
   * Same seeds as MinHashDedupNode (both use `shingle_hashes` /
   * `minhash_bands`), so identical text produces identical signatures in
   * both — an exact-duplicate delta row is caught with probability 1, which
@@ -518,21 +523,46 @@ class MinHashIndexNode(
     MinHashIndexNode.Index(sh, buckets)
   }
 
+  private def jaccardVerify(cand: DataFrame): DataFrame = cand
+    .withColumn("jaccard",
+      expr("cast(size(array_intersect(__sh_d, __sh_b)) as double) / size(array_union(__sh_d, __sh_b))"))
+    .filter(col("jaccard") >= jaccardThreshold)
+    .select("delta_id", "base_id", "jaccard")
+
   def applyModel(m: Model, ctx: Ctx, in: In): Map[String, DataFrame] = {
     graft.functions.VecFunctions.register(ctx.spark)
-    val dsh = ctx.track(sketch(in("delta"), "delta_id", "__sh_d"))
-    val cand = bandKeys(dsh, "delta_id", "__sh_d")
-      .join(m.buckets, Seq("band", "band_hash"))
-      .select("delta_id", "base_id")
-      .dropDuplicates("delta_id", "base_id")
-    val verified = cand
-      .join(dsh, Seq("delta_id"))
-      .join(m.shingles, Seq("base_id"))
-      .withColumn("jaccard",
-        expr("cast(size(array_intersect(__sh_d, __sh_b)) as double) / size(array_union(__sh_d, __sh_b))"))
-      .filter(col("jaccard") >= jaccardThreshold)
-      .select("delta_id", "base_id", "jaccard")
-    Map("result" -> verified)
+    val delta = in("delta")
+    // a streaming delta may live on a per-source CLONED session (see
+    // StreamSourceNode) whose function registry is separate — register the
+    // kernels where the frame will resolve them
+    graft.functions.VecFunctions.register(delta.sparkSession)
+    if (delta.isStreaming) {
+      // Streaming delta (live-crawl dedup): every join is STREAM-STATIC
+      // against the persisted index — no stream-stream join, no watermark
+      // requirement. The shingle array rides along through the bucket join
+      // (a batch re-join back to the delta side would be stream-stream);
+      // fatter shuffle payload than the batch path's skinny candidate join
+      // is the streaming tradeoff. dropDuplicates is the stateful streaming
+      // dedup operator — state is one (delta_id, base_id) pair per
+      // candidate, bounded by the delta batch in AvailableNow backfills.
+      val dsh = sketch(delta, "delta_id", "__sh_d")
+      val cand = dsh
+        .withColumn("__bands", expr(s"minhash_bands(__sh_d, $numHashes, $bands)"))
+        .selectExpr("delta_id", "__sh_d", "posexplode(__bands) as (band, band_hash)")
+        .join(m.buckets, Seq("band", "band_hash"))
+        .select("delta_id", "base_id", "__sh_d")
+        .dropDuplicates("delta_id", "base_id")
+      Map("result" -> jaccardVerify(cand.join(m.shingles, Seq("base_id"))))
+    } else {
+      val dsh = ctx.track(sketch(delta, "delta_id", "__sh_d"))
+      val cand = bandKeys(dsh, "delta_id", "__sh_d")
+        .join(m.buckets, Seq("band", "band_hash"))
+        .select("delta_id", "base_id")
+        .dropDuplicates("delta_id", "base_id")
+      Map("result" -> jaccardVerify(cand
+        .join(dsh, Seq("delta_id"))
+        .join(m.shingles, Seq("base_id"))))
+    }
   }
 
   /** Release the persisted index frames (fit again to rebuild). */

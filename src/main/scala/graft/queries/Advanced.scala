@@ -440,6 +440,29 @@ object Advanced {
       |WHERE d.n_chars >= thr.t
       |GROUP BY d.lang ORDER BY d.lang""".stripMargin
 
+  // ---- q106: STREAMING incremental dedup — the q101 check with the delta
+  // arriving as a stream. Every join in the plan is stream-static against
+  // the fitted index; streaming dropDuplicates dedupes candidates. Same
+  // identity oracle as q101: the streaming path must find exactly the
+  // equal-shingle-set pairs. ----
+  def q106_stream_incremental_dedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = new Dag("incdedupstream")
+    val docs = d.add(SourceNode.table(dir, "documents"))
+    val sdelta = d.add(StreamSourceNode.table(dir, "documents")) >>
+      FilterNode("doc_id % 7 = 3 and doc_id < 400") >>
+      ProjectNode("doc_id + 1000000 as doc_id", "text").named("delta_stream")
+    val idx = d.add(new MinHashIndexNode(
+      numHashes = 32, bands = 16, shingleN = 3,
+      jaccardThreshold = 1.0, maxBucket = 100000))
+    docs >> idx("corpus"); sdelta >> idx("delta")
+    idx >> ProjectNode("delta_id", "base_id") >>
+      new StreamRunNode(s"q106_sink_${System.nanoTime()}", outputMode = "append") >>
+      SortNode("delta_id", "base_id") >> d.output("result")
+    val ctx = Ctx(spark)
+    d.fit(ctx)
+    d.transform(ctx).outputs("result")
+  }
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q94_bloom_join", q94_bloom_join _, q94Sql),
     ("q95_pagerank", q95_pagerank _, q95Sql),
@@ -453,5 +476,6 @@ object Advanced {
     ("q103_collocations", q103_collocations _, q103Sql),
     ("q104_weighted_sample", q104_weighted_sample _, q104Sql),
     ("q105_quantile_gate", q105_quantile_gate _, q105Sql),
+    ("q106_stream_incremental_dedup", q106_stream_incremental_dedup _, q101Sql),
   )
 }
