@@ -169,6 +169,9 @@ object NodeRegistry {
     register("inverted_index_topk")(p => new InvertedIndexTopKNode(p.str("idCol"), p.str("textCol"),
       p.str("queryIdCol"), p.str("queryTextCol"), p.int("k"), p.dbl("maxDfFrac"),
       p.m.get("corpusSizeHint").collect { case v if v != null => v.toString.toLong }))
+    register("triangle_count")(p => new TriangleCountNode(p.str("srcCol"), p.str("dstCol")))
+    register("constraint_check")(p => new ConstraintCheckNode(
+      p.pairs("constraints"), p.boolOr("failFast", false)))
     register("quantile_filter")(p => new QuantileFilterNode(p.str("scoreExpr"),
       p.dbl("keepFrac"), p.strs("groupCols"), p.boolOr("annotate", false),
       p.boolOr("approx", false), p.int("accuracy")))

@@ -384,3 +384,60 @@ class QuantileFilterNode(
        else flagged.filter(col("keep")).drop("keep", "__thr", "__score")))
   }
 }
+
+/** Declarative data-validation gate (the deequ/"data unit test" shape): each
+  * constraint is a named AGGREGATE boolean expression evaluated over the
+  * whole input in ONE aggregation pass — uniqueness, null-fraction,
+  * range, referential sanity:
+  *
+  *   ("doc_id_unique",  "count(*) = count(distinct doc_id)")
+  *   ("text_not_null",  "sum(case when text is null then 1 else 0 end) = 0")
+  *   ("chars_positive", "min(n_chars) > 0")
+  *
+  * Output: one (check_name, passed) row per constraint — the audit record
+  * a pipeline stores next to every corpus snapshot. `failFast = true`
+  * instead throws on the first evaluation if any constraint fails (the
+  * circuit breaker before an expensive training run reads bad data); the
+  * driver-side action is ONE row.
+  *
+  * Scale shape: a single hash-aggregate with map-side partials — every
+  * constraint shares the one pass; no per-constraint scans, no shuffle
+  * beyond the final 1-row reduce. Constraints should be written in
+  * engine-portable SQL (case/sum, not engine-specific count_if) so the
+  * same strings drive an external oracle.
+  */
+class ConstraintCheckNode(
+    val constraints: Seq[(String, String)],
+    val failFast: Boolean = false)
+  extends Node {
+  require(constraints.nonEmpty, "constraints must be non-empty")
+  require(constraints.map(_._1).distinct.size == constraints.size,
+    "constraint names must be unique")
+  override protected def defaultName: String = "constraint_check"
+  val inputs = Seq(Port("df"))
+  val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("constraint_check")
+  override def jsonParams: Map[String, Any] = Map(
+    "constraints" -> constraints.map { case (n, e) => Seq(n, e) },
+    "failFast" -> failFast)
+
+  override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
+    val aggs = constraints.zipWithIndex.map { case ((_, e), i) =>
+      expr(s"cast(($e) as boolean) as __c$i")
+    }
+    val oneRow = in("df").agg(aggs.head, aggs.tail: _*)
+    val stackArgs = constraints.zipWithIndex.map { case ((n, _), i) =>
+      s"'${SqlLit.esc(n)}', cast(__c$i as int)"
+    }.mkString(", ")
+    val result = oneRow.selectExpr(
+      s"stack(${constraints.size}, $stackArgs) as (check_name, passed)")
+    if (failFast) {
+      val failed = result.filter(col("passed") === 0)
+        .select("check_name").collect().map(_.getString(0))
+      if (failed.nonEmpty)
+        throw new GraftException(
+          s"constraint check '$name' FAILED: ${failed.mkString(", ")}")
+    }
+    Map("result" -> result)
+  }
+}

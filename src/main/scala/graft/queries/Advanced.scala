@@ -463,6 +463,50 @@ object Advanced {
     d.transform(ctx).outputs("result")
   }
 
+  // ---- q107: exact triangle count over the q95 event graph via the
+  // degree-ordered orientation. The oracle counts canonical a<b<c triples
+  // with a three-way self-join — every triangle exactly once, matching the
+  // orientation count. ----
+  def q107_triangles(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
+    d.add(SourceNode.table(dir, "events")) >>
+      ProjectNode("user_id % 37 as src", "event_id % 50 as dst") >>
+      FilterNode("src <> dst") >>
+      new TriangleCountNode(srcCol = "src", dstCol = "dst") >>
+      d.output("result")
+  }
+  val q107Sql: String =
+    """WITH e AS (
+      |  SELECT DISTINCT least(user_id % 37, event_id % 50) AS a,
+      |                  greatest(user_id % 37, event_id % 50) AS b
+      |  FROM events WHERE user_id % 37 <> event_id % 50)
+      |SELECT
+      |  (SELECT count(*) FROM (SELECT a AS id FROM e UNION SELECT b FROM e)) AS n_nodes,
+      |  (SELECT count(*) FROM e) AS n_edges,
+      |  (SELECT count(*) FROM e e1
+      |     JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+      |     JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b) AS n_triangles""".stripMargin
+
+  // ---- q108: declarative data-validation gate. The constraint strings
+  // are engine-portable SQL, so the SAME list drives both the node and the
+  // generated DuckDB oracle — one source of truth, zero drift. ----
+  private val q108Checks: Seq[(String, String)] = Seq(
+    "doc_id_not_null" -> "sum(case when doc_id is null then 1 else 0 end) = 0",
+    "doc_id_unique" -> "count(*) = count(distinct doc_id)",
+    "lang_low_cardinality" -> "count(distinct lang) <= 10",
+    "n_chars_positive" -> "min(n_chars) > 0",
+    "n_chars_sane" -> "max(n_chars) <= 100000",
+    "text_not_null" -> "sum(case when text is null then 1 else 0 end) = 0",
+  )
+  def q108_constraints(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
+    d.add(SourceNode.table(dir, "documents")) >>
+      new ConstraintCheckNode(q108Checks) >>
+      SortNode("check_name") >>
+      d.output("result")
+  }
+  val q108Sql: String = q108Checks.map { case (n, e) =>
+    s"SELECT '$n' AS check_name, cast(($e) as int) AS passed FROM documents"
+  }.mkString("", "\nUNION ALL\n", "\nORDER BY check_name")
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q94_bloom_join", q94_bloom_join _, q94Sql),
     ("q95_pagerank", q95_pagerank _, q95Sql),
@@ -477,5 +521,7 @@ object Advanced {
     ("q104_weighted_sample", q104_weighted_sample _, q104Sql),
     ("q105_quantile_gate", q105_quantile_gate _, q105Sql),
     ("q106_stream_incremental_dedup", q106_stream_incremental_dedup _, q101Sql),
+    ("q107_triangles", q107_triangles _, q107Sql),
+    ("q108_constraints", q108_constraints _, q108Sql),
   )
 }

@@ -1261,6 +1261,36 @@ class NodesSpec extends AnyFunSuite {
       .collect().sortBy(r => (r._1, r._2)).toSeq
     assert(marked == grouped)
   }
+
+  test("TriangleCountNode: K4 has 4 triangles; loops/reversals/duplicates canonicalize away") {
+    // K4 on {1,2,3,4} (4 triangles) + pendant edge 5-6 + noise: a self-loop,
+    // a reversed duplicate, an exact duplicate
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (5L, 6L), (3L, 3L), (2L, 1L), (1L, 2L)).toDF("src", "dst")
+    val out = runOne { d =>
+      d.add(srcNode(edges)) >> new TriangleCountNode() >> d.output("result")
+    }.as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((6L, 7L, 4L)))
+  }
+
+  test("ConstraintCheckNode: one-pass audit rows; failFast throws naming the violations") {
+    val df = Seq((1L, "x"), (2L, "y"), (2L, null)).toDF("id", "v")
+    val checks = Seq(
+      "id_not_null" -> "sum(case when id is null then 1 else 0 end) = 0",
+      "id_unique" -> "count(*) = count(distinct id)",
+      "v_not_null" -> "sum(case when v is null then 1 else 0 end) = 0")
+    val out = runOne { d =>
+      d.add(srcNode(df)) >> new ConstraintCheckNode(checks) >> d.output("result")
+    }.as[(String, Int)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(("id_not_null", 1), ("id_unique", 0), ("v_not_null", 0)))
+    val ex = intercept[GraftException] {
+      runOne { d =>
+        d.add(srcNode(df)) >> new ConstraintCheckNode(checks, failFast = true) >>
+          d.output("result")
+      }
+    }
+    assert(ex.getMessage.contains("id_unique") && ex.getMessage.contains("v_not_null"))
+  }
 }
 
 object NodesSpec {

@@ -309,6 +309,16 @@ class SerializationSpec extends AnyFunSuite {
     assert(qf2.scoreExpr == "len * 2" && qf2.keepFrac == 0.1 &&
       qf2.groupCols == Seq("lang", "src") && qf2.annotate && qf2.approx &&
       qf2.accuracy == 123)
+    val d7 = new Dag("checkkinds")
+    val tc = d7.add(new TriangleCountNode("u", "v"))
+    val cc = d7.add(new ConstraintCheckNode(
+      Seq("a" -> "count(*) > 0", "b" -> "min(x) >= 0"), failFast = true))
+    val d7b = DagJson.fromJson(DagJson.toJson(d7))
+    val tc2 = d7b.node(tc.name).asInstanceOf[TriangleCountNode]
+    assert(tc2.srcCol == "u" && tc2.dstCol == "v")
+    val cc2 = d7b.node(cc.name).asInstanceOf[ConstraintCheckNode]
+    assert(cc2.constraints == Seq("a" -> "count(*) > 0", "b" -> "min(x) >= 0") &&
+      cc2.failFast)
   }
 
   test("nested dag JSON round-trip (reference MLDagNode through to_dict)") {
