@@ -54,7 +54,14 @@ object Scale10 {
       "q25_minhash_dedup", "q26_simhash_dedup", "q27_ngram_jaccard", "q29_ann_lsh",
       "q50_ivf_knn", "q51_pipeline", "q52_dedup_clusters", "q13_json", "q16_tumbling_window",
       "q15_asof_join",
-      "q83_heuristic_filter", "q84_semdedup", "q88_bpe_roundtrip", "q89_pretrain_pipeline")
+      "q83_heuristic_filter", "q84_semdedup", "q88_bpe_roundtrip", "q89_pretrain_pipeline",
+      // round-5 additions: posting-list retrieval (df-cap pruning is the
+      // superlinear hazard), index fit at k-fold corpus with constant delta,
+      // window sessionization, bigram mining, per-group calibration,
+      // degree-oriented triangles on a k-fold-denser graph
+      "q98_sparse_topk", "q100_bm25_topk", "q101_incremental_dedup",
+      "q102_sessionize", "q103_collocations", "q105_quantile_gate",
+      "q107_triangles", "q95_pagerank")
     val names = if (queries.nonEmpty) queries else defaults
     names.foreach { n =>
       try time(n)(Queries.all(n)(spark, out).count())
