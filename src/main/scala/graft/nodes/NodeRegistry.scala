@@ -172,6 +172,9 @@ object NodeRegistry {
     register("triangle_count")(p => new TriangleCountNode(p.str("srcCol"), p.str("dstCol")))
     register("constraint_check")(p => new ConstraintCheckNode(
       p.pairs("constraints"), p.boolOr("failFast", false)))
+    register("histogram")(p => new HistogramNode(p.str("valueExpr"),
+      p.dbl("lo"), p.dbl("hi"), p.int("nBins"), p.strs("groupCols"),
+      p.boolOr("clamp", true)))
     register("quantile_filter")(p => new QuantileFilterNode(p.str("scoreExpr"),
       p.dbl("keepFrac"), p.strs("groupCols"), p.boolOr("annotate", false),
       p.boolOr("approx", false), p.int("accuracy")))
@@ -187,6 +190,7 @@ object NodeRegistry {
       p.dbl("jaccardThreshold"), p.int("maxBucket")))
     register("bm25_topk")(p => new Bm25TopKNode(p.str("idCol"), p.str("textCol"),
       p.str("queryIdCol"), p.str("queryTextCol"), p.int("k"), p.dbl("maxDfFrac"),
-      p.int("k1Tenths"), p.int("bHundredths"), p.m("scale").toString.toLong))
+      p.int("k1Tenths"), p.int("bHundredths"), p.m("scale").toString.toLong,
+      p.boolOr("broadcastTerms", true), p.boolOr("broadcastQueries", true)))
   }
 }

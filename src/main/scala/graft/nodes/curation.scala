@@ -441,3 +441,60 @@ class ConstraintCheckNode(
     Map("result" -> result)
   }
 }
+
+/** Equi-width histogram — the distribution summary behind every threshold
+  * choice (quality-score cutoffs, length caps, outlier bounds). Explicit
+  * [lo, hi) range + `nBins`, so the whole histogram is ONE narrow map +
+  * one tiny aggregation (no first pass for min/max — pair with
+  * ProfileNode when the range is unknown). Out-of-range values clamp into
+  * the edge bins by default (they are usually exactly what you want to
+  * see) or drop with `clamp = false`. Empty bins are emitted (zero count)
+  * so the output shape is fixed: `nBins` rows per group — chart-ready and
+  * diffable across corpus snapshots.
+  *
+  * Bin arithmetic is floor((x − lo) / width) in float64 — identical
+  * IEEE ops on any engine. Scale shape: one shuffle of at most
+  * #groups × nBins partial counts (map-side combine does the heavy
+  * lifting); the bin grid is generated, never materialized from data.
+  */
+class HistogramNode(
+    val valueExpr: String,
+    val lo: Double,
+    val hi: Double,
+    val nBins: Int = 20,
+    val groupCols: Seq[String] = Nil,
+    val clamp: Boolean = true)
+  extends Node {
+  require(nBins > 0, "nBins must be positive")
+  require(lo < hi, "lo must be < hi")
+  override protected def defaultName: String = "histogram"
+  val inputs = Seq(Port("df"))
+  val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("histogram")
+  override def jsonParams: Map[String, Any] = Map("valueExpr" -> valueExpr,
+    "lo" -> lo, "hi" -> hi, "nBins" -> nBins, "groupCols" -> groupCols,
+    "clamp" -> clamp)
+
+  override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
+    import org.apache.spark.sql.functions.{count, lit}
+    val w = (hi - lo) / nBins
+    val rawBin = s"cast(floor((($valueExpr) - $lo) / $w) as bigint)"
+    val bin =
+      if (clamp) s"least(greatest($rawBin, 0L), ${nBins - 1}L)"
+      else rawBin
+    val base = in("df").withColumn("bin", expr(bin))
+    val filtered =
+      if (clamp) base else base.filter(col("bin") >= 0 && col("bin") < nBins)
+    val counts = filtered
+      .groupBy((groupCols.map(col) :+ col("bin")): _*)
+      .agg(count(lit(1)).as("n"))
+    // fixed grid: every (group, bin) row exists, empty bins count 0
+    val grid0 = ctx.spark.range(nBins).select(col("id").as("bin"))
+    val grid =
+      if (groupCols.isEmpty) grid0
+      else filtered.select(groupCols.map(col): _*).distinct().crossJoin(grid0)
+    Map("result" -> grid.join(counts, groupCols :+ "bin", "left")
+      .withColumn("n", expr("coalesce(n, 0L)"))
+      .withColumn("bin_lo", expr(s"$lo + bin * $w")))
+  }
+}

@@ -557,7 +557,9 @@ class Bm25TopKNode(
     val maxDfFrac: Double = 0.5,
     val k1Tenths: Int = 12,
     val bHundredths: Int = 75,
-    val scale: Long = 1000000L)
+    val scale: Long = 1000000L,
+    val broadcastTerms: Boolean = true,
+    val broadcastQueries: Boolean = true)
   extends Node {
   require(k > 0, "k must be positive")
   require(maxDfFrac > 0 && maxDfFrac <= 1, "maxDfFrac must be in (0, 1]")
@@ -571,39 +573,51 @@ class Bm25TopKNode(
   override def jsonParams: Map[String, Any] = Map(
     "idCol" -> idCol, "textCol" -> textCol, "queryIdCol" -> queryIdCol,
     "queryTextCol" -> queryTextCol, "k" -> k, "maxDfFrac" -> maxDfFrac,
-    "k1Tenths" -> k1Tenths, "bHundredths" -> bHundredths, "scale" -> scale)
+    "k1Tenths" -> k1Tenths, "bHundredths" -> bHundredths, "scale" -> scale,
+    "broadcastTerms" -> broadcastTerms, "broadcastQueries" -> broadcastQueries)
 
   override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
-    import org.apache.spark.sql.functions.max
     val toks = TextExprs.tokensExpr(textCol)
-    // one tokenization pass feeds doc lengths, term freqs, and corpus stats
-    val base = ctx.track(in("corpus")
+    // The ONLY cached/shuffled corpus artifact is the posting frame
+    // (id, tok, tf, dl) — corpus stats and term weights derive from it.
+    // Two plan hazards measured and designed out at sf0.1 (19 s -> ~q98
+    // parity): (a) a 1-row stats nested-loop join over every posting — idf
+    // and avgdlc are folded into the vocabulary-sized terms frame instead;
+    // (b) Catalyst electing to broadcast the POSTING side of the terms
+    // join (misestimated cached-frame stats) — broadcastTerms/
+    // broadcastQueries pin the small build sides (disable for web-scale
+    // vocabularies / huge query batches and let AQE shuffle them).
+    val ctf = ctx.track(in("corpus")
       .select(col(idCol), expr(toks).as("__toks"))
-      .withColumn("__dl", expr("size(__toks)")))
-    // one-row corpus stats, broadcast — N and avgdl enter the plan as a
-    // broadcast join, never a collect
-    val stats = base.agg(
-      count(lit(1)).as("__n"), sum(col("__dl")).as("__t"))
+      .select(col(idCol), expr("size(__toks)").as("__dl"),
+        expr("explode(__toks)").as("tok"))
+      .groupBy(col(idCol), col("tok"))
+      .agg(count(lit(1)).as("tf"),
+        org.apache.spark.sql.functions.max("__dl").as("__dl")))
+    // 1-row corpus stats from a per-doc rollup of the cached postings — an
+    // AGGREGATION (fine at any scale), never a broadcastable frame
+    val stats = ctf.groupBy(idCol).agg(
+      org.apache.spark.sql.functions.max("__dl").as("__dl"))
+      .agg(count(lit(1)).as("__n"), sum(col("__dl")).as("__t"))
       .withColumn("__avgdlc", expr("(100L * __t) div __n"))
       .select("__n", "__avgdlc")
-    val ctf = base
-      .select(col(idCol), col("__dl"), expr("explode(__toks)").as("tok"))
-      .groupBy(col(idCol), col("tok"))
-      .agg(count(lit(1)).as("tf"), max(col("__dl")).as("__dl"))
-    val ctfS = ctx.track(ctf.crossJoin(broadcast(stats)))
-    // fractional df cap (stopword pruning), df carried into scoring
-    val terms = ctfS.groupBy("tok").agg(
-      count(lit(1)).as("__df"), max("__n").as("__n2"))
-      .filter(expr(s"__df <= greatest(1L, cast(floor($maxDfFrac * __n2) as bigint))"))
-      .select("tok", "__df")
+    // fractional df cap (stopword pruning); idf + avgdlc attach here
+    val terms = ctf.groupBy("tok").agg(count(lit(1)).as("__df"))
+      .crossJoin(broadcast(stats))
+      .filter(expr(s"__df <= greatest(1L, cast(floor($maxDfFrac * __n) as bigint))"))
+      .select(col("tok"),
+        expr(s"(__n * ${scale}L) div __df").as("__idf"),
+        col("__avgdlc"))
     val qtoks = TextExprs.tokensExpr(queryTextCol)
     val qtf = in("queries")
       .select(col(queryIdCol), expr(s"explode($qtoks)").as("tok"))
       .groupBy(col(queryIdCol), col("tok"))
       .agg(count(lit(1)).as("qtf"))
     val k1T = k1Tenths; val bH = bHundredths
-    val scored = ctfS.join(terms, Seq("tok")).join(qtf, Seq("tok"))
-      .withColumn("__idf", expr(s"(__n * ${scale}L) div __df"))
+    def pin(df: DataFrame, b: Boolean) = if (b) broadcast(df) else df
+    val scored = ctf
+      .join(pin(terms, broadcastTerms), Seq("tok"))
+      .join(pin(qtf, broadcastQueries), Seq("tok"))
       .withColumn("__tfsat", expr(
         s"(tf * ${(k1T + 10) * 100}L * __avgdlc * ${scale}L) div " +
           s"(1000L * tf * __avgdlc + ${k1T * (100 - bH)}L * __avgdlc + ${100 * k1T * bH}L * __dl)"))

@@ -507,6 +507,32 @@ object Advanced {
     s"SELECT '$n' AS check_name, cast(($e) as int) AS passed FROM documents"
   }.mkString("", "\nUNION ALL\n", "\nORDER BY check_name")
 
+  // ---- q109: per-language document-length histogram, fixed 16-bin grid
+  // over [0, 4000) with edge-bin clamping, empty bins emitted. Bin math is
+  // identical float64 ops on both engines; the oracle builds the same grid
+  // with generate_series and left-joins counts. ----
+  def q109_histogram(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
+    d.add(SourceNode.table(dir, "documents")) >>
+      new HistogramNode(valueExpr = "n_chars", lo = 0.0, hi = 4000.0,
+        nBins = 16, groupCols = Seq("lang")) >>
+      ProjectNode("lang", "bin", "bin_lo", "n") >>
+      SortNode("lang", "bin") >>
+      d.output("result")
+  }
+  val q109Sql: String =
+    """WITH binned AS (
+      |  SELECT lang,
+      |    least(greatest(cast(floor((n_chars - 0.0) / 250.0) as bigint), 0), 15) AS bin
+      |  FROM documents),
+      |counts AS (SELECT lang, bin, count(*) AS n FROM binned GROUP BY lang, bin),
+      |grid AS (
+      |  SELECT l.lang, g.bin FROM (SELECT DISTINCT lang FROM documents) l
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS bin) g)
+      |SELECT grid.lang, grid.bin, 0.0 + grid.bin * 250.0 AS bin_lo,
+      |       cast(coalesce(counts.n, 0) as bigint) AS n
+      |FROM grid LEFT JOIN counts ON grid.lang = counts.lang AND grid.bin = counts.bin
+      |ORDER BY grid.lang, grid.bin""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q94_bloom_join", q94_bloom_join _, q94Sql),
     ("q95_pagerank", q95_pagerank _, q95Sql),
@@ -523,5 +549,6 @@ object Advanced {
     ("q106_stream_incremental_dedup", q106_stream_incremental_dedup _, q101Sql),
     ("q107_triangles", q107_triangles _, q107Sql),
     ("q108_constraints", q108_constraints _, q108Sql),
+    ("q109_histogram", q109_histogram _, q109Sql),
   )
 }

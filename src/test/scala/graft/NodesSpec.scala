@@ -1291,6 +1291,18 @@ class NodesSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("id_unique") && ex.getMessage.contains("v_not_null"))
   }
+
+  test("HistogramNode: fixed grid with empty bins; clamp vs drop for out-of-range values") {
+    val df = Seq(-5.0, 0.0, 1.0, 2.5, 5.0, 7.5, 99.0).map(Tuple1(_)).toDF("v")
+    def hist(clamp: Boolean): Seq[(Long, Long)] = runOne { d =>
+      d.add(srcNode(df)) >> new HistogramNode("v", 0.0, 10.0, 4, clamp = clamp) >>
+        d.output("result")
+    }.select("bin", "n").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    // bins of width 2.5 over [0,10): [0,2.5)={0,1}, [2.5,5)={2.5}, [5,7.5)={5}, [7.5,10)={7.5}
+    // clamp: -5 joins bin 0, 99 joins bin 3
+    assert(hist(clamp = true) == Seq((0L, 3L), (1L, 1L), (2L, 1L), (3L, 2L)))
+    assert(hist(clamp = false) == Seq((0L, 2L), (1L, 1L), (2L, 1L), (3L, 1L)))
+  }
 }
 
 object NodesSpec {

@@ -319,6 +319,11 @@ class SerializationSpec extends AnyFunSuite {
     val cc2 = d7b.node(cc.name).asInstanceOf[ConstraintCheckNode]
     assert(cc2.constraints == Seq("a" -> "count(*) > 0", "b" -> "min(x) >= 0") &&
       cc2.failFast)
+    val d8 = new Dag("histkind")
+    val hg = d8.add(new HistogramNode("v + 1", -2.5, 7.5, 8, Seq("lang"), clamp = false))
+    val hg2 = DagJson.fromJson(DagJson.toJson(d8)).node(hg.name).asInstanceOf[HistogramNode]
+    assert(hg2.valueExpr == "v + 1" && hg2.lo == -2.5 && hg2.hi == 7.5 &&
+      hg2.nBins == 8 && hg2.groupCols == Seq("lang") && !hg2.clamp)
   }
 
   test("nested dag JSON round-trip (reference MLDagNode through to_dict)") {
