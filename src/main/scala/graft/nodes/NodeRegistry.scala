@@ -172,6 +172,7 @@ object NodeRegistry {
     register("triangle_count")(p => new TriangleCountNode(p.str("srcCol"), p.str("dstCol")))
     register("constraint_check")(p => new ConstraintCheckNode(
       p.pairs("constraints"), p.boolOr("failFast", false)))
+    register("checkpoint")(p => new CheckpointNode(p.boolOr("reliable", false)))
     register("histogram")(p => new HistogramNode(p.str("valueExpr"),
       p.dbl("lo"), p.dbl("hi"), p.int("nBins"), p.strs("groupCols"),
       p.boolOr("clamp", true)))

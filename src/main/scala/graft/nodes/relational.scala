@@ -553,3 +553,48 @@ class RepartitionNode(val n: Int, val byCols: Seq[String] = Nil, val coalesce: B
     Map("result" -> out)
   }
 }
+
+/** Materialization barrier: cut the Catalyst lineage at a pipeline phase
+  * boundary. A 50-node curation dag composes into ONE logical plan — ideal
+  * for optimization, but past a point planning time grows superlinearly,
+  * AQE re-plans the whole history each stage, and any executor loss
+  * recomputes from the original scans. Checkpointing at phase boundaries
+  * (post-dedup, post-gate) is the standard medicine: downstream plans see
+  * a leaf, recovery restarts from the barrier.
+  *
+  *   - `reliable = false` (default): `localCheckpoint` — eager, executor-
+  *     stored; fast, lost on executor death (fine on long-lived clusters).
+  *   - `reliable = true`: `checkpoint()` to the SparkContext checkpoint
+  *     dir — survives executor loss; requires `setCheckpointDir` on SHARED
+  *     storage on a real cluster (same contract as
+  *     ConnectedComponentsNode.reliableCheckpoint, enforced the same way).
+  *
+  * The output is the SAME rows — q110 pins identity against a plain oracle
+  * and PlanSpec pins that downstream plans contain no upstream scan.
+  */
+class CheckpointNode(val reliable: Boolean = false) extends Node {
+  override protected def defaultName: String = "checkpoint"
+  val inputs = Seq(Port("df"))
+  val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("checkpoint")
+  override def jsonParams: Map[String, Any] = Map("reliable" -> reliable)
+  override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
+    val df = in("df")
+    val out =
+      if (reliable) {
+        val sc = df.sparkSession.sparkContext
+        if (sc.getCheckpointDir.isEmpty) {
+          if (!sc.isLocal)
+            throw new GraftException(
+              s"checkpoint '$name': reliable=true requires sparkContext." +
+                "setCheckpointDir on SHARED storage (HDFS/S3) when running " +
+                "on a cluster — a driver-local default would not survive " +
+                "executor loss")
+          sc.setCheckpointDir(
+            java.nio.file.Files.createTempDirectory("graft_ckpt_").toString)
+        }
+        df.checkpoint()
+      } else df.localCheckpoint()
+    Map("result" -> out)
+  }
+}

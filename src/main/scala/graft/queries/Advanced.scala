@@ -533,6 +533,29 @@ object Advanced {
       |FROM grid LEFT JOIN counts ON grid.lang = counts.lang AND grid.bin = counts.bin
       |ORDER BY grid.lang, grid.bin""".stripMargin
 
+  // ---- q110: checkpoint barrier mid-pipeline — gate, CUT LINEAGE, dedup,
+  // roll up. The barrier must be semantically invisible: the oracle is the
+  // same pipeline with no checkpoint. ----
+  def q110_checkpoint_pipeline(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
+    d.add(SourceNode.table(dir, "documents")) >>
+      FilterNode("n_chars >= 500") >>
+      new CheckpointNode() >>
+      new ExactDedupNode(
+        Seq("md5(cast(regexp_replace(lower(trim(text)), '\\\\s+', ' ') as binary))"),
+        "doc_id") >>
+      new AggNode(Nil, Seq(
+        "count(*) as n_survivors", "sum(dup_count) as n_docs")) >>
+      d.output("result")
+  }
+  val q110Sql: String =
+    """WITH gated AS (SELECT * FROM documents WHERE n_chars >= 500),
+      |surv AS (
+      |  SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+      |  FROM gated
+      |  GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')))
+      |SELECT count(*) AS n_survivors, cast(sum(dup_count) as bigint) AS n_docs
+      |FROM surv""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q94_bloom_join", q94_bloom_join _, q94Sql),
     ("q95_pagerank", q95_pagerank _, q95Sql),
@@ -550,5 +573,6 @@ object Advanced {
     ("q107_triangles", q107_triangles _, q107Sql),
     ("q108_constraints", q108_constraints _, q108Sql),
     ("q109_histogram", q109_histogram _, q109Sql),
+    ("q110_checkpoint_pipeline", q110_checkpoint_pipeline _, q110Sql),
   )
 }

@@ -285,5 +285,15 @@ class PlanSpec extends AnyFunSuite {
     })
     assert(!ws.contains("Exchange"),
       s"weighted sample must stay narrow (no shuffle):\n$ws")
+    // CheckpointNode: downstream plans must see a LEAF — no upstream
+    // parquet scan survives the barrier
+    val cp = planOf(build { d =>
+      d.add(SourceNode.table(dir, "documents")) >>
+        FilterNode("n_chars >= 500") >>
+        new CheckpointNode() >>
+        d.output("result")
+    })
+    assert(!cp.contains("Scan parquet") && cp.contains("Scan ExistingRDD"),
+      s"checkpoint must cut lineage to a leaf:\n$cp")
   }
 }

@@ -321,9 +321,12 @@ class SerializationSpec extends AnyFunSuite {
       cc2.failFast)
     val d8 = new Dag("histkind")
     val hg = d8.add(new HistogramNode("v + 1", -2.5, 7.5, 8, Seq("lang"), clamp = false))
-    val hg2 = DagJson.fromJson(DagJson.toJson(d8)).node(hg.name).asInstanceOf[HistogramNode]
+    val cp = d8.add(new CheckpointNode(reliable = true))
+    val d8b = DagJson.fromJson(DagJson.toJson(d8))
+    val hg2 = d8b.node(hg.name).asInstanceOf[HistogramNode]
     assert(hg2.valueExpr == "v + 1" && hg2.lo == -2.5 && hg2.hi == 7.5 &&
       hg2.nBins == 8 && hg2.groupCols == Seq("lang") && !hg2.clamp)
+    assert(d8b.node(cp.name).asInstanceOf[CheckpointNode].reliable)
   }
 
   test("nested dag JSON round-trip (reference MLDagNode through to_dict)") {
