@@ -173,6 +173,8 @@ object NodeRegistry {
     register("constraint_check")(p => new ConstraintCheckNode(
       p.pairs("constraints"), p.boolOr("failFast", false)))
     register("checkpoint")(p => new CheckpointNode(p.boolOr("reliable", false)))
+    register("merge_intervals")(p => new MergeIntervalsNode(p.strs("keyCols"),
+      p.str("startCol"), p.str("endCol")))
     register("histogram")(p => new HistogramNode(p.str("valueExpr"),
       p.dbl("lo"), p.dbl("hi"), p.int("nBins"), p.strs("groupCols"),
       p.boolOr("clamp", true)))

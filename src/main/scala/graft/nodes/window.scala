@@ -240,3 +240,56 @@ class SessionizeNode(
       .drop("__us", "__nb"))
   }
 }
+
+/** Merge overlapping (or touching) [start, end] intervals per key — the
+  * interval-coalescing primitive behind activity coverage, validity-range
+  * compaction, and time-range dedup. Closed-interval semantics: a row
+  * starting exactly where a previous one ends joins that merged run.
+  *
+  * The recurrence is the textbook sweep, expressed as two window passes
+  * over one (key, start, end) sort: a row OPENS a new run iff its start
+  * exceeds the running max end of all PRIOR rows; run id = running sum of
+  * open flags; then one groupBy (key, run) with min(start)/max(end).
+  * Comparisons are exact integer microseconds (`unix_micros`), explicit
+  * ROWS frames — deterministic under duplicate intervals on any engine.
+  *
+  * Scale shape: ONE shuffle on `keyCols`, both windows + the final
+  * aggregation reuse the same sort/exchange. No self-join (the naive
+  * overlap-join formulation is quadratic per key under dense overlap).
+  */
+class MergeIntervalsNode(
+    val keyCols: Seq[String] = Seq("user_id"),
+    val startCol: String = "start_ts",
+    val endCol: String = "end_ts")
+  extends Node {
+  require(keyCols.nonEmpty, "keyCols must be non-empty")
+  override protected def defaultName: String = "merge_intervals"
+  val inputs = Seq(Port("df"))
+  val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("merge_intervals")
+  override def jsonParams: Map[String, Any] = Map(
+    "keyCols" -> keyCols, "startCol" -> startCol, "endCol" -> endCol)
+
+  override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
+    import org.apache.spark.sql.functions.{count, lit, max, min, sum, when}
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__s").asc, col("__e").asc)
+    val prior = w.rowsBetween(Window.unboundedPreceding, -1)
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val grouped = in("df")
+      .withColumn("__s", expr(s"unix_micros($startCol)"))
+      .withColumn("__e", expr(s"unix_micros($endCol)"))
+      .withColumn("__open",
+        when(max(col("__e")).over(prior).isNull
+          .or(col("__s") > max(col("__e")).over(prior)), 1L).otherwise(0L))
+      .withColumn("__run", sum(col("__open")).over(run))
+      .groupBy((keyCols.map(col) :+ col("__run")): _*)
+      .agg(min(col("__s")).as("__ms"), max(col("__e")).as("__me"),
+        count(lit(1)).as("n_merged"))
+    Map("result" -> grouped
+      .withColumn("interval_start", expr("timestamp_micros(__ms)"))
+      .withColumn("interval_end", expr("timestamp_micros(__me)"))
+      .withColumn("dur_sec", expr("(__me - __ms) div 1000000L"))
+      .drop("__run", "__ms", "__me"))
+  }
+}

@@ -556,6 +556,44 @@ object Advanced {
       |SELECT count(*) AS n_survivors, cast(sum(dup_count) as bigint) AS n_docs
       |FROM surv""".stripMargin
 
+  // ---- q111: interval coalescing — each event opens a 2h activity window;
+  // overlapping windows merge per user (the sweep recurrence), then a
+  // per-user coverage rollup. The oracle runs the identical two-window
+  // recurrence in DuckDB over the same exact-microsecond arithmetic. ----
+  def q111_merge_intervals(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
+    d.add(SourceNode.table(dir, "events")) >>
+      ProjectNode("user_id", "ts as start_ts", "ts + interval 2 hours as end_ts") >>
+      new MergeIntervalsNode(keyCols = Seq("user_id")) >>
+      new AggNode(Seq("user_id"), Seq(
+        "count(*) as n_intervals",
+        "sum(n_merged) as n_events",
+        "sum(dur_sec) as covered_sec")) >>
+      SortNode("user_id") >>
+      d.output("result")
+  }
+  val q111Sql: String =
+    """WITH iv AS (
+      |  SELECT user_id, epoch_us(ts) AS s, epoch_us(ts + interval 2 hours) AS e
+      |  FROM events),
+      |flagged AS (
+      |  SELECT user_id, s, e,
+      |    CASE WHEN max(e) OVER w IS NULL OR s > max(e) OVER w THEN 1 ELSE 0 END AS open
+      |  FROM iv
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY s, e
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      |runs AS (
+      |  SELECT user_id, s, e,
+      |    sum(open) OVER (PARTITION BY user_id ORDER BY s, e
+      |                    ROWS UNBOUNDED PRECEDING) AS run
+      |  FROM flagged),
+      |merged AS (
+      |  SELECT user_id, run, min(s) AS ms, max(e) AS me, count(*) AS n_merged
+      |  FROM runs GROUP BY user_id, run)
+      |SELECT user_id, count(*) AS n_intervals,
+      |  cast(sum(n_merged) as bigint) AS n_events,
+      |  cast(sum((me - ms) // 1000000) as bigint) AS covered_sec
+      |FROM merged GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q94_bloom_join", q94_bloom_join _, q94Sql),
     ("q95_pagerank", q95_pagerank _, q95Sql),
@@ -574,5 +612,6 @@ object Advanced {
     ("q108_constraints", q108_constraints _, q108Sql),
     ("q109_histogram", q109_histogram _, q109Sql),
     ("q110_checkpoint_pipeline", q110_checkpoint_pipeline _, q110Sql),
+    ("q111_merge_intervals", q111_merge_intervals _, q111Sql),
   )
 }

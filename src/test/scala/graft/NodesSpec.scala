@@ -1303,6 +1303,31 @@ class NodesSpec extends AnyFunSuite {
     assert(hist(clamp = true) == Seq((0L, 3L), (1L, 1L), (2L, 1L), (3L, 2L)))
     assert(hist(clamp = false) == Seq((0L, 2L), (1L, 1L), (2L, 1L), (3L, 1L)))
   }
+
+  test("MergeIntervalsNode: overlap and touch merge, gaps split, containment absorbed") {
+    def ts(s: String) = s"2024-01-01 $s"
+    val iv = Seq(
+      // user 1: [00:00,01:00] + [00:30,02:00] overlap; [02:00,03:00] touches
+      // (closed-interval merge); [05:00,05:10] is a separate run;
+      // [05:01,05:05] is CONTAINED in it
+      (1L, ts("00:00:00"), ts("01:00:00")),
+      (1L, ts("00:30:00"), ts("02:00:00")),
+      (1L, ts("02:00:00"), ts("03:00:00")),
+      (1L, ts("05:00:00"), ts("05:10:00")),
+      (1L, ts("05:01:00"), ts("05:05:00")),
+      // user 2: single interval
+      (2L, ts("10:00:00"), ts("11:00:00")),
+    ).toDF("user_id", "s", "e")
+      .selectExpr("user_id", "cast(s as timestamp) as start_ts", "cast(e as timestamp) as end_ts")
+    val out = runOne { d =>
+      d.add(srcNode(iv)) >> new MergeIntervalsNode(Seq("user_id")) >> d.output("result")
+    }.selectExpr("user_id", "n_merged", "dur_sec", "cast(interval_start as string)")
+      .as[(Long, Long, Long, String)].collect().sortBy(r => (r._1, r._4)).toSeq
+    assert(out == Seq(
+      (1L, 3L, 10800L, "2024-01-01 00:00:00"),
+      (1L, 2L, 600L, "2024-01-01 05:00:00"),
+      (2L, 1L, 3600L, "2024-01-01 10:00:00")))
+  }
 }
 
 object NodesSpec {

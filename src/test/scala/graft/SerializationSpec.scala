@@ -327,6 +327,11 @@ class SerializationSpec extends AnyFunSuite {
     assert(hg2.valueExpr == "v + 1" && hg2.lo == -2.5 && hg2.hi == 7.5 &&
       hg2.nBins == 8 && hg2.groupCols == Seq("lang") && !hg2.clamp)
     assert(d8b.node(cp.name).asInstanceOf[CheckpointNode].reliable)
+    val d9 = new Dag("ivkind")
+    val mi9 = d9.add(new MergeIntervalsNode(Seq("uid", "dev"), "valid_from", "valid_to"))
+    val mi9b = DagJson.fromJson(DagJson.toJson(d9)).node(mi9.name).asInstanceOf[MergeIntervalsNode]
+    assert(mi9b.keyCols == Seq("uid", "dev") && mi9b.startCol == "valid_from" &&
+      mi9b.endCol == "valid_to")
   }
 
   test("nested dag JSON round-trip (reference MLDagNode through to_dict)") {
