@@ -175,6 +175,8 @@ object NodeRegistry {
     register("checkpoint")(p => new CheckpointNode(p.boolOr("reliable", false)))
     register("merge_intervals")(p => new MergeIntervalsNode(p.strs("keyCols"),
       p.str("startCol"), p.str("endCol")))
+    register("compact_log")(p => new CompactLogNode(p.strs("keys"),
+      p.str("orderCol"), p.strs("tieBreakCols"), p.str("mode")))
     register("histogram")(p => new HistogramNode(p.str("valueExpr"),
       p.dbl("lo"), p.dbl("hi"), p.int("nBins"), p.strs("groupCols"),
       p.boolOr("clamp", true)))

@@ -114,3 +114,56 @@ class SnapshotDiffNode(
     Map("result" -> (if (includeUnchanged) out else out.filter(col(changeCol) =!= "unchanged")))
   }
 }
+
+/** Change-log compaction — turn an append-only log of keyed record versions
+  * into either the CURRENT state or the full validity HISTORY (warehouse
+  * SCD-type-2). The other half of the incremental story next to MergeNode:
+  * MergeNode applies a delta to a snapshot; CompactLogNode rebuilds state
+  * from the log itself.
+  *
+  *   - mode = "latest": one surviving row per key — the highest
+  *     (orderCol, tieBreakCols...) version wins. Exact `row_number`, not
+  *     dropDuplicates (whose survivor is partition-order-dependent).
+  *   - mode = "history": every version becomes a row with `valid_from` =
+  *     its version stamp and `valid_to` = the NEXT version's stamp per key
+  *     (lead), null on the current row — the SCD2 shape time-travel
+  *     queries join against (`valid_from <= t < valid_to`).
+  *
+  * Scale shape: ONE shuffle on the key columns; both modes are a single
+  * window pass over the same (key, order) sort. Per-key cost is the
+  * version count — bounded by log retention, not corpus size.
+  */
+class CompactLogNode(
+    val keys: Seq[String],
+    val orderCol: String = "ts",
+    val tieBreakCols: Seq[String] = Nil,
+    val mode: String = "latest")
+  extends Node {
+  require(keys.nonEmpty, "keys must be non-empty")
+  require(mode == "latest" || mode == "history", s"unknown mode '$mode'")
+  override protected def defaultName: String = s"compact_$mode"
+  val inputs = Seq(Port("df"))
+  val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("compact_log")
+  override def jsonParams: Map[String, Any] = Map("keys" -> keys,
+    "orderCol" -> orderCol, "tieBreakCols" -> tieBreakCols, "mode" -> mode)
+
+  override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{lead, row_number}
+    val ord = (col(orderCol) +: tieBreakCols.map(col)).map(_.asc)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+    Map("result" -> (mode match {
+      case "latest" =>
+        val wDesc = Window.partitionBy(keys.map(col): _*)
+          .orderBy((col(orderCol) +: tieBreakCols.map(col)).map(_.desc): _*)
+        in("df").withColumn("__rn", row_number().over(wDesc))
+          .filter(col("__rn") === 1).drop("__rn")
+      case "history" =>
+        in("df")
+          .withColumn("valid_from", col(orderCol))
+          .withColumn("valid_to", lead(col(orderCol), 1).over(w))
+          .withColumn("is_current", col("valid_to").isNull)
+    }))
+  }
+}

@@ -594,6 +594,48 @@ object Advanced {
       |  cast(sum((me - ms) // 1000000) as bigint) AS covered_sec
       |FROM merged GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ---- q112: log compaction, latest-wins — current state per
+  // (user, event_type) from the event log, exact row_number survivor
+  // (event_id breaks timestamp ties). ----
+  def q112_compact_latest(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
+    d.add(SourceNode.table(dir, "events")) >>
+      new CompactLogNode(keys = Seq("user_id", "event_type"),
+        orderCol = "ts", tieBreakCols = Seq("event_id")) >>
+      ProjectNode("user_id", "event_type", "event_id", "ts") >>
+      SortNode("user_id", "event_type") >>
+      d.output("result")
+  }
+  val q112Sql: String =
+    """SELECT user_id, event_type, event_id, ts FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+      |                               ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events)
+      |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
+
+  // ---- q113: log compaction, SCD2 history — per-user validity ranges via
+  // lead(), rolled up to closed-range duration + the one current row. ----
+  def q113_compact_history(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
+    d.add(SourceNode.table(dir, "events")) >>
+      new CompactLogNode(keys = Seq("user_id"),
+        orderCol = "ts", tieBreakCols = Seq("event_id"), mode = "history") >>
+      new AggNode(Seq("user_id"), Seq(
+        "count(*) as n_versions",
+        "sum(case when is_current then 1 else 0 end) as n_current",
+        "sum(case when valid_to is null then 0L else " +
+          "(unix_micros(valid_to) - unix_micros(valid_from)) div 1000000L end) as closed_sec")) >>
+      SortNode("user_id") >>
+      d.output("result")
+  }
+  val q113Sql: String =
+    """WITH h AS (
+      |  SELECT user_id, epoch_us(ts) AS vf,
+      |    epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS vt
+      |  FROM events)
+      |SELECT user_id, count(*) AS n_versions,
+      |  cast(sum(CASE WHEN vt IS NULL THEN 1 ELSE 0 END) as bigint) AS n_current,
+      |  cast(sum(CASE WHEN vt IS NULL THEN 0 ELSE (vt - vf) // 1000000 END) as bigint) AS closed_sec
+      |FROM h GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q94_bloom_join", q94_bloom_join _, q94Sql),
     ("q95_pagerank", q95_pagerank _, q95Sql),
@@ -613,5 +655,7 @@ object Advanced {
     ("q109_histogram", q109_histogram _, q109Sql),
     ("q110_checkpoint_pipeline", q110_checkpoint_pipeline _, q110Sql),
     ("q111_merge_intervals", q111_merge_intervals _, q111Sql),
+    ("q112_compact_latest", q112_compact_latest _, q112Sql),
+    ("q113_compact_history", q113_compact_history _, q113Sql),
   )
 }

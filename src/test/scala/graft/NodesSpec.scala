@@ -1328,6 +1328,31 @@ class NodesSpec extends AnyFunSuite {
       (1L, 2L, 600L, "2024-01-01 05:00:00"),
       (2L, 1L, 3600L, "2024-01-01 10:00:00")))
   }
+
+  test("CompactLogNode: latest-wins survivor with tie-break; history mode emits SCD2 ranges") {
+    val log = Seq(
+      (1L, "2024-01-01 00:00:00", 100L, "v1"),
+      (1L, "2024-01-02 00:00:00", 101L, "v2"),
+      (1L, "2024-01-02 00:00:00", 102L, "v3"), // same ts — event_id breaks the tie
+      (2L, "2024-01-05 00:00:00", 200L, "w1"),
+    ).toDF("k", "s", "event_id", "payload")
+      .selectExpr("k", "cast(s as timestamp) as ts", "event_id", "payload")
+    val latest = runOne { d =>
+      d.add(srcNode(log)) >> new CompactLogNode(Seq("k"), "ts", Seq("event_id")) >>
+        d.output("result")
+    }.select("k", "payload").as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(latest == Seq((1L, "v3"), (2L, "w1")))
+    val hist = runOne { d =>
+      d.add(srcNode(log)) >> new CompactLogNode(Seq("k"), "ts", Seq("event_id"),
+        mode = "history") >> d.output("result")
+    }.selectExpr("k", "payload", "cast(valid_to as string)", "is_current")
+      .as[(Long, String, Option[String], Boolean)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(hist == Seq(
+      (1L, "v1", Some("2024-01-02 00:00:00"), false),
+      (1L, "v2", Some("2024-01-02 00:00:00"), false), // tied successor: zero-width range
+      (1L, "v3", None, true),
+      (2L, "w1", None, true)))
+  }
 }
 
 object NodesSpec {

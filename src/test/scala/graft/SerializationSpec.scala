@@ -332,6 +332,11 @@ class SerializationSpec extends AnyFunSuite {
     val mi9b = DagJson.fromJson(DagJson.toJson(d9)).node(mi9.name).asInstanceOf[MergeIntervalsNode]
     assert(mi9b.keyCols == Seq("uid", "dev") && mi9b.startCol == "valid_from" &&
       mi9b.endCol == "valid_to")
+    val d10 = new Dag("clkind")
+    val cl10 = d10.add(new CompactLogNode(Seq("k1", "k2"), "updated_at", Seq("seq"), "history"))
+    val cl10b = DagJson.fromJson(DagJson.toJson(d10)).node(cl10.name).asInstanceOf[CompactLogNode]
+    assert(cl10b.keys == Seq("k1", "k2") && cl10b.orderCol == "updated_at" &&
+      cl10b.tieBreakCols == Seq("seq") && cl10b.mode == "history")
   }
 
   test("nested dag JSON round-trip (reference MLDagNode through to_dict)") {
