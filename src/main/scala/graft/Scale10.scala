@@ -61,7 +61,9 @@ object Scale10 {
       // degree-oriented triangles on a k-fold-denser graph
       "q98_sparse_topk", "q100_bm25_topk", "q101_incremental_dedup",
       "q102_sessionize", "q103_collocations", "q105_quantile_gate",
-      "q107_triangles", "q95_pagerank")
+      "q107_triangles", "q95_pagerank",
+      "q109_histogram", "q110_checkpoint_pipeline", "q111_merge_intervals",
+      "q112_compact_latest", "q113_compact_history")
     val names = if (queries.nonEmpty) queries else defaults
     names.foreach { n =>
       try time(n)(Queries.all(n)(spark, out).count())
