@@ -68,4 +68,43 @@ class DocSpec extends AnyFunSuite {
     scaler.saveFitted(tmp.resolve("quickstart_scaler").toString)
     assert(java.nio.file.Files.exists(tmp.resolve("quickstart_scaler").resolve("metadata")))
   }
+
+  test("README curation example runs") {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_doc2")
+    val todaysDocs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "an entirely different document about spark engines at scale"),
+      (3L, "short"),
+    ).toDF("doc_id", "text")
+    val snapshotDocs = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again and again"),
+      (101L, "unrelated snapshot content nothing shared with the delta"),
+    ).toDF("doc_id", "text")
+
+    val c = new Dag("curation")
+    val gate = c.add(new HeuristicFilterNode(minWords = 5, minMeanWordLen = 1.0,
+      maxMeanWordLen = 20.0, minStopwordHits = 0, keepOnly = true).named("gate"))
+    val topq = c.add(new QuantileFilterNode("length(text)", keepFrac = 0.75).named("topq"))
+    val index = c.add(new MinHashIndexNode(jaccardThreshold = 0.9).named("index"))
+    val sample = c.add(new WeightedSampleNode("doc_id", "0.9").named("sample"))
+    c.input("corpus") >> gate; gate >> topq; topq >> sample
+    c.input("corpus_snapshot") >> index("corpus")
+    sample >> index("delta")
+    index >> c.output("near_dup_pairs")
+    sample >> c.output("kept")
+
+    val cr = c.fitTransform(Ctx(spark), Map(
+      "corpus" -> todaysDocs, "corpus_snapshot" -> snapshotDocs))
+    val pairs = cr("near_dup_pairs").select("delta_id", "base_id")
+      .as[(Long, Long)].collect().toSeq
+    // doc 1 survives the gates and exactly duplicates snapshot doc 100
+    assert(pairs == Seq((1L, 100L)))
+    assert(cr("kept").count() >= 1)
+    index.saveFitted(tmp.resolve("minhash_index").toString)
+    assert(java.nio.file.Files.exists(tmp.resolve("minhash_index").resolve("shingles")))
+    cr.unpersist()
+    index.unpersistIndex()
+  }
 }
