@@ -107,6 +107,8 @@ object VecFunctions {
       "unicode_norm", exprs => UnicodeNormalize.fromExprs(exprs), "scala_udf")
     reg.createOrReplaceTempFunction(
       "bpe_encode", exprs => BpeEncode(exprs(0), strLit(exprs(1)).split('\n').toSeq), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "morton2", exprs => MortonInterleave(exprs(0), exprs(1)), "scala_udf")
   }
   private[functions] def strLit(e: Expression): String =
     e.eval(null) match {
@@ -160,5 +162,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new ExpressionInfo(classOf[BpeEncode].getName, "bpe_encode"),
       (exprs: Seq[Expression]) => BpeEncode(exprs(0),
         VecFunctions.strLit(exprs(1)).split('\n').toSeq)))
+    ext.injectFunction((
+      FunctionIdentifier("morton2"),
+      new ExpressionInfo(classOf[MortonInterleave].getName, "morton2"),
+      (exprs: Seq[Expression]) => MortonInterleave(exprs(0), exprs(1))))
   }
 }

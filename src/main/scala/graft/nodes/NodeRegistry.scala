@@ -177,6 +177,8 @@ object NodeRegistry {
       p.str("startCol"), p.str("endCol")))
     register("compact_log")(p => new CompactLogNode(p.strs("keys"),
       p.str("orderCol"), p.strs("tieBreakCols"), p.str("mode")))
+    register("zorder")(p => new ZOrderNode(p.str("colA"), p.str("colB"),
+      p.str("outCol"), p.strOpt("partitions").map(_.toInt), p.boolOr("keepKey", true)))
     register("histogram")(p => new HistogramNode(p.str("valueExpr"),
       p.dbl("lo"), p.dbl("hi"), p.int("nBins"), p.strs("groupCols"),
       p.boolOr("clamp", true)))

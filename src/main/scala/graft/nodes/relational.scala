@@ -598,3 +598,45 @@ class CheckpointNode(val reliable: Boolean = false) extends Node {
     Map("result" -> out)
   }
 }
+
+/** Z-order clustering: compute a 2-D Morton key over two integer-ish
+  * dimensions (compiled `morton2` expression — 31 bits each, positive
+  * 62-bit key) and RANGE-partition + sort the data by it. Rows close in
+  * EITHER dimension land in the same files, so min-max statistics prune
+  * scans for predicates on either column — the lakehouse multi-dimensional
+  * clustering pass a 100 TB corpus runs before writing partitioned parquet
+  * (point lookups and range scans touch a few files instead of all).
+  *
+  * Scale shape: one narrow key computation + one range shuffle (the same
+  * cost as any global repartition — this node IS the write-layout pass, it
+  * adds nothing on top). `partitions = None` keeps the session shuffle
+  * parallelism.
+  */
+class ZOrderNode(
+    val colA: String,
+    val colB: String,
+    val outCol: String = "zkey",
+    val partitions: Option[Int] = None,
+    val keepKey: Boolean = true)
+  extends Node {
+  override protected def defaultName: String = "zorder"
+  val inputs = Seq(Port("df"))
+  val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("zorder")
+  override def jsonParams: Map[String, Any] = Map("colA" -> colA, "colB" -> colB,
+    "outCol" -> outCol, "partitions" -> partitions.map(_.toString).orNull,
+    "keepKey" -> keepKey)
+
+  override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
+    graft.functions.VecFunctions.register(ctx.spark)
+    graft.functions.VecFunctions.register(in("df").sparkSession)
+    val keyed = in("df").withColumn(outCol,
+      expr(s"morton2(cast($colA as bigint), cast($colB as bigint))"))
+    val ranged = partitions match {
+      case Some(n) => keyed.repartitionByRange(n, col(outCol))
+      case None    => keyed.repartitionByRange(col(outCol))
+    }
+    val sorted = ranged.sortWithinPartitions(outCol)
+    Map("result" -> (if (keepKey) sorted else sorted.drop(outCol)))
+  }
+}

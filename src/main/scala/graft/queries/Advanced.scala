@@ -636,6 +636,51 @@ object Advanced {
       |  cast(sum(CASE WHEN vt IS NULL THEN 0 ELSE (vt - vf) // 1000000 END) as bigint) AS closed_sec
       |FROM h GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** DuckDB mirror of MortonInterleave.spread: 31-bit input mask, then the
+    * 5-step mask-shift cascade, as one nested SQL expression. */
+  private def duckSpread(e: String): String = {
+    val steps = Seq(
+      ("16", "281470681808895"),       // 0x0000FFFF0000FFFF
+      ("8", "71777214294589695"),      // 0x00FF00FF00FF00FF
+      ("4", "1085102592571150095"),    // 0x0F0F0F0F0F0F0F0F
+      ("2", "3689348814741910323"),    // 0x3333333333333333
+      ("1", "6148914691236517205"))    // 0x5555555555555555
+    var x = s"(($e) & 2147483647)"
+    for ((sh, mask) <- steps) x = s"((($x | ($x << $sh)) & $mask))"
+    x
+  }
+
+  // ---- q114: Z-order clustering key — the compiled morton2 expression vs
+  // the oracle's unrolled mask-shift cascade, bit-for-bit, plus a rollup
+  // proving the full corpus was keyed. ----
+  def q114_zorder(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
+    val z = d.add(new ZOrderNode(colA = "user_id", colB = "event_id % 100000",
+      partitions = Some(8)))
+    d.add(SourceNode.table(dir, "events")) >> z
+    val top = d.add(new TaggedUnionNode())
+    z >> ProjectNode("event_id", "user_id", "zkey").named("proj") >>
+      TopKNode(20, "zkey", "event_id").named("head") >> top("dfs")
+    z >> new AggNode(Nil, Seq(
+      "count(*) as event_id",
+      "min(zkey) as user_id",
+      "cast(sum(zkey % 1000003) as bigint) as zkey")).named("total") >> top("dfs")
+    top >> SortNode("source", "zkey", "event_id") >> d.output("result")
+  }
+  val q114Sql: String = {
+    val z = s"(${duckSpread("user_id")} | (${duckSpread("cast(event_id % 100000 as bigint)")} << 1))"
+    s"""WITH keyed AS (SELECT event_id, user_id, $z AS zkey FROM events),
+       |head AS (
+       |  SELECT 'head' AS source, event_id, user_id, zkey FROM keyed
+       |  ORDER BY zkey, event_id LIMIT 20),
+       |total AS (
+       |  SELECT 'total' AS source, count(*) AS event_id, min(zkey) AS user_id,
+       |         cast(sum(zkey % 1000003) as bigint) AS zkey
+       |  FROM keyed)
+       |SELECT source, event_id, user_id, zkey FROM head
+       |UNION ALL SELECT * FROM total
+       |ORDER BY source, zkey, event_id""".stripMargin
+  }
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q94_bloom_join", q94_bloom_join _, q94Sql),
     ("q95_pagerank", q95_pagerank _, q95Sql),
@@ -657,5 +702,6 @@ object Advanced {
     ("q111_merge_intervals", q111_merge_intervals _, q111Sql),
     ("q112_compact_latest", q112_compact_latest _, q112Sql),
     ("q113_compact_history", q113_compact_history _, q113Sql),
+    ("q114_zorder", q114_zorder _, q114Sql),
   )
 }

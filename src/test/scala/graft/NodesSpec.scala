@@ -1353,6 +1353,27 @@ class NodesSpec extends AnyFunSuite {
       (1L, "v3", None, true),
       (2L, "w1", None, true)))
   }
+
+  test("ZOrderNode: morton2 interleaves bits exactly; key column kept or dropped") {
+    graft.functions.VecFunctions.register(spark)
+    // spread(3)=0b101, spread(1)=0b1: morton2(3,1) = 5 | (1<<1) = 7; swapped = 1 | (5<<1) = 11
+    val bits = spark.sql("select morton2(3L, 1L) as a, morton2(1L, 3L) as b")
+      .as[(Long, Long)].head()
+    assert(bits == ((7L, 11L)))
+    // scala-side kernel agrees with the codegen'd expression on larger values
+    assert(spark.sql("select morton2(123456789L, 987654321L) as z").as[Long].head() ==
+      graft.functions.MortonInterleave.interleave(123456789L, 987654321L))
+    val df = Seq((1L, 10L), (2L, 20L)).toDF("x", "y")
+    val kept = runOne { d =>
+      d.add(srcNode(df)) >> new ZOrderNode("x", "y", partitions = Some(2)) >> d.output("result")
+    }
+    assert(kept.columns.contains("zkey") && kept.count() == 2)
+    val dropped = runOne { d =>
+      d.add(srcNode(df)) >> new ZOrderNode("x", "y", partitions = Some(2), keepKey = false) >>
+        d.output("result")
+    }
+    assert(!dropped.columns.contains("zkey") && dropped.count() == 2)
+  }
 }
 
 object NodesSpec {

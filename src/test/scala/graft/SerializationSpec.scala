@@ -337,6 +337,11 @@ class SerializationSpec extends AnyFunSuite {
     val cl10b = DagJson.fromJson(DagJson.toJson(d10)).node(cl10.name).asInstanceOf[CompactLogNode]
     assert(cl10b.keys == Seq("k1", "k2") && cl10b.orderCol == "updated_at" &&
       cl10b.tieBreakCols == Seq("seq") && cl10b.mode == "history")
+    val d11 = new Dag("zkind")
+    val zo = d11.add(new ZOrderNode("lat", "lon", "mkey", Some(64), keepKey = false))
+    val zo2 = DagJson.fromJson(DagJson.toJson(d11)).node(zo.name).asInstanceOf[ZOrderNode]
+    assert(zo2.colA == "lat" && zo2.colB == "lon" && zo2.outCol == "mkey" &&
+      zo2.partitions.contains(64) && !zo2.keepKey)
   }
 
   test("nested dag JSON round-trip (reference MLDagNode through to_dict)") {
