@@ -179,6 +179,8 @@ object NodeRegistry {
       p.str("orderCol"), p.strs("tieBreakCols"), p.str("mode")))
     register("zorder")(p => new ZOrderNode(p.str("colA"), p.str("colB"),
       p.str("outCol"), p.strOpt("partitions").map(_.toInt), p.boolOr("keepKey", true)))
+    register("group_ema")(p => new GroupEmaNode(p.strs("keyCols"), p.str("orderExpr"),
+      p.str("tieExpr"), p.str("valueExpr"), p.int("alphaPct"), p.str("outCol")))
     register("histogram")(p => new HistogramNode(p.str("valueExpr"),
       p.dbl("lo"), p.dbl("hi"), p.int("nBins"), p.strs("groupCols"),
       p.boolOr("clamp", true)))

@@ -3,7 +3,7 @@ package graft.nodes
 import graft.dag._
 import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
-import org.apache.spark.sql.functions.udaf
+import org.apache.spark.sql.functions.{col, expr, udaf}
 
 /** User-defined function/aggregate support (SURVEY.md §2.2 "UDF/UDAF/UDTF").
   * The reference's entire essence is user-defined transforms; here the
@@ -58,5 +58,74 @@ class ExplodeNode(val arrayExpr: String, val outCols: Seq[String], val keep: Seq
   override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
     val gen = s"posexplode($arrayExpr) as (${outCols.mkString(", ")})"
     Map("result" -> in("df").selectExpr(keep ++ Seq(gen): _*))
+  }
+}
+
+/** Per-group SEQUENTIAL kernel over a typed grouped dataset — the batch
+  * `KeyValueGroupedDataset.flatMapGroups` surface, specialized to the
+  * recurrence family windows cannot express: exponential moving average in
+  * FIXED-POINT INTEGERS (time-decayed activity/quality features):
+  *
+  *   ema_0 = v_0;  ema_i = (alphaPct*v_i + (100-alphaPct)*ema_{i-1}) div 100
+  *
+  * floorDiv semantics (mirrors an external engine's floor division exactly,
+  * negatives included). Rows order within a group by (`orderExpr`,
+  * `tieExpr`) — both bigint expressions, so ordering is total and
+  * engine-portable.
+  *
+  * Scale shape: ONE shuffle on the group key (groupByKey), then a
+  * per-group in-memory sort + fold. Per-group rows must fit an executor —
+  * the contract of every sequential per-key kernel (bounded by per-key
+  * density/log retention, not corpus size); sessionize/window nodes cover
+  * the unbounded-key cases.
+  */
+class GroupEmaNode(
+    val keyCols: Seq[String],
+    val orderExpr: String,
+    val tieExpr: String,
+    val valueExpr: String,
+    val alphaPct: Int = 20,
+    val outCol: String = "ema")
+  extends Node {
+  require(keyCols.nonEmpty, "keyCols must be non-empty")
+  require(alphaPct >= 0 && alphaPct <= 100, "alphaPct must be in [0, 100]")
+  override protected def defaultName: String = "group_ema"
+  val inputs = Seq(Port("df"))
+  val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("group_ema")
+  override def jsonParams: Map[String, Any] = Map("keyCols" -> keyCols,
+    "orderExpr" -> orderExpr, "tieExpr" -> tieExpr, "valueExpr" -> valueExpr,
+    "alphaPct" -> alphaPct, "outCol" -> outCol)
+
+  override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
+    import org.apache.spark.sql.catalyst.encoders.RowEncoder
+    import org.apache.spark.sql.types.LongType
+    import org.apache.spark.sql.{Encoders, Row}
+    val prep = in("df").select(
+      (keyCols.map(col) ++ Seq(
+        expr(orderExpr).cast(LongType).as("__o"),
+        expr(tieExpr).cast(LongType).as("__t"),
+        expr(valueExpr).cast(LongType).as("__v"))): _*)
+    val outSchema = prep.schema.add(outCol, LongType, nullable = false)
+    val nKeys = keyCols.size
+    val a = alphaPct.toLong
+    val grouped = prep.groupByKey(
+      // grouping key: length-prefixed null-safe string form of the key
+      // columns (collision-free for any values; output rows carry the
+      // ORIGINAL typed key values)
+      r => (0 until nKeys).map { i =>
+        if (r.isNullAt(i)) "N" else { val v = r.get(i).toString; s"${v.length}:$v" }
+      }.mkString("|"))(Encoders.STRING)
+    val result = grouped.flatMapGroups { (_: String, it: Iterator[Row]) =>
+      val rows = it.toArray.sortBy(r => (r.getLong(nKeys), r.getLong(nKeys + 1)))
+      var ema = 0L; var first = true
+      rows.iterator.map { r =>
+        val v = r.getLong(nKeys + 2)
+        ema = if (first) { first = false; v }
+          else Math.floorDiv(a * v + (100L - a) * ema, 100L)
+        Row.fromSeq(r.toSeq :+ ema)
+      }
+    }(RowEncoder.encoderFor(outSchema))
+    Map("result" -> result.toDF())
   }
 }

@@ -681,6 +681,39 @@ object Advanced {
        |ORDER BY source, zkey, event_id""".stripMargin
   }
 
+  // ---- q115: per-user fixed-point EMA over the event log (typed
+  // flatMapGroups sequential kernel), rolled up. The oracle unrolls the
+  // SAME integer recurrence with a recursive CTE over row_number order —
+  // floor division on both engines, negatives included. ----
+  def q115_group_ema(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
+    d.add(SourceNode.table(dir, "events")) >>
+      new GroupEmaNode(keyCols = Seq("user_id"),
+        orderExpr = "unix_micros(ts)", tieExpr = "event_id",
+        valueExpr = "cast(floor(value * 100) as bigint)", alphaPct = 20) >>
+      new AggNode(Seq("user_id"), Seq(
+        "count(*) as n",
+        "min(ema) as min_ema", "max(ema) as max_ema",
+        "sum(ema) as sum_ema")) >>
+      SortNode("user_id") >>
+      d.output("result")
+  }
+  val q115Sql: String =
+    """WITH RECURSIVE base AS (
+      |  SELECT user_id, cast(floor(value * 100) as bigint) AS v,
+      |    row_number() OVER (PARTITION BY user_id
+      |                       ORDER BY epoch_us(ts), event_id) AS rn
+      |  FROM events),
+      |rec AS (
+      |  SELECT user_id, rn, v, v AS ema FROM base WHERE rn = 1
+      |  UNION ALL
+      |  SELECT b.user_id, b.rn, b.v,
+      |         (20 * b.v + 80 * r.ema) // 100
+      |  FROM base b JOIN rec r ON b.user_id = r.user_id AND b.rn = r.rn + 1)
+      |SELECT user_id, count(*) AS n,
+      |  cast(min(ema) as bigint) AS min_ema, cast(max(ema) as bigint) AS max_ema,
+      |  cast(sum(ema) as bigint) AS sum_ema
+      |FROM rec GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q94_bloom_join", q94_bloom_join _, q94Sql),
     ("q95_pagerank", q95_pagerank _, q95Sql),
@@ -703,5 +736,6 @@ object Advanced {
     ("q112_compact_latest", q112_compact_latest _, q112Sql),
     ("q113_compact_history", q113_compact_history _, q113Sql),
     ("q114_zorder", q114_zorder _, q114Sql),
+    ("q115_group_ema", q115_group_ema _, q115Sql),
   )
 }

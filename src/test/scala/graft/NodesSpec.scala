@@ -1374,6 +1374,24 @@ class NodesSpec extends AnyFunSuite {
     }
     assert(!dropped.columns.contains("zkey") && dropped.count() == 2)
   }
+
+  test("GroupEmaNode: integer EMA recurrence per key, order + tie respected, floorDiv on negatives") {
+    val rows = Seq(
+      (1L, 1L, 10L, 100L), (1L, 2L, 20L, 200L), (1L, 3L, 30L, -100L),
+      (2L, 1L, 40L, 50L),
+      // user 3: same order value — tie column decides v=0 comes first
+      (3L, 1L, 50L, 0L), (3L, 2L, 50L, 100L),
+    ).toDF("k", "tie", "o", "v")
+    val out = runOne { d =>
+      d.add(srcNode(rows)) >> new GroupEmaNode(Seq("k"), "o", "tie", "v", alphaPct = 20) >>
+        d.output("result")
+    }.selectExpr("k", "__t as tie", "ema").as[(Long, Long, Long)].collect()
+      .sortBy(r => (r._1, r._2)).toSeq
+    // k=1: 100; (20*200+80*100)/100 = 120; floorDiv(20*-100+80*120, 100) = floorDiv(7600,100) = 76
+    // k=3: first (tie 1) v=0 -> 0; then (20*100+0)/100 = 20
+    assert(out == Seq((1L, 1L, 100L), (1L, 2L, 120L), (1L, 3L, 76L),
+      (2L, 1L, 50L), (3L, 1L, 0L), (3L, 2L, 20L)))
+  }
 }
 
 object NodesSpec {

@@ -342,6 +342,12 @@ class SerializationSpec extends AnyFunSuite {
     val zo2 = DagJson.fromJson(DagJson.toJson(d11)).node(zo.name).asInstanceOf[ZOrderNode]
     assert(zo2.colA == "lat" && zo2.colB == "lon" && zo2.outCol == "mkey" &&
       zo2.partitions.contains(64) && !zo2.keepKey)
+    val d12 = new Dag("emakind")
+    val ge = d12.add(new GroupEmaNode(Seq("uid"), "unix_micros(t)", "eid", "v * 10", 35, "decay"))
+    val ge2 = DagJson.fromJson(DagJson.toJson(d12)).node(ge.name).asInstanceOf[GroupEmaNode]
+    assert(ge2.keyCols == Seq("uid") && ge2.orderExpr == "unix_micros(t)" &&
+      ge2.tieExpr == "eid" && ge2.valueExpr == "v * 10" && ge2.alphaPct == 35 &&
+      ge2.outCol == "decay")
   }
 
   test("nested dag JSON round-trip (reference MLDagNode through to_dict)") {
