@@ -161,7 +161,8 @@ object NodeRegistry {
       p.m("expectedItems").toString.toLong, p.dbl("fpp"), p.str("joinType"),
       p.bool("broadcastBuild")))
     register("merge")(p => new MergeNode(p.strs("keys"), p.strOpt("deleteCol"),
-      p.boolOr("broadcastKeys", true)))
+      p.boolOr("broadcastKeys", true),
+      p.strOpt("onDuplicate").getOrElse("error"), p.strOpt("orderCol")))
     register("snapshot_diff")(p => new SnapshotDiffNode(p.strs("keys"), p.strs("compareCols"),
       p.boolOr("includeUnchanged", false), p.str("changeCol")))
     register("outlier_filter")(p => new OutlierFilterNode(p.strs("groupCols"), p.str("valueExpr"),

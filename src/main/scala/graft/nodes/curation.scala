@@ -456,6 +456,11 @@ class ConstraintCheckNode(
   * IEEE ops on any engine. Scale shape: one shuffle of at most
   * #groups × nBins partial counts (map-side combine does the heavy
   * lifting); the bin grid is generated, never materialized from data.
+  *
+  * NULL values cannot be clamped into an edge bin (there is no value to
+  * clamp); they are counted into a per-group `n_null` companion column on
+  * every output row, so totals reconcile: sum(n) over a group's bins +
+  * n_null = the group's input row count (ADVICE r5).
   */
 class HistogramNode(
     val valueExpr: String,
@@ -476,25 +481,37 @@ class HistogramNode(
     "clamp" -> clamp)
 
   override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
-    import org.apache.spark.sql.functions.{count, lit}
+    import org.apache.spark.sql.functions.{broadcast, coalesce, count, lit, when}
     val w = (hi - lo) / nBins
-    val rawBin = s"cast(floor((($valueExpr) - $lo) / $w) as bigint)"
+    val rawBin = s"cast(floor(((__v) - $lo) / $w) as bigint)"
     val bin =
       if (clamp) s"least(greatest($rawBin, 0L), ${nBins - 1}L)"
       else rawBin
-    val base = in("df").withColumn("bin", expr(bin))
+    val valued = in("df").withColumn("__v", expr(valueExpr))
+    val base = valued.filter(col("__v").isNotNull).withColumn("bin", expr(bin))
     val filtered =
       if (clamp) base else base.filter(col("bin") >= 0 && col("bin") < nBins)
     val counts = filtered
       .groupBy((groupCols.map(col) :+ col("bin")): _*)
       .agg(count(lit(1)).as("n"))
+    // per-group null count so sum(n) + n_null = group input rows (class doc)
+    val nullAgg = valued
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(when(col("__v").isNull, 1)).as("n_null"))
     // fixed grid: every (group, bin) row exists, empty bins count 0
     val grid0 = ctx.spark.range(nBins).select(col("id").as("bin"))
     val grid =
       if (groupCols.isEmpty) grid0
       else filtered.select(groupCols.map(col): _*).distinct().crossJoin(grid0)
-    Map("result" -> grid.join(counts, groupCols :+ "bin", "left")
+    val binned = grid.join(counts, groupCols :+ "bin", "left")
       .withColumn("n", expr("coalesce(n, 0L)"))
-      .withColumn("bin_lo", expr(s"$lo + bin * $w")))
+      .withColumn("bin_lo", expr(s"$lo + bin * $w"))
+    // groups-sized frame (1 row when ungrouped) — the approved
+    // broadcast(one-row-aggregate) fold, never corpus-sized
+    val out =
+      if (groupCols.isEmpty) binned.crossJoin(broadcast(nullAgg))
+      else binned.join(broadcast(nullAgg), groupCols, "left")
+        .withColumn("n_null", coalesce(col("n_null"), lit(0L)))
+    Map("result" -> out)
   }
 }

@@ -576,8 +576,15 @@ class MinHashIndexNode(
     m.shingles.write.mode("overwrite").parquet(s"$path/shingles")
     m.buckets.write.mode("overwrite").parquet(s"$path/buckets")
   }
-  override def loadFitted(path: String): Unit = {
-    val spark = org.apache.spark.sql.SparkSession.active
+  override def loadFitted(path: String): Unit = loadFitted(path, None)
+  /** Load the index onto a specific session. `SparkSession.active` is wrong
+    * in multi-session drivers (SessionIsolation clones, per-source streaming
+    * sessions): the index frames would bind to whichever session happens to
+    * be active, missing the VecFunctions registry/confs of the session that
+    * later runs transform (ADVICE r5). Pass the DAG's session explicitly.
+    */
+  def loadFitted(path: String, session: Option[org.apache.spark.sql.SparkSession]): Unit = {
+    val spark = session.getOrElse(org.apache.spark.sql.SparkSession.active)
     model = Some(MinHashIndexNode.Index(
       spark.read.parquet(s"$path/shingles"),
       spark.read.parquet(s"$path/buckets")))

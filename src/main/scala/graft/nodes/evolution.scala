@@ -25,19 +25,34 @@ import org.apache.spark.sql.functions.{broadcast, col, lit, not, when}
   * a union. The base is never shuffled when the keys broadcast — at 100 TB
   * that is the difference between a metadata-speed refresh and re-keying
   * the corpus.
+  *
+  * Duplicate keys among non-tombstone updates would silently break the
+  * one-row-per-key upsert invariant (SQL MERGE raises a multiple-matches
+  * error). `onDuplicate` decides: "error" (default) embeds a per-key count
+  * guard in the plan — execution fails loudly, no extra driver action, one
+  * delta-sized window shuffle; "last_wins" keeps the row with the highest
+  * `orderCol` per key (a documented, deterministic dedup — `orderCol`
+  * required and expected to totally order rows within a key).
   */
 class MergeNode(
     val keys: Seq[String],
     val deleteCol: Option[String] = None,
-    val broadcastKeys: Boolean = true)
+    val broadcastKeys: Boolean = true,
+    val onDuplicate: String = "error", // error | last_wins
+    val orderCol: Option[String] = None)
   extends Node {
   require(keys.nonEmpty, "merge keys must be non-empty")
+  require(Seq("error", "last_wins").contains(onDuplicate),
+    s"onDuplicate must be 'error' or 'last_wins', got '$onDuplicate'")
+  require(onDuplicate != "last_wins" || orderCol.nonEmpty,
+    "onDuplicate='last_wins' requires orderCol (the deterministic recency order)")
   override protected def defaultName: String = "merge"
   val inputs = Seq(Port("base"), Port("updates"))
   val outputs = Seq(Port("result"))
   override def jsonKind: Option[String] = Some("merge")
   override def jsonParams: Map[String, Any] = Map(
-    "keys" -> keys, "deleteCol" -> deleteCol.orNull, "broadcastKeys" -> broadcastKeys)
+    "keys" -> keys, "deleteCol" -> deleteCol.orNull, "broadcastKeys" -> broadcastKeys,
+    "onDuplicate" -> onDuplicate, "orderCol" -> orderCol.orNull)
 
   override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
     val base = in("base")
@@ -55,9 +70,30 @@ class MergeNode(
     val updKeys = updates.select(keys.map(col): _*).distinct()
     val keyFrame = if (broadcastKeys) broadcast(updKeys) else updKeys
     val kept = base.join(keyFrame, keys, "left_anti")
-    val inserted = deleteCol match {
+    val inserted0 = deleteCol match {
       case Some(c) => updates.filter(not(col(c).cast("boolean"))).drop(c)
       case None    => updates
+    }
+    // one-row-per-key invariant (see class doc); both paths shuffle only
+    // the delta-sized inserted frame on the merge key
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{count, expr, lit, row_number}
+    val inserted = onDuplicate match {
+      case "last_wins" =>
+        val w = Window.partitionBy(keys.map(col): _*)
+          .orderBy(col(orderCol.get).desc)
+        inserted0.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+      case _ =>
+        val w = Window.partitionBy(keys.map(col): _*)
+        // Or short-circuits: assert_true only evaluates on a duplicate row,
+        // and a filter (unlike an unused projection) cannot be pruned away
+        inserted0.withColumn("__kc", count(lit(1)).over(w))
+          .filter(expr(
+            "__kc = 1 or isnotnull(assert_true(false, " +
+              s"'merge ${name}: duplicate non-tombstone update keys — one key must " +
+              "upsert one row (pass onDuplicate=last_wins with orderCol for recency dedup)'))"))
+          .drop("__kc")
     }
     Map("result" -> kept.unionByName(inserted.select(base.columns.map(col): _*)))
   }

@@ -538,10 +538,12 @@ class InvertedIndexTopKNode(
   *                (1000·tf·avgdlC + k1T·(100−bH)·avgdlC + 100·k1T·bH·dl)
   *   score(q,d) = Σ_t qtf(t) · ((idfF(t)·tfSatF(t,d)) div S)
   *
-  * The idfF·tfSatF product can exceed int64 at web scale (N ~ 1e11 docs,
-  * df = 1 ⇒ idfF ~ 1e17; tfSatF ≤ 2.2·S), so it is computed in
-  * decimal(38,0) — Catalyst's 128-bit path, same cost class as bigint —
-  * and lands back in int64 after the div (score ≤ qlen·maxqtf·idfF).
+  * Two products can exceed int64 at web scale and run in decimal(38,0) —
+  * Catalyst's 128-bit path, same cost class as bigint: the idfF·tfSatF
+  * product (N ~ 1e11 docs, df = 1 ⇒ idfF ~ 1e17; tfSatF ≤ 2.2·S) and the
+  * tfSatF NUMERATOR tf·(k1T+10)·100·avgdlC·S (wraps once tf·avgdl exceeds
+  * ~4.2e7 — long repetitive docs). Both land back in int64 after their
+  * div (tfSatF ≤ 2.2·S; score ≤ qlen·maxqtf·idfF).
   *
   * Scale shape: identical to InvertedIndexTopKNode — corpus stats are a
   * one-row aggregate broadcast into the plan (no driver action), df pruning
@@ -618,9 +620,13 @@ class Bm25TopKNode(
     val scored = ctf
       .join(pin(terms, broadcastTerms), Seq("tok"))
       .join(pin(qtf, broadcastQueries), Seq("tok"))
+      // numerator in decimal(38,0): tf·2200·avgdlC·S wraps int64 once
+      // tf·avgdl exceeds ~4.2e7 (a long repetitive web doc) — the same
+      // 128-bit path the __contrib product already uses; the quotient is
+      // <= (k1T+10)·100·S/1000, far inside int64 (ADVICE r5)
       .withColumn("__tfsat", expr(
-        s"(tf * ${(k1T + 10) * 100}L * __avgdlc * ${scale}L) div " +
-          s"(1000L * tf * __avgdlc + ${k1T * (100 - bH)}L * __avgdlc + ${100 * k1T * bH}L * __dl)"))
+        s"cast((cast(tf as decimal(38,0)) * ${(k1T + 10) * 100}L * __avgdlc * ${scale}L) div " +
+          s"(1000L * tf * __avgdlc + ${k1T * (100 - bH)}L * __avgdlc + ${100 * k1T * bH}L * __dl) as bigint)"))
       .withColumn("__contrib", expr(
         s"cast((cast(__idf as decimal(38,0)) * __tfsat) div ${scale}L as bigint)"))
       .groupBy(col(queryIdCol), col(idCol))

@@ -116,8 +116,20 @@ class GroupEmaNode(
       r => (0 until nKeys).map { i =>
         if (r.isNullAt(i)) "N" else { val v = r.get(i).toString; s"${v.length}:$v" }
       }.mkString("|"))(Encoders.STRING)
+    val nodeName = name
     val result = grouped.flatMapGroups { (_: String, it: Iterator[Row]) =>
-      val rows = it.toArray.sortBy(r => (r.getLong(nKeys), r.getLong(nKeys + 1)))
+      // NULL order/tie/value would survive the Long cast as null and
+      // getLong would unbox it to 0 — a null timestamp silently sorting
+      // first / seeding the EMA with 0 (ADVICE r5). Fail loudly instead;
+      // callers pre-filter or coalesce explicitly.
+      val raw = it.toArray
+      raw.foreach { r =>
+        if (r.isNullAt(nKeys) || r.isNullAt(nKeys + 1) || r.isNullAt(nKeys + 2))
+          throw new GraftException(
+            s"group_ema '$nodeName': null order/tie/value in group — a null would " +
+              "silently sort first and feed the EMA as 0; filter or coalesce upstream")
+      }
+      val rows = raw.sortBy(r => (r.getLong(nKeys), r.getLong(nKeys + 1)))
       var ema = 0L; var first = true
       rows.iterator.map { r =>
         val v = r.getLong(nKeys + 2)

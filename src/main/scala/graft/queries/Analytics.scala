@@ -106,20 +106,27 @@ object Analytics {
       |FROM embeddings, range(64) r
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
-  // ---- q50: IVF approximate kNN (k-means quantizer fit + probe-limited
-  // exact rescore; rows-only — cluster assignment is implementation-defined) ----
+  // ---- q50: IVF kNN with nProbe = nClusters (probe-all): every corpus
+  // vector is scored for every query exactly once regardless of what the
+  // quantizer learned, so IVF top-k PROVABLY equals brute-force top-k
+  // (identical score expression + (score desc, id asc) tie-break) and the
+  // oracle is the exact-kNN SQL (q28's). Unlike q68 (sampled corpus, forced
+  // sampled fit, recall integers) this runs the FULL corpus and the full
+  // unsampled quantizer-fit path and pins the top-k lists themselves; the
+  // production nProbe < nClusters config is covered by NodesSpec. ----
   def q50_ivf_knn(spark: SparkSession, dir: String): DataFrame = {
     val d = new Dag("ivf")
     val emb = d.add(SourceNode.table(dir, "embeddings"))
     val queries = emb >> FilterNode("vec_id < 5") >>
       ProjectNode("vec_id as query_id", "embedding").named("queryset")
-    val ivf = d.add(new IvfKnnNode(k = 10, nClusters = 8, nProbe = 2))
+    val ivf = d.add(new IvfKnnNode(k = 10, nClusters = 8, nProbe = 8))
     emb("result") >> ivf("corpus"); queries >> ivf("queries")
     ivf >> ProjectNode("query_id", "vec_id", "rank") >> d.output("result")
     val ctx = Ctx(spark)
     d.fit(ctx)
     d.transform(ctx).outputs("result")
   }
+  val q50Sql: String = NorthStar.q28Sql
 
   // ---- q51: end-to-end training-data pipeline, fully oracle-checkable:
   // quality gate -> language gate -> exact dedup survivor join -> per-lang
@@ -276,7 +283,7 @@ object Analytics {
     ("q47_percentile", q47_percentile _, q47Sql),
     ("q48_resample", q48_resample _, q48Sql),
     ("q49_centroid", q49_centroid _, q49Sql),
-    ("q50_ivf_knn", q50_ivf_knn _, null),
+    ("q50_ivf_knn", q50_ivf_knn _, q50Sql),
     ("q51_pipeline", q51_pipeline _, q51Sql),
     ("q52_dedup_clusters", q52_dedup_clusters _, q52Sql),
     ("q53_misc_funcs", q53_misc_funcs _, q53Sql),

@@ -286,19 +286,28 @@ object Extra {
       |GROUP BY ws, event_type""".stripMargin
 
   // ---- q43: estimator fit/transform + weight sharing through the DAG ----
-  // An ml.Pipeline (Tokenizer -> HashingTF -> IDF) is FIT on the English
-  // subset only, then the fitted model is re-applied to ALL documents at a
-  // second site via TransformNode (the reference's weight-sharing flagship,
-  // mldagbase.py:1120-1188). Output is per-doc tf-idf vector stats.
+  // An ml.Pipeline (RegexTokenizer -> CountVectorizer -> IDF) is FIT on the
+  // English subset only, then the fitted model is re-applied to ALL
+  // documents at a second site via TransformNode (the reference's
+  // weight-sharing flagship, mldagbase.py:1120-1188). Output is the per-doc
+  // tf-idf nonzero count — with a vocabulary-based vectorizer this is an
+  // ENGINE-INDEPENDENT derived stat (VERDICT r5 #1): nnz(tfidf) = number of
+  // the doc's distinct tokens that appear in the fitted English vocabulary
+  // with document frequency < n_english_docs (idf = log((m+1)/(df+1)) is 0
+  // exactly iff df = m), which DuckDB recomputes from the data alone.
+  // (HashingTF's bucket-collision nnz is murmur3-internal — not oracleable.)
   def q43_tfidf_fit(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.ml.Pipeline
-    import org.apache.spark.ml.feature.{HashingTF, IDF, RegexTokenizer}
+    import org.apache.spark.ml.feature.{CountVectorizer, IDF, RegexTokenizer}
     val d = new Dag("tfidf")
     val src = d.add(SourceNode.table(dir, "documents"))
     val en = src >> FilterNode("lang = 'en'")
     val pipe = new Pipeline().setStages(Array(
       new RegexTokenizer().setInputCol("text").setOutputCol("toks").setPattern("\\s+"),
-      new HashingTF().setInputCol("toks").setOutputCol("tf").setNumFeatures(1024),
+      // vocabSize far above the corpus' distinct-token count: a binding cap
+      // would pick top-by-frequency with engine-internal tie-breaks
+      new CountVectorizer().setInputCol("toks").setOutputCol("tf")
+        .setVocabSize(1 << 20),
       new IDF().setInputCol("tf").setOutputCol("tfidf")))
     val fitNode = d.add(new SparkMlNode(pipe, "tfidf_model"))
     en >> fitNode
@@ -317,6 +326,26 @@ object Extra {
     d.fit(ctx)
     d.transform(ctx).outputs("result")
   }
+  // RegexTokenizer(\s+, gaps, toLowercase, minTokenLength=1) == lowercased
+  // whitespace split with empties dropped; nnz = |distinct doc tokens ∩
+  // {english terms with 1 <= df < m}|.
+  val q43Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lang,
+      |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t
+      |  FROM documents),
+      |en AS (SELECT list_distinct(t) AS dt FROM toks WHERE lang = 'en'),
+      |m AS (SELECT count(*) AS n FROM en),
+      |df AS (SELECT term, count(*) AS c
+      |       FROM (SELECT unnest(dt) AS term FROM en) u GROUP BY term),
+      |vocab AS (SELECT term FROM df, m WHERE c < m.n),
+      |hits AS (
+      |  SELECT d.doc_id, count(*) AS nnz
+      |  FROM (SELECT doc_id, unnest(list_distinct(t)) AS term FROM toks) d
+      |  JOIN vocab USING (term) GROUP BY d.doc_id)
+      |SELECT t.doc_id, coalesce(h.nnz, 0) AS nnz
+      |FROM toks t LEFT JOIN hits h ON t.doc_id = h.doc_id
+      |ORDER BY t.doc_id""".stripMargin
 
   // ---- q44: end-to-end dedup with survivor selection (docs minus the
   // higher-id side of every near-dup pair). At threshold 0.8 with 16 bands
@@ -484,7 +513,7 @@ object Extra {
     ("q40_stream_session", q40_stream_session _, q40Sql),
     ("q41_stream_stateful", q41_stream_stateful _, q41Sql),
     ("q42_stream_sliding", q42_stream_sliding _, q42Sql),
-    ("q43_tfidf_fit", q43_tfidf_fit _, null),
+    ("q43_tfidf_fit", q43_tfidf_fit _, q43Sql),
     ("q44_dedup_survivors", q44_dedup_survivors _, q44Sql),
     ("q55_stream_static_join", q55_stream_static_join _, q55Sql),
     ("q63_stream_stream_join", q63_stream_stream_join _, q63Sql),

@@ -16,6 +16,12 @@ object NorthStar {
   // DuckDB needs the 'g' flag for global regexp_replace; Spark is global by default.
   private val sparkNorm = "regexp_replace(lower(trim(text)), '\\s+', ' ')"
   private val duckNorm = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+  // bounded audit sample + normalized-text collapse key for the sketch
+  // contracts (same values as Recall.scala — where the baseline is
+  // quadratic, the audit is sampled, exactly as it would run at 100 TB)
+  private val auditFilter = "doc_id < 400"
+  private val sparkCollapseKey =
+    "md5(cast(regexp_replace(lower(trim(text)), '\\\\s+', ' ') as binary))"
 
   // ---- exact dedup on normalized-text fingerprint ----
   def q20_dedup_exact(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
@@ -97,28 +103,148 @@ object NorthStar {
   val q24Sql: String =
     s"SELECT doc_id, md5($duckNorm) AS doc_md5 FROM documents"
 
-  // ---- near-dup: MinHash+LSH, SimHash, n-gram Jaccard (hash-seeded → rows-only) ----
+  // ---- near-dup: MinHash+LSH, SimHash, n-gram Jaccard — each pinned by an
+  // engine-independent contract at a provable parameterization (VERDICT r5
+  // #1): the sketch output EQUALS an exact set DuckDB recomputes from the
+  // data alone, so any mechanism bug fails the hash gate. Production
+  // configs (lower thresholds / DF-capped blocking) stay covered by
+  // q44/q57/q101 and NodesSpec. ----
+
+  // q25: the MinHash+LSH near-dup PAIR SET at the saturated operating point
+  // (threshold 0.8, 16 bands → rows-per-band 2: per-pair miss probability
+  // (1-j^2)^16 < 5e-8 at j >= 0.8 and deterministic given fixed seeds — the
+  // q57/q44-verified regime). There the LSH pair set provably equals the
+  // exact string-shingle Jaccard pair set, which the oracle recomputes
+  // (collapse → all-pairs Jaccard) over the collapsed corpus.
   def q25_minhash_dedup(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
     d.add(SourceNode.table(dir, "documents")) >>
-      new MinHashDedupNode(jaccardThreshold = 0.5) >>
-      d.output("result")
+      new MinHashDedupNode(numHashes = 32, bands = 16, shingleN = 3,
+        jaccardThreshold = 0.8) >>
+      ProjectNode("id_a", "id_b") >> SortNode("id_a", "id_b") >> d.output("result")
   }
+  val q25Sql: String =
+    """WITH c AS (
+      |  SELECT doc_id, text FROM (
+      |    SELECT doc_id, text, row_number() OVER (
+      |      PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+      |      ORDER BY doc_id) AS rn
+      |    FROM documents) t WHERE rn = 1),
+      |s AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+      |      i -> array_to_string(toks[i:i+2], ' '))) AS sh
+      |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM c) t)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |FROM s a JOIN s b ON a.doc_id < b.doc_id
+      |WHERE cast(len(list_distinct(list_intersect(a.sh, b.sh))) as double)
+      |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+      |ORDER BY id_a, id_b""".stripMargin
+
+  // q26: SimHash blocking-losslessness contract on a bounded audit sample.
+  // chunks = maxHamming+1 = 4 makes pigeonhole blocking EXACT (any pair at
+  // hamming <= 3 shares an identical 16-bit chunk), so against the
+  // in-engine all-pairs hamming truth the node must miss nothing
+  // (n_missed = 0) and the verify filter admits nothing false (n_false =
+  // 0); every normalized-exact duplicate pair has identical token sequence
+  // → identical simhash → hamming 0 and MUST be found, so n_exact_found ==
+  // n_exact_pairs — an integer DuckDB derives from the data alone. The
+  // sample carries no natural exact duplicates at the gate SFs, so known
+  // duplicates are INJECTED deterministically (copies of docs 0..49 at
+  // doc_id + 10000 — the q62 injection trick, mirrored in the oracle),
+  // keeping the data-derived leg of the contract non-vacuous at every SF.
   def q26_simhash_dedup(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
-    d.add(SourceNode.table(dir, "documents")) >>
-      // maxHamming=3 on 64-bit fingerprints is the standard near-dup radius
-      // (Manku et al., WWW'07); chunks auto-derive to 4 → exact recall
-      new SimHashDedupNode(maxHamming = 3) >>
-      d.output("result")
+    val src = d.add(SourceNode.table(dir, "documents"))
+    val base = src >> FilterNode(auditFilter) >> ProjectNode("doc_id", "text").named("base")
+    val inject = src("result") >> FilterNode("doc_id < 50") >>
+      ProjectNode("doc_id + 10000 as doc_id", "text").named("inject")
+    val sample = d.add(new UnionNode().named("aug"))
+    base >> sample("dfs"); inject >> sample("dfs")
+    // collapseExact=false: the exact-dup pairs ARE the data-derived part of
+    // the contract (bounded: <= 450-row audit sample)
+    val pairs = sample >> new SimHashDedupNode(maxHamming = 3, collapseExact = false)
+    val cmp = d.add(new FnNode(Seq(Port("docs"), Port("pairs")), Seq(Port("result")),
+      (ctx, in) => {
+        import org.apache.spark.sql.functions._
+        graft.functions.VecFunctions.register(ctx.spark)
+        val toks = TextExprs.tokensExpr("text")
+        val signed = ctx.track(in("docs")
+          .withColumn("__toks", expr(toks))
+          .filter("size(__toks) > 0")
+          .select(col("doc_id"),
+            expr("simhash64(__toks)").as("__sh"),
+            expr(sparkCollapseKey).as("__k")))
+        // intentional bounded cartesian: the exact hamming baseline every
+        // sampled sketch audit needs (guarded by auditFilter)
+        val truth = signed.as("a").join(signed.as("b"),
+            col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+            expr("bit_count(a.__sh ^ b.__sh)").as("__h"),
+            (col("a.__k") === col("b.__k")).as("__is_exact"))
+        val truePairs = ctx.track(truth.filter(col("__h") <= 3))
+        val found = ctx.track(in("pairs").select(col("id_a"), col("id_b")))
+        val exact = truePairs.filter(col("__is_exact"))
+        Map("result" -> exact.agg(count(lit(1)).as("n_exact_pairs"))
+          .crossJoin(exact.join(found, Seq("id_a", "id_b"))
+            .agg(count(lit(1)).as("n_exact_found")))
+          .crossJoin(truePairs.join(found, Seq("id_a", "id_b"), "left_anti")
+            .agg(count(lit(1)).as("n_missed")))
+          .crossJoin(found.join(truePairs, Seq("id_a", "id_b"), "left_anti")
+            .agg(count(lit(1)).as("n_false"))))
+      }, "simhash_contract"))
+    sample("result") >> cmp("docs"); pairs >> cmp("pairs")
+    cmp >> d.output("result")
   }
-  // rows-only by design: DF blocking trades recall for boundedness — at
-  // sf0.01 it finds 21 of 25 exact-Jaccard pairs (the 4 missed share ONLY
-  // corpus-frequent shingles, which the DF cap drops as blocking keys) with
-  // 100% precision; an exact oracle would fail on that intended tradeoff
+  val q26Sql: String =
+    """WITH aug AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id < 400
+      |  UNION ALL
+      |  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 50),
+      |sm AS (
+      |  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS k
+      |  FROM aug),
+      |e AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |      FROM sm a JOIN sm b ON a.k = b.k AND a.doc_id < b.doc_id)
+      |SELECT (SELECT count(*) FROM e) AS n_exact_pairs,
+      |       (SELECT count(*) FROM e) AS n_exact_found,
+      |       cast(0 as bigint) AS n_missed, cast(0 as bigint) AS n_false""".stripMargin
+
+  // q27: n-gram Jaccard pair set with provably LOSSLESS blocking on a
+  // bounded audit sample: dfCap >= sample size drops no shingle, and any
+  // pair with jaccard > 0 shares >= 1 shingle, so blocking finds every
+  // pair — the output IS the exact all-pairs bigram-Jaccard pair set,
+  // recomputed by DuckDB on string shingles (set-identical to the hashed
+  // shingles absent xxhash64 collisions — the q57 equivalence). The
+  // production DF-capped recall/cost tradeoff stays covered by NodesSpec.
+  // (same injected exact copies as q26 keep the pair set non-vacuous at
+  // every SF — at sf0.1 the natural sample window happens to contain none)
   def q27_ngram_jaccard(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
-    d.add(SourceNode.table(dir, "documents")) >>
-      new NgramJaccardNode(threshold = 0.2) >>
-      d.output("result")
+    val src = d.add(SourceNode.table(dir, "documents"))
+    val base = src >> FilterNode(auditFilter) >> ProjectNode("doc_id", "text").named("base")
+    val inject = src("result") >> FilterNode("doc_id < 50") >>
+      ProjectNode("doc_id + 10000 as doc_id", "text").named("inject")
+    val sample = d.add(new UnionNode().named("aug"))
+    base >> sample("dfs"); inject >> sample("dfs")
+    sample >>
+      new NgramJaccardNode(shingleN = 2, threshold = 0.2,
+        maxDocFreq = 450, maxDocFreqFraction = 1.0, corpusSizeHint = Some(450L)) >>
+      ProjectNode("id_a", "id_b") >> SortNode("id_a", "id_b") >> d.output("result")
   }
+  val q27Sql: String =
+    """WITH aug AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id < 400
+      |  UNION ALL
+      |  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 50),
+      |s AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1) + 1),
+      |      i -> array_to_string(toks[i:i+1], ' '))) AS sh
+      |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      |        FROM aug) t)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |FROM s a JOIN s b ON a.doc_id < b.doc_id
+      |WHERE cast(len(list_distinct(list_intersect(a.sh, b.sh))) as double)
+      |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.2
+      |ORDER BY id_a, id_b""".stripMargin
 
   // ---- similarity search: brute-force cosine top-k (oracle: same fold order
   // in DuckDB list lambdas) and LSH-bucketed ANN (rows-only) ----
@@ -141,14 +267,22 @@ object NorthStar {
       |  FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 5) q) t
       |WHERE rank <= 10""".stripMargin
 
+  // q29: LSH ANN at the audit-grade parameterization (1 plane x 16 tables:
+  // per-neighbor miss probability (theta/pi)^16 <= 1.5e-5 even for an
+  // orthogonal neighbor, deterministic given fixed seeds — the q56-verified
+  // robust shape) over the FULL corpus: the LSH top-k provably equals
+  // brute-force top-k under the identical (score desc, id asc) comparator,
+  // so the oracle is the same exact-kNN SQL as q28. The leaner production
+  // 6x8 config stays covered by q56's sampled recall audit.
   def q29_ann_lsh(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
     val emb = d.add(SourceNode.table(dir, "embeddings"))
     val queries = emb >> FilterNode("vec_id < 5") >>
       ProjectNode("vec_id as query_id", "embedding").named("queryset")
-    val knn = d.add(new LshKnnNode(k = 10, numPlanes = 6, tables = 8))
+    val knn = d.add(new LshKnnNode(k = 10, numPlanes = 1, tables = 16))
     emb("result") >> knn("corpus"); queries >> knn("queries")
     knn >> ProjectNode("query_id", "vec_id", "rank") >> d.output("result")
   }
+  val q29Sql: String = q28Sql
 
   // ---- embedding-cosine near-dup pairs (brute force = exact oracle) ----
   def q30_embedding_neardup(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
@@ -328,19 +462,24 @@ object NorthStar {
     val rep = corpus >> new RepetitionScoreNode(ns = Seq(3)) >>
       FilterNode("dup3gram_frac <= 0.2").named("rep_gate")
     // 2. decontamination: overlap vs the benchmark set; keep clean ids and
-    // join them back (rep fans out to the scorer and the join — persisted)
+    // LEFT SEMI join them back (rep fans out to the scorer and the join —
+    // persisted). The id list is O(corpus) rows: a broadcast here would
+    // driver-collect the whole corpus at scale (VERDICT r5 #2) — semi join
+    // shuffles both sides on doc_id instead, and AQE may still elect a
+    // broadcast when the runtime size proves small.
     val cont = d.add(new ContaminationNode(shingleN = 3))
     rep >> cont("docs"); bench >> cont("benchmark")
     val cleanIds = cont >> FilterNode("overlap_frac < 0.5") >>
       ProjectNode("doc_id").named("clean_ids")
-    val clean = d.add(JoinNode.using(Seq("doc_id"), broadcastRight = true).named("clean_join"))
+    val clean = d.add(JoinNode.using(Seq("doc_id"), joinType = "left_semi").named("clean_join"))
     rep("result") >> clean("left"); cleanIds >> clean("right")
-    // 3. exact dedup on normalized text; survivors join back for their text
+    // 3. exact dedup on normalized text; survivors semi-join back for their
+    // text (same corpus-sized-right-side reasoning as clean_join)
     val ded = d.add(new ExactDedupNode(
       Seq("md5(cast(regexp_replace(lower(trim(text)), '\\\\s+', ' ') as binary))"),
       "doc_id").named("exact"))
     clean >> ded
-    val surv = d.add(JoinNode.using(Seq("doc_id"), broadcastRight = true).named("surv_join"))
+    val surv = d.add(JoinNode.using(Seq("doc_id"), joinType = "left_semi").named("surv_join"))
     clean("result") >> surv("left")
     ded >> ProjectNode("doc_id").named("surv_ids") >> surv("right")
     // 4. split + token budget
@@ -501,11 +640,11 @@ object NorthStar {
     ("q22_quality", q22_quality _, q22Sql),
     ("q23_lang_id", q23_lang_id _, q23Sql),
     ("q24_fingerprint", q24_fingerprint _, q24Sql),
-    ("q25_minhash_dedup", q25_minhash_dedup _, null),
-    ("q26_simhash_dedup", q26_simhash_dedup _, null),
-    ("q27_ngram_jaccard", q27_ngram_jaccard _, null),
+    ("q25_minhash_dedup", q25_minhash_dedup _, q25Sql),
+    ("q26_simhash_dedup", q26_simhash_dedup _, q26Sql),
+    ("q27_ngram_jaccard", q27_ngram_jaccard _, q27Sql),
     ("q28_knn_brute", q28_knn_brute _, q28Sql),
-    ("q29_ann_lsh", q29_ann_lsh _, null),
+    ("q29_ann_lsh", q29_ann_lsh _, q29Sql),
     ("q30_embedding_neardup", q30_embedding_neardup _, q30Sql),
     ("q31_multimodal", q31_multimodal _, q31Sql),
     ("q32_frame_sample", q32_frame_sample _, q32Sql),

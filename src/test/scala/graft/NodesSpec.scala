@@ -111,6 +111,21 @@ class NodesSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("NgramJaccardNode: lossless blocking finds pairs; DF cap drops frequent-shingle pairs") {
+    def pairsWith(frac: Double): Set[(Long, Long)] = runOne { d =>
+      d.add(srcNode(longDocs)) >> new NgramJaccardNode(shingleN = 2, threshold = 0.5,
+        maxDocFreq = 1, maxDocFreqFraction = frac, corpusSizeHint = Some(4L)) >>
+        d.output("result")
+    }.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // dfCap = 4 = N: no shingle dropped, blocking lossless — all three pairs
+    // of the {1,2,3} near-dup family surface
+    assert(pairsWith(1.0) == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    // dfCap = 1: every shared shingle exceeds the cap, so blocking keys
+    // vanish and no candidate pairs form — the production recall/cost
+    // tradeoff the cap exists for (q27 runs the lossless configuration)
+    assert(pairsWith(0.25) == Set.empty)
+  }
+
   test("BruteForceKnnNode: rank 1 is the vector itself (cosine 1.0)") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
@@ -1058,6 +1073,26 @@ class NodesSpec extends AnyFunSuite {
     assert(err.getMessage.contains("must match base columns"))
   }
 
+  test("MergeNode: duplicate update keys fail loudly; last_wins dedups by orderCol") {
+    val base = Seq((1L, "a", 0L)).toDF("k", "v", "ver")
+    val dupUpdates = Seq((2L, "B1", 1L), (2L, "B2", 2L)).toDF("k", "v", "ver")
+    def merged(m: MergeNode): Map[Long, String] = runOne { d =>
+      val b = d.add(srcNode(base, "b")); val u = d.add(srcNode(dupUpdates, "u"))
+      val mm = d.add(m)
+      b >> mm("base"); u >> mm("updates")
+      mm >> d.output("result")
+    }.select("k", "v").as[(Long, String)].collect().toMap
+    // default: the one-row-per-key invariant is enforced at execution time
+    val err = intercept[Exception](merged(new MergeNode(Seq("k"))))
+    assert(err.getMessage.contains("duplicate non-tombstone update keys")
+      || Option(err.getCause).exists(_.getMessage.contains("duplicate non-tombstone update keys")))
+    // documented recency dedup: highest orderCol per key survives
+    assert(merged(new MergeNode(Seq("k"), onDuplicate = "last_wins",
+      orderCol = Some("ver"))) == Map(1L -> "a", 2L -> "B2"))
+    // misconfiguration caught at construction
+    intercept[IllegalArgumentException](new MergeNode(Seq("k"), onDuplicate = "last_wins"))
+  }
+
   test("SnapshotDiffNode: added/removed/changed/unchanged with null-safe compare") {
     val oldDf = Seq((1L, Some("a")), (2L, Some("b")), (3L, Some("c")), (5L, None: Option[String]))
       .toDF("k", "v")
@@ -1304,6 +1339,24 @@ class NodesSpec extends AnyFunSuite {
     assert(hist(clamp = false) == Seq((0L, 2L), (1L, 1L), (2L, 1L), (3L, 1L)))
   }
 
+  test("HistogramNode: nulls counted into n_null so totals reconcile (grouped and global)") {
+    val df = Seq(("a", Some(1.0)), ("a", None), ("a", None), ("b", Some(5.0)))
+      .toDF("g", "v")
+    val grouped = runOne { d =>
+      d.add(srcNode(df)) >> new HistogramNode("v", 0.0, 10.0, 2, groupCols = Seq("g")) >>
+        d.output("result")
+    }.select("g", "bin", "n", "n_null").as[(String, Long, Long, Long)].collect()
+    // per group: sum(n) + n_null == input rows of that group
+    assert(grouped.filter(_._1 == "a").map(_._3).sum == 1
+      && grouped.filter(_._1 == "a").forall(_._4 == 2))
+    assert(grouped.filter(_._1 == "b").map(_._3).sum == 1
+      && grouped.filter(_._1 == "b").forall(_._4 == 0))
+    val global = runOne { d =>
+      d.add(srcNode(df)) >> new HistogramNode("v", 0.0, 10.0, 2) >> d.output("result")
+    }.select("n", "n_null").as[(Long, Long)].collect()
+    assert(global.map(_._1).sum == 2 && global.forall(_._2 == 2))
+  }
+
   test("MergeIntervalsNode: overlap and touch merge, gaps split, containment absorbed") {
     def ts(s: String) = s"2024-01-01 $s"
     val iv = Seq(
@@ -1391,6 +1444,20 @@ class NodesSpec extends AnyFunSuite {
     // k=3: first (tie 1) v=0 -> 0; then (20*100+0)/100 = 20
     assert(out == Seq((1L, 1L, 100L), (1L, 2L, 120L), (1L, 3L, 76L),
       (2L, 1L, 50L), (3L, 1L, 0L), (3L, 2L, 20L)))
+  }
+
+  test("GroupEmaNode: null order/tie/value fails loudly instead of sorting first as 0") {
+    val rows = Seq((1L, Some(1L), Some(10L), Some(100L)), (1L, Some(2L), None, Some(200L)))
+      .toDF("k", "tie", "o", "v")
+    val err = intercept[Exception] {
+      runOne { d =>
+        d.add(srcNode(rows)) >> new GroupEmaNode(Seq("k"), "o", "tie", "v") >>
+          d.output("result")
+      }.collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+    assert(msgs(err).exists(m => m != null && m.contains("null order/tie/value")))
   }
 }
 
