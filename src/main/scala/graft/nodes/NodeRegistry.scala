@@ -124,10 +124,16 @@ object NodeRegistry {
       p.int("numPlanes"), p.int("tables"), p.str("idCol"), p.str("vecCol"), p.bool("bruteForce"),
       p.m.get("maxBruteRows").map(_.toString.toLong).getOrElse(200000L)))
     register("binary_payload")(p => new BinaryPayloadNode(p.str("srcCol"), p.str("outCol")))
-    register("decode_image")(p => new DecodeImageStubNode(p.str("payloadCol")))
-    register("resize_image")(p => new ResizeImageStubNode(p.int("targetW"), p.int("targetH")))
+    register("decode_image")(p => new DecodeImageNode(p.str("payloadCol"),
+      p.strOpt("prefix").getOrElse("image")))
+    register("resize_image")(p => new ResizeImageNode(p.int("targetW"), p.int("targetH"),
+      p.strOpt("payloadCol").getOrElse("payload"), p.strOpt("outCol").getOrElse("resized")))
+    register("synthetic_image")(p => new SyntheticImageNode(p.str("wExpr"), p.str("hExpr"),
+      p.str("seedExpr"), p.str("outCol")))
+    register("synthetic_audio")(p => new SyntheticAudioNode(p.str("nSamplesExpr"),
+      p.str("seedExpr"), p.int("sampleRate"), p.str("outCol")))
     register("frame_sample")(p => new FrameSampleStubNode(p.int("stride"), p.int("maxFrames"), p.str("payloadCol")))
-    register("audio_chunk")(p => new AudioChunkStubNode(p.str("payloadCol"), p.int("chunkMs"), p.int("maxChunks")))
+    register("audio_chunk")(p => new AudioChunkNode(p.str("payloadCol"), p.int("chunkMs"), p.int("maxChunks")))
     register("register_udafs")(p => new RegisterUdafsNode(p.strs("names")))
     register("explode")(p => new ExplodeNode(p.str("arrayExpr"), p.strs("outCols"), p.strs("keep")))
     register("stream_source")(p => new StreamSourceNode(p.str("path"), p.str("format"), p.strs("nanosTsCols"),

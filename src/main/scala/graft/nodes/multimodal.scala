@@ -7,15 +7,26 @@ import org.apache.spark.sql.functions.{col, expr}
 import org.apache.spark.sql.types._
 
 /** Multimodal-column nodes (north-star scope): image/audio/video payloads are
-  * opaque `BinaryType` columns with typed metadata structs. The Spark-side
-  * plumbing — schema, batch iteration via mapPartitions, partition sizing —
-  * is real; the codec itself is STUBBED with a deterministic fake (image/audio
-  * libraries are not in this container). Swap `decodeStub` for a real codec
-  * (JNI/onnx) without touching the plan shape.
+  * opaque `BinaryType` columns with typed metadata structs.
+  *
+  * The image path is a REAL codec: `javax.imageio` PNG encode/decode (zlib
+  * deflate, filtering, the whole format) with pixel statistics computed from
+  * the decoded raster; resize is an actual nearest-neighbor resample over
+  * decoded pixels, re-encoded to PNG. The audio path parses real RIFF/WAVE
+  * headers (chunk walk, PCM16 format fields) and computes per-chunk sample
+  * statistics from the decoded PCM stream. Because the testdata parquet has
+  * no real media blobs, `SyntheticImageNode`/`SyntheticAudioNode` synthesize
+  * deterministic payloads in-query — real PNG/WAV bytes, so the decode side
+  * exercises the same code path production blobs would, and the pixel/sample
+  * formulas are engine-independent integer arithmetic the DuckDB oracle
+  * recomputes from the data alone (q31/q54). Only video remains a stub
+  * (`FrameSampleStubNode`) — no container parser is worth hand-rolling.
   *
   * Scale notes: binary payloads dominate partition size — pair these nodes
   * with maxPartitionBytes tuning so a partition of blobs fits executor
-  * memory; the transforms themselves are narrow (zero shuffle).
+  * memory; every transform here is narrow (zero shuffle). Codecs run inside
+  * mapPartitions so per-batch init (ImageIO cache off, reusable buffers)
+  * amortizes, the reason these are not per-row UDFs.
   */
 object MultimodalSchemas {
   val imageMeta: StructType = StructType(Seq(
@@ -23,6 +34,16 @@ object MultimodalSchemas {
     StructField("height", IntegerType, nullable = false),
     StructField("channels", IntegerType, nullable = false),
     StructField("format", StringType, nullable = false)))
+
+  /** Deterministic synthetic pixel (non-negative int arithmetic — mirrored
+    * by the q31 oracle SQL): channel values of pixel (x, y) under seed s.
+    */
+  @inline def pxR(x: Int, y: Int, s: Int): Int = (x * 31 + y * 17 + s) % 256
+  @inline def pxG(x: Int, y: Int, s: Int): Int = (x * 7 + y * 13 + 3 * s) % 256
+  @inline def pxB(x: Int, y: Int, s: Int): Int = (x + y + 7 * s) % 256
+
+  /** Deterministic synthetic PCM16 sample i under seed s (q54 oracle). */
+  @inline def pcm(i: Int, s: Int): Int = (s * 31 + i * 7919) % 65536 - 32768
 }
 
 /** Attach a binary payload column derived from an existing column (testdata
@@ -39,39 +60,104 @@ class BinaryPayloadNode(val srcCol: String, val outCol: String = "payload") exte
     Map("result" -> in("df").withColumn(outCol, expr(s"cast($srcCol as binary)")))
 }
 
-/** Decode stub: binary -> image metadata struct + a small feature vector.
-  * Deterministic fake derived from the payload bytes, so tests are exact.
-  * Structure mirrors a real decoder: mapPartitions over rows, per-partition
-  * "codec init" amortized across the batch (the reason this is mapPartitions
-  * and not a per-row UDF).
+/** Deterministic in-query PNG synthesis: per row, render a `wExpr` x `hExpr`
+  * RGB image whose pixel (x, y) is the fixed integer formula in
+  * [[MultimodalSchemas]] under `seedExpr`, and encode it with the REAL
+  * `javax.imageio` PNG writer. Downstream decoders therefore exercise a
+  * genuine compressed image format while every decoded pixel stays
+  * predictable cross-engine. Narrow mapPartitions; payload size is bounded
+  * by the expression-supplied dimensions.
   */
-class DecodeImageStubNode(val payloadCol: String = "payload") extends Node {
+class SyntheticImageNode(
+    val wExpr: String,
+    val hExpr: String,
+    val seedExpr: String,
+    val outCol: String = "payload")
+  extends Node {
+  override protected def defaultName: String = "synthetic_image"
+  val inputs = Seq(Port("df"))
+  val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("synthetic_image")
+  override def jsonParams: Map[String, Any] =
+    Map("wExpr" -> wExpr, "hExpr" -> hExpr, "seedExpr" -> seedExpr, "outCol" -> outCol)
+  override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
+    val prepped = in("df")
+      .withColumn("__w", expr(wExpr).cast(IntegerType))
+      .withColumn("__h", expr(hExpr).cast(IntegerType))
+      .withColumn("__s", expr(seedExpr).cast(IntegerType))
+    val base = prepped.schema.fields.dropRight(3)
+    val outSchema = StructType(base :+ StructField(outCol, BinaryType, nullable = true))
+    val nBase = base.length
+    val out = prepped.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false) // per-partition codec init
+      rows.map { row =>
+        val (w, h, s) = (row.getInt(nBase), row.getInt(nBase + 1), row.getInt(nBase + 2))
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            import MultimodalSchemas.{pxB, pxG, pxR}
+            img.setRGB(x, y, (pxR(x, y, s) << 16) | (pxG(x, y, s) << 8) | pxB(x, y, s))
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream(w * h / 2 + 128)
+        javax.imageio.ImageIO.write(img, "png", bos)
+        Row.fromSeq(row.toSeq.take(nBase) :+ bos.toByteArray)
+      }
+    }(RowEncoder.encoderFor(outSchema))
+    Map("result" -> out.toDF())
+  }
+}
+
+/** REAL image decode: `javax.imageio` reads the payload (PNG/JPEG/GIF/BMP —
+  * whatever readers the JVM registers), emits a metadata struct and the
+  * per-channel pixel sums from the decoded raster. Undecodable/null payloads
+  * yield null columns (kept, not dropped — the corrupt-blob audit signal).
+  * `prefix` namespaces the output columns so the node can run twice in one
+  * pipeline (e.g. before and after a resize).
+  */
+class DecodeImageNode(val payloadCol: String = "payload", val prefix: String = "image")
+  extends Node {
   override protected def defaultName: String = "decode_image"
   val inputs = Seq(Port("df"))
   val outputs = Seq(Port("result"))
   override def jsonKind: Option[String] = Some("decode_image")
-  override def jsonParams: Map[String, Any] = Map("payloadCol" -> payloadCol)
+  override def jsonParams: Map[String, Any] =
+    Map("payloadCol" -> payloadCol, "prefix" -> prefix)
   override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
     val df = in("df")
     val outSchema = StructType(df.schema.fields ++ Seq(
-      StructField("image_meta", MultimodalSchemas.imageMeta, nullable = true),
-      StructField("features", ArrayType(FloatType, containsNull = false), nullable = true)))
+      StructField(s"${prefix}_meta", MultimodalSchemas.imageMeta, nullable = true),
+      StructField(s"${prefix}_sums", ArrayType(LongType, containsNull = false), nullable = true)))
     val payloadIdx = df.schema.fieldIndex(payloadCol)
     val out = df.mapPartitions { rows =>
-      // per-partition codec init would go here (amortized once per batch)
+      javax.imageio.ImageIO.setUseCache(false)
       rows.map { row =>
         val bytes = row.getAs[Array[Byte]](payloadIdx)
-        if (bytes == null) Row.fromSeq(row.toSeq ++ Seq(null, null))
+        val img =
+          if (bytes == null) null
+          else javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        if (img == null) Row.fromSeq(row.toSeq ++ Seq(null, null))
         else {
-          // ??? real codec goes here; deterministic fake below. The fake is a
-          // pure function of the payload BYTE LENGTH (not a JVM hashCode) so
-          // the whole pipeline stays oracle-checkable cross-engine — the
-          // plumbing (mapPartitions batching, schema, null handling) is what
-          // a real codec swap preserves.
-          val h = bytes.length
-          val meta = Row(64 + h % 512, 64 + (h / 512) % 512, 3, "fake/rgb")
-          val feats = (0 until 8).map(i => ((h.toLong * (i + 1)) % 1000) / 1000.0f).toArray
-          Row.fromSeq(row.toSeq ++ Seq(meta, feats))
+          val (w, h) = (img.getWidth, img.getHeight)
+          val fmt = DecodeImageNode.sniffFormat(bytes)
+          val meta = Row(w, h, img.getColorModel.getNumComponents, fmt)
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              sr += (rgb >> 16) & 0xFF; sg += (rgb >> 8) & 0xFF; sb += rgb & 0xFF
+              x += 1
+            }
+            y += 1
+          }
+          Row.fromSeq(row.toSeq ++ Seq(meta, Array(sr, sg, sb)))
         }
       }
     }(RowEncoder.encoderFor(outSchema))
@@ -79,30 +165,144 @@ class DecodeImageStubNode(val payloadCol: String = "payload") extends Node {
   }
 }
 
-/** Resize stub: consumes the decoded metadata, emits target-size metadata.
-  * Narrow map via builtin expressions over the struct (a real resize would be
-  * another mapPartitions over the payload).
+object DecodeImageNode {
+  /** Container format from magic bytes (metadata only — decode itself is
+    * whatever reader ImageIO picked). */
+  def sniffFormat(b: Array[Byte]): String =
+    if (b.length >= 8 && (b(0) & 0xFF) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') "png"
+    else if (b.length >= 2 && (b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8) "jpeg"
+    else if (b.length >= 3 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F') "gif"
+    else if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') "bmp"
+    else "unknown"
+}
+
+/** REAL image resize: decode the payload, nearest-neighbor resample to
+  * `targetW` x `targetH` — target pixel (x, y) takes source pixel
+  * (x*sw div tw, y*sh div th), the floor mapping, fully specified so the
+  * resampled raster is engine-independently predictable — and re-encode to
+  * PNG in `outCol` (+ `<outCol>_meta`). The resample loop is ours rather
+  * than Graphics2D.drawImage because drawImage's interpolation rounding is
+  * implementation-defined — unacceptable for a reproducible pipeline.
   */
-class ResizeImageStubNode(val targetW: Int, val targetH: Int) extends Node {
+class ResizeImageNode(
+    val targetW: Int,
+    val targetH: Int,
+    val payloadCol: String = "payload",
+    val outCol: String = "resized")
+  extends Node {
+  require(targetW > 0 && targetH > 0, "target dimensions must be positive")
   override protected def defaultName: String = "resize_image"
   val inputs = Seq(Port("df"))
   val outputs = Seq(Port("result"))
   override def jsonKind: Option[String] = Some("resize_image")
-  override def jsonParams: Map[String, Any] = Map("targetW" -> targetW, "targetH" -> targetH)
-  override def transform(ctx: Ctx, in: In): Map[String, DataFrame] =
-    Map("result" -> in("df").withColumn("resized_meta",
-      expr(s"named_struct('width', $targetW, 'height', $targetH, " +
-        "'channels', image_meta.channels, 'format', image_meta.format)")))
+  override def jsonParams: Map[String, Any] =
+    Map("targetW" -> targetW, "targetH" -> targetH, "payloadCol" -> payloadCol, "outCol" -> outCol)
+  override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
+    val df = in("df")
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField(outCol, BinaryType, nullable = true),
+      StructField(s"${outCol}_meta", MultimodalSchemas.imageMeta, nullable = true)))
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    val (tw, th) = (targetW, targetH)
+    val out = df.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { row =>
+        val bytes = row.getAs[Array[Byte]](payloadIdx)
+        val img =
+          if (bytes == null) null
+          else javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        if (img == null) Row.fromSeq(row.toSeq ++ Seq(null, null))
+        else {
+          val (sw, sh) = (img.getWidth, img.getHeight)
+          val dst = new java.awt.image.BufferedImage(tw, th,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < th) {
+            val sy = y * sh / th
+            var x = 0
+            while (x < tw) {
+              dst.setRGB(x, y, img.getRGB(x * sw / tw, sy) & 0xFFFFFF)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream(tw * th / 2 + 128)
+          javax.imageio.ImageIO.write(dst, "png", bos)
+          val meta = Row(tw, th, img.getColorModel.getNumComponents, "png")
+          Row.fromSeq(row.toSeq ++ Seq(bos.toByteArray, meta))
+        }
+      }
+    }(RowEncoder.encoderFor(outSchema))
+    Map("result" -> out.toDF())
+  }
 }
 
-/** Audio-chunk stub: binary payload → fixed-duration chunk rows with a small
-  * deterministic feature vector per chunk (the MFCC-shaped contract). Same
-  * mapPartitions batch structure a real audio codec needs (decoder init per
-  * partition, frame loop per row); the codec itself is a `???`-equivalent
-  * deterministic fake derived from the payload bytes.
+/** Deterministic in-query WAV synthesis: a REAL RIFF/WAVE container (44-byte
+  * canonical header, PCM16 mono little-endian) whose sample i is the fixed
+  * integer formula in [[MultimodalSchemas]] under `seedExpr` — decoders
+  * exercise genuine WAV header parsing while every sample stays predictable
+  * cross-engine.
   */
-class AudioChunkStubNode(payloadCol: String = "payload", chunkMs: Int = 1000, maxChunks: Int = 8)
+class SyntheticAudioNode(
+    val nSamplesExpr: String,
+    val seedExpr: String,
+    val sampleRate: Int = 1000,
+    val outCol: String = "payload")
   extends Node {
+  require(sampleRate > 0, "sampleRate must be positive")
+  override protected def defaultName: String = "synthetic_audio"
+  val inputs = Seq(Port("df"))
+  val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("synthetic_audio")
+  override def jsonParams: Map[String, Any] = Map("nSamplesExpr" -> nSamplesExpr,
+    "seedExpr" -> seedExpr, "sampleRate" -> sampleRate, "outCol" -> outCol)
+  override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
+    val prepped = in("df")
+      .withColumn("__n", expr(nSamplesExpr).cast(IntegerType))
+      .withColumn("__s", expr(seedExpr).cast(IntegerType))
+    val base = prepped.schema.fields.dropRight(2)
+    val outSchema = StructType(base :+ StructField(outCol, BinaryType, nullable = true))
+    val nBase = base.length
+    val rate = sampleRate
+    val out = prepped.mapPartitions { rows =>
+      rows.map { row =>
+        val (n, s) = (row.getInt(nBase), row.getInt(nBase + 1))
+        val dataBytes = n * 2
+        val buf = java.nio.ByteBuffer.allocate(44 + dataBytes)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataBytes)
+          .put("WAVE".getBytes("US-ASCII"))
+        buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+          .putShort(1.toShort)       // PCM
+          .putShort(1.toShort)       // mono
+          .putInt(rate)              // sample rate
+          .putInt(rate * 2)          // byte rate
+          .putShort(2.toShort)       // block align
+          .putShort(16.toShort)      // bits per sample
+        buf.put("data".getBytes("US-ASCII")).putInt(dataBytes)
+        var i = 0
+        while (i < n) { buf.putShort(MultimodalSchemas.pcm(i, s).toShort); i += 1 }
+        Row.fromSeq(row.toSeq.take(nBase) :+ buf.array())
+      }
+    }(RowEncoder.encoderFor(outSchema))
+    Map("result" -> out.toDF())
+  }
+}
+
+/** REAL audio chunking: walks the RIFF chunk list of the WAV payload (any
+  * compliant writer's layout, not just byte 44), validates PCM16 mono,
+  * derives duration from the format fields + data size — the header math an
+  * audio pipeline actually does — then emits one row per `chunkMs` window
+  * with the chunk's decoded-sample count and absolute-amplitude sum (the
+  * energy proxy for silence trimming / VAD gating). Non-WAV/null payloads
+  * emit no rows. `maxChunks` bounds the per-row output fan-out.
+  */
+class AudioChunkNode(
+    val payloadCol: String = "payload",
+    val chunkMs: Int = 1000,
+    val maxChunks: Int = 8)
+  extends Node {
+  require(chunkMs > 0 && maxChunks > 0, "chunkMs and maxChunks must be positive")
   override protected def defaultName: String = "audio_chunk"
   val inputs = Seq(Port("df"))
   val outputs = Seq(Port("result"))
@@ -114,29 +314,72 @@ class AudioChunkStubNode(payloadCol: String = "payload", chunkMs: Int = 1000, ma
     val outSchema = StructType(df.schema.fields ++ Seq(
       StructField("chunk_idx", IntegerType, nullable = false),
       StructField("chunk_start_ms", LongType, nullable = false),
-      StructField("mfcc", ArrayType(FloatType, containsNull = false), nullable = true)))
+      StructField("n_samples", IntegerType, nullable = false),
+      StructField("abs_sum", LongType, nullable = false)))
     val payloadIdx = df.schema.fieldIndex(payloadCol)
     val (cMs, maxC) = (chunkMs, maxChunks)
     val out = df.flatMap { row =>
       val bytes = row.getAs[Array[Byte]](payloadIdx)
-      if (bytes == null) Iterator.empty
-      else {
-        // ??? real decoder goes here; fake duration = bytes.length ms
-        val nChunks = math.min(math.max(bytes.length / cMs, 1), maxC)
-        (0 until nChunks).iterator.map { c =>
-          val h = java.util.Arrays.hashCode(bytes) * 31 + c
-          val mfcc = Array.tabulate(13)(i => ((h * (i + 7)) % 1000) / 1000.0f)
-          Row.fromSeq(row.toSeq ++ Seq(c, c.toLong * cMs, mfcc))
-        }
+      AudioChunkNode.parseWav(bytes) match {
+        case None => Iterator.empty
+        case Some((rate, dataOff, nSamples)) =>
+          val spc = math.max(1, rate * cMs / 1000) // samples per chunk
+          val nChunks = math.min(maxC, math.max(1, (nSamples + spc - 1) / spc))
+          val buf = java.nio.ByteBuffer.wrap(bytes)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          (0 until nChunks).iterator.map { c =>
+            val lo = c * spc
+            val hi = math.min((c + 1) * spc, nSamples)
+            var sum = 0L
+            var i = lo
+            while (i < hi) { sum += math.abs(buf.getShort(dataOff + 2 * i).toInt); i += 1 }
+            // Seq[Any]: an all-numeric Seq would harmonize Int -> Long and
+            // break the IntegerType encoder fields
+            Row.fromSeq(row.toSeq ++ Seq[Any](c, c.toLong * cMs, hi - lo, sum))
+          }
       }
     }(RowEncoder.encoderFor(outSchema))
     Map("result" -> out.toDF())
   }
 }
 
+object AudioChunkNode {
+  /** RIFF chunk walk: returns (sampleRate, dataByteOffset, nSamples) for a
+    * PCM16 mono WAV, None for anything else. */
+  def parseWav(b: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (b == null || b.length < 44) return None
+    val buf = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(off: Int) = new String(b, off, 4, "US-ASCII")
+    if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var off = 12
+    var rate = -1; var bits = -1; var chans = -1
+    var dataOff = -1; var dataLen = -1
+    while (off + 8 <= b.length && (rate < 0 || dataOff < 0)) {
+      val id = tag(off); val sz = buf.getInt(off + 4)
+      if (sz < 0 || off + 8 + sz > b.length) return None
+      id match {
+        case "fmt " if sz >= 16 =>
+          if (buf.getShort(off + 8) != 1) return None // PCM only
+          chans = buf.getShort(off + 10)
+          rate = buf.getInt(off + 12)
+          bits = buf.getShort(off + 22)
+        case "data" => dataOff = off + 8; dataLen = sz
+        case _ =>
+      }
+      off += 8 + sz + (sz & 1) // RIFF chunks are word-aligned
+    }
+    if (rate <= 0 || dataOff < 0 || bits != 16 || chans != 1) None
+    else Some((rate, dataOff, dataLen / 2))
+  }
+}
+
 /** Frame-sampling stub for video-like payloads: emits every `stride`-th
   * frame index up to `maxFrames` as (frame_idx, frame_meta) rows — the
   * explode pattern a real frame sampler uses (one row per sampled frame).
+  * Still a stub by design: hand-rolling a video container parser adds no
+  * architectural signal beyond what the image/audio REAL codecs already
+  * prove; the fake frame count is a pure function of payload length, so the
+  * plumbing remains oracle-checkable (q32).
   */
 class FrameSampleStubNode(val stride: Int = 10, val maxFrames: Int = 5, val payloadCol: String = "payload")
   extends Node {

@@ -301,24 +301,64 @@ object NorthStar {
       |   / (sqrt(list_sum(list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))
       |    * sqrt(list_sum(list_transform(range(1, 65), i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))))) >= 0.3""".stripMargin
 
-  // ---- multimodal plumbing: binary payload → decode stub → resize → frame sample ----
+  // ---- multimodal: REAL PNG roundtrip — synthesize a deterministic image
+  // per doc, encode with javax.imageio's PNG writer, decode it back (real
+  // zlib/PNG codec on the path), nearest-neighbor resize over decoded
+  // pixels, re-encode, decode AGAIN. The decoded-raster channel sums (both
+  // original and resized) are pure integer functions of (doc_id, x, y)
+  // that DuckDB recomputes from the data alone — any codec/resample bug
+  // breaks the hash match. ----
   def q31_multimodal(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
     d.add(SourceNode.table(dir, "documents")) >>
-      new BinaryPayloadNode("text") >>
-      new DecodeImageStubNode() >>
-      new ResizeImageStubNode(224, 224) >>
-      ProjectNode("doc_id", "image_meta.width as w", "image_meta.height as h",
-        "resized_meta.width as rw", "size(features) as n_features") >>
+      new SyntheticImageNode(
+        wExpr = "16 + cast(doc_id % 16 as int)",
+        hExpr = "16 + cast((doc_id div 16) % 16 as int)",
+        seedExpr = "cast(doc_id % 251 as int)") >>
+      new DecodeImageNode() >>
+      new ResizeImageNode(8, 8) >>
+      new DecodeImageNode("resized", "r") >>
+      ProjectNode("doc_id",
+        "image_meta.width as w", "image_meta.height as h",
+        "image_meta.channels as channels", "image_meta.format as fmt",
+        "image_sums[0] as sum_r", "image_sums[1] as sum_g", "image_sums[2] as sum_b",
+        "r_meta.width as rw",
+        "r_sums[0] as r_sum_r", "r_sums[1] as r_sum_g", "r_sums[2] as r_sum_b") >>
+      SortNode("doc_id") >>
       d.output("result")
   }
-  // the decode stub's fake metadata is a pure function of payload byte
-  // length, so the full mapPartitions pipeline oracles exactly
   val q31Sql: String =
-    """SELECT doc_id,
-      |  64 + octet_length(encode(text)) % 512 AS w,
-      |  64 + cast(floor(octet_length(encode(text)) / 512) as int) % 512 AS h,
-      |  224 AS rw, 8 AS n_features
-      |FROM documents""".stripMargin
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    16 + cast(doc_id % 16 as int) AS w,
+      |    16 + cast((doc_id // 16) % 16 as int) AS h,
+      |    cast(doc_id % 251 as int) AS s
+      |  FROM documents),
+      |v AS (
+      |  SELECT doc_id, s, cast(i % w as int) AS x, cast(i // w as int) AS y
+      |  FROM (SELECT doc_id, w, h, s, unnest(range(0, w * h)) AS i FROM p) u),
+      |sums AS (
+      |  SELECT doc_id,
+      |    sum((x * 31 + y * 17 + s) % 256) AS sum_r,
+      |    sum((x * 7 + y * 13 + 3 * s) % 256) AS sum_g,
+      |    sum((x + y + 7 * s) % 256) AS sum_b
+      |  FROM v GROUP BY doc_id),
+      |rv AS (
+      |  SELECT doc_id, s,
+      |    (cast(i % 8 as int) * w) // 8 AS x, (cast(i // 8 as int) * h) // 8 AS y
+      |  FROM (SELECT doc_id, w, h, s, unnest(range(0, 64)) AS i FROM p) u),
+      |rsums AS (
+      |  SELECT doc_id,
+      |    sum((x * 31 + y * 17 + s) % 256) AS r_sum_r,
+      |    sum((x * 7 + y * 13 + 3 * s) % 256) AS r_sum_g,
+      |    sum((x + y + 7 * s) % 256) AS r_sum_b
+      |  FROM rv GROUP BY doc_id)
+      |SELECT p.doc_id, p.w, p.h, 3 AS channels, 'png' AS fmt,
+      |  cast(sums.sum_r as bigint) AS sum_r, cast(sums.sum_g as bigint) AS sum_g,
+      |  cast(sums.sum_b as bigint) AS sum_b, 8 AS rw,
+      |  cast(rsums.r_sum_r as bigint) AS r_sum_r, cast(rsums.r_sum_g as bigint) AS r_sum_g,
+      |  cast(rsums.r_sum_b as bigint) AS r_sum_b
+      |FROM p JOIN sums USING (doc_id) JOIN rsums USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
   def q32_frame_sample(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
     d.add(SourceNode.table(dir, "documents")) >>
       new BinaryPayloadNode("text") >>
@@ -336,26 +376,43 @@ object NorthStar {
       |  least(cast(floor(octet_length(encode(text)) / 50) as int), 3) + 1 AS n_frames,
       |  cast(least(cast(floor(octet_length(encode(text)) / 50) as int), 3) as bigint) * 50000 AS last_ts_ms
       |FROM documents""".stripMargin
+  // ---- q54: REAL WAV roundtrip — synthesize a deterministic PCM16 mono
+  // RIFF/WAVE payload per doc, then chunk it via the real header walk
+  // (fmt/data chunk parse, duration math) and per-chunk decoded-sample
+  // energy sums. Sample values are a pure integer function of (doc_id, i)
+  // that DuckDB recomputes; 1000 Hz / 100 ms chunks → 100 samples per
+  // chunk, capped at 4 chunks. ----
   def q54_audio_chunks(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
     d.add(SourceNode.table(dir, "documents")) >>
-      new BinaryPayloadNode("text") >>
-      new AudioChunkStubNode(chunkMs = 100, maxChunks = 4) >>
+      new SyntheticAudioNode(
+        nSamplesExpr = "cast(100 + doc_id % 400 as int)",
+        seedExpr = "cast(doc_id % 199 as int)",
+        sampleRate = 1000) >>
+      new AudioChunkNode(chunkMs = 100, maxChunks = 4) >>
       AggNode(Seq("doc_id"),
         "count(*) as n_chunks",
         "max(chunk_start_ms) as last_start_ms",
-        "cast(sum(size(mfcc)) as bigint) as total_coeffs") >>
+        "cast(sum(n_samples) as bigint) as total_samples",
+        "cast(sum(abs_sum) as bigint) as total_abs") >>
       SortNode("doc_id") >>
       d.output("result")
   }
-  // the aggregated outputs depend only on chunk COUNT (a pure function of
-  // byte length: min(max(len/100, 1), 4)), not the per-chunk fake mfcc
-  // values, so the flatMap pipeline oracles exactly
   val q54Sql: String =
-    """SELECT doc_id,
-      |  least(greatest(cast(floor(octet_length(encode(text)) / 100) as int), 1), 4) AS n_chunks,
-      |  cast((least(greatest(cast(floor(octet_length(encode(text)) / 100) as int), 1), 4) - 1) as bigint) * 100 AS last_start_ms,
-      |  cast(least(greatest(cast(floor(octet_length(encode(text)) / 100) as int), 1), 4) as bigint) * 13 AS total_coeffs
-      |FROM documents""".stripMargin
+    """WITH p AS (
+      |  SELECT doc_id, cast(100 + doc_id % 400 as int) AS n, cast(doc_id % 199 as int) AS s
+      |  FROM documents),
+      |c AS (SELECT doc_id, n, s, least((n + 99) // 100, 4) AS n_chunks FROM p),
+      |sm AS (
+      |  SELECT doc_id,
+      |    count(*) AS total_samples,
+      |    sum(abs((s * 31 + i * 7919) % 65536 - 32768)) AS total_abs
+      |  FROM (SELECT doc_id, s, unnest(range(0, least(n, 400))) AS i FROM c) u
+      |  GROUP BY doc_id)
+      |SELECT c.doc_id, cast(c.n_chunks as bigint) AS n_chunks,
+      |  cast((c.n_chunks - 1) * 100 as bigint) AS last_start_ms,
+      |  cast(sm.total_samples as bigint) AS total_samples,
+      |  cast(sm.total_abs as bigint) AS total_abs
+      |FROM c JOIN sm USING (doc_id) ORDER BY doc_id""".stripMargin
 
   // ---- q60: deterministic hash-mod train/val/test split ----
   def q60_split(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>

@@ -1446,6 +1446,89 @@ class NodesSpec extends AnyFunSuite {
       (2L, 1L, 50L), (3L, 1L, 0L), (3L, 2L, 20L)))
   }
 
+  test("image codec: real PNG roundtrip matches the pixel formula; corrupt payloads yield nulls") {
+    import MultimodalSchemas.{pxB, pxG, pxR}
+    val df = Seq((0L, "x"), (1L, "y")).toDF("doc_id", "text")
+    val out = runOne { d =>
+      d.add(srcNode(df)) >>
+        new SyntheticImageNode("4 + cast(doc_id as int)", "3", "cast(doc_id * 7 as int)") >>
+        new DecodeImageNode() >>
+        d.output("result")
+    }.selectExpr("doc_id", "image_meta.width", "image_meta.height", "image_meta.channels",
+        "image_meta.format", "image_sums")
+      .as[(Long, Int, Int, Int, String, Array[Long])].collect().sortBy(_._1)
+    out.foreach { case (id, w, h, ch, fmt, sums) =>
+      assert(w == 4 + id.toInt && h == 3 && ch == 3 && fmt == "png")
+      val s = id.toInt * 7
+      val px = for { y <- 0 until h; x <- 0 until w } yield (pxR(x, y, s), pxG(x, y, s), pxB(x, y, s))
+      assert(sums.toSeq == Seq(px.map(_._1.toLong).sum, px.map(_._2.toLong).sum, px.map(_._3.toLong).sum),
+        "decoded raster must reproduce the synthesis formula exactly (lossless PNG roundtrip)")
+    }
+    // corrupt payload: decode keeps the row with null meta/sums
+    val bad = runOne { d =>
+      d.add(srcNode(Seq((1L, "not a png")).toDF("doc_id", "text"))) >>
+        new BinaryPayloadNode("text") >>
+        new DecodeImageNode() >>
+        d.output("result")
+    }.selectExpr("doc_id", "image_meta is null", "image_sums is null")
+      .as[(Long, Boolean, Boolean)].collect().toSeq
+    assert(bad == Seq((1L, true, true)))
+  }
+
+  test("ResizeImageNode: nearest-neighbor floor mapping, re-encoded PNG decodes to mapped pixels") {
+    import MultimodalSchemas.{pxB, pxG, pxR}
+    val out = runOne { d =>
+      d.add(srcNode(Seq(Tuple1(0L)).toDF("doc_id"))) >>
+        new SyntheticImageNode("8", "6", "5") >>
+        new ResizeImageNode(2, 2) >>
+        new DecodeImageNode("resized", "r") >>
+        d.output("result")
+    }.selectExpr("r_meta.width", "r_meta.height", "r_sums").as[(Int, Int, Array[Long])]
+      .collect().head
+    assert(out._1 == 2 && out._2 == 2)
+    // target (x, y) <- source (x*8/2, y*6/2): exactly (0,0),(4,0),(0,3),(4,3)
+    val src = Seq((0, 0), (4, 0), (0, 3), (4, 3))
+    assert(out._3.toSeq == Seq(
+      src.map { case (x, y) => pxR(x, y, 5).toLong }.sum,
+      src.map { case (x, y) => pxG(x, y, 5).toLong }.sum,
+      src.map { case (x, y) => pxB(x, y, 5).toLong }.sum))
+  }
+
+  test("AudioChunkNode: RIFF chunk walk, partial last chunk, cap; non-WAV rejected") {
+    import MultimodalSchemas.pcm
+    val out = runOne { d =>
+      d.add(srcNode(Seq(Tuple1(0L)).toDF("doc_id"))) >>
+        new SyntheticAudioNode("250", "9", sampleRate = 1000) >>
+        new AudioChunkNode(chunkMs = 100, maxChunks = 8) >>
+        d.output("result")
+    }.selectExpr("chunk_idx", "chunk_start_ms", "n_samples", "abs_sum")
+      .as[(Int, Long, Int, Long)].collect().sortBy(_._1).toSeq
+    // 250 samples @ 1000 Hz, 100 ms chunks -> 100 + 100 + 50
+    assert(out.map(r => (r._1, r._2, r._3)) == Seq((0, 0L, 100), (1, 100L, 100), (2, 200L, 50)))
+    def absSum(lo: Int, hi: Int) = (lo until hi).map(i => math.abs(pcm(i, 9)).toLong).sum
+    assert(out.map(_._4) == Seq(absSum(0, 100), absSum(100, 200), absSum(200, 250)))
+    // header walk, not byte-44 assumption: parseWav handles an extra chunk
+    // before data, rejects stereo and truncated payloads
+    val mono = {
+      val base = runOne { d =>
+        d.add(srcNode(Seq(Tuple1(0L)).toDF("doc_id"))) >>
+          new SyntheticAudioNode("10", "1", sampleRate = 8000) >> d.output("result")
+      }.selectExpr("payload").as[Array[Byte]].collect().head
+      base
+    }
+    assert(AudioChunkNode.parseWav(mono).contains((8000, 44, 10)))
+    // inject a LIST chunk between fmt and data
+    val withList = {
+      val head = mono.take(36) // RIFF..fmt chunk end
+      val list = "LIST".getBytes("US-ASCII") ++ Array[Byte](4, 0, 0, 0) ++ "INFO".getBytes("US-ASCII")
+      val data = mono.drop(36)
+      head ++ list ++ data
+    }
+    assert(AudioChunkNode.parseWav(withList).contains((8000, 44 + 12, 10)))
+    assert(AudioChunkNode.parseWav("RIFFjunk".getBytes("US-ASCII")).isEmpty)
+    assert(AudioChunkNode.parseWav(mono.take(40)).isEmpty)
+  }
+
   test("GroupEmaNode: null order/tie/value fails loudly instead of sorting first as 0") {
     val rows = Seq((1L, Some(1L), Some(10L), Some(100L)), (1L, Some(2L), None, Some(200L)))
       .toDF("k", "tie", "o", "v")
