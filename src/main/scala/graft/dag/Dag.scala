@@ -175,6 +175,12 @@ final class Dag(val dagName: String = "dag") {
   def input(name: String): DagInput = new DagInput(this, name)
   def output(name: String): DagOutput = new DagOutput(this, name)
 
+  // DAG-input default payloads (reference MLDagInput.default); keyed by
+  // input name, evaluated only when the run supplies no binding
+  private val inputDefaults = mutable.Map[String, Ctx => DataFrame]()
+  private[dag] def setInputDefault(name: String, f: Ctx => DataFrame): Unit =
+    inputDefaults(name) = f
+
   def inputNames: Seq[String] = inputBinds.map(_.inName).distinct.toSeq
   def inputPorts: Seq[Port] = inputNames.map { n =>
     val bound = inputBinds.filter(_.inName == n)
@@ -392,7 +398,13 @@ final class Dag(val dagName: String = "dag") {
     if (unknown.nonEmpty)
       throw new BindingException(
         s"unknown dag input(s): ${unknown.mkString(", ")} (declared: ${known.mkString(", ")})")
-    val missing = known.diff(bindings.keySet)
+    // inputs with a declared default and no explicit binding resolve to the
+    // default payload (reference mldagbase.py:1970-1980); explicit wins
+    val defaulted: Map[String, Seq[(String, DataFrame)]] =
+      inputDefaults.view.filterKeys(k => known(k) && !bindings.contains(k))
+        .map { case (k, f) => k -> Seq((k, f(ctx))) }.toMap
+    val bound = bindings ++ defaulted
+    val missing = known.diff(bound.keySet)
     if (missing.nonEmpty)
       throw new BindingException(s"missing dag input(s): ${missing.mkString(", ")}")
 
@@ -428,7 +440,7 @@ final class Dag(val dagName: String = "dag") {
           buf += ((origin, df))
         }
         inputBinds.filter(_.node == n.name).foreach { b =>
-          bindings.get(b.inName).foreach(_.foreach { case (origin, df) => put(b.port, origin, df) })
+          bound.get(b.inName).foreach(_.foreach { case (origin, df) => put(b.port, origin, df) })
         }
         edges.filter(_.to == n.name).foreach { e =>
           nodeOutputs.get(e.from).flatMap(_.get(e.fromPort)).foreach { df =>

@@ -109,6 +109,15 @@ final case class Slot(node: Node, slot: String) {
 final class DagInput(private[dag] val dag: Dag, val inName: String) {
   def >>(down: Node): down.type = { dag.setInput(down, Some(inName), None); down }
   def >>(down: Slot): Node = { dag.setInput(down.node, Some(inName), Some(down.slot)); down.node }
+  /** Attach a default payload (reference `MLDagInput(default=...)`,
+    * _connectable_utils.py:70-90; binding validation honors it,
+    * mldagbase.py:1970-1980): evaluated lazily at run time when no binding
+    * is supplied for this input; an explicit binding always wins. Like
+    * FnNode closures, defaults do not survive DagJson round-trips.
+    */
+  def default(f: Ctx => org.apache.spark.sql.DataFrame): this.type = {
+    dag.setInputDefault(inName, f); this
+  }
 }
 
 /** Handle for a DAG-level named output (reference `MLDagOutput`,

@@ -11,8 +11,21 @@ import graft.dag.DagJson.P
   * pickling unimportable Python lambdas in the reference.
   */
 object NodeRegistry {
+  /** Public extension point for USER node classes (the reference re-imports
+    * any node by {module, class, params}, graph.py:938-1077; here a custom
+    * class opts into topology round-trips by registering a factory for its
+    * `jsonKind`). Built-ins load first, so a user kind may also shadow one.
+    * The node class itself must emit `jsonKind`/`jsonParams`; the factory
+    * rebuilds it from the parsed params map.
+    */
+  def register(kind: String)(f: DagJson.Params => Node): Unit = {
+    ensure // built-ins first — user registrations survive (and may shadow)
+    DagJson.register(kind)(f)
+  }
+
   lazy val ensure: Unit = {
-    import DagJson.register
+    import DagJson.{register => reg}
+    def register(kind: String)(f: DagJson.Params => Node): Unit = reg(kind)(f)
     register("source")(p => new SourceNode(p.str("path"), p.str("format"), p.strs("columns"), p.strs("nanosTsCols"),
       p.m.get("options").collect { case m: Map[_, _] => m.map { case (k, v) => k.toString -> v.toString } }.getOrElse(Map.empty),
       p.strOpt("schemaDdl")))
@@ -102,7 +115,7 @@ object NodeRegistry {
       p.m("minDf").toString.toLong, p.int("maxVocab"), p.dbl("maxOovFrac")))
     register("bpe_tokenizer")(p => new BpeTokenizerNode(p.str("idCol"), p.str("textCol"),
       p.int("numMerges"), p.m("maxFitRows").toString.toLong, p.int("maxWordTypes"),
-      p.str("outCol")))
+      p.str("outCol"), p.strOpt("corpusSizeHint").map(_.toLong)))
     register("domain_quota")(p => new DomainQuotaNode(p.str("strataCol"), p.int("quota"),
       p.strs("orderBy"), p.str("idCol"), p.str("rankCol")))
     register("semdedup")(p => new SemDedupNode(p.dbl("threshold"), p.int("nClusters"),
@@ -162,7 +175,8 @@ object NodeRegistry {
       p.boolOr("halving", false), p.boolOr("failOnNonConverged", true),
       p.boolOr("reliableCheckpoint", false)))
     register("pagerank")(p => new PageRankNode(p.str("srcCol"), p.str("dstCol"),
-      p.int("iterations"), p.m("scale").toString.toLong, p.int("dampingNum")))
+      p.int("iterations"), p.m("scale").toString.toLong, p.int("dampingNum"),
+      p.strOpt("tolerance").map(_.toLong)))
     register("bloom_join")(p => new BloomJoinNode(p.strs("probeKeys"), p.strs("buildKeys"),
       p.m("expectedItems").toString.toLong, p.dbl("fpp"), p.str("joinType"),
       p.bool("broadcastBuild")))

@@ -41,17 +41,28 @@ class PageRankNode(
     val dstCol: String = "dst",
     val iterations: Int = 3,
     val scale: Long = 1000000000000L,
-    val dampingNum: Int = 85)
+    val dampingNum: Int = 85,
+    // convergence stop: end early once total absolute rank movement (integer
+    // units) falls below this. At 10^9 nodes fixed-iteration is a demo —
+    // convergence is the production mode; `iterations` then caps the rounds.
+    // Costs one node-set-sized aggregate per round (reads checkpointed
+    // frames, no recompute).
+    val tolerance: Option[Long] = None)
   extends Node {
   require(iterations >= 1, "iterations must be >= 1")
   require(dampingNum >= 0 && dampingNum <= 100, "dampingNum must be in [0, 100]")
+  require(tolerance.forall(_ >= 0), "tolerance must be >= 0")
   override protected def defaultName: String = "pagerank"
   val inputs = Seq(Port("edges"))
   val outputs = Seq(Port("result"))
   override def jsonKind: Option[String] = Some("pagerank")
   override def jsonParams: Map[String, Any] = Map(
     "srcCol" -> srcCol, "dstCol" -> dstCol, "iterations" -> iterations,
-    "scale" -> scale, "dampingNum" -> dampingNum)
+    "scale" -> scale, "dampingNum" -> dampingNum,
+    "tolerance" -> tolerance.map(_.toString).orNull)
+
+  /** Rounds actually executed by the last transform (spec diagnostic). */
+  @volatile var lastRounds: Int = -1
 
   override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
     val np = ctx.spark.sessionState.conf.numShufflePartitions
@@ -71,7 +82,8 @@ class PageRankNode(
     val outdeg = ctx.track(edges.groupBy("src").agg(count(lit(1)).as("outdeg")))
     var ranks = nodes.select(col("id"), lit(base).as("rank")).localCheckpoint()
     var round = 0
-    while (round < iterations) {
+    var converged = false
+    while (round < iterations && !converged) {
       // dangling nodes hold rank but emit no edges; their mass is spread
       // uniformly (the standard correction — dropping it deflates totals)
       val dangling = ranks.join(outdeg, ranks("id") === outdeg("src"), "left_anti")
@@ -89,9 +101,18 @@ class PageRankNode(
             expr(s"($dampingNum * (coalesce(inflow, cast(0 as bigint)) " +
                  s"+ dang div cast($n as bigint))) div 100")).as("rank"))
         .localCheckpoint()
+      tolerance.foreach { tol =>
+        // both sides are checkpointed node-sized frames — the movement sum
+        // is a cached-read join, not a recompute of the round
+        val moved = ranks.join(prev.withColumnRenamed("rank", "__prev"), Seq("id"))
+          .agg(expr("sum(abs(rank - __prev))").as("m"))
+          .collect().head.getAs[Long]("m")
+        if (moved < tol) converged = true
+      }
       prev.unpersist()
       round += 1
     }
+    lastRounds = round
     Map("result" -> ranks)
   }
 }

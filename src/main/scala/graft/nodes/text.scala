@@ -263,7 +263,11 @@ class BpeTokenizerNode(
     val numMerges: Int = 200,
     val maxFitRows: Long = 10000L,
     val maxWordTypes: Int = 50000,
-    val outCol: String = "bpe_tokens")
+    val outCol: String = "bpe_tokens",
+    // known corpus size (catalog stats / prior listener count) skips the
+    // fit-time sizing count() — at 100 TB that count is a full scan before
+    // the fit even starts (same pattern as NgramJaccardNode; ADVICE r5)
+    val corpusSizeHint: Option[Long] = None)
   extends EstimatorNode {
   type Model = Seq[String]
   require(numMerges >= 0, "numMerges must be >= 0")
@@ -274,7 +278,8 @@ class BpeTokenizerNode(
   override def jsonKind: Option[String] = Some("bpe_tokenizer")
   override def jsonParams: Map[String, Any] = Map("idCol" -> idCol, "textCol" -> textCol,
     "numMerges" -> numMerges, "maxFitRows" -> maxFitRows,
-    "maxWordTypes" -> maxWordTypes, "outCol" -> outCol)
+    "maxWordTypes" -> maxWordTypes, "outCol" -> outCol,
+    "corpusSizeHint" -> corpusSizeHint.map(_.toString).orNull)
 
   /** Merge rules learned by the last fit (spec/audit diagnostic). */
   @volatile var lastMerges: Seq[String] = Nil
@@ -282,7 +287,7 @@ class BpeTokenizerNode(
   def fitModel(ctx: Ctx, in: In): Model = {
     import org.apache.spark.sql.functions.{count, lit}
     val docs = in("df")
-    val n = docs.count()
+    val n = corpusSizeHint.getOrElse(docs.count())
     val mod = math.max(1L, (n + maxFitRows - 1L) / maxFitRows)
     val sampled = if (mod <= 1L) docs
       else docs.filter(expr(s"${DetHash.modExpr(idCol, mod)} = 0"))

@@ -270,6 +270,25 @@ class DagSpec extends AnyFunSuite {
     assertThrows[BindingException](d.transform(ctx, Map("x" -> df1, "zzz" -> df1)))
   }
 
+  test("dag input default used when binding absent; explicit binding wins " +
+    "(reference MLDagInput(default=...), tests/test_mldag.py:4-20)") {
+    val d = new Dag()
+    val n = d.add(FnNode.map1("double")(df => df.withColumn("id", col("id") * 2)))
+    d.input("x").default(c => { import c.spark.implicits._; Seq(10).toDF("id") }) >> n
+    n >> d.output("result")
+    // no binding: the default payload flows (10 * 2)
+    assert(d.transform(ctx)("result").agg(sum("id")).as[Long].head() == 20)
+    // explicit binding overrides the default
+    assert(d.transform(ctx, Map("x" -> df1))("result")
+      .agg(sum("id")).as[Long].head() == 12)
+    // inputs WITHOUT defaults still demand a binding
+    val d2 = new Dag()
+    val m = d2.add(FnNode.map1("idn")(identity))
+    d2.input("y") >> m
+    m >> d2.output("result")
+    assertThrows[BindingException](d2.transform(ctx))
+  }
+
   test("dag >> node exposes unbound inputs; name collision gets _node suffix " +
     "(reference 'arg1_test_foo1', tests/test_mldag.py:44)") {
     val d = new Dag()

@@ -1028,6 +1028,48 @@ class NodesSpec extends AnyFunSuite {
     assert(ranks(edges.repartition(7)) == r)
   }
 
+  test("PageRankNode: tolerance stop converges early and matches the fixed-point ranks") {
+    // a symmetric cycle converges immediately (uniform is the fixed point),
+    // so a tolerance run must stop well before the iteration cap
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val node = new PageRankNode("src", "dst", iterations = 40, tolerance = Some(1000L))
+    val converged = runOne { d =>
+      d.add(srcNode(edges)) >> node >> d.output("result")
+    }.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(node.lastRounds < 40, s"expected early stop, ran ${node.lastRounds} rounds")
+    // floor-division leaks ~1 unit per round, so longer runs drift a few
+    // units lower — the contract is agreement WITHIN the tolerance, plus
+    // preserved symmetry (all ranks equal on a regular cycle)
+    val fixed = runOne { d =>
+      d.add(srcNode(edges)) >> new PageRankNode("src", "dst", iterations = 40) >>
+        d.output("result")
+    }.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(converged.values.toSet.size == 1)
+    assert(converged.keySet == fixed.keySet &&
+      converged.forall { case (k, v) => math.abs(v - fixed(k)) <= 1000L })
+  }
+
+  test("BpeTokenizerNode: corpusSizeHint skips the fit-time sizing count job") {
+    val docs = (1L to 50L).map(i => (i, s"aa bb cc d$i")).toDF("doc_id", "text")
+    def jobsDuringFit(node: BpeTokenizerNode): Int = {
+      val counter = new java.util.concurrent.atomic.AtomicInteger
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          counter.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        node.fit(ctx, In.single("df" -> docs))
+        Thread.sleep(300) // listener bus drains asynchronously
+      } finally spark.sparkContext.removeSparkListener(l)
+      counter.get()
+    }
+    val withHint = jobsDuringFit(new BpeTokenizerNode(numMerges = 2, corpusSizeHint = Some(50L)))
+    val noHint = jobsDuringFit(new BpeTokenizerNode(numMerges = 2))
+    assert(withHint < noHint,
+      s"hint must drop the sizing count() job (with=$withHint, without=$noHint)")
+  }
+
   test("BloomJoinNode: exact join result for any fpp; unsafe join types rejected") {
     val probe = (1L to 200L).map(i => (i, s"p$i")).toDF("k", "pv")
     val build = Seq((5L, "B5"), (10L, "B10")).toDF("bk", "bv")

@@ -196,6 +196,27 @@ class SerializationSpec extends AnyFunSuite {
     assert(sc.getPersistentRDDs.size <= before, "tracked persists must be released")
   }
 
+  test("user node class round-trips after runtime NodeRegistry.register (reference import_class)") {
+    // a test-defined node class, registered at runtime — the reference's
+    // {module, class, params} re-import flow (graph.py:938-1077) without
+    // reflection: the class declares jsonKind/jsonParams, the user supplies
+    // the factory
+    import graft.dag.DagJson.P
+    NodeRegistry.register("user_scale")(p =>
+      new SerializationSpec.UserScaleNode(p.str("col"), p.int("factor")))
+    val d = new Dag("user_ext")
+    val src = d.add(SourceNode.table("/root/testdata/sf0.001", "orders"))
+    val u = d.add(new SerializationSpec.UserScaleNode("o_orderkey", 3))
+    src >> u
+    u >> d.output("result")
+    val d2 = DagJson.fromJson(DagJson.toJson(d))
+    val u2 = d2.node(u.name).asInstanceOf[SerializationSpec.UserScaleNode]
+    assert(u2.col == "o_orderkey" && u2.factor == 3)
+    val r1 = d.transform(Ctx(spark)).outputs("result").agg(sum("scaled")).collect().head
+    val r2 = d2.transform(Ctx(spark)).outputs("result").agg(sum("scaled")).collect().head
+    assert(r1 == r2)
+  }
+
   test("closure-carrying nodes refuse serialization with a clear error") {
     val d = new Dag()
     d.add(FnNode.map1("f")(identity))
@@ -432,5 +453,18 @@ class SerializationSpec extends AnyFunSuite {
     val b = n2.transform(Ctx(spark), In.single("df" -> docs))("result")
       .select("doc_id", "tfidf").collect().map(_.toString).sorted
     assert(a.sameElements(b))
+  }
+}
+
+object SerializationSpec {
+  /** Test-only user node class for the runtime-registration round-trip. */
+  class UserScaleNode(val col: String, val factor: Int) extends Node {
+    override protected def defaultName: String = "user_scale"
+    val inputs = Seq(Port("df"))
+    val outputs = Seq(Port("result"))
+    override def jsonKind: Option[String] = Some("user_scale")
+    override def jsonParams: Map[String, Any] = Map("col" -> col, "factor" -> factor)
+    override def transform(ctx: Ctx, in: In): Map[String, org.apache.spark.sql.DataFrame] =
+      Map("result" -> in("df").selectExpr(s"$col * $factor as scaled"))
   }
 }
