@@ -565,6 +565,43 @@ class MinHashIndexNode(
     }
   }
 
+  /** Append a PROCESSED delta into the fitted index — the continuous-crawl
+    * refresh loop (VERDICT r5 #10): check a delta against the index
+    * (`transform`), merge survivors into the corpus, then `updateIndex` so
+    * the NEXT delta generation also dedups against this one — without ever
+    * re-sketching the base corpus. The bucket cap is re-applied over the
+    * union: a bucket that crosses `maxBucket` only after growth is dropped
+    * whole (it became a boilerplate family; same guard as fit). Cost is
+    * delta-sized sketching plus one bucket-count aggregate; the two count()
+    * actions materialize the merged frames so the superseded generation can
+    * be released. Lineage grows one union per generation — on a long-lived
+    * crawl, saveFitted/loadFitted every N generations truncates it to a
+    * parquet read (the production checkpoint anyway).
+    */
+  def updateIndex(ctx: Ctx, delta: DataFrame): Unit = {
+    import org.apache.spark.storage.StorageLevel
+    val m = model.getOrElse(
+      throw new graft.dag.GraftException(s"estimator node '$name' not fitted"))
+    graft.functions.VecFunctions.register(ctx.spark)
+    graft.functions.VecFunctions.register(delta.sparkSession)
+    val sh = sketch(delta, "base_id", "__sh_b")
+    val newShingles = m.shingles.select("base_id", "__sh_b")
+      .union(sh.select("base_id", "__sh_b"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // explicit column order on BOTH sides: union is positional, and the
+    // fitted buckets frame carries (band, band_hash, base_id) from its cap
+    // join while fresh band keys arrive as (base_id, band, band_hash)
+    val grown = m.buckets.select("band", "band_hash", "base_id")
+      .union(bandKeys(sh, "base_id", "__sh_b").select("band", "band_hash", "base_id"))
+    val ok = grown.groupBy("band", "band_hash").count()
+      .filter(col("count") <= maxBucket).select("band", "band_hash")
+    val newBuckets = grown.join(ok, Seq("band", "band_hash"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    newShingles.count(); newBuckets.count() // materialize before releasing old
+    model = Some(MinHashIndexNode.Index(newShingles, newBuckets))
+    m.shingles.unpersist(); m.buckets.unpersist()
+  }
+
   /** Release the persisted index frames (fit again to rebuild). */
   def unpersistIndex(): Unit = model.foreach { m =>
     m.shingles.unpersist(); m.buckets.unpersist()

@@ -714,6 +714,66 @@ object Advanced {
       |  cast(sum(ema) as bigint) AS sum_ema
       |FROM rec GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ---- q116: CONTINUOUS-crawl index refresh — fit the MinHash index once
+  // on the corpus, check delta generation 1, APPEND it into the index
+  // (updateIndex: delta-sized sketch + bucket-cap re-apply, base never
+  // re-sketched), then check generation 2 against corpus+gen1. Same
+  // identity oracle as q101 (threshold 1.0: a match == identical distinct
+  // shingle set): gen2 must ALSO match gen1's re-identified docs, which
+  // only happens if the update really landed in the index. ----
+  def q116_index_refresh(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Queries.run(spark) { d =>
+      d.add(SourceNode.table(dir, "documents")) >> d.output("result")
+    }
+    val ctx = Ctx(spark)
+    val idx = new MinHashIndexNode(numHashes = 32, bands = 16, shingleN = 3,
+      jaccardThreshold = 1.0, maxBucket = 100000)
+    idx.fit(ctx, In.single("corpus" -> docs))
+    import org.apache.spark.sql.functions.{col, expr}
+    val gen1 = docs.filter("doc_id % 7 = 3")
+      .select(expr("doc_id + 1000000").as("doc_id"), col("text"))
+    // gen2 includes re-crawls of gen1 content (+3000000 ids) so the
+    // gen2 -> gen1 match set is provably non-empty at every SF — the one
+    // outcome that can ONLY happen if updateIndex really landed gen1 in
+    // the index (natural cross-generation duplicates may not exist)
+    val gen2 = docs.filter("doc_id % 7 = 5")
+      .select(expr("doc_id + 2000000").as("doc_id"), col("text"))
+      .union(docs.filter("doc_id % 7 = 3")
+        .select(expr("doc_id + 3000000").as("doc_id"), col("text")))
+    val m1 = idx.transform(ctx, In.single("delta" -> gen1))("result")
+      .select("delta_id", "base_id")
+    idx.updateIndex(ctx, gen1)
+    val m2 = idx.transform(ctx, In.single("delta" -> gen2))("result")
+      .select("delta_id", "base_id")
+    m1.union(m2).orderBy("delta_id", "base_id")
+  }
+  val q116Sql: String =
+    """WITH base AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      |  FROM documents),
+      |keyed AS (
+      |  SELECT doc_id,
+      |    array_to_string(list_sort(list_distinct(list_transform(
+      |      range(1, greatest(len(toks) - 2, 1) + 1),
+      |      i -> array_to_string(toks[i:i+2], ' ')))), chr(10)) AS key
+      |  FROM base),
+      |m1 AS (
+      |  SELECT d.doc_id + 1000000 AS delta_id, b.doc_id AS base_id
+      |  FROM keyed d JOIN keyed b USING (key) WHERE d.doc_id % 7 = 3),
+      |idx2 AS (
+      |  SELECT doc_id AS base_id, key FROM keyed
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS base_id, key FROM keyed WHERE doc_id % 7 = 3),
+      |m2 AS (
+      |  SELECT d.delta_id, i.base_id FROM (
+      |    SELECT doc_id + 2000000 AS delta_id, key FROM keyed WHERE doc_id % 7 = 5
+      |    UNION ALL
+      |    SELECT doc_id + 3000000 AS delta_id, key FROM keyed WHERE doc_id % 7 = 3) d
+      |  JOIN idx2 i USING (key))
+      |SELECT delta_id, base_id FROM (
+      |  SELECT * FROM m1 UNION ALL SELECT * FROM m2) u
+      |ORDER BY delta_id, base_id""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q94_bloom_join", q94_bloom_join _, q94Sql),
     ("q95_pagerank", q95_pagerank _, q95Sql),
@@ -737,5 +797,6 @@ object Advanced {
     ("q113_compact_history", q113_compact_history _, q113Sql),
     ("q114_zorder", q114_zorder _, q114Sql),
     ("q115_group_ema", q115_group_ema _, q115Sql),
+    ("q116_index_refresh", q116_index_refresh _, q116Sql),
   )
 }

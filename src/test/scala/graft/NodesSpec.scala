@@ -1028,6 +1028,31 @@ class NodesSpec extends AnyFunSuite {
     assert(ranks(edges.repartition(7)) == r)
   }
 
+  test("MinHashIndexNode.updateIndex: next generation matches appended docs; cap re-applies on growth") {
+    val mk = (id: Long, text: String) => (id, text)
+    val corpus = Seq(mk(1L, (1 to 30).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val idx = new MinHashIndexNode(numHashes = 32, bands = 16,
+      jaccardThreshold = 1.0, maxBucket = 100000)
+    idx.fit(ctx, In.single("corpus" -> corpus))
+    val gen1 = Seq(mk(101L, (1 to 30).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    // before update: gen2 (dup of gen1's doc and corpus doc) matches ONLY corpus
+    idx.updateIndex(ctx, gen1)
+    val gen2 = Seq(mk(201L, (1 to 30).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val m2 = idx.transform(ctx, In.single("delta" -> gen2))("result")
+      .select("base_id").as[Long].collect().toSet
+    assert(m2 == Set(1L, 101L), "post-update transform must also match the appended generation")
+    // cap re-applies over the grown bucket: with maxBucket = 1 every shared
+    // bucket (corpus doc + identical appended doc = 2 entries) drops, so a
+    // further identical delta finds NO candidates
+    val tight = new MinHashIndexNode(numHashes = 32, bands = 16,
+      jaccardThreshold = 1.0, maxBucket = 1)
+    tight.fit(ctx, In.single("corpus" -> corpus))
+    tight.updateIndex(ctx, gen1)
+    val m3 = tight.transform(ctx, In.single("delta" -> gen2))("result").count()
+    assert(m3 == 0L, "buckets crossing maxBucket after growth must drop whole")
+    idx.unpersistIndex(); tight.unpersistIndex()
+  }
+
   test("PageRankNode: tolerance stop converges early and matches the fixed-point ranks") {
     // a symmetric cycle converges immediately (uniform is the fixed point),
     // so a tolerance run must stop well before the iteration cap
