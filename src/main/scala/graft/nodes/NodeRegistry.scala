@@ -145,6 +145,12 @@ object NodeRegistry {
       p.str("seedExpr"), p.str("outCol")))
     register("synthetic_audio")(p => new SyntheticAudioNode(p.str("nSamplesExpr"),
       p.str("seedExpr"), p.int("sampleRate"), p.str("outCol")))
+    register("binary_file_sink")(p => new BinaryFileSinkNode(p.str("dir"), p.str("nameExpr"),
+      p.strOpt("payloadCol").getOrElse("payload"), p.strOpt("mode").getOrElse("overwrite")))
+    register("binary_file_source")(p => new BinaryFileSourceNode(p.str("path"),
+      p.strOpt("pathGlobFilter"), p.boolOr("recursive", false)))
+    register("unigram_surprise")(p => new UnigramSurpriseNode(p.str("idCol"), p.str("textCol"),
+      p.m("scale").toString.toLong))
     register("frame_sample")(p => new FrameSampleStubNode(p.int("stride"), p.int("maxFrames"), p.str("payloadCol")))
     register("audio_chunk")(p => new AudioChunkNode(p.str("payloadCol"), p.int("chunkMs"), p.int("maxChunks")))
     register("register_udafs")(p => new RegisterUdafsNode(p.strs("names")))

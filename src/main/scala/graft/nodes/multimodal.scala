@@ -373,6 +373,97 @@ object AudioChunkNode {
   }
 }
 
+/** Write each row's binary payload as ONE FILE under `dir`, named by
+  * `nameExpr` — the media-export sink (eval-set image dumps, audio shards
+  * for an external labeler). Uses the Hadoop FileSystem API so `dir` may be
+  * hdfs:///s3a:// on a cluster; the Hadoop conf ships to executors as a
+  * serialized key-value map. One file per row is deliberately an EXPORT
+  * shape: a corpus-sized blob pipeline keeps payloads inside parquet
+  * (BinaryType columns) — a billion tiny files is a filesystem DoS, which
+  * is why this node caps per-task files with no shuffle but does not try to
+  * be the 100 TB path.
+  *
+  * `mode`: "overwrite" (delete dir first) | "errorifexists".
+  */
+class BinaryFileSinkNode(
+    val dir: String,
+    val nameExpr: String,
+    val payloadCol: String = "payload",
+    val mode: String = "overwrite")
+  extends Node {
+  require(Seq("overwrite", "errorifexists").contains(mode),
+    s"mode must be overwrite|errorifexists, got '$mode'")
+  override protected def defaultName: String = "binary_file_sink"
+  val inputs = Seq(Port("df"))
+  val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("binary_file_sink")
+  override def jsonParams: Map[String, Any] =
+    Map("dir" -> dir, "nameExpr" -> nameExpr, "payloadCol" -> payloadCol, "mode" -> mode)
+  override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
+    import org.apache.hadoop.fs.Path
+    val df = in("df")
+    val hconf = df.sparkSession.sparkContext.hadoopConfiguration
+    val root = new Path(dir)
+    val fs = root.getFileSystem(hconf)
+    if (fs.exists(root)) {
+      if (mode == "errorifexists")
+        throw new GraftException(s"binary_file_sink '$name': '$dir' already exists")
+      fs.delete(root, true)
+    }
+    fs.mkdirs(root)
+    // Hadoop Configuration is not serializable — ship it as entries
+    val confEntries: Array[(String, String)] = {
+      val it = hconf.iterator(); val buf = scala.collection.mutable.ArrayBuffer[(String, String)]()
+      while (it.hasNext) { val e = it.next(); buf += ((e.getKey, e.getValue)) }
+      buf.toArray
+    }
+    val dirStr = dir
+    df.selectExpr(s"($nameExpr) as __name", s"cast($payloadCol as binary) as __bytes")
+      .foreachPartition { (rows: Iterator[Row]) =>
+        val conf = new org.apache.hadoop.conf.Configuration(false)
+        confEntries.foreach { case (k, v) => conf.set(k, v) }
+        val pfs = new Path(dirStr).getFileSystem(conf)
+        rows.foreach { r =>
+          val nm = r.getString(0)
+          // path traversal guard: a name is a leaf, never a directory walk
+          if (nm == null || nm.isEmpty || nm.contains("/") || nm.contains(".."))
+            throw new GraftException(s"binary_file_sink: illegal file name '$nm'")
+          val out = pfs.create(new Path(dirStr, nm), true)
+          try out.write(r.getAs[Array[Byte]](1)) finally out.close()
+        }
+      }
+    Map("result" -> df)
+  }
+}
+
+/** Read a directory of raw media blobs via Spark's `binaryFile` source —
+  * THE production entry point for image/audio corpora (each row:
+  * path, modificationTime, length, content). Pair with DecodeImageNode /
+  * AudioChunkNode on the `content` column. `pathGlobFilter` prunes by
+  * extension at LISTING time (no content read); `recursive` descends
+  * partition-style directory trees. At 100 TB prefer fewer, larger source
+  * files or a prior packing pass into parquet — the listing itself is the
+  * bottleneck on billions of objects.
+  */
+class BinaryFileSourceNode(
+    val path: String,
+    val pathGlobFilter: Option[String] = None,
+    val recursive: Boolean = false)
+  extends Node {
+  override protected def defaultName: String = "binary_file_source"
+  val inputs = Seq.empty[Port]
+  val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("binary_file_source")
+  override def jsonParams: Map[String, Any] = Map("path" -> path,
+    "pathGlobFilter" -> pathGlobFilter.orNull, "recursive" -> recursive)
+  override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
+    var r = ctx.spark.read.format("binaryFile")
+    pathGlobFilter.foreach(g => r = r.option("pathGlobFilter", g))
+    if (recursive) r = r.option("recursiveFileLookup", "true")
+    Map("result" -> r.load(path))
+  }
+}
+
 /** Frame-sampling stub for video-like payloads: emits every `stride`-th
   * frame index up to `maxFrames` as (frame_idx, frame_meta) rows — the
   * explode pattern a real frame sampler uses (one row per sampled frame).

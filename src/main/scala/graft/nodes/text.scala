@@ -708,3 +708,95 @@ class WeightedSampleNode(
     }))
   }
 }
+
+/** Unigram "surprisal" quality scoring — the perplexity-filter shape
+  * (CCNet/Gopher-style LM gating) without libm: a unigram LM is FIT on a
+  * reference corpus (token occurrence counts + total), and each scored
+  * document gets the mean inverse-frequency surrogate
+  *
+  *   surprise(w)   = (T · S) div c(w)          (OOV: c = 1, max surprise)
+  *   mean_surprise = (Σ_w surprise(w)) div n_tokens
+  *
+  * — a monotone surrogate of mean negative log-likelihood over the pruned
+  * frequency range (1/p instead of −log p), so threshold gating behaves the
+  * same while every score is an exact integer: bit-reproducible across
+  * engines/partitionings/retries and DuckDB-oracleable (the PageRank/BM25
+  * fixed-point reasoning). High mean_surprise ⇒ gibberish/rare text; low ⇒
+  * boilerplate. `n_oov` rides along (the classic junk signal).
+  *
+  * Scale shape: fit = one explode + one groupBy over the REFERENCE corpus
+  * (vocabulary-sized distributed model — never collected to the driver;
+  * T is the only driver scalar). Apply = one explode + one equi-join on the
+  * token (AQE picks broadcast when the vocab is small) + one groupBy on the
+  * doc id. Per-doc sums run in decimal(38,0): each term is ≤ T·S (~1e18 at
+  * web scale) and a 10^4-token doc overflows int64 before the final div.
+  */
+class UnigramSurpriseNode(
+    val idCol: String = "doc_id",
+    val textCol: String = "text",
+    val scale: Long = 1000000L)
+  extends EstimatorNode {
+  require(scale > 0, "scale must be positive")
+  type Model = UnigramSurpriseNode.Lm
+  override protected def defaultName: String = "unigram_surprise"
+  val inputs = Seq(Port("reference"), Port("df"))
+  val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("unigram_surprise")
+  override def jsonParams: Map[String, Any] =
+    Map("idCol" -> idCol, "textCol" -> textCol, "scale" -> scale)
+
+  private def tokens(df: DataFrame, keep: Seq[String]): DataFrame =
+    df.select((keep.map(col) :+
+      expr(s"explode(${TextExprs.tokensExpr(textCol)})").as("__tok")): _*)
+
+  def fitModel(ctx: Ctx, in: In): Model = {
+    import org.apache.spark.sql.functions.{count, lit}
+    import org.apache.spark.storage.StorageLevel
+    val toks = tokens(in("reference"), Nil)
+    val counts = toks.groupBy("__tok").agg(count(lit(1)).as("__c"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // total token occurrences: a one-row aggregate of the counts frame (the
+    // only driver scalar — model-sized, like PageRank's node count)
+    val total = counts.agg(expr("sum(__c)")).collect().head.getLong(0)
+    UnigramSurpriseNode.Lm(counts, total)
+  }
+
+  def applyModel(m: Model, ctx: Ctx, in: In): Map[String, DataFrame] = {
+    import org.apache.spark.sql.functions.{coalesce, count, lit, sum, when}
+    val s = scale
+    val toks = tokens(in("df"), Seq(idCol))
+    val joined = toks.join(m.counts, Seq("__tok"), "left")
+    Map("result" -> joined
+      .withColumn("__surprise", expr(s"(${m.total}L * ${s}L) div coalesce(__c, 1L)"))
+      .groupBy(idCol).agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("__c").isNull, 1L).otherwise(0L)).as("n_oov"),
+        sum(expr("cast(__surprise as decimal(38,0))")).as("__ssum"))
+      .withColumn("mean_surprise", expr("cast(__ssum div n_tokens as bigint)"))
+      .drop("__ssum"))
+  }
+
+  /** Release the persisted counts (fit again to rebuild). */
+  def unpersistModel(): Unit = model.foreach(_.counts.unpersist())
+
+  override def saveFitted(path: String): Unit = {
+    val m = model.getOrElse(
+      throw new graft.dag.GraftException(s"estimator node '$name' not fitted"))
+    m.counts.write.mode("overwrite").parquet(s"$path/counts")
+    val spark = m.counts.sparkSession
+    import spark.implicits._
+    Seq(m.total).toDF("total").coalesce(1).write.mode("overwrite").parquet(s"$path/total")
+  }
+  override def loadFitted(path: String): Unit = loadFitted(path, None)
+  def loadFitted(path: String, session: Option[org.apache.spark.sql.SparkSession]): Unit = {
+    val spark = session.getOrElse(org.apache.spark.sql.SparkSession.active)
+    val counts = spark.read.parquet(s"$path/counts")
+    val total = spark.read.parquet(s"$path/total").collect().head.getLong(0)
+    model = Some(UnigramSurpriseNode.Lm(counts, total))
+  }
+}
+
+object UnigramSurpriseNode {
+  /** Fitted unigram LM: distributed (token, count) frame + total occurrences. */
+  case class Lm(counts: DataFrame, total: Long)
+}

@@ -414,6 +414,86 @@ object NorthStar {
       |  cast(sm.total_abs as bigint) AS total_abs
       |FROM c JOIN sm USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  // ---- q117: binaryFile ROUNDTRIP THROUGH THE FILESYSTEM — the production
+  // media path end to end: synthesize real PNGs, export one FILE per doc
+  // via the Hadoop-FS sink, re-ingest the directory with Spark's binaryFile
+  // source (path/length/content rows), recover the doc id from the file
+  // name, decode, and oracle the channel sums. Exercises listing, file IO,
+  // and the id-from-path join a real blob corpus needs. ----
+  def q117_binaryfile_roundtrip(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
+    val tmp = s"/tmp/graft_q117_${java.util.UUID.randomUUID().toString.take(8)}"
+    val sink = d.add(new BinaryFileSinkNode(tmp,
+      nameExpr = "concat(cast(doc_id as string), '.png')"))
+    d.add(SourceNode.table(dir, "documents")) >>
+      FilterNode("doc_id % 5 = 0") >>
+      new SyntheticImageNode(
+        wExpr = "16 + cast(doc_id % 16 as int)",
+        hExpr = "16 + cast((doc_id div 16) % 16 as int)",
+        seedExpr = "cast(doc_id % 251 as int)") >>
+      sink
+    val src = d.add(new BinaryFileSourceNode(tmp, pathGlobFilter = Some("*.png")))
+    src.after(sink) // order-only dependency: files must exist before listing
+    src >> new DecodeImageNode(payloadCol = "content") >>
+      ProjectNode(
+        "cast(regexp_extract(path, '([0-9]+)\\\\.png$', 1) as bigint) as doc_id",
+        "image_meta.width as w", "image_meta.height as h",
+        "image_sums[0] as sum_r", "image_sums[1] as sum_g", "image_sums[2] as sum_b") >>
+      SortNode("doc_id") >>
+      d.output("result")
+  }
+  val q117Sql: String =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    16 + cast(doc_id % 16 as int) AS w,
+      |    16 + cast((doc_id // 16) % 16 as int) AS h,
+      |    cast(doc_id % 251 as int) AS s
+      |  FROM documents WHERE doc_id % 5 = 0),
+      |v AS (
+      |  SELECT doc_id, s, cast(i % w as int) AS x, cast(i // w as int) AS y
+      |  FROM (SELECT doc_id, w, h, s, unnest(range(0, w * h)) AS i FROM p) u),
+      |sums AS (
+      |  SELECT doc_id,
+      |    sum((x * 31 + y * 17 + s) % 256) AS sum_r,
+      |    sum((x * 7 + y * 13 + 3 * s) % 256) AS sum_g,
+      |    sum((x + y + 7 * s) % 256) AS sum_b
+      |  FROM v GROUP BY doc_id)
+      |SELECT p.doc_id, p.w, p.h,
+      |  cast(sums.sum_r as bigint) AS sum_r, cast(sums.sum_g as bigint) AS sum_g,
+      |  cast(sums.sum_b as bigint) AS sum_b
+      |FROM p JOIN sums USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
+  // ---- q118: unigram-surprisal quality gate — the perplexity-filter shape
+  // in exact integers: LM fit on the English reference subset, ALL docs
+  // scored with the mean inverse-frequency surrogate (see
+  // UnigramSurpriseNode). DuckDB recomputes counts, total, OOV and the
+  // fixed-point mean from the data alone. ----
+  def q118_unigram_surprise(spark: SparkSession, dir: String): DataFrame = {
+    val d = new Dag("surprise")
+    val src = d.add(SourceNode.table(dir, "documents"))
+    val en = src >> FilterNode("lang = 'en'")
+    val lm = d.add(new UnigramSurpriseNode())
+    en >> lm("reference"); src("result") >> lm("df")
+    lm >> ProjectNode("doc_id", "n_tokens", "n_oov", "mean_surprise") >>
+      SortNode("doc_id") >> d.output("result")
+    val ctx = Ctx(spark)
+    d.fit(ctx)
+    d.transform(ctx).outputs("result")
+  }
+  val q118Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lang, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+      |  FROM documents),
+      |t AS (SELECT count(*) AS tt FROM toks WHERE lang = 'en'),
+      |fitc AS (SELECT tok, count(*) AS c FROM toks WHERE lang = 'en' GROUP BY tok)
+      |SELECT d.doc_id,
+      |  count(*) AS n_tokens,
+      |  cast(sum(CASE WHEN f.c IS NULL THEN 1 ELSE 0 END) as bigint) AS n_oov,
+      |  cast(sum((t.tt * 1000000) // coalesce(f.c, 1)) // count(*) as bigint) AS mean_surprise
+      |FROM toks d LEFT JOIN fitc f USING (tok), t
+      |GROUP BY d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   // ---- q60: deterministic hash-mod train/val/test split ----
   def q60_split(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
     d.add(SourceNode.table(dir, "documents")) >>
@@ -706,6 +786,8 @@ object NorthStar {
     ("q31_multimodal", q31_multimodal _, q31Sql),
     ("q32_frame_sample", q32_frame_sample _, q32Sql),
     ("q54_audio_chunks", q54_audio_chunks _, q54Sql),
+    ("q117_binaryfile_roundtrip", q117_binaryfile_roundtrip _, q117Sql),
+    ("q118_unigram_surprise", q118_unigram_surprise _, q118Sql),
     ("q60_split", q60_split _, q60Sql),
     ("q70_stratified_sample", q70_stratified_sample _, q70Sql),
     ("q72_repetition", q72_repetition _, q72Sql),

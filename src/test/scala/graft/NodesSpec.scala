@@ -1596,6 +1596,54 @@ class NodesSpec extends AnyFunSuite {
     assert(AudioChunkNode.parseWav(mono.take(40)).isEmpty)
   }
 
+  test("UnigramSurpriseNode: fixed-point mean surprise, OOV max-surprise, save/load") {
+    val ref = Seq((1L, "a a b")).toDF("doc_id", "text")
+    val docs = Seq((10L, "a b c")).toDF("doc_id", "text")
+    val lm = new UnigramSurpriseNode()
+    lm.fit(ctx, In.single("reference" -> ref))
+    def score(n: UnigramSurpriseNode) =
+      n.transform(ctx, In.single("df" -> docs))("result")
+        .selectExpr("n_tokens", "n_oov", "mean_surprise")
+        .as[(Long, Long, Long)].collect().head
+    // T=3, c(a)=2, c(b)=1, c OOV -> 1:
+    // (3e6/2 + 3e6/1 + 3e6/1) div 3 = (1500000+3000000+3000000) div 3
+    assert(score(lm) == ((3L, 1L, 2500000L)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_lm").toString
+    lm.saveFitted(dir)
+    val lm2 = new UnigramSurpriseNode()
+    lm2.loadFitted(dir)
+    assert(score(lm2) == ((3L, 1L, 2500000L)))
+    lm.unpersistModel()
+  }
+
+  test("BinaryFileSink/Source: payload files roundtrip; illegal names rejected") {
+    val dir = s"/tmp/graft_bfs_${java.util.UUID.randomUUID().toString.take(8)}"
+    val rows = Seq((1L, Array[Byte](1, 2, 3)), (2L, Array[Byte](9, 8))).toDF("doc_id", "payload")
+    runOne { d =>
+      d.add(srcNode(rows)) >>
+        new BinaryFileSinkNode(dir, "concat(cast(doc_id as string), '.bin')") >>
+        d.output("result")
+    }.count() // sink writes eagerly at transform; count just drains
+    val back = runOne { d =>
+      d.add(new BinaryFileSourceNode(dir, pathGlobFilter = Some("*.bin"))) >> d.output("result")
+    }.selectExpr("cast(regexp_extract(path, '([0-9]+)\\\\.bin$', 1) as bigint) as doc_id",
+        "content")
+      .as[(Long, Array[Byte])].collect().sortBy(_._1)
+    assert(back.map(_._1).toSeq == Seq(1L, 2L))
+    assert(back(0)._2.toSeq == Seq[Byte](1, 2, 3) && back(1)._2.toSeq == Seq[Byte](9, 8))
+    // path traversal guard fails the job loudly
+    val bad = Seq((1L, Array[Byte](1))).toDF("doc_id", "payload")
+    val err = intercept[Exception] {
+      runOne { d =>
+        d.add(srcNode(bad)) >>
+          new BinaryFileSinkNode(dir + "2", "'../evil'") >> d.output("result")
+      }.count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+    assert(msgs(err).exists(m => m != null && m.contains("illegal file name")))
+  }
+
   test("GroupEmaNode: null order/tie/value fails loudly instead of sorting first as 0") {
     val rows = Seq((1L, Some(1L), Some(10L), Some(100L)), (1L, Some(2L), None, Some(200L)))
       .toDF("k", "tie", "o", "v")
