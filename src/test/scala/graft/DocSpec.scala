@@ -107,4 +107,46 @@ class DocSpec extends AnyFunSuite {
     cr.unpersist()
     index.unpersistIndex()
   }
+
+  test("README refresh example runs") {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    val referenceDocs = Seq((1L, "the quick brown fox the end")).toDF("doc_id", "text")
+    val batch1 = Seq(
+      (10L, "the quick brown fox"),
+      (11L, "zz yy xx ww vv uu tt ss")).toDF("doc_id", "text")
+    val batch2 = Seq((20L, "the quick brown fox")).toDF("doc_id", "text")
+    val snapshotDocs = Seq((100L, "the quick brown fox")).toDF("doc_id", "text")
+
+    val lm = new UnigramSurpriseNode()
+    lm.fit(Ctx(spark), In.single("reference" -> referenceDocs))
+    val scored = lm.transform(Ctx(spark), In.single("df" -> batch1))("result")
+    val keep = scored.filter("mean_surprise < 6000000 and n_oov * 5 < n_tokens")
+    // the in-vocabulary doc passes, the all-OOV doc is gated out
+    assert(keep.select("doc_id").as[Long].collect().toSeq == Seq(10L))
+
+    val idx = new MinHashIndexNode(jaccardThreshold = 0.9)
+    idx.fit(Ctx(spark), In.single("corpus" -> snapshotDocs))
+    val dups1 = idx.transform(Ctx(spark), In.single("delta" -> batch1))("result")
+      .select("delta_id", "base_id").as[(Long, Long)].collect().toSet
+    assert(dups1 == Set((10L, 100L)))
+    idx.updateIndex(Ctx(spark), batch1)
+    val dups2 = idx.transform(Ctx(spark), In.single("delta" -> batch2))("result")
+      .select("base_id").as[Long].collect().toSet
+    assert(dups2 == Set(100L, 10L)) // batch2 dedups against corpus AND batch1
+
+    val m = new Dag("media")
+    m.input("blobs") >>
+      new DecodeImageNode(payloadCol = "content") >>
+      new ResizeImageNode(64, 64, payloadCol = "content") >>
+      m.output("decoded")
+    val img = new java.awt.image.BufferedImage(4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val blobs = Seq((1L, bos.toByteArray)).toDF("doc_id", "content")
+    val out = m.transform(Ctx(spark), Map("blobs" -> blobs))("decoded")
+    assert(out.selectExpr("image_meta.width", "resized_meta.width")
+      .as[(Int, Int)].collect().head == ((4, 64)))
+    lm.unpersistModel(); idx.unpersistIndex()
+  }
 }
