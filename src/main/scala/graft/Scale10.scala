@@ -63,7 +63,11 @@ object Scale10 {
       "q102_sessionize", "q103_collocations", "q105_quantile_gate",
       "q107_triangles", "q95_pagerank",
       "q109_histogram", "q110_checkpoint_pipeline", "q111_merge_intervals",
-      "q112_compact_latest", "q113_compact_history")
+      "q112_compact_latest", "q113_compact_history",
+      // round-6 additions: real PNG codec (per-row decode cost k-fold),
+      // two-generation index refresh (update path at k-fold corpus), LM
+      // fit+score (vocabulary join is the superlinear hazard)
+      "q31_multimodal", "q116_index_refresh", "q118_unigram_surprise")
     val names = if (queries.nonEmpty) queries else defaults
     names.foreach { n =>
       try time(n)(Queries.all(n)(spark, out).count())
