@@ -151,6 +151,13 @@ object NodeRegistry {
       p.strOpt("pathGlobFilter"), p.boolOr("recursive", false)))
     register("unigram_surprise")(p => new UnigramSurpriseNode(p.str("idCol"), p.str("textCol"),
       p.m("scale").toString.toLong))
+    register("ranking_metrics")(p => new RankingMetricsNode(p.int("k"), p.str("queryIdCol"),
+      p.str("idCol"), p.str("rankCol"), p.m("scale").toString.toLong))
+    register("conform_schema")(p => new ConformSchemaNode(
+      p.m("targets").asInstanceOf[Seq[Any]].map { case s: Seq[Any] @unchecked =>
+        (s.head.toString, s(1).toString, Option(s(2)).map(_.toString).orNull)
+      },
+      p.pairs("renames"), p.boolOr("keepExtras", false)))
     register("frame_sample")(p => new FrameSampleStubNode(p.int("stride"), p.int("maxFrames"), p.str("payloadCol")))
     register("audio_chunk")(p => new AudioChunkNode(p.str("payloadCol"), p.int("chunkMs"), p.int("maxChunks")))
     register("register_udafs")(p => new RegisterUdafsNode(p.strs("names")))

@@ -2,7 +2,7 @@ package graft.nodes
 
 import graft.dag._
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{broadcast, col, lit, not, when}
+import org.apache.spark.sql.functions.{broadcast, col, expr, lit, not, when}
 
 /** Corpus-evolution operators: a 100 TB training corpus is not rebuilt from
   * scratch per refresh — deltas are merged in (upsert + tombstone deletes)
@@ -201,5 +201,46 @@ class CompactLogNode(
           .withColumn("valid_to", lead(col(orderCol), 1).over(w))
           .withColumn("is_current", col("valid_to").isNull)
     }))
+  }
+}
+
+/** Conform a frame to a TARGET SCHEMA — the glue every corpus refresh needs
+  * when crawl generations drift (renamed fields, added columns, widened
+  * types): apply renames, then for each target column cast if present or
+  * fill with a default expression if absent; extra columns drop (default)
+  * or pass through. Declarative and narrow — zero shuffle, fully codegen —
+  * so it composes freely before MergeNode/SnapshotDiffNode, which both
+  * demand aligned schemas.
+  */
+class ConformSchemaNode(
+    val targets: Seq[(String, String, String)], // (name, typeDdl, defaultExpr | null)
+    val renames: Seq[(String, String)] = Nil,
+    val keepExtras: Boolean = false)
+  extends Node {
+  require(targets.nonEmpty, "targets must be non-empty")
+  override protected def defaultName: String = "conform_schema"
+  val inputs = Seq(Port("df"))
+  val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("conform_schema")
+  override def jsonParams: Map[String, Any] = Map(
+    "targets" -> targets.map { case (n, t, d) => Seq(n, t, d) },
+    "renames" -> renames, "keepExtras" -> keepExtras)
+  override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
+    val renamed = renames.foldLeft(in("df")) { case (d, (from, to)) =>
+      if (!d.columns.contains(from))
+        throw new GraftException(s"conform_schema '$name': rename source '$from' missing")
+      d.withColumnRenamed(from, to)
+    }
+    val present = renamed.columns.toSet
+    val targetCols = targets.map { case (n, ddl, dflt) =>
+      if (present(n)) expr(s"cast(`$n` as $ddl)").as(n)
+      else if (dflt != null) expr(s"cast(($dflt) as $ddl)").as(n)
+      else throw new GraftException(
+        s"conform_schema '$name': column '$n' absent and no default given")
+    }
+    val extras =
+      if (!keepExtras) Nil
+      else renamed.columns.filterNot(targets.map(_._1).contains).map(col).toSeq
+    Map("result" -> renamed.select(targetCols ++ extras: _*))
   }
 }

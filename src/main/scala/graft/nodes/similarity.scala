@@ -637,3 +637,56 @@ class Bm25TopKNode(
       .filter(col("rank") <= k))
   }
 }
+
+/** Retrieval evaluation — the metrics harness a data pipeline needs to
+  * grade its own retrieval/dedup quality (recall audits, BM25 vs ANN
+  * comparisons, hard-negative mining QA). Joins a ranked result list
+  * against a relevance set and emits per-query integers:
+  *
+  *   hits_at_k   = |top-k ∩ relevant|
+  *   first_rank  = rank of the first relevant hit (0 = none)
+  *   rr_fp       = S div first_rank (fixed-point reciprocal rank; 0 = none)
+  *
+  * Reciprocal rank is an exact rational (no log), so MRR-style rollups stay
+  * bit-reproducible cross-engine — the NDCG log-discount is deliberately
+  * absent (its libm irrationals cannot hash-match; rr is the standard
+  * integer-exact alternative). Queries with no relevant hit are KEPT with
+  * zeros — silently dropping them inflates every mean metric.
+  *
+  * Scale shape: one equi-join of the rank-capped results against the
+  * relevance set (AQE broadcasts the smaller side) + one groupBy on the
+  * query id + one join back to the distinct query list. No collect.
+  */
+class RankingMetricsNode(
+    val k: Int = 10,
+    val queryIdCol: String = "query_id",
+    val idCol: String = "vec_id",
+    val rankCol: String = "rank",
+    val scale: Long = 1000000L)
+  extends Node {
+  require(k > 0, "k must be positive")
+  require(scale > 0, "scale must be positive")
+  override protected def defaultName: String = "ranking_metrics"
+  val inputs = Seq(Port("results"), Port("relevant"))
+  val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("ranking_metrics")
+  override def jsonParams: Map[String, Any] = Map("k" -> k,
+    "queryIdCol" -> queryIdCol, "idCol" -> idCol, "rankCol" -> rankCol,
+    "scale" -> scale)
+  override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
+    import org.apache.spark.sql.functions.{coalesce, count, lit, min}
+    val res = in("results").filter(col(rankCol) <= k)
+      .select(col(queryIdCol), col(idCol), col(rankCol))
+    val rel = in("relevant").select(col(queryIdCol), col(idCol))
+    val hit = res.join(rel, Seq(queryIdCol, idCol))
+      .groupBy(queryIdCol).agg(
+        count(lit(1)).as("hits_at_k"),
+        min(col(rankCol)).as("__fr"))
+    val queries = in("results").select(col(queryIdCol)).distinct()
+    Map("result" -> queries.join(hit, Seq(queryIdCol), "left")
+      .select(col(queryIdCol),
+        coalesce(col("hits_at_k"), lit(0L)).as("hits_at_k"),
+        coalesce(col("__fr"), lit(0)).cast("bigint").as("first_rank"))
+      .withColumn("rr_fp", expr(s"if(first_rank = 0, 0L, ${scale}L div first_rank)")))
+  }
+}

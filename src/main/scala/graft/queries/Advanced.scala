@@ -774,6 +774,76 @@ object Advanced {
       |  SELECT * FROM m1 UNION ALL SELECT * FROM m2) u
       |ORDER BY delta_id, base_id""".stripMargin
 
+  // ---- q119: retrieval evaluation — brute-force top-10 graded against a
+  // deterministic relevance rule (same residue class mod 4) through
+  // RankingMetricsNode: hits@k, first relevant rank, fixed-point reciprocal
+  // rank. The oracle recomputes the exact top-10 AND the metrics from the
+  // data alone — integer-exact, no log-discount floats. ----
+  def q119_ranking_metrics(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
+    val emb = d.add(SourceNode.table(dir, "embeddings"))
+    val queries = emb >> FilterNode("vec_id < 5") >>
+      ProjectNode("vec_id as query_id", "embedding").named("queryset")
+    val knn = d.add(new BruteForceKnnNode(k = 10))
+    emb("result") >> knn("corpus"); queries >> knn("queries")
+    val qm = queries("result") >> ProjectNode("query_id", "query_id % 4 as m4").named("qm")
+    val cm = emb("result") >> ProjectNode("vec_id", "vec_id % 4 as m4").named("cm")
+    val rel = d.add(JoinNode.using(Seq("m4")).named("rel"))
+    qm >> rel("left"); cm >> rel("right")
+    val rm = d.add(new RankingMetricsNode(k = 10))
+    knn >> rm("results")
+    rel >> ProjectNode("query_id", "vec_id").named("relpairs") >> rm("relevant")
+    rm >> SortNode("query_id") >> d.output("result")
+  }
+  val q119Sql: String =
+    """WITH topk AS (
+      |  SELECT query_id, vec_id, rank FROM (
+      |    SELECT q.vec_id AS query_id, c.vec_id,
+      |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |        (list_sum(list_transform(range(1, 65), i -> c.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE))
+      |         / (sqrt(list_sum(list_transform(range(1, 65), i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)))
+      |          * sqrt(list_sum(list_transform(range(1, 65), i -> q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE))))) DESC,
+      |        c.vec_id ASC) AS rank
+      |    FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 5) q) t
+      |  WHERE rank <= 10),
+      |rel AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id
+      |  FROM embeddings c, (SELECT vec_id FROM embeddings WHERE vec_id < 5) q
+      |  WHERE c.vec_id % 4 = q.vec_id % 4),
+      |hit AS (
+      |  SELECT t.query_id, count(*) AS hits_at_k, min(t.rank) AS fr
+      |  FROM topk t JOIN rel r ON t.query_id = r.query_id AND t.vec_id = r.vec_id
+      |  GROUP BY t.query_id)
+      |SELECT q.query_id, cast(coalesce(h.hits_at_k, 0) as bigint) AS hits_at_k,
+      |  cast(coalesce(h.fr, 0) as bigint) AS first_rank,
+      |  cast(CASE WHEN coalesce(h.fr, 0) = 0 THEN 0 ELSE 1000000 // h.fr END as bigint) AS rr_fp
+      |FROM (SELECT DISTINCT vec_id AS query_id FROM embeddings WHERE vec_id < 5) q
+      |LEFT JOIN hit h USING (query_id) ORDER BY query_id""".stripMargin
+
+  // ---- q120: schema conformance — rename drifted fields, cast, fill a
+  // wholly-absent column with a default, derive a new column from old ones;
+  // then aggregate. The shape every multi-generation crawl merge needs
+  // before MergeNode/SnapshotDiffNode. ----
+  def q120_conform(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
+    d.add(SourceNode.table(dir, "orders")) >>
+      new ConformSchemaNode(
+        targets = Seq(
+          ("order_id", "bigint", null),
+          ("status", "string", null),
+          ("price_cents", "bigint", "cast(o_totalprice * 100 as bigint)"),
+          ("region", "string", "'unknown'")),
+        renames = Seq("o_orderkey" -> "order_id", "o_orderstatus" -> "status")) >>
+      AggNode(Seq("status", "region"),
+        "count(*) as n",
+        "cast(sum(price_cents) as bigint) as total_cents",
+        "min(order_id) as first_id") >>
+      SortNode("status") >> d.output("result")
+  }
+  val q120Sql: String =
+    """SELECT o_orderstatus AS status, 'unknown' AS region, count(*) AS n,
+      |  cast(sum(cast(floor(o_totalprice * 100) as bigint)) as bigint) AS total_cents,
+      |  min(o_orderkey) AS first_id
+      |FROM orders GROUP BY o_orderstatus ORDER BY status""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q94_bloom_join", q94_bloom_join _, q94Sql),
     ("q95_pagerank", q95_pagerank _, q95Sql),
@@ -798,5 +868,7 @@ object Advanced {
     ("q114_zorder", q114_zorder _, q114Sql),
     ("q115_group_ema", q115_group_ema _, q115Sql),
     ("q116_index_refresh", q116_index_refresh _, q116Sql),
+    ("q119_ranking_metrics", q119_ranking_metrics _, q119Sql),
+    ("q120_conform", q120_conform _, q120Sql),
   )
 }

@@ -1644,6 +1644,46 @@ class NodesSpec extends AnyFunSuite {
     assert(msgs(err).exists(m => m != null && m.contains("illegal file name")))
   }
 
+  test("RankingMetricsNode: hits/first-rank/rr; zero-hit queries kept with zeros") {
+    val results = Seq(
+      (1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),  // q1: relevant at ranks 2,3
+      (2L, 20L, 1), (2L, 21L, 2),                // q2: nothing relevant
+      (3L, 30L, 1),                              // q3: relevant at rank 1
+    ).toDF("query_id", "vec_id", "rank")
+    val relevant = Seq((1L, 11L), (1L, 12L), (3L, 30L), (3L, 99L)).toDF("query_id", "vec_id")
+    val out = runOne { d =>
+      val r = d.add(srcNode(results, "r")); val t = d.add(srcNode(relevant, "t"))
+      val m = d.add(new RankingMetricsNode(k = 10))
+      r >> m("results"); t >> m("relevant")
+      m >> d.output("result")
+    }.select("query_id", "hits_at_k", "first_rank", "rr_fp")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, 2L, 2L, 500000L),
+      (2L, 0L, 0L, 0L),
+      (3L, 1L, 1L, 1000000L)))
+  }
+
+  test("ConformSchemaNode: rename+cast+default+derived; absent-without-default errors; keepExtras") {
+    val gen1 = Seq((1L, "a", 2.5)).toDF("old_id", "tag", "price")
+    def conform(targets: Seq[(String, String, String)], keepExtras: Boolean = false) = runOne { d =>
+      d.add(srcNode(gen1)) >> new ConformSchemaNode(targets,
+        renames = Seq("old_id" -> "id"), keepExtras = keepExtras) >> d.output("result")
+    }
+    val out = conform(Seq(
+      ("id", "bigint", null),
+      ("tag", "string", null),
+      ("cents", "bigint", "cast(price * 100 as bigint)"),
+      ("region", "string", "'unknown'")))
+    assert(out.columns.toSeq == Seq("id", "tag", "cents", "region"))
+    assert(out.as[(Long, String, Long, String)].collect().head == ((1L, "a", 250L, "unknown")))
+    // extras pass through only on request
+    assert(conform(Seq(("id", "bigint", null)), keepExtras = true)
+      .columns.toSeq == Seq("id", "tag", "price"))
+    val err = intercept[GraftException](conform(Seq(("missing_col", "string", null))))
+    assert(err.getMessage.contains("absent and no default"))
+  }
+
   test("GroupEmaNode: null order/tie/value fails loudly instead of sorting first as 0") {
     val rows = Seq((1L, Some(1L), Some(10L), Some(100L)), (1L, Some(2L), None, Some(200L)))
       .toDF("k", "tie", "o", "v")
