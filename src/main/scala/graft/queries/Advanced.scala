@@ -844,6 +844,42 @@ object Advanced {
       |  min(o_orderkey) AS first_id
       |FROM orders GROUP BY o_orderstatus ORDER BY status""".stripMargin
 
+  // ---- q121: STREAMING LM scoring — the live-crawl quality gate: the
+  // unigram LM fits on the static English reference, then a streaming batch
+  // flows through the SAME applyModel plan (stream-static vocabulary join +
+  // per-doc streaming aggregation, complete mode over the bounded
+  // AvailableNow run) and must match the batch oracle bit-exactly — the
+  // same-nodes-streaming contract q106 pins for the dedup index. ----
+  def q121_stream_lm_score(spark: SparkSession, dir: String): DataFrame = {
+    val d = new Dag("lmstream")
+    val docs = d.add(SourceNode.table(dir, "documents"))
+    val en = docs >> FilterNode("lang = 'en'")
+    val sdocs = d.add(StreamSourceNode.table(dir, "documents")) >>
+      FilterNode("doc_id % 11 = 0").named("batch_stream")
+    val lm = d.add(new UnigramSurpriseNode())
+    en >> lm("reference"); sdocs >> lm("df")
+    lm >> ProjectNode("doc_id", "n_tokens", "n_oov", "mean_surprise") >>
+      new StreamRunNode(s"q121_sink_${System.nanoTime()}", outputMode = "complete") >>
+      SortNode("doc_id") >> d.output("result")
+    val ctx = Ctx(spark)
+    d.fit(ctx)
+    d.transform(ctx).outputs("result")
+  }
+  val q121Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lang, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+      |  FROM documents),
+      |t AS (SELECT count(*) AS tt FROM toks WHERE lang = 'en'),
+      |fitc AS (SELECT tok, count(*) AS c FROM toks WHERE lang = 'en' GROUP BY tok)
+      |SELECT d.doc_id,
+      |  count(*) AS n_tokens,
+      |  cast(sum(CASE WHEN f.c IS NULL THEN 1 ELSE 0 END) as bigint) AS n_oov,
+      |  cast(sum((t.tt * 1000000) // coalesce(f.c, 1)) // count(*) as bigint) AS mean_surprise
+      |FROM toks d LEFT JOIN fitc f USING (tok), t
+      |WHERE d.doc_id % 11 = 0
+      |GROUP BY d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q94_bloom_join", q94_bloom_join _, q94Sql),
     ("q95_pagerank", q95_pagerank _, q95Sql),
@@ -870,5 +906,6 @@ object Advanced {
     ("q116_index_refresh", q116_index_refresh _, q116Sql),
     ("q119_ranking_metrics", q119_ranking_metrics _, q119Sql),
     ("q120_conform", q120_conform _, q120Sql),
+    ("q121_stream_lm_score", q121_stream_lm_score _, q121Sql),
   )
 }

@@ -175,6 +175,46 @@ class PlanSpec extends AnyFunSuite {
       s"SequencePackNode must shuffle exactly once (shard window):\n$pk")
   }
 
+  test("round-6 nodes keep their scale shapes: conform narrow, LM apply two exchanges, metrics no collect") {
+    import graft.dag._
+    import graft.nodes._
+    def build(f: Dag => Unit): org.apache.spark.sql.DataFrame = {
+      val d = new Dag(); f(d); d.transform(Ctx(spark)).outputs("result")
+    }
+    // ConformSchemaNode: pure projection — no exchange at any width
+    val cf = planOf(build { d =>
+      d.add(SourceNode.table(dir, "orders")) >>
+        new ConformSchemaNode(
+          targets = Seq(("order_id", "bigint", null), ("region", "string", "'x'")),
+          renames = Seq("o_orderkey" -> "order_id")) >> d.output("result")
+    })
+    assert(!cf.contains("Exchange"), s"ConformSchemaNode must not shuffle:\n$cf")
+    // UnigramSurpriseNode apply: the vocabulary join + the per-doc groupBy
+    // are the ONLY wide ops (token explode stays narrow; no collect)
+    val d = new Dag()
+    val lm = d.add(new UnigramSurpriseNode())
+    val src = d.add(SourceNode.table(dir, "documents"))
+    src >> lm("reference"); src("result") >> lm("df")
+    val c = Ctx(spark)
+    d.fit(c)
+    lm >> d.output("result")
+    val lp = planOf(d.transform(c).outputs("result"))
+    // join + final agg; AQE may broadcast the vocab side (then 1 shuffle)
+    val lmEx = """\(\d+\) Exchange""".r.findAllIn(lp).size
+    assert(lmEx <= 3, s"LM apply must stay join+agg shaped (got $lmEx exchanges):\n$lp")
+    // RankingMetricsNode: equi-joins + aggregates only — no cartesian
+    val rm = planOf(build { dg =>
+      val res = dg.add(SourceNode.table(dir, "embeddings")) >>
+        ProjectNode("vec_id as query_id", "vec_id", "1 as rank").named("res")
+      val rel = dg.add(SourceNode.table(dir, "embeddings").named("rel_src")) >>
+        ProjectNode("vec_id as query_id", "vec_id").named("rel")
+      val m = dg.add(new RankingMetricsNode(k = 10))
+      res >> m("results"); rel >> m("relevant")
+      m >> dg.output("result")
+    })
+    assert(!rm.contains("CartesianProduct"), s"metrics must stay equi-join shaped:\n$rm")
+  }
+
   test("quality nodes keep their scale shapes: heuristic narrow, quota one exchange") {
     import graft.dag._
     import graft.nodes._
