@@ -421,7 +421,9 @@ object NorthStar {
   // name, decode, and oracle the channel sums. Exercises listing, file IO,
   // and the id-from-path join a real blob corpus needs. ----
   def q117_binaryfile_roundtrip(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
-    val tmp = s"/tmp/graft_q117_${java.util.UUID.randomUUID().toString.take(8)}"
+    // deterministic per-SF dir: the sink's overwrite mode reuses it, so
+    // repeated Verify/Bench runs do not accumulate /tmp litter
+    val tmp = s"/tmp/graft_q117_${math.abs(dir.hashCode)}"
     val sink = d.add(new BinaryFileSinkNode(tmp,
       nameExpr = "concat(cast(doc_id as string), '.png')"))
     d.add(SourceNode.table(dir, "documents")) >>
