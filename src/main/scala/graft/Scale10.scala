@@ -73,6 +73,29 @@ object Scale10 {
       try time(n)(Queries.all(n)(spark, out).count())
       catch { case e: Throwable => println(s"[scale10] $n FAILED: ${e.getMessage}") }
     }
+
+    // Retrieval with a BOUNDED query batch — the production serving shape.
+    // q98/q100 in the list above grow ~k^2 in this probe because their
+    // query set is a corpus SAMPLE (doc_id % 97), so both sides scale
+    // k-fold; here the batch is pinned to the base corpus' sample (ids
+    // below the clone shift) and cost should track the corpus ~linearly.
+    def retrievalFixedBatch(label: String, mk: () => graft.dag.Node): Unit =
+      try time(label) {
+        val d = new Dag(label)
+        val docs = d.add(SourceNode.table(out, "documents"))
+        val qs = docs >> FilterNode("doc_id % 97 = 0 and doc_id < 100000000") >>
+          ProjectNode("doc_id as query_id", "text").named("fixed_batch")
+        val n = d.add(mk())
+        docs("result") >> n("corpus"); qs >> n("queries")
+        n >> d.output("result")
+        d.fitTransform(Ctx(spark)).outputs("result").count()
+      } catch { case e: Throwable => println(s"[scale10] $label FAILED: ${e.getMessage}") }
+    retrievalFixedBatch("q98_fixed_batch", () => new InvertedIndexTopKNode(
+      idCol = "doc_id", textCol = "text", queryIdCol = "query_id",
+      queryTextCol = "text", k = 5, maxDfFrac = 0.79))
+    retrievalFixedBatch("q100_fixed_batch", () => new Bm25TopKNode(
+      idCol = "doc_id", textCol = "text", queryIdCol = "query_id",
+      queryTextCol = "text", k = 5, maxDfFrac = 0.79))
     spark.stop()
   }
 }

@@ -496,6 +496,62 @@ object NorthStar {
       |GROUP BY d.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  // ---- q122: MULTIMODAL curation pipeline end to end (the media analogue
+  // of q74): synthesize + decode real PNGs, gate on decoded-raster mean
+  // luminance (an exact integer rule over real codec output), count text
+  // tokens, deterministic split, per-split doc/token/pixel budget. Every
+  // stage is individually oracled (q31, q21, q60); this pins their
+  // COMPOSITION through the codec. ----
+  def q122_media_curation(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
+    d.add(SourceNode.table(dir, "documents")) >>
+      new SyntheticImageNode(
+        wExpr = "16 + cast(doc_id % 16 as int)",
+        hExpr = "16 + cast((doc_id div 16) % 16 as int)",
+        seedExpr = "cast(doc_id % 251 as int)") >>
+      new DecodeImageNode() >>
+      WithColumnsNode("mean_lum" ->
+        ("(image_sums[0] + image_sums[1] + image_sums[2]) div " +
+          "(3L * image_meta.width * image_meta.height)")) >>
+      FilterNode("mean_lum >= 125 and mean_lum < 129").named("lum_gate") >>
+      new TokenCountNode() >>
+      new SplitNode() >>
+      AggNode(Seq("split"),
+        "count(*) as n_docs",
+        "cast(sum(ws_tokens) as bigint) as total_tokens",
+        "cast(sum(cast(image_meta.width as bigint) * image_meta.height) as bigint) as total_px") >>
+      SortNode("split") >> d.output("result")
+  }
+  val q122Sql: String =
+    """WITH p AS (
+      |  SELECT doc_id, text,
+      |    16 + cast(doc_id % 16 as int) AS w,
+      |    16 + cast((doc_id // 16) % 16 as int) AS h,
+      |    cast(doc_id % 251 as int) AS s
+      |  FROM documents),
+      |v AS (
+      |  SELECT doc_id, s, cast(i % w as int) AS x, cast(i // w as int) AS y
+      |  FROM (SELECT doc_id, w, h, s, unnest(range(0, w * h)) AS i FROM p) u),
+      |sums AS (
+      |  SELECT doc_id,
+      |    sum((x * 31 + y * 17 + s) % 256) + sum((x * 7 + y * 13 + 3 * s) % 256)
+      |      + sum((x + y + 7 * s) % 256) AS lumsum
+      |  FROM v GROUP BY doc_id),
+      |keep AS (
+      |  SELECT p.doc_id, p.w, p.h, p.text
+      |  FROM p JOIN sums USING (doc_id)
+      |  WHERE lumsum // (3 * p.w * p.h) >= 125 AND lumsum // (3 * p.w * p.h) < 129),
+      |s AS (
+      |  SELECT doc_id, w, h,
+      |    len(regexp_split_to_array(lower(trim(text)), '\s+')) AS t,
+      |    CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split
+      |  FROM (SELECT *,
+      |          cast('0x' || substring(md5(cast(doc_id as varchar)), 1, 8) as ubigint) % 100 AS b
+      |        FROM keep) k)
+      |SELECT split, count(*) AS n_docs,
+      |  cast(sum(t) as bigint) AS total_tokens,
+      |  cast(sum(w * h) as bigint) AS total_px
+      |FROM s GROUP BY split ORDER BY split""".stripMargin
+
   // ---- q60: deterministic hash-mod train/val/test split ----
   def q60_split(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
     d.add(SourceNode.table(dir, "documents")) >>
@@ -790,6 +846,7 @@ object NorthStar {
     ("q54_audio_chunks", q54_audio_chunks _, q54Sql),
     ("q117_binaryfile_roundtrip", q117_binaryfile_roundtrip _, q117Sql),
     ("q118_unigram_surprise", q118_unigram_surprise _, q118Sql),
+    ("q122_media_curation", q122_media_curation _, q122Sql),
     ("q60_split", q60_split _, q60Sql),
     ("q70_stratified_sample", q70_stratified_sample _, q70Sql),
     ("q72_repetition", q72_repetition _, q72Sql),
