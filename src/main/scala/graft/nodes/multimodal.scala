@@ -94,16 +94,18 @@ class SyntheticImageNode(
         val (w, h, s) = (row.getInt(nBase), row.getInt(nBase + 1), row.getInt(nBase + 2))
         val img = new java.awt.image.BufferedImage(w, h,
           java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val px = new Array[Int](w * h)
         var y = 0
         while (y < h) {
           var x = 0
           while (x < w) {
             import MultimodalSchemas.{pxB, pxG, pxR}
-            img.setRGB(x, y, (pxR(x, y, s) << 16) | (pxG(x, y, s) << 8) | pxB(x, y, s))
+            px(y * w + x) = (pxR(x, y, s) << 16) | (pxG(x, y, s) << 8) | pxB(x, y, s)
             x += 1
           }
           y += 1
         }
+        img.setRGB(0, 0, w, h, px, 0, w)
         val bos = new java.io.ByteArrayOutputStream(w * h / 2 + 128)
         javax.imageio.ImageIO.write(img, "png", bos)
         Row.fromSeq(row.toSeq.take(nBase) :+ bos.toByteArray)
@@ -146,16 +148,15 @@ class DecodeImageNode(val payloadCol: String = "payload", val prefix: String = "
           val (w, h) = (img.getWidth, img.getHeight)
           val fmt = DecodeImageNode.sniffFormat(bytes)
           val meta = Row(w, h, img.getColorModel.getNumComponents, fmt)
+          // bulk raster read: one sRGB int[] instead of w*h getRGB calls
+          // (the per-pixel path dominated decode cost in the 10x probe)
+          val px = img.getRGB(0, 0, w, h, null, 0, w)
           var (sr, sg, sb) = (0L, 0L, 0L)
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val rgb = img.getRGB(x, y)
-              sr += (rgb >> 16) & 0xFF; sg += (rgb >> 8) & 0xFF; sb += rgb & 0xFF
-              x += 1
-            }
-            y += 1
+          var i = 0
+          while (i < px.length) {
+            val rgb = px(i)
+            sr += (rgb >> 16) & 0xFF; sg += (rgb >> 8) & 0xFF; sb += rgb & 0xFF
+            i += 1
           }
           Row.fromSeq(row.toSeq ++ Seq(meta, Array(sr, sg, sb)))
         }
@@ -216,16 +217,20 @@ class ResizeImageNode(
           val (sw, sh) = (img.getWidth, img.getHeight)
           val dst = new java.awt.image.BufferedImage(tw, th,
             java.awt.image.BufferedImage.TYPE_INT_RGB)
+          // bulk source raster + bulk target write (see DecodeImageNode)
+          val src = img.getRGB(0, 0, sw, sh, null, 0, sw)
+          val outPx = new Array[Int](tw * th)
           var y = 0
           while (y < th) {
             val sy = y * sh / th
             var x = 0
             while (x < tw) {
-              dst.setRGB(x, y, img.getRGB(x * sw / tw, sy) & 0xFFFFFF)
+              outPx(y * tw + x) = src(sy * sw + x * sw / tw) & 0xFFFFFF
               x += 1
             }
             y += 1
           }
+          dst.setRGB(0, 0, tw, th, outPx, 0, tw)
           val bos = new java.io.ByteArrayOutputStream(tw * th / 2 + 128)
           javax.imageio.ImageIO.write(dst, "png", bos)
           val meta = Row(tw, th, img.getColorModel.getNumComponents, "png")
