@@ -153,6 +153,8 @@ object NodeRegistry {
       p.m("scale").toString.toLong))
     register("ranking_metrics")(p => new RankingMetricsNode(p.int("k"), p.str("queryIdCol"),
       p.str("idCol"), p.str("rankCol"), p.m("scale").toString.toLong))
+    register("token_shard")(p => new TokenShardNode(p.str("idCol"), p.str("weightExpr"),
+      p.m("budget").toString.toLong, p.int("buckets"), p.str("outCol")))
     register("conform_schema")(p => new ConformSchemaNode(
       p.m("targets").asInstanceOf[Seq[Any]].map { case s: Seq[Any] @unchecked =>
         (s.head.toString, s(1).toString, Option(s(2)).map(_.toString).orNull)

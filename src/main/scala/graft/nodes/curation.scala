@@ -515,3 +515,63 @@ class HistogramNode(
     Map("result" -> out)
   }
 }
+
+/** Training-shard assignment by cumulative weight budget — the final "pack
+  * the corpus into ~equal-token shards" step before writing training data.
+  * Greedy sequential packing over a DETERMINISTIC global order (the DetHash
+  * of the id — engine/partitioning/retry-independent): each document's
+  * shard is `start_offset div budget`, so shard boundaries are stable
+  * across runs and engines; a shard overfills by at most one document.
+  *
+  * The global prefix sum is the classic scale trap: a single ORDER BY
+  * window serializes the corpus through one partition. Here the order KEY
+  * ITSELF derives the bucket (`ord div (2^32/buckets)` — deterministic,
+  * uniform, order-aligned, unlike range-partitioner sampling), so the
+  * cumsum decomposes into (1) a per-bucket window over `buckets`-way
+  * parallelism, (2) a buckets-sized totals frame whose exclusive running
+  * offsets are one tiny window, (3) a broadcast join back. No driver
+  * state, no single-partition stage, two narrow shuffles at any corpus
+  * size.
+  */
+class TokenShardNode(
+    val idCol: String = "doc_id",
+    val weightExpr: String = "ws_tokens",
+    val budget: Long = 1000000L,
+    val buckets: Int = 1024,
+    val outCol: String = "shard_id")
+  extends Node {
+  require(budget > 0, "budget must be positive")
+  require(buckets > 0 && (1L << 32) % buckets == 0,
+    "buckets must be a positive power of two (divides the 32-bit hash range)")
+  override protected def defaultName: String = "token_shard"
+  val inputs = Seq(Port("df"))
+  val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("token_shard")
+  override def jsonParams: Map[String, Any] = Map("idCol" -> idCol,
+    "weightExpr" -> weightExpr, "budget" -> budget, "buckets" -> buckets,
+    "outCol" -> outCol)
+  override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{broadcast, coalesce, lit, sum}
+    val span = (1L << 32) / buckets
+    val keyed = in("df")
+      .withColumn("__ord", expr(DetHash.expr(idCol)))
+      .withColumn("__w", expr(weightExpr).cast("long"))
+      .withColumn("__b", expr(s"__ord div ${span}L"))
+    // (1) local cumsum inside each deterministic bucket
+    val wLocal = Window.partitionBy(col("__b"))
+      .orderBy(col("__ord").asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = keyed.withColumn("__local", sum(col("__w")).over(wLocal))
+    // (2) buckets-sized exclusive offsets (tiny frame, one window)
+    val wOff = Window.orderBy(col("__b").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = keyed.groupBy(col("__b")).agg(sum(col("__w")).as("__bt"))
+      .withColumn("__off", coalesce(sum(col("__bt")).over(wOff), lit(0L)))
+      .select(col("__b"), col("__off"))
+    // (3) start offset -> shard id
+    Map("result" -> local.join(broadcast(offsets), Seq("__b"))
+      .withColumn(outCol, expr(s"(__off + __local - __w) div ${budget}L"))
+      .drop("__ord", "__w", "__b", "__local", "__off"))
+  }
+}

@@ -552,6 +552,33 @@ object NorthStar {
       |  cast(sum(w * h) as bigint) AS total_px
       |FROM s GROUP BY split ORDER BY split""".stripMargin
 
+  // ---- q123: training-shard assignment by cumulative token budget — the
+  // distributed global prefix sum (order-key-derived buckets, per-bucket
+  // window + tiny offset frame; no single-partition ORDER BY stage). The
+  // oracle recomputes the same greedy packing with one global window at
+  // test scale. ----
+  def q123_token_shards(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
+    d.add(SourceNode.table(dir, "documents")) >>
+      new TokenCountNode() >>
+      new TokenShardNode(weightExpr = "ws_tokens", budget = 2000L, buckets = 16) >>
+      AggNode(Seq("shard_id"),
+        "count(*) as n_docs",
+        "cast(sum(ws_tokens) as bigint) as total_tokens") >>
+      SortNode("shard_id") >> d.output("result")
+  }
+  val q123Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    len(regexp_split_to_array(lower(trim(text)), '\s+')) AS w,
+      |    cast(cast('0x' || substring(md5(cast(doc_id as varchar)), 1, 8) as ubigint) as bigint) AS ord
+      |  FROM documents),
+      |c AS (SELECT doc_id, w,
+      |        sum(w) OVER (ORDER BY ord, doc_id ROWS UNBOUNDED PRECEDING) AS pref
+      |      FROM t)
+      |SELECT cast((pref - w) // 2000 as bigint) AS shard_id,
+      |  count(*) AS n_docs, cast(sum(w) as bigint) AS total_tokens
+      |FROM c GROUP BY shard_id ORDER BY shard_id""".stripMargin
+
   // ---- q60: deterministic hash-mod train/val/test split ----
   def q60_split(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
     d.add(SourceNode.table(dir, "documents")) >>
@@ -847,6 +874,7 @@ object NorthStar {
     ("q117_binaryfile_roundtrip", q117_binaryfile_roundtrip _, q117Sql),
     ("q118_unigram_surprise", q118_unigram_surprise _, q118Sql),
     ("q122_media_curation", q122_media_curation _, q122Sql),
+    ("q123_token_shards", q123_token_shards _, q123Sql),
     ("q60_split", q60_split _, q60Sql),
     ("q70_stratified_sample", q70_stratified_sample _, q70Sql),
     ("q72_repetition", q72_repetition _, q72Sql),

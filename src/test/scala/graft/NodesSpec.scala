@@ -1644,6 +1644,34 @@ class NodesSpec extends AnyFunSuite {
     assert(msgs(err).exists(m => m != null && m.contains("illegal file name")))
   }
 
+  test("TokenShardNode: bucketed prefix sum equals a global cumsum; bucket count irrelevant") {
+    val docs = (1L to 200L).map(i => (i, 10L + i % 7)).toDF("doc_id", "ws_tokens")
+    def shards(buckets: Int): Map[Long, Long] = runOne { d =>
+      d.add(srcNode(docs)) >>
+        new TokenShardNode(weightExpr = "ws_tokens", budget = 100L, buckets = buckets) >>
+        d.output("result")
+    }.select("doc_id", "shard_id").as[(Long, Long)].collect().toMap
+    // ground truth: greedy packing over the global (DetHash, id) order
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def ord(id: Long): Long = {
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .take(4).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex, 16)
+    }
+    var cum = 0L
+    val expect = docs.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (id, _) => (ord(id), id) }
+      .map { case (id, w) => val s = cum / 100L; cum += w; id -> s }.toMap
+    assert(shards(16) == expect)
+    // decomposition is invisible: any power-of-two bucket count agrees
+    assert(shards(4) == expect && shards(256) == expect)
+    // shards fill to the budget, overflow bounded by one document
+    val perShard = expect.groupBy(_._2).map { case (s, m) =>
+      s -> m.keys.map(id => docs.collect().find(_.getLong(0) == id).get.getLong(1)).sum
+    }
+    assert(perShard.values.forall(_ <= 100L + 16L))
+  }
+
   test("RankingMetricsNode: hits/first-rank/rr; zero-hit queries kept with zeros") {
     val results = Seq(
       (1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),  // q1: relevant at ranks 2,3
