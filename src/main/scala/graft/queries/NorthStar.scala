@@ -427,7 +427,7 @@ object NorthStar {
     val sink = d.add(new BinaryFileSinkNode(tmp,
       nameExpr = "concat(cast(doc_id as string), '.png')"))
     d.add(SourceNode.table(dir, "documents")) >>
-      FilterNode("doc_id % 5 = 0") >>
+      FilterNode("doc_id % 17 = 0") >>
       new SyntheticImageNode(
         wExpr = "16 + cast(doc_id % 16 as int)",
         hExpr = "16 + cast((doc_id div 16) % 16 as int)",
@@ -449,7 +449,7 @@ object NorthStar {
       |    16 + cast(doc_id % 16 as int) AS w,
       |    16 + cast((doc_id // 16) % 16 as int) AS h,
       |    cast(doc_id % 251 as int) AS s
-      |  FROM documents WHERE doc_id % 5 = 0),
+      |  FROM documents WHERE doc_id % 17 = 0),
       |v AS (
       |  SELECT doc_id, s, cast(i % w as int) AS x, cast(i // w as int) AS y
       |  FROM (SELECT doc_id, w, h, s, unnest(range(0, w * h)) AS i FROM p) u),
