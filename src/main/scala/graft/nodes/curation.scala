@@ -556,7 +556,10 @@ class TokenShardNode(
     val span = (1L << 32) / buckets
     val keyed = in("df")
       .withColumn("__ord", expr(DetHash.expr(idCol)))
-      .withColumn("__w", expr(weightExpr).cast("long"))
+      // null weights count 0 (occupy no budget) — a bare cast would null
+      // the window sum arithmetic into silent null shard ids (the
+      // SequencePackNode convention)
+      .withColumn("__w", coalesce(expr(weightExpr).cast("long"), lit(0L)))
       .withColumn("__b", expr(s"__ord div ${span}L"))
     // (1) local cumsum inside each deterministic bucket
     val wLocal = Window.partitionBy(col("__b"))

@@ -210,7 +210,9 @@ class CompactLogNode(
   * fill with a default expression if absent; extra columns drop (default)
   * or pass through. Declarative and narrow — zero shuffle, fully codegen —
   * so it composes freely before MergeNode/SnapshotDiffNode, which both
-  * demand aligned schemas.
+  * demand aligned schemas. Casts follow Spark cast semantics: an
+  * unconvertible value becomes NULL (non-ANSI) — put a ConstraintCheckNode
+  * downstream when silent null-on-cast must be caught.
   */
 class ConformSchemaNode(
     val targets: Seq[(String, String, String)], // (name, typeDdl, defaultExpr | null)

@@ -388,6 +388,8 @@ object AudioChunkNode {
   * is why this node caps per-task files with no shuffle but does not try to
   * be the 100 TB path.
   *
+  * `nameExpr` must be unique per row: duplicate names silently overwrite
+  * (last concurrent writer wins) — derive names from the row id.
   * `mode`: "overwrite" (delete dir first) | "errorifexists".
   */
 class BinaryFileSinkNode(
