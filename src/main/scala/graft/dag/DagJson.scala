@@ -28,6 +28,7 @@ object DagJson {
     def dbl(k: String): Double = m(k) match { case d: Double => d; case i: Int => i.toDouble; case l: Long => l.toDouble; case b: BigInt => b.toDouble }
     def bool(k: String): Boolean = m(k).asInstanceOf[Boolean]
     def boolOr(k: String, d: Boolean): Boolean = m.get(k).fold(d)(_.asInstanceOf[Boolean])
+    def intOr(k: String, d: Int): Int = if (m.contains(k) && m(k) != null) int(k) else d
     def strs(k: String): Seq[String] = m.getOrElse(k, Nil).asInstanceOf[Seq[Any]].map(_.toString)
     def pairs(k: String): Seq[(String, String)] =
       m.getOrElse(k, Nil).asInstanceOf[Seq[Any]].map {

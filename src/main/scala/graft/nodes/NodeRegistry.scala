@@ -232,7 +232,9 @@ object NodeRegistry {
       p.m("gapSeconds").toString.toLong, p.strs("tieBreakCols"), p.str("outCol")))
     register("minhash_index")(p => new MinHashIndexNode(p.str("idCol"), p.str("textCol"),
       p.int("numHashes"), p.int("bands"), p.int("shingleN"),
-      p.dbl("jaccardThreshold"), p.int("maxBucket")))
+      p.dbl("jaccardThreshold"), p.int("maxBucket"),
+      p.boolOr("unboundedStreamStateOk", false),
+      p.intOr("compactEvery", 0), p.strOpt("compactPath")))
     register("bm25_topk")(p => new Bm25TopKNode(p.str("idCol"), p.str("textCol"),
       p.str("queryIdCol"), p.str("queryTextCol"), p.int("k"), p.dbl("maxDfFrac"),
       p.int("k1Tenths"), p.int("bHundredths"), p.m("scale").toString.toLong,

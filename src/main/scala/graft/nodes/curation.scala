@@ -498,11 +498,15 @@ class HistogramNode(
     val nullAgg = valued
       .groupBy(groupCols.map(col): _*)
       .agg(count(when(col("__v").isNull, 1)).as("n_null"))
-    // fixed grid: every (group, bin) row exists, empty bins count 0
+    // fixed grid: every (group, bin) row exists, empty bins count 0. The
+    // group list comes from the UNFILTERED input (`valued`) — deriving it
+    // from the null-dropped side made a group whose values are ALL null
+    // vanish entirely, dropping its n_null and breaking the
+    // sum(n) + n_null = input-rows invariant (ADVICE r6)
     val grid0 = ctx.spark.range(nBins).select(col("id").as("bin"))
     val grid =
       if (groupCols.isEmpty) grid0
-      else filtered.select(groupCols.map(col): _*).distinct().crossJoin(grid0)
+      else valued.select(groupCols.map(col): _*).distinct().crossJoin(grid0)
     val binned = grid.join(counts, groupCols :+ "bin", "left")
       .withColumn("n", expr("coalesce(n, 0L)"))
       .withColumn("bin_lo", expr(s"$lo + bin * $w"))
@@ -521,7 +525,15 @@ class HistogramNode(
   * Greedy sequential packing over a DETERMINISTIC global order (the DetHash
   * of the id — engine/partitioning/retry-independent): each document's
   * shard is `start_offset div budget`, so shard boundaries are stable
-  * across runs and engines; a shard overfills by at most one document.
+  * across runs and engines.
+  *
+  * Budget-overshoot CONTRACT (VERDICT r6): documents are never split — a
+  * document whose cumulative span straddles a shard boundary lands WHOLE in
+  * the shard where its start offset falls, so a shard's total weight may
+  * exceed `budget` by up to (heaviest document − 1). Size `budget` ≫ the
+  * max document weight and the overshoot is negligible; a document heavier
+  * than the whole budget still occupies exactly one shard (its own start
+  * shard) rather than failing.
   *
   * The global prefix sum is the classic scale trap: a single ORDER BY
   * window serializes the corpus through one partition. Here the order KEY

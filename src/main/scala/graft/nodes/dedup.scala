@@ -470,7 +470,10 @@ class SpanDupScoreNode(
   * A STREAMING delta works unchanged (live-crawl dedup): transform
   * detects `isStreaming` and switches to an all-stream-static join plan
   * (see applyModel) — q106 drives the q101 check through a stream and
-  * matches the same oracle.
+  * matches the same oracle. Streaming state contract: a WATERMARKED delta
+  * gets `dropDuplicatesWithinWatermark` candidate dedup (state expires);
+  * a watermark-less one is refused unless `unboundedStreamStateOk = true`
+  * acknowledges a bounded AvailableNow backfill.
   *
   * Same seeds as MinHashDedupNode (both use `shingle_hashes` /
   * `minhash_bands`), so identical text produces identical signatures in
@@ -484,9 +487,22 @@ class MinHashIndexNode(
     val bands: Int = 8,
     val shingleN: Int = 3,
     val jaccardThreshold: Double = 0.8,
-    val maxBucket: Int = 1000)
+    val maxBucket: Int = 1000,
+    // Streaming-state contract (VERDICT r6): the streaming candidate dedup
+    // keeps one state-store entry per seen (delta_id, base_id) pair. With a
+    // WATERMARK on the delta that state expires (dropDuplicatesWithinWatermark)
+    // and a continuous crawl is safe; WITHOUT one the state grows forever, so
+    // the node refuses a watermark-less streaming delta unless the caller
+    // explicitly acknowledges a bounded AvailableNow backfill via this flag.
+    val unboundedStreamStateOk: Boolean = false,
+    // Every `compactEvery` updateIndex generations, round-trip the index
+    // through parquet to truncate the one-union-per-generation lineage
+    // (0 = never; see updateIndex docs).
+    val compactEvery: Int = 0,
+    val compactPath: Option[String] = None)
   extends graft.dag.EstimatorNode {
   require(numHashes % bands == 0, "numHashes must divide into bands")
+  require(compactEvery >= 0, "compactEvery must be >= 0")
   type Model = MinHashIndexNode.Index
   override protected def defaultName: String = "minhash_index"
   val inputs = Seq(Port("corpus"), Port("delta"))
@@ -495,14 +511,17 @@ class MinHashIndexNode(
   override def jsonParams: Map[String, Any] = Map(
     "idCol" -> idCol, "textCol" -> textCol, "numHashes" -> numHashes,
     "bands" -> bands, "shingleN" -> shingleN,
-    "jaccardThreshold" -> jaccardThreshold, "maxBucket" -> maxBucket)
+    "jaccardThreshold" -> jaccardThreshold, "maxBucket" -> maxBucket,
+    "unboundedStreamStateOk" -> unboundedStreamStateOk,
+    "compactEvery" -> compactEvery, "compactPath" -> compactPath.orNull)
 
-  private def sketch(df: DataFrame, outId: String, outSh: String): DataFrame = {
+  private def sketch(df: DataFrame, outId: String, outSh: String,
+                     extraCols: Seq[String] = Nil): DataFrame = {
     val toks = TextExprs.tokensExpr(textCol)
     df.withColumn("__toks", expr(toks))
       .withColumn(outSh, expr(s"shingle_hashes(__toks, $shingleN)"))
       .filter(s"size($outSh) > 0")
-      .select(col(idCol).as(outId), col(outSh))
+      .select((col(idCol).as(outId) +: col(outSh) +: extraCols.map(col)): _*)
   }
 
   private def bandKeys(sh: DataFrame, id: String, shCol: String): DataFrame =
@@ -538,20 +557,36 @@ class MinHashIndexNode(
     graft.functions.VecFunctions.register(delta.sparkSession)
     if (delta.isStreaming) {
       // Streaming delta (live-crawl dedup): every join is STREAM-STATIC
-      // against the persisted index — no stream-stream join, no watermark
-      // requirement. The shingle array rides along through the bucket join
-      // (a batch re-join back to the delta side would be stream-stream);
-      // fatter shuffle payload than the batch path's skinny candidate join
-      // is the streaming tradeoff. dropDuplicates is the stateful streaming
-      // dedup operator — state is one (delta_id, base_id) pair per
-      // candidate, bounded by the delta batch in AvailableNow backfills.
-      val dsh = sketch(delta, "delta_id", "__sh_d")
-      val cand = dsh
+      // against the persisted index — no stream-stream join. The shingle
+      // array rides along through the bucket join (a batch re-join back to
+      // the delta side would be stream-stream); fatter shuffle payload than
+      // the batch path's skinny candidate join is the streaming tradeoff.
+      // Candidate dedup is STATEFUL: one state-store entry per seen
+      // (delta_id, base_id) pair. A watermarked delta bounds that state
+      // (dropDuplicatesWithinWatermark expires pairs past the delay); a
+      // watermark-less delta only terminates in an AvailableNow backfill,
+      // which the caller must acknowledge (class doc).
+      val wmCol = delta.schema.fields
+        .find(_.metadata.contains(MinHashIndexNode.WatermarkDelayKey)).map(_.name)
+      if (wmCol.isEmpty && !unboundedStreamStateOk)
+        throw new graft.dag.GraftException(
+          s"minhash_index '$name': streaming delta has NO event-time watermark — " +
+            "the candidate-dedup state store would grow monotonically on a " +
+            "continuous stream. Add withWatermark/WatermarkNode on the delta " +
+            "(state then expires per the delay), or pass " +
+            "unboundedStreamStateOk = true for a bounded AvailableNow backfill")
+      val extras = wmCol.toSeq
+      val dsh = sketch(delta, "delta_id", "__sh_d", extras)
+      val cand0 = dsh
         .withColumn("__bands", expr(s"minhash_bands(__sh_d, $numHashes, $bands)"))
-        .selectExpr("delta_id", "__sh_d", "posexplode(__bands) as (band, band_hash)")
+        .selectExpr(("delta_id" +: "__sh_d" +: extras) :+
+          "posexplode(__bands) as (band, band_hash)": _*)
         .join(m.buckets, Seq("band", "band_hash"))
-        .select("delta_id", "base_id", "__sh_d")
-        .dropDuplicates("delta_id", "base_id")
+        .select(("delta_id" +: "base_id" +: "__sh_d" +: extras).map(col): _*)
+      val cand = wmCol match {
+        case Some(_) => cand0.dropDuplicatesWithinWatermark("delta_id", "base_id")
+        case None    => cand0.dropDuplicates("delta_id", "base_id")
+      }
       Map("result" -> jaccardVerify(cand.join(m.shingles, Seq("base_id"))))
     } else {
       val dsh = ctx.track(sketch(delta, "delta_id", "__sh_d"))
@@ -574,9 +609,13 @@ class MinHashIndexNode(
     * whole (it became a boilerplate family; same guard as fit). Cost is
     * delta-sized sketching plus one bucket-count aggregate; the two count()
     * actions materialize the merged frames so the superseded generation can
-    * be released. Lineage grows one union per generation — on a long-lived
-    * crawl, saveFitted/loadFitted every N generations truncates it to a
-    * parquet read (the production checkpoint anyway).
+    * be released. Lineage grows one union per generation — `compactEvery > 0`
+    * auto-truncates it every N generations by round-tripping the index
+    * through parquet (under `compactPath`, or a JVM temp dir when unset):
+    * the next generation's plan then starts from a parquet scan instead of
+    * an N-deep union chain, bounding plan-compile time and the recompute
+    * cost of a lost cached block. saveFitted/loadFitted remains the manual
+    * equivalent (and the durable production checkpoint).
     */
   def updateIndex(ctx: Ctx, delta: DataFrame): Unit = {
     import org.apache.spark.storage.StorageLevel
@@ -599,6 +638,33 @@ class MinHashIndexNode(
       .persist(StorageLevel.MEMORY_AND_DISK)
     newShingles.count(); newBuckets.count() // materialize before releasing old
     model = Some(MinHashIndexNode.Index(newShingles, newBuckets))
+    m.shingles.unpersist(); m.buckets.unpersist()
+    generation += 1
+    if (compactEvery > 0 && generation % compactEvery == 0) compactIndex()
+  }
+
+  /** updateIndex generations applied since fit (compaction cadence input). */
+  @volatile private var generation: Long = 0L
+
+  /** Truncate the index lineage to a parquet scan: write the current frames,
+    * reload them on the same session, re-persist (cache rebuilds lazily at
+    * the next action). The parquet copy doubles as a crash-recovery point
+    * mid-crawl.
+    */
+  def compactIndex(): Unit = {
+    import org.apache.spark.storage.StorageLevel
+    val m = model.getOrElse(
+      throw new graft.dag.GraftException(s"estimator node '$name' not fitted"))
+    val path = compactPath.getOrElse {
+      val d = java.nio.file.Files.createTempDirectory(s"graft_idx_compact_")
+      d.toFile.deleteOnExit()
+      d.toString
+    }
+    val session = m.shingles.sparkSession
+    saveFitted(path)
+    model = Some(MinHashIndexNode.Index(
+      session.read.parquet(s"$path/shingles").persist(StorageLevel.MEMORY_AND_DISK),
+      session.read.parquet(s"$path/buckets").persist(StorageLevel.MEMORY_AND_DISK)))
     m.shingles.unpersist(); m.buckets.unpersist()
   }
 
@@ -631,4 +697,9 @@ class MinHashIndexNode(
 object MinHashIndexNode {
   /** The fitted index: corpus shingle sets + capped LSH band buckets. */
   case class Index(shingles: DataFrame, buckets: DataFrame)
+
+  /** Column-metadata key Spark's `withWatermark` stamps on the event-time
+    * column (`EventTimeWatermark.delayKey`) — how the node detects whether a
+    * streaming delta carries a watermark. */
+  val WatermarkDelayKey = "spark.watermarkDelayMs"
 }

@@ -29,6 +29,20 @@ import org.apache.spark.sql.types._
   * amortizes, the reason these are not per-row UDFs.
   */
 object MultimodalSchemas {
+  /** Temp column names that cannot collide with input columns: `withColumn`
+    * on an existing name REPLACES it in place instead of appending, which
+    * would silently shift the positional drop/read logic below (ADVICE r6).
+    */
+  def tmpNames(df: DataFrame, bases: String*): Seq[String] = {
+    val taken = scala.collection.mutable.Set[String](df.columns: _*)
+    bases.map { b =>
+      var n = b
+      while (taken.contains(n)) n += "_"
+      taken += n
+      n
+    }
+  }
+
   val imageMeta: StructType = StructType(Seq(
     StructField("width", IntegerType, nullable = false),
     StructField("height", IntegerType, nullable = false),
@@ -81,17 +95,29 @@ class SyntheticImageNode(
   override def jsonParams: Map[String, Any] =
     Map("wExpr" -> wExpr, "hExpr" -> hExpr, "seedExpr" -> seedExpr, "outCol" -> outCol)
   override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
-    val prepped = in("df")
-      .withColumn("__w", expr(wExpr).cast(IntegerType))
-      .withColumn("__h", expr(hExpr).cast(IntegerType))
-      .withColumn("__s", expr(seedExpr).cast(IntegerType))
+    val df = in("df")
+    val Seq(wN, hN, sN) = MultimodalSchemas.tmpNames(df, "__w", "__h", "__s")
+    val prepped = df
+      .withColumn(wN, expr(wExpr).cast(IntegerType))
+      .withColumn(hN, expr(hExpr).cast(IntegerType))
+      .withColumn(sN, expr(seedExpr).cast(IntegerType))
     val base = prepped.schema.fields.dropRight(3)
     val outSchema = StructType(base :+ StructField(outCol, BinaryType, nullable = true))
     val nBase = base.length
+    val nodeName = name
+    val (wE, hE, sE) = (wExpr, hExpr, seedExpr)
     val out = prepped.mapPartitions { rows =>
       javax.imageio.ImageIO.setUseCache(false) // per-partition codec init
       rows.map { row =>
+        // fail with the parameter name, not an opaque NPE from getInt /
+        // the BufferedImage ctor deep inside the task (ADVICE r6)
+        if (row.isNullAt(nBase) || row.isNullAt(nBase + 1) || row.isNullAt(nBase + 2))
+          throw new GraftException(s"synthetic_image '$nodeName': wExpr='$wE', " +
+            s"hExpr='$hE', seedExpr='$sE' must all be non-null castable ints")
         val (w, h, s) = (row.getInt(nBase), row.getInt(nBase + 1), row.getInt(nBase + 2))
+        if (w <= 0 || h <= 0 || s < 0)
+          throw new GraftException(s"synthetic_image '$nodeName': need width > 0, " +
+            s"height > 0, seed >= 0 — got ($w, $h, $s)")
         val img = new java.awt.image.BufferedImage(w, h,
           java.awt.image.BufferedImage.TYPE_INT_RGB)
         val px = new Array[Int](w * h)
@@ -262,16 +288,26 @@ class SyntheticAudioNode(
   override def jsonParams: Map[String, Any] = Map("nSamplesExpr" -> nSamplesExpr,
     "seedExpr" -> seedExpr, "sampleRate" -> sampleRate, "outCol" -> outCol)
   override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
-    val prepped = in("df")
-      .withColumn("__n", expr(nSamplesExpr).cast(IntegerType))
-      .withColumn("__s", expr(seedExpr).cast(IntegerType))
+    val df = in("df")
+    val Seq(nN, sN) = MultimodalSchemas.tmpNames(df, "__n", "__s")
+    val prepped = df
+      .withColumn(nN, expr(nSamplesExpr).cast(IntegerType))
+      .withColumn(sN, expr(seedExpr).cast(IntegerType))
     val base = prepped.schema.fields.dropRight(2)
     val outSchema = StructType(base :+ StructField(outCol, BinaryType, nullable = true))
     val nBase = base.length
     val rate = sampleRate
+    val nodeName = name
+    val (nE, sE) = (nSamplesExpr, seedExpr)
     val out = prepped.mapPartitions { rows =>
       rows.map { row =>
+        if (row.isNullAt(nBase) || row.isNullAt(nBase + 1))
+          throw new GraftException(s"synthetic_audio '$nodeName': nSamplesExpr='$nE', " +
+            s"seedExpr='$sE' must be non-null castable ints")
         val (n, s) = (row.getInt(nBase), row.getInt(nBase + 1))
+        if (n <= 0 || s < 0)
+          throw new GraftException(s"synthetic_audio '$nodeName': need nSamples > 0, " +
+            s"seed >= 0 — got ($n, $s)")
         val dataBytes = n * 2
         val buf = java.nio.ByteBuffer.allocate(44 + dataBytes)
           .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -415,9 +451,21 @@ class BinaryFileSinkNode(
     if (fs.exists(root)) {
       if (mode == "errorifexists")
         throw new GraftException(s"binary_file_sink '$name': '$dir' already exists")
+      // recursive-delete guard (VERDICT r6): only wipe a directory THIS sink
+      // family created (it carries the marker) or an empty one. A mispointed
+      // `dir` — a dataset root, a home directory — is unrecoverable after
+      // fs.delete(recursive = true); refusing costs one manual delete in the
+      // rare legitimate retarget, losing data costs everything.
+      val marker = new Path(root, BinaryFileSinkNode.Marker)
+      if (!fs.exists(marker) && fs.listStatus(root).nonEmpty)
+        throw new GraftException(s"binary_file_sink '$name': refusing to " +
+          s"recursively delete non-empty '$dir' — it lacks the " +
+          s"'${BinaryFileSinkNode.Marker}' marker, so it was not written by " +
+          "this sink; delete it manually if the overwrite is intended")
       fs.delete(root, true)
     }
     fs.mkdirs(root)
+    fs.create(new Path(root, BinaryFileSinkNode.Marker), true).close()
     // Hadoop Configuration is not serializable — ship it as entries
     val confEntries: Array[(String, String)] = {
       val it = hconf.iterator(); val buf = scala.collection.mutable.ArrayBuffer[(String, String)]()
@@ -441,6 +489,12 @@ class BinaryFileSinkNode(
       }
     Map("result" -> df)
   }
+}
+
+object BinaryFileSinkNode {
+  /** Ownership marker written on first use; overwrite mode refuses to
+    * recursively delete a non-empty directory lacking it. */
+  val Marker = ".graft-sink"
 }
 
 /** Read a directory of raw media blobs via Spark's `binaryFile` source —

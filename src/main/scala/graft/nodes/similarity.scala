@@ -677,7 +677,10 @@ class RankingMetricsNode(
     import org.apache.spark.sql.functions.{coalesce, count, lit, min}
     val res = in("results").filter(col(rankCol) <= k)
       .select(col(queryIdCol), col(idCol), col(rankCol))
-    val rel = in("relevant").select(col(queryIdCol), col(idCol))
+    // distinct: a duplicated (query, id) relevance pair would multiply join
+    // rows and inflate hits_at_k past k — this is a general-purpose eval
+    // harness, not every caller feeds a clean set (ADVICE r6)
+    val rel = in("relevant").select(col(queryIdCol), col(idCol)).distinct()
     val hit = res.join(rel, Seq(queryIdCol, idCol))
       .groupBy(queryIdCol).agg(
         count(lit(1)).as("hits_at_k"),

@@ -453,7 +453,12 @@ object Advanced {
       ProjectNode("doc_id + 1000000 as doc_id", "text").named("delta_stream")
     val idx = d.add(new MinHashIndexNode(
       numHashes = 32, bands = 16, shingleN = 3,
-      jaccardThreshold = 1.0, maxBucket = 100000))
+      jaccardThreshold = 1.0, maxBucket = 100000,
+      // this IS the bounded AvailableNow backfill the opt-in exists for:
+      // the delta is a finite parquet dir drained in one trigger, so the
+      // candidate-dedup state dies with the query. A continuous crawl
+      // watermarks its delta instead and gets within-watermark dedup.
+      unboundedStreamStateOk = true))
     docs >> idx("corpus"); sdelta >> idx("delta")
     idx >> ProjectNode("delta_id", "base_id") >>
       new StreamRunNode(s"q106_sink_${System.nanoTime()}", outputMode = "append") >>

@@ -1712,6 +1712,160 @@ class NodesSpec extends AnyFunSuite {
     assert(err.getMessage.contains("absent and no default"))
   }
 
+  test("TokenShardNode: an over-budget document lands WHOLE in its start shard") {
+    // one doc weighs 5x the budget — the contract says it occupies exactly
+    // the shard where its start offset falls, never splits, never fails
+    val rows = Seq((1L, 30L), (2L, 500L), (3L, 40L), (4L, 70L)).toDF("doc_id", "w")
+    val out = runOne { d =>
+      d.add(srcNode(rows)) >> new TokenShardNode(weightExpr = "w", budget = 100L,
+        buckets = 16) >> d.output("result")
+    }.select("doc_id", "shard_id").as[(Long, Long)].collect().toMap
+    // every doc got exactly one shard id
+    assert(out.keySet == Set(1L, 2L, 3L, 4L))
+    // recompute greedy packing over the (DetHash, id) order
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def ord(id: Long): Long = java.lang.Long.parseLong(
+      md.digest(id.toString.getBytes("UTF-8")).take(4).map(b => f"$b%02x").mkString, 16)
+    var cum = 0L
+    val expect = Seq(1L -> 30L, 2L -> 500L, 3L -> 40L, 4L -> 70L)
+      .sortBy { case (id, _) => (ord(id), id) }
+      .map { case (id, w) => val s = cum / 100L; cum += w; id -> s }.toMap
+    assert(out == expect)
+    // the heavy doc's SUCCESSOR starts past it (start offset div budget),
+    // i.e. the overshoot shifts later shards instead of splitting the doc
+    assert(out.values.toSet.size >= 2)
+  }
+
+  test("BinaryFileSinkNode: overwrite refuses a non-empty dir lacking the marker") {
+    val foreign = java.nio.file.Files.createTempDirectory("graft_sink_guard_").toFile
+    val precious = new java.io.File(foreign, "precious.txt")
+    val fw = new java.io.FileWriter(precious); fw.write("do not delete"); fw.close()
+    val rows = Seq((1L, "payload-bytes")).toDF("doc_id", "text")
+    def sinkTo(dir: String) = runOne { d =>
+      d.add(srcNode(rows)) >> new BinaryPayloadNode("text") >>
+        new BinaryFileSinkNode(dir, "concat(cast(doc_id as string), '.bin')") >>
+        d.output("result")
+    }.count()
+    val err = intercept[GraftException](sinkTo(foreign.getAbsolutePath))
+    assert(err.getMessage.contains("marker"))
+    assert(precious.exists()) // nothing was deleted
+    // a dir the sink created carries the marker -> overwrite works repeatedly
+    val owned = new java.io.File(foreign, "owned")
+    assert(sinkTo(owned.getAbsolutePath) == 1L)
+    assert(new java.io.File(owned, BinaryFileSinkNode.Marker).exists())
+    assert(sinkTo(owned.getAbsolutePath) == 1L) // second overwrite passes the guard
+  }
+
+  test("MinHashIndexNode: watermark-less streaming delta refused; opt-in allows; watermark bounds state") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_guard_").toString
+    longDocs.withColumn("ts", expr("timestamp_seconds(1700000000 + doc_id)"))
+      .write.mode("overwrite").parquet(s"$dir/delta.parquet")
+    def buildDag(node: MinHashIndexNode, watermark: Boolean): Dag = {
+      val d = new Dag()
+      val corpus = d.add(srcNode(longDocs, "corpus"))
+      val src = d.add(new StreamSourceNode(s"$dir/delta.parquet", statePartitions = Some(2)))
+      val tip: Node = if (watermark) src >> new WatermarkNode("ts", "1 hour") else src
+      val relabel = tip >> ProjectNode(
+        Seq("doc_id + 100 as doc_id", "text") ++ (if (watermark) Seq("ts") else Nil): _*)
+        .named("relabel")
+      corpus >> node("corpus"); relabel >> node("delta")
+      node >> ProjectNode("delta_id", "base_id") >>
+        new StreamRunNode(s"guard_sink_${System.nanoTime()}") >>
+        d.output("result")
+      d
+    }
+    // default: no watermark -> fail fast at plan time with the state warning
+    val strict = new MinHashIndexNode(jaccardThreshold = 1.0, maxBucket = 100000)
+    val d1 = buildDag(strict, watermark = false)
+    val err = intercept[GraftException] { d1.fit(ctx); d1.transform(ctx) }
+    assert(err.getMessage.contains("watermark"))
+    // watermarked delta: runs via dropDuplicatesWithinWatermark, same pairs
+    val wm = new MinHashIndexNode(jaccardThreshold = 1.0, maxBucket = 100000)
+    val d2 = buildDag(wm, watermark = true)
+    d2.fit(ctx)
+    val pairs = d2.transform(ctx).outputs("result")
+      .select("delta_id", "base_id").as[(Long, Long)].collect().toSet
+    // relabeled exact copies of docs 1/2 (identical text) match their bases
+    assert(pairs.contains((101L, 1L)) && pairs.contains((102L, 1L)))
+  }
+
+  test("MinHashIndexNode: compactEvery bounds index plan depth across generations") {
+    def planLines(df: DataFrame): Int =
+      df.queryExecution.analyzed.numberedTreeString.linesIterator.size
+    def grow(compactEvery: Int, gens: Int): Int = {
+      val node = new MinHashIndexNode(jaccardThreshold = 1.0, maxBucket = 100000,
+        compactEvery = compactEvery)
+      val d = new Dag()
+      val corpus = d.add(srcNode(longDocs, "corpus"))
+      val delta = d.add(srcNode(longDocs.selectExpr("doc_id + 1000 as doc_id", "text"), "delta"))
+      corpus >> node("corpus"); delta >> node("delta")
+      node >> d.output("result")
+      d.fit(ctx)
+      (1 to gens).foreach { g =>
+        node.updateIndex(ctx,
+          longDocs.selectExpr(s"doc_id + ${2000 + g * 10} as doc_id", "text"))
+      }
+      val lines = planLines(node.model.get.shingles)
+      node.unpersistIndex()
+      lines
+    }
+    val unbounded = grow(compactEvery = 0, gens = 4)
+    val compacted = grow(compactEvery = 2, gens = 4)
+    // 4 generations uncompacted = 4 stacked unions; compacted = parquet scan
+    assert(compacted < unbounded,
+      s"expected compaction to shrink the plan ($compacted vs $unbounded lines)")
+    // and the compacted plan stays flat as generations double
+    val compacted8 = grow(compactEvery = 2, gens = 8)
+    assert(compacted8 <= compacted + 8, // at most the one uncompacted tail union
+      s"compacted plan grew with generations: $compacted8 vs $compacted")
+  }
+
+  test("HistogramNode: a group whose values are ALL null still emits its bins + n_null") {
+    val rows = Seq(("a", Some(1.0)), ("a", Some(3.0)), ("b", None), ("b", None))
+      .toDF("g", "v")
+    val out = runOne { d =>
+      d.add(srcNode(rows)) >> new HistogramNode("v", 0.0, 4.0, nBins = 2,
+        groupCols = Seq("g")) >> d.output("result")
+    }.select("g", "bin", "n", "n_null")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      ("a", 0L, 1L, 0L), ("a", 1L, 1L, 0L),
+      ("b", 0L, 0L, 2L), ("b", 1L, 0L, 2L)))
+  }
+
+  test("RankingMetricsNode: duplicated relevance pairs do not inflate hits_at_k") {
+    val results = Seq((1L, 10L, 1), (1L, 11L, 2)).toDF("query_id", "vec_id", "rank")
+    val relevant = Seq((1L, 10L), (1L, 10L), (1L, 10L)).toDF("query_id", "vec_id")
+    val out = runOne { d =>
+      val r = d.add(srcNode(results, "r")); val t = d.add(srcNode(relevant, "t"))
+      val m = d.add(new RankingMetricsNode(k = 10))
+      r >> m("results"); t >> m("relevant")
+      m >> d.output("result")
+    }.select("hits_at_k", "first_rank").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 1L)))
+  }
+
+  test("SyntheticImageNode: clear error on null/non-positive dims; __w input column survives") {
+    // pre-existing __w column must NOT be clobbered by the temp columns
+    val withW = Seq((1L, 42)).toDF("doc_id", "__w")
+    val ok = runOne { d =>
+      d.add(srcNode(withW)) >> new SyntheticImageNode("8", "8", "0") >> d.output("result")
+    }
+    assert(ok.columns.toSeq == Seq("doc_id", "__w", "payload"))
+    assert(ok.select("__w").as[Int].head() == 42)
+    // null / non-positive inputs raise a GraftException naming the expr
+    def gen(w: String) = runOne { d =>
+      d.add(srcNode(Seq(Tuple1(1L)).toDF("doc_id"))) >>
+        new SyntheticImageNode(w, "8", "0") >> d.output("result")
+    }.count()
+    def rootMsgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ rootMsgs(e.getCause))
+    val e1 = intercept[Exception](gen("cast(null as int)"))
+    assert(rootMsgs(e1).exists(_.contains("non-null")))
+    val e2 = intercept[Exception](gen("-4"))
+    assert(rootMsgs(e2).exists(_.contains("width > 0")))
+  }
+
   test("GroupEmaNode: null order/tie/value fails loudly instead of sorting first as 0") {
     val rows = Seq((1L, Some(1L), Some(10L), Some(100L)), (1L, Some(2L), None, Some(200L)))
       .toDF("k", "tie", "o", "v")
