@@ -160,7 +160,10 @@ object NodeRegistry {
         (s.head.toString, s(1).toString, Option(s(2)).map(_.toString).orNull)
       },
       p.pairs("renames"), p.boolOr("keepExtras", false)))
-    register("frame_sample")(p => new FrameSampleStubNode(p.int("stride"), p.int("maxFrames"), p.str("payloadCol")))
+    register("frame_sample")(p => new FrameSampleNode(p.int("stride"), p.int("maxFrames"), p.str("payloadCol")))
+    register("synthetic_avi")(p => new SyntheticAviNode(p.str("nFramesExpr"),
+      p.str("wExpr"), p.str("hExpr"), p.str("seedExpr"),
+      p.intOr("fps", 10), p.strOpt("outCol").getOrElse("payload")))
     register("audio_chunk")(p => new AudioChunkNode(p.str("payloadCol"), p.int("chunkMs"), p.int("maxChunks")))
     register("register_udafs")(p => new RegisterUdafsNode(p.strs("names")))
     register("explode")(p => new ExplodeNode(p.str("arrayExpr"), p.strs("outCols"), p.strs("keep")))

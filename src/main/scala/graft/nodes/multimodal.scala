@@ -19,8 +19,10 @@ import org.apache.spark.sql.types._
   * deterministic payloads in-query — real PNG/WAV bytes, so the decode side
   * exercises the same code path production blobs would, and the pixel/sample
   * formulas are engine-independent integer arithmetic the DuckDB oracle
-  * recomputes from the data alone (q31/q54). Only video remains a stub
-  * (`FrameSampleStubNode`) — no container parser is worth hand-rolling.
+  * recomputes from the data alone (q31/q54). The video path is REAL too
+  * (round 7): `SyntheticAviNode` writes genuine RIFF/AVI containers and
+  * `FrameSampleNode` walks hdrl/movi lists to index `00db`/`00dc` frame
+  * chunks with container-derived timestamps (q32).
   *
   * Scale notes: binary payloads dominate partition size — pair these nodes
   * with maxPartitionBytes tuning so a partition of blobs fits executor
@@ -58,6 +60,10 @@ object MultimodalSchemas {
 
   /** Deterministic synthetic PCM16 sample i under seed s (q54 oracle). */
   @inline def pcm(i: Int, s: Int): Int = (s * 31 + i * 7919) % 65536 - 32768
+
+  /** Deterministic synthetic AVI frame byte j of frame f under seed s
+    * (q32 oracle). */
+  @inline def frameByte(f: Int, j: Int, s: Int): Int = (s * 31 + f * 101 + j * 7) % 256
 }
 
 /** Attach a binary payload column derived from an existing column (testdata
@@ -525,26 +531,224 @@ class BinaryFileSourceNode(
   }
 }
 
-/** Frame-sampling stub for video-like payloads: emits every `stride`-th
-  * frame index up to `maxFrames` as (frame_idx, frame_meta) rows — the
-  * explode pattern a real frame sampler uses (one row per sampled frame).
-  * Still a stub by design: hand-rolling a video container parser adds no
-  * architectural signal beyond what the image/audio REAL codecs already
-  * prove; the fake frame count is a pure function of payload length, so the
-  * plumbing remains oracle-checkable (q32).
+/** Deterministic in-query AVI synthesis: a REAL RIFF/AVI container —
+  * `RIFF/AVI ` header, `LIST hdrl` with a 56-byte `avih` main header and a
+  * `LIST strl` stream list (56-byte `strh` "vids"/"DIB " + 40-byte
+  * BITMAPINFOHEADER `strf`), then `LIST movi` holding one uncompressed
+  * `00db` chunk per frame. Byte j of frame f is the fixed integer formula
+  * [[MultimodalSchemas.frameByte]] under `seedExpr`, so downstream frame
+  * indexers exercise genuine AVI container parsing while every frame byte
+  * stays predictable cross-engine (the q31/q54 recipe applied to video).
   */
-class FrameSampleStubNode(val stride: Int = 10, val maxFrames: Int = 5, val payloadCol: String = "payload")
+class SyntheticAviNode(
+    val nFramesExpr: String,
+    val wExpr: String,
+    val hExpr: String,
+    val seedExpr: String,
+    val fps: Int = 10,
+    val outCol: String = "payload")
   extends Node {
+  require(fps > 0 && 1000000 % fps == 0,
+    "fps must be positive and divide 1e6 (integer dwMicroSecPerFrame)")
+  override protected def defaultName: String = "synthetic_avi"
+  val inputs = Seq(Port("df"))
+  val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("synthetic_avi")
+  override def jsonParams: Map[String, Any] = Map("nFramesExpr" -> nFramesExpr,
+    "wExpr" -> wExpr, "hExpr" -> hExpr, "seedExpr" -> seedExpr,
+    "fps" -> fps, "outCol" -> outCol)
+  override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
+    val df = in("df")
+    val Seq(nN, wN, hN, sN) = MultimodalSchemas.tmpNames(df, "__n", "__w", "__h", "__s")
+    val prepped = df
+      .withColumn(nN, expr(nFramesExpr).cast(IntegerType))
+      .withColumn(wN, expr(wExpr).cast(IntegerType))
+      .withColumn(hN, expr(hExpr).cast(IntegerType))
+      .withColumn(sN, expr(seedExpr).cast(IntegerType))
+    val base = prepped.schema.fields.dropRight(4)
+    val outSchema = StructType(base :+ StructField(outCol, BinaryType, nullable = true))
+    val nBase = base.length
+    val nodeName = name
+    val fpsL = fps
+    val out = prepped.mapPartitions { rows =>
+      rows.map { row =>
+        if ((0 until 4).exists(i => row.isNullAt(nBase + i)))
+          throw new GraftException(s"synthetic_avi '$nodeName': nFrames/w/h/seed " +
+            "expressions must be non-null castable ints")
+        val (n, w, h, s) = (row.getInt(nBase), row.getInt(nBase + 1),
+          row.getInt(nBase + 2), row.getInt(nBase + 3))
+        if (n <= 0 || w <= 0 || h <= 0 || s < 0)
+          throw new GraftException(s"synthetic_avi '$nodeName': need nFrames > 0, " +
+            s"w > 0, h > 0, seed >= 0 — got ($n, $w, $h, $s)")
+        Row.fromSeq(row.toSeq.take(nBase) :+ SyntheticAviNode.buildAvi(n, w, h, s, fpsL))
+      }
+    }(RowEncoder.encoderFor(outSchema))
+    Map("result" -> out.toDF())
+  }
+}
+
+object SyntheticAviNode {
+  /** One complete RIFF/AVI byte array: nFrames uncompressed 24-bit `00db`
+    * frames of w x h, frame byte j = frameByte(f, j, s). Chunks are
+    * word-aligned per the RIFF spec (odd-sized frame data gets a pad byte
+    * that is NOT part of the frame). */
+  def buildAvi(nFrames: Int, w: Int, h: Int, s: Int, fps: Int): Array[Byte] = {
+    val frameBytes = w * h * 3
+    val framePad = frameBytes & 1
+    val moviSize = 4 + nFrames * (8 + frameBytes + framePad)
+    val strlSize = 4 + (8 + 56) + (8 + 40)     // "strl" + strh + strf
+    val hdrlSize = 4 + (8 + 56) + (8 + strlSize) // "hdrl" + avih + LIST strl
+    val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize)
+    val buf = java.nio.ByteBuffer.allocate(8 + riffSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(t: String): Unit = buf.put(t.getBytes("US-ASCII"))
+    tag("RIFF"); buf.putInt(riffSize); tag("AVI ")
+    tag("LIST"); buf.putInt(hdrlSize); tag("hdrl")
+    tag("avih"); buf.putInt(56)
+    buf.putInt(1000000 / fps)       // dwMicroSecPerFrame — frame timing truth
+      .putInt(frameBytes * fps)     // dwMaxBytesPerSec
+      .putInt(0)                    // dwPaddingGranularity
+      .putInt(0)                    // dwFlags (no idx1 index chunk written)
+      .putInt(nFrames).putInt(0)    // dwTotalFrames, dwInitialFrames
+      .putInt(1)                    // dwStreams
+      .putInt(frameBytes)           // dwSuggestedBufferSize
+      .putInt(w).putInt(h)
+      .putInt(0).putInt(0).putInt(0).putInt(0) // dwReserved[4]
+    tag("LIST"); buf.putInt(strlSize); tag("strl")
+    tag("strh"); buf.putInt(56)
+    tag("vids"); tag("DIB ")
+    buf.putInt(0)                   // dwFlags
+      .putShort(0).putShort(0)      // wPriority, wLanguage
+      .putInt(0)                    // dwInitialFrames
+      .putInt(1).putInt(fps)        // dwScale, dwRate: rate/scale = fps
+      .putInt(0)                    // dwStart
+      .putInt(nFrames)              // dwLength (frames)
+      .putInt(frameBytes)           // dwSuggestedBufferSize
+      .putInt(-1)                   // dwQuality
+      .putInt(0)                    // dwSampleSize
+      .putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort) // rcFrame
+    tag("strf"); buf.putInt(40)
+    buf.putInt(40)                  // biSize
+      .putInt(w).putInt(h)
+      .putShort(1).putShort(24)     // biPlanes, biBitCount (RGB24)
+      .putInt(0)                    // biCompression = BI_RGB
+      .putInt(frameBytes)           // biSizeImage
+      .putInt(0).putInt(0).putInt(0).putInt(0)
+    tag("LIST"); buf.putInt(moviSize); tag("movi")
+    var f = 0
+    while (f < nFrames) {
+      tag("00db"); buf.putInt(frameBytes)
+      var j = 0
+      while (j < frameBytes) {
+        buf.put(MultimodalSchemas.frameByte(f, j, s).toByte)
+        j += 1
+      }
+      if (framePad == 1) buf.put(0.toByte)
+      f += 1
+    }
+    buf.array()
+  }
+}
+
+/** REAL video frame indexing: walks the RIFF/AVI container of the payload —
+  * top-level chunk walk to `LIST hdrl` (frame timing from the `avih`
+  * dwMicroSecPerFrame field) and `LIST movi` (the frame chunks), indexes
+  * the `00db`/`00dc` video chunks in stream order — and emits one row per
+  * SAMPLED frame (every `stride`-th, up to `maxFrames`): frame_idx, its
+  * timestamp from the container's own timing, the chunk byte size, and the
+  * decoded frame-byte sum (the per-frame signal for shot detection /
+  * near-black dropping, and the oracle hook). Non-AVI/null payloads emit
+  * no rows — the corrupt-blob audit signal, same contract as
+  * [[AudioChunkNode]]. Narrow flatMap, zero shuffle; the same chunk-walk
+  * machinery as the WAV parser, pointed at the AVI list structure.
+  */
+class FrameSampleNode(val stride: Int = 10, val maxFrames: Int = 5, val payloadCol: String = "payload")
+  extends Node {
+  require(stride > 0 && maxFrames > 0, "stride and maxFrames must be positive")
   override protected def defaultName: String = "frame_sample"
   val inputs = Seq(Port("df"))
   val outputs = Seq(Port("result"))
   override def jsonKind: Option[String] = Some("frame_sample")
   override def jsonParams: Map[String, Any] = Map("stride" -> stride, "maxFrames" -> maxFrames, "payloadCol" -> payloadCol)
   override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
-    // fake frame count derived from payload length (deterministic)
-    val frames = s"sequence(0, least(cast(length($payloadCol) / $stride as int), ${maxFrames - 1}))"
-    Map("result" -> in("df")
-      .withColumn("frame_idx", expr(s"explode($frames)"))
-      .withColumn("frame_ts_ms", col("frame_idx") * stride * 1000))
+    val df = in("df")
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("frame_ts_ms", LongType, nullable = false),
+      StructField("frame_bytes", IntegerType, nullable = false),
+      StructField("frame_sum", LongType, nullable = false)))
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    val (st, maxF) = (stride, maxFrames)
+    val out = df.flatMap { row =>
+      val bytes = row.getAs[Array[Byte]](payloadIdx)
+      FrameSampleNode.parseAvi(bytes) match {
+        case None => Iterator.empty
+        case Some((usPerFrame, frames)) =>
+          frames.iterator.zipWithIndex
+            .filter { case (_, f) => f % st == 0 }
+            .take(maxF)
+            .map { case ((off, sz), f) =>
+              var sum = 0L
+              var i = 0
+              while (i < sz) { sum += (bytes(off + i) & 0xFF); i += 1 }
+              Row.fromSeq(row.toSeq ++ Seq[Any](
+                f, f.toLong * usPerFrame / 1000L, sz, sum))
+            }
+      }
+    }(RowEncoder.encoderFor(outSchema))
+    Map("result" -> out.toDF())
+  }
+}
+
+object FrameSampleNode {
+  /** RIFF/AVI container walk: returns (dwMicroSecPerFrame, video frame
+    * chunks as (dataOffset, dataSize) in stream order) for a single-video-
+    * stream AVI, None for anything else. Tolerates unknown chunks (JUNK,
+    * idx1, audio streams) by skipping them — the point of a chunked
+    * container format. */
+  def parseAvi(b: Array[Byte]): Option[(Long, Vector[(Int, Int)])] = {
+    if (b == null || b.length < 24) return None
+    val buf = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(off: Int) = new String(b, off, 4, "US-ASCII")
+    if (tag(0) != "RIFF" || tag(8) != "AVI ") return None
+    var usPerFrame = -1L
+    val frames = Vector.newBuilder[(Int, Int)]
+    var sawMovi = false
+    var off = 12
+    while (off + 8 <= b.length) {
+      val id = tag(off); val sz = buf.getInt(off + 4)
+      if (sz < 0 || off + 8 + sz > b.length) return None
+      if (id == "LIST" && sz >= 4) {
+        tag(off + 8) match {
+          case "hdrl" =>
+            // scan inside hdrl for the avih main header (frame timing)
+            var o = off + 12
+            val end = off + 8 + sz
+            while (o + 8 <= end && usPerFrame < 0) {
+              val cid = tag(o); val csz = buf.getInt(o + 4)
+              if (csz < 0 || o + 8 + csz > end) return None
+              if (cid == "avih" && csz >= 4) usPerFrame = buf.getInt(o + 8).toLong
+              o += 8 + csz + (csz & 1)
+            }
+          case "movi" =>
+            sawMovi = true
+            var o = off + 12
+            val end = off + 8 + sz
+            while (o + 8 <= end) {
+              val cid = tag(o); val csz = buf.getInt(o + 4)
+              if (csz < 0 || o + 8 + csz > end) return None
+              // ##db (uncompressed) / ##dc (compressed) video chunks; audio
+              // (##wb) and index/junk chunks skip through
+              if (cid.length == 4 && cid(2) == 'd' && (cid(3) == 'b' || cid(3) == 'c'))
+                frames += ((o + 8, csz))
+              o += 8 + csz + (csz & 1)
+            }
+          case _ => // other lists (odml etc.) skip whole
+        }
+      }
+      off += 8 + sz + (sz & 1) // RIFF chunks are word-aligned
+    }
+    if (usPerFrame <= 0 || !sawMovi) None
+    else Some((usPerFrame, frames.result()))
   }
 }

@@ -366,23 +366,59 @@ object NorthStar {
       |  cast(rsums.r_sum_b as bigint) AS r_sum_b
       |FROM p JOIN sums USING (doc_id) JOIN rsums USING (doc_id)
       |ORDER BY doc_id""".stripMargin
+  // ---- q32: REAL AVI roundtrip (round 7 — the last fake compute retired):
+  // synthesize a genuine RIFF/AVI container per doc (hdrl/strl headers +
+  // movi list of uncompressed 00db frames whose byte j of frame f is the
+  // fixed integer formula under the doc seed), then index frames through
+  // the real container walk — frame chunks located via the movi list,
+  // timestamps from the avih dwMicroSecPerFrame field — sampling every 2nd
+  // frame up to 3. Frame counts, container-derived timestamps, chunk byte
+  // sizes, and decoded frame-byte sums are pure integer functions of
+  // (doc_id, frame, byte index) that DuckDB recomputes from the data
+  // alone — any writer/parser bug breaks the hash match. fps=10 →
+  // dwMicroSecPerFrame=100000 → ts_ms = frame * 100 exactly. ----
   def q32_frame_sample(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
     d.add(SourceNode.table(dir, "documents")) >>
-      new BinaryPayloadNode("text") >>
-      new FrameSampleStubNode(stride = 50, maxFrames = 4) >>
-      AggNode(Seq("doc_id"), "count(*) as n_frames", "max(frame_ts_ms) as last_ts_ms") >>
+      new SyntheticAviNode(
+        nFramesExpr = "cast(2 + doc_id % 5 as int)",
+        wExpr = "cast(8 + doc_id % 4 as int)",
+        hExpr = "6",
+        seedExpr = "cast(doc_id % 199 as int)",
+        fps = 10) >>
+      new FrameSampleNode(stride = 2, maxFrames = 3) >>
+      AggNode(Seq("doc_id"),
+        "count(*) as n_frames",
+        "max(frame_ts_ms) as last_ts_ms",
+        "cast(sum(frame_bytes) as bigint) as total_bytes",
+        "cast(sum(frame_sum) as bigint) as total_sum") >>
+      SortNode("doc_id") >>
       d.output("result")
   }
-  // the frame-sample stub's output is a pure function of the payload BYTE
-  // length, so (unlike the hashCode-derived image/audio fakes) it is
-  // oracle-checkable: n = least(floor(bytes/stride), maxFrames-1) + 1.
-  // DuckDB cast(double as int) ROUNDS; floor() first for parity with
-  // Spark's truncating cast.
   val q32Sql: String =
-    """SELECT doc_id,
-      |  least(cast(floor(octet_length(encode(text)) / 50) as int), 3) + 1 AS n_frames,
-      |  cast(least(cast(floor(octet_length(encode(text)) / 50) as int), 3) as bigint) * 50000 AS last_ts_ms
-      |FROM documents""".stripMargin
+    """WITH p AS (
+      |  SELECT doc_id, cast(2 + doc_id % 5 as int) AS n,
+      |         cast(8 + doc_id % 4 as int) AS w, 6 AS h,
+      |         cast(doc_id % 199 as int) AS s
+      |  FROM documents),
+      |keep AS (
+      |  SELECT doc_id, w, h, s, fr FROM (
+      |    SELECT doc_id, w, h, s, fr,
+      |      row_number() OVER (PARTITION BY doc_id ORDER BY fr) AS rn
+      |    FROM (SELECT doc_id, w, h, s, unnest(range(0, n)) AS fr FROM p) f
+      |    WHERE fr % 2 = 0) t
+      |  WHERE rn <= 3),
+      |sums AS (
+      |  SELECT doc_id, fr, max(w * h * 3) AS fb,
+      |    sum((s * 31 + fr * 101 + j * 7) % 256) AS fsum
+      |  FROM (SELECT doc_id, w, h, s, fr, unnest(range(0, w * h * 3)) AS j
+      |        FROM keep) u
+      |  GROUP BY doc_id, fr)
+      |SELECT doc_id,
+      |  cast(count(*) as bigint) AS n_frames,
+      |  cast(max(fr) * 100 as bigint) AS last_ts_ms,
+      |  cast(sum(fb) as bigint) AS total_bytes,
+      |  cast(sum(fsum) as bigint) AS total_sum
+      |FROM sums GROUP BY doc_id ORDER BY doc_id""".stripMargin
   // ---- q54: REAL WAV roundtrip — synthesize a deterministic PCM16 mono
   // RIFF/WAVE payload per doc, then chunk it via the real header walk
   // (fmt/data chunk parse, duration math) and per-chunk decoded-sample

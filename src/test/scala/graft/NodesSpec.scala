@@ -1866,6 +1866,32 @@ class NodesSpec extends AnyFunSuite {
     assert(rootMsgs(e2).exists(_.contains("width > 0")))
   }
 
+  test("SyntheticAviNode/FrameSampleNode: real RIFF/AVI roundtrip — counts, timing, byte sums") {
+    // direct writer/parser roundtrip, including an odd-sized frame (pad byte)
+    val avi = SyntheticAviNode.buildAvi(nFrames = 5, w = 5, h = 5, s = 7, fps = 25)
+    val Some((usPerFrame, frames)) = FrameSampleNode.parseAvi(avi)
+    assert(usPerFrame == 40000L) // 1e6 / 25
+    assert(frames.size == 5)
+    assert(frames.forall(_._2 == 75)) // 5*5*3, odd → pad byte NOT in the frame
+    // frame 2 byte sum matches the formula
+    val (off2, sz2) = frames(2)
+    val expect2 = (0 until 75).map(j => MultimodalSchemas.frameByte(2, j, 7)).sum
+    assert((0 until sz2).map(i => avi(off2 + i) & 0xFF).sum == expect2)
+    // junk is skipped: corrupt / non-AVI payloads emit no rows
+    assert(FrameSampleNode.parseAvi("not an avi at all".getBytes).isEmpty)
+    assert(FrameSampleNode.parseAvi(null).isEmpty)
+    // through the nodes: stride/maxFrames sampling + container timestamps
+    val rows = Seq((1L, 6), (2L, 1)).toDF("doc_id", "nf")
+    val out = runOne { d =>
+      d.add(srcNode(rows)) >> new SyntheticAviNode("nf", "4", "4", "cast(doc_id as int)", fps = 10) >>
+        new FrameSampleNode(stride = 2, maxFrames = 2) >> d.output("result")
+    }.select("doc_id", "frame_idx", "frame_ts_ms", "frame_bytes")
+      .as[(Long, Int, Long, Int)].collect().toSet
+    assert(out == Set(
+      (1L, 0, 0L, 48), (1L, 2, 200L, 48), // doc1: frames 0,2 (maxFrames=2 stops before 4)
+      (2L, 0, 0L, 48)))                   // doc2: single frame
+  }
+
   test("GroupEmaNode: null order/tie/value fails loudly instead of sorting first as 0") {
     val rows = Seq((1L, Some(1L), Some(10L), Some(100L)), (1L, Some(2L), None, Some(200L)))
       .toDF("k", "tie", "o", "v")
