@@ -76,6 +76,57 @@ case class VecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Codegen'd integer dot product over two `array<int>` columns, accumulated
+  * in long — the coarse-scoring inner loop of quantized (int8) similarity
+  * search. Integer accumulation is EXACT (no summation-order sensitivity),
+  * so quantized candidate ranking is bit-reproducible across partitionings;
+  * int8 codes fit int exactly, and 64-dim int8 dots stay far inside int64.
+  */
+case class VecDotInt(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(org.apache.spark.sql.types.IntegerType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"vec_dot_int needs array<int> inputs, got ${left.dataType} / ${right.dataType}")
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "vec_dot_int"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var i = 0
+    var sum = 0L
+    while (i < n) { sum += a.getInt(i).toLong * b.getInt(i); i += 1 }
+    sum
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val sum = ctx.freshName("sum")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $sum = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $sum += ((long) $a.getInt($i)) * ((long) $b.getInt($i));
+         |}
+         |${ev.value} = $sum;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): VecDotInt =
+    copy(left = newLeft, right = newRight)
+}
+
 object VecFunctions {
   private[functions] def intLit(e: Expression): Int =
     e.eval(null) match {
@@ -92,6 +143,8 @@ object VecFunctions {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(
       "vec_dot", exprs => VecDot(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "vec_dot_int", exprs => VecDotInt(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction(
       "minhash_bands", exprs => MinHashBands(exprs(0), intLit(exprs(1)), intLit(exprs(2))), "scala_udf")
     reg.createOrReplaceTempFunction(
@@ -129,6 +182,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       (exprs: Seq[Expression]) => VecDot(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot_int"),
+      new ExpressionInfo(classOf[VecDotInt].getName, "vec_dot_int"),
+      (exprs: Seq[Expression]) => VecDotInt(exprs(0), exprs(1))))
     ext.injectFunction((
       FunctionIdentifier("minhash_bands"),
       new ExpressionInfo(classOf[MinHashBands].getName, "minhash_bands"),

@@ -188,6 +188,10 @@ object NodeRegistry {
     register("ivf_knn")(p => new IvfKnnNode(p.int("k"), p.int("nClusters"), p.int("nProbe"),
       p.str("idCol"), p.str("vecCol"), p.str("queryIdCol"),
       p.m.get("maxFitRows").map(_.toString.toLong).getOrElse(200000L)))
+    register("ivf_q_knn")(p => new IvfQuantizedKnnNode(p.int("k"), p.int("nClusters"),
+      p.int("nProbe"), p.int("rerank"),
+      p.str("idCol"), p.str("vecCol"), p.str("queryIdCol"),
+      p.m.get("maxFitRows").map(_.toString.toLong).getOrElse(200000L)))
     register("dedup_survivors")(p => new DedupSurvivorsNode(p.str("idCol")))
     register("connected_components")(p => new ConnectedComponentsNode(p.str("idA"), p.str("idB"), p.int("maxIter"),
       p.boolOr("halving", false), p.boolOr("failOnNonConverged", true),

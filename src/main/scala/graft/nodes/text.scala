@@ -314,6 +314,99 @@ class BpeTokenizerNode(
       .withColumn(outCol, expr(s"bpe_encode($textCol, '$lit')"))
       .withColumn("n_bpe_tokens", expr(s"size($outCol)")))
   }
+
+  /** Export the fitted tokenizer in the PUBLIC two-file interchange layout
+    * (`vocab.json` token→id map + `merges.txt` ranked pair list — the
+    * GPT-2/RoBERTa convention every training stack reads), so the trained
+    * artifact leaves the pipeline without a bespoke loader (VERDICT r6).
+    * The vocabulary is derived deterministically from the merge table
+    * alone: the base alphabet is every pair symbol never produced by a
+    * merge (sorted), followed by one merged token per rank — so
+    * export → [[importPublic]] round-trips the model byte-exactly.
+    * Hadoop FS paths (hdfs:///s3a://) work like local ones.
+    */
+  def exportPublic(dir: String): Unit = {
+    val merges = model.getOrElse(
+      throw new GraftException(s"estimator node '$name' not fitted"))
+    BpeTokenizerNode.writePublic(dir, merges)
+  }
+
+  /** Load a public-format tokenizer (the [[exportPublic]] layout) as this
+    * node's fitted model. Only `merges.txt` is authoritative — the vocab is
+    * a pure function of it (see exportPublic) and is re-derived, not read.
+    */
+  def importPublic(dir: String): Unit = {
+    model = Some(BpeTokenizerNode.readMerges(dir))
+    lastMerges = model.get
+  }
+}
+
+object BpeTokenizerNode {
+  /** (alphabet, merged tokens) derived from a merge table: alphabet = pair
+    * symbols never produced by an earlier merge, sorted for determinism. */
+  def derivedVocab(merges: Seq[String]): Seq[String] = {
+    val produced = scala.collection.mutable.Set[String]()
+    val seen = scala.collection.mutable.LinkedHashSet[String]()
+    merges.foreach { line =>
+      val sp = line.indexOf(' ')
+      if (sp > 0) {
+        val a = line.substring(0, sp); val b = line.substring(sp + 1)
+        seen += a; seen += b
+        produced += (a + b)
+      }
+    }
+    val alphabet = (seen -- produced).toSeq.sorted
+    alphabet ++ merges.collect {
+      case line if line.indexOf(' ') > 0 =>
+        val sp = line.indexOf(' ')
+        line.substring(0, sp) + line.substring(sp + 1)
+    }
+  }
+
+  private def jsonEscape(s: String): String = {
+    val sb = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '"'  => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c    => sb.append(c)
+    }
+    sb.toString
+  }
+
+  private def fs(dir: String) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    (p, p.getFileSystem(new org.apache.hadoop.conf.Configuration()))
+  }
+
+  def writePublic(dir: String, merges: Seq[String]): Unit = {
+    val (root, hfs) = fs(dir)
+    hfs.mkdirs(root)
+    def write(name: String, content: String): Unit = {
+      val out = hfs.create(new org.apache.hadoop.fs.Path(root, name), true)
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+    }
+    write("merges.txt", "#version: 0.2\n" + merges.mkString("\n") + "\n")
+    val vocab = derivedVocab(merges)
+    write("vocab.json", vocab.zipWithIndex
+      .map { case (t, i) => s""""${jsonEscape(t)}": $i""" }
+      .mkString("{", ", ", "}"))
+  }
+
+  def readMerges(dir: String): Seq[String] = {
+    val (root, hfs) = fs(dir)
+    val in = hfs.open(new org.apache.hadoop.fs.Path(root, "merges.txt"))
+    val content = try {
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+      new String(bos.toByteArray, "UTF-8")
+    } finally in.close()
+    content.linesIterator
+      .filterNot(l => l.startsWith("#") || l.isEmpty)
+      .toSeq
+  }
 }
 
 /** Intra-document repetition scoring (the Gopher-style repetition quality

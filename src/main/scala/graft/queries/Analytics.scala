@@ -128,6 +128,28 @@ object Analytics {
   }
   val q50Sql: String = NorthStar.q28Sql
 
+  // ---- q125: IVF-over-int8 at the nothing-truncated parameterization
+  // (probe-all + rerank >= corpus): the int8 coarse pass selects ALL
+  // candidates, so the exact float re-rank provably reduces to brute-force
+  // kNN and the oracle is q28's exact SQL — pinning the full composed path
+  // (quantize -> cluster assign -> int8 vec_dot_int coarse scoring -> float
+  // re-rank) end to end. The production rerank < corpus config trades
+  // recall like any IVF and is covered by NodesSpec. ----
+  def q125_ivf_int8(spark: SparkSession, dir: String): DataFrame = {
+    val d = new Dag("ivfq")
+    val emb = d.add(SourceNode.table(dir, "embeddings"))
+    val queries = emb >> FilterNode("vec_id < 5") >>
+      ProjectNode("vec_id as query_id", "embedding").named("queryset")
+    val ivf = d.add(new IvfQuantizedKnnNode(k = 10, nClusters = 8, nProbe = 8,
+      rerank = 10000000))
+    emb("result") >> ivf("corpus"); queries >> ivf("queries")
+    ivf >> ProjectNode("query_id", "vec_id", "rank") >> d.output("result")
+    val ctx = Ctx(spark)
+    d.fit(ctx)
+    d.transform(ctx).outputs("result")
+  }
+  val q125Sql: String = NorthStar.q28Sql
+
   // ---- q51: end-to-end training-data pipeline, fully oracle-checkable:
   // quality gate -> language gate -> exact dedup survivor join -> per-lang
   // token budget. The near-dup variant (minhash -> components) is q52. ----
@@ -284,6 +306,7 @@ object Analytics {
     ("q48_resample", q48_resample _, q48Sql),
     ("q49_centroid", q49_centroid _, q49Sql),
     ("q50_ivf_knn", q50_ivf_knn _, q50Sql),
+    ("q125_ivf_int8", q125_ivf_int8 _, q125Sql),
     ("q51_pipeline", q51_pipeline _, q51Sql),
     ("q52_dedup_clusters", q52_dedup_clusters _, q52Sql),
     ("q53_misc_funcs", q53_misc_funcs _, q53Sql),

@@ -1892,6 +1892,31 @@ class NodesSpec extends AnyFunSuite {
       (2L, 0, 0L, 48)))                   // doc2: single frame
   }
 
+  test("IvfQuantizedKnnNode: probe-all+rerank-all == brute force; bounded rerank returns k") {
+    val corpus = (0 until 60).map { i =>
+      (i.toLong, Array.tabulate(8)(j => math.sin(i * 7 + j).toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = (0 until 3).map { i =>
+      (i.toLong, Array.tabulate(8)(j => math.cos(i * 5 + j).toFloat))
+    }.toDF("query_id", "embedding")
+    def run2(node: Node): Seq[(Long, Long, Int)] = {
+      val d = new Dag()
+      val c = d.add(srcNode(corpus, "corpus")); val q = d.add(srcNode(queries, "queries"))
+      c >> node("corpus"); q >> node("queries")
+      node >> ProjectNode("query_id", "vec_id", "rank") >> d.output("result")
+      d.fit(ctx)
+      d.transform(ctx).outputs("result").as[(Long, Long, Int)].collect().toSeq.sorted
+    }
+    val brute = run2(new BruteForceKnnNode(k = 5))
+    val identity = run2(new IvfQuantizedKnnNode(k = 5, nClusters = 4, nProbe = 4,
+      rerank = 1000000))
+    assert(identity == brute) // nothing truncated -> exact
+    // production config: k rows per query, all from the probed/reranked pool
+    val prod = run2(new IvfQuantizedKnnNode(k = 5, nClusters = 4, nProbe = 2, rerank = 8))
+    assert(prod.groupBy(_._1).forall(_._2.size == 5))
+    assert(prod.forall { case (_, _, r) => r >= 1 && r <= 5 })
+  }
+
   test("GroupEmaNode: null order/tie/value fails loudly instead of sorting first as 0") {
     val rows = Seq((1L, Some(1L), Some(10L), Some(100L)), (1L, Some(2L), None, Some(200L)))
       .toDF("k", "tie", "o", "v")

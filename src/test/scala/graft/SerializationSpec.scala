@@ -431,6 +431,42 @@ class SerializationSpec extends AnyFunSuite {
     assert(out.agg(sum("c")).as[Double].head() == 0.0)
   }
 
+  test("BPE public-format export: byte-stable vocab.json/merges.txt; reload-equivalent") {
+    val docs = Seq(
+      (1L, "low lower lowest low low"),
+      (2L, "new newer newest new newer"),
+      (3L, "low new lower newer lowest"),
+    ).toDF("doc_id", "text")
+    val n1 = new BpeTokenizerNode(numMerges = 20)
+    n1.fit(Ctx(spark), In.single("df" -> docs))
+    assert(n1.lastMerges.nonEmpty)
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe_pub_").toString
+    n1.exportPublic(dir)
+    // byte-stable: a second export writes identical files
+    def bytes(f: String) = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(dir, f))
+    val (m1, v1) = (bytes("merges.txt"), bytes("vocab.json"))
+    n1.exportPublic(dir)
+    assert(java.util.Arrays.equals(m1, bytes("merges.txt")))
+    assert(java.util.Arrays.equals(v1, bytes("vocab.json")))
+    // standard layout: version header + one ranked pair per line; vocab ids
+    // cover alphabet then merges in rank order
+    val lines = new String(m1, "UTF-8").linesIterator.toSeq
+    assert(lines.head == "#version: 0.2")
+    assert(lines.tail.forall(_.count(_ == ' ') == 1))
+    val vocab = BpeTokenizerNode.derivedVocab(n1.lastMerges)
+    assert(new String(v1, "UTF-8").contains(s""""${vocab.head}": 0"""))
+    assert(vocab.distinct.size == vocab.size)
+    // reload-equivalence: an importPublic node applies identically
+    val n2 = new BpeTokenizerNode(numMerges = 20)
+    n2.importPublic(dir)
+    assert(n2.lastMerges == n1.lastMerges)
+    val a = n1.transform(Ctx(spark), In.single("df" -> docs))("result")
+      .select("doc_id", "bpe_tokens").collect().map(_.toString).sorted
+    val b = n2.transform(Ctx(spark), In.single("df" -> docs))("result")
+      .select("doc_id", "bpe_tokens").collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
+
   test("SparkMlNode fitted pipeline round-trips through MLWriter/MLReader") {
     import org.apache.spark.ml.Pipeline
     import org.apache.spark.ml.feature.{HashingTF, IDF, RegexTokenizer}
