@@ -195,7 +195,7 @@ object NodeRegistry {
     register("dedup_survivors")(p => new DedupSurvivorsNode(p.str("idCol")))
     register("connected_components")(p => new ConnectedComponentsNode(p.str("idA"), p.str("idB"), p.int("maxIter"),
       p.boolOr("halving", false), p.boolOr("failOnNonConverged", true),
-      p.boolOr("reliableCheckpoint", false)))
+      p.boolOr("reliableCheckpoint", false), p.intOr("hopsPerRound", 2)))
     register("pagerank")(p => new PageRankNode(p.str("srcCol"), p.str("dstCol"),
       p.int("iterations"), p.m("scale").toString.toLong, p.int("dampingNum"),
       p.strOpt("tolerance").map(_.toLong)))

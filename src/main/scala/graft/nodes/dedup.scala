@@ -141,15 +141,26 @@ object MinHashDedupNode {
   */
 class ConnectedComponentsNode(idA: String = "id_a", idB: String = "id_b", maxIter: Int = 15,
                               halving: Boolean = false, failOnNonConverged: Boolean = true,
-                              reliableCheckpoint: Boolean = false)
+                              reliableCheckpoint: Boolean = false,
+                              // propagation hops chained lazily per
+                              // materialized round (VERDICT r6 #9): each
+                              // Spark job/checkpoint/count covers `hops`
+                              // label-propagation steps instead of one,
+                              // halving per-round scheduling overhead — the
+                              // dominant cost for the many-tiny-jobs
+                              // iterative shape at local scale. The min-label
+                              // fixpoint is hop-batching-invariant, so
+                              // results are identical.
+                              hopsPerRound: Int = 2)
   extends Node {
+  require(hopsPerRound >= 1, "hopsPerRound must be >= 1")
   override protected def defaultName: String = "connected_components"
   val inputs = Seq(Port("pairs"))
   val outputs = Seq(Port("result"))
   override def jsonKind: Option[String] = Some("connected_components")
   override def jsonParams: Map[String, Any] = Map("idA" -> idA, "idB" -> idB, "maxIter" -> maxIter,
     "halving" -> halving, "failOnNonConverged" -> failOnNonConverged,
-    "reliableCheckpoint" -> reliableCheckpoint)
+    "reliableCheckpoint" -> reliableCheckpoint, "hopsPerRound" -> hopsPerRound)
 
   /** Per-round lineage cut. `localCheckpoint` (default) stores blocks on
     * executors — fast, but a lost executor loses them and the truncated
@@ -208,9 +219,22 @@ class ConnectedComponentsNode(idA: String = "id_a", idB: String = "id_b", maxIte
       // alternative at extreme scale is alternating large-star/small-star,
       // Kiveris et al., same O(log) round bound).
       val updated = (if (!halving) {
-        labels.join(neighborMin, Seq("id"), "left")
+        // chain hopsPerRound propagation steps LAZILY, cut/count once: the
+        // extra hops reuse the same persisted edge layout and cost joins,
+        // not jobs — per-round actions are the local-scale bottleneck
+        var cur = labels.join(neighborMin, Seq("id"), "left")
           .select(col("id"), least(col("label"), col("nlabel")).as("label"),
             (col("nlabel") < col("label")).as("__changed"))
+        var h = 1
+        while (h < hopsPerRound) {
+          val nm = edges.join(cur, edges("b") === cur("id"))
+            .groupBy(edges("a").as("id")).agg(min("label").as("nlabel"))
+          cur = cur.join(nm, Seq("id"), "left")
+            .select(col("id"), least(col("label"), col("nlabel")).as("label"),
+              (col("__changed") || (col("nlabel") < col("label"))).as("__changed"))
+          h += 1
+        }
+        cur
       } else {
         val stepped = labels.join(neighborMin, Seq("id"), "left")
           .select(col("id"), least(col("label"), col("nlabel")).as("label"))
