@@ -798,6 +798,168 @@ object NorthStar {
       |        FROM surv) t) g
       |GROUP BY split ORDER BY split""".stripMargin
 
+  // ---- q124 (round-7 flagship): the ENTIRE pretraining-curation chain as
+  // one DAG, every operator family at once — heuristic quality gate →
+  // lang-id gate → exact dedup → MinHash near-dup survivors (saturated
+  // 0.8/16-band regime, the q25-verified exact-pair contract) → benchmark
+  // decontamination → per-source quantile quality gate → domain-mix
+  // resampling → sequence packing → budget shard assignment. Each stage is
+  // individually oracled (q89, q23, q20, q25/q44, q73, q105, q79, q78,
+  // q123); this entry pins their COMPOSITION end to end: DuckDB replays
+  // the whole pipeline and the per-shard doc/token/sequence/copy totals
+  // must match bit-exact. A regression in ANY stage — a gate rule, the
+  // argmax tie-break, a survivor choice, a quantile, a hash band, a
+  // cumsum — moves some integer and breaks the hash. ----
+  def q124_flagship_pipeline(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
+    val src = d.add(SourceNode.table(dir, "documents"))
+    val bench = src >> FilterNode("doc_id < 10").named("bench")
+    val corpus = src("result") >> FilterNode("doc_id >= 10").named("corpus0")
+    // 1. heuristic quality gate (the q89 configuration)
+    val gated = corpus >> new HeuristicFilterNode(minWords = 40, maxWords = 100000,
+      minMeanWordLen = 2.0, maxMeanWordLen = 10.0,
+      minAlphaWordFrac = 0.8, minStopwordHits = 1, keepOnly = true)
+    // 2. language gate: marker-argmax English only
+    val en = gated >> new LangIdNode("text") >>
+      FilterNode("pred_lang = 'en'").named("en_gate")
+    // 3. exact dedup on normalized text; survivors semi-join their rows back
+    // (the id list is corpus-sized: semi join, never a broadcast — q74)
+    val ded = d.add(new ExactDedupNode(
+      Seq(s"md5(cast($sparkNorm as binary))"), "doc_id").named("exact"))
+    en >> ded
+    val exact = d.add(JoinNode.using(Seq("doc_id"), joinType = "left_semi").named("exact_join"))
+    en("result") >> exact("left")
+    ded >> ProjectNode("doc_id").named("exact_ids") >> exact("right")
+    // 4. MinHash near-dup pairs (saturated regime) → greedy survivor drop
+    val pairs = exact >> new MinHashDedupNode(
+      numHashes = 32, bands = 16, shingleN = 3, jaccardThreshold = 0.8)
+    val nd = d.add(new DedupSurvivorsNode())
+    exact("result") >> nd("docs"); pairs >> nd("pairs")
+    // 5. benchmark decontamination (docs < 10 stand in for the eval set)
+    val cont = d.add(new ContaminationNode(shingleN = 3))
+    nd >> cont("docs"); bench >> cont("benchmark")
+    val cleanIds = cont >> FilterNode("overlap_frac < 0.5") >>
+      ProjectNode("doc_id").named("clean_ids")
+    val clean = d.add(JoinNode.using(Seq("doc_id"), joinType = "left_semi").named("clean_join"))
+    nd("result") >> clean("left"); cleanIds >> clean("right")
+    // 6. per-source median quality gate (exact percentile, q105 parity)
+    val qual = clean >> new QuantileFilterNode(scoreExpr = "n_chars",
+      keepFrac = 0.5, groupCols = Seq("source"))
+    // 7. domain-mix resampling: upsample src0 2x, halve src1, keep the rest
+    val mixed = qual >> new DomainMixNode(Seq("src0" -> 2.0, "src1" -> 0.5)) >>
+      new WithColumnsNode(Seq("uid" -> "doc_id * 10 + copy")) // unique per copy
+    // 8. token counts → sequence packing → budget shard assignment
+    mixed >> new TokenCountNode() >>
+      new SequencePackNode(idCol = "uid", tokensCol = Some("ws_tokens"),
+        seqLen = 256, shards = 8) >>
+      new TokenShardNode(idCol = "uid", weightExpr = "ws_tokens",
+        budget = 2000L, buckets = 16) >>
+      AggNode(Seq("shard_id"),
+        "count(*) as n_docs",
+        "cast(sum(ws_tokens) as bigint) as total_tokens",
+        "cast(sum(n_seqs) as bigint) as total_seqs",
+        "cast(max(copy) as bigint) as max_copy") >>
+      SortNode("shard_id") >>
+      d.output("result")
+  }
+  val q124Sql: String = {
+    val mixHash = DetHash.duckExpr(
+      "coalesce(source, '') || '|' || coalesce(cast(doc_id as varchar), '')", 1000000L)
+    val packShard = DetHash.duckExpr("cast(uid as varchar)", 8)
+    s"""WITH t AS (
+       |  SELECT doc_id, source, n_chars, text,
+       |    regexp_split_to_array(lower(trim(text)), '\\s+') AS toks,
+       |    string_split(text, chr(10)) AS lines,
+       |    length(regexp_replace(text, '\\s+', '', 'g')) AS nchar_ns
+       |  FROM documents WHERE doc_id >= 10),
+       |gated AS (
+       |  SELECT doc_id, source, n_chars, text, toks FROM t
+       |  WHERE len(toks) >= 40 AND len(toks) <= 100000
+       |    AND cast(nchar_ns as double) / greatest(len(toks), 1) BETWEEN 2.0 AND 10.0
+       |    AND cast(len(regexp_extract_all(text, '#|\\.\\.\\.|…')) as double)
+       |        / greatest(len(toks), 1) <= 0.1
+       |    AND cast(len(list_filter(lines, l -> regexp_matches(l, '^\\s*[-*•]'))) as double)
+       |        / greatest(len(lines), 1) <= 0.9
+       |    AND cast(len(list_filter(lines, l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$$'))) as double)
+       |        / greatest(len(lines), 1) <= 0.3
+       |    AND cast(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) as double)
+       |        / greatest(len(toks), 1) >= 0.8
+       |    AND len(list_intersect(list_distinct(toks),
+       |        ['the','be','to','of','and','that','have','with'])) >= 1),
+       |lang AS (
+       |  SELECT doc_id, source, n_chars, text, toks FROM (
+       |    SELECT *,
+       |      len(list_filter(toks, t2 -> list_contains(['the','a','of','and','to','in','is','for','with','on'], t2))) AS s_en,
+       |      len(list_filter(toks, t2 -> list_contains(['der','die','das','und','ist','ein','mit','für','von','auf'], t2))) AS s_de,
+       |      len(list_filter(toks, t2 -> list_contains(['le','la','les','et','est','un','une','pour','avec','dans'], t2))) AS s_fr,
+       |      len(list_filter(toks, t2 -> list_contains(['el','la','los','las','y','es','un','una','para','con'], t2))) AS s_es,
+       |      len(list_filter(toks, t2 -> list_contains(['的','是','在','了','和','有','我','他','这','中'], t2))) AS s_zh
+       |    FROM gated) sc
+       |  WHERE s_en > 0 AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_zh),
+       |ded AS (
+       |  SELECT min(doc_id) AS doc_id FROM lang
+       |  GROUP BY md5($duckNorm)),
+       |ex AS (SELECT l.* FROM lang l JOIN ded USING (doc_id)),
+       |sh AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+       |    i -> array_to_string(toks[i:i+2], ' '))) AS s3
+       |  FROM ex),
+       |ndl AS (
+       |  SELECT DISTINCT b.doc_id FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |  WHERE cast(len(list_distinct(list_intersect(a.s3, b.s3))) as double)
+       |        / len(list_distinct(list_concat(a.s3, b.s3))) >= 0.8),
+       |nd AS (SELECT * FROM ex WHERE doc_id NOT IN (SELECT doc_id FROM ndl)),
+       |bsh AS (
+       |  SELECT DISTINCT unnest(s) AS g3 FROM (
+       |    SELECT list_distinct(list_transform(range(1, greatest(len(t2) - 2, 1) + 1),
+       |      i -> array_to_string(t2[i:i+2], ' '))) AS s
+       |    FROM (SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS t2
+       |          FROM documents WHERE doc_id < 10) y) z),
+       |dsh AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+       |    i -> array_to_string(toks[i:i+2], ' '))) AS s
+       |  FROM nd),
+       |m AS (
+       |  SELECT d2.doc_id, count(*) AS nm
+       |  FROM (SELECT doc_id, unnest(s) AS g3 FROM dsh) d2 JOIN bsh USING (g3)
+       |  GROUP BY d2.doc_id),
+       |clean AS (
+       |  SELECT nd.* FROM nd JOIN (
+       |    SELECT dsh.doc_id FROM dsh LEFT JOIN m ON dsh.doc_id = m.doc_id
+       |    WHERE cast(coalesce(m.nm, 0) as double) / len(dsh.s) < 0.5) ok USING (doc_id)),
+       |thr AS (SELECT source, quantile_cont(n_chars, 0.5) AS th FROM clean GROUP BY source),
+       |qual AS (SELECT c.* FROM clean c JOIN thr USING (source) WHERE c.n_chars >= thr.th),
+       |mixed AS (
+       |  SELECT doc_id, source, w, unnest(generate_series(1, copies)) AS copy FROM (
+       |    SELECT doc_id, source, len(toks) AS w,
+       |      (CASE WHEN source = 'src0' THEN 2 WHEN source = 'src1' THEN 0 ELSE 1 END)
+       |      + (CASE WHEN h < (CASE WHEN source = 'src1' THEN 500000 ELSE 0 END)
+       |         THEN 1 ELSE 0 END) AS copies
+       |    FROM (SELECT doc_id, source, toks, $mixHash AS h FROM qual) a) b
+       |  WHERE copies >= 1),
+       |u AS (SELECT doc_id * 10 + copy AS uid, w, copy FROM mixed),
+       |pk AS (
+       |  SELECT uid, w, copy,
+       |    cast(coalesce(sum(w) OVER (PARTITION BY shard8 ORDER BY uid
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) as bigint) AS start_tok
+       |  FROM (SELECT uid, w, copy, $packShard AS shard8 FROM u) p),
+       |sq AS (
+       |  SELECT uid, w, copy,
+       |    ((start_tok + greatest(w, 1) - 1) // 256) - (start_tok // 256) + 1 AS n_seqs
+       |  FROM pk),
+       |ts AS (
+       |  SELECT uid, w, copy, n_seqs,
+       |    sum(w) OVER (ORDER BY ord, uid ROWS UNBOUNDED PRECEDING) AS pref
+       |  FROM (SELECT uid, w, copy, n_seqs,
+       |          cast(cast('0x' || substring(md5(cast(uid as varchar)), 1, 8) as ubigint) as bigint) AS ord
+       |        FROM sq) o)
+       |SELECT cast((pref - w) // 2000 as bigint) AS shard_id,
+       |  count(*) AS n_docs,
+       |  cast(sum(w) as bigint) AS total_tokens,
+       |  cast(sum(n_seqs) as bigint) AS total_seqs,
+       |  cast(max(copy) as bigint) AS max_copy
+       |FROM ts GROUP BY shard_id ORDER BY shard_id""".stripMargin
+  }
+
   // ---- q77: predicate router — first-match routing into per-branch
   // topology (the multi-output analogue of a tag column): English docs,
   // then long non-English docs, then everything else; each branch
@@ -923,6 +1085,7 @@ object NorthStar {
     ("q72_repetition", q72_repetition _, q72Sql),
     ("q73_contamination", q73_contamination _, q73Sql),
     ("q74_curation", q74_curation _, q74Sql),
+    ("q124_flagship_pipeline", q124_flagship_pipeline _, q124Sql),
     ("q77_router", q77_router _, q77Sql),
     ("q61_chunk", q61_chunk _, q61Sql),
     ("q62_redact", q62_redact _, q62Sql),
