@@ -158,6 +158,31 @@ class SerializationSpec extends AnyFunSuite {
     assert(il2.buckets == 128 && il2.tagCol == "tag")
   }
 
+  test("round-trip covers round-7 kinds: avi/frame-sample/ivf-int8/cc-hops/index-compaction") {
+    val d = new Dag("r7kinds")
+    val av = d.add(new SyntheticAviNode("nf", "w", "h", "sd", fps = 25, outCol = "vid"))
+    val fr = d.add(new FrameSampleNode(stride = 3, maxFrames = 7, payloadCol = "vid"))
+    val iq = d.add(new IvfQuantizedKnnNode(k = 7, nClusters = 32, nProbe = 5, rerank = 99,
+      idCol = "id", vecCol = "emb", queryIdCol = "qid", maxFitRows = 777L))
+    val cc = d.add(new ConnectedComponentsNode(hopsPerRound = 3))
+    val ix = d.add(new MinHashIndexNode(unboundedStreamStateOk = true,
+      compactEvery = 4, compactPath = Some("/tmp/ixc")))
+    val d2 = DagJson.fromJson(DagJson.toJson(d))
+    val av2 = d2.node(av.name).asInstanceOf[SyntheticAviNode]
+    assert(av2.nFramesExpr == "nf" && av2.fps == 25 && av2.outCol == "vid")
+    val fr2 = d2.node(fr.name).asInstanceOf[FrameSampleNode]
+    assert(fr2.stride == 3 && fr2.maxFrames == 7 && fr2.payloadCol == "vid")
+    val iq2 = d2.node(iq.name).asInstanceOf[IvfQuantizedKnnNode]
+    assert(iq2.k == 7 && iq2.nClusters == 32 && iq2.nProbe == 5 && iq2.rerank == 99 &&
+      iq2.idCol == "id" && iq2.vecCol == "emb" && iq2.queryIdCol == "qid" &&
+      iq2.maxFitRows == 777L)
+    val cc2 = d2.node(cc.name).asInstanceOf[ConnectedComponentsNode]
+    assert(cc2.jsonParams("hopsPerRound") == 3)
+    val ix2 = d2.node(ix.name).asInstanceOf[MinHashIndexNode]
+    assert(ix2.unboundedStreamStateOk && ix2.compactEvery == 4 &&
+      ix2.compactPath.contains("/tmp/ixc"))
+  }
+
   test("round-trip covers quality kinds: heuristic/vocab/semdedup/domain-quota") {
     val d = new Dag("qkinds")
     val hf = d.add(new HeuristicFilterNode("body", 30, 5000, 2.5, 9.0, 0.2, 0.8, 0.4,
