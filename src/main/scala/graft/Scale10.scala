@@ -67,7 +67,12 @@ object Scale10 {
       // round-6 additions: real PNG codec (per-row decode cost k-fold),
       // two-generation index refresh (update path at k-fold corpus), LM
       // fit+score (vocabulary join is the superlinear hazard)
-      "q31_multimodal", "q116_index_refresh", "q118_unigram_surprise")
+      "q31_multimodal", "q116_index_refresh", "q118_unigram_surprise",
+      // round-7 additions: real AVI synth+parse (per-row container cost
+      // k-fold), int8 IVF (quantized coarse pass at k-fold corpus), the
+      // full flagship chain (its minhash pair stage is the superlinear
+      // hazard; 10-way dup families stress the survivor drop)
+      "q32_frame_sample", "q125_ivf_int8", "q124_flagship_pipeline")
     val names = if (queries.nonEmpty) queries else defaults
     names.foreach { n =>
       try time(n)(Queries.all(n)(spark, out).count())
