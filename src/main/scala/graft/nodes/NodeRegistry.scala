@@ -151,6 +151,8 @@ object NodeRegistry {
       p.strOpt("pathGlobFilter"), p.boolOr("recursive", false)))
     register("unigram_surprise")(p => new UnigramSurpriseNode(p.str("idCol"), p.str("textCol"),
       p.m("scale").toString.toLong))
+    register("lm_classifier")(p => new LmClassifierNode(p.str("idCol"), p.str("textCol"),
+      p.str("labelCol"), p.m("scale").toString.toLong, p.int("maxClasses")))
     register("ranking_metrics")(p => new RankingMetricsNode(p.int("k"), p.str("queryIdCol"),
       p.str("idCol"), p.str("rankCol"), p.m("scale").toString.toLong))
     register("token_shard")(p => new TokenShardNode(p.str("idCol"), p.str("weightExpr"),

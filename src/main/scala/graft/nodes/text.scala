@@ -893,3 +893,124 @@ object UnigramSurpriseNode {
   /** Fitted unigram LM: distributed (token, count) frame + total occurrences. */
   case class Lm(counts: DataFrame, total: Long)
 }
+
+/** Per-class unigram-LM classifier — the MODEL-BASED filtering/routing
+  * stage of a curation pipeline (the DCLM/CCNet shape: fit one LM per
+  * labeled slice of a seed corpus, score every incoming document against
+  * each, route to the class whose LM finds it least surprising). Reuses
+  * UnigramSurpriseNode's FIXED-POINT INTEGER surprise contract —
+  * surprise_k(w) = (T_k·S) div c_k(w), OOV c_k = 1 — so the decision
+  * (argmin over classes of mean surprise, ties to the lexicographically
+  * smallest label) is exact integer arithmetic: bit-reproducible across
+  * engines/partitionings/retries and DuckDB-oracleable. Output columns:
+  * idCol, n_tokens, predicted, best_surprise (the winning class's mean),
+  * margin (runner-up mean minus best; 0 with a single class). Gate
+  * downstream with FilterNode("margin >= m") — the classifier-confidence
+  * threshold — or route with RouterNode on `predicted`.
+  *
+  * Scale shape: fit = one explode + one (label, token) groupBy over the
+  * SEED corpus only (the model is the distributed counts frame; the sole
+  * driver state is the K (label, total) pairs, K = #classes guarded by
+  * `maxClasses`). Apply = one explode + ONE equi-join against the
+  * token-PIVOTED counts (vocabulary-sized; classes ride as K COLUMNS per
+  * token, never a doc×class row blowup; AQE broadcasts the vocab frame
+  * when small) + one groupBy on the doc id. Per-class per-doc sums run in
+  * decimal(38,0) (T·S ~ 1e20 at 100 TB — the UnigramSurpriseNode overflow
+  * reasoning).
+  */
+class LmClassifierNode(
+    val idCol: String = "doc_id",
+    val textCol: String = "text",
+    val labelCol: String = "label",
+    val scale: Long = 1000000L,
+    val maxClasses: Int = 64)
+  extends EstimatorNode {
+  require(scale > 0, "scale must be positive")
+  require(maxClasses >= 1, "maxClasses must be >= 1")
+  type Model = LmClassifierNode.Cls
+  override protected def defaultName: String = "lm_classifier"
+  val inputs = Seq(Port("seed"), Port("df"))
+  val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("lm_classifier")
+  override def jsonParams: Map[String, Any] = Map("idCol" -> idCol,
+    "textCol" -> textCol, "labelCol" -> labelCol, "scale" -> scale,
+    "maxClasses" -> maxClasses)
+
+  def fitModel(ctx: Ctx, in: In): Model = {
+    import org.apache.spark.sql.functions.{count, lit, sum}
+    import org.apache.spark.storage.StorageLevel
+    val toks = in("seed").select(
+      col(labelCol).cast("string").as("__lab"),
+      expr(s"explode(${TextExprs.tokensExpr(textCol)})").as("__tok"))
+    val counts = toks.groupBy("__lab", "__tok").agg(count(lit(1)).as("__c"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val totals = counts.groupBy("__lab").agg(sum("__c").as("__t"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .toSeq.sortBy(_._1)
+    if (totals.isEmpty)
+      throw new GraftException(s"lm_classifier '$name': seed corpus is empty")
+    if (totals.exists(_._1 == null))
+      throw new GraftException(s"lm_classifier '$name': null label in seed")
+    if (totals.size > maxClasses)
+      throw new GraftException(s"lm_classifier '$name': ${totals.size} classes " +
+        s"exceed maxClasses=$maxClasses (labels are driver state — keep K small)")
+    LmClassifierNode.Cls(counts, totals)
+  }
+
+  def applyModel(m: Model, ctx: Ctx, in: In): Map[String, DataFrame] = {
+    import org.apache.spark.sql.functions.{count, lit, sum}
+    val labels = m.totals.map(_._1)
+    // classes become COLUMNS: one vocabulary-sized frame, one join
+    val piv = m.counts.groupBy("__tok").pivot("__lab", labels).sum("__c")
+    val pivN = piv.select(col("__tok") +: labels.zipWithIndex.map { case (l, i) =>
+      col("`" + l.replace("`", "``") + "`").as(s"__c$i") }: _*)
+    val toks = in("df").select(col(idCol),
+      expr(s"explode(${TextExprs.tokensExpr(textCol)})").as("__tok"))
+    val joined = toks.join(pivN, Seq("__tok"), "left")
+    val sums = m.totals.zipWithIndex.map { case ((_, t), i) =>
+      sum(expr(s"cast((${t}L * ${scale}L) div coalesce(__c$i, 1L) as decimal(38,0))"))
+        .as(s"__s$i") }
+    val agg = joined.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sums: _*)
+    // argmin with (mean, label) tie-break via one sorted struct array
+    val entries = labels.zipWithIndex.map { case (l, i) =>
+      s"struct(cast(__s$i div n_tokens as bigint) as m, '${l.replace("'", "''")}' as l)"
+    }
+    val marginExpr =
+      if (labels.size >= 2) expr("__a[1].m - __a[0].m") else lit(0L)
+    Map("result" -> agg
+      .withColumn("__a", expr(s"array_sort(array(${entries.mkString(", ")}))"))
+      .select(col(idCol), col("n_tokens"),
+        expr("__a[0].l").as("predicted"),
+        expr("__a[0].m").as("best_surprise"),
+        marginExpr.as("margin")))
+  }
+
+  /** Release the persisted counts (fit again to rebuild). */
+  def unpersistModel(): Unit = model.foreach(_.counts.unpersist())
+
+  override def saveFitted(path: String): Unit = {
+    val m = model.getOrElse(
+      throw new GraftException(s"estimator node '$name' not fitted"))
+    m.counts.write.mode("overwrite").parquet(s"$path/counts")
+    val spark = m.counts.sparkSession
+    import spark.implicits._
+    m.totals.toDF("__lab", "__t").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/totals")
+  }
+  override def loadFitted(path: String): Unit = loadFitted(path, None)
+  def loadFitted(path: String, session: Option[org.apache.spark.sql.SparkSession]): Unit = {
+    val spark = session.getOrElse(org.apache.spark.sql.SparkSession.active)
+    val counts = spark.read.parquet(s"$path/counts")
+    val totals = spark.read.parquet(s"$path/totals")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1)
+    model = Some(LmClassifierNode.Cls(counts, totals))
+  }
+}
+
+object LmClassifierNode {
+  /** Fitted per-class LMs: distributed (label, token, count) frame +
+    * per-label token totals (K rows of driver state, K = #classes).
+    */
+  case class Cls(counts: DataFrame, totals: Seq[(String, Long)])
+}

@@ -885,6 +885,119 @@ object Advanced {
       |GROUP BY d.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  // ---- q126: MODEL-BASED classification gate — the DCLM/CCNet stage a
+  // real curation pipeline runs between heuristics and dedup: one unigram
+  // LM per language is FIT on a deterministic labeled seed (doc_id % 7 =
+  // 0), and every remaining document is routed to the argmin-mean-surprise
+  // class in exact fixed-point integers (LmClassifierNode — classes ride
+  // as pivot COLUMNS through one vocab join, never a doc×class row
+  // blowup). Output = the confusion matrix (actual lang × predicted) plus
+  // summed decision margins; the oracle replays per-class counts, the
+  // cross-class scoring, and the (mean, label) argmin tie-break. ----
+  def q126_lm_classifier(spark: SparkSession, dir: String): DataFrame = {
+    val d = new Dag("lmcls")
+    val docs = d.add(SourceNode.table(dir, "documents"))
+    val seed = docs >> FilterNode("doc_id % 7 = 0").named("seed")
+    val rest = docs("result") >> FilterNode("doc_id % 7 <> 0").named("unlabeled")
+    val cls = d.add(new LmClassifierNode(labelCol = "lang"))
+    seed >> cls("seed"); rest >> cls("df")
+    val actual = docs("result") >> ProjectNode("doc_id", "lang").named("actual")
+    val j = d.add(new JoinNode(using = Seq("doc_id")))
+    cls >> j("left"); actual >> j("right")
+    j >> AggNode(Seq("lang", "predicted"),
+      "count(*) as n",
+      "cast(sum(margin) as bigint) as sum_margin",
+      "cast(sum(best_surprise) as bigint) as sum_best") >>
+      SortNode("lang", "predicted") >> d.output("result")
+    val ctx = Ctx(spark)
+    d.fit(ctx)
+    d.transform(ctx).outputs("result")
+  }
+  val q126Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+      |  FROM documents),
+      |c AS (
+      |  SELECT d.lang AS lab, k.tok, count(*) AS c
+      |  FROM toks k JOIN documents d USING (doc_id)
+      |  WHERE k.doc_id % 7 = 0 GROUP BY 1, 2),
+      |t AS (SELECT lab, sum(c) AS tt FROM c GROUP BY lab),
+      |s AS (
+      |  SELECT d.doc_id, t.lab,
+      |    cast(sum((t.tt * 1000000) // coalesce(c.c, 1)) // count(*) as bigint) AS mean_s
+      |  FROM (SELECT * FROM toks WHERE doc_id % 7 <> 0) d
+      |  CROSS JOIN t
+      |  LEFT JOIN c ON c.lab = t.lab AND c.tok = d.tok
+      |  GROUP BY d.doc_id, t.lab),
+      |r AS (
+      |  SELECT doc_id, lab, mean_s,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY mean_s, lab) AS rn
+      |  FROM s),
+      |p AS (
+      |  SELECT b.doc_id, b.lab AS predicted, b.mean_s AS best,
+      |    coalesce(u.mean_s - b.mean_s, 0) AS margin
+      |  FROM (SELECT * FROM r WHERE rn = 1) b
+      |  LEFT JOIN (SELECT * FROM r WHERE rn = 2) u USING (doc_id))
+      |SELECT d.lang, p.predicted, count(*) AS n,
+      |  cast(sum(p.margin) as bigint) AS sum_margin,
+      |  cast(sum(p.best) as bigint) AS sum_best
+      |FROM p JOIN documents d USING (doc_id)
+      |GROUP BY d.lang, p.predicted
+      |ORDER BY d.lang, p.predicted""".stripMargin
+
+  // ---- q127: the SAME fitted classifier routing a live crawl — seed-fit
+  // on the static labeled slice, then a streaming subset flows through the
+  // identical applyModel plan (stream-static vocabulary join + per-doc
+  // streaming aggregation, complete mode over the bounded AvailableNow
+  // run) and the per-class routing counts must match the batch oracle
+  // bit-exactly — the q121/q106 same-nodes-streaming contract. ----
+  def q127_stream_lm_route(spark: SparkSession, dir: String): DataFrame = {
+    val d = new Dag("lmroute")
+    val docs = d.add(SourceNode.table(dir, "documents"))
+    val seed = docs >> FilterNode("doc_id % 7 = 0").named("seed")
+    val sdocs = d.add(StreamSourceNode.table(dir, "documents")) >>
+      FilterNode("doc_id % 7 <> 0 and doc_id % 11 = 0").named("crawl_stream")
+    val cls = d.add(new LmClassifierNode(labelCol = "lang"))
+    seed >> cls("seed"); sdocs >> cls("df")
+    val run = cls >> new StreamRunNode(s"q127_sink_${System.nanoTime()}",
+      outputMode = "complete")
+    val actual = docs("result") >> ProjectNode("doc_id", "lang").named("actual")
+    val j = d.add(new JoinNode(using = Seq("doc_id")))
+    run >> j("left"); actual >> j("right")
+    j >> AggNode(Seq("predicted"),
+      "count(*) as n",
+      "cast(sum(case when predicted = lang then 1 else 0 end) as bigint) as n_correct") >>
+      SortNode("predicted") >> d.output("result")
+    val ctx = Ctx(spark)
+    d.fit(ctx)
+    d.transform(ctx).outputs("result")
+  }
+  val q127Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+      |  FROM documents),
+      |c AS (
+      |  SELECT d.lang AS lab, k.tok, count(*) AS c
+      |  FROM toks k JOIN documents d USING (doc_id)
+      |  WHERE k.doc_id % 7 = 0 GROUP BY 1, 2),
+      |t AS (SELECT lab, sum(c) AS tt FROM c GROUP BY lab),
+      |s AS (
+      |  SELECT d.doc_id, t.lab,
+      |    cast(sum((t.tt * 1000000) // coalesce(c.c, 1)) // count(*) as bigint) AS mean_s
+      |  FROM (SELECT * FROM toks WHERE doc_id % 7 <> 0 AND doc_id % 11 = 0) d
+      |  CROSS JOIN t
+      |  LEFT JOIN c ON c.lab = t.lab AND c.tok = d.tok
+      |  GROUP BY d.doc_id, t.lab),
+      |r AS (
+      |  SELECT doc_id, lab,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY mean_s, lab) AS rn
+      |  FROM s),
+      |p AS (SELECT doc_id, lab AS predicted FROM r WHERE rn = 1)
+      |SELECT p.predicted, count(*) AS n,
+      |  cast(sum(CASE WHEN p.predicted = d.lang THEN 1 ELSE 0 END) as bigint) AS n_correct
+      |FROM p JOIN documents d USING (doc_id)
+      |GROUP BY p.predicted ORDER BY p.predicted""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q94_bloom_join", q94_bloom_join _, q94Sql),
     ("q95_pagerank", q95_pagerank _, q95Sql),
@@ -912,5 +1025,7 @@ object Advanced {
     ("q119_ranking_metrics", q119_ranking_metrics _, q119Sql),
     ("q120_conform", q120_conform _, q120Sql),
     ("q121_stream_lm_score", q121_stream_lm_score _, q121Sql),
+    ("q126_lm_classifier", q126_lm_classifier _, q126Sql),
+    ("q127_stream_lm_route", q127_stream_lm_route _, q127Sql),
   )
 }

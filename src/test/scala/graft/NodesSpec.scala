@@ -1616,6 +1616,37 @@ class NodesSpec extends AnyFunSuite {
     lm.unpersistModel()
   }
 
+  test("LmClassifierNode: argmin routing, (mean,label) tie-break, OOV, save/load, class cap") {
+    val seed = Seq((1L, "x", "a a b"), (2L, "y", "c c d")).toDF("doc_id", "lab", "text")
+    val docs = Seq((10L, "a b"), (11L, "c d"), (12L, "zz zz")).toDF("doc_id", "text")
+    val cls = new LmClassifierNode(labelCol = "lab")
+    cls.fit(ctx, In.single("seed" -> seed))
+    def route(n: LmClassifierNode) =
+      n.transform(ctx, In.single("df" -> docs))("result")
+        .selectExpr("doc_id", "predicted", "best_surprise", "margin")
+        .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    val r = route(cls)
+    // T_x=3 (a:2,b:1), T_y=3 (c:2,d:1); S=1e6
+    // doc 10 "a b": x = (3e6/2 + 3e6/1) div 2 = 2250000; y = (3e6 + 3e6) div 2 = 3000000
+    // doc 12 "zz zz": all-OOV in both classes -> equal means -> tie to 'x'
+    assert(r(0) == ((10L, "x", 2250000L, 750000L)))
+    assert(r(1) == ((11L, "y", 2250000L, 750000L)))
+    assert(r(2) == ((12L, "x", 3000000L, 0L)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_cls").toString
+    cls.saveFitted(dir)
+    val cls2 = new LmClassifierNode(labelCol = "lab")
+    cls2.loadFitted(dir)
+    assert(route(cls2) == r)
+    cls.unpersistModel()
+    // class-count guard: labels are driver state
+    val wide = (1L to 3L).map(i => (i, s"l$i", "w")).toDF("doc_id", "lab", "text")
+    val err = intercept[graft.dag.GraftException] {
+      new LmClassifierNode(labelCol = "lab", maxClasses = 2)
+        .fit(ctx, In.single("seed" -> wide))
+    }
+    assert(err.getMessage.contains("maxClasses"))
+  }
+
   test("BinaryFileSink/Source: payload files roundtrip; illegal names rejected") {
     val dir = s"/tmp/graft_bfs_${java.util.UUID.randomUUID().toString.take(8)}"
     val rows = Seq((1L, Array[Byte](1, 2, 3)), (2L, Array[Byte](9, 8))).toDF("doc_id", "payload")

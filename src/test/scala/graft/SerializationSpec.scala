@@ -181,6 +181,10 @@ class SerializationSpec extends AnyFunSuite {
     val ix2 = d2.node(ix.name).asInstanceOf[MinHashIndexNode]
     assert(ix2.unboundedStreamStateOk && ix2.compactEvery == 4 &&
       ix2.compactPath.contains("/tmp/ixc"))
+    val lc = d.add(new LmClassifierNode("id", "body", "src", 5000L, maxClasses = 9))
+    val lc2 = DagJson.fromJson(DagJson.toJson(d)).node(lc.name).asInstanceOf[LmClassifierNode]
+    assert(lc2.idCol == "id" && lc2.textCol == "body" && lc2.labelCol == "src" &&
+      lc2.scale == 5000L && lc2.maxClasses == 9)
   }
 
   test("round-trip covers quality kinds: heuristic/vocab/semdedup/domain-quota") {
