@@ -26,7 +26,8 @@ class DeterminismSpec extends AnyFunSuite {
   // prefix sum), stratified sample, dedup survivor selection, LM scoring
   private val contractQueries = Seq(
     "q60_split", "q70_stratified_sample", "q104_weighted_sample",
-    "q123_token_shards", "q44_dedup_survivors", "q118_unigram_surprise")
+    "q123_token_shards", "q44_dedup_survivors", "q118_unigram_surprise",
+    "q126_lm_classifier")
 
   test("contract queries are invariant to shuffle parallelism") {
     val conf = "spark.sql.shuffle.partitions"

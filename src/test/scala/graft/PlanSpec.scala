@@ -213,6 +213,21 @@ class PlanSpec extends AnyFunSuite {
       m >> dg.output("result")
     })
     assert(!rm.contains("CartesianProduct"), s"metrics must stay equi-join shaped:\n$rm")
+    // LmClassifierNode apply: classes ride as pivot COLUMNS — exactly ONE
+    // join against the vocabulary frame, never a doc×class row blowup
+    val d2 = new Dag()
+    val cls = d2.add(new LmClassifierNode(labelCol = "lang"))
+    val src2 = d2.add(SourceNode.table(dir, "documents"))
+    src2 >> cls("seed"); src2("result") >> cls("df")
+    val c2 = Ctx(spark)
+    d2.fit(c2)
+    cls >> d2.output("result")
+    val cp = planOf(d2.transform(c2).outputs("result"))
+    val nJoins = """\(\d+\) (SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)""".r
+      .findAllIn(cp).size
+    assert(nJoins == 1, s"classifier apply must be ONE vocab join (got $nJoins):\n$cp")
+    assert(!cp.contains("CartesianProduct") && !cp.contains("BroadcastNestedLoopJoin"),
+      s"classifier must never blow up doc×class:\n$cp")
   }
 
   test("quality nodes keep their scale shapes: heuristic narrow, quota one exchange") {
