@@ -153,6 +153,8 @@ object NodeRegistry {
       p.m("scale").toString.toLong))
     register("lm_classifier")(p => new LmClassifierNode(p.str("idCol"), p.str("textCol"),
       p.str("labelCol"), p.m("scale").toString.toLong, p.int("maxClasses")))
+    register("temperature_mix")(p => new TemperatureMixNode(p.m("budget").toString.toLong,
+      p.str("strataCol"), p.str("idCol"), p.str("copyCol")))
     register("ranking_metrics")(p => new RankingMetricsNode(p.int("k"), p.str("queryIdCol"),
       p.str("idCol"), p.str("rankCol"), p.m("scale").toString.toLong))
     register("token_shard")(p => new TokenShardNode(p.str("idCol"), p.str("weightExpr"),

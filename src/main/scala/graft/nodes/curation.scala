@@ -118,6 +118,73 @@ class DomainMixNode(
   }
 }
 
+/** DATA-DERIVED domain mixing by square-root temperature sampling — the
+  * multilingual/multi-source rebalancing stage (the XLM/mBERT exponent-
+  * smoothed multinomial, at the canonical alpha = 0.5): domain k with n_k
+  * rows receives a target share proportional to sqrt(n_k), so rare domains
+  * are boosted and dominant ones damped, under a TOTAL row `budget` B.
+  * Where DomainMixNode takes multipliers as config, this node computes
+  * them FROM the data:
+  *
+  *   s_k = isqrt(n_k),  Z = Σ_j s_j,  copies(row) = (B·s_k) div (Z·n_k)
+  *     + 1 iff DetHash(dom|id)·(Z·n_k) < ((B·s_k) mod (Z·n_k))·10^6
+  *
+  * — the fractional part realized by an exact rational comparison against
+  * the row's DetHash band (no variable-modulus hash, no RNG), so expected
+  * domain k output is B·s_k/Z and every decision is reproducible across
+  * engines/partitionings/retries. isqrt goes through double sqrt: IEEE 754
+  * requires sqrt correctly rounded, so Spark and DuckDB produce the SAME
+  * double bit-for-bit (unlike libm log/exp — why alpha is fixed at 1/2
+  * rather than a free exponent), and floor(sqrt(n)) is the exact integer
+  * square root for n < 2^50. copies = 0 rows drop (downsampling when B is
+  * below the corpus size); copies >= 1 rows explode with `copyCol` in
+  * [1, copies] — DomainMixNode's output shape, so the two are drop-in
+  * interchangeable upstream of pack/shard.
+  *
+  * Scale shape: one K-row domain aggregate (+ a one-row Z fold via a
+  * broadcast cross join on that SMALL frame only), one broadcast equi-join
+  * of the corpus against the K-row stats, then a narrow filter + generator
+  * — the big side is never shuffled. Products run in decimal(38,0)
+  * (Z·n_k ~ 1e19 at web scale overflows int64).
+  */
+class TemperatureMixNode(
+    val budget: Long,
+    val strataCol: String = "source",
+    val idCol: String = "doc_id",
+    val copyCol: String = "copy")
+  extends Node {
+  require(budget >= 0, "budget must be >= 0")
+  override protected def defaultName: String = "temperature_mix"
+  val inputs = Seq(Port("df"))
+  val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("temperature_mix")
+  override def jsonParams: Map[String, Any] = Map("budget" -> budget,
+    "strataCol" -> strataCol, "idCol" -> idCol, "copyCol" -> copyCol)
+
+  override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
+    import org.apache.spark.sql.functions.{broadcast, count, lit}
+    val df = in("df")
+      .withColumn("__dom", expr(s"coalesce(cast($strataCol as string), '')"))
+    val stats = df.groupBy("__dom").agg(count(lit(1)).as("__n"))
+      .withColumn("__s",
+        expr("cast(floor(sqrt(cast(__n as double))) as decimal(38,0))"))
+    val z = stats.agg(expr("cast(sum(__s) as decimal(38,0))").as("__z"))
+    val folded = stats.crossJoin(broadcast(z))
+      .withColumn("__num", expr(s"cast(${budget}L * __s as decimal(38,0))"))
+      .withColumn("__den", expr("cast(__z * __n as decimal(38,0))"))
+      .select("__dom", "__num", "__den")
+    val h = DetHash.modExpr(
+      s"concat(__dom, '|', coalesce(cast($idCol as string), ''))", 1000000L)
+    Map("result" -> df.join(broadcast(folded), Seq("__dom"))
+      .withColumn("__copies", expr(
+        s"(__num div __den) + (case when cast($h as decimal(38,0)) * __den < " +
+          "(__num % __den) * 1000000 then 1L else 0L end)"))
+      .filter("__copies >= 1")
+      .withColumn(copyCol, expr("explode(sequence(1L, cast(__copies as bigint)))"))
+      .drop("__dom", "__num", "__den", "__copies"))
+  }
+}
+
 /** Corpus-frequent line removal (the CCNet/RefinedWeb boilerplate filter):
   * split each document into lines, count how many DISTINCT documents each
   * exact line occurs in, drop lines above `maxDocFreq`, and reassemble the

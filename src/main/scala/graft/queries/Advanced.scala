@@ -998,6 +998,42 @@ object Advanced {
       |FROM p JOIN documents d USING (doc_id)
       |GROUP BY p.predicted ORDER BY p.predicted""".stripMargin
 
+  // ---- q128: data-derived domain rebalancing — square-root temperature
+  // sampling (TemperatureMixNode): target shares ∝ isqrt(n_k) under a
+  // fixed total budget, realized as exact integer copy counts + a DetHash
+  // fractional band (rational comparison — no RNG, no variable-modulus
+  // hash). Budget 300 downsamples dominant sources at sf0.1 and upsamples
+  // everything at sf0.001 — both directions of the realization are
+  // exercised across the gate's SFs. The oracle replays counts, the
+  // IEEE-exact isqrt, and the banding decision per document. ----
+  def q128_temperature_mix(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
+    d.add(SourceNode.table(dir, "documents")) >>
+      new TemperatureMixNode(budget = 300L) >>
+      AggNode(Seq("source"),
+        "count(*) as n_rows",
+        "cast(count(distinct doc_id) as bigint) as n_docs") >>
+      SortNode("source") >> d.output("result")
+  }
+  val q128Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, coalesce(cast(source as varchar), '') AS dom FROM documents),
+      |st AS (
+      |  SELECT dom, count(*) AS n, cast(floor(sqrt(count(*))) as bigint) AS s
+      |  FROM d GROUP BY dom),
+      |z AS (SELECT sum(s) AS z FROM st),
+      |r AS (
+      |  SELECT d.doc_id, d.dom,
+      |    (300 * st.s) // (z.z * st.n) +
+      |    (CASE WHEN (cast('0x' || substring(md5(d.dom || '|' ||
+      |             cast(d.doc_id as varchar)), 1, 8) as ubigint) % 1000000)
+      |           * (z.z * st.n) < ((300 * st.s) % (z.z * st.n)) * 1000000
+      |      THEN 1 ELSE 0 END) AS copies
+      |  FROM d JOIN st USING (dom) CROSS JOIN z)
+      |SELECT dom AS source, cast(sum(copies) as bigint) AS n_rows,
+      |  cast(sum(CASE WHEN copies >= 1 THEN 1 ELSE 0 END) as bigint) AS n_docs
+      |FROM r GROUP BY dom HAVING sum(copies) > 0
+      |ORDER BY source""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q94_bloom_join", q94_bloom_join _, q94Sql),
     ("q95_pagerank", q95_pagerank _, q95Sql),
@@ -1027,5 +1063,6 @@ object Advanced {
     ("q121_stream_lm_score", q121_stream_lm_score _, q121Sql),
     ("q126_lm_classifier", q126_lm_classifier _, q126Sql),
     ("q127_stream_lm_route", q127_stream_lm_route _, q127Sql),
+    ("q128_temperature_mix", q128_temperature_mix _, q128Sql),
   )
 }

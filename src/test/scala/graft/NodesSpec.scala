@@ -1647,6 +1647,33 @@ class NodesSpec extends AnyFunSuite {
     assert(err.getMessage.contains("maxClasses"))
   }
 
+  test("TemperatureMixNode: sqrt-share copy counts match a JVM replay; zero-copy rows drop") {
+    // A: 4 rows, B: 1 row; budget 5 -> s=(2,1), Z=3
+    // A: num=10 den=12 -> base 0, extra iff h*12 < 10e6; B: num=5 den=3 -> base 1, extra iff h*3 < 2e6
+    val rows = Seq((1L, "A"), (2L, "A"), (3L, "A"), (4L, "A"), (5L, "B"))
+    val df = rows.toDF("doc_id", "source")
+    val out = runOne { d =>
+      d.add(srcNode(df)) >> new TemperatureMixNode(budget = 5L) >> d.output("result")
+    }.select("doc_id", "copy").as[(Long, Long)].collect().toSeq
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(dom: String, id: Long): Long = {
+      val hex = md.digest(s"$dom|$id".getBytes("UTF-8"))
+        .take(4).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex, 16) % 1000000L
+    }
+    val expect = rows.map { case (id, dom) =>
+      val (num, den, base) = if (dom == "A") (10L, 12L, 0L) else (5L, 3L, 1L)
+      id -> (base + (if (h(dom, id) * den < (num % den) * 1000000L) 1L else 0L))
+    }.toMap
+    expect.foreach { case (id, n) =>
+      if (n == 0L) assert(!out.contains(id), s"doc $id must drop")
+      else assert(out(id) == (1L to n), s"doc $id expected $n copies, got ${out.get(id)}")
+    }
+    // the banding realizes a nontrivial mix in this tiny fixture
+    assert(expect.values.sum > 0)
+  }
+
   test("BinaryFileSink/Source: payload files roundtrip; illegal names rejected") {
     val dir = s"/tmp/graft_bfs_${java.util.UUID.randomUUID().toString.take(8)}"
     val rows = Seq((1L, Array[Byte](1, 2, 3)), (2L, Array[Byte](9, 8))).toDF("doc_id", "payload")

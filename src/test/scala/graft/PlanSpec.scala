@@ -228,6 +228,14 @@ class PlanSpec extends AnyFunSuite {
     assert(nJoins == 1, s"classifier apply must be ONE vocab join (got $nJoins):\n$cp")
     assert(!cp.contains("CartesianProduct") && !cp.contains("BroadcastNestedLoopJoin"),
       s"classifier must never blow up doc×class:\n$cp")
+    // TemperatureMixNode: the corpus joins the K-row stats via BROADCAST —
+    // the big side is never sort-merge-shuffled for the join
+    val tm = planOf(build { dg =>
+      dg.add(SourceNode.table(dir, "documents")) >>
+        new TemperatureMixNode(budget = 100L) >> dg.output("result")
+    })
+    assert(tm.contains("BroadcastHashJoin"), s"mix join must broadcast stats:\n$tm")
+    assert(!tm.contains("SortMergeJoin"), s"mix must not shuffle the corpus for the join:\n$tm")
   }
 
   test("quality nodes keep their scale shapes: heuristic narrow, quota one exchange") {

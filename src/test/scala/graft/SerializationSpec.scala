@@ -185,6 +185,10 @@ class SerializationSpec extends AnyFunSuite {
     val lc2 = DagJson.fromJson(DagJson.toJson(d)).node(lc.name).asInstanceOf[LmClassifierNode]
     assert(lc2.idCol == "id" && lc2.textCol == "body" && lc2.labelCol == "src" &&
       lc2.scale == 5000L && lc2.maxClasses == 9)
+    val tm = d.add(new TemperatureMixNode(1234L, "dom", "id", "cp"))
+    val tm2 = DagJson.fromJson(DagJson.toJson(d)).node(tm.name).asInstanceOf[TemperatureMixNode]
+    assert(tm2.budget == 1234L && tm2.strataCol == "dom" && tm2.idCol == "id" &&
+      tm2.copyCol == "cp")
   }
 
   test("round-trip covers quality kinds: heuristic/vocab/semdedup/domain-quota") {
