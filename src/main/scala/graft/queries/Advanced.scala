@@ -1034,6 +1034,102 @@ object Advanced {
       |FROM r GROUP BY dom HAVING sum(copies) > 0
       |ORDER BY source""".stripMargin
 
+  // ---- q130: INCREMENTAL flagship — the day-2 production shape (what a
+  // pipeline actually runs every morning, vs q124's from-scratch build):
+  // today's crawl (re-keyed; half verbatim recrawls, half edited) flows
+  // through (1) the cheap token gate, (2) near-dup REJECTION against
+  // yesterday's MinHash index at the saturated == exact-shingle-set regime
+  // (verbatim recrawls drop, edited docs survive), (3) the classifier
+  // fitted on yesterday's labeled seed, and (4) sqrt-temperature
+  // rebalancing of the survivors by PREDICTED class — four estimator/
+  // transform families composed in one DAG, replayed stage-for-stage by a
+  // single DuckDB oracle. ----
+  def q130_incremental_flagship(spark: SparkSession, dir: String): DataFrame = {
+    val d = new Dag("incflag")
+    val docs = d.add(SourceNode.table(dir, "documents"))
+    val delta = docs >> FilterNode("doc_id % 7 = 3 and doc_id < 400") >>
+      WithColumnsNode("text" ->
+        "case when doc_id % 2 = 0 then text else concat(text, ' xdelta') end") >>
+      ProjectNode("doc_id + 1000000 as doc_id", "text").named("delta_raw")
+    val gated = delta >> new TokenCountNode() >>
+      FilterNode("ws_tokens between 20 and 90").named("gate")
+    val idx = d.add(new MinHashIndexNode(numHashes = 32, bands = 16, shingleN = 3,
+      jaccardThreshold = 1.0, maxBucket = 100000))
+    docs("result") >> idx("corpus"); gated >> idx("delta")
+    val matches = idx >> ProjectNode("delta_id as doc_id").named("matched_ids")
+    val anti = d.add(new JoinNode("left_anti", using = Seq("doc_id")))
+    gated("result") >> anti("left"); matches >> anti("right")
+    val seed = docs("result") >> FilterNode("doc_id % 7 = 0").named("seed")
+    val cls = d.add(new LmClassifierNode(labelCol = "lang"))
+    seed >> cls("seed"); anti >> cls("df")
+    cls >> new TemperatureMixNode(budget = 100L, strataCol = "predicted") >>
+      AggNode(Seq("predicted"),
+        "count(*) as n_rows",
+        "cast(count(distinct doc_id) as bigint) as n_docs") >>
+      SortNode("predicted") >> d.output("result")
+    val ctx = Ctx(spark)
+    d.fit(ctx)
+    d.transform(ctx).outputs("result")
+  }
+  val q130Sql: String =
+    """WITH delta0 AS (
+      |  SELECT doc_id + 1000000 AS doc_id, text FROM (
+      |    SELECT doc_id,
+      |      CASE WHEN doc_id % 2 = 0 THEN text ELSE text || ' xdelta' END AS text
+      |    FROM documents WHERE doc_id % 7 = 3 AND doc_id < 400)),
+      |dtoks AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+      |  FROM delta0),
+      |gated AS (
+      |  SELECT doc_id FROM dtoks GROUP BY doc_id HAVING count(*) BETWEEN 20 AND 90),
+      |bkey AS (
+      |  SELECT doc_id, array_to_string(list_sort(list_distinct(list_transform(
+      |      range(1, greatest(len(toks) - 2, 1) + 1),
+      |      i -> array_to_string(toks[i:i+2], ' ')))), chr(10)) AS key
+      |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      |        FROM documents) b),
+      |dkey AS (
+      |  SELECT doc_id, array_to_string(list_sort(list_distinct(list_transform(
+      |      range(1, greatest(len(toks) - 2, 1) + 1),
+      |      i -> array_to_string(toks[i:i+2], ' ')))), chr(10)) AS key
+      |  FROM (SELECT d.doc_id, regexp_split_to_array(lower(trim(d.text)), '\s+') AS toks
+      |        FROM delta0 d JOIN gated USING (doc_id)) x),
+      |surv AS (
+      |  SELECT doc_id FROM gated
+      |  EXCEPT SELECT DISTINCT d.doc_id FROM dkey d JOIN bkey b USING (key)),
+      |btoks AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+      |  FROM documents WHERE doc_id % 7 = 0),
+      |c AS (
+      |  SELECT d.lang AS lab, k.tok, count(*) AS c
+      |  FROM btoks k JOIN documents d USING (doc_id) GROUP BY 1, 2),
+      |t AS (SELECT lab, sum(c) AS tt FROM c GROUP BY lab),
+      |s AS (
+      |  SELECT dt.doc_id, t.lab,
+      |    cast(sum((t.tt * 1000000) // coalesce(c.c, 1)) // count(*) as bigint) AS mean_s
+      |  FROM (SELECT k.* FROM dtoks k JOIN surv USING (doc_id)) dt
+      |  CROSS JOIN t
+      |  LEFT JOIN c ON c.lab = t.lab AND c.tok = dt.tok
+      |  GROUP BY dt.doc_id, t.lab),
+      |r AS (SELECT doc_id, lab,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY mean_s, lab) AS rn FROM s),
+      |p AS (SELECT doc_id, lab AS predicted FROM r WHERE rn = 1),
+      |st AS (SELECT predicted, count(*) AS n, cast(floor(sqrt(count(*))) as bigint) AS sq
+      |       FROM p GROUP BY predicted),
+      |z AS (SELECT sum(sq) AS z FROM st),
+      |mix AS (
+      |  SELECT p.doc_id, p.predicted,
+      |    (100 * st.sq) // (z.z * st.n) +
+      |    (CASE WHEN (cast('0x' || substring(md5(p.predicted || '|' ||
+      |         cast(p.doc_id as varchar)), 1, 8) as ubigint) % 1000000)
+      |         * (z.z * st.n) < ((100 * st.sq) % (z.z * st.n)) * 1000000
+      |     THEN 1 ELSE 0 END) AS copies
+      |  FROM p JOIN st USING (predicted) CROSS JOIN z)
+      |SELECT predicted, cast(sum(copies) as bigint) AS n_rows,
+      |  cast(sum(CASE WHEN copies >= 1 THEN 1 ELSE 0 END) as bigint) AS n_docs
+      |FROM mix GROUP BY predicted HAVING sum(copies) > 0
+      |ORDER BY predicted""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q94_bloom_join", q94_bloom_join _, q94Sql),
     ("q95_pagerank", q95_pagerank _, q95Sql),
@@ -1064,5 +1160,6 @@ object Advanced {
     ("q126_lm_classifier", q126_lm_classifier _, q126Sql),
     ("q127_stream_lm_route", q127_stream_lm_route _, q127Sql),
     ("q128_temperature_mix", q128_temperature_mix _, q128Sql),
+    ("q130_incremental_flagship", q130_incremental_flagship _, q130Sql),
   )
 }

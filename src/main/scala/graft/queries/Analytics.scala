@@ -297,8 +297,36 @@ object Analytics {
       |  FROM v) w
       |WHERE rn = 1 ORDER BY query_id""".stripMargin
 
+  // ---- q129: matryoshka-truncated retrieval — the MRL storage/compute
+  // lever at 100 TB (score on the first 16 of 64 dims: 4x less scan, IO
+  // and dot-product work; re-rank on full dims only if needed): pure node
+  // COMPOSITION — a narrow slice() projection feeds the existing
+  // brute-force kNN — with a REAL oracle: DuckDB recomputes cosine top-k
+  // over the same truncated prefixes (q28's contract at range 16). ----
+  def q129_matryoshka_knn(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
+    val emb = d.add(SourceNode.table(dir, "embeddings"))
+    val trunc = emb >> ProjectNode("vec_id", "slice(embedding, 1, 16) as embedding")
+      .named("trunc16")
+    val queries = trunc >> FilterNode("vec_id < 5") >>
+      ProjectNode("vec_id as query_id", "embedding").named("queryset")
+    val knn = d.add(new BruteForceKnnNode(k = 10))
+    trunc("result") >> knn("corpus"); queries >> knn("queries")
+    knn >> ProjectNode("query_id", "vec_id", "rank") >> d.output("result")
+  }
+  val q129Sql: String =
+    """SELECT query_id, vec_id, rank FROM (
+      |  SELECT q.vec_id AS query_id, c.vec_id,
+      |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |      (list_sum(list_transform(range(1, 17), i -> c.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE))
+      |       / (sqrt(list_sum(list_transform(range(1, 17), i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)))
+      |        * sqrt(list_sum(list_transform(range(1, 17), i -> q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE))))) DESC,
+      |      c.vec_id ASC) AS rank
+      |  FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 5) q) t
+      |WHERE rank <= 10""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q45_pivot", q45_pivot _, q45Sql),
+    ("q129_matryoshka_knn", q129_matryoshka_knn _, q129Sql),
     ("q75_quantize", q75_quantize _, q75Sql),
     ("q76_knn_label", q76_knn_label _, q76Sql),
     ("q46_unpivot", q46_unpivot _, q46Sql),
