@@ -72,7 +72,12 @@ object Scale10 {
       // k-fold), int8 IVF (quantized coarse pass at k-fold corpus), the
       // full flagship chain (its minhash pair stage is the superlinear
       // hazard; 10-way dup families stress the survivor drop)
-      "q32_frame_sample", "q125_ivf_int8", "q124_flagship_pipeline")
+      "q32_frame_sample", "q125_ivf_int8", "q124_flagship_pipeline",
+      // round-7 session additions: classifier (vocab join at k-fold corpus
+      // AND k-fold seed is the hazard), temperature mix (narrow + K-row
+      // broadcast — should be flat), incremental flagship (index fit at
+      // k-fold base, bounded delta)
+      "q126_lm_classifier", "q128_temperature_mix", "q130_incremental_flagship")
     val names = if (queries.nonEmpty) queries else defaults
     names.foreach { n =>
       try time(n)(Queries.all(n)(spark, out).count())

@@ -155,6 +155,8 @@ object NodeRegistry {
       p.str("labelCol"), p.m("scale").toString.toLong, p.int("maxClasses")))
     register("temperature_mix")(p => new TemperatureMixNode(p.m("budget").toString.toLong,
       p.str("strataCol"), p.str("idCol"), p.str("copyCol")))
+    register("token_drift")(p => new TokenDriftNode(p.str("textCol"), p.int("k"),
+      p.m("scale").toString.toLong))
     register("ranking_metrics")(p => new RankingMetricsNode(p.int("k"), p.str("queryIdCol"),
       p.str("idCol"), p.str("rankCol"), p.m("scale").toString.toLong))
     register("token_shard")(p => new TokenShardNode(p.str("idCol"), p.str("weightExpr"),

@@ -246,3 +246,58 @@ class ConformSchemaNode(
     Map("result" -> renamed.select(targetCols ++ extras: _*))
   }
 }
+
+/** Token-distribution DRIFT between two corpus snapshots — the evolution
+  * monitor a refreshed training corpus needs (vocabulary drift is how a
+  * crawl pipeline notices a template change, a spam flood, or a broken
+  * extractor before training does): for each token, the scaled absolute
+  * probability delta
+  *
+  *   drift(w) = (|c_a(w)·N_b − c_b(w)·N_a| · S) div (N_a·N_b)
+  *
+  * (= |p_a(w) − p_b(w)|·S as an exact integer, S = `scale`), reported for
+  * the top-`k` tokens under the deterministic (drift desc, token asc)
+  * order. Pure integer arithmetic — no log/entropy libm — so the output is
+  * bit-reproducible across engines and DuckDB-oracleable; the L1 top
+  * slice surfaces the same culprits a KL monitor would, without the float.
+  *
+  * Scale shape: one explode + count per side (map-side combinable), one
+  * full-outer equi-join on the token, the one-row totals folded in via
+  * broadcast, then a global top-k (TakeOrderedAndProject — never a full
+  * sort). Products run in decimal(38,0): c·N ~ 1e26 at web scale.
+  */
+class TokenDriftNode(
+    val textCol: String = "text",
+    val k: Int = 25,
+    val scale: Long = 1000000L)
+  extends Node {
+  require(k > 0, "k must be positive")
+  require(scale > 0, "scale must be positive")
+  override protected def defaultName: String = "token_drift"
+  val inputs = Seq(Port("left"), Port("right"))
+  val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("token_drift")
+  override def jsonParams: Map[String, Any] =
+    Map("textCol" -> textCol, "k" -> k, "scale" -> scale)
+
+  override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
+    import org.apache.spark.sql.functions.count
+    def counts(df: DataFrame, c: String): DataFrame =
+      df.select(expr(s"explode(${TextExprs.tokensExpr(textCol)})").as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as(c))
+    val a = counts(in("left"), "c_a")
+    val b = counts(in("right"), "c_b")
+    val joined = a.join(b, Seq("tok"), "full_outer")
+      .withColumn("c_a", expr("coalesce(c_a, 0L)"))
+      .withColumn("c_b", expr("coalesce(c_b, 0L)"))
+    val totals = joined.agg(
+      expr("cast(sum(c_a) as decimal(38,0))").as("__na"),
+      expr("cast(sum(c_b) as decimal(38,0))").as("__nb"))
+    Map("result" -> joined.crossJoin(broadcast(totals))
+      .withColumn("drift", expr(
+        s"cast((abs(cast(c_a as decimal(38,0)) * __nb - cast(c_b as decimal(38,0)) * __na) " +
+          s"* ${scale}L) div (__na * __nb) as bigint)"))
+      .select("tok", "c_a", "c_b", "drift")
+      .orderBy(col("drift").desc, col("tok")).limit(k))
+  }
+}

@@ -1130,6 +1130,41 @@ object Advanced {
       |FROM mix GROUP BY predicted HAVING sum(copies) > 0
       |ORDER BY predicted""".stripMargin
 
+  // ---- q131: vocabulary drift between corpus snapshots — the evolution
+  // monitor (template change / spam flood / broken extractor shows up as
+  // token-probability drift before it shows up in training): top-25 tokens
+  // by exact integer |p_a - p_b|·10^6 between two deterministic halves of
+  // the corpus, under the (drift desc, token asc) total order. ----
+  def q131_token_drift(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
+    val docs = d.add(SourceNode.table(dir, "documents"))
+    val a = docs >> FilterNode("doc_id % 2 = 0").named("snap_a")
+    val b = docs("result") >> FilterNode("doc_id % 2 = 1").named("snap_b")
+    val drift = d.add(new TokenDriftNode(k = 25))
+    a >> drift("left"); b >> drift("right")
+    drift >> d.output("result")
+  }
+  val q131Sql: String =
+    """WITH ta AS (
+      |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+      |  FROM documents WHERE doc_id % 2 = 0),
+      |tb AS (
+      |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+      |  FROM documents WHERE doc_id % 2 = 1),
+      |ca AS (SELECT tok, count(*) AS c_a FROM ta GROUP BY tok),
+      |cb AS (SELECT tok, count(*) AS c_b FROM tb GROUP BY tok),
+      |j AS (
+      |  SELECT tok, coalesce(c_a, 0) AS c_a, coalesce(c_b, 0) AS c_b
+      |  FROM ca FULL OUTER JOIN cb USING (tok)),
+      |tt AS (SELECT sum(c_a) AS na, sum(c_b) AS nb FROM j),
+      |s AS (
+      |  SELECT tok, c_a, c_b,
+      |    cast((abs(cast(c_a as hugeint) * nb - cast(c_b as hugeint) * na)
+      |          * 1000000) // (na * nb) as bigint) AS drift
+      |  FROM j CROSS JOIN tt)
+      |SELECT tok, c_a, c_b, drift FROM (
+      |  SELECT *, row_number() OVER (ORDER BY drift DESC, tok) AS rn FROM s) t
+      |WHERE rn <= 25 ORDER BY drift DESC, tok""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q94_bloom_join", q94_bloom_join _, q94Sql),
     ("q95_pagerank", q95_pagerank _, q95Sql),
@@ -1161,5 +1196,6 @@ object Advanced {
     ("q127_stream_lm_route", q127_stream_lm_route _, q127Sql),
     ("q128_temperature_mix", q128_temperature_mix _, q128Sql),
     ("q130_incremental_flagship", q130_incremental_flagship _, q130Sql),
+    ("q131_token_drift", q131_token_drift _, q131Sql),
   )
 }

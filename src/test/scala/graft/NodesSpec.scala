@@ -1674,6 +1674,18 @@ class NodesSpec extends AnyFunSuite {
     assert(expect.values.sum > 0)
   }
 
+  test("TokenDriftNode: exact |p_a - p_b| integers, absent-side coalesce, (drift, tok) order") {
+    val a = Seq((1L, "a a b")).toDF("doc_id", "text")
+    val b = Seq((2L, "a c")).toDF("doc_id", "text")
+    val out = runOne { d =>
+      val dr = d.add(new TokenDriftNode(k = 10))
+      d.add(srcNode(a)) >> dr("left"); d.add(srcNode(b).named("src_b")) >> dr("right")
+      dr >> d.output("result")
+    }.select("tok", "c_a", "c_b", "drift").as[(String, Long, Long, Long)].collect().toSeq
+    // Na=3, Nb=2: a |2*2-1*3|=1 -> 166666; b |1*2-0|=2 -> 333333; c |0-3|=3 -> 500000
+    assert(out == Seq(("c", 0L, 1L, 500000L), ("b", 1L, 0L, 333333L), ("a", 2L, 1L, 166666L)))
+  }
+
   test("BinaryFileSink/Source: payload files roundtrip; illegal names rejected") {
     val dir = s"/tmp/graft_bfs_${java.util.UUID.randomUUID().toString.take(8)}"
     val rows = Seq((1L, Array[Byte](1, 2, 3)), (2L, Array[Byte](9, 8))).toDF("doc_id", "payload")

@@ -189,6 +189,9 @@ class SerializationSpec extends AnyFunSuite {
     val tm2 = DagJson.fromJson(DagJson.toJson(d)).node(tm.name).asInstanceOf[TemperatureMixNode]
     assert(tm2.budget == 1234L && tm2.strataCol == "dom" && tm2.idCol == "id" &&
       tm2.copyCol == "cp")
+    val td = d.add(new TokenDriftNode("body", 7, 2000L))
+    val td2 = DagJson.fromJson(DagJson.toJson(d)).node(td.name).asInstanceOf[TokenDriftNode]
+    assert(td2.textCol == "body" && td2.k == 7 && td2.scale == 2000L)
   }
 
   test("round-trip covers quality kinds: heuristic/vocab/semdedup/domain-quota") {
