@@ -290,9 +290,13 @@ class TokenDriftNode(
     val joined = a.join(b, Seq("tok"), "full_outer")
       .withColumn("c_a", expr("coalesce(c_a, 0L)"))
       .withColumn("c_b", expr("coalesce(c_b, 0L)"))
+    // an EMPTY snapshot would zero a total and null the div (and a SQL
+    // mirror would divide by zero): clamp totals to >= 1 — every token of
+    // the non-empty side then reports drift = p·S against a zero-mass
+    // other side, the natural "everything is new" reading
     val totals = joined.agg(
-      expr("cast(sum(c_a) as decimal(38,0))").as("__na"),
-      expr("cast(sum(c_b) as decimal(38,0))").as("__nb"))
+      expr("greatest(cast(sum(c_a) as decimal(38,0)), cast(1 as decimal(38,0)))").as("__na"),
+      expr("greatest(cast(sum(c_b) as decimal(38,0)), cast(1 as decimal(38,0)))").as("__nb"))
     Map("result" -> joined.crossJoin(broadcast(totals))
       .withColumn("drift", expr(
         s"cast((abs(cast(c_a as decimal(38,0)) * __nb - cast(c_b as decimal(38,0)) * __na) " +

@@ -1684,6 +1684,14 @@ class NodesSpec extends AnyFunSuite {
     }.select("tok", "c_a", "c_b", "drift").as[(String, Long, Long, Long)].collect().toSeq
     // Na=3, Nb=2: a |2*2-1*3|=1 -> 166666; b |1*2-0|=2 -> 333333; c |0-3|=3 -> 500000
     assert(out == Seq(("c", 0L, 1L, 500000L), ("b", 1L, 0L, 333333L), ("a", 2L, 1L, 166666L)))
+    // empty right snapshot: totals clamp to 1 — no divide-by-zero, drift = p_a * S
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val out2 = runOne { d =>
+      val dr = d.add(new TokenDriftNode(k = 10))
+      d.add(srcNode(a)) >> dr("left"); d.add(srcNode(empty).named("src_e")) >> dr("right")
+      dr >> d.output("result")
+    }.select("tok", "drift").as[(String, Long)].collect().toMap
+    assert(out2 == Map("a" -> 666666L, "b" -> 333333L))
   }
 
   test("BinaryFileSink/Source: payload files roundtrip; illegal names rejected") {
