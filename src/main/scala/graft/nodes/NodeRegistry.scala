@@ -159,6 +159,10 @@ object NodeRegistry {
       p.m("scale").toString.toLong))
     register("ranking_metrics")(p => new RankingMetricsNode(p.int("k"), p.str("queryIdCol"),
       p.str("idCol"), p.str("rankCol"), p.m("scale").toString.toLong))
+    register("length_bucket")(p => new LengthBucketNode(p.str("idCol"), p.str("textCol"),
+      p.strOpt("tokensCol"),
+      p.m("boundaries").asInstanceOf[Seq[Any]].map(_.toString.toLong)))
+    register("epoch_plan")(p => new EpochPlanNode(p.str("idCol"), p.int("epochs"), p.int("shards")))
     register("token_shard")(p => new TokenShardNode(p.str("idCol"), p.str("weightExpr"),
       p.m("budget").toString.toLong, p.int("buckets"), p.str("outCol")))
     register("conform_schema")(p => new ConformSchemaNode(

@@ -657,3 +657,101 @@ class TokenShardNode(
       .drop("__ord", "__w", "__b", "__local", "__off"))
   }
 }
+
+/** Token-length bucketing for padding-efficient batching — the planner step
+  * between curation and batch assembly: every document is assigned the
+  * smallest bucket cap that holds it (docs longer than the largest cap are
+  * truncated there), annotated with the exact integer padding and
+  * truncation cost. Batching same-bucket documents bounds the padding
+  * waste; the per-bucket aggregate the caller runs on this output is the
+  * standard "how much compute do we burn on pad tokens at this bucket
+  * grid" report that decides seqLen tiers at 100 TB.
+  *
+  * Scale shape: a pure narrow map (the bucket decision is a per-row CASE
+  * over a handful of constants) — zero shuffle, pushes through the scan;
+  * the downstream stats aggregate is grid-sized. All outputs are exact
+  * integers (no float), so any engine reproduces them bit-for-bit.
+  */
+class LengthBucketNode(
+    val idCol: String = "doc_id",
+    val textCol: String = "text",
+    val tokensCol: Option[String] = None, // precomputed token count, else ws-tokenize textCol
+    val boundaries: Seq[Long] = Seq(64L, 128L, 256L, 512L, 1024L, 2048L))
+  extends Node {
+  require(boundaries.nonEmpty, "boundaries must be non-empty")
+  require(boundaries.forall(_ > 0), "boundaries must be positive")
+  require(boundaries == boundaries.sorted && boundaries.distinct == boundaries,
+    "boundaries must be strictly increasing")
+  override protected def defaultName: String = "length_bucket"
+  val inputs = Seq(Port("df"))
+  val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("length_bucket")
+  override def jsonParams: Map[String, Any] = Map("idCol" -> idCol, "textCol" -> textCol,
+    "tokensCol" -> tokensCol.orNull, "boundaries" -> boundaries)
+  override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
+    val withTokens = tokensCol match {
+      case Some(c) => in("df").withColumn("__nt", coalesce(col(c).cast("bigint"), lit(0L)))
+      case None => in("df").withColumn("__nt",
+        expr(s"cast(size(${TextExprs.tokensExpr(textCol)}) as bigint)"))
+    }
+    val capMax = boundaries.last
+    val idxCase = boundaries.init.zipWithIndex
+      .map { case (b, i) => s"when __nt <= ${b}L then $i" }
+      .mkString("case ", " ", s" else ${boundaries.size - 1} end")
+    val capCase = boundaries.init
+      .map { b => s"when __nt <= ${b}L then ${b}L" }
+      .mkString("case ", " ", s" else ${capMax}L end")
+    Map("result" -> withTokens
+      .withColumn("bucket_idx", expr(idxCase))
+      .withColumn("bucket_cap", expr(capCase))
+      .withColumn("pad_tokens", expr("bucket_cap - least(__nt, bucket_cap)"))
+      .withColumn("trunc_tokens", expr(s"greatest(__nt - ${capMax}L, 0L)"))
+      .withColumn("n_tokens", col("__nt"))
+      .drop("__nt"))
+  }
+}
+
+/** Deterministic multi-epoch data-order planning — reproducible epoch
+  * shuffling without random state: epoch e's permutation orders rows by
+  * `DetHash(e + '|' + id)`, a fresh, engine/partitioning/retry-independent
+  * pseudo-shuffle per epoch. Each (epoch, row) is assigned a shard (the
+  * hash mod `shards`) and its exact position within that shard, so a
+  * training job — or a replay of one, months later, on a different engine —
+  * reads byte-identical data order. This is the reproducibility contract
+  * real pretraining runs need for loss-spike forensics and elastic
+  * restarts.
+  *
+  * Scale shape: NO global sort — the permutation is realized as `shards`
+  * independent per-epoch streams; the only wide op is one window
+  * (row_number partitioned by (epoch, shard)), parallelism = epochs x
+  * shards. Raise `shards` with corpus size and every partition stays
+  * bounded; the hash order within a shard is already the shuffled order.
+  */
+class EpochPlanNode(
+    val idCol: String = "doc_id",
+    val epochs: Int = 1,
+    val shards: Int = 64)
+  extends Node {
+  require(epochs > 0, "epochs must be positive")
+  require(shards > 0, "shards must be positive")
+  override protected def defaultName: String = "epoch_plan"
+  val inputs = Seq(Port("df"))
+  val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("epoch_plan")
+  override def jsonParams: Map[String, Any] = Map("idCol" -> idCol,
+    "epochs" -> epochs, "shards" -> shards)
+  override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
+    import org.apache.spark.sql.expressions.Window
+    val key = DetHash.expr(s"concat(epoch, '|', cast($idCol as string))")
+    // ties on the 32-bit key are broken by id — the order must be TOTAL or
+    // two engines could legitimately disagree on pos
+    val w = Window.partitionBy(col("epoch"), col("shard"))
+      .orderBy(col("__key").asc, col(idCol).asc)
+    Map("result" -> in("df")
+      .withColumn("epoch", expr(s"explode(sequence(0, ${epochs - 1}))"))
+      .withColumn("__key", expr(key))
+      .withColumn("shard", expr(s"__key % $shards"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("__key"))
+  }
+}

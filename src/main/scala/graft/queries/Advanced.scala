@@ -1165,6 +1165,146 @@ object Advanced {
       |  SELECT *, row_number() OVER (ORDER BY drift DESC, tok) AS rn FROM s) t
       |WHERE rn <= 25 ORDER BY drift DESC, tok""".stripMargin
 
+  // ---- q132: LEAKAGE-SAFE train/val/test split — the eval-hygiene step a
+  // dedup pipeline exists for: a near-duplicate of a test document must not
+  // land in train, so the split key is the document's DUP CLUSTER (exact
+  // groups collapsed to a rep, reps clustered by saturated-regime minhash →
+  // connected components, q52's oracle-provable configuration), not the
+  // document id. The split is then structurally leakage-free: it is a pure
+  // function of cluster_id. DuckDB replays the whole chain — exact groups,
+  // exact-Jaccard pairs, recursive-CTE components, the shared DetHash split
+  // band — and checks per-split doc AND cluster counts. ----
+  def q132_leakage_safe_split(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
+    val docs = d.add(SourceNode.table(dir, "documents"))
+    val keyed = docs >> WithColumnsNode(
+      "norm_key" -> "md5(cast(regexp_replace(lower(trim(text)), '\\\\s+', ' ') as binary))")
+    // exact-dup rep: min doc_id per normalized-text group (q51's survivor rule)
+    val reps = keyed >> FnNode.map1("reps") { df =>
+      import org.apache.spark.sql.functions._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("norm_key").orderBy(col("doc_id").asc)
+      df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+    }
+    val pairs = reps >> new MinHashDedupNode(
+      numHashes = 32, bands = 16, shingleN = 3, jaccardThreshold = 0.8)
+    val cc = d.add(new ConnectedComponentsNode())
+    pairs >> cc("pairs")
+    // membership: doc --norm_key--> rep --CC label (reps without near-dups
+    // keep their own id as a singleton cluster)
+    val withRep = d.add(FnNode.map2("doc_to_rep") { (members, reps) =>
+      members.select("doc_id", "norm_key")
+        .join(reps.selectExpr("norm_key", "doc_id as rep_id"), Seq("norm_key"))
+        .select("doc_id", "rep_id")
+    })
+    keyed >> withRep("left"); reps >> withRep("right")
+    val withCluster = d.add(FnNode.map2("rep_to_cluster") { (m, labels) =>
+      import org.apache.spark.sql.functions._
+      m.join(labels, m("rep_id") === labels("id"), "left")
+        .select(m("doc_id"), coalesce(col("cluster_id"), m("rep_id")).as("cluster"))
+    })
+    withRep >> withCluster("left"); cc >> withCluster("right")
+    withCluster >> new SplitNode(idCol = "cluster") >>
+      AggNode(Seq("split"),
+        "count(*) as n_docs",
+        "count(distinct cluster) as n_clusters") >>
+      SortNode("split") >>
+      d.output("result")
+  }
+  val q132Sql: String = {
+    val band = DetHash.duckExpr("cast(cluster as varchar)", 100)
+    s"""WITH RECURSIVE
+       |k AS (
+       |  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS norm_key
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, norm_key, text FROM (
+       |    SELECT d.doc_id, k.norm_key, d.text, row_number() OVER (
+       |      PARTITION BY k.norm_key ORDER BY d.doc_id) AS rn
+       |    FROM documents d JOIN k ON d.doc_id = k.doc_id) t WHERE rn = 1),
+       |s AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+       |      i -> array_to_string(toks[i:i+2], ' '))) AS sh
+       |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM c) t),
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM s a JOIN s b ON a.doc_id < b.doc_id
+       |  WHERE cast(len(list_distinct(list_intersect(a.sh, b.sh))) as double)
+       |        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+       |edges AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+       |reach(id, label) AS (
+       |  SELECT a, a FROM edges
+       |  UNION
+       |  SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.id),
+       |labels AS (SELECT id, min(label) AS cluster_id FROM reach GROUP BY id),
+       |m AS (
+       |  SELECT k.doc_id, coalesce(l.cluster_id, c.doc_id) AS cluster
+       |  FROM k JOIN c ON k.norm_key = c.norm_key
+       |  LEFT JOIN labels l ON l.id = c.doc_id),
+       |sp AS (
+       |  SELECT doc_id, cluster,
+       |    CASE WHEN $band < 90 THEN 'train'
+       |         WHEN $band < 95 THEN 'val' ELSE 'test' END AS split
+       |  FROM m)
+       |SELECT split, cast(count(*) as bigint) AS n_docs,
+       |  cast(count(DISTINCT cluster) as bigint) AS n_clusters
+       |FROM sp GROUP BY split ORDER BY split""".stripMargin
+  }
+
+  // ---- q133: token-length bucketing — the padding-efficiency planner.
+  // Every document lands in the smallest power-of-two bucket that holds it;
+  // the per-bucket report (docs, real tokens, pad tokens, truncated tokens)
+  // is exact integer arithmetic any engine reproduces bit-for-bit. ----
+  def q133_length_buckets(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
+    d.add(SourceNode.table(dir, "documents")) >>
+      new LengthBucketNode() >>
+      AggNode(Seq("bucket_cap"),
+        "count(*) as n_docs",
+        "sum(pad_tokens) as pad_tokens",
+        "sum(trunc_tokens) as trunc_tokens",
+        "sum(n_tokens) as n_tokens") >>
+      SortNode("bucket_cap") >>
+      d.output("result")
+  }
+  val q133Sql: String =
+    """WITH t AS (
+      |  SELECT cast(len(regexp_split_to_array(lower(trim(text)), '\s+')) as bigint) AS nt
+      |  FROM documents),
+      |b AS (
+      |  SELECT nt,
+      |    cast(CASE WHEN nt <= 64 THEN 64 WHEN nt <= 128 THEN 128
+      |         WHEN nt <= 256 THEN 256 WHEN nt <= 512 THEN 512
+      |         WHEN nt <= 1024 THEN 1024 ELSE 2048 END as bigint) AS bucket_cap
+      |  FROM t)
+      |SELECT bucket_cap, cast(count(*) as bigint) AS n_docs,
+      |  cast(sum(bucket_cap - least(nt, bucket_cap)) as bigint) AS pad_tokens,
+      |  cast(sum(greatest(nt - 2048, 0)) as bigint) AS trunc_tokens,
+      |  cast(sum(nt) as bigint) AS n_tokens
+      |FROM b GROUP BY bucket_cap ORDER BY bucket_cap""".stripMargin
+
+  // ---- q134: deterministic multi-epoch data-order plan — every (epoch,
+  // doc) gets its shard and exact in-shard position from the DetHash
+  // permutation; the FULL plan is emitted and compared row-for-row, so the
+  // hash gate pins byte-identical training data order across engines. ----
+  def q134_epoch_plan(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
+    d.add(SourceNode.table(dir, "documents")) >>
+      ProjectNode("doc_id") >>
+      new EpochPlanNode(epochs = 2, shards = 8) >>
+      SortNode("epoch", "shard", "pos") >>
+      d.output("result")
+  }
+  val q134Sql: String =
+    """WITH e AS (
+      |  SELECT doc_id, epoch FROM documents
+      |  CROSS JOIN (SELECT unnest([0, 1]) AS epoch)),
+      |k AS (
+      |  SELECT doc_id, epoch,
+      |    cast(cast('0x' || substring(md5(cast(epoch as varchar) || '|' ||
+      |      cast(doc_id as varchar)), 1, 8) as ubigint) as bigint) AS key
+      |  FROM e)
+      |SELECT doc_id, epoch, key % 8 AS shard,
+      |  row_number() OVER (PARTITION BY epoch, key % 8 ORDER BY key, doc_id) AS pos
+      |FROM k ORDER BY epoch, shard, pos""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q94_bloom_join", q94_bloom_join _, q94Sql),
     ("q95_pagerank", q95_pagerank _, q95Sql),
@@ -1197,5 +1337,8 @@ object Advanced {
     ("q128_temperature_mix", q128_temperature_mix _, q128Sql),
     ("q130_incremental_flagship", q130_incremental_flagship _, q130Sql),
     ("q131_token_drift", q131_token_drift _, q131Sql),
+    ("q132_leakage_safe_split", q132_leakage_safe_split _, q132Sql),
+    ("q133_length_buckets", q133_length_buckets _, q133Sql),
+    ("q134_epoch_plan", q134_epoch_plan _, q134Sql),
   )
 }
