@@ -598,7 +598,12 @@ class MinHashIndexNode(
             "the candidate-dedup state store would grow monotonically on a " +
             "continuous stream. Add withWatermark/WatermarkNode on the delta " +
             "(state then expires per the delay), or pass " +
-            "unboundedStreamStateOk = true for a bounded AvailableNow backfill")
+            "unboundedStreamStateOk = true for a bounded AvailableNow backfill. " +
+            "NOTE: the watermark is detected via the event-time column's " +
+            "metadata — keep that column UNTOUCHED through projections between " +
+            "withWatermark and this node (rebuilding it, e.g. a selectExpr " +
+            "recomputing ts, drops the metadata and a genuinely watermarked " +
+            "stream is refused here)")
       val extras = wmCol.toSeq
       val dsh = sketch(delta, "delta_id", "__sh_d", extras)
       val cand0 = dsh
@@ -674,15 +679,28 @@ class MinHashIndexNode(
     * reload them on the same session, re-persist (cache rebuilds lazily at
     * the next action). The parquet copy doubles as a crash-recovery point
     * mid-crawl.
+    *
+    * With a configured `compactPath` the writes DOUBLE-BUFFER between
+    * `gen-0/` and `gen-1/` subdirectories: after the first compaction the
+    * live plan IS a parquet scan of the previous compaction's directory, and
+    * Spark refuses (correctly) to overwrite a path a plan is reading from —
+    * so each compaction writes to the subdirectory the current plan does
+    * NOT read (ADVICE r7). The superseded subdir is left in place until the
+    * next compaction overwrites it; the freshest one is the crash-recovery
+    * point.
     */
   def compactIndex(): Unit = {
     import org.apache.spark.storage.StorageLevel
     val m = model.getOrElse(
       throw new graft.dag.GraftException(s"estimator node '$name' not fitted"))
-    val path = compactPath.getOrElse {
-      val d = java.nio.file.Files.createTempDirectory(s"graft_idx_compact_")
-      d.toFile.deleteOnExit()
-      d.toString
+    val path = compactPath match {
+      case Some(root) =>
+        compactGen += 1
+        s"$root/gen-${compactGen % 2}"
+      case None =>
+        val d = java.nio.file.Files.createTempDirectory(s"graft_idx_compact_")
+        d.toFile.deleteOnExit()
+        d.toString
     }
     val session = m.shingles.sparkSession
     saveFitted(path)
@@ -691,6 +709,9 @@ class MinHashIndexNode(
       session.read.parquet(s"$path/buckets").persist(StorageLevel.MEMORY_AND_DISK)))
     m.shingles.unpersist(); m.buckets.unpersist()
   }
+
+  /** Compactions applied so far (selects the gen-0/gen-1 write buffer). */
+  @volatile private var compactGen: Long = 0L
 
   /** Release the persisted index frames (fit again to rebuild). */
   def unpersistIndex(): Unit = model.foreach { m =>

@@ -51,19 +51,26 @@ object MultimodalSchemas {
     StructField("channels", IntegerType, nullable = false),
     StructField("format", StringType, nullable = false)))
 
-  /** Deterministic synthetic pixel (non-negative int arithmetic — mirrored
-    * by the q31 oracle SQL): channel values of pixel (x, y) under seed s.
+  /** Deterministic synthetic pixel (LONG arithmetic + floorMod — mirrored
+    * by the q31 oracle SQL, which computes in int64): channel values of
+    * pixel (x, y) under seed s. Int arithmetic would wrap for seeds above
+    * ~69M (s * 31 > Int.MaxValue) and diverge from the oracle (ADVICE r7).
     */
-  @inline def pxR(x: Int, y: Int, s: Int): Int = (x * 31 + y * 17 + s) % 256
-  @inline def pxG(x: Int, y: Int, s: Int): Int = (x * 7 + y * 13 + 3 * s) % 256
-  @inline def pxB(x: Int, y: Int, s: Int): Int = (x + y + 7 * s) % 256
+  @inline def pxR(x: Int, y: Int, s: Int): Int =
+    Math.floorMod(x.toLong * 31 + y.toLong * 17 + s, 256L).toInt
+  @inline def pxG(x: Int, y: Int, s: Int): Int =
+    Math.floorMod(x.toLong * 7 + y.toLong * 13 + 3L * s, 256L).toInt
+  @inline def pxB(x: Int, y: Int, s: Int): Int =
+    Math.floorMod(x.toLong + y + 7L * s, 256L).toInt
 
   /** Deterministic synthetic PCM16 sample i under seed s (q54 oracle). */
-  @inline def pcm(i: Int, s: Int): Int = (s * 31 + i * 7919) % 65536 - 32768
+  @inline def pcm(i: Int, s: Int): Int =
+    (Math.floorMod(s.toLong * 31 + i.toLong * 7919, 65536L) - 32768).toInt
 
   /** Deterministic synthetic AVI frame byte j of frame f under seed s
     * (q32 oracle). */
-  @inline def frameByte(f: Int, j: Int, s: Int): Int = (s * 31 + f * 101 + j * 7) % 256
+  @inline def frameByte(f: Int, j: Int, s: Int): Int =
+    Math.floorMod(s.toLong * 31 + f.toLong * 101 + j.toLong * 7, 256L).toInt
 }
 
 /** Attach a binary payload column derived from an existing column (testdata

@@ -860,7 +860,11 @@ class UnigramSurpriseNode(
     val toks = tokens(in("df"), Seq(idCol))
     val joined = toks.join(m.counts, Seq("__tok"), "left")
     Map("result" -> joined
-      .withColumn("__surprise", expr(s"(${m.total}L * ${s}L) div coalesce(__c, 1L)"))
+      // promote the product to decimal BEFORE multiplying: total*scale is
+      // ~1e18 at 100 TB and would silently wrap in int64 (ADVICE r7); the
+      // quotient (divided back down by a count >= 1's bucket) fits bigint
+      .withColumn("__surprise",
+        expr(s"(cast(${m.total} as decimal(38,0)) * ${s}L) div coalesce(__c, 1L)"))
       .groupBy(idCol).agg(
         count(lit(1)).as("n_tokens"),
         sum(when(col("__c").isNull, 1L).otherwise(0L)).as("n_oov"),
@@ -968,13 +972,15 @@ class LmClassifierNode(
       expr(s"explode(${TextExprs.tokensExpr(textCol)})").as("__tok"))
     val joined = toks.join(pivN, Seq("__tok"), "left")
     val sums = m.totals.zipWithIndex.map { case ((_, t), i) =>
-      sum(expr(s"cast((${t}L * ${scale}L) div coalesce(__c$i, 1L) as decimal(38,0))"))
+      // T·S ~ 1e20 at 100 TB — past Long.MaxValue; promote to decimal
+      // BEFORE the multiply so the product never wraps (ADVICE r7)
+      sum(expr(s"cast((cast($t as decimal(38,0)) * ${scale}L) div coalesce(__c$i, 1L) as decimal(38,0))"))
         .as(s"__s$i") }
     val agg = joined.groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"), sums: _*)
     // argmin with (mean, label) tie-break via one sorted struct array
     val entries = labels.zipWithIndex.map { case (l, i) =>
-      s"struct(cast(__s$i div n_tokens as bigint) as m, '${l.replace("'", "''")}' as l)"
+      s"struct(cast(__s$i div n_tokens as bigint) as m, '${SqlLit.esc(l)}' as l)"
     }
     val marginExpr =
       if (labels.size >= 2) expr("__a[1].m - __a[0].m") else lit(0L)

@@ -1898,6 +1898,32 @@ class NodesSpec extends AnyFunSuite {
       s"compacted plan grew with generations: $compacted8 vs $compacted")
   }
 
+  test("MinHashIndexNode: fixed compactPath survives repeated compactions (double-buffer)") {
+    // ADVICE r7: with a configured compactPath the SECOND compaction used to
+    // overwrite the directory the live plan was reading from and Spark threw
+    // 'Cannot overwrite a path that is also being read from'. gens = 2x
+    // compactEvery triggers two compactions against the same root.
+    val root = java.nio.file.Files.createTempDirectory("graft_compact_fixed_")
+    root.toFile.deleteOnExit()
+    val node = new MinHashIndexNode(jaccardThreshold = 1.0, maxBucket = 100000,
+      compactEvery = 2, compactPath = Some(root.toString))
+    val d = new Dag()
+    val corpus = d.add(srcNode(longDocs, "corpus"))
+    val delta = d.add(srcNode(longDocs.selectExpr("doc_id + 1000 as doc_id", "text"), "delta"))
+    corpus >> node("corpus"); delta >> node("delta")
+    node >> d.output("result")
+    d.fit(ctx)
+    val baseRows = node.model.get.shingles.count()
+    (1 to 4).foreach { g => // compactions fire at generations 2 and 4
+      node.updateIndex(ctx,
+        longDocs.selectExpr(s"doc_id + ${5000 + g * 10} as doc_id", "text"))
+    }
+    // index is a parquet scan of the freshest buffer and content is intact:
+    // base + 4 delta generations of the same corpus
+    assert(node.model.get.shingles.count() == baseRows + 4 * longDocs.count())
+    node.unpersistIndex()
+  }
+
   test("HistogramNode: a group whose values are ALL null still emits its bins + n_null") {
     val rows = Seq(("a", Some(1.0)), ("a", Some(3.0)), ("b", None), ("b", None))
       .toDF("g", "v")
