@@ -124,6 +124,9 @@ object NodeRegistry {
       p.int("maxCluster"), p.boolOr("collapseExact", true)))
     register("repetition_score")(p => new RepetitionScoreNode(p.str("textCol"),
       p.m("ns").asInstanceOf[Seq[Any]].map(_.toString.toDouble.toInt)))
+    register("repetition_stats")(p => new RepetitionStatsNode(p.str("textCol"),
+      p.str("idCol"), p.dbl("maxDupLineFrac"), p.dbl("maxDupLineCharFrac"),
+      p.dbl("maxTopBigramCharFrac"), p.bool("keepOnly")))
     register("contamination")(p => new ContaminationNode(p.str("idCol"), p.str("textCol"),
       p.str("benchTextCol"), p.int("shingleN"), p.dbl("minOverlap")))
     register("fingerprint")(p => new FingerprintNode(p.str("textCol"), p.int("k"), p.int("window")))

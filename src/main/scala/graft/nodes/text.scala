@@ -1020,3 +1020,94 @@ object LmClassifierNode {
     */
   case class Cls(counts: DataFrame, totals: Seq[(String, Long)])
 }
+
+/** Gopher-style REPETITION quality rules (Rae et al. 2021 §A1.1.3) — the
+  * half of the heuristic battery [[HeuristicFilterNode]] does NOT cover:
+  * repetitious documents (boilerplate, scraper loops, keyword stuffing)
+  * score fine on length/stopword rules but are poison for LM training.
+  * Per document:
+  *
+  *   - `dup_line_frac`      = (#nonempty-line occurrences − #distinct
+  *     nonempty lines) / #occurrences — the fraction of lines that repeat
+  *     an earlier line (lines are trim()ed; blank lines excluded),
+  *   - `dup_line_char_frac` = characters in the repeated occurrences /
+  *     all nonempty-line characters (Σ (c−1)·len / Σ c·len),
+  *   - `top_bigram_char_frac` = characters covered by the most frequent
+  *     word 2-gram (count · non-space-length) / document non-space chars;
+  *     ties break to the lexicographically smallest gram,
+  *
+  * plus `keep` = all three under their thresholds (`keepOnly = true`
+  * filters instead of annotating). Ratios are single int/int double
+  * divisions — engine-exact (the q83 contract).
+  *
+  * Scale shape: explode → two-level partial aggregation, keyed by
+  * (id, line) / (id, gram) — fully map-side-combinable, no skew (keys are
+  * per-document), and the join back to the document frame is on the id.
+  * A 100 TB corpus never materializes per-doc state on the driver.
+  */
+class RepetitionStatsNode(
+    val textCol: String = "text",
+    val idCol: String = "doc_id",
+    val maxDupLineFrac: Double = 0.3,
+    val maxDupLineCharFrac: Double = 0.2,
+    val maxTopBigramCharFrac: Double = 0.2,
+    val keepOnly: Boolean = false)
+  extends Node {
+  require(maxDupLineFrac >= 0 && maxDupLineCharFrac >= 0 && maxTopBigramCharFrac >= 0,
+    "thresholds must be non-negative")
+  override protected def defaultName: String = "repetition_stats"
+  val inputs = Seq(Port("df"))
+  val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("repetition_stats")
+  override def jsonParams: Map[String, Any] = Map("textCol" -> textCol,
+    "idCol" -> idCol, "maxDupLineFrac" -> maxDupLineFrac,
+    "maxDupLineCharFrac" -> maxDupLineCharFrac,
+    "maxTopBigramCharFrac" -> maxTopBigramCharFrac, "keepOnly" -> keepOnly)
+
+  override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
+    import org.apache.spark.sql.functions.{coalesce, count, lit, min, sum}
+    val base = ctx.track(in("df"))
+    // ---- line metrics: explode trimmed nonempty lines, count per (id, line)
+    val lineOcc = base
+      .select(col(idCol), expr(s"explode(split($textCol, '\n'))").as("__l0"))
+      .select(col(idCol), expr("trim(__l0)").as("__l"))
+      .filter("__l != ''")
+      .groupBy(col(idCol), col("__l"))
+      .agg(count(lit(1)).as("__c"), expr("length(first(__l))").as("__len"))
+    val lineAgg = lineOcc.groupBy(col(idCol)).agg(
+      sum("__c").as("__n_lines"),
+      count(lit(1)).as("__n_distinct"),
+      sum(expr("(__c - 1) * __len")).as("__dup_chars"),
+      sum(expr("__c * __len")).as("__tot_chars"))
+    // ---- top word-bigram: count per (id, gram), argmin of (-count, gram)
+    val grams = base
+      .select(col(idCol), expr(TextExprs.tokensExpr(textCol)).as("__toks"))
+      .filter("size(__toks) >= 2")
+      .select(col(idCol),
+        expr(s"explode(${TextExprs.shinglesExpr("__toks", 2)})").as("__g"))
+      .groupBy(col(idCol), col("__g")).agg(count(lit(1)).as("__c"))
+    val top = grams.groupBy(col(idCol)).agg(
+      min(expr("named_struct('nc', -__c, 'g', __g)")).as("__top"))
+      .select(col(idCol),
+        expr("-__top.nc").as("top_bigram_count"),
+        expr("__top.g").as("top_bigram"),
+        expr("(-__top.nc) * length(replace(__top.g, ' ', ''))").as("__top_chars"))
+    val out = base
+      .withColumn("__nchar_ns", expr(s"length(regexp_replace($textCol, '\\\\s+', ''))"))
+      .join(lineAgg, Seq(idCol), "left")
+      .join(top, Seq(idCol), "left")
+      .withColumn("dup_line_frac", coalesce(
+        expr("cast(__n_lines - __n_distinct as double) / __n_lines"), lit(0.0)))
+      .withColumn("dup_line_char_frac", coalesce(
+        expr("cast(__dup_chars as double) / __tot_chars"), lit(0.0)))
+      .withColumn("top_bigram_char_frac", coalesce(
+        expr("cast(__top_chars as double) / greatest(__nchar_ns, 1)"), lit(0.0)))
+      .withColumn("keep", expr(
+        s"dup_line_frac <= $maxDupLineFrac AND " +
+          s"dup_line_char_frac <= $maxDupLineCharFrac AND " +
+          s"top_bigram_char_frac <= $maxTopBigramCharFrac"))
+      .drop("__n_lines", "__n_distinct", "__dup_chars", "__tot_chars",
+        "__top", "__top_chars", "__nchar_ns")
+    Map("result" -> (if (keepOnly) out.filter(col("keep")).drop("keep") else out))
+  }
+}

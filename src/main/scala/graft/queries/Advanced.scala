@@ -1305,6 +1305,65 @@ object Advanced {
       |  row_number() OVER (PARTITION BY epoch, key % 8 ORDER BY key, doc_id) AS pos
       |FROM k ORDER BY epoch, shard, pos""".stripMargin
 
+  // ---- q135: Gopher repetition battery (Rae et al. 2021 §A1.1.3) — the
+  // duplicate-LINE and top-bigram CHAR-coverage rules q72's n-gram fractions
+  // do not cover. Deterministic boilerplate (3 copies of one line) is
+  // injected into every 4th doc so the dup-line legs are non-vacuous at
+  // every SF; all metrics are int/int double divisions → engine-exact. ----
+  def q135_repetition_stats(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
+    d.add(SourceNode.table(dir, "documents")) >>
+      WithColumnsNode("text2" ->
+        ("CASE WHEN doc_id % 4 = 0 THEN concat(text, repeat('\\nduplicate boiler line', 3)) " +
+          "ELSE text END")) >>
+      new RepetitionStatsNode(textCol = "text2", maxDupLineFrac = 0.05,
+        maxDupLineCharFrac = 0.04, maxTopBigramCharFrac = 0.08) >>
+      ProjectNode("doc_id", "dup_line_frac", "dup_line_char_frac",
+        "top_bigram_char_frac", "top_bigram", "top_bigram_count",
+        "cast(keep as int) as keep") >>
+      SortNode("doc_id") >> d.output("result")
+  }
+  val q135Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 4 = 0
+      |      THEN text || repeat(chr(10) || 'duplicate boiler line', 3)
+      |      ELSE text END AS text2
+      |  FROM documents),
+      |lines AS (
+      |  SELECT doc_id, trim(l) AS line
+      |  FROM (SELECT doc_id, unnest(string_split(text2, chr(10))) AS l FROM t) u
+      |  WHERE trim(l) != ''),
+      |locc AS (
+      |  SELECT doc_id, line, count(*) AS c, length(line) AS len
+      |  FROM lines GROUP BY doc_id, line),
+      |lagg AS (
+      |  SELECT doc_id, sum(c) AS n_lines, count(*) AS n_distinct,
+      |    sum((c - 1) * len) AS dup_chars, sum(c * len) AS tot_chars
+      |  FROM locc GROUP BY doc_id),
+      |toks AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text2)), '\s+') AS tk FROM t),
+      |grams AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+      |    i -> tk[i] || ' ' || tk[i + 1])) AS g
+      |  FROM toks WHERE len(tk) >= 2),
+      |gc AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g),
+      |top AS (
+      |  SELECT doc_id, cast(c as bigint) AS top_bigram_count, g AS top_bigram,
+      |    c * length(replace(g, ' ', '')) AS top_chars
+      |  FROM gc QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) = 1),
+      |m AS (
+      |  SELECT doc_id, length(regexp_replace(text2, '\s+', '', 'g')) AS nchar_ns FROM t)
+      |SELECT m.doc_id,
+      |  coalesce(cast(n_lines - n_distinct as double) / n_lines, 0.0) AS dup_line_frac,
+      |  coalesce(cast(dup_chars as double) / tot_chars, 0.0) AS dup_line_char_frac,
+      |  coalesce(cast(top_chars as double) / greatest(nchar_ns, 1), 0.0) AS top_bigram_char_frac,
+      |  top_bigram, top_bigram_count,
+      |  cast(coalesce(cast(n_lines - n_distinct as double) / n_lines, 0.0) <= 0.05
+      |   AND coalesce(cast(dup_chars as double) / tot_chars, 0.0) <= 0.04
+      |   AND coalesce(cast(top_chars as double) / greatest(nchar_ns, 1), 0.0) <= 0.08 as int) AS keep
+      |FROM m LEFT JOIN lagg USING (doc_id) LEFT JOIN top USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q94_bloom_join", q94_bloom_join _, q94Sql),
     ("q95_pagerank", q95_pagerank _, q95Sql),
@@ -1340,5 +1399,6 @@ object Advanced {
     ("q132_leakage_safe_split", q132_leakage_safe_split _, q132Sql),
     ("q133_length_buckets", q133_length_buckets _, q133Sql),
     ("q134_epoch_plan", q134_epoch_plan _, q134Sql),
+    ("q135_repetition_stats", q135_repetition_stats _, q135Sql),
   )
 }

@@ -388,6 +388,31 @@ class NodesSpec extends AnyFunSuite {
     assert(out(2L) == 0.0)
   }
 
+  test("RepetitionStatsNode computes dup-line and top-bigram char coverage") {
+    val df = Seq(
+      (1L, "x y\nx y\nz z z z"),      // "x y" twice; top bigram "z z" x3
+      (2L, "unique one\ntwo words")). // no dup lines; count-1 tie -> lex-min gram
+      toDF("doc_id", "text")
+    val out = runOne { d =>
+      d.add(srcNode(df)) >> new RepetitionStatsNode(maxDupLineFrac = 0.3,
+        maxDupLineCharFrac = 0.2, maxTopBigramCharFrac = 0.5) >> d.output("result")
+    }.select("doc_id", "dup_line_frac", "dup_line_char_frac", "top_bigram",
+        "top_bigram_count", "top_bigram_char_frac", "keep")
+      .as[(Long, Double, Double, String, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    val (_, dlf1, dlcf1, tb1, tc1, tbf1, keep1) = out(1L)
+    assert(math.abs(dlf1 - 1.0 / 3) < 1e-12)      // 3 lines, 2 distinct
+    assert(math.abs(dlcf1 - 3.0 / 13) < 1e-12)    // dup "x y" chars / all line chars
+    assert(tb1 == "z z" && tc1 == 3L)
+    assert(math.abs(tbf1 - 6.0 / 8) < 1e-12)      // 3 * len("zz") / 8 non-space chars
+    assert(!keep1)                                 // fails dup-line and top-bigram rules
+    val (_, dlf2, dlcf2, tb2, tc2, tbf2, keep2) = out(2L)
+    assert(dlf2 == 0.0 && dlcf2 == 0.0)
+    assert(tb2 == "one two" && tc2 == 1L)          // tie at count 1 -> lex-smallest
+    assert(math.abs(tbf2 - 6.0 / 17) < 1e-12)
+    assert(keep2)
+  }
+
   test("ContaminationNode measures benchmark shingle overlap, broadcast join") {
     val bench = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
     val corpus = Seq(

@@ -127,6 +127,10 @@ class SerializationSpec extends AnyFunSuite {
     assert(rs2.textCol == "body" && rs2.ns == Seq(2, 4))
     val cn2 = d2.node(cn.name).asInstanceOf[ContaminationNode]
     assert(cn2.benchTextCol == "btext" && cn2.shingleN == 4 && cn2.minOverlap == 0.25)
+    val rp = d.add(new RepetitionStatsNode("body", "id", 0.25, 0.15, 0.1, keepOnly = true))
+    val rp2 = DagJson.fromJson(DagJson.toJson(d)).node(rp.name).asInstanceOf[RepetitionStatsNode]
+    assert(rp2.textCol == "body" && rp2.idCol == "id" && rp2.maxDupLineFrac == 0.25 &&
+      rp2.maxDupLineCharFrac == 0.15 && rp2.maxTopBigramCharFrac == 0.1 && rp2.keepOnly)
     val ro = d.add(new RouterNode(Seq("a" -> "x > 1", "b" -> "y = 'z'"), otherwise = None))
     val json2 = DagJson.toJson(d)
     val ro2 = DagJson.fromJson(json2).node(ro.name).asInstanceOf[RouterNode]
