@@ -75,6 +75,26 @@ object SortExprs {
   * with string-expression params are JSON-serializable (DagJson registry).
   */
 
+/** Physical-encoding-adaptive timestamp normalization for generator tables.
+  * The testdata generator has shipped `events.ts` in two encodings across
+  * rounds: parquet TIMESTAMP(NANOS) (unreadable by Spark natively — read as
+  * epoch-nanos long via `spark.sql.legacy.parquet.nanosAsLong`) and plain
+  * TIMESTAMP_NTZ micros. Both carry the same UTC wall clock; sessions pin
+  * `spark.sql.session.timeZone=UTC`, so the NTZ→TZ cast is instant-preserving
+  * and both encodings normalize to the identical TimestampType column.
+  * Keyed on the ACTUAL post-scan type, so either file vintage works.
+  */
+private[graft] object TsNorm {
+  import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+  def normalize(d: DataFrame, c: String): DataFrame =
+    if (!d.columns.contains(c)) d // pruned away by an explicit schema
+    else d.schema(c).dataType match {
+      case LongType         => d.withColumn(c, expr(s"timestamp_micros($c div 1000)"))
+      case TimestampNTZType => d.withColumn(c, col(c).cast(TimestampType))
+      case _                => d // already TimestampType
+    }
+}
+
 /** Scan: data enters the DAG (reference has none — payloads arrive as
   * in-memory arguments, /root/reference/mldag/mldag.py:523-599). Columns may
   * be pruned at the source for scan efficiency.
@@ -103,8 +123,7 @@ class SourceNode(val path: String, val format: String = "parquet", val columns: 
     val reader0 = readSession.read.format(format).options(options)
     val reader = schemaDdl.fold(reader0)(reader0.schema)
     val df0 = reader.load(path)
-    val df = nanosTsCols.foldLeft(df0)((d, c) =>
-      d.withColumn(c, expr(s"timestamp_micros($c div 1000)")))
+    val df = nanosTsCols.foldLeft(df0)(TsNorm.normalize)
     Map("result" -> (if (columns.nonEmpty) df.select(columns.map(col): _*) else df))
   }
 }

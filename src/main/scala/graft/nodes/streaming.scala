@@ -62,8 +62,7 @@ class StreamSourceNode(val path: String, val format: String = "parquet",
     // micro-batches sized to the cluster instead of one giant first batch
     val df0 = readSession.readStream.format(format).schema(schema)
       .options(options).load(streamPath)
-    val df = nanosTsCols.foldLeft(df0)((d, c) =>
-      d.withColumn(c, expr(s"timestamp_micros($c div 1000)")))
+    val df = nanosTsCols.foldLeft(df0)(TsNorm.normalize)
     Map("result" -> df)
   }
 }

@@ -463,12 +463,14 @@ object Extra {
     val inDir = Files.createDirectory(work.resolve("in"))
     val outDir = work.resolve("out").toString
     val ckpt = work.resolve("ckpt").toString
-    // events.ts is TIMESTAMP(NANOS); stage it as micros so the stream source
-    // needs no nanos special-casing on re-read
-    val evDf = SessionIsolation
-      .cloneWith(spark, "spark.sql.legacy.parquet.nanosAsLong" -> "true")
-      .read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    // stage events with ts normalized to TimestampType (encoding-adaptive:
+    // nanos-long or NTZ vintages both land as micros timestamps) so the
+    // stream source needs no special-casing on re-read
+    val evDf = TsNorm.normalize(
+      SessionIsolation
+        .cloneWith(spark, "spark.sql.legacy.parquet.nanosAsLong" -> "true")
+        .read.parquet(s"$dir/events.parquet"),
+      "ts")
     val halfHash = DetHash.modExpr("event_id", 2)
     def stage(phase: Int): Unit = {
       val tmp = work.resolve(s"stage_$phase")
