@@ -79,19 +79,31 @@ object SortExprs {
   * The testdata generator has shipped `events.ts` in two encodings across
   * rounds: parquet TIMESTAMP(NANOS) (unreadable by Spark natively — read as
   * epoch-nanos long via `spark.sql.legacy.parquet.nanosAsLong`) and plain
-  * TIMESTAMP_NTZ micros. Both carry the same UTC wall clock; sessions pin
-  * `spark.sql.session.timeZone=UTC`, so the NTZ→TZ cast is instant-preserving
-  * and both encodings normalize to the identical TimestampType column.
-  * Keyed on the ACTUAL post-scan type, so either file vintage works.
+  * TIMESTAMP_NTZ micros. Both carry the same UTC wall clock. The NTZ branch
+  * is timezone-explicit: the UTC wall clock is first re-rendered into the
+  * session time zone via convert_timezone, so the final NTZ→TZ cast (which
+  * interprets the wall clock in the SESSION zone) lands on the correct
+  * instant under ANY session time zone — not just the UTC pin our own entry
+  * points set. Keyed on the ACTUAL post-scan type, so either file vintage
+  * works; any other type is a misconfiguration and fails loudly.
   */
 private[graft] object TsNorm {
+  import org.apache.spark.sql.functions.{convert_timezone, lit}
   import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+  // backtick-quote an identifier for safe embedding in a SQL expr string
+  private def q(n: String): String = "`" + n.replace("`", "``") + "`"
   def normalize(d: DataFrame, c: String): DataFrame =
     if (!d.columns.contains(c)) d // pruned away by an explicit schema
     else d.schema(c).dataType match {
-      case LongType         => d.withColumn(c, expr(s"timestamp_micros($c div 1000)"))
-      case TimestampNTZType => d.withColumn(c, col(c).cast(TimestampType))
-      case _                => d // already TimestampType
+      // `div` is exact integer division on longs (a double intermediate would
+      // lose precision above 2^53 — epoch nanos are ~1.7e18)
+      case LongType         => d.withColumn(c, expr(s"timestamp_micros(${q(c)} div 1000)"))
+      case TimestampNTZType =>
+        val sessionTz = d.sparkSession.sessionState.conf.sessionLocalTimeZone
+        d.withColumn(c, convert_timezone(lit("UTC"), lit(sessionTz), col(c)).cast(TimestampType))
+      case TimestampType    => d // already normalized
+      case other            => throw new graft.dag.GraftException(
+        s"TsNorm: column '$c' has type $other; expected LongType (epoch nanos), TimestampNTZType, or TimestampType")
     }
 }
 
