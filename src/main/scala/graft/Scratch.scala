@@ -19,5 +19,6 @@ object Scratch {
       val n = fn(spark, dir).collect().length
       println(f"[scratch] run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
     }
+    spark.stop()
   }
 }
