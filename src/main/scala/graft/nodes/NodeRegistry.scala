@@ -74,6 +74,8 @@ object NodeRegistry {
       Option(p.m.getOrElse("corpusSizeHint", null)).map(_.toString.toLong)))
     register("span_dup_score")(p => new SpanDupScoreNode(p.str("idCol"), p.str("textCol"),
       p.int("shingleN"), p.dbl("dropAbove")))
+    register("span_dedup")(p => new SpanDedupNode(p.str("idCol"), p.str("textCol"),
+      p.int("spanTokens"), p.str("outCol")))
     register("token_count")(p => new TokenCountNode(p.str("textCol")))
     register("split")(p => new SplitNode(p.str("idCol"),
       p.m("splits").asInstanceOf[Seq[Any]].map { case s: Seq[Any] @unchecked =>

@@ -468,6 +468,99 @@ class SpanDupScoreNode(
   }
 }
 
+/** Exact-substring dedup REMOVAL (Lee et al. 2022, "Deduplicating Training
+  * Data Makes Language Models Better"): cut duplicated runs of >= k tokens
+  * OUT of documents, keeping one canonical occurrence, instead of dropping
+  * whole documents. Token-granularity variant of the paper's suffix-array
+  * ExactSubstr operation, re-expressed as three relational passes that each
+  * shuffle once on a hash key — the shape that survives 100 TB (a suffix
+  * array over the corpus does not distribute; position-keyed span hashing
+  * does):
+  *
+  *   1. tokenize + posexplode -> (doc, pos, token); one window pass per doc
+  *      (lead chain, codegen'd) builds the md5 key of the k-token span
+  *      STARTING at each position — md5 over unit-separator-joined tokens,
+  *      so the key is engine-portable (DuckDB replays it; the xxhash
+  *      shingle kernels are not) and unambiguous w.r.t. token boundaries;
+  *   2. span df across the corpus (one hash shuffle, map-side partial agg):
+  *      a span occurring in >= 2 DISTINCT docs is duplicated; the MIN doc_id
+  *      holding it is the canonical keeper;
+  *   3. every position covered by a duplicated-span occurrence in a
+  *      NON-keeper doc is removed (sequence-explode of [pos, pos+k-1],
+  *      distinct, anti-join); survivors reassemble in token order.
+  *
+  * Within-doc repeats (df_docs = 1) are NOT removed — intra-document
+  * repetition is RepetitionStatsNode's jurisdiction; this operator removes
+  * cross-document boilerplate. Output is token-normalized (lowercased,
+  * single-space-joined — the same canonical form every hash in the dedup
+  * family keys on). Every doc stays in the output, possibly with an empty
+  * `outCol` (fully-boilerplate docs), so downstream gates see the corpus
+  * unchanged in cardinality.
+  *
+  * Scale shape: rows = corpus token count (same as LineDedupNode's line
+  * table); all three joins are hash-partitioned on (doc, pos) or span key;
+  * the freq side of the span join is 1 row/key so hot boilerplate spans
+  * fan out 1:N without row explosion; no driver state, no collect.
+  * Reference has no data operators; op re-derived from the public paper
+  * (arXiv:2107.06499) per SURVEY §2.
+  */
+class SpanDedupNode(
+    val idCol: String = "doc_id",
+    val textCol: String = "text",
+    val spanTokens: Int = 8,
+    val outCol: String = "clean_text")
+  extends Node {
+  require(spanTokens >= 2, "spanTokens must be >= 2 (1 would remove every shared token)")
+  override protected def defaultName: String = "span_dedup"
+  val inputs = Seq(Port("df"))
+  val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("span_dedup")
+  override def jsonParams: Map[String, Any] = Map("idCol" -> idCol, "textCol" -> textCol,
+    "spanTokens" -> spanTokens, "outCol" -> outCol)
+  override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{array_sort, coalesce, collect_list, concat_ws,
+      count, countDistinct, explode, lead, lit, md5, min, posexplode, struct, transform => tfm}
+    val toks = ctx.track(in("df")
+      .select(col(idCol), posexplode(expr(TextExprs.tokensExpr(textCol))).as(Seq("pos", "tok"))))
+    val w = Window.partitionBy(idCol).orderBy("pos")
+    // span key of the k tokens starting at pos; valid only where the last
+    // lead exists (concat_ws SKIPS nulls — a tail short-span would otherwise
+    // alias a full span elsewhere)
+    val leads = col("tok") +: (1 until spanTokens).map(i => lead("tok", i).over(w))
+    // BOTH window columns must be computed over the SAME unfiltered frame:
+    // evaluating the lead chain after the __last filter would make tail
+    // positions see the filtered rowset (leads turn null, concat_ws skips
+    // them) and every doc's final k-1 spans would collapse to short-span
+    // keys that collide corpus-wide
+    val spans = ctx.track(toks
+      .withColumn("__span", md5(concat_ws("\u001f", leads: _*).cast("binary")))
+      .withColumn("__last", lead("tok", spanTokens - 1).over(w))
+      .filter(col("__last").isNotNull)
+      .select(col(idCol), col("pos"), col("__span")))
+    val freq = spans.groupBy("__span").agg(
+      min(idCol).as("__keeper"), countDistinct(col(idCol)).as("__dfd"))
+    val covered = spans.join(freq, Seq("__span"))
+      .filter(col("__dfd") > 1 && col(idCol) =!= col("__keeper"))
+      .select(col(idCol), explode(expr(s"sequence(pos, pos + ${spanTokens - 1})")).as("pos"))
+      .distinct()
+    val kept = toks.join(covered, Seq(idCol, "pos"), "left_anti")
+      .groupBy(idCol).agg(
+        concat_ws(" ", tfm(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok"))).as(outCol),
+        count(lit(1)).as("n_tokens_kept"))
+    // left join from the full input: fully-removed docs stay, with empty text
+    val base = in("df").select(col(idCol),
+      expr(s"size(${TextExprs.tokensExpr(textCol)})").as("__n_tokens"))
+    Map("result" -> base.join(kept, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col(outCol), lit("")).as(outCol),
+        coalesce(col("n_tokens_kept"), lit(0L)).as("n_tokens_kept"),
+        (col("__n_tokens") - coalesce(col("n_tokens_kept"), lit(0L))).cast("long")
+          .as("n_tokens_removed")))
+  }
+}
+
 /** Incremental near-duplicate detection against a FITTED MinHash/LSH index
   * — the 100 TB corpus-refresh shape. Re-running whole-corpus near-dup per
   * delta batch re-pairs the entire corpus (the one cost that cannot be

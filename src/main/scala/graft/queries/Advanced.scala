@@ -1390,6 +1390,56 @@ object Advanced {
   }
   val q136Sql: String = q100Sql.replace("0.79", "0.77")
 
+  // ---- q137: exact-substring dedup REMOVAL (Lee et al. 2022 ExactSubstr,
+  // token granularity) — duplicated >=8-token spans are cut out of every
+  // doc except the min-doc_id canonical occurrence; documents reassemble
+  // from surviving tokens. The oracle replays the span construction with
+  // the SAME md5-over-unit-separator key (window lead chain), so keeper
+  // choice, covered positions, and reassembled strings are all pinned
+  // bit-exact. ----
+  def q137_span_dedup(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
+    d.add(SourceNode.table(dir, "documents")) >>
+      new SpanDedupNode(idCol = "doc_id", textCol = "text", spanTokens = 8) >>
+      SortNode("doc_id") >>
+      d.output("result")
+  }
+  val q137Sql: String = {
+    val leads = (1 until 8).map(i => s"lead(tok, $i) OVER w").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) - 1 AS pos
+       |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS l
+       |        FROM documents)),
+       |sp AS (
+       |  SELECT doc_id, pos,
+       |    md5(concat_ws(chr(31), tok, $leads)) AS span,
+       |    lead(tok, 7) OVER w AS last
+       |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       |vs AS (SELECT doc_id, pos, span FROM sp WHERE last IS NOT NULL),
+       |freq AS (SELECT span, min(doc_id) AS keeper, count(DISTINCT doc_id) AS dfd
+       |         FROM vs GROUP BY span),
+       |covered AS (
+       |  SELECT DISTINCT v.doc_id, u.p AS pos
+       |  FROM vs v JOIN freq f USING (span), unnest(range(v.pos, v.pos + 8)) AS u(p)
+       |  WHERE f.dfd > 1 AND v.doc_id <> f.keeper),
+       |kept AS (
+       |  SELECT t.doc_id, t.pos, t.tok FROM toks t
+       |  WHERE NOT EXISTS (SELECT 1 FROM covered c
+       |                    WHERE c.doc_id = t.doc_id AND c.pos = t.pos)),
+       |agg AS (
+       |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+       |         count(*) AS n_tokens_kept
+       |  FROM kept GROUP BY doc_id),
+       |base AS (
+       |  SELECT doc_id, len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS n_tokens
+       |  FROM documents)
+       |SELECT b.doc_id,
+       |  coalesce(a.clean_text, '') AS clean_text,
+       |  cast(coalesce(a.n_tokens_kept, 0) as bigint) AS n_tokens_kept,
+       |  cast(b.n_tokens - coalesce(a.n_tokens_kept, 0) as bigint) AS n_tokens_removed
+       |FROM base b LEFT JOIN agg a USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q94_bloom_join", q94_bloom_join _, q94Sql),
     ("q95_pagerank", q95_pagerank _, q95Sql),
@@ -1427,5 +1477,6 @@ object Advanced {
     ("q134_epoch_plan", q134_epoch_plan _, q134Sql),
     ("q135_repetition_stats", q135_repetition_stats _, q135Sql),
     ("q136_bm25_production", q136_bm25_production _, q136Sql),
+    ("q137_span_dedup", q137_span_dedup _, q137Sql),
   )
 }

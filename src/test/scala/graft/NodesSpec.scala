@@ -936,6 +936,36 @@ class NodesSpec extends AnyFunSuite {
     assert(kept == Set(3L))
   }
 
+  test("SpanDedupNode: cuts duplicated spans keeping min-doc occurrence, tail spans intact") {
+    val shared = (1 to 8).map(i => s"s$i").mkString(" ") // one exact 8-gram
+    val docs = Seq(
+      (1L, s"alpha beta $shared gamma delta"),      // canonical (min doc): keeps everything
+      (2L, s"$shared completely other tail words here"), // loses the 8 shared tokens
+      (3L, "nothing in common with anything else at all"),
+      // within-doc repeat, never shared across docs: kept in full
+      (4L, s"u1 u2 u3 u4 u5 u6 u7 u8 u1 u2 u3 u4 u5 u6 u7 u8"),
+    ).toDF("doc_id", "text")
+    val out = runOne { d =>
+      d.add(srcNode(docs)) >> new SpanDedupNode(spanTokens = 8) >> d.output("result")
+    }.orderBy("doc_id")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("clean_text"),
+        r.getAs[Long]("n_tokens_kept"), r.getAs[Long]("n_tokens_removed")))
+    assert(out(0) == ((1L, s"alpha beta $shared gamma delta", 12L, 0L)))
+    assert(out(1) == ((2L, "completely other tail words here", 5L, 8L)))
+    assert(out(2)._4 == 0L) // no cross-doc span: untouched
+    assert(out(3)._4 == 0L) // intra-doc repetition is not this operator's job
+    // a doc that IS a duplicated span end-to-end empties but stays in the output
+    val dup = (1 to 8).map(i => s"d$i").mkString(" ")
+    val all = Seq((10L, dup), (11L, dup)).toDF("doc_id", "text")
+    val emptied = runOne { d =>
+      d.add(srcNode(all)) >> new SpanDedupNode(spanTokens = 8) >> d.output("result")
+    }.orderBy("doc_id").collect()
+    assert(emptied.length == 2)
+    assert(emptied(0).getAs[String]("clean_text") == dup)
+    assert(emptied(1).getAs[String]("clean_text") == "" &&
+      emptied(1).getAs[Long]("n_tokens_removed") == 8L)
+  }
+
   test("BpeTrain: deterministic merges, count-desc pair-asc tie-break, no singleton merges") {
     // "abab" x3, "ab" x2: pair (a,b) count 3*2+2 = 8 wins; then (ab,ab) count 3
     val merges = graft.functions.BpeTrain.train(Seq("abab" -> 3L, "ab" -> 2L), 10)
