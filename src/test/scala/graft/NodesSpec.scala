@@ -975,6 +975,30 @@ class NodesSpec extends AnyFunSuite {
     assert(kept == Set(3L))
   }
 
+  test("TsNorm: NTZ branch instant-correct under a non-UTC session zone; bad types fail loudly") {
+    // the generator's round-9+ vintage: TIMESTAMP_NTZ carrying a UTC wall
+    // clock. Normalization must land on the UTC instant even when the
+    // SESSION zone differs (ADVICE r9: the old bare NTZ->TZ cast was only
+    // correct under the entry points' UTC pin).
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val df = spark.sql("select timestamp_ntz'2024-01-02 03:04:05' as ts, 1L as id")
+      val out = TsNorm.normalize(df, "ts")
+      assert(out.schema("ts").dataType == org.apache.spark.sql.types.TimestampType)
+      val micros = out.selectExpr("unix_micros(ts)").as[Long].collect().head
+      assert(micros == java.time.Instant.parse("2024-01-02T03:04:05Z").getEpochSecond * 1000000L)
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+    // rounds <= 8 vintage: epoch-nanos long (exact integer division)
+    val lm = TsNorm.normalize(
+        spark.sql("select 1704164645123456789L as ts"), "ts")
+      .selectExpr("unix_micros(ts)").as[Long].collect().head
+    assert(lm == 1704164645123456L)
+    // a third, unhandled encoding must fail loudly, not silently skip
+    intercept[GraftException](
+      TsNorm.normalize(spark.sql("select 'oops' as ts"), "ts"))
+  }
+
   test("SpanDedupNode: cuts duplicated spans keeping min-doc occurrence, tail spans intact") {
     val shared = (1 to 8).map(i => s"s$i").mkString(" ") // one exact 8-gram
     val docs = Seq(
