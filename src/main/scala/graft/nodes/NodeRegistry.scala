@@ -107,6 +107,8 @@ object NodeRegistry {
       p.m("markers").asInstanceOf[Seq[Any]].map { case s: Seq[Any] @unchecked =>
         s.head.toString -> s(1).asInstanceOf[Seq[Any]].map(_.toString)
       }))
+    register("url_canon")(p => new UrlCanonNode(p.str("urlCol"), p.str("outCol"),
+      p.strs("stripParams"), p.bool("stripFragment"), p.bool("sortParams"), p.bool("stripWww")))
     register("quality_score")(p => new QualityScoreNode(p.str("textCol"), p.strs("stopwords")))
     register("heuristic_filter")(p => new HeuristicFilterNode(p.str("textCol"),
       p.int("minWords"), p.int("maxWords"), p.dbl("minMeanWordLen"), p.dbl("maxMeanWordLen"),

@@ -670,6 +670,72 @@ object RedactNode {
   )
 }
 
+/** URL canonicalization — the gate real crawls run BEFORE content hashing:
+  * two fetches of the same page differ only in URL surface form (case,
+  * default port, tracking params, param order, fragment), so deduping by
+  * canonical URL collapses refetches for free before any text ever gets
+  * shingled. Canonical form of an absolute http(s) URL:
+  *
+  *   - scheme and authority lowercased (userinfo is lowercased with the
+  *     authority — acceptable for crawl URLs, which do not carry userinfo);
+  *   - default port stripped (`:80` for http, `:443` for https);
+  *   - optional `www.` strip (off by default — www/apex CAN serve
+  *     different content);
+  *   - fragment removed (never sent to the server);
+  *   - tracking params removed: any name starting `utm_` plus an exact
+  *     blocklist (`stripParams`); remaining params sorted byte-wise so
+  *     `?b=2&a=1` == `?a=1&b=2`; empty query drops the `?`;
+  *   - empty path normalizes to `/`.
+  *
+  * Rows that are not absolute URLs pass through trimmed-unchanged (a crawl
+  * manifest can carry relative or malformed entries; silently mangling them
+  * would corrupt the join key). Pure narrow map over codegen'd regexps plus
+  * one small HOF filter/sort over the split param list — zero shuffle at
+  * any scale; every step is replayable in ANSI-ish SQL (the q139 oracle).
+  */
+class UrlCanonNode(
+    val urlCol: String = "url",
+    val outCol: String = "canon_url",
+    val stripParams: Seq[String] = UrlCanonNode.defaultTracking,
+    val stripFragment: Boolean = true,
+    val sortParams: Boolean = true,
+    val stripWww: Boolean = false)
+  extends Node {
+  override protected def defaultName: String = "url_canon"
+  val inputs = Seq(Port("df"))
+  val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("url_canon")
+  override def jsonParams: Map[String, Any] = Map("urlCol" -> urlCol, "outCol" -> outCol,
+    "stripParams" -> stripParams, "stripFragment" -> stripFragment,
+    "sortParams" -> sortParams, "stripWww" -> stripWww)
+  override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
+    val u = s"trim($urlCol)"
+    val nf = if (stripFragment) s"regexp_replace($u, '#.*', '')" else u
+    val scheme = s"lower(regexp_extract($nf, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1))"
+    val auth0 = s"lower(regexp_extract($nf, '^[^:/?#]+://([^/?#]*)', 1))"
+    val auth1 = s"""case when $scheme = 'http' then regexp_replace($auth0, ':80$$', '')
+                   |     when $scheme = 'https' then regexp_replace($auth0, ':443$$', '')
+                   |     else $auth0 end""".stripMargin
+    val auth = if (stripWww) s"regexp_replace($auth1, '^www\\\\.', '')" else auth1
+    val path = s"coalesce(nullif(regexp_extract($nf, '^[^:/?#]+://[^/?#]*([^?#]*)', 1), ''), '/')"
+    val blocklist = stripParams.map(p => s"'$p'").mkString("array(", ", ", ")")
+    val kept = s"""filter(split(regexp_extract($nf, '\\\\?(.*)', 1), '&'),
+                  |  p -> p != '' and not startswith(lower(p), 'utm_')
+                  |    and not array_contains($blocklist, lower(element_at(split(p, '='), 1))))""".stripMargin
+    val params = if (sortParams) s"array_sort($kept)" else kept
+    val qpart = s"case when size($kept) = 0 then '' else concat('?', array_join($params, '&')) end"
+    val canon = s"""case when $nf rlike '^[a-zA-Z][a-zA-Z0-9+.-]*://'
+                   |  then concat($scheme, '://', $auth, $path, $qpart)
+                   |  else $u end""".stripMargin
+    Map("result" -> in("df").withColumn(outCol, expr(canon)))
+  }
+}
+object UrlCanonNode {
+  /** Exact-name blocklist (prefix `utm_` is always stripped). */
+  val defaultTracking: Seq[String] =
+    Seq("fbclid", "gclid", "msclkid", "igshid", "mc_eid", "ref", "ref_src")
+}
+
 /** Document fingerprinting: whole-document md5 over normalized text (exact
   * dedup key) plus a winnowing rolling fingerprint — min rolling k-gram hash
   * per window (Schleimer et al.), computed by the compiled `winnow_fp`

@@ -1465,6 +1465,39 @@ object Advanced {
   }
   val q138Sql: String = NorthStar.q28Sql
 
+  // ---- q139: URL canonicalization gate — the step a real crawl runs
+  // BEFORE content hashing. Four surface forms per target (case, default
+  // port, tracking params utm_/gclid/ref, param order, fragment) are
+  // synthesized per doc; canonicalization must collapse styles {0,1,3} to
+  // one URL while style 2 (extra KEPT param c=3) stays distinct — so a
+  // canonicalizer that drops too much (all params) or too little (param
+  // order, case) both break the group counts. Oracle is the EXPECTED
+  // canonical by construction, not a replay of the node's logic. ----
+  def q139_url_canon(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
+    val synth =
+      """case cast(doc_id % 4 as int)
+        |  when 0 then concat('HTTPS://Example.COM:443/item/', cast(doc_id % 125 as string), '?utm_source=news&b=2&a=1#frag')
+        |  when 1 then concat('https://example.com:443/item/', cast(doc_id % 125 as string), '?b=2&ref=abc&a=1&gclid=x')
+        |  when 2 then concat('https://EXAMPLE.com/item/', cast(doc_id % 125 as string), '?b=2&c=3&a=1')
+        |  else concat('https://example.com/item/', cast(doc_id % 125 as string), '?b=2&a=1#x')
+        |end""".stripMargin
+    d.add(SourceNode.table(dir, "documents")) >>
+      new WithColumnsNode(Seq("url" -> synth)) >>
+      new UrlCanonNode() >>
+      AggNode(Seq("canon_url"), "count(*) as n_docs", "min(doc_id) as min_doc") >>
+      SortNode("canon_url") >>
+      d.output("result")
+  }
+  val q139Sql: String =
+    """SELECT canon_url, count(*) AS n_docs, min(doc_id) AS min_doc
+      |FROM (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 4 = 2
+      |      THEN 'https://example.com/item/' || (doc_id % 125) || '?a=1&b=2&c=3'
+      |      ELSE 'https://example.com/item/' || (doc_id % 125) || '?a=1&b=2' END AS canon_url
+      |  FROM documents)
+      |GROUP BY canon_url ORDER BY canon_url""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q94_bloom_join", q94_bloom_join _, q94Sql),
     ("q95_pagerank", q95_pagerank _, q95Sql),
@@ -1504,5 +1537,6 @@ object Advanced {
     ("q136_bm25_production", q136_bm25_production _, q136Sql),
     ("q137_span_dedup", q137_span_dedup _, q137Sql),
     ("q138_ivf_index_day2", q138_ivf_index_day2 _, q138Sql),
+    ("q139_url_canon", q139_url_canon _, q139Sql),
   )
 }

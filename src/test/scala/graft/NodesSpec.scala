@@ -975,6 +975,33 @@ class NodesSpec extends AnyFunSuite {
     assert(kept == Set(3L))
   }
 
+  test("UrlCanonNode: case/port/tracking/order/fragment normalize; non-URLs pass through") {
+    val df = Seq(
+      (1L, "HTTPS://Example.COM:443/A/b?utm_source=x&b=2&a=1#frag"),
+      (2L, "http://example.com:80/"),
+      (3L, "https://example.com"),                  // empty path -> '/'
+      (4L, "https://example.com/p?gclid=1&REF=z"),  // blocklist is case-insensitive
+      (5L, "https://example.com/p?keep=1"),
+      (6L, "not a url at all"),                     // pass-through, trimmed
+      (7L, "  /relative/path?x=1  "),
+    ).toDF("doc_id", "url")
+    val out = runOne { d =>
+      d.add(srcNode(df)) >> new UrlCanonNode() >> d.output("result")
+    }.select("doc_id", "canon_url").as[(Long, String)].collect().toMap
+    assert(out(1L) == "https://example.com/A/b?a=1&b=2") // path case preserved
+    assert(out(2L) == "http://example.com/")
+    assert(out(3L) == "https://example.com/")
+    assert(out(4L) == "https://example.com/p")
+    assert(out(5L) == "https://example.com/p?keep=1")
+    assert(out(6L) == "not a url at all")
+    assert(out(7L) == "/relative/path?x=1")
+    // www strip is opt-in
+    val w = Seq((1L, "https://WWW.Example.com/x")).toDF("doc_id", "url")
+    assert(runOne { d =>
+      d.add(srcNode(w)) >> new UrlCanonNode(stripWww = true) >> d.output("result")
+    }.select("canon_url").as[String].collect().head == "https://example.com/x")
+  }
+
   test("TsNorm: NTZ branch instant-correct under a non-UTC session zone; bad types fail loudly") {
     // the generator's round-9+ vintage: TIMESTAMP_NTZ carrying a UTC wall
     // clock. Normalization must land on the UTC instant even when the

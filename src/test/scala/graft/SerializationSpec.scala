@@ -213,6 +213,12 @@ class SerializationSpec extends AnyFunSuite {
       iv2.idCol == "id" && iv2.vecCol == "emb" && iv2.queryIdCol == "qid" &&
       iv2.maxFitRows == 555L && iv2.compactEvery == 3 &&
       iv2.compactPath.contains("/tmp/ivfc"))
+    val uc = d.add(new UrlCanonNode("u", "cu", Seq("gclid", "sid"),
+      stripFragment = false, sortParams = false, stripWww = true))
+    val uc2 = DagJson.fromJson(DagJson.toJson(d)).node(uc.name).asInstanceOf[UrlCanonNode]
+    assert(uc2.urlCol == "u" && uc2.outCol == "cu" &&
+      uc2.stripParams == Seq("gclid", "sid") && !uc2.stripFragment &&
+      !uc2.sortParams && uc2.stripWww)
   }
 
   test("round-trip covers quality kinds: heuristic/vocab/semdedup/domain-quota") {
