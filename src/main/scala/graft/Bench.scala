@@ -81,16 +81,29 @@ object Bench {
     // values rounded to 2 decimals. Full names + timings still go to stderr.
     // Locale.ROOT: f"%.2f" uses the JVM default locale — a comma-decimal
     // locale would emit 12,34 and break the JSON this block exists to fix
-    def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    def num(v: Double): String = {
+      val s = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+      // strip one trailing zero ("1.20" -> "1.2", "0.50" -> "0.5") — ~70
+      // chars across 139 queries, and the line must stay inside the
+      // driver's ~1.9k-char usable tail window (see below)
+      if (s.endsWith("0") && s.contains(".") && !s.endsWith(".00")) s.dropRight(1)
+      else if (s.endsWith(".00")) s.dropRight(1) // "3.00" -> "3.0"
+      else s
+    }
     val shortKey = "^(q\\d+).*$".r
     val qs = results.map { case (k, v) =>
       val key = k match { case shortKey(p) => p; case _ => k }
       "\"" + key + "\":" + (if (v < 0) "-1" else num(v))
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    // cold map holds only reruns whose first timing was ≥1.5x the kept one —
-    // a handful of entries, so it fits the driver's ~2000-char JSON window
-    val coldJson = coldTimes.map { case (k, v) =>
+    // cold map holds only reruns whose first timing was ≥1.5x the kept one,
+    // capped to the 4 largest — the driver keeps the LAST 2000 output chars
+    // and the trailing sbt success line eats ~80 of them, so the JSON line
+    // has ~1.9k usable chars; at 139 queries the map is ~1.8k and an
+    // uncapped cold map on a contention-heavy round (r9 re-timed 26
+    // queries) could push the line's HEAD out of the window and zero the
+    // round's bench
+    val coldJson = coldTimes.toSeq.sortBy(-_._2).take(4).map { case (k, v) =>
       val key = k match { case shortKey(p) => p; case _ => k }
       "\"" + key + "\":" + num(v)
     }.mkString("{", ",", "}")

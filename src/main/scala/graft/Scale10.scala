@@ -77,7 +77,13 @@ object Scale10 {
       // AND k-fold seed is the hazard), temperature mix (narrow + K-row
       // broadcast — should be flat), incremental flagship (index fit at
       // k-fold base, bounded delta)
-      "q126_lm_classifier", "q128_temperature_mix", "q130_incremental_flagship")
+      "q126_lm_classifier", "q128_temperature_mix", "q130_incremental_flagship",
+      // round-10 additions: span dedup (token-position table is the
+      // superlinear hazard), incremental IVF index (bounded fit + delta
+      // assignment should stay near-flat), URL canon (flat narrow map),
+      // production-df BM25 twin
+      "q137_span_dedup", "q138_ivf_index_day2", "q139_url_canon",
+      "q136_bm25_production")
     val names = if (queries.nonEmpty) queries else defaults
     names.foreach { n =>
       try time(n)(Queries.all(n)(spark, out).count())
