@@ -13,11 +13,16 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000).selectExpr("sum(id)").collect()
     val fn = SparkEntry.queries("q124_flagship_pipeline")
-    (1 to 2).foreach { i =>
+    (1 to 3).foreach { i =>
       val t0 = System.nanoTime()
-      val n = fn(spark, dir).collect().length
-      println(f"[scratch] run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+      val df = fn(spark, dir)
+      val t1 = System.nanoTime()
+      val n = df.collect().length
+      val t2 = System.nanoTime()
+      println(f"[scratch] run $i: compose ${(t1 - t0) / 1e9}%.2f s  exec ${(t2 - t1) / 1e9}%.2f s  ($n rows)")
+      spark.catalog.clearCache()
     }
     spark.stop()
   }

@@ -45,21 +45,29 @@ class SequencePackNode(
   override def jsonParams: Map[String, Any] = Map("idCol" -> idCol, "textCol" -> textCol,
     "tokensCol" -> tokensCol.orNull, "seqLen" -> seqLen, "shards" -> shards)
   override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
-    val withTokens = tokensCol match {
+    // batched selects, not 6 chained withColumns (each Dataset creation
+    // re-analyzes the whole upstream plan; this node ends long chains)
+    val nTokens = tokensCol match {
       // null counts → 0, not a null that the window sum would silently skip
-      case Some(c) => in("df").withColumn("n_tokens", coalesce(col(c).cast("bigint"), lit(0L)))
-      case None => in("df").withColumn("n_tokens",
-        expr(s"cast(size(${TextExprs.tokensExpr(textCol)}) as bigint)"))
+      case Some(c) => coalesce(col(c).cast("bigint"), lit(0L))
+      case None => expr(s"cast(size(${TextExprs.tokensExpr(textCol)}) as bigint)")
     }
+    val keyed = in("df").select(col("*"),
+      nTokens.as("n_tokens"),
+      expr(DetHash.modExpr(idCol, shards)).as("shard"))
     val w = Window.partitionBy("shard").orderBy(idCol)
       .rowsBetween(Window.unboundedPreceding, -1)
-    Map("result" -> withTokens
-      .withColumn("shard", expr(DetHash.modExpr(idCol, shards)))
-      .withColumn("start_tok", coalesce(sum("n_tokens").over(w), lit(0L)))
-      // empty docs occupy the sequence they start in: greatest(n_tokens, 1)
-      .withColumn("seq_first", expr(s"start_tok div ${seqLen}L"))
-      .withColumn("seq_last", expr(s"(start_tok + greatest(n_tokens, 1L) - 1L) div ${seqLen}L"))
-      .withColumn("n_seqs", expr("seq_last - seq_first + 1L")))
+    val started = keyed.select(col("*"),
+      coalesce(sum("n_tokens").over(w), lit(0L)).as("start_tok"))
+    // empty docs occupy the sequence they start in: greatest(n_tokens, 1);
+    // seq_last's expression is duplicated into n_seqs (two cheap integer
+    // divs beat another full-plan re-analysis)
+    val seqFirst = s"start_tok div ${seqLen}L"
+    val seqLast = s"(start_tok + greatest(n_tokens, 1L) - 1L) div ${seqLen}L"
+    Map("result" -> started.select(col("*"),
+      expr(seqFirst).as("seq_first"),
+      expr(seqLast).as("seq_last"),
+      expr(s"($seqLast) - ($seqFirst) + 1L").as("n_seqs")))
   }
 }
 
@@ -110,11 +118,12 @@ class DomainMixNode(
       1000000L)
     // filter zero-copy rows BEFORE the generator: Spark's sequence(1, 0)
     // counts DOWN to [1, 0] rather than producing an empty array
-    Map("result" -> in("df")
-      .withColumn("__copies", expr(s"($baseCase) + (case when $h < ($thrCase) then 1L else 0L end)"))
+    val base0 = in("df")
+    Map("result" -> base0
+      .select(col("*"),
+        expr(s"($baseCase) + (case when $h < ($thrCase) then 1L else 0L end)").as("__copies"))
       .filter("__copies >= 1")
-      .withColumn(copyCol, expr("explode(sequence(1L, __copies))"))
-      .drop("__copies"))
+      .select(base0.columns.map(col) :+ expr("explode(sequence(1L, __copies))").as(copyCol): _*))
   }
 }
 
@@ -434,7 +443,8 @@ class QuantileFilterNode(
     "approx" -> approx, "accuracy" -> accuracy)
 
   override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
-    val df = ctx.track(in("df").withColumn("__score", expr(scoreExpr)))
+    val base = in("df")
+    val df = ctx.track(base.select(col("*"), expr(scoreExpr).as("__score")))
     val p = 1.0 - keepFrac
     val pct =
       if (approx) s"approx_percentile(__score, ${p}D, $accuracy)"
@@ -445,10 +455,13 @@ class QuantileFilterNode(
     val joined =
       if (groupCols.isEmpty) df.crossJoin(broadcast(thr))
       else df.join(broadcast(thr), groupCols)
-    val flagged = joined.withColumn("keep", col("__score") >= col("__thr"))
+    // single batched select per branch (vs withColumn + rename + drop
+    // chains — each Dataset creation re-analyzes the whole upstream plan)
+    val orig = base.columns.map(col)
     Map("result" ->
-      (if (annotate) flagged.withColumnRenamed("__thr", "threshold").drop("__score")
-       else flagged.filter(col("keep")).drop("keep", "__thr", "__score")))
+      (if (annotate) joined.select(orig ++ Seq(col("__thr").as("threshold"),
+        (col("__score") >= col("__thr")).as("keep")): _*)
+       else joined.filter(col("__score") >= col("__thr")).select(orig: _*)))
   }
 }
 
@@ -633,28 +646,31 @@ class TokenShardNode(
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions.{broadcast, coalesce, lit, sum}
     val span = (1L << 32) / buckets
-    val keyed = in("df")
-      .withColumn("__ord", expr(DetHash.expr(idCol)))
-      // null weights count 0 (occupy no budget) — a bare cast would null
-      // the window sum arithmetic into silent null shard ids (the
-      // SequencePackNode convention)
-      .withColumn("__w", coalesce(expr(weightExpr).cast("long"), lit(0L)))
-      .withColumn("__b", expr(s"__ord div ${span}L"))
+    // batched selects, not chained withColumns (each Dataset creation
+    // re-analyzes the whole upstream plan; this node ends long chains).
+    // __b duplicates the __ord hash expression — one extra md5 per row
+    // beats another full-plan re-analysis.
+    // null weights count 0 (occupy no budget) — a bare cast would null
+    // the window sum arithmetic into silent null shard ids (the
+    // SequencePackNode convention)
+    val keyed = in("df").select(col("*"),
+      expr(DetHash.expr(idCol)).as("__ord"),
+      coalesce(expr(weightExpr).cast("long"), lit(0L)).as("__w"),
+      expr(s"(${DetHash.expr(idCol)}) div ${span}L").as("__b"))
     // (1) local cumsum inside each deterministic bucket
     val wLocal = Window.partitionBy(col("__b"))
       .orderBy(col("__ord").asc, col(idCol).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = keyed.withColumn("__local", sum(col("__w")).over(wLocal))
+    val local = keyed.select(col("*"), sum(col("__w")).over(wLocal).as("__local"))
     // (2) buckets-sized exclusive offsets (tiny frame, one window)
     val wOff = Window.orderBy(col("__b").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = keyed.groupBy(col("__b")).agg(sum(col("__w")).as("__bt"))
-      .withColumn("__off", coalesce(sum(col("__bt")).over(wOff), lit(0L)))
-      .select(col("__b"), col("__off"))
+      .select(col("__b"), coalesce(sum(col("__bt")).over(wOff), lit(0L)).as("__off"))
     // (3) start offset -> shard id
     Map("result" -> local.join(broadcast(offsets), Seq("__b"))
-      .withColumn(outCol, expr(s"(__off + __local - __w) div ${budget}L"))
-      .drop("__ord", "__w", "__b", "__local", "__off"))
+      .select(in("df").columns.map(col) :+
+        expr(s"(__off + __local - __w) div ${budget}L").as(outCol): _*))
   }
 }
 

@@ -80,10 +80,8 @@ class MinHashDedupNode(
     // doc). Materialized behind a cache boundary so CollapseProject cannot
     // inline split() into downstream consumers (re-tokenizing per element).
     val sh = ctx.track(base
-      .withColumn("__toks", expr(toks))
-      .withColumn("__shingles", expr(s"shingle_hashes(__toks, $shingleN)"))
-      .filter("size(__shingles) > 0")
-      .select(col(idCol), col("__shingles")))
+      .select(col(idCol), expr(s"shingle_hashes($toks, $shingleN)").as("__shingles"))
+      .filter("size(__shingles) > 0"))
     // Candidate generation is SKINNY — ids and band key only. Shingle arrays
     // never enter the self-join shuffle; they are joined back per unique pair.
     val signed = sh.select(col(idCol),

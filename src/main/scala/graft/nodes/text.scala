@@ -57,9 +57,11 @@ class TokenCountNode(val textCol: String = "text") extends Node {
   override def jsonKind: Option[String] = Some("token_count")
   override def jsonParams: Map[String, Any] = Map("textCol" -> textCol)
   override def transform(ctx: Ctx, in: In): Map[String, DataFrame] =
-    Map("result" -> in("df")
-      .withColumn("ws_tokens", expr(s"size(${TextExprs.tokensExpr(textCol)})"))
-      .withColumn("bpe_tokens", expr(s"size(regexp_extract_all($textCol, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\\\s]', 0))")))
+    // one select, not chained withColumn: every Dataset creation re-analyzes
+    // the whole upstream plan, and this node sits deep in long chains
+    Map("result" -> in("df").select(col("*"),
+      expr(s"size(${TextExprs.tokensExpr(textCol)})").as("ws_tokens"),
+      expr(s"size(regexp_extract_all($textCol, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\\\s]', 0))").as("bpe_tokens")))
 }
 
 /** Heuristic quality scoring: length, punctuation/digit/whitespace ratios,
@@ -76,17 +78,23 @@ class QualityScoreNode(val textCol: String = "text", val stopwords: Seq[String] 
   override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
     val toks = TextExprs.tokensExpr(textCol)
     val stopArr = stopwords.map(s => s"'$s'").mkString("array(", ", ", ")")
-    Map("result" -> in("df")
-      .withColumn("n_chars_m", expr(s"length($textCol)"))
-      .withColumn("n_tokens", expr(s"size($toks)"))
-      .withColumn("mean_word_len", expr(
-        s"cast(length(regexp_replace($textCol, '\\\\s+', '')) as double) / greatest(size($toks), 1)"))
-      .withColumn("punct_ratio", expr(
-        s"cast(length($textCol) - length(regexp_replace($textCol, '[^a-zA-Z0-9\\\\s]', '')) as double) / greatest(length($textCol), 1)"))
-      .withColumn("digit_ratio", expr(
-        s"cast(length($textCol) - length(regexp_replace($textCol, '[0-9]', '')) as double) / greatest(length($textCol), 1)"))
-      .withColumn("stopword_ratio", expr(
-        s"cast(size(filter($toks, t -> array_contains($stopArr, t))) as double) / greatest(size($toks), 1)")))
+    // independent columns -> ONE select (each chained withColumn would
+    // re-analyze the whole upstream plan; this node sits in long chains)
+    Map("result" -> in("df").select(col("*"),
+      expr(s"length($textCol)").as("n_chars_m"),
+      expr(s"size($toks)").as("n_tokens"),
+      expr(
+        s"cast(length(regexp_replace($textCol, '\\\\s+', '')) as double) / greatest(size($toks), 1)")
+        .as("mean_word_len"),
+      expr(
+        s"cast(length($textCol) - length(regexp_replace($textCol, '[^a-zA-Z0-9\\\\s]', '')) as double) / greatest(length($textCol), 1)")
+        .as("punct_ratio"),
+      expr(
+        s"cast(length($textCol) - length(regexp_replace($textCol, '[0-9]', '')) as double) / greatest(length($textCol), 1)")
+        .as("digit_ratio"),
+      expr(
+        s"cast(size(filter($toks, t -> array_contains($stopArr, t))) as double) / greatest(size($toks), 1)")
+        .as("stopword_ratio")))
   }
 }
 object QualityScoreNode {
@@ -135,32 +143,41 @@ class HeuristicFilterNode(
   override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
     val stopArr = stopwords.map(s => s"'${SqlLit.esc(s)}'").mkString("array(", ", ", ")")
     // ratios are int/int divisions in double — a single correctly-rounded
-    // float64 any engine reproduces bit-exactly (the q78-q82 contract)
-    val out = in("df")
-      .withColumn("__toks", expr(TextExprs.tokensExpr(textCol)))
-      .withColumn("__lines", expr(s"split($textCol, '\\n')"))
-      .withColumn("n_words", expr("size(__toks)"))
-      .withColumn("mean_word_len", expr(
-        s"cast(length(regexp_replace($textCol, '\\\\s+', '')) as double) / greatest(size(__toks), 1)"))
-      .withColumn("symbol_ratio", expr(
-        s"cast(size(regexp_extract_all($textCol, '#|\\\\.\\\\.\\\\.|…', 0)) as double) / greatest(size(__toks), 1)"))
-      .withColumn("bullet_frac", expr(
-        "cast(size(filter(__lines, l -> l rlike '^\\\\s*[-*•]')) as double) / greatest(size(__lines), 1)"))
-      .withColumn("ellipsis_frac", expr(
-        "cast(size(filter(__lines, l -> l rlike '(\\\\.\\\\.\\\\.|…)\\\\s*$')) as double) / greatest(size(__lines), 1)"))
-      .withColumn("alpha_word_frac", expr(
-        "cast(size(filter(__toks, t -> t rlike '[a-z]')) as double) / greatest(size(__toks), 1)"))
-      .withColumn("stop_hits", expr(s"size(array_intersect(array_distinct(__toks), $stopArr))"))
-      .withColumn("keep", expr(
-        s"""n_words >= $minWords and n_words <= $maxWords
-           | and mean_word_len >= ${minMeanWordLen}D and mean_word_len <= ${maxMeanWordLen}D
-           | and symbol_ratio <= ${maxSymbolRatio}D
-           | and bullet_frac <= ${maxBulletFrac}D
-           | and ellipsis_frac <= ${maxEllipsisFrac}D
-           | and alpha_word_frac >= ${minAlphaWordFrac}D
-           | and stop_hits >= $minStopwordHits""".stripMargin.replace("\n", "")))
-      .drop("__toks", "__lines")
-    Map("result" -> (if (keepOnly) out.filter(col("keep")).drop("keep") else out))
+    // float64 any engine reproduces bit-exactly (the q78-q82 contract).
+    // Three batched selects, not 11 chained withColumns: every Dataset
+    // creation re-analyzes the whole upstream plan, and this gate fronts
+    // every long curation chain (q89/q124/q132).
+    val base = in("df")
+    val toksed = base.select(col("*"),
+      expr(TextExprs.tokensExpr(textCol)).as("__toks"),
+      expr(s"split($textCol, '\\n')").as("__lines"))
+    val metrics = toksed.select(col("*"),
+      expr("size(__toks)").as("n_words"),
+      expr(s"cast(length(regexp_replace($textCol, '\\\\s+', '')) as double) / greatest(size(__toks), 1)")
+        .as("mean_word_len"),
+      expr(s"cast(size(regexp_extract_all($textCol, '#|\\\\.\\\\.\\\\.|…', 0)) as double) / greatest(size(__toks), 1)")
+        .as("symbol_ratio"),
+      expr("cast(size(filter(__lines, l -> l rlike '^\\\\s*[-*•]')) as double) / greatest(size(__lines), 1)")
+        .as("bullet_frac"),
+      expr("cast(size(filter(__lines, l -> l rlike '(\\\\.\\\\.\\\\.|…)\\\\s*$')) as double) / greatest(size(__lines), 1)")
+        .as("ellipsis_frac"),
+      expr("cast(size(filter(__toks, t -> t rlike '[a-z]')) as double) / greatest(size(__toks), 1)")
+        .as("alpha_word_frac"),
+      expr(s"size(array_intersect(array_distinct(__toks), $stopArr))").as("stop_hits"))
+    val metricNames = Seq("n_words", "mean_word_len", "symbol_ratio", "bullet_frac",
+      "ellipsis_frac", "alpha_word_frac", "stop_hits")
+    val keepExpr = expr(
+      s"""n_words >= $minWords and n_words <= $maxWords
+         | and mean_word_len >= ${minMeanWordLen}D and mean_word_len <= ${maxMeanWordLen}D
+         | and symbol_ratio <= ${maxSymbolRatio}D
+         | and bullet_frac <= ${maxBulletFrac}D
+         | and ellipsis_frac <= ${maxEllipsisFrac}D
+         | and alpha_word_frac >= ${minAlphaWordFrac}D
+         | and stop_hits >= $minStopwordHits""".stripMargin.replace("\n", ""))
+    val visible = (base.columns.toSeq ++ metricNames).map(col)
+    Map("result" ->
+      (if (keepOnly) metrics.filter(keepExpr).select(visible: _*)
+       else metrics.select(visible :+ keepExpr.as("keep"): _*)))
   }
 }
 object HeuristicFilterNode {
@@ -467,23 +484,25 @@ class ContaminationNode(
   override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
     import org.apache.spark.sql.functions.broadcast
     graft.functions.VecFunctions.register(ctx.spark)
+    // batched selects throughout (each Dataset creation re-analyzes the
+    // whole upstream plan; this node sits inside the flagship chains)
     val bench = in("benchmark")
-      .withColumn("__toks", expr(TextExprs.tokensExpr(benchTextCol)))
-      .select(expr(s"explode(array_distinct(shingle_hashes(__toks, $shingleN)))").as("__sh"))
+      .select(expr(s"explode(array_distinct(shingle_hashes(${TextExprs.tokensExpr(benchTextCol)}, $shingleN)))").as("__sh"))
       .distinct()
     val docSh = ctx.track(in("docs")
-      .withColumn("__toks", expr(TextExprs.tokensExpr(textCol)))
-      .withColumn("__sh_set", expr(s"array_distinct(shingle_hashes(__toks, $shingleN))"))
+      .select(col(idCol),
+        expr(s"array_distinct(shingle_hashes(${TextExprs.tokensExpr(textCol)}, $shingleN))").as("__sh_set"))
       .filter("size(__sh_set) > 0")
       .select(col(idCol), expr("size(__sh_set)").as("n_shingles"), col("__sh_set")))
     val matched = docSh
       .select(col(idCol), expr("explode(__sh_set)").as("__sh"))
       .join(broadcast(bench), Seq("__sh"))
       .groupBy(idCol).agg(expr("count(*) as n_matched"))
-    Map("result" -> docSh.drop("__sh_set")
+    Map("result" -> docSh.select(col(idCol), col("n_shingles"))
       .join(matched, Seq(idCol), "left")
-      .withColumn("n_matched", expr("coalesce(n_matched, 0L)"))
-      .withColumn("overlap_frac", expr("cast(n_matched as double) / n_shingles"))
+      .select(col(idCol), col("n_shingles"),
+        expr("coalesce(n_matched, 0L)").as("n_matched"),
+        expr("cast(coalesce(n_matched, 0L) as double) / n_shingles").as("overlap_frac"))
       .filter(s"overlap_frac >= $minOverlap"))
   }
 }
@@ -503,20 +522,23 @@ class LangIdNode(val textCol: String = "text", val markers: Seq[(String, Seq[Str
   override def jsonParams: Map[String, Any] =
     Map("textCol" -> textCol, "markers" -> markers.map { case (l, ws) => Seq[Any](l, ws) })
   override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
-    val toks = TextExprs.tokensExpr(textCol)
-    val scored = markers.foldLeft(in("df").withColumn("__toks", expr(toks))) {
-      case (d, (lang, words)) =>
-        val arr = words.map(w => s"'$w'").mkString("array(", ", ", ")")
-        d.withColumn(s"__score_$lang", expr(s"size(filter(__toks, t -> array_contains($arr, t)))"))
+    // batched selects, not per-language withColumns (plan re-analysis per
+    // Dataset creation — this node sits inside the long curation chains)
+    val base = in("df")
+    val toksed = base.select(col("*"), expr(TextExprs.tokensExpr(textCol)).as("__toks"))
+    val scoreCols = markers.map { case (lang, words) =>
+      val arr = words.map(w => s"'$w'").mkString("array(", ", ", ")")
+      expr(s"size(filter(__toks, t -> array_contains($arr, t)))").as(s"__score_$lang")
     }
+    val scored = toksed.select(col("*") +: scoreCols: _*)
     // argmax via greatest + case-when chain (ties resolve in declaration order)
     val best = markers.map { case (lang, _) => s"__score_$lang" }.mkString("greatest(", ", ", ")")
     val pick = markers.map { case (lang, _) => s"when __score_$lang = __best then '$lang'" }
       .mkString("case ", " ", " end")
     Map("result" -> scored
-      .withColumn("__best", expr(best))
-      .withColumn("pred_lang", expr(s"case when __best = 0 then 'und' else $pick end"))
-      .drop((markers.map { case (l, _) => s"__score_$l" } :+ "__best" :+ "__toks"): _*))
+      .select(col("*"), expr(best).as("__best"))
+      .select(base.columns.map(col) :+
+        expr(s"case when __best = 0 then 'und' else $pick end").as("pred_lang"): _*))
   }
 }
 object LangIdNode {
