@@ -1498,6 +1498,93 @@ object Advanced {
       |  FROM documents)
       |GROUP BY canon_url ORDER BY canon_url""".stripMargin
 
+  // ---- q140: QUALITY-preferring survivor selection — production stacks
+  // keep the BEST document of each near-dup cluster (longest / highest
+  // quality), not the smallest id. Same dedup→CC membership machinery as
+  // q132 (exact-group reps → saturated minhash pairs → connected
+  // components → every doc mapped to its cluster), then one window per
+  // cluster picks argmax(n_chars, tie min doc_id) — all composition, no
+  // new operator. The oracle replays the CC with a recursive CTE and the
+  // same argmax window. ----
+  def q140_best_survivor(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
+    val docs = d.add(SourceNode.table(dir, "documents"))
+    val keyed = docs >> WithColumnsNode(
+      "norm_key" -> "md5(cast(regexp_replace(lower(trim(text)), '\\\\s+', ' ') as binary))")
+    val reps = keyed >> FnNode.map1("reps") { df =>
+      import org.apache.spark.sql.functions._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("norm_key").orderBy(col("doc_id").asc)
+      df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+    }
+    val pairs = reps >> new MinHashDedupNode(
+      numHashes = 32, bands = 16, shingleN = 3, jaccardThreshold = 0.8)
+    val cc = d.add(new ConnectedComponentsNode())
+    pairs >> cc("pairs")
+    val withRep = d.add(FnNode.map2("doc_to_rep") { (members, reps) =>
+      members.select("doc_id", "norm_key", "n_chars")
+        .join(reps.selectExpr("norm_key", "doc_id as rep_id"), Seq("norm_key"))
+        .select("doc_id", "rep_id", "n_chars")
+    })
+    keyed >> withRep("left"); reps >> withRep("right")
+    val withCluster = d.add(FnNode.map2("rep_to_cluster") { (m, labels) =>
+      import org.apache.spark.sql.functions._
+      m.join(labels, m("rep_id") === labels("id"), "left")
+        .select(m("doc_id"), m("n_chars"),
+          coalesce(col("cluster_id"), m("rep_id")).as("cluster"))
+    })
+    withRep >> withCluster("left"); cc >> withCluster("right")
+    withCluster >> FnNode.map1("best") { df =>
+      import org.apache.spark.sql.functions._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("cluster").orderBy(col("n_chars").desc, col("doc_id").asc)
+      df.select(col("cluster"), col("doc_id"), col("n_chars"),
+          row_number().over(w).as("__rn"),
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy("cluster")).as("n_members"))
+        .filter(col("__rn") === 1)
+        .select(col("cluster"), col("doc_id").as("survivor_id"),
+          col("n_chars").as("survivor_chars"), col("n_members"))
+    } >> SortNode("cluster") >> d.output("result")
+  }
+  val q140Sql: String =
+    """WITH RECURSIVE
+      |k AS (
+      |  SELECT doc_id, n_chars,
+      |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS norm_key
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, norm_key, text FROM (
+      |    SELECT d.doc_id, k.norm_key, d.text, row_number() OVER (
+      |      PARTITION BY k.norm_key ORDER BY d.doc_id) AS rn
+      |    FROM documents d JOIN k ON d.doc_id = k.doc_id) t WHERE rn = 1),
+      |s AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+      |      i -> array_to_string(toks[i:i+2], ' '))) AS sh
+      |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM c) t),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM s a JOIN s b ON a.doc_id < b.doc_id
+      |  WHERE cast(len(list_distinct(list_intersect(a.sh, b.sh))) as double)
+      |        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+      |edges AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+      |reach(id, label) AS (
+      |  SELECT a, a FROM edges
+      |  UNION
+      |  SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.id),
+      |labels AS (SELECT id, min(label) AS cluster_id FROM reach GROUP BY id),
+      |m AS (
+      |  SELECT k.doc_id, k.n_chars, coalesce(l.cluster_id, c.doc_id) AS cluster
+      |  FROM k JOIN c ON k.norm_key = c.norm_key
+      |  LEFT JOIN labels l ON l.id = c.doc_id)
+      |SELECT cluster, doc_id AS survivor_id, n_chars AS survivor_chars,
+      |  cast(n_members as bigint) AS n_members
+      |FROM (
+      |  SELECT cluster, doc_id, n_chars,
+      |    row_number() OVER (PARTITION BY cluster ORDER BY n_chars DESC, doc_id) AS rn,
+      |    count(*) OVER (PARTITION BY cluster) AS n_members
+      |  FROM m) t
+      |WHERE rn = 1 ORDER BY cluster""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q94_bloom_join", q94_bloom_join _, q94Sql),
     ("q95_pagerank", q95_pagerank _, q95Sql),
@@ -1538,5 +1625,6 @@ object Advanced {
     ("q137_span_dedup", q137_span_dedup _, q137Sql),
     ("q138_ivf_index_day2", q138_ivf_index_day2 _, q138Sql),
     ("q139_url_canon", q139_url_canon _, q139Sql),
+    ("q140_best_survivor", q140_best_survivor _, q140Sql),
   )
 }
