@@ -214,6 +214,10 @@ object NodeRegistry {
       p.m.get("maxFitRows").map(_.toString.toLong).getOrElse(200000L),
       p.m.get("compactEvery").map(_.toString.toInt).getOrElse(0),
       p.strOpt("compactPath")))
+    register("inverted_index")(p => new InvertedIndexNode(p.str("idCol"), p.str("textCol"),
+      p.str("queryIdCol"), p.str("queryTextCol"), p.int("k"), p.dbl("maxDfFrac"),
+      p.m.get("compactEvery").map(_.toString.toInt).getOrElse(0),
+      p.strOpt("compactPath")))
     register("dedup_survivors")(p => new DedupSurvivorsNode(p.str("idCol")))
     register("connected_components")(p => new ConnectedComponentsNode(p.str("idA"), p.str("idB"), p.int("maxIter"),
       p.boolOr("halving", false), p.boolOr("failOnNonConverged", true),

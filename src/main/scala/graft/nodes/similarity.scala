@@ -829,6 +829,170 @@ class InvertedIndexTopKNode(
   }
 }
 
+/** Incremental lexical (posting-list) index — completes the day-2 index
+  * triangle: near-dup has MinHashIndexNode, dense ANN has IvfIndexNode,
+  * and this gives sparse retrieval the same fit / transform / updateIndex /
+  * save-load / compact lifecycle. InvertedIndexTopKNode re-tokenizes and
+  * re-aggregates the ENTIRE corpus on every query batch; here the corpus
+  * pass happens once:
+  *
+  *   - fit(corpus): postings (tok, id, tf), exact per-term document
+  *     frequencies (tok, df), and the corpus size N, all persisted
+  *     (MEMORY_AND_DISK; parquet via saveFitted).
+  *   - transform(queries): tokenize the BATCH only, equi-join its term
+  *     frequencies into the persisted postings (df-pruned at the CURRENT
+  *     N — the fractional cap tracks corpus growth exactly), integer
+  *     tf·qtf scoring, per-query top-k. Query-sized work plus one
+  *     partitioned posting join.
+  *   - updateIndex(delta): EXACT incremental statistics — delta postings
+  *     union in, per-term df adds (full-outer merge of count deltas),
+  *     N += |delta|. The refreshed index is bit-identical to a from-scratch
+  *     fit over base ∪ delta, which is what lets q141 pin the whole
+  *     lifecycle against the one-shot q98 oracle.
+  *   - compactEvery/compactPath double-buffer the union-chain lineage
+  *     through parquet exactly like MinHashIndexNode / IvfIndexNode.
+  *
+  * Scale shape: identical to InvertedIndexTopKNode's serving join (skinny
+  * postings keyed on term, map-side partial aggs); the only additions are
+  * delta-sized. N lives as a driver long (a model scalar, persisted as a
+  * 1-row parquet in saveFitted).
+  */
+class InvertedIndexNode(
+    val idCol: String = "doc_id",
+    val textCol: String = "text",
+    val queryIdCol: String = "query_id",
+    val queryTextCol: String = "text",
+    val k: Int = 10,
+    val maxDfFrac: Double = 0.5,
+    val compactEvery: Int = 0,
+    val compactPath: Option[String] = None)
+  extends EstimatorNode {
+  type Model = InvertedIndexNode.Index
+  require(k > 0, "k must be positive")
+  require(maxDfFrac > 0 && maxDfFrac <= 1, "maxDfFrac must be in (0, 1]")
+  require(compactEvery >= 0, "compactEvery must be >= 0")
+  override protected def defaultName: String = "inverted_index"
+  val inputs = Seq(Port("corpus"), Port("queries"))
+  val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("inverted_index")
+  override def jsonParams: Map[String, Any] = Map(
+    "idCol" -> idCol, "textCol" -> textCol, "queryIdCol" -> queryIdCol,
+    "queryTextCol" -> queryTextCol, "k" -> k, "maxDfFrac" -> maxDfFrac,
+    "compactEvery" -> compactEvery, "compactPath" -> compactPath.orNull)
+
+  private def termFreqs(df: DataFrame, id: String, text: String): DataFrame =
+    df.select(col(id), expr(s"explode(${TextExprs.tokensExpr(text)})").as("tok"))
+      .groupBy(col(id), col("tok")).agg(count(lit(1)).as("tf"))
+
+  def fitModel(ctx: Ctx, in: In): Model = {
+    import org.apache.spark.storage.StorageLevel
+    val corpus = in("corpus")
+    val postings = termFreqs(corpus, idCol, textCol)
+      .select(col("tok"), col(idCol).as("__id"), col("tf"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val terms = postings.groupBy("tok").agg(count(lit(1)).as("df"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    InvertedIndexNode.Index(postings, terms, corpus.count())
+  }
+
+  def applyModel(m: Model, ctx: Ctx, in: In): Map[String, DataFrame] = {
+    val dfCap = math.max(1L, (maxDfFrac * m.nDocs).toLong)
+    val okPostings = m.postings
+      .join(m.terms.filter(col("df") <= dfCap).select("tok"), Seq("tok"))
+    val queryTf = termFreqs(in("queries"), queryIdCol, queryTextCol)
+      .withColumnRenamed("tf", "qtf")
+    val scored = okPostings.join(queryTf, Seq("tok"))
+      .groupBy(col(queryIdCol), col("__id"))
+      .agg(sum(expr("tf * qtf")).as("score"))
+    val w = Window.partitionBy(queryIdCol).orderBy(col("score").desc, col("__id"))
+    Map("result" -> scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col("__id").as(idCol), col("score"), col("rank")))
+  }
+
+  /** Merge a delta into the index with EXACT incremental statistics —
+    * result identical to refitting over base ∪ delta (class doc). */
+  def updateIndex(ctx: Ctx, delta: DataFrame): Unit = {
+    import org.apache.spark.storage.StorageLevel
+    val m = model.getOrElse(
+      throw new graft.dag.GraftException(s"estimator node '$name' not fitted"))
+    val dPost = termFreqs(delta, idCol, textCol)
+      .select(col("tok"), col(idCol).as("__id"), col("tf"))
+    val newPostings = m.postings.select("tok", "__id", "tf")
+      .union(dPost)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    import org.apache.spark.sql.functions.coalesce
+    val dDf = dPost.groupBy("tok").agg(count(lit(1)).as("__ddf"))
+    val newTerms = m.terms.select("tok", "df").join(dDf, Seq("tok"), "full_outer")
+      .select(col("tok"),
+        (coalesce(col("df"), lit(0L)) + coalesce(col("__ddf"), lit(0L))).as("df"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dN = delta.count()
+    newPostings.count(); newTerms.count() // materialize before releasing old
+    model = Some(InvertedIndexNode.Index(newPostings, newTerms, m.nDocs + dN))
+    m.postings.unpersist(); m.terms.unpersist()
+    generation += 1
+    if (compactEvery > 0 && generation % compactEvery == 0) compactIndex()
+  }
+
+  @volatile private var generation: Long = 0L
+  @volatile private var compactGen: Long = 0L
+
+  /** Truncate the union-chain lineage to a parquet scan (double-buffered
+    * gen-0/gen-1 under `compactPath` — same contract as MinHashIndexNode). */
+  def compactIndex(): Unit = {
+    import org.apache.spark.storage.StorageLevel
+    val m = model.getOrElse(
+      throw new graft.dag.GraftException(s"estimator node '$name' not fitted"))
+    val path = compactPath match {
+      case Some(root) =>
+        compactGen += 1
+        s"$root/gen-${compactGen % 2}"
+      case None =>
+        val d = java.nio.file.Files.createTempDirectory("graft_inv_compact_")
+        d.toFile.deleteOnExit()
+        d.toString
+    }
+    val session = m.postings.sparkSession
+    saveFitted(path)
+    model = Some(InvertedIndexNode.Index(
+      session.read.parquet(s"$path/postings").persist(StorageLevel.MEMORY_AND_DISK),
+      session.read.parquet(s"$path/terms").persist(StorageLevel.MEMORY_AND_DISK),
+      m.nDocs))
+    m.postings.unpersist(); m.terms.unpersist()
+  }
+
+  /** Release the persisted index frames (fit again to rebuild). */
+  def unpersistIndex(): Unit = model.foreach { m =>
+    m.postings.unpersist(); m.terms.unpersist()
+  }
+
+  override def saveFitted(path: String): Unit = {
+    val m = model.getOrElse(
+      throw new graft.dag.GraftException(s"estimator node '$name' not fitted"))
+    m.postings.write.mode("overwrite").parquet(s"$path/postings")
+    m.terms.write.mode("overwrite").parquet(s"$path/terms")
+    val spark = m.postings.sparkSession
+    import spark.implicits._
+    Seq(m.nDocs).toDF("n_docs").coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+  }
+  override def loadFitted(path: String): Unit = loadFitted(path, None)
+  /** Session-explicit load (same rationale as MinHashIndexNode.loadFitted). */
+  def loadFitted(path: String, session: Option[org.apache.spark.sql.SparkSession]): Unit = {
+    val spark = session.getOrElse(org.apache.spark.sql.SparkSession.active)
+    val n = spark.read.parquet(s"$path/stats").collect().head.getLong(0)
+    model = Some(InvertedIndexNode.Index(
+      spark.read.parquet(s"$path/postings"),
+      spark.read.parquet(s"$path/terms"), n))
+  }
+}
+
+object InvertedIndexNode {
+  /** The fitted index: postings (tok, __id, tf), terms (tok, df), corpus size. */
+  case class Index(postings: DataFrame, terms: DataFrame, nDocs: Long)
+}
+
 /** BM25-quantized retrieval: the InvertedIndexTopKNode posting-list shape
   * with the two signals raw tf·tf lacks — document-frequency weighting
   * (rare terms count more) and document-length normalization with tf

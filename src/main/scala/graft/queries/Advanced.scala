@@ -1585,6 +1585,29 @@ object Advanced {
       |  FROM m) t
       |WHERE rn = 1 ORDER BY cluster""".stripMargin
 
+  // ---- q141: day-2 incremental LEXICAL retrieval — InvertedIndexNode
+  // through its full lifecycle: fit on the base corpus (doc_id % 5 != 0),
+  // updateIndex with the remaining fifth, then the bounded q98 query batch
+  // against the refreshed index. The incremental statistics are EXACT
+  // (posting union, per-term df adds, N += |delta|), so the result must be
+  // bit-identical to q98's one-shot build over the whole corpus and the
+  // oracle IS q98's SQL — a lost delta changes df, N, and posting sets and
+  // breaks the hash. ----
+  def q141_inverted_index_day2(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Queries.run(spark) { d =>
+      d.add(SourceNode.table(dir, "documents")) >> d.output("result")
+    }
+    val ctx = Ctx(spark)
+    val idx = new InvertedIndexNode(k = 5, maxDfFrac = 0.79)
+    idx.fit(ctx, In.single("corpus" -> docs.filter("doc_id % 5 != 0")))
+    idx.updateIndex(ctx, docs.filter("doc_id % 5 = 0"))
+    val queries = docs.filter(queryBatchPred)
+      .selectExpr("doc_id as query_id", "text")
+    idx.transform(ctx, In.single("queries" -> queries))("result")
+      .orderBy("query_id", "rank")
+  }
+  val q141Sql: String = q98Sql
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q94_bloom_join", q94_bloom_join _, q94Sql),
     ("q95_pagerank", q95_pagerank _, q95Sql),
@@ -1626,5 +1649,6 @@ object Advanced {
     ("q138_ivf_index_day2", q138_ivf_index_day2 _, q138Sql),
     ("q139_url_canon", q139_url_canon _, q139Sql),
     ("q140_best_survivor", q140_best_survivor _, q140Sql),
+    ("q141_inverted_index_day2", q141_inverted_index_day2 _, q141Sql),
   )
 }

@@ -257,6 +257,43 @@ class NodesSpec extends AnyFunSuite {
     idx.unpersistIndex()
   }
 
+  test("InvertedIndexNode: incremental stats equal one-shot fit; save/load/compact round-trip") {
+    val base = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "durian elder fig")).toDF("doc_id", "text")
+    val delta = Seq(
+      (10L, "apple cherry cherry"),
+      (11L, "grape apple banana")).toDF("doc_id", "text")
+    val queries = Seq((100L, "apple cherry")).toDF("query_id", "text")
+    val c = Ctx(spark)
+    // day-2 path: fit base, update with delta (compactEvery = 1 exercises
+    // compaction on the same run)
+    val idx = new InvertedIndexNode(k = 10, maxDfFrac = 1.0, compactEvery = 1)
+    idx.fit(c, In.single("corpus" -> base))
+    idx.updateIndex(c, delta)
+    val day2 = idx.transform(c, In.single("queries" -> queries))("result")
+      .select("query_id", "doc_id", "score", "rank").as[(Long, Long, Long, Int)].collect().toSet
+    // one-shot path over base ∪ delta must be identical (exact incremental df/N)
+    val oneShot = new InvertedIndexNode(k = 10, maxDfFrac = 1.0)
+    oneShot.fit(c, In.single("corpus" -> base.union(delta)))
+    val full = oneShot.transform(c, In.single("queries" -> queries))("result")
+      .select("query_id", "doc_id", "score", "rank").as[(Long, Long, Long, Int)].collect().toSet
+    assert(day2 == full)
+    // scores: apple tf*qtf — doc 10 has apple(1)+cherry(2): 1*1 + 2*1 = 3 top
+    assert(day2.maxBy(_._3)._2 == 10L)
+    // save → load into a fresh node: identical retrieval + preserved N
+    // (df cap at maxDfFrac < 1 depends on N, so a lost N would change pruning)
+    val dir = java.nio.file.Files.createTempDirectory("graft_inv_spec").toString
+    idx.saveFitted(dir)
+    val idx2 = new InvertedIndexNode(k = 10, maxDfFrac = 1.0)
+    idx2.loadFitted(dir, Some(spark))
+    val r3 = idx2.transform(c, In.single("queries" -> queries))("result")
+      .select("query_id", "doc_id", "score", "rank").as[(Long, Long, Long, Int)].collect().toSet
+    assert(r3 == day2)
+    idx.unpersistIndex(); oneShot.unpersistIndex()
+  }
+
   test("ConnectedComponentsNode reliableCheckpoint mode labels identically") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (7L, 8L), (8L, 9L), (3L, 4L))
       .toDF("id_a", "id_b")

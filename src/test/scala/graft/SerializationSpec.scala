@@ -219,6 +219,12 @@ class SerializationSpec extends AnyFunSuite {
     assert(uc2.urlCol == "u" && uc2.outCol == "cu" &&
       uc2.stripParams == Seq("gclid", "sid") && !uc2.stripFragment &&
       !uc2.sortParams && uc2.stripWww)
+    val ii = d.add(new InvertedIndexNode("id", "body", "qid", "qbody", k = 9,
+      maxDfFrac = 0.33, compactEvery = 2, compactPath = Some("/tmp/invc")))
+    val ii2 = DagJson.fromJson(DagJson.toJson(d)).node(ii.name).asInstanceOf[InvertedIndexNode]
+    assert(ii2.idCol == "id" && ii2.textCol == "body" && ii2.queryIdCol == "qid" &&
+      ii2.queryTextCol == "qbody" && ii2.k == 9 && ii2.maxDfFrac == 0.33 &&
+      ii2.compactEvery == 2 && ii2.compactPath.contains("/tmp/invc"))
   }
 
   test("round-trip covers quality kinds: heuristic/vocab/semdedup/domain-quota") {
