@@ -374,4 +374,56 @@ class PlanSpec extends AnyFunSuite {
     assert(!cp.contains("Scan parquet") && cp.contains("Scan ExistingRDD"),
       s"checkpoint must cut lineage to a leaf:\n$cp")
   }
+
+  test("round-10 nodes keep their scale shapes: url-canon narrow, span-dedup keyed, index serving corpus-shuffle-free") {
+    import graft.dag._
+    import graft.nodes._
+    def build(f: Dag => Unit): org.apache.spark.sql.DataFrame = {
+      val d = new Dag(); f(d); d.transform(Ctx(spark)).outputs("result")
+    }
+    def exchanges(p: String): Int = """\(\d+\) Exchange""".r.findAllIn(p).size
+    // UrlCanonNode: pure narrow map — zero Exchange
+    val uc = planOf(build { d =>
+      d.add(SourceNode.table(dir, "documents")) >>
+        WithColumnsNode("url" -> "concat('https://E.com/', doc_id)") >>
+        new UrlCanonNode() >> d.output("result")
+    })
+    assert(!uc.contains("Exchange"), s"url canon must stay narrow (no shuffle):\n$uc")
+    // SpanDedupNode: every join keyed (no cartesian), and the token-position
+    // window is computed ONCE and reused by both span consumers (one
+    // Exchange+Window pair feeds toks and spans)
+    val sd = planOf(build { d =>
+      d.add(SourceNode.table(dir, "documents")) >>
+        new SpanDedupNode(spanTokens = 8) >> d.output("result")
+    })
+    assert(!sd.contains("CartesianProduct"), s"span dedup must never go cartesian:\n$sd")
+    assert(exchanges(sd) <= 6,
+      s"span dedup grew extra shuffles (expected <= 6 keyed exchanges):\n$sd")
+    assert("""\(\d+\) Window""".r.findAllIn(sd).size <= 2,
+      s"span dedup's lead-chain window must be shared, not recomputed:\n$sd")
+    // IvfIndexNode SERVING: the persisted inverted file reaches the probe
+    // join with NO shuffle — all non-broadcast exchanges are query-sized
+    // (the per-query top-k windows); corpus work happened at fit
+    val ctx = Ctx(spark)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val ivf = new IvfIndexNode(k = 3, nClusters = 4, nProbe = 2)
+    ivf.fit(ctx, In.single("corpus" -> emb))
+    val qs = emb.filter("vec_id < 3").selectExpr("vec_id as query_id", "embedding")
+    val ivfp = planOf(ivf.transform(ctx, In.single("queries" -> qs))("result"))
+    assert(ivfp.contains("BroadcastHashJoin") && !ivfp.contains("SortMergeJoin"),
+      s"ivf serving must broadcast the probed queries against the inverted file:\n$ivfp")
+    assert(exchanges(ivfp) <= 2,
+      s"ivf serving may shuffle only the query-sized top-k windows, never the corpus:\n$ivfp")
+    ivf.unpersistIndex()
+    // InvertedIndexNode SERVING: keyed posting join, no cartesian
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val inv = new InvertedIndexNode(k = 5, maxDfFrac = 0.79)
+    inv.fit(ctx, In.single("corpus" -> docs))
+    val qd = docs.filter("doc_id % 97 = 0").selectExpr("doc_id as query_id", "text")
+    val invp = planOf(inv.transform(ctx, In.single("queries" -> qd))("result"))
+    assert(!invp.contains("CartesianProduct"), s"posting join must stay keyed:\n$invp")
+    assert(exchanges(invp) <= 5,
+      s"lexical serving grew extra shuffles (expected <= 5):\n$invp")
+    inv.unpersistIndex()
+  }
 }
