@@ -27,7 +27,10 @@ class DeterminismSpec extends AnyFunSuite {
   private val contractQueries = Seq(
     "q60_split", "q70_stratified_sample", "q104_weighted_sample",
     "q123_token_shards", "q44_dedup_survivors", "q118_unigram_surprise",
-    "q126_lm_classifier")
+    "q126_lm_classifier",
+    // round-10: span keeper choice (min-doc canonical), quality-argmax
+    // survivor (n_chars desc, id asc tie-break)
+    "q137_span_dedup", "q140_best_survivor")
 
   test("contract queries are invariant to shuffle parallelism") {
     val conf = "spark.sql.shuffle.partitions"
