@@ -83,7 +83,8 @@ object Scale10 {
       // assignment should stay near-flat), URL canon (flat narrow map),
       // production-df BM25 twin
       "q137_span_dedup", "q138_ivf_index_day2", "q139_url_canon",
-      "q136_bm25_production", "q140_best_survivor", "q141_inverted_index_day2")
+      "q136_bm25_production", "q140_best_survivor", "q141_inverted_index_day2",
+      "q142_incremental_embedding_neardup")
     val names = if (queries.nonEmpty) queries else defaults
     names.foreach { n =>
       try time(n)(Queries.all(n)(spark, out).count())

@@ -1608,6 +1608,38 @@ object Advanced {
   }
   val q141Sql: String = q98Sql
 
+  // ---- q142: incremental EMBEDDING near-dup — the admission check a
+  // day-2 crawl runs before adding new vectors: the delta (vec_id % 5 = 0)
+  // is queried against the PERSISTED IvfIndexNode built on the base corpus
+  // only; at the probe-all identity parameterization with a non-truncating
+  // k, every (delta, base) cosine pair at/above the q30-established 0.3
+  // boundary must surface, so the oracle is the plain brute-force pair SQL
+  // restricted to delta x base. Scores are dropped from the output (float
+  // compare risk — the q30 convention); a lost base vector or a probe miss
+  // removes pairs and breaks the hash. ----
+  def q142_incremental_embedding_neardup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Queries.run(spark) { d =>
+      d.add(SourceNode.table(dir, "embeddings")) >> d.output("result")
+    }
+    val ctx = Ctx(spark)
+    val idx = new IvfIndexNode(k = 1000000, nClusters = 8, nProbe = 8)
+    idx.fit(ctx, In.single("corpus" -> emb.filter("vec_id % 5 != 0")))
+    val delta = emb.filter("vec_id % 5 = 0")
+      .selectExpr("vec_id as query_id", "embedding")
+    idx.transform(ctx, In.single("queries" -> delta))("result")
+      .filter("score >= 0.3D")
+      .selectExpr("query_id as delta_id", "vec_id as base_id")
+      .orderBy("delta_id", "base_id")
+  }
+  val q142Sql: String =
+    """SELECT d.vec_id AS delta_id, b.vec_id AS base_id
+      |FROM embeddings d JOIN embeddings b
+      |  ON d.vec_id % 5 = 0 AND b.vec_id % 5 != 0
+      |WHERE (list_sum(list_transform(range(1, 65), i -> d.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+      |   / (sqrt(list_sum(list_transform(range(1, 65), i -> d.embedding[i]::DOUBLE * d.embedding[i]::DOUBLE)))
+      |    * sqrt(list_sum(list_transform(range(1, 65), i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))))) >= 0.3
+      |ORDER BY delta_id, base_id""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q94_bloom_join", q94_bloom_join _, q94Sql),
     ("q95_pagerank", q95_pagerank _, q95Sql),
@@ -1650,5 +1682,6 @@ object Advanced {
     ("q139_url_canon", q139_url_canon _, q139Sql),
     ("q140_best_survivor", q140_best_survivor _, q140Sql),
     ("q141_inverted_index_day2", q141_inverted_index_day2 _, q141Sql),
+    ("q142_incremental_embedding_neardup", q142_incremental_embedding_neardup _, q142Sql),
   )
 }
