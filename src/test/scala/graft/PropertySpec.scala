@@ -185,4 +185,32 @@ class PropertySpec extends AnyFunSuite {
       seen == (0 until k).map(i => s"up$i")
     })
   }
+
+  test("url canonicalization is idempotent on random URL surface forms") {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    val scheme = Gen.oneOf("http", "HTTP", "https", "HTTPS")
+    val host = Gen.oneOf("Example.COM", "example.com", "Sub.Ex.org", "www.A.net")
+    val port = Gen.oneOf("", ":80", ":443", ":8080")
+    val path = Gen.oneOf("", "/", "/A/b", "/x%20y")
+    val params = Gen.listOf(Gen.oneOf("a=1", "b=2", "utm_source=x", "gclid=9", "z", "k="))
+    val frag = Gen.oneOf("", "#f", "#x?y=1")
+    val genUrl = for {
+      s <- scheme; h <- host; po <- port; pa <- path; ps <- params; f <- frag
+    } yield s"$s://$h$po$pa" + (if (ps.isEmpty) "" else ps.mkString("?", "&", "")) + f
+    // also non-URL junk: the pass-through branch must be idempotent too
+    val gen = Gen.oneOf(genUrl, Gen.oneOf("not a url", "  /rel?x=1 ", "", "a:b:c"))
+    check(Prop.forAll(Gen.nonEmptyListOf(gen)) { urls =>
+      def canon(df: org.apache.spark.sql.DataFrame, in: String, out: String) = {
+        val d = new Dag()
+        val src = d.add(new FnNode(Nil, Seq(Port("result")), (_, _) => Map("result" -> df), "src"))
+        src >> new graft.nodes.UrlCanonNode(urlCol = in, outCol = out) >> d.output("result")
+        d.transform(Ctx(spark)).outputs("result")
+      }
+      val base = urls.zipWithIndex.map { case (u, i) => (i, u) }.toDF("id", "url")
+      val once = canon(base, "url", "c1")
+      val twice = canon(once, "c1", "c2")
+      twice.select("c1", "c2").collect().forall(r => r.getString(0) == r.getString(1))
+    })
+  }
 }
