@@ -499,6 +499,20 @@ class SpanDupScoreNode(
   * table); all three joins are hash-partitioned on (doc, pos) or span key;
   * the freq side of the span join is 1 row/key so hot boilerplate spans
   * fan out 1:N without row explosion; no driver state, no collect.
+  *
+  * Keeper semantics (documented property of position-keyed greedy removal,
+  * ADVICE r10): the keeper is chosen PER SPAN (min doc_id). When
+  * overlapping duplicated spans are shared by different doc subsets, a doc
+  * that is keeper of one span can still lose positions of an overlapping
+  * span whose keeper is another doc — so a shared run spanning several
+  * span keys may survive intact in no single document (each doc keeps the
+  * sub-runs it is keeper of). Every duplicated k-token span still has >= 1
+  * surviving occurrence; what is NOT guaranteed is that a maximal shared
+  * run longer than k survives contiguously in one place. This matches the
+  * per-span formulation of Lee et al. 2022; a per-DOC keeper resolution
+  * (exclude positions inside any span the doc is keeper of) would preserve
+  * contiguous runs at the cost of keeping more duplicate text. The q137
+  * oracle replays the identical per-span rule.
   * Reference has no data operators; op re-derived from the public paper
   * (arXiv:2107.06499) per SURVEY §2.
   */
@@ -823,10 +837,14 @@ class MinHashIndexNode(
     * later runs transform (ADVICE r5). Pass the DAG's session explicitly.
     */
   def loadFitted(path: String, session: Option[org.apache.spark.sql.SparkSession]): Unit = {
+    import org.apache.spark.storage.StorageLevel
     val spark = session.getOrElse(org.apache.spark.sql.SparkSession.active)
+    // persisted like fit/compact's frames: a loaded index serves every
+    // subsequent delta batch, and updateIndex's unpersist of the superseded
+    // generation must have a persist to release (ADVICE r10)
     model = Some(MinHashIndexNode.Index(
-      spark.read.parquet(s"$path/shingles"),
-      spark.read.parquet(s"$path/buckets")))
+      spark.read.parquet(s"$path/shingles").persist(StorageLevel.MEMORY_AND_DISK),
+      spark.read.parquet(s"$path/buckets").persist(StorageLevel.MEMORY_AND_DISK)))
   }
 }
 

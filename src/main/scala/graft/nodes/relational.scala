@@ -80,15 +80,16 @@ object SortExprs {
   * rounds: parquet TIMESTAMP(NANOS) (unreadable by Spark natively — read as
   * epoch-nanos long via `spark.sql.legacy.parquet.nanosAsLong`) and plain
   * TIMESTAMP_NTZ micros. Both carry the same UTC wall clock. The NTZ branch
-  * is timezone-explicit: the UTC wall clock is first re-rendered into the
-  * session time zone via convert_timezone, so the final NTZ→TZ cast (which
-  * interprets the wall clock in the SESSION zone) lands on the correct
-  * instant under ANY session time zone — not just the UTC pin our own entry
-  * points set. Keyed on the ACTUAL post-scan type, so either file vintage
-  * works; any other type is a misconfiguration and fails loudly.
+  * branch derives the instant ARITHMETICALLY from the UTC wall clock
+  * (epoch days + time-of-day micros → timestamp_micros) — no session-zone
+  * round-trip anywhere, so the result is the correct instant under ANY
+  * session time zone INCLUDING wall clocks that fall inside a DST
+  * transition of the session zone (a convert_timezone→cast round-trip is
+  * ambiguous in the fall-back overlap hour; ADVICE r10). Keyed on the
+  * ACTUAL post-scan type, so either file vintage works; any other type is
+  * a misconfiguration and fails loudly.
   */
 private[graft] object TsNorm {
-  import org.apache.spark.sql.functions.{convert_timezone, lit}
   import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
   // backtick-quote an identifier for safe embedding in a SQL expr string
   private def q(n: String): String = "`" + n.replace("`", "``") + "`"
@@ -99,8 +100,12 @@ private[graft] object TsNorm {
       // lose precision above 2^53 — epoch nanos are ~1.7e18)
       case LongType         => d.withColumn(c, expr(s"timestamp_micros(${q(c)} div 1000)"))
       case TimestampNTZType =>
-        val sessionTz = d.sparkSession.sessionState.conf.sessionLocalTimeZone
-        d.withColumn(c, convert_timezone(lit("UTC"), lit(sessionTz), col(c)).cast(TimestampType))
+        // extract(SECOND ...) is decimal(8,6) seconds incl. the fractional
+        // part — x1e6 is exact in decimal, so every term is integer math
+        d.withColumn(c, expr(
+          s"timestamp_micros(unix_date(cast(${q(c)} as date)) * 86400000000L" +
+            s" + hour(${q(c)}) * 3600000000L + minute(${q(c)}) * 60000000L" +
+            s" + cast(extract(SECOND from ${q(c)}) * 1000000 as bigint))"))
       case TimestampType    => d // already normalized
       case other            => throw new graft.dag.GraftException(
         s"TsNorm: column '$c' has type $other; expected LongType (epoch nanos), TimestampNTZType, or TimestampType")

@@ -524,12 +524,16 @@ class IvfIndexNode(
     m.assignments.write.mode("overwrite").parquet(s"$path/assignments")
   }
   override def loadFitted(path: String): Unit = loadFitted(path, None)
-  /** Session-explicit load (same rationale as MinHashIndexNode.loadFitted). */
+  /** Session-explicit load (same rationale as MinHashIndexNode.loadFitted).
+    * The loaded frames are persisted like fit/compact's — without it every
+    * query batch re-reads parquet and a later updateIndex's unpersist of
+    * the superseded generation is a no-op (ADVICE r10). */
   def loadFitted(path: String, session: Option[org.apache.spark.sql.SparkSession]): Unit = {
+    import org.apache.spark.storage.StorageLevel
     val spark = session.getOrElse(org.apache.spark.sql.SparkSession.active)
     model = Some(IvfIndexNode.Index(
-      spark.read.parquet(s"$path/centroids"),
-      spark.read.parquet(s"$path/assignments")))
+      spark.read.parquet(s"$path/centroids").persist(StorageLevel.MEMORY_AND_DISK),
+      spark.read.parquet(s"$path/assignments").persist(StorageLevel.MEMORY_AND_DISK)))
   }
 }
 
@@ -978,13 +982,15 @@ class InvertedIndexNode(
     Seq(m.nDocs).toDF("n_docs").coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
   }
   override def loadFitted(path: String): Unit = loadFitted(path, None)
-  /** Session-explicit load (same rationale as MinHashIndexNode.loadFitted). */
+  /** Session-explicit load (same rationale as MinHashIndexNode.loadFitted);
+    * loaded frames are persisted like fit/compact's (ADVICE r10). */
   def loadFitted(path: String, session: Option[org.apache.spark.sql.SparkSession]): Unit = {
+    import org.apache.spark.storage.StorageLevel
     val spark = session.getOrElse(org.apache.spark.sql.SparkSession.active)
     val n = spark.read.parquet(s"$path/stats").collect().head.getLong(0)
     model = Some(InvertedIndexNode.Index(
-      spark.read.parquet(s"$path/postings"),
-      spark.read.parquet(s"$path/terms"), n))
+      spark.read.parquet(s"$path/postings").persist(StorageLevel.MEMORY_AND_DISK),
+      spark.read.parquet(s"$path/terms").persist(StorageLevel.MEMORY_AND_DISK), n))
   }
 }
 

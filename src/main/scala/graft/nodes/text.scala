@@ -740,7 +740,11 @@ class UrlCanonNode(
                    |     else $auth0 end""".stripMargin
     val auth = if (stripWww) s"regexp_replace($auth1, '^www\\\\.', '')" else auth1
     val path = s"coalesce(nullif(regexp_extract($nf, '^[^:/?#]+://[^/?#]*([^?#]*)', 1), ''), '/')"
-    val blocklist = stripParams.map(p => s"'$p'").mkString("array(", ", ", ")")
+    // entries are escaped (a quote would break the expr) and lowercased at
+    // use (they compare against lower(param-name) — an uppercase blocklist
+    // entry would otherwise silently never match; ADVICE r10)
+    val blocklist = stripParams.map(p => s"'${SqlLit.esc(p.toLowerCase)}'")
+      .mkString("array(", ", ", ")")
     val kept = s"""filter(split(regexp_extract($nf, '\\\\?(.*)', 1), '&'),
                   |  p -> p != '' and not startswith(lower(p), 'utm_')
                   |    and not array_contains($blocklist, lower(element_at(split(p, '='), 1))))""".stripMargin

@@ -275,15 +275,18 @@ object Advanced {
     docs >> bm("corpus"); qs >> bm("queries")
     bm >> SortNode("query_id", "rank") >> d.output("result")
   }
-  val q100Sql: String =
-    """WITH toks AS (
-      |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+  // one SQL template parameterized on the df cap — q100 (permissive 0.79)
+  // and q136 (production 0.77) share it, so the two oracles cannot drift
+  // via literal-replacement (ADVICE r10)
+  private def bm25Sql(dfCap: Double): String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
       |  FROM documents),
       |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
       |st AS (SELECT count(*) AS n, (100 * sum(dl)) // count(*) AS avgdlc FROM dl),
       |ctf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
       |terms AS (SELECT tok, count(*) AS df FROM ctf GROUP BY tok
-      |  HAVING count(*) <= greatest(1, cast(floor(0.79 * (SELECT n FROM st)) as bigint))),
+      |  HAVING count(*) <= greatest(1, cast(floor($dfCap * (SELECT n FROM st)) as bigint))),
       |qtf AS (SELECT doc_id AS query_id, tok, count(*) AS qtf
       |        FROM toks WHERE doc_id % 97 = 0 AND doc_id < 500 GROUP BY doc_id, tok),
       |scored AS (
@@ -302,6 +305,7 @@ object Advanced {
       |                               ORDER BY score DESC, doc_id) AS rank
       |  FROM scored)
       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  val q100Sql: String = bm25Sql(0.79)
 
   // ---- q101: incremental near-dup against a FITTED MinHash index. The
   // corpus is indexed once (fit); a delta batch of relabeled exact copies
@@ -1388,7 +1392,7 @@ object Advanced {
     docs >> bm("corpus"); qs >> bm("queries")
     bm >> SortNode("query_id", "rank") >> d.output("result")
   }
-  val q136Sql: String = q100Sql.replace("0.79", "0.77")
+  val q136Sql: String = bm25Sql(0.77)
 
   // ---- q137: exact-substring dedup REMOVAL (Lee et al. 2022 ExactSubstr,
   // token granularity) — duplicated >=8-token spans are cut out of every

@@ -1037,6 +1037,19 @@ class NodesSpec extends AnyFunSuite {
     assert(runOne { d =>
       d.add(srcNode(w)) >> new UrlCanonNode(stripWww = true) >> d.output("result")
     }.select("canon_url").as[String].collect().head == "https://example.com/x")
+    // custom blocklist entries are escaped and lowercased (ADVICE r10): an
+    // UPPERCASE entry must still match, and a quote in an entry must not
+    // break the generated expression
+    val custom = Seq(
+      (1L, "https://example.com/p?SID=9&keep=1"),
+      (2L, "https://example.com/p?o'brien=x&keep=1"),
+    ).toDF("doc_id", "url")
+    val out2 = runOne { d =>
+      d.add(srcNode(custom)) >>
+        new UrlCanonNode(stripParams = Seq("SID", "o'brien")) >> d.output("result")
+    }.select("doc_id", "canon_url").as[(Long, String)].collect().toMap
+    assert(out2(1L) == "https://example.com/p?keep=1")
+    assert(out2(2L) == "https://example.com/p?keep=1")
   }
 
   test("TsNorm: NTZ branch instant-correct under a non-UTC session zone; bad types fail loudly") {
@@ -1052,6 +1065,14 @@ class NodesSpec extends AnyFunSuite {
       assert(out.schema("ts").dataType == org.apache.spark.sql.types.TimestampType)
       val micros = out.selectExpr("unix_micros(ts)").as[Long].collect().head
       assert(micros == java.time.Instant.parse("2024-01-02T03:04:05Z").getEpochSecond * 1000000L)
+      // DST-ambiguous wall clock (ADVICE r10): 2024-11-03 01:30 falls inside
+      // New York's fall-back overlap hour — a session-zone round-trip would
+      // resolve it to one of TWO instants; the arithmetic derivation must
+      // land on the UTC reading regardless, with micros preserved
+      val amb = TsNorm.normalize(
+          spark.sql("select timestamp_ntz'2024-11-03 01:30:00.123456' as ts"), "ts")
+        .selectExpr("unix_micros(ts)").as[Long].collect().head
+      assert(amb == java.time.Instant.parse("2024-11-03T01:30:00.123456Z").getEpochSecond * 1000000L + 123456L)
     } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
     // rounds <= 8 vintage: epoch-nanos long (exact integer division)
     val lm = TsNorm.normalize(
