@@ -257,6 +257,45 @@ class NodesSpec extends AnyFunSuite {
     idx.unpersistIndex()
   }
 
+  test("IvfIndexNode: broadcast-join assignment — identical to the literal plan, viable at 1024 centroids") {
+    // path equivalence: same data + seed, literal (default) vs forced join
+    // path (maxLiteralCentroids = 0) through the full fit/update/query
+    // lifecycle — the two assignment plans must pick identical clusters
+    val emb = (0L until 60L).map { i =>
+      val c = (i % 4).toInt
+      (i, Array.tabulate(8)(j => (c * 10.0 + math.sin(i * 3.1 + j)).toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val c = Ctx(spark)
+    def runIdx(node: IvfIndexNode): Set[(Long, Long, Int)] = {
+      node.fit(c, In.single("corpus" -> emb.filter("vec_id % 5 != 0")))
+      node.updateIndex(c, emb.filter("vec_id % 5 = 0"))
+      val r = node.transform(c, In.single("queries" -> queries))("result")
+        .select("query_id", "vec_id", "rank").as[(Long, Long, Int)].collect().toSet
+      node.unpersistIndex(); r
+    }
+    val viaLiteral = runIdx(new IvfIndexNode(k = 5, nClusters = 4, nProbe = 4))
+    val viaJoin = runIdx(new IvfIndexNode(k = 5, nClusters = 4, nProbe = 4,
+      maxLiteralCentroids = 0))
+    assert(viaLiteral == viaJoin)
+    // production centroid count: k-means at 1024 clusters + join-path
+    // assignment (the literal chain at this k would blow Janino's 64 KB
+    // codegen limit). Self-retrieval at nProbe = 1 pins that updateIndex
+    // assigned every delta vector to the SAME cluster its own probe picks.
+    val big = spark.range(2048).selectExpr("id as vec_id",
+      "array(cast(id % 97 + 1 as float), cast(id % 31 as float), " +
+        "cast(id % 13 as float), cast(id % 7 as float)) as embedding")
+    val bigIdx = new IvfIndexNode(k = 4096, nClusters = 1024, nProbe = 1)
+    bigIdx.fit(c, In.single("corpus" -> big.filter("vec_id % 5 != 0")))
+    bigIdx.updateIndex(c, big.filter("vec_id % 5 = 0"))
+    val dq = big.filter("vec_id % 5 = 0 and vec_id < 250")
+      .selectExpr("vec_id as query_id", "embedding")
+    val out = bigIdx.transform(c, In.single("queries" -> dq))("result")
+    assert(out.filter(col("vec_id") === col("query_id")).count() == 50L)
+    bigIdx.unpersistIndex()
+  }
+
   test("InvertedIndexNode: incremental stats equal one-shot fit; save/load/compact round-trip") {
     val base = Seq(
       (1L, "apple banana apple"),

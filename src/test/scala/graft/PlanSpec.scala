@@ -415,6 +415,20 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges(ivfp) <= 2,
       s"ivf serving may shuffle only the query-sized top-k windows, never the corpus:\n$ivfp")
     ivf.unpersistIndex()
+    // join-path ASSIGNMENT (nClusters > maxLiteralCentroids): plan size must
+    // be INDEPENDENT of nClusters — the literal least(struct…) chain grows
+    // O(nClusters·dim) and dies at production centroid counts (VERDICT r10)
+    val ivfJ1 = new IvfIndexNode(k = 3, nClusters = 70, nProbe = 2, maxFitRows = 400)
+    ivfJ1.fit(ctx, In.single("corpus" -> emb))
+    val ap1 = ivfJ1.model.get.assignments.queryExecution.analyzed.toString
+    assert(ap1.contains("min_by") && !ap1.contains("least("),
+      s"join-path assignment expected (min_by aggregation, no literal centroid chain):\n${ap1.take(2000)}")
+    val ivfJ2 = new IvfIndexNode(k = 3, nClusters = 130, nProbe = 2, maxFitRows = 400)
+    ivfJ2.fit(ctx, In.single("corpus" -> emb))
+    val ap2 = ivfJ2.model.get.assignments.queryExecution.analyzed.toString
+    assert(math.abs(ap1.length - ap2.length) <= ap1.length / 5,
+      s"assignment plan must not grow with nClusters (70: ${ap1.length} chars, 130: ${ap2.length} chars)")
+    ivfJ1.unpersistIndex(); ivfJ2.unpersistIndex()
     // InvertedIndexNode SERVING: keyed posting join, no cartesian
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val inv = new InvertedIndexNode(k = 5, maxDfFrac = 0.79)
