@@ -36,8 +36,16 @@ object Bench {
                 recordError: Boolean): Double = {
       val t0 = System.nanoTime()
       // a failed query must NOT masquerade as a fast success: log the
-      // error, record a sentinel -1 timing, and surface it in the JSON
-      val ok = try { fn(spark, sfDir).count(); true } catch {
+      // error, record a sentinel -1 timing, and surface it in the JSON.
+      // benchGates queries aggregate their payload columns instead of a
+      // bare count() so Catalyst cannot elide the work being timed.
+      val ok = try {
+        SparkEntry.benchGates.get(name) match {
+          case Some(g) => fn(spark, sfDir).selectExpr(g).collect()
+          case None    => fn(spark, sfDir).count()
+        }
+        true
+      } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           if (recordError) errors += name

@@ -13,4 +13,6 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Queries.oracles
+  /** Bench materialization gates (see Queries.benchGates). */
+  def benchGates: Map[String, String] = Queries.benchGates
 }

@@ -59,4 +59,15 @@ object Queries {
     registry.map { case (n, f, _) => n -> f }.toMap
   val oracles: Map[String, String] =
     registry.collect { case (n, _, sql) if sql != null => n -> sql }.toMap
+
+  /** Per-query bench gates: aggregate expressions Bench evaluates INSTEAD of
+    * a bare count() where count() lets Catalyst elide the query's real work
+    * (VERDICT r10 wrong-item #3). q137's count() pruned `clean_text`, which
+    * eliminated the cardinality-preserving covered-position join AND the
+    * reassembly aggregate — the bench read 0.2 s for ~10 s of actual work.
+    * Verify always materializes every column, so correctness never needed
+    * this; it exists purely so bench numbers mean what they appear to mean.
+    */
+  val benchGates: Map[String, String] = Map(
+    "q137_span_dedup" -> "sum(length(clean_text) + n_tokens_kept)")
 }
