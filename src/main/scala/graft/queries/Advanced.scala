@@ -3,6 +3,7 @@ package graft.queries
 import graft.dag._
 import graft.nodes._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Round-5 extension corpus: bloom-pruned join (q94), fixed-point integer
   * PageRank (q95), delta merge/upsert (q96), robust MAD outlier filter
@@ -1644,6 +1645,39 @@ object Advanced {
       |    * sqrt(list_sum(list_transform(range(1, 65), i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))))) >= 0.3
       |ORDER BY delta_id, base_id""".stripMargin
 
+  // ---- q143: PRODUCTION-config recall gate for the incremental ANN
+  // (VERDICT r10 #3) — q138 pins the probe-all identity, which cannot catch
+  // a delta assigned against wrong/stale centroids (probe-all scores every
+  // cluster anyway). This runs the config that can: nProbe = 1 <<
+  // nClusters, querying each delta vector FOR ITSELF after updateIndex.
+  // Self-retrieval at nProbe = 1 succeeds iff updateIndex put the delta
+  // vector into the SAME cluster the serving probe picks for it (identical
+  // argmin over the frozen centroids — deterministic per dataset), so
+  // n_self_hits == n_queries is a 100% recall contract that breaks the
+  // moment delta assignment and probe disagree. maxLiteralCentroids = 0
+  // forces the broadcast-join assignment path — the production plan shape
+  // — through a driver-checked gate. ----
+  def q143_ivf_recall_production(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Queries.run(spark) { d =>
+      d.add(SourceNode.table(dir, "embeddings")) >> d.output("result")
+    }
+    val ctx = Ctx(spark)
+    val idx = new IvfIndexNode(k = 1000000, nClusters = 8, nProbe = 1,
+      maxLiteralCentroids = 0)
+    idx.fit(ctx, In.single("corpus" -> emb.filter("vec_id % 5 != 0")))
+    idx.updateIndex(ctx, emb.filter("vec_id % 5 = 0"))
+    val queries = emb.filter("vec_id % 5 = 0")
+      .selectExpr("vec_id as query_id", "embedding")
+    val res = idx.transform(ctx, In.single("queries" -> queries))("result")
+    import org.apache.spark.sql.functions.{count, lit}
+    queries.agg(count(lit(1)).as("n_queries")).crossJoin(
+      res.filter(col("vec_id") === col("query_id"))
+        .agg(count(lit(1)).as("n_self_hits")))
+  }
+  val q143Sql: String =
+    """SELECT count(*) AS n_queries, count(*) AS n_self_hits
+      |FROM embeddings WHERE vec_id % 5 = 0""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q94_bloom_join", q94_bloom_join _, q94Sql),
     ("q95_pagerank", q95_pagerank _, q95Sql),
@@ -1687,5 +1721,6 @@ object Advanced {
     ("q140_best_survivor", q140_best_survivor _, q140Sql),
     ("q141_inverted_index_day2", q141_inverted_index_day2 _, q141Sql),
     ("q142_incremental_embedding_neardup", q142_incremental_embedding_neardup _, q142Sql),
+    ("q143_ivf_recall_production", q143_ivf_recall_production _, q143Sql),
   )
 }
