@@ -32,7 +32,8 @@ object NodeRegistry {
     register("bucketed_sink")(p => new BucketedSinkNode(p.str("table"), p.strs("bucketCols"),
       p.int("nBuckets"), p.strs("sortCols"), p.str("format"), p.str("mode")))
     register("sink")(p => new SinkNode(p.str("path"), p.str("format"), p.str("mode"), p.strs("partitionBy"),
-      p.m.get("options").collect { case m: Map[_, _] => m.map { case (k, v) => k.toString -> v.toString } }.getOrElse(Map.empty)))
+      p.m.get("options").collect { case m: Map[_, _] => m.map { case (k, v) => k.toString -> v.toString } }.getOrElse(Map.empty),
+      p.boolOr("atomicPublish", false)))
     register("project")(p => new ProjectNode(p.strs("exprs")))
     register("with_columns")(p => new WithColumnsNode(p.pairs("cols")))
     register("filter")(p => new FilterNode(p.str("condition")))
@@ -217,7 +218,7 @@ object NodeRegistry {
     register("inverted_index")(p => new InvertedIndexNode(p.str("idCol"), p.str("textCol"),
       p.str("queryIdCol"), p.str("queryTextCol"), p.int("k"), p.dbl("maxDfFrac"),
       p.m.get("compactEvery").map(_.toString.toInt).getOrElse(0),
-      p.strOpt("compactPath")))
+      p.strOpt("compactPath"), p.boolOr("unboundedStreamStateOk", false)))
     register("dedup_survivors")(p => new DedupSurvivorsNode(p.str("idCol")))
     register("connected_components")(p => new ConnectedComponentsNode(p.str("idA"), p.str("idB"), p.int("maxIter"),
       p.boolOr("halving", false), p.boolOr("failOnNonConverged", true),

@@ -488,7 +488,9 @@ class IvfIndexNode(
 
   def applyModel(m: Model, ctx: Ctx, in: In): Map[String, DataFrame] = {
     VecExprs.ensure(ctx.spark)
-    val queries = in("queries")
+    val qin = in("queries")
+    if (qin.isStreaming) return applyStreaming(m, ctx, qin)
+    val queries = qin
       .select(col(queryIdCol), col(vecCol).as("__qv"))
       .withColumn("__qnorm", expr(VecExprs.norm("__qv")))
     // nProbe nearest centroids per query: exact float distance on the tiny
@@ -506,6 +508,57 @@ class IvfIndexNode(
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col(queryIdCol), col(idCol), col("score"), col("rank")))
+  }
+
+  /** STREAMING serving (live-crawl admission / retrieval — the q106-style
+    * twin, VERDICT r10 #2): every join is STREAM-STATIC against the
+    * persisted index, the plan is STATELESS (append mode, no state store),
+    * so no watermark contract is needed — unlike MinHashIndexNode's
+    * candidate dedup. Two streaming-specific deviations from batch:
+    *
+    *   - per-query probe selection cannot use a rank window on a stream, so
+    *     it is computed NARROWLY per row: probe-all (nProbe >= nClusters —
+    *     the admission/identity config) explodes the cluster id range with
+    *     no centroid math at all; below that, a literal (dist, cluster)
+    *     struct array is sorted and sliced per row — same argmin and
+    *     tie-break as the batch probe, but O(nClusters·dim) literals, so it
+    *     is capped by maxLiteralCentroids. Beyond both: refuse loudly —
+    *     selective probing over 10^3+ centroids belongs in foreachBatch
+    *     micro-batches where the batch plan (broadcast + window) applies
+    *     unchanged.
+    *   - output is the SCORED candidate stream (queryId, id, score) without
+    *     `rank`: per-query top-k is a window, which streaming cannot
+    *     express — rank at/after the sink, where the data is query-sized
+    *     (q144 does exactly that and matches q138's batch oracle).
+    */
+  private def applyStreaming(m: Model, ctx: Ctx, qin: DataFrame): Map[String, DataFrame] = {
+    import org.apache.spark.sql.functions.{array, array_sort, call_function,
+      explode, sequence, slice, struct, typedlit, transform => tfm}
+    graft.functions.VecFunctions.register(qin.sparkSession)
+    val queries = qin
+      .select(col(queryIdCol), col(vecCol).as("__qv"))
+      .withColumn("__qnorm", expr(VecExprs.norm("__qv")))
+    val probeCol =
+      if (nProbe >= nClusters) explode(sequence(lit(0), lit(nClusters - 1)))
+      else if (nClusters <= maxLiteralCentroids) {
+        val scored = collectCentroids(m).map { case (i, c) =>
+          val c2 = c.map(x => x * x).sum
+          struct(
+            (lit(c2) - lit(2.0) * call_function("vec_dot", col("__qv"), typedlit(c))).as("d"),
+            lit(i).as("c"))
+        }
+        explode(tfm(slice(array_sort(array(scored: _*)), lit(1), lit(nProbe)),
+          x => x.getField("c")))
+      } else throw new GraftException(
+        s"ivf_index '$name': streaming serving at nProbe < nClusters needs a " +
+          s"per-row probe over $nClusters literal centroids, which is capped at " +
+          s"maxLiteralCentroids=$maxLiteralCentroids (plan grows O(nClusters*dim)). " +
+          "Either probe-all (nProbe >= nClusters), raise maxLiteralCentroids, or " +
+          "run the batch plan per micro-batch via foreachBatch")
+    Map("result" -> queries.withColumn("__cluster", probeCol)
+      .join(m.assignments, Seq("__cluster"))
+      .withColumn("score", expr(VecExprs.cosine("__cv", "__qv", "__cnorm", "__qnorm")))
+      .select(col(queryIdCol), col(idCol), col("score")))
   }
 
   /** Append a delta into the inverted file against the FROZEN centroids —
@@ -912,7 +965,13 @@ class InvertedIndexNode(
     val k: Int = 10,
     val maxDfFrac: Double = 0.5,
     val compactEvery: Int = 0,
-    val compactPath: Option[String] = None)
+    val compactPath: Option[String] = None,
+    // Streaming-state contract: the streaming scorer keeps one state-store
+    // entry per seen (query, doc) pair, and a watermark CANNOT expire it
+    // (the group key carries no event time) — so a streaming query batch is
+    // only safe as a bounded AvailableNow backfill, which the caller must
+    // acknowledge via this flag (same opt-in shape as MinHashIndexNode).
+    val unboundedStreamStateOk: Boolean = false)
   extends EstimatorNode {
   type Model = InvertedIndexNode.Index
   require(k > 0, "k must be positive")
@@ -925,7 +984,8 @@ class InvertedIndexNode(
   override def jsonParams: Map[String, Any] = Map(
     "idCol" -> idCol, "textCol" -> textCol, "queryIdCol" -> queryIdCol,
     "queryTextCol" -> queryTextCol, "k" -> k, "maxDfFrac" -> maxDfFrac,
-    "compactEvery" -> compactEvery, "compactPath" -> compactPath.orNull)
+    "compactEvery" -> compactEvery, "compactPath" -> compactPath.orNull,
+    "unboundedStreamStateOk" -> unboundedStreamStateOk)
 
   private def termFreqs(df: DataFrame, id: String, text: String): DataFrame =
     df.select(col(id), expr(s"explode(${TextExprs.tokensExpr(text)})").as("tok"))
@@ -946,7 +1006,37 @@ class InvertedIndexNode(
     val dfCap = math.max(1L, (maxDfFrac * m.nDocs).toLong)
     val okPostings = m.postings
       .join(m.terms.filter(col("df") <= dfCap).select("tok"), Seq("tok"))
-    val queryTf = termFreqs(in("queries"), queryIdCol, queryTextCol)
+    val qin = in("queries")
+    if (qin.isStreaming) {
+      // STREAMING query batch (the q106-style twin, VERDICT r10 #2): the
+      // per-row term frequencies are computed NARROWLY (a stateful
+      // explode+groupBy pre-agg would double the state), the posting join
+      // is stream-static, and the (query, doc) score aggregation is the one
+      // STATEFUL op — its plain-key state never expires under a watermark,
+      // hence the unboundedStreamStateOk gate (class doc). Output is the
+      // scored stream WITHOUT `rank` (a window — not stream-expressible);
+      // rank at/after the sink where data is query-sized: q145 does that
+      // under complete output mode and matches q98's batch oracle.
+      if (!unboundedStreamStateOk)
+        throw new graft.dag.GraftException(
+          s"inverted_index '$name': streaming queries keep one state-store " +
+            "entry per (query, doc) pair and a watermark cannot expire it — " +
+            "safe only as a bounded AvailableNow backfill; acknowledge with " +
+            "unboundedStreamStateOk = true, or rank per micro-batch via foreachBatch")
+      val toks = TextExprs.tokensExpr(queryTextCol)
+      val qtf = qin
+        .withColumn("__toks", expr(toks))
+        .select(col(queryIdCol), expr(
+          "explode(transform(array_distinct(__toks), " +
+            "t -> struct(t as tok, size(filter(__toks, x -> x = t)) as qtf)))").as("__e"))
+        .select(col(queryIdCol), col("__e.tok").as("tok"),
+          col("__e.qtf").cast("long").as("qtf"))
+      return Map("result" -> qtf.join(okPostings, Seq("tok"))
+        .groupBy(col(queryIdCol), col("__id"))
+        .agg(sum(expr("tf * qtf")).as("score"))
+        .select(col(queryIdCol), col("__id").as(idCol), col("score")))
+    }
+    val queryTf = termFreqs(qin, queryIdCol, queryTextCol)
       .withColumnRenamed("tf", "qtf")
     val scored = okPostings.join(queryTf, Seq("tok"))
       .groupBy(col(queryIdCol), col("__id"))

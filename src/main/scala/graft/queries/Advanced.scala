@@ -1678,6 +1678,112 @@ object Advanced {
     """SELECT count(*) AS n_queries, count(*) AS n_self_hits
       |FROM embeddings WHERE vec_id % 5 = 0""".stripMargin
 
+  // ---- q144: STREAMING day-2 ANN serving — the q138 check with the query
+  // batch arriving as a stream (the q106-style twin for the dense-ANN index,
+  // VERDICT r10 #2). fit + updateIndex run batch-side (the day-2 refresh
+  // job); the RETRIEVAL streams: probe-all cluster explode per query row,
+  // stream-static join into the persisted inverted file, cosine scoring
+  // in-stream (stateless, append mode), then the per-query top-k rank is
+  // applied AFTER the sink where data is query-sized — matching q138's
+  // batch oracle (q28's exact-kNN SQL) bit-for-bit. ----
+  def q144_stream_ivf_day2(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Queries.run(spark) { d =>
+      d.add(SourceNode.table(dir, "embeddings")) >> d.output("result")
+    }
+    val ctx = Ctx(spark)
+    val idx = new IvfIndexNode(k = 10, nClusters = 8, nProbe = 8)
+    idx.fit(ctx, In.single("corpus" -> emb.filter("vec_id % 5 != 0")))
+    idx.updateIndex(ctx, emb.filter("vec_id % 5 = 0"))
+    val stream = Queries.run(spark) { d =>
+      d.add(StreamSourceNode.table(dir, "embeddings", statePartitions = None)) >>
+        FilterNode("vec_id < 5") >>
+        ProjectNode("vec_id as query_id", "embedding").named("query_stream") >>
+        d.output("result")
+    }
+    val scored = idx.transform(ctx, In.single("queries" -> stream))("result")
+    val sunk = new StreamRunNode(s"q144_sink_${System.nanoTime()}", outputMode = "append")
+      .transform(ctx, In.single("df" -> scored))("result")
+    sunk.selectExpr("query_id", "vec_id",
+        "row_number() over (partition by query_id order by score desc, vec_id) as rank")
+      .filter("rank <= 10")
+      .orderBy("query_id", "rank")
+  }
+  val q144Sql: String = NorthStar.q28Sql
+
+  // ---- q145: STREAMING day-2 lexical serving — the q141 check with the
+  // query batch arriving as a stream. fit + updateIndex run batch-side;
+  // the stream computes per-row term frequencies narrowly, joins the
+  // persisted df-pruned postings stream-static, and aggregates (query, doc)
+  // scores statefully under COMPLETE output mode (bounded AvailableNow
+  // backfill — the unboundedStreamStateOk contract); rank after the sink.
+  // Must equal q98's one-shot oracle exactly like q141. ----
+  def q145_stream_lexical_day2(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Queries.run(spark) { d =>
+      d.add(SourceNode.table(dir, "documents")) >> d.output("result")
+    }
+    val ctx = Ctx(spark)
+    val idx = new InvertedIndexNode(k = 5, maxDfFrac = 0.79, unboundedStreamStateOk = true)
+    idx.fit(ctx, In.single("corpus" -> docs.filter("doc_id % 5 != 0")))
+    idx.updateIndex(ctx, docs.filter("doc_id % 5 = 0"))
+    val stream = Queries.run(spark) { d =>
+      d.add(StreamSourceNode.table(dir, "documents", statePartitions = None)) >>
+        FilterNode(queryBatchPred) >>
+        ProjectNode("doc_id as query_id", "text").named("query_stream") >>
+        d.output("result")
+    }
+    val scored = idx.transform(ctx, In.single("queries" -> stream))("result")
+    val sunk = new StreamRunNode(s"q145_sink_${System.nanoTime()}", outputMode = "complete")
+      .transform(ctx, In.single("df" -> scored))("result")
+    sunk.selectExpr("query_id", "doc_id", "score",
+        "row_number() over (partition by query_id order by score desc, doc_id) as rank")
+      .filter("rank <= 5")
+      .orderBy("query_id", "rank")
+  }
+  val q145Sql: String = q98Sql
+
+  // ---- q146: ATOMIC corpus publish + kill-mid-write drill (VERDICT r10
+  // missing #3, the q69 restart-drill pattern applied to batch refresh).
+  // Generation 1 of a dataset is published through SinkNode's atomic mode
+  // (gen dir + fsync'd manifest + atomic rename). A killed refresh is then
+  // simulated: a complete-looking but WRONG gen-2 lands on disk with no
+  // manifest swap (the job died between data write and commit). The
+  // manifest-resolving reader must still see generation 1 intact — then a
+  // real second publish overwrites the dangling gen-2 and commits, and the
+  // reader sees the refreshed data. Any partial-read leak (reader touching
+  // the uncommitted generation) changes counts and breaks the hash. ----
+  def q146_atomic_publish(spark: SparkSession, dir: String): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("graft_q146_")
+    work.toFile.deleteOnExit()
+    val pub = s"$work/nation_pub"
+    def publishRun(filter: String): Unit = { Queries.run(spark) { d =>
+      d.add(SourceNode.table(dir, "nation")) >> FilterNode(filter) >>
+        new SinkNode(pub, atomicPublish = true) >> d.output("result")
+    }; () }
+    def snap(phase: String): DataFrame = Queries.run(spark) { d =>
+      d.add(new SourceNode(pub)) >>
+        new AggNode(Nil, Seq("count(*) as n_rows",
+          "cast(sum(n_nationkey) as bigint) as sum_key")) >>
+        ProjectNode(s"'$phase' as phase", "n_rows", "sum_key") >>
+        d.output("result")
+    }
+    publishRun("true") // generation 1: full table goes live
+    // killed refresh: wrong gen-2 data written, manifest NEVER swapped
+    Queries.run(spark) { d =>
+      d.add(SourceNode.table(dir, "nation")) >> FilterNode("n_nationkey < 3") >>
+        new SinkNode(s"$pub/gen-2") >> d.output("result")
+    }
+    val afterCrash = snap("after_crash") // must read gen-1, not the orphan
+    publishRun("n_regionkey != 0") // real refresh: overwrites orphan, commits
+    afterCrash.union(snap("after_publish")).orderBy("phase")
+  }
+  val q146Sql: String =
+    """SELECT 'after_crash' AS phase, count(*) AS n_rows,
+      |       cast(sum(n_nationkey) as bigint) AS sum_key FROM nation
+      |UNION ALL
+      |SELECT 'after_publish', count(*), cast(sum(n_nationkey) as bigint)
+      |FROM nation WHERE n_regionkey != 0
+      |ORDER BY phase""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q94_bloom_join", q94_bloom_join _, q94Sql),
     ("q95_pagerank", q95_pagerank _, q95Sql),
@@ -1722,5 +1828,8 @@ object Advanced {
     ("q141_inverted_index_day2", q141_inverted_index_day2 _, q141Sql),
     ("q142_incremental_embedding_neardup", q142_incremental_embedding_neardup _, q142Sql),
     ("q143_ivf_recall_production", q143_ivf_recall_production _, q143Sql),
+    ("q144_stream_ivf_day2", q144_stream_ivf_day2 _, q144Sql),
+    ("q145_stream_lexical_day2", q145_stream_lexical_day2 _, q145Sql),
+    ("q146_atomic_publish", q146_atomic_publish _, q146Sql),
   )
 }

@@ -296,6 +296,44 @@ class NodesSpec extends AnyFunSuite {
     bigIdx.unpersistIndex()
   }
 
+  test("SinkNode atomicPublish: crash isolation, dangling-gen overwrite, rollback retention") {
+    val work = java.nio.file.Files.createTempDirectory("graft_atomic_spec").toString
+    val pub = s"$work/ds"
+    val c = Ctx(spark)
+    def publish(df: org.apache.spark.sql.DataFrame) =
+      new SinkNode(pub, atomicPublish = true).transform(c, In.single("df" -> df))("result")
+    def readPub() = new SourceNode(pub).transform(c, In.empty)("result")
+    assert(publish(Seq((1L, "a"), (2L, "b")).toDF("id", "v")).count() == 2)
+    assert(readPub().count() == 2)
+    // killed refresh: gen-2 data on disk, manifest untouched → invisible
+    Seq((9L, "junk")).toDF("id", "v").write.parquet(s"$pub/gen-2")
+    assert(readPub().count() == 2, "reader must not see an uncommitted generation")
+    // real refresh overwrites the dangling gen-2 and commits it
+    assert(publish(Seq((3L, "c"), (4L, "d"), (5L, "e")).toDF("id", "v")).count() == 3)
+    assert(readPub().select("id").as[Long].collect().toSet == Set(3L, 4L, 5L))
+    // third publish: gen-1 (two behind) is cleaned, gen-2 kept as rollback
+    publish(Seq((6L, "f")).toDF("id", "v"))
+    assert(readPub().count() == 1)
+    val root = new java.io.File(pub)
+    val gens = root.listFiles().map(_.getName).filter(_.startsWith("gen-")).toSet
+    assert(gens == Set("gen-2", "gen-3"), s"expected rollback retention, got $gens")
+  }
+
+  test("InvertedIndexNode: streaming queries refused without the bounded-backfill ack") {
+    // plain-key (query, doc) agg state cannot expire under a watermark, so a
+    // streaming query batch needs the explicit unboundedStreamStateOk opt-in
+    val base = Seq((1L, "apple banana")).toDF("doc_id", "text")
+    val c = Ctx(spark)
+    val idx = new InvertedIndexNode(k = 3)
+    idx.fit(c, In.single("corpus" -> base))
+    val stream = spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+      .selectExpr("value as query_id", "'apple' as text")
+    val e = intercept[GraftException](
+      idx.transform(c, In.single("queries" -> stream)))
+    assert(e.getMessage.contains("unboundedStreamStateOk"))
+    idx.unpersistIndex()
+  }
+
   test("InvertedIndexNode: incremental stats equal one-shot fit; save/load/compact round-trip") {
     val base = Seq(
       (1L, "apple banana apple"),
