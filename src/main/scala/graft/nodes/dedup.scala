@@ -629,7 +629,7 @@ class MinHashIndexNode(
     // (0 = never; see updateIndex docs).
     val compactEvery: Int = 0,
     val compactPath: Option[String] = None)
-  extends graft.dag.EstimatorNode {
+  extends graft.dag.EstimatorNode with IncrementalIndex {
   require(numHashes % bands == 0, "numHashes must divide into bands")
   require(compactEvery >= 0, "compactEvery must be >= 0")
   type Model = MinHashIndexNode.Index
@@ -828,6 +828,7 @@ class MinHashIndexNode(
       throw new graft.dag.GraftException(s"estimator node '$name' not fitted"))
     m.shingles.write.mode("overwrite").parquet(s"$path/shingles")
     m.buckets.write.mode("overwrite").parquet(s"$path/buckets")
+    saveMaintenanceState(m.shingles.sparkSession, path)
   }
   override def loadFitted(path: String): Unit = loadFitted(path, None)
   /** Load the index onto a specific session. `SparkSession.active` is wrong
@@ -845,6 +846,7 @@ class MinHashIndexNode(
     model = Some(MinHashIndexNode.Index(
       spark.read.parquet(s"$path/shingles").persist(StorageLevel.MEMORY_AND_DISK),
       spark.read.parquet(s"$path/buckets").persist(StorageLevel.MEMORY_AND_DISK)))
+    loadMaintenanceState(spark, path)
   }
 }
 

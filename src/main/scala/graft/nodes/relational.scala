@@ -258,6 +258,83 @@ class SinkNode(val path: String, val format: String = "parquet", val mode: Strin
   }
 }
 
+/** Small-file compaction — the petabyte-lake maintenance job every
+  * long-lived dataset eventually needs: streaming sinks, incremental
+  * publishes, and per-partition writes accrete thousands of KB-sized files,
+  * and at 100 TB the scan cost becomes driver listing time + one task per
+  * tiny file instead of IO. This rewrites a dataset directory into
+  * ~`targetFileBytes`-sized files:
+  *
+  *   - target file count = max(1, ceil(totalBytes / targetFileBytes)),
+  *     computed from a driver-side FS listing (metadata only — the same
+  *     listing any scan of the directory performs);
+  *   - `shuffle = true` (default) uses round-robin `repartition(n)` — one
+  *     shuffle, but evenly-sized output files even when input files are
+  *     skewed; `false` uses `coalesce(n)` — shuffle-free, output sizes
+  *     track input-split locality (the cheap path when inputs are roughly
+  *     uniform);
+  *   - the rewrite COMMITS through [[AtomicPublish]] at the same root:
+  *     readers (SourceNode) observe either the pre-compaction data or the
+  *     complete compacted generation, never a half-written mix, and the
+  *     superseded generation stays on disk as the rollback point. A plain
+  *     (never-published) directory is converted to the published layout on
+  *     first compaction; its original loose files remain as the implicit
+  *     rollback generation.
+  *   - `skipIfCompact = true` makes the job a no-op when the directory
+  *     already has no more than the target file count — the idempotent
+  *     nightly-maintenance shape (re-running never rewrites compact data).
+  *
+  * Output port: the committed (possibly unchanged) dataset — content
+  * identical to the input by construction, which is exactly what the q149
+  * oracle pins.
+  */
+class CompactFilesNode(val path: String,
+                       val targetFileBytes: Long = 128L * 1024 * 1024,
+                       val format: String = "parquet",
+                       val shuffle: Boolean = true,
+                       val skipIfCompact: Boolean = false) extends Node {
+  require(targetFileBytes > 0, "targetFileBytes must be positive")
+  override protected def defaultName: String = "compact_files"
+  override def persistableOutput: Boolean = false
+  val inputs: Seq[Port] = Nil
+  val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("compact_files")
+  override def jsonParams: Map[String, Any] = Map(
+    "path" -> path, "targetFileBytes" -> targetFileBytes, "format" -> format,
+    "shuffle" -> shuffle, "skipIfCompact" -> skipIfCompact)
+
+  /** (data file count, total bytes) under `dir` — hidden/underscore entries
+    * (committed-generation dirs, manifests, _SUCCESS) excluded. */
+  private def listing(spark: org.apache.spark.sql.SparkSession,
+                      dir: String): (Int, Long) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true)
+    var n = 0; var bytes = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      if (f.isFile && !name.startsWith("_") && !name.startsWith(".")) {
+        n += 1; bytes += f.getLen
+      }
+    }
+    (n, bytes)
+  }
+
+  override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
+    val live = AtomicPublish.resolve(ctx.spark, path)
+    val (nFiles, totalBytes) = listing(ctx.spark, live)
+    val nOut = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    def read(dir: String) = ctx.spark.read.format(format).load(dir)
+    if (skipIfCompact && nFiles <= nOut) return Map("result" -> read(live))
+    val df = read(live)
+    val sized = if (shuffle) df.repartition(nOut) else df.coalesce(nOut)
+    val gen = AtomicPublish.publish(ctx.spark, path,
+      target => sized.write.format(format).mode("overwrite").save(target))
+    Map("result" -> read(s"$path/gen-$gen"))
+  }
+}
+
 /** Bucketed managed-table sink: `saveAsTable` with `bucketBy`/`sortBy`, the
   * cross-JOB co-location primitive (RepartitionNode only helps within one
   * job). Two tables bucketed on their join keys with equal bucket counts

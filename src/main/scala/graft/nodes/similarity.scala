@@ -400,7 +400,7 @@ class IvfIndexNode(
     val compactEvery: Int = 0,
     val compactPath: Option[String] = None,
     val maxLiteralCentroids: Int = 64)
-  extends EstimatorNode {
+  extends EstimatorNode with IncrementalIndex {
   type Model = IvfIndexNode.Index
   require(k > 0 && nClusters > 0 && nProbe > 0, "k/nClusters/nProbe must be positive")
   require(compactEvery >= 0, "compactEvery must be >= 0")
@@ -618,6 +618,7 @@ class IvfIndexNode(
       throw new graft.dag.GraftException(s"estimator node '$name' not fitted"))
     m.centroids.write.mode("overwrite").parquet(s"$path/centroids")
     m.assignments.write.mode("overwrite").parquet(s"$path/assignments")
+    saveMaintenanceState(m.centroids.sparkSession, path)
   }
   override def loadFitted(path: String): Unit = loadFitted(path, None)
   /** Session-explicit load (same rationale as MinHashIndexNode.loadFitted).
@@ -630,6 +631,7 @@ class IvfIndexNode(
     model = Some(IvfIndexNode.Index(
       spark.read.parquet(s"$path/centroids").persist(StorageLevel.MEMORY_AND_DISK),
       spark.read.parquet(s"$path/assignments").persist(StorageLevel.MEMORY_AND_DISK)))
+    loadMaintenanceState(spark, path)
   }
 }
 
@@ -972,7 +974,7 @@ class InvertedIndexNode(
     // only safe as a bounded AvailableNow backfill, which the caller must
     // acknowledge via this flag (same opt-in shape as MinHashIndexNode).
     val unboundedStreamStateOk: Boolean = false)
-  extends EstimatorNode {
+  extends EstimatorNode with IncrementalIndex {
   type Model = InvertedIndexNode.Index
   require(k > 0, "k must be positive")
   require(maxDfFrac > 0 && maxDfFrac <= 1, "maxDfFrac must be in (0, 1]")
@@ -1113,6 +1115,7 @@ class InvertedIndexNode(
     val spark = m.postings.sparkSession
     import spark.implicits._
     Seq(m.nDocs).toDF("n_docs").coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+    saveMaintenanceState(spark, path)
   }
   override def loadFitted(path: String): Unit = loadFitted(path, None)
   /** Session-explicit load (same rationale as MinHashIndexNode.loadFitted);
@@ -1124,6 +1127,7 @@ class InvertedIndexNode(
     model = Some(InvertedIndexNode.Index(
       spark.read.parquet(s"$path/postings").persist(StorageLevel.MEMORY_AND_DISK),
       spark.read.parquet(s"$path/terms").persist(StorageLevel.MEMORY_AND_DISK), n))
+    loadMaintenanceState(spark, path)
   }
 }
 

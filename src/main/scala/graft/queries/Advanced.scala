@@ -1784,6 +1784,100 @@ object Advanced {
       |FROM nation WHERE n_regionkey != 0
       |ORDER BY phase""".stripMargin
 
+  // ---- q147: STREAMING index MAINTENANCE (lexical) — the live-crawl shape
+  // the streaming-serving twin q145 leaves out: there the QUERIES stream and
+  // the refresh runs batch-side; here the DELTA streams and the index itself
+  // is refreshed per micro-batch (IndexMaintenance.maintainFromStream →
+  // foreachBatch → updateIndex under the batch-id replay guard). The delta
+  // is staged as FOUR parquet files read at maxFilesPerTrigger = 1, so the
+  // refresh provably runs as multiple micro-batches; InvertedIndexNode's
+  // incremental statistics are EXACT and split-insensitive (posting union +
+  // df adds + N adds commute), so the streamed refresh must leave the index
+  // bit-identical to the one-shot build over the whole corpus — the oracle
+  // IS q98's SQL. A replayed micro-batch (double-counted df), a dropped one,
+  // or out-of-order stats all break the hash. ----
+  def q147_stream_lexical_maintenance(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Queries.run(spark) { d =>
+      d.add(SourceNode.table(dir, "documents")) >> d.output("result")
+    }
+    val ctx = Ctx(spark)
+    val idx = new InvertedIndexNode(k = 5, maxDfFrac = 0.79)
+    idx.fit(ctx, In.single("corpus" -> docs.filter("doc_id % 5 != 0")))
+    val stage = java.nio.file.Files.createTempDirectory("graft_q147_")
+    stage.toFile.deleteOnExit()
+    docs.filter("doc_id % 5 = 0").repartition(4)
+      .write.mode("overwrite").parquet(s"$stage/delta")
+    val deltaStream = Queries.run(spark) { d =>
+      d.add(new StreamSourceNode(s"$stage/delta", "parquet",
+        options = Map("maxFilesPerTrigger" -> "1"))) >> d.output("result")
+    }
+    IndexMaintenance.maintainFromStream(idx, ctx, deltaStream)
+    val queries = docs.filter(queryBatchPred)
+      .selectExpr("doc_id as query_id", "text")
+    idx.transform(ctx, In.single("queries" -> queries))("result")
+      .orderBy("query_id", "rank")
+  }
+  val q147Sql: String = q98Sql
+
+  // ---- q148: STREAMING index MAINTENANCE (dense ANN) — the same live-crawl
+  // contract for IvfIndexNode, through the PRODUCTION assignment path
+  // (maxLiteralCentroids = 0 forces broadcast-join + min_by for every
+  // micro-batch's frozen-centroid assignment). Delta staged as three files
+  // at maxFilesPerTrigger = 1 (multiple micro-batches); frozen-centroid
+  // append is split-insensitive, so after the stream drains, probe-all
+  // retrieval over base ∪ delta must equal brute-force top-k over the whole
+  // corpus — q28's exact-kNN oracle, exactly like q138's batch lifecycle. ----
+  def q148_stream_ann_maintenance(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Queries.run(spark) { d =>
+      d.add(SourceNode.table(dir, "embeddings")) >> d.output("result")
+    }
+    val ctx = Ctx(spark)
+    val idx = new IvfIndexNode(k = 10, nClusters = 8, nProbe = 8,
+      maxLiteralCentroids = 0)
+    idx.fit(ctx, In.single("corpus" -> emb.filter("vec_id % 5 != 0")))
+    val stage = java.nio.file.Files.createTempDirectory("graft_q148_")
+    stage.toFile.deleteOnExit()
+    emb.filter("vec_id % 5 = 0").repartition(3)
+      .write.mode("overwrite").parquet(s"$stage/delta")
+    val deltaStream = Queries.run(spark) { d =>
+      d.add(new StreamSourceNode(s"$stage/delta", "parquet",
+        options = Map("maxFilesPerTrigger" -> "1"))) >> d.output("result")
+    }
+    IndexMaintenance.maintainFromStream(idx, ctx, deltaStream)
+    val queries = emb.filter("vec_id < 5")
+      .selectExpr("vec_id as query_id", "embedding")
+    idx.transform(ctx, In.single("queries" -> queries))("result")
+      .select("query_id", "vec_id", "rank")
+      .orderBy("query_id", "rank")
+  }
+  val q148Sql: String = NorthStar.q28Sql
+
+  // ---- q149: small-file COMPACTION — the nightly lake-maintenance job: a
+  // deliberately fragmented dataset (32-way small-file write, the state a
+  // streaming sink or incremental publisher accretes) is rewritten by
+  // CompactFilesNode into target-sized files and COMMITTED through the
+  // atomic-publish generation layout (readers see fragmented or compacted,
+  // never a mix; the original files remain as rollback). Compaction must be
+  // content-neutral, so the oracle is the plain filtered table — any row
+  // lost, duplicated, or mangled by the rewrite breaks the hash. The
+  // file-count and generation mechanics are pinned in NodesSpec (file
+  // counts aren't SQL-expressible). ----
+  def q149_compact_files(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Queries.run(spark) { d =>
+      d.add(SourceNode.table(dir, "documents")) >> d.output("result")
+    }
+    val root = java.nio.file.Files.createTempDirectory("graft_q149_").toString + "/docs"
+    docs.filter("doc_id % 3 = 0").repartition(32)
+      .write.mode("overwrite").parquet(root)
+    Queries.run(spark) { d =>
+      d.add(new CompactFilesNode(root, targetFileBytes = 64L * 1024 * 1024)) >>
+        SortNode("doc_id") >> d.output("result")
+    }
+  }
+  val q149Sql: String =
+    """SELECT doc_id, text, lang, source, n_chars FROM documents
+      |WHERE doc_id % 3 = 0 ORDER BY doc_id""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q94_bloom_join", q94_bloom_join _, q94Sql),
     ("q95_pagerank", q95_pagerank _, q95Sql),
@@ -1831,5 +1925,8 @@ object Advanced {
     ("q144_stream_ivf_day2", q144_stream_ivf_day2 _, q144Sql),
     ("q145_stream_lexical_day2", q145_stream_lexical_day2 _, q145Sql),
     ("q146_atomic_publish", q146_atomic_publish _, q146Sql),
+    ("q147_stream_lexical_maintenance", q147_stream_lexical_maintenance _, q147Sql),
+    ("q148_stream_ann_maintenance", q148_stream_ann_maintenance _, q148Sql),
+    ("q149_compact_files", q149_compact_files _, q149Sql),
   )
 }

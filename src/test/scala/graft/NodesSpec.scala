@@ -2301,6 +2301,101 @@ class NodesSpec extends AnyFunSuite {
     assert(prod.forall { case (_, _, r) => r >= 1 && r <= 5 })
   }
 
+  test("CompactFilesNode: rewrites to target file count, commits atomically, " +
+       "skipIfCompact no-ops, coalesce path content-neutral") {
+    import spark.implicits._
+    val rows = (0L until 200L).map(i => (i, s"payload_$i")).toDF("id", "payload")
+    val root = java.nio.file.Files.createTempDirectory("graft_compact_spec").toString + "/ds"
+    rows.repartition(20).write.mode("overwrite").parquet(root)
+    def dataFiles(dir: String): Seq[String] = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(p, false)
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.isFile && !f.getPath.getName.startsWith("_") &&
+          !f.getPath.getName.startsWith(".")) out += f.getPath.getName
+      }
+      out.toSeq
+    }
+    assert(dataFiles(root).size == 20)
+    val c = Ctx(spark)
+    def runCompact(node: CompactFilesNode): Set[(Long, String)] =
+      node.transform(c, In.empty)("result").as[(Long, String)].collect().toSet
+    val expect = rows.as[(Long, String)].collect().toSet
+    // compaction: 20 tiny files -> 1 (everything fits one target-sized file),
+    // committed as gen-1 with the manifest pointing at it
+    assert(runCompact(new CompactFilesNode(root, targetFileBytes = 1L << 30)) == expect)
+    assert(AtomicPublish.currentGen(spark, root).contains(1L))
+    assert(dataFiles(s"$root/gen-1").size == 1)
+    assert(dataFiles(root).size == 20) // originals retained as rollback
+    // idempotent maintenance: already compact -> no new generation
+    assert(runCompact(new CompactFilesNode(root, targetFileBytes = 1L << 30,
+      skipIfCompact = true)) == expect)
+    assert(AtomicPublish.currentGen(spark, root).contains(1L))
+    // shuffle-free coalesce path, recompaction bumps the generation
+    assert(runCompact(new CompactFilesNode(root, targetFileBytes = 1L << 30,
+      shuffle = false)) == expect)
+    assert(AtomicPublish.currentGen(spark, root).contains(2L))
+    // SourceNode resolves to the committed generation
+    val viaSource = new SourceNode(root).transform(c, In.empty)("result")
+    assert(viaSource.as[(Long, String)].collect().toSet == expect)
+  }
+
+  test("IndexMaintenance.maintainFromStream: multi-batch streamed refresh == one-shot build; " +
+       "replayed batch ids are skipped; replay watermark round-trips through save/load") {
+    import spark.implicits._
+    val docs = (0L until 40L)
+      .map(i => (i, s"alpha beta w$i gamma delta epsilon")).toDF("doc_id", "text")
+    val c = Ctx(spark)
+    val streamed = new InvertedIndexNode(k = 3, maxDfFrac = 1.0)
+    streamed.fit(c, In.single("corpus" -> docs.filter("doc_id % 2 = 0")))
+    val stage = java.nio.file.Files.createTempDirectory("graft_maint_spec").toString
+    docs.filter("doc_id % 2 = 1").repartition(3)
+      .write.mode("overwrite").parquet(s"$stage/delta")
+    def deltaStream = spark.readStream
+      .schema(spark.read.parquet(s"$stage/delta").schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$stage/delta")
+    IndexMaintenance.maintainFromStream(streamed, c, deltaStream,
+      checkpoint = Some(s"$stage/ckpt"))
+    assert(streamed.lastAppliedBatch == 2L) // 3 staged files -> batches 0, 1, 2
+    // exact incremental statistics: streamed refresh == one-shot whole-corpus fit
+    val ref = new InvertedIndexNode(k = 3, maxDfFrac = 1.0)
+    ref.fit(c, In.single("corpus" -> docs))
+    val queries = docs.filter("doc_id < 4").selectExpr("doc_id as query_id", "text")
+    def res(n: InvertedIndexNode): Set[(Long, Long, Long, Int)] =
+      n.transform(c, In.single("queries" -> queries))("result")
+        .select("query_id", "doc_id", "score", "rank")
+        .as[(Long, Long, Long, Int)].collect().toSet
+    assert(res(streamed) == res(ref))
+    // crash-replay drill: a fresh checkpoint redelivers ALL batches with the
+    // same ids (0..2) — the lastAppliedBatch guard must skip every one, or
+    // df/N would double-count and the scores below would shift
+    IndexMaintenance.maintainFromStream(streamed, c, deltaStream,
+      checkpoint = Some(s"$stage/ckpt2"))
+    assert(streamed.lastAppliedBatch == 2L)
+    assert(res(streamed) == res(ref))
+    // the replay watermark persists with the index
+    streamed.saveFitted(s"$stage/save")
+    val loaded = new InvertedIndexNode(k = 3, maxDfFrac = 1.0)
+    loaded.loadFitted(s"$stage/save", Some(spark))
+    assert(loaded.lastAppliedBatch == 2L)
+    assert(res(loaded) == res(ref))
+    // a pre-maintenance save (no maintenance dir) loads as -1, not an error
+    val bare = new InvertedIndexNode(k = 3, maxDfFrac = 1.0)
+    bare.fit(c, In.single("corpus" -> docs))
+    val bareDir = s"$stage/bare"
+    bare.saveFitted(bareDir)
+    val fs = new org.apache.hadoop.fs.Path(bareDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$bareDir/maintenance"), true)
+    val legacy = new InvertedIndexNode(k = 3, maxDfFrac = 1.0)
+    legacy.loadFitted(bareDir, Some(spark))
+    assert(legacy.lastAppliedBatch == -1L)
+    Seq(streamed, ref, loaded, bare, legacy).foreach(_.unpersistIndex())
+  }
+
   test("GroupEmaNode: null order/tie/value fails loudly instead of sorting first as 0") {
     val rows = Seq((1L, Some(1L), Some(10L), Some(100L)), (1L, Some(2L), None, Some(200L)))
       .toDF("k", "tie", "o", "v")
