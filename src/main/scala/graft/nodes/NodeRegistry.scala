@@ -273,5 +273,11 @@ object NodeRegistry {
       p.str("queryIdCol"), p.str("queryTextCol"), p.int("k"), p.dbl("maxDfFrac"),
       p.int("k1Tenths"), p.int("bHundredths"), p.m("scale").toString.toLong,
       p.boolOr("broadcastTerms", true), p.boolOr("broadcastQueries", true)))
+    register("compact_files")(p => new CompactFilesNode(p.str("path"),
+      p.m("targetFileBytes").toString.toLong, p.str("format"),
+      p.boolOr("shuffle", true), p.boolOr("skipIfCompact", false)))
+    register("sketch_profile")(p => new SketchProfileNode(p.strs("columns"),
+      p.intOr("lgConfigK", 14)))
+    register("sketch_merge")(_ => new SketchMergeNode())
   }
 }

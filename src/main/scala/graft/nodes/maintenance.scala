@@ -1,6 +1,6 @@
 package graft.nodes
 
-import graft.dag.{Ctx, GraftException, Node}
+import graft.dag.{Ctx, GraftException, In, Node}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -83,6 +83,88 @@ trait IncrementalIndex { self: Node =>
   * the node bounds lineage growth across a long-running stream exactly as
   * it does across batch generations.
   */
+/** Streaming CDC apply — MERGE a change-data stream into a PUBLISHED
+  * dataset, one committed generation per micro-batch: the lakehouse
+  * "MERGE INTO from a stream" shape. Each micro-batch reads the CURRENT
+  * committed generation, runs [[MergeNode]] (keyed upsert + tombstone
+  * deletes — base side never shuffles), and commits the merged result
+  * through [[AtomicPublish]]: readers always observe a complete
+  * generation, a crash mid-merge leaves only a dangling uncommitted dir,
+  * and the previous generation stays as rollback.
+  *
+  * Exactly-once: the applied batch id is written INSIDE the generation
+  * directory (`_cdc/`, underscore-prefixed so scans ignore it) BEFORE the
+  * manifest swap — the marker commits atomically with the data. On
+  * restart, the guard re-reads the committed generation's marker, so a
+  * redelivered micro-batch (foreachBatch is at-least-once) is skipped
+  * instead of double-applied — double-applying an upsert is idempotent,
+  * but double-applying against a base that already absorbed it would
+  * still churn a spurious generation, and replaying a batch AFTER later
+  * batches landed would resurrect overwritten rows.
+  *
+  * Scale: per micro-batch cost is the MergeNode shape — a broadcast
+  * DISTINCT of delta keys anti-joined into the base scan plus a
+  * delta-sized insert union; the base is re-read per batch from parquet
+  * (no long-lived cache to invalidate), so batch cadence should track
+  * delta size, and `CompactFilesNode` handles the file-count hygiene of a
+  * long-running apply loop.
+  */
+object CdcApply {
+  import org.apache.spark.sql.SparkSession
+
+  private def appliedBatch(spark: SparkSession, root: String): Long =
+    AtomicPublish.currentGen(spark, root) match {
+      case None => -1L
+      case Some(g) =>
+        val marker = new org.apache.hadoop.fs.Path(s"$root/gen-$g/_cdc")
+        val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(marker)) -1L
+        else spark.read.parquet(marker.toString).collect().head.getLong(0)
+    }
+
+  /** Apply a streaming CDC frame to the published dataset at `root`.
+    * `merge` supplies the upsert/tombstone semantics (keys, deleteCol,
+    * duplicate policy). Blocks until drained under the default
+    * AvailableNow trigger with `await = true`. */
+  def applyStream(
+      ctx: Ctx,
+      root: String,
+      updates: DataFrame,
+      merge: MergeNode,
+      checkpoint: Option[String] = None,
+      trigger: Trigger = Trigger.AvailableNow(),
+      await: Boolean = true): StreamingQuery = {
+    if (!updates.isStreaming)
+      throw new GraftException(
+        "CdcApply.applyStream needs a streaming updates frame — for a batch delta run MergeNode directly")
+    val spark = ctx.spark
+    import spark.implicits._
+    var last = appliedBatch(spark, root)
+    val writer = updates.writeStream
+      .queryName(s"cdc_apply_${System.nanoTime()}")
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (batchId > last) {
+          val base = spark.read.parquet(AtomicPublish.resolve(spark, root))
+          val merged = merge.transform(ctx,
+            In.single("base" -> base, "updates" -> batch))("result")
+          AtomicPublish.publish(spark, root, { target =>
+            merged.write.parquet(target)
+            // marker inside the generation -> commits with the manifest swap
+            Seq(batchId).toDF("batch_id").coalesce(1)
+              .write.parquet(s"$target/_cdc")
+          })
+          last = batchId
+        }
+      }
+      .trigger(trigger)
+    checkpoint.foreach(writer.option("checkpointLocation", _))
+    val q = writer.start()
+    if (await) q.awaitTermination()
+    q
+  }
+}
+
 object IndexMaintenance {
   /** Drive `idx.updateIndex` from a streaming delta, one micro-batch at a
     * time. Returns the started query; with the default AvailableNow

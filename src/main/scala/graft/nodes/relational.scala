@@ -646,6 +646,84 @@ class ProfileNode(val columns: Seq[String] = Nil, // Nil = all
   }
 }
 
+/** MERGEABLE distinct-count profiling — the monitoring primitive an
+  * incrementally-published corpus needs at 100 TB: exact `count(distinct)`
+  * over the full history is a full re-scan per audit, but a DataSketches
+  * HLL sketch per column per GENERATION is one bounded pass at publish
+  * time, and corpus-wide totals thereafter are a sketch-table merge
+  * (`SketchMergeNode`) — kilobytes of work, no data touched.
+  *
+  * Output: one row per profiled column — (col_name, sketch BINARY,
+  * est_distinct). The sketch column is the reusable artifact: persist it
+  * next to each generation (it is parquet-storable binary), merge across
+  * any subset of generations, re-merge merges (union is associative —
+  * NodesSpec pins rollup-of-merges == flat merge exactly). Estimator
+  * contract: the REGISTER state unions losslessly (per-bucket max), but
+  * DataSketches estimates a directly-streamed sketch with the HIP
+  * estimator and a unioned one with the composite estimator, so merged
+  * estimates equal a one-shot whole-corpus sketch only while sketches are
+  * in the exact coupon regime (up to a few thousand distincts at the
+  * default lgConfigK); past that both remain within the standard HLL bound
+  * (~1.04/sqrt(2^lgConfigK) RSE: ~0.8% at the default lgConfigK = 14),
+  * which is what q150's driver-checked gate pins.
+  *
+  * One aggregate pass, map-side partial merge, one 1-row result exploded to
+  * per-column rows — no Expand (unlike exact multi-distinct), no driver
+  * state. Unsupported sketch input types (anything but int/long/string/
+  * binary) are cast to string first.
+  */
+class SketchProfileNode(val columns: Seq[String] = Nil, // Nil = all
+                        val lgConfigK: Int = 14) extends Node {
+  require(lgConfigK >= 4 && lgConfigK <= 21, "lgConfigK must be in [4, 21]")
+  override protected def defaultName: String = "sketch_profile"
+  val inputs = Seq(Port("df"))
+  val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("sketch_profile")
+  override def jsonParams: Map[String, Any] =
+    Map("columns" -> columns, "lgConfigK" -> lgConfigK)
+  override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
+    import org.apache.spark.sql.types._
+    val df = in("df")
+    val cols = if (columns.nonEmpty) columns else df.columns.toSeq
+    val fields = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    def sketchable(c: String): String = fields.get(c) match {
+      case Some(IntegerType | LongType | StringType | BinaryType) => c
+      case _ => s"cast($c as string)"
+    }
+    val aggs = cols.zipWithIndex.map { case (c, i) =>
+      s"hll_sketch_agg(${sketchable(c)}, $lgConfigK) as __sk_$i"
+    }
+    val structs = cols.zipWithIndex.map { case (c, i) =>
+      s"struct('$c' as col_name, __sk_$i as sketch, " +
+        s"hll_sketch_estimate(__sk_$i) as est_distinct)"
+    }.mkString("array(", ", ", ")")
+    Map("result" -> df.selectExpr(aggs: _*).selectExpr(s"inline($structs)"))
+  }
+}
+
+/** Merge per-generation sketch tables (SketchProfileNode outputs) into
+  * corpus-wide estimates: union the variadic inputs, one `hll_union_agg`
+  * per col_name. Output schema matches SketchProfileNode, so merges
+  * re-merge — the generation-tree rollup shape. Work is
+  * O(generations × columns) sketch bytes; the corpora themselves are never
+  * touched.
+  */
+class SketchMergeNode() extends Node {
+  override protected def defaultName: String = "sketch_merge"
+  val inputs = Seq(Port("sketches", variadic = true))
+  val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("sketch_merge")
+  override def jsonParams: Map[String, Any] = Map.empty
+  override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
+    val frames = in.seq("sketches")
+    if (frames.isEmpty) throw new GraftException("sketch_merge needs at least one input")
+    val all = frames.map(_.select("col_name", "sketch")).reduce(_.unionByName(_))
+    Map("result" -> all.groupBy(col("col_name"))
+      .agg(expr("hll_union_agg(sketch, true)").as("sketch"))
+      .selectExpr("col_name", "sketch", "hll_sketch_estimate(sketch) as est_distinct"))
+  }
+}
+
 /** Arbitrary SQL over named input ports. The fully general relational node —
   * anything Catalyst can parse.
   *

@@ -1878,6 +1878,112 @@ object Advanced {
     """SELECT doc_id, text, lang, source, n_chars FROM documents
       |WHERE doc_id % 3 = 0 ORDER BY doc_id""".stripMargin
 
+  // ---- q150: MERGEABLE sketch profiling across corpus generations — the
+  // 100 TB monitoring shape: each generation gets one bounded
+  // SketchProfileNode pass (per-column datasketches HLL, binary,
+  // parquet-storable); corpus-wide distinct totals are then a
+  // SketchMergeNode union over the sketch TABLES (kilobytes — the corpora
+  // are never re-read). Contract: the register state unions losslessly
+  // (per-bucket max), but DataSketches estimates streamed sketches with
+  // HIP and unioned ones with the composite estimator, so merged == full
+  // holds only in the exact coupon regime — the honest cross-scale gate is
+  // the ERROR BOUND: est_err_ok pins BOTH the merged and the one-shot
+  // estimate within 5% of exact (≈6σ at lgConfigK = 14's 0.8% rse;
+  // deterministic — HLL has no RNG). Exact distincts ride along
+  // DuckDB-replayably; the oracle boolean is TRUE by the bound. ----
+  def q150_sketch_profile(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
+    val cols = Seq("doc_id", "lang", "source")
+    val docs = d.add(SourceNode.table(dir, "documents"))
+    val merge = d.add(new SketchMergeNode())
+    (0 until 3).foreach { g =>
+      docs >> FilterNode(s"doc_id % 3 = $g").named(s"gen$g") >>
+        new SketchProfileNode(cols).named(s"prof$g") >> merge("sketches")
+    }
+    val full = docs >> new SketchProfileNode(cols).named("prof_full")
+    val exact = docs >>
+      new AggNode(Nil, Seq("count(distinct doc_id) as doc_id",
+        "count(distinct lang) as lang", "count(distinct source) as source")) >>
+      ProjectNode("inline(array(" +
+        "struct('doc_id' as col_name, doc_id as n_exact), " +
+        "struct('lang' as col_name, lang as n_exact), " +
+        "struct('source' as col_name, source as n_exact)))").named("exact_rows")
+    val cmp = d.add(new SqlNode(
+      """SELECT m.col_name, e.n_exact,
+        |       greatest(abs(m.est_distinct - e.n_exact),
+        |                abs(f.est_distinct - e.n_exact)) * 20 <= e.n_exact
+        |         AS est_err_ok
+        |FROM merged m
+        |JOIN fullp f ON m.col_name = f.col_name
+        |JOIN exact e ON m.col_name = e.col_name
+        |ORDER BY col_name""".stripMargin, Seq("merged", "fullp", "exact")))
+    merge >> cmp("merged"); full >> cmp("fullp"); exact >> cmp("exact")
+    cmp >> d.output("result")
+  }
+  val q150Sql: String =
+    """SELECT col_name, n_exact, true AS est_err_ok FROM (
+      |  SELECT 'doc_id' AS col_name, cast(count(DISTINCT doc_id) as bigint) AS n_exact FROM documents
+      |  UNION ALL SELECT 'lang', cast(count(DISTINCT lang) as bigint) FROM documents
+      |  UNION ALL SELECT 'source', cast(count(DISTINCT source) as bigint) FROM documents)
+      |ORDER BY col_name""".stripMargin
+
+  // ---- q151: STREAMING CDC apply — the lakehouse "MERGE INTO from a
+  // stream": a change-data stream (upserts, late inserts, tombstone
+  // deletes, staged as three files = three micro-batches) is merged into a
+  // PUBLISHED dataset one committed generation per micro-batch
+  // (CdcApply.applyStream → foreachBatch MergeNode → AtomicPublish, with
+  // the in-generation batch marker giving exactly-once across restarts).
+  // The final committed generation must equal the declarative batch
+  // expectation — the oracle replays base minus deletes, with upserted
+  // priorities rewritten, plus the late inserts. A lost batch, a
+  // double-applied batch, or a reader leak into an uncommitted generation
+  // all change rows and break the hash. ----
+  def q151_stream_cdc_apply(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+    val orders = Queries.run(spark) { d =>
+      d.add(SourceNode.table(dir, "orders")) >>
+        new ProjectNode(cols) >> d.output("result")
+    }
+    val ctx = Ctx(spark)
+    val work = java.nio.file.Files.createTempDirectory("graft_q151_")
+    work.toFile.deleteOnExit()
+    val root = s"$work/orders_pub"
+    Queries.run(spark) { d => // generation 1: the base goes live atomically
+      d.add(SourceNode.table(dir, "orders")) >> new ProjectNode(cols) >>
+        FilterNode("o_orderkey % 3 != 0") >>
+        new SinkNode(root, atomicPublish = true) >> d.output("result")
+    }
+    val updDir = s"$work/updates"
+    val upserts = orders.filter("o_orderkey % 3 != 0 and o_orderkey % 7 = 1")
+      .selectExpr("o_orderkey", "o_custkey", "o_orderstatus",
+        "'resubmitted' as o_orderpriority", "false as is_delete")
+    val inserts = orders.filter("o_orderkey % 3 = 0 and o_orderkey % 7 = 2")
+      .selectExpr("o_orderkey", "o_custkey", "o_orderstatus",
+        "'late_arrival' as o_orderpriority", "false as is_delete")
+    val deletes = orders.filter("o_orderkey % 3 != 0 and o_orderkey % 7 = 3")
+      .selectExpr("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_orderpriority", "true as is_delete")
+    Seq(upserts, inserts, deletes).foreach(
+      _.coalesce(1).write.mode("append").parquet(updDir))
+    val stream = Queries.run(spark) { d =>
+      d.add(new StreamSourceNode(updDir, "parquet",
+        options = Map("maxFilesPerTrigger" -> "1"))) >> d.output("result")
+    }
+    CdcApply.applyStream(ctx, root, stream,
+      new MergeNode(keys = Seq("o_orderkey"), deleteCol = Some("is_delete")))
+    Queries.run(spark) { d =>
+      d.add(new SourceNode(root)) >> SortNode("o_orderkey") >> d.output("result")
+    }
+  }
+  val q151Sql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus,
+      |  CASE WHEN o_orderkey % 7 = 1 THEN 'resubmitted'
+      |       ELSE o_orderpriority END AS o_orderpriority
+      |FROM orders WHERE o_orderkey % 3 != 0 AND o_orderkey % 7 != 3
+      |UNION ALL
+      |SELECT o_orderkey, o_custkey, o_orderstatus, 'late_arrival'
+      |FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 7 = 2
+      |ORDER BY o_orderkey""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q94_bloom_join", q94_bloom_join _, q94Sql),
     ("q95_pagerank", q95_pagerank _, q95Sql),
@@ -1928,5 +2034,7 @@ object Advanced {
     ("q147_stream_lexical_maintenance", q147_stream_lexical_maintenance _, q147Sql),
     ("q148_stream_ann_maintenance", q148_stream_ann_maintenance _, q148Sql),
     ("q149_compact_files", q149_compact_files _, q149Sql),
+    ("q150_sketch_profile", q150_sketch_profile _, q150Sql),
+    ("q151_stream_cdc_apply", q151_stream_cdc_apply _, q151Sql),
   )
 }

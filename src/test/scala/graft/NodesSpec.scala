@@ -2343,6 +2343,95 @@ class NodesSpec extends AnyFunSuite {
     assert(viaSource.as[(Long, String)].collect().toSet == expect)
   }
 
+  test("CdcApply.applyStream: batches apply in order (insert -> update -> delete), " +
+       "one committed generation each; redelivered batches are skipped via the in-gen marker") {
+    import spark.implicits._
+    val c = Ctx(spark)
+    val work = java.nio.file.Files.createTempDirectory("graft_cdc_spec").toString
+    val root = s"$work/ds"
+    // gen-1: base {1, 2, 3} published atomically
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    new SinkNode(root, atomicPublish = true)
+      .transform(c, In.single("df" -> base))
+    assert(AtomicPublish.currentGen(spark, root).contains(1L))
+    // three ORDERED micro-batches: insert 100 -> update 100 -> delete 1.
+    // The final value of key 100 ("second") exists only if batch 1 applied
+    // AFTER batch 0 — the cross-batch sequencing contract. Mod times are
+    // pinned explicitly (file-stream ordering is by timestamp, and rapid
+    // writes can land in the same millisecond).
+    val updDir = s"$work/upd"
+    val batches = Seq(
+      Seq((100L, "first", false)), Seq((100L, "second", false)), Seq((1L, "x", true)))
+    val fs = new org.apache.hadoop.fs.Path(updDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      val f = s"$updDir/b$i"
+      rows.toDF("id", "v", "is_delete").coalesce(1).write.parquet(f)
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(f), false)
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile) fs.setTimes(st.getPath, 1700000000000L + i * 60000L, -1)
+      }
+    }
+    def stream = spark.readStream
+      .schema("id LONG, v STRING, is_delete BOOLEAN")
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "*.parquet")
+      .option("recursiveFileLookup", "true")
+      .parquet(updDir)
+    val merge = new MergeNode(keys = Seq("id"), deleteCol = Some("is_delete"))
+    CdcApply.applyStream(c, root, stream, merge, checkpoint = Some(s"$work/ckpt"))
+    def state(): Set[(Long, String)] =
+      new SourceNode(root).transform(c, In.empty)("result")
+        .as[(Long, String)].collect().toSet
+    val expect = Set((2L, "b"), (3L, "c"), (100L, "second"))
+    assert(state() == expect)
+    assert(AtomicPublish.currentGen(spark, root).contains(4L)) // 1 base + 3 batches
+    // crash-replay drill: a fresh checkpoint redelivers batch ids 0..2; the
+    // committed generation's marker must skip them all — no new generation,
+    // no resurrected key 1, no downgraded key 100
+    CdcApply.applyStream(c, root, stream, merge, checkpoint = Some(s"$work/ckpt2"))
+    assert(state() == expect)
+    assert(AtomicPublish.currentGen(spark, root).contains(4L))
+  }
+
+  test("SketchProfileNode/SketchMergeNode: adversarial generation splits merge to the " +
+       "whole-corpus sketch exactly; merges re-merge; empty generation tolerated") {
+    import spark.implicits._
+    val rows = (0L until 5000L)
+      .map(i => (i, s"v${i % 977}", if (i < 4990) "hot" else s"cold_$i"))
+      .toDF("id", "modval", "skewed")
+    val cols = Seq("id", "modval", "skewed")
+    val c = Ctx(spark)
+    def profile(df: DataFrame): DataFrame =
+      new SketchProfileNode(cols).transform(c, In.single("df" -> df))("result")
+    def ests(df: DataFrame): Map[String, Long] =
+      df.select("col_name", "est_distinct").as[(String, Long)].collect().toMap
+    val full = profile(rows)
+    // adversarial split: tiny head / huge tail / EMPTY generation
+    val gens = Seq(rows.filter("id < 10"), rows.filter("id >= 10"), rows.filter("false"))
+    val merged = new SketchMergeNode().transform(c,
+      In(Map("sketches" -> gens.map(profile))))("result")
+    // coupon-exact regime (low cardinality): merged == full == exact
+    val exact = Map("id" -> 5000L, "modval" -> 977L, "skewed" -> 11L)
+    Seq("modval", "skewed").foreach { k =>
+      assert(ests(merged)(k) == exact(k) && ests(full)(k) == exact(k))
+    }
+    // merge of merges (the generation-tree rollup) == flat merge, exactly —
+    // both sides estimate through the same composite path
+    val m01 = new SketchMergeNode().transform(c,
+      In(Map("sketches" -> gens.take(2).map(profile))))("result")
+    val rolled = new SketchMergeNode().transform(c,
+      In(Map("sketches" -> Seq(m01, profile(gens(2))))))("result")
+    assert(ests(rolled) == ests(merged))
+    // past the coupon regime (id: 5000 distinct) streamed-HIP and unioned-
+    // composite estimates may differ, but BOTH stay within the HLL bound
+    // (5% ≈ 6σ at lgK 14) — the q150 driver-checked contract
+    Seq(ests(full), ests(merged)).foreach(_.foreach { case (k, est) =>
+      assert(math.abs(est - exact(k)) * 20 <= exact(k), s"$k: est $est vs ${exact(k)}")
+    })
+  }
+
   test("IndexMaintenance.maintainFromStream: multi-batch streamed refresh == one-shot build; " +
        "replayed batch ids are skipped; replay watermark round-trips through save/load") {
     import spark.implicits._

@@ -227,6 +227,21 @@ class SerializationSpec extends AnyFunSuite {
       ii2.compactEvery == 2 && ii2.compactPath.contains("/tmp/invc"))
   }
 
+  test("round-trip covers round-11 kinds: compact-files/sketch-profile/sketch-merge") {
+    val d = new Dag("r11kinds")
+    val cf = d.add(new CompactFilesNode("/tmp/ds", targetFileBytes = 33554432L,
+      format = "orc", shuffle = false, skipIfCompact = true))
+    val sp = d.add(new SketchProfileNode(Seq("a", "b"), lgConfigK = 12))
+    val sm = d.add(new SketchMergeNode())
+    val d2 = DagJson.fromJson(DagJson.toJson(d))
+    val cf2 = d2.node(cf.name).asInstanceOf[CompactFilesNode]
+    assert(cf2.path == "/tmp/ds" && cf2.targetFileBytes == 33554432L &&
+      cf2.format == "orc" && !cf2.shuffle && cf2.skipIfCompact)
+    val sp2 = d2.node(sp.name).asInstanceOf[SketchProfileNode]
+    assert(sp2.columns == Seq("a", "b") && sp2.lgConfigK == 12)
+    assert(d2.node(sm.name).isInstanceOf[SketchMergeNode])
+  }
+
   test("round-trip covers quality kinds: heuristic/vocab/semdedup/domain-quota") {
     val d = new Dag("qkinds")
     val hf = d.add(new HeuristicFilterNode("body", 30, 5000, 2.5, 9.0, 0.2, 0.8, 0.4,
