@@ -84,7 +84,15 @@ object Scale10 {
       // production-df BM25 twin
       "q137_span_dedup", "q138_ivf_index_day2", "q139_url_canon",
       "q136_bm25_production", "q140_best_survivor", "q141_inverted_index_day2",
-      "q142_incremental_embedding_neardup")
+      "q142_incremental_embedding_neardup",
+      // round-11 additions: streamed index maintenance (per-micro-batch
+      // merge at k-fold corpus — the union/df-merge legs are the hazard),
+      // small-file compaction (k-fold bytes through one repartition),
+      // sketch profile (one aggregate pass — should be flat), streaming
+      // CDC apply (per-batch base re-read at k-fold base is the hazard)
+      "q147_stream_lexical_maintenance", "q148_stream_ann_maintenance",
+      "q149_compact_files", "q150_sketch_profile", "q151_stream_cdc_apply",
+      "q152_stream_ann_serving_production")
     val names = if (queries.nonEmpty) queries else defaults
     names.foreach { n =>
       try time(n)(Queries.all(n)(spark, out).count())

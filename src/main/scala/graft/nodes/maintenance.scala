@@ -83,6 +83,52 @@ trait IncrementalIndex { self: Node =>
   * the node bounds lineage growth across a long-running stream exactly as
   * it does across batch generations.
   */
+/** Streaming serving through a node's BATCH plan, one micro-batch at a
+  * time — the foreachBatch pattern the in-stream serving plans point at
+  * when they refuse: per-query rank windows, broadcast probe selection at
+  * production configs (nProbe << nClusters over 10^3+ centroids), and any
+  * other batch-only shape all run unchanged against each micro-batch,
+  * because foreachBatch hands the batch over as a plain DataFrame.
+  *
+  * Results land as one parquet directory PER BATCH ID
+  * (`<outPath>/batch-N`, overwrite mode) — idempotent under foreachBatch's
+  * at-least-once redelivery: a replayed batch rewrites its own directory
+  * instead of appending duplicates, so `<outPath>/batch-*` always reads
+  * exactly-once output. Correct because a redelivered batch id carries
+  * the same rows (the file-source offsets are checkpointed).
+  *
+  * The contract this trades away vs the in-stream plans: per-query work
+  * must be complete WITHIN one micro-batch (a rank over queries split
+  * across batches would rank each fragment separately) — file-source
+  * micro-batches split on file boundaries, so batch queries by file and
+  * this holds by construction.
+  */
+object StreamServing {
+  def serveStream(
+      ctx: Ctx,
+      queries: DataFrame,
+      outPath: String,
+      transform: DataFrame => DataFrame,
+      checkpoint: Option[String] = None,
+      trigger: Trigger = Trigger.AvailableNow(),
+      await: Boolean = true): StreamingQuery = {
+    if (!queries.isStreaming)
+      throw new GraftException(
+        "StreamServing.serveStream needs a streaming query frame — run the batch plan directly otherwise")
+    val writer = queries.writeStream
+      .queryName(s"serve_${System.nanoTime()}")
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        transform(batch).write.mode("overwrite").parquet(s"$outPath/batch-$batchId")
+      }
+      .trigger(trigger)
+    checkpoint.foreach(writer.option("checkpointLocation", _))
+    val q = writer.start()
+    if (await) q.awaitTermination()
+    q
+  }
+}
+
 /** Streaming CDC apply — MERGE a change-data stream into a PUBLISHED
   * dataset, one committed generation per micro-batch: the lakehouse
   * "MERGE INTO from a stream" shape. Each micro-batch reads the CURRENT

@@ -554,7 +554,7 @@ class IvfIndexNode(
           s"per-row probe over $nClusters literal centroids, which is capped at " +
           s"maxLiteralCentroids=$maxLiteralCentroids (plan grows O(nClusters*dim)). " +
           "Either probe-all (nProbe >= nClusters), raise maxLiteralCentroids, or " +
-          "run the batch plan per micro-batch via foreachBatch")
+          "run the batch plan per micro-batch via StreamServing.serveStream (q152)")
     Map("result" -> queries.withColumn("__cluster", probeCol)
       .join(m.assignments, Seq("__cluster"))
       .withColumn("score", expr(VecExprs.cosine("__cv", "__qv", "__cnorm", "__qnorm")))

@@ -1984,6 +1984,46 @@ object Advanced {
       |FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 7 = 2
       |ORDER BY o_orderkey""".stripMargin
 
+  // ---- q152: STREAMING ANN serving at the PRODUCTION config — the shape
+  // the in-stream plan loudly refuses (nProbe < nClusters needs per-row
+  // literal centroids, capped at maxLiteralCentroids) and its refusal
+  // message points here: run the BATCH plan (broadcast-join probe
+  // selection + rank window) per micro-batch via
+  // StreamServing.serveStream. Per-batch outputs land in idempotent
+  // batch-id directories (replay-safe exactly-once). The gate is q143's
+  // production recall contract driven through a two-micro-batch stream:
+  // self-retrieval at nProbe = 1 after updateIndex must hit 100% — which
+  // breaks the moment delta assignment and the serving probe disagree on
+  // the frozen-centroid argmin, or a micro-batch is lost or
+  // double-served. ----
+  def q152_stream_ann_serving_production(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Queries.run(spark) { d =>
+      d.add(SourceNode.table(dir, "embeddings")) >> d.output("result")
+    }
+    val ctx = Ctx(spark)
+    val idx = new IvfIndexNode(k = 1000000, nClusters = 8, nProbe = 1,
+      maxLiteralCentroids = 0)
+    idx.fit(ctx, In.single("corpus" -> emb.filter("vec_id % 5 != 0")))
+    idx.updateIndex(ctx, emb.filter("vec_id % 5 = 0"))
+    val work = java.nio.file.Files.createTempDirectory("graft_q152_")
+    work.toFile.deleteOnExit()
+    emb.filter("vec_id % 5 = 0")
+      .selectExpr("vec_id as query_id", "embedding").repartition(2)
+      .write.mode("overwrite").parquet(s"$work/queries")
+    val stream = Queries.run(spark) { d =>
+      d.add(new StreamSourceNode(s"$work/queries", "parquet",
+        options = Map("maxFilesPerTrigger" -> "1"))) >> d.output("result")
+    }
+    StreamServing.serveStream(ctx, stream, s"$work/served",
+      batch => idx.transform(ctx, In.single("queries" -> batch))("result"))
+    val served = spark.read.parquet(s"$work/served/batch-*")
+    import org.apache.spark.sql.functions.{count, lit}
+    emb.filter("vec_id % 5 = 0").agg(count(lit(1)).as("n_queries")).crossJoin(
+      served.filter(col("vec_id") === col("query_id"))
+        .agg(count(lit(1)).as("n_self_hits")))
+  }
+  val q152Sql: String = q143Sql
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q94_bloom_join", q94_bloom_join _, q94Sql),
     ("q95_pagerank", q95_pagerank _, q95Sql),
@@ -2036,5 +2076,6 @@ object Advanced {
     ("q149_compact_files", q149_compact_files _, q149Sql),
     ("q150_sketch_profile", q150_sketch_profile _, q150Sql),
     ("q151_stream_cdc_apply", q151_stream_cdc_apply _, q151Sql),
+    ("q152_stream_ann_serving_production", q152_stream_ann_serving_production _, q152Sql),
   )
 }

@@ -375,6 +375,21 @@ class PlanSpec extends AnyFunSuite {
       s"checkpoint must cut lineage to a leaf:\n$cp")
   }
 
+  test("round-11 nodes keep their scale shapes: sketch profile is ONE pass, no Expand") {
+    import graft.dag._
+    import graft.nodes._
+    def exchanges(p: String): Int = """\(\d+\) Exchange""".r.findAllIn(p).size
+    val df = spark.read.parquet(s"$dir/documents.parquet")
+    val p = planOf(new SketchProfileNode(Seq("doc_id", "lang", "source"))
+      .transform(Ctx(spark), In.single("df" -> df))("result"))
+    // exact multi-distinct would compile to Expand (row-multiplying); the
+    // sketch profile must stay a single partial+final aggregate pass with
+    // only the one-row final exchange
+    assert(!p.contains("Expand"), s"sketch profile must not Expand:\n$p")
+    assert(exchanges(p) <= 1,
+      s"sketch profile is one aggregation pass (single one-row exchange):\n$p")
+  }
+
   test("round-10 nodes keep their scale shapes: url-canon narrow, span-dedup keyed, index serving corpus-shuffle-free") {
     import graft.dag._
     import graft.nodes._
