@@ -28,7 +28,8 @@ object NodeRegistry {
     def register(kind: String)(f: DagJson.Params => Node): Unit = reg(kind)(f)
     register("source")(p => new SourceNode(p.str("path"), p.str("format"), p.strs("columns"), p.strs("nanosTsCols"),
       p.m.get("options").collect { case m: Map[_, _] => m.map { case (k, v) => k.toString -> v.toString } }.getOrElse(Map.empty),
-      p.strOpt("schemaDdl")))
+      p.strOpt("schemaDdl"),
+      p.m.get("generation").flatMap(Option(_)).map(_.toString.toLong)))
     register("bucketed_sink")(p => new BucketedSinkNode(p.str("table"), p.strs("bucketCols"),
       p.int("nBuckets"), p.strs("sortCols"), p.str("format"), p.str("mode")))
     register("sink")(p => new SinkNode(p.str("path"), p.str("format"), p.str("mode"), p.strs("partitionBy"),
@@ -275,7 +276,8 @@ object NodeRegistry {
       p.boolOr("broadcastTerms", true), p.boolOr("broadcastQueries", true)))
     register("compact_files")(p => new CompactFilesNode(p.str("path"),
       p.m("targetFileBytes").toString.toLong, p.str("format"),
-      p.boolOr("shuffle", true), p.boolOr("skipIfCompact", false)))
+      p.boolOr("shuffle", true), p.boolOr("skipIfCompact", false),
+      p.strs("partitionBy")))
     register("sketch_profile")(p => new SketchProfileNode(p.strs("columns"),
       p.intOr("lgConfigK", 14)))
     register("sketch_merge")(_ => new SketchMergeNode())

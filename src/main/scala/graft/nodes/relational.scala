@@ -119,14 +119,21 @@ private[graft] object TsNorm {
 class SourceNode(val path: String, val format: String = "parquet", val columns: Seq[String] = Nil,
                  val nanosTsCols: Seq[String] = Nil,
                  val options: Map[String, String] = Map.empty,
-                 val schemaDdl: Option[String] = None) // explicit schema (DDL) — text formats
+                 val schemaDdl: Option[String] = None, // explicit schema (DDL) — text formats
+                 // TIME TRAVEL on a published dataset: pin the read to an
+                 // explicit generation instead of the manifest-committed one.
+                 // AtomicPublish retains the superseded generation as the
+                 // rollback point, so `generation = current - 1` is the
+                 // audit/rollback read; a pruned generation fails loudly at
+                 // load (missing path), never silently falls back.
+                 val generation: Option[Long] = None)
   extends Node {
   override protected def defaultName: String = "source"
   override def persistableOutput: Boolean = false // never cache a raw scan
   val inputs: Seq[Port] = Nil
   val outputs = Seq(Port("result"))
   override def jsonKind: Option[String] = Some("source")
-  override def jsonParams: Map[String, Any] = Map("path" -> path, "format" -> format, "columns" -> columns, "nanosTsCols" -> nanosTsCols, "options" -> options, "schemaDdl" -> schemaDdl.orNull)
+  override def jsonParams: Map[String, Any] = Map("path" -> path, "format" -> format, "columns" -> columns, "nanosTsCols" -> nanosTsCols, "options" -> options, "schemaDdl" -> schemaDdl.orNull, "generation" -> generation.map(_.asInstanceOf[Any]).orNull)
   override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
     // Parquet TIMESTAMP(NANOS) is unreadable by Spark natively; read as
     // epoch-nanos long, then convert declared columns to micros timestamps.
@@ -141,8 +148,13 @@ class SourceNode(val path: String, val format: String = "parquet", val columns: 
     val reader = schemaDdl.fold(reader0)(reader0.schema)
     // published datasets (SinkNode atomicPublish) resolve through their
     // manifest to the committed generation — a half-written next generation
-    // is invisible until its atomic pointer swap
-    val df0 = reader.load(AtomicPublish.resolve(readSession, path))
+    // is invisible until its atomic pointer swap; an explicit `generation`
+    // pins a historical read (rollback/audit) instead
+    val resolved = generation match {
+      case Some(g) => s"$path/gen-$g"
+      case None    => AtomicPublish.resolve(readSession, path)
+    }
+    val df0 = reader.load(resolved)
     val df = nanosTsCols.foldLeft(df0)(TsNorm.normalize)
     Map("result" -> (if (columns.nonEmpty) df.select(columns.map(col): _*) else df))
   }
@@ -292,7 +304,14 @@ class CompactFilesNode(val path: String,
                        val targetFileBytes: Long = 128L * 1024 * 1024,
                        val format: String = "parquet",
                        val shuffle: Boolean = true,
-                       val skipIfCompact: Boolean = false) extends Node {
+                       val skipIfCompact: Boolean = false,
+                       // RE-LAYOUT: rewrite into a Hive-partitioned layout
+                       // (e.g. by lang/date) while compacting — partition
+                       // values co-locate via a hash repartition on the
+                       // partition columns, so each partition directory gets
+                       // whole files (skewed partition values get at most
+                       // one task each; salt upstream if one value dominates)
+                       val partitionBy: Seq[String] = Nil) extends Node {
   require(targetFileBytes > 0, "targetFileBytes must be positive")
   override protected def defaultName: String = "compact_files"
   override def persistableOutput: Boolean = false
@@ -301,7 +320,8 @@ class CompactFilesNode(val path: String,
   override def jsonKind: Option[String] = Some("compact_files")
   override def jsonParams: Map[String, Any] = Map(
     "path" -> path, "targetFileBytes" -> targetFileBytes, "format" -> format,
-    "shuffle" -> shuffle, "skipIfCompact" -> skipIfCompact)
+    "shuffle" -> shuffle, "skipIfCompact" -> skipIfCompact,
+    "partitionBy" -> partitionBy)
 
   /** (data file count, total bytes) under `dir` — hidden/underscore entries
     * (committed-generation dirs, manifests, _SUCCESS) excluded. */
@@ -326,11 +346,17 @@ class CompactFilesNode(val path: String,
     val (nFiles, totalBytes) = listing(ctx.spark, live)
     val nOut = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
     def read(dir: String) = ctx.spark.read.format(format).load(dir)
-    if (skipIfCompact && nFiles <= nOut) return Map("result" -> read(live))
+    if (skipIfCompact && partitionBy.isEmpty && nFiles <= nOut)
+      return Map("result" -> read(live))
     val df = read(live)
-    val sized = if (shuffle) df.repartition(nOut) else df.coalesce(nOut)
-    val gen = AtomicPublish.publish(ctx.spark, path,
-      target => sized.write.format(format).mode("overwrite").save(target))
+    val sized =
+      if (partitionBy.nonEmpty) df.repartition(nOut, partitionBy.map(col): _*)
+      else if (shuffle) df.repartition(nOut)
+      else df.coalesce(nOut)
+    val gen = AtomicPublish.publish(ctx.spark, path, { target =>
+      val w = sized.write.format(format).mode("overwrite")
+      (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).save(target)
+    })
     Map("result" -> read(s"$path/gen-$gen"))
   }
 }

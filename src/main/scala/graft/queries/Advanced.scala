@@ -2024,6 +2024,41 @@ object Advanced {
   }
   val q152Sql: String = q143Sql
 
+  // ---- q153: generation TIME TRAVEL — the rollback/audit read the
+  // atomic-publish layout buys for free (the superseded generation stays on
+  // disk): gen-1 (full table) goes live, a refresh commits gen-2
+  // (filtered). The manifest reader must see the refreshed data while
+  // `SourceNode(generation = 1)` pins the PREVIOUS generation — byte-stable
+  // history, no reliance on the current pointer. A reader leak (manifest
+  // read returning the old gen, or the pinned read following the manifest)
+  // swaps the two row sets and breaks the hash. ----
+  def q153_time_travel(spark: SparkSession, dir: String): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("graft_q153_")
+    work.toFile.deleteOnExit()
+    val pub = s"$work/nation_pub"
+    def publishRun(filter: String): Unit = { Queries.run(spark) { d =>
+      d.add(SourceNode.table(dir, "nation")) >> FilterNode(filter) >>
+        new SinkNode(pub, atomicPublish = true) >> d.output("result")
+    }; () }
+    publishRun("true")               // gen-1: full table
+    publishRun("n_regionkey != 0")   // gen-2: the refresh goes live
+    def snap(phase: String, gen: Option[Long]): DataFrame = Queries.run(spark) { d =>
+      d.add(new SourceNode(pub, generation = gen)) >>
+        new AggNode(Nil, Seq("count(*) as n_rows",
+          "cast(sum(n_nationkey) as bigint) as sum_key")) >>
+        ProjectNode(s"'$phase' as phase", "n_rows", "sum_key") >>
+        d.output("result")
+    }
+    snap("current", None).union(snap("rollback", Some(1L))).orderBy("phase")
+  }
+  val q153Sql: String =
+    """SELECT 'current' AS phase, count(*) AS n_rows,
+      |       cast(sum(n_nationkey) as bigint) AS sum_key
+      |FROM nation WHERE n_regionkey != 0
+      |UNION ALL
+      |SELECT 'rollback', count(*), cast(sum(n_nationkey) as bigint) FROM nation
+      |ORDER BY phase""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q94_bloom_join", q94_bloom_join _, q94Sql),
     ("q95_pagerank", q95_pagerank _, q95Sql),
@@ -2077,5 +2112,6 @@ object Advanced {
     ("q150_sketch_profile", q150_sketch_profile _, q150Sql),
     ("q151_stream_cdc_apply", q151_stream_cdc_apply _, q151Sql),
     ("q152_stream_ann_serving_production", q152_stream_ann_serving_production _, q152Sql),
+    ("q153_time_travel", q153_time_travel _, q153Sql),
   )
 }

@@ -2343,6 +2343,36 @@ class NodesSpec extends AnyFunSuite {
     assert(viaSource.as[(Long, String)].collect().toSet == expect)
   }
 
+  test("CompactFilesNode partitionBy: re-layout into hive partitions, content-neutral; " +
+       "SourceNode generation pin reads superseded history") {
+    import spark.implicits._
+    val c = Ctx(spark)
+    val work = java.nio.file.Files.createTempDirectory("graft_relayout_spec").toString
+    val root = s"$work/ds"
+    val rows = (0L until 100L).map(i => (i, s"g${i % 3}")).toDF("id", "grp")
+    rows.repartition(10).write.parquet(root)
+    val out = new CompactFilesNode(root, targetFileBytes = 1L << 30,
+      partitionBy = Seq("grp")).transform(c, In.empty)("result")
+    assert(out.selectExpr("id", "grp").as[(Long, String)].collect().toSet ==
+      rows.as[(Long, String)].collect().toSet)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq("g0", "g1", "g2").foreach { g =>
+      assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/gen-1/grp=$g")),
+        s"expected hive partition dir grp=$g")
+    }
+    // history pin: a refresh commits gen-2 with FEWER rows; the manifest
+    // reader sees it while generation = 1 still reads the full layout
+    new SinkNode(root, atomicPublish = true).transform(c,
+      In.single("df" -> rows.filter("grp != 'g0'")))
+    val cur = new SourceNode(root).transform(c, In.empty)("result")
+    assert(cur.count() == rows.filter("grp != 'g0'").count())
+    val pinned = new SourceNode(root, generation = Some(1L))
+      .transform(c, In.empty)("result")
+    assert(pinned.selectExpr("id", "grp").as[(Long, String)].collect().toSet ==
+      rows.as[(Long, String)].collect().toSet)
+  }
+
   test("CdcApply.applyStream: batches apply in order (insert -> update -> delete), " +
        "one committed generation each; redelivered batches are skipped via the in-gen marker") {
     import spark.implicits._

@@ -237,6 +237,15 @@ class SerializationSpec extends AnyFunSuite {
     val cf2 = d2.node(cf.name).asInstanceOf[CompactFilesNode]
     assert(cf2.path == "/tmp/ds" && cf2.targetFileBytes == 33554432L &&
       cf2.format == "orc" && !cf2.shuffle && cf2.skipIfCompact)
+    val pcf = d.add(new CompactFilesNode("/tmp/ds2", partitionBy = Seq("lang", "dt")))
+    val pcf2 = DagJson.fromJson(DagJson.toJson(d)).node(pcf.name).asInstanceOf[CompactFilesNode]
+    assert(pcf2.partitionBy == Seq("lang", "dt"))
+    val gsrc = d.add(new SourceNode("/tmp/pub", generation = Some(7L)))
+    val gsrc2 = DagJson.fromJson(DagJson.toJson(d)).node(gsrc.name).asInstanceOf[SourceNode]
+    assert(gsrc2.generation.contains(7L))
+    val bsrc = d.add(new SourceNode("/tmp/pub2"))
+    val bsrc2 = DagJson.fromJson(DagJson.toJson(d)).node(bsrc.name).asInstanceOf[SourceNode]
+    assert(bsrc2.generation.isEmpty)
     val sp2 = d2.node(sp.name).asInstanceOf[SketchProfileNode]
     assert(sp2.columns == Seq("a", "b") && sp2.lgConfigK == 12)
     assert(d2.node(sm.name).isInstanceOf[SketchMergeNode])
