@@ -92,7 +92,8 @@ object Scale10 {
       // CDC apply (per-batch base re-read at k-fold base is the hazard)
       "q147_stream_lexical_maintenance", "q148_stream_ann_maintenance",
       "q149_compact_files", "q150_sketch_profile", "q151_stream_cdc_apply",
-      "q152_stream_ann_serving_production")
+      "q152_stream_ann_serving_production", "q154_stream_neardup_maintenance",
+      "q155_publish_profiles")
     val names = if (queries.nonEmpty) queries else defaults
     names.foreach { n =>
       try time(n)(Queries.all(n)(spark, out).count())

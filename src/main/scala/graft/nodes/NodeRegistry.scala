@@ -34,7 +34,7 @@ object NodeRegistry {
       p.int("nBuckets"), p.strs("sortCols"), p.str("format"), p.str("mode")))
     register("sink")(p => new SinkNode(p.str("path"), p.str("format"), p.str("mode"), p.strs("partitionBy"),
       p.m.get("options").collect { case m: Map[_, _] => m.map { case (k, v) => k.toString -> v.toString } }.getOrElse(Map.empty),
-      p.boolOr("atomicPublish", false)))
+      p.boolOr("atomicPublish", false), p.strs("profileColumns")))
     register("project")(p => new ProjectNode(p.strs("exprs")))
     register("with_columns")(p => new WithColumnsNode(p.pairs("cols")))
     register("filter")(p => new FilterNode(p.str("condition")))

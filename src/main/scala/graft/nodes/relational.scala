@@ -247,12 +247,23 @@ private[graft] object AtomicPublish {
 class SinkNode(val path: String, val format: String = "parquet", val mode: String = "overwrite",
                val partitionBy: Seq[String] = Nil,
                val options: Map[String, String] = Map.empty,
-               val atomicPublish: Boolean = false) extends Node {
+               val atomicPublish: Boolean = false,
+               // PUBLISH-TIME PROFILING (atomicPublish only): write a
+               // SketchProfileNode sketch table into the generation
+               // (`_profile/`, underscore-prefixed so scans ignore it)
+               // before the manifest swap — the profile commits atomically
+               // with the data. Corpus monitoring then reads
+               // `<path>/gen-*/_profile` and merges sketches
+               // (SketchMergeNode) without ever re-reading the data;
+               // generations carry their own audit record forever.
+               val profileColumns: Seq[String] = Nil) extends Node {
+  require(profileColumns.isEmpty || atomicPublish,
+    "profileColumns requires atomicPublish (the profile commits with the generation)")
   override protected def defaultName: String = "sink"
   val inputs = Seq(Port("df"))
   val outputs = Seq(Port("result"))
   override def jsonKind: Option[String] = Some("sink")
-  override def jsonParams: Map[String, Any] = Map("path" -> path, "format" -> format, "mode" -> mode, "partitionBy" -> partitionBy, "options" -> options, "atomicPublish" -> atomicPublish)
+  override def jsonParams: Map[String, Any] = Map("path" -> path, "format" -> format, "mode" -> mode, "partitionBy" -> partitionBy, "options" -> options, "atomicPublish" -> atomicPublish, "profileColumns" -> profileColumns)
   override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
     val df = in("df")
     def writeTo(target: String, wmode: String): Unit = {
@@ -260,7 +271,13 @@ class SinkNode(val path: String, val format: String = "parquet", val mode: Strin
       (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).save(target)
     }
     if (atomicPublish) {
-      val gen = AtomicPublish.publish(df.sparkSession, path, writeTo(_, "overwrite"))
+      val gen = AtomicPublish.publish(df.sparkSession, path, { target =>
+        writeTo(target, "overwrite")
+        if (profileColumns.nonEmpty)
+          new SketchProfileNode(profileColumns)
+            .transform(ctx, In.single("df" -> df))("result")
+            .coalesce(1).write.mode("overwrite").parquet(s"$target/_profile")
+      })
       Map("result" -> df.sparkSession.read.format(format).options(options)
         .load(s"$path/gen-$gen"))
     } else {

@@ -2059,6 +2059,90 @@ object Advanced {
       |SELECT 'rollback', count(*), cast(sum(n_nationkey) as bigint) FROM nation
       |ORDER BY phase""".stripMargin
 
+  // ---- q154: STREAMING index maintenance (near-dup) — the MinHash family
+  // completes the maintainFromStream triangle (q147 lexical, q148 ANN).
+  // q116's continuous-crawl check with generation 1 folded in THROUGH A
+  // STREAM (two micro-batches): check gen1 against the fitted base index,
+  // stream-refresh the index with gen1, then check gen2 (which contains
+  // re-crawls of gen1 content) — the gen2 -> gen1 matches exist only if
+  // every micro-batch really landed. Saturated config (threshold 1.0,
+  // uncapped buckets) makes the refresh split-insensitive, so the oracle
+  // is q116's SQL verbatim. ----
+  def q154_stream_neardup_maintenance(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Queries.run(spark) { d =>
+      d.add(SourceNode.table(dir, "documents")) >> d.output("result")
+    }
+    val ctx = Ctx(spark)
+    val idx = new MinHashIndexNode(numHashes = 32, bands = 16, shingleN = 3,
+      jaccardThreshold = 1.0, maxBucket = 100000)
+    idx.fit(ctx, In.single("corpus" -> docs))
+    import org.apache.spark.sql.functions.{col => c, expr}
+    val gen1 = docs.filter("doc_id % 7 = 3")
+      .select(expr("doc_id + 1000000").as("doc_id"), c("text"))
+    val gen2 = docs.filter("doc_id % 7 = 5")
+      .select(expr("doc_id + 2000000").as("doc_id"), c("text"))
+      .union(docs.filter("doc_id % 7 = 3")
+        .select(expr("doc_id + 3000000").as("doc_id"), c("text")))
+    val m1 = idx.transform(ctx, In.single("delta" -> gen1))("result")
+      .select("delta_id", "base_id")
+    val stage = java.nio.file.Files.createTempDirectory("graft_q154_")
+    stage.toFile.deleteOnExit()
+    gen1.repartition(2).write.mode("overwrite").parquet(s"$stage/gen1")
+    val stream = Queries.run(spark) { d =>
+      d.add(new StreamSourceNode(s"$stage/gen1", "parquet",
+        options = Map("maxFilesPerTrigger" -> "1"))) >> d.output("result")
+    }
+    IndexMaintenance.maintainFromStream(idx, ctx, stream)
+    val m2 = idx.transform(ctx, In.single("delta" -> gen2))("result")
+      .select("delta_id", "base_id")
+    m1.union(m2).orderBy("delta_id", "base_id")
+  }
+  val q154Sql: String = q116Sql
+
+  // ---- q155: PUBLISH-TIME profiling — SinkNode(atomicPublish,
+  // profileColumns) writes a sketch table INSIDE each generation before the
+  // manifest swap (commits atomically with the data), so every published
+  // generation carries its own audit record. Monitoring then reads
+  // `gen-*/_profile` across the retained history and merges sketches — the
+  // corpora are never re-read. Two generations are published (half corpus,
+  // then full); the history-wide merged distinct estimate must sit within
+  // the HLL bound of the exact distinct over the union (= the full corpus),
+  // replayed exactly by DuckDB. A missing/unmerged profile or a reader leak
+  // into data files breaks counts or the boolean. ----
+  def q155_publish_profiles(spark: SparkSession, dir: String): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("graft_q155_")
+    work.toFile.deleteOnExit()
+    val pub = s"$work/docs_pub"
+    def publishRun(filter: String): Unit = { Queries.run(spark) { d =>
+      d.add(SourceNode.table(dir, "documents")) >> FilterNode(filter) >>
+        new SinkNode(pub, atomicPublish = true,
+          profileColumns = Seq("doc_id", "lang")) >> d.output("result")
+    }; () }
+    publishRun("doc_id % 2 = 0")
+    publishRun("true")
+    val ctx = Ctx(spark)
+    val profs = spark.read.parquet(s"$pub/gen-*/_profile")
+    val merged = new SketchMergeNode()
+      .transform(ctx, In(Map("sketches" -> Seq(profs))))("result")
+    val docs = Queries.run(spark) { d =>
+      d.add(SourceNode.table(dir, "documents")) >> d.output("result")
+    }
+    val exact = docs
+      .selectExpr("count(distinct doc_id) as doc_id", "count(distinct lang) as lang")
+      .selectExpr("inline(array(" +
+        "struct('doc_id' as col_name, doc_id as n_exact), " +
+        "struct('lang' as col_name, lang as n_exact)))")
+    merged.join(exact, "col_name")
+      .selectExpr("col_name", "n_exact",
+        "abs(est_distinct - n_exact) * 20 <= n_exact as est_err_ok")
+      .orderBy("col_name")
+  }
+  val q155Sql: String =
+    """SELECT col_name, n_exact, true AS est_err_ok FROM (
+      |  SELECT 'doc_id' AS col_name, cast(count(DISTINCT doc_id) as bigint) AS n_exact FROM documents
+      |  UNION ALL SELECT 'lang', cast(count(DISTINCT lang) as bigint) FROM documents)
+      |ORDER BY col_name""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q94_bloom_join", q94_bloom_join _, q94Sql),
     ("q95_pagerank", q95_pagerank _, q95Sql),
@@ -2113,5 +2197,7 @@ object Advanced {
     ("q151_stream_cdc_apply", q151_stream_cdc_apply _, q151Sql),
     ("q152_stream_ann_serving_production", q152_stream_ann_serving_production _, q152Sql),
     ("q153_time_travel", q153_time_travel _, q153Sql),
+    ("q154_stream_neardup_maintenance", q154_stream_neardup_maintenance _, q154Sql),
+    ("q155_publish_profiles", q155_publish_profiles _, q155Sql),
   )
 }
