@@ -170,8 +170,10 @@ object CdcApply {
 
   /** Apply a streaming CDC frame to the published dataset at `root`.
     * `merge` supplies the upsert/tombstone semantics (keys, deleteCol,
-    * duplicate policy). Blocks until drained under the default
-    * AvailableNow trigger with `await = true`. */
+    * duplicate policy); `format` is the published dataset's storage format
+    * (both the per-batch base read and the new generations use it). Blocks
+    * until drained under the default AvailableNow trigger with
+    * `await = true`. */
   def applyStream(
       ctx: Ctx,
       root: String,
@@ -179,7 +181,8 @@ object CdcApply {
       merge: MergeNode,
       checkpoint: Option[String] = None,
       trigger: Trigger = Trigger.AvailableNow(),
-      await: Boolean = true): StreamingQuery = {
+      await: Boolean = true,
+      format: String = "parquet"): StreamingQuery = {
     if (!updates.isStreaming)
       throw new GraftException(
         "CdcApply.applyStream needs a streaming updates frame — for a batch delta run MergeNode directly")
@@ -191,11 +194,12 @@ object CdcApply {
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (batchId > last) {
-          val base = spark.read.parquet(AtomicPublish.resolve(spark, root))
+          val base = spark.read.format(format)
+            .load(AtomicPublish.resolve(spark, root))
           val merged = merge.transform(ctx,
             In.single("base" -> base, "updates" -> batch))("result")
           AtomicPublish.publish(spark, root, { target =>
-            merged.write.parquet(target)
+            merged.write.format(format).save(target)
             // marker inside the generation -> commits with the manifest swap
             Seq(batchId).toDF("batch_id").coalesce(1)
               .write.parquet(s"$target/_cdc")
@@ -216,6 +220,14 @@ object IndexMaintenance {
     * time. Returns the started query; with the default AvailableNow
     * trigger and `await = true` (the bounded-refresh shape) the call
     * blocks until the backlog is drained and the index is fully refreshed.
+    *
+    * Pass a `checkpoint` for any maintenance that may re-drain the same
+    * source (restarts, periodic AvailableNow re-runs over a growing
+    * directory): the checkpoint makes batch ids a stable property of the
+    * SOURCE OFFSETS. Without one, a re-invocation renumbers all files from
+    * batch 0 and the replay guard then skips the first `lastAppliedBatch+1`
+    * batches by POSITION — correct only while file ordering (mod time) is
+    * stable.
     */
   def maintainFromStream(
       idx: IncrementalIndex,
