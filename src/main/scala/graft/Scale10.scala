@@ -93,7 +93,8 @@ object Scale10 {
       "q147_stream_lexical_maintenance", "q148_stream_ann_maintenance",
       "q149_compact_files", "q150_sketch_profile", "q151_stream_cdc_apply",
       "q152_stream_ann_serving_production", "q154_stream_neardup_maintenance",
-      "q155_publish_profiles")
+      "q155_publish_profiles", "q156_incremental_clusters",
+      "q157_stream_cluster_maintenance")
     val names = if (queries.nonEmpty) queries else defaults
     names.foreach { n =>
       try time(n)(Queries.all(n)(spark, out).count())

@@ -281,5 +281,7 @@ object NodeRegistry {
     register("sketch_profile")(p => new SketchProfileNode(p.strs("columns"),
       p.intOr("lgConfigK", 14)))
     register("sketch_merge")(_ => new SketchMergeNode())
+    register("cluster_index")(p => new ClusterIndexNode(p.str("idA"), p.str("idB"),
+      p.int("maxIter"), p.intOr("compactEvery", 0), p.strOpt("compactPath")))
   }
 }

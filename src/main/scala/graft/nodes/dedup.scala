@@ -2,7 +2,7 @@ package graft.nodes
 
 import graft.dag._
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, expr}
 
 /** Deduplication node family for LLM-data pipelines (north-star scope).
   * Design for 100 TB: every variant reduces to (1) a narrow per-row signature
@@ -256,6 +256,163 @@ class ConnectedComponentsNode(idA: String = "id_a", idB: String = "id_b", maxIte
           "(O(log diameter) rounds)")
     Map("result" -> labels.withColumnRenamed("label", "cluster_id"))
   }
+}
+
+/** INCREMENTAL cluster maintenance — the day-2 lifecycle for the dedup
+  * clusters q52/q132 recompute from scratch: a crawl's duplicate-cluster
+  * mapping (doc -> canonical representative) must absorb each day's new
+  * edges WITHOUT re-running connected components over the whole corpus.
+  * Correctness rests on graph contraction: collapsing each known component
+  * to its representative preserves connectivity of the union graph, so
+  *
+  *   - fit(pairs): one ConnectedComponentsNode pass over the base edges;
+  *     the model is the persisted mapping (id, cluster_id);
+  *   - updateIndex(delta pairs): map each delta endpoint to its current
+  *     representative (two keyed lookup joins against the mapping — the
+  *     only corpus-sized work, and it's a partitioned equi-join, not a
+  *     shuffle of the corpus), run CC over the CONTRACTED delta graph
+  *     only (delta-sized — base components appear as single rep nodes),
+  *     then rebase the full mapping through the tiny rep-remap table,
+  *     BROADCAST so the corpus-sized mapping never shuffles;
+  *   - transform(queries): left join ids to clusters; unpaired ids are
+  *     their own singleton cluster.
+  *
+  * Label contract: representatives are component-MIN ids at every step,
+  * and min(min(A), min(B)) = min(A ∪ B), so the incremental labels equal
+  * a from-scratch CC over the union graph BIT-FOR-BIT — q156 pins
+  * fit → update → mapping against the one-shot recursive-CTE oracle, and
+  * a delta edge BRIDGING two base components remaps both sides' members
+  * to the global min (NodesSpec drills this).
+  *
+  * Implements [[IncrementalIndex]], so `IndexMaintenance.maintainFromStream`
+  * refreshes cluster state from a streamed edge delta exactly like the
+  * other three index families (q157).
+  */
+class ClusterIndexNode(val idA: String = "id_a", val idB: String = "id_b",
+                       val maxIter: Int = 15,
+                       val compactEvery: Int = 0,
+                       val compactPath: Option[String] = None)
+  extends graft.dag.EstimatorNode with IncrementalIndex {
+  type Model = ClusterIndexNode.Index
+  require(compactEvery >= 0, "compactEvery must be >= 0")
+  override protected def defaultName: String = "cluster_index"
+  val inputs = Seq(Port("pairs"), Port("queries"))
+  val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("cluster_index")
+  override def jsonParams: Map[String, Any] = Map(
+    "idA" -> idA, "idB" -> idB, "maxIter" -> maxIter,
+    "compactEvery" -> compactEvery, "compactPath" -> compactPath.orNull)
+
+  private def cc(ctx: Ctx, pairs: DataFrame): DataFrame =
+    new ConnectedComponentsNode(idA, idB, maxIter = maxIter)
+      .transform(ctx, graft.dag.In.single("pairs" -> pairs))("result")
+
+  def fitModel(ctx: Ctx, in: In): Model = {
+    import org.apache.spark.storage.StorageLevel
+    val mapping = cc(ctx, in("pairs"))
+      .select(col("id"), col("cluster_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    mapping.count()
+    ClusterIndexNode.Index(mapping)
+  }
+
+  def applyModel(m: Model, ctx: Ctx, in: In): Map[String, DataFrame] = {
+    val q = in("queries")
+    val idCol = q.columns.head
+    Map("result" -> q.select(col(idCol).as("id"))
+      .join(m.mapping.withColumnRenamed("cluster_id", "__c"), Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("__c"), col("id")).as("cluster_id")))
+  }
+
+  /** Fold a delta edge batch in with delta-sized CC work (class doc). */
+  def updateIndex(ctx: Ctx, delta: DataFrame): Unit = {
+    import org.apache.spark.storage.StorageLevel
+    val m = model.getOrElse(
+      throw new graft.dag.GraftException(s"estimator node '$name' not fitted"))
+    val d = delta.select(col(idA).as("__a"), col(idB).as("__b"))
+    // contract endpoints through the current mapping; flag NEW nodes so the
+    // fresh-member set needs no anti-join against the corpus-sized mapping
+    val contracted = d
+      .join(m.mapping.select(col("id").as("__a"), col("cluster_id").as("__ra")),
+        Seq("__a"), "left")
+      .join(m.mapping.select(col("id").as("__b"), col("cluster_id").as("__rb")),
+        Seq("__b"), "left")
+      .select(coalesce(col("__ra"), col("__a")).as(idA),
+        coalesce(col("__rb"), col("__b")).as(idB),
+        col("__ra").isNull.as("__newA"), col("__rb").isNull.as("__newB"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    contracted.count()
+    // delta-sized CC over the contracted graph (reps + new ids only)
+    val remap = cc(ctx, contracted.select(col(idA), col(idB)))
+      .select(col("id"), col("cluster_id"))
+    val newIds = contracted.filter(col("__newA")).select(col(idA).as("id"))
+      .union(contracted.filter(col("__newB")).select(col(idB).as("id")))
+      .distinct()
+    val fresh = newIds.join(remap, Seq("id")) // every new node is in the delta graph
+    // rebase: the corpus-sized mapping streams map-side against the
+    // BROADCAST delta-sized remap — reps untouched by the delta pass through
+    val rebased = m.mapping
+      .join(broadcast(remap.withColumnRenamed("id", "__rep")
+          .withColumnRenamed("cluster_id", "__new")),
+        m.mapping("cluster_id") === col("__rep"), "left")
+      .select(m.mapping("id"),
+        coalesce(col("__new"), m.mapping("cluster_id")).as("cluster_id"))
+    val grown = rebased.union(fresh.select(col("id"), col("cluster_id")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    grown.count() // materialize before releasing the superseded generation
+    model = Some(ClusterIndexNode.Index(grown))
+    m.mapping.unpersist(); contracted.unpersist()
+    generation += 1
+    if (compactEvery > 0 && generation % compactEvery == 0) compactIndex()
+  }
+
+  @volatile private var generation: Long = 0L
+  @volatile private var compactGen: Long = 0L
+
+  /** Truncate the one-union-per-generation lineage through parquet (the
+    * MinHashIndexNode/IvfIndexNode double-buffer contract). */
+  def compactIndex(): Unit = {
+    import org.apache.spark.storage.StorageLevel
+    val m = model.getOrElse(
+      throw new graft.dag.GraftException(s"estimator node '$name' not fitted"))
+    val path = compactPath match {
+      case Some(root) => compactGen += 1; s"$root/gen-${compactGen % 2}"
+      case None =>
+        val t = java.nio.file.Files.createTempDirectory("graft_cluster_compact_")
+        t.toFile.deleteOnExit()
+        t.toString
+    }
+    val session = m.mapping.sparkSession
+    saveFitted(path)
+    model = Some(ClusterIndexNode.Index(
+      session.read.parquet(s"$path/mapping").persist(StorageLevel.MEMORY_AND_DISK)))
+    m.mapping.unpersist()
+  }
+
+  /** Release the persisted mapping (fit again to rebuild). */
+  def unpersistIndex(): Unit = model.foreach(_.mapping.unpersist())
+
+  override def saveFitted(path: String): Unit = {
+    val m = model.getOrElse(
+      throw new graft.dag.GraftException(s"estimator node '$name' not fitted"))
+    m.mapping.write.mode("overwrite").parquet(s"$path/mapping")
+    saveMaintenanceState(m.mapping.sparkSession, path)
+  }
+  override def loadFitted(path: String): Unit = loadFitted(path, None)
+  /** Session-explicit load (the MinHashIndexNode.loadFitted rationale). */
+  def loadFitted(path: String, session: Option[org.apache.spark.sql.SparkSession]): Unit = {
+    import org.apache.spark.storage.StorageLevel
+    val spark = session.getOrElse(org.apache.spark.sql.SparkSession.active)
+    model = Some(ClusterIndexNode.Index(
+      spark.read.parquet(s"$path/mapping").persist(StorageLevel.MEMORY_AND_DISK)))
+    loadMaintenanceState(spark, path)
+  }
+}
+
+object ClusterIndexNode {
+  /** The fitted state: the (id, cluster_id) component mapping. */
+  case class Index(mapping: DataFrame)
 }
 
 /** Survivor selection over near-dup PAIRS: keep every doc that never appears

@@ -2143,6 +2143,85 @@ object Advanced {
       |  UNION ALL SELECT 'lang', cast(count(DISTINCT lang) as bigint) FROM documents)
       |ORDER BY col_name""".stripMargin
 
+  // ---- q156/q157: INCREMENTAL cluster maintenance — the day-2 lifecycle
+  // for dedup clusters (q52/q132 recompute CC from scratch; a crawl can't).
+  // The graph: star edges within exact-duplicate text groups UNION star
+  // edges within url-bucket groups (doc_id % 97 — the same-canonical-target
+  // shape), so components genuinely span multiple hops across the two edge
+  // kinds. fit runs CC over the base edges (both endpoints % 5 != 0);
+  // updateIndex folds in the delta edges (any endpoint % 5 = 0) with
+  // delta-sized CC over the CONTRACTED graph + a broadcast rebase. Because
+  // reps are component-min ids and min is associative, the incremental
+  // mapping must equal a from-scratch CC over the union graph bit-for-bit
+  // — the oracle is the one-shot recursive-CTE closure. q157 drives the
+  // SAME check with the delta edges arriving as a two-micro-batch stream
+  // (maintainFromStream — the fourth index family on the shared
+  // machinery). ----
+  private def clusterEdges(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{expr => e, min => mn}
+    val nt = "regexp_replace(lower(trim(text)), '\\\\s+', ' ')"
+    val tE = docs.withColumn("rep", mn(col("doc_id")).over(Window.partitionBy(e(nt))))
+      .filter("doc_id != rep").select(col("rep").as("id_a"), col("doc_id").as("id_b"))
+    val uE = docs.withColumn("rep", mn(col("doc_id")).over(Window.partitionBy(e("doc_id % 97"))))
+      .filter("doc_id != rep").select(col("rep").as("id_a"), col("doc_id").as("id_b"))
+    tE.union(uE)
+  }
+  def q156_incremental_clusters(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Queries.run(spark) { d =>
+      d.add(SourceNode.table(dir, "documents")) >>
+        FilterNode("doc_id < 2000") >> ProjectNode("doc_id", "text") >>
+        d.output("result")
+    }
+    val edges = clusterEdges(docs)
+    val ctx = Ctx(spark)
+    val idx = new ClusterIndexNode()
+    idx.fit(ctx, In.single("pairs" -> edges.filter("id_a % 5 != 0 and id_b % 5 != 0")))
+    idx.updateIndex(ctx, edges.filter("id_a % 5 = 0 or id_b % 5 = 0"))
+    idx.transform(ctx, In.single("queries" -> docs.select("doc_id")))("result")
+      .orderBy("doc_id")
+  }
+  val q156Sql: String =
+    """WITH RECURSIVE
+      |d AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
+      |      FROM documents WHERE doc_id < 2000),
+      |tr AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY nt) AS rep FROM d),
+      |ur AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY doc_id % 97) AS rep FROM d),
+      |pe AS (SELECT rep AS a, doc_id AS b FROM tr WHERE doc_id != rep
+      |       UNION SELECT rep, doc_id FROM ur WHERE doc_id != rep),
+      |edges AS (SELECT a, b FROM pe UNION SELECT b, a FROM pe),
+      |reach(id, label) AS (
+      |  SELECT a, a FROM edges
+      |  UNION
+      |  SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.id),
+      |labels AS (SELECT id, min(label) AS cluster_id FROM reach GROUP BY id)
+      |SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+      |FROM d LEFT JOIN labels l ON d.doc_id = l.id
+      |ORDER BY d.doc_id""".stripMargin
+
+  def q157_stream_cluster_maintenance(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Queries.run(spark) { d =>
+      d.add(SourceNode.table(dir, "documents")) >>
+        FilterNode("doc_id < 2000") >> ProjectNode("doc_id", "text") >>
+        d.output("result")
+    }
+    val edges = clusterEdges(docs)
+    val ctx = Ctx(spark)
+    val idx = new ClusterIndexNode()
+    idx.fit(ctx, In.single("pairs" -> edges.filter("id_a % 5 != 0 and id_b % 5 != 0")))
+    val stage = java.nio.file.Files.createTempDirectory("graft_q157_")
+    stage.toFile.deleteOnExit()
+    edges.filter("id_a % 5 = 0 or id_b % 5 = 0").repartition(2)
+      .write.mode("overwrite").parquet(s"$stage/delta")
+    val stream = Queries.run(spark) { d =>
+      d.add(new StreamSourceNode(s"$stage/delta", "parquet",
+        options = Map("maxFilesPerTrigger" -> "1"))) >> d.output("result")
+    }
+    IndexMaintenance.maintainFromStream(idx, ctx, stream)
+    idx.transform(ctx, In.single("queries" -> docs.select("doc_id")))("result")
+      .orderBy("doc_id")
+  }
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q94_bloom_join", q94_bloom_join _, q94Sql),
     ("q95_pagerank", q95_pagerank _, q95Sql),
@@ -2199,5 +2278,7 @@ object Advanced {
     ("q153_time_travel", q153_time_travel _, q153Sql),
     ("q154_stream_neardup_maintenance", q154_stream_neardup_maintenance _, q154Sql),
     ("q155_publish_profiles", q155_publish_profiles _, q155Sql),
+    ("q156_incremental_clusters", q156_incremental_clusters _, q156Sql),
+    ("q157_stream_cluster_maintenance", q157_stream_cluster_maintenance _, q156Sql),
   )
 }

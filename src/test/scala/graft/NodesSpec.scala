@@ -2343,6 +2343,43 @@ class NodesSpec extends AnyFunSuite {
     assert(viaSource.as[(Long, String)].collect().toSet == expect)
   }
 
+  test("ClusterIndexNode: delta bridge merges two base components to the global min; " +
+       "new nodes and singletons handled; save/load round-trips; streamed delta matches") {
+    import spark.implicits._
+    val c = Ctx(spark)
+    def pairs(ps: (Long, Long)*): DataFrame = ps.toDF("id_a", "id_b")
+    val base = pairs((1L, 2L), (10L, 11L)) // comps {1,2} and {10,11}
+    // delta: a BRIDGE (2-10) merging the two base comps, a brand-new comp
+    // (20-21), and a new node attaching to a base comp (11-30)
+    val delta = pairs((2L, 10L), (20L, 21L), (11L, 30L))
+    val queries = Seq(1L, 2L, 10L, 11L, 20L, 21L, 30L, 99L).toDF("doc_id")
+    val expect = Set((1L, 1L), (2L, 1L), (10L, 1L), (11L, 1L),
+      (20L, 20L), (21L, 20L), (30L, 1L), (99L, 99L))
+    def mapping(n: ClusterIndexNode): Set[(Long, Long)] =
+      n.transform(c, In.single("queries" -> queries))("result")
+        .as[(Long, Long)].collect().toSet
+    val idx = new ClusterIndexNode(compactEvery = 1) // exercise compaction too
+    idx.fit(c, In.single("pairs" -> base))
+    assert(mapping(idx) == Set((1L, 1L), (2L, 1L), (10L, 10L), (11L, 10L),
+      (20L, 20L), (21L, 21L), (30L, 30L), (99L, 99L)))
+    idx.updateIndex(c, delta)
+    assert(mapping(idx) == expect)
+    val dir = java.nio.file.Files.createTempDirectory("graft_cluster_spec").toString
+    idx.saveFitted(dir)
+    val idx2 = new ClusterIndexNode()
+    idx2.loadFitted(dir, Some(spark))
+    assert(mapping(idx2) == expect)
+    // streamed delta through the shared maintenance driver == batch update
+    val streamed = new ClusterIndexNode()
+    streamed.fit(c, In.single("pairs" -> base))
+    delta.repartition(2).write.mode("overwrite").parquet(s"$dir/delta")
+    val ds = spark.readStream.schema("id_a LONG, id_b LONG")
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/delta")
+    IndexMaintenance.maintainFromStream(streamed, c, ds)
+    assert(mapping(streamed) == expect)
+    Seq(idx, idx2, streamed).foreach(_.unpersistIndex())
+  }
+
   test("CompactFilesNode partitionBy: re-layout into hive partitions, content-neutral; " +
        "SourceNode generation pin reads superseded history") {
     import spark.implicits._

@@ -246,6 +246,11 @@ class SerializationSpec extends AnyFunSuite {
     val bsrc = d.add(new SourceNode("/tmp/pub2"))
     val bsrc2 = DagJson.fromJson(DagJson.toJson(d)).node(bsrc.name).asInstanceOf[SourceNode]
     assert(bsrc2.generation.isEmpty)
+    val ci = d.add(new ClusterIndexNode("a", "b", maxIter = 9,
+      compactEvery = 2, compactPath = Some("/tmp/cc")))
+    val ci2 = DagJson.fromJson(DagJson.toJson(d)).node(ci.name).asInstanceOf[ClusterIndexNode]
+    assert(ci2.idA == "a" && ci2.idB == "b" && ci2.maxIter == 9 &&
+      ci2.compactEvery == 2 && ci2.compactPath.contains("/tmp/cc"))
     val sp2 = d2.node(sp.name).asInstanceOf[SketchProfileNode]
     assert(sp2.columns == Seq("a", "b") && sp2.lgConfigK == 12)
     assert(d2.node(sm.name).isInstanceOf[SketchMergeNode])
