@@ -307,14 +307,22 @@ class ClusterIndexNode(val idA: String = "id_a", val idB: String = "id_b",
     new ConnectedComponentsNode(idA, idB, maxIter = maxIter)
       .transform(ctx, graft.dag.In.single("pairs" -> pairs))("result")
 
-  def fitModel(ctx: Ctx, in: In): Model = {
+  /** Persist the mapping HASH-PARTITIONED on id: InMemoryRelation preserves
+    * the child's outputPartitioning, so every subsequent delta-contraction
+    * join and query lookup on `id` shuffles only its delta/query side — the
+    * corpus-sized mapping is laid out once per generation, never re-shuffled
+    * per batch. */
+  private def persistMapping(df: DataFrame): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val mapping = cc(ctx, in("pairs"))
-      .select(col("id"), col("cluster_id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    mapping.count()
-    ClusterIndexNode.Index(mapping)
+    val np = df.sparkSession.sessionState.conf.numShufflePartitions
+    val laid = df.repartition(np, col("id")).persist(StorageLevel.MEMORY_AND_DISK)
+    laid.count()
+    laid
   }
+
+  def fitModel(ctx: Ctx, in: In): Model =
+    ClusterIndexNode.Index(persistMapping(
+      cc(ctx, in("pairs")).select(col("id"), col("cluster_id"))))
 
   def applyModel(m: Model, ctx: Ctx, in: In): Map[String, DataFrame] = {
     val q = in("queries")
@@ -358,9 +366,8 @@ class ClusterIndexNode(val idA: String = "id_a", val idB: String = "id_b",
         m.mapping("cluster_id") === col("__rep"), "left")
       .select(m.mapping("id"),
         coalesce(col("__new"), m.mapping("cluster_id")).as("cluster_id"))
-    val grown = rebased.union(fresh.select(col("id"), col("cluster_id")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    grown.count() // materialize before releasing the superseded generation
+    // materialize (partitioned on id) before releasing the superseded gen
+    val grown = persistMapping(rebased.union(fresh.select(col("id"), col("cluster_id"))))
     model = Some(ClusterIndexNode.Index(grown))
     m.mapping.unpersist(); contracted.unpersist()
     generation += 1
@@ -386,7 +393,7 @@ class ClusterIndexNode(val idA: String = "id_a", val idB: String = "id_b",
     val session = m.mapping.sparkSession
     saveFitted(path)
     model = Some(ClusterIndexNode.Index(
-      session.read.parquet(s"$path/mapping").persist(StorageLevel.MEMORY_AND_DISK)))
+      persistMapping(session.read.parquet(s"$path/mapping"))))
     m.mapping.unpersist()
   }
 
@@ -402,10 +409,9 @@ class ClusterIndexNode(val idA: String = "id_a", val idB: String = "id_b",
   override def loadFitted(path: String): Unit = loadFitted(path, None)
   /** Session-explicit load (the MinHashIndexNode.loadFitted rationale). */
   def loadFitted(path: String, session: Option[org.apache.spark.sql.SparkSession]): Unit = {
-    import org.apache.spark.storage.StorageLevel
     val spark = session.getOrElse(org.apache.spark.sql.SparkSession.active)
     model = Some(ClusterIndexNode.Index(
-      spark.read.parquet(s"$path/mapping").persist(StorageLevel.MEMORY_AND_DISK)))
+      persistMapping(spark.read.parquet(s"$path/mapping"))))
     loadMaintenanceState(spark, path)
   }
 }

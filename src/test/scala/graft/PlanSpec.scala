@@ -388,6 +388,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Expand"), s"sketch profile must not Expand:\n$p")
     assert(exchanges(p) <= 1,
       s"sketch profile is one aggregation pass (single one-row exchange):\n$p")
+    // ClusterIndexNode: the persisted mapping is hash-partitioned on id, so
+    // a delta-contraction/query lookup join shuffles ONLY the probe side —
+    // the corpus-sized mapping side reads straight from cache
+    val cidx = new ClusterIndexNode()
+    cidx.fit(Ctx(spark), In.single("pairs" ->
+      spark.range(2).selectExpr("id * 2 + 1 as id_a", "id * 2 + 2 as id_b")))
+    val probe = spark.range(2).selectExpr("id + 2 as id")
+    val jp = planOf(probe.join(cidx.model.get.mapping, Seq("id")))
+    // the mapping must feed the join STRAIGHT from cache — the only Exchange
+    // touching it is the one-time layout shuffle recorded INSIDE the
+    // InMemoryRelation, never a fresh per-join shuffle above the scan
+    assert(jp.contains("InMemoryTableScan"),
+      s"mapping lookup must read the cached mapping:\n$jp")
+    assert("""Exchange[^\n]*\n\s*[:+]-\s*InMemoryTableScan""".r.findFirstIn(jp).isEmpty,
+      s"mapping side must not re-shuffle at join time:\n$jp")
+    cidx.unpersistIndex()
   }
 
   test("round-10 nodes keep their scale shapes: url-canon narrow, span-dedup keyed, index serving corpus-shuffle-free") {
