@@ -283,5 +283,15 @@ object NodeRegistry {
     register("sketch_merge")(_ => new SketchMergeNode())
     register("cluster_index")(p => new ClusterIndexNode(p.str("idA"), p.str("idB"),
       p.int("maxIter"), p.intOr("compactEvery", 0), p.strOpt("compactPath")))
+    register("numeric_profile") { p =>
+      val (cols, los) = (p.strs("cols"), p.strs("los").map(_.toDouble))
+      val (his, bins) = (p.strs("his").map(_.toDouble), p.strs("bins").map(_.toInt))
+      new NumericProfileNode(cols.indices.map(i =>
+        NumericProfileNode.Spec(cols(i), los(i), his(i), bins(i))))
+    }
+    register("profile_merge")(_ => new ProfileMergeNode())
+    register("hist_quantile")(p =>
+      new HistQuantileNode(p.strs("quantiles").map(_.toDouble)))
+    register("hist_drift")(_ => new HistDriftNode())
   }
 }

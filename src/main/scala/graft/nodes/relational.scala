@@ -767,6 +767,208 @@ class SketchMergeNode() extends Node {
   }
 }
 
+/** Mergeable NUMERIC distribution profiling — the quantile/drift counterpart
+  * of SketchProfileNode's distinct-count story. Each generation gets ONE
+  * bounded pass that bins every profiled expression onto a FIXED grid
+  * declared in the node config (lo/hi/bins per column — the grid must be
+  * config-derived, not data-derived, or generations would not merge); the
+  * per-generation profile table is then the reusable artifact: integer
+  * bucket counts merge EXACTLY across any subset of generations
+  * (ProfileMergeNode — element-wise bigint addition, no estimator error,
+  * re-mergeable), and quantiles (HistQuantileNode) or distribution drift
+  * (HistDriftNode) are computed from profile tables alone — kilobytes of
+  * work, the corpora are never re-read.
+  *
+  * Output: one row per (column, bucket) on the fixed grid, EVERY bucket
+  * present (empty buckets n = 0) — (col_name, bin, bin_lo, bin_w, n).
+  * Bucket math is the engine-exact q109 contract: identical float64 ops on
+  * any engine (`floor((x - lo) / w)` with edge clamping), so a DuckDB
+  * replay reproduces counts bit-for-bit. NULLs land in the dedicated
+  * bin = -1 bucket (bin_lo NULL) so `sum(n)` = input rows per column and
+  * null drift is visible; quantile extraction skips it.
+  *
+  * One aggregate pass for all columns: values explode to skinny
+  * (col_name, bin) rows via `inline` and partial (map-side) aggregation
+  * collapses them to at most cols × (bins + 1) groups before any exchange —
+  * at 100 TB the shuffle carries only the per-partition partial counts. The
+  * fixed grid joins counts FROM the grid side (broadcast of the tiny
+  * aggregate), never the data side.
+  */
+class NumericProfileNode(val specs: Seq[NumericProfileNode.Spec]) extends Node {
+  require(specs.nonEmpty, "numeric_profile needs at least one column spec")
+  specs.foreach { s =>
+    require(s.bins > 0, s"numeric_profile '${s.expr}': bins must be positive")
+    require(s.lo < s.hi, s"numeric_profile '${s.expr}': lo must be < hi")
+  }
+  require(specs.map(_.expr).distinct.size == specs.size,
+    "numeric_profile: duplicate column expressions")
+  override protected def defaultName: String = "numeric_profile"
+  val inputs = Seq(Port("df"))
+  val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("numeric_profile")
+  override def jsonParams: Map[String, Any] = Map(
+    "cols" -> specs.map(_.expr), "los" -> specs.map(_.lo),
+    "his" -> specs.map(_.hi), "bins" -> specs.map(_.bins))
+
+  override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
+    import org.apache.spark.sql.functions.{coalesce, count, lit, when}
+    val structs = specs.map { s =>
+      val clamped = s"least(greatest(cast(floor(((${s.expr}) - ${s.lo}) / ${s.w}) " +
+        s"as bigint), 0L), ${s.bins - 1}L)"
+      s"struct('${SqlLit.esc(s.expr)}' as col_name, " +
+        s"case when (${s.expr}) is null then -1L else $clamped end as bin)"
+    }.mkString("array(", ", ", ")")
+    val counts = in("df").selectExpr(s"inline($structs)")
+      .groupBy(col("col_name"), col("bin")).agg(count(lit(1)).as("n"))
+    val spark = ctx.spark
+    val grid = specs.map { s =>
+      spark.range(-1L, s.bins.toLong).select(
+        lit(s.expr).as("col_name"), col("id").as("bin"),
+        when(col("id") >= 0, lit(s.lo) + col("id") * lit(s.w)).as("bin_lo"),
+        lit(s.w).as("bin_w"))
+    }.reduce(_.unionByName(_))
+    // counts is an aggregate of <= cols x (bins + 1) rows — broadcast it so
+    // the fixed-grid completion never shuffles
+    Map("result" -> grid.join(broadcast(counts), Seq("col_name", "bin"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L))))
+  }
+}
+
+object NumericProfileNode {
+  /** One profiled column: `expr` binned onto `bins` buckets of width
+    * (hi − lo)/bins over [lo, hi); values outside clamp to the edge buckets
+    * (the histogram is total), NULLs count under bin −1. */
+  case class Spec(expr: String, lo: Double, hi: Double, bins: Int) {
+    def w: Double = (hi - lo) / bins
+  }
+}
+
+/** Merge NumericProfileNode outputs across generations — element-wise
+  * bigint addition per (col_name, bin), grid columns carried through. The
+  * merge is EXACT (unlike HLL estimates) and the output schema matches the
+  * input, so merges re-merge: the generation-tree rollup is associative by
+  * integer addition. Work is O(generations × columns × bins) rows; no data
+  * is touched. Inputs must share the grid — a col_name whose (bin_lo,
+  * bin_w) disagree across inputs means the profiles were built with
+  * different configs, and the group-by would silently produce a mixed grid;
+  * refused loudly instead.
+  */
+class ProfileMergeNode() extends Node {
+  override protected def defaultName: String = "profile_merge"
+  val inputs = Seq(Port("profiles", variadic = true))
+  val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("profile_merge")
+  override def jsonParams: Map[String, Any] = Map.empty
+  override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
+    import org.apache.spark.sql.functions.{count_distinct, struct, sum}
+    val frames = in.seq("profiles")
+    if (frames.isEmpty) throw new GraftException("profile_merge needs at least one input")
+    val all = frames.map(_.select("col_name", "bin", "bin_lo", "bin_w", "n"))
+      .reduce(_.unionByName(_))
+    val merged = all.groupBy(col("col_name"), col("bin"))
+      .agg(expr("max(bin_lo)").as("bin_lo"), expr("max(bin_w)").as("bin_w"),
+        sum(col("n")).as("n"),
+        // grid agreement: every input must bin this column identically
+        count_distinct(struct(col("bin_lo"), col("bin_w"))).as("__grids"))
+    Map("result" -> merged
+      .withColumn("n", expr(
+        "case when __grids > 1 then raise_error(concat('profile_merge: column ', " +
+          "col_name, ' was profiled on mismatched grids')) else n end"))
+      .drop("__grids"))
+  }
+}
+
+/** Quantile extraction from a (possibly merged) numeric profile — the
+  * publish-time answer to "p50/p95/p99 of document length across the whole
+  * corpus history" without re-reading any generation. Linear interpolation
+  * inside the holding bucket: for target rank r = q·n over the non-null
+  * buckets, the estimate is bin_lo + bin_w · (r − cum_before)/cnt at the
+  * first bucket whose cumulative count reaches r — identical float64 ops on
+  * any engine (the q109 contract), so estimates replay exactly; the error
+  * bound is the bucket width. Work is O(columns × bins) rows — profile-
+  * table-sized, never data-sized. A column whose every value was NULL has
+  * no non-empty bucket and emits no rows (nothing to interpolate).
+  */
+class HistQuantileNode(val quantiles: Seq[Double]) extends Node {
+  require(quantiles.nonEmpty, "hist_quantile needs at least one quantile")
+  require(quantiles.forall(q => q >= 0.0 && q <= 1.0),
+    "hist_quantile: quantiles must be in [0, 1]")
+  override protected def defaultName: String = "hist_quantile"
+  val inputs = Seq(Port("profile"))
+  val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("hist_quantile")
+  override def jsonParams: Map[String, Any] = Map("quantiles" -> quantiles)
+  override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
+    import org.apache.spark.sql.functions.{row_number, sum, typedlit, explode}
+    import org.apache.spark.sql.expressions.Window
+    val nonNull = in("profile").filter(col("bin") >= 0)
+      .select(col("col_name"), col("bin"), col("bin_lo"), col("bin_w"), col("n"))
+    val w = Window.partitionBy(col("col_name")).orderBy(col("bin"))
+    val cum = nonNull
+      .withColumn("cum", sum(col("n")).over(w))
+      .withColumn("n_total", sum(col("n")).over(Window.partitionBy(col("col_name"))))
+      .filter(col("n") > 0)
+    val qs = cum.withColumn("q", explode(typedlit(quantiles)))
+      .withColumn("r", col("q") * col("n_total").cast("double"))
+      .filter(col("cum").cast("double") >= col("r"))
+    val first = Window.partitionBy(col("col_name"), col("q")).orderBy(col("bin"))
+    Map("result" -> qs
+      .withColumn("__rn", row_number().over(first))
+      .filter(col("__rn") === 1)
+      .withColumn("est", col("bin_lo") + col("bin_w") *
+        ((col("r") - (col("cum") - col("n")).cast("double")) / col("n").cast("double")))
+      .select(col("col_name"), col("q"), col("n_total"), col("est")))
+  }
+}
+
+/** Distribution drift between two numeric profiles (yesterday's generation
+  * vs today's, or corpus vs corpus) as TOTAL VARIATION distance — the
+  * data-quality gate a daily 100 TB publish runs from profile tables alone.
+  * TV = ½ Σ |p_i − q_i| over the shared fixed grid (including the NULL
+  * bucket: a null-rate shift IS drift), computed EXACTLY in integer
+  * arithmetic: ½ Σ |cnt_a·N_b − cnt_b·N_a| / (N_a·N_b) — the sum is exact
+  * decimal(38,0) (no float accumulation order to diverge across engines or
+  * partitionings), with ONE correctly-rounded double division at the end.
+  * Output per column: (col_name, tv) with tv in [0, 1]; 0 = identical
+  * distributions, 1 = disjoint support. Work is O(columns × bins) rows.
+  * Columns present in only one side are refused (mismatched profiles),
+  * matching ProfileMergeNode's grid contract.
+  */
+class HistDriftNode() extends Node {
+  override protected def defaultName: String = "hist_drift"
+  val inputs = Seq(Port("a"), Port("b"))
+  val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("hist_drift")
+  override def jsonParams: Map[String, Any] = Map.empty
+  override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
+    import org.apache.spark.sql.functions.sum
+    def side(p: String, df: DataFrame): DataFrame = {
+      val t = df.groupBy(col("col_name"))
+        .agg(sum(col("n")).as(s"n_$p"))
+      df.select(col("col_name"), col("bin"), col("n").as(s"cnt_$p"))
+        .join(broadcast(t), Seq("col_name"))
+    }
+    val a = side("a", in("a"))
+    val b = side("b", in("b"))
+    val joined = a.join(b, Seq("col_name", "bin"), "full_outer")
+    // a col_name on one side only => its grid rows have nulls on the other
+    // side everywhere; the guard lives INSIDE the summed expression (an
+    // unreferenced check column would be pruned and never evaluated)
+    def guarded(c: String): String =
+      s"case when $c is null then raise_error(concat('hist_drift: column ', " +
+        s"col_name, ' is not present in both profiles')) else $c end"
+    Map("result" -> joined
+      .groupBy(col("col_name"))
+      .agg(
+        sum(expr(s"abs(cast((${guarded("cnt_a")}) as decimal(19,0)) * n_b - " +
+          s"cast((${guarded("cnt_b")}) as decimal(19,0)) * n_a)")).as("__tv_num"),
+        expr("max(n_a)").as("__na"), expr("max(n_b)").as("__nb"))
+      .withColumn("tv", expr(
+        "cast(__tv_num as double) / (2.0 * cast(__na as double) * cast(__nb as double))"))
+      .select(col("col_name"), col("tv")))
+  }
+}
+
 /** Arbitrary SQL over named input ports. The fully general relational node —
   * anything Catalyst can parse.
   *

@@ -2222,6 +2222,136 @@ object Advanced {
       .orderBy("doc_id")
   }
 
+  // ---- q158-q160: mergeable NUMERIC profiles — the quantile/drift
+  // counterpart of q150/q155's HLL distinct story. Unlike HLL, histogram
+  // merging is EXACT (integer bucket counts), so the oracle for the merged
+  // profile is simply the ONE-SHOT histogram over the full table — any
+  // count lost or double-counted by the generation split/merge breaks the
+  // hash. Bin math is the engine-exact q109 float64 contract; the oracle
+  // SQL below is GENERATED from the same specs that configure the nodes, so
+  // the two sides can never drift apart on a literal. ----
+
+  private def profOracleBin(expr: String, lo: Double, w: Double, bins: Int): String =
+    s"CASE WHEN ($expr) IS NULL THEN -1 ELSE least(greatest(cast(floor((($expr) - " +
+      s"cast($lo as double)) / cast($w as double)) as bigint), 0), ${bins - 1}) END"
+
+  /** DuckDB replay of one NumericProfileNode spec over `table` (optionally
+    * filtered): the same fixed grid (bin −1..bins−1, empty bins zero), the
+    * same float64 bin math, bin_lo/bin_w recomputed with explicit double
+    * casts so DuckDB's decimal literals never sneak exact-decimal arithmetic
+    * into a float64 contract. */
+  private def profOracleSql(table: String, where: String,
+                            s: NumericProfileNode.Spec): String = {
+    val cn = s.expr.replace("'", "''")
+    val whereSql = if (where.isEmpty) "" else s" WHERE $where"
+    s"""SELECT '$cn' AS col_name, g.bin,
+       |  CASE WHEN g.bin >= 0 THEN cast(${s.lo} as double) + g.bin * cast(${s.w} as double) END AS bin_lo,
+       |  cast(${s.w} as double) AS bin_w,
+       |  cast(coalesce(c.n, 0) as bigint) AS n
+       |FROM (SELECT unnest(generate_series(-1, ${s.bins - 1})) AS bin) g
+       |LEFT JOIN (
+       |  SELECT ${profOracleBin(s.expr, s.lo, s.w, s.bins)} AS bin, count(*) AS n
+       |  FROM $table$whereSql GROUP BY 1) c ON g.bin = c.bin""".stripMargin
+  }
+
+  private val q158Specs = Seq(
+    NumericProfileNode.Spec("l_quantity", 0.0, 50.0, 50),
+    NumericProfileNode.Spec("l_extendedprice", 0.0, 110000.0, 55),
+    // nullif puts the zero-discount mass in the NULL bucket — exercises the
+    // bin = -1 path end to end (w = 0.01 is inexact in binary, which is
+    // exactly why the oracle generator casts every literal to double)
+    NumericProfileNode.Spec("nullif(l_discount, 0.0)", 0.0, 0.16, 16))
+
+  def q158_numeric_profile_merge(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
+    val li = d.add(SourceNode.table(dir, "lineitem"))
+    val merge = d.add(new ProfileMergeNode())
+    (0 until 2).foreach { g =>
+      li >> FilterNode(s"l_orderkey % 2 = $g").named(s"gen$g") >>
+        new NumericProfileNode(q158Specs).named(s"prof$g") >> merge("profiles")
+    }
+    merge >> SortNode("col_name", "bin") >> d.output("result")
+  }
+  val q158Sql: String = q158Specs.map(profOracleSql("lineitem", "", _))
+    .mkString("", "\nUNION ALL\n", "\nORDER BY col_name, bin")
+
+  // q159: corpus-history QUANTILES from profile tables alone — three
+  // generation profiles merge, then p25/p50/p90/p99 interpolate inside the
+  // holding bucket. The oracle replays the one-shot histogram and the
+  // identical float64 interpolation; n_total rides along so a dropped
+  // generation is visible even where quantiles happen to coincide.
+  private val q159Spec = NumericProfileNode.Spec("n_chars", 0.0, 640.0, 64)
+  private val q159Qs = Seq(0.25, 0.5, 0.9, 0.99)
+
+  def q159_hist_quantiles(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
+    val docs = d.add(SourceNode.table(dir, "documents"))
+    val merge = d.add(new ProfileMergeNode())
+    (0 until 3).foreach { g =>
+      docs >> FilterNode(s"doc_id % 3 = $g").named(s"gen$g") >>
+        new NumericProfileNode(Seq(q159Spec)).named(s"prof$g") >> merge("profiles")
+    }
+    merge >> new HistQuantileNode(q159Qs) >>
+      SortNode("col_name", "q") >> d.output("result")
+  }
+  val q159Sql: String = {
+    val s = q159Spec
+    val qsList = q159Qs.mkString("[", ", ", "]")
+    s"""WITH counts AS (
+       |  SELECT ${profOracleBin(s.expr, s.lo, s.w, s.bins)} AS bin, count(*) AS n
+       |  FROM documents WHERE (${s.expr}) IS NOT NULL GROUP BY 1),
+       |cum AS (
+       |  SELECT bin, n, sum(n) OVER (ORDER BY bin) AS cum, sum(n) OVER () AS n_total
+       |  FROM counts WHERE bin >= 0),
+       |cand AS (
+       |  SELECT qs.q, cum.n_total, cum.bin, cum.cum, cum.n,
+       |         row_number() OVER (PARTITION BY qs.q ORDER BY cum.bin) AS rn
+       |  FROM cum CROSS JOIN (SELECT unnest($qsList) AS q) qs
+       |  WHERE cast(cum.cum as double) >= qs.q * cast(cum.n_total as double) AND cum.n > 0)
+       |SELECT '${s.expr.replace("'", "''")}' AS col_name, cast(q as double) AS q,
+       |  cast(n_total as bigint) AS n_total,
+       |  (cast(${s.lo} as double) + bin * cast(${s.w} as double)) + cast(${s.w} as double) *
+       |    ((q * cast(n_total as double) - cast(cum - n as double)) / cast(n as double)) AS est
+       |FROM cand WHERE rn = 1 ORDER BY col_name, q""".stripMargin
+  }
+
+  // q160: distribution DRIFT gate between two corpus slices (the daily
+  // "did today's crawl shift?" check) — total variation distance computed
+  // EXACTLY in integer arithmetic from the two profile tables, one
+  // correctly-rounded double division at the end (engine-exact, no float
+  // accumulation order). The en slice skews long vs the rest, so tv is
+  // meaningfully nonzero; the doc_id-derived column is uniform on both
+  // sides, pinning a near-zero drift alongside.
+  private val q160Specs = Seq(
+    NumericProfileNode.Spec("n_chars", 0.0, 640.0, 64),
+    NumericProfileNode.Spec("cast(doc_id % 64 as double)", 0.0, 64.0, 64))
+
+  def q160_hist_drift(spark: SparkSession, dir: String): DataFrame = run(spark) { d =>
+    val docs = d.add(SourceNode.table(dir, "documents"))
+    val drift = d.add(new HistDriftNode())
+    docs >> FilterNode("lang = 'en'").named("en") >>
+      new NumericProfileNode(q160Specs).named("profA") >> drift("a")
+    docs >> FilterNode("lang <> 'en'").named("rest") >>
+      new NumericProfileNode(q160Specs).named("profB") >> drift("b")
+    drift >> SortNode("col_name") >> d.output("result")
+  }
+  val q160Sql: String = {
+    val ctes = q160Specs.zipWithIndex.flatMap { case (s, i) =>
+      val bin = profOracleBin(s.expr, s.lo, s.w, s.bins)
+      Seq(
+        s"pa_$i AS (SELECT $bin AS bin, count(*) AS n FROM documents WHERE lang = 'en' GROUP BY 1)",
+        s"pb_$i AS (SELECT $bin AS bin, count(*) AS n FROM documents WHERE lang <> 'en' GROUP BY 1)")
+    }.mkString(",\n")
+    val legs = q160Specs.zipWithIndex.map { case (s, i) =>
+      val cn = s.expr.replace("'", "''")
+      s"""SELECT '$cn' AS col_name,
+         |  cast((SELECT sum(abs(coalesce(a.n, 0) * (SELECT sum(n) FROM pb_$i) -
+         |                       coalesce(b.n, 0) * (SELECT sum(n) FROM pa_$i)))
+         |        FROM pa_$i a FULL OUTER JOIN pb_$i b USING (bin)) as double) /
+         |  (2.0 * cast((SELECT sum(n) FROM pa_$i) as double) *
+         |   cast((SELECT sum(n) FROM pb_$i) as double)) AS tv""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"WITH $ctes\n$legs\nORDER BY col_name"
+  }
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q94_bloom_join", q94_bloom_join _, q94Sql),
     ("q95_pagerank", q95_pagerank _, q95Sql),

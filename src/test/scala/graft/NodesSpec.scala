@@ -2565,6 +2565,116 @@ class NodesSpec extends AnyFunSuite {
       Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
     assert(msgs(err).exists(m => m != null && m.contains("null order/tie/value")))
   }
+
+  // ---- mergeable numeric profiles (round 11): fixed-grid histograms that
+  // merge exactly across generations, quantile extraction, TV drift ----
+
+  private def profSpec(expr: String, lo: Double, hi: Double, bins: Int) =
+    NumericProfileNode.Spec(expr, lo, hi, bins)
+
+  private def profile(df: DataFrame, specs: Seq[NumericProfileNode.Spec]): DataFrame =
+    runOne { d =>
+      d.add(srcNode(df)) >> new NumericProfileNode(specs) >> d.output("result")
+    }
+
+  test("NumericProfileNode: fixed grid with null bucket, edge clamping, every bin present") {
+    val vals = Seq(Some(-5.0), Some(0.0), Some(15.0), Some(25.0), Some(999.0), None, None)
+      .toDF("x")
+    val rows = profile(vals, Seq(profSpec("x", 0.0, 30.0, 3)))
+      .orderBy("bin").collect()
+    // bins: -1 (nulls), 0 [0,10) <- {-5 clamped, 0}, 1 [10,20) <- {15},
+    // 2 [20,30) <- {25, 999 clamped}
+    assert(rows.map(_.getLong(1)).toSeq == Seq(-1L, 0L, 1L, 2L))
+    assert(rows.map(_.getLong(4)).toSeq == Seq(2L, 2L, 1L, 2L))
+    assert(rows.head.isNullAt(2)) // null bucket has no bin_lo
+    assert(rows(1).getDouble(2) == 0.0 && rows(2).getDouble(2) == 10.0)
+    assert(rows.map(_.getLong(4)).sum == 7L) // sum(n) == input rows
+  }
+
+  test("ProfileMergeNode: generation-split merge == one-shot profile bit-exact; " +
+      "rollup of merges == flat merge; mismatched grids refused") {
+    val base = (0 until 90).map(i => (i.toLong, (i * 7 % 100).toDouble))
+      .toDF("id", "x")
+    val specs = Seq(profSpec("x", 0.0, 100.0, 10))
+    def key(df: DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(4))).sortBy(t => (t._1, t._2)).toSeq
+    val oneShot = profile(base, specs)
+    val gens = (0 until 3).map(g => profile(base.filter(s"id % 3 = $g"), specs))
+    val flat = runOne { d =>
+      val m = d.add(new ProfileMergeNode())
+      gens.zipWithIndex.foreach { case (g, i) => d.add(srcNode(g, s"g$i")) >> m("profiles") }
+      m >> d.output("result")
+    }
+    assert(key(flat) == key(oneShot))
+    val rollup = runOne { d =>
+      val m01 = d.add(new ProfileMergeNode().named("m01"))
+      d.add(srcNode(gens(0), "r0")) >> m01("profiles")
+      d.add(srcNode(gens(1), "r1")) >> m01("profiles")
+      val m = d.add(new ProfileMergeNode().named("mAll"))
+      m01 >> m("profiles")
+      d.add(srcNode(gens(2), "r2")) >> m("profiles")
+      m >> d.output("result")
+    }
+    assert(key(rollup) == key(flat))
+    val otherGrid = profile(base, Seq(profSpec("x", 0.0, 200.0, 10)))
+    val err = intercept[Exception] {
+      runOne { d =>
+        val m = d.add(new ProfileMergeNode())
+        d.add(srcNode(gens(0), "ga")) >> m("profiles")
+        d.add(srcNode(otherGrid, "gb")) >> m("profiles")
+        m >> d.output("result")
+      }.collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(err).exists(_.contains("mismatched grids")))
+  }
+
+  test("HistQuantileNode: interpolated quantiles on a uniform grid; " +
+      "all-null column emits no rows") {
+    val uniform = (0 until 100).map(i => (i.toLong, i.toDouble, None: Option[Double]))
+      .toDF("id", "x", "y")
+    val prof = profile(uniform, Seq(profSpec("x", 0.0, 100.0, 10),
+      profSpec("y", 0.0, 100.0, 10)))
+    val out = runOne { d =>
+      d.add(srcNode(prof)) >> new HistQuantileNode(Seq(0.25, 0.5, 1.0)) >>
+        d.output("result")
+    }.orderBy("col_name", "q").collect()
+    // x: n=100; r=25 -> bin2 (cum 30), frac (25-20)/10 -> est 25.0; r=50 ->
+    // bin4 (cum 50), frac 1.0 -> est 50.0; r=100 -> bin9, est 100.0.
+    // y: every value null -> no non-empty bucket -> no rows.
+    assert(out.map(_.getString(0)).forall(_ == "x"))
+    assert(out.map(r => (r.getDouble(1), r.getDouble(3))).toSeq ==
+      Seq((0.25, 25.0), (0.5, 50.0), (1.0, 100.0)))
+    assert(out.forall(_.getLong(2) == 100L))
+  }
+
+  test("HistDriftNode: identical profiles drift 0, disjoint support drifts 1, " +
+      "null-rate shift counts, one-sided column refused") {
+    val specs = Seq(profSpec("x", 0.0, 10.0, 2))
+    val lowHalf = Seq(1.0, 2.0, 3.0).toDF("x")
+    val highHalf = Seq(6.0, 7.0, 8.0, 9.0).toDF("x")
+    def drift(a: DataFrame, b: DataFrame): Map[String, Double] =
+      runOne { d =>
+        val n = d.add(new HistDriftNode())
+        d.add(srcNode(a, "pa")) >> n("a"); d.add(srcNode(b, "pb")) >> n("b")
+        n >> d.output("result")
+      }.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val pl = profile(lowHalf, specs)
+    assert(drift(pl, pl) == Map("x" -> 0.0))
+    assert(drift(pl, profile(highHalf, specs)) == Map("x" -> 1.0))
+    // half the mass moves to the null bucket: TV = 0.5
+    val withNulls = Seq(Some(1.0), None).toDF("x")
+    val allLow = Seq(Some(1.0), Some(2.0)).toDF("x")
+    assert(drift(profile(allLow, specs), profile(withNulls, specs)) == Map("x" -> 0.5))
+    val err = intercept[Exception] {
+      drift(pl, profile(highHalf.withColumnRenamed("x", "z").selectExpr("z"),
+        Seq(profSpec("z", 0.0, 10.0, 2))))
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(err).exists(_.contains("not present in both profiles")))
+  }
 }
 
 object NodesSpec {

@@ -254,6 +254,21 @@ class SerializationSpec extends AnyFunSuite {
     val sp2 = d2.node(sp.name).asInstanceOf[SketchProfileNode]
     assert(sp2.columns == Seq("a", "b") && sp2.lgConfigK == 12)
     assert(d2.node(sm.name).isInstanceOf[SketchMergeNode])
+    val np = d.add(new NumericProfileNode(Seq(
+      NumericProfileNode.Spec("n_chars", 0.0, 640.0, 64),
+      NumericProfileNode.Spec("nullif(x, 0.0)", -1.5, 1.5, 16))))
+    val hq = d.add(new HistQuantileNode(Seq(0.25, 0.5, 0.99)))
+    val hd = d.add(new HistDriftNode())
+    val pm = d.add(new ProfileMergeNode())
+    val d3 = DagJson.fromJson(DagJson.toJson(d))
+    val np2 = d3.node(np.name).asInstanceOf[NumericProfileNode]
+    assert(np2.specs == Seq(
+      NumericProfileNode.Spec("n_chars", 0.0, 640.0, 64),
+      NumericProfileNode.Spec("nullif(x, 0.0)", -1.5, 1.5, 16)))
+    assert(d3.node(hq.name).asInstanceOf[HistQuantileNode].quantiles ==
+      Seq(0.25, 0.5, 0.99))
+    assert(d3.node(hd.name).isInstanceOf[HistDriftNode])
+    assert(d3.node(pm.name).isInstanceOf[ProfileMergeNode])
   }
 
   test("round-trip covers quality kinds: heuristic/vocab/semdedup/domain-quota") {
