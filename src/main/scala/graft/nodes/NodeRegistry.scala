@@ -282,7 +282,9 @@ object NodeRegistry {
       p.intOr("lgConfigK", 14)))
     register("sketch_merge")(_ => new SketchMergeNode())
     register("cluster_index")(p => new ClusterIndexNode(p.str("idA"), p.str("idB"),
-      p.int("maxIter"), p.intOr("compactEvery", 0), p.strOpt("compactPath")))
+      p.int("maxIter"), p.intOr("compactEvery", 0), p.strOpt("compactPath"),
+      if (p.contains("maxOverlayRows") && p("maxOverlayRows") != null)
+        p.dbl("maxOverlayRows").toLong else 4000000L))
     register("numeric_profile") { p =>
       val (cols, los) = (p.strs("cols"), p.strs("los").map(_.toDouble))
       val (his, bins) = (p.strs("his").map(_.toDouble), p.strs("bins").map(_.toInt))

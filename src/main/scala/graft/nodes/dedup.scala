@@ -266,14 +266,18 @@ class ConnectedComponentsNode(idA: String = "id_a", idB: String = "id_b", maxIte
   * to its representative preserves connectivity of the union graph, so
   *
   *   - fit(pairs): one ConnectedComponentsNode pass over the base edges;
-  *     the model is the persisted mapping (id, cluster_id);
+  *     the model is the persisted BASE mapping (id, cluster_id), laid out
+  *     once, hash-partitioned on id;
   *   - updateIndex(delta pairs): map each delta endpoint to its current
-  *     representative (two keyed lookup joins against the mapping — the
-  *     only corpus-sized work, and it's a partitioned equi-join, not a
-  *     shuffle of the corpus), run CC over the CONTRACTED delta graph
-  *     only (delta-sized — base components appear as single rep nodes),
-  *     then rebase the full mapping through the tiny rep-remap table,
-  *     BROADCAST so the corpus-sized mapping never shuffles;
+  *     representative (keyed lookup joins — the base never shuffles), run
+  *     CC over the CONTRACTED delta graph only (delta-sized — base
+  *     components appear as single rep nodes), then COMPOSE the resulting
+  *     rep-remap into a broadcast-sized OVERLAY applied lazily at every
+  *     read — per-batch work is delta-sized, the corpus-sized base is
+  *     never rewritten (the overlay folds into the base only at
+  *     `foldOverlay`, triggered by `maxOverlayRows`, or `compactIndex`);
+  *   - deleteFromIndex(ids): tombstone overlay masking base rows (same
+  *     lazy-read pattern; historical labels retained — see method doc);
   *   - transform(queries): left join ids to clusters; unpaired ids are
   *     their own singleton cluster.
   *
@@ -291,27 +295,30 @@ class ConnectedComponentsNode(idA: String = "id_a", idB: String = "id_b", maxIte
 class ClusterIndexNode(val idA: String = "id_a", val idB: String = "id_b",
                        val maxIter: Int = 15,
                        val compactEvery: Int = 0,
-                       val compactPath: Option[String] = None)
+                       val compactPath: Option[String] = None,
+                       val maxOverlayRows: Long = 4000000L)
   extends graft.dag.EstimatorNode with IncrementalIndex {
   type Model = ClusterIndexNode.Index
   require(compactEvery >= 0, "compactEvery must be >= 0")
+  require(maxOverlayRows > 0, "maxOverlayRows must be positive")
   override protected def defaultName: String = "cluster_index"
   val inputs = Seq(Port("pairs"), Port("queries"))
   val outputs = Seq(Port("result"))
   override def jsonKind: Option[String] = Some("cluster_index")
   override def jsonParams: Map[String, Any] = Map(
     "idA" -> idA, "idB" -> idB, "maxIter" -> maxIter,
-    "compactEvery" -> compactEvery, "compactPath" -> compactPath.orNull)
+    "compactEvery" -> compactEvery, "compactPath" -> compactPath.orNull,
+    "maxOverlayRows" -> maxOverlayRows)
 
   private def cc(ctx: Ctx, pairs: DataFrame): DataFrame =
     new ConnectedComponentsNode(idA, idB, maxIter = maxIter)
       .transform(ctx, graft.dag.In.single("pairs" -> pairs))("result")
 
-  /** Persist the mapping HASH-PARTITIONED on id: InMemoryRelation preserves
-    * the child's outputPartitioning, so every subsequent delta-contraction
-    * join and query lookup on `id` shuffles only its delta/query side — the
-    * corpus-sized mapping is laid out once per generation, never re-shuffled
-    * per batch. */
+  /** Persist the base mapping HASH-PARTITIONED on id: InMemoryRelation
+    * preserves the child's outputPartitioning, so every subsequent delta-
+    * contraction join and query lookup on `id` shuffles only its delta/
+    * query side. With the overlay design this relayout happens at fit,
+    * fold, and compact ONLY — never per update batch. */
   private def persistMapping(df: DataFrame): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val np = df.sparkSession.sessionState.conf.numShufflePartitions
@@ -320,67 +327,172 @@ class ClusterIndexNode(val idA: String = "id_a", val idB: String = "id_b",
     laid
   }
 
-  def fitModel(ctx: Ctx, in: In): Model =
-    ClusterIndexNode.Index(persistMapping(
-      cc(ctx, in("pairs")).select(col("id"), col("cluster_id"))))
+  private def persistSmall(df: DataFrame): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    df.persist(StorageLevel.MEMORY_AND_DISK)
+  }
+
+  // typed empty overlays derived from the base frame (ids may be any type)
+  private def emptyFresh(base: DataFrame) = base.select("id", "cluster_id").limit(0)
+  private def emptyRemap(base: DataFrame) =
+    base.select(col("cluster_id").as("__rep"), col("cluster_id").as("__new")).limit(0)
+  private def emptyTomb(base: DataFrame) = base.select("id").limit(0)
+
+  /** Base rows with the tombstone mask and the broadcast rep-remap applied —
+    * the lazily-rebased view every read path uses. The base side keeps its
+    * id-hash layout (both overlay joins are broadcast, map-side). */
+  private def baseEffective(m: Model): DataFrame = m.base
+    .join(broadcast(m.tombstones), Seq("id"), "left_anti")
+    .join(broadcast(m.remap), col("cluster_id") === col("__rep"), "left")
+    .select(col("id"), coalesce(col("__new"), col("cluster_id")).as("cluster_id"))
+
+  /** The full (id, cluster_id) mapping as one frame — what saveFitted
+    * writes and fold/compact re-lay-out. */
+  private def effectiveMapping(m: Model): DataFrame =
+    baseEffective(m).union(m.fresh.select("id", "cluster_id"))
+
+  def fitModel(ctx: Ctx, in: In): Model = {
+    val base = persistMapping(
+      cc(ctx, in("pairs")).select(col("id"), col("cluster_id")))
+    ClusterIndexNode.Index(base, emptyFresh(base), emptyRemap(base), emptyTomb(base))
+  }
 
   def applyModel(m: Model, ctx: Ctx, in: In): Map[String, DataFrame] = {
     val q = in("queries")
     val idCol = q.columns.head
+    // two-probe lookup instead of joining one unioned mapping: a union
+    // would discard the base frame's id-hash layout and re-shuffle the
+    // corpus per query batch. Base (masked+remapped) and fresh are
+    // disjoint by construction, so at most one probe hits.
     Map("result" -> q.select(col(idCol).as("id"))
-      .join(m.mapping.withColumnRenamed("cluster_id", "__c"), Seq("id"), "left")
+      .join(baseEffective(m).withColumnRenamed("cluster_id", "__cb"), Seq("id"), "left")
+      .join(m.fresh.select(col("id"), col("cluster_id").as("__cf")), Seq("id"), "left")
       .select(col("id").as(idCol),
-        coalesce(col("__c"), col("id")).as("cluster_id")))
+        coalesce(col("__cb"), col("__cf"), col("id")).as("cluster_id")))
   }
 
-  /** Fold a delta edge batch in with delta-sized CC work (class doc). */
+  /** Fold a delta edge batch in with DELTA-SIZED work only: contract the
+    * delta endpoints through the effective mapping (keyed lookups — the
+    * base never shuffles), run CC over the contracted delta graph, then
+    * COMPOSE the resulting rep-remap into the broadcast overlay instead of
+    * rewriting the corpus-sized mapping (the pre-overlay design paid a full
+    * O(corpus) repartition+persist per batch — fatal for per-micro-batch
+    * streamed maintenance at 100 TB). The base mapping is touched only by
+    * `foldOverlay`/`compactIndex`.
+    *
+    * Overlay-composition correctness: base rows carry their FIT-time labels
+    * forever; `remap` maps fit labels to current labels. A batch's CC remap
+    * is keyed on CURRENT labels, so the new overlay is (a) every existing
+    * entry with its value pushed through the batch remap, plus (b) the
+    * batch remap's own non-identity entries — (b) keys are current labels,
+    * (a) keys are superseded ones, so the two sets are disjoint, and a (b)
+    * key that is not a fit-time label matches no base row (harmless).
+    * Min-label associativity then gives the same labels as a from-scratch
+    * CC over the union graph, bit-for-bit (q156/q157).
+    *
+    * Note on tombstoned ids: a delta edge naming a deleted id re-admits it
+    * (it is a lookup miss, hence treated as new); pair producers should
+    * filter delta edges against the deletion set if that is not intended. */
   def updateIndex(ctx: Ctx, delta: DataFrame): Unit = {
     import org.apache.spark.storage.StorageLevel
     val m = model.getOrElse(
       throw new graft.dag.GraftException(s"estimator node '$name' not fitted"))
     val d = delta.select(col(idA).as("__a"), col(idB).as("__b"))
-    // contract endpoints through the current mapping; flag NEW nodes so the
-    // fresh-member set needs no anti-join against the corpus-sized mapping
+    val baseEff = baseEffective(m)
+    // contract endpoints through base-effective and fresh (disjoint probes);
+    // flag NEW nodes so the fresh-member set needs no corpus-sized anti-join
     val contracted = d
-      .join(m.mapping.select(col("id").as("__a"), col("cluster_id").as("__ra")),
+      .join(baseEff.select(col("id").as("__a"), col("cluster_id").as("__ba")),
         Seq("__a"), "left")
-      .join(m.mapping.select(col("id").as("__b"), col("cluster_id").as("__rb")),
+      .join(m.fresh.select(col("id").as("__a"), col("cluster_id").as("__fa")),
+        Seq("__a"), "left")
+      .join(baseEff.select(col("id").as("__b"), col("cluster_id").as("__bb")),
         Seq("__b"), "left")
-      .select(coalesce(col("__ra"), col("__a")).as(idA),
-        coalesce(col("__rb"), col("__b")).as(idB),
-        col("__ra").isNull.as("__newA"), col("__rb").isNull.as("__newB"))
+      .join(m.fresh.select(col("id").as("__b"), col("cluster_id").as("__fb")),
+        Seq("__b"), "left")
+      .select(
+        coalesce(col("__ba"), col("__fa"), col("__a")).as(idA),
+        coalesce(col("__bb"), col("__fb"), col("__b")).as(idB),
+        (col("__ba").isNull && col("__fa").isNull).as("__newA"),
+        (col("__bb").isNull && col("__fb").isNull).as("__newB"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     contracted.count()
     // delta-sized CC over the contracted graph (reps + new ids only)
-    val remap = cc(ctx, contracted.select(col(idA), col(idB)))
+    val remapFull = cc(ctx, contracted.select(col(idA), col(idB)))
       .select(col("id"), col("cluster_id"))
     val newIds = contracted.filter(col("__newA")).select(col(idA).as("id"))
       .union(contracted.filter(col("__newB")).select(col(idB).as("id")))
       .distinct()
-    val fresh = newIds.join(remap, Seq("id")) // every new node is in the delta graph
-    // rebase: the corpus-sized mapping streams map-side against the
-    // BROADCAST delta-sized remap — reps untouched by the delta pass through
-    val rebased = m.mapping
-      .join(broadcast(remap.withColumnRenamed("id", "__rep")
-          .withColumnRenamed("cluster_id", "__new")),
-        m.mapping("cluster_id") === col("__rep"), "left")
-      .select(m.mapping("id"),
-        coalesce(col("__new"), m.mapping("cluster_id")).as("cluster_id"))
-    // materialize (partitioned on id) before releasing the superseded gen
-    val grown = persistMapping(rebased.union(fresh.select(col("id"), col("cluster_id"))))
-    model = Some(ClusterIndexNode.Index(grown))
-    m.mapping.unpersist(); contracted.unpersist()
+    // labels for this batch's new members (identity rows included — the
+    // mapping stores every known id, matching the pre-overlay contents)
+    val freshNew = newIds.join(remapFull, Seq("id"))
+    val remapDelta = remapFull.filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as("__rep"), col("cluster_id").as("__new"))
+    // (a) push existing overlay values through the batch remap
+    val composed = m.remap
+      .join(remapDelta.select(col("__rep").as("__k"), col("__new").as("__v")),
+        col("__new") === col("__k"), "left")
+      .select(col("__rep"), coalesce(col("__v"), col("__new")).as("__new"))
+    // (b) the batch remap itself (disjoint keys — doc above)
+    val newRemap = persistSmall(composed.union(remapDelta))
+    // rebase accumulated fresh rows (delta-volume-sized) + append new ones
+    val newFresh = persistSmall(m.fresh
+      .join(broadcast(remapDelta), col("cluster_id") === col("__rep"), "left")
+      .select(col("id"), coalesce(col("__new"), col("cluster_id")).as("cluster_id"))
+      .union(freshNew.select(col("id"), col("cluster_id"))))
+    val overlayRows = newRemap.count() + newFresh.count()
+    model = Some(ClusterIndexNode.Index(m.base, newFresh, newRemap, m.tombstones))
+    m.fresh.unpersist(); m.remap.unpersist(); contracted.unpersist()
     generation += 1
+    // the overlay must stay broadcast-sized: amortize a corpus relayout
+    // over many batches once the accumulated overlay crosses the bound
+    if (overlayRows + tombstoneRows > maxOverlayRows) foldOverlay()
+    if (compactEvery > 0 && generation % compactEvery == 0) compactIndex()
+  }
+
+  /** Remove documents from the mapping. Base rows are masked via the
+    * broadcast tombstone overlay (no corpus relayout); fresh rows are
+    * anti-joined directly (delta-volume-sized). Remaining cluster members
+    * KEEP their historical labels — connectivity evidence through a deleted
+    * doc is retained, matching the incremental model where evidence is
+    * folded in once and never replayed (the from-scratch equivalent: CC
+    * over ALL edges, mapping then restricted to live ids). A deleted id
+    * queried afterwards maps to itself (singleton), like any unknown id. */
+  def deleteFromIndex(ctx: Ctx, deletes: DataFrame): Unit = {
+    val m = model.getOrElse(
+      throw new graft.dag.GraftException(s"estimator node '$name' not fitted"))
+    val del = deletes.select(col(deletes.columns.head).as("id")).distinct()
+    val newTomb = persistSmall(m.tombstones.union(del).distinct())
+    val newFresh = persistSmall(m.fresh.join(del, Seq("id"), "left_anti"))
+    tombstoneRows = newTomb.count()
+    val freshRows = newFresh.count()
+    model = Some(ClusterIndexNode.Index(m.base, newFresh, m.remap, newTomb))
+    m.fresh.unpersist(); m.tombstones.unpersist()
+    generation += 1
+    if (tombstoneRows + freshRows > maxOverlayRows) foldOverlay()
     if (compactEvery > 0 && generation % compactEvery == 0) compactIndex()
   }
 
   @volatile private var generation: Long = 0L
   @volatile private var compactGen: Long = 0L
+  @volatile private var tombstoneRows: Long = 0L
 
-  /** Truncate the one-union-per-generation lineage through parquet (the
-    * MinHashIndexNode/IvfIndexNode double-buffer contract). */
+  /** One corpus-sized relayout that folds the overlays into the base and
+    * clears them — the amortized cost the per-batch path no longer pays. */
+  def foldOverlay(): Unit = {
+    val m = model.getOrElse(
+      throw new graft.dag.GraftException(s"estimator node '$name' not fitted"))
+    val folded = persistMapping(effectiveMapping(m))
+    model = Some(ClusterIndexNode.Index(
+      folded, emptyFresh(folded), emptyRemap(folded), emptyTomb(folded)))
+    tombstoneRows = 0L
+    m.base.unpersist(); m.fresh.unpersist(); m.remap.unpersist(); m.tombstones.unpersist()
+  }
+
+  /** Truncate lineage through parquet (the MinHashIndexNode/IvfIndexNode
+    * double-buffer contract); also folds the overlays — the written
+    * `mapping` is the effective one, keeping the save format unchanged. */
   def compactIndex(): Unit = {
-    import org.apache.spark.storage.StorageLevel
     val m = model.getOrElse(
       throw new graft.dag.GraftException(s"estimator node '$name' not fitted"))
     val path = compactPath match {
@@ -390,35 +502,52 @@ class ClusterIndexNode(val idA: String = "id_a", val idB: String = "id_b",
         t.toFile.deleteOnExit()
         t.toString
     }
-    val session = m.mapping.sparkSession
+    val session = m.base.sparkSession
     saveFitted(path)
+    val base = persistMapping(session.read.parquet(s"$path/mapping"))
     model = Some(ClusterIndexNode.Index(
-      persistMapping(session.read.parquet(s"$path/mapping"))))
-    m.mapping.unpersist()
+      base, emptyFresh(base), emptyRemap(base), emptyTomb(base)))
+    tombstoneRows = 0L
+    m.base.unpersist(); m.fresh.unpersist(); m.remap.unpersist(); m.tombstones.unpersist()
   }
 
-  /** Release the persisted mapping (fit again to rebuild). */
-  def unpersistIndex(): Unit = model.foreach(_.mapping.unpersist())
+  /** Release the persisted frames (fit again to rebuild). */
+  def unpersistIndex(): Unit = model.foreach { m =>
+    m.base.unpersist(); m.fresh.unpersist(); m.remap.unpersist(); m.tombstones.unpersist()
+  }
+
+  /** The base mapping frame — exposed for plan tests pinning that update
+    * batches do NOT relayout the corpus (reference stays identical until
+    * foldOverlay/compactIndex). */
+  private[graft] def baseMappingRef: Option[DataFrame] = model.map(_.base)
 
   override def saveFitted(path: String): Unit = {
     val m = model.getOrElse(
       throw new graft.dag.GraftException(s"estimator node '$name' not fitted"))
-    m.mapping.write.mode("overwrite").parquet(s"$path/mapping")
-    saveMaintenanceState(m.mapping.sparkSession, path)
+    effectiveMapping(m).write.mode("overwrite").parquet(s"$path/mapping")
+    saveMaintenanceState(m.base.sparkSession, path)
   }
   override def loadFitted(path: String): Unit = loadFitted(path, None)
   /** Session-explicit load (the MinHashIndexNode.loadFitted rationale). */
   def loadFitted(path: String, session: Option[org.apache.spark.sql.SparkSession]): Unit = {
     val spark = session.getOrElse(org.apache.spark.sql.SparkSession.active)
+    val base = persistMapping(spark.read.parquet(s"$path/mapping"))
     model = Some(ClusterIndexNode.Index(
-      persistMapping(spark.read.parquet(s"$path/mapping"))))
+      base, emptyFresh(base), emptyRemap(base), emptyTomb(base)))
+    tombstoneRows = 0L
     loadMaintenanceState(spark, path)
   }
 }
 
 object ClusterIndexNode {
-  /** The fitted state: the (id, cluster_id) component mapping. */
-  case class Index(mapping: DataFrame)
+  /** The fitted state: `base` — the (id, cluster_id) mapping laid out once
+    * (fit-time labels, never rewritten per batch); `fresh` — rows for ids
+    * added since the last fold (kept current, delta-volume-sized); `remap` —
+    * the broadcast fit-label → current-label overlay; `tombstones` — deleted
+    * ids masking base rows. Effective mapping = remap∘(base ∖ tombstones) ∪
+    * fresh. */
+  case class Index(base: DataFrame, fresh: DataFrame,
+                   remap: DataFrame, tombstones: DataFrame)
 }
 
 /** Survivor selection over near-dup PAIRS: keep every doc that never appears
@@ -932,6 +1061,33 @@ class MinHashIndexNode(
     val ok = grown.groupBy("band", "band_hash").count()
       .filter(col("count") <= maxBucket).select("band", "band_hash")
     val newBuckets = grown.join(ok, Seq("band", "band_hash"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    newShingles.count(); newBuckets.count() // materialize before releasing old
+    model = Some(MinHashIndexNode.Index(newShingles, newBuckets))
+    m.shingles.unpersist(); m.buckets.unpersist()
+    generation += 1
+    if (compactEvery > 0 && generation % compactEvery == 0) compactIndex()
+  }
+
+  /** Remove deleted documents' shingle rows and band-bucket entries — two
+    * anti joins. Identical to a from-scratch fit over the post-delete
+    * corpus EXCEPT buckets previously dropped whole by `maxBucket`: those
+    * rows were never stored, so a deletion that would bring a dropped
+    * bucket back under the cap cannot resurrect it (under-recall, never
+    * false positives) until the next refit. Kept buckets only shrink, so
+    * the cap needs no re-evaluation. Tombstones for unknown ids are
+    * no-ops. */
+  def deleteFromIndex(ctx: Ctx, deletes: DataFrame): Unit = {
+    import org.apache.spark.storage.StorageLevel
+    val m = model.getOrElse(
+      throw new graft.dag.GraftException(s"estimator node '$name' not fitted"))
+    val del = deletes.select(col(idCol).as("base_id")).distinct()
+    val newShingles = m.shingles.select("base_id", "__sh_b")
+      .join(del, Seq("base_id"), "left_anti")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val newBuckets = m.buckets.select("band", "band_hash", "base_id")
+      .join(del, Seq("base_id"), "left_anti")
+      .select("band", "band_hash", "base_id")
       .persist(StorageLevel.MEMORY_AND_DISK)
     newShingles.count(); newBuckets.count() // materialize before releasing old
     model = Some(MinHashIndexNode.Index(newShingles, newBuckets))

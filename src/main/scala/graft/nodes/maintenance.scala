@@ -17,6 +17,27 @@ trait IncrementalIndex { self: Node =>
   /** Fold a delta batch into the fitted index (delta-sized work only). */
   def updateIndex(ctx: Ctx, delta: DataFrame): Unit
 
+  /** Remove documents from the fitted index — the takedown/GDPR path that
+    * CDC tombstones need: `CdcApply` deletes rows from the published CORPUS,
+    * and without this the indexes keep serving the deleted documents until
+    * a full refit. `deletes` carries the index's id column (extra columns
+    * ignored); ids absent from the index are no-ops (tombstones may arrive
+    * for never-indexed or already-deleted docs).
+    *
+    * Exactness contract per family (each documented at its override):
+    * InvertedIndexNode is BIT-IDENTICAL to a from-scratch fit over the
+    * post-delete corpus (exact df/N decrement); IvfIndexNode is identical
+    * given the same frozen centroids; MinHashIndexNode is identical except
+    * buckets previously dropped whole by `maxBucket` (they are not
+    * resurrected); ClusterIndexNode removes the doc from the mapping while
+    * RETAINING historical connectivity for the remaining members.
+    *
+    * Upsert composition: `updateIndex` is append-only, so re-crawling a
+    * changed document must call `deleteFromIndex(ids)` FIRST and then
+    * `updateIndex(newRows)` — `IndexMaintenance.maintainFromStream` does
+    * exactly that when given a `deleteCol`. */
+  def deleteFromIndex(ctx: Ctx, deletes: DataFrame): Unit
+
   /** Highest streaming micro-batch id already folded in — the foreachBatch
     * replay guard. Structured Streaming redelivers the last UNCOMMITTED
     * batch after a restart with the SAME batch id, so skipping
@@ -216,10 +237,19 @@ object CdcApply {
 }
 
 object IndexMaintenance {
-  /** Drive `idx.updateIndex` from a streaming delta, one micro-batch at a
-    * time. Returns the started query; with the default AvailableNow
-    * trigger and `await = true` (the bounded-refresh shape) the call
-    * blocks until the backlog is drained and the index is fully refreshed.
+  /** Drive `idx.updateIndex` (and, with `deleteCol`, `idx.deleteFromIndex`)
+    * from a streaming delta, one micro-batch at a time. Returns the started
+    * query; with the default AvailableNow trigger and `await = true` (the
+    * bounded-refresh shape) the call blocks until the backlog is drained
+    * and the index is fully refreshed.
+    *
+    * CDC mode (`deleteCol = Some(c)`): each micro-batch splits on the
+    * boolean column `c` — upsert rows first (`deleteFromIndex` on their ids
+    * to drop any superseded version, then `updateIndex`), tombstone rows
+    * last (`deleteFromIndex`), so within one batch a delete for a key also
+    * upserted in that batch wins — the MergeNode/CdcApply convention. With
+    * `deleteCol = None` every row is a plain append (`updateIndex` only —
+    * no per-batch delete pass, the pre-CDC behavior).
     *
     * Pass a `checkpoint` for any maintenance that may re-drain the same
     * source (restarts, periodic AvailableNow re-runs over a growing
@@ -227,7 +257,11 @@ object IndexMaintenance {
     * SOURCE OFFSETS. Without one, a re-invocation renumbers all files from
     * batch 0 and the replay guard then skips the first `lastAppliedBatch+1`
     * batches by POSITION — correct only while file ordering (mod time) is
-    * stable.
+    * stable. Because that positional skip is easy to misuse, a
+    * checkpoint-less call on an index that has ALREADY folded in streamed
+    * batches (`lastAppliedBatch >= 0`) is REFUSED unless the caller
+    * explicitly acknowledges positional skipping via
+    * `positionalReplaySkipOk = true`.
     */
   def maintainFromStream(
       idx: IncrementalIndex,
@@ -235,16 +269,37 @@ object IndexMaintenance {
       delta: DataFrame,
       checkpoint: Option[String] = None,
       trigger: Trigger = Trigger.AvailableNow(),
-      await: Boolean = true): StreamingQuery = {
+      await: Boolean = true,
+      deleteCol: Option[String] = None,
+      positionalReplaySkipOk: Boolean = false): StreamingQuery = {
     if (!delta.isStreaming)
       throw new GraftException(
         "maintainFromStream needs a streaming delta — for a batch delta call updateIndex directly")
+    if (checkpoint.isEmpty && idx.lastAppliedBatch >= 0 && !positionalReplaySkipOk)
+      throw new GraftException(
+        s"maintainFromStream: index already applied streamed batches up to " +
+          s"id ${idx.lastAppliedBatch} but no checkpoint was given — a fresh " +
+          "source renumbers batches from 0 and the replay guard would skip " +
+          "them by POSITION, which is only correct while file ordering is " +
+          "stable. Pass the original checkpointLocation (exactly-once), or " +
+          "acknowledge positional skipping with positionalReplaySkipOk = true")
     val writer = delta.writeStream
       .queryName(s"maintain_${System.nanoTime()}")
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (batchId > idx.lastAppliedBatch) {
-          idx.updateIndex(ctx, batch)
+          deleteCol match {
+            case None => idx.updateIndex(ctx, batch)
+            case Some(c) =>
+              import org.apache.spark.sql.functions.{col, coalesce, lit}
+              val flag = coalesce(col(c).cast("boolean"), lit(false))
+              val upserts = batch.filter(!flag).drop(c)
+              val deletes = batch.filter(flag).drop(c)
+              // upsert = replace: drop any superseded version, then append
+              idx.deleteFromIndex(ctx, upserts)
+              idx.updateIndex(ctx, upserts)
+              idx.deleteFromIndex(ctx, deletes)
+          }
           idx.lastAppliedBatch = batchId
         }
       }

@@ -813,8 +813,13 @@ class NumericProfileNode(val specs: Seq[NumericProfileNode.Spec]) extends Node {
   override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
     import org.apache.spark.sql.functions.{coalesce, count, lit, when}
     val structs = specs.map { s =>
-      val clamped = s"least(greatest(cast(floor(((${s.expr}) - ${s.lo}) / ${s.w}) " +
-        s"as bigint), 0L), ${s.bins - 1}L)"
+      // explicit double casts: bare literals parse as DECIMAL, and an
+      // integer- or decimal-typed profiled expression would then run
+      // exact-decimal bin math (0.05/0.01 floors to 5) while the float64
+      // contract (and the DuckDB oracle) expects 4 — cast both operands so
+      // the arithmetic is float64 regardless of the column's type
+      val clamped = s"least(greatest(cast(floor(((${s.expr}) - cast(${s.lo} as double)) " +
+        s"/ cast(${s.w} as double)) as bigint), 0L), ${s.bins - 1}L)"
       s"struct('${SqlLit.esc(s.expr)}' as col_name, " +
         s"case when (${s.expr}) is null then -1L else $clamped end as bin)"
     }.mkString("array(", ", ", ")")
@@ -860,21 +865,34 @@ class ProfileMergeNode() extends Node {
   override def jsonKind: Option[String] = Some("profile_merge")
   override def jsonParams: Map[String, Any] = Map.empty
   override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
-    import org.apache.spark.sql.functions.{count_distinct, struct, sum}
+    import org.apache.spark.sql.functions.{count_distinct, lit, max, struct, sum}
     val frames = in.seq("profiles")
     if (frames.isEmpty) throw new GraftException("profile_merge needs at least one input")
-    val all = frames.map(_.select("col_name", "bin", "bin_lo", "bin_w", "n"))
-      .reduce(_.unionByName(_))
+    val all = frames.zipWithIndex.map { case (f, i) =>
+      f.select(col("col_name"), col("bin"), col("bin_lo"), col("bin_w"), col("n"),
+        lit(i).as("__src"))
+    }.reduce(_.unionByName(_))
+    // per-(bin) agreement on (bin_lo, bin_w) catches shifted/rescaled grids,
+    // but NOT two grids sharing lo and width with different bin COUNTS
+    // ([0,100)×10 vs [0,200)×20 agree on every shared bin) — so also demand
+    // every input report the same max(bin) per column (grid size). The size
+    // table is profile-sized (inputs × columns rows); broadcast it.
+    val sizes = all.groupBy(col("col_name"), col("__src"))
+      .agg(max(col("bin")).as("__maxbin"))
+      .groupBy(col("col_name"))
+      .agg(count_distinct(col("__maxbin")).as("__sizes"))
     val merged = all.groupBy(col("col_name"), col("bin"))
       .agg(expr("max(bin_lo)").as("bin_lo"), expr("max(bin_w)").as("bin_w"),
         sum(col("n")).as("n"),
         // grid agreement: every input must bin this column identically
         count_distinct(struct(col("bin_lo"), col("bin_w"))).as("__grids"))
+      .join(broadcast(sizes), Seq("col_name"))
     Map("result" -> merged
       .withColumn("n", expr(
-        "case when __grids > 1 then raise_error(concat('profile_merge: column ', " +
-          "col_name, ' was profiled on mismatched grids')) else n end"))
-      .drop("__grids"))
+        "case when __grids > 1 or __sizes > 1 then raise_error(concat(" +
+          "'profile_merge: column ', col_name, " +
+          "' was profiled on mismatched grids')) else n end"))
+      .drop("__grids", "__sizes"))
   }
 }
 
@@ -964,7 +982,13 @@ class HistDriftNode() extends Node {
           s"cast((${guarded("cnt_b")}) as decimal(19,0)) * n_a)")).as("__tv_num"),
         expr("max(n_a)").as("__na"), expr("max(n_b)").as("__nb"))
       .withColumn("tv", expr(
-        "cast(__tv_num as double) / (2.0 * cast(__na as double) * cast(__nb as double))"))
+        // an empty side (zero total rows — e.g. an empty generation) would
+        // make tv = 0/0 = NaN, which a `tv > threshold` gate silently
+        // neither passes nor fails; refuse the degenerate input loudly
+        "case when __na = 0 or __nb = 0 then raise_error(concat(" +
+          "'hist_drift: column ', col_name, ' has an empty profile side')) " +
+          "else cast(__tv_num as double) / " +
+          "(2.0 * cast(__na as double) * cast(__nb as double)) end"))
       .select(col("col_name"), col("tv")))
   }
 }

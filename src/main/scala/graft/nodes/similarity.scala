@@ -581,6 +581,27 @@ class IvfIndexNode(
     if (compactEvery > 0 && generation % compactEvery == 0) compactIndex()
   }
 
+  /** Drop deleted documents' rows from the inverted file — one anti join.
+    * Centroids are frozen at fit (class contract), so the result is
+    * IDENTICAL to re-assigning the post-delete corpus against the same
+    * centroids: assignment is per-row, deletion removes rows, nothing else
+    * in the index depends on corpus membership. Tombstones for unknown ids
+    * are no-ops. */
+  def deleteFromIndex(ctx: Ctx, deletes: DataFrame): Unit = {
+    import org.apache.spark.storage.StorageLevel
+    val m = model.getOrElse(
+      throw new graft.dag.GraftException(s"estimator node '$name' not fitted"))
+    val del = deletes.select(col(idCol)).distinct()
+    val kept = m.assignments.select(col(idCol), col("__cluster"), col("__cv"), col("__cnorm"))
+      .join(del, Seq(idCol), "left_anti")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    kept.count() // materialize before releasing the superseded generation
+    model = Some(IvfIndexNode.Index(m.centroids, kept))
+    m.assignments.unpersist()
+    generation += 1
+    if (compactEvery > 0 && generation % compactEvery == 0) compactIndex()
+  }
+
   @volatile private var generation: Long = 0L
   @volatile private var compactGen: Long = 0L
 
@@ -1001,7 +1022,12 @@ class InvertedIndexNode(
       .persist(StorageLevel.MEMORY_AND_DISK)
     val terms = postings.groupBy("tok").agg(count(lit(1)).as("df"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    InvertedIndexNode.Index(postings, terms, corpus.count())
+    // live doc-id set (skinny, one row per doc — tiny next to the postings):
+    // what lets deleteFromIndex decrement N EXACTLY even for docs whose text
+    // tokenizes to nothing (they have no postings but still counted in N)
+    val docs = corpus.select(col(idCol).as("__id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    InvertedIndexNode.Index(postings, terms, docs.count(), docs)
   }
 
   def applyModel(m: Model, ctx: Ctx, in: In): Map[String, DataFrame] = {
@@ -1067,10 +1093,50 @@ class InvertedIndexNode(
       .select(col("tok"),
         (coalesce(col("df"), lit(0L)) + coalesce(col("__ddf"), lit(0L))).as("df"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val newDocs = m.docs.select("__id")
+      .union(delta.select(col(idCol).as("__id")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val dN = delta.count()
-    newPostings.count(); newTerms.count() // materialize before releasing old
-    model = Some(InvertedIndexNode.Index(newPostings, newTerms, m.nDocs + dN))
-    m.postings.unpersist(); m.terms.unpersist()
+    newPostings.count(); newTerms.count(); newDocs.count() // materialize before releasing old
+    model = Some(InvertedIndexNode.Index(newPostings, newTerms, m.nDocs + dN, newDocs))
+    m.postings.unpersist(); m.terms.unpersist(); m.docs.unpersist()
+    generation += 1
+    if (compactEvery > 0 && generation % compactEvery == 0) compactIndex()
+  }
+
+  /** Remove documents with EXACT decremental statistics — the takedown path.
+    * Removed postings are exactly the deleted docs' (tok, id, tf) rows, so
+    * per-term df decrements by the count of deleted docs containing the
+    * term, terms whose df reaches zero drop entirely (a from-scratch fit
+    * never saw them), and N decrements by the number of delete ids ACTUALLY
+    * live in the index (tombstones for unknown ids are no-ops) — the
+    * refreshed index is bit-identical to a from-scratch fit over the
+    * post-delete corpus, the same proof shape as updateIndex/q141. Work is
+    * one semi/anti join pair against the partitioned index plus a
+    * delete-sized df aggregate. */
+  def deleteFromIndex(ctx: Ctx, deletes: DataFrame): Unit = {
+    import org.apache.spark.storage.StorageLevel
+    import org.apache.spark.sql.functions.coalesce
+    val m = model.getOrElse(
+      throw new graft.dag.GraftException(s"estimator node '$name' not fitted"))
+    val del = deletes.select(col(idCol).as("__id")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val removed = del.join(m.docs.select("__id"), Seq("__id"), "left_semi").count()
+    val dDf = m.postings.join(del, Seq("__id"), "left_semi")
+      .groupBy("tok").agg(count(lit(1)).as("__ddf"))
+    val newTerms = m.terms.select("tok", "df").join(dDf, Seq("tok"), "left")
+      .select(col("tok"), (col("df") - coalesce(col("__ddf"), lit(0L))).as("df"))
+      .filter(col("df") > 0)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val newPostings = m.postings.select("tok", "__id", "tf")
+      .join(del, Seq("__id"), "left_anti")
+      .select("tok", "__id", "tf")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val newDocs = m.docs.select("__id").join(del, Seq("__id"), "left_anti")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    newPostings.count(); newTerms.count(); newDocs.count()
+    model = Some(InvertedIndexNode.Index(newPostings, newTerms, m.nDocs - removed, newDocs))
+    m.postings.unpersist(); m.terms.unpersist(); m.docs.unpersist(); del.unpersist()
     generation += 1
     if (compactEvery > 0 && generation % compactEvery == 0) compactIndex()
   }
@@ -1098,13 +1164,14 @@ class InvertedIndexNode(
     model = Some(InvertedIndexNode.Index(
       session.read.parquet(s"$path/postings").persist(StorageLevel.MEMORY_AND_DISK),
       session.read.parquet(s"$path/terms").persist(StorageLevel.MEMORY_AND_DISK),
-      m.nDocs))
-    m.postings.unpersist(); m.terms.unpersist()
+      m.nDocs,
+      session.read.parquet(s"$path/docs").persist(StorageLevel.MEMORY_AND_DISK)))
+    m.postings.unpersist(); m.terms.unpersist(); m.docs.unpersist()
   }
 
   /** Release the persisted index frames (fit again to rebuild). */
   def unpersistIndex(): Unit = model.foreach { m =>
-    m.postings.unpersist(); m.terms.unpersist()
+    m.postings.unpersist(); m.terms.unpersist(); m.docs.unpersist()
   }
 
   override def saveFitted(path: String): Unit = {
@@ -1112,6 +1179,7 @@ class InvertedIndexNode(
       throw new graft.dag.GraftException(s"estimator node '$name' not fitted"))
     m.postings.write.mode("overwrite").parquet(s"$path/postings")
     m.terms.write.mode("overwrite").parquet(s"$path/terms")
+    m.docs.write.mode("overwrite").parquet(s"$path/docs")
     val spark = m.postings.sparkSession
     import spark.implicits._
     Seq(m.nDocs).toDF("n_docs").coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
@@ -1124,16 +1192,28 @@ class InvertedIndexNode(
     import org.apache.spark.storage.StorageLevel
     val spark = session.getOrElse(org.apache.spark.sql.SparkSession.active)
     val n = spark.read.parquet(s"$path/stats").collect().head.getLong(0)
+    // docs is absent in pre-delete-era saves: fall back to the posting-
+    // derived id set (exact unless a doc tokenized to nothing — re-save to
+    // upgrade); nDocs itself always comes from stats, so only delete
+    // MATCHING of empty-token docs is affected by the fallback
+    val docsPath = new org.apache.hadoop.fs.Path(s"$path/docs")
+    val fs = docsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val docs =
+      if (fs.exists(docsPath)) spark.read.parquet(docsPath.toString)
+      else spark.read.parquet(s"$path/postings").select("__id").distinct()
     model = Some(InvertedIndexNode.Index(
       spark.read.parquet(s"$path/postings").persist(StorageLevel.MEMORY_AND_DISK),
-      spark.read.parquet(s"$path/terms").persist(StorageLevel.MEMORY_AND_DISK), n))
+      spark.read.parquet(s"$path/terms").persist(StorageLevel.MEMORY_AND_DISK), n,
+      docs.persist(StorageLevel.MEMORY_AND_DISK)))
     loadMaintenanceState(spark, path)
   }
 }
 
 object InvertedIndexNode {
-  /** The fitted index: postings (tok, __id, tf), terms (tok, df), corpus size. */
-  case class Index(postings: DataFrame, terms: DataFrame, nDocs: Long)
+  /** The fitted index: postings (tok, __id, tf), terms (tok, df), corpus
+    * size, and the live doc-id set (one `__id` row per doc — the exact-N
+    * ledger deleteFromIndex decrements against). */
+  case class Index(postings: DataFrame, terms: DataFrame, nDocs: Long, docs: DataFrame)
 }
 
 /** BM25-quantized retrieval: the InvertedIndexTopKNode posting-list shape

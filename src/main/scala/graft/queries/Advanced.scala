@@ -2352,6 +2352,164 @@ object Advanced {
     s"WITH $ctes\n$legs\nORDER BY col_name"
   }
 
+  // ---- q161-q164: TOMBSTONE deletes reaching the incremental indexes —
+  // the takedown/GDPR path. CdcApply (q151) deletes corpus rows, but until
+  // round 12 every index family kept serving deleted documents until a
+  // full refit; deleteFromIndex closes that. Each query drives the full
+  // lifecycle fit → updateIndex → deleteFromIndex and oracles against the
+  // FROM-SCRATCH build over the post-delete corpus (exact decremental
+  // statistics make that bit-identical for the lexical index; the ANN
+  // index is identical given its frozen centroids; the cluster index pins
+  // its documented retained-labels semantics). ----
+
+  /** q98's oracle with the corpus restricted to live (non-deleted) docs —
+    * df caps, N, postings, and scores all re-derive from the post-delete
+    * corpus; queries still come from the FULL table (a deleted doc may
+    * still issue queries — query text is independent of index content). */
+  private def q161OracleSql(liveWhere: String): String =
+    s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE $liveWhere),
+       |toks AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+       |  FROM corpus),
+       |ctf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+       |ok AS (SELECT tok FROM (SELECT tok, count(*) AS df FROM ctf GROUP BY tok)
+       |       WHERE df <= greatest(1, cast(floor(0.79 * (SELECT count(*) FROM corpus)) as bigint))),
+       |qt AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+       |  FROM documents WHERE $queryBatchPred),
+       |qtf AS (SELECT doc_id AS query_id, tok, count(*) AS qtf FROM qt GROUP BY doc_id, tok),
+       |scored AS (
+       |  SELECT query_id, c.doc_id, cast(sum(c.tf * q.qtf) as bigint) AS score
+       |  FROM ctf c JOIN ok USING (tok) JOIN qtf q USING (tok)
+       |  GROUP BY query_id, c.doc_id)
+       |SELECT query_id, doc_id, score, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |                               ORDER BY score DESC, doc_id) AS rank
+       |  FROM scored)
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  def q161_inverted_index_delete(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Queries.run(spark) { d =>
+      d.add(SourceNode.table(dir, "documents")) >> d.output("result")
+    }
+    val ctx = Ctx(spark)
+    val idx = new InvertedIndexNode(k = 5, maxDfFrac = 0.79)
+    idx.fit(ctx, In.single("corpus" -> docs.filter("doc_id % 5 != 0")))
+    idx.updateIndex(ctx, docs.filter("doc_id % 5 = 0"))
+    idx.deleteFromIndex(ctx, docs.filter("doc_id % 7 = 0").select("doc_id"))
+    val queries = docs.filter(queryBatchPred)
+      .selectExpr("doc_id as query_id", "text")
+    idx.transform(ctx, In.single("queries" -> queries))("result")
+      .orderBy("query_id", "rank")
+  }
+  val q161Sql: String = q161OracleSql("doc_id % 7 != 0")
+
+  // q162: ANN takedown — q142's admission shape against an index that
+  // absorbed a delta AND a deletion wave; probe-all identity config, so
+  // the oracle is the brute-force cosine pair SQL restricted to the LIVE
+  // corpus. A deleted vector still served would add pairs and break the
+  // hash; scores dropped (float-compare risk, the q30/q142 convention).
+  def q162_ann_index_delete(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Queries.run(spark) { d =>
+      d.add(SourceNode.table(dir, "embeddings")) >> d.output("result")
+    }
+    val ctx = Ctx(spark)
+    val idx = new IvfIndexNode(k = 1000000, nClusters = 8, nProbe = 8)
+    idx.fit(ctx, In.single("corpus" -> emb.filter("vec_id % 5 != 0")))
+    idx.updateIndex(ctx, emb.filter("vec_id % 5 = 0"))
+    idx.deleteFromIndex(ctx, emb.filter("vec_id % 7 = 0").select("vec_id"))
+    val queries = emb.filter("vec_id % 97 = 0")
+      .selectExpr("vec_id as query_id", "embedding")
+    idx.transform(ctx, In.single("queries" -> queries))("result")
+      .filter("score >= 0.3D")
+      .selectExpr("query_id", "vec_id as base_id")
+      .orderBy("query_id", "base_id")
+  }
+  val q162Sql: String =
+    """SELECT q.vec_id AS query_id, b.vec_id AS base_id
+      |FROM embeddings q JOIN embeddings b
+      |  ON q.vec_id % 97 = 0 AND b.vec_id % 7 != 0
+      |WHERE (list_sum(list_transform(range(1, 65), i -> q.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+      |   / (sqrt(list_sum(list_transform(range(1, 65), i -> q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE)))
+      |    * sqrt(list_sum(list_transform(range(1, 65), i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))))) >= 0.3
+      |ORDER BY query_id, base_id""".stripMargin
+
+  // q163: cluster-mapping takedown — q156's lifecycle plus a deletion
+  // wave. The documented semantics: deleted ids drop out of the mapping
+  // (they answer as self-singletons, like unknown ids) while surviving
+  // members RETAIN their historical labels — connectivity evidence folded
+  // in before the deletion is not replayed. Oracle: the full-union-graph
+  // closure with deleted ids overridden to themselves.
+  def q163_cluster_index_delete(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Queries.run(spark) { d =>
+      d.add(SourceNode.table(dir, "documents")) >>
+        FilterNode("doc_id < 2000") >> ProjectNode("doc_id", "text") >>
+        d.output("result")
+    }
+    val edges = clusterEdges(docs)
+    val ctx = Ctx(spark)
+    val idx = new ClusterIndexNode()
+    idx.fit(ctx, In.single("pairs" -> edges.filter("id_a % 5 != 0 and id_b % 5 != 0")))
+    idx.updateIndex(ctx, edges.filter("id_a % 5 = 0 or id_b % 5 = 0"))
+    idx.deleteFromIndex(ctx, docs.filter("doc_id % 11 = 0").select("doc_id"))
+    idx.transform(ctx, In.single("queries" -> docs.select("doc_id")))("result")
+      .orderBy("doc_id")
+  }
+  val q163Sql: String =
+    """WITH RECURSIVE
+      |d AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
+      |      FROM documents WHERE doc_id < 2000),
+      |tr AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY nt) AS rep FROM d),
+      |ur AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY doc_id % 97) AS rep FROM d),
+      |pe AS (SELECT rep AS a, doc_id AS b FROM tr WHERE doc_id != rep
+      |       UNION SELECT rep, doc_id FROM ur WHERE doc_id != rep),
+      |edges AS (SELECT a, b FROM pe UNION SELECT b, a FROM pe),
+      |reach(id, label) AS (
+      |  SELECT a, a FROM edges
+      |  UNION
+      |  SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.id),
+      |labels AS (SELECT id, min(label) AS cluster_id FROM reach GROUP BY id)
+      |SELECT d.doc_id,
+      |  CASE WHEN d.doc_id % 11 = 0 THEN d.doc_id
+      |       ELSE coalesce(l.cluster_id, d.doc_id) END AS cluster_id
+      |FROM d LEFT JOIN labels l ON d.doc_id = l.id
+      |ORDER BY d.doc_id""".stripMargin
+
+  // q164: the CDC → index composition — the same post-delete state as
+  // q161 reached through maintainFromStream's CDC mode: one streamed batch
+  // carrying inserts (doc_id % 5 = 0), same-text REPLACE upserts (a subset
+  // of the already-indexed base — drills delete-then-append), and
+  // tombstones (doc_id % 7 = 0; within-batch, deletes win over upserts for
+  // overlapping ids, the MergeNode convention). Final index must be
+  // bit-identical to the from-scratch post-delete build — q161's oracle.
+  def q164_stream_cdc_index_maintenance(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Queries.run(spark) { d =>
+      d.add(SourceNode.table(dir, "documents")) >> d.output("result")
+    }
+    val ctx = Ctx(spark)
+    val idx = new InvertedIndexNode(k = 5, maxDfFrac = 0.79)
+    idx.fit(ctx, In.single("corpus" -> docs.filter("doc_id % 5 != 0")))
+    val cdc = docs.filter("doc_id % 5 = 0")
+      .selectExpr("doc_id", "text", "false as is_delete")
+      .union(docs.filter("doc_id % 5 != 0 and doc_id % 3 = 0")
+        .selectExpr("doc_id", "text", "false as is_delete"))
+      .union(docs.filter("doc_id % 7 = 0")
+        .selectExpr("doc_id", "'' as text", "true as is_delete"))
+    val stage = java.nio.file.Files.createTempDirectory("graft_q164_")
+    stage.toFile.deleteOnExit()
+    cdc.coalesce(1).write.mode("overwrite").parquet(s"$stage/cdc")
+    val stream = Queries.run(spark) { d =>
+      d.add(new StreamSourceNode(s"$stage/cdc", "parquet")) >> d.output("result")
+    }
+    IndexMaintenance.maintainFromStream(idx, ctx, stream,
+      checkpoint = Some(s"$stage/ckpt"), deleteCol = Some("is_delete"))
+    val queries = docs.filter(queryBatchPred)
+      .selectExpr("doc_id as query_id", "text")
+    idx.transform(ctx, In.single("queries" -> queries))("result")
+      .orderBy("query_id", "rank")
+  }
+  val q164Sql: String = q161Sql
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q94_bloom_join", q94_bloom_join _, q94Sql),
     ("q95_pagerank", q95_pagerank _, q95Sql),
@@ -2410,5 +2568,12 @@ object Advanced {
     ("q155_publish_profiles", q155_publish_profiles _, q155Sql),
     ("q156_incremental_clusters", q156_incremental_clusters _, q156Sql),
     ("q157_stream_cluster_maintenance", q157_stream_cluster_maintenance _, q156Sql),
+    ("q158_numeric_profile_merge", q158_numeric_profile_merge _, q158Sql),
+    ("q159_hist_quantiles", q159_hist_quantiles _, q159Sql),
+    ("q160_hist_drift", q160_hist_drift _, q160Sql),
+    ("q161_inverted_index_delete", q161_inverted_index_delete _, q161Sql),
+    ("q162_ann_index_delete", q162_ann_index_delete _, q162Sql),
+    ("q163_cluster_index_delete", q163_cluster_index_delete _, q163Sql),
+    ("q164_stream_cdc_index_maintenance", q164_stream_cdc_index_maintenance _, q164Sql),
   )
 }

@@ -2552,6 +2552,161 @@ class NodesSpec extends AnyFunSuite {
     Seq(streamed, ref, loaded, bare, legacy).foreach(_.unpersistIndex())
   }
 
+  test("InvertedIndexNode.deleteFromIndex: bit-identical to a from-scratch post-delete fit, " +
+       "including empty-token docs and unknown-id tombstones") {
+    import spark.implicits._
+    val c = Ctx(spark)
+    val base = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "durian elder fig"),
+      (4L, "")). // tokenizes to nothing — counted in N, no postings
+      toDF("doc_id", "text")
+    val delta = Seq(
+      (10L, "apple cherry cherry"),
+      (11L, "grape apple banana")).toDF("doc_id", "text")
+    // delete a base doc, a delta doc, the empty-token doc, and an unknown id
+    val deletes = Seq(2L, 10L, 4L, 999L).toDF("doc_id")
+    // maxDfFrac < 1 makes pruning depend on N: a wrong N decrement (e.g.
+    // counting the unknown id, or missing the empty-token doc) shifts the
+    // df cap and the results diverge
+    val idx = new InvertedIndexNode(k = 10, maxDfFrac = 0.5)
+    idx.fit(c, In.single("corpus" -> base))
+    idx.updateIndex(c, delta)
+    idx.deleteFromIndex(c, deletes)
+    val scratch = new InvertedIndexNode(k = 10, maxDfFrac = 0.5)
+    scratch.fit(c, In.single("corpus" ->
+      base.union(delta).filter("doc_id not in (2, 10, 4)")))
+    val queries = Seq((100L, "apple cherry"), (101L, "banana fig")).toDF("query_id", "text")
+    def res(n: InvertedIndexNode): Set[(Long, Long, Long, Int)] =
+      n.transform(c, In.single("queries" -> queries))("result")
+        .select("query_id", "doc_id", "score", "rank")
+        .as[(Long, Long, Long, Int)].collect().toSet
+    assert(res(idx) == res(scratch))
+    // internals, not just serving: postings/terms/N all match from-scratch
+    def stats(n: InvertedIndexNode) = (
+      n.model.get.nDocs,
+      n.model.get.postings.as[(String, Long, Long)].collect().toSet,
+      n.model.get.terms.as[(String, Long)].collect().toSet)
+    assert(stats(idx) == stats(scratch))
+    assert(idx.model.get.nDocs == 3L)
+    idx.unpersistIndex(); scratch.unpersistIndex()
+  }
+
+  test("IvfIndexNode.deleteFromIndex: deleted vectors leave serving; survivors unchanged") {
+    import spark.implicits._
+    val c = Ctx(spark)
+    def vecs(ids: Long*): DataFrame = ids.map(i =>
+      (i, Array(i.toDouble, (i % 3).toDouble, 1.0))).toDF("vec_id", "embedding")
+    val idx = new IvfIndexNode(k = 10, nClusters = 2, nProbe = 2)
+    idx.fit(c, In.single("corpus" -> vecs(1L, 2L, 3L, 4L)))
+    idx.updateIndex(c, vecs(10L, 11L))
+    idx.deleteFromIndex(c, Seq(2L, 10L, 999L).toDF("vec_id"))
+    val q = Seq((100L, Array(1.0, 1.0, 1.0))).toDF("query_id", "embedding")
+    val served = idx.transform(c, In.single("queries" -> q))("result")
+      .select("vec_id").as[Long].collect().toSet
+    assert(served == Set(1L, 3L, 4L, 11L)) // probe-all + k >= corpus: all live, none deleted
+    idx.unpersistIndex()
+  }
+
+  test("MinHashIndexNode.deleteFromIndex: deleted base docs stop matching deltas") {
+    import spark.implicits._
+    val c = Ctx(spark)
+    val baseText = (1 to 40).map(i => s"w$i").mkString(" ")
+    val base = Seq(
+      (1L, baseText),
+      (3L, baseText.replace("w7", "zz")),
+      (4L, (100 to 140).map(i => s"v$i").mkString(" "))).toDF("doc_id", "text")
+    val idx = new MinHashIndexNode(numHashes = 32, bands = 16, jaccardThreshold = 0.5)
+    idx.fit(c, In.single("corpus" -> base))
+    val probe = Seq((50L, baseText)).toDF("doc_id", "text")
+    def hits: Set[Long] = idx.transform(c, In.single("delta" -> probe))("result")
+      .select("base_id").as[Long].collect().toSet
+    assert(hits == Set(1L, 3L))
+    idx.deleteFromIndex(c, Seq(3L, 999L).toDF("doc_id"))
+    assert(hits == Set(1L))
+    // internals: both frames dropped the doc
+    assert(idx.model.get.shingles.filter("base_id = 3").count() == 0)
+    assert(idx.model.get.buckets.filter("base_id = 3").count() == 0)
+    idx.unpersistIndex()
+  }
+
+  test("ClusterIndexNode.deleteFromIndex: tombstone masks base, survivors keep historical " +
+       "labels, re-added ids start fresh, fold preserves state") {
+    import spark.implicits._
+    val c = Ctx(spark)
+    val queries = Seq(1L, 2L, 3L, 50L).toDF("doc_id")
+    def mapping(n: ClusterIndexNode): Set[(Long, Long)] =
+      n.transform(c, In.single("queries" -> queries))("result")
+        .as[(Long, Long)].collect().toSet
+    val idx = new ClusterIndexNode()
+    idx.fit(c, In.single("pairs" -> Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")))
+    assert(mapping(idx) == Set((1L, 1L), (2L, 1L), (3L, 1L), (50L, 50L)))
+    idx.deleteFromIndex(c, Seq(2L).toDF("doc_id"))
+    // 2 now maps to itself (singleton, like any unknown id); 1 and 3 RETAIN
+    // label 1 — connectivity evidence through the deleted doc is kept
+    assert(mapping(idx) == Set((1L, 1L), (2L, 2L), (3L, 1L), (50L, 50L)))
+    // a delta edge naming the deleted id re-admits it as a NEW node: it
+    // joins only the new evidence (2-50), not its old cluster
+    idx.updateIndex(c, Seq((2L, 50L)).toDF("id_a", "id_b"))
+    assert(mapping(idx) == Set((1L, 1L), (2L, 2L), (3L, 1L), (50L, 2L)))
+    // folding the overlays into the base changes nothing observable
+    idx.foldOverlay()
+    assert(mapping(idx) == Set((1L, 1L), (2L, 2L), (3L, 1L), (50L, 2L)))
+    // delete a FRESH id (in the post-fold base now); delete it and re-check
+    idx.deleteFromIndex(c, Seq(50L).toDF("doc_id"))
+    assert(mapping(idx) == Set((1L, 1L), (2L, 2L), (3L, 1L), (50L, 50L)))
+    idx.unpersistIndex()
+  }
+
+  test("maintainFromStream CDC mode: upserts replace, tombstones delete; " +
+       "checkpoint-less re-maintenance refused after applied batches") {
+    import spark.implicits._
+    val c = Ctx(spark)
+    val base = (0L until 10L).map(i => (i, s"alpha beta w$i")).toDF("doc_id", "text")
+    val idx = new InvertedIndexNode(k = 5, maxDfFrac = 1.0)
+    idx.fit(c, In.single("corpus" -> base))
+    val stage = java.nio.file.Files.createTempDirectory("graft_cdc_maint_spec").toString
+    // batch rows: upsert doc 3 with CHANGED text (replace, not append),
+    // insert doc 20, tombstone doc 5
+    val cdc = Seq(
+      (3L, "gamma delta replaced", false),
+      (20L, "alpha gamma fresh", false),
+      (5L, "", true)).toDF("doc_id", "text", "is_delete")
+    cdc.coalesce(1).write.mode("overwrite").parquet(s"$stage/cdc")
+    val stream = spark.readStream.schema(cdc.schema).parquet(s"$stage/cdc")
+    IndexMaintenance.maintainFromStream(idx, c, stream,
+      checkpoint = Some(s"$stage/ckpt"), deleteCol = Some("is_delete"))
+    // oracle: from-scratch fit over the post-CDC corpus state
+    val scratch = new InvertedIndexNode(k = 5, maxDfFrac = 1.0)
+    scratch.fit(c, In.single("corpus" -> base.filter("doc_id not in (3, 5)")
+      .union(Seq((3L, "gamma delta replaced"), (20L, "alpha gamma fresh"))
+        .toDF("doc_id", "text"))))
+    val queries = Seq((100L, "alpha gamma"), (101L, "beta delta")).toDF("query_id", "text")
+    def res(n: InvertedIndexNode): Set[(Long, Long, Long, Int)] =
+      n.transform(c, In.single("queries" -> queries))("result")
+        .select("query_id", "doc_id", "score", "rank")
+        .as[(Long, Long, Long, Int)].collect().toSet
+    assert(res(idx) == res(scratch))
+    assert(idx.model.get.nDocs == scratch.model.get.nDocs)
+    // the index has folded in streamed batches: a checkpoint-less re-drain
+    // would skip by position — refused without the explicit ack
+    assert(idx.lastAppliedBatch >= 0)
+    val err = intercept[GraftException] {
+      IndexMaintenance.maintainFromStream(idx, c,
+        spark.readStream.schema(cdc.schema).parquet(s"$stage/cdc"),
+        deleteCol = Some("is_delete"))
+    }
+    assert(err.getMessage.contains("positionalReplaySkipOk"))
+    // with the ack (or a checkpoint) it proceeds — and the replay guard
+    // still skips the renumbered batch, leaving the index unchanged
+    IndexMaintenance.maintainFromStream(idx, c,
+      spark.readStream.schema(cdc.schema).parquet(s"$stage/cdc"),
+      deleteCol = Some("is_delete"), positionalReplaySkipOk = true)
+    assert(res(idx) == res(scratch))
+    idx.unpersistIndex(); scratch.unpersistIndex()
+  }
+
   test("GroupEmaNode: null order/tie/value fails loudly instead of sorting first as 0") {
     val rows = Seq((1L, Some(1L), Some(10L), Some(100L)), (1L, Some(2L), None, Some(200L)))
       .toDF("k", "tie", "o", "v")
@@ -2674,6 +2829,51 @@ class NodesSpec extends AnyFunSuite {
     def msgs(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
     assert(msgs(err).exists(_.contains("not present in both profiles")))
+  }
+
+  test("ProfileMergeNode refuses same-lo-same-width grids with different bin counts") {
+    // [0,100)×10 and [0,200)×20 agree on (bin_lo, bin_w) for every SHARED
+    // bin — only the per-column grid-size check can catch the mismatch
+    val base = (0 until 50).map(i => (i * 3 % 150).toDouble).toDF("x")
+    val narrow = profile(base, Seq(profSpec("x", 0.0, 100.0, 10)))
+    val wide = profile(base, Seq(profSpec("x", 0.0, 200.0, 20)))
+    val err = intercept[Exception] {
+      runOne { d =>
+        val m = d.add(new ProfileMergeNode())
+        d.add(srcNode(narrow, "gn")) >> m("profiles")
+        d.add(srcNode(wide, "gw")) >> m("profiles")
+        m >> d.output("result")
+      }.collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(err).exists(_.contains("mismatched grids")))
+  }
+
+  test("NumericProfileNode bins a decimal column with float64 math (engine-exact contract)") {
+    // 0.29/0.01 in exact decimal is 29; in float64 it is 28.999… → floor 28.
+    // The oracle (and the contract) is float64, so a decimal-typed input
+    // must NOT silently switch the engine to exact-decimal arithmetic.
+    val dec = Seq("0.29").toDF("s").selectExpr("cast(s as decimal(10,2)) as x")
+    val rows = profile(dec, Seq(profSpec("x", 0.0, 1.0, 100)))
+      .filter(col("n") > 0).collect()
+    assert(rows.map(_.getLong(1)).toSeq == Seq(28L))
+  }
+
+  test("HistDriftNode refuses an empty profile side instead of emitting NaN") {
+    val specs = Seq(profSpec("x", 0.0, 10.0, 2))
+    val some = profile(Seq(1.0, 7.0).toDF("x"), specs)
+    val empty = profile(Seq.empty[Double].toDF("x"), specs)
+    val err = intercept[Exception] {
+      runOne { d =>
+        val n = d.add(new HistDriftNode())
+        d.add(srcNode(some, "pa")) >> n("a"); d.add(srcNode(empty, "pb")) >> n("b")
+        n >> d.output("result")
+      }.collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(err).exists(_.contains("empty profile side")))
   }
 }
 

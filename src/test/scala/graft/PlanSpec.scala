@@ -395,7 +395,7 @@ class PlanSpec extends AnyFunSuite {
     cidx.fit(Ctx(spark), In.single("pairs" ->
       spark.range(2).selectExpr("id * 2 + 1 as id_a", "id * 2 + 2 as id_b")))
     val probe = spark.range(2).selectExpr("id + 2 as id")
-    val jp = planOf(probe.join(cidx.model.get.mapping, Seq("id")))
+    val jp = planOf(probe.join(cidx.baseMappingRef.get, Seq("id")))
     // the mapping must feed the join STRAIGHT from cache — the only Exchange
     // touching it is the one-time layout shuffle recorded INSIDE the
     // InMemoryRelation, never a fresh per-join shuffle above the scan
@@ -403,6 +403,18 @@ class PlanSpec extends AnyFunSuite {
       s"mapping lookup must read the cached mapping:\n$jp")
     assert("""Exchange[^\n]*\n\s*[:+]-\s*InMemoryTableScan""".r.findFirstIn(jp).isEmpty,
       s"mapping side must not re-shuffle at join time:\n$jp")
+    // OVERLAY pin (the r11 scale-killer fix): an update batch must NOT
+    // relayout the corpus-sized base — the frame object is IDENTICAL before
+    // and after updateIndex/deleteFromIndex; only fold/compact replace it
+    val baseBefore = cidx.baseMappingRef.get
+    cidx.updateIndex(Ctx(spark),
+      spark.range(1).selectExpr("id + 2 as id_a", "id + 50 as id_b"))
+    cidx.deleteFromIndex(Ctx(spark), spark.range(1).selectExpr("id + 4 as id"))
+    assert(cidx.baseMappingRef.get eq baseBefore,
+      "updateIndex/deleteFromIndex must leave the base mapping frame untouched (overlay contract)")
+    cidx.foldOverlay()
+    assert(!(cidx.baseMappingRef.get eq baseBefore),
+      "foldOverlay must produce a freshly laid-out base")
     cidx.unpersistIndex()
   }
 
