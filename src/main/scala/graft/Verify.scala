@@ -19,8 +19,14 @@ object Verify {
       // Spark-recommended setting): small shuffle stages collapse to few
       // tasks instead of defaulting to full parallelism — measured ~13%
       // off the flagship's per-job scheduling overhead; at cluster scale
-      // the advisory size, not local parallelism, is the right target
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      // the advisory size, not local parallelism, is the right target.
+      // Both knobs env-overridable for A/B adjudication (see Bench.scala's
+      // round-12 note: the r11 driver regression band did not reproduce
+      // under either setting, so the r11 defaults stand)
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SPARK_GRAFT_PARALLELISM_FIRST", "false"))
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_ADVISORY_BYTES", "64m"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

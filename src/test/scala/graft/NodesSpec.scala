@@ -2609,6 +2609,32 @@ class NodesSpec extends AnyFunSuite {
     idx.unpersistIndex()
   }
 
+  test("IvfIndexNode.rebuildIndex: re-fits centroids from index contents, conserves rows, " +
+       "keeps probe/assignment argmin agreement, composes with deletes") {
+    import spark.implicits._
+    val c = Ctx(spark)
+    val base = (1L to 20L).map(i =>
+      (i, Array((i % 4).toFloat, (i % 5).toFloat, 1.0f))).toDF("vec_id", "embedding")
+    // drifted delta: compact far-away cloud — frozen centroids concentrate it
+    val drift = (101L to 110L).map(i =>
+      (i, Array(-10.0f + 0.01f * i, -10.0f, -10.0f))).toDF("vec_id", "embedding")
+    val idx = new IvfIndexNode(k = 50, nClusters = 3, nProbe = 1, maxLiteralCentroids = 0)
+    idx.fit(c, In.single("corpus" -> base))
+    idx.updateIndex(c, drift)
+    idx.deleteFromIndex(c, Seq(105L).toDF("vec_id"))
+    val centsBefore = idx.model.get.centroids.collect().toSet
+    idx.rebuildIndex(c)
+    assert(idx.model.get.centroids.collect().toSet != centsBefore) // actually re-fit
+    assert(idx.model.get.assignments.count() == 29L) // 20 + 10 - 1, conserved
+    // self-retrieval at nProbe=1 is 100% post-rebuild: probe and
+    // re-assignment share the NEW centroids (argmin agreement)
+    val q = drift.filter("vec_id != 105").selectExpr("vec_id as query_id", "embedding")
+    val hits = idx.transform(c, In.single("queries" -> q))("result")
+      .filter("query_id = vec_id").count()
+    assert(hits == 9L)
+    idx.unpersistIndex()
+  }
+
   test("MinHashIndexNode.deleteFromIndex: deleted base docs stop matching deltas") {
     import spark.implicits._
     val c = Ctx(spark)
