@@ -32,9 +32,15 @@ object NodeRegistry {
       p.m.get("generation").flatMap(Option(_)).map(_.toString.toLong)))
     register("bucketed_sink")(p => new BucketedSinkNode(p.str("table"), p.strs("bucketCols"),
       p.int("nBuckets"), p.strs("sortCols"), p.str("format"), p.str("mode")))
-    register("sink")(p => new SinkNode(p.str("path"), p.str("format"), p.str("mode"), p.strs("partitionBy"),
-      p.m.get("options").collect { case m: Map[_, _] => m.map { case (k, v) => k.toString -> v.toString } }.getOrElse(Map.empty),
-      p.boolOr("atomicPublish", false), p.strs("profileColumns")))
+    register("sink") { p =>
+      val (npCols, npLos) = (p.strs("npCols"), p.strs("npLos").map(_.toDouble))
+      val (npHis, npBins) = (p.strs("npHis").map(_.toDouble), p.strs("npBins").map(_.toInt))
+      new SinkNode(p.str("path"), p.str("format"), p.str("mode"), p.strs("partitionBy"),
+        p.m.get("options").collect { case m: Map[_, _] => m.map { case (k, v) => k.toString -> v.toString } }.getOrElse(Map.empty),
+        p.boolOr("atomicPublish", false), p.strs("profileColumns"),
+        npCols.indices.map(i =>
+          NumericProfileNode.Spec(npCols(i), npLos(i), npHis(i), npBins(i))))
+    }
     register("project")(p => new ProjectNode(p.strs("exprs")))
     register("with_columns")(p => new WithColumnsNode(p.pairs("cols")))
     register("filter")(p => new FilterNode(p.str("condition")))

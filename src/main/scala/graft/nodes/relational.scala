@@ -256,14 +256,26 @@ class SinkNode(val path: String, val format: String = "parquet", val mode: Strin
                // `<path>/gen-*/_profile` and merges sketches
                // (SketchMergeNode) without ever re-reading the data;
                // generations carry their own audit record forever.
-               val profileColumns: Seq[String] = Nil) extends Node {
+               val profileColumns: Seq[String] = Nil,
+               // NUMERIC distribution profiles at publish time (atomicPublish
+               // only): a NumericProfileNode fixed-grid histogram table per
+               // generation under `_numprofile/` — the EXACT-merge
+               // counterpart of the HLL sketches: ProfileMergeNode rolls any
+               // set of generations up bit-exactly, HistQuantileNode /
+               // HistDriftNode then answer corpus-history quantiles and
+               // day-over-day drift gates from profile tables alone.
+               val numericProfiles: Seq[NumericProfileNode.Spec] = Nil) extends Node {
   require(profileColumns.isEmpty || atomicPublish,
     "profileColumns requires atomicPublish (the profile commits with the generation)")
+  require(numericProfiles.isEmpty || atomicPublish,
+    "numericProfiles requires atomicPublish (the profile commits with the generation)")
   override protected def defaultName: String = "sink"
   val inputs = Seq(Port("df"))
   val outputs = Seq(Port("result"))
   override def jsonKind: Option[String] = Some("sink")
-  override def jsonParams: Map[String, Any] = Map("path" -> path, "format" -> format, "mode" -> mode, "partitionBy" -> partitionBy, "options" -> options, "atomicPublish" -> atomicPublish, "profileColumns" -> profileColumns)
+  override def jsonParams: Map[String, Any] = Map("path" -> path, "format" -> format, "mode" -> mode, "partitionBy" -> partitionBy, "options" -> options, "atomicPublish" -> atomicPublish, "profileColumns" -> profileColumns,
+    "npCols" -> numericProfiles.map(_.expr), "npLos" -> numericProfiles.map(_.lo),
+    "npHis" -> numericProfiles.map(_.hi), "npBins" -> numericProfiles.map(_.bins))
   override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
     val df = in("df")
     def writeTo(target: String, wmode: String): Unit = {
@@ -277,6 +289,10 @@ class SinkNode(val path: String, val format: String = "parquet", val mode: Strin
           new SketchProfileNode(profileColumns)
             .transform(ctx, In.single("df" -> df))("result")
             .coalesce(1).write.mode("overwrite").parquet(s"$target/_profile")
+        if (numericProfiles.nonEmpty)
+          new NumericProfileNode(numericProfiles)
+            .transform(ctx, In.single("df" -> df))("result")
+            .coalesce(1).write.mode("overwrite").parquet(s"$target/_numprofile")
       })
       Map("result" -> df.sparkSession.read.format(format).options(options)
         .load(s"$path/gen-$gen"))

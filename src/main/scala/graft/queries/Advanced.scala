@@ -2510,6 +2510,36 @@ object Advanced {
   }
   val q164Sql: String = q161Sql
 
+  // ---- q166: publish-time NUMERIC profiles — SinkNode(numericProfiles)
+  // writes a fixed-grid histogram table into each committed generation
+  // (`_numprofile/`, next to the HLL `_profile/`), so every publish
+  // carries a mergeable distribution audit. Two DISJOINT generation
+  // publishes (doc_id parity split), then ProfileMergeNode over the
+  // published `gen-*/_numprofile` tables + HistQuantileNode — the merged
+  // corpus-history quantiles must equal q159's one-shot oracle EXACTLY
+  // (integer bucket merge over a partition of the corpus), without ever
+  // re-reading the data. ----
+  def q166_publish_numeric_profiles(spark: SparkSession, dir: String): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("graft_q166_")
+    work.toFile.deleteOnExit()
+    val pub = s"$work/docs_pub"
+    def publishRun(filter: String): Unit = { Queries.run(spark) { d =>
+      d.add(SourceNode.table(dir, "documents")) >> FilterNode(filter) >>
+        new SinkNode(pub, atomicPublish = true,
+          numericProfiles = Seq(q159Spec)) >> d.output("result")
+    }; () }
+    publishRun("doc_id % 2 = 0")
+    publishRun("doc_id % 2 = 1")
+    val ctx = Ctx(spark)
+    val profs = spark.read.parquet(s"$pub/gen-*/_numprofile")
+    val merged = new ProfileMergeNode()
+      .transform(ctx, In(Map("profiles" -> Seq(profs))))("result")
+    new HistQuantileNode(q159Qs)
+      .transform(ctx, In.single("profile" -> merged))("result")
+      .orderBy("col_name", "q")
+  }
+  val q166Sql: String = q159Sql
+
   // ---- q165: IVF centroid REFRESH under corpus drift (VERDICT r11
   // missing #2) — the day-2 hole left by the frozen-centroid contract: a
   // drifted delta (here a compact far-away cloud: -10 in every dimension
@@ -2636,5 +2666,6 @@ object Advanced {
     ("q163_cluster_index_delete", q163_cluster_index_delete _, q163Sql),
     ("q164_stream_cdc_index_maintenance", q164_stream_cdc_index_maintenance _, q164Sql),
     ("q165_ivf_rebuild", q165_ivf_rebuild _, q165Sql),
+    ("q166_publish_numeric_profiles", q166_publish_numeric_profiles _, q166Sql),
   )
 }

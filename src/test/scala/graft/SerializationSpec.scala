@@ -269,6 +269,19 @@ class SerializationSpec extends AnyFunSuite {
       Seq(0.25, 0.5, 0.99))
     assert(d3.node(hd.name).isInstanceOf[HistDriftNode])
     assert(d3.node(pm.name).isInstanceOf[ProfileMergeNode])
+    // publish-time profiling config on the sink (round 12: numericProfiles)
+    val snk = d.add(new SinkNode("/tmp/pub3", atomicPublish = true,
+      profileColumns = Seq("lang"),
+      numericProfiles = Seq(NumericProfileNode.Spec("n_chars", 0.0, 640.0, 64))))
+    val d4 = DagJson.fromJson(DagJson.toJson(d))
+    val snk2 = d4.node(snk.name).asInstanceOf[SinkNode]
+    assert(snk2.atomicPublish && snk2.profileColumns == Seq("lang") &&
+      snk2.numericProfiles == Seq(NumericProfileNode.Spec("n_chars", 0.0, 640.0, 64)))
+    // overlay bound on the cluster index round-trips
+    val ci3 = d.add(new ClusterIndexNode("a", "b", maxIter = 7,
+      maxOverlayRows = 123456L))
+    val d5 = DagJson.fromJson(DagJson.toJson(d))
+    assert(d5.node(ci3.name).asInstanceOf[ClusterIndexNode].maxOverlayRows == 123456L)
   }
 
   test("round-trip covers quality kinds: heuristic/vocab/semdedup/domain-quota") {
