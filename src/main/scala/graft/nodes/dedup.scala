@@ -1074,9 +1074,9 @@ class MinHashIndexNode(
     * corpus EXCEPT buckets previously dropped whole by `maxBucket`: those
     * rows were never stored, so a deletion that would bring a dropped
     * bucket back under the cap cannot resurrect it (under-recall, never
-    * false positives) until the next refit. Kept buckets only shrink, so
-    * the cap needs no re-evaluation. Tombstones for unknown ids are
-    * no-ops. */
+    * false positives) until `rebuildIndex` re-derives the buckets from the
+    * shingle ledger. Kept buckets only shrink, so the cap needs no
+    * re-evaluation. Tombstones for unknown ids are no-ops. */
   def deleteFromIndex(ctx: Ctx, deletes: DataFrame): Unit = {
     import org.apache.spark.storage.StorageLevel
     val m = model.getOrElse(
@@ -1092,6 +1092,33 @@ class MinHashIndexNode(
     newShingles.count(); newBuckets.count() // materialize before releasing old
     model = Some(MinHashIndexNode.Index(newShingles, newBuckets))
     m.shingles.unpersist(); m.buckets.unpersist()
+    generation += 1
+    if (compactEvery > 0 && generation % compactEvery == 0) compactIndex()
+  }
+
+  /** Re-derive the band buckets from the SHINGLE LEDGER — the shingles
+    * frame is the full per-doc ground truth (band keys are a pure function
+    * of it), so the rebuilt bucket table equals a from-scratch fit over the
+    * index's current contents BIT-FOR-BIT, including the cap: buckets that
+    * were dropped whole while over `maxBucket` RESURRECT once enough of
+    * their members were deleted to fit again — the exactness gap
+    * deleteFromIndex documents. One delta-free corpus pass over the skinny
+    * shingle frame (no re-tokenization, no data re-read); run after a
+    * deletion wave or on the compaction cadence. */
+  def rebuildIndex(): Unit = {
+    import org.apache.spark.storage.StorageLevel
+    val m = model.getOrElse(
+      throw new graft.dag.GraftException(s"estimator node '$name' not fitted"))
+    graft.functions.VecFunctions.register(m.shingles.sparkSession)
+    val buckets0 = bandKeys(m.shingles, "base_id", "__sh_b")
+    val ok = buckets0.groupBy("band", "band_hash").count()
+      .filter(col("count") <= maxBucket).select("band", "band_hash")
+    val newBuckets = buckets0.join(ok, Seq("band", "band_hash"))
+      .select("band", "band_hash", "base_id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    newBuckets.count() // materialize before releasing the superseded generation
+    model = Some(MinHashIndexNode.Index(m.shingles, newBuckets))
+    m.buckets.unpersist()
     generation += 1
     if (compactEvery > 0 && generation % compactEvery == 0) compactIndex()
   }

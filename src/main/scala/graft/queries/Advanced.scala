@@ -2600,6 +2600,48 @@ object Advanced {
       |UNION ALL SELECT 'self_hits_pre_rebuild', (SELECT count(*) FROM embeddings WHERE vec_id % 5 = 0)
       |ORDER BY metric""".stripMargin
 
+  // ---- q167: bucket RESURRECTION after a deletion wave —
+  // MinHashIndexNode.rebuildIndex closes deleteFromIndex's documented
+  // exactness gap (a bucket dropped whole while over `maxBucket` cannot
+  // come back by deletion alone; the shingle ledger re-derives it). The
+  // corpus is SYNTHESIZED into exact-duplicate families (doc_id % 50 over
+  // doc_id < 500 → fifty 10-member families with zero cross-family token
+  // overlap), so every contract step is a HARD guarantee, not a
+  // probabilistic LSH bound: exact dups collide in EVERY band, distinct
+  // families in none. maxBucket = 5 drops all family buckets at fit
+  // (10 > 5); deleting doc_id >= 250 halves the families (5 <= 5); after
+  // rebuildIndex each probe must find EXACTLY its family's live members —
+  // the oracle derives that set from arithmetic alone. A rebuild that
+  // re-derives nothing (or mis-applies the cap) leaves the result empty or
+  // partial and breaks the hash. ----
+  private def q167FamText(fam: String): String =
+    s"concat_ws(' ', transform(sequence(1, 30), i -> " +
+      s"concat('f', cast(($fam) as string), '_t', cast(i as string))))"
+
+  def q167_minhash_rebuild(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Queries.run(spark) { d =>
+      d.add(SourceNode.table(dir, "documents")) >>
+        FilterNode("doc_id < 500") >> ProjectNode("doc_id") >> d.output("result")
+    }
+    val ctx = Ctx(spark)
+    val corpus = docs.selectExpr("doc_id", s"${q167FamText("doc_id % 50")} as text")
+    val idx = new MinHashIndexNode(numHashes = 32, bands = 16,
+      jaccardThreshold = 0.8, maxBucket = 5)
+    idx.fit(ctx, In.single("corpus" -> corpus))
+    idx.deleteFromIndex(ctx, docs.filter("doc_id >= 250").select("doc_id"))
+    idx.rebuildIndex()
+    val probes = spark.range(10).selectExpr(
+      "100000 + id as doc_id", s"${q167FamText("id")} as text")
+    idx.transform(ctx, In.single("delta" -> probes))("result")
+      .select(col("delta_id"), col("base_id"))
+      .orderBy("delta_id", "base_id")
+  }
+  val q167Sql: String =
+    """SELECT 100000 + p.f AS delta_id, d.doc_id AS base_id
+      |FROM (SELECT unnest(range(0, 10)) AS f) p
+      |JOIN documents d ON d.doc_id < 250 AND d.doc_id % 50 = p.f
+      |ORDER BY delta_id, base_id""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q94_bloom_join", q94_bloom_join _, q94Sql),
     ("q95_pagerank", q95_pagerank _, q95Sql),
@@ -2667,5 +2709,6 @@ object Advanced {
     ("q164_stream_cdc_index_maintenance", q164_stream_cdc_index_maintenance _, q164Sql),
     ("q165_ivf_rebuild", q165_ivf_rebuild _, q165Sql),
     ("q166_publish_numeric_profiles", q166_publish_numeric_profiles _, q166Sql),
+    ("q167_minhash_rebuild", q167_minhash_rebuild _, q167Sql),
   )
 }

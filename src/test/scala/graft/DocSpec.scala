@@ -149,4 +149,44 @@ class DocSpec extends AnyFunSuite {
       .as[(Int, Int)].collect().head == ((4, 64)))
     lm.unpersistModel(); idx.unpersistIndex()
   }
+
+  test("README takedown example runs") {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    val famText = (1 to 40).map(i => s"w$i").mkString(" ")
+    val corpus = ((1L to 6L).map(i => (i, famText)) ++
+      Seq((50L, (100 to 140).map(i => s"v$i").mkString(" ")))).toDF("doc_id", "text")
+    // fit under a tight cap: the 6-member family bucket drops whole
+    val idx = new MinHashIndexNode(numHashes = 32, bands = 16,
+      jaccardThreshold = 0.8, maxBucket = 4)
+    idx.fit(Ctx(spark), In.single("corpus" -> corpus))
+    // 1. takedown wave reaches the index
+    val tombstones = Seq(5L, 6L).toDF("doc_id")
+    idx.deleteFromIndex(Ctx(spark), tombstones)
+    // 2. rebuild re-derives the capped buckets from the shingle ledger
+    idx.rebuildIndex()
+    val probe = Seq((1000L, famText)).toDF("doc_id", "text")
+    val found = idx.transform(Ctx(spark), In.single("delta" -> probe))("result")
+      .select("base_id").as[Long].collect().toSet
+    assert(found == Set(1L, 2L, 3L, 4L)) // family resurrected minus deletions
+    // 3. CDC stream maintaining a lexical index exactly-once
+    val invIdx = new InvertedIndexNode(k = 5, maxDfFrac = 1.0)
+    invIdx.fit(Ctx(spark), In.single("corpus" ->
+      Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_doc_cdc_")
+    val cdc = Seq((2L, "", true), (3L, "alpha gamma", false))
+      .toDF("doc_id", "text", "is_delete")
+    cdc.coalesce(1).write.mode("overwrite").parquet(s"$tmp/cdc")
+    val cdcStream = spark.readStream.schema(cdc.schema).parquet(s"$tmp/cdc")
+    IndexMaintenance.maintainFromStream(invIdx, Ctx(spark), cdcStream,
+      checkpoint = Some(s"$tmp/ckpt"), deleteCol = Some("is_delete"))
+    assert(invIdx.model.get.nDocs == 2L) // 1 kept + 1 inserted, 1 deleted
+    // 4. ANN rebuild under drift (centroid refresh from index contents)
+    val ivfIdx = new IvfIndexNode(k = 5, nClusters = 2, nProbe = 2)
+    ivfIdx.fit(Ctx(spark), In.single("corpus" ->
+      (1L to 8L).map(i => (i, Array(i.toFloat, 1.0f))).toDF("vec_id", "embedding")))
+    ivfIdx.rebuildIndex(Ctx(spark))
+    assert(ivfIdx.model.get.assignments.count() == 8L)
+    Seq(idx).foreach(_.unpersistIndex()); invIdx.unpersistIndex(); ivfIdx.unpersistIndex()
+  }
 }

@@ -2657,6 +2657,37 @@ class NodesSpec extends AnyFunSuite {
     idx.unpersistIndex()
   }
 
+  test("MinHashIndexNode.rebuildIndex: capped buckets resurrect after deletes; " +
+       "rebuilt index == from-scratch fit over live docs bit-for-bit") {
+    import spark.implicits._
+    val c = Ctx(spark)
+    val famText = (1 to 40).map(i => s"w$i").mkString(" ")
+    // a 6-member exact-dup family (ids 1-6) plus two unrelated docs
+    val family = (1L to 6L).map(i => (i, famText))
+    val base = (family ++ Seq(
+      (50L, (100 to 140).map(i => s"v$i").mkString(" ")),
+      (51L, (200 to 240).map(i => s"u$i").mkString(" ")))).toDF("doc_id", "text")
+    val idx = new MinHashIndexNode(numHashes = 32, bands = 16,
+      jaccardThreshold = 0.8, maxBucket = 4)
+    idx.fit(c, In.single("corpus" -> base))
+    val probe = Seq((1000L, famText)).toDF("doc_id", "text")
+    def hits: Set[Long] = idx.transform(c, In.single("delta" -> probe))("result")
+      .select("base_id").as[Long].collect().toSet
+    assert(hits == Set.empty[Long]) // family bucket (6 > 4) dropped whole at fit
+    idx.deleteFromIndex(c, Seq(5L, 6L, 50L).toDF("doc_id"))
+    assert(hits == Set.empty[Long]) // delete alone cannot resurrect dropped rows
+    idx.rebuildIndex()
+    assert(hits == Set(1L, 2L, 3L, 4L)) // 4 <= cap: bucket resurrected
+    // bit-for-bit vs a from-scratch fit over the live docs
+    val scratch = new MinHashIndexNode(numHashes = 32, bands = 16,
+      jaccardThreshold = 0.8, maxBucket = 4)
+    scratch.fit(c, In.single("corpus" -> base.filter("doc_id not in (5, 6, 50)")))
+    def buckets(n: MinHashIndexNode): Set[(Int, Long, Long)] =
+      n.model.get.buckets.as[(Int, Long, Long)].collect().toSet
+    assert(buckets(idx) == buckets(scratch))
+    idx.unpersistIndex(); scratch.unpersistIndex()
+  }
+
   test("ClusterIndexNode.deleteFromIndex: tombstone masks base, survivors keep historical " +
        "labels, re-added ids start fresh, fold preserves state") {
     import spark.implicits._
