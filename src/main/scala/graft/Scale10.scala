@@ -40,6 +40,7 @@ object Scale10 {
     cloneK("embeddings", Seq("vec_id"))
     cloneK("events", Seq("event_id")) // user_id NOT shifted: same user population
     cloneK("orders", Seq("o_orderkey")) // o_custkey NOT shifted: per-key density
+    cloneK("lineitem", Seq("l_orderkey")) // q158's profile source
     // grows k-fold on BOTH as-of sides — the expand path's L*R blowup is k^2
     // per key while the merge path stays (L+R)*k; q15 probes exactly this
 
@@ -94,7 +95,18 @@ object Scale10 {
       "q149_compact_files", "q150_sketch_profile", "q151_stream_cdc_apply",
       "q152_stream_ann_serving_production", "q154_stream_neardup_maintenance",
       "q155_publish_profiles", "q156_incremental_clusters",
-      "q157_stream_cluster_maintenance")
+      "q157_stream_cluster_maintenance",
+      // round-12 additions: numeric profiles (one aggregate pass — flat),
+      // index deletes (anti joins at k-fold corpus — linear), streamed CDC
+      // maintenance (delete+append per batch at k-fold index), IVF rebuild
+      // (k-fold re-assign through the broadcast path), minhash bucket
+      // re-derivation (k-fold skinny shingle pass), cluster delete (overlay
+      // masking — the base must NOT relayout)
+      "q158_numeric_profile_merge", "q159_hist_quantiles", "q160_hist_drift",
+      "q161_inverted_index_delete", "q162_ann_index_delete",
+      "q163_cluster_index_delete", "q164_stream_cdc_index_maintenance",
+      "q165_ivf_rebuild", "q166_publish_numeric_profiles",
+      "q167_minhash_rebuild")
     val names = if (queries.nonEmpty) queries else defaults
     names.foreach { n =>
       try time(n)(Queries.all(n)(spark, out).count())
