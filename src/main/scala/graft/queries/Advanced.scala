@@ -2367,6 +2367,11 @@ object Advanced {
     * corpus; queries still come from the FULL table (a deleted doc may
     * still issue queries — query text is independent of index content). */
   private def q161OracleSql(liveWhere: String): String =
+    q161OracleBody(liveWhere) + "\nORDER BY query_id, rank"
+
+  /** The post-delete retrieval oracle WITHOUT the final ORDER BY, so
+    * callers (q168) can wrap it in further projection. */
+  private def q161OracleBody(liveWhere: String): String =
     s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE $liveWhere),
        |toks AS (
        |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
@@ -2386,7 +2391,7 @@ object Advanced {
        |  SELECT *, row_number() OVER (PARTITION BY query_id
        |                               ORDER BY score DESC, doc_id) AS rank
        |  FROM scored)
-       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+       |WHERE rank <= 5""".stripMargin
 
   def q161_inverted_index_delete(spark: SparkSession, dir: String): DataFrame = {
     val docs = Queries.run(spark) { d =>
@@ -2642,6 +2647,79 @@ object Advanced {
       |JOIN documents d ON d.doc_id < 250 AND d.doc_id % 50 = p.f
       |ORDER BY delta_id, base_id""".stripMargin
 
+  // ---- q168: the day-2 lakehouse CAPSTONE — ONE CDC stream drives BOTH
+  // the published corpus (CdcApply → MergeNode → AtomicPublish generations)
+  // and the incremental lexical index (maintainFromStream CDC mode), and
+  // the two must agree: serving the q98 query batch from the maintained
+  // index equals serving it from a FROM-SCRATCH index built over the
+  // published corpus read back through the manifest. Both tagged result
+  // sets must match the arithmetic post-CDC oracle — a divergence in
+  // either pipeline (a lost tombstone, a double-applied upsert, a stale
+  // generation read) breaks the hash on its side. CDC classes are
+  // key-disjoint (inserts %5=0∧%7≠0, same-text replaces %5≠0∧%3=0∧%7≠0,
+  // tombstones %7=0), so MergeNode's duplicate guard stays quiet and the
+  // final live corpus is exactly doc_id % 7 != 0 with original text. ----
+  def q168_cdc_lakehouse_consistency(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Queries.run(spark) { d =>
+      d.add(SourceNode.table(dir, "documents")) >>
+        ProjectNode("doc_id", "text") >> d.output("result")
+    }
+    val ctx = Ctx(spark)
+    val work = java.nio.file.Files.createTempDirectory("graft_q168_")
+    work.toFile.deleteOnExit()
+    val root = s"$work/corpus_pub"
+    // publish the base corpus as generation 1
+    Queries.run(spark) { d =>
+      d.add(SourceNode.table(dir, "documents")) >>
+        FilterNode("doc_id % 5 != 0") >> ProjectNode("doc_id", "text") >>
+        new SinkNode(root, atomicPublish = true) >> d.output("result")
+    }
+    // one CDC batch, key-disjoint classes
+    val cdc = docs.filter("doc_id % 5 = 0 and doc_id % 7 != 0")
+      .selectExpr("doc_id", "text", "false as is_delete")
+      .union(docs.filter("doc_id % 5 != 0 and doc_id % 3 = 0 and doc_id % 7 != 0")
+        .selectExpr("doc_id", "text", "false as is_delete"))
+      .union(docs.filter("doc_id % 7 = 0")
+        .selectExpr("doc_id", "'' as text", "true as is_delete"))
+    cdc.coalesce(1).write.mode("overwrite").parquet(s"$work/cdc")
+    def cdcStream = Queries.run(spark) { d =>
+      d.add(new StreamSourceNode(s"$work/cdc", "parquet")) >> d.output("result")
+    }
+    // leg A: CDC into the published corpus
+    CdcApply.applyStream(ctx, root, cdcStream,
+      new MergeNode(keys = Seq("doc_id"), deleteCol = Some("is_delete")),
+      checkpoint = Some(s"$work/ckpt_corpus"))
+    // leg B: the SAME stream maintains the incremental index
+    val idx = new InvertedIndexNode(k = 5, maxDfFrac = 0.79)
+    idx.fit(ctx, In.single("corpus" -> docs.filter("doc_id % 5 != 0")))
+    IndexMaintenance.maintainFromStream(idx, ctx, cdcStream,
+      checkpoint = Some(s"$work/ckpt_index"), deleteCol = Some("is_delete"))
+    val queries = docs.filter(queryBatchPred)
+      .selectExpr("doc_id as query_id", "text")
+    val fromIndex = idx.transform(ctx, In.single("queries" -> queries))("result")
+      .selectExpr("'from_index' as side", "query_id", "doc_id", "score", "rank")
+    // from-scratch retrieval over the published post-CDC corpus read back
+    // through the manifest (SourceNode resolves the committed generation)
+    val published = Queries.run(spark) { d =>
+      d.add(new SourceNode(root)) >> d.output("result")
+    }
+    val scratch = new InvertedIndexTopKNode(
+      idCol = "doc_id", textCol = "text", queryIdCol = "query_id",
+      queryTextCol = "text", k = 5, maxDfFrac = 0.79)
+    val fromCorpus = scratch.transform(ctx,
+        In.single("corpus" -> published, "queries" -> queries))("result")
+      .selectExpr("'from_published_corpus' as side", "query_id", "doc_id", "score", "rank")
+    fromIndex.unionByName(fromCorpus).orderBy("side", "query_id", "rank")
+  }
+  val q168Sql: String =
+    s"""WITH oracle_base AS (
+       |${q161OracleBody("doc_id % 7 != 0")})
+       |SELECT s.side, b.query_id, b.doc_id, b.score, b.rank
+       |FROM (SELECT 'from_index' AS side UNION ALL
+       |      SELECT 'from_published_corpus') s
+       |CROSS JOIN oracle_base b
+       |ORDER BY side, query_id, rank""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q94_bloom_join", q94_bloom_join _, q94Sql),
     ("q95_pagerank", q95_pagerank _, q95Sql),
@@ -2710,5 +2788,6 @@ object Advanced {
     ("q165_ivf_rebuild", q165_ivf_rebuild _, q165Sql),
     ("q166_publish_numeric_profiles", q166_publish_numeric_profiles _, q166Sql),
     ("q167_minhash_rebuild", q167_minhash_rebuild _, q167Sql),
+    ("q168_cdc_lakehouse_consistency", q168_cdc_lakehouse_consistency _, q168Sql),
   )
 }
