@@ -194,7 +194,14 @@ object CdcApply {
     * duplicate policy); `format` is the published dataset's storage format
     * (both the per-batch base read and the new generations use it). Blocks
     * until drained under the default AvailableNow trigger with
-    * `await = true`. */
+    * `await = true`.
+    *
+    * `numericProfiles` (mirrors `SinkNode`): each merged generation also
+    * writes a NumericProfileNode fixed-grid histogram under `_numprofile/`
+    * BEFORE the manifest swap — every CDC generation then carries a
+    * mergeable distribution audit, and a HistDriftNode over consecutive
+    * generations' profile tables is the daily "did this CDC wave shift the
+    * corpus?" gate, answered without re-reading any generation. */
   def applyStream(
       ctx: Ctx,
       root: String,
@@ -203,7 +210,8 @@ object CdcApply {
       checkpoint: Option[String] = None,
       trigger: Trigger = Trigger.AvailableNow(),
       await: Boolean = true,
-      format: String = "parquet"): StreamingQuery = {
+      format: String = "parquet",
+      numericProfiles: Seq[NumericProfileNode.Spec] = Nil): StreamingQuery = {
     if (!updates.isStreaming)
       throw new GraftException(
         "CdcApply.applyStream needs a streaming updates frame — for a batch delta run MergeNode directly")
@@ -224,6 +232,13 @@ object CdcApply {
             // marker inside the generation -> commits with the manifest swap
             Seq(batchId).toDF("batch_id").coalesce(1)
               .write.parquet(s"$target/_cdc")
+            // profile the just-written files (one scan) rather than
+            // re-executing the merge plan a second time
+            if (numericProfiles.nonEmpty)
+              new NumericProfileNode(numericProfiles)
+                .transform(ctx, In.single("df" ->
+                  spark.read.format(format).load(target)))("result")
+                .coalesce(1).write.mode("overwrite").parquet(s"$target/_numprofile")
           })
           last = batchId
         }

@@ -2720,6 +2720,62 @@ object Advanced {
        |CROSS JOIN oracle_base b
        |ORDER BY side, query_id, rank""".stripMargin
 
+  // ---- q169: CDC drift GATE from generation profiles alone — CdcApply
+  // with `numericProfiles` stamps each merged generation with a fixed-grid
+  // histogram; the daily "did this CDC wave shift the corpus?" check is
+  // then one HistDriftNode over two profile TABLES (128 rows), zero data
+  // re-read. The wave deletes every non-English doc, so the n_chars
+  // distribution shifts to the en-skewed tail and tv is meaningfully
+  // nonzero; the oracle recomputes the exact integer TV between the full
+  // and en-only histograms (the q160 arithmetic) straight from the
+  // documents table. ----
+  def q169_cdc_drift_gate(spark: SparkSession, dir: String): DataFrame = {
+    val ctx = Ctx(spark)
+    val work = java.nio.file.Files.createTempDirectory("graft_q169_")
+    work.toFile.deleteOnExit()
+    val root = s"$work/corpus_pub"
+    val spec = Seq(q159Spec) // n_chars on the shared [0, 640) x 64 grid
+    // generation 1: the full corpus, profiled at publish
+    Queries.run(spark) { d =>
+      d.add(SourceNode.table(dir, "documents")) >>
+        ProjectNode("doc_id", "lang", "n_chars") >>
+        new SinkNode(root, atomicPublish = true, numericProfiles = spec) >>
+        d.output("result")
+    }
+    // the CDC wave: tombstone every non-English doc
+    val docs = Queries.run(spark) { d =>
+      d.add(SourceNode.table(dir, "documents")) >> d.output("result")
+    }
+    docs.filter("lang <> 'en'")
+      .selectExpr("doc_id", "lang", "n_chars", "true as is_delete")
+      .coalesce(1).write.mode("overwrite").parquet(s"$work/cdc")
+    val stream = Queries.run(spark) { d =>
+      d.add(new StreamSourceNode(s"$work/cdc", "parquet")) >> d.output("result")
+    }
+    CdcApply.applyStream(ctx, root, stream,
+      new MergeNode(keys = Seq("doc_id"), deleteCol = Some("is_delete")),
+      checkpoint = Some(s"$work/ckpt"), numericProfiles = spec)
+    // the gate: drift between the two generations' PROFILE TABLES
+    val drift = new HistDriftNode()
+    drift.transform(ctx, In.single(
+      "a" -> spark.read.parquet(s"$root/gen-1/_numprofile"),
+      "b" -> spark.read.parquet(s"$root/gen-2/_numprofile")))("result")
+      .orderBy("col_name")
+  }
+  val q169Sql: String = {
+    val s = q159Spec
+    val bin = profOracleBin(s.expr, s.lo, s.w, s.bins)
+    s"""WITH pa AS (SELECT $bin AS bin, count(*) AS n FROM documents GROUP BY 1),
+       |pb AS (SELECT $bin AS bin, count(*) AS n FROM documents WHERE lang = 'en' GROUP BY 1)
+       |SELECT '${s.expr}' AS col_name,
+       |  cast((SELECT sum(abs(coalesce(a.n, 0) * (SELECT sum(n) FROM pb) -
+       |                       coalesce(b.n, 0) * (SELECT sum(n) FROM pa)))
+       |        FROM pa a FULL OUTER JOIN pb b USING (bin)) as double) /
+       |  (2.0 * cast((SELECT sum(n) FROM pa) as double) *
+       |   cast((SELECT sum(n) FROM pb) as double)) AS tv
+       |ORDER BY col_name""".stripMargin
+  }
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q94_bloom_join", q94_bloom_join _, q94Sql),
     ("q95_pagerank", q95_pagerank _, q95Sql),
@@ -2789,5 +2845,6 @@ object Advanced {
     ("q166_publish_numeric_profiles", q166_publish_numeric_profiles _, q166Sql),
     ("q167_minhash_rebuild", q167_minhash_rebuild _, q167Sql),
     ("q168_cdc_lakehouse_consistency", q168_cdc_lakehouse_consistency _, q168Sql),
+    ("q169_cdc_drift_gate", q169_cdc_drift_gate _, q169Sql),
   )
 }
