@@ -213,4 +213,67 @@ class PropertySpec extends AnyFunSuite {
       twice.select("c1", "c2").collect().forall(r => r.getString(0) == r.getString(1))
     })
   }
+
+  test("ClusterIndexNode overlay composition: random edge batches + folds + trailing " +
+    "deletes equal one-shot CC labels (deleted ids -> self) on random graphs") {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    import graft.nodes.ClusterIndexNode
+    // random graph over a small id universe, random split of the edges into
+    // fit + 1..3 update batches, random fold points between batches, then a
+    // random trailing delete set — the overlay remap/fresh/tombstone frames
+    // must compose to exactly the one-shot CC labels over ALL edges with
+    // deleted ids answering as self-singletons (the documented
+    // retained-labels semantics; re-admission is drilled separately)
+    val genCase = for {
+      nEdges <- Gen.choose(1, 14)
+      edges <- Gen.listOfN(nEdges, for {
+        a <- Gen.choose(1L, 12L); b <- Gen.choose(1L, 12L)
+      } yield (a, b))
+      nBatches <- Gen.choose(1, 3)
+      cuts <- Gen.listOfN(nBatches, Gen.choose(0, nEdges))
+      foldAfter <- Gen.listOfN(nBatches, Gen.oneOf(true, false))
+      dels <- Gen.someOf(1L to 12L)
+    } yield (edges, cuts.sorted, foldAfter, dels.toSet)
+    val p = Prop.forAll(genCase) { case (edges, cuts, foldAfter, dels) =>
+      // pure-Scala union-find oracle with min labels over ALL edges
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p0 = parent.getOrElseUpdate(x, x)
+        if (p0 == x) x else { val r = find(p0); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { val m = math.min(ra, rb); parent(math.max(ra, rb)) = m }
+      }
+      def label(x: Long): Long = if (parent.contains(x)) find(x) else x
+      val expected = (1L to 12L).map { id =>
+        id -> (if (dels(id)) id else label(id))
+      }.toMap
+      // incremental engine run
+      val idx = new ClusterIndexNode()
+      val c = Ctx(spark)
+      val splits = (0 +: cuts :+ edges.size).sliding(2)
+        .map { w => edges.slice(w(0), w(1)) }.toSeq
+      def df(es: Seq[(Long, Long)]) =
+        if (es.isEmpty) Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+        else es.toDF("id_a", "id_b")
+      idx.fit(c, In.single("pairs" -> df(splits.head)))
+      splits.tail.zipWithIndex.foreach { case (batch, i) =>
+        idx.updateIndex(c, df(batch))
+        if (foldAfter(i % foldAfter.size)) idx.foldOverlay()
+      }
+      if (dels.nonEmpty) idx.deleteFromIndex(c, dels.toSeq.toDF("doc_id"))
+      val got = idx.transform(c,
+          In.single("queries" -> (1L to 12L).toDF("doc_id")))("result")
+        .as[(Long, Long)].collect().toMap
+      idx.unpersistIndex()
+      if (got != expected)
+        println(s"MISMATCH edges=$edges cuts=$cuts folds=$foldAfter dels=$dels got=$got expected=$expected")
+      got == expected
+    }
+    // each trial runs several CC passes — keep the count modest
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), p)
+    assert(res.passed, res.status.toString)
+  }
 }
