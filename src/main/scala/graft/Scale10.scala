@@ -106,7 +106,11 @@ object Scale10 {
       "q161_inverted_index_delete", "q162_ann_index_delete",
       "q163_cluster_index_delete", "q164_stream_cdc_index_maintenance",
       "q165_ivf_rebuild", "q166_publish_numeric_profiles",
-      "q167_minhash_rebuild")
+      "q167_minhash_rebuild",
+      // round-12 capstones: one CDC stream into corpus + index (per-batch
+      // base re-read + index delete/append at k-fold are the hazards),
+      // drift gate (k-fold publish + one profile-table join)
+      "q168_cdc_lakehouse_consistency", "q169_cdc_drift_gate")
     val names = if (queries.nonEmpty) queries else defaults
     names.foreach { n =>
       try time(n)(Queries.all(n)(spark, out).count())

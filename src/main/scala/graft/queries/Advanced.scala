@@ -2576,10 +2576,16 @@ object Advanced {
       .groupBy("__cluster").count()
       .agg(org.apache.spark.sql.functions.max(col("count")))
       .collect().head.getLong(0)
+    // self-retrieval batch bounded ABSOLUTELY (the q98 convention — a no-op
+    // at the gate SFs where every drifted id is < 1e8, but it keeps the
+    // pre-rebuild probe of the deliberately-bloated cell O(batch x cell)
+    // instead of O(corpus x cell) under k-fold clone probes: a query batch
+    // that scales with the corpus is the config you would never run)
+    val probeBatch = drifted.filter("vec_id < 100000000")
     def selfHits: Long = idx.transform(ctx, In.single("queries" ->
-        drifted.selectExpr("vec_id as query_id", "embedding")))("result")
+        probeBatch.selectExpr("vec_id as query_id", "embedding")))("result")
       .filter("query_id = vec_id").count()
-    val nQueries = drifted.count()
+    val nQueries = probeBatch.count()
     val preMax = maxCell
     val preHits = selfHits
     idx.rebuildIndex(ctx)
