@@ -2423,7 +2423,10 @@ object Advanced {
     idx.fit(ctx, In.single("corpus" -> emb.filter("vec_id % 5 != 0")))
     idx.updateIndex(ctx, emb.filter("vec_id % 5 = 0"))
     idx.deleteFromIndex(ctx, emb.filter("vec_id % 7 = 0").select("vec_id"))
-    val queries = emb.filter("vec_id % 97 = 0")
+    // query batch bounded ABSOLUTELY (the q98 convention — no-op at the
+    // gate SFs): at the probe-all identity config a corpus-proportional
+    // batch makes gated work O(batch x corpus) under clone probes
+    val queries = emb.filter("vec_id % 97 = 0 and vec_id < 100000000")
       .selectExpr("vec_id as query_id", "embedding")
     idx.transform(ctx, In.single("queries" -> queries))("result")
       .filter("score >= 0.3D")
