@@ -110,7 +110,9 @@ object Scale10 {
       // round-12 capstones: one CDC stream into corpus + index (per-batch
       // base re-read + index delete/append at k-fold are the hazards),
       // drift gate (k-fold publish + one profile-table join)
-      "q168_cdc_lakehouse_consistency", "q169_cdc_drift_gate")
+      "q168_cdc_lakehouse_consistency", "q169_cdc_drift_gate",
+      // quantized incremental ANN (k-fold code derivation + coarse pass)
+      "q170_ivf_quantized_day2")
     val names = if (queries.nonEmpty) queries else defaults
     names.foreach { n =>
       try time(n)(Queries.all(n)(spark, out).count())

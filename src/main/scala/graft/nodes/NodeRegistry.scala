@@ -221,7 +221,8 @@ object NodeRegistry {
       p.int("nProbe"), p.str("idCol"), p.str("vecCol"), p.str("queryIdCol"),
       p.m.get("maxFitRows").map(_.toString.toLong).getOrElse(200000L),
       p.m.get("compactEvery").map(_.toString.toInt).getOrElse(0),
-      p.strOpt("compactPath"), p.intOr("maxLiteralCentroids", 64)))
+      p.strOpt("compactPath"), p.intOr("maxLiteralCentroids", 64),
+      p.boolOr("quantized", false), p.intOr("rerank", 100)))
     register("inverted_index")(p => new InvertedIndexNode(p.str("idCol"), p.str("textCol"),
       p.str("queryIdCol"), p.str("queryTextCol"), p.int("k"), p.dbl("maxDfFrac"),
       p.m.get("compactEvery").map(_.toString.toInt).getOrElse(0),

@@ -399,12 +399,23 @@ class IvfIndexNode(
     val maxFitRows: Long = 200000L,
     val compactEvery: Int = 0,
     val compactPath: Option[String] = None,
-    val maxLiteralCentroids: Int = 64)
+    val maxLiteralCentroids: Int = 64,
+    // QUANTIZED storage (the IvfQuantizedKnnNode shape on the incremental
+    // lifecycle): the inverted file additionally carries per-vector int8
+    // codes + scale, batch serving scores the probed clusters on the CODE
+    // columns only (columnar pruning -> ~4x less scan IO at 100 TB) and
+    // pulls float vectors back for exact re-ranking of the `rerank`-sized
+    // candidate pool per query. Candidate order is exact integer dot x two
+    // scales — deterministic; at rerank >= probed candidates the result is
+    // IDENTICAL to the float path (q170 pins that through day 2).
+    val quantized: Boolean = false,
+    val rerank: Int = 100)
   extends EstimatorNode with IncrementalIndex {
   type Model = IvfIndexNode.Index
   require(k > 0 && nClusters > 0 && nProbe > 0, "k/nClusters/nProbe must be positive")
   require(compactEvery >= 0, "compactEvery must be >= 0")
   require(maxLiteralCentroids >= 0, "maxLiteralCentroids must be >= 0")
+  require(!quantized || rerank >= k, "rerank must be >= k (re-rank pool feeds the top-k)")
   override protected def defaultName: String = "ivf_index"
   val inputs = Seq(Port("corpus"), Port("queries"))
   val outputs = Seq(Port("result"))
@@ -414,7 +425,28 @@ class IvfIndexNode(
       "idCol" -> idCol, "vecCol" -> vecCol, "queryIdCol" -> queryIdCol,
       "maxFitRows" -> maxFitRows, "compactEvery" -> compactEvery,
       "compactPath" -> compactPath.orNull,
-      "maxLiteralCentroids" -> maxLiteralCentroids)
+      "maxLiteralCentroids" -> maxLiteralCentroids,
+      "quantized" -> quantized, "rerank" -> rerank)
+
+  /** Inverted-file row columns (float vector + norm always; int8 codes +
+    * scale when `quantized`). */
+  private def idxColNames: Seq[String] =
+    Seq(idCol, "__cluster", "__cv", "__cnorm") ++
+      (if (quantized) Seq("__cq", "__cscale") else Nil)
+
+  /** Project an assigned frame to the inverted-file schema, deriving the
+    * int8 codes when `quantized` (same max-abs scaling as
+    * IvfQuantizedKnnNode — exact floor arithmetic, engine-reproducible). */
+  private def idxSelect(df: DataFrame): DataFrame = {
+    val withCodes =
+      if (!quantized) df
+      else df
+        .withColumn("__cscale", expr(
+          "greatest(array_max(transform(__cv, x -> abs(cast(x as double)))), 1e-30D) / 127.0D"))
+        .withColumn("__cq", expr(
+          "transform(__cv, x -> cast(floor(cast(x as double) / __cscale + 0.5D) as int))"))
+    withCodes.select(idxColNames.map(col): _*)
+  }
 
   @volatile var lastFitRows: Long = -1L
 
@@ -480,8 +512,7 @@ class IvfIndexNode(
       .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
     val centroids = cents.toDF("__cluster", "__centroid")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val assignments = assign(withVecNorm(in("corpus"), idCol), centroids, cents)
-      .select(col(idCol), col("__cluster"), col("__cv"), col("__cnorm"))
+    val assignments = idxSelect(assign(withVecNorm(in("corpus"), idCol), centroids, cents))
       .persist(StorageLevel.MEMORY_AND_DISK)
     IvfIndexNode.Index(centroids, assignments)
   }
@@ -503,6 +534,37 @@ class IvfIndexNode(
       .filter(col("__pr") <= nProbe)
       .select(col(queryIdCol), col("__qv"), col("__qnorm"), col("__cluster"))
     val w = Window.partitionBy(queryIdCol).orderBy(col("score").desc, col(idCol).asc)
+    if (quantized) {
+      // coarse pass on the CODE columns only (columnar pruning keeps the
+      // probed-cluster scan at the int8 width), exact integer dot x two
+      // scales, deterministic candidate order; float vectors re-enter via
+      // the rerank-sized id join for the exact cosine top-k
+      val queriesQ = queries
+        .withColumn("__qscale", expr(
+          "greatest(array_max(transform(__qv, x -> abs(cast(x as double)))), 1e-30D) / 127.0D"))
+        .withColumn("__qq", expr(
+          "transform(__qv, x -> cast(floor(cast(x as double) / __qscale + 0.5D) as int))"))
+        .select(col(queryIdCol), col("__qq"), col("__qscale"))
+      val probedQ = probed.select(col(queryIdCol), col("__cluster"))
+        .join(broadcast(queriesQ), Seq(queryIdCol))
+      val wCoarse = Window.partitionBy(queryIdCol)
+        .orderBy(col("__qscore").desc, col(idCol).asc)
+      val candidates = m.assignments
+        .select(col(idCol), col("__cluster"), col("__cq"), col("__cscale"))
+        .join(broadcast(probedQ), Seq("__cluster"))
+        .withColumn("__qscore",
+          expr("vec_dot_int(__cq, __qq)") * col("__cscale") * col("__qscale"))
+        .withColumn("__cr", row_number().over(wCoarse))
+        .filter(col("__cr") <= rerank)
+        .select(col(queryIdCol), col(idCol))
+      return Map("result" -> candidates
+        .join(m.assignments.select(col(idCol), col("__cv"), col("__cnorm")), Seq(idCol))
+        .join(broadcast(queries), Seq(queryIdCol))
+        .withColumn("score", expr(VecExprs.cosine("__cv", "__qv", "__cnorm", "__qnorm")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col(queryIdCol), col(idCol), col("score"), col("rank")))
+    }
     Map("result" -> m.assignments.join(broadcast(probed), Seq("__cluster"))
       .withColumn("score", expr(VecExprs.cosine("__cv", "__qv", "__cnorm", "__qnorm")))
       .withColumn("rank", row_number().over(w))
@@ -569,9 +631,8 @@ class IvfIndexNode(
       throw new graft.dag.GraftException(s"estimator node '$name' not fitted"))
     VecExprs.ensure(ctx.spark)
     graft.functions.VecFunctions.register(delta.sparkSession)
-    val fresh = assign(withVecNorm(delta, idCol), m.centroids, collectCentroids(m))
-      .select(col(idCol), col("__cluster"), col("__cv"), col("__cnorm"))
-    val grown = m.assignments.select(col(idCol), col("__cluster"), col("__cv"), col("__cnorm"))
+    val fresh = idxSelect(assign(withVecNorm(delta, idCol), m.centroids, collectCentroids(m)))
+    val grown = m.assignments.select(idxColNames.map(col): _*)
       .union(fresh)
       .persist(StorageLevel.MEMORY_AND_DISK)
     grown.count() // materialize before releasing the superseded generation
@@ -612,8 +673,7 @@ class IvfIndexNode(
       .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
     val centroids = cents.toDF("__cluster", "__centroid")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val assignments = assign(withVecNorm(corpus, idCol), centroids, cents)
-      .select(col(idCol), col("__cluster"), col("__cv"), col("__cnorm"))
+    val assignments = idxSelect(assign(withVecNorm(corpus, idCol), centroids, cents))
       .persist(StorageLevel.MEMORY_AND_DISK)
     assignments.count() // materialize before releasing the superseded generation
     model = Some(IvfIndexNode.Index(centroids, assignments))
@@ -633,8 +693,9 @@ class IvfIndexNode(
     val m = model.getOrElse(
       throw new graft.dag.GraftException(s"estimator node '$name' not fitted"))
     val del = deletes.select(col(idCol)).distinct()
-    val kept = m.assignments.select(col(idCol), col("__cluster"), col("__cv"), col("__cnorm"))
+    val kept = m.assignments.select(idxColNames.map(col): _*)
       .join(del, Seq(idCol), "left_anti")
+      .select(idxColNames.map(col): _*)
       .persist(StorageLevel.MEMORY_AND_DISK)
     kept.count() // materialize before releasing the superseded generation
     model = Some(IvfIndexNode.Index(m.centroids, kept))

@@ -2785,6 +2785,33 @@ object Advanced {
        |ORDER BY col_name""".stripMargin
   }
 
+  // ---- q170: QUANTIZED incremental ANN through day 2 — q138's lifecycle
+  // (fit base → updateIndex delta → probe-all retrieval) with the int8
+  // inverted file: codes + scale are stored per vector, the coarse pass
+  // scans only the code columns (the ~4x-IO shape at 100 TB), and the
+  // rerank-sized float re-rank restores exact cosine order. At probe-all
+  // with a covering rerank the result must equal brute-force top-k over
+  // the whole corpus — q28's oracle, same as q138: a wrong code, a lost
+  // scale, or a candidate dropped by the coarse ranking breaks the hash.
+  // Quantization must survive BOTH fit and updateIndex (a delta appended
+  // without codes would crash or mis-rank). ----
+  def q170_ivf_quantized_day2(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Queries.run(spark) { d =>
+      d.add(SourceNode.table(dir, "embeddings")) >> d.output("result")
+    }
+    val ctx = Ctx(spark)
+    val idx = new IvfIndexNode(k = 10, nClusters = 8, nProbe = 8,
+      quantized = true, rerank = 1000000)
+    idx.fit(ctx, In.single("corpus" -> emb.filter("vec_id % 5 != 0")))
+    idx.updateIndex(ctx, emb.filter("vec_id % 5 = 0"))
+    val queries = emb.filter("vec_id < 5")
+      .selectExpr("vec_id as query_id", "embedding")
+    idx.transform(ctx, In.single("queries" -> queries))("result")
+      .select("query_id", "vec_id", "rank")
+      .orderBy("query_id", "rank")
+  }
+  val q170Sql: String = NorthStar.q28Sql
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q94_bloom_join", q94_bloom_join _, q94Sql),
     ("q95_pagerank", q95_pagerank _, q95Sql),
@@ -2855,5 +2882,6 @@ object Advanced {
     ("q167_minhash_rebuild", q167_minhash_rebuild _, q167Sql),
     ("q168_cdc_lakehouse_consistency", q168_cdc_lakehouse_consistency _, q168Sql),
     ("q169_cdc_drift_gate", q169_cdc_drift_gate _, q169Sql),
+    ("q170_ivf_quantized_day2", q170_ivf_quantized_day2 _, q170Sql),
   )
 }

@@ -2609,6 +2609,43 @@ class NodesSpec extends AnyFunSuite {
     idx.unpersistIndex()
   }
 
+  test("IvfIndexNode quantized mode: full lifecycle (fit/update/delete/rebuild/save-load) " +
+       "identical to the float path at a covering rerank; codes survive every op") {
+    import spark.implicits._
+    val c = Ctx(spark)
+    def vecs(ids: Long*): DataFrame = ids.map(i =>
+      (i, Array(math.sin(i * 1.7).toFloat, math.cos(i * 0.9).toFloat,
+        (i % 5).toFloat, 1.0f))).toDF("vec_id", "embedding")
+    def mk(q: Boolean) = new IvfIndexNode(k = 6, nClusters = 3, nProbe = 2,
+      quantized = q, rerank = 1000)
+    def lifecycle(idx: IvfIndexNode): Set[(Long, Long, Int)] = {
+      idx.fit(c, In.single("corpus" -> vecs(1L to 20L: _*)))
+      idx.updateIndex(c, vecs(30L to 35L: _*))
+      idx.deleteFromIndex(c, Seq(3L, 31L).toDF("vec_id"))
+      idx.rebuildIndex(c)
+      val q = vecs(101L, 102L).selectExpr("vec_id as query_id", "embedding")
+      idx.transform(c, In.single("queries" -> q))("result")
+        .select("query_id", "vec_id", "rank").as[(Long, Long, Int)].collect().toSet
+    }
+    val fl = mk(q = false); val qz = mk(q = true)
+    val (rf, rq) = (lifecycle(fl), lifecycle(qz))
+    // at rerank >= every probed candidate the quantized path must agree
+    // with the float path exactly (same probe, same exact re-rank)
+    assert(rq == rf)
+    // the code columns actually exist and survived delete+rebuild
+    assert(qz.model.get.assignments.columns.toSet.contains("__cq"))
+    assert(qz.model.get.assignments.count() == 24L) // 20 + 6 - 2
+    // save/load keeps the quantized schema serving identically
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfq_spec").toString
+    qz.saveFitted(dir)
+    val loaded = mk(q = true)
+    loaded.loadFitted(dir, Some(spark))
+    val q2 = vecs(101L, 102L).selectExpr("vec_id as query_id", "embedding")
+    assert(loaded.transform(c, In.single("queries" -> q2))("result")
+      .select("query_id", "vec_id", "rank").as[(Long, Long, Int)].collect().toSet == rq)
+    Seq(fl, qz, loaded).foreach(_.unpersistIndex())
+  }
+
   test("IvfIndexNode.rebuildIndex: re-fits centroids from index contents, conserves rows, " +
        "keeps probe/assignment argmin agreement, composes with deletes") {
     import spark.implicits._

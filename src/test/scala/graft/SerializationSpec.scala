@@ -282,6 +282,12 @@ class SerializationSpec extends AnyFunSuite {
       maxOverlayRows = 123456L))
     val d5 = DagJson.fromJson(DagJson.toJson(d))
     assert(d5.node(ci3.name).asInstanceOf[ClusterIndexNode].maxOverlayRows == 123456L)
+    // quantized storage config on the incremental ANN index round-trips
+    val iq = d.add(new IvfIndexNode(k = 4, nClusters = 5, nProbe = 2,
+      quantized = true, rerank = 77))
+    val d6 = DagJson.fromJson(DagJson.toJson(d))
+    val iq2 = d6.node(iq.name).asInstanceOf[IvfIndexNode]
+    assert(iq2.quantized && iq2.rerank == 77)
   }
 
   test("round-trip covers quality kinds: heuristic/vocab/semdedup/domain-quota") {
