@@ -112,7 +112,9 @@ object Scale10 {
       // drift gate (k-fold publish + one profile-table join)
       "q168_cdc_lakehouse_consistency", "q169_cdc_drift_gate",
       // quantized incremental ANN (k-fold code derivation + coarse pass)
-      "q170_ivf_quantized_day2")
+      "q170_ivf_quantized_day2",
+      // incremental BM25 (k-fold postings + df decrement; bounded batch)
+      "q171_bm25_index_day2", "q172_bm25_index_delete")
     val names = if (queries.nonEmpty) queries else defaults
     names.foreach { n =>
       try time(n)(Queries.all(n)(spark, out).count())

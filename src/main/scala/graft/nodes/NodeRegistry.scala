@@ -226,7 +226,10 @@ object NodeRegistry {
     register("inverted_index")(p => new InvertedIndexNode(p.str("idCol"), p.str("textCol"),
       p.str("queryIdCol"), p.str("queryTextCol"), p.int("k"), p.dbl("maxDfFrac"),
       p.m.get("compactEvery").map(_.toString.toInt).getOrElse(0),
-      p.strOpt("compactPath"), p.boolOr("unboundedStreamStateOk", false)))
+      p.strOpt("compactPath"), p.boolOr("unboundedStreamStateOk", false),
+      p.strOpt("scoring").getOrElse("tf"), p.intOr("k1Tenths", 12),
+      p.intOr("bHundredths", 75),
+      p.m.get("scale").map(_.toString.toLong).getOrElse(1000000L)))
     register("dedup_survivors")(p => new DedupSurvivorsNode(p.str("idCol")))
     register("connected_components")(p => new ConnectedComponentsNode(p.str("idA"), p.str("idB"), p.int("maxIter"),
       p.boolOr("halving", false), p.boolOr("failOnNonConverged", true),

@@ -1096,12 +1096,27 @@ class InvertedIndexNode(
     // (the group key carries no event time) — so a streaming query batch is
     // only safe as a bounded AvailableNow backfill, which the caller must
     // acknowledge via this flag (same opt-in shape as MinHashIndexNode).
-    val unboundedStreamStateOk: Boolean = false)
+    val unboundedStreamStateOk: Boolean = false,
+    // Serving score: "tf" — the exact integer tf·qtf dot product (the q98
+    // contract); "bm25" — Bm25TopKNode's fixed-point BM25 (df weighting +
+    // tf saturation + length norm, bit-reproducible integers) served from
+    // the SAME incremental statistics: postings carry per-doc length, and
+    // (docs-with-postings, total length) are maintained as exact scalars
+    // through fit/update/delete — the incremental BM25 equals the one-shot
+    // Bm25TopKNode over the live corpus bit-for-bit (q171/q172).
+    val scoring: String = "tf",
+    val k1Tenths: Int = 12,
+    val bHundredths: Int = 75,
+    val scale: Long = 1000000L)
   extends EstimatorNode with IncrementalIndex {
   type Model = InvertedIndexNode.Index
   require(k > 0, "k must be positive")
   require(maxDfFrac > 0 && maxDfFrac <= 1, "maxDfFrac must be in (0, 1]")
   require(compactEvery >= 0, "compactEvery must be >= 0")
+  require(Seq("tf", "bm25").contains(scoring), s"scoring must be 'tf' or 'bm25', got '$scoring'")
+  require(k1Tenths >= 0, "k1Tenths must be >= 0")
+  require(bHundredths >= 0 && bHundredths <= 100, "bHundredths must be in [0, 100]")
+  require(scale > 0, "scale must be positive")
   override protected def defaultName: String = "inverted_index"
   val inputs = Seq(Port("corpus"), Port("queries"))
   val outputs = Seq(Port("result"))
@@ -1110,26 +1125,43 @@ class InvertedIndexNode(
     "idCol" -> idCol, "textCol" -> textCol, "queryIdCol" -> queryIdCol,
     "queryTextCol" -> queryTextCol, "k" -> k, "maxDfFrac" -> maxDfFrac,
     "compactEvery" -> compactEvery, "compactPath" -> compactPath.orNull,
-    "unboundedStreamStateOk" -> unboundedStreamStateOk)
+    "unboundedStreamStateOk" -> unboundedStreamStateOk,
+    "scoring" -> scoring, "k1Tenths" -> k1Tenths,
+    "bHundredths" -> bHundredths, "scale" -> scale)
 
+  /** (id, tok, tf, __dl) — per-doc length rides each posting row (the
+    * Bm25TopKNode layout) so BM25 length-norm needs no extra join. */
   private def termFreqs(df: DataFrame, id: String, text: String): DataFrame =
-    df.select(col(id), expr(s"explode(${TextExprs.tokensExpr(text)})").as("tok"))
-      .groupBy(col(id), col("tok")).agg(count(lit(1)).as("tf"))
+    df.select(col(id), expr(TextExprs.tokensExpr(text)).as("__toks"))
+      .select(col(id), expr("size(__toks)").as("__dl"), expr("explode(__toks)").as("tok"))
+      .groupBy(col(id), col("tok"))
+      .agg(count(lit(1)).as("tf"), org.apache.spark.sql.functions.max("__dl").as("__dl"))
+
+  /** Exact (docs-with-postings, total token length) of a postings frame —
+    * the BM25 corpus statistics, one skinny rollup. */
+  private def postStats(postings: DataFrame): (Long, Long) = {
+    val r = postings.groupBy("__id")
+      .agg(org.apache.spark.sql.functions.max("__dl").as("__dl"))
+      .agg(count(lit(1)).as("n"), org.apache.spark.sql.functions.sum("__dl").as("t"))
+      .collect().head
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
 
   def fitModel(ctx: Ctx, in: In): Model = {
     import org.apache.spark.storage.StorageLevel
     val corpus = in("corpus")
     val postings = termFreqs(corpus, idCol, textCol)
-      .select(col("tok"), col(idCol).as("__id"), col("tf"))
+      .select(col("tok"), col(idCol).as("__id"), col("tf"), col("__dl"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val terms = postings.groupBy("tok").agg(count(lit(1)).as("df"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val (pd, ls) = postStats(postings)
     // live doc-id set (skinny, one row per doc — tiny next to the postings):
     // what lets deleteFromIndex decrement N EXACTLY even for docs whose text
     // tokenizes to nothing (they have no postings but still counted in N)
     val docs = corpus.select(col(idCol).as("__id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    InvertedIndexNode.Index(postings, terms, docs.count(), docs)
+    InvertedIndexNode.Index(postings, terms, docs.count(), docs, pd, ls)
   }
 
   def applyModel(m: Model, ctx: Ctx, in: In): Map[String, DataFrame] = {
@@ -1147,6 +1179,11 @@ class InvertedIndexNode(
       // scored stream WITHOUT `rank` (a window — not stream-expressible);
       // rank at/after the sink where data is query-sized: q145 does that
       // under complete output mode and matches q98's batch oracle.
+      if (scoring == "bm25")
+        throw new graft.dag.GraftException(
+          s"inverted_index '$name': BM25 serving is batch-only (corpus-stat " +
+            "literals + rank windows) — run the batch plan per micro-batch " +
+            "via StreamServing.serveStream (the q152 pattern)")
       if (!unboundedStreamStateOk)
         throw new graft.dag.GraftException(
           s"inverted_index '$name': streaming queries keep one state-store " +
@@ -1167,7 +1204,43 @@ class InvertedIndexNode(
         .select(col(queryIdCol), col("__id").as(idCol), col("score")))
     }
     val queryTf = termFreqs(qin, queryIdCol, queryTextCol)
-      .withColumnRenamed("tf", "qtf")
+      .withColumnRenamed("tf", "qtf").drop("__dl")
+    if (scoring == "bm25") {
+      // Bm25TopKNode's fixed-point formula served from the INCREMENTAL
+      // statistics: n/avgdl come from the exactly-maintained scalars
+      // (docs-with-postings, total length) and fold into the terms frame
+      // and the per-posting saturation expression as integer literals —
+      // identical arithmetic to the one-shot node, so the day-2 index is
+      // bit-identical to a from-scratch BM25 build over the live corpus.
+      if (m.postDocs < 0)
+        throw new graft.dag.GraftException(
+          s"inverted_index '$name': this index was saved before BM25 " +
+            "support (no per-doc lengths) — re-fit and re-save to serve bm25")
+      if (m.postDocs == 0)
+        throw new graft.dag.GraftException(
+          s"inverted_index '$name': BM25 needs a non-empty posting corpus")
+      val n = m.postDocs
+      val avgdlc = (100L * m.lenSum) / n
+      val dfCapB = math.max(1L, math.floor(maxDfFrac * n).toLong)
+      val termsB = m.terms.filter(col("df") <= dfCapB)
+        .select(col("tok"), expr(s"(${n}L * ${scale}L) div df").as("__idf"))
+      val scoredB = m.postings
+        .join(broadcast(termsB), Seq("tok"))
+        .join(broadcast(queryTf), Seq("tok"))
+        .withColumn("__tfsat", expr(
+          s"cast((cast(tf as decimal(38,0)) * ${(k1Tenths + 10) * 100}L * ${avgdlc}L * ${scale}L) div " +
+            s"(1000L * tf * ${avgdlc}L + ${k1Tenths.toLong * (100 - bHundredths)}L * ${avgdlc}L + " +
+            s"${100L * k1Tenths * bHundredths}L * __dl) as bigint)"))
+        .withColumn("__contrib", expr(
+          s"cast((cast(__idf as decimal(38,0)) * __tfsat) div ${scale}L as bigint)"))
+        .groupBy(col(queryIdCol), col("__id"))
+        .agg(sum(expr("qtf * __contrib")).as("score"))
+      val wB = Window.partitionBy(queryIdCol).orderBy(col("score").desc, col("__id"))
+      return Map("result" -> scoredB
+        .withColumn("rank", row_number().over(wB))
+        .filter(col("rank") <= k)
+        .select(col(queryIdCol), col("__id").as(idCol), col("score"), col("rank")))
+    }
     val scored = okPostings.join(queryTf, Seq("tok"))
       .groupBy(col(queryIdCol), col("__id"))
       .agg(sum(expr("tf * qtf")).as("score"))
@@ -1185,8 +1258,8 @@ class InvertedIndexNode(
     val m = model.getOrElse(
       throw new graft.dag.GraftException(s"estimator node '$name' not fitted"))
     val dPost = termFreqs(delta, idCol, textCol)
-      .select(col("tok"), col(idCol).as("__id"), col("tf"))
-    val newPostings = m.postings.select("tok", "__id", "tf")
+      .select(col("tok"), col(idCol).as("__id"), col("tf"), col("__dl"))
+    val newPostings = m.postings.select("tok", "__id", "tf", "__dl")
       .union(dPost)
       .persist(StorageLevel.MEMORY_AND_DISK)
     import org.apache.spark.sql.functions.coalesce
@@ -1199,8 +1272,10 @@ class InvertedIndexNode(
       .union(delta.select(col(idCol).as("__id")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val dN = delta.count()
+    val (dpd, dls) = postStats(dPost) // delta-sized BM25 stat increments
     newPostings.count(); newTerms.count(); newDocs.count() // materialize before releasing old
-    model = Some(InvertedIndexNode.Index(newPostings, newTerms, m.nDocs + dN, newDocs))
+    model = Some(InvertedIndexNode.Index(newPostings, newTerms, m.nDocs + dN, newDocs,
+      m.postDocs + dpd, m.lenSum + dls))
     m.postings.unpersist(); m.terms.unpersist(); m.docs.unpersist()
     generation += 1
     if (compactEvery > 0 && generation % compactEvery == 0) compactIndex()
@@ -1224,20 +1299,23 @@ class InvertedIndexNode(
     val del = deletes.select(col(idCol).as("__id")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val removed = del.join(m.docs.select("__id"), Seq("__id"), "left_semi").count()
-    val dDf = m.postings.join(del, Seq("__id"), "left_semi")
-      .groupBy("tok").agg(count(lit(1)).as("__ddf"))
+    val removedPost = m.postings.join(del, Seq("__id"), "left_semi")
+    val dDf = removedPost.groupBy("tok").agg(count(lit(1)).as("__ddf"))
     val newTerms = m.terms.select("tok", "df").join(dDf, Seq("tok"), "left")
       .select(col("tok"), (col("df") - coalesce(col("__ddf"), lit(0L))).as("df"))
       .filter(col("df") > 0)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val newPostings = m.postings.select("tok", "__id", "tf")
+    val newPostings = m.postings.select("tok", "__id", "tf", "__dl")
       .join(del, Seq("__id"), "left_anti")
-      .select("tok", "__id", "tf")
+      .select("tok", "__id", "tf", "__dl")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val newDocs = m.docs.select("__id").join(del, Seq("__id"), "left_anti")
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // exact BM25 stat decrements from the removed postings' rollup
+    val (rpd, rls) = postStats(removedPost)
     newPostings.count(); newTerms.count(); newDocs.count()
-    model = Some(InvertedIndexNode.Index(newPostings, newTerms, m.nDocs - removed, newDocs))
+    model = Some(InvertedIndexNode.Index(newPostings, newTerms, m.nDocs - removed, newDocs,
+      m.postDocs - rpd, m.lenSum - rls))
     m.postings.unpersist(); m.terms.unpersist(); m.docs.unpersist(); del.unpersist()
     generation += 1
     if (compactEvery > 0 && generation % compactEvery == 0) compactIndex()
@@ -1267,7 +1345,8 @@ class InvertedIndexNode(
       session.read.parquet(s"$path/postings").persist(StorageLevel.MEMORY_AND_DISK),
       session.read.parquet(s"$path/terms").persist(StorageLevel.MEMORY_AND_DISK),
       m.nDocs,
-      session.read.parquet(s"$path/docs").persist(StorageLevel.MEMORY_AND_DISK)))
+      session.read.parquet(s"$path/docs").persist(StorageLevel.MEMORY_AND_DISK),
+      m.postDocs, m.lenSum))
     m.postings.unpersist(); m.terms.unpersist(); m.docs.unpersist()
   }
 
@@ -1284,7 +1363,8 @@ class InvertedIndexNode(
     m.docs.write.mode("overwrite").parquet(s"$path/docs")
     val spark = m.postings.sparkSession
     import spark.implicits._
-    Seq(m.nDocs).toDF("n_docs").coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+    Seq((m.nDocs, m.postDocs, m.lenSum)).toDF("n_docs", "post_docs", "len_sum")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
     saveMaintenanceState(spark, path)
   }
   override def loadFitted(path: String): Unit = loadFitted(path, None)
@@ -1293,7 +1373,16 @@ class InvertedIndexNode(
   def loadFitted(path: String, session: Option[org.apache.spark.sql.SparkSession]): Unit = {
     import org.apache.spark.storage.StorageLevel
     val spark = session.getOrElse(org.apache.spark.sql.SparkSession.active)
-    val n = spark.read.parquet(s"$path/stats").collect().head.getLong(0)
+    val statsDf = spark.read.parquet(s"$path/stats")
+    val statsRow = statsDf.collect().head
+    val n = statsRow.getAs[Long]("n_docs")
+    // pre-BM25 saves carry neither the (post_docs, len_sum) scalars nor the
+    // per-posting __dl column: load with a -1 marker (tf serving and
+    // deletes keep working; bm25 refuses with a re-fit message)
+    val hasBm25 = statsDf.columns.contains("post_docs")
+    val (pd, ls) =
+      if (hasBm25) (statsRow.getAs[Long]("post_docs"), statsRow.getAs[Long]("len_sum"))
+      else (-1L, -1L)
     // docs is absent in pre-delete-era saves: fall back to the posting-
     // derived id set (exact unless a doc tokenized to nothing — re-save to
     // upgrade); nDocs itself always comes from stats, so only delete
@@ -1303,19 +1392,28 @@ class InvertedIndexNode(
     val docs =
       if (fs.exists(docsPath)) spark.read.parquet(docsPath.toString)
       else spark.read.parquet(s"$path/postings").select("__id").distinct()
+    val postings0 = spark.read.parquet(s"$path/postings")
+    // pre-BM25 postings lack __dl: pad with nulls so the union/anti-join
+    // lifecycle keeps working (bm25 itself stays refused via the marker)
+    val postings =
+      if (postings0.columns.contains("__dl")) postings0
+      else postings0.withColumn("__dl", lit(null).cast("long"))
     model = Some(InvertedIndexNode.Index(
-      spark.read.parquet(s"$path/postings").persist(StorageLevel.MEMORY_AND_DISK),
+      postings.persist(StorageLevel.MEMORY_AND_DISK),
       spark.read.parquet(s"$path/terms").persist(StorageLevel.MEMORY_AND_DISK), n,
-      docs.persist(StorageLevel.MEMORY_AND_DISK)))
+      docs.persist(StorageLevel.MEMORY_AND_DISK), pd, ls))
     loadMaintenanceState(spark, path)
   }
 }
 
 object InvertedIndexNode {
-  /** The fitted index: postings (tok, __id, tf), terms (tok, df), corpus
-    * size, and the live doc-id set (one `__id` row per doc — the exact-N
-    * ledger deleteFromIndex decrements against). */
-  case class Index(postings: DataFrame, terms: DataFrame, nDocs: Long, docs: DataFrame)
+  /** The fitted index: postings (tok, __id, tf, __dl), terms (tok, df),
+    * corpus size, the live doc-id set (one `__id` row per doc — the
+    * exact-N ledger deleteFromIndex decrements against), and the exact
+    * BM25 corpus scalars (docs-with-postings, total token length; -1 when
+    * loaded from a pre-BM25 save). */
+  case class Index(postings: DataFrame, terms: DataFrame, nDocs: Long, docs: DataFrame,
+                   postDocs: Long, lenSum: Long)
 }
 
 /** BM25-quantized retrieval: the InvertedIndexTopKNode posting-list shape

@@ -279,13 +279,14 @@ object Advanced {
   // one SQL template parameterized on the df cap — q100 (permissive 0.79)
   // and q136 (production 0.77) share it, so the two oracles cannot drift
   // via literal-replacement (ADVICE r10)
-  private def bm25Sql(dfCap: Double): String =
+  private def bm25Sql(dfCap: Double, liveWhere: String = "true"): String =
     s"""WITH toks AS (
       |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
       |  FROM documents),
-      |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+      |ctoks AS (SELECT * FROM toks WHERE $liveWhere),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM ctoks GROUP BY doc_id),
       |st AS (SELECT count(*) AS n, (100 * sum(dl)) // count(*) AS avgdlc FROM dl),
-      |ctf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+      |ctf AS (SELECT doc_id, tok, count(*) AS tf FROM ctoks GROUP BY doc_id, tok),
       |terms AS (SELECT tok, count(*) AS df FROM ctf GROUP BY tok
       |  HAVING count(*) <= greatest(1, cast(floor($dfCap * (SELECT n FROM st)) as bigint))),
       |qtf AS (SELECT doc_id AS query_id, tok, count(*) AS qtf
@@ -2812,6 +2813,47 @@ object Advanced {
   }
   val q170Sql: String = NorthStar.q28Sql
 
+  // ---- q171/q172: PRODUCTION scoring on the day-2 lexical index —
+  // InvertedIndexNode(scoring = "bm25") serves Bm25TopKNode's fixed-point
+  // BM25 from the incremental statistics: postings carry per-doc lengths,
+  // (docs-with-postings, total length) are exact scalars maintained
+  // through fit/update/delete, so the day-2 (q171) and post-takedown
+  // (q172) indexes are bit-identical to a one-shot BM25 build over the
+  // live corpus — the oracle is the shared df-cap-parameterized q100
+  // template (with the live filter for q172). A stale df, a lost length,
+  // or an un-decremented avgdl shifts some integer score and breaks the
+  // hash. ----
+  def q171_bm25_index_day2(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Queries.run(spark) { d =>
+      d.add(SourceNode.table(dir, "documents")) >> d.output("result")
+    }
+    val ctx = Ctx(spark)
+    val idx = new InvertedIndexNode(k = 5, maxDfFrac = 0.79, scoring = "bm25")
+    idx.fit(ctx, In.single("corpus" -> docs.filter("doc_id % 5 != 0")))
+    idx.updateIndex(ctx, docs.filter("doc_id % 5 = 0"))
+    val queries = docs.filter(queryBatchPred)
+      .selectExpr("doc_id as query_id", "text")
+    idx.transform(ctx, In.single("queries" -> queries))("result")
+      .orderBy("query_id", "rank")
+  }
+  val q171Sql: String = bm25Sql(0.79)
+
+  def q172_bm25_index_delete(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Queries.run(spark) { d =>
+      d.add(SourceNode.table(dir, "documents")) >> d.output("result")
+    }
+    val ctx = Ctx(spark)
+    val idx = new InvertedIndexNode(k = 5, maxDfFrac = 0.79, scoring = "bm25")
+    idx.fit(ctx, In.single("corpus" -> docs.filter("doc_id % 5 != 0")))
+    idx.updateIndex(ctx, docs.filter("doc_id % 5 = 0"))
+    idx.deleteFromIndex(ctx, docs.filter("doc_id % 7 = 0").select("doc_id"))
+    val queries = docs.filter(queryBatchPred)
+      .selectExpr("doc_id as query_id", "text")
+    idx.transform(ctx, In.single("queries" -> queries))("result")
+      .orderBy("query_id", "rank")
+  }
+  val q172Sql: String = bm25Sql(0.79, "doc_id % 7 != 0")
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q94_bloom_join", q94_bloom_join _, q94Sql),
     ("q95_pagerank", q95_pagerank _, q95Sql),
@@ -2883,5 +2925,7 @@ object Advanced {
     ("q168_cdc_lakehouse_consistency", q168_cdc_lakehouse_consistency _, q168Sql),
     ("q169_cdc_drift_gate", q169_cdc_drift_gate _, q169Sql),
     ("q170_ivf_quantized_day2", q170_ivf_quantized_day2 _, q170Sql),
+    ("q171_bm25_index_day2", q171_bm25_index_day2 _, q171Sql),
+    ("q172_bm25_index_delete", q172_bm25_index_delete _, q172Sql),
   )
 }

@@ -2552,6 +2552,52 @@ class NodesSpec extends AnyFunSuite {
     Seq(streamed, ref, loaded, bare, legacy).foreach(_.unpersistIndex())
   }
 
+  test("InvertedIndexNode bm25 scoring: incremental fit+update+delete == one-shot " +
+       "Bm25TopKNode over the live corpus; streaming bm25 refused; save/load keeps stats") {
+    import spark.implicits._
+    val c = Ctx(spark)
+    val base = Seq(
+      (1L, "apple banana apple apple banana cherry"),
+      (2L, "banana cherry"),
+      (3L, "durian elder fig grape melon peach plum")).toDF("doc_id", "text")
+    val delta = Seq(
+      (10L, "apple cherry cherry melon"),
+      (11L, "grape apple banana banana banana")).toDF("doc_id", "text")
+    val queries = Seq((100L, "apple cherry"), (101L, "banana grape")).toDF("query_id", "text")
+    val idx = new InvertedIndexNode(k = 10, maxDfFrac = 0.9, scoring = "bm25")
+    idx.fit(c, In.single("corpus" -> base))
+    idx.updateIndex(c, delta)
+    idx.deleteFromIndex(c, Seq(2L, 999L).toDF("doc_id"))
+    def res(df: DataFrame): Set[(Long, Long, Long, Int)] = df
+      .select("query_id", "doc_id", "score", "rank")
+      .as[(Long, Long, Long, Int)].collect().toSet
+    val got = res(idx.transform(c, In.single("queries" -> queries))("result"))
+    // one-shot BM25 over the live corpus must agree bit-for-bit: the
+    // incremental (post_docs, len_sum) scalars and the decremented df all
+    // feed the same fixed-point arithmetic
+    val oneShot = new Bm25TopKNode(k = 10, maxDfFrac = 0.9)
+    val ref = res(runOne { d =>
+      d.add(srcNode(base.union(delta).filter("doc_id != 2"), "corp")) >> oneShot("corpus")
+      d.add(srcNode(queries, "qs")) >> oneShot("queries")
+      oneShot >> d.output("result")
+    })
+    assert(got == ref && got.nonEmpty)
+    // save/load round-trips the BM25 scalars
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25idx_spec").toString
+    idx.saveFitted(dir)
+    val loaded = new InvertedIndexNode(k = 10, maxDfFrac = 0.9, scoring = "bm25")
+    loaded.loadFitted(dir, Some(spark))
+    assert(res(loaded.transform(c, In.single("queries" -> queries))("result")) == ref)
+    // streaming queries refuse bm25 loudly
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bm25_stream").toString
+    queries.write.mode("overwrite").parquet(s"$tmp/q")
+    val sq = spark.readStream.schema(queries.schema).parquet(s"$tmp/q")
+    val err = intercept[GraftException](
+      idx.transform(c, In.single("queries" -> sq)))
+    assert(err.getMessage.contains("batch-only"))
+    idx.unpersistIndex(); loaded.unpersistIndex()
+  }
+
   test("InvertedIndexNode.deleteFromIndex: bit-identical to a from-scratch post-delete fit, " +
        "including empty-token docs and unknown-id tombstones") {
     import spark.implicits._
@@ -2586,7 +2632,7 @@ class NodesSpec extends AnyFunSuite {
     // internals, not just serving: postings/terms/N all match from-scratch
     def stats(n: InvertedIndexNode) = (
       n.model.get.nDocs,
-      n.model.get.postings.as[(String, Long, Long)].collect().toSet,
+      n.model.get.postings.as[(String, Long, Long, Long)].collect().toSet,
       n.model.get.terms.as[(String, Long)].collect().toSet)
     assert(stats(idx) == stats(scratch))
     assert(idx.model.get.nDocs == 3L)

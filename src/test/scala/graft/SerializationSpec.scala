@@ -288,6 +288,13 @@ class SerializationSpec extends AnyFunSuite {
     val d6 = DagJson.fromJson(DagJson.toJson(d))
     val iq2 = d6.node(iq.name).asInstanceOf[IvfIndexNode]
     assert(iq2.quantized && iq2.rerank == 77)
+    // bm25 serving config on the incremental lexical index round-trips
+    val ib = d.add(new InvertedIndexNode(k = 3, scoring = "bm25",
+      k1Tenths = 15, bHundredths = 60, scale = 500000L))
+    val d7 = DagJson.fromJson(DagJson.toJson(d))
+    val ib2 = d7.node(ib.name).asInstanceOf[InvertedIndexNode]
+    assert(ib2.scoring == "bm25" && ib2.k1Tenths == 15 &&
+      ib2.bHundredths == 60 && ib2.scale == 500000L)
   }
 
   test("round-trip covers quality kinds: heuristic/vocab/semdedup/domain-quota") {
