@@ -500,5 +500,29 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges(invp) <= 5,
       s"lexical serving grew extra shuffles (expected <= 5):\n$invp")
     inv.unpersistIndex()
+    // round-12 serving shapes:
+    // QUANTIZED ivf: the coarse pass joins the code columns against the
+    // BROADCAST probed queries (no corpus shuffle, no sort-merge); the only
+    // non-broadcast exchanges are the query-sized coarse/re-rank windows
+    val ivq = new IvfIndexNode(k = 3, nClusters = 4, nProbe = 2,
+      quantized = true, rerank = 20)
+    ivq.fit(ctx, In.single("corpus" -> emb))
+    val qv = emb.filter("vec_id < 3").selectExpr("vec_id as query_id", "embedding")
+    val ivqp = planOf(ivq.transform(ctx, In.single("queries" -> qv))("result"))
+    assert(!ivqp.contains("SortMergeJoin") && !ivqp.contains("CartesianProduct"),
+      s"quantized serving must broadcast, never shuffle the inverted file:\n$ivqp")
+    assert(exchanges(ivqp) <= 4,
+      s"quantized serving may shuffle only query-sized window/rerank stages:\n$ivqp")
+    ivq.unpersistIndex()
+    // incremental BM25: terms and query tf broadcast against the persisted
+    // postings — keyed joins only, corpus side never re-shuffled at serve
+    val invB = new InvertedIndexNode(k = 5, maxDfFrac = 0.79, scoring = "bm25")
+    invB.fit(ctx, In.single("corpus" -> docs))
+    val invBp = planOf(invB.transform(ctx, In.single("queries" -> qd))("result"))
+    assert(!invBp.contains("CartesianProduct") && !invBp.contains("SortMergeJoin"),
+      s"bm25 serving must stay keyed/broadcast:\n$invBp")
+    assert(exchanges(invBp) <= 5,
+      s"bm25 serving grew extra shuffles (expected <= 5):\n$invBp")
+    invB.unpersistIndex()
   }
 }
