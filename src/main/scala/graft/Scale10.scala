@@ -114,7 +114,13 @@ object Scale10 {
       // quantized incremental ANN (k-fold code derivation + coarse pass)
       "q170_ivf_quantized_day2",
       // incremental BM25 (k-fold postings + df decrement; bounded batch)
-      "q171_bm25_index_day2", "q172_bm25_index_delete")
+      "q171_bm25_index_day2", "q172_bm25_index_delete",
+      // merge-on-read CDC (per-batch work is O(delta); the compaction fold
+      // and the final resolved read are the only corpus-sized legs) and
+      // file-stats data skipping (k-fold publish; the pruned read should
+      // stay ~flat — it opens only the files intersecting the fixed range)
+      "q173_cdc_merge_on_read", "q174_stats_pruned_scan",
+      "q175_mor_lakehouse_consistency")
     val names = if (queries.nonEmpty) queries else defaults
     names.foreach { n =>
       try time(n)(Queries.all(n)(spark, out).count())

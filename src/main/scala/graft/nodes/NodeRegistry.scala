@@ -30,6 +30,8 @@ object NodeRegistry {
       p.m.get("options").collect { case m: Map[_, _] => m.map { case (k, v) => k.toString -> v.toString } }.getOrElse(Map.empty),
       p.strOpt("schemaDdl"),
       p.m.get("generation").flatMap(Option(_)).map(_.toString.toLong)))
+    register("mor_source")(p =>
+      new MorSourceNode(p.str("path"), p.strs("keys"), p.str("format")))
     register("bucketed_sink")(p => new BucketedSinkNode(p.str("table"), p.strs("bucketCols"),
       p.int("nBuckets"), p.strs("sortCols"), p.str("format"), p.str("mode")))
     register("sink") { p =>
@@ -39,8 +41,14 @@ object NodeRegistry {
         p.m.get("options").collect { case m: Map[_, _] => m.map { case (k, v) => k.toString -> v.toString } }.getOrElse(Map.empty),
         p.boolOr("atomicPublish", false), p.strs("profileColumns"),
         npCols.indices.map(i =>
-          NumericProfileNode.Spec(npCols(i), npLos(i), npHis(i), npBins(i))))
+          NumericProfileNode.Spec(npCols(i), npLos(i), npHis(i), npBins(i))),
+        p.strs("statsColumns"))
     }
+    register("stats_pruned_source")(p => new StatsPrunedSourceNode(p.str("path"),
+      p.strs("pruneCols"),
+      p.m.get("pruneLos").collect { case l: Seq[_] => l.map(Option(_).map(_.toString)) }.getOrElse(Nil),
+      p.m.get("pruneHis").collect { case l: Seq[_] => l.map(Option(_).map(_.toString)) }.getOrElse(Nil),
+      p.str("format")))
     register("project")(p => new ProjectNode(p.strs("exprs")))
     register("with_columns")(p => new WithColumnsNode(p.pairs("cols")))
     register("filter")(p => new FilterNode(p.str("condition")))
@@ -55,7 +63,7 @@ object NodeRegistry {
     register("distinct")(p => new DistinctNode(p.strs("cols")))
     register("profile")(p => new ProfileNode(p.strs("columns"), p.boolOr("exactDistinct", true)))
     register("sql")(p => new SqlNode(p.str("sql"), p.strs("ports")))
-    register("repartition")(p => new RepartitionNode(p.int("n"), p.strs("byCols"), p.bool("coalesce")))
+    register("repartition")(p => new RepartitionNode(p.int("n"), p.strs("byCols"), p.bool("coalesce"), p.boolOr("range", false)))
     // hand-authored-JSON convention: an ABSENT 'otherwise' key follows the
     // constructor default; an explicit null disables the catch-all port
     register("router")(p => new RouterNode(

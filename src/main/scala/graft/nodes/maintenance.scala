@@ -251,6 +251,193 @@ object CdcApply {
   }
 }
 
+/** MERGE-ON-READ streaming CDC — the 100 TB answer to [[CdcApply]]'s one
+  * structural cost: copy-on-write re-reads and REWRITES the whole published
+  * base per micro-batch, so a daily CDC wave against a 100 TB corpus pays a
+  * 100 TB write for a megabyte of change. Merge-on-read inverts the trade
+  * (the Iceberg/Delta MoR shape, and the corpus-side twin of
+  * ClusterIndexNode's overlay rebase):
+  *
+  *   - each micro-batch commits ONLY its normalized delta (payload +
+  *     `__mor_deleted` tombstone flag) as an overlay inside the live
+  *     generation (`gen-N/_deltas/delta-<batchId>`, atomic dir rename —
+  *     [[AtomicPublish.publishDelta]]) — O(delta) write, base untouched;
+  *   - readers resolve through [[MorCdc.read]] / [[MorSourceNode]]: the
+  *     newest overlay version of each key wins over older overlays and the
+  *     base (row_number over `__seq` desc), tombstone winners drop the key.
+  *     The base side is anti-joined against the BROADCAST distinct overlay
+  *     keys — the base never shuffles, exactly MergeNode's scale shape,
+  *     evaluated lazily at read instead of materialized at write;
+  *   - every `compactEvery` committed overlays, the resolved view is folded
+  *     into a full next generation through [[AtomicPublish.publish]] (one
+  *     copy-on-write amortized over `compactEvery` waves); the superseded
+  *     generation — overlays included — remains the rollback point.
+  *
+  * Exactly-once: a replayed micro-batch finds its `delta-<batchId>` dir (or
+  * a compacted generation whose `_cdc` marker already covers it) and is
+  * skipped; the overlay commit is one atomic rename, so a crash mid-write
+  * leaves only an invisible `.tmp-` dir.
+  *
+  * Read contract: a MoR dataset must be read through [[MorSourceNode]] —
+  * a plain SourceNode sees the base generation only (a CONSISTENT but stale
+  * snapshot; underscore-prefixed overlays are invisible to plain scans).
+  * Outstanding overlays are bounded by `compactEvery`, which is what keeps
+  * the read-side key broadcast and the per-key window delta-sized.
+  *
+  * Within-batch semantics match MergeNode exactly: an upsert and a
+  * tombstone for the same key in one batch → the upsert wins; duplicate
+  * non-tombstone keys follow `onDuplicate` ("error" embeds the loud plan
+  * guard, "last_wins" keeps the highest `orderCol`).
+  */
+object MorCdc {
+  import org.apache.spark.sql.SparkSession
+  import org.apache.spark.sql.expressions.Window
+  import org.apache.spark.sql.functions._
+
+  val DeletedCol = "__mor_deleted"
+
+  /** One winner per key within a single batch (see class doc). */
+  private[graft] def normalizeBatch(batch: DataFrame, merge: MergeNode): DataFrame = {
+    val keyCols = merge.keys.map(col)
+    val withFlag = merge.deleteCol match {
+      case Some(c) => batch.withColumn(DeletedCol,
+        coalesce(col(c).cast("boolean"), lit(false))).drop(c)
+      case None => batch.withColumn(DeletedCol, lit(false))
+    }
+    val w = Window.partitionBy(keyCols: _*)
+    val guarded = merge.onDuplicate match {
+      case "last_wins" => withFlag
+      case _ => // loud in-plan guard, evaluated only on a duplicate row
+        withFlag
+          .withColumn("__kc", sum(when(!col(DeletedCol), 1L).otherwise(0L)).over(w))
+          .filter(org.apache.spark.sql.functions.expr(
+            "__kc <= 1 or isnotnull(assert_true(false, " +
+              "'mor merge: duplicate non-tombstone update keys — one key must " +
+              "upsert one row (pass onDuplicate=last_wins with orderCol)'))"))
+          .drop("__kc")
+    }
+    // non-tombstones outrank tombstones (upsert-wins); recency among upserts
+    val order = col(DeletedCol).asc +: merge.orderCol.map(c => col(c).desc).toSeq
+    guarded.withColumn("__rn", row_number().over(w.orderBy(order: _*)))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** The resolved merge-on-read view: base ⊕ committed overlays. Lazy —
+    * this is a plan, not a materialization; MorSourceNode wraps it. */
+  def read(spark: SparkSession, root: String, keys: Seq[String],
+           format: String = "parquet"): DataFrame = {
+    val base = spark.read.format(format).load(AtomicPublish.resolve(spark, root))
+    val deltas = AtomicPublish.listDeltas(spark, root)
+    if (deltas.isEmpty) base
+    else {
+      val overlay = deltas.map { case (id, path) =>
+        spark.read.format(format).load(path).withColumn("__seq", lit(id))
+      }.reduce(_ unionByName _)
+      // newest overlay version of each key wins; __seq is distinct across
+      // overlays and keys are unique within one (normalizeBatch), so the
+      // window is deterministic
+      val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__seq").desc)
+      val winners = overlay.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+      // the base never shuffles: anti-join against the broadcast overlay keys
+      val kept = base.join(broadcast(overlay.select(keys.map(col): _*).distinct()),
+        keys, "left_anti")
+      kept.unionByName(winners.filter(!col(DeletedCol))
+        .drop(DeletedCol, "__seq", "__rn"))
+    }
+  }
+
+  /** Highest batch id already durable at `root` — committed overlays or a
+    * compacted generation's `_cdc` marker. */
+  private def appliedBatch(spark: SparkSession, root: String): Long = {
+    val gen = AtomicPublish.currentGen(spark, root) match {
+      case None => -1L
+      case Some(g) =>
+        val marker = new org.apache.hadoop.fs.Path(s"$root/gen-$g/_cdc")
+        val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(marker)) -1L
+        else spark.read.parquet(marker.toString).collect().head.getLong(0)
+    }
+    (gen +: AtomicPublish.listDeltas(spark, root).map(_._1)).max
+  }
+
+  /** Apply a streaming CDC frame merge-on-read. Same signature family as
+    * [[CdcApply.applyStream]]; `compactEvery` bounds outstanding overlays
+    * (fold into a full generation once that many have accumulated).
+    * `compactEvery = 0` never auto-compacts (call [[compact]] on a
+    * maintenance cadence instead). */
+  def applyStream(
+      ctx: Ctx,
+      root: String,
+      updates: DataFrame,
+      merge: MergeNode,
+      compactEvery: Int = 8,
+      checkpoint: Option[String] = None,
+      trigger: Trigger = Trigger.AvailableNow(),
+      await: Boolean = true,
+      format: String = "parquet"): StreamingQuery = {
+    if (!updates.isStreaming)
+      throw new GraftException(
+        "MorCdc.applyStream needs a streaming updates frame — for a batch delta commit one overlay via AtomicPublish.publishDelta")
+    val spark = ctx.spark
+    var last = appliedBatch(spark, root)
+    val writer = updates.writeStream
+      .queryName(s"mor_cdc_${System.nanoTime()}")
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (batchId > last) {
+          val delta = normalizeBatch(batch, merge)
+          AtomicPublish.publishDelta(spark, root, batchId, { target =>
+            delta.write.format(format).save(target)
+          })
+          if (compactEvery > 0 &&
+              AtomicPublish.listDeltas(spark, root).size >= compactEvery)
+            compact(ctx, root, merge.keys, batchId, format)
+          last = batchId
+        }
+      }
+      .trigger(trigger)
+    checkpoint.foreach(writer.option("checkpointLocation", _))
+    val q = writer.start()
+    if (await) q.awaitTermination()
+    q
+  }
+
+  /** Fold the resolved view into a full next generation (the amortized
+    * copy-on-write): one publish, `_cdc` marker = `throughBatch` so the
+    * replay guard survives the fold, overlays retired with the superseded
+    * generation (kept as rollback). */
+  def compact(ctx: Ctx, root: String, keys: Seq[String],
+              throughBatch: Long, format: String = "parquet"): Long = {
+    val spark = ctx.spark
+    import spark.implicits._
+    val resolved = read(spark, root, keys, format)
+    AtomicPublish.publish(spark, root, { target =>
+      resolved.write.format(format).save(target)
+      Seq(throughBatch).toDF("batch_id").coalesce(1)
+        .write.parquet(s"$target/_cdc")
+    })
+  }
+}
+
+/** Scan of a merge-on-read published dataset (see [[MorCdc]]): resolves the
+  * committed base generation PLUS its outstanding delta overlays into the
+  * live view. The MoR-aware counterpart of SourceNode — which, on the same
+  * root, reads the consistent-but-stale base snapshot only. */
+class MorSourceNode(val path: String, val keys: Seq[String],
+                    val format: String = "parquet") extends Node {
+  require(keys.nonEmpty, "mor_source: keys must be non-empty")
+  override protected def defaultName: String = "mor_source"
+  override def persistableOutput: Boolean = false // scan — never cache raw
+  val inputs: Seq[graft.dag.Port] = Nil
+  val outputs = Seq(graft.dag.Port("result"))
+  override def jsonKind: Option[String] = Some("mor_source")
+  override def jsonParams: Map[String, Any] =
+    Map("path" -> path, "keys" -> keys, "format" -> format)
+  override def transform(ctx: Ctx, in: In): Map[String, DataFrame] =
+    Map("result" -> MorCdc.read(ctx.spark, path, keys, format))
+}
+
 object IndexMaintenance {
   /** Drive `idx.updateIndex` (and, with `deleteCol`, `idx.deleteFromIndex`)
     * from a streaming delta, one micro-batch at a time. Returns the started

@@ -2,7 +2,7 @@ package graft.nodes
 
 import graft.dag._
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.functions.{broadcast, col, expr}
+import org.apache.spark.sql.functions.{broadcast, col, expr, lit}
 
 /** Isolated-session helper: `newSession()` shares the SparkContext but
   * starts from DEFAULT SQLConf — it does not see confs the caller set at
@@ -236,6 +236,46 @@ private[graft] object AtomicPublish {
     }
     next
   }
+
+  // ---- MERGE-ON-READ delta overlays (MorCdc) ----------------------------
+  // A delta overlay is an O(delta)-sized directory committed INSIDE the
+  // live generation at `<gen>/_deltas/delta-<id>` (underscore-prefixed, so
+  // every plain scan of the generation ignores the whole overlay tree).
+  // Write-then-rename gives the same all-or-nothing commit as the manifest
+  // swap: a crash mid-write leaves only a dot-prefixed tmp dir that both
+  // the FS listing below and Spark's hidden-file rules skip.
+
+  private val DeltaName = raw"delta-(\d+)".r
+
+  /** Committed delta overlays of the CURRENT generation, (id, path), id-sorted. */
+  def listDeltas(spark: org.apache.spark.sql.SparkSession, root: String): Seq[(Long, String)] = {
+    val dir = new Path(s"${resolve(spark, root)}/_deltas")
+    val fs = dir.getFileSystem(conf(spark))
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).toSeq.flatMap { st =>
+      st.getPath.getName match {
+        case DeltaName(id) => Some(id.toLong -> st.getPath.toString)
+        case _             => None // .tmp-* from a crashed write, or stray files
+      }
+    }.sortBy(_._1)
+  }
+
+  /** Atomically commit a delta overlay against the current generation:
+    * `write` fills a hidden tmp dir, then one directory rename publishes it
+    * as `delta-<id>`. Idempotent per id — an existing committed delta wins
+    * (foreachBatch replays must not double-write). */
+  def publishDelta(spark: org.apache.spark.sql.SparkSession, root: String,
+                   id: Long, write: String => Unit): Unit = {
+    val deltas = new Path(s"${resolve(spark, root)}/_deltas")
+    val fs = deltas.getFileSystem(conf(spark))
+    val target = new Path(deltas, s"delta-$id")
+    if (fs.exists(target)) return // replayed batch: already committed
+    val tmp = new Path(deltas, s".tmp-$id")
+    fs.delete(tmp, true) // stale partial from a crash
+    write(tmp.toString)
+    FileContext.getFileContext(deltas.toUri, conf(spark))
+      .rename(tmp, target, Options.Rename.OVERWRITE)
+  }
 }
 
 /** Sink: terminal write. The one place order-only dependencies matter under
@@ -264,18 +304,31 @@ class SinkNode(val path: String, val format: String = "parquet", val mode: Strin
                // set of generations up bit-exactly, HistQuantileNode /
                // HistDriftNode then answer corpus-history quantiles and
                // day-over-day drift gates from profile tables alone.
-               val numericProfiles: Seq[NumericProfileNode.Spec] = Nil) extends Node {
+               val numericProfiles: Seq[NumericProfileNode.Spec] = Nil,
+               // FILE-LEVEL min/max stats at publish time (atomicPublish
+               // only): a `_filestats/` table (file, min_<c>, max_<c> per
+               // stats column) committed with the generation — the
+               // data-skipping manifest StatsPrunedSourceNode prunes
+               // against, so a range predicate opens only the files whose
+               // [min,max] intersect it. One columnar scan of the stats
+               // columns of the just-written files; pair with a range
+               // (RepartitionNode(range=true)) or Z-order layout to make
+               // the stats selective.
+               val statsColumns: Seq[String] = Nil) extends Node {
   require(profileColumns.isEmpty || atomicPublish,
     "profileColumns requires atomicPublish (the profile commits with the generation)")
   require(numericProfiles.isEmpty || atomicPublish,
     "numericProfiles requires atomicPublish (the profile commits with the generation)")
+  require(statsColumns.isEmpty || atomicPublish,
+    "statsColumns requires atomicPublish (the stats commit with the generation)")
   override protected def defaultName: String = "sink"
   val inputs = Seq(Port("df"))
   val outputs = Seq(Port("result"))
   override def jsonKind: Option[String] = Some("sink")
   override def jsonParams: Map[String, Any] = Map("path" -> path, "format" -> format, "mode" -> mode, "partitionBy" -> partitionBy, "options" -> options, "atomicPublish" -> atomicPublish, "profileColumns" -> profileColumns,
     "npCols" -> numericProfiles.map(_.expr), "npLos" -> numericProfiles.map(_.lo),
-    "npHis" -> numericProfiles.map(_.hi), "npBins" -> numericProfiles.map(_.bins))
+    "npHis" -> numericProfiles.map(_.hi), "npBins" -> numericProfiles.map(_.bins),
+    "statsColumns" -> statsColumns)
   override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
     val df = in("df")
     def writeTo(target: String, wmode: String): Unit = {
@@ -293,6 +346,19 @@ class SinkNode(val path: String, val format: String = "parquet", val mode: Strin
           new NumericProfileNode(numericProfiles)
             .transform(ctx, In.single("df" -> df))("result")
             .coalesce(1).write.mode("overwrite").parquet(s"$target/_numprofile")
+        if (statsColumns.nonEmpty) {
+          // per-file min/max from the just-written files, pruned to the
+          // stats columns (columnar) — not from the input plan, whose rows
+          // have no file identity yet
+          val written = df.sparkSession.read.format(format).options(options).load(target)
+          val aggs = statsColumns.flatMap(c => Seq(
+            org.apache.spark.sql.functions.min(col(c)).as(s"min_$c"),
+            org.apache.spark.sql.functions.max(col(c)).as(s"max_$c")))
+          written
+            .groupBy(org.apache.spark.sql.functions.input_file_name().as("file"))
+            .agg(aggs.head, aggs.tail: _*)
+            .coalesce(1).write.mode("overwrite").parquet(s"$target/_filestats")
+        }
       })
       Map("result" -> df.sparkSession.read.format(format).options(options)
         .load(s"$path/gen-$gen"))
@@ -300,6 +366,91 @@ class SinkNode(val path: String, val format: String = "parquet", val mode: Strin
       writeTo(path, mode)
       Map("result" -> df)
     }
+  }
+}
+
+/** Data-skipping scan over a stats-published dataset (SinkNode
+  * `statsColumns`): prune FILES whose committed [min, max] cannot intersect
+  * the declared range predicates, then scan only the survivors — the
+  * manifest-level skipping layer ABOVE parquet row-group stats. Row-group
+  * stats still require opening every footer; at 100 TB with ~100k files the
+  * driver-side prune against one tiny `_filestats` table turns a selective
+  * range query from "open every file" into "open the handful whose range
+  * overlaps" — provided the layout made the stats selective
+  * (RepartitionNode(range = true) or ZOrderNode before the publish).
+  *
+  * Correctness is pruning-independent: the SAME range predicates are also
+  * applied as a row filter on the surviving files, so a file kept
+  * conservatively (or stats-less NULL rows) never leak rows in — pruning
+  * can only remove files that provably contain no qualifying row (NULL
+  * values fail a range predicate, so all-NULL files with NULL min/max are
+  * safely skippable). Bounds are string literals cast to the stats column
+  * type — never string-compared.
+  *
+  * Driver state is file-count-sized (the kept file list — ~10 MB at 100k
+  * files), the same order as the listing every scan already performs.
+  */
+class StatsPrunedSourceNode(val path: String,
+                            // (column, lo, hi) — null lo/hi = unbounded side
+                            val pruneCols: Seq[String],
+                            val pruneLos: Seq[Option[String]],
+                            val pruneHis: Seq[Option[String]],
+                            val format: String = "parquet") extends Node {
+  require(pruneCols.nonEmpty, "stats_pruned_source: need at least one prune column")
+  require(pruneLos.size == pruneCols.size && pruneHis.size == pruneCols.size,
+    "stats_pruned_source: pruneCols/pruneLos/pruneHis must align")
+  require(pruneCols.indices.forall(i => pruneLos(i).nonEmpty || pruneHis(i).nonEmpty),
+    "stats_pruned_source: each prune column needs at least one bound")
+  override protected def defaultName: String = "stats_pruned_source"
+  override def persistableOutput: Boolean = false
+  val inputs: Seq[Port] = Nil
+  val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("stats_pruned_source")
+  override def jsonParams: Map[String, Any] = Map("path" -> path,
+    "pruneCols" -> pruneCols, "pruneLos" -> pruneLos.map(_.orNull),
+    "pruneHis" -> pruneHis.map(_.orNull), "format" -> format)
+  override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
+    val spark = ctx.spark
+    val gen = AtomicPublish.resolve(spark, path)
+    val statsPath = new org.apache.hadoop.fs.Path(s"$gen/_filestats")
+    val fs = statsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(statsPath))
+      throw new graft.dag.GraftException(
+        s"stats_pruned_source '$name': no _filestats under $gen — publish with " +
+          "SinkNode(atomicPublish = true, statsColumns = ...) first")
+    val stats = spark.read.parquet(statsPath.toString)
+    def bound(c: String, side: String): org.apache.spark.sql.Column = {
+      val sc = s"${side}_$c"
+      require(stats.columns.contains(sc),
+        s"stats_pruned_source '$name': no committed stats for column '$c'")
+      col(sc)
+    }
+    // a file survives iff every declared range can intersect its [min, max]
+    val keepCond = pruneCols.indices.map { i =>
+      val c = pruneCols(i)
+      val parts = Seq(
+        pruneLos(i).map(lo => bound(c, "max") >= lit(lo).cast(stats.schema(s"max_$c").dataType)),
+        pruneHis(i).map(hi => bound(c, "min") <= lit(hi).cast(stats.schema(s"min_$c").dataType))
+      ).flatten
+      parts.reduce(_ && _)
+    }.reduce(_ && _)
+    val files = stats.filter(keepCond).select("file")
+      .collect().map(_.getString(0)).toSeq
+    // the SAME predicates as a row filter — correctness never depends on
+    // how aggressively the stats pruned
+    def rowCond(df: DataFrame): org.apache.spark.sql.Column =
+      pruneCols.indices.map { i =>
+        val c = pruneCols(i)
+        val t = df.schema(c).dataType
+        Seq(pruneLos(i).map(lo => col(c) >= lit(lo).cast(t)),
+            pruneHis(i).map(hi => col(c) <= lit(hi).cast(t))).flatten.reduce(_ && _)
+      }.reduce(_ && _)
+    val reader = spark.read.format(format).option("basePath", gen)
+    val df =
+      if (files.isEmpty) { // nothing can match: empty frame, full schema
+        val d = spark.read.format(format).load(gen); d.filter(lit(false))
+      } else reader.load(files: _*)
+    Map("result" -> df.filter(rowCond(df)))
   }
 }
 
@@ -1098,16 +1249,25 @@ class RouterNode(val routes: Seq[(String, String)],
 /** Repartition/coalesce — explicit shuffle control for co-located downstream
   * joins or write sizing.
   */
-class RepartitionNode(val n: Int, val byCols: Seq[String] = Nil, val coalesce: Boolean = false) extends Node {
+class RepartitionNode(val n: Int, val byCols: Seq[String] = Nil, val coalesce: Boolean = false,
+                      // range = true: repartitionByRange — DISJOINT sorted key
+                      // ranges per partition (sampled range boundaries). The
+                      // layout that makes per-file min/max stats selective:
+                      // a point/range predicate then touches O(1) files
+                      // instead of every file (see StatsPrunedSourceNode).
+                      val range: Boolean = false) extends Node {
+  require(!range || byCols.nonEmpty, "range repartition needs byCols")
+  require(!range || !coalesce, "range and coalesce are mutually exclusive")
   override protected def defaultName: String = "repartition"
   val inputs = Seq(Port("df"))
   val outputs = Seq(Port("result"))
   override def jsonKind: Option[String] = Some("repartition")
-  override def jsonParams: Map[String, Any] = Map("n" -> n, "byCols" -> byCols, "coalesce" -> coalesce)
+  override def jsonParams: Map[String, Any] = Map("n" -> n, "byCols" -> byCols, "coalesce" -> coalesce, "range" -> range)
   override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
     val df = in("df")
     val out =
-      if (coalesce) df.coalesce(n)
+      if (range) df.repartitionByRange(n, byCols.map(col): _*)
+      else if (coalesce) df.coalesce(n)
       else if (byCols.nonEmpty) df.repartition(n, byCols.map(col): _*)
       else df.repartition(n)
     Map("result" -> out)

@@ -2854,6 +2854,155 @@ object Advanced {
   }
   val q172Sql: String = bm25Sql(0.79, "doc_id % 7 != 0")
 
+  // ---- q173: MERGE-ON-READ streaming CDC — q151's exact scenario (three
+  // staged micro-batches: upserts, late inserts, tombstone deletes, merged
+  // into a published base) through MorCdc instead of copy-on-write: each
+  // batch commits only its O(delta) overlay (atomic dir rename inside the
+  // live generation), readers resolve base + overlays lazily
+  // (MorSourceNode: newest overlay version per key wins, base anti-joined
+  // against BROADCAST overlay keys — the base never shuffles or rewrites
+  // per wave), and compactEvery = 2 folds the first two overlays into a
+  // full generation mid-stream — so the final read exercises BOTH a
+  // compacted base and an outstanding overlay. The oracle is q151's
+  // declarative expectation: merge-on-read and copy-on-write must be
+  // indistinguishable to a reader. A lost overlay, a double-applied batch,
+  // a tombstone surfacing, or a stale-base read all break the hash. ----
+  def q173_cdc_merge_on_read(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+    val orders = Queries.run(spark) { d =>
+      d.add(SourceNode.table(dir, "orders")) >>
+        new ProjectNode(cols) >> d.output("result")
+    }
+    val ctx = Ctx(spark)
+    val work = java.nio.file.Files.createTempDirectory("graft_q173_")
+    work.toFile.deleteOnExit()
+    val root = s"$work/orders_pub"
+    Queries.run(spark) { d => // generation 1: the base goes live atomically
+      d.add(SourceNode.table(dir, "orders")) >> new ProjectNode(cols) >>
+        FilterNode("o_orderkey % 3 != 0") >>
+        new SinkNode(root, atomicPublish = true) >> d.output("result")
+    }
+    val updDir = s"$work/updates"
+    val upserts = orders.filter("o_orderkey % 3 != 0 and o_orderkey % 7 = 1")
+      .selectExpr("o_orderkey", "o_custkey", "o_orderstatus",
+        "'resubmitted' as o_orderpriority", "false as is_delete")
+    val inserts = orders.filter("o_orderkey % 3 = 0 and o_orderkey % 7 = 2")
+      .selectExpr("o_orderkey", "o_custkey", "o_orderstatus",
+        "'late_arrival' as o_orderpriority", "false as is_delete")
+    val deletes = orders.filter("o_orderkey % 3 != 0 and o_orderkey % 7 = 3")
+      .selectExpr("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_orderpriority", "true as is_delete")
+    Seq(upserts, inserts, deletes).foreach(
+      _.coalesce(1).write.mode("append").parquet(updDir))
+    val stream = Queries.run(spark) { d =>
+      d.add(new StreamSourceNode(updDir, "parquet",
+        options = Map("maxFilesPerTrigger" -> "1"))) >> d.output("result")
+    }
+    MorCdc.applyStream(ctx, root, stream,
+      new MergeNode(keys = Seq("o_orderkey"), deleteCol = Some("is_delete")),
+      compactEvery = 2)
+    Queries.run(spark) { d =>
+      d.add(new MorSourceNode(root, keys = Seq("o_orderkey"))) >>
+        SortNode("o_orderkey") >> d.output("result")
+    }
+  }
+  val q173Sql: String = q151Sql
+
+  // ---- q174: FILE-STATS DATA SKIPPING — publish orders range-partitioned
+  // on the key with per-file min/max stats committed in the generation
+  // (`_filestats/`, SinkNode statsColumns), then serve a key-range query
+  // through StatsPrunedSourceNode: the driver prunes the file list against
+  // the stats manifest (only files whose [min,max] intersect the range are
+  // opened — the layer ABOVE parquet row-group stats that avoids even
+  // touching non-qualifying files at 100 TB), and the same predicate
+  // re-applies as a row filter so correctness never depends on pruning.
+  // The oracle is the plain declarative range scan; a file wrongly pruned
+  // (lost rows) or stats computed off the wrong files break the hash.
+  // NodesSpec separately pins that pruning actually skips files. ----
+  def q174_stats_pruned_scan(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+    val work = java.nio.file.Files.createTempDirectory("graft_q174_")
+    work.toFile.deleteOnExit()
+    val root = s"$work/orders_pub"
+    Queries.run(spark) { d =>
+      d.add(SourceNode.table(dir, "orders")) >> new ProjectNode(cols) >>
+        new RepartitionNode(8, Seq("o_orderkey"), range = true) >>
+        new SinkNode(root, atomicPublish = true,
+          statsColumns = Seq("o_orderkey")) >> d.output("result")
+    }
+    Queries.run(spark) { d =>
+      d.add(new StatsPrunedSourceNode(root, pruneCols = Seq("o_orderkey"),
+        pruneLos = Seq(Some("7700")), pruneHis = Seq(Some("21000")))) >>
+        SortNode("o_orderkey") >> d.output("result")
+    }
+  }
+  val q174Sql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority
+      |FROM orders WHERE o_orderkey BETWEEN 7700 AND 21000
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ---- q175: the MERGE-ON-READ lakehouse capstone — q168's consistency
+  // contract (ONE CDC stream drives both the published corpus and the
+  // incremental lexical index; serving from the maintained index must
+  // equal serving from a from-scratch index over the corpus read-back)
+  // with the corpus leg on MorCdc instead of copy-on-write:
+  // compactEvery = 0 keeps the CDC wave as an OUTSTANDING overlay, so the
+  // from-scratch leg reads through MorSourceNode's read-time resolution —
+  // a winner mis-ranked across overlay/base, a tombstone leaking into the
+  // resolved view, or a stale base read each breaks the corpus-side hash
+  // while the index side stays green (and vice versa). Same arithmetic
+  // oracle as q168: MoR, CoW, and the incremental index must all be
+  // indistinguishable. ----
+  def q175_mor_lakehouse_consistency(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Queries.run(spark) { d =>
+      d.add(SourceNode.table(dir, "documents")) >>
+        ProjectNode("doc_id", "text") >> d.output("result")
+    }
+    val ctx = Ctx(spark)
+    val work = java.nio.file.Files.createTempDirectory("graft_q175_")
+    work.toFile.deleteOnExit()
+    val root = s"$work/corpus_pub"
+    Queries.run(spark) { d =>
+      d.add(SourceNode.table(dir, "documents")) >>
+        FilterNode("doc_id % 5 != 0") >> ProjectNode("doc_id", "text") >>
+        new SinkNode(root, atomicPublish = true) >> d.output("result")
+    }
+    val cdc = docs.filter("doc_id % 5 = 0 and doc_id % 7 != 0")
+      .selectExpr("doc_id", "text", "false as is_delete")
+      .union(docs.filter("doc_id % 5 != 0 and doc_id % 3 = 0 and doc_id % 7 != 0")
+        .selectExpr("doc_id", "text", "false as is_delete"))
+      .union(docs.filter("doc_id % 7 = 0")
+        .selectExpr("doc_id", "'' as text", "true as is_delete"))
+    cdc.coalesce(1).write.mode("overwrite").parquet(s"$work/cdc")
+    def cdcStream = Queries.run(spark) { d =>
+      d.add(new StreamSourceNode(s"$work/cdc", "parquet")) >> d.output("result")
+    }
+    // leg A: CDC as an O(delta) overlay commit, never compacted here
+    MorCdc.applyStream(ctx, root, cdcStream,
+      new MergeNode(keys = Seq("doc_id"), deleteCol = Some("is_delete")),
+      compactEvery = 0, checkpoint = Some(s"$work/ckpt_corpus"))
+    // leg B: the SAME stream maintains the incremental index
+    val idx = new InvertedIndexNode(k = 5, maxDfFrac = 0.79)
+    idx.fit(ctx, In.single("corpus" -> docs.filter("doc_id % 5 != 0")))
+    IndexMaintenance.maintainFromStream(idx, ctx, cdcStream,
+      checkpoint = Some(s"$work/ckpt_index"), deleteCol = Some("is_delete"))
+    val queries = docs.filter(queryBatchPred)
+      .selectExpr("doc_id as query_id", "text")
+    val fromIndex = idx.transform(ctx, In.single("queries" -> queries))("result")
+      .selectExpr("'from_index' as side", "query_id", "doc_id", "score", "rank")
+    // from-scratch retrieval over the MERGE-ON-READ resolved corpus
+    val resolved = Queries.run(spark) { d =>
+      d.add(new MorSourceNode(root, keys = Seq("doc_id"))) >> d.output("result")
+    }
+    val scratch = new InvertedIndexTopKNode(
+      idCol = "doc_id", textCol = "text", queryIdCol = "query_id",
+      queryTextCol = "text", k = 5, maxDfFrac = 0.79)
+    val fromCorpus = scratch.transform(ctx,
+        In.single("corpus" -> resolved, "queries" -> queries))("result")
+      .selectExpr("'from_published_corpus' as side", "query_id", "doc_id", "score", "rank")
+    fromIndex.unionByName(fromCorpus).orderBy("side", "query_id", "rank")
+  }
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q94_bloom_join", q94_bloom_join _, q94Sql),
     ("q95_pagerank", q95_pagerank _, q95Sql),
@@ -2927,5 +3076,8 @@ object Advanced {
     ("q170_ivf_quantized_day2", q170_ivf_quantized_day2 _, q170Sql),
     ("q171_bm25_index_day2", q171_bm25_index_day2 _, q171Sql),
     ("q172_bm25_index_delete", q172_bm25_index_delete _, q172Sql),
+    ("q173_cdc_merge_on_read", q173_cdc_merge_on_read _, q173Sql),
+    ("q174_stats_pruned_scan", q174_stats_pruned_scan _, q174Sql),
+    ("q175_mor_lakehouse_consistency", q175_mor_lakehouse_consistency _, q168Sql),
   )
 }

@@ -150,6 +150,41 @@ class DocSpec extends AnyFunSuite {
     lm.unpersistModel(); idx.unpersistIndex()
   }
 
+  test("README lakehouse example runs") {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_doc_lake_")
+    val root = s"$tmp/corpus"
+    val docs = (1L to 100L).map(i => (i, s"doc number $i")).toDF("doc_id", "text")
+    // 1. publish with a range layout + file-level min/max stats
+    val p = new Dag("publish")
+    p.input("docs") >> new RepartitionNode(4, Seq("doc_id"), range = true) >>
+      new SinkNode(root, atomicPublish = true, statsColumns = Seq("doc_id")) >>
+      p.output("published")
+    p.transform(Ctx(spark), Map("docs" -> docs))
+    // 2. merge-on-read CDC: one wave (an upsert + a tombstone) commits as
+    //    an O(delta) overlay — the base generation is untouched
+    val cdc = Seq((1L, "doc number 1 v2", false), (2L, "", true))
+      .toDF("doc_id", "text", "is_delete")
+    cdc.coalesce(1).write.mode("overwrite").parquet(s"$tmp/cdc")
+    val cdcStream = spark.readStream.schema(cdc.schema).parquet(s"$tmp/cdc")
+    MorCdc.applyStream(Ctx(spark), root, cdcStream,
+      new MergeNode(keys = Seq("doc_id"), deleteCol = Some("is_delete")),
+      compactEvery = 8, checkpoint = Some(s"$tmp/ckpt"))
+    // 3. the live view: upsert visible, tombstone gone; plain SourceNode
+    //    still reads the consistent-but-stale base
+    val live = new MorSourceNode(root, keys = Seq("doc_id"))
+      .transform(Ctx(spark), In.empty)("result")
+    assert(live.count() == 99L)
+    assert(live.filter("doc_id = 1").select("text").as[String].head() == "doc number 1 v2")
+    assert(new SourceNode(root).transform(Ctx(spark), In.empty)("result").count() == 100L)
+    // 4. data-skipping scan opens only the files intersecting the range
+    val pruned = new StatsPrunedSourceNode(root, pruneCols = Seq("doc_id"),
+      pruneLos = Seq(Some("30")), pruneHis = Seq(Some("40")))
+      .transform(Ctx(spark), In.empty)("result")
+    assert(pruned.inputFiles.length < 4 && pruned.count() == 11L)
+  }
+
   test("README takedown example runs") {
     val spark = SparkFixture.spark
     import spark.implicits._

@@ -2462,6 +2462,138 @@ class NodesSpec extends AnyFunSuite {
     assert(AtomicPublish.currentGen(spark, root).contains(4L))
   }
 
+  test("MorCdc.applyStream: overlays are O(delta), MorSourceNode equals the copy-on-write " +
+       "result, mid-stream compaction folds, crash tmp ignored, replays skipped") {
+    import spark.implicits._
+    val c = Ctx(spark)
+    val work = java.nio.file.Files.createTempDirectory("graft_mor_spec").toString
+    val root = s"$work/ds"
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    new SinkNode(root, atomicPublish = true).transform(c, In.single("df" -> base))
+    // same ordered micro-batches as the CdcApply drill: insert 100 ->
+    // update 100 -> delete 1 (batch 1 must apply after batch 0)
+    val updDir = s"$work/upd"
+    val batches = Seq(
+      Seq((100L, "first", false)), Seq((100L, "second", false)), Seq((1L, "x", true)))
+    val fs = new org.apache.hadoop.fs.Path(updDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      val f = s"$updDir/b$i"
+      rows.toDF("id", "v", "is_delete").coalesce(1).write.parquet(f)
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(f), false)
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile) fs.setTimes(st.getPath, 1700000000000L + i * 60000L, -1)
+      }
+    }
+    def stream = spark.readStream
+      .schema("id LONG, v STRING, is_delete BOOLEAN")
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "*.parquet")
+      .option("recursiveFileLookup", "true")
+      .parquet(updDir)
+    val merge = new MergeNode(keys = Seq("id"), deleteCol = Some("is_delete"))
+    // compactEvery = 2: batches 0+1 fold into gen-2 mid-stream; batch 2
+    // stays an outstanding overlay on gen-2
+    MorCdc.applyStream(c, root, stream, merge, compactEvery = 2,
+      checkpoint = Some(s"$work/ckpt"))
+    def live(): Set[(Long, String)] =
+      new MorSourceNode(root, keys = Seq("id")).transform(c, In.empty)("result")
+        .as[(Long, String)].collect().toSet
+    val expect = Set((2L, "b"), (3L, "c"), (100L, "second"))
+    assert(live() == expect)
+    assert(AtomicPublish.currentGen(spark, root).contains(2L),
+      "one compaction, not one generation per batch")
+    assert(AtomicPublish.listDeltas(spark, root).map(_._1) == Seq(2L),
+      "batch 2 must remain the single outstanding overlay")
+    // a PLAIN SourceNode reads the consistent-but-stale compacted base:
+    // batches 0+1 folded in, batch 2's delete of key 1 not yet visible
+    val stale = new SourceNode(root).transform(c, In.empty)("result")
+      .as[(Long, String)].collect().toSet
+    assert(stale == expect + ((1L, "a")))
+    // crash drill: a half-written overlay (dot-tmp dir) is invisible
+    val junk = new org.apache.hadoop.fs.Path(s"$root/gen-2/_deltas/.tmp-99")
+    fs.mkdirs(junk)
+    Seq((999L, "junk", false)).toDF("id", "v", MorCdc.DeletedCol)
+      .write.mode("overwrite").parquet(junk.toString)
+    assert(live() == expect)
+    assert(AtomicPublish.listDeltas(spark, root).map(_._1) == Seq(2L))
+    // replay drill: a fresh checkpoint redelivers batch ids 0..2 — the
+    // compacted marker covers 0..1 and the committed delta-2 dir covers 2
+    MorCdc.applyStream(c, root, stream, merge, compactEvery = 2,
+      checkpoint = Some(s"$work/ckpt2"))
+    assert(live() == expect)
+    assert(AtomicPublish.currentGen(spark, root).contains(2L))
+    assert(AtomicPublish.listDeltas(spark, root).map(_._1) == Seq(2L))
+  }
+
+  test("StatsPrunedSourceNode: file-stats pruning skips non-qualifying files, " +
+       "keeps results identical to the full filtered scan; loud without stats") {
+    import spark.implicits._
+    val c = Ctx(spark)
+    val work = java.nio.file.Files.createTempDirectory("graft_stats_spec").toString
+    val root = s"$work/ds"
+    val rows = (0L until 1000L).map(i => (i, s"v$i")).toDF("id", "v")
+    // range layout => disjoint per-file key ranges => selective stats
+    runOne { d =>
+      d.add(srcNode(rows)) >> new RepartitionNode(10, Seq("id"), range = true) >>
+        new SinkNode(root, atomicPublish = true, statsColumns = Seq("id")) >>
+        d.output("result")
+    }
+    val allFiles = new SourceNode(root).transform(c, In.empty)("result")
+      .inputFiles.length
+    assert(allFiles == 10)
+    val pruned = new StatsPrunedSourceNode(root, pruneCols = Seq("id"),
+      pruneLos = Seq(Some("100")), pruneHis = Seq(Some("199")))
+      .transform(c, In.empty)("result")
+    assert(pruned.inputFiles.length <= 2,
+      s"a 10%-selective range over a range layout must open ~1 of 10 files, " +
+        s"opened ${pruned.inputFiles.length}")
+    assert(pruned.as[(Long, String)].collect().toSet ==
+      rows.filter("id between 100 and 199").as[(Long, String)].collect().toSet)
+    // one-sided bound + out-of-range => zero files, empty result, full schema
+    val none = new StatsPrunedSourceNode(root, pruneCols = Seq("id"),
+      pruneLos = Seq(Some("5000")), pruneHis = Seq(None))
+      .transform(c, In.empty)("result")
+    assert(none.count() == 0 && none.columns.toSeq == Seq("id", "v"))
+    // loud refusal on a dataset published without stats
+    val bare = s"$work/bare"
+    new SinkNode(bare, atomicPublish = true).transform(c, In.single("df" -> rows))
+    val err = intercept[GraftException] {
+      new StatsPrunedSourceNode(bare, pruneCols = Seq("id"),
+        pruneLos = Seq(Some("1")), pruneHis = Seq(None)).transform(c, In.empty)
+    }
+    assert(err.getMessage.contains("_filestats"))
+  }
+
+  test("MorCdc.normalizeBatch: upsert outranks tombstone within a batch; last_wins " +
+       "recency; duplicate non-tombstone keys fail loudly under error policy") {
+    import spark.implicits._
+    def norm(df: DataFrame, m: MergeNode): Set[(Long, String, Boolean)] =
+      MorCdc.normalizeBatch(df, m)
+        .select(col("id"), col("v"), col(MorCdc.DeletedCol))
+        .as[(Long, String, Boolean)].collect().toSet
+    // upsert + tombstone for the same key in one batch -> the upsert wins
+    // (MergeNode's convention: the anti-join removes the base row, the
+    // upsert is still inserted)
+    val both = Seq((7L, "new", false), (7L, "old", true)).toDF("id", "v", "del")
+    assert(norm(both, new MergeNode(Seq("id"), deleteCol = Some("del"))) ==
+      Set((7L, "new", false)))
+    // last_wins: highest orderCol among non-tombstones survives
+    val dups = Seq((7L, "v1", false, 1L), (7L, "v2", false, 5L), (8L, "w", true, 9L))
+      .toDF("id", "v", "del", "seq")
+    val lw = new MergeNode(Seq("id"), deleteCol = Some("del"),
+      onDuplicate = "last_wins", orderCol = Some("seq"))
+    assert(norm(dups, lw) == Set((7L, "v2", false), (8L, "w", true)))
+    // error policy: duplicate non-tombstone keys break the plan loudly
+    val err = intercept[Exception] {
+      MorCdc.normalizeBatch(
+        Seq((7L, "v1", false), (7L, "v2", false)).toDF("id", "v", "del"),
+        new MergeNode(Seq("id"), deleteCol = Some("del"))).collect()
+    }
+    assert(err.getMessage != null)
+  }
+
   test("SketchProfileNode/SketchMergeNode: adversarial generation splits merge to the " +
        "whole-corpus sketch exactly; merges re-merge; empty generation tolerated") {
     import spark.implicits._

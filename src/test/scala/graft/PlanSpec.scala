@@ -525,4 +525,27 @@ class PlanSpec extends AnyFunSuite {
       s"bm25 serving grew extra shuffles (expected <= 5):\n$invBp")
     invB.unpersistIndex()
   }
+
+  test("merge-on-read scan: base side anti-joins BROADCAST overlay keys — the base " +
+       "is never shuffled per wave; only the overlay-sized window exchanges remain") {
+    val spark0 = spark
+    import spark0.implicits._
+    val ctx = Ctx(spark)
+    val work = java.nio.file.Files.createTempDirectory("graft_mor_plan").toString
+    val root = s"$work/ds"
+    val base = (1L to 500L).map(i => (i, s"v$i")).toDF("id", "v")
+    new SinkNode(root, atomicPublish = true).transform(ctx, In.single("df" -> base))
+    AtomicPublish.publishDelta(spark, root, 0L, { t =>
+      Seq((1L, "upd", false), (999L, "ins", false), (2L, "x", true))
+        .toDF("id", "v", MorCdc.DeletedCol).write.parquet(t)
+    })
+    val p = planOf(MorCdc.read(spark, root, Seq("id")))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"base anti-join must broadcast the overlay keys:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"the base must never shuffle at merge-on-read resolution:\n$p")
+    def exchanges(s: String): Int = """\(\d+\) Exchange""".r.findAllIn(s).size
+    assert(exchanges(p) <= 2,
+      s"only overlay-sized broadcast/window exchanges expected:\n$p")
+  }
 }

@@ -297,6 +297,29 @@ class SerializationSpec extends AnyFunSuite {
       ib2.bHundredths == 60 && ib2.scale == 500000L)
   }
 
+  test("round-trip covers round-12 lakehouse kinds: mor-source/stats-pruned-source/" +
+       "range-repartition/sink-statsColumns") {
+    val d = new Dag("r12kinds")
+    val ms = d.add(new MorSourceNode("/tmp/morpub", keys = Seq("id", "part"), format = "orc"))
+    val sp = d.add(new StatsPrunedSourceNode("/tmp/statpub",
+      pruneCols = Seq("k", "ts"), pruneLos = Seq(Some("10"), None),
+      pruneHis = Seq(Some("99"), Some("2026-01-01"))))
+    val rr = d.add(new RepartitionNode(16, Seq("k"), range = true))
+    val sk = d.add(new SinkNode("/tmp/statpub", atomicPublish = true,
+      statsColumns = Seq("k", "ts")))
+    val d2 = DagJson.fromJson(DagJson.toJson(d))
+    val ms2 = d2.node(ms.name).asInstanceOf[MorSourceNode]
+    assert(ms2.path == "/tmp/morpub" && ms2.keys == Seq("id", "part") &&
+      ms2.format == "orc")
+    val sp2 = d2.node(sp.name).asInstanceOf[StatsPrunedSourceNode]
+    assert(sp2.pruneCols == Seq("k", "ts") &&
+      sp2.pruneLos == Seq(Some("10"), None) &&
+      sp2.pruneHis == Seq(Some("99"), Some("2026-01-01")))
+    val rr2 = d2.node(rr.name).asInstanceOf[RepartitionNode]
+    assert(rr2.n == 16 && rr2.byCols == Seq("k") && rr2.range)
+    assert(d2.node(sk.name).asInstanceOf[SinkNode].statsColumns == Seq("k", "ts"))
+  }
+
   test("round-trip covers quality kinds: heuristic/vocab/semdedup/domain-quota") {
     val d = new Dag("qkinds")
     val hf = d.add(new HeuristicFilterNode("body", 30, 5000, 2.5, 9.0, 0.2, 0.8, 0.4,
