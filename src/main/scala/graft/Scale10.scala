@@ -120,7 +120,9 @@ object Scale10 {
       // file-stats data skipping (k-fold publish; the pruned read should
       // stay ~flat — it opens only the files intersecting the fixed range)
       "q173_cdc_merge_on_read", "q174_stats_pruned_scan",
-      "q175_mor_lakehouse_consistency")
+      "q175_mor_lakehouse_consistency",
+      // vacuum is FS metadata + one publish pipeline — should stay ~flat
+      "q176_vacuum")
     val names = if (queries.nonEmpty) queries else defaults
     names.foreach { n =>
       try time(n)(Queries.all(n)(spark, out).count())

@@ -44,6 +44,8 @@ object NodeRegistry {
           NumericProfileNode.Spec(npCols(i), npLos(i), npHis(i), npBins(i))),
         p.strs("statsColumns"))
     }
+    register("vacuum")(p => new VacuumNode(p.str("path"),
+      p.boolOr("keepRollback", true), p.boolOr("dryRun", false)))
     register("stats_pruned_source")(p => new StatsPrunedSourceNode(p.str("path"),
       p.strs("pruneCols"),
       p.m.get("pruneLos").collect { case l: Seq[_] => l.map(Option(_).map(_.toString)) }.getOrElse(Nil),

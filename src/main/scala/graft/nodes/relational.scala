@@ -369,6 +369,68 @@ class SinkNode(val path: String, val format: String = "parquet", val mode: Strin
   }
 }
 
+/** Vacuum a published root: remove the debris that crashes leave behind —
+  * generation directories the manifest never committed (a publish killed
+  * before its pointer swap), `_MANIFEST.tmp-*` files (killed mid-swap), and
+  * `.tmp-*` overlay dirs inside kept generations (a merge-on-read delta
+  * commit killed mid-write). All of it is INVISIBLE to readers already
+  * (resolution goes through the manifest; overlay listing skips dot-dirs),
+  * so vacuum is pure storage hygiene — but at 100 TB a weekly crash or two
+  * accretes dead full-corpus copies, which is real money.
+  *
+  * Never touches the committed generation, the rollback generation
+  * (`keepRollback`, default true — AtomicPublish's documented rollback
+  * point), committed `delta-N` overlays, or any non-generation file at the
+  * root. Idempotent; driver-side FS metadata only (one listing per level —
+  * the same order of work as any scan's file listing). `dryRun` reports
+  * without deleting. Output: one row per removed (or would-remove) entry,
+  * (kind, name), deterministic order — auditable and oracle-checkable.
+  */
+class VacuumNode(val path: String, val keepRollback: Boolean = true,
+                 val dryRun: Boolean = false) extends Node {
+  override protected def defaultName: String = "vacuum"
+  val inputs: Seq[Port] = Nil
+  val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("vacuum")
+  override def jsonParams: Map[String, Any] =
+    Map("path" -> path, "keepRollback" -> keepRollback, "dryRun" -> dryRun)
+  override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
+    val spark = ctx.spark
+    import org.apache.hadoop.fs.Path
+    val cur = AtomicPublish.currentGen(spark, path).getOrElse(
+      throw new graft.dag.GraftException(
+        s"vacuum '$name': $path is not a published dataset (no ${AtomicPublish.ManifestName})"))
+    val keep = Set(cur) ++ (if (keepRollback) Set(cur - 1) else Set.empty[Long])
+    val rootP = new Path(path)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val GenDir = raw"gen-(\d+)".r
+    val removed = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    fs.listStatus(rootP).foreach { st =>
+      val n = st.getPath.getName
+      n match {
+        case GenDir(g) if st.isDirectory && !keep.contains(g.toLong) =>
+          removed += (("dangling_generation", n))
+          if (!dryRun) fs.delete(st.getPath, true)
+        case _ if st.isFile && n.startsWith(s"${AtomicPublish.ManifestName}.tmp-") =>
+          removed += (("manifest_tmp", n))
+          if (!dryRun) fs.delete(st.getPath, false)
+        case _ => // committed gens, the manifest, foreign files: untouched
+      }
+    }
+    keep.toSeq.sorted.foreach { g =>
+      val deltas = new Path(s"$path/gen-$g/_deltas")
+      if (fs.exists(deltas)) fs.listStatus(deltas).foreach { st =>
+        if (st.isDirectory && st.getPath.getName.startsWith(".tmp-")) {
+          removed += (("overlay_tmp", s"gen-$g/${st.getPath.getName}"))
+          if (!dryRun) fs.delete(st.getPath, true)
+        }
+      }
+    }
+    import spark.implicits._
+    Map("result" -> removed.sorted.toSeq.toDF("kind", "name"))
+  }
+}
+
 /** Data-skipping scan over a stats-published dataset (SinkNode
   * `statsColumns`): prune FILES whose committed [min, max] cannot intersect
   * the declared range predicates, then scan only the survivors — the

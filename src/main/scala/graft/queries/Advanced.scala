@@ -3003,6 +3003,53 @@ object Advanced {
     fromIndex.unionByName(fromCorpus).orderBy("side", "query_id", "rank")
   }
 
+  // ---- q176: VACUUM — storage hygiene for published roots. Crashes leave
+  // debris readers never see (a publish killed before its manifest swap
+  // leaves a full dangling generation; a killed swap leaves a manifest
+  // tmp; a killed overlay commit leaves a dot-tmp delta dir); at 100 TB a
+  // dangling generation is a dead corpus copy. The scenario stages all
+  // three debris kinds against a twice-published dataset, vacuums, and
+  // emits the audit report plus the live row count read back through the
+  // manifest — the oracle is the constant report (deterministic names by
+  // construction) plus the declarative count. A vacuum that deletes too
+  // much (live_rows changes), too little, or misclassifies breaks the
+  // hash. ----
+  def q176_vacuum(spark: SparkSession, dir: String): DataFrame = {
+    val ctx = Ctx(spark)
+    val work = java.nio.file.Files.createTempDirectory("graft_q176_")
+    work.toFile.deleteOnExit()
+    val root = s"$work/orders_pub"
+    def publishOnce(): Unit = Queries.run(spark) { d =>
+      d.add(SourceNode.table(dir, "orders")) >>
+        ProjectNode("o_orderkey", "o_custkey") >>
+        FilterNode("o_orderkey % 3 != 0") >>
+        new SinkNode(root, atomicPublish = true) >> d.output("result")
+    }
+    publishOnce(); publishOnce() // gen-1 (rollback) + gen-2 (committed)
+    // stage the three crash-debris kinds
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    spark.range(5).write.parquet(s"$root/gen-5") // publish killed pre-swap
+    fs.create(new org.apache.hadoop.fs.Path(s"$root/_MANIFEST.tmp-9"), true).close()
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/gen-2/_deltas/.tmp-3"))
+    val report = Queries.run(spark) { d =>
+      d.add(new VacuumNode(root)) >> d.output("result")
+    }
+    val liveRows = Queries.run(spark) { d =>
+      d.add(new SourceNode(root)) >>
+        AggNode(Nil, "cast(count(*) as string) as name") >>
+        ProjectNode("'live_rows' as kind", "name") >> d.output("result")
+    }
+    report.unionByName(liveRows).orderBy("kind", "name")
+  }
+  val q176Sql: String =
+    """SELECT 'dangling_generation' AS kind, 'gen-5' AS name
+      |UNION ALL SELECT 'manifest_tmp', '_MANIFEST.tmp-9'
+      |UNION ALL SELECT 'overlay_tmp', 'gen-2/.tmp-3'
+      |UNION ALL SELECT 'live_rows',
+      |  cast((SELECT count(*) FROM orders WHERE o_orderkey % 3 <> 0) AS varchar)
+      |ORDER BY kind, name""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q94_bloom_join", q94_bloom_join _, q94Sql),
     ("q95_pagerank", q95_pagerank _, q95Sql),
@@ -3079,5 +3126,6 @@ object Advanced {
     ("q173_cdc_merge_on_read", q173_cdc_merge_on_read _, q173Sql),
     ("q174_stats_pruned_scan", q174_stats_pruned_scan _, q174Sql),
     ("q175_mor_lakehouse_consistency", q175_mor_lakehouse_consistency _, q168Sql),
+    ("q176_vacuum", q176_vacuum _, q176Sql),
   )
 }

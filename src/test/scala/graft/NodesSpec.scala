@@ -2527,6 +2527,50 @@ class NodesSpec extends AnyFunSuite {
     assert(AtomicPublish.listDeltas(spark, root).map(_._1) == Seq(2L))
   }
 
+  test("VacuumNode: removes dangling generations / manifest tmps / overlay tmps; " +
+       "keeps committed+rollback gens and committed overlays; dryRun; idempotent") {
+    import spark.implicits._
+    val c = Ctx(spark)
+    val work = java.nio.file.Files.createTempDirectory("graft_vacuum_spec").toString
+    val root = s"$work/ds"
+    val rows = (1L to 50L).map(i => (i, s"v$i")).toDF("id", "v")
+    def publish(): Unit =
+      new SinkNode(root, atomicPublish = true).transform(c, In.single("df" -> rows))
+    publish(); publish() // gen-1 rollback, gen-2 committed
+    // a COMMITTED overlay must survive vacuum
+    AtomicPublish.publishDelta(spark, root, 1L, { t =>
+      Seq((1L, "upd", false)).toDF("id", "v", MorCdc.DeletedCol).write.parquet(t)
+    })
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    spark.range(3).write.parquet(s"$root/gen-9")
+    fs.create(new org.apache.hadoop.fs.Path(s"$root/_MANIFEST.tmp-4"), true).close()
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/gen-2/_deltas/.tmp-7"))
+    def runVacuum(n: VacuumNode): Seq[(String, String)] =
+      n.transform(c, In.empty)("result").as[(String, String)].collect().toSeq
+    // dryRun reports but deletes nothing
+    val dry = runVacuum(new VacuumNode(root, dryRun = true))
+    assert(dry == Seq(("dangling_generation", "gen-9"),
+      ("manifest_tmp", "_MANIFEST.tmp-4"), ("overlay_tmp", "gen-2/.tmp-7")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/gen-9")))
+    // real vacuum: same report, debris gone, live data + overlay intact
+    assert(runVacuum(new VacuumNode(root)) == dry)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/gen-9")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/_MANIFEST.tmp-4")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/gen-2/_deltas/.tmp-7")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/gen-1")), "rollback kept")
+    assert(AtomicPublish.listDeltas(spark, root).map(_._1) == Seq(1L),
+      "committed overlay must survive")
+    assert(new MorSourceNode(root, keys = Seq("id"))
+      .transform(c, In.empty)("result").count() == 50L)
+    // idempotent: second run reports nothing
+    assert(runVacuum(new VacuumNode(root)).isEmpty)
+    // keepRollback = false retires the rollback generation too
+    assert(runVacuum(new VacuumNode(root, keepRollback = false)) ==
+      Seq(("dangling_generation", "gen-1")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/gen-1")))
+  }
+
   test("StatsPrunedSourceNode: file-stats pruning skips non-qualifying files, " +
        "keeps results identical to the full filtered scan; loud without stats") {
     import spark.implicits._

@@ -318,6 +318,10 @@ class SerializationSpec extends AnyFunSuite {
     val rr2 = d2.node(rr.name).asInstanceOf[RepartitionNode]
     assert(rr2.n == 16 && rr2.byCols == Seq("k") && rr2.range)
     assert(d2.node(sk.name).asInstanceOf[SinkNode].statsColumns == Seq("k", "ts"))
+    val vc = d.add(new VacuumNode("/tmp/statpub", keepRollback = false, dryRun = true))
+    val d3 = DagJson.fromJson(DagJson.toJson(d))
+    val vc2 = d3.node(vc.name).asInstanceOf[VacuumNode]
+    assert(vc2.path == "/tmp/statpub" && !vc2.keepRollback && vc2.dryRun)
   }
 
   test("round-trip covers quality kinds: heuristic/vocab/semdedup/domain-quota") {
