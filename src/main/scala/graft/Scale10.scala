@@ -122,7 +122,11 @@ object Scale10 {
       "q173_cdc_merge_on_read", "q174_stats_pruned_scan",
       "q175_mor_lakehouse_consistency",
       // vacuum is FS metadata + one publish pipeline — should stay ~flat
-      "q176_vacuum")
+      "q176_vacuum",
+      // image near-dup: bounded 300-doc batch by design — flat; the banding
+      // join is the hazard only when the input set scales (covered by the
+      // maxBucket cap drill)
+      "q177_image_neardup")
     val names = if (queries.nonEmpty) queries else defaults
     names.foreach { n =>
       try time(n)(Queries.all(n)(spark, out).count())

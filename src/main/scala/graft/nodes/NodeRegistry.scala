@@ -44,6 +44,11 @@ object NodeRegistry {
           NumericProfileNode.Spec(npCols(i), npLos(i), npHis(i), npBins(i))),
         p.strs("statsColumns"))
     }
+    register("image_dhash")(p => new ImageDHashNode(p.str("payloadCol"),
+      p.str("outCol"), p.int("hashW"), p.int("hashH")))
+    register("hamming_near_dup")(p => new HammingNearDupNode(p.str("idCol"),
+      p.str("hashCol"), p.int("maxHamming"), p.int("maxBucket"),
+      p.str("outA"), p.str("outB")))
     register("vacuum")(p => new VacuumNode(p.str("path"),
       p.boolOr("keepRollback", true), p.boolOr("dryRun", false)))
     register("stats_pruned_source")(p => new StatsPrunedSourceNode(p.str("path"),

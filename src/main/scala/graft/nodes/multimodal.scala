@@ -281,6 +281,149 @@ class ResizeImageNode(
   }
 }
 
+/** Perceptual image hash (dHash): decode the payload, resample to a
+  * (hashW+1) x hashH luma grid with the SAME fully-specified floor
+  * nearest-neighbor mapping as [[ResizeImageNode]], and set bit
+  * (y * hashW + x) iff luma(x, y) < luma(x + 1, y) — the
+  * gradient-direction hash that survives re-encoding, resizing, and mild
+  * brightness shifts, the standard first pass of image near-dup at LAION
+  * scale. Everything is integer arithmetic (luma = 299 r + 587 g + 114 b,
+  * unnormalized — comparisons are scale-invariant), so the hash is
+  * engine- and platform-independent. Output: one BIGINT column (bit 63 =
+  * grid position 0); null payloads / undecodable blobs yield null (the
+  * corrupt-blob audit convention of [[DecodeImageNode]]). Narrow
+  * mapPartitions — zero shuffle; pair with [[HammingNearDupNode]] for the
+  * banded near-dup join.
+  */
+class ImageDHashNode(
+    val payloadCol: String = "payload",
+    val outCol: String = "dhash",
+    val hashW: Int = 8,
+    val hashH: Int = 8)
+  extends Node {
+  require(hashW > 0 && hashH > 0 && hashW * hashH <= 64,
+    s"dhash grid must fit 64 bits, got $hashW x $hashH")
+  override protected def defaultName: String = "image_dhash"
+  val inputs = Seq(Port("df"))
+  val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("image_dhash")
+  override def jsonParams: Map[String, Any] =
+    Map("payloadCol" -> payloadCol, "outCol" -> outCol, "hashW" -> hashW, "hashH" -> hashH)
+  override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
+    val df = in("df")
+    val outSchema = StructType(df.schema.fields :+
+      StructField(outCol, LongType, nullable = true))
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    val (hw, hh) = (hashW, hashH)
+    val out = df.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { row =>
+        val bytes = row.getAs[Array[Byte]](payloadIdx)
+        val img =
+          if (bytes == null) null
+          else javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        if (img == null) Row.fromSeq(row.toSeq :+ null)
+        else {
+          val (sw, sh) = (img.getWidth, img.getHeight)
+          val src = img.getRGB(0, 0, sw, sh, null, 0, sw)
+          // (hw+1) x hh luma grid, ResizeImageNode's floor mapping
+          val gw = hw + 1
+          val luma = new Array[Int](gw * hh)
+          var y = 0
+          while (y < hh) {
+            val sy = y * sh / hh
+            var x = 0
+            while (x < gw) {
+              val rgb = src(sy * sw + x * sw / gw)
+              luma(y * gw + x) = 299 * ((rgb >> 16) & 0xFF) +
+                587 * ((rgb >> 8) & 0xFF) + 114 * (rgb & 0xFF)
+              x += 1
+            }
+            y += 1
+          }
+          var h = 0L
+          var i = 0
+          while (i < hw * hh) {
+            val (yy, xx) = (i / hw, i % hw)
+            if (luma(yy * gw + xx) < luma(yy * gw + xx + 1))
+              h |= 1L << (63 - i)
+            i += 1
+          }
+          Row.fromSeq(row.toSeq :+ h)
+        }
+      }
+    }(RowEncoder.encoderFor(outSchema))
+    Map("result" -> out.toDF())
+  }
+}
+
+/** Banded Hamming near-dup join over ANY 64-bit hash column (perceptual
+  * dhash, simhash, any LSB-packed sketch): emit (id_a, id_b) pairs with
+  * popcount(hash_a XOR hash_b) <= maxHamming. Pigeonhole-exact — the hash
+  * is split into maxHamming + 1 bit chunks, so two hashes within the
+  * budget MUST agree on at least one whole chunk; candidates come from a
+  * keyed equi-join on (chunk index, chunk value) and the exact
+  * `bit_count` filter runs only on candidates. Recall is therefore 100%
+  * BY CONSTRUCTION (no probability), matching SimHashDedupNode's
+  * pigeonhole contract but decoupled from text sketching.
+  *
+  * Scale: the banding join shuffles skinny (chunk, id, hash) rows on the
+  * chunk key; a degenerate chunk value shared by B rows yields B^2/2
+  * candidates, so `maxBucket` drops over-hot (chunk index, value) buckets
+  * whole (the MinHash/SimHash cap convention — dropped buckets can only
+  * lose pairs that OTHER chunks usually still surface; a null-hash row
+  * never pairs). Null hashes (undecodable payloads) are excluded.
+  */
+class HammingNearDupNode(
+    val idCol: String,
+    val hashCol: String,
+    val maxHamming: Int = 3,
+    val maxBucket: Int = 10000,
+    val outA: String = "id_a",
+    val outB: String = "id_b")
+  extends Node {
+  require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 63]")
+  override protected def defaultName: String = "hamming_near_dup"
+  val inputs = Seq(Port("df"))
+  val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("hamming_near_dup")
+  override def jsonParams: Map[String, Any] = Map("idCol" -> idCol,
+    "hashCol" -> hashCol, "maxHamming" -> maxHamming, "maxBucket" -> maxBucket,
+    "outA" -> outA, "outB" -> outB)
+  override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
+    import org.apache.spark.sql.functions.{array, count, explode, lit, struct}
+    val nChunks = maxHamming + 1
+    val w = (64 + nChunks - 1) / nChunks // ceil width; last chunk may be short
+    val rows = in("df").select(col(idCol).as("__id"), col(hashCol).as("__h"))
+      .filter(col("__h").isNotNull)
+    // (chunk index, chunk value) keys: unsigned shift so the sign bit never
+    // smears across chunk values; a full-width chunk (maxHamming = 0) is
+    // the hash itself
+    def chunkVal(c: Int): String =
+      if (w >= 64) "__h"
+      else s"shiftrightunsigned(__h, ${c * w}) & ${(1L << w) - 1}L"
+    val chunks = rows.select(col("__id"), col("__h"),
+      explode(array((0 until nChunks).map { c =>
+        struct(lit(c).as("c"), expr(chunkVal(c)).as("v"))
+      }: _*)).as("ck"))
+      .select(col("__id"), col("__h"), col("ck.c").as("__c"), col("ck.v").as("__v"))
+    // hot-bucket cap (dropped whole, the LSH convention)
+    val capped = chunks.withColumn("__bs",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__c"), col("__v"))))
+      .filter(col("__bs") <= maxBucket).drop("__bs")
+    val a = capped.select(col("__c"), col("__v"),
+      col("__id").as(outA), col("__h").as("__ha"))
+    val b = capped.select(col("__c"), col("__v"),
+      col("__id").as(outB), col("__h").as("__hb"))
+    val pairs = a.join(b, Seq("__c", "__v"))
+      .filter(col(outA) < col(outB))
+      .filter(expr(s"bit_count(__ha ^ __hb) <= $maxHamming"))
+      .select(outA, outB).distinct()
+    Map("result" -> pairs)
+  }
+}
+
 /** Deterministic in-query WAV synthesis: a REAL RIFF/WAVE container (44-byte
   * canonical header, PCM16 mono little-endian) whose sample i is the fixed
   * integer formula in [[MultimodalSchemas]] under `seedExpr` — decoders

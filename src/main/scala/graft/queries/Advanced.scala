@@ -3050,6 +3050,39 @@ object Advanced {
       |  cast((SELECT count(*) FROM orders WHERE o_orderkey % 3 <> 0) AS varchar)
       |ORDER BY kind, name""".stripMargin
 
+  // ---- q177: IMAGE near-dup via perceptual hashing — the multimodal twin
+  // of the text near-dup family (the LAION-style image dedup pass):
+  // deterministic REAL PNGs (SyntheticImageNode, 20 seed families) →
+  // ImageDHashNode (decode, fully-specified 9x8 luma resample, 64-bit
+  // gradient hash) → HammingNearDupNode (pigeonhole-banded join, exact
+  // bit_count filter — 100% recall by construction at <= maxHamming).
+  // Family members are byte-identical PNGs, so every within-family pair is
+  // at Hamming 0 and MUST surface; NodesSpec pins that the 20 family
+  // hashes are pairwise FARTHER than maxHamming, so no cross-family pair
+  // may surface. Family seed = (doc_id % 20) * 13: raw adjacent seeds only
+  // phase-shift the synthetic channels and can hash identically (seeds 0
+  // and 1 collide at 48x32); the *13 spread keeps all 20 families >= 10
+  // bits apart (verified by integer-exact simulation; the NodesSpec
+  // precondition drill re-checks through the real codec). The oracle is
+  // therefore pure key arithmetic. A decode divergence, a hash-order
+  // flip, or a band-join recall loss all change the pair set. ----
+  def q177_image_neardup(spark: SparkSession, dir: String): DataFrame = {
+    Queries.run(spark) { d =>
+      d.add(SourceNode.table(dir, "documents")) >>
+        FilterNode("doc_id < 300") >> ProjectNode("doc_id") >>
+        new SyntheticImageNode("48", "32", "(doc_id % 20) * 13") >>
+        new ImageDHashNode() >>
+        new HammingNearDupNode("doc_id", "dhash", maxHamming = 3) >>
+        SortNode("id_a", "id_b") >> d.output("result")
+    }
+  }
+  val q177Sql: String =
+    """SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |FROM documents a JOIN documents b
+      |  ON a.doc_id % 20 = b.doc_id % 20 AND a.doc_id < b.doc_id
+      |WHERE a.doc_id < 300 AND b.doc_id < 300
+      |ORDER BY id_a, id_b""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q94_bloom_join", q94_bloom_join _, q94Sql),
     ("q95_pagerank", q95_pagerank _, q95Sql),
@@ -3127,5 +3160,6 @@ object Advanced {
     ("q174_stats_pruned_scan", q174_stats_pruned_scan _, q174Sql),
     ("q175_mor_lakehouse_consistency", q175_mor_lakehouse_consistency _, q168Sql),
     ("q176_vacuum", q176_vacuum _, q176Sql),
+    ("q177_image_neardup", q177_image_neardup _, q177Sql),
   )
 }

@@ -2527,6 +2527,74 @@ class NodesSpec extends AnyFunSuite {
     assert(AtomicPublish.listDeltas(spark, root).map(_._1) == Seq(2L))
   }
 
+  test("ImageDHashNode: gradient hash fully specified (all-ones on a strict x-gradient, " +
+       "known bits drop on a flattened row); nulls pass through") {
+    import spark.implicits._
+    val c = Ctx(spark)
+    def png(build: (Int, Int) => Int, w: Int = 32, h: Int = 16): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val g = build(x, y) & 0xFF
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // A: gray value strictly increasing in x -> every luma(x) < luma(x+1)
+    // comparison true -> all 64 bits set
+    val a = png((x, _) => x * 7)
+    // B: same gradient but source row 0 (the row grid row 0 floor-samples)
+    // flattened -> exactly the top 8 bits (grid row 0) drop
+    val b = png((x, y) => if (y == 0) 100 else x * 7)
+    val df = Seq((1L, a), (2L, b), (3L, null.asInstanceOf[Array[Byte]]))
+      .toDF("id", "payload")
+    val hashed = new ImageDHashNode().transform(c, In.single("df" -> df))("result")
+    val byId = hashed.select("id", "dhash").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(byId(1L).contains(-1L), s"strict gradient must hash to all-ones, got ${byId(1L)}")
+    assert(byId(2L).contains(0x00FFFFFFFFFFFFFFL),
+      s"flattened grid row 0 must clear exactly bits 63..56, got ${byId(2L)}")
+    assert(byId(3L).isEmpty, "null payload must yield null hash")
+    // Hamming(A, B) = 8: paired at maxHamming >= 8, not at 7; null excluded
+    def pairs(mh: Int, mb: Int = 10000): Set[(Long, Long)] =
+      new HammingNearDupNode("id", "dhash", maxHamming = mh, maxBucket = mb)
+        .transform(c, In.single("df" -> hashed))("result")
+        .as[(Long, Long)].collect().toSet
+    assert(pairs(8) == Set((1L, 2L)))
+    assert(pairs(7).isEmpty)
+    // hot-bucket cap: 5 identical hashes under maxHamming=0 form one bucket
+    // of 5 -> dropped whole at maxBucket=4, kept at 5
+    val same = (1L to 5L).map(i => (i, 42L)).toDF("id", "dhash")
+    assert(new HammingNearDupNode("id", "dhash", maxHamming = 0, maxBucket = 4)
+      .transform(c, In.single("df" -> same))("result").count() == 0L)
+    assert(new HammingNearDupNode("id", "dhash", maxHamming = 0, maxBucket = 5)
+      .transform(c, In.single("df" -> same))("result").count() == 10L)
+  }
+
+  test("q177 oracle precondition: the 20 synthetic-image family hashes are pairwise " +
+       "farther than maxHamming=3 and identical within a family") {
+    import spark.implicits._
+    val c = Ctx(spark)
+    // two members per family (different doc ids, same seed) at q177's exact
+    // parameterization — members must collide, families must stay apart
+    val df = (0L until 40L).map(i => (i, ((i % 20) * 13).toInt)).toDF("doc_id", "seed")
+    val hashed = new SyntheticImageNode("48", "32", "seed")
+      .transform(c, In.single("df" -> df))("result")
+    val out = new ImageDHashNode().transform(c, In.single("df" -> hashed))("result")
+      .select("doc_id", "dhash").as[(Long, Long)].collect().toMap
+    (0L until 20L).foreach { s =>
+      assert(out(s) == out(s + 20L), s"family $s members must hash identically")
+    }
+    val fams = (0L until 20L).map(out).toIndexedSeq
+    for (i <- 0 until 20; j <- i + 1 until 20) {
+      val d = java.lang.Long.bitCount(fams(i) ^ fams(j))
+      assert(d > 3, s"family hashes $i/$j too close (hamming $d <= 3) — " +
+        "q177's no-cross-family-pair contract would be flaky")
+    }
+  }
+
   test("VacuumNode: removes dangling generations / manifest tmps / overlay tmps; " +
        "keeps committed+rollback gens and committed overlays; dryRun; idempotent") {
     import spark.implicits._

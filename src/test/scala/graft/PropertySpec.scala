@@ -276,4 +276,62 @@ class PropertySpec extends AnyFunSuite {
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), p)
     assert(res.passed, res.status.toString)
   }
+
+  test("merge-on-read overlays: random CDC waves with random mid-stream folds " +
+    "equal a pure sequential-merge oracle (newest wins, tombstones drop)") {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    import graft.nodes.{AtomicPublish, MergeNode, MorCdc, SinkNode}
+    // random base over a small key universe; 1..4 CDC waves of random
+    // (key, value, tombstone) ops — duplicates within a wave are legal under
+    // last_wins with a unique per-wave seq; random fold (compaction) points.
+    // The resolved MoR view must equal folding the waves sequentially into a
+    // plain map: per wave and key, an upsert outranks a tombstone, the
+    // highest-seq upsert wins, a tombstone-only key is dropped.
+    val genCase = for {
+      baseKeys <- Gen.atLeastOne(1L to 10L)
+      nWaves <- Gen.choose(1, 4)
+      waves <- Gen.listOfN(nWaves, Gen.listOf(for {
+        k <- Gen.choose(1L, 10L)
+        del <- Gen.oneOf(true, false)
+        v <- Gen.choose(0, 99)
+      } yield (k, s"v$v", del)))
+      folds <- Gen.listOfN(nWaves, Gen.oneOf(true, false))
+    } yield (baseKeys.toSet, waves, folds)
+    val p = Prop.forAll(genCase) { case (baseKeys, waves, folds) =>
+      var expect: Map[Long, String] = baseKeys.map(k => k -> s"base$k").toMap
+      waves.foreach { ops =>
+        ops.zipWithIndex.groupBy(_._1._1).foreach { case (k, grp) =>
+          val ups = grp.filter(!_._1._3)
+          if (ups.nonEmpty) expect += k -> ups.maxBy(_._2)._1._2
+          else expect -= k
+        }
+      }
+      val c = Ctx(spark)
+      val work = java.nio.file.Files.createTempDirectory("graft_mor_prop").toString
+      val root = s"$work/ds"
+      val baseDf = baseKeys.toSeq.sorted.map(k => (k, s"base$k", -1L))
+        .toDF("id", "v", "seq")
+      new SinkNode(root, atomicPublish = true).transform(c, In.single("df" -> baseDf))
+      val merge = new MergeNode(Seq("id"), deleteCol = Some("del"),
+        onDuplicate = "last_wins", orderCol = Some("seq"))
+      waves.zipWithIndex.foreach { case (ops, w) =>
+        if (ops.nonEmpty) {
+          val batch = ops.zipWithIndex
+            .map { case ((k, v, del), i) => (k, v, i.toLong, del) }
+            .toDF("id", "v", "seq", "del")
+          AtomicPublish.publishDelta(spark, root, w.toLong, { t =>
+            MorCdc.normalizeBatch(batch, merge).write.parquet(t)
+          })
+        }
+        if (folds(w)) MorCdc.compact(c, root, Seq("id"), w.toLong)
+      }
+      val got = MorCdc.read(spark, root, Seq("id"))
+        .select("id", "v").as[(Long, String)].collect().toMap
+      got == expect
+    }
+    // each trial publishes + commits several parquet overlays — keep modest
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), p)
+    assert(res.passed, res.status.toString)
+  }
 }

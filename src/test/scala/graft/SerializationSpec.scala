@@ -322,6 +322,16 @@ class SerializationSpec extends AnyFunSuite {
     val d3 = DagJson.fromJson(DagJson.toJson(d))
     val vc2 = d3.node(vc.name).asInstanceOf[VacuumNode]
     assert(vc2.path == "/tmp/statpub" && !vc2.keepRollback && vc2.dryRun)
+    val dh = d.add(new ImageDHashNode("blob", "ph", hashW = 4, hashH = 16))
+    val hn = d.add(new HammingNearDupNode("doc", "ph", maxHamming = 5,
+      maxBucket = 77, outA = "l", outB = "r"))
+    val d4 = DagJson.fromJson(DagJson.toJson(d))
+    val dh2 = d4.node(dh.name).asInstanceOf[ImageDHashNode]
+    assert(dh2.payloadCol == "blob" && dh2.outCol == "ph" &&
+      dh2.hashW == 4 && dh2.hashH == 16)
+    val hn2 = d4.node(hn.name).asInstanceOf[HammingNearDupNode]
+    assert(hn2.idCol == "doc" && hn2.hashCol == "ph" && hn2.maxHamming == 5 &&
+      hn2.maxBucket == 77 && hn2.outA == "l" && hn2.outB == "r")
   }
 
   test("round-trip covers quality kinds: heuristic/vocab/semdedup/domain-quota") {
