@@ -126,7 +126,10 @@ object Scale10 {
       // image near-dup: bounded 300-doc batch by design — flat; the banding
       // join is the hazard only when the input set scales (covered by the
       // maxBucket cap drill)
-      "q177_image_neardup")
+      "q177_image_neardup",
+      // incremental image index: k-fold ledger/bucket unions + anti joins;
+      // the streamed twin adds per-micro-batch fixed overhead
+      "q178_image_index_day2", "q179_stream_image_maintenance")
     val names = if (queries.nonEmpty) queries else defaults
     names.foreach { n =>
       try time(n)(Queries.all(n)(spark, out).count())

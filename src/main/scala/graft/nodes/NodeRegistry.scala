@@ -49,6 +49,9 @@ object NodeRegistry {
     register("hamming_near_dup")(p => new HammingNearDupNode(p.str("idCol"),
       p.str("hashCol"), p.int("maxHamming"), p.int("maxBucket"),
       p.str("outA"), p.str("outB")))
+    register("dhash_index")(p => new DHashIndexNode(p.str("idCol"),
+      p.str("hashCol"), p.int("maxHamming"), p.int("maxBucket"),
+      p.int("compactEvery"), p.strOpt("compactPath")))
     register("vacuum")(p => new VacuumNode(p.str("path"),
       p.boolOr("keepRollback", true), p.boolOr("dryRun", false)))
     register("stats_pruned_source")(p => new StatsPrunedSourceNode(p.str("path"),

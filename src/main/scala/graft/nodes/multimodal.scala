@@ -374,6 +374,26 @@ class ImageDHashNode(
   * lose pairs that OTHER chunks usually still surface; a null-hash row
   * never pairs). Null hashes (undecodable payloads) are excluded.
   */
+private[nodes] object HammingBands {
+  import org.apache.spark.sql.functions.{array, explode, lit, struct}
+  /** Explode `hashSrc` (a 64-bit column named `__h` on `df`) into
+    * pigeonhole chunk keys (__c, __v): nChunks ceil-width bit chunks via
+    * unsigned shifts (sign bit never smears); a full-width chunk is the
+    * hash itself. Two hashes within `nChunks - 1` bit flips MUST agree on
+    * at least one whole chunk. */
+  def chunkKeys(df: DataFrame, nChunks: Int): DataFrame = {
+    val w = (64 + nChunks - 1) / nChunks
+    def chunkVal(c: Int): String =
+      if (w >= 64) "__h"
+      else s"shiftrightunsigned(__h, ${c * w}) & ${(1L << w) - 1}L"
+    df.withColumn("__ck", explode(array((0 until nChunks).map { c =>
+        struct(lit(c).as("c"), expr(chunkVal(c)).as("v"))
+      }: _*)))
+      .withColumn("__c", col("__ck.c")).withColumn("__v", col("__ck.v"))
+      .drop("__ck")
+  }
+}
+
 class HammingNearDupNode(
     val idCol: String,
     val hashCol: String,
@@ -391,22 +411,10 @@ class HammingNearDupNode(
     "hashCol" -> hashCol, "maxHamming" -> maxHamming, "maxBucket" -> maxBucket,
     "outA" -> outA, "outB" -> outB)
   override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
-    import org.apache.spark.sql.functions.{array, count, explode, lit, struct}
-    val nChunks = maxHamming + 1
-    val w = (64 + nChunks - 1) / nChunks // ceil width; last chunk may be short
+    import org.apache.spark.sql.functions.{count, lit}
     val rows = in("df").select(col(idCol).as("__id"), col(hashCol).as("__h"))
       .filter(col("__h").isNotNull)
-    // (chunk index, chunk value) keys: unsigned shift so the sign bit never
-    // smears across chunk values; a full-width chunk (maxHamming = 0) is
-    // the hash itself
-    def chunkVal(c: Int): String =
-      if (w >= 64) "__h"
-      else s"shiftrightunsigned(__h, ${c * w}) & ${(1L << w) - 1}L"
-    val chunks = rows.select(col("__id"), col("__h"),
-      explode(array((0 until nChunks).map { c =>
-        struct(lit(c).as("c"), expr(chunkVal(c)).as("v"))
-      }: _*)).as("ck"))
-      .select(col("__id"), col("__h"), col("ck.c").as("__c"), col("ck.v").as("__v"))
+    val chunks = HammingBands.chunkKeys(rows, maxHamming + 1)
     // hot-bucket cap (dropped whole, the LSH convention)
     val capped = chunks.withColumn("__bs",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
@@ -422,6 +430,205 @@ class HammingNearDupNode(
       .select(outA, outB).distinct()
     Map("result" -> pairs)
   }
+}
+
+/** INCREMENTAL perceptual-hash near-dup index — the image-corpus member of
+  * the incremental index family (near-dup/ANN/lexical/cluster), sharing
+  * their whole day-2 lifecycle: fit once over (id, 64-bit hash) rows —
+  * compose [[ImageDHashNode]] upstream for images, or any other 64-bit
+  * sketch — then check deltas delta-sized (`transform` on port "delta"),
+  * fold admitted deltas in (`updateIndex`), remove takedowns
+  * (`deleteFromIndex`), stream maintenance through
+  * `IndexMaintenance.maintainFromStream` (exactly-once replay guard), and
+  * persist with saveFitted/loadFitted.
+  *
+  * The candidate join is the [[HammingNearDupNode]] pigeonhole shape
+  * (100% recall within `maxHamming` by construction); the index stores
+  * the hash ledger (base_id, hash) plus the capped chunk-bucket table
+  * pre-partitioned for the delta join. `maxBucket` drops over-hot
+  * (chunk, value) buckets whole — the LSH cap convention; like
+  * MinHashIndexNode the cap is order-sensitive across update generations
+  * and `rebuildIndex` re-derives the bucket table from the ledger
+  * bit-identically to a from-scratch fit over the live rows (bucket
+  * resurrection after deletion waves). Exactness contract: transform ==
+  * the banded join over the live ledger, EXCEPT rows in buckets dropped
+  * while over the cap (under-recall only, never false positives).
+  *
+  * Scale: fit/update/delete are ledger-sized anti-joins/unions with
+  * skinny (c, v, id, h) rows; serving shuffles only the delta's chunk
+  * keys against the persisted buckets. A streaming delta is refused
+  * toward the foreachBatch serving pattern (StreamServing) — the batch
+  * plan is already delta-sized.
+  */
+class DHashIndexNode(
+    val idCol: String = "doc_id",
+    val hashCol: String = "dhash",
+    val maxHamming: Int = 3,
+    val maxBucket: Int = 10000,
+    val compactEvery: Int = 0,
+    val compactPath: Option[String] = None)
+  extends EstimatorNode with IncrementalIndex {
+  require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 63]")
+  require(compactEvery >= 0, "compactEvery must be >= 0")
+  type Model = DHashIndexNode.Index
+  override protected def defaultName: String = "dhash_index"
+  val inputs = Seq(Port("corpus"), Port("delta"))
+  val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("dhash_index")
+  override def jsonParams: Map[String, Any] = Map(
+    "idCol" -> idCol, "hashCol" -> hashCol, "maxHamming" -> maxHamming,
+    "maxBucket" -> maxBucket, "compactEvery" -> compactEvery,
+    "compactPath" -> compactPath.orNull)
+
+  private def ledgerOf(df: DataFrame, outId: String): DataFrame =
+    df.select(col(idCol).as(outId), col(hashCol).as("__h"))
+      .filter(col("__h").isNotNull)
+
+  private def cappedBuckets(ledger: DataFrame): DataFrame = {
+    val chunks = HammingBands.chunkKeys(ledger, maxHamming + 1)
+    val ok = chunks.groupBy("__c", "__v").count()
+      .filter(col("count") <= maxBucket).select("__c", "__v")
+    chunks.join(ok, Seq("__c", "__v"))
+      .select("__c", "__v", "base_id", "__h")
+  }
+
+  def fitModel(ctx: Ctx, in: In): Model = {
+    import org.apache.spark.storage.StorageLevel
+    val ledger = ledgerOf(in("corpus"), "base_id").persist(StorageLevel.MEMORY_AND_DISK)
+    val buckets = cappedBuckets(ledger).persist(StorageLevel.MEMORY_AND_DISK)
+    DHashIndexNode.Index(ledger, buckets)
+  }
+
+  def applyModel(m: Model, ctx: Ctx, in: In): Map[String, DataFrame] = {
+    val delta = in("delta")
+    if (delta.isStreaming)
+      throw new GraftException(
+        s"dhash_index '$name': streaming delta refused — serve per micro-batch " +
+          "through StreamServing.serveStream (the batch plan is delta-sized), " +
+          "and maintain via IndexMaintenance.maintainFromStream")
+    val dch = HammingBands.chunkKeys(ledgerOf(delta, "delta_id"), maxHamming + 1)
+      .withColumnRenamed("__h", "__hd")
+    val pairs = dch.join(m.buckets, Seq("__c", "__v"))
+      .filter(expr(s"bit_count(__hd ^ __h) <= $maxHamming"))
+      .select(col("delta_id"), col("base_id"),
+        expr("cast(bit_count(__hd ^ __h) as int)").as("hamming"))
+      .distinct()
+    Map("result" -> pairs)
+  }
+
+  /** Fold a delta into the index: ledger union + bucket re-cap over the
+    * grown table (a bucket crossing `maxBucket` only after growth drops
+    * whole — the fit-time guard re-applied; order-sensitive like
+    * MinHashIndexNode, `rebuildIndex` is the exact re-derivation). */
+  def updateIndex(ctx: Ctx, delta: DataFrame): Unit = {
+    import org.apache.spark.storage.StorageLevel
+    val m = model.getOrElse(
+      throw new GraftException(s"estimator node '$name' not fitted"))
+    val fresh = ledgerOf(delta, "base_id")
+    val newLedger = m.ledger.select("base_id", "__h")
+      .union(fresh.select("base_id", "__h"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val grown = m.buckets.select("__c", "__v", "base_id", "__h")
+      .union(HammingBands.chunkKeys(fresh, maxHamming + 1)
+        .select("__c", "__v", "base_id", "__h"))
+    val ok = grown.groupBy("__c", "__v").count()
+      .filter(col("count") <= maxBucket).select("__c", "__v")
+    val newBuckets = grown.join(ok, Seq("__c", "__v"))
+      .select("__c", "__v", "base_id", "__h")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    newLedger.count(); newBuckets.count() // materialize before releasing old
+    model = Some(DHashIndexNode.Index(newLedger, newBuckets))
+    m.ledger.unpersist(); m.buckets.unpersist()
+    generation += 1
+    if (compactEvery > 0 && generation % compactEvery == 0) compactIndex()
+  }
+
+  /** Two anti joins; kept buckets only shrink so the cap needs no
+    * re-evaluation. Dropped-whole buckets do not resurrect until
+    * `rebuildIndex` (the MinHashIndexNode contract). Unknown ids no-op. */
+  def deleteFromIndex(ctx: Ctx, deletes: DataFrame): Unit = {
+    import org.apache.spark.storage.StorageLevel
+    val m = model.getOrElse(
+      throw new GraftException(s"estimator node '$name' not fitted"))
+    val del = deletes.select(col(idCol).as("base_id")).distinct()
+    val newLedger = m.ledger.select("base_id", "__h")
+      .join(del, Seq("base_id"), "left_anti")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val newBuckets = m.buckets.select("__c", "__v", "base_id", "__h")
+      .join(del, Seq("base_id"), "left_anti")
+      .select("__c", "__v", "base_id", "__h")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    newLedger.count(); newBuckets.count()
+    model = Some(DHashIndexNode.Index(newLedger, newBuckets))
+    m.ledger.unpersist(); m.buckets.unpersist()
+    generation += 1
+    if (compactEvery > 0 && generation % compactEvery == 0) compactIndex()
+  }
+
+  /** Re-derive the bucket table from the hash ledger — bit-identical to a
+    * from-scratch fit over the live rows, including cap resurrection. */
+  def rebuildIndex(): Unit = {
+    import org.apache.spark.storage.StorageLevel
+    val m = model.getOrElse(
+      throw new GraftException(s"estimator node '$name' not fitted"))
+    val newBuckets = cappedBuckets(m.ledger.select("base_id", "__h"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    newBuckets.count()
+    model = Some(DHashIndexNode.Index(m.ledger, newBuckets))
+    m.buckets.unpersist()
+    generation += 1
+    if (compactEvery > 0 && generation % compactEvery == 0) compactIndex()
+  }
+
+  @volatile private var generation: Long = 0L
+  @volatile private var compactGen: Long = 0L
+
+  /** Truncate lineage to a parquet scan (double-buffered under
+    * `compactPath` — the MinHashIndexNode convention). */
+  def compactIndex(): Unit = {
+    import org.apache.spark.storage.StorageLevel
+    val m = model.getOrElse(
+      throw new GraftException(s"estimator node '$name' not fitted"))
+    val path = compactPath match {
+      case Some(root) => compactGen += 1; s"$root/gen-${compactGen % 2}"
+      case None =>
+        val d = java.nio.file.Files.createTempDirectory("graft_idx_compact_")
+        d.toFile.deleteOnExit()
+        d.toString
+    }
+    val session = m.ledger.sparkSession
+    saveFitted(path)
+    model = Some(DHashIndexNode.Index(
+      session.read.parquet(s"$path/ledger").persist(StorageLevel.MEMORY_AND_DISK),
+      session.read.parquet(s"$path/buckets").persist(StorageLevel.MEMORY_AND_DISK)))
+    m.ledger.unpersist(); m.buckets.unpersist()
+  }
+
+  def unpersistIndex(): Unit = model.foreach { m =>
+    m.ledger.unpersist(); m.buckets.unpersist()
+  }
+
+  override def saveFitted(path: String): Unit = {
+    val m = model.getOrElse(
+      throw new GraftException(s"estimator node '$name' not fitted"))
+    m.ledger.write.mode("overwrite").parquet(s"$path/ledger")
+    m.buckets.write.mode("overwrite").parquet(s"$path/buckets")
+    saveMaintenanceState(m.ledger.sparkSession, path)
+  }
+  override def loadFitted(path: String): Unit = loadFitted(path, None)
+  def loadFitted(path: String, session: Option[org.apache.spark.sql.SparkSession]): Unit = {
+    import org.apache.spark.storage.StorageLevel
+    val spark = session.getOrElse(org.apache.spark.sql.SparkSession.active)
+    model = Some(DHashIndexNode.Index(
+      spark.read.parquet(s"$path/ledger").persist(StorageLevel.MEMORY_AND_DISK),
+      spark.read.parquet(s"$path/buckets").persist(StorageLevel.MEMORY_AND_DISK)))
+    loadMaintenanceState(spark, path)
+  }
+}
+
+object DHashIndexNode {
+  /** The fitted index: the (base_id, hash) ledger + capped chunk buckets. */
+  case class Index(ledger: DataFrame, buckets: DataFrame)
 }
 
 /** Deterministic in-query WAV synthesis: a REAL RIFF/WAVE container (44-byte

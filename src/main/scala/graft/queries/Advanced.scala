@@ -3083,6 +3083,97 @@ object Advanced {
       |WHERE a.doc_id < 300 AND b.doc_id < 300
       |ORDER BY id_a, id_b""".stripMargin
 
+  // ---- q178/q179: the INCREMENTAL image near-dup index through day 2 —
+  // the fifth incremental index family (near-dup/ANN/lexical/cluster/
+  // image), q138/q141's lifecycle shape on the perceptual-hash ledger:
+  // fit on the base image corpus (decode → dhash upstream), fold the day-2
+  // delta in, apply a takedown wave, then probe with fresh per-family
+  // images. Family PNGs are byte-identical (Hamming 0) and families sit
+  // >= 10 bits apart at the *13 seed spread (q177's pinned precondition),
+  // so the pair set is exactly "probe family f x live family-f docs" —
+  // pure key arithmetic. q178 drives the batch path; q179 reaches the SAME
+  // post-takedown state through a CDC STREAM (maintainFromStream
+  // upsert-replace + tombstones, exactly-once foreachBatch) — a lost or
+  // double-applied micro-batch leaves extra/missing pairs and breaks the
+  // hash against the same oracle. ----
+  private def imageFamilyHashes(spark: SparkSession, docs: DataFrame,
+                                seedExpr: String): DataFrame = {
+    val ctx = Ctx(spark)
+    val withImg = new SyntheticImageNode("48", "32", seedExpr)
+      .transform(ctx, In.single("df" -> docs))("result")
+    new ImageDHashNode().transform(ctx, In.single("df" -> withImg))("result")
+  }
+
+  private def q178Probes(spark: SparkSession): DataFrame =
+    imageFamilyHashes(spark,
+      spark.range(20).selectExpr("100000 + id as doc_id"),
+      "(doc_id - 100000) * 13")
+
+  def q178_image_index_day2(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Queries.run(spark) { d =>
+      d.add(SourceNode.table(dir, "documents")) >>
+        FilterNode("doc_id < 300") >> ProjectNode("doc_id") >> d.output("result")
+    }
+    val ctx = Ctx(spark)
+    val hashed = imageFamilyHashes(spark, docs, "(doc_id % 20) * 13")
+    val idx = new DHashIndexNode(maxHamming = 3)
+    idx.fit(ctx, In.single("corpus" -> hashed.filter("doc_id % 5 != 0")))
+    idx.updateIndex(ctx, hashed.filter("doc_id % 5 = 0"))
+    idx.deleteFromIndex(ctx, docs.filter("doc_id % 7 = 0").select("doc_id"))
+    idx.transform(ctx, In.single("delta" -> q178Probes(spark)))("result")
+      .select("delta_id", "base_id")
+      .orderBy("delta_id", "base_id")
+  }
+  val q178Sql: String =
+    """SELECT 100000 + p.f AS delta_id, d.doc_id AS base_id
+      |FROM (SELECT unnest(range(0, 20)) AS f) p
+      |JOIN documents d
+      |  ON d.doc_id < 300 AND d.doc_id % 7 != 0 AND d.doc_id % 20 = p.f
+      |ORDER BY delta_id, base_id""".stripMargin
+
+  def q179_stream_image_maintenance(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Queries.run(spark) { d =>
+      d.add(SourceNode.table(dir, "documents")) >>
+        FilterNode("doc_id < 300") >> ProjectNode("doc_id") >> d.output("result")
+    }
+    val ctx = Ctx(spark)
+    val hashed = imageFamilyHashes(spark, docs, "(doc_id % 20) * 13")
+    val idx = new DHashIndexNode(maxHamming = 3)
+    idx.fit(ctx, In.single("corpus" -> hashed.filter("doc_id % 5 != 0")))
+    // CDC wave: the day-2 delta as upserts, the takedown as tombstones,
+    // staged as two files = two micro-batches
+    val work = java.nio.file.Files.createTempDirectory("graft_q179_")
+    work.toFile.deleteOnExit()
+    val upserts = hashed.filter("doc_id % 5 = 0")
+      .selectExpr("doc_id", "dhash", "false as is_delete")
+    val deletes = hashed.filter("doc_id % 7 = 0")
+      .selectExpr("doc_id", "dhash", "true as is_delete")
+    // batch order matters (tombstones must apply AFTER the upserts that
+    // admitted %5=0 & %7=0 docs); file-stream ordering is by mod time and
+    // rapid writes can land in one millisecond — pin the times explicitly
+    val fs = new org.apache.hadoop.fs.Path(s"$work/cdc")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(upserts, deletes).zipWithIndex.foreach { case (df, i) =>
+      val f = s"$work/cdc/b$i"
+      df.coalesce(1).write.parquet(f)
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(f), false)
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile) fs.setTimes(st.getPath, 1700000000000L + i * 60000L, -1)
+      }
+    }
+    val stream = spark.readStream
+      .option("pathGlobFilter", "*.parquet")
+      .option("recursiveFileLookup", "true")
+      .schema("doc_id LONG, dhash LONG, is_delete BOOLEAN")
+      .option("maxFilesPerTrigger", "1").parquet(s"$work/cdc")
+    IndexMaintenance.maintainFromStream(idx, ctx, stream,
+      checkpoint = Some(s"$work/ckpt"), deleteCol = Some("is_delete"))
+    idx.transform(ctx, In.single("delta" -> q178Probes(spark)))("result")
+      .select("delta_id", "base_id")
+      .orderBy("delta_id", "base_id")
+  }
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q94_bloom_join", q94_bloom_join _, q94Sql),
     ("q95_pagerank", q95_pagerank _, q95Sql),
@@ -3161,5 +3252,7 @@ object Advanced {
     ("q175_mor_lakehouse_consistency", q175_mor_lakehouse_consistency _, q168Sql),
     ("q176_vacuum", q176_vacuum _, q176Sql),
     ("q177_image_neardup", q177_image_neardup _, q177Sql),
+    ("q178_image_index_day2", q178_image_index_day2 _, q178Sql),
+    ("q179_stream_image_maintenance", q179_stream_image_maintenance _, q178Sql),
   )
 }

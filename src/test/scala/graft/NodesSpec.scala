@@ -2595,6 +2595,59 @@ class NodesSpec extends AnyFunSuite {
     }
   }
 
+  test("DHashIndexNode: fit/update/delete/save-load/streamed maintenance lifecycle; " +
+       "bucket cap drops whole and rebuildIndex resurrects") {
+    import spark.implicits._
+    val c = Ctx(spark)
+    def ledger(rows: (Long, Long)*): DataFrame = rows.toDF("doc_id", "dhash")
+    def probe(idx: DHashIndexNode, rows: (Long, Long)*): Set[(Long, Long, Int)] =
+      idx.transform(c, In.single("delta" -> ledger(rows: _*)))("result")
+        .as[(Long, Long, Int)].collect().toSet
+    val idx = new DHashIndexNode(maxHamming = 3)
+    idx.fit(c, In.single("corpus" -> ledger(1L -> 0L, 3L -> -1L)))
+    assert(probe(idx, 10L -> 0L) == Set((10L, 1L, 0)))
+    idx.updateIndex(c, ledger(4L -> 3L)) // hamming(0, 3) = 2
+    assert(probe(idx, 10L -> 0L) == Set((10L, 1L, 0), (10L, 4L, 2)))
+    idx.deleteFromIndex(c, Seq(1L).toDF("doc_id"))
+    val postDelete = Set((10L, 4L, 2))
+    assert(probe(idx, 10L -> 0L) == postDelete)
+    // save/load round-trips index AND maintenance watermark
+    val dir = java.nio.file.Files.createTempDirectory("graft_dhidx_spec").toString
+    idx.saveFitted(s"$dir/idx")
+    val idx2 = new DHashIndexNode(maxHamming = 3)
+    idx2.loadFitted(s"$dir/idx", Some(spark))
+    assert(probe(idx2, 10L -> 0L) == postDelete)
+    // streamed maintenance (CDC mode) reaches the same state as the batch
+    // calls: upsert 4 replaced (same hash), upsert 1 re-admitted, delete 3
+    val streamed = new DHashIndexNode(maxHamming = 3)
+    streamed.fit(c, In.single("corpus" -> ledger(1L -> 0L, 3L -> -1L)))
+    Seq((4L, 3L, false), (1L, 0L, false), (3L, -1L, true))
+      .toDF("doc_id", "dhash", "is_delete")
+      .coalesce(1).write.parquet(s"$dir/cdc")
+    val ds = spark.readStream.schema("doc_id LONG, dhash LONG, is_delete BOOLEAN")
+      .parquet(s"$dir/cdc")
+    IndexMaintenance.maintainFromStream(streamed, c, ds,
+      deleteCol = Some("is_delete"))
+    assert(probe(streamed, 10L -> 0L) == Set((10L, 1L, 0), (10L, 4L, 2)))
+    assert(probe(streamed, 11L -> -1L).isEmpty, "deleted doc 3 must not serve")
+    // streaming delta at serve time is refused toward foreachBatch
+    val err = intercept[GraftException] {
+      streamed.transform(c, In.single("delta" ->
+        ds.drop("is_delete")))
+    }
+    assert(err.getMessage.contains("StreamServing"))
+    // bucket cap: two identical hashes under maxBucket=1 drop every bucket
+    // whole; deletion alone cannot resurrect, rebuildIndex can
+    val capped = new DHashIndexNode(maxHamming = 3, maxBucket = 1)
+    capped.fit(c, In.single("corpus" -> ledger(1L -> 7L, 2L -> 7L)))
+    assert(probe(capped, 10L -> 7L).isEmpty)
+    capped.deleteFromIndex(c, Seq(2L).toDF("doc_id"))
+    assert(probe(capped, 10L -> 7L).isEmpty, "dropped buckets stay dropped")
+    capped.rebuildIndex()
+    assert(probe(capped, 10L -> 7L) == Set((10L, 1L, 0)))
+    Seq(idx, idx2, streamed, capped).foreach(_.unpersistIndex())
+  }
+
   test("VacuumNode: removes dangling generations / manifest tmps / overlay tmps; " +
        "keeps committed+rollback gens and committed overlays; dryRun; idempotent") {
     import spark.implicits._

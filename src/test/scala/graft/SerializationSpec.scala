@@ -332,6 +332,13 @@ class SerializationSpec extends AnyFunSuite {
     val hn2 = d4.node(hn.name).asInstanceOf[HammingNearDupNode]
     assert(hn2.idCol == "doc" && hn2.hashCol == "ph" && hn2.maxHamming == 5 &&
       hn2.maxBucket == 77 && hn2.outA == "l" && hn2.outB == "r")
+    val di = d.add(new DHashIndexNode("img", "ph", maxHamming = 2,
+      maxBucket = 99, compactEvery = 3, compactPath = Some("/tmp/dhc")))
+    val d5 = DagJson.fromJson(DagJson.toJson(d))
+    val di2 = d5.node(di.name).asInstanceOf[DHashIndexNode]
+    assert(di2.idCol == "img" && di2.hashCol == "ph" && di2.maxHamming == 2 &&
+      di2.maxBucket == 99 && di2.compactEvery == 3 &&
+      di2.compactPath.contains("/tmp/dhc"))
   }
 
   test("round-trip covers quality kinds: heuristic/vocab/semdedup/domain-quota") {
