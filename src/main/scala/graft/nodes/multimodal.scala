@@ -506,8 +506,13 @@ class DHashIndexNode(
         s"dhash_index '$name': streaming delta refused — serve per micro-batch " +
           "through StreamServing.serveStream (the batch plan is delta-sized), " +
           "and maintain via IndexMaintenance.maintainFromStream")
-    val dch = HammingBands.chunkKeys(ledgerOf(delta, "delta_id"), maxHamming + 1)
-      .withColumnRenamed("__h", "__hd")
+    // BROADCAST the delta chunk keys against the persisted buckets — the
+    // corpus side never shuffles at serve time (the serving contract every
+    // index family pins; a sort-merge here would re-shuffle the corpus
+    // per probe batch)
+    val dch = org.apache.spark.sql.functions.broadcast(
+      HammingBands.chunkKeys(ledgerOf(delta, "delta_id"), maxHamming + 1)
+        .withColumnRenamed("__h", "__hd"))
     val pairs = dch.join(m.buckets, Seq("__c", "__v"))
       .filter(expr(s"bit_count(__hd ^ __h) <= $maxHamming"))
       .select(col("delta_id"), col("base_id"),

@@ -526,6 +526,23 @@ class PlanSpec extends AnyFunSuite {
     invB.unpersistIndex()
   }
 
+  test("dhash index serving: delta chunk keys BROADCAST against the persisted " +
+       "buckets — the corpus side never shuffles at serve time") {
+    val spark0 = spark
+    import spark0.implicits._
+    val ctx = Ctx(spark)
+    val idx = new DHashIndexNode(maxHamming = 3)
+    idx.fit(ctx, In.single("corpus" ->
+      (1L to 500L).map(i => (i, i * 37L)).toDF("doc_id", "dhash")))
+    val p = planOf(idx.transform(ctx, In.single("delta" ->
+      Seq((1000L, 37L)).toDF("doc_id", "dhash")))("result"))
+    assert(p.contains("BroadcastHashJoin"),
+      s"delta side must broadcast at serve:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"the bucket table must never re-shuffle per probe batch:\n$p")
+    idx.unpersistIndex()
+  }
+
   test("merge-on-read scan: base side anti-joins BROADCAST overlay keys — the base " +
        "is never shuffled per wave; only the overlay-sized window exchanges remain") {
     val spark0 = spark
