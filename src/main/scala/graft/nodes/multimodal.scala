@@ -782,6 +782,69 @@ object AudioChunkNode {
   }
 }
 
+/** Perceptual AUDIO fingerprint — the audio twin of [[ImageDHashNode]]:
+  * walk the real RIFF/WAVE container ([[AudioChunkNode.parseWav]] — PCM16
+  * mono), split the sample stream into 65 floor-bounded windows, take each
+  * window's absolute-amplitude energy, and set bit (63 - i) iff
+  * energy(i) < energy(i + 1) — a 64-bit energy-envelope gradient hash,
+  * robust to gain changes (comparisons are scale-free for uniform gain)
+  * and fully integer/deterministic. Null for non-WAV/null payloads.
+  * Compose with [[HammingNearDupNode]] for batch near-dup or
+  * [[DHashIndexNode]] (hashCol = the fingerprint) for the incremental
+  * index lifecycle — the banding layer is hash-agnostic. Narrow
+  * mapPartitions, zero shuffle.
+  */
+class AudioFingerprintNode(
+    val payloadCol: String = "payload",
+    val outCol: String = "afp")
+  extends Node {
+  override protected def defaultName: String = "audio_fingerprint"
+  val inputs = Seq(Port("df"))
+  val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("audio_fingerprint")
+  override def jsonParams: Map[String, Any] =
+    Map("payloadCol" -> payloadCol, "outCol" -> outCol)
+  override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
+    val df = in("df")
+    val outSchema = StructType(df.schema.fields :+
+      StructField(outCol, LongType, nullable = true))
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    val out = df.mapPartitions { rows =>
+      rows.map { row =>
+        val bytes = row.getAs[Array[Byte]](payloadIdx)
+        AudioChunkNode.parseWav(bytes) match {
+          case None => Row.fromSeq(row.toSeq :+ null)
+          case Some((_, dataOff, nSamples)) =>
+            val buf = java.nio.ByteBuffer.wrap(bytes)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            val energies = new Array[Long](65)
+            var w = 0
+            while (w < 65) {
+              val lo = w * nSamples / 65
+              val hi = (w + 1) * nSamples / 65
+              var sum = 0L
+              var i = lo
+              while (i < hi) {
+                sum += math.abs(buf.getShort(dataOff + 2 * i).toInt)
+                i += 1
+              }
+              energies(w) = sum
+              w += 1
+            }
+            var h = 0L
+            var i = 0
+            while (i < 64) {
+              if (energies(i) < energies(i + 1)) h |= 1L << (63 - i)
+              i += 1
+            }
+            Row.fromSeq(row.toSeq :+ h)
+        }
+      }
+    }(RowEncoder.encoderFor(outSchema))
+    Map("result" -> out.toDF())
+  }
+}
+
 /** Write each row's binary payload as ONE FILE under `dir`, named by
   * `nameExpr` — the media-export sink (eval-set image dumps, audio shards
   * for an external labeler). Uses the Hadoop FileSystem API so `dir` may be

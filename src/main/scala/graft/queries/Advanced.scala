@@ -3174,6 +3174,28 @@ object Advanced {
       .orderBy("delta_id", "base_id")
   }
 
+  // ---- q180: AUDIO near-dup via energy-envelope fingerprinting — the
+  // audio member of the perceptual near-dup family (image = q177): real
+  // RIFF/WAVE synthesis (SyntheticAudioNode, 650 PCM16 samples, 20 seed
+  // families at the *97 spread — chosen by integer-exact simulation so
+  // family fingerprints sit >= 5 bits apart; the NodesSpec precondition
+  // drill re-checks through the real container walk) →
+  // AudioFingerprintNode (RIFF chunk walk, 65 floor-bounded energy
+  // windows, 64-bit gradient hash) → the SAME hash-agnostic
+  // HammingNearDupNode banding as images. Family members are
+  // byte-identical WAVs (Hamming 0), so the pair set is q177's key
+  // arithmetic — one oracle, two modalities, one banding layer. ----
+  def q180_audio_neardup(spark: SparkSession, dir: String): DataFrame = {
+    Queries.run(spark) { d =>
+      d.add(SourceNode.table(dir, "documents")) >>
+        FilterNode("doc_id < 300") >> ProjectNode("doc_id") >>
+        new SyntheticAudioNode("650", "(doc_id % 20) * 97") >>
+        new AudioFingerprintNode() >>
+        new HammingNearDupNode("doc_id", "afp", maxHamming = 3) >>
+        SortNode("id_a", "id_b") >> d.output("result")
+    }
+  }
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q94_bloom_join", q94_bloom_join _, q94Sql),
     ("q95_pagerank", q95_pagerank _, q95Sql),
@@ -3254,5 +3276,6 @@ object Advanced {
     ("q177_image_neardup", q177_image_neardup _, q177Sql),
     ("q178_image_index_day2", q178_image_index_day2 _, q178Sql),
     ("q179_stream_image_maintenance", q179_stream_image_maintenance _, q178Sql),
+    ("q180_audio_neardup", q180_audio_neardup _, q177Sql),
   )
 }

@@ -2648,6 +2648,53 @@ class NodesSpec extends AnyFunSuite {
     Seq(idx, idx2, streamed, capped).foreach(_.unpersistIndex())
   }
 
+  test("AudioFingerprintNode: exact hashes on crafted envelopes (all-ones rising, " +
+       "zero flat); non-WAV null; q180 family separation precondition") {
+    import spark.implicits._
+    val c = Ctx(spark)
+    def wav(samples: Seq[Int]): Array[Byte] = {
+      val n = samples.size
+      val buf = java.nio.ByteBuffer.allocate(44 + n * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + n * 2)
+        .put("WAVE".getBytes("US-ASCII"))
+      buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1.toShort).putShort(1.toShort).putInt(1000).putInt(2000)
+        .putShort(2.toShort).putShort(16.toShort)
+      buf.put("data".getBytes("US-ASCII")).putInt(n * 2)
+      samples.foreach(s => buf.putShort(s.toShort))
+      buf.array()
+    }
+    // 650 samples / 65 windows = 10 per window; amplitude = window index
+    // * 100 -> energies strictly rise -> all 64 bits set; flat -> none
+    val rising = wav((0 until 650).map(i => (i / 10) * 100))
+    val flat = wav(Seq.fill(650)(500))
+    val df = Seq((1L, rising), (2L, flat), (3L, "not a wav".getBytes))
+      .toDF("id", "payload")
+    val fp = new AudioFingerprintNode().transform(c, In.single("df" -> df))("result")
+    val byId = fp.select("id", "afp").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(byId(1L).contains(-1L), s"rising envelope must be all-ones, got ${byId(1L)}")
+    assert(byId(2L).contains(0L), s"flat envelope must be zero, got ${byId(2L)}")
+    assert(byId(3L).isEmpty, "non-WAV must yield null")
+    // q180 oracle precondition at its exact parameterization: 20 family
+    // fingerprints pairwise farther than maxHamming=3, identical in-family
+    val fam = (0L until 40L).map(i => (i, ((i % 20) * 97).toInt)).toDF("doc_id", "seed")
+    val wavs = new SyntheticAudioNode("650", "seed")
+      .transform(c, In.single("df" -> fam))("result")
+    val hashes = new AudioFingerprintNode()
+      .transform(c, In.single("df" -> wavs))("result")
+      .select("doc_id", "afp").as[(Long, Long)].collect().toMap
+    (0L until 20L).foreach { s =>
+      assert(hashes(s) == hashes(s + 20L), s"family $s members must match")
+    }
+    val fams = (0L until 20L).map(hashes).toIndexedSeq
+    for (i <- 0 until 20; j <- i + 1 until 20) {
+      val d = java.lang.Long.bitCount(fams(i) ^ fams(j))
+      assert(d > 3, s"audio families $i/$j too close (hamming $d <= 3)")
+    }
+  }
+
   test("VacuumNode: removes dangling generations / manifest tmps / overlay tmps; " +
        "keeps committed+rollback gens and committed overlays; dryRun; idempotent") {
     import spark.implicits._

@@ -339,6 +339,10 @@ class SerializationSpec extends AnyFunSuite {
     assert(di2.idCol == "img" && di2.hashCol == "ph" && di2.maxHamming == 2 &&
       di2.maxBucket == 99 && di2.compactEvery == 3 &&
       di2.compactPath.contains("/tmp/dhc"))
+    val af = d.add(new AudioFingerprintNode("wav", "fp"))
+    val d6 = DagJson.fromJson(DagJson.toJson(d))
+    val af2 = d6.node(af.name).asInstanceOf[AudioFingerprintNode]
+    assert(af2.payloadCol == "wav" && af2.outCol == "fp")
   }
 
   test("round-trip covers quality kinds: heuristic/vocab/semdedup/domain-quota") {
