@@ -130,8 +130,8 @@ object Scale10 {
       // incremental image index: k-fold ledger/bucket unions + anti joins;
       // the streamed twin adds per-micro-batch fixed overhead
       "q178_image_index_day2", "q179_stream_image_maintenance",
-      // audio near-dup: bounded 300-doc batch by design — flat
-      "q180_audio_neardup")
+      // audio/video near-dup: bounded 300-doc batches by design — flat
+      "q180_audio_neardup", "q181_video_neardup")
     val names = if (queries.nonEmpty) queries else defaults
     names.foreach { n =>
       try time(n)(Queries.all(n)(spark, out).count())

@@ -51,6 +51,8 @@ object NodeRegistry {
       p.str("outA"), p.str("outB")))
     register("audio_fingerprint")(p =>
       new AudioFingerprintNode(p.str("payloadCol"), p.str("outCol")))
+    register("video_fingerprint")(p =>
+      new VideoFingerprintNode(p.str("payloadCol"), p.str("outCol")))
     register("dhash_index")(p => new DHashIndexNode(p.str("idCol"),
       p.str("hashCol"), p.int("maxHamming"), p.int("maxBucket"),
       p.int("compactEvery"), p.strOpt("compactPath")))

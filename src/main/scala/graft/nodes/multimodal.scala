@@ -845,6 +845,67 @@ class AudioFingerprintNode(
   }
 }
 
+/** Perceptual VIDEO fingerprint — completes the modality triple
+  * (image [[ImageDHashNode]], audio [[AudioFingerprintNode]]): walk the
+  * real RIFF/AVI container ([[FrameSampleNode.parseAvi]] — hdrl/movi
+  * lists, `##db`/`##dc` video chunks), concatenate the video-frame byte
+  * stream, split it into 65 floor-bounded windows, and emit the 64-bit
+  * energy-gradient hash over per-window unsigned-byte sums. Integer-exact
+  * and container-derived (audio chunks, JUNK, and indexes skip through the
+  * walk untouched); null for non-AVI/null payloads. Composes with the
+  * hash-agnostic [[HammingNearDupNode]] / [[DHashIndexNode]] banding
+  * layer. Narrow mapPartitions, zero shuffle.
+  */
+class VideoFingerprintNode(
+    val payloadCol: String = "payload",
+    val outCol: String = "vfp")
+  extends Node {
+  override protected def defaultName: String = "video_fingerprint"
+  val inputs = Seq(Port("df"))
+  val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("video_fingerprint")
+  override def jsonParams: Map[String, Any] =
+    Map("payloadCol" -> payloadCol, "outCol" -> outCol)
+  override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
+    val df = in("df")
+    val outSchema = StructType(df.schema.fields :+
+      StructField(outCol, LongType, nullable = true))
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    val out = df.mapPartitions { rows =>
+      rows.map { row =>
+        val bytes = row.getAs[Array[Byte]](payloadIdx)
+        FrameSampleNode.parseAvi(bytes) match {
+          case None => Row.fromSeq(row.toSeq :+ null)
+          case Some((_, frames)) =>
+            val total = frames.map(_._2.toLong).sum
+            if (total == 0L) Row.fromSeq(row.toSeq :+ null)
+            else {
+              // per-window sums over the CONCATENATED frame byte stream;
+              // walk frames once, bucketing each byte by its global index
+              val energies = new Array[Long](65)
+              var g = 0L
+              frames.foreach { case (off, sz) =>
+                var j = 0
+                while (j < sz) {
+                  energies(((g * 65) / total).toInt) += (bytes(off + j) & 0xFF)
+                  g += 1; j += 1
+                }
+              }
+              var h = 0L
+              var i = 0
+              while (i < 64) {
+                if (energies(i) < energies(i + 1)) h |= 1L << (63 - i)
+                i += 1
+              }
+              Row.fromSeq(row.toSeq :+ h)
+            }
+        }
+      }
+    }(RowEncoder.encoderFor(outSchema))
+    Map("result" -> out.toDF())
+  }
+}
+
 /** Write each row's binary payload as ONE FILE under `dir`, named by
   * `nameExpr` — the media-export sink (eval-set image dumps, audio shards
   * for an external labeler). Uses the Hadoop FileSystem API so `dir` may be

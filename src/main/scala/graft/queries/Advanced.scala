@@ -3196,6 +3196,27 @@ object Advanced {
     }
   }
 
+  // ---- q181: VIDEO near-dup — the third modality through the SAME
+  // hash-agnostic banding layer: real RIFF/AVI synthesis
+  // (SyntheticAviNode, 5 frames of 9x5, 20 seed families at the *83
+  // spread — integer-exact simulation puts family fingerprints >= 4 bits
+  // apart; NodesSpec re-checks through the real container walk AND pins
+  // the seed-0 fingerprint against the independently-computed reference
+  // value) → VideoFingerprintNode (hdrl/movi walk, concatenated
+  // frame-byte stream, 65 energy windows, gradient hash) →
+  // HammingNearDupNode at maxHamming = 2. Byte-identical family AVIs →
+  // q177's key arithmetic oracle: one oracle, three modalities. ----
+  def q181_video_neardup(spark: SparkSession, dir: String): DataFrame = {
+    Queries.run(spark) { d =>
+      d.add(SourceNode.table(dir, "documents")) >>
+        FilterNode("doc_id < 300") >> ProjectNode("doc_id") >>
+        new SyntheticAviNode("5", "9", "5", "(doc_id % 20) * 83") >>
+        new VideoFingerprintNode() >>
+        new HammingNearDupNode("doc_id", "vfp", maxHamming = 2) >>
+        SortNode("id_a", "id_b") >> d.output("result")
+    }
+  }
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q94_bloom_join", q94_bloom_join _, q94Sql),
     ("q95_pagerank", q95_pagerank _, q95Sql),
@@ -3277,5 +3298,6 @@ object Advanced {
     ("q178_image_index_day2", q178_image_index_day2 _, q178Sql),
     ("q179_stream_image_maintenance", q179_stream_image_maintenance _, q178Sql),
     ("q180_audio_neardup", q180_audio_neardup _, q177Sql),
+    ("q181_video_neardup", q181_video_neardup _, q177Sql),
   )
 }

@@ -2695,6 +2695,39 @@ class NodesSpec extends AnyFunSuite {
     }
   }
 
+  test("VideoFingerprintNode: seed-0 fingerprint matches the independent reference " +
+       "computation; non-AVI null; q181 family separation precondition") {
+    import spark.implicits._
+    val c = Ctx(spark)
+    val fam = (0L until 40L).map(i => (i, ((i % 20) * 83).toInt)).toDF("doc_id", "seed")
+    val avis = new SyntheticAviNode("5", "9", "5", "seed")
+      .transform(c, In.single("df" -> fam))("result")
+    val hashes = new VideoFingerprintNode()
+      .transform(c, In.single("df" -> avis))("result")
+      .select("doc_id", "vfp").as[(Long, Long)].collect().toMap
+    // the seed-0 / seed-83 values were computed by an INDEPENDENT
+    // implementation of the spec (integer sim over the frameByte formula +
+    // the g*65/total window mapping) — a container-walk or windowing
+    // divergence breaks this, not just relative ordering
+    assert(hashes(0L) == 0xcd9d9b5bb3b37366L,
+      f"seed-0 fingerprint diverged from reference: 0x${hashes(0L)}%016x")
+    assert(hashes(1L) == 0xcd9d9b5b37377766L,
+      f"seed-83 fingerprint diverged from reference: 0x${hashes(1L)}%016x")
+    (0L until 20L).foreach { s =>
+      assert(hashes(s) == hashes(s + 20L), s"family $s members must match")
+    }
+    val fams = (0L until 20L).map(hashes).toIndexedSeq
+    for (i <- 0 until 20; j <- i + 1 until 20) {
+      val d = java.lang.Long.bitCount(fams(i) ^ fams(j))
+      assert(d > 2, s"video families $i/$j too close (hamming $d <= 2)")
+    }
+    // non-AVI payloads yield null
+    val junk = Seq((1L, "not an avi".getBytes)).toDF("doc_id", "payload")
+    val nj = new VideoFingerprintNode()
+      .transform(c, In.single("df" -> junk))("result")
+    assert(nj.select("vfp").collect().head.isNullAt(0))
+  }
+
   test("VacuumNode: removes dangling generations / manifest tmps / overlay tmps; " +
        "keeps committed+rollback gens and committed overlays; dryRun; idempotent") {
     import spark.implicits._

@@ -340,9 +340,12 @@ class SerializationSpec extends AnyFunSuite {
       di2.maxBucket == 99 && di2.compactEvery == 3 &&
       di2.compactPath.contains("/tmp/dhc"))
     val af = d.add(new AudioFingerprintNode("wav", "fp"))
+    val vf = d.add(new VideoFingerprintNode("avi", "vp"))
     val d6 = DagJson.fromJson(DagJson.toJson(d))
     val af2 = d6.node(af.name).asInstanceOf[AudioFingerprintNode]
     assert(af2.payloadCol == "wav" && af2.outCol == "fp")
+    val vf2 = d6.node(vf.name).asInstanceOf[VideoFingerprintNode]
+    assert(vf2.payloadCol == "avi" && vf2.outCol == "vp")
   }
 
   test("round-trip covers quality kinds: heuristic/vocab/semdedup/domain-quota") {
