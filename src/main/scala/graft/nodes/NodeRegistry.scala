@@ -31,7 +31,8 @@ object NodeRegistry {
       p.strOpt("schemaDdl"),
       p.m.get("generation").flatMap(Option(_)).map(_.toString.toLong)))
     register("mor_source")(p =>
-      new MorSourceNode(p.str("path"), p.strs("keys"), p.str("format")))
+      new MorSourceNode(p.str("path"), p.strs("keys"), p.str("format"),
+        p.int("maxDeltas")))
     register("bucketed_sink")(p => new BucketedSinkNode(p.str("table"), p.strs("bucketCols"),
       p.int("nBuckets"), p.strs("sortCols"), p.str("format"), p.str("mode")))
     register("sink") { p =>

@@ -323,11 +323,24 @@ object MorCdc {
   }
 
   /** The resolved merge-on-read view: base ⊕ committed overlays. Lazy —
-    * this is a plan, not a materialization; MorSourceNode wraps it. */
+    * this is a plan, not a materialization; MorSourceNode wraps it.
+    *
+    * `maxDeltas` is the broadcast-safety guard: the read plan broadcasts
+    * the overlay keys and unions one frame per overlay, which is only the
+    * right plan while outstanding overlays stay delta-sized — a root left
+    * uncompacted for hundreds of waves would quietly degrade into a
+    * broadcast-OOM risk and an N-deep union. The read fails LOUDLY past
+    * the bound instead (compact, or raise the bound deliberately). */
   def read(spark: SparkSession, root: String, keys: Seq[String],
-           format: String = "parquet"): DataFrame = {
+           format: String = "parquet", maxDeltas: Int = 64): DataFrame = {
     val base = spark.read.format(format).load(AtomicPublish.resolve(spark, root))
     val deltas = AtomicPublish.listDeltas(spark, root)
+    if (deltas.size > maxDeltas)
+      throw new GraftException(
+        s"MorCdc.read: ${deltas.size} outstanding overlays at $root exceed " +
+          s"maxDeltas = $maxDeltas — the broadcast/union read plan degrades " +
+          "past delta-sized overlays. Run MorCdc.compact (or applyStream " +
+          "with compactEvery > 0), or raise maxDeltas deliberately")
     if (deltas.isEmpty) base
     else {
       val overlay = deltas.map { case (id, path) =>
@@ -425,7 +438,8 @@ object MorCdc {
   * live view. The MoR-aware counterpart of SourceNode — which, on the same
   * root, reads the consistent-but-stale base snapshot only. */
 class MorSourceNode(val path: String, val keys: Seq[String],
-                    val format: String = "parquet") extends Node {
+                    val format: String = "parquet",
+                    val maxDeltas: Int = 64) extends Node {
   require(keys.nonEmpty, "mor_source: keys must be non-empty")
   override protected def defaultName: String = "mor_source"
   override def persistableOutput: Boolean = false // scan — never cache raw
@@ -433,9 +447,9 @@ class MorSourceNode(val path: String, val keys: Seq[String],
   val outputs = Seq(graft.dag.Port("result"))
   override def jsonKind: Option[String] = Some("mor_source")
   override def jsonParams: Map[String, Any] =
-    Map("path" -> path, "keys" -> keys, "format" -> format)
+    Map("path" -> path, "keys" -> keys, "format" -> format, "maxDeltas" -> maxDeltas)
   override def transform(ctx: Ctx, in: In): Map[String, DataFrame] =
-    Map("result" -> MorCdc.read(ctx.spark, path, keys, format))
+    Map("result" -> MorCdc.read(ctx.spark, path, keys, format, maxDeltas))
 }
 
 object IndexMaintenance {

@@ -3217,6 +3217,39 @@ object Advanced {
     }
   }
 
+  // ---- q182: MULTIMODAL consensus dedup — the capstone over the modality
+  // triple: a document carries an image, an audio clip, AND a video (all
+  // family-synthesized at their q177/q180/q181 parameterizations); a pair
+  // is a consensus near-dup only if ALL THREE perceptual channels agree
+  // (pairwise joins of the three banded pair sets) — the
+  // cross-modal-agreement gate a real multimedia corpus runs to suppress
+  // single-channel hash coincidences. Families align across modalities
+  // (same doc_id % 20), so consensus equals each single channel's pair
+  // set == the shared arithmetic oracle; a divergence in ANY channel
+  // (or in the intersection plumbing) changes the output. ----
+  def q182_multimodal_consensus(spark: SparkSession, dir: String): DataFrame = {
+    val ctx = Ctx(spark)
+    val docs = Queries.run(spark) { d =>
+      d.add(SourceNode.table(dir, "documents")) >>
+        FilterNode("doc_id < 300") >> ProjectNode("doc_id") >> d.output("result")
+    }
+    def channel(syn: graft.dag.Node, fp: graft.dag.Node, hashCol: String,
+                mh: Int): DataFrame = {
+      val withPayload = syn.transform(ctx, In.single("df" -> docs))("result")
+      val hashed = fp.transform(ctx, In.single("df" -> withPayload))("result")
+      new HammingNearDupNode("doc_id", hashCol, maxHamming = mh)
+        .transform(ctx, In.single("df" -> hashed))("result")
+    }
+    val img = channel(new SyntheticImageNode("48", "32", "(doc_id % 20) * 13"),
+      new ImageDHashNode(), "dhash", 3)
+    val aud = channel(new SyntheticAudioNode("650", "(doc_id % 20) * 97"),
+      new AudioFingerprintNode(), "afp", 3)
+    val vid = channel(new SyntheticAviNode("5", "9", "5", "(doc_id % 20) * 83"),
+      new VideoFingerprintNode(), "vfp", 2)
+    img.join(aud, Seq("id_a", "id_b")).join(vid, Seq("id_a", "id_b"))
+      .orderBy("id_a", "id_b")
+  }
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q94_bloom_join", q94_bloom_join _, q94Sql),
     ("q95_pagerank", q95_pagerank _, q95Sql),
@@ -3299,5 +3332,6 @@ object Advanced {
     ("q179_stream_image_maintenance", q179_stream_image_maintenance _, q178Sql),
     ("q180_audio_neardup", q180_audio_neardup _, q177Sql),
     ("q181_video_neardup", q181_video_neardup _, q177Sql),
+    ("q182_multimodal_consensus", q182_multimodal_consensus _, q177Sql),
   )
 }

@@ -2525,6 +2525,13 @@ class NodesSpec extends AnyFunSuite {
     assert(live() == expect)
     assert(AtomicPublish.currentGen(spark, root).contains(2L))
     assert(AtomicPublish.listDeltas(spark, root).map(_._1) == Seq(2L))
+    // broadcast-safety guard: a read over more overlays than maxDeltas
+    // fails loudly toward compaction instead of degrading quietly
+    val guard = intercept[GraftException] {
+      new MorSourceNode(root, keys = Seq("id"), maxDeltas = 0)
+        .transform(c, In.empty)
+    }
+    assert(guard.getMessage.contains("compact"))
   }
 
   test("ImageDHashNode: gradient hash fully specified (all-ones on a strict x-gradient, " +
