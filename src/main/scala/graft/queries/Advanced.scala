@@ -3250,6 +3250,45 @@ object Advanced {
       .orderBy("id_a", "id_b")
   }
 
+  // ---- q183: STREAMED image-index serving — the serving twin of q179's
+  // maintenance (the q152 pattern on the hash index): probes arrive as a
+  // two-micro-batch STREAM and the index's BATCH plan (broadcast delta
+  // chunk keys, banded join, bit_count) runs unchanged per micro-batch
+  // via StreamServing.serveStream, landing idempotent batch-N dirs. The
+  // day-2 index (fit base + updateIndex delta, no takedowns) must serve
+  // every within-family pair across both batches — a lost or double-
+  // served micro-batch changes the pair multiset and breaks the hash
+  // against the key-arithmetic oracle. ----
+  def q183_stream_image_serving(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Queries.run(spark) { d =>
+      d.add(SourceNode.table(dir, "documents")) >>
+        FilterNode("doc_id < 300") >> ProjectNode("doc_id") >> d.output("result")
+    }
+    val ctx = Ctx(spark)
+    val hashed = imageFamilyHashes(spark, docs, "(doc_id % 20) * 13")
+    val idx = new DHashIndexNode(maxHamming = 3)
+    idx.fit(ctx, In.single("corpus" -> hashed.filter("doc_id % 5 != 0")))
+    idx.updateIndex(ctx, hashed.filter("doc_id % 5 = 0"))
+    val work = java.nio.file.Files.createTempDirectory("graft_q183_")
+    work.toFile.deleteOnExit()
+    q178Probes(spark).select("doc_id", "dhash").repartition(2)
+      .write.mode("overwrite").parquet(s"$work/probes")
+    val stream = Queries.run(spark) { d =>
+      d.add(new StreamSourceNode(s"$work/probes", "parquet",
+        options = Map("maxFilesPerTrigger" -> "1"))) >> d.output("result")
+    }
+    StreamServing.serveStream(ctx, stream, s"$work/served",
+      batch => idx.transform(ctx, In.single("delta" -> batch))("result"))
+    spark.read.parquet(s"$work/served/batch-*")
+      .select("delta_id", "base_id")
+      .orderBy("delta_id", "base_id")
+  }
+  val q183Sql: String =
+    """SELECT 100000 + p.f AS delta_id, d.doc_id AS base_id
+      |FROM (SELECT unnest(range(0, 20)) AS f) p
+      |JOIN documents d ON d.doc_id < 300 AND d.doc_id % 20 = p.f
+      |ORDER BY delta_id, base_id""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q94_bloom_join", q94_bloom_join _, q94Sql),
     ("q95_pagerank", q95_pagerank _, q95Sql),
@@ -3333,5 +3372,6 @@ object Advanced {
     ("q180_audio_neardup", q180_audio_neardup _, q177Sql),
     ("q181_video_neardup", q181_video_neardup _, q177Sql),
     ("q182_multimodal_consensus", q182_multimodal_consensus _, q177Sql),
+    ("q183_stream_image_serving", q183_stream_image_serving _, q183Sql),
   )
 }
