@@ -334,4 +334,38 @@ class PropertySpec extends AnyFunSuite {
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), p)
     assert(res.passed, res.status.toString)
   }
+
+  test("hamming banding equals the brute-force pair oracle on random 64-bit hash " +
+    "sets at random budgets (pigeonhole recall is exact, no cap in play)") {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    import graft.nodes.HammingNearDupNode
+    // random hash sets built from a few cluster centers plus random bit
+    // flips (so near pairs actually occur), random maxHamming budgets —
+    // the banded pair set must equal the O(n^2) oracle exactly
+    val genCase = for {
+      nCenters <- Gen.choose(1, 4)
+      centers <- Gen.listOfN(nCenters, Gen.long)
+      n <- Gen.choose(2, 24)
+      rows <- Gen.listOfN(n, for {
+        c <- Gen.choose(0, nCenters - 1)
+        nFlips <- Gen.choose(0, 6)
+        flips <- Gen.listOfN(nFlips, Gen.choose(0, 63))
+      } yield flips.foldLeft(centers(c))((h, b) => h ^ (1L << b)))
+      mh <- Gen.choose(0, 8)
+    } yield (rows, mh)
+    val p = Prop.forAll(genCase) { case (hashes, mh) =>
+      val ids = hashes.zipWithIndex.map { case (h, i) => (i.toLong, h) }
+      val expect = (for {
+        a <- ids; b <- ids
+        if a._1 < b._1 && java.lang.Long.bitCount(a._2 ^ b._2) <= mh
+      } yield (a._1, b._1)).toSet
+      val got = new HammingNearDupNode("id", "h", maxHamming = mh)
+        .transform(Ctx(spark), In.single("df" -> ids.toDF("id", "h")))("result")
+        .as[(Long, Long)].collect().toSet
+      got == expect
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(25), p)
+    assert(res.passed, res.status.toString)
+  }
 }
