@@ -2808,6 +2808,24 @@ class NodesSpec extends AnyFunSuite {
       pruneLos = Seq(Some("5000")), pruneHis = Seq(None))
       .transform(c, In.empty)("result")
     assert(none.count() == 0 && none.columns.toSeq == Seq("id", "v"))
+    // TIMESTAMP-typed stats: string bounds cast against the stats column
+    // type (never string-compared — '2024-02-01' > '2024-10-1' as strings)
+    val tsRoot = s"$work/ts_ds"
+    val tsRows = (0 until 200).map { i =>
+      (i.toLong, java.sql.Timestamp.valueOf(f"2024-${1 + i / 20}%02d-01 00:00:00"))
+    }.toDF("id", "ts")
+    runOne { d =>
+      d.add(srcNode(tsRows)) >> new RepartitionNode(10, Seq("ts"), range = true) >>
+        new SinkNode(tsRoot, atomicPublish = true, statsColumns = Seq("ts")) >>
+        d.output("result")
+    }
+    val tsPruned = new StatsPrunedSourceNode(tsRoot, pruneCols = Seq("ts"),
+      pruneLos = Seq(Some("2024-03-01 00:00:00")),
+      pruneHis = Seq(Some("2024-04-30 00:00:00")))
+      .transform(c, In.empty)("result")
+    assert(tsPruned.count() == 40L) // months 3 and 4, 20 rows each
+    assert(tsPruned.inputFiles.length <= 3,
+      s"timestamp range must prune files, opened ${tsPruned.inputFiles.length} of 10")
     // loud refusal on a dataset published without stats
     val bare = s"$work/bare"
     new SinkNode(bare, atomicPublish = true).transform(c, In.single("df" -> rows))
