@@ -480,6 +480,18 @@ class StatsPrunedSourceNode(val path: String,
       throw new graft.dag.GraftException(
         s"stats_pruned_source '$name': no _filestats under $gen — publish with " +
           "SinkNode(atomicPublish = true, statsColumns = ...) first")
+    // a merge-on-read root with OUTSTANDING overlays cannot be served from
+    // base stats alone — the overlays carry newer/deleted rows the stats
+    // know nothing about; silently reading the stale base would be a
+    // correctness trap. Compact first (the fold re-publishes stats-free;
+    // re-publish with statsColumns), or read through MorSourceNode.
+    val outstanding = AtomicPublish.listDeltas(spark, path)
+    if (outstanding.nonEmpty)
+      throw new graft.dag.GraftException(
+        s"stats_pruned_source '$name': ${outstanding.size} outstanding " +
+          s"merge-on-read overlays at $path — a stats-pruned read would serve " +
+          "the STALE base. Compact (MorCdc.compact) and re-publish with " +
+          "statsColumns, or read the live view via MorSourceNode")
     val stats = spark.read.parquet(statsPath.toString)
     def bound(c: String, side: String): org.apache.spark.sql.Column = {
       val sc = s"${side}_$c"

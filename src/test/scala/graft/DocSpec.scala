@@ -162,7 +162,14 @@ class DocSpec extends AnyFunSuite {
       new SinkNode(root, atomicPublish = true, statsColumns = Seq("doc_id")) >>
       p.output("published")
     p.transform(Ctx(spark), Map("docs" -> docs))
-    // 2. merge-on-read CDC: one wave (an upsert + a tombstone) commits as
+    // 2. data-skipping scan opens only the files intersecting the range
+    //    (run BEFORE the CDC wave — outstanding overlays refuse the
+    //    stats-pruned read, since the stats describe the base only)
+    val pruned = new StatsPrunedSourceNode(root, pruneCols = Seq("doc_id"),
+      pruneLos = Seq(Some("30")), pruneHis = Seq(Some("40")))
+      .transform(Ctx(spark), In.empty)("result")
+    assert(pruned.inputFiles.length < 4 && pruned.count() == 11L)
+    // 3. merge-on-read CDC: one wave (an upsert + a tombstone) commits as
     //    an O(delta) overlay — the base generation is untouched
     val cdc = Seq((1L, "doc number 1 v2", false), (2L, "", true))
       .toDF("doc_id", "text", "is_delete")
@@ -171,18 +178,13 @@ class DocSpec extends AnyFunSuite {
     MorCdc.applyStream(Ctx(spark), root, cdcStream,
       new MergeNode(keys = Seq("doc_id"), deleteCol = Some("is_delete")),
       compactEvery = 8, checkpoint = Some(s"$tmp/ckpt"))
-    // 3. the live view: upsert visible, tombstone gone; plain SourceNode
+    // 4. the live view: upsert visible, tombstone gone; plain SourceNode
     //    still reads the consistent-but-stale base
     val live = new MorSourceNode(root, keys = Seq("doc_id"))
       .transform(Ctx(spark), In.empty)("result")
     assert(live.count() == 99L)
     assert(live.filter("doc_id = 1").select("text").as[String].head() == "doc number 1 v2")
     assert(new SourceNode(root).transform(Ctx(spark), In.empty)("result").count() == 100L)
-    // 4. data-skipping scan opens only the files intersecting the range
-    val pruned = new StatsPrunedSourceNode(root, pruneCols = Seq("doc_id"),
-      pruneLos = Seq(Some("30")), pruneHis = Seq(Some("40")))
-      .transform(Ctx(spark), In.empty)("result")
-    assert(pruned.inputFiles.length < 4 && pruned.count() == 11L)
   }
 
   test("README takedown example runs") {

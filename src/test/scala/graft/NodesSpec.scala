@@ -2834,6 +2834,16 @@ class NodesSpec extends AnyFunSuite {
         pruneLos = Seq(Some("1")), pruneHis = Seq(None)).transform(c, In.empty)
     }
     assert(err.getMessage.contains("_filestats"))
+    // loud refusal when outstanding MoR overlays would make the pruned
+    // read serve the stale base
+    AtomicPublish.publishDelta(spark, root, 1L, { t =>
+      Seq((5L, "upd", false)).toDF("id", "v", MorCdc.DeletedCol).write.parquet(t)
+    })
+    val morErr = intercept[GraftException] {
+      new StatsPrunedSourceNode(root, pruneCols = Seq("id"),
+        pruneLos = Seq(Some("1")), pruneHis = Seq(None)).transform(c, In.empty)
+    }
+    assert(morErr.getMessage.contains("MorSourceNode"))
   }
 
   test("MorCdc.normalizeBatch: upsert outranks tombstone within a batch; last_wins " +
