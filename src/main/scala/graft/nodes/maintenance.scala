@@ -378,7 +378,10 @@ object MorCdc {
     * [[CdcApply.applyStream]]; `compactEvery` bounds outstanding overlays
     * (fold into a full generation once that many have accumulated).
     * `compactEvery = 0` never auto-compacts (call [[compact]] on a
-    * maintenance cadence instead). */
+    * maintenance cadence instead). `numericProfiles` mirrors CdcApply:
+    * each COMPACTED generation stamps a `_numprofile/` histogram from the
+    * just-written fold (overlay commits stay O(delta) — profiling every
+    * overlay would re-read the base per wave, exactly what MoR avoids). */
   def applyStream(
       ctx: Ctx,
       root: String,
@@ -388,7 +391,8 @@ object MorCdc {
       checkpoint: Option[String] = None,
       trigger: Trigger = Trigger.AvailableNow(),
       await: Boolean = true,
-      format: String = "parquet"): StreamingQuery = {
+      format: String = "parquet",
+      numericProfiles: Seq[NumericProfileNode.Spec] = Nil): StreamingQuery = {
     if (!updates.isStreaming)
       throw new GraftException(
         "MorCdc.applyStream needs a streaming updates frame — for a batch delta commit one overlay via AtomicPublish.publishDelta")
@@ -405,7 +409,7 @@ object MorCdc {
           })
           if (compactEvery > 0 &&
               AtomicPublish.listDeltas(spark, root).size >= compactEvery)
-            compact(ctx, root, merge.keys, batchId, format)
+            compact(ctx, root, merge.keys, batchId, format, numericProfiles)
           last = batchId
         }
       }
@@ -421,7 +425,8 @@ object MorCdc {
     * replay guard survives the fold, overlays retired with the superseded
     * generation (kept as rollback). */
   def compact(ctx: Ctx, root: String, keys: Seq[String],
-              throughBatch: Long, format: String = "parquet"): Long = {
+              throughBatch: Long, format: String = "parquet",
+              numericProfiles: Seq[NumericProfileNode.Spec] = Nil): Long = {
     val spark = ctx.spark
     import spark.implicits._
     val resolved = read(spark, root, keys, format)
@@ -429,6 +434,13 @@ object MorCdc {
       resolved.write.format(format).save(target)
       Seq(throughBatch).toDF("batch_id").coalesce(1)
         .write.parquet(s"$target/_cdc")
+      // profile the just-written fold (one scan of the new generation),
+      // the CdcApply convention — commits with the manifest swap
+      if (numericProfiles.nonEmpty)
+        new NumericProfileNode(numericProfiles)
+          .transform(ctx, In.single("df" ->
+            spark.read.format(format).load(target)))("result")
+          .coalesce(1).write.mode("overwrite").parquet(s"$target/_numprofile")
     })
   }
 }

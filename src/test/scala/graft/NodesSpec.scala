@@ -2846,6 +2846,36 @@ class NodesSpec extends AnyFunSuite {
     assert(morErr.getMessage.contains("MorSourceNode"))
   }
 
+  test("MorCdc on a hive-PARTITIONED base: overlays resolve with the partition " +
+       "column intact; compaction stamps numeric profiles") {
+    import spark.implicits._
+    val c = Ctx(spark)
+    val work = java.nio.file.Files.createTempDirectory("graft_mor_part").toString
+    val root = s"$work/ds"
+    val base = (1L to 60L).map(i => (i, s"v$i", s"g${i % 3}")).toDF("id", "v", "grp")
+    new SinkNode(root, atomicPublish = true, partitionBy = Seq("grp"))
+      .transform(c, In.single("df" -> base))
+    // overlay: upsert id 1 into a different partition value, delete id 2
+    AtomicPublish.publishDelta(spark, root, 0L, { t =>
+      Seq((1L, "v1x", "g9", false), (2L, "v2", "g2", true))
+        .toDF("id", "v", "grp", MorCdc.DeletedCol).write.parquet(t)
+    })
+    val live = MorCdc.read(spark, root, Seq("id"))
+      .select("id", "v", "grp").as[(Long, String, String)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(live.size == 59)
+    assert(live(1L) == (("v1x", "g9")), "overlay wins incl. partition column")
+    assert(!live.contains(2L), "tombstone must drop the partitioned base row")
+    assert(live(3L) == (("v3", "g0")), "untouched base rows keep partition values")
+    // compaction folds the partitioned base + overlay and stamps profiles
+    MorCdc.compact(c, root, Seq("id"), 0L,
+      numericProfiles = Seq(NumericProfileNode.Spec("id", 0.0, 64.0, 8)))
+    val gen = AtomicPublish.currentGen(spark, root).get
+    val prof = spark.read.parquet(s"$root/gen-$gen/_numprofile")
+    assert(prof.selectExpr("cast(sum(n) as long)").collect().head.getLong(0) == 59L)
+    assert(MorCdc.read(spark, root, Seq("id")).count() == 59L)
+  }
+
   test("MorCdc.normalizeBatch: upsert outranks tombstone within a batch; last_wins " +
        "recency; duplicate non-tombstone keys fail loudly under error policy") {
     import spark.implicits._
