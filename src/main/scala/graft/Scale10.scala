@@ -132,7 +132,8 @@ object Scale10 {
       "q178_image_index_day2", "q179_stream_image_maintenance",
       // audio/video near-dup: bounded 300-doc batches by design — flat
       "q180_audio_neardup", "q181_video_neardup",
-      "q182_multimodal_consensus", "q183_stream_image_serving")
+      "q182_multimodal_consensus", "q183_stream_image_serving",
+      "q184_simhash_index_day2")
     val names = if (queries.nonEmpty) queries else defaults
     names.foreach { n =>
       try time(n)(Queries.all(n)(spark, out).count())

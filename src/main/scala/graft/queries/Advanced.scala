@@ -3289,6 +3289,40 @@ object Advanced {
       |JOIN documents d ON d.doc_id < 300 AND d.doc_id % 20 = p.f
       |ORDER BY delta_id, base_id""".stripMargin
 
+  // ---- q184: TEXT through the unified hash index — the fourth content
+  // type on DHashIndexNode (image dhash q178, audio afp, video vfp, now
+  // text simhash64): q167's hard-collision family texts (byte-identical
+  // within a family → identical simhash; families use disjoint token
+  // vocabularies → NodesSpec pins pairwise simhash distance > maxHamming)
+  // drive the SAME fit → day-2 update → takedown → fresh-probe lifecycle
+  // against q178's key-arithmetic oracle. One incremental index, four
+  // modalities, one contract. ----
+  private def simhashFamilies(spark: SparkSession, ids: DataFrame,
+                              famExpr: String): DataFrame = {
+    graft.functions.VecFunctions.register(spark)
+    ids.selectExpr("doc_id", s"${q167FamText(famExpr)} as text")
+      .selectExpr("doc_id",
+        "simhash64(split(lower(trim(text)), '\\\\s+')) as sh")
+  }
+
+  def q184_simhash_index_day2(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Queries.run(spark) { d =>
+      d.add(SourceNode.table(dir, "documents")) >>
+        FilterNode("doc_id < 300") >> ProjectNode("doc_id") >> d.output("result")
+    }
+    val ctx = Ctx(spark)
+    val hashed = simhashFamilies(spark, docs, "doc_id % 20")
+    val idx = new DHashIndexNode(idCol = "doc_id", hashCol = "sh", maxHamming = 3)
+    idx.fit(ctx, In.single("corpus" -> hashed.filter("doc_id % 5 != 0")))
+    idx.updateIndex(ctx, hashed.filter("doc_id % 5 = 0"))
+    idx.deleteFromIndex(ctx, docs.filter("doc_id % 7 = 0").select("doc_id"))
+    val probes = simhashFamilies(spark,
+      spark.range(20).selectExpr("100000 + id as doc_id"), "(doc_id - 100000)")
+    idx.transform(ctx, In.single("delta" -> probes))("result")
+      .select("delta_id", "base_id")
+      .orderBy("delta_id", "base_id")
+  }
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q94_bloom_join", q94_bloom_join _, q94Sql),
     ("q95_pagerank", q95_pagerank _, q95Sql),
@@ -3373,5 +3407,6 @@ object Advanced {
     ("q181_video_neardup", q181_video_neardup _, q177Sql),
     ("q182_multimodal_consensus", q182_multimodal_consensus _, q177Sql),
     ("q183_stream_image_serving", q183_stream_image_serving _, q183Sql),
+    ("q184_simhash_index_day2", q184_simhash_index_day2 _, q178Sql),
   )
 }

@@ -2735,6 +2735,27 @@ class NodesSpec extends AnyFunSuite {
     assert(nj.select("vfp").collect().head.isNullAt(0))
   }
 
+  test("q184 oracle precondition: the 20 simhash family hashes are pairwise farther " +
+       "than maxHamming=3 and identical within a family") {
+    import spark.implicits._
+    graft.functions.VecFunctions.register(spark)
+    val fams = (0 until 20).map { f =>
+      val text = (1 to 30).map(i => s"f${f}_t$i").mkString(" ")
+      spark.sql(s"SELECT simhash64(split('$text', ' ')) AS sh")
+        .collect().head.getLong(0)
+    }
+    for (i <- 0 until 20; j <- i + 1 until 20) {
+      val d = java.lang.Long.bitCount(fams(i) ^ fams(j))
+      assert(d > 3, s"simhash families $i/$j too close (hamming $d <= 3)")
+    }
+    // determinism within a family is structural (identical text), but pin
+    // the kernel anyway: recomputing yields the same value
+    val again = spark.sql(
+      s"SELECT simhash64(split('${(1 to 30).map(i => s"f0_t$i").mkString(" ")}', ' ')) AS sh")
+      .collect().head.getLong(0)
+    assert(again == fams(0))
+  }
+
   test("VacuumNode: removes dangling generations / manifest tmps / overlay tmps; " +
        "keeps committed+rollback gens and committed overlays; dryRun; idempotent") {
     import spark.implicits._
