@@ -30,7 +30,11 @@ class DeterminismSpec extends AnyFunSuite {
     "q126_lm_classifier",
     // round-10: span keeper choice (min-doc canonical), quality-argmax
     // survivor (n_chars desc, id asc tie-break)
-    "q137_span_dedup", "q140_best_survivor")
+    "q137_span_dedup", "q140_best_survivor",
+    // round-12: perceptual hashing must be bit-identical under any
+    // parallelism (integer codecs + banded joins, no float voting) — the
+    // three-channel consensus breaks if ANY channel wobbles
+    "q177_image_neardup", "q182_multimodal_consensus")
 
   test("contract queries are invariant to shuffle parallelism") {
     val conf = "spark.sql.shuffle.partitions"
