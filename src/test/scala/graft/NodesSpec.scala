@@ -2867,6 +2867,38 @@ class NodesSpec extends AnyFunSuite {
     assert(morErr.getMessage.contains("MorSourceNode"))
   }
 
+  test("Z-order layout + two-column file stats: a 2-D range prunes files on BOTH " +
+       "dimensions (the claim the ZOrderNode doc makes, now closed end-to-end)") {
+    import spark.implicits._
+    val c = Ctx(spark)
+    val work = java.nio.file.Files.createTempDirectory("graft_zstats_spec").toString
+    val root = s"$work/ds"
+    // 32x32 grid of (x, y) points; morton clustering puts 2-D neighborhoods
+    // into the same files, so min/max stats on x AND y are BOTH selective
+    val grid = (for (x <- 0L until 32L; y <- 0L until 32L) yield (x, y, x * 32 + y))
+      .toDF("x", "y", "payload")
+    runOne { d =>
+      d.add(srcNode(grid)) >>
+        new ZOrderNode("x", "y", partitions = Some(16), keepKey = false) >>
+        new SinkNode(root, atomicPublish = true, statsColumns = Seq("x", "y")) >>
+        d.output("result")
+    }
+    val pruned = new StatsPrunedSourceNode(root,
+      pruneCols = Seq("x", "y"),
+      pruneLos = Seq(Some("4"), Some("4")),
+      pruneHis = Seq(Some("7"), Some("7")))
+      .transform(c, In.empty)("result")
+    // a 4x4 box (16 of 1024 points) in a morton layout sits in O(1) files
+    assert(pruned.count() == 16L)
+    assert(pruned.inputFiles.length <= 4,
+      s"2-D box over a z-order layout must touch few files, " +
+        s"opened ${pruned.inputFiles.length} of 16")
+    // content equality with the declarative filter
+    assert(pruned.selectExpr("x", "y", "payload").as[(Long, Long, Long)].collect().toSet ==
+      grid.filter("x between 4 and 7 and y between 4 and 7")
+        .as[(Long, Long, Long)].collect().toSet)
+  }
+
   test("MorCdc on a hive-PARTITIONED base: overlays resolve with the partition " +
        "column intact; compaction stamps numeric profiles") {
     import spark.implicits._
