@@ -49,6 +49,18 @@ object Bench {
         .selectExpr("vec_dot(v, v)").count()
       org.apache.commons.io.FileUtils.deleteQuietly(wdir.toFile)
     } catch { case _: Throwable => } // warmup is best-effort
+    // iterative-CC warmup: q52/q156/q157-class queries pay a first-touch
+    // localCheckpoint + many-tiny-jobs storm (block-manager checkpoint
+    // blocks, per-round scheduling) that the driver's cold map showed
+    // landing on the first CC query (up to tens of seconds driver-side).
+    // One 3-component toy graph initializes all of it, untimed.
+    try {
+      val cc = spark.range(12)
+        .selectExpr("id as id_a", "id + (id % 4) + 1 as id_b")
+      new graft.nodes.ConnectedComponentsNode("id_a", "id_b")
+        .transform(graft.dag.Ctx(spark),
+          graft.dag.In.single("pairs" -> cc))("result").count()
+    } catch { case _: Throwable => } // warmup is best-effort
     // streaming warmup: state-store + micro-batch machinery init is ~1-2 s of
     // one-time cost that otherwise lands on the first timed stream query;
     // skipped when the filtered set times no streaming query, temp dir removed
@@ -63,6 +75,23 @@ object Bench {
         .outputMode("complete")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
       q.awaitTermination(30000); if (q.isActive) q.stop()
+      // stream-STREAM join + watermark state warmup: q63/q144-class queries
+      // additionally pay symmetric-hash-join state store init (two keyed
+      // state stores + watermark bookkeeping) the aggregate warmup above
+      // does not touch — the driver cold map pinned q63 at 62 s cold vs
+      // 3.2 s kept. Tiny two-sided join over the same 8-row dir, untimed.
+      import org.apache.spark.sql.functions.{col, expr}
+      val ts = expr("timestamp_seconds(1700000000 + id)")
+      def side(tag: String) = spark.readStream.schema("id BIGINT, k BIGINT")
+        .parquet(wdir.toString)
+        .withColumn(s"t_$tag", ts).withWatermark(s"t_$tag", "1 minute")
+        .select(col("k").as(s"k_$tag"), col(s"t_$tag"))
+      val j = side("l").join(side("r"),
+        expr("k_l = k_r AND t_r BETWEEN t_l - INTERVAL 1 MINUTE AND t_l + INTERVAL 1 MINUTE"))
+      val q2 = j.writeStream.format("memory").queryName("warm_ssjoin")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q2.awaitTermination(30000); if (q2.isActive) q2.stop()
       org.apache.commons.io.FileUtils.deleteQuietly(wdir.toFile)
     } catch { case _: Throwable => } // warmup is best-effort
     val errors = scala.collection.mutable.ArrayBuffer[String]()
@@ -134,28 +163,52 @@ object Bench {
       else s
     }
     val shortKey = "^(q\\d+).*$".r
-    val qs = results.map { case (k, v) =>
-      val key = k match { case shortKey(p) => p; case _ => k }
-      "\"" + key + "\":" + (if (v < 0) "-1" else num(v))
-    }.mkString("{", ",", "}")
+    def short(k: String): String = k match { case shortKey(p) => p; case _ => k }
     val total = results.map(_._2).filter(_ >= 0).sum
     // cold map holds only reruns whose first timing was ≥1.5x the kept one,
-    // capped to the 4 largest — the driver keeps the LAST 2000 output chars
-    // and the trailing sbt success line eats ~80 of them, so the JSON line
-    // has ~1.9k usable chars; at 139 queries the map is ~1.8k and an
-    // uncapped cold map on a contention-heavy round (r9 re-timed 26
-    // queries) could push the line's HEAD out of the window and zero the
-    // round's bench
+    // capped to the 4 largest (they also ride the full sidecar below)
     val coldJson = coldTimes.toSeq.sortBy(-_._2).take(4).map { case (k, v) =>
-      val key = k match { case shortKey(p) => p; case _ => k }
-      "\"" + key + "\":" + num(v)
+      "\"" + short(k) + "\":" + num(v)
     }.mkString("{", ",", "}")
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     // bare number only when the dir parses as sfN; anything else stays a
     // QUOTED string so the line is valid JSON regardless of the env value
     val sfShort = "sf([0-9.]+)/*$".r.findFirstMatchIn(sfDir).map(_.group(1))
       .getOrElse("\"" + sfDir + "\"")
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"cold":$coldJson,"errors":$errJson,"reruns":$reruns,"sf":$sfShort}""")
+    // The driver keeps only the LAST ~2000 chars of stdout and greps the
+    // JSON line out of that window. At 184 queries a full per-query map is
+    // ~2.4 KB — its HEAD (metric/total) falls outside the window and the
+    // round's bench parses as null (BENCH_r01-r04 and BENCH_r12 all died
+    // this way). So the final stdout line carries total/cold/errors/reruns
+    // plus only the HEAVIEST queries, shrunk until the line provably fits
+    // a hard 1500-char budget; the COMPLETE per-query map goes to stderr
+    // and to a sidecar JSON file for the judge.
+    def line(qJson: String) =
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","nqueries":${results.size},"queries":$qJson,"cold":$coldJson,"errors":$errJson,"reruns":$reruns,"sf":$sfShort}"""
+    def qJsonOf(entries: Seq[(String, Double)]): String =
+      entries.map { case (k, v) =>
+        "\"" + short(k) + "\":" + (if (v < 0) "-1" else num(v))
+      }.mkString("{", ",", "}")
+    val fullJson = line(qJsonOf(results))
+    System.err.println(fullJson) // complete record, outside the tail window
+    val sidecar = sys.env.getOrElse("SPARK_GRAFT_BENCH_SIDECAR",
+      "BENCH_FULL.json")
+    try {
+      val w = new java.io.PrintWriter(sidecar, "UTF-8")
+      try w.println(fullJson) finally w.close()
+    } catch { case _: Throwable => } // sidecar is best-effort
+    // heaviest-first, shrink until the line fits; failed (-1) queries are
+    // always kept visible ahead of fast successes
+    val byWeight = results.sortBy { case (_, v) => if (v < 0) -1e9 else -v }
+    var k = math.min(40, byWeight.size)
+    var out = line(qJsonOf(byWeight.take(k).sortBy(_._1)))
+    while (out.length > 1450 && k > 0) {
+      k -= 1
+      out = line(qJsonOf(byWeight.take(k).sortBy(_._1)))
+    }
+    assert(out.length < 1500,
+      s"bench stdout line ${out.length} chars — would overflow the driver's tail window")
+    println(out)
     if (errors.nonEmpty)
       System.err.println(s"[bench] ${errors.size} quer(y/ies) FAILED: ${errors.mkString(", ")}")
     spark.stop()
