@@ -58,7 +58,8 @@ object NodeRegistry {
       p.str("hashCol"), p.int("maxHamming"), p.int("maxBucket"),
       p.int("compactEvery"), p.strOpt("compactPath")))
     register("vacuum")(p => new VacuumNode(p.str("path"),
-      p.boolOr("keepRollback", true), p.boolOr("dryRun", false)))
+      p.boolOr("keepRollback", true), p.boolOr("dryRun", false),
+      p.boolOr("reclaimNext", false)))
     register("stats_pruned_source")(p => new StatsPrunedSourceNode(p.str("path"),
       p.strs("pruneCols"),
       p.m.get("pruneLos").collect { case l: Seq[_] => l.map(Option(_).map(_.toString)) }.getOrElse(Nil),

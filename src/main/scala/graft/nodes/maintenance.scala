@@ -201,7 +201,16 @@ object CdcApply {
     * BEFORE the manifest swap — every CDC generation then carries a
     * mergeable distribution audit, and a HistDriftNode over consecutive
     * generations' profile tables is the daily "did this CDC wave shift the
-    * corpus?" gate, answered without re-reading any generation. */
+    * corpus?" gate, answered without re-reading any generation.
+    *
+    * Checkpoint contract (the maintainFromStream rule): the applied-batch
+    * marker is durable, but batch IDS are only stable when the source
+    * offsets are checkpointed — a checkpoint-less re-invocation renumbers
+    * every file from batch 0, and the replay guard would then skip NEW CDC
+    * waves by POSITION (silent data loss). A checkpoint-less call against a
+    * root that already carries applied batches is therefore REFUSED unless
+    * the caller acknowledges positional skipping via
+    * `positionalReplaySkipOk = true`. */
   def applyStream(
       ctx: Ctx,
       root: String,
@@ -211,13 +220,21 @@ object CdcApply {
       trigger: Trigger = Trigger.AvailableNow(),
       await: Boolean = true,
       format: String = "parquet",
-      numericProfiles: Seq[NumericProfileNode.Spec] = Nil): StreamingQuery = {
+      numericProfiles: Seq[NumericProfileNode.Spec] = Nil,
+      positionalReplaySkipOk: Boolean = false): StreamingQuery = {
     if (!updates.isStreaming)
       throw new GraftException(
         "CdcApply.applyStream needs a streaming updates frame — for a batch delta run MergeNode directly")
     val spark = ctx.spark
     import spark.implicits._
     var last = appliedBatch(spark, root)
+    if (checkpoint.isEmpty && last >= 0 && !positionalReplaySkipOk)
+      throw new GraftException(
+        s"CdcApply.applyStream: $root already carries applied CDC batches up " +
+          s"to id $last but no checkpoint was given — a fresh source renumbers " +
+          "batches from 0 and the replay guard would skip new waves by " +
+          "POSITION (data loss). Pass the original checkpointLocation, or " +
+          "acknowledge positional skipping with positionalReplaySkipOk = true")
     val writer = updates.writeStream
       .queryName(s"cdc_apply_${System.nanoTime()}")
       .outputMode("append")
@@ -381,7 +398,14 @@ object MorCdc {
     * maintenance cadence instead). `numericProfiles` mirrors CdcApply:
     * each COMPACTED generation stamps a `_numprofile/` histogram from the
     * just-written fold (overlay commits stay O(delta) — profiling every
-    * overlay would re-read the base per wave, exactly what MoR avoids). */
+    * overlay would re-read the base per wave, exactly what MoR avoids).
+    *
+    * Checkpoint contract: same as [[CdcApply.applyStream]] — the durable
+    * applied-batch watermark (committed `delta-N` dirs / `_cdc` marker)
+    * only composes with STABLE batch ids; a checkpoint-less re-invocation
+    * renumbers from 0 and would silently skip new waves by position, so it
+    * is refused on a root with applied batches unless the caller passes
+    * `positionalReplaySkipOk = true`. */
   def applyStream(
       ctx: Ctx,
       root: String,
@@ -392,12 +416,20 @@ object MorCdc {
       trigger: Trigger = Trigger.AvailableNow(),
       await: Boolean = true,
       format: String = "parquet",
-      numericProfiles: Seq[NumericProfileNode.Spec] = Nil): StreamingQuery = {
+      numericProfiles: Seq[NumericProfileNode.Spec] = Nil,
+      positionalReplaySkipOk: Boolean = false): StreamingQuery = {
     if (!updates.isStreaming)
       throw new GraftException(
         "MorCdc.applyStream needs a streaming updates frame — for a batch delta commit one overlay via AtomicPublish.publishDelta")
     val spark = ctx.spark
     var last = appliedBatch(spark, root)
+    if (checkpoint.isEmpty && last >= 0 && !positionalReplaySkipOk)
+      throw new GraftException(
+        s"MorCdc.applyStream: $root already carries applied CDC batches up " +
+          s"to id $last but no checkpoint was given — a fresh source renumbers " +
+          "batches from 0 and the replay guard would skip new waves by " +
+          "POSITION (data loss). Pass the original checkpointLocation, or " +
+          "acknowledge positional skipping with positionalReplaySkipOk = true")
     val writer = updates.writeStream
       .queryName(s"mor_cdc_${System.nanoTime()}")
       .outputMode("append")

@@ -193,6 +193,8 @@ object SourceNode {
 private[graft] object AtomicPublish {
   import org.apache.hadoop.fs.{FileContext, Options, Path}
   val ManifestName = "_MANIFEST"
+  /** Per-generation claim token prefix — the optimistic-concurrency gate. */
+  val ClaimPrefix = "_CLAIM.gen-"
 
   private def conf(spark: org.apache.spark.sql.SparkSession) =
     spark.sparkContext.hadoopConfiguration
@@ -214,14 +216,42 @@ private[graft] object AtomicPublish {
   def resolve(spark: org.apache.spark.sql.SparkSession, root: String): String =
     currentGen(spark, root).fold(root)(g => s"$root/gen-$g")
 
-  /** Write `df` as the next generation and atomically commit the pointer. */
+  /** Write `df` as the next generation and atomically commit the pointer.
+    *
+    * Optimistic concurrency: before any data is written, the publisher
+    * CLAIMS generation `cur + 1` by create-no-overwrite of a per-generation
+    * token (`_CLAIM.gen-N` — atomic put-if-absent on HDFS/POSIX). Two
+    * racing publishers (say a nightly CompactFilesNode against a CdcApply
+    * stream) therefore cannot both write into the same `gen-N` dir and
+    * silently last-write-win the manifest swap: exactly one claim succeeds;
+    * the loser fails LOUDLY before paying the data write and should retry
+    * against the new current generation once the winner commits. The token
+    * is removed after the swap; a publisher that dies mid-publish leaves
+    * its claim + partial generation behind, which keeps the number fenced
+    * until `VacuumNode(reclaimNext = true)` releases it (an explicit
+    * operator action — vacuum must not yank a generation a LIVE publisher
+    * is still writing, ADVICE r12). */
   def publish(spark: org.apache.spark.sql.SparkSession, root: String,
               write: String => Unit): Long = {
     val cur = currentGen(spark, root)
     val next = cur.getOrElse(0L) + 1
-    write(s"$root/gen-$next") // complete new generation, live one untouched
     val rootP = new Path(root)
     val fs = rootP.getFileSystem(conf(spark))
+    fs.mkdirs(rootP)
+    val claim = new Path(rootP, s"$ClaimPrefix$next")
+    // createNewFile: atomic put-if-absent (POSIX O_CREAT|O_EXCL locally,
+    // create-no-overwrite on HDFS) — the loser of a same-instant race gets
+    // `false`, not a torn token
+    val claimed =
+      try fs.createNewFile(claim)
+      catch { case _: java.io.IOException => false }
+    if (!claimed)
+      throw new graft.dag.GraftException(
+        s"AtomicPublish: lost the publish race for gen-$next at $root — " +
+          "another publisher holds its claim token. Retry against the new " +
+          "current generation after it commits; if the holder CRASHED, " +
+          "release the number with VacuumNode(reclaimNext = true)")
+    write(s"$root/gen-$next") // complete new generation, live one untouched
     val tmp = new Path(rootP, s"$ManifestName.tmp-$next")
     val out = fs.create(tmp, true)
     try { out.write(s"gen-$next\n".getBytes("UTF-8")); out.hsync() }
@@ -230,6 +260,7 @@ private[graft] object AtomicPublish {
     // the commit point: atomic pointer swap
     FileContext.getFileContext(rootP.toUri, conf(spark))
       .rename(tmp, new Path(rootP, ManifestName), Options.Rename.OVERWRITE)
+    fs.delete(claim, false) // committed: release the fence
     // keep the superseded generation as rollback; drop anything older
     cur.filter(_ >= 2).foreach { c =>
       fs.delete(new Path(rootP, s"gen-${c - 1}"), true)
@@ -380,20 +411,32 @@ class SinkNode(val path: String, val format: String = "parquet", val mode: Strin
   *
   * Never touches the committed generation, the rollback generation
   * (`keepRollback`, default true — AtomicPublish's documented rollback
-  * point), committed `delta-N` overlays, or any non-generation file at the
-  * root. Idempotent; driver-side FS metadata only (one listing per level —
+  * point), committed `delta-N` overlays, any non-generation file at the
+  * root, or — crucially — `gen-(cur+1)`: that is the number a LIVE
+  * publisher may be writing right now (AtomicPublish writes the complete
+  * next generation BEFORE its manifest swap), and deleting it mid-write
+  * would let the publisher commit a manifest pointing at a half-deleted
+  * dir. A gen-(cur+1) left by a CRASHED publisher (plus its `_CLAIM`
+  * fence, which blocks all further publishes) is released only by the
+  * explicit `reclaimNext = true` — an operator action taken after
+  * confirming no publisher is live. Claim tokens for generations at or
+  * below the committed one are unambiguously stale and always removed.
+  *
+  * Idempotent; driver-side FS metadata only (one listing per level —
   * the same order of work as any scan's file listing). `dryRun` reports
   * without deleting. Output: one row per removed (or would-remove) entry,
   * (kind, name), deterministic order — auditable and oracle-checkable.
   */
 class VacuumNode(val path: String, val keepRollback: Boolean = true,
-                 val dryRun: Boolean = false) extends Node {
+                 val dryRun: Boolean = false,
+                 val reclaimNext: Boolean = false) extends Node {
   override protected def defaultName: String = "vacuum"
   val inputs: Seq[Port] = Nil
   val outputs = Seq(Port("result"))
   override def jsonKind: Option[String] = Some("vacuum")
   override def jsonParams: Map[String, Any] =
-    Map("path" -> path, "keepRollback" -> keepRollback, "dryRun" -> dryRun)
+    Map("path" -> path, "keepRollback" -> keepRollback, "dryRun" -> dryRun,
+      "reclaimNext" -> reclaimNext)
   override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
     val spark = ctx.spark
     import org.apache.hadoop.fs.Path
@@ -404,15 +447,22 @@ class VacuumNode(val path: String, val keepRollback: Boolean = true,
     val rootP = new Path(path)
     val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val GenDir = raw"gen-(\d+)".r
+    val ClaimFile = (raw"\Q" + AtomicPublish.ClaimPrefix + raw"\E(\d+)").r
+    // a possibly-in-flight publish owns gen-(cur+1); untouchable by default
+    def fenced(g: Long): Boolean = g == cur + 1 && !reclaimNext
     val removed = scala.collection.mutable.ArrayBuffer[(String, String)]()
     fs.listStatus(rootP).foreach { st =>
       val n = st.getPath.getName
       n match {
-        case GenDir(g) if st.isDirectory && !keep.contains(g.toLong) =>
+        case GenDir(g) if st.isDirectory && !keep.contains(g.toLong) &&
+            !fenced(g.toLong) =>
           removed += (("dangling_generation", n))
           if (!dryRun) fs.delete(st.getPath, true)
         case _ if st.isFile && n.startsWith(s"${AtomicPublish.ManifestName}.tmp-") =>
           removed += (("manifest_tmp", n))
+          if (!dryRun) fs.delete(st.getPath, false)
+        case ClaimFile(g) if st.isFile && (g.toLong <= cur || !fenced(g.toLong)) =>
+          removed += (("stale_claim", n))
           if (!dryRun) fs.delete(st.getPath, false)
         case _ => // committed gens, the manifest, foreign files: untouched
       }

@@ -2800,6 +2800,134 @@ class NodesSpec extends AnyFunSuite {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/gen-1")))
   }
 
+  test("AtomicPublish: optimistic concurrency — a held claim fences the next " +
+       "generation, racing publishers never share one, loser raises loudly") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val c = Ctx(spark)
+    val work = java.nio.file.Files.createTempDirectory("graft_race_spec").toString
+    val root = s"$work/ds"
+    val rows = (1L to 20L).map(i => (i, s"v$i")).toDF("id", "v")
+    new SinkNode(root, atomicPublish = true).transform(c, In.single("df" -> rows))
+    assert(AtomicPublish.currentGen(spark, root).contains(1L))
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // deterministic fence drill: another publisher holds the gen-2 claim
+    assert(fs.createNewFile(new Path(s"$root/${AtomicPublish.ClaimPrefix}2")))
+    val e = intercept[GraftException] {
+      AtomicPublish.publish(spark, root,
+        { t => rows.write.parquet(t) })
+    }
+    assert(e.getMessage.contains("lost the publish race"))
+    assert(AtomicPublish.currentGen(spark, root).contains(1L),
+      "losing publisher must not move the manifest")
+    assert(!fs.exists(new Path(s"$root/gen-2")),
+      "losing publisher must fail BEFORE writing any data")
+    fs.delete(new Path(s"$root/${AtomicPublish.ClaimPrefix}2"), false)
+    // threaded race: whatever the interleaving, no two publishers may ever
+    // commit the same generation number, and any loser raises GraftException
+    val outcomes = new java.util.concurrent.ConcurrentLinkedQueue[Either[Throwable, Long]]()
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val threads = (1 to 2).map { t =>
+      new Thread(() => {
+        gate.await()
+        try outcomes.add(Right(AtomicPublish.publish(spark, root, { target =>
+          rows.withColumn("writer", lit(t)).write.parquet(target)
+        })))
+        catch { case ex: Throwable => outcomes.add(Left(ex)) }
+      })
+    }
+    threads.foreach(_.start()); gate.countDown(); threads.foreach(_.join())
+    val rs = outcomes.toArray(Array.empty[Either[Throwable, Long]]).toSeq
+    val wins = rs.collect { case Right(g) => g }
+    val losses = rs.collect { case Left(ex) => ex }
+    assert(wins.nonEmpty, "at least one publisher must commit")
+    assert(wins.toSet.size == wins.size,
+      s"two publishers committed the SAME generation: $wins")
+    assert(losses.forall(_.isInstanceOf[GraftException]),
+      s"a losing publisher must raise GraftException, got $losses")
+    assert(AtomicPublish.currentGen(spark, root).contains(1L + wins.size))
+    // every committed generation is internally consistent (one writer only)
+    wins.foreach { g =>
+      val writers = spark.read.parquet(s"$root/gen-$g")
+        .select("writer").distinct().collect().map(_.getInt(0)).toSeq
+      assert(writers.size == 1, s"gen-$g mixes writers $writers")
+    }
+    // after the dust settles a sequential publish claims the next number
+    val g = AtomicPublish.publish(spark, root, { t => rows.write.parquet(t) })
+    assert(g == 2L + wins.size)
+  }
+
+  test("VacuumNode + crashed publisher: gen-(cur+1) and its claim are fenced " +
+       "from default vacuum; reclaimNext releases them and publishing resumes") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val c = Ctx(spark)
+    val work = java.nio.file.Files.createTempDirectory("graft_reclaim_spec").toString
+    val root = s"$work/ds"
+    val rows = (1L to 10L).map(i => (i, s"v$i")).toDF("id", "v")
+    new SinkNode(root, atomicPublish = true).transform(c, In.single("df" -> rows))
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a publisher died mid-publish: claim token + half-written gen-2
+    assert(fs.createNewFile(new Path(s"$root/${AtomicPublish.ClaimPrefix}2")))
+    spark.range(3).write.parquet(s"$root/gen-2")
+    // plus an unambiguously stale claim at a committed number
+    assert(fs.createNewFile(new Path(s"$root/${AtomicPublish.ClaimPrefix}1")))
+    def runVacuum(n: VacuumNode): Seq[(String, String)] =
+      n.transform(c, In.empty)("result").as[(String, String)].collect().toSeq
+    // default vacuum: the possibly-live next generation is UNTOUCHABLE —
+    // only the stale claim at gen-1 goes (ADVICE r12: a vacuum racing a
+    // publish must not delete the generation being written)
+    assert(runVacuum(new VacuumNode(root)) == Seq(("stale_claim", "_CLAIM.gen-1")))
+    assert(fs.exists(new Path(s"$root/gen-2")))
+    assert(fs.exists(new Path(s"$root/${AtomicPublish.ClaimPrefix}2")))
+    // the fence works: publish against the crashed claim fails loudly
+    intercept[GraftException] {
+      AtomicPublish.publish(spark, root, { t => rows.write.parquet(t) })
+    }
+    // explicit operator reclaim releases number and debris
+    assert(runVacuum(new VacuumNode(root, reclaimNext = true)).toSet ==
+      Set(("dangling_generation", "gen-2"), ("stale_claim", "_CLAIM.gen-2")))
+    assert(!fs.exists(new Path(s"$root/gen-2")))
+    // publishing resumes at the reclaimed number
+    assert(AtomicPublish.publish(spark, root,
+      { t => rows.write.parquet(t) }) == 2L)
+    assert(AtomicPublish.currentGen(spark, root).contains(2L))
+  }
+
+  test("CdcApply/MorCdc applyStream: checkpoint-less re-invocation against a " +
+       "root with applied batches is refused (positional-skip data loss)") {
+    import spark.implicits._
+    val c = Ctx(spark)
+    val work = java.nio.file.Files.createTempDirectory("graft_redrain_spec").toString
+    val rows = (1L to 10L).map(i => (i, s"v$i")).toDF("id", "v")
+    val merge = new MergeNode(keys = Seq("id"), deleteCol = Some("is_delete"))
+    Seq((1L, "upd", false)).toDF("id", "v", "is_delete")
+      .coalesce(1).write.parquet(s"$work/cdc")
+    def cdcStream = spark.readStream
+      .schema("id BIGINT, v STRING, is_delete BOOLEAN").parquet(s"$work/cdc")
+    // --- copy-on-write root
+    val cowRoot = s"$work/cow"
+    new SinkNode(cowRoot, atomicPublish = true).transform(c, In.single("df" -> rows))
+    // first drain (fresh root, no applied batches yet): checkpoint-less OK
+    CdcApply.applyStream(c, cowRoot, cdcStream, merge)
+    val e1 = intercept[GraftException] {
+      CdcApply.applyStream(c, cowRoot, cdcStream, merge)
+    }
+    assert(e1.getMessage.contains("POSITION"))
+    // explicit acknowledgment (or a checkpoint) unblocks
+    CdcApply.applyStream(c, cowRoot, cdcStream, merge, positionalReplaySkipOk = true)
+    // --- merge-on-read root
+    val morRoot = s"$work/mor"
+    new SinkNode(morRoot, atomicPublish = true).transform(c, In.single("df" -> rows))
+    MorCdc.applyStream(c, morRoot, cdcStream, merge, compactEvery = 0)
+    val e2 = intercept[GraftException] {
+      MorCdc.applyStream(c, morRoot, cdcStream, merge, compactEvery = 0)
+    }
+    assert(e2.getMessage.contains("POSITION"))
+    MorCdc.applyStream(c, morRoot, cdcStream, merge, compactEvery = 0,
+      checkpoint = Some(s"$work/ckpt_mor"))
+  }
+
   test("StatsPrunedSourceNode: file-stats pruning skips non-qualifying files, " +
        "keeps results identical to the full filtered scan; loud without stats") {
     import spark.implicits._
