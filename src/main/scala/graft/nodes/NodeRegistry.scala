@@ -64,7 +64,7 @@ object NodeRegistry {
       p.strs("pruneCols"),
       p.m.get("pruneLos").collect { case l: Seq[_] => l.map(Option(_).map(_.toString)) }.getOrElse(Nil),
       p.m.get("pruneHis").collect { case l: Seq[_] => l.map(Option(_).map(_.toString)) }.getOrElse(Nil),
-      p.str("format")))
+      p.str("format"), p.strs("morKeys"), p.intOr("morMaxDeltas", 64)))
     register("project")(p => new ProjectNode(p.strs("exprs")))
     register("with_columns")(p => new WithColumnsNode(p.pairs("cols")))
     register("filter")(p => new FilterNode(p.str("condition")))

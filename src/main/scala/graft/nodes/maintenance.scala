@@ -349,8 +349,20 @@ object MorCdc {
     * broadcast-OOM risk and an N-deep union. The read fails LOUDLY past
     * the bound instead (compact, or raise the bound deliberately). */
   def read(spark: SparkSession, root: String, keys: Seq[String],
-           format: String = "parquet", maxDeltas: Int = 64): DataFrame = {
-    val base = spark.read.format(format).load(AtomicPublish.resolve(spark, root))
+           format: String = "parquet", maxDeltas: Int = 64): DataFrame =
+    resolveOver(spark, root,
+      spark.read.format(format).load(AtomicPublish.resolve(spark, root)),
+      keys, format, maxDeltas)
+
+  /** Overlay resolution over a CALLER-SUPPLIED base frame — the composition
+    * point for data skipping (StatsPrunedSourceNode prunes base FILES, then
+    * resolves overlays on top): a row predicate commutes with the resolved
+    * view `(base ∖ overlayKeys) ∪ overlayWinners`, so any base subframe
+    * that conservatively contains the predicate's base rows yields the
+    * exact filtered view once the predicate is re-applied on top. */
+  private[graft] def resolveOver(spark: SparkSession, root: String,
+                                 base: DataFrame, keys: Seq[String],
+                                 format: String, maxDeltas: Int): DataFrame = {
     val deltas = AtomicPublish.listDeltas(spark, root)
     if (deltas.size > maxDeltas)
       throw new GraftException(

@@ -507,7 +507,17 @@ class StatsPrunedSourceNode(val path: String,
                             val pruneCols: Seq[String],
                             val pruneLos: Seq[Option[String]],
                             val pruneHis: Seq[Option[String]],
-                            val format: String = "parquet") extends Node {
+                            val format: String = "parquet",
+                            // merge-on-read composition: with `morKeys` set,
+                            // outstanding overlays are RESOLVED on top of the
+                            // pruned base instead of refused — the predicate
+                            // commutes with `(base ∖ overlayKeys) ∪ winners`,
+                            // so pruning base files stays exact as long as
+                            // the row predicate is re-applied to the RESOLVED
+                            // view (it is, below). High-churn corpora keep
+                            // file skipping BETWEEN compactions this way.
+                            val morKeys: Seq[String] = Nil,
+                            val morMaxDeltas: Int = 64) extends Node {
   require(pruneCols.nonEmpty, "stats_pruned_source: need at least one prune column")
   require(pruneLos.size == pruneCols.size && pruneHis.size == pruneCols.size,
     "stats_pruned_source: pruneCols/pruneLos/pruneHis must align")
@@ -520,7 +530,8 @@ class StatsPrunedSourceNode(val path: String,
   override def jsonKind: Option[String] = Some("stats_pruned_source")
   override def jsonParams: Map[String, Any] = Map("path" -> path,
     "pruneCols" -> pruneCols, "pruneLos" -> pruneLos.map(_.orNull),
-    "pruneHis" -> pruneHis.map(_.orNull), "format" -> format)
+    "pruneHis" -> pruneHis.map(_.orNull), "format" -> format,
+    "morKeys" -> morKeys, "morMaxDeltas" -> morMaxDeltas)
   override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
     val spark = ctx.spark
     val gen = AtomicPublish.resolve(spark, path)
@@ -533,14 +544,15 @@ class StatsPrunedSourceNode(val path: String,
     // a merge-on-read root with OUTSTANDING overlays cannot be served from
     // base stats alone — the overlays carry newer/deleted rows the stats
     // know nothing about; silently reading the stale base would be a
-    // correctness trap. Compact first (the fold re-publishes stats-free;
-    // re-publish with statsColumns), or read through MorSourceNode.
+    // correctness trap. With `morKeys` the overlays are resolved on top of
+    // the pruned base (exact — class doc); without them, refuse loudly.
     val outstanding = AtomicPublish.listDeltas(spark, path)
-    if (outstanding.nonEmpty)
+    if (outstanding.nonEmpty && morKeys.isEmpty)
       throw new graft.dag.GraftException(
         s"stats_pruned_source '$name': ${outstanding.size} outstanding " +
           s"merge-on-read overlays at $path — a stats-pruned read would serve " +
-          "the STALE base. Compact (MorCdc.compact) and re-publish with " +
+          "the STALE base. Pass morKeys to resolve the overlays on top of " +
+          "the pruned base, compact (MorCdc.compact) and re-publish with " +
           "statsColumns, or read the live view via MorSourceNode")
     val stats = spark.read.parquet(statsPath.toString)
     def bound(c: String, side: String): org.apache.spark.sql.Column = {
@@ -570,10 +582,16 @@ class StatsPrunedSourceNode(val path: String,
             pruneHis(i).map(hi => col(c) <= lit(hi).cast(t))).flatten.reduce(_ && _)
       }.reduce(_ && _)
     val reader = spark.read.format(format).option("basePath", gen)
-    val df =
+    val prunedBase =
       if (files.isEmpty) { // nothing can match: empty frame, full schema
         val d = spark.read.format(format).load(gen); d.filter(lit(false))
       } else reader.load(files: _*)
+    // resolve outstanding overlays over the PRUNED base (delta-sized, never
+    // worth pruning), then re-apply the row predicate to the resolved view —
+    // overlay winners whose values moved outside the range drop out here
+    val df =
+      if (outstanding.isEmpty) prunedBase
+      else MorCdc.resolveOver(spark, path, prunedBase, morKeys, format, morMaxDeltas)
     Map("result" -> df.filter(rowCond(df)))
   }
 }

@@ -3003,6 +3003,73 @@ object Advanced {
     fromIndex.unionByName(fromCorpus).orderBy("side", "query_id", "rank")
   }
 
+  // ---- q185: STATS-PRUNED read over MERGE-ON-READ overlays — the r12 gap
+  // where high-churn published corpora (MoR's whole constituency) lost
+  // file-level data skipping between compactions: StatsPrunedSourceNode
+  // previously REFUSED any root with outstanding overlays. The range
+  // predicate commutes with the resolved view (base ∖ overlayKeys) ∪
+  // winners, so pruning BASE files against _filestats stays exact as long
+  // as the predicate is re-applied to the resolved view. The scenario
+  // publishes a range-laid-out orders projection with key stats, commits
+  // two O(delta) CDC waves as overlays (an update superseded by a newer
+  // one, deletes, all left OUTSTANDING — never compacted), then reads a
+  // selective key range pruned-and-resolved. The oracle replays the CDC
+  // arithmetic declaratively; a stale-base read (missing updates), a
+  // recency flip (v1 beating v2), a resurrection of deleted keys, or an
+  // over-aggressive prune (missing base rows) all change the hash. A
+  // NodesSpec pin asserts base files are actually skipped under
+  // outstanding overlays. ----
+  def q185_mor_stats_pruned(spark: SparkSession, dir: String): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("graft_q185_")
+    work.toFile.deleteOnExit()
+    val root = s"$work/orders_mor"
+    Queries.run(spark) { d =>
+      d.add(SourceNode.table(dir, "orders")) >>
+        ProjectNode("o_orderkey", "o_totalprice", "o_orderstatus") >>
+        new RepartitionNode(8, Seq("o_orderkey"), range = true) >>
+        new SinkNode(root, atomicPublish = true,
+          statsColumns = Seq("o_orderkey")) >> d.output("result")
+    }
+    def orders = Queries.run(spark) { d =>
+      d.add(SourceNode.table(dir, "orders")) >>
+        ProjectNode("o_orderkey", "o_totalprice", "o_orderstatus") >>
+        d.output("result")
+    }
+    // wave 1: repricing for keys ≡ 1 (mod 10)
+    AtomicPublish.publishDelta(spark, root, 1L, { t =>
+      orders.filter("o_orderkey % 10 = 1")
+        .selectExpr("o_orderkey", "o_totalprice + 1000 as o_totalprice",
+          "o_orderstatus", s"false as ${MorCdc.DeletedCol}")
+        .write.parquet(t)
+    })
+    // wave 2: a NEWER repricing for keys ≡ 1 (mod 20) — supersedes wave 1
+    // for those keys — plus takedowns for keys ≡ 2 (mod 10)
+    AtomicPublish.publishDelta(spark, root, 2L, { t =>
+      orders.filter("o_orderkey % 20 = 1")
+        .selectExpr("o_orderkey", "o_totalprice + 2000 as o_totalprice",
+          "o_orderstatus", s"false as ${MorCdc.DeletedCol}")
+        .unionByName(orders.filter("o_orderkey % 10 = 2")
+          .selectExpr("o_orderkey", "o_totalprice", "o_orderstatus",
+            s"true as ${MorCdc.DeletedCol}"))
+        .write.parquet(t)
+    })
+    Queries.run(spark) { d =>
+      d.add(new StatsPrunedSourceNode(root, pruneCols = Seq("o_orderkey"),
+        pruneLos = Seq(Some("1000")), pruneHis = Seq(Some("3000")),
+        morKeys = Seq("o_orderkey"))) >>
+        SortNode("o_orderkey") >> d.output("result")
+    }
+  }
+  val q185Sql: String =
+    """SELECT o_orderkey,
+      |  CASE WHEN o_orderkey % 20 = 1 THEN o_totalprice + 2000
+      |       WHEN o_orderkey % 10 = 1 THEN o_totalprice + 1000
+      |       ELSE o_totalprice END AS o_totalprice,
+      |  o_orderstatus
+      |FROM orders
+      |WHERE o_orderkey BETWEEN 1000 AND 3000 AND o_orderkey % 10 <> 2
+      |ORDER BY o_orderkey""".stripMargin
+
   // ---- q176: VACUUM — storage hygiene for published roots. Crashes leave
   // debris readers never see (a publish killed before its manifest swap
   // leaves a full dangling generation; a killed swap leaves a manifest
@@ -3408,5 +3475,6 @@ object Advanced {
     ("q182_multimodal_consensus", q182_multimodal_consensus _, q177Sql),
     ("q183_stream_image_serving", q183_stream_image_serving _, q183Sql),
     ("q184_simhash_index_day2", q184_simhash_index_day2 _, q178Sql),
+    ("q185_mor_stats_pruned", q185_mor_stats_pruned _, q185Sql),
   )
 }

@@ -2995,6 +2995,48 @@ class NodesSpec extends AnyFunSuite {
     assert(morErr.getMessage.contains("MorSourceNode"))
   }
 
+  test("StatsPrunedSourceNode + morKeys: overlays resolve on top of the PRUNED " +
+       "base — result equals MorSourceNode + filter, base files actually skipped") {
+    import spark.implicits._
+    val c = Ctx(spark)
+    val work = java.nio.file.Files.createTempDirectory("graft_morstats_spec").toString
+    val root = s"$work/ds"
+    val rows = (0L until 1000L).map(i => (i, s"v$i")).toDF("id", "v")
+    runOne { d =>
+      d.add(srcNode(rows)) >> new RepartitionNode(10, Seq("id"), range = true) >>
+        new SinkNode(root, atomicPublish = true, statsColumns = Seq("id")) >>
+        d.output("result")
+    }
+    // two outstanding CDC waves: an in-range update superseded by a newer
+    // one, an in-range delete, an insert and an update OUTSIDE the range
+    AtomicPublish.publishDelta(spark, root, 1L, { t =>
+      Seq((150L, "updated_v1", false), (160L, "gone", true), (5000L, "new", false))
+        .toDF("id", "v", MorCdc.DeletedCol).write.parquet(t)
+    })
+    AtomicPublish.publishDelta(spark, root, 2L, { t =>
+      Seq((150L, "updated_v2", false), (500L, "mid", false))
+        .toDF("id", "v", MorCdc.DeletedCol).write.parquet(t)
+    })
+    val got = new StatsPrunedSourceNode(root, pruneCols = Seq("id"),
+      pruneLos = Seq(Some("100")), pruneHis = Seq(Some("199")),
+      morKeys = Seq("id")).transform(c, In.empty)("result")
+    val oracle = new MorSourceNode(root, keys = Seq("id"))
+      .transform(c, In.empty)("result").filter("id between 100 and 199")
+    val gotSet = got.as[(Long, String)].collect().toSet
+    assert(gotSet == oracle.as[(Long, String)].collect().toSet)
+    assert(gotSet.contains((150L, "updated_v2")), "newest overlay wins")
+    assert(!gotSet.exists(_._1 == 160L), "tombstone winner drops the key")
+    assert(!gotSet.exists(_._1 == 5000L) && !gotSet.exists(_._1 == 500L),
+      "out-of-range overlay winners are filtered by the re-applied predicate")
+    assert(gotSet.size == 99) // 100 keys in range, one deleted
+    // the point of the composition: base FILES were skipped (overlay files
+    // live under _deltas and are delta-sized — never worth pruning)
+    val baseFiles = got.inputFiles.filterNot(_.contains("/_deltas/"))
+    assert(baseFiles.length <= 2,
+      s"a 10%-selective range must open ~1 of 10 base files under overlays, " +
+        s"opened ${baseFiles.length}")
+  }
+
   test("Z-order layout + two-column file stats: a 2-D range prunes files on BOTH " +
        "dimensions (the claim the ZOrderNode doc makes, now closed end-to-end)") {
     import spark.implicits._
