@@ -43,8 +43,14 @@ object NodeRegistry {
         p.boolOr("atomicPublish", false), p.strs("profileColumns"),
         npCols.indices.map(i =>
           NumericProfileNode.Spec(npCols(i), npLos(i), npHis(i), npBins(i))),
-        p.strs("statsColumns"))
+        p.strs("statsColumns"), p.strs("bloomColumns"),
+        p.m.get("bloomExpectedItems").fold(1000000L)(_.toString.toDouble.toLong),
+        p.m.get("bloomFpp").fold(0.01)(_.toString.toDouble))
     }
+    register("bloom_pruned_source")(p => new BloomPrunedSourceNode(
+      p.str("path"), p.str("inCol"), p.str("format"), p.strs("morKeys"),
+      p.intOr("morMaxDeltas", 64),
+      p.m.get("maxIds").fold(1000000L)(_.toString.toDouble.toLong)))
     register("image_dhash")(p => new ImageDHashNode(p.str("payloadCol"),
       p.str("outCol"), p.int("hashW"), p.int("hashH")))
     register("hamming_near_dup")(p => new HammingNearDupNode(p.str("idCol"),

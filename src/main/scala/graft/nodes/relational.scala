@@ -345,13 +345,31 @@ class SinkNode(val path: String, val format: String = "parquet", val mode: Strin
                // columns of the just-written files; pair with a range
                // (RepartitionNode(range=true)) or Z-order layout to make
                // the stats selective.
-               val statsColumns: Seq[String] = Nil) extends Node {
+               val statsColumns: Seq[String] = Nil,
+               // PER-FILE BLOOM FILTERS at publish time (atomicPublish
+               // only): a `bloom_<c>` binary column in `_filestats` holding
+               // one bloom filter per file over xxhash64(c) — the
+               // POINT-LOOKUP skipping manifest min/max ranges cannot
+               // provide: "open only the files containing these 10k
+               // doc_ids" (takedown audits, GDPR erasure verification)
+               // probes the blooms driver-free via BloomPrunedSourceNode
+               // instead of scanning every file. False positives only
+               // (a kept file may lack the ids — the exact row-side
+               // semi-join handles it); never false negatives. Size via
+               // `bloomExpectedItems` ≈ max rows per file: serialized
+               // bloom is ~1.2 MB per file at 1M items / 1% fpp.
+               val bloomColumns: Seq[String] = Nil,
+               val bloomExpectedItems: Long = 1000000L,
+               val bloomFpp: Double = 0.01) extends Node {
   require(profileColumns.isEmpty || atomicPublish,
     "profileColumns requires atomicPublish (the profile commits with the generation)")
   require(numericProfiles.isEmpty || atomicPublish,
     "numericProfiles requires atomicPublish (the profile commits with the generation)")
   require(statsColumns.isEmpty || atomicPublish,
     "statsColumns requires atomicPublish (the stats commit with the generation)")
+  require(bloomColumns.isEmpty || atomicPublish,
+    "bloomColumns requires atomicPublish (the stats commit with the generation)")
+  require(bloomFpp > 0 && bloomFpp < 1, "bloomFpp must be in (0, 1)")
   override protected def defaultName: String = "sink"
   val inputs = Seq(Port("df"))
   val outputs = Seq(Port("result"))
@@ -359,7 +377,8 @@ class SinkNode(val path: String, val format: String = "parquet", val mode: Strin
   override def jsonParams: Map[String, Any] = Map("path" -> path, "format" -> format, "mode" -> mode, "partitionBy" -> partitionBy, "options" -> options, "atomicPublish" -> atomicPublish, "profileColumns" -> profileColumns,
     "npCols" -> numericProfiles.map(_.expr), "npLos" -> numericProfiles.map(_.lo),
     "npHis" -> numericProfiles.map(_.hi), "npBins" -> numericProfiles.map(_.bins),
-    "statsColumns" -> statsColumns)
+    "statsColumns" -> statsColumns, "bloomColumns" -> bloomColumns,
+    "bloomExpectedItems" -> bloomExpectedItems, "bloomFpp" -> bloomFpp)
   override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
     val df = in("df")
     def writeTo(target: String, wmode: String): Unit = {
@@ -377,14 +396,20 @@ class SinkNode(val path: String, val format: String = "parquet", val mode: Strin
           new NumericProfileNode(numericProfiles)
             .transform(ctx, In.single("df" -> df))("result")
             .coalesce(1).write.mode("overwrite").parquet(s"$target/_numprofile")
-        if (statsColumns.nonEmpty) {
-          // per-file min/max from the just-written files, pruned to the
-          // stats columns (columnar) — not from the input plan, whose rows
-          // have no file identity yet
+        if (statsColumns.nonEmpty || bloomColumns.nonEmpty) {
+          // per-file min/max (+ per-file blooms) from the just-written
+          // files, pruned to the stats columns (columnar) — not from the
+          // input plan, whose rows have no file identity yet
           val written = df.sparkSession.read.format(format).options(options).load(target)
+          val bloomAgg = org.apache.spark.sql.functions.udaf(
+            new FileBloomAgg(bloomExpectedItems, bloomFpp),
+            org.apache.spark.sql.Encoders.scalaLong)
           val aggs = statsColumns.flatMap(c => Seq(
             org.apache.spark.sql.functions.min(col(c)).as(s"min_$c"),
-            org.apache.spark.sql.functions.max(col(c)).as(s"max_$c")))
+            org.apache.spark.sql.functions.max(col(c)).as(s"max_$c"))) ++
+            bloomColumns.map(c =>
+              bloomAgg(org.apache.spark.sql.functions.expr(s"xxhash64($c)"))
+                .as(s"bloom_$c"))
           written
             .groupBy(org.apache.spark.sql.functions.input_file_name().as("file"))
             .agg(aggs.head, aggs.tail: _*)
@@ -593,6 +618,121 @@ class StatsPrunedSourceNode(val path: String,
       if (outstanding.isEmpty) prunedBase
       else MorCdc.resolveOver(spark, path, prunedBase, morKeys, format, morMaxDeltas)
     Map("result" -> df.filter(rowCond(df)))
+  }
+}
+
+/** Per-file bloom builder for SinkNode's `bloomColumns`: one
+  * `org.apache.spark.util.sketch.BloomFilter` per input_file_name group over
+  * the column's xxhash64 values, serialized to bytes for the `_filestats`
+  * manifest. Capacity is fixed per file (`expectedItems` ≈ max rows per
+  * file): over-full blooms degrade to a higher false-positive rate —
+  * conservative keeps, never lost files. */
+private[nodes] class FileBloomAgg(expectedItems: Long, fpp: Double)
+  extends org.apache.spark.sql.expressions.Aggregator[
+    Long, org.apache.spark.util.sketch.BloomFilter, Array[Byte]] {
+  import org.apache.spark.util.sketch.BloomFilter
+  def zero: BloomFilter = BloomFilter.create(expectedItems, fpp)
+  def reduce(b: BloomFilter, x: Long): BloomFilter = { b.putLong(x); b }
+  def merge(a: BloomFilter, b: BloomFilter): BloomFilter = { a.mergeInPlace(b); a }
+  def finish(b: BloomFilter): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    b.writeTo(bos)
+    bos.toByteArray
+  }
+  def bufferEncoder: org.apache.spark.sql.Encoder[BloomFilter] =
+    org.apache.spark.sql.Encoders.javaSerialization[BloomFilter]
+  def outputEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+    org.apache.spark.sql.Encoders.BINARY
+}
+
+/** POINT-LOOKUP data skipping over a bloom-published dataset (SinkNode
+  * `bloomColumns`): open only the files whose committed per-file bloom
+  * might contain at least one of the probe ids — the takedown/audit shape
+  * ("which files hold these 10k doc_ids?") that min/max range stats cannot
+  * skip for, because point sets are scattered across every file's [min,
+  * max] span unless the layout is id-sorted. The probe set arrives as the
+  * `ids` input (first column = the values, matched against `inCol`).
+  *
+  * Correctness is pruning-independent, exactly the StatsPrunedSourceNode
+  * contract: bloom false positives only ever KEEP extra files, and the
+  * surviving rows are semi-joined against the broadcast probe set — a
+  * kept-but-idless file contributes nothing, and false negatives cannot
+  * exist (bloom guarantee). With `morKeys`, outstanding merge-on-read
+  * overlays are resolved on top of the pruned base before the semi-join
+  * (the q185 composition), so takedown audits stay exact mid-churn.
+  *
+  * Scale: the bloom probe is one pass over the file-count-sized
+  * `_filestats` table (each row deserializes its bloom once and tests the
+  * broadcast id hashes with early exit); driver state is the id hashes
+  * (bounded by `maxIds`, loud beyond) plus the kept file list — both
+  * metadata-sized. The id set must be a POINT set: the exact semi-join is
+  * on equality, which is what bloom membership answers.
+  */
+class BloomPrunedSourceNode(val path: String,
+                            val inCol: String,
+                            val format: String = "parquet",
+                            val morKeys: Seq[String] = Nil,
+                            val morMaxDeltas: Int = 64,
+                            val maxIds: Long = 1000000L) extends Node {
+  require(inCol.nonEmpty, "bloom_pruned_source: need a probe column")
+  require(maxIds > 0, "bloom_pruned_source: maxIds must be positive")
+  override protected def defaultName: String = "bloom_pruned_source"
+  override def persistableOutput: Boolean = false
+  val inputs = Seq(Port("ids"))
+  val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("bloom_pruned_source")
+  override def jsonParams: Map[String, Any] = Map("path" -> path,
+    "inCol" -> inCol, "format" -> format, "morKeys" -> morKeys,
+    "morMaxDeltas" -> morMaxDeltas, "maxIds" -> maxIds)
+  override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
+    val spark = ctx.spark
+    val gen = AtomicPublish.resolve(spark, path)
+    val statsPath = new org.apache.hadoop.fs.Path(s"$gen/_filestats")
+    val fs = statsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(statsPath))
+      throw new graft.dag.GraftException(
+        s"bloom_pruned_source '$name': no _filestats under $gen — publish with " +
+          "SinkNode(atomicPublish = true, bloomColumns = ...) first")
+    val outstanding = AtomicPublish.listDeltas(spark, path)
+    if (outstanding.nonEmpty && morKeys.isEmpty)
+      throw new graft.dag.GraftException(
+        s"bloom_pruned_source '$name': ${outstanding.size} outstanding " +
+          s"merge-on-read overlays at $path — a bloom-pruned read would serve " +
+          "the STALE base. Pass morKeys to resolve the overlays on top of " +
+          "the pruned base, or read the live view via MorSourceNode")
+    val stats = spark.read.parquet(statsPath.toString)
+    require(stats.columns.contains(s"bloom_$inCol"),
+      s"bloom_pruned_source '$name': no committed bloom for column '$inCol' — " +
+        s"publish with bloomColumns = Seq(\"$inCol\")")
+    val ids = in("ids")
+    val idsNorm = ids.select(col(ids.columns.head).as(inCol)).distinct()
+    // the driver-side id hashes: bounded, loud beyond maxIds — a takedown
+    // set is 10k-1M ids; an unbounded probe set belongs in a plain join
+    val idHashes = idsNorm.select(expr(s"xxhash64($inCol)").as("__h"))
+      .limit(math.min(maxIds, Int.MaxValue - 2L).toInt + 1)
+      .collect().map(_.getLong(0))
+    if (idHashes.length > maxIds)
+      throw new graft.dag.GraftException(
+        s"bloom_pruned_source '$name': probe set exceeds maxIds = $maxIds — " +
+          "per-file bloom probing is for bounded point sets (takedown/audit); " +
+          "use a plain semi-join for corpus-sized probes")
+    val bcHashes = spark.sparkContext.broadcast(idHashes)
+    val hit = org.apache.spark.sql.functions.udf { (bytes: Array[Byte]) =>
+      val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(bytes))
+      bcHashes.value.exists(bf.mightContainLong)
+    }
+    val files = stats.filter(hit(col(s"bloom_$inCol"))).select("file")
+      .collect().map(_.getString(0)).toSeq
+    val prunedBase =
+      if (files.isEmpty) {
+        val d = spark.read.format(format).load(gen); d.filter(lit(false))
+      } else spark.read.format(format).option("basePath", gen).load(files: _*)
+    val resolved =
+      if (outstanding.isEmpty) prunedBase
+      else MorCdc.resolveOver(spark, path, prunedBase, morKeys, format, morMaxDeltas)
+    // the exact membership filter — bloom false positives vanish here
+    Map("result" -> resolved.join(broadcast(idsNorm), Seq(inCol), "left_semi"))
   }
 }
 

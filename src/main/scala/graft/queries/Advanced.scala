@@ -3070,6 +3070,44 @@ object Advanced {
       |WHERE o_orderkey BETWEEN 1000 AND 3000 AND o_orderkey % 10 <> 2
       |ORDER BY o_orderkey""".stripMargin
 
+  // ---- q186: POINT-LOOKUP file skipping — the takedown/audit shape
+  // ("open only the files containing these doc_ids") that min/max range
+  // stats cannot skip for: a scattered id set intersects every file's
+  // [min, max] span. The publish commits PER-FILE BLOOM FILTERS into
+  // _filestats (SinkNode bloomColumns); BloomPrunedSourceNode probes them
+  // with the broadcast id-hash set, opens only might-contain files, and
+  // semi-joins the survivors against the exact probe set — bloom false
+  // positives only ever keep extra files, false negatives cannot exist,
+  // so the result is pruning-independent (the oracle is the plain
+  // declarative membership filter). NodesSpec pins files-opened <= bound
+  // on a range layout. ----
+  def q186_bloom_point_lookup(spark: SparkSession, dir: String): DataFrame = {
+    val ctx = Ctx(spark)
+    val work = java.nio.file.Files.createTempDirectory("graft_q186_")
+    work.toFile.deleteOnExit()
+    val root = s"$work/docs_pub"
+    Queries.run(spark) { d =>
+      d.add(SourceNode.table(dir, "documents")) >>
+        new RepartitionNode(8, Seq("doc_id"), range = true) >>
+        new SinkNode(root, atomicPublish = true,
+          statsColumns = Seq("doc_id"), bloomColumns = Seq("doc_id"),
+          bloomExpectedItems = 100000L) >> d.output("result")
+    }
+    // the audit set: a scattered residue class of doc ids
+    val probe = Queries.run(spark) { d =>
+      d.add(SourceNode.table(dir, "documents")) >>
+        FilterNode("doc_id % 83 = 7") >> ProjectNode("doc_id") >>
+        d.output("result")
+    }
+    new BloomPrunedSourceNode(root, inCol = "doc_id")
+      .transform(ctx, In.single("ids" -> probe))("result")
+      .orderBy("doc_id")
+  }
+  val q186Sql: String =
+    """SELECT doc_id, text, lang, source, n_chars
+      |FROM documents WHERE doc_id % 83 = 7
+      |ORDER BY doc_id""".stripMargin
+
   // ---- q176: VACUUM — storage hygiene for published roots. Crashes leave
   // debris readers never see (a publish killed before its manifest swap
   // leaves a full dangling generation; a killed swap leaves a manifest
@@ -3476,5 +3514,6 @@ object Advanced {
     ("q183_stream_image_serving", q183_stream_image_serving _, q183Sql),
     ("q184_simhash_index_day2", q184_simhash_index_day2 _, q178Sql),
     ("q185_mor_stats_pruned", q185_mor_stats_pruned _, q185Sql),
+    ("q186_bloom_point_lookup", q186_bloom_point_lookup _, q186Sql),
   )
 }

@@ -3037,6 +3037,63 @@ class NodesSpec extends AnyFunSuite {
         s"opened ${baseFiles.length}")
   }
 
+  test("BloomPrunedSourceNode: point-lookup skipping opens only id-bearing " +
+       "files, result equals the exact semi-join; MoR composition; guards") {
+    import spark.implicits._
+    val c = Ctx(spark)
+    val work = java.nio.file.Files.createTempDirectory("graft_bloomprune_spec").toString
+    val root = s"$work/ds"
+    val rows = (0L until 1000L).map(i => (i, s"v$i")).toDF("id", "v")
+    runOne { d =>
+      d.add(srcNode(rows)) >> new RepartitionNode(10, Seq("id"), range = true) >>
+        new SinkNode(root, atomicPublish = true, bloomColumns = Seq("id"),
+          bloomExpectedItems = 10000L, bloomFpp = 0.001) >>
+        d.output("result")
+    }
+    // probe: three ids clustered in one file's range + one absent id
+    val probe = Seq(120L, 125L, 130L, 99999L).toDF("pid")
+    def read(n: BloomPrunedSourceNode, ids: DataFrame): DataFrame =
+      n.transform(c, In.single("ids" -> ids))("result")
+    val got = read(new BloomPrunedSourceNode(root, inCol = "id"), probe)
+    assert(got.as[(Long, String)].collect().toSet ==
+      Set((120L, "v120"), (125L, "v125"), (130L, "v130")))
+    assert(got.inputFiles.length <= 3,
+      s"a 3-id point probe over 10 range-laid files must open ~1, " +
+        s"opened ${got.inputFiles.length}")
+    // empty probe: zero files, empty result, full schema
+    val none = read(new BloomPrunedSourceNode(root, inCol = "id"),
+      Seq.empty[Long].toDF("pid"))
+    assert(none.count() == 0 && none.columns.toSeq == Seq("id", "v"))
+    // merge-on-read composition: update 125, delete 130, insert 99999 —
+    // all probe-relevant — as an OUTSTANDING overlay
+    AtomicPublish.publishDelta(spark, root, 1L, { t =>
+      Seq((125L, "upd", false), (130L, "gone", true), (99999L, "new", false))
+        .toDF("id", "v", MorCdc.DeletedCol).write.parquet(t)
+    })
+    // keyless read against outstanding overlays refuses loudly
+    val morErr = intercept[GraftException] {
+      read(new BloomPrunedSourceNode(root, inCol = "id"), probe)
+    }
+    assert(morErr.getMessage.contains("morKeys"))
+    val morGot = read(new BloomPrunedSourceNode(root, inCol = "id",
+      morKeys = Seq("id")), probe)
+    assert(morGot.as[(Long, String)].collect().toSet ==
+      Set((120L, "v120"), (125L, "upd"), (99999L, "new")),
+      "update wins, tombstone drops, overlay insert surfaces for its probe id")
+    assert(morGot.inputFiles.filterNot(_.contains("/_deltas/")).length <= 3,
+      "base files still skipped under outstanding overlays")
+    // guards: bounded probe set; missing bloom column
+    val big = intercept[GraftException] {
+      read(new BloomPrunedSourceNode(root, inCol = "id", morKeys = Seq("id"),
+        maxIds = 2L), probe)
+    }
+    assert(big.getMessage.contains("maxIds"))
+    val noBloom = intercept[IllegalArgumentException] {
+      read(new BloomPrunedSourceNode(root, inCol = "v", morKeys = Seq("id")), probe)
+    }
+    assert(noBloom.getMessage.contains("bloomColumns"))
+  }
+
   test("Z-order layout + two-column file stats: a 2-D range prunes files on BOTH " +
        "dimensions (the claim the ZOrderNode doc makes, now closed end-to-end)") {
     import spark.implicits._
