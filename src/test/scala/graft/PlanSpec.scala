@@ -543,6 +543,28 @@ class PlanSpec extends AnyFunSuite {
     idx.unpersistIndex()
   }
 
+  test("hamming near-dup pairs: ONE cached chunk table feeds both join sides — " +
+       "no per-side recomputation, no count-over-window bucket materialization") {
+    val spark0 = spark
+    import spark0.implicits._
+    val ctx = Ctx(spark)
+    val rows = (1L to 500L).map(i => (i, i * 37L)).toDF("id", "h")
+    val p = planOf(new HammingNearDupNode("id", "h", maxHamming = 3)
+      .transform(ctx, In.single("df" -> rows))("result"))
+    // the cap is groupBy + semi-join, not a full bucket materialization
+    assert(!p.contains("Window"),
+      s"bucket cap must not materialize every bucket through a window:\n$p")
+    // both self-join sides read the SAME cached chunk frame — the explode +
+    // cap pipeline runs once (it lives inside the InMemoryRelation), so the
+    // outer plan carries two scans of one cache and no Generate of its own
+    // (formatted mode numbers each distinct physical op once)
+    assert("""\(\d+\) InMemoryTableScan""".r.findAllIn(p).size == 2,
+      s"expected both pair-join sides to scan one cached chunk table:\n$p")
+    assert(!p.replaceAll("(?s)InMemoryRelation.*", "").contains("Generate"),
+      s"chunk explode must not be recomputed outside the cache:\n$p")
+    spark.catalog.clearCache()
+  }
+
   test("merge-on-read scan: base side anti-joins BROADCAST overlay keys — the base " +
        "is never shuffled per wave; only the overlay-sized window exchanges remain") {
     val spark0 = spark
