@@ -47,6 +47,9 @@ object NodeRegistry {
         p.m.get("bloomExpectedItems").fold(1000000L)(_.toString.toDouble.toLong),
         p.m.get("bloomFpp").fold(0.01)(_.toString.toDouble))
     }
+    register("mor_tail")(p => new MorTailNode(p.str("path"), p.str("format"),
+      p.m.get("maxFilesPerTrigger").collect {
+        case n if n != null => n.toString.toDouble.toInt }))
     register("bloom_pruned_source")(p => new BloomPrunedSourceNode(
       p.str("path"), p.str("inCol"), p.str("format"), p.strs("morKeys"),
       p.intOr("morMaxDeltas", 64),

@@ -508,6 +508,61 @@ class MorSourceNode(val path: String, val keys: Seq[String],
     Map("result" -> MorCdc.read(ctx.spark, path, keys, format, maxDeltas))
 }
 
+/** STREAMING tail of a merge-on-read root — the consumer side MoR was
+  * missing: downstream pipelines (index maintenance, replicas, audits)
+  * subscribe to a published corpus's CHANGE FEED instead of polling batch
+  * reads. The overlay commit protocol already is a durable log — each CDC
+  * wave lands as one atomically-renamed `delta-<id>` dir inside the live
+  * generation — so the tail is a plain file stream over
+  * `<gen>/_deltas/delta-*`: committed overlays surface whole (the rename
+  * makes files appear at once, `.tmp-` debris is hidden by dot-prefix
+  * rules), offsets checkpoint like any file source (exactly-once), and
+  * each change row carries the full payload plus `__mor_deleted` — exactly
+  * the CDC shape `IndexMaintenance.maintainFromStream(deleteCol =
+  * MorCdc.DeletedCol)` consumes, so every index family can maintain itself
+  * straight off a MoR corpus (q187).
+  *
+  * Contract: the tail follows ONE generation's overlay sequence (the one
+  * committed when the stream starts). A compaction folds outstanding
+  * overlays into a new generation and retires the old dir — restart the
+  * tail against the new generation afterwards (consumers that kept their
+  * checkpoint simply see an empty new `_deltas`; rows already absorbed are
+  * never redelivered because absorbed overlay DIRS never reappear).
+  * Ordering across overlays follows file modification time (the file-source
+  * contract) — commit-time order for any real CDC cadence; keys are unique
+  * WITHIN an overlay by construction (normalizeBatch), so intra-overlay
+  * file splits cannot reorder a key's versions.
+  */
+class MorTailNode(val path: String, val format: String = "parquet",
+                  val maxFilesPerTrigger: Option[Int] = None) extends Node {
+  override protected def defaultName: String = "mor_tail"
+  override def persistableOutput: Boolean = false // streaming source
+  val inputs: Seq[graft.dag.Port] = Nil
+  val outputs = Seq(graft.dag.Port("result"))
+  override def jsonKind: Option[String] = Some("mor_tail")
+  override def jsonParams: Map[String, Any] =
+    Map("path" -> path, "format" -> format,
+      "maxFilesPerTrigger" -> maxFilesPerTrigger.orNull)
+  override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
+    val spark = ctx.spark
+    if (AtomicPublish.currentGen(spark, path).isEmpty)
+      throw new GraftException(
+        s"mor_tail '$name': $path is not a published dataset — the tail " +
+          "follows the committed generation's overlay log")
+    val gen = AtomicPublish.resolve(spark, path)
+    // change rows = base payload + the tombstone flag (normalizeBatch shape)
+    val schema = spark.read.format(format).load(gen).schema
+      .add(MorCdc.DeletedCol, org.apache.spark.sql.types.BooleanType)
+    // the overlay dir may not exist before the first wave — an empty tail
+    // is a valid subscription, not an error
+    val deltas = new org.apache.hadoop.fs.Path(s"$gen/_deltas")
+    deltas.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(deltas)
+    val reader = spark.readStream.schema(schema).format(format)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    Map("result" -> reader.load(s"$gen/_deltas/delta-*"))
+  }
+}
+
 object IndexMaintenance {
   /** Drive `idx.updateIndex` (and, with `deleteCol`, `idx.deleteFromIndex`)
     * from a streaming delta, one micro-batch at a time. Returns the started

@@ -3108,6 +3108,60 @@ object Advanced {
       |FROM documents WHERE doc_id % 83 = 7
       |ORDER BY doc_id""".stripMargin
 
+  // ---- q187: STREAMING TAIL of a merge-on-read corpus — the consumer
+  // side MoR was missing (r12 gap #4): downstream pipelines subscribe to a
+  // published corpus's change feed instead of polling batch reads. The
+  // overlay commit protocol IS a durable log (one atomically-renamed
+  // delta dir per CDC wave), so MorTailNode is a file stream over
+  // `gen-N/_deltas/delta-*` — committed overlays surface whole, offsets
+  // checkpoint, and each row is the full payload + tombstone flag,
+  // exactly maintainFromStream's CDC shape. The scenario publishes the
+  // base corpus, commits an insert wave and a takedown wave as
+  // outstanding overlays (two micro-batches under maxFilesPerTrigger=1),
+  // and lets the lexical index maintain itself STRAIGHT OFF THE CORPUS
+  // ROOT. Gate: the served retrieval must be bit-identical to the
+  // from-scratch build over the post-delete corpus — q161's oracle. A
+  // missed wave, a replayed wave, an order flip (delete before its
+  // insert), or a stale-base read all change the hash. ----
+  def q187_mor_tail_index_maintenance(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Queries.run(spark) { d =>
+      d.add(SourceNode.table(dir, "documents")) >> d.output("result")
+    }
+    val ctx = Ctx(spark)
+    val work = java.nio.file.Files.createTempDirectory("graft_q187_")
+    work.toFile.deleteOnExit()
+    val root = s"$work/docs_mor"
+    Queries.run(spark) { d =>
+      d.add(SourceNode.table(dir, "documents")) >>
+        FilterNode("doc_id % 5 != 0") >> ProjectNode("doc_id", "text") >>
+        new SinkNode(root, atomicPublish = true) >> d.output("result")
+    }
+    val idx = new InvertedIndexNode(k = 5, maxDfFrac = 0.79)
+    idx.fit(ctx, In.single("corpus" -> Queries.run(spark) { d =>
+      d.add(new MorSourceNode(root, keys = Seq("doc_id"))) >> d.output("result")
+    }))
+    // wave 1: inserts; wave 2: takedowns — O(delta) overlay commits
+    AtomicPublish.publishDelta(spark, root, 1L, { t =>
+      docs.filter("doc_id % 5 = 0")
+        .selectExpr("doc_id", "text", s"false as ${MorCdc.DeletedCol}")
+        .coalesce(1).write.parquet(t)
+    })
+    AtomicPublish.publishDelta(spark, root, 2L, { t =>
+      docs.filter("doc_id % 7 = 0")
+        .selectExpr("doc_id", "'' as text", s"true as ${MorCdc.DeletedCol}")
+        .coalesce(1).write.parquet(t)
+    })
+    // the index subscribes to the corpus's change feed
+    val tail = new MorTailNode(root, maxFilesPerTrigger = Some(1))
+      .transform(ctx, In.empty)("result")
+    IndexMaintenance.maintainFromStream(idx, ctx, tail,
+      checkpoint = Some(s"$work/ckpt"), deleteCol = Some(MorCdc.DeletedCol))
+    val queries = docs.filter(queryBatchPred)
+      .selectExpr("doc_id as query_id", "text")
+    idx.transform(ctx, In.single("queries" -> queries))("result")
+      .orderBy("query_id", "rank")
+  }
+
   // ---- q176: VACUUM — storage hygiene for published roots. Crashes leave
   // debris readers never see (a publish killed before its manifest swap
   // leaves a full dangling generation; a killed swap leaves a manifest
@@ -3515,5 +3569,6 @@ object Advanced {
     ("q184_simhash_index_day2", q184_simhash_index_day2 _, q178Sql),
     ("q185_mor_stats_pruned", q185_mor_stats_pruned _, q185Sql),
     ("q186_bloom_point_lookup", q186_bloom_point_lookup _, q186Sql),
+    ("q187_mor_tail_index_maintenance", q187_mor_tail_index_maintenance _, q161Sql),
   )
 }

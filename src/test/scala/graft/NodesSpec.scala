@@ -3094,6 +3094,62 @@ class NodesSpec extends AnyFunSuite {
     assert(noBloom.getMessage.contains("bloomColumns"))
   }
 
+  test("MorTailNode: committed overlays stream exactly-once in commit order; " +
+       "tmp debris invisible; replaying the feed reproduces the resolved view") {
+    import spark.implicits._
+    val c = Ctx(spark)
+    val work = java.nio.file.Files.createTempDirectory("graft_mortail_spec").toString
+    val root = s"$work/ds"
+    val base = (1L to 100L).map(i => (i, s"v$i")).toDF("id", "v")
+    new SinkNode(root, atomicPublish = true).transform(c, In.single("df" -> base))
+    AtomicPublish.publishDelta(spark, root, 1L, { t =>
+      Seq((5L, "upd", false), (7L, "gone", true))
+        .toDF("id", "v", MorCdc.DeletedCol).coalesce(1).write.parquet(t)
+    })
+    AtomicPublish.publishDelta(spark, root, 2L, { t =>
+      Seq((500L, "new", false), (5L, "upd2", false))
+        .toDF("id", "v", MorCdc.DeletedCol).coalesce(1).write.parquet(t)
+    })
+    // crash debris must never surface in the feed
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val junk = new org.apache.hadoop.fs.Path(s"$root/gen-1/_deltas/.tmp-9")
+    Seq((999L, "junk", false)).toDF("id", "v", MorCdc.DeletedCol)
+      .write.mode("overwrite").parquet(junk.toString)
+    assert(fs.exists(junk))
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Set[(Long, String, Boolean)])]()
+    def drain(ckpt: String): Unit = {
+      val tail = new MorTailNode(root, maxFilesPerTrigger = Some(1))
+        .transform(c, In.empty)("result")
+      val q = tail.writeStream
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          batches.add((id, b.as[(Long, String, Boolean)].collect().toSet)); ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain(s"$work/ckpt")
+    val got = batches.toArray(Array.empty[(Long, Set[(Long, String, Boolean)])]).toSeq
+    assert(got.size == 2, s"two overlay commits must arrive as two batches, got $got")
+    assert(got(0)._2 == Set((5L, "upd", false), (7L, "gone", true)),
+      "first wave first — commit order")
+    assert(got(1)._2 == Set((500L, "new", false), (5L, "upd2", false)))
+    // exactly-once: a checkpointed re-drain redelivers nothing
+    batches.clear()
+    drain(s"$work/ckpt")
+    assert(batches.isEmpty, "checkpointed tail must not redeliver absorbed overlays")
+    // applying the feed over the base reproduces the resolved MoR view
+    val all = got.flatMap { case (id, rows) => rows.map(r => (id, r)) }
+    val lastPerKey = all.groupBy(_._2._1).map { case (_, vs) => vs.maxBy(_._1)._2 }
+    val applied = base.as[(Long, String)].collect().toSet
+      .filterNot(r => lastPerKey.exists(_._1 == r._1)) ++
+      lastPerKey.filterNot(_._3).map(r => (r._1, r._2))
+    val resolved = new MorSourceNode(root, keys = Seq("id"))
+      .transform(c, In.empty)("result").as[(Long, String)].collect().toSet
+    assert(applied == resolved, "the change feed must reconstruct the live view")
+  }
+
   test("Z-order layout + two-column file stats: a 2-D range prunes files on BOTH " +
        "dimensions (the claim the ZOrderNode doc makes, now closed end-to-end)") {
     import spark.implicits._
