@@ -57,3 +57,52 @@ object MortonInterleave {
   /** a's bits land in even positions, b's in odd. */
   def interleave(a: Long, b: Long): Long = spread(a) | (spread(b) << 1)
 }
+
+/** Codegen'd 3-D Morton code: interleave the low 21 bits of three longs
+  * into one POSITIVE 63-bit key (21 x 3 = 63 keeps the sign bit clear) —
+  * the third stats dimension `ZOrderNode` previously could not lay out
+  * (tenant x time x shard is the canonical 100 TB shape). Same mask-shift
+  * cascade family as [[MortonInterleave]] (the standard 3-way Morton
+  * magic constants); pure integer ops, mirrorable bit-for-bit by any
+  * external oracle.
+  */
+case class Morton3Interleave(first: Expression, second: Expression, third: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (children.forall(_.dataType == LongType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"morton3 needs (bigint, bigint, bigint), got ${children.map(_.dataType).mkString(" / ")}")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "morton3"
+
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    Morton3Interleave.interleave3(
+      a.asInstanceOf[Long], b.asInstanceOf[Long], c.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, c) =>
+      s"${ev.value} = graft.functions.Morton3Interleave.interleave3($a, $b, $c);")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+object Morton3Interleave {
+  /** Spread the low 21 bits of v (two zero bits between each). */
+  def spread3(v: Long): Long = {
+    var x = v & 0x1FFFFFL
+    x = (x | (x << 32)) & 0x001F00000000FFFFL
+    x = (x | (x << 16)) & 0x001F0000FF0000FFL
+    x = (x | (x << 8))  & 0x100F00F00F00F00FL
+    x = (x | (x << 4))  & 0x10C30C30C30C30C3L
+    x = (x | (x << 2))  & 0x1249249249249249L
+    x
+  }
+  /** a's bits land at positions ≡ 0 (mod 3), b's ≡ 1, c's ≡ 2. */
+  def interleave3(a: Long, b: Long, c: Long): Long =
+    spread3(a) | (spread3(b) << 1) | (spread3(c) << 2)
+}

@@ -162,6 +162,8 @@ object VecFunctions {
       "bpe_encode", exprs => BpeEncode(exprs(0), strLit(exprs(1)).split('\n').toSeq), "scala_udf")
     reg.createOrReplaceTempFunction(
       "morton2", exprs => MortonInterleave(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "morton3", exprs => Morton3Interleave(exprs(0), exprs(1), exprs(2)), "scala_udf")
   }
   private[functions] def strLit(e: Expression): String =
     e.eval(null) match {
@@ -223,5 +225,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("morton2"),
       new ExpressionInfo(classOf[MortonInterleave].getName, "morton2"),
       (exprs: Seq[Expression]) => MortonInterleave(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("morton3"),
+      new ExpressionInfo(classOf[Morton3Interleave].getName, "morton3"),
+      (exprs: Seq[Expression]) => Morton3Interleave(exprs(0), exprs(1), exprs(2))))
   }
 }

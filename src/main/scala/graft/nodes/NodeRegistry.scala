@@ -292,7 +292,8 @@ object NodeRegistry {
     register("compact_log")(p => new CompactLogNode(p.strs("keys"),
       p.str("orderCol"), p.strs("tieBreakCols"), p.str("mode")))
     register("zorder")(p => new ZOrderNode(p.str("colA"), p.str("colB"),
-      p.str("outCol"), p.strOpt("partitions").map(_.toInt), p.boolOr("keepKey", true)))
+      p.str("outCol"), p.strOpt("partitions").map(_.toInt), p.boolOr("keepKey", true),
+      p.strOpt("colC")))
     register("group_ema")(p => new GroupEmaNode(p.strs("keyCols"), p.str("orderExpr"),
       p.str("tieExpr"), p.str("valueExpr"), p.int("alphaPct"), p.str("outCol")))
     register("histogram")(p => new HistogramNode(p.str("valueExpr"),

@@ -1619,7 +1619,10 @@ class ZOrderNode(
     val colB: String,
     val outCol: String = "zkey",
     val partitions: Option[Int] = None,
-    val keepKey: Boolean = true)
+    val keepKey: Boolean = true,
+    // third clustering dimension (morton3: 21 bits per dim, 63-bit key) —
+    // the tenant x time x shard layout; None keeps the 2-D morton2 path
+    val colC: Option[String] = None)
   extends Node {
   override protected def defaultName: String = "zorder"
   val inputs = Seq(Port("df"))
@@ -1627,13 +1630,17 @@ class ZOrderNode(
   override def jsonKind: Option[String] = Some("zorder")
   override def jsonParams: Map[String, Any] = Map("colA" -> colA, "colB" -> colB,
     "outCol" -> outCol, "partitions" -> partitions.map(_.toString).orNull,
-    "keepKey" -> keepKey)
+    "keepKey" -> keepKey, "colC" -> colC.orNull)
 
   override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
     graft.functions.VecFunctions.register(ctx.spark)
     graft.functions.VecFunctions.register(in("df").sparkSession)
-    val keyed = in("df").withColumn(outCol,
-      expr(s"morton2(cast($colA as bigint), cast($colB as bigint))"))
+    val keyExpr = colC match {
+      case Some(c) =>
+        s"morton3(cast($colA as bigint), cast($colB as bigint), cast($c as bigint))"
+      case None => s"morton2(cast($colA as bigint), cast($colB as bigint))"
+    }
+    val keyed = in("df").withColumn(outCol, expr(keyExpr))
     val ranged = partitions match {
       case Some(n) => keyed.repartitionByRange(n, col(outCol))
       case None    => keyed.repartitionByRange(col(outCol))

@@ -3162,6 +3162,65 @@ object Advanced {
       .orderBy("query_id", "rank")
   }
 
+  // ---- q188: 3-D Z-ORDER layout + three-column stats pruning — the r12
+  // minor gap (`morton2` was 2-D only, so a third clustering dimension got
+  // no layout help; tenant x time x shard is the canonical 100 TB shape).
+  // The publish lays lineitem out on morton3(l_orderkey, l_partkey,
+  // l_suppkey) (codegen'd 21-bits/dim interleave, positive 63-bit key)
+  // with min/max file stats on all three columns; the read is a
+  // ~0.7%-selective 3-D box through StatsPrunedSourceNode, which prunes
+  // files on ALL THREE dimensions (the z-curve preserves locality in each)
+  // and re-applies the predicate to rows, so the hash is
+  // layout-independent. Bounds are derived from max() with
+  // floor()-then-cast arithmetic that evaluates identically in Spark and
+  // DuckDB (plain CAST of a fractional double rounds in DuckDB but
+  // truncates in Spark), keeping selectivity stable across scale factors.
+  // NodesSpec pins the actual file-skipping payoff on a 16x16x16 grid. ----
+  def q188_zorder3_box(spark: SparkSession, dir: String): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("graft_q188_")
+    work.toFile.deleteOnExit()
+    val root = s"$work/lineitem_z3"
+    Queries.run(spark) { d =>
+      d.add(SourceNode.table(dir, "lineitem")) >>
+        ProjectNode("l_orderkey", "l_partkey", "l_suppkey", "l_quantity") >>
+        new ZOrderNode("l_orderkey", "l_partkey", partitions = Some(16),
+          keepKey = false, colC = Some("l_suppkey")) >>
+        new SinkNode(root, atomicPublish = true,
+          statsColumns = Seq("l_orderkey", "l_partkey", "l_suppkey")) >>
+        d.output("result")
+    }
+    val b = Queries.run(spark) { d =>
+      d.add(SourceNode.table(dir, "lineitem")) >>
+        AggNode(Nil,
+          "cast(floor(max(l_orderkey)/4.0) as bigint) as lo1",
+          "cast(floor(max(l_orderkey)/4.0 + max(l_orderkey)/10.0) as bigint) as hi1",
+          "cast(floor(max(l_partkey)/5.0) as bigint) as hi2",
+          "cast(floor(max(l_suppkey)/3.0) as bigint) as hi3") >>
+        d.output("result")
+    }.head()
+    Queries.run(spark) { d =>
+      d.add(new StatsPrunedSourceNode(root,
+        pruneCols = Seq("l_orderkey", "l_partkey", "l_suppkey"),
+        pruneLos = Seq(Some(b.getLong(0).toString), Some("0"), Some("0")),
+        pruneHis = Seq(Some(b.getLong(1).toString), Some(b.getLong(2).toString),
+          Some(b.getLong(3).toString)))) >>
+        SortNode("l_orderkey", "l_partkey", "l_suppkey", "l_quantity") >>
+        d.output("result")
+    }
+  }
+  val q188Sql: String =
+    """SELECT l_orderkey, l_partkey, l_suppkey, l_quantity
+      |FROM lineitem,
+      |  (SELECT CAST(floor(max(l_orderkey)/4.0) AS BIGINT) AS lo1,
+      |          CAST(floor(max(l_orderkey)/4.0 + max(l_orderkey)/10.0) AS BIGINT) AS hi1,
+      |          CAST(floor(max(l_partkey)/5.0) AS BIGINT) AS hi2,
+      |          CAST(floor(max(l_suppkey)/3.0) AS BIGINT) AS hi3
+      |   FROM lineitem) b
+      |WHERE l_orderkey BETWEEN b.lo1 AND b.hi1
+      |  AND l_partkey BETWEEN 0 AND b.hi2
+      |  AND l_suppkey BETWEEN 0 AND b.hi3
+      |ORDER BY l_orderkey, l_partkey, l_suppkey, l_quantity""".stripMargin
+
   // ---- q176: VACUUM — storage hygiene for published roots. Crashes leave
   // debris readers never see (a publish killed before its manifest swap
   // leaves a full dangling generation; a killed swap leaves a manifest
@@ -3570,5 +3629,6 @@ object Advanced {
     ("q185_mor_stats_pruned", q185_mor_stats_pruned _, q185Sql),
     ("q186_bloom_point_lookup", q186_bloom_point_lookup _, q186Sql),
     ("q187_mor_tail_index_maintenance", q187_mor_tail_index_maintenance _, q161Sql),
+    ("q188_zorder3_box", q188_zorder3_box _, q188Sql),
   )
 }

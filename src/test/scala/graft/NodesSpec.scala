@@ -1775,6 +1775,71 @@ class NodesSpec extends AnyFunSuite {
     assert(!dropped.columns.contains("zkey") && dropped.count() == 2)
   }
 
+  test("ZOrderNode colC: morton3 interleaves three dims exactly (21 bits each, " +
+       "positive 63-bit key); hand-computed pins; codegen agrees with the kernel") {
+    graft.functions.VecFunctions.register(spark)
+    // bit i of dim1 -> position 3i; dim2 -> 3i+1; dim3 -> 3i+2:
+    // morton3(3,1,1) = (0b1001) | (1<<1) | (1<<2) = 15
+    // morton3(1,1,1) = 1 | 2 | 4 = 7;  morton3(4,2,1) = 64 | 16 | 4 = 84
+    val pins = spark.sql(
+      "select morton3(3L,1L,1L) as a, morton3(1L,1L,1L) as b, morton3(4L,2L,1L) as c")
+      .as[(Long, Long, Long)].head()
+    assert(pins == ((15L, 7L, 84L)))
+    // full 21-bit range stays positive and round-trips through the kernel
+    val big = spark.sql("select morton3(2097151L, 2097151L, 2097151L) as z")
+      .as[Long].head()
+    assert(big == graft.functions.Morton3Interleave.interleave3(2097151L, 2097151L, 2097151L))
+    assert(big > 0L && big == 0x7FFFFFFFFFFFFFFFL,
+      "all-ones 21-bit inputs must fill exactly 63 bits")
+    val df3 = Seq((1L, 10L, 5L), (2L, 20L, 6L)).toDF("x", "y", "t")
+    val kept = runOne { d =>
+      d.add(srcNode(df3)) >>
+        new ZOrderNode("x", "y", partitions = Some(2), colC = Some("t")) >>
+        d.output("result")
+    }
+    assert(kept.columns.contains("zkey") && kept.count() == 2)
+  }
+
+  test("3-D Z-order layout + three-column file stats: a 3-D box prunes files on " +
+       "ALL THREE dimensions") {
+    import spark.implicits._
+    val c = Ctx(spark)
+    val work = java.nio.file.Files.createTempDirectory("graft_z3stats_spec").toString
+    val root = s"$work/ds"
+    // 16x16x16 grid; morton3 clustering puts 3-D neighborhoods in the same
+    // files, so min/max stats are selective on x AND y AND t
+    val grid = (for (x <- 0L until 16L; y <- 0L until 16L; t <- 0L until 16L)
+      yield (x, y, t, x * 256 + y * 16 + t)).toDF("x", "y", "t", "payload")
+    runOne { d =>
+      d.add(srcNode(grid)) >>
+        new ZOrderNode("x", "y", partitions = Some(16), keepKey = false,
+          colC = Some("t")) >>
+        new SinkNode(root, atomicPublish = true, statsColumns = Seq("x", "y", "t")) >>
+        d.output("result")
+    }
+    val all = new SourceNode(root).transform(c, In.empty)("result")
+    assert(all.inputFiles.length == 16)
+    // a 4x4x4 box (64 of 4096 points): a 3-D layout holds it in O(1) files
+    val boxed = new StatsPrunedSourceNode(root, pruneCols = Seq("x", "y", "t"),
+      pruneLos = Seq(Some("4"), Some("8"), Some("4")),
+      pruneHis = Seq(Some("7"), Some("11"), Some("7")))
+      .transform(c, In.empty)("result")
+    assert(boxed.count() == 64)
+    assert(boxed.inputFiles.length <= 4,
+      s"a 1.6%-selective 3-D box over a morton3 layout must prune most of " +
+        s"16 files, opened ${boxed.inputFiles.length}")
+    // each SINGLE-dimension slab also prunes (the z-curve preserves
+    // locality in every dimension, not just the leading one)
+    Seq("x", "y", "t").foreach { dim =>
+      val slab = new StatsPrunedSourceNode(root, pruneCols = Seq(dim),
+        pruneLos = Seq(Some("0")), pruneHis = Seq(Some("3")))
+        .transform(c, In.empty)("result")
+      assert(slab.count() == 1024)
+      assert(slab.inputFiles.length < 16,
+        s"$dim-slab must skip at least some files, opened ${slab.inputFiles.length}")
+    }
+  }
+
   test("GroupEmaNode: integer EMA recurrence per key, order + tie respected, floorDiv on negatives") {
     val rows = Seq(
       (1L, 1L, 10L, 100L), (1L, 2L, 20L, 200L), (1L, 3L, 30L, -100L),
