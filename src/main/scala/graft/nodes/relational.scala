@@ -239,12 +239,22 @@ private[graft] object AtomicPublish {
     val fs = rootP.getFileSystem(conf(spark))
     fs.mkdirs(rootP)
     val claim = new Path(rootP, s"$ClaimPrefix$next")
-    // createNewFile: atomic put-if-absent (POSIX O_CREAT|O_EXCL locally,
-    // create-no-overwrite on HDFS) — the loser of a same-instant race gets
-    // `false`, not a torn token
+    // atomic put-if-absent. Hadoop's FileSystem.createNewFile is
+    // exists-then-create on the local filesystem (TOCTOU — two same-instant
+    // claimants can BOTH win, observed in the NodesSpec race drill), so the
+    // file scheme goes through java.io.File.createNewFile (O_CREAT|O_EXCL,
+    // kernel-atomic); other schemes use create-no-overwrite, which HDFS
+    // resolves atomically at the namenode
     val claimed =
-      try fs.createNewFile(claim)
-      catch { case _: java.io.IOException => false }
+      if ("file" == fs.getUri.getScheme) {
+        val local = new java.io.File(claim.toUri.getPath)
+        local.getParentFile.mkdirs()
+        try local.createNewFile()
+        catch { case _: java.io.IOException => false }
+      } else {
+        try { fs.create(claim, false).close(); true }
+        catch { case _: java.io.IOException => false }
+      }
     if (!claimed)
       throw new graft.dag.GraftException(
         s"AtomicPublish: lost the publish race for gen-$next at $root — " +

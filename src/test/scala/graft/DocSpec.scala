@@ -187,6 +187,58 @@ class DocSpec extends AnyFunSuite {
     assert(new SourceNode(root).transform(Ctx(spark), In.empty)("result").count() == 100L)
   }
 
+  test("README round-13 lakehouse example runs") {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_doc_r13_")
+    val root = s"$tmp/corpus"
+    val ctx = Ctx(spark)
+    val docs = (1L to 100L).map(i => (i, s"doc number $i")).toDF("doc_id", "text")
+    // publish with range layout + min/max stats + per-file blooms
+    val p = new Dag("publish")
+    p.input("docs") >> new RepartitionNode(4, Seq("doc_id"), range = true) >>
+      new SinkNode(root, atomicPublish = true, statsColumns = Seq("doc_id"),
+        bloomColumns = Seq("doc_id"), bloomExpectedItems = 1000L) >>
+      p.output("published")
+    p.transform(ctx, Map("docs" -> docs))
+    // one outstanding CDC wave (upsert + tombstone) as an overlay
+    AtomicPublish.publishDelta(spark, root, 0L, { t =>
+      Seq((35L, "doc number 35 v2", false), (36L, "", true))
+        .toDF("doc_id", "text", MorCdc.DeletedCol).coalesce(1).write.parquet(t)
+    })
+    // 1. stats-pruned read COMPOSES with the outstanding overlay
+    val pruned = new StatsPrunedSourceNode(root, pruneCols = Seq("doc_id"),
+      pruneLos = Seq(Some("30")), pruneHis = Seq(Some("40")),
+      morKeys = Seq("doc_id")).transform(ctx, In.empty)("result")
+    assert(pruned.inputFiles.count(!_.contains("/_deltas/")) < 4)
+    assert(pruned.count() == 10L) // 11 in range, one tombstoned
+    assert(pruned.filter("doc_id = 35").select("text").as[String].head()
+      == "doc number 35 v2")
+    // 2. bloom point lookup: probe ids, open only might-contain files
+    val probe = Seq(10L, 35L, 36L, 9999L).toDF("doc_id")
+    val hits = new BloomPrunedSourceNode(root, inCol = "doc_id",
+      morKeys = Seq("doc_id")).transform(ctx, In.single("ids" -> probe))("result")
+    assert(hits.select("doc_id").as[Long].collect().toSet == Set(10L, 35L))
+    // 3. change-feed subscription: the lexical index maintains itself
+    //    straight off the published root
+    val idx = new InvertedIndexNode(k = 5, maxDfFrac = 1.0)
+    idx.fit(ctx, In.single("corpus" ->
+      new SourceNode(root).transform(ctx, In.empty)("result")))
+    val tail = new MorTailNode(root).transform(ctx, In.empty)("result")
+    IndexMaintenance.maintainFromStream(idx, ctx, tail,
+      checkpoint = Some(s"$tmp/ckpt"), deleteCol = Some(MorCdc.DeletedCol))
+    assert(idx.model.get.nDocs == 99L) // 100 base, 36 deleted, 35 replaced
+    // 4. racing publishers: one winner, loser raises
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(new java.io.File(s"$root/${AtomicPublish.ClaimPrefix}2").createNewFile())
+    intercept[GraftException] {
+      AtomicPublish.publish(spark, root, { t => docs.write.parquet(t) })
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/${AtomicPublish.ClaimPrefix}2"), false)
+    idx.unpersistIndex()
+  }
+
   test("README takedown example runs") {
     val spark = SparkFixture.spark
     import spark.implicits._
