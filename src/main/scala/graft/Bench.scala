@@ -61,6 +61,22 @@ object Bench {
         .transform(graft.dag.Ctx(spark),
           graft.dag.In.single("pairs" -> cc))("result").count()
     } catch { case _: Throwable => } // warmup is best-effort
+    // IVF warmup: q143 was the driver's worst cold entry (79 s cold vs
+    // 3 s kept) — its first touch pays kmeans fit machinery, the
+    // broadcast-centroid probe dispatch, and vec-kernel codegen over a
+    // persisted inverted file. A 64-vector toy index initializes all of
+    // it, untimed.
+    try {
+      val ctx = graft.dag.Ctx(spark)
+      val emb = spark.range(64).selectExpr("id as vec_id",
+        "array(cast(id % 7 as float), cast(id % 5 as float)) as embedding")
+      val ivf = new graft.nodes.IvfIndexNode(k = 3, nClusters = 2, nProbe = 1,
+        maxLiteralCentroids = 0)
+      ivf.fit(ctx, graft.dag.In.single("corpus" -> emb))
+      ivf.transform(ctx, graft.dag.In.single("queries" ->
+        emb.limit(4).selectExpr("vec_id as query_id", "embedding")))("result").count()
+      ivf.unpersistIndex()
+    } catch { case _: Throwable => } // warmup is best-effort
     // streaming warmup: state-store + micro-batch machinery init is ~1-2 s of
     // one-time cost that otherwise lands on the first timed stream query;
     // skipped when the filtered set times no streaming query, temp dir removed
