@@ -522,19 +522,39 @@ class MorSourceNode(val path: String, val keys: Seq[String],
   * MorCdc.DeletedCol)` consumes, so every index family can maintain itself
   * straight off a MoR corpus (q187).
   *
-  * Contract: the tail follows ONE generation's overlay sequence (the one
-  * committed when the stream starts). A compaction folds outstanding
-  * overlays into a new generation and retires the old dir — restart the
-  * tail against the new generation afterwards (consumers that kept their
-  * checkpoint simply see an empty new `_deltas`; rows already absorbed are
-  * never redelivered because absorbed overlay DIRS never reappear).
+  * Contract: by default the tail follows ONE generation's overlay sequence
+  * (the one committed when the stream starts). A compaction folds
+  * outstanding overlays into a new generation and retires the old dir —
+  * restart the tail against the new generation afterwards (consumers that
+  * kept their checkpoint simply see an empty new `_deltas`; rows already
+  * absorbed are never redelivered because absorbed overlay DIRS never
+  * reappear).
+  *
+  * `followCompactions = true` lifts the restart requirement: the stream
+  * globs `gen-*`/_deltas across generations, so when a compaction publishes
+  * gen-(N+1) the SAME running query keeps consuming the new generation's
+  * overlays with no restart and no redelivery. This is change-feed
+  * consistent because the fold introduces nothing new — gen-(N+1)'s base is
+  * exactly gen-N's base ⊕ gen-N's overlays, all of which the tail already
+  * delivered — so `base(startGen) ⊕ every delivered overlay` remains the
+  * live resolved view across any number of folds. Overlay dirs of
+  * generations RETIRED before the stream started are filtered out by
+  * generation number (their content is already inside the start base);
+  * the filter is a plan-level predicate on `input_file_name()`, so the
+  * skipped files cost one delta-sized read at most once. Retention bound:
+  * `AtomicPublish.publish` deletes gen-(cur-1) when committing gen-(cur+1),
+  * so a follower must stay within two generations of the head (the
+  * standard retention-vs-subscriber contract; size `compactEvery` × the
+  * CDC cadence accordingly).
+  *
   * Ordering across overlays follows file modification time (the file-source
   * contract) — commit-time order for any real CDC cadence; keys are unique
   * WITHIN an overlay by construction (normalizeBatch), so intra-overlay
   * file splits cannot reorder a key's versions.
   */
 class MorTailNode(val path: String, val format: String = "parquet",
-                  val maxFilesPerTrigger: Option[Int] = None) extends Node {
+                  val maxFilesPerTrigger: Option[Int] = None,
+                  val followCompactions: Boolean = false) extends Node {
   override protected def defaultName: String = "mor_tail"
   override def persistableOutput: Boolean = false // streaming source
   val inputs: Seq[graft.dag.Port] = Nil
@@ -542,13 +562,15 @@ class MorTailNode(val path: String, val format: String = "parquet",
   override def jsonKind: Option[String] = Some("mor_tail")
   override def jsonParams: Map[String, Any] =
     Map("path" -> path, "format" -> format,
-      "maxFilesPerTrigger" -> maxFilesPerTrigger.orNull)
+      "maxFilesPerTrigger" -> maxFilesPerTrigger.orNull,
+      "followCompactions" -> followCompactions)
   override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
+    import org.apache.spark.sql.functions.{col, input_file_name, regexp_extract}
     val spark = ctx.spark
-    if (AtomicPublish.currentGen(spark, path).isEmpty)
+    val startGen = AtomicPublish.currentGen(spark, path).getOrElse(
       throw new GraftException(
         s"mor_tail '$name': $path is not a published dataset — the tail " +
-          "follows the committed generation's overlay log")
+          "follows the committed generation's overlay log"))
     val gen = AtomicPublish.resolve(spark, path)
     // change rows = base payload + the tombstone flag (normalizeBatch shape)
     val schema = spark.read.format(format).load(gen).schema
@@ -559,7 +581,16 @@ class MorTailNode(val path: String, val format: String = "parquet",
     deltas.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(deltas)
     val reader = spark.readStream.schema(schema).format(format)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-    Map("result" -> reader.load(s"$gen/_deltas/delta-*"))
+    val feed =
+      if (!followCompactions) reader.load(s"$gen/_deltas/delta-*")
+      else
+        // cross-generation glob; drop overlays of generations retired
+        // BEFORE this subscription started (already folded into the start
+        // base). The predicate is evaluated in-plan per file, no state.
+        reader.load(s"$path/gen-*/_deltas/delta-*").where(
+          regexp_extract(input_file_name(), "/gen-(\\d+)/_deltas/", 1)
+            .cast("long") >= startGen)
+    Map("result" -> feed)
   }
 }
 

@@ -3221,6 +3221,58 @@ object Advanced {
       |  AND l_suppkey BETWEEN 0 AND b.hi3
       |ORDER BY l_orderkey, l_partkey, l_suppkey, l_quantity""".stripMargin
 
+  // ---- q189: the q187 change-feed subscription SURVIVES A COMPACTION —
+  // MorTailNode(followCompactions = true) closes the tail's one documented
+  // restart requirement. The subscription is created against gen-1 (base
+  // only); wave 1 (inserts) is committed, a compaction folds it into
+  // gen-2, and wave 2 (takedowns) lands in the NEW generation's overlay
+  // log — one stream, one checkpoint, two micro-batches spanning the fold.
+  // Consistency argument: the fold introduces nothing (gen-2's base =
+  // gen-1's base ⊕ wave 1, which the tail already carries), so the served
+  // index must be bit-identical to the from-scratch build over the
+  // post-delete corpus — q161's oracle, same as q187. A redelivered wave
+  // (fold re-read), a missed post-fold wave (single-generation glob), or
+  // replaying the RETIRED generation's overlay dir would all change the
+  // hash. ----
+  def q189_mor_tail_across_compaction(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Queries.run(spark) { d =>
+      d.add(SourceNode.table(dir, "documents")) >> d.output("result")
+    }
+    val ctx = Ctx(spark)
+    val work = java.nio.file.Files.createTempDirectory("graft_q189_")
+    work.toFile.deleteOnExit()
+    val root = s"$work/docs_mor"
+    Queries.run(spark) { d =>
+      d.add(SourceNode.table(dir, "documents")) >>
+        FilterNode("doc_id % 5 != 0") >> ProjectNode("doc_id", "text") >>
+        new SinkNode(root, atomicPublish = true) >> d.output("result")
+    }
+    val idx = new InvertedIndexNode(k = 5, maxDfFrac = 0.79)
+    idx.fit(ctx, In.single("corpus" -> Queries.run(spark) { d =>
+      d.add(new MorSourceNode(root, keys = Seq("doc_id"))) >> d.output("result")
+    }))
+    // SUBSCRIBE FIRST (startGen = 1), so the feed spans the fold below
+    val tail = new MorTailNode(root, maxFilesPerTrigger = Some(1),
+      followCompactions = true).transform(ctx, In.empty)("result")
+    AtomicPublish.publishDelta(spark, root, 1L, { t =>
+      docs.filter("doc_id % 5 = 0")
+        .selectExpr("doc_id", "text", s"false as ${MorCdc.DeletedCol}")
+        .coalesce(1).write.parquet(t)
+    })
+    MorCdc.compact(ctx, root, Seq("doc_id"), throughBatch = 1L) // → gen-2
+    AtomicPublish.publishDelta(spark, root, 2L, { t =>
+      docs.filter("doc_id % 7 = 0")
+        .selectExpr("doc_id", "'' as text", s"true as ${MorCdc.DeletedCol}")
+        .coalesce(1).write.parquet(t)
+    })
+    IndexMaintenance.maintainFromStream(idx, ctx, tail,
+      checkpoint = Some(s"$work/ckpt"), deleteCol = Some(MorCdc.DeletedCol))
+    val queries = docs.filter(queryBatchPred)
+      .selectExpr("doc_id as query_id", "text")
+    idx.transform(ctx, In.single("queries" -> queries))("result")
+      .orderBy("query_id", "rank")
+  }
+
   // ---- q176: VACUUM — storage hygiene for published roots. Crashes leave
   // debris readers never see (a publish killed before its manifest swap
   // leaves a full dangling generation; a killed swap leaves a manifest
@@ -3630,5 +3682,6 @@ object Advanced {
     ("q186_bloom_point_lookup", q186_bloom_point_lookup _, q186Sql),
     ("q187_mor_tail_index_maintenance", q187_mor_tail_index_maintenance _, q161Sql),
     ("q188_zorder3_box", q188_zorder3_box _, q188Sql),
+    ("q189_mor_tail_across_compaction", q189_mor_tail_across_compaction _, q161Sql),
   )
 }

@@ -3215,6 +3215,73 @@ class NodesSpec extends AnyFunSuite {
     assert(applied == resolved, "the change feed must reconstruct the live view")
   }
 
+  test("MorTailNode(followCompactions): one subscription survives a compaction " +
+       "fold — new generation's overlays keep flowing, nothing redelivered; a " +
+       "fresh follower skips retired generations' overlay dirs") {
+    import spark.implicits._
+    val c = Ctx(spark)
+    val work = java.nio.file.Files.createTempDirectory("graft_mortail_fc").toString
+    val root = s"$work/ds"
+    val base = (1L to 100L).map(i => (i, s"v$i")).toDF("id", "v")
+    new SinkNode(root, atomicPublish = true).transform(c, In.single("df" -> base))
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Set[(Long, String, Boolean)])]()
+    def drain(ckpt: String): Unit = {
+      val tail = new MorTailNode(root, maxFilesPerTrigger = Some(1),
+        followCompactions = true).transform(c, In.empty)("result")
+      val q = tail.writeStream
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          batches.add((id, b.as[(Long, String, Boolean)].collect().toSet)); ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // wave 1 lands in gen-1; the follower drains it
+    AtomicPublish.publishDelta(spark, root, 1L, { t =>
+      Seq((5L, "upd", false), (7L, "gone", true))
+        .toDF("id", "v", MorCdc.DeletedCol).coalesce(1).write.parquet(t)
+    })
+    drain(s"$work/ckpt")
+    assert(batches.size == 1 &&
+      batches.peek()._2 == Set((5L, "upd", false), (7L, "gone", true)))
+    // a compaction folds gen-1 ⊕ wave 1 into gen-2; wave 2 lands in gen-2.
+    // The SAME subscription (same checkpoint) must keep consuming — only the
+    // new wave, never a refold or a redelivery
+    MorCdc.compact(c, root, Seq("id"), throughBatch = 1L)
+    assert(AtomicPublish.currentGen(spark, root).contains(2L))
+    AtomicPublish.publishDelta(spark, root, 2L, { t =>
+      Seq((500L, "new", false), (5L, "upd2", false))
+        .toDF("id", "v", MorCdc.DeletedCol).coalesce(1).write.parquet(t)
+    })
+    batches.clear()
+    drain(s"$work/ckpt")
+    val crossed = batches.toArray(Array.empty[(Long, Set[(Long, String, Boolean)])]).toSeq
+    assert(crossed.size == 1,
+      s"exactly the post-fold wave must arrive across the compaction, got $crossed")
+    assert(crossed.head._2 == Set((500L, "new", false), (5L, "upd2", false)))
+    // base(start) ⊕ everything delivered == the live resolved view
+    val delivered = Set((5L, "upd", false), (7L, "gone", true)) ++ crossed.head._2
+    val lastPerKey = delivered.groupBy(_._1).map { case (_, vs) =>
+      // upd2 supersedes upd for id 5 — wave order is the delivery order
+      vs.maxBy(v => if (v._2 == "upd") 0 else 1) }
+    val applied = base.as[(Long, String)].collect().toSet
+      .filterNot(r => lastPerKey.exists(_._1 == r._1)) ++
+      lastPerKey.filterNot(_._3).map(r => (r._1, r._2))
+    val resolved = new MorSourceNode(root, keys = Seq("id"))
+      .transform(c, In.empty)("result").as[(Long, String)].collect().toSet
+    assert(applied == resolved, "the cross-fold feed must reconstruct the live view")
+    // a FRESH follower subscribing now (startGen = 2) must skip gen-1's
+    // retired overlay dir — its content is already inside gen-2's base —
+    // and deliver exactly gen-2's outstanding overlay
+    batches.clear()
+    drain(s"$work/ckpt_fresh")
+    val fresh = batches.toArray(Array.empty[(Long, Set[(Long, String, Boolean)])]).toSeq
+    // the retired gen-1 overlay FILE may surface as an empty batch (the
+    // generation filter is row-level); its ROWS must never be delivered
+    assert(fresh.flatMap(_._2).toSet == Set((500L, "new", false), (5L, "upd2", false)),
+      s"a fresh follower must see only the live generation's overlay rows, got $fresh")
+  }
+
   test("Z-order layout + two-column file stats: a 2-D range prunes files on BOTH " +
        "dimensions (the claim the ZOrderNode doc makes, now closed end-to-end)") {
     import spark.implicits._
