@@ -313,6 +313,53 @@ object MorCdc {
 
   val DeletedCol = "__mor_deleted"
 
+  /** Overlay-vs-base schema compatibility — the evolution contract.
+    *
+    * ADDITIVE evolution only: an overlay may CARRY COLUMNS THE BASE LACKS
+    * (a CDC feed that starts shipping a new field mid-corpus — readers see
+    * the new column, pre-evolution rows null-fill, the next compaction
+    * folds it into the base schema), but it must always carry EVERY base
+    * column with the base's type. A missing base column is a partial
+    * payload — null-filling it would corrupt untouched fields of upserted
+    * rows — and a retyped column would make the resolved union ambiguous;
+    * both are refused loudly. `allowNew = false` additionally refuses the
+    * new columns themselves (the write-path default: evolution must be an
+    * explicit operator decision, not a malformed feed slipping through). */
+  private[graft] def checkOverlaySchema(
+      base: org.apache.spark.sql.types.StructType,
+      overlay: org.apache.spark.sql.types.StructType,
+      where: String, allowNew: Boolean): Unit = {
+    val over = overlay.fields.map(f => f.name -> f.dataType).toMap
+    val missing = base.fields.filterNot(f => over.contains(f.name))
+    if (missing.nonEmpty)
+      throw new GraftException(
+        s"$where: CDC overlay is missing base column(s) " +
+          s"${missing.map(_.name).mkString(", ")} — a partial payload would " +
+          "null-fill untouched fields of upserted rows. Ship the full row " +
+          "(schema evolution may only ADD columns)")
+    val retyped = base.fields.filter(f =>
+      over.contains(f.name) && over(f.name) != f.dataType)
+    if (retyped.nonEmpty)
+      throw new GraftException(
+        s"$where: CDC overlay retypes base column(s) " +
+          retyped.map(f => s"${f.name} (${f.dataType.simpleString} -> " +
+            s"${over(f.name).simpleString})").mkString(", ") +
+          " — type changes are not resolvable merge-on-read; cast in the " +
+          "feed or republish the base")
+    if (!allowNew) {
+      val baseNames = base.fieldNames.toSet
+      val extras = overlay.fields.map(_.name)
+        .filterNot(n => baseNames.contains(n) || n == DeletedCol)
+      if (extras.nonEmpty)
+        throw new GraftException(
+          s"$where: CDC overlay adds column(s) ${extras.mkString(", ")} the " +
+            "base does not have — pass allowEvolution = true to evolve the " +
+            "corpus schema additively (readers see the new columns, " +
+            "pre-evolution rows null-fill, the next compaction folds them " +
+            "into the base)")
+    }
+  }
+
   /** One winner per key within a single batch (see class doc). */
   private[graft] def normalizeBatch(batch: DataFrame, merge: MergeNode): DataFrame = {
     val keyCols = merge.keys.map(col)
@@ -373,8 +420,14 @@ object MorCdc {
     if (deltas.isEmpty) base
     else {
       val overlay = deltas.map { case (id, path) =>
-        spark.read.format(format).load(path).withColumn("__seq", lit(id))
-      }.reduce(_ unionByName _)
+        val d = spark.read.format(format).load(path)
+        // read side tolerates committed ADDITIVE evolution (extra columns
+        // surface on the resolved view, base rows null-fill); partial or
+        // retyped overlays are refused — see checkOverlaySchema
+        checkOverlaySchema(base.schema, d.schema,
+          s"MorCdc.read($root, delta-$id)", allowNew = true)
+        d.withColumn("__seq", lit(id))
+      }.reduce(_.unionByName(_, allowMissingColumns = true))
       // newest overlay version of each key wins; __seq is distinct across
       // overlays and keys are unique within one (normalizeBatch), so the
       // window is deterministic
@@ -385,7 +438,7 @@ object MorCdc {
       val kept = base.join(broadcast(overlay.select(keys.map(col): _*).distinct()),
         keys, "left_anti")
       kept.unionByName(winners.filter(!col(DeletedCol))
-        .drop(DeletedCol, "__seq", "__rn"))
+        .drop(DeletedCol, "__seq", "__rn"), allowMissingColumns = true)
     }
   }
 
@@ -417,7 +470,17 @@ object MorCdc {
     * only composes with STABLE batch ids; a checkpoint-less re-invocation
     * renumbers from 0 and would silently skip new waves by position, so it
     * is refused on a root with applied batches unless the caller passes
-    * `positionalReplaySkipOk = true`. */
+    * `positionalReplaySkipOk = true`.
+    *
+    * Schema evolution (`allowEvolution`): a wave whose schema ADDS columns
+    * the base lacks is refused by default and committed when the flag is
+    * set — readers then surface the new columns (pre-evolution rows
+    * null-fill) and the next compaction folds them into the base schema.
+    * Partial payloads (missing base columns) and retyped columns are
+    * always refused ([[checkOverlaySchema]]). A Spark file stream carries
+    * ONE fixed reader schema, so an evolved feed arrives by restarting
+    * `applyStream` with the evolved schema against the SAME checkpoint —
+    * offsets are schema-independent, absorbed waves are not redelivered. */
   def applyStream(
       ctx: Ctx,
       root: String,
@@ -429,7 +492,13 @@ object MorCdc {
       await: Boolean = true,
       format: String = "parquet",
       numericProfiles: Seq[NumericProfileNode.Spec] = Nil,
-      positionalReplaySkipOk: Boolean = false): StreamingQuery = {
+      positionalReplaySkipOk: Boolean = false,
+      allowEvolution: Boolean = false,
+      // auto-compaction skipping manifest + layout (see [[compact]])
+      statsColumns: Seq[String] = Nil,
+      bloomColumns: Seq[String] = Nil,
+      layoutBy: Seq[String] = Nil,
+      layoutPartitions: Option[Int] = None): StreamingQuery = {
     if (!updates.isStreaming)
       throw new GraftException(
         "MorCdc.applyStream needs a streaming updates frame — for a batch delta commit one overlay via AtomicPublish.publishDelta")
@@ -442,18 +511,36 @@ object MorCdc {
           "batches from 0 and the replay guard would skip new waves by " +
           "POSITION (data loss). Pass the original checkpointLocation, or " +
           "acknowledge positional skipping with positionalReplaySkipOk = true")
+    // write-side evolution gate state: the base schema is fixed per
+    // generation, so cache it and re-read only after a fold (one footer
+    // read per generation, not a per-batch listing)
+    var schemaGen = -1L
+    var baseSchema: org.apache.spark.sql.types.StructType = null
     val writer = updates.writeStream
       .queryName(s"mor_cdc_${System.nanoTime()}")
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (batchId > last) {
           val delta = normalizeBatch(batch, merge)
+          // compare against the LIVE base schema (a mid-stream compaction
+          // may have folded earlier evolution in)
+          val g = AtomicPublish.currentGen(spark, root).getOrElse(-1L)
+          if (g != schemaGen) {
+            baseSchema = spark.read.format(format)
+              .load(AtomicPublish.resolve(spark, root)).schema
+            schemaGen = g
+          }
+          checkOverlaySchema(baseSchema, delta.schema,
+            s"MorCdc.applyStream($root, batch $batchId)",
+            allowNew = allowEvolution)
           AtomicPublish.publishDelta(spark, root, batchId, { target =>
             delta.write.format(format).save(target)
           })
           if (compactEvery > 0 &&
               AtomicPublish.listDeltas(spark, root).size >= compactEvery)
-            compact(ctx, root, merge.keys, batchId, format, numericProfiles)
+            compact(ctx, root, merge.keys, batchId, format, numericProfiles,
+              statsColumns, bloomColumns, layoutBy = layoutBy,
+              layoutPartitions = layoutPartitions)
           last = batchId
         }
       }
@@ -467,15 +554,38 @@ object MorCdc {
   /** Fold the resolved view into a full next generation (the amortized
     * copy-on-write): one publish, `_cdc` marker = `throughBatch` so the
     * replay guard survives the fold, overlays retired with the superseded
-    * generation (kept as rollback). */
+    * generation (kept as rollback).
+    *
+    * Data skipping ACROSS folds: `statsColumns`/`bloomColumns` re-stamp the
+    * `_filestats` manifest on the just-written generation (the SinkNode
+    * machinery — without it a compaction would silently kill file skipping
+    * exactly when the corpus churns most), and `layoutBy` range-repartitions
+    * the fold on those columns first so the re-stamped min/max stay
+    * SELECTIVE — overlay rows land beside their key range instead of
+    * scattering every file's span. Both are per-fold costs over data the
+    * fold rewrites anyway. */
   def compact(ctx: Ctx, root: String, keys: Seq[String],
               throughBatch: Long, format: String = "parquet",
-              numericProfiles: Seq[NumericProfileNode.Spec] = Nil): Long = {
+              numericProfiles: Seq[NumericProfileNode.Spec] = Nil,
+              statsColumns: Seq[String] = Nil,
+              bloomColumns: Seq[String] = Nil,
+              bloomExpectedItems: Long = 1000000L,
+              bloomFpp: Double = 0.01,
+              layoutBy: Seq[String] = Nil,
+              layoutPartitions: Option[Int] = None): Long = {
     val spark = ctx.spark
     import spark.implicits._
-    val resolved = read(spark, root, keys, format)
+    val merged = read(spark, root, keys, format)
+    val resolved =
+      if (layoutBy.isEmpty) merged
+      else layoutPartitions.fold(
+        merged.repartitionByRange(layoutBy.map(col): _*))(n =>
+        merged.repartitionByRange(n, layoutBy.map(col): _*))
     AtomicPublish.publish(spark, root, { target =>
       resolved.write.format(format).save(target)
+      if (statsColumns.nonEmpty || bloomColumns.nonEmpty)
+        FileStatsWriter.write(spark, target, format, Map.empty,
+          statsColumns, bloomColumns, bloomExpectedItems, bloomFpp)
       Seq(throughBatch).toDF("batch_id").coalesce(1)
         .write.parquet(s"$target/_cdc")
       // profile the just-written fold (one scan of the new generation),
@@ -572,8 +682,18 @@ class MorTailNode(val path: String, val format: String = "parquet",
         s"mor_tail '$name': $path is not a published dataset — the tail " +
           "follows the committed generation's overlay log"))
     val gen = AtomicPublish.resolve(spark, path)
-    // change rows = base payload + the tombstone flag (normalizeBatch shape)
-    val schema = spark.read.format(format).load(gen).schema
+    // change rows = base payload + the tombstone flag (normalizeBatch
+    // shape), widened by any column committed overlays have ADDED (schema
+    // evolution — pre-evolution overlay files null-fill by parquet by-name
+    // resolution). A column that first appears in a FUTURE wave needs a
+    // tail restart: a running file stream's schema is fixed.
+    val baseSchema = spark.read.format(format).load(gen).schema
+    val extras = AtomicPublish.listDeltas(spark, path)
+      .flatMap { case (_, p) => spark.read.format(format).load(p).schema.fields }
+      .filterNot(f => f.name == MorCdc.DeletedCol ||
+        baseSchema.fieldNames.contains(f.name))
+      .distinctBy(_.name)
+    val schema = extras.foldLeft(baseSchema)(_ add _)
       .add(MorCdc.DeletedCol, org.apache.spark.sql.types.BooleanType)
     // the overlay dir may not exist before the first wave — an empty tail
     // is a valid subscription, not an error

@@ -406,25 +406,9 @@ class SinkNode(val path: String, val format: String = "parquet", val mode: Strin
           new NumericProfileNode(numericProfiles)
             .transform(ctx, In.single("df" -> df))("result")
             .coalesce(1).write.mode("overwrite").parquet(s"$target/_numprofile")
-        if (statsColumns.nonEmpty || bloomColumns.nonEmpty) {
-          // per-file min/max (+ per-file blooms) from the just-written
-          // files, pruned to the stats columns (columnar) — not from the
-          // input plan, whose rows have no file identity yet
-          val written = df.sparkSession.read.format(format).options(options).load(target)
-          val bloomAgg = org.apache.spark.sql.functions.udaf(
-            new FileBloomAgg(bloomExpectedItems, bloomFpp),
-            org.apache.spark.sql.Encoders.scalaLong)
-          val aggs = statsColumns.flatMap(c => Seq(
-            org.apache.spark.sql.functions.min(col(c)).as(s"min_$c"),
-            org.apache.spark.sql.functions.max(col(c)).as(s"max_$c"))) ++
-            bloomColumns.map(c =>
-              bloomAgg(org.apache.spark.sql.functions.expr(s"xxhash64($c)"))
-                .as(s"bloom_$c"))
-          written
-            .groupBy(org.apache.spark.sql.functions.input_file_name().as("file"))
-            .agg(aggs.head, aggs.tail: _*)
-            .coalesce(1).write.mode("overwrite").parquet(s"$target/_filestats")
-        }
+        if (statsColumns.nonEmpty || bloomColumns.nonEmpty)
+          FileStatsWriter.write(df.sparkSession, target, format, options,
+            statsColumns, bloomColumns, bloomExpectedItems, bloomFpp)
       })
       Map("result" -> df.sparkSession.read.format(format).options(options)
         .load(s"$path/gen-$gen"))
@@ -653,6 +637,35 @@ private[nodes] class FileBloomAgg(expectedItems: Long, fpp: Double)
     org.apache.spark.sql.Encoders.javaSerialization[BloomFilter]
   def outputEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
     org.apache.spark.sql.Encoders.BINARY
+}
+
+/** The `_filestats` manifest writer shared by every publisher of a skippable
+  * generation — SinkNode at first publish, MorCdc.compact at each fold (a
+  * compaction that dropped the manifest would kill data skipping exactly
+  * when the corpus churns most). One columnar scan of the just-written
+  * files, pruned to the stats columns; per-file min/max plus optional
+  * per-file blooms. */
+private[graft] object FileStatsWriter {
+  def write(spark: org.apache.spark.sql.SparkSession, target: String,
+            format: String, options: Map[String, String],
+            statsColumns: Seq[String], bloomColumns: Seq[String],
+            bloomExpectedItems: Long = 1000000L,
+            bloomFpp: Double = 0.01): Unit = {
+    val written = spark.read.format(format).options(options).load(target)
+    val bloomAgg = org.apache.spark.sql.functions.udaf(
+      new FileBloomAgg(bloomExpectedItems, bloomFpp),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val aggs = statsColumns.flatMap(c => Seq(
+      org.apache.spark.sql.functions.min(col(c)).as(s"min_$c"),
+      org.apache.spark.sql.functions.max(col(c)).as(s"max_$c"))) ++
+      bloomColumns.map(c =>
+        bloomAgg(org.apache.spark.sql.functions.expr(s"xxhash64($c)"))
+          .as(s"bloom_$c"))
+    written
+      .groupBy(org.apache.spark.sql.functions.input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .coalesce(1).write.mode("overwrite").parquet(s"$target/_filestats")
+  }
 }
 
 /** POINT-LOOKUP data skipping over a bloom-published dataset (SinkNode

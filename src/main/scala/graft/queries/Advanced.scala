@@ -3273,6 +3273,174 @@ object Advanced {
       .orderBy("query_id", "rank")
   }
 
+  // ---- q190: SCHEMA EVOLUTION through merge-on-read CDC — a live feed
+  // starts shipping a NEW column mid-corpus (the canonical evolution
+  // event: a quality/annotation field appears upstream). Wave 0 is
+  // pre-evolution tombstones; wave 1 arrives with an added `band` column
+  // — the feed restarts with the evolved reader schema against the SAME
+  // checkpoint (offsets are schema-independent) and commits under the
+  // explicit `allowEvolution = true` gate. The resolved view must surface
+  // `band` with pre-evolution rows null-filled, and a compaction must
+  // fold the evolved schema into the next base generation WITHOUT
+  // changing the view — the query emits the resolved read BEFORE and
+  // AFTER the fold, tagged, against one declarative oracle stated twice.
+  // A null-filled touched row, a dropped column at the fold, or an
+  // upsert that lost a base field would all change the hash. ----
+  def q190_mor_schema_evolution(spark: SparkSession, dir: String): DataFrame = {
+    val ctx = Ctx(spark)
+    val work = java.nio.file.Files.createTempDirectory("graft_q190_")
+    work.toFile.deleteOnExit()
+    val root = s"$work/orders_mor"
+    val orders = Queries.run(spark) { d =>
+      d.add(SourceNode.table(dir, "orders")) >> d.output("result")
+    }
+    Queries.run(spark) { d =>
+      d.add(SourceNode.table(dir, "orders")) >>
+        FilterNode("o_orderkey % 3 != 0") >>
+        ProjectNode("o_orderkey", "o_custkey", "o_totalprice as price") >>
+        new SinkNode(root, atomicPublish = true) >> d.output("result")
+    }
+    val updDir = s"$work/upd"
+    val fs = new org.apache.hadoop.fs.Path(updDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def stamp(f: String, t: Long): Unit = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(f), false)
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile) fs.setTimes(st.getPath, t, -1)
+      }
+    }
+    // wave 0 (pre-evolution): takedowns
+    orders.filter("o_orderkey % 7 = 0")
+      .selectExpr("o_orderkey", "o_custkey", "o_totalprice as price",
+        "true as is_delete")
+      .coalesce(1).write.parquet(s"$updDir/b0")
+    stamp(s"$updDir/b0", 1700000000000L)
+    val merge = new MergeNode(keys = Seq("o_orderkey"), deleteCol = Some("is_delete"))
+    def stream(schema: String) = spark.readStream
+      .schema(schema).option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "*.parquet").option("recursiveFileLookup", "true")
+      .parquet(updDir)
+    MorCdc.applyStream(ctx, root, stream(
+      "o_orderkey LONG, o_custkey LONG, price DOUBLE, is_delete BOOLEAN"),
+      merge, compactEvery = 0, checkpoint = Some(s"$work/ckpt"))
+    // wave 1 (evolved): upserts carrying the NEW band column
+    orders.filter("o_orderkey % 5 = 0")
+      .selectExpr("o_orderkey", "o_custkey", "o_totalprice as price",
+        "case when o_totalprice > 150000 then 'high' else 'low' end as band",
+        "false as is_delete")
+      .coalesce(1).write.parquet(s"$updDir/b1")
+    stamp(s"$updDir/b1", 1700000060000L)
+    MorCdc.applyStream(ctx, root, stream(
+      "o_orderkey LONG, o_custkey LONG, price DOUBLE, band STRING, is_delete BOOLEAN"),
+      merge, compactEvery = 0, checkpoint = Some(s"$work/ckpt"),
+      allowEvolution = true)
+    val pre = MorCdc.read(spark, root, Seq("o_orderkey"))
+      .selectExpr("'overlay' as stage", "o_orderkey", "o_custkey", "price", "band")
+    MorCdc.compact(ctx, root, Seq("o_orderkey"), throughBatch = 1L)
+    val post = MorCdc.read(spark, root, Seq("o_orderkey"))
+      .selectExpr("'compacted' as stage", "o_orderkey", "o_custkey", "price", "band")
+    pre.unionByName(post).orderBy("stage", "o_orderkey")
+  }
+  val q190Sql: String =
+    """WITH final AS (
+      |  SELECT o_orderkey, o_custkey, o_totalprice AS price,
+      |         CAST(NULL AS VARCHAR) AS band
+      |  FROM orders
+      |  WHERE o_orderkey % 3 <> 0 AND o_orderkey % 7 <> 0 AND o_orderkey % 5 <> 0
+      |  UNION ALL
+      |  SELECT o_orderkey, o_custkey, o_totalprice,
+      |         CASE WHEN o_totalprice > 150000 THEN 'high' ELSE 'low' END
+      |  FROM orders WHERE o_orderkey % 5 = 0
+      |)
+      |SELECT 'overlay' AS stage, * FROM final
+      |UNION ALL SELECT 'compacted', * FROM final
+      |ORDER BY stage, o_orderkey""".stripMargin
+
+  // ---- q191: DATA SKIPPING SURVIVES COMPACTION — the dual of q185
+  // (which kept skipping alive BETWEEN folds). A fold that drops the
+  // `_filestats` manifest kills file skipping exactly when the corpus
+  // churns most, and a fold that hash-scatters the resolved view makes
+  // any re-stamped min/max span every file (stats that prune nothing).
+  // MorCdc.applyStream(statsColumns, layoutBy) closes both: the
+  // auto-compaction range-repartitions the fold on the prune key and
+  // re-stamps per-file stats on the generation it just wrote. The
+  // scenario publishes a range-laid base with stats, streams an upsert
+  // wave and a takedown wave (compactEvery = 2 folds after the second),
+  // and range-reads the FOLD through StatsPrunedSourceNode — hash-exact
+  // vs the declarative CDC-replay oracle; NodesSpec pins that the
+  // post-fold read actually skips files. Bounds use q188's
+  // floor-then-cast arithmetic for Spark/DuckDB parity. ----
+  def q191_compaction_keeps_skipping(spark: SparkSession, dir: String): DataFrame = {
+    val ctx = Ctx(spark)
+    val work = java.nio.file.Files.createTempDirectory("graft_q191_")
+    work.toFile.deleteOnExit()
+    val root = s"$work/orders_mor"
+    val orders = Queries.run(spark) { d =>
+      d.add(SourceNode.table(dir, "orders")) >> d.output("result")
+    }
+    Queries.run(spark) { d =>
+      d.add(SourceNode.table(dir, "orders")) >>
+        FilterNode("o_orderkey % 3 != 0") >>
+        ProjectNode("o_orderkey", "o_custkey", "o_totalprice as price") >>
+        new RepartitionNode(10, Seq("o_orderkey"), range = true) >>
+        new SinkNode(root, atomicPublish = true, statsColumns = Seq("o_orderkey")) >>
+        d.output("result")
+    }
+    val updDir = s"$work/upd"
+    val fs = new org.apache.hadoop.fs.Path(updDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def stamp(f: String, t: Long): Unit = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(f), false)
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile) fs.setTimes(st.getPath, t, -1)
+      }
+    }
+    orders.filter("o_orderkey % 5 = 0")
+      .selectExpr("o_orderkey", "o_custkey", "o_totalprice as price",
+        "false as is_delete")
+      .coalesce(1).write.parquet(s"$updDir/b0")
+    stamp(s"$updDir/b0", 1700000000000L)
+    orders.filter("o_orderkey % 7 = 0")
+      .selectExpr("o_orderkey", "o_custkey", "o_totalprice as price",
+        "true as is_delete")
+      .coalesce(1).write.parquet(s"$updDir/b1")
+    stamp(s"$updDir/b1", 1700000060000L)
+    val stream = spark.readStream
+      .schema("o_orderkey LONG, o_custkey LONG, price DOUBLE, is_delete BOOLEAN")
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "*.parquet").option("recursiveFileLookup", "true")
+      .parquet(updDir)
+    MorCdc.applyStream(ctx, root, stream,
+      new MergeNode(keys = Seq("o_orderkey"), deleteCol = Some("is_delete")),
+      compactEvery = 2, checkpoint = Some(s"$work/ckpt"),
+      statsColumns = Seq("o_orderkey"), layoutBy = Seq("o_orderkey"),
+      layoutPartitions = Some(10))
+    val b = orders.selectExpr(
+      "cast(floor(max(o_orderkey)/4.0) as bigint) as lo",
+      "cast(floor(max(o_orderkey)/4.0 + max(o_orderkey)/10.0) as bigint) as hi").head()
+    Queries.run(spark) { d =>
+      d.add(new StatsPrunedSourceNode(root, pruneCols = Seq("o_orderkey"),
+        pruneLos = Seq(Some(b.getLong(0).toString)),
+        pruneHis = Seq(Some(b.getLong(1).toString)))) >>
+        SortNode("o_orderkey") >> d.output("result")
+    }
+  }
+  val q191Sql: String =
+    """WITH b AS (
+      |  SELECT CAST(floor(max(o_orderkey)/4.0) AS BIGINT) AS lo,
+      |         CAST(floor(max(o_orderkey)/4.0 + max(o_orderkey)/10.0) AS BIGINT) AS hi
+      |  FROM orders),
+      |final AS (
+      |  SELECT o_orderkey, o_custkey, o_totalprice AS price FROM orders
+      |  WHERE (o_orderkey % 3 <> 0 OR o_orderkey % 5 = 0)
+      |    AND o_orderkey % 7 <> 0
+      |)
+      |SELECT f.o_orderkey, f.o_custkey, f.price FROM final f, b
+      |WHERE f.o_orderkey BETWEEN b.lo AND b.hi
+      |ORDER BY f.o_orderkey""".stripMargin
+
   // ---- q176: VACUUM — storage hygiene for published roots. Crashes leave
   // debris readers never see (a publish killed before its manifest swap
   // leaves a full dangling generation; a killed swap leaves a manifest
@@ -3683,5 +3851,7 @@ object Advanced {
     ("q187_mor_tail_index_maintenance", q187_mor_tail_index_maintenance _, q161Sql),
     ("q188_zorder3_box", q188_zorder3_box _, q188Sql),
     ("q189_mor_tail_across_compaction", q189_mor_tail_across_compaction _, q161Sql),
+    ("q190_mor_schema_evolution", q190_mor_schema_evolution _, q190Sql),
+    ("q191_compaction_keeps_skipping", q191_compaction_keeps_skipping _, q191Sql),
   )
 }

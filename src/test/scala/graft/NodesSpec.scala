@@ -3215,6 +3215,145 @@ class NodesSpec extends AnyFunSuite {
     assert(applied == resolved, "the change feed must reconstruct the live view")
   }
 
+  test("MorCdc.compact(statsColumns, layoutBy): the fold re-stamps the _filestats " +
+       "manifest and re-lays out by range, so data skipping survives compaction; " +
+       "a statless fold keeps the old loud refusal") {
+    import spark.implicits._
+    val c = Ctx(spark)
+    val work = java.nio.file.Files.createTempDirectory("graft_fold_stats").toString
+    def publishBase(root: String): Unit = runOne { d =>
+      d.add(srcNode((1L to 1000L).map(i => (i, s"v$i")).toDF("id", "v"))) >>
+        new RepartitionNode(10, Seq("id"), range = true) >>
+        new SinkNode(root, atomicPublish = true, statsColumns = Seq("id"),
+          bloomColumns = Seq("id")) >> d.output("result")
+    }
+    def overlay(root: String): Unit = AtomicPublish.publishDelta(spark, root, 0L, { t =>
+      // an update at the FAR END of the key space: without fold re-layout
+      // these rows would scatter into whatever file the fold wrote them to
+      Seq((995L, "upd", false), (5L, "gone", true))
+        .toDF("id", "v", MorCdc.DeletedCol).coalesce(1).write.parquet(t)
+    })
+    // statless fold: skipping dies with the old loud refusal (the gap)
+    val bare = s"$work/bare"
+    publishBase(bare); overlay(bare)
+    MorCdc.compact(c, bare, Seq("id"), throughBatch = 0L)
+    val dead = intercept[GraftException] {
+      new StatsPrunedSourceNode(bare, pruneCols = Seq("id"),
+        pruneLos = Seq(Some("101")), pruneHis = Seq(Some("200")))
+        .transform(c, In.empty)
+    }
+    assert(dead.getMessage.contains("_filestats"))
+    // stats-stamping fold: skipping survives, layout keeps it selective
+    val kept = s"$work/kept"
+    publishBase(kept); overlay(kept)
+    MorCdc.compact(c, kept, Seq("id"), throughBatch = 0L,
+      statsColumns = Seq("id"), bloomColumns = Seq("id"),
+      layoutBy = Seq("id"), layoutPartitions = Some(10))
+    assert(AtomicPublish.listDeltas(spark, kept).isEmpty)
+    val pruned = new StatsPrunedSourceNode(kept, pruneCols = Seq("id"),
+      pruneLos = Seq(Some("101")), pruneHis = Seq(Some("200")))
+      .transform(c, In.empty)("result")
+    assert(pruned.count() == 100L)
+    assert(pruned.inputFiles.length <= 3,
+      s"a 10% range over a re-laid fold must stay file-selective, " +
+        s"opened ${pruned.inputFiles.length} of 10")
+    // the overlay's content is INSIDE the fold (not lost by the re-layout)
+    val far = new StatsPrunedSourceNode(kept, pruneCols = Seq("id"),
+      pruneLos = Seq(Some("990")), pruneHis = Seq(Some("1000")))
+      .transform(c, In.empty)("result")
+      .as[(Long, String)].collect().toMap
+    assert(far(995L) == "upd" && far.size == 11)
+    // bloom manifest re-stamped too: point lookups skip post-fold
+    val probe = Seq(5L, 995L).toDF("id")
+    val hits = new BloomPrunedSourceNode(kept, inCol = "id")
+      .transform(c, In.single("ids" -> probe))("result")
+    assert(hits.as[(Long, String)].collect().toSet == Set((995L, "upd")),
+      "tombstone gone, updated row served, from a bloom-pruned fold read")
+    assert(hits.inputFiles.length <= 2,
+      s"bloom point probe must stay file-selective post-fold, " +
+        s"opened ${hits.inputFiles.length}")
+  }
+
+  test("MoR schema evolution: an overlay ADDING a column is gated on the write " +
+       "path, surfaces null-filled on the resolved view, folds into the base at " +
+       "compaction; partial and retyped overlays are refused at read") {
+    import spark.implicits._
+    val c = Ctx(spark)
+    val work = java.nio.file.Files.createTempDirectory("graft_mor_evo").toString
+    val root = s"$work/ds"
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    new SinkNode(root, atomicPublish = true).transform(c, In.single("df" -> base))
+    val updDir = s"$work/upd"
+    val fs = new org.apache.hadoop.fs.Path(updDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def stamp(f: String, t: Long): Unit = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(f), false)
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile) fs.setTimes(st.getPath, t, -1)
+      }
+    }
+    // wave 0: pre-evolution payload
+    Seq((2L, "b2", false)).toDF("id", "v", "is_delete")
+      .coalesce(1).write.parquet(s"$updDir/b0")
+    stamp(s"$updDir/b0", 1700000000000L)
+    val merge = new MergeNode(keys = Seq("id"), deleteCol = Some("is_delete"))
+    def stream(schema: String) = spark.readStream
+      .schema(schema).option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "*.parquet").option("recursiveFileLookup", "true")
+      .parquet(updDir)
+    MorCdc.applyStream(c, root, stream("id LONG, v STRING, is_delete BOOLEAN"),
+      merge, compactEvery = 0, checkpoint = Some(s"$work/ckpt"))
+    // wave 1 ships a NEW column — the feed restarts with the evolved schema
+    // against the SAME checkpoint (offsets are schema-independent)
+    Seq((3L, "c2", 0.9, false)).toDF("id", "v", "q", "is_delete")
+      .coalesce(1).write.parquet(s"$updDir/b1")
+    stamp(s"$updDir/b1", 1700000060000L)
+    val evolved = "id LONG, v STRING, q DOUBLE, is_delete BOOLEAN"
+    // write gate: without the flag the evolved wave is refused
+    val refused = intercept[Exception] {
+      MorCdc.applyStream(c, root, stream(evolved), merge,
+        compactEvery = 0, checkpoint = Some(s"$work/ckpt"))
+    }
+    assert(refused.getMessage.contains("allowEvolution") ||
+      Option(refused.getCause).exists(_.getMessage.contains("allowEvolution")),
+      s"evolved wave must be refused without the flag, got: $refused")
+    MorCdc.applyStream(c, root, stream(evolved), merge,
+      compactEvery = 0, checkpoint = Some(s"$work/ckpt"), allowEvolution = true)
+    assert(AtomicPublish.listDeltas(spark, root).map(_._1) == Seq(0L, 1L),
+      "failed gate attempt must not have committed; both waves land once")
+    // resolved view: new column present, pre-evolution rows null-fill
+    def live(): Map[Long, (String, Option[Double])] =
+      MorCdc.read(spark, root, Seq("id")).select("id", "v", "q")
+        .as[(Long, String, Option[Double])].collect()
+        .map(t => t._1 -> ((t._2, t._3))).toMap
+    val expect = Map(1L -> (("a", None)), 2L -> (("b2", None)), 3L -> (("c2", Some(0.9))))
+    assert(live() == expect)
+    // the tail's reader schema picks up the committed evolution
+    val tailSchema = new MorTailNode(root).transform(c, In.empty)("result").schema
+    assert(tailSchema.fieldNames.toSeq ==
+      Seq("id", "v", "q", MorCdc.DeletedCol))
+    // compaction folds the evolved schema into the base generation
+    MorCdc.compact(c, root, Seq("id"), throughBatch = 1L)
+    assert(new SourceNode(root).transform(c, In.empty)("result")
+      .schema.fieldNames.toSet == Set("id", "v", "q"))
+    assert(live() == expect, "fold must not change the resolved view")
+    // read guards: partial payload / retyped column refused loudly
+    AtomicPublish.publishDelta(spark, root, 2L, { t =>
+      Seq((9L, false)).toDF("id", MorCdc.DeletedCol).coalesce(1).write.parquet(t)
+    })
+    val partial = intercept[GraftException] { live() }
+    assert(partial.getMessage.contains("missing base column"))
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"${AtomicPublish.resolve(spark, root)}/_deltas/delta-2"), true)
+    AtomicPublish.publishDelta(spark, root, 3L, { t =>
+      Seq((9L, "x", 5, false)).toDF("id", "v", "q", MorCdc.DeletedCol)
+        .coalesce(1).write.parquet(t)
+    })
+    val retyped = intercept[GraftException] { live() }
+    assert(retyped.getMessage.contains("retypes"))
+  }
+
   test("MorTailNode(followCompactions): one subscription survives a compaction " +
        "fold — new generation's overlays keep flowing, nothing redelivered; a " +
        "fresh follower skips retired generations' overlay dirs") {
