@@ -51,6 +51,7 @@ object NodeRegistry {
       p.m.get("maxFilesPerTrigger").collect {
         case n if n != null => n.toString.toDouble.toInt },
       p.boolOr("followCompactions", false)))
+    register("plan_barrier")(p => new PlanBarrierNode(p.boolOr("eager", false)))
     register("bloom_pruned_source")(p => new BloomPrunedSourceNode(
       p.str("path"), p.str("inCol"), p.str("format"), p.strs("morKeys"),
       p.intOr("morMaxDeltas", 64),

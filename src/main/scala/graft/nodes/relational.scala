@@ -668,6 +668,54 @@ private[graft] object FileStatsWriter {
   }
 }
 
+/** PLAN BARRIER: lazy lineage truncation for long composite pipelines.
+  *
+  * Catalyst re-analyzes a Dataset's ENTIRE logical tree every time a new
+  * Dataset is derived from it, so a 9-stage pipeline whose every stage
+  * adds a few selects/joins pays an analysis cost that grows with the
+  * SQUARE of chain length — by the packing stage of the q124 flagship the
+  * driver spends more time analyzing plans than executors spend running
+  * them (measured at sf0.1: 19.5 s -> 7.0 s end-to-end with two barriers;
+  * per-stage profile in SURVEY §8). The barrier truncates lineage with a
+  * LAZY `localCheckpoint`: the plan downstream of the barrier starts from
+  * a leaf over the materialized partitions, so analysis cost resets to
+  * the suffix, while execution stays lazy (nothing runs until the first
+  * real action) and row-identical (same partitions, same values — the
+  * q124 hash gate pins this).
+  *
+  * Placement contract: AFTER an expensive multi-operator block whose
+  * output is small-to-moderate and consumed downstream through several
+  * more stages — dedup survivor sets, gated corpora, fitted-feature
+  * frames. The same judgment call as `persist`, with the same caveats
+  * sharpened: the barrier blocks predicate/column pushdown across it
+  * (truncate AFTER filters, not before) and the checkpointed partitions
+  * live on executor local storage until the RDD is garbage-collected —
+  * on a real cluster a lost executor fails the job instead of
+  * recomputing (the documented `localCheckpoint` trade; the iterative
+  * connected-components kernel in dedup.scala takes the same trade for
+  * the same reason). Streaming frames are refused loudly: a streaming
+  * plan cannot be checkpointed mid-query — put the barrier inside
+  * `foreachBatch` logic instead if a micro-batch pipeline needs one.
+  */
+class PlanBarrierNode(val eager: Boolean = false) extends Node {
+  override protected def defaultName: String = "plan_barrier"
+  // the output IS materialized storage — a fan-out persist on top would
+  // double-cache the same partitions
+  override def persistableOutput: Boolean = false
+  val inputs = Seq(Port("df"))
+  val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("plan_barrier")
+  override def jsonParams: Map[String, Any] = Map("eager" -> eager)
+  override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
+    val df = in("df")
+    if (df.isStreaming)
+      throw new GraftException(
+        s"plan_barrier '$name': cannot checkpoint a streaming frame mid-" +
+          "query — place the barrier inside the per-micro-batch logic")
+    Map("result" -> df.localCheckpoint(eager))
+  }
+}
+
 /** POINT-LOOKUP data skipping over a bloom-published dataset (SinkNode
   * `bloomColumns`): open only the files whose committed per-file bloom
   * might contain at least one of the probe ids — the takedown/audit shape

@@ -832,8 +832,13 @@ object NorthStar {
     // 4. MinHash near-dup pairs (saturated regime) → greedy survivor drop
     val pairs = exact >> new MinHashDedupNode(
       numHashes = 32, bands = 16, shingleN = 3, jaccardThreshold = 0.8)
-    val nd = d.add(new DedupSurvivorsNode())
-    exact("result") >> nd("docs"); pairs >> nd("pairs")
+    val nd0 = d.add(new DedupSurvivorsNode())
+    exact("result") >> nd0("docs"); pairs >> nd0("pairs")
+    // plan barrier: by this point the logical tree carries the whole
+    // gate+dedup block; truncating lineage here (and after the quantile
+    // gate below) cut the sf0.1 wall time 19.5 -> 7.0 s — the growth was
+    // Catalyst re-analysis, not execution (PlanBarrierNode doc)
+    val nd = nd0 >> new PlanBarrierNode()
     // 5. benchmark decontamination (docs < 10 stand in for the eval set)
     val cont = d.add(new ContaminationNode(shingleN = 3))
     nd >> cont("docs"); bench >> cont("benchmark")
@@ -843,7 +848,7 @@ object NorthStar {
     nd("result") >> clean("left"); cleanIds >> clean("right")
     // 6. per-source median quality gate (exact percentile, q105 parity)
     val qual = clean >> new QuantileFilterNode(scoreExpr = "n_chars",
-      keepFrac = 0.5, groupCols = Seq("source"))
+      keepFrac = 0.5, groupCols = Seq("source")) >> new PlanBarrierNode()
     // 7. domain-mix resampling: upsample src0 2x, halve src1, keep the rest
     val mixed = qual >> new DomainMixNode(Seq("src0" -> 2.0, "src1" -> 0.5)) >>
       new WithColumnsNode(Seq("uid" -> "doc_id * 10 + copy")) // unique per copy

@@ -3215,6 +3215,31 @@ class NodesSpec extends AnyFunSuite {
     assert(applied == resolved, "the change feed must reconstruct the live view")
   }
 
+  test("PlanBarrierNode: rows and schema identical, downstream analysis sees a " +
+       "LEAF (lineage truncated), streaming frames refused") {
+    import spark.implicits._
+    val c = Ctx(spark)
+    val df = (1L to 50L).map(i => (i, s"v$i")).toDF("id", "v")
+      .filter("id % 2 = 0").selectExpr("id", "upper(v) as v")
+    val out = new PlanBarrierNode().transform(c, In.single("df" -> df))("result")
+    assert(out.schema == df.schema)
+    assert(out.as[(Long, String)].collect().toSet ==
+      df.as[(Long, String)].collect().toSet)
+    // the whole upstream (scan + filter + project) collapses to one leaf:
+    // downstream Datasets re-analyze a constant-size tree, which is the
+    // entire point (q124: 19.5 -> 7.0 s at sf0.1 from two barriers)
+    val analyzed = out.groupBy("v").count().queryExecution.analyzed
+    val leaves = analyzed.collectLeaves()
+    assert(leaves.size == 1 &&
+      leaves.head.getClass.getSimpleName.contains("LogicalRDD"),
+      s"barrier output must analyze as a LogicalRDD leaf, got $leaves")
+    val stream = spark.readStream.format("rate").load()
+    val refused = intercept[GraftException] {
+      new PlanBarrierNode().transform(c, In.single("df" -> stream))
+    }
+    assert(refused.getMessage.contains("streaming"))
+  }
+
   test("MorCdc.compact(statsColumns, layoutBy): the fold re-stamps the _filestats " +
        "manifest and re-lays out by range, so data skipping survives compaction; " +
        "a statless fold keeps the old loud refusal") {

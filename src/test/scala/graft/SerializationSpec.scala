@@ -348,6 +348,18 @@ class SerializationSpec extends AnyFunSuite {
     assert(vf2.payloadCol == "avi" && vf2.outCol == "vp")
   }
 
+  test("round-trip covers round-13 kinds: mor-tail followCompactions/plan-barrier") {
+    val d = new Dag("r13kinds")
+    val mt = d.add(new MorTailNode("/tmp/morpub", format = "orc",
+      maxFilesPerTrigger = Some(3), followCompactions = true))
+    val pb = d.add(new PlanBarrierNode(eager = true))
+    val d2 = DagJson.fromJson(DagJson.toJson(d))
+    val mt2 = d2.node(mt.name).asInstanceOf[MorTailNode]
+    assert(mt2.path == "/tmp/morpub" && mt2.format == "orc" &&
+      mt2.maxFilesPerTrigger.contains(3) && mt2.followCompactions)
+    assert(d2.node(pb.name).asInstanceOf[PlanBarrierNode].eager)
+  }
+
   test("round-trip covers quality kinds: heuristic/vocab/semdedup/domain-quota") {
     val d = new Dag("qkinds")
     val hf = d.add(new HeuristicFilterNode("body", 30, 5000, 2.5, 9.0, 0.2, 0.8, 0.4,
