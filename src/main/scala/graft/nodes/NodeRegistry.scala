@@ -32,7 +32,9 @@ object NodeRegistry {
       p.m.get("generation").flatMap(Option(_)).map(_.toString.toLong)))
     register("mor_source")(p =>
       new MorSourceNode(p.str("path"), p.strs("keys"), p.str("format"),
-        p.int("maxDeltas")))
+        p.int("maxDeltas"),
+        p.m.get("asOfBatch").collect {
+          case n if n != null => n.toString.toDouble.toLong }))
     register("bucketed_sink")(p => new BucketedSinkNode(p.str("table"), p.strs("bucketCols"),
       p.int("nBuckets"), p.strs("sortCols"), p.str("format"), p.str("mode")))
     register("sink") { p =>

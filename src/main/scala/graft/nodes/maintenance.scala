@@ -396,10 +396,40 @@ object MorCdc {
     * broadcast-OOM risk and an N-deep union. The read fails LOUDLY past
     * the bound instead (compact, or raise the bound deliberately). */
   def read(spark: SparkSession, root: String, keys: Seq[String],
-           format: String = "parquet", maxDeltas: Int = 64): DataFrame =
+           format: String = "parquet", maxDeltas: Int = 64,
+           asOfBatch: Option[Long] = None): DataFrame = {
+    // overlay-level time travel: resolve only the overlays committed at or
+    // before `asOfBatch` — the audit/debug read ("what did the corpus serve
+    // after wave N?"). Only UNFOLDED history is addressable: a compaction
+    // folds overlays into the next base generation, so a batch below the
+    // generation's `_cdc` watermark no longer has a reconstructible
+    // pre-state here — refuse toward generation time travel (the rollback
+    // generation keeps one fold of history).
+    asOfBatch.foreach { n =>
+      val folded = foldedThrough(spark, root)
+      if (n < folded)
+        throw new GraftException(
+          s"MorCdc.read: asOfBatch = $n predates the last compaction " +
+            s"(folded through batch $folded at $root) — that overlay " +
+            "history is inside the base now. Read the rollback generation " +
+            "via SourceNode time travel, or compact less eagerly")
+    }
     resolveOver(spark, root,
       spark.read.format(format).load(AtomicPublish.resolve(spark, root)),
-      keys, format, maxDeltas)
+      keys, format, maxDeltas, asOfBatch)
+  }
+
+  /** Highest batch id folded into the current generation's base, -1 if none
+    * (the generation's `_cdc` marker). */
+  private def foldedThrough(spark: SparkSession, root: String): Long =
+    AtomicPublish.currentGen(spark, root) match {
+      case None => -1L
+      case Some(g) =>
+        val marker = new org.apache.hadoop.fs.Path(s"$root/gen-$g/_cdc")
+        val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(marker)) -1L
+        else spark.read.parquet(marker.toString).collect().head.getLong(0)
+    }
 
   /** Overlay resolution over a CALLER-SUPPLIED base frame — the composition
     * point for data skipping (StatsPrunedSourceNode prunes base FILES, then
@@ -409,8 +439,10 @@ object MorCdc {
     * exact filtered view once the predicate is re-applied on top. */
   private[graft] def resolveOver(spark: SparkSession, root: String,
                                  base: DataFrame, keys: Seq[String],
-                                 format: String, maxDeltas: Int): DataFrame = {
-    val deltas = AtomicPublish.listDeltas(spark, root)
+                                 format: String, maxDeltas: Int,
+                                 asOfBatch: Option[Long] = None): DataFrame = {
+    val deltas = asOfBatch.fold(AtomicPublish.listDeltas(spark, root))(n =>
+      AtomicPublish.listDeltas(spark, root).filter(_._1 <= n))
     if (deltas.size > maxDeltas)
       throw new GraftException(
         s"MorCdc.read: ${deltas.size} outstanding overlays at $root exceed " +
@@ -444,17 +476,9 @@ object MorCdc {
 
   /** Highest batch id already durable at `root` — committed overlays or a
     * compacted generation's `_cdc` marker. */
-  private def appliedBatch(spark: SparkSession, root: String): Long = {
-    val gen = AtomicPublish.currentGen(spark, root) match {
-      case None => -1L
-      case Some(g) =>
-        val marker = new org.apache.hadoop.fs.Path(s"$root/gen-$g/_cdc")
-        val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (!fs.exists(marker)) -1L
-        else spark.read.parquet(marker.toString).collect().head.getLong(0)
-    }
-    (gen +: AtomicPublish.listDeltas(spark, root).map(_._1)).max
-  }
+  private def appliedBatch(spark: SparkSession, root: String): Long =
+    (foldedThrough(spark, root) +:
+      AtomicPublish.listDeltas(spark, root).map(_._1)).max
 
   /** Apply a streaming CDC frame merge-on-read. Same signature family as
     * [[CdcApply.applyStream]]; `compactEvery` bounds outstanding overlays
@@ -605,7 +629,11 @@ object MorCdc {
   * root, reads the consistent-but-stale base snapshot only. */
 class MorSourceNode(val path: String, val keys: Seq[String],
                     val format: String = "parquet",
-                    val maxDeltas: Int = 64) extends Node {
+                    val maxDeltas: Int = 64,
+                    // overlay-level time travel: resolve only overlays with
+                    // id <= asOfBatch (unfolded history only — see
+                    // MorCdc.read; generation time travel covers the rest)
+                    val asOfBatch: Option[Long] = None) extends Node {
   require(keys.nonEmpty, "mor_source: keys must be non-empty")
   override protected def defaultName: String = "mor_source"
   override def persistableOutput: Boolean = false // scan — never cache raw
@@ -613,9 +641,10 @@ class MorSourceNode(val path: String, val keys: Seq[String],
   val outputs = Seq(graft.dag.Port("result"))
   override def jsonKind: Option[String] = Some("mor_source")
   override def jsonParams: Map[String, Any] =
-    Map("path" -> path, "keys" -> keys, "format" -> format, "maxDeltas" -> maxDeltas)
+    Map("path" -> path, "keys" -> keys, "format" -> format,
+      "maxDeltas" -> maxDeltas, "asOfBatch" -> asOfBatch.orNull)
   override def transform(ctx: Ctx, in: In): Map[String, DataFrame] =
-    Map("result" -> MorCdc.read(ctx.spark, path, keys, format, maxDeltas))
+    Map("result" -> MorCdc.read(ctx.spark, path, keys, format, maxDeltas, asOfBatch))
 }
 
 /** STREAMING tail of a merge-on-read root — the consumer side MoR was

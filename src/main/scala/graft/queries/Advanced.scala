@@ -3441,6 +3441,60 @@ object Advanced {
       |WHERE f.o_orderkey BETWEEN b.lo AND b.hi
       |ORDER BY f.o_orderkey""".stripMargin
 
+  // ---- q192: OVERLAY-LEVEL TIME TRAVEL on a merge-on-read root — the
+  // audit/debug read generation time travel cannot answer: "what did the
+  // corpus serve after wave N?" between compactions. MorSourceNode
+  // (asOfBatch) resolves only the overlays committed at or before the
+  // watermark; unfolded history is addressable per wave, folded history
+  // refuses toward generation time travel (NodesSpec). The scenario
+  // commits an upsert wave then a takedown wave and reads the view at
+  // BOTH watermarks; the oracle replays each prefix declaratively. A
+  // read that leaks the later wave into the earlier watermark (or
+  // vice versa) changes the hash. ----
+  def q192_mor_time_travel(spark: SparkSession, dir: String): DataFrame = {
+    val ctx = Ctx(spark)
+    val work = java.nio.file.Files.createTempDirectory("graft_q192_")
+    work.toFile.deleteOnExit()
+    val root = s"$work/orders_mor"
+    val orders = Queries.run(spark) { d =>
+      d.add(SourceNode.table(dir, "orders")) >> d.output("result")
+    }
+    Queries.run(spark) { d =>
+      d.add(SourceNode.table(dir, "orders")) >>
+        FilterNode("o_orderkey % 3 != 0") >>
+        ProjectNode("o_orderkey", "o_custkey", "o_totalprice as price") >>
+        new SinkNode(root, atomicPublish = true) >> d.output("result")
+    }
+    AtomicPublish.publishDelta(spark, root, 0L, { t =>
+      orders.filter("o_orderkey % 5 = 0")
+        .selectExpr("o_orderkey", "o_custkey", "o_totalprice as price",
+          s"false as ${MorCdc.DeletedCol}")
+        .coalesce(1).write.parquet(t)
+    })
+    AtomicPublish.publishDelta(spark, root, 1L, { t =>
+      orders.filter("o_orderkey % 7 = 0")
+        .selectExpr("o_orderkey", "o_custkey", "o_totalprice as price",
+          s"true as ${MorCdc.DeletedCol}")
+        .coalesce(1).write.parquet(t)
+    })
+    def at(n: Long, tag: String) = Queries.run(spark) { d =>
+      d.add(new MorSourceNode(root, keys = Seq("o_orderkey"),
+        asOfBatch = Some(n))) >>
+        ProjectNode(s"'$tag' as stage", "o_orderkey", "o_custkey", "price") >>
+        d.output("result")
+    }
+    at(0L, "after_upserts").unionByName(at(1L, "final"))
+      .orderBy("stage", "o_orderkey")
+  }
+  val q192Sql: String =
+    """WITH w0 AS (
+      |  SELECT o_orderkey, o_custkey, o_totalprice AS price FROM orders
+      |  WHERE o_orderkey % 3 <> 0 OR o_orderkey % 5 = 0),
+      |w1 AS (SELECT * FROM w0 WHERE o_orderkey % 7 <> 0)
+      |SELECT 'after_upserts' AS stage, * FROM w0
+      |UNION ALL SELECT 'final', * FROM w1
+      |ORDER BY stage, o_orderkey""".stripMargin
+
   // ---- q176: VACUUM — storage hygiene for published roots. Crashes leave
   // debris readers never see (a publish killed before its manifest swap
   // leaves a full dangling generation; a killed swap leaves a manifest
@@ -3853,5 +3907,6 @@ object Advanced {
     ("q189_mor_tail_across_compaction", q189_mor_tail_across_compaction _, q161Sql),
     ("q190_mor_schema_evolution", q190_mor_schema_evolution _, q190Sql),
     ("q191_compaction_keeps_skipping", q191_compaction_keeps_skipping _, q191Sql),
+    ("q192_mor_time_travel", q192_mor_time_travel _, q192Sql),
   )
 }

@@ -3215,6 +3215,37 @@ class NodesSpec extends AnyFunSuite {
     assert(applied == resolved, "the change feed must reconstruct the live view")
   }
 
+  test("MoR asOfBatch time travel: the resolved view at each overlay watermark; " +
+       "folded history refused toward generation time travel") {
+    import spark.implicits._
+    val c = Ctx(spark)
+    val work = java.nio.file.Files.createTempDirectory("graft_mor_asof").toString
+    val root = s"$work/ds"
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    new SinkNode(root, atomicPublish = true).transform(c, In.single("df" -> base))
+    AtomicPublish.publishDelta(spark, root, 0L, { t =>
+      Seq((2L, "b2", false)).toDF("id", "v", MorCdc.DeletedCol)
+        .coalesce(1).write.parquet(t)
+    })
+    AtomicPublish.publishDelta(spark, root, 1L, { t =>
+      Seq((1L, "", true), (9L, "new", false)).toDF("id", "v", MorCdc.DeletedCol)
+        .coalesce(1).write.parquet(t)
+    })
+    def asOf(n: Long): Set[(Long, String)] =
+      new MorSourceNode(root, keys = Seq("id"), asOfBatch = Some(n))
+        .transform(c, In.empty)("result").as[(Long, String)].collect().toSet
+    assert(asOf(0L) == Set((1L, "a"), (2L, "b2"), (3L, "c")),
+      "asOf wave 0: update applied, wave 1 invisible")
+    assert(asOf(1L) == Set((2L, "b2"), (3L, "c"), (9L, "new")))
+    assert(asOf(99L) == asOf(1L), "a future watermark is the live view")
+    // a compaction folds 0..1 into the base — that history is gone HERE
+    MorCdc.compact(c, root, Seq("id"), throughBatch = 1L)
+    val refused = intercept[GraftException] { asOf(0L) }
+    assert(refused.getMessage.contains("folded through batch 1"))
+    assert(asOf(1L) == Set((2L, "b2"), (3L, "c"), (9L, "new")),
+      "the fold watermark itself stays addressable (= the new base)")
+  }
+
   test("PlanBarrierNode: rows and schema identical, downstream analysis sees a " +
        "LEAF (lineage truncated), streaming frames refused") {
     import spark.implicits._
