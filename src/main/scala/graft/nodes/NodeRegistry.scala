@@ -279,7 +279,8 @@ object NodeRegistry {
       p.bool("broadcastBuild")))
     register("merge")(p => new MergeNode(p.strs("keys"), p.strOpt("deleteCol"),
       p.boolOr("broadcastKeys", true),
-      p.strOpt("onDuplicate").getOrElse("error"), p.strOpt("orderCol")))
+      p.strOpt("onDuplicate").getOrElse("error"), p.strOpt("orderCol"),
+      p.boolOr("allowEvolution", false)))
     register("snapshot_diff")(p => new SnapshotDiffNode(p.strs("keys"), p.strs("compareCols"),
       p.boolOr("includeUnchanged", false), p.str("changeCol")))
     register("outlier_filter")(p => new OutlierFilterNode(p.strs("groupCols"), p.str("valueExpr"),

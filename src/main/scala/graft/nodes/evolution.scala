@@ -39,7 +39,13 @@ class MergeNode(
     val deleteCol: Option[String] = None,
     val broadcastKeys: Boolean = true,
     val onDuplicate: String = "error", // error | last_wins
-    val orderCol: Option[String] = None)
+    val orderCol: Option[String] = None,
+    // additive schema evolution (the copy-on-write twin of
+    // MorCdc.applyStream's flag): updates may carry columns the base lacks
+    // — merged output surfaces them, untouched base rows null-fill, and a
+    // CdcApply generation publishes the evolved schema. Missing base
+    // columns (partial payloads) stay refused either way.
+    val allowEvolution: Boolean = false)
   extends Node {
   require(keys.nonEmpty, "merge keys must be non-empty")
   require(Seq("error", "last_wins").contains(onDuplicate),
@@ -52,7 +58,8 @@ class MergeNode(
   override def jsonKind: Option[String] = Some("merge")
   override def jsonParams: Map[String, Any] = Map(
     "keys" -> keys, "deleteCol" -> deleteCol.orNull, "broadcastKeys" -> broadcastKeys,
-    "onDuplicate" -> onDuplicate, "orderCol" -> orderCol.orNull)
+    "onDuplicate" -> onDuplicate, "orderCol" -> orderCol.orNull,
+    "allowEvolution" -> allowEvolution)
 
   override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
     val base = in("base")
@@ -62,9 +69,17 @@ class MergeNode(
         s"merge '$name': deleteCol '$c' missing from updates (${updates.columns.mkString(", ")})")
     }
     val payloadCols = updates.columns.filterNot(deleteCol.contains).toSeq
-    require(payloadCols.sorted.sameElements(base.columns.sorted.toSeq),
-      s"merge '$name': update payload columns ${payloadCols.sorted.mkString(",")} " +
-        s"must match base columns ${base.columns.sorted.mkString(",")}")
+    val missingBase = base.columns.filterNot(payloadCols.contains)
+    require(missingBase.isEmpty,
+      s"merge '$name': update payload is missing base column(s) " +
+        s"${missingBase.mkString(",")} — a partial payload would null-fill " +
+        "untouched fields of upserted rows")
+    val extras = payloadCols.filterNot(base.columns.contains)
+    require(extras.isEmpty || allowEvolution,
+      s"merge '$name': update payload adds column(s) ${extras.mkString(",")} " +
+        "the base does not have — pass allowEvolution = true to evolve the " +
+        "schema additively (new columns surface on the merged output, " +
+        "untouched base rows null-fill)")
     // tombstones participate in the key anti-join (their base rows must go)
     // but are not inserted
     val updKeys = updates.select(keys.map(col): _*).distinct()
@@ -95,7 +110,11 @@ class MergeNode(
               "upsert one row (pass onDuplicate=last_wins with orderCol for recency dedup)'))"))
           .drop("__kc")
     }
-    Map("result" -> kept.unionByName(inserted.select(base.columns.map(col): _*)))
+    // base column order first; evolved extras (if any) append, with
+    // untouched base rows null-filled on them
+    Map("result" -> kept.unionByName(
+      inserted.select((base.columns ++ extras).map(col): _*),
+      allowMissingColumns = extras.nonEmpty))
   }
 }
 

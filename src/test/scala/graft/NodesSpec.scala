@@ -3215,6 +3215,34 @@ class NodesSpec extends AnyFunSuite {
     assert(applied == resolved, "the change feed must reconstruct the live view")
   }
 
+  test("MergeNode(allowEvolution): copy-on-write twin of the MoR evolution gate — " +
+       "evolved updates merge with base rows null-filled; partial payloads and " +
+       "ungated extras stay refused") {
+    import spark.implicits._
+    val c = Ctx(spark)
+    val base = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val evolved = Seq((2L, "b2", 0.7, false), (9L, "new", 0.1, false))
+      .toDF("id", "v", "q", "is_delete")
+    val ungated = intercept[IllegalArgumentException] {
+      new MergeNode(keys = Seq("id"), deleteCol = Some("is_delete"))
+        .transform(c, In.single("base" -> base, "updates" -> evolved))
+    }
+    assert(ungated.getMessage.contains("allowEvolution"))
+    val partial = intercept[IllegalArgumentException] {
+      new MergeNode(keys = Seq("id"), deleteCol = Some("is_delete"),
+        allowEvolution = true)
+        .transform(c, In.single("base" -> base,
+          "updates" -> Seq((9L, false)).toDF("id", "is_delete")))
+    }
+    assert(partial.getMessage.contains("missing base column"))
+    val merged = new MergeNode(keys = Seq("id"), deleteCol = Some("is_delete"),
+      allowEvolution = true)
+      .transform(c, In.single("base" -> base, "updates" -> evolved))("result")
+    assert(merged.columns.toSeq == Seq("id", "v", "q"))
+    assert(merged.as[(Long, String, Option[Double])].collect().toSet ==
+      Set((1L, "a", None), (2L, "b2", Some(0.7)), (9L, "new", Some(0.1))))
+  }
+
   test("MoR asOfBatch time travel: the resolved view at each overlay watermark; " +
        "folded history refused toward generation time travel") {
     import spark.implicits._
