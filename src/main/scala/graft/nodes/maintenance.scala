@@ -522,7 +522,8 @@ object MorCdc {
       statsColumns: Seq[String] = Nil,
       bloomColumns: Seq[String] = Nil,
       layoutBy: Seq[String] = Nil,
-      layoutPartitions: Option[Int] = None): StreamingQuery = {
+      layoutPartitions: Option[Int] = None,
+      layoutZOrder: Boolean = false): StreamingQuery = {
     if (!updates.isStreaming)
       throw new GraftException(
         "MorCdc.applyStream needs a streaming updates frame — for a batch delta commit one overlay via AtomicPublish.publishDelta")
@@ -564,7 +565,7 @@ object MorCdc {
               AtomicPublish.listDeltas(spark, root).size >= compactEvery)
             compact(ctx, root, merge.keys, batchId, format, numericProfiles,
               statsColumns, bloomColumns, layoutBy = layoutBy,
-              layoutPartitions = layoutPartitions)
+              layoutPartitions = layoutPartitions, layoutZOrder = layoutZOrder)
           last = batchId
         }
       }
@@ -596,12 +597,25 @@ object MorCdc {
               bloomExpectedItems: Long = 1000000L,
               bloomFpp: Double = 0.01,
               layoutBy: Seq[String] = Nil,
-              layoutPartitions: Option[Int] = None): Long = {
+              layoutPartitions: Option[Int] = None,
+              // multi-dimensional fold layout (the OPTIMIZE ZORDER shape):
+              // layoutBy's 2 or 3 columns become morton dimensions instead
+              // of a lexicographic range — every dimension's min/max stats
+              // stay selective, not just the leading column's
+              layoutZOrder: Boolean = false): Long = {
     val spark = ctx.spark
     import spark.implicits._
+    if (layoutZOrder && layoutBy.size != 2 && layoutBy.size != 3)
+      throw new GraftException(
+        s"MorCdc.compact: layoutZOrder needs 2 or 3 layoutBy columns " +
+          s"(morton dimensions), got ${layoutBy.size}")
     val merged = read(spark, root, keys, format)
     val resolved =
       if (layoutBy.isEmpty) merged
+      else if (layoutZOrder)
+        new ZOrderNode(layoutBy(0), layoutBy(1), partitions = layoutPartitions,
+          keepKey = false, colC = layoutBy.lift(2))
+          .transform(ctx, In.single("df" -> merged))("result")
       else layoutPartitions.fold(
         merged.repartitionByRange(layoutBy.map(col): _*))(n =>
         merged.repartitionByRange(n, layoutBy.map(col): _*))

@@ -3358,6 +3358,45 @@ class NodesSpec extends AnyFunSuite {
         s"opened ${hits.inputFiles.length}")
   }
 
+  test("MorCdc.compact(layoutZOrder): the fold re-clusters 2-D morton so BOTH " +
+       "dimensions' re-stamped stats prune files post-compaction") {
+    import spark.implicits._
+    val c = Ctx(spark)
+    val work = java.nio.file.Files.createTempDirectory("graft_fold_z").toString
+    val root = s"$work/ds"
+    val grid = (for (x <- 0L until 32L; y <- 0L until 32L) yield (x * 32 + y, x, y))
+      .toDF("id", "x", "y")
+    runOne { d =>
+      d.add(srcNode(grid)) >>
+        new ZOrderNode("x", "y", partitions = Some(16), keepKey = false) >>
+        new SinkNode(root, atomicPublish = true, statsColumns = Seq("x", "y")) >>
+        d.output("result")
+    }
+    AtomicPublish.publishDelta(spark, root, 0L, { t =>
+      Seq((5L * 32 + 5, 5L, 5L, true), (2000L, 6L, 6L, false))
+        .toDF("id", "x", "y", MorCdc.DeletedCol).coalesce(1).write.parquet(t)
+    })
+    MorCdc.compact(c, root, Seq("id"), throughBatch = 0L,
+      statsColumns = Seq("x", "y"), layoutBy = Seq("x", "y"),
+      layoutPartitions = Some(16), layoutZOrder = true)
+    val pruned = new StatsPrunedSourceNode(root, pruneCols = Seq("x", "y"),
+      pruneLos = Seq(Some("4"), Some("4")), pruneHis = Seq(Some("7"), Some("7")))
+      .transform(c, In.empty)("result")
+    // 4x4 box: 16 grid points, minus the tombstoned (5,5), plus the upsert
+    // at (6,6) (id 2000 alongside the original id 197)
+    assert(pruned.count() == 16L)
+    assert(pruned.inputFiles.length <= 4,
+      s"2-D box over a z-ordered FOLD must stay file-local, " +
+        s"opened ${pruned.inputFiles.length} of 16")
+    assert(pruned.filter("id = 2000").count() == 1L &&
+      pruned.filter("x = 5 and y = 5").count() == 0L)
+    val badDims = intercept[GraftException] {
+      MorCdc.compact(c, root, Seq("id"), throughBatch = 0L,
+        layoutBy = Seq("x"), layoutZOrder = true)
+    }
+    assert(badDims.getMessage.contains("morton"))
+  }
+
   test("MoR schema evolution: an overlay ADDING a column is gated on the write " +
        "path, surfaces null-filled on the resolved view, folds into the base at " +
        "compaction; partial and retyped overlays are refused at read") {
