@@ -1417,7 +1417,8 @@ class NodesSpec extends AnyFunSuite {
         m >> d.output("result")
       }.collect()
     }
-    assert(err.getMessage.contains("must match base columns"))
+    assert(err.getMessage.contains("allowEvolution"),
+      "ungated extra columns must refuse toward the evolution flag")
   }
 
   test("MergeNode: duplicate update keys fail loudly; last_wins dedups by orderCol") {
