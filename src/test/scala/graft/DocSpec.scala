@@ -239,6 +239,66 @@ class DocSpec extends AnyFunSuite {
     idx.unpersistIndex()
   }
 
+  test("README churn-resilience example runs") {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_doc_churn_")
+    val root = s"$tmp/corpus"
+    val ctx = Ctx(spark)
+    val docs = (1L to 100L).map(i => (i, s"doc number $i")).toDF("doc_id", "text")
+    val p = new Dag("publish")
+    p.input("docs") >> new RepartitionNode(4, Seq("doc_id"), range = true) >>
+      new SinkNode(root, atomicPublish = true, statsColumns = Seq("doc_id")) >>
+      p.output("published")
+    p.transform(ctx, Map("docs" -> docs))
+    // 1. schema evolution: a wave that ADDS `quality` commits under the gate
+    val evolved = Seq((7L, "doc number 7 v2", 0.9, false))
+      .toDF("doc_id", "text", "quality", "is_delete")
+    evolved.coalesce(1).write.mode("overwrite").parquet(s"$tmp/cdc")
+    val feed = spark.readStream.schema(evolved.schema).parquet(s"$tmp/cdc")
+    val merge = new MergeNode(keys = Seq("doc_id"), deleteCol = Some("is_delete"))
+    intercept[Exception] { // ungated evolution refuses
+      MorCdc.applyStream(ctx, root, feed, merge, checkpoint = Some(s"$tmp/ck0"))
+    }
+    MorCdc.applyStream(ctx, root, feed, merge,
+      checkpoint = Some(s"$tmp/ck0"), allowEvolution = true)
+    val live = new MorSourceNode(root, keys = Seq("doc_id"))
+      .transform(ctx, In.empty)("result")
+    assert(live.schema.fieldNames.contains("quality"))
+    assert(live.filter("quality is not null").count() == 1L)
+    // 3. overlay-level time travel: the view as of wave 0 (the only wave)
+    assert(new MorSourceNode(root, keys = Seq("doc_id"), asOfBatch = Some(0L))
+      .transform(ctx, In.empty)("result").count() == 100L)
+    // 4. one subscription across a fold: subscribe, wave arrives pre-fold,
+    //    compact with stats re-stamp (2), post-fold waves keep flowing
+    val tail = new MorTailNode(root, followCompactions = true)
+      .transform(ctx, In.empty)("result")
+    var seen = 0L
+    def drain(): Unit = {
+      val q = tail.writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          seen += b.count(); () }
+        .option("checkpointLocation", s"$tmp/ck1")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain(); assert(seen == 1L) // the evolved wave
+    MorCdc.compact(ctx, root, Seq("doc_id"), throughBatch = 0L,
+      statsColumns = Seq("doc_id"), layoutBy = Seq("doc_id"),
+      layoutPartitions = Some(4))
+    // 2. skipping survived the fold (stats re-stamped on the new base)
+    val pruned = new StatsPrunedSourceNode(root, pruneCols = Seq("doc_id"),
+      pruneLos = Seq(Some("30")), pruneHis = Seq(Some("40")))
+      .transform(ctx, In.empty)("result")
+    assert(pruned.count() == 11L && pruned.inputFiles.length < 4)
+    AtomicPublish.publishDelta(spark, root, 1L, { t =>
+      Seq((8L, "doc number 8 v2", 0.5, false))
+        .toDF("doc_id", "text", "quality", MorCdc.DeletedCol)
+        .coalesce(1).write.parquet(t)
+    })
+    drain(); assert(seen == 2L) // post-fold wave, same subscription
+  }
+
   test("README takedown example runs") {
     val spark = SparkFixture.spark
     import spark.implicits._
