@@ -53,7 +53,6 @@ object NodeRegistry {
       p.m.get("maxFilesPerTrigger").collect {
         case n if n != null => n.toString.toDouble.toInt },
       p.boolOr("followCompactions", false)))
-    register("plan_barrier")(p => new PlanBarrierNode(p.boolOr("eager", false)))
     register("bloom_pruned_source")(p => new BloomPrunedSourceNode(
       p.str("path"), p.str("inCol"), p.str("format"), p.strs("morKeys"),
       p.intOr("morMaxDeltas", 64),
@@ -291,7 +290,8 @@ object NodeRegistry {
     register("triangle_count")(p => new TriangleCountNode(p.str("srcCol"), p.str("dstCol")))
     register("constraint_check")(p => new ConstraintCheckNode(
       p.pairs("constraints"), p.boolOr("failFast", false)))
-    register("checkpoint")(p => new CheckpointNode(p.boolOr("reliable", false)))
+    register("checkpoint")(p => new CheckpointNode(p.boolOr("reliable", false),
+      p.boolOr("eager", true)))
     register("merge_intervals")(p => new MergeIntervalsNode(p.strs("keyCols"),
       p.str("startCol"), p.str("endCol")))
     register("compact_log")(p => new CompactLogNode(p.strs("keys"),

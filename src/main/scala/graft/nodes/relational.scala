@@ -668,54 +668,6 @@ private[graft] object FileStatsWriter {
   }
 }
 
-/** PLAN BARRIER: lazy lineage truncation for long composite pipelines.
-  *
-  * Catalyst re-analyzes a Dataset's ENTIRE logical tree every time a new
-  * Dataset is derived from it, so a 9-stage pipeline whose every stage
-  * adds a few selects/joins pays an analysis cost that grows with the
-  * SQUARE of chain length — by the packing stage of the q124 flagship the
-  * driver spends more time analyzing plans than executors spend running
-  * them (measured at sf0.1: 19.5 s -> 7.0 s end-to-end with two barriers;
-  * per-stage profile in SURVEY §8). The barrier truncates lineage with a
-  * LAZY `localCheckpoint`: the plan downstream of the barrier starts from
-  * a leaf over the materialized partitions, so analysis cost resets to
-  * the suffix, while execution stays lazy (nothing runs until the first
-  * real action) and row-identical (same partitions, same values — the
-  * q124 hash gate pins this).
-  *
-  * Placement contract: AFTER an expensive multi-operator block whose
-  * output is small-to-moderate and consumed downstream through several
-  * more stages — dedup survivor sets, gated corpora, fitted-feature
-  * frames. The same judgment call as `persist`, with the same caveats
-  * sharpened: the barrier blocks predicate/column pushdown across it
-  * (truncate AFTER filters, not before) and the checkpointed partitions
-  * live on executor local storage until the RDD is garbage-collected —
-  * on a real cluster a lost executor fails the job instead of
-  * recomputing (the documented `localCheckpoint` trade; the iterative
-  * connected-components kernel in dedup.scala takes the same trade for
-  * the same reason). Streaming frames are refused loudly: a streaming
-  * plan cannot be checkpointed mid-query — put the barrier inside
-  * `foreachBatch` logic instead if a micro-batch pipeline needs one.
-  */
-class PlanBarrierNode(val eager: Boolean = false) extends Node {
-  override protected def defaultName: String = "plan_barrier"
-  // the output IS materialized storage — a fan-out persist on top would
-  // double-cache the same partitions
-  override def persistableOutput: Boolean = false
-  val inputs = Seq(Port("df"))
-  val outputs = Seq(Port("result"))
-  override def jsonKind: Option[String] = Some("plan_barrier")
-  override def jsonParams: Map[String, Any] = Map("eager" -> eager)
-  override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
-    val df = in("df")
-    if (df.isStreaming)
-      throw new GraftException(
-        s"plan_barrier '$name': cannot checkpoint a streaming frame mid-" +
-          "query — place the barrier inside the per-micro-batch logic")
-    Map("result" -> df.localCheckpoint(eager))
-  }
-}
-
 /** POINT-LOOKUP data skipping over a bloom-published dataset (SinkNode
   * `bloomColumns`): open only the files whose committed per-file bloom
   * might contain at least one of the probe ids — the takedown/audit shape
@@ -1635,24 +1587,46 @@ class RepartitionNode(val n: Int, val byCols: Seq[String] = Nil, val coalesce: B
   * (post-dedup, post-gate) is the standard medicine: downstream plans see
   * a leaf, recovery restarts from the barrier.
   *
-  *   - `reliable = false` (default): `localCheckpoint` — eager, executor-
-  *     stored; fast, lost on executor death (fine on long-lived clusters).
+  *   - `reliable = false` (default): `localCheckpoint` — executor-stored;
+  *     fast, lost on executor death (fine on long-lived clusters).
   *   - `reliable = true`: `checkpoint()` to the SparkContext checkpoint
   *     dir — survives executor loss; requires `setCheckpointDir` on SHARED
   *     storage on a real cluster (same contract as
   *     ConnectedComponentsNode.reliableCheckpoint, enforced the same way).
+  *   - `eager = false`: the LAZY analysis barrier — nothing runs at DAG
+  *     build; the plan is truncated to a leaf immediately and the
+  *     partitions materialize at the first real action. This is the cure
+  *     for Catalyst RE-ANALYSIS cost in long composite pipelines: every
+  *     derived Dataset re-analyzes its whole logical tree, so an N-stage
+  *     chain pays quadratically growing DRIVER time — the q124 flagship
+  *     spent more time analyzing plans than executing them (sf0.1 A/B:
+  *     19.5 s plain, 7.0 s with two lazy barriers; stage-prefix profile
+  *     in Scratch.scala). Place AFTER expensive multi-operator blocks
+  *     whose output feeds several more stages; a barrier blocks pushdown
+  *     across it, so truncate after filters, not before.
   *
   * The output is the SAME rows — q110 pins identity against a plain oracle
   * and PlanSpec pins that downstream plans contain no upstream scan.
+  * Streaming frames are refused loudly (a streaming plan cannot be
+  * checkpointed mid-query — put the barrier inside the per-micro-batch
+  * logic instead). The output never re-persists at a fan-out: it IS
+  * materialized storage already.
   */
-class CheckpointNode(val reliable: Boolean = false) extends Node {
+class CheckpointNode(val reliable: Boolean = false,
+                     val eager: Boolean = true) extends Node {
   override protected def defaultName: String = "checkpoint"
+  override def persistableOutput: Boolean = false
   val inputs = Seq(Port("df"))
   val outputs = Seq(Port("result"))
   override def jsonKind: Option[String] = Some("checkpoint")
-  override def jsonParams: Map[String, Any] = Map("reliable" -> reliable)
+  override def jsonParams: Map[String, Any] =
+    Map("reliable" -> reliable, "eager" -> eager)
   override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
     val df = in("df")
+    if (df.isStreaming)
+      throw new GraftException(
+        s"checkpoint '$name': cannot checkpoint a streaming frame mid-" +
+          "query — place the barrier inside the per-micro-batch logic")
     val out =
       if (reliable) {
         val sc = df.sparkSession.sparkContext
@@ -1666,8 +1640,8 @@ class CheckpointNode(val reliable: Boolean = false) extends Node {
           sc.setCheckpointDir(
             java.nio.file.Files.createTempDirectory("graft_ckpt_").toString)
         }
-        df.checkpoint()
-      } else df.localCheckpoint()
+        df.checkpoint(eager)
+      } else df.localCheckpoint(eager)
     Map("result" -> out)
   }
 }

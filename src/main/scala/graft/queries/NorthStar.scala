@@ -837,8 +837,8 @@ object NorthStar {
     // plan barrier: by this point the logical tree carries the whole
     // gate+dedup block; truncating lineage here (and after the quantile
     // gate below) cut the sf0.1 wall time 19.5 -> 7.0 s — the growth was
-    // Catalyst re-analysis, not execution (PlanBarrierNode doc)
-    val nd = nd0 >> new PlanBarrierNode()
+    // Catalyst re-analysis, not execution (CheckpointNode eager=false doc)
+    val nd = nd0 >> new CheckpointNode(eager = false)
     // 5. benchmark decontamination (docs < 10 stand in for the eval set)
     val cont = d.add(new ContaminationNode(shingleN = 3))
     nd >> cont("docs"); bench >> cont("benchmark")
@@ -848,7 +848,7 @@ object NorthStar {
     nd("result") >> clean("left"); cleanIds >> clean("right")
     // 6. per-source median quality gate (exact percentile, q105 parity)
     val qual = clean >> new QuantileFilterNode(scoreExpr = "n_chars",
-      keepFrac = 0.5, groupCols = Seq("source")) >> new PlanBarrierNode()
+      keepFrac = 0.5, groupCols = Seq("source")) >> new CheckpointNode(eager = false)
     // 7. domain-mix resampling: upsample src0 2x, halve src1, keep the rest
     val mixed = qual >> new DomainMixNode(Seq("src0" -> 2.0, "src1" -> 0.5)) >>
       new WithColumnsNode(Seq("uid" -> "doc_id * 10 + copy")) // unique per copy

@@ -3275,13 +3275,13 @@ class NodesSpec extends AnyFunSuite {
       "the fold watermark itself stays addressable (= the new base)")
   }
 
-  test("PlanBarrierNode: rows and schema identical, downstream analysis sees a " +
-       "LEAF (lineage truncated), streaming frames refused") {
+  test("CheckpointNode(eager = false) — the lazy plan barrier: rows and schema " +
+       "identical, downstream analysis sees a LEAF, streaming frames refused") {
     import spark.implicits._
     val c = Ctx(spark)
     val df = (1L to 50L).map(i => (i, s"v$i")).toDF("id", "v")
       .filter("id % 2 = 0").selectExpr("id", "upper(v) as v")
-    val out = new PlanBarrierNode().transform(c, In.single("df" -> df))("result")
+    val out = new CheckpointNode(eager = false).transform(c, In.single("df" -> df))("result")
     assert(out.schema == df.schema)
     assert(out.as[(Long, String)].collect().toSet ==
       df.as[(Long, String)].collect().toSet)
@@ -3295,7 +3295,7 @@ class NodesSpec extends AnyFunSuite {
       s"barrier output must analyze as a LogicalRDD leaf, got $leaves")
     val stream = spark.readStream.format("rate").load()
     val refused = intercept[GraftException] {
-      new PlanBarrierNode().transform(c, In.single("df" -> stream))
+      new CheckpointNode(eager = false).transform(c, In.single("df" -> stream))
     }
     assert(refused.getMessage.contains("streaming"))
   }

@@ -348,16 +348,23 @@ class SerializationSpec extends AnyFunSuite {
     assert(vf2.payloadCol == "avi" && vf2.outCol == "vp")
   }
 
-  test("round-trip covers round-13 kinds: mor-tail followCompactions/plan-barrier") {
+  test("round-trip covers round-13 kinds: mor-tail followCompactions/lazy " +
+       "checkpoint barrier/mor-source asOfBatch/merge allowEvolution") {
     val d = new Dag("r13kinds")
     val mt = d.add(new MorTailNode("/tmp/morpub", format = "orc",
       maxFilesPerTrigger = Some(3), followCompactions = true))
-    val pb = d.add(new PlanBarrierNode(eager = true))
+    val cp = d.add(new CheckpointNode(eager = false))
+    val ms = d.add(new MorSourceNode("/tmp/morpub", keys = Seq("id"),
+      asOfBatch = Some(7L)))
+    val mg = d.add(new MergeNode(Seq("id"), allowEvolution = true))
     val d2 = DagJson.fromJson(DagJson.toJson(d))
     val mt2 = d2.node(mt.name).asInstanceOf[MorTailNode]
     assert(mt2.path == "/tmp/morpub" && mt2.format == "orc" &&
       mt2.maxFilesPerTrigger.contains(3) && mt2.followCompactions)
-    assert(d2.node(pb.name).asInstanceOf[PlanBarrierNode].eager)
+    val cp2 = d2.node(cp.name).asInstanceOf[CheckpointNode]
+    assert(!cp2.eager && !cp2.reliable)
+    assert(d2.node(ms.name).asInstanceOf[MorSourceNode].asOfBatch.contains(7L))
+    assert(d2.node(mg.name).asInstanceOf[MergeNode].allowEvolution)
   }
 
   test("round-trip covers quality kinds: heuristic/vocab/semdedup/domain-quota") {
