@@ -303,19 +303,44 @@ private[graft] object AtomicPublish {
 
   /** Atomically commit a delta overlay against the current generation:
     * `write` fills a hidden tmp dir, then one directory rename publishes it
-    * as `delta-<id>`. Idempotent per id — an existing committed delta wins
-    * (foreachBatch replays must not double-write). */
+    * as `delta-<id>`. Idempotent per id — an existing committed delta wins,
+    * and an id at or below the generation's `_cdc` fold watermark is
+    * already durable INSIDE the base (its delta dir retired with the fold),
+    * so both are skipped (foreachBatch replays must not double-apply).
+    *
+    * Compaction race: a fold that commits between this call's generation
+    * resolution and its rename would strand the overlay inside the retired
+    * generation — invisible to every reader of the new one (silent data
+    * loss). The commit therefore re-validates the generation AFTER the
+    * rename; on a lost race the stranded dir is removed and the call
+    * raises, so a foreachBatch caller fails the batch and replays it
+    * against the new generation (delta commits are idempotent per id). */
   def publishDelta(spark: org.apache.spark.sql.SparkSession, root: String,
                    id: Long, write: String => Unit): Unit = {
-    val deltas = new Path(s"${resolve(spark, root)}/_deltas")
+    val gen = currentGen(spark, root)
+    val genDir = resolve(spark, root)
+    val deltas = new Path(s"$genDir/_deltas")
     val fs = deltas.getFileSystem(conf(spark))
     val target = new Path(deltas, s"delta-$id")
     if (fs.exists(target)) return // replayed batch: already committed
+    val marker = new Path(s"$genDir/_cdc")
+    if (fs.exists(marker) &&
+        spark.read.parquet(marker.toString).collect().head.getLong(0) >= id)
+      return // replayed batch: already folded into this generation's base
     val tmp = new Path(deltas, s".tmp-$id")
     fs.delete(tmp, true) // stale partial from a crash
     write(tmp.toString)
     FileContext.getFileContext(deltas.toUri, conf(spark))
       .rename(tmp, target, Options.Rename.OVERWRITE)
+    if (currentGen(spark, root) != gen) {
+      fs.delete(target, true) // stranded in a retired generation
+      throw new graft.dag.GraftException(
+        s"AtomicPublish.publishDelta: lost a race against a compaction at " +
+          s"$root — gen-${gen.getOrElse(-1L)} was superseded while " +
+          s"delta-$id committed into it. The stranded overlay was removed; " +
+          "retry the batch against the new current generation (delta " +
+          "commits are idempotent per id)")
+    }
   }
 }
 

@@ -3244,6 +3244,49 @@ class NodesSpec extends AnyFunSuite {
       Set((1L, "a", None), (2L, "b2", Some(0.7)), (9L, "new", Some(0.1))))
   }
 
+  test("publishDelta races and replays: a commit that loses to a concurrent " +
+       "compaction raises with the stranded overlay removed; a replay of an " +
+       "already-FOLDED batch is skipped, not re-applied") {
+    import spark.implicits._
+    val c = Ctx(spark)
+    val work = java.nio.file.Files.createTempDirectory("graft_delta_race").toString
+    val root = s"$work/ds"
+    val base = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    new SinkNode(root, atomicPublish = true).transform(c, In.single("df" -> base))
+    def commit(id: Long, rows: Seq[(Long, String, Boolean)]): Unit =
+      AtomicPublish.publishDelta(spark, root, id, { t =>
+        rows.toDF("id", "v", MorCdc.DeletedCol).coalesce(1).write.parquet(t)
+      })
+    commit(0L, Seq((2L, "b2", false)))
+    MorCdc.compact(c, root, Seq("id"), throughBatch = 0L) // folds wave 0
+    // replay of the FOLDED wave 0: its delta dir retired with gen-1 — a
+    // naive re-commit would re-apply stale data into gen-2; must skip
+    commit(0L, Seq((2L, "b2", false)))
+    assert(AtomicPublish.listDeltas(spark, root).isEmpty,
+      "a replayed folded batch must not recommit as a fresh overlay")
+    // compaction RACE: a fold lands between generation resolution and the
+    // overlay rename (simulated inside the write lambda) — the overlay
+    // would otherwise strand invisibly in the retired generation
+    val lost = intercept[GraftException] {
+      AtomicPublish.publishDelta(spark, root, 1L, { t =>
+        Seq((9L, "new", false)).toDF("id", "v", MorCdc.DeletedCol)
+          .coalesce(1).write.parquet(t)
+        MorCdc.compact(c, root, Seq("id"), throughBatch = 0L) // the racer
+      })
+    }
+    assert(lost.getMessage.contains("lost a race against a compaction"))
+    assert(AtomicPublish.currentGen(spark, root).contains(3L))
+    // nothing stranded anywhere; the live view is the fold only
+    assert(AtomicPublish.listDeltas(spark, root).isEmpty)
+    assert(MorCdc.read(spark, root, Seq("id")).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b2")))
+    // the caller's replay against the NEW generation commits cleanly
+    commit(1L, Seq((9L, "new", false)))
+    assert(AtomicPublish.listDeltas(spark, root).map(_._1) == Seq(1L))
+    assert(MorCdc.read(spark, root, Seq("id")).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b2"), (9L, "new")))
+  }
+
   test("MoR asOfBatch time travel: the resolved view at each overlay watermark; " +
        "folded history refused toward generation time travel") {
     import spark.implicits._
