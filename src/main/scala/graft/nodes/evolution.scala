@@ -324,3 +324,223 @@ class TokenDriftNode(
       .orderBy(col("drift").desc, col("tok")).limit(k))
   }
 }
+
+/** INCREMENTAL MATERIALIZED AGGREGATE — the sixth incremental family, and
+  * the one the other five do not cover: grouped corpus STATISTICS
+  * (per-source doc counts, token totals, per-language volumes — the
+  * dashboard/monitoring tables every 100 TB pipeline keeps) maintained
+  * from CDC deltas without ever rescanning the corpus. The classic
+  * incremental-view-maintenance shape for distributive aggregates:
+  *
+  *   - state = the keyed contribution LEDGER (id, groups, measures — the
+  *     per-row facts, corpus-sized but only ever touched by delta-sized
+  *     anti/semi joins) + the group TOTALS (group-count-sized: n_rows +
+  *     one exact BIGINT sum per measure);
+  *   - `updateIndex` folds an insert batch: ledger union, totals merged
+  *     with the batch's group sums (full-outer on groups — both sides of
+  *     that merge are tiny);
+  *   - `deleteFromIndex` subtracts the victims' contributions (one
+  *     delta-sized semi-join against the ledger recovers exactly what
+  *     each deleted row had contributed) and drops groups that reach
+  *     n_rows = 0 — bit-identical to a from-scratch aggregation over the
+  *     post-delete corpus;
+  *   - upserts are delete-then-insert, which is exactly what
+  *     `IndexMaintenance.maintainFromStream(deleteCol)` drives, so the
+  *     aggregate table maintains itself off any CDC feed — including a
+  *     published MoR corpus's change feed (`MorTailNode`).
+  *
+  * Exactness contract: measures must be INTEGRAL columns (checked at fit)
+  * and are summed as BIGINT — increments and decrements are then exact and
+  * order-independent, so the maintained table is bit-identical to the
+  * declarative `GROUP BY` at every point in the maintenance history
+  * (float sums would drift by accumulation order; pre-scale floats to
+  * integers upstream if needed — the fixed-point convention used
+  * throughout). Group columns must be null-free or nulls form their own
+  * group exactly as GROUP BY treats them (both sides use the same
+  * null-safe grouping).
+  *
+  * Serving: `transform(probe)` answers "current stats for THESE groups"
+  * via a broadcast semi-join against the group-count-sized totals — the
+  * keyed-lookup contract every family serves under (no corpus scan, no
+  * shuffle); probe with the full group list for the whole table. `avg`
+  * is served as exact (sum, n) pairs — divide at the consumer.
+  */
+class AggIndexNode(
+    val groupCols: Seq[String],
+    val sumCols: Seq[String] = Nil,
+    val idCol: String = "doc_id",
+    val compactEvery: Int = 0,
+    val compactPath: Option[String] = None)
+  extends EstimatorNode with IncrementalIndex {
+  require(groupCols.nonEmpty, "agg_index: groupCols must be non-empty")
+  require((groupCols ++ sumCols ++ Seq(idCol)).distinct.size ==
+    groupCols.size + sumCols.size + 1,
+    "agg_index: idCol, groupCols and sumCols must be distinct")
+  require(compactEvery >= 0, "compactEvery must be >= 0")
+  type Model = AggIndexNode.Index
+  override protected def defaultName: String = "agg_index"
+  val inputs = Seq(Port("corpus"), Port("probe"))
+  val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("agg_index")
+  override def jsonParams: Map[String, Any] = Map(
+    "groupCols" -> groupCols, "sumCols" -> sumCols, "idCol" -> idCol,
+    "compactEvery" -> compactEvery, "compactPath" -> compactPath.orNull)
+
+  private def sumName(c: String) = s"sum_$c"
+
+  private def ledgerOf(df: DataFrame): DataFrame = {
+    val integral = Set("ByteType", "ShortType", "IntegerType", "LongType")
+    sumCols.foreach { c =>
+      val t = df.schema(c).dataType
+      if (!integral.contains(t.getClass.getSimpleName.stripSuffix("$")))
+        throw new GraftException(
+          s"agg_index '$name': sum column '$c' is ${t.simpleString} — only " +
+            "INTEGRAL measures sum exactly under incremental +/- (pre-scale " +
+            "floats to fixed-point integers upstream)")
+    }
+    df.select((Seq(col(idCol)) ++ groupCols.map(col) ++
+      sumCols.map(c => col(c).cast("long").as(c))): _*)
+      .filter(col(idCol).isNotNull)
+  }
+
+  private def totalsOf(ledger: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{count, lit, sum}
+    val aggs = count(lit(1)).as("n_rows") +:
+      sumCols.map(c => sum(col(c)).as(sumName(c)))
+    ledger.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** totals ⊕ sign·delta — full-outer on the group key, both sides
+    * group-count-sized; groups whose n_rows reaches 0 drop (GROUP BY
+    * semantics: an empty group does not exist). */
+  private def merged(totals: DataFrame, delta: DataFrame, sign: Int): DataFrame = {
+    val d = delta.select(
+      (groupCols.map(col) :+ col("n_rows").as("__dn")) ++
+        sumCols.map(c => col(sumName(c)).as(s"__d_$c")): _*)
+    val joined = totals.join(d, groupCols, "full_outer")
+    val outCols = groupCols.map(col) ++ Seq(
+      expr(s"coalesce(n_rows, 0L) + ${sign}L * coalesce(__dn, 0L)").as("n_rows")) ++
+      sumCols.map(c => expr(
+        s"coalesce(${sumName(c)}, 0L) + ${sign}L * coalesce(__d_$c, 0L)")
+        .as(sumName(c)))
+    joined.select(outCols: _*).filter(col("n_rows") > 0)
+  }
+
+  def fitModel(ctx: Ctx, in: In): Model = {
+    import org.apache.spark.storage.StorageLevel
+    val ledger = ledgerOf(in("corpus")).persist(StorageLevel.MEMORY_AND_DISK)
+    val totals = totalsOf(ledger).persist(StorageLevel.MEMORY_AND_DISK)
+    AggIndexNode.Index(ledger, totals)
+  }
+
+  def applyModel(m: Model, ctx: Ctx, in: In): Map[String, DataFrame] = {
+    val probe = in("probe")
+    if (probe.isStreaming)
+      throw new GraftException(
+        s"agg_index '$name': streaming probe refused — serve per micro-batch " +
+          "through StreamServing.serveStream (the totals lookup is " +
+          "probe-sized), and maintain via IndexMaintenance.maintainFromStream")
+    val keys = probe.select(groupCols.map(col): _*).distinct()
+    Map("result" -> m.totals.join(broadcast(keys), groupCols, "left_semi"))
+  }
+
+  def updateIndex(ctx: Ctx, delta: DataFrame): Unit = {
+    import org.apache.spark.storage.StorageLevel
+    val m = model.getOrElse(
+      throw new GraftException(s"estimator node '$name' not fitted"))
+    val fresh = ledgerOf(delta)
+    val newLedger = m.ledger.union(fresh).persist(StorageLevel.MEMORY_AND_DISK)
+    val newTotals = merged(m.totals, totalsOf(fresh), +1)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    newLedger.count(); newTotals.count() // materialize before releasing old
+    model = Some(AggIndexNode.Index(newLedger, newTotals))
+    m.ledger.unpersist(); m.totals.unpersist()
+    generation += 1
+    if (compactEvery > 0 && generation % compactEvery == 0) compactIndex()
+  }
+
+  /** Exact decrement: the semi-join recovers precisely what each deleted
+    * row contributed; unknown ids no-op; groups reaching zero drop.
+    * Bit-identical to re-aggregating the post-delete corpus. */
+  def deleteFromIndex(ctx: Ctx, deletes: DataFrame): Unit = {
+    import org.apache.spark.storage.StorageLevel
+    val m = model.getOrElse(
+      throw new GraftException(s"estimator node '$name' not fitted"))
+    val del = deletes.select(col(idCol)).distinct()
+    val victims = m.ledger.join(broadcast(del), Seq(idCol), "left_semi")
+    val newLedger = m.ledger.join(broadcast(del), Seq(idCol), "left_anti")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val newTotals = merged(m.totals, totalsOf(victims), -1)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    newLedger.count(); newTotals.count()
+    model = Some(AggIndexNode.Index(newLedger, newTotals))
+    m.ledger.unpersist(); m.totals.unpersist()
+    generation += 1
+    if (compactEvery > 0 && generation % compactEvery == 0) compactIndex()
+  }
+
+  /** Re-derive totals from the ledger — the exact re-derivation every
+    * family carries (here it is equality by construction, pinned in
+    * tests rather than needed for a cap). */
+  def rebuildIndex(): Unit = {
+    import org.apache.spark.storage.StorageLevel
+    val m = model.getOrElse(
+      throw new GraftException(s"estimator node '$name' not fitted"))
+    val newTotals = totalsOf(m.ledger).persist(StorageLevel.MEMORY_AND_DISK)
+    newTotals.count()
+    model = Some(AggIndexNode.Index(m.ledger, newTotals))
+    m.totals.unpersist()
+    generation += 1
+    if (compactEvery > 0 && generation % compactEvery == 0) compactIndex()
+  }
+
+  @volatile private var generation: Long = 0L
+  @volatile private var compactGen: Long = 0L
+
+  /** Truncate lineage to a parquet scan (double-buffered under
+    * `compactPath` — the family convention). */
+  def compactIndex(): Unit = {
+    import org.apache.spark.storage.StorageLevel
+    val m = model.getOrElse(
+      throw new GraftException(s"estimator node '$name' not fitted"))
+    val path = compactPath match {
+      case Some(root) => compactGen += 1; s"$root/gen-${compactGen % 2}"
+      case None =>
+        val d = java.nio.file.Files.createTempDirectory("graft_idx_compact_")
+        d.toFile.deleteOnExit()
+        d.toString
+    }
+    val session = m.ledger.sparkSession
+    saveFitted(path)
+    model = Some(AggIndexNode.Index(
+      session.read.parquet(s"$path/ledger").persist(StorageLevel.MEMORY_AND_DISK),
+      session.read.parquet(s"$path/totals").persist(StorageLevel.MEMORY_AND_DISK)))
+    m.ledger.unpersist(); m.totals.unpersist()
+  }
+
+  def unpersistIndex(): Unit = model.foreach { m =>
+    m.ledger.unpersist(); m.totals.unpersist()
+  }
+
+  override def saveFitted(path: String): Unit = {
+    val m = model.getOrElse(
+      throw new GraftException(s"estimator node '$name' not fitted"))
+    m.ledger.write.mode("overwrite").parquet(s"$path/ledger")
+    m.totals.write.mode("overwrite").parquet(s"$path/totals")
+    saveMaintenanceState(m.ledger.sparkSession, path)
+  }
+  override def loadFitted(path: String): Unit = loadFitted(path, None)
+  def loadFitted(path: String, session: Option[org.apache.spark.sql.SparkSession]): Unit = {
+    import org.apache.spark.storage.StorageLevel
+    val spark = session.getOrElse(org.apache.spark.sql.SparkSession.active)
+    model = Some(AggIndexNode.Index(
+      spark.read.parquet(s"$path/ledger").persist(StorageLevel.MEMORY_AND_DISK),
+      spark.read.parquet(s"$path/totals").persist(StorageLevel.MEMORY_AND_DISK)))
+    loadMaintenanceState(spark, path)
+  }
+}
+
+object AggIndexNode {
+  /** The fitted state: keyed contribution ledger + group totals. */
+  case class Index(ledger: DataFrame, totals: DataFrame)
+}

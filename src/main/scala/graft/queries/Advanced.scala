@@ -3495,6 +3495,82 @@ object Advanced {
       |UNION ALL SELECT 'final', * FROM w1
       |ORDER BY stage, o_orderkey""".stripMargin
 
+  // ---- q193: INCREMENTAL MATERIALIZED AGGREGATE — the sixth incremental
+  // family: grouped corpus statistics (the per-source dashboard table)
+  // maintained from deltas without rescanning the corpus. State = keyed
+  // contribution ledger + group totals; inserts merge group sums,
+  // takedowns decrement EXACTLY what each deleted row contributed
+  // (delta-sized semi-join), groups reaching zero drop — bit-identical
+  // to the declarative GROUP BY over the post-delete corpus, which is
+  // the oracle. BIGINT-exact sums (order-independent), serve = broadcast
+  // group lookup against the group-count-sized totals. ----
+  def q193_agg_index_day2(spark: SparkSession, dir: String): DataFrame = {
+    val ctx = Ctx(spark)
+    val docs = Queries.run(spark) { d =>
+      d.add(SourceNode.table(dir, "documents")) >> d.output("result")
+    }
+    val idx = new AggIndexNode(groupCols = Seq("source"), sumCols = Seq("n_chars"))
+    idx.fit(ctx, In.single("corpus" -> docs.filter("doc_id % 5 != 0")))
+    idx.updateIndex(ctx, docs.filter("doc_id % 5 = 0"))
+    idx.deleteFromIndex(ctx, docs.filter("doc_id % 7 = 0").select("doc_id"))
+    val out = idx.transform(ctx,
+      In.single("probe" -> docs.select("source").distinct()))("result")
+      .orderBy("source")
+    out
+  }
+  val q193Sql: String =
+    """SELECT source, count(*) AS n_rows,
+      |       CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
+      |FROM documents WHERE doc_id % 7 <> 0
+      |GROUP BY source ORDER BY source""".stripMargin
+
+  // ---- q194: the dashboard MAINTAINS ITSELF off a published corpus — the
+  // q187/q189 subscription pattern driving the materialized aggregate:
+  // a MoR root's change feed (MorTailNode) flows through
+  // maintainFromStream's CDC mode (upsert = delete-then-insert, then
+  // tombstones), so per-source stats stay current with zero corpus
+  // rescans and zero extra plumbing. Gate: after an insert wave and a
+  // takedown wave the served table must equal the declarative GROUP BY
+  // over the post-delete corpus — a missed wave, an unnormalized upsert
+  // (double-count), or a stale total all change the hash. ----
+  def q194_agg_index_off_mor_tail(spark: SparkSession, dir: String): DataFrame = {
+    val ctx = Ctx(spark)
+    val docs = Queries.run(spark) { d =>
+      d.add(SourceNode.table(dir, "documents")) >> d.output("result")
+    }
+    val work = java.nio.file.Files.createTempDirectory("graft_q194_")
+    work.toFile.deleteOnExit()
+    val root = s"$work/docs_mor"
+    Queries.run(spark) { d =>
+      d.add(SourceNode.table(dir, "documents")) >>
+        FilterNode("doc_id % 5 != 0") >>
+        ProjectNode("doc_id", "source", "n_chars") >>
+        new SinkNode(root, atomicPublish = true) >> d.output("result")
+    }
+    val idx = new AggIndexNode(groupCols = Seq("source"), sumCols = Seq("n_chars"))
+    idx.fit(ctx, In.single("corpus" -> Queries.run(spark) { d =>
+      d.add(new MorSourceNode(root, keys = Seq("doc_id"))) >> d.output("result")
+    }))
+    AtomicPublish.publishDelta(spark, root, 1L, { t =>
+      docs.filter("doc_id % 5 = 0")
+        .selectExpr("doc_id", "source", "n_chars", s"false as ${MorCdc.DeletedCol}")
+        .coalesce(1).write.parquet(t)
+    })
+    AtomicPublish.publishDelta(spark, root, 2L, { t =>
+      docs.filter("doc_id % 7 = 0")
+        .selectExpr("doc_id", "cast(null as string) as source",
+          "cast(null as bigint) as n_chars", s"true as ${MorCdc.DeletedCol}")
+        .coalesce(1).write.parquet(t)
+    })
+    val tail = new MorTailNode(root, maxFilesPerTrigger = Some(1))
+      .transform(ctx, In.empty)("result")
+    IndexMaintenance.maintainFromStream(idx, ctx, tail,
+      checkpoint = Some(s"$work/ckpt"), deleteCol = Some(MorCdc.DeletedCol))
+    idx.transform(ctx,
+      In.single("probe" -> docs.select("source").distinct()))("result")
+      .orderBy("source")
+  }
+
   // ---- q176: VACUUM — storage hygiene for published roots. Crashes leave
   // debris readers never see (a publish killed before its manifest swap
   // leaves a full dangling generation; a killed swap leaves a manifest
@@ -3908,5 +3984,7 @@ object Advanced {
     ("q190_mor_schema_evolution", q190_mor_schema_evolution _, q190Sql),
     ("q191_compaction_keeps_skipping", q191_compaction_keeps_skipping _, q191Sql),
     ("q192_mor_time_travel", q192_mor_time_travel _, q192Sql),
+    ("q193_agg_index_day2", q193_agg_index_day2 _, q193Sql),
+    ("q194_agg_index_off_mor_tail", q194_agg_index_off_mor_tail _, q193Sql),
   )
 }

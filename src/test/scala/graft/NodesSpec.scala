@@ -3244,6 +3244,57 @@ class NodesSpec extends AnyFunSuite {
       Set((1L, "a", None), (2L, "b2", Some(0.7)), (9L, "new", Some(0.1))))
   }
 
+  test("AggIndexNode: incremental materialized aggregate — update/delete/upsert " +
+       "bit-identical to re-aggregation at every step; save/load; rebuild; " +
+       "float measures and unfitted serve refused") {
+    import spark.implicits._
+    val c = Ctx(spark)
+    val corpus = Seq(
+      (1L, "a", 10L), (2L, "a", 20L), (3L, "b", 5L), (4L, "b", 7L), (5L, "c", 1L)
+    ).toDF("doc_id", "src", "toks")
+    val idx = new AggIndexNode(groupCols = Seq("src"), sumCols = Seq("toks"))
+    idx.fit(c, In.single("corpus" -> corpus))
+    def served(groups: Seq[String]): Map[String, (Long, Long)] =
+      idx.transform(c, In.single("probe" -> groups.toDF("src")))("result")
+        .as[(String, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+    val all = Seq("a", "b", "c", "zz")
+    assert(served(all) == Map("a" -> ((2L, 30L)), "b" -> ((2L, 12L)), "c" -> ((1L, 1L))))
+    // insert wave: new group appears, existing grows
+    idx.updateIndex(c, Seq((6L, "a", 100L), (7L, "d", 2L)).toDF("doc_id", "src", "toks"))
+    assert(served(all :+ "d") == Map("a" -> ((3L, 130L)), "b" -> ((2L, 12L)),
+      "c" -> ((1L, 1L)), "d" -> ((1L, 2L))))
+    // takedown: exact decrement, a group reaching zero DROPS (GROUP BY
+    // semantics); unknown ids no-op
+    idx.deleteFromIndex(c, Seq(5L, 6L, 999L).toDF("doc_id"))
+    assert(served(all :+ "d") == Map("a" -> ((2L, 30L)), "b" -> ((2L, 12L)),
+      "d" -> ((1L, 2L))))
+    // upsert = delete-then-insert (the maintainFromStream composition):
+    // doc 2 moves from src a to src b with a new measure
+    idx.deleteFromIndex(c, Seq(2L).toDF("doc_id"))
+    idx.updateIndex(c, Seq((2L, "b", 50L)).toDF("doc_id", "src", "toks"))
+    val postUpsert = Map("a" -> ((1L, 10L)), "b" -> ((3L, 62L)), "d" -> ((1L, 2L)))
+    assert(served(all :+ "d") == postUpsert)
+    // rebuild from the ledger == the maintained totals (exactness pin)
+    idx.rebuildIndex()
+    assert(served(all :+ "d") == postUpsert)
+    // save/load round-trip
+    val dir = java.nio.file.Files.createTempDirectory("graft_aggidx").toString
+    idx.saveFitted(dir)
+    val idx2 = new AggIndexNode(groupCols = Seq("src"), sumCols = Seq("toks"))
+    idx2.loadFitted(dir, Some(spark))
+    assert(idx2.transform(c, In.single("probe" -> Seq("b").toDF("src")))("result")
+      .as[(String, Long, Long)].collect().toSeq == Seq(("b", 3L, 62L)))
+    // float measures refuse toward fixed-point
+    val floaty = intercept[GraftException] {
+      new AggIndexNode(groupCols = Seq("src"), sumCols = Seq("score"))
+        .fit(c, In.single("corpus" ->
+          Seq((1L, "a", 0.5)).toDF("doc_id", "src", "score")))
+    }
+    assert(floaty.getMessage.contains("INTEGRAL"))
+    idx.unpersistIndex(); idx2.unpersistIndex()
+  }
+
   test("publishDelta races and replays: a commit that loses to a concurrent " +
        "compaction raises with the stranded overlay removed; a replay of an " +
        "already-FOLDED batch is skipped, not re-applied") {

@@ -365,6 +365,14 @@ class SerializationSpec extends AnyFunSuite {
     assert(!cp2.eager && !cp2.reliable)
     assert(d2.node(ms.name).asInstanceOf[MorSourceNode].asOfBatch.contains(7L))
     assert(d2.node(mg.name).asInstanceOf[MergeNode].allowEvolution)
+    val ai = d.add(new AggIndexNode(groupCols = Seq("src", "lang"),
+      sumCols = Seq("toks"), idCol = "uid", compactEvery = 4,
+      compactPath = Some("/tmp/aggc")))
+    val d3 = DagJson.fromJson(DagJson.toJson(d))
+    val ai2 = d3.node(ai.name).asInstanceOf[AggIndexNode]
+    assert(ai2.groupCols == Seq("src", "lang") && ai2.sumCols == Seq("toks") &&
+      ai2.idCol == "uid" && ai2.compactEvery == 4 &&
+      ai2.compactPath.contains("/tmp/aggc"))
   }
 
   test("round-trip covers quality kinds: heuristic/vocab/semdedup/domain-quota") {
