@@ -281,8 +281,12 @@ object NodeRegistry {
       p.strOpt("onDuplicate").getOrElse("error"), p.strOpt("orderCol"),
       p.boolOr("allowEvolution", false)))
     register("agg_index")(p => new AggIndexNode(p.strs("groupCols"),
-      p.strs("sumCols"), p.str("idCol"), p.intOr("compactEvery", 0),
+      p.strs("sumCols"), p.strs("minCols"), p.strs("maxCols"),
+      p.strs("distinctCols"), p.str("idCol"), p.intOr("compactEvery", 0),
       p.strOpt("compactPath")))
+    register("materialized_join")(p => new MaterializedJoinNode(
+      p.strs("leftOn"), p.strs("rightOn"), p.str("leftId"), p.str("rightId"),
+      p.intOr("compactEvery", 0), p.strOpt("compactPath")))
     register("snapshot_diff")(p => new SnapshotDiffNode(p.strs("keys"), p.strs("compareCols"),
       p.boolOr("includeUnchanged", false), p.str("changeCol")))
     register("outlier_filter")(p => new OutlierFilterNode(p.strs("groupCols"), p.str("valueExpr"),

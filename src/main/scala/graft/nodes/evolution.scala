@@ -2,7 +2,7 @@ package graft.nodes
 
 import graft.dag._
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{broadcast, col, expr, lit, not, when}
+import org.apache.spark.sql.functions.{broadcast, col, expr, greatest, least, lit, not, when}
 
 /** Corpus-evolution operators: a 100 TB training corpus is not rebuilt from
   * scratch per refresh — deltas are merged in (upsert + tombstone deletes)
@@ -349,15 +349,36 @@ class TokenDriftNode(
   *     aggregate table maintains itself off any CDC feed — including a
   *     published MoR corpus's change feed (`MorTailNode`).
   *
-  * Exactness contract: measures must be INTEGRAL columns (checked at fit)
-  * and are summed as BIGINT — increments and decrements are then exact and
-  * order-independent, so the maintained table is bit-identical to the
-  * declarative `GROUP BY` at every point in the maintenance history
+  * Exactness contract: SUM measures must be INTEGRAL columns (checked at
+  * fit) and are summed as BIGINT — increments and decrements are then
+  * exact and order-independent, so the maintained table is bit-identical
+  * to the declarative `GROUP BY` at every point in the maintenance history
   * (float sums would drift by accumulation order; pre-scale floats to
   * integers upstream if needed — the fixed-point convention used
   * throughout). Group columns must be null-free or nulls form their own
   * group exactly as GROUP BY treats them (both sides use the same
   * null-safe grouping).
+  *
+  * MIN/MAX measures (`minCols`/`maxCols`, any atomic orderable type —
+  * comparison only, no arithmetic, so floats are fine here): inserts fold
+  * with `least`/`greatest` (monotone, exact). Deletes CANNOT decrement an
+  * extremum — the classic IVM asymmetry — so `deleteFromIndex` falls back
+  * to recomputing ONLY the touched groups from the ledger (semi-join on
+  * the victims' group keys) and splicing them over the untouched totals.
+  * Cost is bounded by the touched groups' ledger rows — the standard
+  * incremental-view-maintenance bound for MIN/MAX under deletes — and the
+  * result stays bit-identical to the post-delete GROUP BY.
+  *
+  * COUNT DISTINCT measures (`distinctCols`, served as `nd_<c>`, exact —
+  * not a sketch): the state adds one VALUE-COUNT frame per column
+  * ((group, value) → multiplicity, the textbook IVM support relation for
+  * duplicate-sensitive distinct counts). Inserts detect genuinely NEW
+  * (group, value) pairs with a delta-sized anti-join against the value
+  * counts and add their per-group tally to `nd_<c>` — values already
+  * present only bump multiplicity. Deletes ride the same touched-group
+  * splice as MIN/MAX (a vanished value is exactly a count reaching zero;
+  * recomputing the touched groups handles it and the extrema in one
+  * pass). NULLs never count, matching `COUNT(DISTINCT c)`.
   *
   * Serving: `transform(probe)` answers "current stats for THESE groups"
   * via a broadcast semi-join against the group-count-sized totals — the
@@ -368,6 +389,9 @@ class TokenDriftNode(
 class AggIndexNode(
     val groupCols: Seq[String],
     val sumCols: Seq[String] = Nil,
+    val minCols: Seq[String] = Nil,
+    val maxCols: Seq[String] = Nil,
+    val distinctCols: Seq[String] = Nil,
     val idCol: String = "doc_id",
     val compactEvery: Int = 0,
     val compactPath: Option[String] = None)
@@ -376,6 +400,13 @@ class AggIndexNode(
   require((groupCols ++ sumCols ++ Seq(idCol)).distinct.size ==
     groupCols.size + sumCols.size + 1,
     "agg_index: idCol, groupCols and sumCols must be distinct")
+  require(minCols.distinct.size == minCols.size &&
+    maxCols.distinct.size == maxCols.size &&
+    distinctCols.distinct.size == distinctCols.size,
+    "agg_index: minCols/maxCols/distinctCols must not repeat within themselves")
+  require((minCols ++ maxCols ++ distinctCols).forall(
+    c => c != idCol && !groupCols.contains(c)),
+    "agg_index: minCols/maxCols/distinctCols must not name idCol or a group column")
   require(compactEvery >= 0, "compactEvery must be >= 0")
   type Model = AggIndexNode.Index
   override protected def defaultName: String = "agg_index"
@@ -383,10 +414,19 @@ class AggIndexNode(
   val outputs = Seq(Port("result"))
   override def jsonKind: Option[String] = Some("agg_index")
   override def jsonParams: Map[String, Any] = Map(
-    "groupCols" -> groupCols, "sumCols" -> sumCols, "idCol" -> idCol,
+    "groupCols" -> groupCols, "sumCols" -> sumCols,
+    "minCols" -> minCols, "maxCols" -> maxCols,
+    "distinctCols" -> distinctCols, "idCol" -> idCol,
     "compactEvery" -> compactEvery, "compactPath" -> compactPath.orNull)
 
   private def sumName(c: String) = s"sum_$c"
+  /** Order/equality measure columns the ledger must carry beyond the sums. */
+  private val orderOnlyCols: Seq[String] =
+    (minCols ++ maxCols ++ distinctCols).distinct.filterNot(sumCols.contains)
+  private def hasExtrema: Boolean = minCols.nonEmpty || maxCols.nonEmpty
+  /** Deletes must group-recompute when any non-decrementable aggregate is
+    * maintained (extrema, distinct counts). */
+  private def needsSplice: Boolean = hasExtrema || distinctCols.nonEmpty
 
   private def ledgerOf(df: DataFrame): DataFrame = {
     val integral = Set("ByteType", "ShortType", "IntegerType", "LongType")
@@ -398,39 +438,93 @@ class AggIndexNode(
             "INTEGRAL measures sum exactly under incremental +/- (pre-scale " +
             "floats to fixed-point integers upstream)")
     }
+    (minCols ++ maxCols ++ distinctCols).distinct.foreach { c =>
+      import org.apache.spark.sql.types.{ArrayType, MapType, StructType, NullType}
+      val t = df.schema(c).dataType
+      val complex = t.isInstanceOf[ArrayType] || t.isInstanceOf[MapType] ||
+        t.isInstanceOf[StructType] || t.isInstanceOf[NullType]
+      if (complex)
+        throw new GraftException(
+          s"agg_index '$name': min/max/distinct column '$c' is " +
+            s"${t.simpleString} — measures need an atomic orderable type")
+    }
     df.select((Seq(col(idCol)) ++ groupCols.map(col) ++
-      sumCols.map(c => col(c).cast("long").as(c))): _*)
+      sumCols.map(c => col(c).cast("long").as(c)) ++
+      orderOnlyCols.map(col)): _*)
       .filter(col(idCol).isNotNull)
   }
 
-  private def totalsOf(ledger: DataFrame): DataFrame = {
-    import org.apache.spark.sql.functions.{count, lit, sum}
-    val aggs = count(lit(1)).as("n_rows") +:
-      sumCols.map(c => sum(col(c)).as(sumName(c)))
+  /** GROUP BY over a ledger slice. `ndFromData = false` leaves the
+    * `nd_<c>` columns out — the insert path supplies them as INCREMENTS
+    * (new-value tallies) instead of batch-local distinct counts. */
+  private def totalsOf(ledger: DataFrame, ndFromData: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.functions.{count, count_distinct, lit, max, min, sum}
+    val aggs = (count(lit(1)).as("n_rows") +:
+      sumCols.map(c => sum(col(c)).as(sumName(c)))) ++
+      minCols.map(c => min(col(c)).as(s"min_$c")) ++
+      maxCols.map(c => max(col(c)).as(s"max_$c")) ++
+      (if (ndFromData) distinctCols.map(c =>
+        count_distinct(col(c)).as(s"nd_$c")) else Nil)
     ledger.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** The IVM support relation for COUNT DISTINCT: (group, value) →
+    * multiplicity, nulls excluded (COUNT(DISTINCT) semantics). */
+  private def valueCountsOf(ledger: DataFrame, c: String): DataFrame = {
+    import org.apache.spark.sql.functions.{count, lit}
+    ledger.filter(col(c).isNotNull)
+      .groupBy((groupCols :+ c).map(col): _*)
+      .agg(count(lit(1)).as("__vc"))
   }
 
   /** totals ⊕ sign·delta — full-outer on the group key, both sides
     * group-count-sized; groups whose n_rows reaches 0 drop (GROUP BY
-    * semantics: an empty group does not exist). */
+    * semantics: an empty group does not exist). Extrema fold with
+    * least/greatest — monotone, so INSERT-ONLY: the delete path must
+    * recompute touched groups instead (`splicedTotals`). */
   private def merged(totals: DataFrame, delta: DataFrame, sign: Int): DataFrame = {
+    assert(sign == 1 || !needsSplice,
+      "merged(sign = -1) is unsound for MIN/MAX/DISTINCT — use splicedTotals")
     val d = delta.select(
       (groupCols.map(col) :+ col("n_rows").as("__dn")) ++
-        sumCols.map(c => col(sumName(c)).as(s"__d_$c")): _*)
+        sumCols.map(c => col(sumName(c)).as(s"__d_$c")) ++
+        minCols.map(c => col(s"min_$c").as(s"__dmin_$c")) ++
+        maxCols.map(c => col(s"max_$c").as(s"__dmax_$c")) ++
+        distinctCols.map(c => col(s"nd_$c").as(s"__dnd_$c")): _*)
     val joined = totals.join(d, groupCols, "full_outer")
     val outCols = groupCols.map(col) ++ Seq(
       expr(s"coalesce(n_rows, 0L) + ${sign}L * coalesce(__dn, 0L)").as("n_rows")) ++
       sumCols.map(c => expr(
         s"coalesce(${sumName(c)}, 0L) + ${sign}L * coalesce(__d_$c, 0L)")
-        .as(sumName(c)))
+        .as(sumName(c))) ++
+      minCols.map(c => least(col(s"min_$c"), col(s"__dmin_$c")).as(s"min_$c")) ++
+      maxCols.map(c => greatest(col(s"max_$c"), col(s"__dmax_$c")).as(s"max_$c")) ++
+      distinctCols.map(c => expr(
+        s"coalesce(nd_$c, 0L) + ${sign}L * coalesce(__dnd_$c, 0L)").as(s"nd_$c"))
     joined.select(outCols: _*).filter(col("n_rows") > 0)
+  }
+
+  /** Post-delete totals when extrema are maintained: recompute ONLY the
+    * groups the victims touched (from the post-delete ledger) and splice
+    * them over the untouched rows. Exact for every aggregate at once;
+    * cost bounded by the touched groups' ledger rows. Groups emptied by
+    * the delete vanish from the recomputed side and so drop. */
+  private def splicedTotals(
+      totals: DataFrame, newLedger: DataFrame, victims: DataFrame): DataFrame = {
+    val touched = victims.select(groupCols.map(col): _*).distinct()
+    val untouched = totals.join(broadcast(touched), groupCols, "left_anti")
+    val recomputed = totalsOf(
+      newLedger.join(broadcast(touched), groupCols, "left_semi"))
+    untouched.unionByName(recomputed)
   }
 
   def fitModel(ctx: Ctx, in: In): Model = {
     import org.apache.spark.storage.StorageLevel
     val ledger = ledgerOf(in("corpus")).persist(StorageLevel.MEMORY_AND_DISK)
     val totals = totalsOf(ledger).persist(StorageLevel.MEMORY_AND_DISK)
-    AggIndexNode.Index(ledger, totals)
+    val vcs = distinctCols.map(c => c ->
+      valueCountsOf(ledger, c).persist(StorageLevel.MEMORY_AND_DISK)).toMap
+    AggIndexNode.Index(ledger, totals, vcs)
   }
 
   def applyModel(m: Model, ctx: Ctx, in: In): Map[String, DataFrame] = {
@@ -446,15 +540,39 @@ class AggIndexNode(
 
   def updateIndex(ctx: Ctx, delta: DataFrame): Unit = {
     import org.apache.spark.storage.StorageLevel
+    import org.apache.spark.sql.functions.{coalesce, count, lit}
     val m = model.getOrElse(
       throw new GraftException(s"estimator node '$name' not fitted"))
     val fresh = ledgerOf(delta)
-    val newLedger = m.ledger.union(fresh).persist(StorageLevel.MEMORY_AND_DISK)
-    val newTotals = merged(m.totals, totalsOf(fresh), +1)
+    val newLedger = m.ledger.unionByName(fresh).persist(StorageLevel.MEMORY_AND_DISK)
+    // per-distinct-col: batch value counts, the genuinely NEW (group,
+    // value) pairs (anti-join against the support frame — delta-sized),
+    // and the merged support frame
+    val freshVC = distinctCols.map(c => c -> valueCountsOf(fresh, c)).toMap
+    val ndInc = distinctCols.map { c =>
+      c -> freshVC(c).join(m.valueCounts(c), groupCols :+ c, "left_anti")
+        .groupBy(groupCols.map(col): _*).agg(count(lit(1)).as(s"nd_$c"))
+    }.toMap
+    val newVC = distinctCols.map { c =>
+      val keys = groupCols :+ c
+      c -> m.valueCounts(c)
+        .join(freshVC(c).withColumnRenamed("__vc", "__dvc"), keys, "full_outer")
+        .select((keys.map(col) :+
+          (coalesce(col("__vc"), lit(0L)) + coalesce(col("__dvc"), lit(0L)))
+            .as("__vc")): _*)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }.toMap
+    val deltaTotals = distinctCols.foldLeft(totalsOf(fresh, ndFromData = false)) {
+      (t, c) => t.join(ndInc(c), groupCols, "left")
+        .withColumn(s"nd_$c", coalesce(col(s"nd_$c"), lit(0L)))
+    }
+    val newTotals = merged(m.totals, deltaTotals, +1)
       .persist(StorageLevel.MEMORY_AND_DISK)
     newLedger.count(); newTotals.count() // materialize before releasing old
-    model = Some(AggIndexNode.Index(newLedger, newTotals))
+    newVC.values.foreach(_.count())
+    model = Some(AggIndexNode.Index(newLedger, newTotals, newVC))
     m.ledger.unpersist(); m.totals.unpersist()
+    m.valueCounts.values.foreach(_.unpersist())
     generation += 1
     if (compactEvery > 0 && generation % compactEvery == 0) compactIndex()
   }
@@ -470,11 +588,23 @@ class AggIndexNode(
     val victims = m.ledger.join(broadcast(del), Seq(idCol), "left_semi")
     val newLedger = m.ledger.join(broadcast(del), Seq(idCol), "left_anti")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val newTotals = merged(m.totals, totalsOf(victims), -1)
+    val newTotals = (if (needsSplice) splicedTotals(m.totals, newLedger, victims)
+                     else merged(m.totals, totalsOf(victims), -1))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // support frames ride the same touched-group splice (a vanished value
+    // is a multiplicity reaching zero — the recompute handles it exactly)
+    val touched = victims.select(groupCols.map(col): _*).distinct()
+    val newVC = distinctCols.map { c =>
+      c -> m.valueCounts(c).join(broadcast(touched), groupCols, "left_anti")
+        .unionByName(valueCountsOf(
+          newLedger.join(broadcast(touched), groupCols, "left_semi"), c))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }.toMap
     newLedger.count(); newTotals.count()
-    model = Some(AggIndexNode.Index(newLedger, newTotals))
+    newVC.values.foreach(_.count())
+    model = Some(AggIndexNode.Index(newLedger, newTotals, newVC))
     m.ledger.unpersist(); m.totals.unpersist()
+    m.valueCounts.values.foreach(_.unpersist())
     generation += 1
     if (compactEvery > 0 && generation % compactEvery == 0) compactIndex()
   }
@@ -487,9 +617,12 @@ class AggIndexNode(
     val m = model.getOrElse(
       throw new GraftException(s"estimator node '$name' not fitted"))
     val newTotals = totalsOf(m.ledger).persist(StorageLevel.MEMORY_AND_DISK)
-    newTotals.count()
-    model = Some(AggIndexNode.Index(m.ledger, newTotals))
+    val newVC = distinctCols.map(c => c ->
+      valueCountsOf(m.ledger, c).persist(StorageLevel.MEMORY_AND_DISK)).toMap
+    newTotals.count(); newVC.values.foreach(_.count())
+    model = Some(AggIndexNode.Index(m.ledger, newTotals, newVC))
     m.totals.unpersist()
+    m.valueCounts.values.foreach(_.unpersist())
     generation += 1
     if (compactEvery > 0 && generation % compactEvery == 0) compactIndex()
   }
@@ -514,12 +647,16 @@ class AggIndexNode(
     saveFitted(path)
     model = Some(AggIndexNode.Index(
       session.read.parquet(s"$path/ledger").persist(StorageLevel.MEMORY_AND_DISK),
-      session.read.parquet(s"$path/totals").persist(StorageLevel.MEMORY_AND_DISK)))
+      session.read.parquet(s"$path/totals").persist(StorageLevel.MEMORY_AND_DISK),
+      distinctCols.map(c => c -> session.read.parquet(s"$path/vc_$c")
+        .persist(StorageLevel.MEMORY_AND_DISK)).toMap))
     m.ledger.unpersist(); m.totals.unpersist()
+    m.valueCounts.values.foreach(_.unpersist())
   }
 
   def unpersistIndex(): Unit = model.foreach { m =>
     m.ledger.unpersist(); m.totals.unpersist()
+    m.valueCounts.values.foreach(_.unpersist())
   }
 
   override def saveFitted(path: String): Unit = {
@@ -527,6 +664,8 @@ class AggIndexNode(
       throw new GraftException(s"estimator node '$name' not fitted"))
     m.ledger.write.mode("overwrite").parquet(s"$path/ledger")
     m.totals.write.mode("overwrite").parquet(s"$path/totals")
+    m.valueCounts.foreach { case (c, vc) =>
+      vc.write.mode("overwrite").parquet(s"$path/vc_$c") }
     saveMaintenanceState(m.ledger.sparkSession, path)
   }
   override def loadFitted(path: String): Unit = loadFitted(path, None)
@@ -535,12 +674,269 @@ class AggIndexNode(
     val spark = session.getOrElse(org.apache.spark.sql.SparkSession.active)
     model = Some(AggIndexNode.Index(
       spark.read.parquet(s"$path/ledger").persist(StorageLevel.MEMORY_AND_DISK),
-      spark.read.parquet(s"$path/totals").persist(StorageLevel.MEMORY_AND_DISK)))
+      spark.read.parquet(s"$path/totals").persist(StorageLevel.MEMORY_AND_DISK),
+      distinctCols.map(c => c -> spark.read.parquet(s"$path/vc_$c")
+        .persist(StorageLevel.MEMORY_AND_DISK)).toMap))
     loadMaintenanceState(spark, path)
   }
 }
 
 object AggIndexNode {
-  /** The fitted state: keyed contribution ledger + group totals. */
-  case class Index(ledger: DataFrame, totals: DataFrame)
+  /** The fitted state: keyed contribution ledger + group totals + one
+    * value-count support frame per COUNT DISTINCT measure. */
+  case class Index(ledger: DataFrame, totals: DataFrame,
+      valueCounts: Map[String, DataFrame] = Map.empty)
+}
+
+/** INCREMENTAL MATERIALIZED JOIN — IVM for the denormalized view every
+  * warehouse maintains (fact ⋈ dim, orders ⋈ customer, doc ⋈ domain
+  * metadata) without re-running the join per refresh. The delta rule for
+  * an inner equi-join is the textbook one:
+  *
+  *   Δ(L ⋈ R) = ΔL ⋈ R  ∪  L ⋈ ΔR        (inserts)
+  *
+  * and deletes on either side are anti-joins of the view on that side's
+  * row id — both delta-sized against the PERSISTED other side (the delta
+  * is broadcast; the big side never shuffles). State = the two side
+  * ledgers + the materialized view.
+  *
+  * Sides are asymmetric on purpose: the LEFT (fact) side implements the
+  * [[IncrementalIndex]] contract — `updateIndex`/`deleteFromIndex` — so a
+  * high-volume CDC feed (including a published MoR corpus's change feed
+  * via [[MorTailNode]]) maintains the view through
+  * `IndexMaintenance.maintainFromStream` with zero extra plumbing; the
+  * slow-moving RIGHT (dim) side is maintained by explicit
+  * `updateRight`/`deleteFromRight` calls (upsert = delete-then-insert,
+  * same composition). Inner join only: outer-join IVM needs
+  * presence-count bookkeeping that turns every delete into a resurrect —
+  * refuse toward the inner view plus a declarative outer read.
+  *
+  * View schema: join columns under the LEFT names, then both row-id
+  * columns, then each side's payload. Non-join payload columns must be
+  * disjoint across sides (checked loudly at fit). Row ids must be unique
+  * per side; `rightId` may itself be a join column (the common dim shape
+  * where the key IS the id) — it is kept in the view under its own name
+  * as the right-side delete handle.
+  *
+  * Exactness: after any sequence of side updates/deletes the view is
+  * bit-identical to the declarative inner join of the post-op sides —
+  * `rebuildIndex` recomputes it from the ledgers and is pinned equal in
+  * tests; the oracle states the same join in SQL. */
+class MaterializedJoinNode(
+    val leftOn: Seq[String],
+    val rightOn: Seq[String],
+    val leftId: String = "doc_id",
+    val rightId: String = "key",
+    val compactEvery: Int = 0,
+    val compactPath: Option[String] = None)
+  extends EstimatorNode with IncrementalIndex {
+  require(leftOn.nonEmpty && leftOn.size == rightOn.size,
+    "materialized_join: leftOn/rightOn must be non-empty and same-length")
+  require(!leftOn.contains(leftId),
+    "materialized_join: leftId must not be a join column (it is the row id)")
+  require(compactEvery >= 0, "compactEvery must be >= 0")
+  type Model = MaterializedJoinNode.Index
+  override protected def defaultName: String = "materialized_join"
+  val inputs = Seq(Port("left"), Port("right"), Port("probe"))
+  val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("materialized_join")
+  override def jsonParams: Map[String, Any] = Map(
+    "leftOn" -> leftOn, "rightOn" -> rightOn, "leftId" -> leftId,
+    "rightId" -> rightId, "compactEvery" -> compactEvery,
+    "compactPath" -> compactPath.orNull)
+
+  private def checkSides(l: DataFrame, r: DataFrame): Unit = {
+    Seq(leftId -> l, rightId -> r).foreach { case (id, df) =>
+      if (!df.columns.contains(id))
+        throw new GraftException(
+          s"materialized_join '$name': id column '$id' missing from a side")
+    }
+    (leftOn.filterNot(l.columns.contains) ++ rightOn.filterNot(r.columns.contains))
+      .headOption.foreach(c => throw new GraftException(
+        s"materialized_join '$name': join column '$c' missing from its side"))
+    val lPayload = l.columns.toSet
+    val rPayload = r.columns.toSet -- rightOn + rightId
+    val clash = lPayload.intersect(rPayload)
+    if (clash.nonEmpty)
+      throw new GraftException(
+        s"materialized_join '$name': payload columns ${clash.mkString(", ")} " +
+          "appear on both sides — rename upstream (view columns must be " +
+          "unambiguous)")
+  }
+
+  /** The delta rule's join: the delta side broadcast against the persisted
+    * other side. Used for ΔL ⋈ R, L ⋈ ΔR, and (at fit/rebuild, with no
+    * hint) L ⋈ R. */
+  private def viewOf(l: DataFrame, r: DataFrame,
+      broadcastLeft: Boolean = false, broadcastRight: Boolean = false): DataFrame = {
+    val la = if (broadcastLeft) broadcast(l.alias("__l")) else l.alias("__l")
+    val ra = if (broadcastRight) broadcast(r.alias("__r")) else r.alias("__r")
+    val cond = leftOn.zip(rightOn).map { case (a, b) =>
+      col(s"__l.$a") === col(s"__r.$b") }.reduce(_ && _)
+    val joined = la.join(ra, cond, "inner")
+    val rKeep = (r.columns.filterNot(rightOn.contains) ++
+      (if (rightOn.contains(rightId)) Seq(rightId) else Nil)).distinct
+    joined.select(l.columns.map(c => col(s"__l.$c")) ++
+      rKeep.map(c => col(s"__r.$c")): _*)
+  }
+
+  def fitModel(ctx: Ctx, in: In): Model = {
+    import org.apache.spark.storage.StorageLevel
+    val l = in("left"); val r = in("right")
+    checkSides(l, r)
+    val lp = l.persist(StorageLevel.MEMORY_AND_DISK)
+    val rp = r.persist(StorageLevel.MEMORY_AND_DISK)
+    val v = viewOf(lp, rp).persist(StorageLevel.MEMORY_AND_DISK)
+    MaterializedJoinNode.Index(lp, rp, v)
+  }
+
+  def applyModel(m: Model, ctx: Ctx, in: In): Map[String, DataFrame] = {
+    val probe = in("probe")
+    if (probe.isStreaming)
+      throw new GraftException(
+        s"materialized_join '$name': streaming probe refused — serve per " +
+          "micro-batch through StreamServing.serveStream")
+    val keys = probe.select(leftOn.map(col): _*).distinct()
+    Map("result" -> m.view.join(broadcast(keys), leftOn, "left_semi"))
+  }
+
+  /** ΔL ⋈ R appended; the fact ledger grows by the delta. Append-only —
+    * re-sent fact rows must be deleted first (maintainFromStream's CDC
+    * mode does exactly that). */
+  def updateIndex(ctx: Ctx, delta: DataFrame): Unit = {
+    import org.apache.spark.storage.StorageLevel
+    val m = model.getOrElse(
+      throw new GraftException(s"estimator node '$name' not fitted"))
+    checkSides(delta, m.right)
+    val newLeft = m.left.unionByName(delta.select(m.left.columns.map(col): _*))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val newView = m.view.unionByName(
+      viewOf(delta.select(m.left.columns.map(col): _*), m.right,
+        broadcastLeft = true))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    newLeft.count(); newView.count()
+    model = Some(m.copy(left = newLeft, view = newView))
+    m.left.unpersist(); m.view.unpersist()
+    bumpGeneration()
+  }
+
+  /** Fact takedown: anti-join ledger and view on the fact row id. */
+  def deleteFromIndex(ctx: Ctx, deletes: DataFrame): Unit = {
+    import org.apache.spark.storage.StorageLevel
+    val m = model.getOrElse(
+      throw new GraftException(s"estimator node '$name' not fitted"))
+    val del = deletes.select(col(leftId)).distinct()
+    val newLeft = m.left.join(broadcast(del), Seq(leftId), "left_anti")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val newView = m.view.join(broadcast(del), Seq(leftId), "left_anti")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    newLeft.count(); newView.count()
+    model = Some(m.copy(left = newLeft, view = newView))
+    m.left.unpersist(); m.view.unpersist()
+    bumpGeneration()
+  }
+
+  /** L ⋈ ΔR appended; the dim ledger grows by the delta. Re-keyed or
+    * re-valued dim rows are upserts: `deleteFromRight` first. */
+  def updateRight(ctx: Ctx, delta: DataFrame): Unit = {
+    import org.apache.spark.storage.StorageLevel
+    val m = model.getOrElse(
+      throw new GraftException(s"estimator node '$name' not fitted"))
+    checkSides(m.left, delta)
+    val newRight = m.right.unionByName(delta.select(m.right.columns.map(col): _*))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val newView = m.view.unionByName(
+      viewOf(m.left, delta.select(m.right.columns.map(col): _*),
+        broadcastRight = true))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    newRight.count(); newView.count()
+    model = Some(m.copy(right = newRight, view = newView))
+    m.right.unpersist(); m.view.unpersist()
+    bumpGeneration()
+  }
+
+  /** Dim takedown: every pair the dim row participated in leaves the view. */
+  def deleteFromRight(ctx: Ctx, deletes: DataFrame): Unit = {
+    import org.apache.spark.storage.StorageLevel
+    val m = model.getOrElse(
+      throw new GraftException(s"estimator node '$name' not fitted"))
+    val del = deletes.select(col(rightId)).distinct()
+    val newRight = m.right.join(broadcast(del), Seq(rightId), "left_anti")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val newView = m.view.join(broadcast(del), Seq(rightId), "left_anti")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    newRight.count(); newView.count()
+    model = Some(m.copy(right = newRight, view = newView))
+    m.right.unpersist(); m.view.unpersist()
+    bumpGeneration()
+  }
+
+  /** Recompute the view from the ledgers — the exactness pin. */
+  def rebuildIndex(): Unit = {
+    import org.apache.spark.storage.StorageLevel
+    val m = model.getOrElse(
+      throw new GraftException(s"estimator node '$name' not fitted"))
+    val newView = viewOf(m.left, m.right).persist(StorageLevel.MEMORY_AND_DISK)
+    newView.count()
+    model = Some(m.copy(view = newView))
+    m.view.unpersist()
+    bumpGeneration()
+  }
+
+  @volatile private var generation: Long = 0L
+  @volatile private var compactGen: Long = 0L
+  private def bumpGeneration(): Unit = {
+    generation += 1
+    if (compactEvery > 0 && generation % compactEvery == 0) compactIndex()
+  }
+
+  /** Truncate the per-batch union lineage to parquet scans
+    * (double-buffered under `compactPath` — the family convention). */
+  def compactIndex(): Unit = {
+    import org.apache.spark.storage.StorageLevel
+    val m = model.getOrElse(
+      throw new GraftException(s"estimator node '$name' not fitted"))
+    val path = compactPath match {
+      case Some(root) => compactGen += 1; s"$root/gen-${compactGen % 2}"
+      case None =>
+        val d = java.nio.file.Files.createTempDirectory("graft_mjoin_compact_")
+        d.toFile.deleteOnExit()
+        d.toString
+    }
+    val session = m.left.sparkSession
+    saveFitted(path)
+    model = Some(MaterializedJoinNode.Index(
+      session.read.parquet(s"$path/left").persist(StorageLevel.MEMORY_AND_DISK),
+      session.read.parquet(s"$path/right").persist(StorageLevel.MEMORY_AND_DISK),
+      session.read.parquet(s"$path/view").persist(StorageLevel.MEMORY_AND_DISK)))
+    m.left.unpersist(); m.right.unpersist(); m.view.unpersist()
+  }
+
+  def unpersistIndex(): Unit = model.foreach { m =>
+    m.left.unpersist(); m.right.unpersist(); m.view.unpersist()
+  }
+
+  override def saveFitted(path: String): Unit = {
+    val m = model.getOrElse(
+      throw new GraftException(s"estimator node '$name' not fitted"))
+    m.left.write.mode("overwrite").parquet(s"$path/left")
+    m.right.write.mode("overwrite").parquet(s"$path/right")
+    m.view.write.mode("overwrite").parquet(s"$path/view")
+    saveMaintenanceState(m.left.sparkSession, path)
+  }
+  override def loadFitted(path: String): Unit = loadFitted(path, None)
+  def loadFitted(path: String, session: Option[org.apache.spark.sql.SparkSession]): Unit = {
+    import org.apache.spark.storage.StorageLevel
+    val spark = session.getOrElse(org.apache.spark.sql.SparkSession.active)
+    model = Some(MaterializedJoinNode.Index(
+      spark.read.parquet(s"$path/left").persist(StorageLevel.MEMORY_AND_DISK),
+      spark.read.parquet(s"$path/right").persist(StorageLevel.MEMORY_AND_DISK),
+      spark.read.parquet(s"$path/view").persist(StorageLevel.MEMORY_AND_DISK)))
+    loadMaintenanceState(spark, path)
+  }
+}
+
+object MaterializedJoinNode {
+  /** The fitted state: both side ledgers + the materialized inner join. */
+  case class Index(left: DataFrame, right: DataFrame, view: DataFrame)
 }

@@ -3524,6 +3524,185 @@ object Advanced {
       |FROM documents WHERE doc_id % 7 <> 0
       |GROUP BY source ORDER BY source""".stripMargin
 
+  // ---- q195: MIN/MAX under takedowns — the IVM asymmetry. Inserts fold
+  // extrema with least/greatest (monotone, exact); deletes CANNOT
+  // decrement an extremum, so deleteFromIndex recomputes ONLY the touched
+  // groups from the ledger and splices them over the untouched totals.
+  // The delete wave here explicitly removes every source's argmax row
+  // (plus a modulo takedown), so each group's max MUST move — a stale
+  // extremum, a splice that misses a group, or a decrement-style shortcut
+  // all change the hash vs the declarative post-delete GROUP BY. ----
+  def q195_agg_index_minmax(spark: SparkSession, dir: String): DataFrame = {
+    val ctx = Ctx(spark)
+    val docs = Queries.run(spark) { d =>
+      d.add(SourceNode.table(dir, "documents")) >> d.output("result")
+    }
+    val idx = new AggIndexNode(groupCols = Seq("source"),
+      sumCols = Seq("n_chars"), minCols = Seq("n_chars", "lang"),
+      maxCols = Seq("n_chars", "lang"))
+    idx.fit(ctx, In.single("corpus" -> docs.filter("doc_id % 5 != 0")))
+    idx.updateIndex(ctx, docs.filter("doc_id % 5 = 0"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("n_chars").desc, col("doc_id"))
+    val argmax = docs
+      .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter("__rn = 1").select("doc_id")
+    idx.deleteFromIndex(ctx,
+      argmax.union(docs.filter("doc_id % 7 = 0").select("doc_id")))
+    idx.transform(ctx,
+      In.single("probe" -> docs.select("source").distinct()))("result")
+      .orderBy("source")
+  }
+  val q195Sql: String =
+    """WITH am AS (
+      |  SELECT doc_id FROM (
+      |    SELECT doc_id, row_number() OVER (
+      |      PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
+      |    FROM documents) WHERE rn = 1),
+      |live AS (
+      |  SELECT * FROM documents
+      |  WHERE doc_id % 7 <> 0 AND doc_id NOT IN (SELECT doc_id FROM am))
+      |SELECT source, count(*) AS n_rows,
+      |       CAST(sum(n_chars) AS BIGINT) AS sum_n_chars,
+      |       min(n_chars) AS min_n_chars, min(lang) AS min_lang,
+      |       max(n_chars) AS max_n_chars, max(lang) AS max_lang
+      |FROM live GROUP BY source ORDER BY source""".stripMargin
+
+  // ---- q196: EXACT COUNT DISTINCT under takedowns — the duplicate-
+  // sensitive aggregate sketches cannot delete from. The index maintains
+  // one (group, value) → multiplicity support frame per distinct measure:
+  // inserts count only genuinely NEW pairs (anti-join, delta-sized);
+  // the delete wave removes EVERY 'zh' document, so each source that had
+  // zh must lose exactly one from nd_lang — a sketch, a stale support
+  // frame, or counting batch-local distincts instead of new values all
+  // change the hash vs the declarative post-delete COUNT(DISTINCT). ----
+  def q196_agg_index_distinct(spark: SparkSession, dir: String): DataFrame = {
+    val ctx = Ctx(spark)
+    val docs = Queries.run(spark) { d =>
+      d.add(SourceNode.table(dir, "documents")) >> d.output("result")
+    }
+    val idx = new AggIndexNode(groupCols = Seq("source"),
+      sumCols = Seq("n_chars"), distinctCols = Seq("lang"))
+    idx.fit(ctx, In.single("corpus" -> docs.filter("doc_id % 5 != 0")))
+    idx.updateIndex(ctx, docs.filter("doc_id % 5 = 0"))
+    idx.deleteFromIndex(ctx,
+      docs.filter("lang = 'zh' OR doc_id % 7 = 0").select("doc_id"))
+    idx.transform(ctx,
+      In.single("probe" -> docs.select("source").distinct()))("result")
+      .orderBy("source")
+  }
+  val q196Sql: String =
+    """SELECT source, count(*) AS n_rows,
+      |       CAST(sum(n_chars) AS BIGINT) AS sum_n_chars,
+      |       count(DISTINCT lang) AS nd_lang
+      |FROM documents WHERE lang <> 'zh' AND doc_id % 7 <> 0
+      |GROUP BY source ORDER BY source""".stripMargin
+
+  // ---- q197: INCREMENTAL MATERIALIZED JOIN — IVM of the denormalized
+  // fact ⋈ dim view by the textbook delta rule (Δ(L⋈R) = ΔL⋈R ∪ L⋈ΔR,
+  // deletes = anti-joins of the view on the row id). Lifecycle drills
+  // every maintenance edge: a fact wave joins against the dim ledger, a
+  // LATE dim wave retroactively picks up previously-dangling facts, a
+  // fact takedown, and a dim takedown that removes every pair its rows
+  // fed. Gate: the maintained view equals the declarative inner join of
+  // the post-op sides — a missed retroactive pair, a stale pair
+  // surviving a dim delete, or a double-appended delta all change the
+  // hash. ----
+  def q197_materialized_join(spark: SparkSession, dir: String): DataFrame = {
+    val ctx = Ctx(spark)
+    val facts = Queries.run(spark) { d =>
+      d.add(SourceNode.table(dir, "orders")) >>
+        ProjectNode("o_orderkey", "o_custkey", "o_orderstatus") >> d.output("result")
+    }
+    val dims = Queries.run(spark) { d =>
+      d.add(SourceNode.table(dir, "customer")) >>
+        ProjectNode("c_custkey", "c_name", "c_nationkey") >> d.output("result")
+    }
+    val mj = new MaterializedJoinNode(leftOn = Seq("o_custkey"),
+      rightOn = Seq("c_custkey"), leftId = "o_orderkey", rightId = "c_custkey")
+    mj.fit(ctx, In.single(
+      "left" -> facts.filter("o_orderkey % 4 != 0"),
+      "right" -> dims.filter("c_custkey % 10 != 0")))
+    mj.updateIndex(ctx, facts.filter("o_orderkey % 4 = 0"))
+    mj.updateRight(ctx, dims.filter("c_custkey % 10 = 0")) // retroactive
+    mj.deleteFromIndex(ctx, facts.filter("o_orderkey % 7 = 0").select("o_orderkey"))
+    mj.deleteFromRight(ctx, dims.filter("c_nationkey = 3").select("c_custkey"))
+    mj.transform(ctx,
+      In.single("probe" -> facts.select("o_custkey").distinct()))("result")
+      .orderBy("o_orderkey")
+  }
+  val q197Sql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus,
+      |       c_custkey, c_name, c_nationkey
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |WHERE o_orderkey % 7 <> 0 AND c_nationkey <> 3
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ---- q198: the denormalized view MAINTAINS ITSELF off a published
+  // fact corpus — MorTailNode's change feed drives the fact side through
+  // maintainFromStream's CDC mode (upsert-replace then tombstones), and a
+  // dim takedown composes on top. The upsert wave RE-SENDS every %3 fact
+  // with a rewritten status, so a view that appends without superseding
+  // (double rows) or misses the replace (stale status) breaks the hash
+  // vs the declarative join with the CASE-rewritten column. ----
+  def q198_materialized_join_off_mor_tail(spark: SparkSession, dir: String): DataFrame = {
+    val ctx = Ctx(spark)
+    val facts = Queries.run(spark) { d =>
+      d.add(SourceNode.table(dir, "orders")) >>
+        ProjectNode("o_orderkey", "o_custkey", "o_orderstatus") >> d.output("result")
+    }
+    val dims = Queries.run(spark) { d =>
+      d.add(SourceNode.table(dir, "customer")) >>
+        ProjectNode("c_custkey", "c_name", "c_nationkey") >> d.output("result")
+    }
+    val work = java.nio.file.Files.createTempDirectory("graft_q198_")
+    work.toFile.deleteOnExit()
+    val root = s"$work/facts_mor"
+    Queries.run(spark) { d =>
+      d.add(SourceNode.table(dir, "orders")) >>
+        FilterNode("o_orderkey % 5 != 0") >>
+        ProjectNode("o_orderkey", "o_custkey", "o_orderstatus") >>
+        new SinkNode(root, atomicPublish = true) >> d.output("result")
+    }
+    val mj = new MaterializedJoinNode(leftOn = Seq("o_custkey"),
+      rightOn = Seq("c_custkey"), leftId = "o_orderkey", rightId = "c_custkey")
+    mj.fit(ctx, In.single(
+      "left" -> Queries.run(spark) { d =>
+        d.add(new MorSourceNode(root, keys = Seq("o_orderkey"))) >> d.output("result")
+      },
+      "right" -> dims))
+    AtomicPublish.publishDelta(spark, root, 1L, { t =>
+      facts.filter("o_orderkey % 5 = 0 OR o_orderkey % 3 = 0")
+        .selectExpr("o_orderkey", "o_custkey",
+          "CASE WHEN o_orderkey % 3 = 0 THEN 'U' ELSE o_orderstatus END AS o_orderstatus",
+          s"false as ${MorCdc.DeletedCol}")
+        .coalesce(1).write.parquet(t)
+    })
+    AtomicPublish.publishDelta(spark, root, 2L, { t =>
+      facts.filter("o_orderkey % 7 = 0")
+        .selectExpr("o_orderkey", "cast(null as bigint) as o_custkey",
+          "cast(null as string) as o_orderstatus",
+          s"true as ${MorCdc.DeletedCol}")
+        .coalesce(1).write.parquet(t)
+    })
+    val tail = new MorTailNode(root, maxFilesPerTrigger = Some(1))
+      .transform(ctx, In.empty)("result")
+    IndexMaintenance.maintainFromStream(mj, ctx, tail,
+      checkpoint = Some(s"$work/ckpt"), deleteCol = Some(MorCdc.DeletedCol))
+    mj.deleteFromRight(ctx, dims.filter("c_nationkey = 3").select("c_custkey"))
+    mj.transform(ctx,
+      In.single("probe" -> facts.select("o_custkey").distinct()))("result")
+      .orderBy("o_orderkey")
+  }
+  val q198Sql: String =
+    """SELECT o_orderkey, o_custkey,
+      |       CASE WHEN o_orderkey % 3 = 0 THEN 'U' ELSE o_orderstatus END
+      |         AS o_orderstatus,
+      |       c_custkey, c_name, c_nationkey
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |WHERE o_orderkey % 7 <> 0 AND c_nationkey <> 3
+      |ORDER BY o_orderkey""".stripMargin
+
   // ---- q194: the dashboard MAINTAINS ITSELF off a published corpus — the
   // q187/q189 subscription pattern driving the materialized aggregate:
   // a MoR root's change feed (MorTailNode) flows through
@@ -3986,5 +4165,9 @@ object Advanced {
     ("q192_mor_time_travel", q192_mor_time_travel _, q192Sql),
     ("q193_agg_index_day2", q193_agg_index_day2 _, q193Sql),
     ("q194_agg_index_off_mor_tail", q194_agg_index_off_mor_tail _, q193Sql),
+    ("q195_agg_index_minmax", q195_agg_index_minmax _, q195Sql),
+    ("q196_agg_index_distinct", q196_agg_index_distinct _, q196Sql),
+    ("q197_materialized_join", q197_materialized_join _, q197Sql),
+    ("q198_materialized_join_off_mor_tail", q198_materialized_join_off_mor_tail _, q198Sql),
   )
 }

@@ -3295,6 +3295,182 @@ class NodesSpec extends AnyFunSuite {
     idx.unpersistIndex(); idx2.unpersistIndex()
   }
 
+  test("AggIndexNode MIN/MAX: inserts fold monotonically; a takedown that " +
+       "removes a group's extremum RECOMPUTES the touched group (spliced " +
+       "over untouched totals); emptied groups drop; upsert composition " +
+       "stays exact; non-atomic extremum column refused") {
+    import spark.implicits._
+    val c = Ctx(spark)
+    val corpus = Seq(
+      (1L, "a", 10L, "x"), (2L, "a", 20L, "m"), (3L, "a", 30L, "b"),
+      (4L, "b", 7L, "q"), (5L, "b", 5L, "z"), (6L, "c", 1L, "k")
+    ).toDF("doc_id", "src", "toks", "tag")
+    val idx = new AggIndexNode(groupCols = Seq("src"), sumCols = Seq("toks"),
+      minCols = Seq("toks", "tag"), maxCols = Seq("toks", "tag"))
+    idx.fit(c, In.single("corpus" -> corpus))
+    def served(groups: Seq[String]): Map[String, (Long, Long, Long, String, Long, String)] =
+      idx.transform(c, In.single("probe" -> groups.toDF("src")))("result")
+        .select("src", "n_rows", "sum_toks", "min_toks", "min_tag", "max_toks", "max_tag")
+        .as[(String, Long, Long, Long, String, Long, String)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7))).toMap
+    val all = Seq("a", "b", "c", "zz")
+    assert(served(all) == Map(
+      "a" -> ((3L, 60L, 10L, "b", 30L, "x")),
+      "b" -> ((2L, 12L, 5L, "q", 7L, "z")),
+      "c" -> ((1L, 1L, 1L, "k", 1L, "k"))))
+    // insert: new extremum on both ends of 'a' folds via least/greatest
+    idx.updateIndex(c, Seq((7L, "a", 5L, "zz"), (8L, "a", 99L, "aa"))
+      .toDF("doc_id", "src", "toks", "tag"))
+    assert(served(all)("a") == ((5L, 164L, 5L, "aa", 99L, "zz")))
+    // takedown removes BOTH of a's extrema (docs 7,8) and c entirely:
+    // 'a' must recompute to its interior extrema — a least/greatest
+    // shortcut or a stale total cannot produce this; 'b' untouched
+    idx.deleteFromIndex(c, Seq(7L, 8L, 6L, 404L).toDF("doc_id"))
+    assert(served(all) == Map(
+      "a" -> ((3L, 60L, 10L, "b", 30L, "x")),
+      "b" -> ((2L, 12L, 5L, "q", 7L, "z"))))
+    // upsert (delete-then-insert): doc 3 was a's max (30); re-keyed to b
+    idx.deleteFromIndex(c, Seq(3L).toDF("doc_id"))
+    idx.updateIndex(c, Seq((3L, "b", 50L, "aa")).toDF("doc_id", "src", "toks", "tag"))
+    val post = Map(
+      "a" -> ((2L, 30L, 10L, "m", 20L, "x")),
+      "b" -> ((3L, 62L, 5L, "aa", 50L, "z")))
+    assert(served(all) == post)
+    // rebuild from the ledger == the maintained totals (exactness pin)
+    idx.rebuildIndex()
+    assert(served(all) == post)
+    // save/load keeps extrema columns
+    val dir = java.nio.file.Files.createTempDirectory("graft_aggmm").toString
+    idx.saveFitted(dir)
+    val idx2 = new AggIndexNode(groupCols = Seq("src"), sumCols = Seq("toks"),
+      minCols = Seq("toks", "tag"), maxCols = Seq("toks", "tag"))
+    idx2.loadFitted(dir, Some(spark))
+    assert(idx2.transform(c, In.single("probe" -> Seq("b").toDF("src")))("result")
+      .select("src", "min_toks", "max_toks")
+      .as[(String, Long, Long)].collect().toSeq == Seq(("b", 5L, 50L)))
+    // non-atomic extremum column refused
+    val arr = intercept[GraftException] {
+      new AggIndexNode(groupCols = Seq("src"), minCols = Seq("v"))
+        .fit(c, In.single("corpus" ->
+          Seq((1L, "a", Seq(1, 2))).toDF("doc_id", "src", "v")))
+    }
+    assert(arr.getMessage.contains("atomic orderable"))
+    idx.unpersistIndex(); idx2.unpersistIndex()
+  }
+
+  test("AggIndexNode COUNT DISTINCT: inserts count only genuinely new " +
+       "(group, value) pairs; duplicate values bump multiplicity not the " +
+       "count; a takedown that exhausts a value's multiplicity drops it; " +
+       "NULLs never count; save/load keeps the support frame") {
+    import spark.implicits._
+    val c = Ctx(spark)
+    val corpus = Seq(
+      (1L, "a", "en"), (2L, "a", "en"), (3L, "a", "de"),
+      (4L, "b", "fr"), (5L, "b", null.asInstanceOf[String])
+    ).toDF("doc_id", "src", "lang")
+    val idx = new AggIndexNode(groupCols = Seq("src"), distinctCols = Seq("lang"))
+    idx.fit(c, In.single("corpus" -> corpus))
+    def served(groups: Seq[String]): Map[String, (Long, Long)] =
+      idx.transform(c, In.single("probe" -> groups.toDF("src")))("result")
+        .select("src", "n_rows", "nd_lang")
+        .as[(String, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+    // null lang in b does not count toward nd
+    assert(served(Seq("a", "b")) == Map("a" -> ((3L, 2L)), "b" -> ((2L, 1L))))
+    // insert: one duplicate value (multiplicity bump, nd unchanged), one
+    // new value for an existing group, one whole new group
+    idx.updateIndex(c, Seq((6L, "a", "en"), (7L, "b", "zh"), (8L, "c", "es"))
+      .toDF("doc_id", "src", "lang"))
+    assert(served(Seq("a", "b", "c")) ==
+      Map("a" -> ((4L, 2L)), "b" -> ((3L, 2L)), "c" -> ((1L, 1L))))
+    // delete doc 6: a STILL has an 'en' (docs 1,2) — nd must NOT drop;
+    // delete docs 1,2,6 in a later wave exhausts 'en' — nd drops to 1
+    idx.deleteFromIndex(c, Seq(6L).toDF("doc_id"))
+    assert(served(Seq("a"))("a") == ((3L, 2L)))
+    idx.deleteFromIndex(c, Seq(1L, 2L).toDF("doc_id"))
+    assert(served(Seq("a"))("a") == ((1L, 1L)))
+    // upsert: doc 4 re-langs fr -> zh; b's distinct set becomes {zh} only
+    idx.deleteFromIndex(c, Seq(4L).toDF("doc_id"))
+    idx.updateIndex(c, Seq((4L, "b", "zh")).toDF("doc_id", "src", "lang"))
+    assert(served(Seq("b"))("b") == ((3L, 1L)))
+    // rebuild == maintained (support-frame exactness pin)
+    idx.rebuildIndex()
+    assert(served(Seq("a", "b", "c")) ==
+      Map("a" -> ((1L, 1L)), "b" -> ((3L, 1L)), "c" -> ((1L, 1L))))
+    // save/load round-trips the support frame: a post-load delete still
+    // knows 'zh' has multiplicity 2 in b
+    val dir = java.nio.file.Files.createTempDirectory("graft_aggnd").toString
+    idx.saveFitted(dir)
+    val idx2 = new AggIndexNode(groupCols = Seq("src"), distinctCols = Seq("lang"))
+    idx2.loadFitted(dir, Some(spark))
+    idx2.deleteFromIndex(c, Seq(4L).toDF("doc_id"))
+    assert(idx2.transform(c, In.single("probe" -> Seq("b").toDF("src")))("result")
+      .select("src", "n_rows", "nd_lang")
+      .as[(String, Long, Long)].collect().toSeq == Seq(("b", 2L, 1L)))
+    idx.unpersistIndex(); idx2.unpersistIndex()
+  }
+
+  test("MaterializedJoinNode: delta-rule maintenance on BOTH sides — fact " +
+       "insert/delete via the IncrementalIndex contract, dim upsert/delete " +
+       "via updateRight/deleteFromRight; duplicate join keys fan out; view " +
+       "stays bit-identical to the declarative join; payload clash refused") {
+    import spark.implicits._
+    val c = Ctx(spark)
+    val facts = Seq(
+      (100L, 1L, 10L), (101L, 1L, 20L), (102L, 2L, 5L), (103L, 9L, 7L)
+    ).toDF("oid", "cust", "amount") // cust 9 has no dim row (dangling)
+    val dims = Seq((1L, "gold"), (2L, "iron")).toDF("cid", "tier")
+    val mj = new MaterializedJoinNode(leftOn = Seq("cust"),
+      rightOn = Seq("cid"), leftId = "oid", rightId = "cid")
+    mj.fit(c, In.single("left" -> facts, "right" -> dims))
+    def served(custs: Seq[Long]): Set[(Long, Long, Long, Long, String)] =
+      mj.transform(c, In.single("probe" -> custs.toDF("cust")))("result")
+        .select("oid", "cust", "amount", "cid", "tier")
+        .as[(Long, Long, Long, Long, String)].collect().toSet
+    assert(served(Seq(1L, 2L, 9L)) == Set(
+      (100L, 1L, 10L, 1L, "gold"), (101L, 1L, 20L, 1L, "gold"),
+      (102L, 2L, 5L, 2L, "iron")))
+    // fact insert: joins against the dim ledger (cust 9 still dangling)
+    mj.updateIndex(c, Seq((104L, 2L, 50L), (105L, 9L, 1L)).toDF("oid", "cust", "amount"))
+    assert(served(Seq(2L, 9L)) == Set(
+      (102L, 2L, 5L, 2L, "iron"), (104L, 2L, 50L, 2L, "iron")))
+    // DIM insert: the dangling cust-9 facts join in retroactively (L ⋈ ΔR)
+    mj.updateRight(c, Seq((9L, "clay")).toDF("cid", "tier"))
+    assert(served(Seq(9L)) == Set(
+      (103L, 9L, 7L, 9L, "clay"), (105L, 9L, 1L, 9L, "clay")))
+    // fact takedown
+    mj.deleteFromIndex(c, Seq(101L, 999L).toDF("oid"))
+    assert(served(Seq(1L)) == Set((100L, 1L, 10L, 1L, "gold")))
+    // dim upsert (delete-then-insert): every cust-2 pair re-tiers
+    mj.deleteFromRight(c, Seq(2L).toDF("cid"))
+    assert(served(Seq(2L)) == Set.empty)
+    mj.updateRight(c, Seq((2L, "steel")).toDF("cid", "tier"))
+    assert(served(Seq(2L)) == Set(
+      (102L, 2L, 5L, 2L, "steel"), (104L, 2L, 50L, 2L, "steel")))
+    // rebuild from the ledgers == the maintained view (exactness pin)
+    val before = served(Seq(1L, 2L, 9L))
+    mj.rebuildIndex()
+    assert(served(Seq(1L, 2L, 9L)) == before)
+    // save/load round-trip, then one more dim delete on the loaded copy
+    val dir = java.nio.file.Files.createTempDirectory("graft_mjoin").toString
+    mj.saveFitted(dir)
+    val mj2 = new MaterializedJoinNode(leftOn = Seq("cust"),
+      rightOn = Seq("cid"), leftId = "oid", rightId = "cid")
+    mj2.loadFitted(dir, Some(spark))
+    mj2.deleteFromRight(c, Seq(9L).toDF("cid"))
+    assert(mj2.transform(c, In.single("probe" -> Seq(9L).toDF("cust")))("result")
+      .count() == 0L)
+    // payload clash refused loudly
+    val clash = intercept[GraftException] {
+      new MaterializedJoinNode(leftOn = Seq("cust"), rightOn = Seq("cid"),
+        leftId = "oid", rightId = "cid")
+        .fit(c, In.single("left" -> facts,
+          "right" -> Seq((1L, 2L)).toDF("cid", "amount")))
+    }
+    assert(clash.getMessage.contains("both sides"))
+    mj.unpersistIndex(); mj2.unpersistIndex()
+  }
+
   test("publishDelta races and replays: a commit that loses to a concurrent " +
        "compaction raises with the stranded overlay removed; a replay of an " +
        "already-FOLDED batch is skipped, not re-applied") {

@@ -366,13 +366,24 @@ class SerializationSpec extends AnyFunSuite {
     assert(d2.node(ms.name).asInstanceOf[MorSourceNode].asOfBatch.contains(7L))
     assert(d2.node(mg.name).asInstanceOf[MergeNode].allowEvolution)
     val ai = d.add(new AggIndexNode(groupCols = Seq("src", "lang"),
-      sumCols = Seq("toks"), idCol = "uid", compactEvery = 4,
+      sumCols = Seq("toks"), minCols = Seq("toks", "title"),
+      maxCols = Seq("toks"), idCol = "uid", compactEvery = 4,
       compactPath = Some("/tmp/aggc")))
     val d3 = DagJson.fromJson(DagJson.toJson(d))
     val ai2 = d3.node(ai.name).asInstanceOf[AggIndexNode]
     assert(ai2.groupCols == Seq("src", "lang") && ai2.sumCols == Seq("toks") &&
+      ai2.minCols == Seq("toks", "title") && ai2.maxCols == Seq("toks") &&
       ai2.idCol == "uid" && ai2.compactEvery == 4 &&
       ai2.compactPath.contains("/tmp/aggc"))
+    val mj = d.add(new MaterializedJoinNode(leftOn = Seq("cust", "region"),
+      rightOn = Seq("c_id", "c_region"), leftId = "oid", rightId = "c_id",
+      compactEvery = 6, compactPath = Some("/tmp/mjc")))
+    val d4 = DagJson.fromJson(DagJson.toJson(d))
+    val mj2 = d4.node(mj.name).asInstanceOf[MaterializedJoinNode]
+    assert(mj2.leftOn == Seq("cust", "region") &&
+      mj2.rightOn == Seq("c_id", "c_region") && mj2.leftId == "oid" &&
+      mj2.rightId == "c_id" && mj2.compactEvery == 6 &&
+      mj2.compactPath.contains("/tmp/mjc"))
   }
 
   test("round-trip covers quality kinds: heuristic/vocab/semdedup/domain-quota") {
