@@ -133,7 +133,14 @@ object Scale10 {
       // audio/video near-dup: bounded 300-doc batches by design — flat
       "q180_audio_neardup", "q181_video_neardup",
       "q182_multimodal_consensus", "q183_stream_image_serving",
-      "q184_simhash_index_day2")
+      "q184_simhash_index_day2",
+      // round-13 additions: materialized aggregates (ledger unions + the
+      // touched-group splice at k-fold ledger are the hazards; totals stay
+      // group-count-sized), materialized join (delta-rule appends at
+      // k-fold ledgers; the fit join and final serve are the linear legs)
+      "q193_agg_index_day2", "q194_agg_index_off_mor_tail",
+      "q195_agg_index_minmax", "q196_agg_index_distinct",
+      "q197_materialized_join", "q198_materialized_join_off_mor_tail")
     val names = if (queries.nonEmpty) queries else defaults
     names.foreach { n =>
       try time(n)(Queries.all(n)(spark, out).count())

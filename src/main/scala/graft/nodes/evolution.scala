@@ -538,6 +538,35 @@ class AggIndexNode(
     Map("result" -> m.totals.join(broadcast(keys), groupCols, "left_semi"))
   }
 
+  /** Exact per-group top-K most frequent values of a COUNT DISTINCT
+    * measure — the "top domains / top languages per source" dashboard —
+    * served straight from the support frame, whose multiplicities stay
+    * exact under inserts AND takedowns. Work is bounded by the probed
+    * groups' value counts (the support frame is semi-joined to the
+    * broadcast probe keys first). Ties break toward the smaller value:
+    * `row_number() OVER (PARTITION BY group ORDER BY cnt DESC, value)` —
+    * deterministic and stated identically by the declarative oracle. */
+  def topValues(ctx: Ctx, probe: DataFrame, column: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.row_number
+    require(k >= 1, s"agg_index '$name': topValues k must be >= 1")
+    val m = model.getOrElse(
+      throw new GraftException(s"estimator node '$name' not fitted"))
+    if (!distinctCols.contains(column))
+      throw new GraftException(
+        s"agg_index '$name': topValues needs '$column' in distinctCols " +
+          s"(have: ${distinctCols.mkString(", ")}) — the support frame is " +
+          "only maintained for declared distinct measures")
+    val keys = probe.select(groupCols.map(col): _*).distinct()
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("__vc").desc, col(column).asc)
+    m.valueCounts(column).join(broadcast(keys), groupCols, "left_semi")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select((groupCols.map(col) :+ col(column)) ++
+        Seq(col("__vc").as("cnt"), col("rank")): _*)
+  }
+
   def updateIndex(ctx: Ctx, delta: DataFrame): Unit = {
     import org.apache.spark.storage.StorageLevel
     import org.apache.spark.sql.functions.{coalesce, count, lit}

@@ -3598,6 +3598,39 @@ object Advanced {
       |FROM documents WHERE lang <> 'zh' AND doc_id % 7 <> 0
       |GROUP BY source ORDER BY source""".stripMargin
 
+  // ---- q199: TOP-K VALUES PER GROUP from the maintained support frame —
+  // the "top languages per source" dashboard, exact under takedowns
+  // because the (group, value) multiplicities are, and deterministic
+  // under ties (cnt DESC, value ASC — both engines state the same
+  // window). The delete wave removes every 'zh' doc plus a modulo
+  // takedown, so ranks must re-shuffle exactly as the post-delete
+  // frequencies dictate. ----
+  def q199_agg_index_top_values(spark: SparkSession, dir: String): DataFrame = {
+    val ctx = Ctx(spark)
+    val docs = Queries.run(spark) { d =>
+      d.add(SourceNode.table(dir, "documents")) >> d.output("result")
+    }
+    val idx = new AggIndexNode(groupCols = Seq("source"),
+      distinctCols = Seq("lang"))
+    idx.fit(ctx, In.single("corpus" -> docs.filter("doc_id % 5 != 0")))
+    idx.updateIndex(ctx, docs.filter("doc_id % 5 = 0"))
+    idx.deleteFromIndex(ctx,
+      docs.filter("lang = 'zh' OR doc_id % 7 = 0").select("doc_id"))
+    idx.topValues(ctx, docs.select("source").distinct(), "lang", 2)
+      .orderBy("source", "rank")
+  }
+  val q199Sql: String =
+    """WITH live AS (
+      |  SELECT * FROM documents WHERE lang <> 'zh' AND doc_id % 7 <> 0),
+      |vc AS (
+      |  SELECT source, lang, count(*) AS cnt FROM live
+      |  WHERE lang IS NOT NULL GROUP BY source, lang),
+      |r AS (
+      |  SELECT source, lang, cnt, row_number() OVER (
+      |    PARTITION BY source ORDER BY cnt DESC, lang) AS rank FROM vc)
+      |SELECT source, lang, cnt, rank FROM r WHERE rank <= 2
+      |ORDER BY source, rank""".stripMargin
+
   // ---- q197: INCREMENTAL MATERIALIZED JOIN — IVM of the denormalized
   // fact ⋈ dim view by the textbook delta rule (Δ(L⋈R) = ΔL⋈R ∪ L⋈ΔR,
   // deletes = anti-joins of the view on the row id). Lifecycle drills
@@ -4169,5 +4202,6 @@ object Advanced {
     ("q196_agg_index_distinct", q196_agg_index_distinct _, q196Sql),
     ("q197_materialized_join", q197_materialized_join _, q197Sql),
     ("q198_materialized_join_off_mor_tail", q198_materialized_join_off_mor_tail _, q198Sql),
+    ("q199_agg_index_top_values", q199_agg_index_top_values _, q199Sql),
   )
 }

@@ -338,4 +338,65 @@ class DocSpec extends AnyFunSuite {
     assert(ivfIdx.model.get.assignments.count() == 8L)
     Seq(idx).foreach(_.unpersistIndex()); invIdx.unpersistIndex(); ivfIdx.unpersistIndex()
   }
+
+  test("README dashboard IVM example runs") {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    val ctx = Ctx(spark)
+    // 1+2: maintained aggregate over a corpus, then a crawl batch and a
+    // takedown wave; serve + topValues must equal the declarative answers
+    val docs = (1L to 60L)
+      .map(i => (i, s"s${i % 3}", i * 10L, s"l${i % 4}"))
+      .toDF("doc_id", "source", "n_chars", "lang")
+    val stats = new AggIndexNode(groupCols = Seq("source"),
+      sumCols = Seq("n_chars"), minCols = Seq("n_chars"),
+      maxCols = Seq("n_chars"), distinctCols = Seq("lang"))
+    stats.fit(ctx, In.single("corpus" -> docs.filter("doc_id <= 40")))
+    stats.updateIndex(ctx, docs.filter("doc_id > 40"))
+    stats.deleteFromIndex(ctx, docs.filter("doc_id % 4 = 0").select("doc_id"))
+    val sources = docs.select("source").distinct()
+    val servedStats = stats.transform(ctx,
+      In.single("probe" -> sources))("result")
+    val oracle = docs.filter("doc_id % 4 != 0").groupBy("source").agg(
+      org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n_rows"),
+      org.apache.spark.sql.functions.sum("n_chars").as("sum_n_chars"),
+      org.apache.spark.sql.functions.min("n_chars").as("min_n_chars"),
+      org.apache.spark.sql.functions.max("n_chars").as("max_n_chars"),
+      org.apache.spark.sql.functions.count_distinct(
+        org.apache.spark.sql.functions.col("lang")).as("nd_lang"))
+    assert(servedStats.collect().toSet == oracle.collect().toSet)
+    val top = stats.topValues(ctx, sources, "lang", 2)
+    assert(top.filter("rank = 1").count() == 3L) // one leader per source
+    // 3: materialized join — late dim rows pick up dangling facts
+    val orders = Seq((1L, 10L, "O"), (2L, 11L, "F"), (3L, 12L, "O"))
+      .toDF("o_orderkey", "o_custkey", "o_status")
+    val custs = Seq((10L, "alice"), (11L, "bo")).toDF("c_custkey", "c_name")
+    val view = new MaterializedJoinNode(leftOn = Seq("o_custkey"),
+      rightOn = Seq("c_custkey"), leftId = "o_orderkey", rightId = "c_custkey")
+    view.fit(ctx, In.single("left" -> orders, "right" -> custs))
+    view.updateIndex(ctx, Seq((4L, 12L, "F")).toDF("o_orderkey", "o_custkey", "o_status"))
+    view.updateRight(ctx, Seq((12L, "cy")).toDF("c_custkey", "c_name")) // retroactive
+    view.deleteFromRight(ctx, Seq(11L).toDF("c_custkey"))
+    val probeAll = orders.select("o_custkey").distinct()
+    val served = view.transform(ctx, In.single("probe" -> probeAll))("result")
+    assert(served.select("o_orderkey", "c_name").as[(Long, String)].collect().toSet
+      == Set((1L, "alice"), (3L, "cy"), (4L, "cy")))
+    // 4: the aggregate maintains itself off a CDC feed (file stream,
+    // upsert-then-tombstone shape — the MorTail contract)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_doc_ivm_")
+    val cdc = Seq((61L, "s0", "610", "l1", false), (1L, null, null, null, true))
+      .toDF("doc_id", "source", "n_chars", "lang", "__deleted")
+      .selectExpr("doc_id", "source", "cast(n_chars as bigint) as n_chars",
+        "lang", "__deleted")
+    cdc.coalesce(1).write.mode("overwrite").parquet(s"$tmp/cdc")
+    val feed = spark.readStream.schema(cdc.schema).parquet(s"$tmp/cdc")
+    IndexMaintenance.maintainFromStream(stats, ctx, feed,
+      checkpoint = Some(s"$tmp/ckpt"), deleteCol = Some("__deleted"))
+    val post = stats.transform(ctx, In.single("probe" -> sources))("result")
+      .filter("source = 's0'").select("n_rows").as[Long].head()
+    val expected = docs.filter(
+      "doc_id % 4 != 0 AND doc_id != 1 AND source = 's0'").count() + 1L
+    assert(post == expected)
+    stats.unpersistIndex(); view.unpersistIndex()
+  }
 }

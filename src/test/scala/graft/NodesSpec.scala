@@ -3407,7 +3407,27 @@ class NodesSpec extends AnyFunSuite {
     assert(idx2.transform(c, In.single("probe" -> Seq("b").toDF("src")))("result")
       .select("src", "n_rows", "nd_lang")
       .as[(String, Long, Long)].collect().toSeq == Seq(("b", 2L, 1L)))
-    idx.unpersistIndex(); idx2.unpersistIndex()
+    // topValues: exact frequencies with deterministic tie-break (cnt DESC,
+    // value ASC); refused for a column without a support frame
+    val tv = new AggIndexNode(groupCols = Seq("src"), distinctCols = Seq("lang"))
+    tv.fit(c, In.single("corpus" -> Seq(
+      (1L, "a", "en"), (2L, "a", "en"), (3L, "a", "de"), (4L, "a", "de"),
+      (5L, "a", "fr")).toDF("doc_id", "src", "lang")))
+    // en and de tie at 2 -> de ranks first (value ASC); fr third
+    assert(tv.topValues(c, Seq("a").toDF("src"), "lang", 3)
+      .select("src", "lang", "cnt", "rank")
+      .as[(String, String, Long, Int)].collect().toSeq.sortBy(_._4) == Seq(
+        ("a", "de", 2L, 1), ("a", "en", 2L, 2), ("a", "fr", 1L, 3)))
+    // a takedown re-ranks exactly: both de docs gone -> en first, fr second
+    tv.deleteFromIndex(c, Seq(3L, 4L).toDF("doc_id"))
+    assert(tv.topValues(c, Seq("a").toDF("src"), "lang", 2)
+      .select("lang", "rank").as[(String, Int)].collect().toSeq.sortBy(_._2) ==
+      Seq(("en", 1), ("fr", 2)))
+    val noFrame = intercept[GraftException] {
+      tv.topValues(c, Seq("a").toDF("src"), "src", 1)
+    }
+    assert(noFrame.getMessage.contains("distinctCols"))
+    idx.unpersistIndex(); idx2.unpersistIndex(); tv.unpersistIndex()
   }
 
   test("MaterializedJoinNode: delta-rule maintenance on BOTH sides — fact " +

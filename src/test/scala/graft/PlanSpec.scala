@@ -565,6 +565,36 @@ class PlanSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("materialized aggregate/join serving: probe keys BROADCAST against the " +
+       "persisted state — group-lookup contract, no corpus shuffle at serve") {
+    val spark0 = spark
+    import spark0.implicits._
+    val ctx = Ctx(spark)
+    val agg = new AggIndexNode(groupCols = Seq("src"), sumCols = Seq("toks"),
+      minCols = Seq("toks"), distinctCols = Seq("lang"))
+    agg.fit(ctx, In.single("corpus" ->
+      (1L to 500L).map(i => (i, s"s${i % 7}", i, s"l${i % 3}"))
+        .toDF("doc_id", "src", "toks", "lang")))
+    val ap = planOf(agg.transform(ctx, In.single("probe" ->
+      Seq("s1").toDF("src")))("result"))
+    assert(ap.contains("BroadcastHashJoin") && !ap.contains("SortMergeJoin"),
+      s"agg serve must broadcast the probe keys:\n$ap")
+    assert(ap.contains("InMemoryTableScan"),
+      s"agg serve must read the persisted totals, not recompute:\n$ap")
+    val mj = new MaterializedJoinNode(leftOn = Seq("k"), rightOn = Seq("rk"),
+      leftId = "lid", rightId = "rk")
+    mj.fit(ctx, In.single(
+      "left" -> (1L to 500L).map(i => (i, i % 7)).toDF("lid", "k"),
+      "right" -> (0L to 6L).map(i => (i, s"t$i")).toDF("rk", "tier")))
+    val mp = planOf(mj.transform(ctx, In.single("probe" ->
+      Seq(1L).toDF("k")))("result"))
+    assert(mp.contains("BroadcastHashJoin") && !mp.contains("SortMergeJoin"),
+      s"join serve must broadcast the probe keys:\n$mp")
+    assert(mp.contains("InMemoryTableScan"),
+      s"join serve must read the persisted view, not re-join:\n$mp")
+    agg.unpersistIndex(); mj.unpersistIndex()
+  }
+
   test("merge-on-read scan: base side anti-joins BROADCAST overlay keys — the base " +
        "is never shuffled per wave; only the overlay-sized window exchanges remain") {
     val spark0 = spark
