@@ -140,7 +140,10 @@ object Scale10 {
       // k-fold ledgers; the fit join and final serve are the linear legs)
       "q193_agg_index_day2", "q194_agg_index_off_mor_tail",
       "q195_agg_index_minmax", "q196_agg_index_distinct",
-      "q197_materialized_join", "q198_materialized_join_off_mor_tail")
+      "q197_materialized_join", "q198_materialized_join_off_mor_tail",
+      // histogram measures: binned support-frame merges are k-fold at the
+      // ledger legs; quantile serving stays (group x bins)-sized
+      "q200_agg_index_quantiles", "q201_agg_index_histogram")
     val names = if (queries.nonEmpty) queries else defaults
     names.foreach { n =>
       try time(n)(Queries.all(n)(spark, out).count())

@@ -282,7 +282,9 @@ object NodeRegistry {
       p.boolOr("allowEvolution", false)))
     register("agg_index")(p => new AggIndexNode(p.strs("groupCols"),
       p.strs("sumCols"), p.strs("minCols"), p.strs("maxCols"),
-      p.strs("distinctCols"), p.str("idCol"), p.intOr("compactEvery", 0),
+      p.strs("distinctCols"),
+      p.strs("histSpecs").map(AggIndexNode.HistSpec.parse),
+      p.str("idCol"), p.intOr("compactEvery", 0),
       p.strOpt("compactPath")))
     register("materialized_join")(p => new MaterializedJoinNode(
       p.strs("leftOn"), p.strs("rightOn"), p.str("leftId"), p.str("rightId"),

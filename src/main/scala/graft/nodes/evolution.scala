@@ -380,6 +380,18 @@ class TokenDriftNode(
   * recomputing the touched groups handles it and the extrema in one
   * pass). NULLs never count, matching `COUNT(DISTINCT c)`.
   *
+  * HISTOGRAM measures (`histSpecs`, fixed caller-pinned [lo, hi] × bins
+  * over an INTEGRAL column): the state adds one (group, bin) → count
+  * frame per spec. Bin counts are SUMS, so — unlike extrema and distinct
+  * counts — BOTH directions are exact delta-sized merges: inserts add the
+  * batch's binned tallies, deletes subtract the victims' (no touched-group
+  * recompute). `histQuantiles` serves per-group approximate quantiles
+  * (p50/p95/p99 dashboards) from the bins — exact-to-the-binning at every
+  * point of the index's life, with no sketch drift to re-fit away; the
+  * served value is the true quantile rounded up to its bin's upper edge
+  * (error ≤ one bin width by construction). `histogramOf` serves the raw
+  * binned distribution. NULLs are excluded (aggregate semantics).
+  *
   * Serving: `transform(probe)` answers "current stats for THESE groups"
   * via a broadcast semi-join against the group-count-sized totals — the
   * keyed-lookup contract every family serves under (no corpus scan, no
@@ -392,11 +404,16 @@ class AggIndexNode(
     val minCols: Seq[String] = Nil,
     val maxCols: Seq[String] = Nil,
     val distinctCols: Seq[String] = Nil,
+    val histSpecs: Seq[AggIndexNode.HistSpec] = Nil,
     val idCol: String = "doc_id",
     val compactEvery: Int = 0,
     val compactPath: Option[String] = None)
   extends EstimatorNode with IncrementalIndex {
   require(groupCols.nonEmpty, "agg_index: groupCols must be non-empty")
+  require(histSpecs.map(_.column).distinct.size == histSpecs.size,
+    "agg_index: one hist spec per column")
+  require(histSpecs.forall(s => s.column != idCol && !groupCols.contains(s.column)),
+    "agg_index: hist columns must not name idCol or a group column")
   require((groupCols ++ sumCols ++ Seq(idCol)).distinct.size ==
     groupCols.size + sumCols.size + 1,
     "agg_index: idCol, groupCols and sumCols must be distinct")
@@ -416,13 +433,15 @@ class AggIndexNode(
   override def jsonParams: Map[String, Any] = Map(
     "groupCols" -> groupCols, "sumCols" -> sumCols,
     "minCols" -> minCols, "maxCols" -> maxCols,
-    "distinctCols" -> distinctCols, "idCol" -> idCol,
+    "distinctCols" -> distinctCols, "histSpecs" -> histSpecs.map(_.encoded),
+    "idCol" -> idCol,
     "compactEvery" -> compactEvery, "compactPath" -> compactPath.orNull)
 
   private def sumName(c: String) = s"sum_$c"
   /** Order/equality measure columns the ledger must carry beyond the sums. */
   private val orderOnlyCols: Seq[String] =
-    (minCols ++ maxCols ++ distinctCols).distinct.filterNot(sumCols.contains)
+    (minCols ++ maxCols ++ distinctCols ++ histSpecs.map(_.column))
+      .distinct.filterNot(sumCols.contains)
   private def hasExtrema: Boolean = minCols.nonEmpty || maxCols.nonEmpty
   /** Deletes must group-recompute when any non-decrementable aggregate is
     * maintained (extrema, distinct counts). */
@@ -437,6 +456,14 @@ class AggIndexNode(
           s"agg_index '$name': sum column '$c' is ${t.simpleString} — only " +
             "INTEGRAL measures sum exactly under incremental +/- (pre-scale " +
             "floats to fixed-point integers upstream)")
+    }
+    histSpecs.foreach { s =>
+      val t = df.schema(s.column).dataType
+      if (!integral.contains(t.getClass.getSimpleName.stripSuffix("$")))
+        throw new GraftException(
+          s"agg_index '$name': hist column '${s.column}' is ${t.simpleString} " +
+            "— the fixed-bin rule needs an INTEGRAL measure (pre-scale floats " +
+            "to fixed-point integers upstream)")
     }
     (minCols ++ maxCols ++ distinctCols).distinct.foreach { c =>
       import org.apache.spark.sql.types.{ArrayType, MapType, StructType, NullType}
@@ -475,6 +502,38 @@ class AggIndexNode(
     ledger.filter(col(c).isNotNull)
       .groupBy((groupCols :+ c).map(col): _*)
       .agg(count(lit(1)).as("__vc"))
+  }
+
+  /** The IVM support relation for a HISTOGRAM measure: (group, bin) →
+    * count, nulls excluded. Bin counts are sums, so both insert and
+    * delete fold as exact +/- merges (no touched-group recompute). */
+  private def binnedOf(ledger: DataFrame, s: AggIndexNode.HistSpec): DataFrame = {
+    import org.apache.spark.sql.functions.{count, lit}
+    ledger.filter(col(s.column).isNotNull)
+      .withColumn("__bin", expr(s.binSql))
+      .groupBy((groupCols.map(col) :+ col("__bin")): _*)
+      .agg(count(lit(1)).as("__hc"))
+  }
+
+  /** hist ⊕ sign·delta on (group, bin); bins reaching zero drop. */
+  private def histMerged(old: DataFrame, delta: DataFrame, sign: Int): DataFrame = {
+    import org.apache.spark.sql.functions.coalesce
+    val keys = groupCols :+ "__bin"
+    old.withColumnRenamed("__hc", "__oc")
+      .join(delta.withColumnRenamed("__hc", "__dc"), keys, "full_outer")
+      .select((keys.map(col) :+
+        (coalesce(col("__oc"), lit(0L)) +
+          lit(sign.toLong) * coalesce(col("__dc"), lit(0L))).as("__hc")): _*)
+      .filter(col("__hc") > 0)
+  }
+
+  /** ONE driver action materializes every just-persisted frame: counting
+    * the union scans each persisted child exactly once (the q157 lesson —
+    * per-frame counts multiply per-micro-batch driver actions when the
+    * index maintains itself from a stream). */
+  private def materializeAll(frames: Seq[DataFrame]): Unit = {
+    import org.apache.spark.sql.functions.lit
+    frames.map(_.select(lit(1L).as("__m"))).reduce(_ union _).count()
   }
 
   /** totals ⊕ sign·delta — full-outer on the group key, both sides
@@ -524,7 +583,9 @@ class AggIndexNode(
     val totals = totalsOf(ledger).persist(StorageLevel.MEMORY_AND_DISK)
     val vcs = distinctCols.map(c => c ->
       valueCountsOf(ledger, c).persist(StorageLevel.MEMORY_AND_DISK)).toMap
-    AggIndexNode.Index(ledger, totals, vcs)
+    val hs = histSpecs.map(s => s.column ->
+      binnedOf(ledger, s).persist(StorageLevel.MEMORY_AND_DISK)).toMap
+    AggIndexNode.Index(ledger, totals, vcs, hs)
   }
 
   def applyModel(m: Model, ctx: Ctx, in: In): Map[String, DataFrame] = {
@@ -567,6 +628,60 @@ class AggIndexNode(
         Seq(col("__vc").as("cnt"), col("rank")): _*)
   }
 
+  private def histFrame(probe: DataFrame, column: String): (DataFrame, AggIndexNode.HistSpec) = {
+    val m = model.getOrElse(
+      throw new GraftException(s"estimator node '$name' not fitted"))
+    val spec = histSpecs.find(_.column == column).getOrElse(
+      throw new GraftException(
+        s"agg_index '$name': no hist spec for '$column' " +
+          s"(have: ${histSpecs.map(_.column).mkString(", ")})"))
+    val keys = probe.select(groupCols.map(col): _*).distinct()
+    (m.hists(column).join(broadcast(keys), groupCols, "left_semi"), spec)
+  }
+
+  /** The maintained per-group histogram of a hist measure: one row per
+    * non-empty bin with inclusive value edges. Probe-bounded (the binned
+    * frame semi-joins the broadcast probe keys). */
+  def histogramOf(ctx: Ctx, probe: DataFrame, column: String): DataFrame = {
+    val (h, spec) = histFrame(probe, column)
+    h.select((groupCols.map(col) ++ Seq(
+      col("__bin").as("bin"),
+      expr(spec.loEdge("__bin")).as("lo_value"),
+      expr(spec.hiEdge("__bin")).as("hi_value"),
+      col("__hc").as("cnt"))): _*)
+  }
+
+  /** Per-group approximate quantiles served from the maintained bins —
+    * EXACT to the binning at every point of the index's life, inserts and
+    * takedowns alike (bin counts decrement exactly; there is no sketch
+    * drift to re-fit away). The rule both engines state identically: for
+    * quantile q over a group of n rows, the served value is the inclusive
+    * upper edge of the first bin (in bin order) whose cumulative count
+    * reaches ceil(q * n) — i.e. the true quantile rounded UP to its bin
+    * edge, never off by more than one bin width. Work is bounded by the
+    * probed groups' bin counts. */
+  def histQuantiles(ctx: Ctx, probe: DataFrame, column: String,
+      qs: Seq[Double]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{explode, row_number, sum}
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      s"agg_index '$name': quantiles must be in (0, 1], got ${qs.mkString(", ")}")
+    val (h, spec) = histFrame(probe, column)
+    val wCum = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("__bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(groupCols.map(col): _*)
+    val cum = h.withColumn("__cum", sum(col("__hc")).over(wCum))
+      .withColumn("__n", sum(col("__hc")).over(wAll))
+      .withColumn("q", explode(lit(qs.toArray)))
+      .filter(col("__cum") >= expr("cast(ceil(q * __n) as bigint)"))
+    val wPick = Window.partitionBy((groupCols.map(col) :+ col("q")): _*)
+      .orderBy(col("__bin"))
+    cum.withColumn("__rn", row_number().over(wPick)).filter(col("__rn") === 1)
+      .select((groupCols.map(col) ++ Seq(
+        col("q"), expr(spec.hiEdge("__bin")).as("value"))): _*)
+  }
+
   def updateIndex(ctx: Ctx, delta: DataFrame): Unit = {
     import org.apache.spark.storage.StorageLevel
     import org.apache.spark.sql.functions.{coalesce, count, lit}
@@ -597,11 +712,16 @@ class AggIndexNode(
     }
     val newTotals = merged(m.totals, deltaTotals, +1)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    newLedger.count(); newTotals.count() // materialize before releasing old
-    newVC.values.foreach(_.count())
-    model = Some(AggIndexNode.Index(newLedger, newTotals, newVC))
+    val newHists = histSpecs.map { s =>
+      s.column -> histMerged(m.hists(s.column), binnedOf(fresh, s), +1)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }.toMap
+    // materialize everything before releasing old state — ONE action
+    materializeAll(Seq(newLedger, newTotals) ++ newVC.values ++ newHists.values)
+    model = Some(AggIndexNode.Index(newLedger, newTotals, newVC, newHists))
     m.ledger.unpersist(); m.totals.unpersist()
     m.valueCounts.values.foreach(_.unpersist())
+    m.hists.values.foreach(_.unpersist())
     generation += 1
     if (compactEvery > 0 && generation % compactEvery == 0) compactIndex()
   }
@@ -629,11 +749,17 @@ class AggIndexNode(
           newLedger.join(broadcast(touched), groupCols, "left_semi"), c))
         .persist(StorageLevel.MEMORY_AND_DISK)
     }.toMap
-    newLedger.count(); newTotals.count()
-    newVC.values.foreach(_.count())
-    model = Some(AggIndexNode.Index(newLedger, newTotals, newVC))
+    // bin counts are SUMS — the delete is an exact decrement, no
+    // touched-group recompute needed (contrast extrema/distinct above)
+    val newHists = histSpecs.map { s =>
+      s.column -> histMerged(m.hists(s.column), binnedOf(victims, s), -1)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }.toMap
+    materializeAll(Seq(newLedger, newTotals) ++ newVC.values ++ newHists.values)
+    model = Some(AggIndexNode.Index(newLedger, newTotals, newVC, newHists))
     m.ledger.unpersist(); m.totals.unpersist()
     m.valueCounts.values.foreach(_.unpersist())
+    m.hists.values.foreach(_.unpersist())
     generation += 1
     if (compactEvery > 0 && generation % compactEvery == 0) compactIndex()
   }
@@ -648,10 +774,13 @@ class AggIndexNode(
     val newTotals = totalsOf(m.ledger).persist(StorageLevel.MEMORY_AND_DISK)
     val newVC = distinctCols.map(c => c ->
       valueCountsOf(m.ledger, c).persist(StorageLevel.MEMORY_AND_DISK)).toMap
-    newTotals.count(); newVC.values.foreach(_.count())
-    model = Some(AggIndexNode.Index(m.ledger, newTotals, newVC))
+    val newHists = histSpecs.map(s => s.column ->
+      binnedOf(m.ledger, s).persist(StorageLevel.MEMORY_AND_DISK)).toMap
+    materializeAll(Seq(newTotals) ++ newVC.values ++ newHists.values)
+    model = Some(AggIndexNode.Index(m.ledger, newTotals, newVC, newHists))
     m.totals.unpersist()
     m.valueCounts.values.foreach(_.unpersist())
+    m.hists.values.foreach(_.unpersist())
     generation += 1
     if (compactEvery > 0 && generation % compactEvery == 0) compactIndex()
   }
@@ -678,14 +807,18 @@ class AggIndexNode(
       session.read.parquet(s"$path/ledger").persist(StorageLevel.MEMORY_AND_DISK),
       session.read.parquet(s"$path/totals").persist(StorageLevel.MEMORY_AND_DISK),
       distinctCols.map(c => c -> session.read.parquet(s"$path/vc_$c")
+        .persist(StorageLevel.MEMORY_AND_DISK)).toMap,
+      histSpecs.map(s => s.column -> session.read.parquet(s"$path/hist_${s.column}")
         .persist(StorageLevel.MEMORY_AND_DISK)).toMap))
     m.ledger.unpersist(); m.totals.unpersist()
     m.valueCounts.values.foreach(_.unpersist())
+    m.hists.values.foreach(_.unpersist())
   }
 
   def unpersistIndex(): Unit = model.foreach { m =>
     m.ledger.unpersist(); m.totals.unpersist()
     m.valueCounts.values.foreach(_.unpersist())
+    m.hists.values.foreach(_.unpersist())
   }
 
   override def saveFitted(path: String): Unit = {
@@ -695,6 +828,8 @@ class AggIndexNode(
     m.totals.write.mode("overwrite").parquet(s"$path/totals")
     m.valueCounts.foreach { case (c, vc) =>
       vc.write.mode("overwrite").parquet(s"$path/vc_$c") }
+    m.hists.foreach { case (c, h) =>
+      h.write.mode("overwrite").parquet(s"$path/hist_$c") }
     saveMaintenanceState(m.ledger.sparkSession, path)
   }
   override def loadFitted(path: String): Unit = loadFitted(path, None)
@@ -705,6 +840,8 @@ class AggIndexNode(
       spark.read.parquet(s"$path/ledger").persist(StorageLevel.MEMORY_AND_DISK),
       spark.read.parquet(s"$path/totals").persist(StorageLevel.MEMORY_AND_DISK),
       distinctCols.map(c => c -> spark.read.parquet(s"$path/vc_$c")
+        .persist(StorageLevel.MEMORY_AND_DISK)).toMap,
+      histSpecs.map(s => s.column -> spark.read.parquet(s"$path/hist_${s.column}")
         .persist(StorageLevel.MEMORY_AND_DISK)).toMap))
     loadMaintenanceState(spark, path)
   }
@@ -712,9 +849,46 @@ class AggIndexNode(
 
 object AggIndexNode {
   /** The fitted state: keyed contribution ledger + group totals + one
-    * value-count support frame per COUNT DISTINCT measure. */
+    * value-count support frame per COUNT DISTINCT measure + one binned
+    * frame per HISTOGRAM measure. */
   case class Index(ledger: DataFrame, totals: DataFrame,
-      valueCounts: Map[String, DataFrame] = Map.empty)
+      valueCounts: Map[String, DataFrame] = Map.empty,
+      hists: Map[String, DataFrame] = Map.empty)
+
+  /** Fixed-bin histogram spec for an INTEGRAL measure column — the
+    * caller pins [lo, hi] and the bin count up front (data-independent,
+    * so the binning rule is a constant both engines state identically).
+    * Out-of-range values clamp into the edge bins; width is
+    * ceil((hi - lo + 1) / bins) in exact integer math. Bin counts are
+    * SUMS — fully decrementable, so unlike extrema the delete path needs
+    * no touched-group recompute: histograms are the quantile measure
+    * that stays exact-to-the-binning under takedowns at delta cost. */
+  case class HistSpec(column: String, lo: Long, hi: Long, bins: Int) {
+    require(hi > lo, s"hist '$column': hi must exceed lo (got [$lo, $hi])")
+    require(bins >= 1 && bins <= 100000,
+      s"hist '$column': bins must be in [1, 100000], got $bins")
+    /** ceil((hi - lo + 1) / bins) without overflow for sane ranges. */
+    val width: Long = (hi - lo + bins) / bins
+    /** Spark-SQL bin expression over the ledger column (integer math:
+      * clamp below lo, integral DIV, clamp above bins-1). */
+    def binSql: String =
+      s"least(${bins - 1}, cast((greatest(cast(`$column` as bigint), ${lo}L) " +
+        s"- ${lo}L) div ${width}L as int))"
+    /** Inclusive value edges of bin b (the served quantile value is the
+      * bin's upper edge, clamped to hi). */
+    def loEdge(b: String): String = s"${lo}L + cast($b as bigint) * ${width}L"
+    def hiEdge(b: String): String =
+      s"least(${hi}L, ${lo}L + (cast($b as bigint) + 1L) * ${width}L - 1L)"
+    /** Registry wire form. */
+    def encoded: String = s"$column:$lo:$hi:$bins"
+  }
+  object HistSpec {
+    def parse(s: String): HistSpec = s.split(":") match {
+      case Array(c, lo, hi, b) => HistSpec(c, lo.toLong, hi.toLong, b.toInt)
+      case _ => throw new GraftException(
+        s"agg_index: malformed hist spec '$s' (want col:lo:hi:bins)")
+    }
+  }
 }
 
 /** INCREMENTAL MATERIALIZED JOIN — IVM for the denormalized view every

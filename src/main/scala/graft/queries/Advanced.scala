@@ -3631,6 +3631,78 @@ object Advanced {
       |SELECT source, lang, cnt, rank FROM r WHERE rank <= 2
       |ORDER BY source, rank""".stripMargin
 
+  // ---- q200: LIVE QUANTILES from maintained histogram bins — the
+  // p50/p90/p99 dashboard that stays exact-to-the-binning under inserts
+  // AND takedowns. Bin counts are sums, so the delete wave decrements
+  // them exactly (no touched-group recompute, no sketch drift); the
+  // served value is the true quantile rounded UP to its bin's inclusive
+  // upper edge — both engines state the identical integer binning rule
+  // (lo=0, hi=511, 16 bins, width 32; docs over 511 chars clamp into the
+  // last bin) and threshold rule (first bin whose cumulative count
+  // reaches ceil(q*n)). A stale bin count, a missed decrement, or an
+  // off-by-one in the cumulative rule all change the hash. ----
+  def q200_agg_index_quantiles(spark: SparkSession, dir: String): DataFrame = {
+    val ctx = Ctx(spark)
+    val docs = Queries.run(spark) { d =>
+      d.add(SourceNode.table(dir, "documents")) >> d.output("result")
+    }
+    val idx = new AggIndexNode(groupCols = Seq("source"),
+      histSpecs = Seq(AggIndexNode.HistSpec("n_chars", 0L, 511L, 16)))
+    idx.fit(ctx, In.single("corpus" -> docs.filter("doc_id % 5 != 0")))
+    idx.updateIndex(ctx, docs.filter("doc_id % 5 = 0"))
+    idx.deleteFromIndex(ctx, docs.filter("doc_id % 7 = 0").select("doc_id"))
+    idx.histQuantiles(ctx, docs.select("source").distinct(),
+      "n_chars", Seq(0.5, 0.9, 0.99)).orderBy("source", "q")
+  }
+  val q200Sql: String =
+    """WITH live AS (SELECT * FROM documents WHERE doc_id % 7 <> 0),
+      |b AS (
+      |  SELECT source,
+      |    least(15, CAST((greatest(CAST(n_chars AS BIGINT), 0) - 0) // 32 AS INT)) AS bin,
+      |    count(*) AS c
+      |  FROM live WHERE n_chars IS NOT NULL GROUP BY 1, 2),
+      |cm AS (
+      |  SELECT source, bin,
+      |    sum(c) OVER (PARTITION BY source ORDER BY bin) AS cum,
+      |    sum(c) OVER (PARTITION BY source) AS n FROM b),
+      |p AS (
+      |  SELECT source, q, min(bin) AS bin
+      |  FROM cm, (SELECT unnest(CAST([0.5, 0.9, 0.99] AS DOUBLE[])) AS q) qs
+      |  WHERE cum >= CAST(ceil(q * n) AS BIGINT) GROUP BY source, q)
+      |SELECT source, q, least(511, (CAST(bin AS BIGINT) + 1) * 32 - 1) AS value
+      |FROM p ORDER BY source, q""".stripMargin
+
+  // ---- q201: the maintained HISTOGRAM itself — per-group binned
+  // distribution with inclusive value edges, exact after a takedown wave
+  // that removes every 'zh' doc plus a modulo residue (bins emptied by
+  // the wave must VANISH — a count reaching zero drops the row, matching
+  // the declarative GROUP BY over live rows). ----
+  def q201_agg_index_histogram(spark: SparkSession, dir: String): DataFrame = {
+    val ctx = Ctx(spark)
+    val docs = Queries.run(spark) { d =>
+      d.add(SourceNode.table(dir, "documents")) >> d.output("result")
+    }
+    val idx = new AggIndexNode(groupCols = Seq("source"),
+      histSpecs = Seq(AggIndexNode.HistSpec("n_chars", 0L, 511L, 16)))
+    idx.fit(ctx, In.single("corpus" -> docs.filter("doc_id % 5 != 0")))
+    idx.updateIndex(ctx, docs.filter("doc_id % 5 = 0"))
+    idx.deleteFromIndex(ctx,
+      docs.filter("lang = 'zh' OR doc_id % 7 = 0").select("doc_id"))
+    idx.histogramOf(ctx, docs.select("source").distinct(), "n_chars")
+      .orderBy("source", "bin")
+  }
+  val q201Sql: String =
+    """WITH live AS (
+      |  SELECT * FROM documents WHERE lang <> 'zh' AND doc_id % 7 <> 0),
+      |b AS (
+      |  SELECT source,
+      |    least(15, CAST((greatest(CAST(n_chars AS BIGINT), 0) - 0) // 32 AS INT)) AS bin,
+      |    count(*) AS cnt
+      |  FROM live WHERE n_chars IS NOT NULL GROUP BY 1, 2)
+      |SELECT source, bin, CAST(bin AS BIGINT) * 32 AS lo_value,
+      |       least(511, (CAST(bin AS BIGINT) + 1) * 32 - 1) AS hi_value, cnt
+      |FROM b ORDER BY source, bin""".stripMargin
+
   // ---- q197: INCREMENTAL MATERIALIZED JOIN — IVM of the denormalized
   // fact ⋈ dim view by the textbook delta rule (Δ(L⋈R) = ΔL⋈R ∪ L⋈ΔR,
   // deletes = anti-joins of the view on the row id). Lifecycle drills
@@ -4203,5 +4275,7 @@ object Advanced {
     ("q197_materialized_join", q197_materialized_join _, q197Sql),
     ("q198_materialized_join_off_mor_tail", q198_materialized_join_off_mor_tail _, q198Sql),
     ("q199_agg_index_top_values", q199_agg_index_top_values _, q199Sql),
+    ("q200_agg_index_quantiles", q200_agg_index_quantiles _, q200Sql),
+    ("q201_agg_index_histogram", q201_agg_index_histogram _, q201Sql),
   )
 }

@@ -3430,6 +3430,79 @@ class NodesSpec extends AnyFunSuite {
     idx.unpersistIndex(); idx2.unpersistIndex(); tv.unpersistIndex()
   }
 
+  test("AggIndexNode HISTOGRAM: bin counts decrement exactly under deletes " +
+       "(no splice), clamp out-of-range into edge bins, drop emptied bins; " +
+       "histQuantiles picks the first bin reaching ceil(q*n); save/load " +
+       "keeps the binned frames; non-integral hist column refused") {
+    import spark.implicits._
+    val c = Ctx(spark)
+    // spec: lo=0, hi=99, 10 bins -> width 10; values 105 and -3 clamp
+    val spec = AggIndexNode.HistSpec("v", 0L, 99L, 10)
+    assert(spec.width == 10L)
+    val idx = new AggIndexNode(groupCols = Seq("src"), histSpecs = Seq(spec))
+    idx.fit(c, In.single("corpus" -> Seq(
+      (1L, "a", 5L), (2L, "a", 17L), (3L, "a", 23L), (4L, "a", 105L),
+      (5L, "b", -3L), (6L, "b", 50L)).toDF("doc_id", "src", "v")))
+    def hist(src: String): Seq[(Int, Long, Long, Long)] =
+      idx.histogramOf(c, Seq(src).toDF("src"), "v")
+        .select("bin", "lo_value", "hi_value", "cnt")
+        .as[(Int, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    // a: 5->bin0, 17->bin1, 23->bin2, 105 clamps into bin9 (edge 90..99)
+    assert(hist("a") == Seq((0, 0L, 9L, 1L), (1, 10L, 19L, 1L),
+      (2, 20L, 29L, 1L), (9, 90L, 99L, 1L)))
+    // b: -3 clamps into bin0, 50->bin5
+    assert(hist("b") == Seq((0, 0L, 9L, 1L), (5, 50L, 59L, 1L)))
+    // insert then delete: bin counts merge +, then decrement exactly;
+    // the emptied bin VANISHES (count reaching zero drops the row)
+    idx.updateIndex(c, Seq((7L, "a", 12L), (8L, "a", 77L))
+      .toDF("doc_id", "src", "v"))
+    assert(hist("a") == Seq((0, 0L, 9L, 1L), (1, 10L, 19L, 2L),
+      (2, 20L, 29L, 1L), (7, 70L, 79L, 1L), (9, 90L, 99L, 1L)))
+    idx.deleteFromIndex(c, Seq(2L, 3L).toDF("doc_id")) // empties bin2, halves bin1
+    assert(hist("a") == Seq((0, 0L, 9L, 1L), (1, 10L, 19L, 1L),
+      (7, 70L, 79L, 1L), (9, 90L, 99L, 1L)))
+    // quantiles: a has values {5, 12, 77, 105->99-edge}; n=4
+    // q=0.25 -> t=1 -> bin0 edge 9; q=0.5 -> t=2 -> bin1 edge 19;
+    // q=0.75 -> t=3 -> bin7 edge 79; q=1.0 -> t=4 -> bin9 edge 99
+    assert(idx.histQuantiles(c, Seq("a").toDF("src"), "v",
+        Seq(0.25, 0.5, 0.75, 1.0))
+      .select("q", "value").as[(Double, Long)].collect().toSeq.sortBy(_._1) ==
+      Seq((0.25, 9L), (0.5, 19L), (0.75, 79L), (1.0, 99L)))
+    // rebuild == maintained (exactness pin)
+    val before = hist("a")
+    idx.rebuildIndex()
+    assert(hist("a") == before)
+    // save/load keeps the binned frames
+    val dir = java.nio.file.Files.createTempDirectory("graft_agghist").toString
+    idx.saveFitted(dir)
+    val idx2 = new AggIndexNode(groupCols = Seq("src"), histSpecs = Seq(spec))
+    idx2.loadFitted(dir, Some(spark))
+    assert(idx2.histogramOf(c, Seq("a").toDF("src"), "v")
+      .count() == 4L)
+    // refusals: non-integral hist column; unknown column; bad quantile
+    val flt = intercept[GraftException] {
+      new AggIndexNode(groupCols = Seq("src"),
+        histSpecs = Seq(AggIndexNode.HistSpec("f", 0L, 10L, 2)))
+        .fit(c, In.single("corpus" ->
+          Seq((1L, "a", 0.5)).toDF("doc_id", "src", "f")))
+    }
+    assert(flt.getMessage.contains("INTEGRAL"))
+    val unknown = intercept[GraftException] {
+      idx.histQuantiles(c, Seq("a").toDF("src"), "nope", Seq(0.5))
+    }
+    assert(unknown.getMessage.contains("no hist spec"))
+    val badQ = intercept[IllegalArgumentException] {
+      idx.histQuantiles(c, Seq("a").toDF("src"), "v", Seq(0.0))
+    }
+    assert(badQ.getMessage.contains("(0, 1]"))
+    val badSpec = intercept[IllegalArgumentException] {
+      AggIndexNode.HistSpec("v", 10L, 10L, 4)
+    }
+    assert(badSpec.getMessage.contains("hi must exceed lo"))
+    assert(AggIndexNode.HistSpec.parse("v:0:99:10") == spec)
+    idx.unpersistIndex(); idx2.unpersistIndex()
+  }
+
   test("MaterializedJoinNode: delta-rule maintenance on BOTH sides — fact " +
        "insert/delete via the IncrementalIndex contract, dim upsert/delete " +
        "via updateRight/deleteFromRight; duplicate join keys fan out; view " +

@@ -367,12 +367,17 @@ class SerializationSpec extends AnyFunSuite {
     assert(d2.node(mg.name).asInstanceOf[MergeNode].allowEvolution)
     val ai = d.add(new AggIndexNode(groupCols = Seq("src", "lang"),
       sumCols = Seq("toks"), minCols = Seq("toks", "title"),
-      maxCols = Seq("toks"), idCol = "uid", compactEvery = 4,
+      maxCols = Seq("toks"),
+      histSpecs = Seq(AggIndexNode.HistSpec("toks", 0L, 8191L, 64),
+        AggIndexNode.HistSpec("score", -100L, 100L, 10)),
+      idCol = "uid", compactEvery = 4,
       compactPath = Some("/tmp/aggc")))
     val d3 = DagJson.fromJson(DagJson.toJson(d))
     val ai2 = d3.node(ai.name).asInstanceOf[AggIndexNode]
     assert(ai2.groupCols == Seq("src", "lang") && ai2.sumCols == Seq("toks") &&
       ai2.minCols == Seq("toks", "title") && ai2.maxCols == Seq("toks") &&
+      ai2.histSpecs == Seq(AggIndexNode.HistSpec("toks", 0L, 8191L, 64),
+        AggIndexNode.HistSpec("score", -100L, 100L, 10)) &&
       ai2.idCol == "uid" && ai2.compactEvery == 4 &&
       ai2.compactPath.contains("/tmp/aggc"))
     val mj = d.add(new MaterializedJoinNode(leftOn = Seq("cust", "region"),
