@@ -143,7 +143,10 @@ object Scale10 {
       "q197_materialized_join", "q198_materialized_join_off_mor_tail",
       // histogram measures: binned support-frame merges are k-fold at the
       // ledger legs; quantile serving stays (group x bins)-sized
-      "q200_agg_index_quantiles", "q201_agg_index_histogram")
+      "q200_agg_index_quantiles", "q201_agg_index_histogram",
+      // ledgerless sketch index: groupBy+hll_sketch_agg legs are the
+      // linear cost; the merge and serve stay group-count-sized
+      "q202_sketch_index_day2")
     val names = if (queries.nonEmpty) queries else defaults
     names.foreach { n =>
       try time(n)(Queries.all(n)(spark, out).count())

@@ -286,6 +286,8 @@ object NodeRegistry {
       p.strs("histSpecs").map(AggIndexNode.HistSpec.parse),
       p.str("idCol"), p.intOr("compactEvery", 0),
       p.strOpt("compactPath")))
+    register("sketch_index")(p => new SketchIndexNode(p.strs("groupCols"),
+      p.strs("cols"), p.intOr("lgConfigK", 12)))
     register("materialized_join")(p => new MaterializedJoinNode(
       p.strs("leftOn"), p.strs("rightOn"), p.str("leftId"), p.str("rightId"),
       p.intOr("compactEvery", 0), p.strOpt("compactPath")))

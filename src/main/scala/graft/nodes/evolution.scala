@@ -891,6 +891,149 @@ object AggIndexNode {
   }
 }
 
+/** LEDGERLESS SKETCH AGGREGATE — the high-cardinality complement to
+  * [[AggIndexNode]]. The exact index pays two corpus-sized costs for its
+  * exactness under deletes: the keyed contribution LEDGER and (for COUNT
+  * DISTINCT) a (group, value) support frame — at "distinct URLs per
+  * domain over 100 TB" both are themselves corpus-scale. This node trades
+  * deletes away for O(groups × 2^lgK) TOTAL state: per group it keeps
+  * only an exact row count and one datasketches HLL sketch per measure
+  * (the same sketch family `ProfileNode`/publish-time profiles use, so
+  * estimates are comparable across the engine).
+  *
+  *   - `fit`/`updateIndex`: group the batch, `hll_sketch_agg` per
+  *     measure, full-outer merge into the totals with `hll_union` —
+  *     sketch union is associative/commutative, so any insert order
+  *     yields the identical sketch bytes (deterministic estimates);
+  *     per-batch work is delta-sized, state never grows past
+  *     groups × sketch size.
+  *   - `deleteFromIndex`: REFUSED loudly — an HLL cannot decrement, and
+  *     silently wrong distinct counts after a takedown are worse than an
+  *     error. Corpora that must survive deletes keep the exact
+  *     [[AggIndexNode]] (ledger-backed) instead; that asymmetry is the
+  *     documented price of ledgerless state. Insert-only CDC feeds
+  *     (`maintainFromStream` without `deleteCol`) maintain it fine.
+  *   - serving: broadcast probe keys against the group-count-sized
+  *     totals; `nd_<c>` is `hll_sketch_estimate` (±~1.6% rse at the
+  *     default lgK = 12), `n_rows` stays exact.
+  */
+class SketchIndexNode(
+    val groupCols: Seq[String],
+    val cols: Seq[String],
+    val lgConfigK: Int = 12)
+  extends EstimatorNode with IncrementalIndex {
+  require(groupCols.nonEmpty, "sketch_index: groupCols must be non-empty")
+  require(cols.nonEmpty, "sketch_index: cols must be non-empty")
+  require(cols.distinct.size == cols.size && cols.forall(!groupCols.contains(_)),
+    "sketch_index: cols must be distinct and disjoint from groupCols")
+  require(lgConfigK >= 4 && lgConfigK <= 21,
+    s"sketch_index: lgConfigK must be in [4, 21], got $lgConfigK")
+  type Model = DataFrame // totals: groupCols..., n_rows, __sk_<c> per col
+  override protected def defaultName: String = "sketch_index"
+  val inputs = Seq(Port("corpus"), Port("probe"))
+  val outputs = Seq(Port("result"))
+  override def jsonKind: Option[String] = Some("sketch_index")
+  override def jsonParams: Map[String, Any] = Map(
+    "groupCols" -> groupCols, "cols" -> cols, "lgConfigK" -> lgConfigK)
+
+  private def skName(c: String) = s"__sk_$c"
+
+  /** hll_sketch_agg accepts int/long/string/binary; anything else (and a
+    * float in particular, whose binary equality is not value identity)
+    * must be refused loudly, not left to a mid-job analyzer error. */
+  private def checkTypes(df: DataFrame): Unit = {
+    import org.apache.spark.sql.types.{BinaryType, IntegerType, LongType, StringType}
+    cols.foreach { c =>
+      val t = df.schema(c).dataType
+      if (!Seq(IntegerType, LongType, StringType, BinaryType).contains(t))
+        throw new GraftException(
+          s"sketch_index '$name': column '$c' is ${t.simpleString} — HLL " +
+            "sketches take int/bigint/string/binary (cast or hash upstream)")
+    }
+  }
+
+  private def sketchTotalsOf(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{count, lit}
+    checkTypes(df)
+    val aggs = count(lit(1)).as("n_rows") +:
+      cols.map(c => expr(s"hll_sketch_agg(`$c`, $lgConfigK)").as(skName(c)))
+    df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** totals ⊕ delta: exact counts add; sketches union (a group all-null
+    * on a measure carries a null sketch — union treats it as empty). */
+  private def sketchMerged(totals: DataFrame, delta: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.coalesce
+    val d = delta.select((groupCols.map(col) :+ col("n_rows").as("__dn")) ++
+      cols.map(c => col(skName(c)).as(s"__d_${c}")): _*)
+    totals.join(d, groupCols, "full_outer")
+      .select((groupCols.map(col) :+
+        expr("coalesce(n_rows, 0L) + coalesce(__dn, 0L)").as("n_rows")) ++
+        cols.map { c =>
+          val (a, b) = (skName(c), s"__d_$c")
+          expr(s"case when `$a` is null then `$b` when `$b` is null then `$a` " +
+            s"else hll_union(`$a`, `$b`) end").as(skName(c))
+        }: _*)
+  }
+
+  def fitModel(ctx: Ctx, in: In): Model = {
+    import org.apache.spark.storage.StorageLevel
+    val t = sketchTotalsOf(in("corpus")).persist(StorageLevel.MEMORY_AND_DISK)
+    t.count()
+    t
+  }
+
+  def applyModel(m: Model, ctx: Ctx, in: In): Map[String, DataFrame] = {
+    val probe = in("probe")
+    if (probe.isStreaming)
+      throw new GraftException(
+        s"sketch_index '$name': streaming probe refused — serve per " +
+          "micro-batch through StreamServing.serveStream")
+    val keys = probe.select(groupCols.map(col): _*).distinct()
+    Map("result" -> m.join(broadcast(keys), groupCols, "left_semi")
+      .select((groupCols.map(col) :+ col("n_rows")) ++
+        cols.map(c => expr(
+          s"coalesce(hll_sketch_estimate(`${skName(c)}`), 0L)").as(s"nd_$c")): _*))
+  }
+
+  def updateIndex(ctx: Ctx, delta: DataFrame): Unit = {
+    import org.apache.spark.storage.StorageLevel
+    val m = model.getOrElse(
+      throw new GraftException(s"estimator node '$name' not fitted"))
+    val newTotals = sketchMerged(m, sketchTotalsOf(delta))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    newTotals.count() // one action; materialize before releasing old
+    model = Some(newTotals)
+    m.unpersist()
+  }
+
+  def deleteFromIndex(ctx: Ctx, deletes: DataFrame): Unit =
+    throw new GraftException(
+      s"sketch_index '$name': deletes refused — an HLL sketch cannot " +
+        "decrement, and serving silently stale distinct counts after a " +
+        "takedown is worse than an error. Use the exact AggIndexNode " +
+        "(ledger-backed distinctCols) where the corpus must survive " +
+        "deletes; this family is for insert-only feeds at cardinalities " +
+        "where a (group, value) support frame is itself corpus-sized")
+
+  def unpersistIndex(): Unit = model.foreach(_.unpersist())
+
+  override def saveFitted(path: String): Unit = {
+    val m = model.getOrElse(
+      throw new GraftException(s"estimator node '$name' not fitted"))
+    m.write.mode("overwrite").parquet(s"$path/totals")
+    saveMaintenanceState(m.sparkSession, path)
+  }
+  override def loadFitted(path: String): Unit = loadFitted(path, None)
+  def loadFitted(path: String, session: Option[org.apache.spark.sql.SparkSession]): Unit = {
+    import org.apache.spark.storage.StorageLevel
+    val spark = session.getOrElse(org.apache.spark.sql.SparkSession.active)
+    model = Some(spark.read.parquet(s"$path/totals")
+      .persist(StorageLevel.MEMORY_AND_DISK))
+    loadMaintenanceState(spark, path)
+  }
+}
+
 /** INCREMENTAL MATERIALIZED JOIN — IVM for the denormalized view every
   * warehouse maintains (fact ⋈ dim, orders ⋈ customer, doc ⋈ domain
   * metadata) without re-running the join per refresh. The delta rule for

@@ -3703,6 +3703,43 @@ object Advanced {
       |       least(511, (CAST(bin AS BIGINT) + 1) * 32 - 1) AS hi_value, cnt
       |FROM b ORDER BY source, bin""".stripMargin
 
+  // ---- q202: LEDGERLESS SKETCH INDEX — the high-cardinality complement
+  // to the exact agg index: per-group state is ONE HLL sketch per measure
+  // (groups × 2^lgK total, no ledger, no support frame), maintained by
+  // sketch UNION across insert batches — associative, so the day-2 state
+  // after two update waves is byte-identical to a one-shot build and the
+  // estimates are deterministic. n_rows stays exact; the distinct
+  // estimates gate against the declarative COUNT(DISTINCT) at 5% (HLL
+  // lgK=12 rse ~1.6%), the q150/q143 gate convention. Deletes are
+  // REFUSED by this family (sketches cannot decrement) — that contract
+  // is NodesSpec-drilled, not oracled. ----
+  def q202_sketch_index_day2(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{count_distinct, expr}
+    val ctx = Ctx(spark)
+    val docs = Queries.run(spark) { d =>
+      d.add(SourceNode.table(dir, "documents")) >> d.output("result")
+    }
+    val idx = new SketchIndexNode(groupCols = Seq("source"),
+      cols = Seq("doc_id", "lang"))
+    idx.fit(ctx, In.single("corpus" -> docs.filter("doc_id % 5 != 0")))
+    idx.updateIndex(ctx, docs.filter("doc_id % 5 = 0 AND doc_id % 10 != 0"))
+    idx.updateIndex(ctx, docs.filter("doc_id % 10 = 0"))
+    val served = idx.transform(ctx,
+      In.single("probe" -> docs.select("source").distinct()))("result")
+    val exact = docs.groupBy("source").agg(
+      count_distinct(col("doc_id")).as("__xd"),
+      count_distinct(col("lang")).as("__xl"))
+    served.join(exact, Seq("source"))
+      .select(col("source"), col("n_rows"),
+        expr("abs(nd_doc_id - __xd) * 20 <= __xd").as("nd_doc_id_ok"),
+        expr("abs(nd_lang - __xl) * 20 <= __xl").as("nd_lang_ok"))
+      .orderBy("source")
+  }
+  val q202Sql: String =
+    """SELECT source, count(*) AS n_rows,
+      |       true AS nd_doc_id_ok, true AS nd_lang_ok
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   // ---- q197: INCREMENTAL MATERIALIZED JOIN — IVM of the denormalized
   // fact ⋈ dim view by the textbook delta rule (Δ(L⋈R) = ΔL⋈R ∪ L⋈ΔR,
   // deletes = anti-joins of the view on the row id). Lifecycle drills
@@ -4277,5 +4314,6 @@ object Advanced {
     ("q199_agg_index_top_values", q199_agg_index_top_values _, q199Sql),
     ("q200_agg_index_quantiles", q200_agg_index_quantiles _, q200Sql),
     ("q201_agg_index_histogram", q201_agg_index_histogram _, q201Sql),
+    ("q202_sketch_index_day2", q202_sketch_index_day2 _, q202Sql),
   )
 }

@@ -3503,6 +3503,60 @@ class NodesSpec extends AnyFunSuite {
     idx.unpersistIndex(); idx2.unpersistIndex()
   }
 
+  test("SketchIndexNode: ledgerless HLL distinct counts — union across " +
+       "insert batches is order-independent and exact at small cardinality, " +
+       "within 5% at 20k; deletes and float measures refused; save/load " +
+       "round-trips the sketches") {
+    import spark.implicits._
+    val c = Ctx(spark)
+    val idx = new SketchIndexNode(groupCols = Seq("src"), cols = Seq("v"))
+    idx.fit(c, In.single("corpus" -> Seq(
+      (1L, "a", "x"), (2L, "a", "y"), (3L, "b", "x")).toDF("id", "src", "v")))
+    def served(n: SketchIndexNode): Map[String, (Long, Long)] =
+      n.transform(c, In.single("probe" -> Seq("a", "b", "cc").toDF("src")))("result")
+        .select("src", "n_rows", "nd_v")
+        .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // small-n sketches are exact (datasketches list/sparse mode)
+    assert(served(idx) == Map("a" -> ((2L, 2L)), "b" -> ((1L, 1L))))
+    // two update waves: duplicates do not inflate; new values count once
+    idx.updateIndex(c, Seq((4L, "a", "x"), (5L, "a", "z")).toDF("id", "src", "v"))
+    idx.updateIndex(c, Seq((6L, "b", "w"), (7L, "cc", "q")).toDF("id", "src", "v"))
+    assert(served(idx) ==
+      Map("a" -> ((4L, 3L)), "b" -> ((2L, 2L)), "cc" -> ((1L, 1L))))
+    // day-2 == one-shot: union associativity makes the merged state
+    // byte-identical to a single fit over everything
+    val oneShot = new SketchIndexNode(groupCols = Seq("src"), cols = Seq("v"))
+    oneShot.fit(c, In.single("corpus" -> Seq(
+      (1L, "a", "x"), (2L, "a", "y"), (3L, "b", "x"), (4L, "a", "x"),
+      (5L, "a", "z"), (6L, "b", "w"), (7L, "cc", "q")).toDF("id", "src", "v")))
+    assert(served(idx) == served(oneShot))
+    // 20k distinct longs: estimate within 5% of exact
+    val big = new SketchIndexNode(groupCols = Seq("src"), cols = Seq("v"))
+    big.fit(c, In.single("corpus" ->
+      spark.range(20000).selectExpr("id", "'g' as src", "id as v")))
+    val est = big.transform(c, In.single("probe" -> Seq("g").toDF("src")))("result")
+      .select("nd_v").as[Long].head()
+    assert(math.abs(est - 20000L) * 20 <= 20000L, s"estimate $est off >5%")
+    // deletes refused — this family cannot decrement
+    val del = intercept[GraftException] {
+      idx.deleteFromIndex(c, Seq(1L).toDF("id"))
+    }
+    assert(del.getMessage.contains("deletes refused"))
+    // float measure refused at fit
+    val flt = intercept[GraftException] {
+      new SketchIndexNode(groupCols = Seq("src"), cols = Seq("f"))
+        .fit(c, In.single("corpus" -> Seq((1L, "a", 0.5)).toDF("id", "src", "f")))
+    }
+    assert(flt.getMessage.contains("int/bigint/string/binary"))
+    // save/load: estimates identical after round-trip
+    val dir = java.nio.file.Files.createTempDirectory("graft_sketchidx").toString
+    idx.saveFitted(dir)
+    val idx2 = new SketchIndexNode(groupCols = Seq("src"), cols = Seq("v"))
+    idx2.loadFitted(dir, Some(spark))
+    assert(served(idx2) == served(idx))
+    Seq(idx, oneShot, big, idx2).foreach(_.unpersistIndex())
+  }
+
   test("MaterializedJoinNode: delta-rule maintenance on BOTH sides — fact " +
        "insert/delete via the IncrementalIndex contract, dim upsert/delete " +
        "via updateRight/deleteFromRight; duplicate join keys fan out; view " +
