@@ -146,7 +146,10 @@ object Scale10 {
       "q200_agg_index_quantiles", "q201_agg_index_histogram",
       // ledgerless sketch index: groupBy+hll_sketch_agg legs are the
       // linear cost; the merge and serve stay group-count-sized
-      "q202_sketch_index_day2")
+      "q202_sketch_index_day2",
+      // predicate retention: victim selection is a ledger filter (linear
+      // scan), totals/support updates stay touched-group-sized
+      "q203_agg_index_retention")
     val names = if (queries.nonEmpty) queries else defaults
     names.foreach { n =>
       try time(n)(Queries.all(n)(spark, out).count())

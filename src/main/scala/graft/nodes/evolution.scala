@@ -527,14 +527,8 @@ class AggIndexNode(
       .filter(col("__hc") > 0)
   }
 
-  /** ONE driver action materializes every just-persisted frame: counting
-    * the union scans each persisted child exactly once (the q157 lesson —
-    * per-frame counts multiply per-micro-batch driver actions when the
-    * index maintains itself from a stream). */
-  private def materializeAll(frames: Seq[DataFrame]): Unit = {
-    import org.apache.spark.sql.functions.lit
-    frames.map(_.select(lit(1L).as("__m"))).reduce(_ union _).count()
-  }
+  private def materializeAll(frames: Seq[DataFrame]): Unit =
+    IvmUtil.materializeAll(frames)
 
   /** totals ⊕ sign·delta — full-outer on the group key, both sides
     * group-count-sized; groups whose n_rows reaches 0 drop (GROUP BY
@@ -730,13 +724,35 @@ class AggIndexNode(
     * row contributed; unknown ids no-op; groups reaching zero drop.
     * Bit-identical to re-aggregating the post-delete corpus. */
   def deleteFromIndex(ctx: Ctx, deletes: DataFrame): Unit = {
+    val del = deletes.select(col(idCol)).distinct()
+    applyDelete(m => m.ledger.join(broadcast(del), Seq(idCol), "left_semi"),
+      m => m.ledger.join(broadcast(del), Seq(idCol), "left_anti"))
+  }
+
+  /** RETENTION deletes: remove every ledger row matching `condition` — a
+    * Spark SQL boolean expression over the LEDGER columns (idCol, the
+    * group columns, and the declared measure columns; other corpus
+    * columns are not in the ledger and must route through
+    * `deleteFromIndex` by id). The "drop everything older than X / from
+    * source Y" path: at 100 TB the victim set must not round-trip
+    * through the driver as an id list — the predicate IS the victim set.
+    * NULL-safe by construction (victims = rows where the condition is
+    * TRUE; kept = everything else, including NULL evaluations), so
+    * victims and survivors always partition the ledger exactly. Same
+    * decrement/splice machinery as deleteFromIndex. */
+  def deleteWhere(ctx: Ctx, condition: String): Unit = {
+    import org.apache.spark.sql.functions.coalesce
+    val cond = coalesce(expr(condition).cast("boolean"), lit(false))
+    applyDelete(m => m.ledger.filter(cond), m => m.ledger.filter(!cond))
+  }
+
+  private def applyDelete(victimsOf: Model => DataFrame,
+      keptOf: Model => DataFrame): Unit = {
     import org.apache.spark.storage.StorageLevel
     val m = model.getOrElse(
       throw new GraftException(s"estimator node '$name' not fitted"))
-    val del = deletes.select(col(idCol)).distinct()
-    val victims = m.ledger.join(broadcast(del), Seq(idCol), "left_semi")
-    val newLedger = m.ledger.join(broadcast(del), Seq(idCol), "left_anti")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val victims = victimsOf(m)
+    val newLedger = keptOf(m).persist(StorageLevel.MEMORY_AND_DISK)
     val newTotals = (if (needsSplice) splicedTotals(m.totals, newLedger, victims)
                      else merged(m.totals, totalsOf(victims), -1))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -844,6 +860,18 @@ class AggIndexNode(
       histSpecs.map(s => s.column -> spark.read.parquet(s"$path/hist_${s.column}")
         .persist(StorageLevel.MEMORY_AND_DISK)).toMap))
     loadMaintenanceState(spark, path)
+  }
+}
+
+/** Shared IVM-node plumbing. */
+private[nodes] object IvmUtil {
+  /** ONE driver action materializes every just-persisted frame: counting
+    * the union scans each persisted child exactly once (the q157 lesson —
+    * per-frame counts multiply per-micro-batch driver actions when an
+    * index maintains itself from a stream). */
+  def materializeAll(frames: Seq[DataFrame]): Unit = {
+    import org.apache.spark.sql.functions.lit
+    frames.map(_.select(lit(1L).as("__m"))).reduce(_ union _).count()
   }
 }
 
@@ -1160,7 +1188,7 @@ class MaterializedJoinNode(
       viewOf(delta.select(m.left.columns.map(col): _*), m.right,
         broadcastLeft = true))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    newLeft.count(); newView.count()
+    IvmUtil.materializeAll(Seq(newLeft, newView)) // one action per batch
     model = Some(m.copy(left = newLeft, view = newView))
     m.left.unpersist(); m.view.unpersist()
     bumpGeneration()
@@ -1176,7 +1204,7 @@ class MaterializedJoinNode(
       .persist(StorageLevel.MEMORY_AND_DISK)
     val newView = m.view.join(broadcast(del), Seq(leftId), "left_anti")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    newLeft.count(); newView.count()
+    IvmUtil.materializeAll(Seq(newLeft, newView)) // one action per batch
     model = Some(m.copy(left = newLeft, view = newView))
     m.left.unpersist(); m.view.unpersist()
     bumpGeneration()
@@ -1195,7 +1223,7 @@ class MaterializedJoinNode(
       viewOf(m.left, delta.select(m.right.columns.map(col): _*),
         broadcastRight = true))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    newRight.count(); newView.count()
+    IvmUtil.materializeAll(Seq(newRight, newView)) // one action per batch
     model = Some(m.copy(right = newRight, view = newView))
     m.right.unpersist(); m.view.unpersist()
     bumpGeneration()
@@ -1211,7 +1239,7 @@ class MaterializedJoinNode(
       .persist(StorageLevel.MEMORY_AND_DISK)
     val newView = m.view.join(broadcast(del), Seq(rightId), "left_anti")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    newRight.count(); newView.count()
+    IvmUtil.materializeAll(Seq(newRight, newView)) // one action per batch
     model = Some(m.copy(right = newRight, view = newView))
     m.right.unpersist(); m.view.unpersist()
     bumpGeneration()

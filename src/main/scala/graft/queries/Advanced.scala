@@ -3740,6 +3740,37 @@ object Advanced {
       |       true AS nd_doc_id_ok, true AS nd_lang_ok
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  // ---- q203: PREDICATE RETENTION on the materialized aggregate — the
+  // "drop every short doc and every zh doc" sweep expressed as a ledger
+  // predicate (deleteWhere), not an id list: at 100 TB the victim set
+  // must not round-trip through the driver. Every measure class rides
+  // the same machinery (sum decrement, extrema splice, distinct support
+  // frame, emptied groups drop); the oracle states the null-safe
+  // complement (NOT coalesce(cond, false)) the node guarantees. ----
+  def q203_agg_index_retention(spark: SparkSession, dir: String): DataFrame = {
+    val ctx = Ctx(spark)
+    val docs = Queries.run(spark) { d =>
+      d.add(SourceNode.table(dir, "documents")) >> d.output("result")
+    }
+    val idx = new AggIndexNode(groupCols = Seq("source"),
+      sumCols = Seq("n_chars"), minCols = Seq("n_chars"),
+      distinctCols = Seq("lang"))
+    idx.fit(ctx, In.single("corpus" -> docs.filter("doc_id % 5 != 0")))
+    idx.updateIndex(ctx, docs.filter("doc_id % 5 = 0"))
+    idx.deleteWhere(ctx, "n_chars < 96 OR lang = 'zh'")
+    idx.transform(ctx,
+      In.single("probe" -> docs.select("source").distinct()))("result")
+      .orderBy("source")
+  }
+  val q203Sql: String =
+    """SELECT source, count(*) AS n_rows,
+      |       CAST(sum(n_chars) AS BIGINT) AS sum_n_chars,
+      |       min(n_chars) AS min_n_chars,
+      |       count(DISTINCT lang) AS nd_lang
+      |FROM documents
+      |WHERE NOT coalesce(n_chars < 96 OR lang = 'zh', false)
+      |GROUP BY source ORDER BY source""".stripMargin
+
   // ---- q197: INCREMENTAL MATERIALIZED JOIN — IVM of the denormalized
   // fact ⋈ dim view by the textbook delta rule (Δ(L⋈R) = ΔL⋈R ∪ L⋈ΔR,
   // deletes = anti-joins of the view on the row id). Lifecycle drills
@@ -4315,5 +4346,6 @@ object Advanced {
     ("q200_agg_index_quantiles", q200_agg_index_quantiles _, q200Sql),
     ("q201_agg_index_histogram", q201_agg_index_histogram _, q201Sql),
     ("q202_sketch_index_day2", q202_sketch_index_day2 _, q202Sql),
+    ("q203_agg_index_retention", q203_agg_index_retention _, q203Sql),
   )
 }

@@ -3503,6 +3503,52 @@ class NodesSpec extends AnyFunSuite {
     idx.unpersistIndex(); idx2.unpersistIndex()
   }
 
+  test("AggIndexNode.deleteWhere: predicate retention — victims selected by " +
+       "a ledger-column condition (no id round-trip), NULL evaluations kept, " +
+       "every measure class stays exact, emptied groups drop") {
+    import spark.implicits._
+    val c = Ctx(spark)
+    val rows = Seq(
+      (1L, "a", 5L, "en", "old"), (2L, "a", 40L, "de", "new"),
+      (3L, "a", 55L, "de", null), (4L, "b", 7L, "fr", "old"),
+      (5L, "b", 8L, "fr", "new"), (6L, "cc", 3L, "en", "old"))
+      .toDF("doc_id", "src", "v", "lang", "tag")
+    val idx = new AggIndexNode(groupCols = Seq("src"), sumCols = Seq("v"),
+      minCols = Seq("v"), maxCols = Seq("v"), distinctCols = Seq("lang"),
+      histSpecs = Seq(AggIndexNode.HistSpec("v", 0L, 99L, 10)))
+    idx.fit(c, In.single("corpus" -> rows))
+    // retention: drop v < 8 OR tag = 'old'; row 3's tag is NULL -> the
+    // condition evaluates NULL -> survivor (null-safe partition)
+    idx.deleteWhere(c, "v < 8 OR tag = 'old'")
+    // live: (2,a,40,de,new), (3,a,55,de,null), (5,b,8,fr,new); cc emptied
+    val served = idx.transform(c,
+      In.single("probe" -> Seq("a", "b", "cc").toDF("src")))("result")
+      .select("src", "n_rows", "sum_v", "min_v", "max_v", "nd_lang")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(served == Map(
+      "a" -> ((2L, 95L, 40L, 55L, 1L)), "b" -> ((1L, 8L, 8L, 8L, 1L))))
+    // hist bins decremented exactly: a has 40 (bin4) and 55 (bin5)
+    assert(idx.histogramOf(c, Seq("a").toDF("src"), "v")
+      .select("bin", "cnt").as[(Int, Long)].collect().toSeq.sortBy(_._1) ==
+      Seq((4, 1L), (5, 1L)))
+    // deleteWhere == deleteFromIndex with the same victims (exactness)
+    val byId = new AggIndexNode(groupCols = Seq("src"), sumCols = Seq("v"),
+      minCols = Seq("v"), maxCols = Seq("v"), distinctCols = Seq("lang"),
+      histSpecs = Seq(AggIndexNode.HistSpec("v", 0L, 99L, 10)))
+    byId.fit(c, In.single("corpus" -> rows))
+    byId.deleteFromIndex(c, Seq(1L, 4L, 6L).toDF("doc_id"))
+    val servedById = byId.transform(c,
+      In.single("probe" -> Seq("a", "b", "cc").toDF("src")))("result")
+      .select("src", "n_rows", "sum_v", "min_v", "max_v", "nd_lang")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(servedById == served)
+    // a non-ledger column in the predicate fails loudly at execution
+    intercept[Exception] { idx.deleteWhere(c, "missing_col = 1") }
+    idx.unpersistIndex(); byId.unpersistIndex()
+  }
+
   test("SketchIndexNode: ledgerless HLL distinct counts — union across " +
        "insert batches is order-independent and exact at small cardinality, " +
        "within 5% at 20k; deletes and float measures refused; save/load " +
