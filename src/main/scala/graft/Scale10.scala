@@ -149,7 +149,10 @@ object Scale10 {
       "q202_sketch_index_day2",
       // predicate retention: victim selection is a ledger filter (linear
       // scan), totals/support updates stay touched-group-sized
-      "q203_agg_index_retention")
+      "q203_agg_index_retention",
+      // left-outer view: the serve-time dangler derivation adds one
+      // broadcast anti-join against dim keys per serve — probe-bounded
+      "q204_materialized_outer")
     val names = if (queries.nonEmpty) queries else defaults
     names.foreach { n =>
       try time(n)(Queries.all(n)(spark, out).count())

@@ -290,6 +290,7 @@ object NodeRegistry {
       p.strs("cols"), p.intOr("lgConfigK", 12)))
     register("materialized_join")(p => new MaterializedJoinNode(
       p.strs("leftOn"), p.strs("rightOn"), p.str("leftId"), p.str("rightId"),
+      p.strOpt("joinType").getOrElse("inner"),
       p.intOr("compactEvery", 0), p.strOpt("compactPath")))
     register("snapshot_diff")(p => new SnapshotDiffNode(p.strs("keys"), p.strs("compareCols"),
       p.boolOr("includeUnchanged", false), p.str("changeCol")))

@@ -1081,9 +1081,18 @@ class SketchIndexNode(
   * `IndexMaintenance.maintainFromStream` with zero extra plumbing; the
   * slow-moving RIGHT (dim) side is maintained by explicit
   * `updateRight`/`deleteFromRight` calls (upsert = delete-then-insert,
-  * same composition). Inner join only: outer-join IVM needs
-  * presence-count bookkeeping that turns every delete into a resurrect —
-  * refuse toward the inner view plus a declarative outer read.
+  * same composition).
+  *
+  * `joinType = "left_outer"` serves the LEFT-OUTER view — every fact,
+  * null-extended where no dim row currently matches — WITHOUT the
+  * presence-count bookkeeping classic outer-join IVM needs (where every
+  * dim delete becomes a resurrect and every late dim arrival a
+  * retraction): the danglers are DERIVED at serve time as
+  * `left ∖ right-keys` over the exact side ledgers, so they are correct
+  * by construction at every generation. The price is one extra
+  * broadcast anti-join against the dim keys per serve (probe-bounded,
+  * dim keys are the small side by contract) instead of extra state and
+  * a resurrect path in every maintenance op.
   *
   * View schema: join columns under the LEFT names, then both row-id
   * columns, then each side's payload. Non-join payload columns must be
@@ -1101,11 +1110,14 @@ class MaterializedJoinNode(
     val rightOn: Seq[String],
     val leftId: String = "doc_id",
     val rightId: String = "key",
+    val joinType: String = "inner",
     val compactEvery: Int = 0,
     val compactPath: Option[String] = None)
   extends EstimatorNode with IncrementalIndex {
   require(leftOn.nonEmpty && leftOn.size == rightOn.size,
     "materialized_join: leftOn/rightOn must be non-empty and same-length")
+  require(Seq("inner", "left_outer").contains(joinType),
+    s"materialized_join: joinType must be 'inner' or 'left_outer', got '$joinType'")
   require(!leftOn.contains(leftId),
     "materialized_join: leftId must not be a join column (it is the row id)")
   require(compactEvery >= 0, "compactEvery must be >= 0")
@@ -1116,7 +1128,8 @@ class MaterializedJoinNode(
   override def jsonKind: Option[String] = Some("materialized_join")
   override def jsonParams: Map[String, Any] = Map(
     "leftOn" -> leftOn, "rightOn" -> rightOn, "leftId" -> leftId,
-    "rightId" -> rightId, "compactEvery" -> compactEvery,
+    "rightId" -> rightId, "joinType" -> joinType,
+    "compactEvery" -> compactEvery,
     "compactPath" -> compactPath.orNull)
 
   private def checkSides(l: DataFrame, r: DataFrame): Unit = {
@@ -1171,7 +1184,22 @@ class MaterializedJoinNode(
         s"materialized_join '$name': streaming probe refused — serve per " +
           "micro-batch through StreamServing.serveStream")
     val keys = probe.select(leftOn.map(col): _*).distinct()
-    Map("result" -> m.view.join(broadcast(keys), leftOn, "left_semi"))
+    val inner = m.view.join(broadcast(keys), leftOn, "left_semi")
+    if (joinType == "inner") Map("result" -> inner)
+    else {
+      // left-outer: danglers are DERIVED, never maintained — probed facts
+      // with no current dim match, null-extended to the view schema with
+      // the dim side's exact column types (see class doc)
+      val rKeys = m.right.select(rightOn.zip(leftOn)
+        .map { case (r, l) => col(r).as(l) }: _*).distinct()
+      val dang = m.left.join(broadcast(keys), leftOn, "left_semi")
+        .join(broadcast(rKeys), leftOn, "left_anti")
+      val rKeep = (m.right.columns.filterNot(rightOn.contains) ++
+        (if (rightOn.contains(rightId)) Seq(rightId) else Nil)).distinct
+      val extended = dang.select(m.left.columns.map(col) ++
+        rKeep.map(c => lit(null).cast(m.right.schema(c).dataType).as(c)): _*)
+      Map("result" -> inner.unionByName(extended))
+    }
   }
 
   /** ΔL ⋈ R appended; the fact ledger grows by the delta. Append-only —

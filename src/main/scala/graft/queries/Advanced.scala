@@ -3771,6 +3771,49 @@ object Advanced {
       |WHERE NOT coalesce(n_chars < 96 OR lang = 'zh', false)
       |GROUP BY source ORDER BY source""".stripMargin
 
+  // ---- q204: LEFT-OUTER MATERIALIZED VIEW — the outer-join IVM classic
+  // problem (every dim delete resurrects null rows, every late dim
+  // arrival retracts them) solved WITHOUT presence counters: danglers
+  // are DERIVED at serve time from the exact side ledgers
+  // (left ∖ right-keys, null-extended with the dim side's types). The
+  // lifecycle forces both directions: the late-dim wave must RETRACT
+  // null rows it retro-matches, and the dim takedown must RESURFACE its
+  // facts as null rows — both visible in `matched`/`c_name`. ----
+  def q204_materialized_outer(spark: SparkSession, dir: String): DataFrame = {
+    val ctx = Ctx(spark)
+    val facts = Queries.run(spark) { d =>
+      d.add(SourceNode.table(dir, "orders")) >>
+        ProjectNode("o_orderkey", "o_custkey", "o_orderstatus") >> d.output("result")
+    }
+    val dims = Queries.run(spark) { d =>
+      d.add(SourceNode.table(dir, "customer")) >>
+        ProjectNode("c_custkey", "c_name", "c_nationkey") >> d.output("result")
+    }
+    val mj = new MaterializedJoinNode(leftOn = Seq("o_custkey"),
+      rightOn = Seq("c_custkey"), leftId = "o_orderkey", rightId = "c_custkey",
+      joinType = "left_outer")
+    mj.fit(ctx, In.single(
+      "left" -> facts.filter("o_orderkey % 4 != 0"),
+      "right" -> dims.filter("c_custkey % 10 != 0")))
+    mj.updateIndex(ctx, facts.filter("o_orderkey % 4 = 0"))
+    mj.updateRight(ctx, dims.filter("c_custkey % 10 = 0")) // retracts nulls
+    mj.deleteFromIndex(ctx, facts.filter("o_orderkey % 7 = 0").select("o_orderkey"))
+    mj.deleteFromRight(ctx, dims.filter("c_nationkey = 3").select("c_custkey"))
+    mj.transform(ctx,
+      In.single("probe" -> facts.select("o_custkey").distinct()))("result")
+      .selectExpr("o_orderkey", "o_custkey", "o_orderstatus", "c_name",
+        "c_name is not null as matched")
+      .orderBy("o_orderkey")
+  }
+  val q204Sql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, c_name,
+      |       c_name IS NOT NULL AS matched
+      |FROM orders LEFT JOIN (
+      |  SELECT c_custkey, c_name FROM customer WHERE c_nationkey <> 3
+      |) ON o_custkey = c_custkey
+      |WHERE o_orderkey % 7 <> 0
+      |ORDER BY o_orderkey""".stripMargin
+
   // ---- q197: INCREMENTAL MATERIALIZED JOIN — IVM of the denormalized
   // fact ⋈ dim view by the textbook delta rule (Δ(L⋈R) = ΔL⋈R ∪ L⋈ΔR,
   // deletes = anti-joins of the view on the row id). Lifecycle drills
@@ -4347,5 +4390,6 @@ object Advanced {
     ("q201_agg_index_histogram", q201_agg_index_histogram _, q201Sql),
     ("q202_sketch_index_day2", q202_sketch_index_day2 _, q202Sql),
     ("q203_agg_index_retention", q203_agg_index_retention _, q203Sql),
+    ("q204_materialized_outer", q204_materialized_outer _, q204Sql),
   )
 }

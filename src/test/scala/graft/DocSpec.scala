@@ -397,6 +397,29 @@ class DocSpec extends AnyFunSuite {
     val expected = docs.filter(
       "doc_id % 4 != 0 AND doc_id != 1 AND source = 's0'").count() + 1L
     assert(post == expected)
+    // 5: live quantiles from maintained histogram bins
+    val hist = new AggIndexNode(groupCols = Seq("source"),
+      histSpecs = Seq(AggIndexNode.HistSpec("n_chars", 0L, 8191L, 64)))
+    hist.fit(ctx, In.single("corpus" -> docs))
+    assert(hist.histQuantiles(ctx, sources, "n_chars",
+      Seq(0.5, 0.95, 0.99)).count() == 9L) // 3 sources x 3 quantiles
+    assert(hist.histogramOf(ctx, sources, "n_chars").count() > 0L)
+    // 6: predicate retention (null-safe; no id round-trip)
+    stats.deleteWhere(ctx, "n_chars < 96 OR lang = 'zh'")
+    assert(stats.transform(ctx, In.single("probe" -> sources))("result")
+      .selectExpr("sum(n_rows)").as[Long].head() ==
+      docs.filter("doc_id % 4 != 0 AND doc_id != 1 AND n_chars >= 96")
+        .count() + 1L) // +1: the stream-inserted doc 61 (n_chars 610)
+    // 7: ledgerless sketch index — inserts union; deletes refused
+    val card = new SketchIndexNode(groupCols = Seq("source"), cols = Seq("lang"))
+    card.fit(ctx, In.single("corpus" -> docs.filter("doc_id <= 40")))
+    card.updateIndex(ctx, docs.filter("doc_id > 40"))
+    assert(card.transform(ctx, In.single("probe" -> sources))("result")
+      .columns.toSeq == Seq("source", "n_rows", "nd_lang"))
+    intercept[GraftException] {
+      card.deleteFromIndex(ctx, docs.limit(1).select("doc_id"))
+    }
     stats.unpersistIndex(); view.unpersistIndex()
+    hist.unpersistIndex(); card.unpersistIndex()
   }
 }

@@ -3503,6 +3503,55 @@ class NodesSpec extends AnyFunSuite {
     idx.unpersistIndex(); idx2.unpersistIndex()
   }
 
+  test("MaterializedJoinNode left_outer: danglers derived at serve — late dim " +
+       "arrival RETRACTS null rows, dim takedown RESURFACES facts as null " +
+       "rows, null-extension carries the dim side's exact types") {
+    import spark.implicits._
+    val c = Ctx(spark)
+    val facts = Seq((100L, 1L, 10L), (101L, 2L, 20L), (102L, 9L, 5L))
+      .toDF("oid", "cust", "amount") // cust 9 dangling from the start
+    val dims = Seq((1L, "gold", 7L)).toDF("cid", "tier", "rank")
+    val mj = new MaterializedJoinNode(leftOn = Seq("cust"),
+      rightOn = Seq("cid"), leftId = "oid", rightId = "cid",
+      joinType = "left_outer")
+    mj.fit(c, In.single("left" -> facts, "right" -> dims))
+    def served(): Map[Long, (Option[String], Option[Long])] =
+      mj.transform(c, In.single("probe" ->
+        Seq(1L, 2L, 9L).toDF("cust")))("result")
+        .select("oid", "tier", "rank")
+        .as[(Long, Option[String], Option[Long])].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+    // dim types survive null-extension (rank stays LongType)
+    assert(mj.transform(c, In.single("probe" -> Seq(9L).toDF("cust")))("result")
+      .schema("rank").dataType == org.apache.spark.sql.types.LongType)
+    assert(served() == Map(
+      100L -> ((Some("gold"), Some(7L))), 101L -> ((None, None)),
+      102L -> ((None, None))))
+    // late dim arrival retro-matches cust 2: its null row RETRACTS
+    mj.updateRight(c, Seq((2L, "iron", 3L)).toDF("cid", "tier", "rank"))
+    assert(served() == Map(
+      100L -> ((Some("gold"), Some(7L))), 101L -> ((Some("iron"), Some(3L))),
+      102L -> ((None, None))))
+    // dim takedown: cust 1's fact RESURFACES as a null row
+    mj.deleteFromRight(c, Seq(1L).toDF("cid"))
+    assert(served() == Map(
+      100L -> ((None, None)), 101L -> ((Some("iron"), Some(3L))),
+      102L -> ((None, None))))
+    // fact delete removes the row entirely (matched or not)
+    mj.deleteFromIndex(c, Seq(102L).toDF("oid"))
+    assert(served() == Map(
+      100L -> ((None, None)), 101L -> ((Some("iron"), Some(3L)))))
+    // == the declarative left join over the post-op sides
+    val liveL = facts.filter("oid != 102")
+    val liveR = Seq((2L, "iron", 3L)).toDF("cid", "tier", "rank")
+    val oracle = liveL.join(liveR, liveL("cust") === liveR("cid"), "left_outer")
+      .select(liveL("oid"), liveR("tier"), liveR("rank"))
+      .as[(Long, Option[String], Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(served() == oracle)
+    mj.unpersistIndex()
+  }
+
   test("AggIndexNode.deleteWhere: predicate retention — victims selected by " +
        "a ledger-column condition (no id round-trip), NULL evaluations kept, " +
        "every measure class stays exact, emptied groups drop") {

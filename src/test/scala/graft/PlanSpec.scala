@@ -592,7 +592,19 @@ class PlanSpec extends AnyFunSuite {
       s"join serve must broadcast the probe keys:\n$mp")
     assert(mp.contains("InMemoryTableScan"),
       s"join serve must read the persisted view, not re-join:\n$mp")
-    agg.unpersistIndex(); mj.unpersistIndex()
+    // left_outer serve: the derived-dangler leg adds ONE broadcast
+    // anti-join against the dim keys — still no sort-merge anywhere
+    val mo = new MaterializedJoinNode(leftOn = Seq("k"), rightOn = Seq("rk"),
+      leftId = "lid", rightId = "rk", joinType = "left_outer")
+    mo.fit(ctx, In.single(
+      "left" -> (1L to 500L).map(i => (i, i % 7)).toDF("lid", "k"),
+      "right" -> (0L to 3L).map(i => (i, s"t$i")).toDF("rk", "tier")))
+    val op = planOf(mo.transform(ctx, In.single("probe" ->
+      Seq(1L, 5L).toDF("k")))("result"))
+    assert(!op.contains("SortMergeJoin") &&
+      op.contains("BroadcastHashJoin"),
+      s"outer serve must stay broadcast-only:\n$op")
+    agg.unpersistIndex(); mj.unpersistIndex(); mo.unpersistIndex()
   }
 
   test("merge-on-read scan: base side anti-joins BROADCAST overlay keys — the base " +
