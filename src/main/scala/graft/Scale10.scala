@@ -41,6 +41,15 @@ object Scale10 {
     cloneK("events", Seq("event_id")) // user_id NOT shifted: same user population
     cloneK("orders", Seq("o_orderkey")) // o_custkey NOT shifted: per-key density
     cloneK("lineitem", Seq("l_orderkey")) // q158's profile source
+    // dims stay CONSTANT while facts grow k-fold — the realistic star
+    // shape (q197/q198/q204's materialized views join k-fold orders
+    // against the fixed customer dimension); plain copy, NOT cloned
+    locally {
+      val p = s"$out/customer.parquet"
+      if (!new java.io.File(p).exists())
+        spark.read.parquet(s"$src/customer.parquet")
+          .write.mode("overwrite").parquet(p)
+    }
     // grows k-fold on BOTH as-of sides — the expand path's L*R blowup is k^2
     // per key while the merge path stays (L+R)*k; q15 probes exactly this
 
