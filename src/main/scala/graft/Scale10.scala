@@ -161,7 +161,10 @@ object Scale10 {
       "q203_agg_index_retention",
       // left-outer view: the serve-time dangler derivation adds one
       // broadcast anti-join against dim keys per serve — probe-bounded
-      "q204_materialized_outer")
+      "q204_materialized_outer",
+      // two-feed view: per-wave maintenance is delta-sized on both
+      // feeds; the linear legs are publish + the final view serve
+      "q205_two_feed_view")
     val names = if (queries.nonEmpty) queries else defaults
     names.foreach { n =>
       try time(n)(Queries.all(n)(spark, out).count())

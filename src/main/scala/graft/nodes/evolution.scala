@@ -1273,6 +1273,32 @@ class MaterializedJoinNode(
     bumpGeneration()
   }
 
+  /** The DIM side as an [[IncrementalIndex]] — `updateIndex` delegates
+    * to `updateRight`, `deleteFromIndex` to `deleteFromRight` — so a
+    * dimension CDC feed drives dim sync through the SAME
+    * `IndexMaintenance.maintainFromStream(deleteCol)` plumbing the fact
+    * side uses (upsert = delete-then-insert on `rightId`): two
+    * subscriptions, two checkpoints, one consistently-maintained view.
+    * The adapter carries its OWN replay watermark (the feeds checkpoint
+    * independently); dim-batch replay is idempotent regardless
+    * (delete-then-insert of the same rows reproduces the same state). */
+  lazy val rightSide: Node with IncrementalIndex = {
+    val outer = this
+    new Node with IncrementalIndex {
+      override protected def defaultName: String = s"${outer.name}_right"
+      val inputs: Seq[Port] = Seq(Port("delta"))
+      val outputs: Seq[Port] = Nil
+      override def transform(ctx: Ctx, in: In): Map[String, DataFrame] =
+        throw new GraftException(
+          s"'$name' is the dim-side maintenance handle of materialized_join " +
+            s"'${outer.name}' — probe the view through the join node itself")
+      def updateIndex(ctx: Ctx, delta: DataFrame): Unit =
+        outer.updateRight(ctx, delta)
+      def deleteFromIndex(ctx: Ctx, deletes: DataFrame): Unit =
+        outer.deleteFromRight(ctx, deletes)
+    }
+  }
+
   /** Recompute the view from the ledgers — the exactness pin. */
   def rebuildIndex(): Unit = {
     import org.apache.spark.storage.StorageLevel

@@ -3814,6 +3814,105 @@ object Advanced {
       |WHERE o_orderkey % 7 <> 0
       |ORDER BY o_orderkey""".stripMargin
 
+  // ---- q205: TWO-FEED MATERIALIZED VIEW — facts AND dims each live in
+  // their own published MoR corpus with their own CDC stream, and ONE
+  // left-outer view stays consistent with both: the fact side subscribes
+  // through the IncrementalIndex contract, the dim side through the
+  // rightSide adapter — same maintainFromStream plumbing, two
+  // checkpoints. The dim feed's late arrivals must retract null rows the
+  // fact feed created, and its takedowns must resurface facts as null
+  // rows — cross-feed effects a single-feed view never exercises. ----
+  def q205_two_feed_view(spark: SparkSession, dir: String): DataFrame = {
+    val ctx = Ctx(spark)
+    val facts = Queries.run(spark) { d =>
+      d.add(SourceNode.table(dir, "orders")) >>
+        ProjectNode("o_orderkey", "o_custkey", "o_orderstatus") >> d.output("result")
+    }
+    val dims = Queries.run(spark) { d =>
+      d.add(SourceNode.table(dir, "customer")) >>
+        ProjectNode("c_custkey", "c_name", "c_nationkey") >> d.output("result")
+    }
+    val work = java.nio.file.Files.createTempDirectory("graft_q205_")
+    work.toFile.deleteOnExit()
+    val fRoot = s"$work/facts_mor"; val dRoot = s"$work/dims_mor"
+    Queries.run(spark) { d =>
+      d.add(SourceNode.table(dir, "orders")) >>
+        FilterNode("o_orderkey % 5 != 0") >>
+        ProjectNode("o_orderkey", "o_custkey", "o_orderstatus") >>
+        new SinkNode(fRoot, atomicPublish = true) >> d.output("result")
+    }
+    Queries.run(spark) { d =>
+      d.add(SourceNode.table(dir, "customer")) >>
+        FilterNode("c_custkey % 10 != 0") >>
+        ProjectNode("c_custkey", "c_name", "c_nationkey") >>
+        new SinkNode(dRoot, atomicPublish = true) >> d.output("result")
+    }
+    val mj = new MaterializedJoinNode(leftOn = Seq("o_custkey"),
+      rightOn = Seq("c_custkey"), leftId = "o_orderkey", rightId = "c_custkey",
+      joinType = "left_outer")
+    mj.fit(ctx, In.single(
+      "left" -> Queries.run(spark) { d =>
+        d.add(new MorSourceNode(fRoot, keys = Seq("o_orderkey"))) >> d.output("result")
+      },
+      "right" -> Queries.run(spark) { d =>
+        d.add(new MorSourceNode(dRoot, keys = Seq("c_custkey"))) >> d.output("result")
+      }))
+    // fact CDC: an upsert wave (re-status %3 docs, insert the held-out
+    // %5s), then a takedown wave
+    AtomicPublish.publishDelta(spark, fRoot, 1L, { t =>
+      facts.filter("o_orderkey % 5 = 0 OR o_orderkey % 3 = 0")
+        .selectExpr("o_orderkey", "o_custkey",
+          "CASE WHEN o_orderkey % 3 = 0 THEN 'U' ELSE o_orderstatus END AS o_orderstatus",
+          s"false as ${MorCdc.DeletedCol}")
+        .coalesce(1).write.parquet(t)
+    })
+    AtomicPublish.publishDelta(spark, fRoot, 2L, { t =>
+      facts.filter("o_orderkey % 7 = 0")
+        .selectExpr("o_orderkey", "cast(null as bigint) as o_custkey",
+          "cast(null as string) as o_orderstatus",
+          s"true as ${MorCdc.DeletedCol}")
+        .coalesce(1).write.parquet(t)
+    })
+    // dim CDC: the LATE dims arrive (retro-matching fact null rows), then
+    // a nation takedown (its facts must RESURFACE as null rows)
+    AtomicPublish.publishDelta(spark, dRoot, 1L, { t =>
+      dims.filter("c_custkey % 10 = 0")
+        .selectExpr("c_custkey", "c_name", "c_nationkey",
+          s"false as ${MorCdc.DeletedCol}")
+        .coalesce(1).write.parquet(t)
+    })
+    AtomicPublish.publishDelta(spark, dRoot, 2L, { t =>
+      dims.filter("c_nationkey = 3")
+        .selectExpr("c_custkey", "cast(null as string) as c_name",
+          "cast(null as int) as c_nationkey",
+          s"true as ${MorCdc.DeletedCol}")
+        .coalesce(1).write.parquet(t)
+    })
+    val fTail = new MorTailNode(fRoot, maxFilesPerTrigger = Some(1))
+      .transform(ctx, In.empty)("result")
+    IndexMaintenance.maintainFromStream(mj, ctx, fTail,
+      checkpoint = Some(s"$work/fckpt"), deleteCol = Some(MorCdc.DeletedCol))
+    val dTail = new MorTailNode(dRoot, maxFilesPerTrigger = Some(1))
+      .transform(ctx, In.empty)("result")
+    IndexMaintenance.maintainFromStream(mj.rightSide, ctx, dTail,
+      checkpoint = Some(s"$work/dckpt"), deleteCol = Some(MorCdc.DeletedCol))
+    mj.transform(ctx,
+      In.single("probe" -> facts.select("o_custkey").distinct()))("result")
+      .selectExpr("o_orderkey", "o_custkey", "o_orderstatus", "c_name",
+        "c_name is not null as matched")
+      .orderBy("o_orderkey")
+  }
+  val q205Sql: String =
+    """SELECT o_orderkey, o_custkey,
+      |       CASE WHEN o_orderkey % 3 = 0 THEN 'U' ELSE o_orderstatus END
+      |         AS o_orderstatus,
+      |       c_name, c_name IS NOT NULL AS matched
+      |FROM orders LEFT JOIN (
+      |  SELECT c_custkey, c_name FROM customer WHERE c_nationkey <> 3
+      |) ON o_custkey = c_custkey
+      |WHERE o_orderkey % 7 <> 0
+      |ORDER BY o_orderkey""".stripMargin
+
   // ---- q197: INCREMENTAL MATERIALIZED JOIN — IVM of the denormalized
   // fact ⋈ dim view by the textbook delta rule (Δ(L⋈R) = ΔL⋈R ∪ L⋈ΔR,
   // deletes = anti-joins of the view on the row id). Lifecycle drills
@@ -4391,5 +4490,6 @@ object Advanced {
     ("q202_sketch_index_day2", q202_sketch_index_day2 _, q202Sql),
     ("q203_agg_index_retention", q203_agg_index_retention _, q203Sql),
     ("q204_materialized_outer", q204_materialized_outer _, q204Sql),
+    ("q205_two_feed_view", q205_two_feed_view _, q205Sql),
   )
 }

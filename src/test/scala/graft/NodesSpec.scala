@@ -3503,6 +3503,35 @@ class NodesSpec extends AnyFunSuite {
     idx.unpersistIndex(); idx2.unpersistIndex()
   }
 
+  test("MaterializedJoinNode.rightSide: the dim-side IncrementalIndex handle — " +
+       "CDC upsert (delete-then-insert) re-keys a dim row, watermark is " +
+       "independent of the fact side's, probing the handle is refused") {
+    import spark.implicits._
+    val c = Ctx(spark)
+    val mj = new MaterializedJoinNode(leftOn = Seq("cust"),
+      rightOn = Seq("cid"), leftId = "oid", rightId = "cid")
+    mj.fit(c, In.single(
+      "left" -> Seq((100L, 1L), (101L, 2L)).toDF("oid", "cust"),
+      "right" -> Seq((1L, "bronze")).toDF("cid", "tier")))
+    // the CDC decomposition maintainFromStream drives: delete-then-insert
+    mj.rightSide.deleteFromIndex(c, Seq((1L, "gold")).toDF("cid", "tier"))
+    mj.rightSide.updateIndex(c, Seq((1L, "gold"), (2L, "iron")).toDF("cid", "tier"))
+    assert(mj.transform(c, In.single("probe" -> Seq(1L, 2L).toDF("cust")))("result")
+      .select("oid", "tier").as[(Long, String)].collect().toSet ==
+      Set((100L, "gold"), (101L, "iron")))
+    // watermarks are per-feed
+    mj.lastAppliedBatch = 5L
+    assert(mj.rightSide.lastAppliedBatch == -1L)
+    mj.rightSide.lastAppliedBatch = 2L
+    assert(mj.lastAppliedBatch == 5L)
+    // the handle is maintenance-only
+    val refuse = intercept[GraftException] {
+      mj.rightSide.transform(c, In.single("delta" -> Seq(1L).toDF("cid")))
+    }
+    assert(refuse.getMessage.contains("dim-side maintenance handle"))
+    mj.unpersistIndex()
+  }
+
   test("MaterializedJoinNode left_outer: danglers derived at serve — late dim " +
        "arrival RETRACTS null rows, dim takedown RESURFACES facts as null " +
        "rows, null-extension carries the dim side's exact types") {
