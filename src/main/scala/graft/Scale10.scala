@@ -164,7 +164,10 @@ object Scale10 {
       "q204_materialized_outer",
       // two-feed view: per-wave maintenance is delta-sized on both
       // feeds; the linear legs are publish + the final view serve
-      "q205_two_feed_view")
+      "q205_two_feed_view",
+      // streamed sketch maintenance: per-wave sketch-agg is the linear
+      // leg; state and folds stay group-count-sized
+      "q206_stream_sketch_maintenance")
     val names = if (queries.nonEmpty) queries else defaults
     names.foreach { n =>
       try time(n)(Queries.all(n)(spark, out).count())

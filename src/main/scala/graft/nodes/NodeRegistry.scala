@@ -287,7 +287,8 @@ object NodeRegistry {
       p.str("idCol"), p.intOr("compactEvery", 0),
       p.strOpt("compactPath")))
     register("sketch_index")(p => new SketchIndexNode(p.strs("groupCols"),
-      p.strs("cols"), p.intOr("lgConfigK", 12)))
+      p.strs("cols"), p.intOr("lgConfigK", 12), p.intOr("compactEvery", 0),
+      p.strOpt("compactPath")))
     register("materialized_join")(p => new MaterializedJoinNode(
       p.strs("leftOn"), p.strs("rightOn"), p.str("leftId"), p.str("rightId"),
       p.strOpt("joinType").getOrElse("inner"),

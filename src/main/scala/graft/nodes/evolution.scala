@@ -948,7 +948,9 @@ object AggIndexNode {
 class SketchIndexNode(
     val groupCols: Seq[String],
     val cols: Seq[String],
-    val lgConfigK: Int = 12)
+    val lgConfigK: Int = 12,
+    val compactEvery: Int = 0,
+    val compactPath: Option[String] = None)
   extends EstimatorNode with IncrementalIndex {
   require(groupCols.nonEmpty, "sketch_index: groupCols must be non-empty")
   require(cols.nonEmpty, "sketch_index: cols must be non-empty")
@@ -956,13 +958,15 @@ class SketchIndexNode(
     "sketch_index: cols must be distinct and disjoint from groupCols")
   require(lgConfigK >= 4 && lgConfigK <= 21,
     s"sketch_index: lgConfigK must be in [4, 21], got $lgConfigK")
+  require(compactEvery >= 0, "compactEvery must be >= 0")
   type Model = DataFrame // totals: groupCols..., n_rows, __sk_<c> per col
   override protected def defaultName: String = "sketch_index"
   val inputs = Seq(Port("corpus"), Port("probe"))
   val outputs = Seq(Port("result"))
   override def jsonKind: Option[String] = Some("sketch_index")
   override def jsonParams: Map[String, Any] = Map(
-    "groupCols" -> groupCols, "cols" -> cols, "lgConfigK" -> lgConfigK)
+    "groupCols" -> groupCols, "cols" -> cols, "lgConfigK" -> lgConfigK,
+    "compactEvery" -> compactEvery, "compactPath" -> compactPath.orNull)
 
   private def skName(c: String) = s"__sk_$c"
 
@@ -1032,6 +1036,33 @@ class SketchIndexNode(
       .persist(StorageLevel.MEMORY_AND_DISK)
     newTotals.count() // one action; materialize before releasing old
     model = Some(newTotals)
+    m.unpersist()
+    generation += 1
+    if (compactEvery > 0 && generation % compactEvery == 0) compactIndex()
+  }
+
+  @volatile private var generation: Long = 0L
+  @volatile private var compactGen: Long = 0L
+
+  /** Truncate the per-batch full-outer-merge lineage to a parquet scan
+    * (double-buffered under `compactPath` — the family convention): a
+    * stream-maintained sketch table otherwise deepens its plan by one
+    * join per micro-batch. */
+  def compactIndex(): Unit = {
+    import org.apache.spark.storage.StorageLevel
+    val m = model.getOrElse(
+      throw new GraftException(s"estimator node '$name' not fitted"))
+    val path = compactPath match {
+      case Some(root) => compactGen += 1; s"$root/gen-${compactGen % 2}"
+      case None =>
+        val d = java.nio.file.Files.createTempDirectory("graft_sk_compact_")
+        d.toFile.deleteOnExit()
+        d.toString
+    }
+    val session = m.sparkSession
+    saveFitted(path)
+    model = Some(session.read.parquet(s"$path/totals")
+      .persist(StorageLevel.MEMORY_AND_DISK))
     m.unpersist()
   }
 

@@ -3913,6 +3913,49 @@ object Advanced {
       |WHERE o_orderkey % 7 <> 0
       |ORDER BY o_orderkey""".stripMargin
 
+  // ---- q206: STREAMED SKETCH MAINTENANCE — the ledgerless distinct
+  // table maintains itself off an insert-only feed (crawl waves) through
+  // the same maintainFromStream plumbing, with compactEvery = 1 forcing
+  // a lineage fold after EVERY micro-batch (the full-outer-merge plan
+  // would otherwise deepen per batch): two waves, two folds, estimates
+  // still gate at 5% vs the declarative COUNT(DISTINCT) over everything
+  // delivered. n_rows stays exact through the folds. ----
+  def q206_stream_sketch_maintenance(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{count_distinct, expr}
+    val ctx = Ctx(spark)
+    val docs = Queries.run(spark) { d =>
+      d.add(SourceNode.table(dir, "documents")) >> d.output("result")
+    }
+    val work = java.nio.file.Files.createTempDirectory("graft_q206_")
+    work.toFile.deleteOnExit()
+    val waves = docs.select("doc_id", "source", "lang")
+    waves.filter("doc_id % 3 = 1").coalesce(1)
+      .write.parquet(s"$work/feed/wave-1")
+    waves.filter("doc_id % 3 = 2").coalesce(1)
+      .write.parquet(s"$work/feed/wave-2")
+    val idx = new SketchIndexNode(groupCols = Seq("source"),
+      cols = Seq("doc_id", "lang"), compactEvery = 1,
+      compactPath = Some(s"$work/compact"))
+    idx.fit(ctx, In.single("corpus" -> waves.filter("doc_id % 3 = 0")))
+    val feed = spark.readStream
+      .schema("doc_id BIGINT, source STRING, lang STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$work/feed/wave-*")
+    IndexMaintenance.maintainFromStream(idx, ctx, feed,
+      checkpoint = Some(s"$work/ckpt"))
+    val served = idx.transform(ctx,
+      In.single("probe" -> docs.select("source").distinct()))("result")
+    val exact = docs.groupBy("source").agg(
+      count_distinct(col("doc_id")).as("__xd"),
+      count_distinct(col("lang")).as("__xl"))
+    served.join(exact, Seq("source"))
+      .select(col("source"), col("n_rows"),
+        expr("abs(nd_doc_id - __xd) * 20 <= __xd").as("nd_doc_id_ok"),
+        expr("abs(nd_lang - __xl) * 20 <= __xl").as("nd_lang_ok"))
+      .orderBy("source")
+  }
+  val q206Sql: String = q202Sql
+
   // ---- q197: INCREMENTAL MATERIALIZED JOIN — IVM of the denormalized
   // fact ⋈ dim view by the textbook delta rule (Δ(L⋈R) = ΔL⋈R ∪ L⋈ΔR,
   // deletes = anti-joins of the view on the row id). Lifecycle drills
@@ -4491,5 +4534,6 @@ object Advanced {
     ("q203_agg_index_retention", q203_agg_index_retention _, q203Sql),
     ("q204_materialized_outer", q204_materialized_outer _, q204Sql),
     ("q205_two_feed_view", q205_two_feed_view _, q205Sql),
+    ("q206_stream_sketch_maintenance", q206_stream_sketch_maintenance _, q206Sql),
   )
 }

@@ -3678,7 +3678,20 @@ class NodesSpec extends AnyFunSuite {
     val idx2 = new SketchIndexNode(groupCols = Seq("src"), cols = Seq("v"))
     idx2.loadFitted(dir, Some(spark))
     assert(served(idx2) == served(idx))
-    Seq(idx, oneShot, big, idx2).foreach(_.unpersistIndex())
+    // compactEvery folds the per-batch merge lineage to a parquet scan
+    // after every update without changing the sketches
+    val cp = new SketchIndexNode(groupCols = Seq("src"), cols = Seq("v"),
+      compactEvery = 1,
+      compactPath = Some(java.nio.file.Files
+        .createTempDirectory("graft_skc").toString))
+    cp.fit(c, In.single("corpus" -> Seq(
+      (1L, "a", "x"), (2L, "a", "y"), (3L, "b", "x")).toDF("id", "src", "v")))
+    cp.updateIndex(c, Seq((4L, "a", "x"), (5L, "a", "z")).toDF("id", "src", "v"))
+    cp.updateIndex(c, Seq((6L, "b", "w"), (7L, "cc", "q")).toDF("id", "src", "v"))
+    assert(served(cp) == served(idx))
+    assert(cp.model.get.queryExecution.analyzed.toString.contains("Relation"),
+      "post-fold state must read from the compacted parquet, not the merge lineage")
+    Seq(idx, oneShot, big, idx2, cp).foreach(_.unpersistIndex())
   }
 
   test("MaterializedJoinNode: delta-rule maintenance on BOTH sides — fact " +

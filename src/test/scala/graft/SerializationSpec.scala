@@ -381,11 +381,13 @@ class SerializationSpec extends AnyFunSuite {
       ai2.idCol == "uid" && ai2.compactEvery == 4 &&
       ai2.compactPath.contains("/tmp/aggc"))
     val sk = d.add(new SketchIndexNode(groupCols = Seq("src"),
-      cols = Seq("url", "doc_id"), lgConfigK = 14))
+      cols = Seq("url", "doc_id"), lgConfigK = 14, compactEvery = 3,
+      compactPath = Some("/tmp/skc")))
     val dsk = DagJson.fromJson(DagJson.toJson(d))
     val sk2 = dsk.node(sk.name).asInstanceOf[SketchIndexNode]
     assert(sk2.groupCols == Seq("src") && sk2.cols == Seq("url", "doc_id") &&
-      sk2.lgConfigK == 14)
+      sk2.lgConfigK == 14 && sk2.compactEvery == 3 &&
+      sk2.compactPath.contains("/tmp/skc"))
     val mj = d.add(new MaterializedJoinNode(leftOn = Seq("cust", "region"),
       rightOn = Seq("c_id", "c_region"), leftId = "oid", rightId = "c_id",
       joinType = "left_outer",
