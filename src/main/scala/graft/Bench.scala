@@ -47,6 +47,11 @@ object Bench {
         .selectExpr("minhash_bands(sh, 8, 4) as b").count()
       t.limit(64).selectExpr("cast(array(1.0, 2.0) as array<double>) as v")
         .selectExpr("vec_dot(v, v)").count()
+      // datasketches HLL first touch (sketch agg + union + estimate):
+      // q202/q206-class queries otherwise absorb it as a cold entry
+      t.limit(64).groupBy("k")
+        .agg(org.apache.spark.sql.functions.expr("hll_sketch_agg(id, 12)").as("s"))
+        .selectExpr("hll_sketch_estimate(hll_union(s, s))").count()
       org.apache.commons.io.FileUtils.deleteQuietly(wdir.toFile)
     } catch { case _: Throwable => } // warmup is best-effort
     // iterative-CC warmup: q52/q156/q157-class queries pay a first-touch

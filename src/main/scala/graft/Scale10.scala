@@ -167,7 +167,9 @@ object Scale10 {
       "q205_two_feed_view",
       // streamed sketch maintenance: per-wave sketch-agg is the linear
       // leg; state and folds stay group-count-sized
-      "q206_stream_sketch_maintenance")
+      "q206_stream_sketch_maintenance",
+      // variance: squared sums ride the ordinary ledger/sum machinery
+      "q207_agg_index_variance")
     val names = if (queries.nonEmpty) queries else defaults
     names.foreach { n =>
       try time(n)(Queries.all(n)(spark, out).count())

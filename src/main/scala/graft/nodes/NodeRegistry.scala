@@ -284,6 +284,7 @@ object NodeRegistry {
       p.strs("sumCols"), p.strs("minCols"), p.strs("maxCols"),
       p.strs("distinctCols"),
       p.strs("histSpecs").map(AggIndexNode.HistSpec.parse),
+      p.strs("sumSqCols"),
       p.str("idCol"), p.intOr("compactEvery", 0),
       p.strOpt("compactPath")))
     register("sketch_index")(p => new SketchIndexNode(p.strs("groupCols"),

@@ -392,6 +392,13 @@ class TokenDriftNode(
   * (error ≤ one bin width by construction). `histogramOf` serves the raw
   * binned distribution. NULLs are excluded (aggregate semantics).
   *
+  * SUM-OF-SQUARES measures (`sumSqCols`, served as `sumsq_<c>`): the
+  * square is computed at ingest ((cast long)², exact for integral
+  * inputs) and then rides the ordinary sum machinery — fully
+  * decrementable, no new maintenance class. (sum, sumsq, n) serve
+  * variance/stddev at the consumer exactly; same integral/overflow
+  * contract as sums (pre-scale upstream if |v|²·n approaches 2^63).
+  *
   * Serving: `transform(probe)` answers "current stats for THESE groups"
   * via a broadcast semi-join against the group-count-sized totals — the
   * keyed-lookup contract every family serves under (no corpus scan, no
@@ -405,11 +412,15 @@ class AggIndexNode(
     val maxCols: Seq[String] = Nil,
     val distinctCols: Seq[String] = Nil,
     val histSpecs: Seq[AggIndexNode.HistSpec] = Nil,
+    val sumSqCols: Seq[String] = Nil,
     val idCol: String = "doc_id",
     val compactEvery: Int = 0,
     val compactPath: Option[String] = None)
   extends EstimatorNode with IncrementalIndex {
   require(groupCols.nonEmpty, "agg_index: groupCols must be non-empty")
+  require(sumSqCols.distinct.size == sumSqCols.size &&
+    sumSqCols.forall(c => c != idCol && !groupCols.contains(c)),
+    "agg_index: sumSqCols must be distinct and not name idCol or a group column")
   require(histSpecs.map(_.column).distinct.size == histSpecs.size,
     "agg_index: one hist spec per column")
   require(histSpecs.forall(s => s.column != idCol && !groupCols.contains(s.column)),
@@ -434,10 +445,20 @@ class AggIndexNode(
     "groupCols" -> groupCols, "sumCols" -> sumCols,
     "minCols" -> minCols, "maxCols" -> maxCols,
     "distinctCols" -> distinctCols, "histSpecs" -> histSpecs.map(_.encoded),
+    "sumSqCols" -> sumSqCols,
     "idCol" -> idCol,
     "compactEvery" -> compactEvery, "compactPath" -> compactPath.orNull)
 
   private def sumName(c: String) = s"sum_$c"
+  private def sqName(c: String) = s"__sq_$c"
+  /** Every decrementable sum the totals carry: (ledger column → output
+    * name). Squared measures ride the ordinary sum machinery over a
+    * ledger column computed at ingest ((cast long)² — integral, exact);
+    * (sum, sumsq, n) serve variance/stddev at the consumer with zero
+    * extra maintenance classes. */
+  private val sumMeasures: Seq[(String, String)] =
+    sumCols.map(c => c -> sumName(c)) ++
+      sumSqCols.map(c => sqName(c) -> s"sumsq_$c")
   /** Order/equality measure columns the ledger must carry beyond the sums. */
   private val orderOnlyCols: Seq[String] =
     (minCols ++ maxCols ++ distinctCols ++ histSpecs.map(_.column))
@@ -465,6 +486,14 @@ class AggIndexNode(
             "— the fixed-bin rule needs an INTEGRAL measure (pre-scale floats " +
             "to fixed-point integers upstream)")
     }
+    sumSqCols.foreach { c =>
+      val t = df.schema(c).dataType
+      if (!integral.contains(t.getClass.getSimpleName.stripSuffix("$")))
+        throw new GraftException(
+          s"agg_index '$name': sumSq column '$c' is ${t.simpleString} — only " +
+            "INTEGRAL measures square-sum exactly under incremental +/- " +
+            "(pre-scale floats to fixed-point integers upstream)")
+    }
     (minCols ++ maxCols ++ distinctCols).distinct.foreach { c =>
       import org.apache.spark.sql.types.{ArrayType, MapType, StructType, NullType}
       val t = df.schema(c).dataType
@@ -477,6 +506,8 @@ class AggIndexNode(
     }
     df.select((Seq(col(idCol)) ++ groupCols.map(col) ++
       sumCols.map(c => col(c).cast("long").as(c)) ++
+      sumSqCols.map(c =>
+        (col(c).cast("long") * col(c).cast("long")).as(sqName(c))) ++
       orderOnlyCols.map(col)): _*)
       .filter(col(idCol).isNotNull)
   }
@@ -487,7 +518,7 @@ class AggIndexNode(
   private def totalsOf(ledger: DataFrame, ndFromData: Boolean = true): DataFrame = {
     import org.apache.spark.sql.functions.{count, count_distinct, lit, max, min, sum}
     val aggs = (count(lit(1)).as("n_rows") +:
-      sumCols.map(c => sum(col(c)).as(sumName(c)))) ++
+      sumMeasures.map { case (lc, out) => sum(col(lc)).as(out) }) ++
       minCols.map(c => min(col(c)).as(s"min_$c")) ++
       maxCols.map(c => max(col(c)).as(s"max_$c")) ++
       (if (ndFromData) distinctCols.map(c =>
@@ -540,16 +571,16 @@ class AggIndexNode(
       "merged(sign = -1) is unsound for MIN/MAX/DISTINCT — use splicedTotals")
     val d = delta.select(
       (groupCols.map(col) :+ col("n_rows").as("__dn")) ++
-        sumCols.map(c => col(sumName(c)).as(s"__d_$c")) ++
+        sumMeasures.map { case (_, out) => col(out).as(s"__d_$out") } ++
         minCols.map(c => col(s"min_$c").as(s"__dmin_$c")) ++
         maxCols.map(c => col(s"max_$c").as(s"__dmax_$c")) ++
         distinctCols.map(c => col(s"nd_$c").as(s"__dnd_$c")): _*)
     val joined = totals.join(d, groupCols, "full_outer")
     val outCols = groupCols.map(col) ++ Seq(
       expr(s"coalesce(n_rows, 0L) + ${sign}L * coalesce(__dn, 0L)").as("n_rows")) ++
-      sumCols.map(c => expr(
-        s"coalesce(${sumName(c)}, 0L) + ${sign}L * coalesce(__d_$c, 0L)")
-        .as(sumName(c))) ++
+      sumMeasures.map { case (_, out) => expr(
+        s"coalesce(`$out`, 0L) + ${sign}L * coalesce(`__d_$out`, 0L)")
+        .as(out) } ++
       minCols.map(c => least(col(s"min_$c"), col(s"__dmin_$c")).as(s"min_$c")) ++
       maxCols.map(c => greatest(col(s"max_$c"), col(s"__dmax_$c")).as(s"max_$c")) ++
       distinctCols.map(c => expr(

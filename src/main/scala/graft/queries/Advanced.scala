@@ -3956,6 +3956,33 @@ object Advanced {
   }
   val q206Sql: String = q202Sql
 
+  // ---- q207: EXACT VARIANCE under takedowns — sum-of-squares as a
+  // decrementable measure: the square is computed at ingest and rides
+  // the ordinary BIGINT sum machinery, so (sum, sumsq, n) stay exact
+  // through insert waves AND the takedown (no Welford state to splice,
+  // no float drift). The consumer derives variance/stddev; both engines
+  // state the identical integer aggregates. ----
+  def q207_agg_index_variance(spark: SparkSession, dir: String): DataFrame = {
+    val ctx = Ctx(spark)
+    val docs = Queries.run(spark) { d =>
+      d.add(SourceNode.table(dir, "documents")) >> d.output("result")
+    }
+    val idx = new AggIndexNode(groupCols = Seq("source"),
+      sumCols = Seq("n_chars"), sumSqCols = Seq("n_chars"))
+    idx.fit(ctx, In.single("corpus" -> docs.filter("doc_id % 5 != 0")))
+    idx.updateIndex(ctx, docs.filter("doc_id % 5 = 0"))
+    idx.deleteFromIndex(ctx, docs.filter("doc_id % 7 = 0").select("doc_id"))
+    idx.transform(ctx,
+      In.single("probe" -> docs.select("source").distinct()))("result")
+      .orderBy("source")
+  }
+  val q207Sql: String =
+    """SELECT source, count(*) AS n_rows,
+      |       CAST(sum(n_chars) AS BIGINT) AS sum_n_chars,
+      |       CAST(sum(n_chars * n_chars) AS BIGINT) AS sumsq_n_chars
+      |FROM documents WHERE doc_id % 7 <> 0
+      |GROUP BY source ORDER BY source""".stripMargin
+
   // ---- q197: INCREMENTAL MATERIALIZED JOIN — IVM of the denormalized
   // fact ⋈ dim view by the textbook delta rule (Δ(L⋈R) = ΔL⋈R ∪ L⋈ΔR,
   // deletes = anti-joins of the view on the row id). Lifecycle drills
@@ -4535,5 +4562,6 @@ object Advanced {
     ("q204_materialized_outer", q204_materialized_outer _, q204Sql),
     ("q205_two_feed_view", q205_two_feed_view _, q205Sql),
     ("q206_stream_sketch_maintenance", q206_stream_sketch_maintenance _, q206Sql),
+    ("q207_agg_index_variance", q207_agg_index_variance _, q207Sql),
   )
 }

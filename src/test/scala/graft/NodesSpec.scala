@@ -3627,6 +3627,30 @@ class NodesSpec extends AnyFunSuite {
     idx.unpersistIndex(); byId.unpersistIndex()
   }
 
+  test("AggIndexNode sumSqCols: exact sum-of-squares through insert and " +
+       "delete waves — (sum, sumsq, n) derive variance with no float drift; " +
+       "float square measure refused") {
+    import spark.implicits._
+    val c = Ctx(spark)
+    val idx = new AggIndexNode(groupCols = Seq("src"),
+      sumCols = Seq("v"), sumSqCols = Seq("v"))
+    idx.fit(c, In.single("corpus" ->
+      Seq((1L, "a", 3L), (2L, "a", 4L), (3L, "b", 10L)).toDF("doc_id", "src", "v")))
+    idx.updateIndex(c, Seq((4L, "a", 5L)).toDF("doc_id", "src", "v"))
+    idx.deleteFromIndex(c, Seq(2L).toDF("doc_id"))
+    // a: values {3, 5} -> sum 8, sumsq 9+25=34; b: {10} -> 10, 100
+    assert(idx.transform(c, In.single("probe" -> Seq("a", "b").toDF("src")))("result")
+      .select("src", "n_rows", "sum_v", "sumsq_v")
+      .as[(String, Long, Long, Long)].collect().toSet ==
+      Set(("a", 2L, 8L, 34L), ("b", 1L, 10L, 100L)))
+    val flt = intercept[GraftException] {
+      new AggIndexNode(groupCols = Seq("src"), sumSqCols = Seq("f"))
+        .fit(c, In.single("corpus" -> Seq((1L, "a", 0.5)).toDF("doc_id", "src", "f")))
+    }
+    assert(flt.getMessage.contains("square-sum"))
+    idx.unpersistIndex()
+  }
+
   test("SketchIndexNode: ledgerless HLL distinct counts — union across " +
        "insert batches is order-independent and exact at small cardinality, " +
        "within 5% at 20k; deletes and float measures refused; save/load " +

@@ -370,6 +370,7 @@ class SerializationSpec extends AnyFunSuite {
       maxCols = Seq("toks"),
       histSpecs = Seq(AggIndexNode.HistSpec("toks", 0L, 8191L, 64),
         AggIndexNode.HistSpec("score", -100L, 100L, 10)),
+      sumSqCols = Seq("toks"),
       idCol = "uid", compactEvery = 4,
       compactPath = Some("/tmp/aggc")))
     val d3 = DagJson.fromJson(DagJson.toJson(d))
@@ -378,6 +379,7 @@ class SerializationSpec extends AnyFunSuite {
       ai2.minCols == Seq("toks", "title") && ai2.maxCols == Seq("toks") &&
       ai2.histSpecs == Seq(AggIndexNode.HistSpec("toks", 0L, 8191L, 64),
         AggIndexNode.HistSpec("score", -100L, 100L, 10)) &&
+      ai2.sumSqCols == Seq("toks") &&
       ai2.idCol == "uid" && ai2.compactEvery == 4 &&
       ai2.compactPath.contains("/tmp/aggc"))
     val sk = d.add(new SketchIndexNode(groupCols = Seq("src"),
