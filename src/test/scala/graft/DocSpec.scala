@@ -349,7 +349,8 @@ class DocSpec extends AnyFunSuite {
       .map(i => (i, s"s${i % 3}", i * 10L, s"l${i % 4}"))
       .toDF("doc_id", "source", "n_chars", "lang")
     val stats = new AggIndexNode(groupCols = Seq("source"),
-      sumCols = Seq("n_chars"), minCols = Seq("n_chars"),
+      sumCols = Seq("n_chars"), sumSqCols = Seq("n_chars"),
+      minCols = Seq("n_chars"),
       maxCols = Seq("n_chars"), distinctCols = Seq("lang"))
     stats.fit(ctx, In.single("corpus" -> docs.filter("doc_id <= 40")))
     stats.updateIndex(ctx, docs.filter("doc_id > 40"))
@@ -360,11 +361,13 @@ class DocSpec extends AnyFunSuite {
     val oracle = docs.filter("doc_id % 4 != 0").groupBy("source").agg(
       org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n_rows"),
       org.apache.spark.sql.functions.sum("n_chars").as("sum_n_chars"),
+      org.apache.spark.sql.functions.expr("sum(n_chars * n_chars)").as("sumsq_n_chars"),
       org.apache.spark.sql.functions.min("n_chars").as("min_n_chars"),
       org.apache.spark.sql.functions.max("n_chars").as("max_n_chars"),
       org.apache.spark.sql.functions.count_distinct(
         org.apache.spark.sql.functions.col("lang")).as("nd_lang"))
-    assert(servedStats.collect().toSet == oracle.collect().toSet)
+    assert(servedStats.selectExpr(oracle.columns.toIndexedSeq: _*)
+      .collect().toSet == oracle.collect().toSet)
     val top = stats.topValues(ctx, sources, "lang", 2)
     assert(top.filter("rank = 1").count() == 3L) // one leader per source
     // 3: materialized join — late dim rows pick up dangling facts
