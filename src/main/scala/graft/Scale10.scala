@@ -169,7 +169,10 @@ object Scale10 {
       // leg; state and folds stay group-count-sized
       "q206_stream_sketch_maintenance",
       // variance: squared sums ride the ordinary ledger/sum machinery
-      "q207_agg_index_variance")
+      "q207_agg_index_variance",
+      // streamed serving: per-batch lookups stay probe-bounded against
+      // group-count-sized totals
+      "q208_stream_agg_serving")
     val names = if (queries.nonEmpty) queries else defaults
     names.foreach { n =>
       try time(n)(Queries.all(n)(spark, out).count())

@@ -3983,6 +3983,45 @@ object Advanced {
       |FROM documents WHERE doc_id % 7 <> 0
       |GROUP BY source ORDER BY source""".stripMargin
 
+  // ---- q208: STREAMED DASHBOARD SERVING — the maintained aggregate
+  // answers a STREAM of probe batches through StreamServing (one
+  // broadcast keyed lookup per micro-batch against the group-count-sized
+  // totals — the serving contract every index family shares). Two
+  // disjoint probe waves cover all groups; the unioned batch outputs
+  // must equal the declarative post-delete GROUP BY exactly — a stale
+  // total, a lookup that rescans the corpus, or cross-batch duplication
+  // all change the hash. ----
+  def q208_stream_agg_serving(spark: SparkSession, dir: String): DataFrame = {
+    val ctx = Ctx(spark)
+    val docs = Queries.run(spark) { d =>
+      d.add(SourceNode.table(dir, "documents")) >> d.output("result")
+    }
+    val idx = new AggIndexNode(groupCols = Seq("source"),
+      sumCols = Seq("n_chars"), distinctCols = Seq("lang"))
+    idx.fit(ctx, In.single("corpus" -> docs.filter("doc_id % 5 != 0")))
+    idx.updateIndex(ctx, docs.filter("doc_id % 5 = 0"))
+    idx.deleteFromIndex(ctx, docs.filter("doc_id % 7 = 0").select("doc_id"))
+    val work = java.nio.file.Files.createTempDirectory("graft_q208_")
+    work.toFile.deleteOnExit()
+    val keys = docs.select("source").distinct()
+    keys.filter("cast(substr(source, 4) as int) % 2 = 0")
+      .coalesce(1).write.parquet(s"$work/probes/wave-1")
+    keys.filter("cast(substr(source, 4) as int) % 2 = 1")
+      .coalesce(1).write.parquet(s"$work/probes/wave-2")
+    val feed = spark.readStream.schema("source STRING")
+      .option("maxFilesPerTrigger", 1).parquet(s"$work/probes/wave-*")
+    StreamServing.serveStream(ctx, feed, s"$work/out",
+      b => idx.transform(ctx, In.single("probe" -> b))("result"),
+      checkpoint = Some(s"$work/ckpt"))
+    spark.read.parquet(s"$work/out/batch-*").orderBy("source")
+  }
+  val q208Sql: String =
+    """SELECT source, count(*) AS n_rows,
+      |       CAST(sum(n_chars) AS BIGINT) AS sum_n_chars,
+      |       count(DISTINCT lang) AS nd_lang
+      |FROM documents WHERE doc_id % 7 <> 0
+      |GROUP BY source ORDER BY source""".stripMargin
+
   // ---- q197: INCREMENTAL MATERIALIZED JOIN — IVM of the denormalized
   // fact ⋈ dim view by the textbook delta rule (Δ(L⋈R) = ΔL⋈R ∪ L⋈ΔR,
   // deletes = anti-joins of the view on the row id). Lifecycle drills
@@ -4563,5 +4602,6 @@ object Advanced {
     ("q205_two_feed_view", q205_two_feed_view _, q205Sql),
     ("q206_stream_sketch_maintenance", q206_stream_sketch_maintenance _, q206Sql),
     ("q207_agg_index_variance", q207_agg_index_variance _, q207Sql),
+    ("q208_stream_agg_serving", q208_stream_agg_serving _, q208Sql),
   )
 }
