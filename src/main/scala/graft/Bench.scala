@@ -192,6 +192,13 @@ object Bench {
       "\"" + short(k) + "\":" + num(v)
     }.mkString("{", ",", "}")
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // the stdout line's copy is CAPPED (full list rides stderr + sidecar):
+    // a round with many long-named failures must not blow the tail-window
+    // budget after the query map has already shrunk to nothing (ADVICE r13)
+    val errJsonCapped =
+      if (errors.size <= 5) errJson
+      else (errors.take(5).map("\"" + _ + "\"") :+
+        s""""+${errors.size - 5} more"""").mkString("[", ",", "]")
     // bare number only when the dir parses as sfN; anything else stays a
     // QUOTED string so the line is valid JSON regardless of the env value
     val sfShort = "sf([0-9.]+)/*$".r.findFirstMatchIn(sfDir).map(_.group(1))
@@ -204,13 +211,13 @@ object Bench {
     // plus only the HEAVIEST queries, shrunk until the line provably fits
     // a hard 1500-char budget; the COMPLETE per-query map goes to stderr
     // and to a sidecar JSON file for the judge.
-    def line(qJson: String) =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","nqueries":${results.size},"queries":$qJson,"cold":$coldJson,"errors":$errJson,"reruns":$reruns,"sf":$sfShort}"""
+    def line(qJson: String, errs: String = errJsonCapped) =
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","nqueries":${results.size},"queries":$qJson,"cold":$coldJson,"errors":$errs,"reruns":$reruns,"sf":$sfShort}"""
     def qJsonOf(entries: Seq[(String, Double)]): String =
       entries.map { case (k, v) =>
         "\"" + short(k) + "\":" + (if (v < 0) "-1" else num(v))
       }.mkString("{", ",", "}")
-    val fullJson = line(qJsonOf(results))
+    val fullJson = line(qJsonOf(results), errJson) // sidecar keeps EVERYTHING
     System.err.println(fullJson) // complete record, outside the tail window
     val sidecar = sys.env.getOrElse("SPARK_GRAFT_BENCH_SIDECAR",
       "BENCH_FULL.json")

@@ -538,9 +538,14 @@ object MorCdc {
           "acknowledge positional skipping with positionalReplaySkipOk = true")
     // write-side evolution gate state: the base schema is fixed per
     // generation, so cache it and re-read only after a fold (one footer
-    // read per generation, not a per-batch listing)
-    var schemaGen = -1L
-    var baseSchema: org.apache.spark.sql.types.StructType = null
+    // read per generation, not a per-batch listing). The sentinel must not
+    // collide with an UNPUBLISHED root's currentGen = -1 (ADVICE r13: the
+    // old `-1L` sentinel made the first batch skip the schema read and NPE
+    // in checkOverlaySchema); a CDC-bootstrapped root (deltas before any
+    // published base) has no base schema to gate against — the first
+    // compaction establishes it, and the read side validates per overlay.
+    var schemaGen = Long.MinValue
+    var baseSchema: Option[org.apache.spark.sql.types.StructType] = None
     val writer = updates.writeStream
       .queryName(s"mor_cdc_${System.nanoTime()}")
       .outputMode("append")
@@ -551,13 +556,18 @@ object MorCdc {
           // may have folded earlier evolution in)
           val g = AtomicPublish.currentGen(spark, root).getOrElse(-1L)
           if (g != schemaGen) {
-            baseSchema = spark.read.format(format)
-              .load(AtomicPublish.resolve(spark, root)).schema
+            baseSchema =
+              if (g >= 0) Some(spark.read.format(format)
+                .load(AtomicPublish.resolve(spark, root)).schema)
+              else // unpublished root: a plain dir's loose files still gate;
+                   // a bare CDC-bootstrapped root has no base schema yet
+                scala.util.Try(spark.read.format(format).load(root).schema)
+                  .toOption
             schemaGen = g
           }
-          checkOverlaySchema(baseSchema, delta.schema,
+          baseSchema.foreach(checkOverlaySchema(_, delta.schema,
             s"MorCdc.applyStream($root, batch $batchId)",
-            allowNew = allowEvolution)
+            allowNew = allowEvolution))
           AtomicPublish.publishDelta(spark, root, batchId, { target =>
             delta.write.format(format).save(target)
           })
@@ -609,6 +619,12 @@ object MorCdc {
       throw new GraftException(
         s"MorCdc.compact: layoutZOrder needs 2 or 3 layoutBy columns " +
           s"(morton dimensions), got ${layoutBy.size}")
+    // claim the next generation BEFORE listing the overlays this fold
+    // absorbs (read() lists eagerly): an overlay racing to commit after the
+    // claim is refused/re-validated away by publishDelta and replays, so a
+    // committed-but-unlisted overlay can never strand inside the retired
+    // generation (ADVICE r13)
+    val (cur, next) = AtomicPublish.acquireClaim(spark, root)
     val merged = read(spark, root, keys, format)
     val resolved =
       if (layoutBy.isEmpty) merged
@@ -619,7 +635,7 @@ object MorCdc {
       else layoutPartitions.fold(
         merged.repartitionByRange(layoutBy.map(col): _*))(n =>
         merged.repartitionByRange(n, layoutBy.map(col): _*))
-    AtomicPublish.publish(spark, root, { target =>
+    AtomicPublish.commitClaimed(spark, root, cur, next, { target =>
       resolved.write.format(format).save(target)
       if (statsColumns.nonEmpty || bloomColumns.nonEmpty)
         FileStatsWriter.write(spark, target, format, Map.empty,

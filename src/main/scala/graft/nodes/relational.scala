@@ -233,7 +233,34 @@ private[graft] object AtomicPublish {
     * is still writing, ADVICE r12). */
   def publish(spark: org.apache.spark.sql.SparkSession, root: String,
               write: String => Unit): Long = {
-    val cur = currentGen(spark, root)
+    val (cur, next) = acquireClaim(spark, root)
+    commitClaimed(spark, root, cur, next, write)
+  }
+
+  /** CLAIM generation `cur + 1` at `root` — the first half of [[publish]],
+    * exposed so a fold ([[MorCdc.compact]]) can take the claim BEFORE
+    * listing the overlays it folds: an overlay that commits after the
+    * listing then sees the outstanding claim (or the advanced generation)
+    * in [[publishDelta]]'s post-rename re-validation and replays, instead
+    * of stranding inside the retired generation (ADVICE r13).
+    *
+    * Claim-then-verify: a winner that committed gen-`next` between our
+    * `currentGen` read and the claim create has already RELEASED this very
+    * token, so the create can succeed while `next` names the now-LIVE
+    * generation (TOCTOU, ADVICE r13) — writing there would clobber
+    * committed data mid-read. Re-reading `currentGen` after the claim is
+    * sound because every winner holds its claim until AFTER its manifest
+    * swap: if the pointer still reads `cur`, no such winner existed. */
+  private[graft] def acquireClaim(spark: org.apache.spark.sql.SparkSession,
+                                  root: String): (Option[Long], Long) =
+    acquireClaimFrom(spark, root, currentGen(spark, root))
+
+  /** Claim from a caller-supplied `currentGen` read — the test seam that
+    * makes the claim-then-verify TOCTOU drill deterministic (a stale `cur`
+    * must be detected AFTER the claim succeeds, not trusted). */
+  private[graft] def acquireClaimFrom(spark: org.apache.spark.sql.SparkSession,
+                                      root: String,
+                                      cur: Option[Long]): (Option[Long], Long) = {
     val next = cur.getOrElse(0L) + 1
     val rootP = new Path(root)
     val fs = rootP.getFileSystem(conf(spark))
@@ -261,6 +288,26 @@ private[graft] object AtomicPublish {
           "another publisher holds its claim token. Retry against the new " +
           "current generation after it commits; if the holder CRASHED, " +
           "release the number with VacuumNode(reclaimNext = true)")
+    if (currentGen(spark, root) != cur) {
+      fs.delete(claim, false) // release: we never wrote anything
+      throw new graft.dag.GraftException(
+        s"AtomicPublish: generation advanced past gen-${cur.getOrElse(0L)} " +
+          s"while claiming gen-$next at $root — another publisher committed " +
+          "(and released this token) in between. Retry against the new " +
+          "current generation")
+    }
+    (cur, next)
+  }
+
+  /** Second half of [[publish]]: write the claimed generation, swap the
+    * manifest, release the claim. The caller must hold the gen-`next`
+    * claim from [[acquireClaim]]. */
+  private[graft] def commitClaimed(spark: org.apache.spark.sql.SparkSession,
+                                   root: String, cur: Option[Long], next: Long,
+                                   write: String => Unit): Long = {
+    val rootP = new Path(root)
+    val fs = rootP.getFileSystem(conf(spark))
+    val claim = new Path(rootP, s"$ClaimPrefix$next")
     write(s"$root/gen-$next") // complete new generation, live one untouched
     val tmp = new Path(rootP, s"$ManifestName.tmp-$next")
     val out = fs.create(tmp, true)
@@ -327,19 +374,40 @@ private[graft] object AtomicPublish {
     if (fs.exists(marker) &&
         spark.read.parquet(marker.toString).collect().head.getLong(0) >= id)
       return // replayed batch: already folded into this generation's base
+    // a fold takes the gen-(cur+1) claim BEFORE listing deltas (compact →
+    // acquireClaim), so "claim outstanding" means an in-flight publisher
+    // may already have listed — an overlay committed now could be missed
+    // by the fold and stranded when the manifest swaps. Abort early (and
+    // re-validate after the rename below): the batch replays idempotently
+    // against whatever generation wins.
+    val nextClaim = new Path(root, s"$ClaimPrefix${gen.getOrElse(0L) + 1}")
+    if (fs.exists(nextClaim))
+      throw new graft.dag.GraftException(
+        s"AtomicPublish.publishDelta: a publisher holds the " +
+          s"gen-${gen.getOrElse(0L) + 1} claim at $root (fold or rewrite in " +
+          s"flight) — committing delta-$id now could strand it in the retired " +
+          "generation. Retry after the publisher commits (delta commits are " +
+          "idempotent per id); if the holder CRASHED, release the claim with " +
+          "VacuumNode(reclaimNext = true)")
     val tmp = new Path(deltas, s".tmp-$id")
     fs.delete(tmp, true) // stale partial from a crash
     write(tmp.toString)
     FileContext.getFileContext(deltas.toUri, conf(spark))
       .rename(tmp, target, Options.Rename.OVERWRITE)
-    if (currentGen(spark, root) != gen) {
-      fs.delete(target, true) // stranded in a retired generation
+    // post-rename re-validation closes the remaining window: EITHER the
+    // fold already swapped (generation changed) OR it is still in flight
+    // but claimed before we could see it (claim now outstanding — its
+    // listing may predate our rename). Both ways the overlay is removed
+    // and the batch replays (ADVICE r13: the gen check alone left the
+    // claimed-but-not-yet-swapped window open).
+    if (currentGen(spark, root) != gen || fs.exists(nextClaim)) {
+      fs.delete(target, true) // stranded (or strandable) overlay
       throw new graft.dag.GraftException(
-        s"AtomicPublish.publishDelta: lost a race against a compaction at " +
-          s"$root — gen-${gen.getOrElse(-1L)} was superseded while " +
-          s"delta-$id committed into it. The stranded overlay was removed; " +
-          "retry the batch against the new current generation (delta " +
-          "commits are idempotent per id)")
+        s"AtomicPublish.publishDelta: lost a race against a fold at " +
+          s"$root — gen-${gen.getOrElse(-1L)} was superseded (or its " +
+          s"successor claimed) while delta-$id committed into it. The " +
+          "overlay was removed; retry the batch against the new current " +
+          "generation (delta commits are idempotent per id)")
     }
   }
 }
@@ -753,7 +821,21 @@ class BloomPrunedSourceNode(val path: String,
       s"bloom_pruned_source '$name': no committed bloom for column '$inCol' — " +
         s"publish with bloomColumns = Seq(\"$inCol\")")
     val ids = in("ids")
-    val idsNorm = ids.select(col(ids.columns.head).as(inCol)).distinct()
+    // the per-file blooms hold xxhash64 of the PUBLISHED column's native
+    // type, and Spark's xxhash64 is type-sensitive (int, bigint and string
+    // hash differently) — a probe frame with a differently-typed id column
+    // would silently produce bloom FALSE NEGATIVES (every file skipped,
+    // rows lost, masked by the type-coercing semi-join below). Cast the
+    // probe ids to the base column's type before hashing (ADVICE r13);
+    // values the cast nulls out can't equal any base row anyway and are
+    // dropped from the hash set.
+    val baseType = spark.read.format(format).load(gen).schema
+      .find(_.name == inCol).getOrElse(throw new graft.dag.GraftException(
+        s"bloom_pruned_source '$name': column '$inCol' not in the published " +
+          s"schema at $gen")).dataType
+    val idsNorm = ids
+      .select(col(ids.columns.head).cast(baseType).as(inCol))
+      .filter(col(inCol).isNotNull).distinct()
     // the driver-side id hashes: bounded, loud beyond maxIds — a takedown
     // set is 10k-1M ids; an unbounded probe set belongs in a plain join
     val idHashes = idsNorm.select(expr(s"xxhash64($inCol)").as("__h"))

@@ -3126,6 +3126,15 @@ class NodesSpec extends AnyFunSuite {
     assert(got.inputFiles.length <= 3,
       s"a 3-id point probe over 10 range-laid files must open ~1, " +
         s"opened ${got.inputFiles.length}")
+    // a probe whose id column is INT while the published column is BIGINT
+    // must find the same rows: xxhash64 is type-sensitive, so the unc ast
+    // path hashed int probes differently from the bigint blooms — every
+    // file silently skipped, rows lost (ADVICE r13). The node now casts
+    // probe ids to the published column's type before hashing.
+    val intProbe = Seq(120, 125, 130, 7777).toDF("pid") // Int, base is Long
+    assert(read(new BloomPrunedSourceNode(root, inCol = "id"), intProbe)
+      .as[(Long, String)].collect().toSet ==
+      Set((120L, "v120"), (125L, "v125"), (130L, "v130")))
     // empty probe: zero files, empty result, full schema
     val none = read(new BloomPrunedSourceNode(root, inCol = "id"),
       Seq.empty[Long].toDF("pid"))
@@ -3809,7 +3818,7 @@ class NodesSpec extends AnyFunSuite {
         MorCdc.compact(c, root, Seq("id"), throughBatch = 0L) // the racer
       })
     }
-    assert(lost.getMessage.contains("lost a race against a compaction"))
+    assert(lost.getMessage.contains("lost a race against a fold"))
     assert(AtomicPublish.currentGen(spark, root).contains(3L))
     // nothing stranded anywhere; the live view is the fold only
     assert(AtomicPublish.listDeltas(spark, root).isEmpty)
@@ -3820,6 +3829,92 @@ class NodesSpec extends AnyFunSuite {
     assert(AtomicPublish.listDeltas(spark, root).map(_._1) == Seq(1L))
     assert(MorCdc.read(spark, root, Seq("id")).as[(Long, String)].collect().toSet ==
       Set((1L, "a"), (2L, "b2"), (9L, "new")))
+  }
+
+  test("AtomicPublish claim-then-verify: a claim taken from a STALE currentGen " +
+       "read (the released-token TOCTOU) is detected after the create, " +
+       "released, and refused — committed data never overwritten") {
+    import spark.implicits._
+    val c = Ctx(spark)
+    val work = java.nio.file.Files.createTempDirectory("graft_toctou_spec").toString
+    val root = s"$work/ds"
+    new SinkNode(root, atomicPublish = true).transform(c,
+      In.single("df" -> Seq((1L, "a")).toDF("id", "v")))          // gen-1
+    val stale = AtomicPublish.currentGen(spark, root)              // reads 1
+    new SinkNode(root, atomicPublish = true).transform(c,
+      In.single("df" -> Seq((1L, "b")).toDF("id", "v")))          // gen-2; claim released
+    // the stale publisher now claims gen-2: the winner RELEASED that very
+    // token after its swap, so the create SUCCEEDS — exactly the window
+    // ADVICE r13 names. The post-claim verify must catch it before any
+    // write into the live gen-2 directory.
+    val e = intercept[GraftException] {
+      AtomicPublish.acquireClaimFrom(spark, root, stale)
+    }
+    assert(e.getMessage.contains("generation advanced"))
+    // aborting released the claim (nothing was written), so publishing resumes
+    val claimP = new org.apache.hadoop.fs.Path(root, "_CLAIM.gen-2")
+    val fs = claimP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(claimP), "an aborted stale claim must self-release")
+    new SinkNode(root, atomicPublish = true).transform(c,
+      In.single("df" -> Seq((1L, "c")).toDF("id", "v")))          // gen-3
+    assert(AtomicPublish.currentGen(spark, root).contains(3L))
+    // gen-2 (now the rollback generation) was never clobbered
+    assert(spark.read.parquet(s"$root/gen-2").as[(Long, String)]
+      .collect().toSet == Set((1L, "b")))
+  }
+
+  test("publishDelta fold fence: an overlay commit while a publisher holds the " +
+       "next-generation claim is refused up front and replays cleanly once " +
+       "the fold commits (the listing can no longer miss a committed overlay)") {
+    import spark.implicits._
+    val c = Ctx(spark)
+    val work = java.nio.file.Files.createTempDirectory("graft_fence_spec").toString
+    val root = s"$work/ds"
+    new SinkNode(root, atomicPublish = true).transform(c,
+      In.single("df" -> Seq((1L, "a")).toDF("id", "v")))
+    // a fold has taken the gen-2 claim (compact claims BEFORE listing) and
+    // is still writing — an overlay committed now might not be in its list
+    val (cur, next) = AtomicPublish.acquireClaim(spark, root)
+    val e = intercept[GraftException] {
+      AtomicPublish.publishDelta(spark, root, 0L, { t =>
+        Seq((2L, "b", false)).toDF("id", "v", MorCdc.DeletedCol)
+          .coalesce(1).write.parquet(t)
+      })
+    }
+    assert(e.getMessage.contains("claim"))
+    assert(AtomicPublish.listDeltas(spark, root).isEmpty,
+      "the fenced overlay must not commit")
+    // the fold commits; the replayed batch lands on the new generation
+    AtomicPublish.commitClaimed(spark, root, cur, next, { t =>
+      Seq((1L, "a")).toDF("id", "v").coalesce(1).write.parquet(t)
+    })
+    AtomicPublish.publishDelta(spark, root, 0L, { t =>
+      Seq((2L, "b", false)).toDF("id", "v", MorCdc.DeletedCol)
+        .coalesce(1).write.parquet(t)
+    })
+    assert(AtomicPublish.listDeltas(spark, root).map(_._1) == Seq(0L))
+    assert(MorCdc.read(spark, root, Seq("id")).as[(Long, String)]
+      .collect().toSet == Set((1L, "a"), (2L, "b")))
+  }
+
+  test("MorCdc.applyStream bootstrap: a plain never-published directory takes " +
+       "CDC waves — loose base files still schema-gate, no NPE (ADVICE r13)") {
+    import spark.implicits._
+    val c = Ctx(spark)
+    val work = java.nio.file.Files.createTempDirectory("graft_bootstrap_spec").toString
+    val root = s"$work/ds"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.parquet(root) // plain dir
+    val updDir = s"$work/upd"
+    Seq((2L, "b2", false), (3L, "c", false)).toDF("id", "v", "is_delete")
+      .coalesce(1).write.parquet(updDir)
+    val stream = spark.readStream.schema("id LONG, v STRING, is_delete BOOLEAN")
+      .option("pathGlobFilter", "*.parquet").parquet(updDir)
+    MorCdc.applyStream(c, root, stream,
+      new MergeNode(keys = Seq("id"), deleteCol = Some("is_delete")),
+      compactEvery = 0, checkpoint = Some(s"$work/ckpt"))
+    assert(AtomicPublish.listDeltas(spark, root).map(_._1) == Seq(0L))
+    assert(MorCdc.read(spark, root, Seq("id")).as[(Long, String)]
+      .collect().toSet == Set((1L, "a"), (2L, "b2"), (3L, "c")))
   }
 
   test("MoR asOfBatch time travel: the resolved view at each overlay watermark; " +
