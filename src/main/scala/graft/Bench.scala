@@ -82,6 +82,20 @@ object Bench {
         emb.limit(4).selectExpr("vec_id as query_id", "embedding")))("result").count()
       ivf.unpersistIndex()
     } catch { case _: Throwable => } // warmup is best-effort
+    // triangle warmup: q107's cold entry (27 s cold vs 1.4 kept on the r13
+    // driver — 19.7x, the one shape the CC/IVF/stream blocks never build)
+    // is the wedge SELF-join + closing equi-join over an oriented edge set:
+    // a large sort-merge-join first touch. A 48-edge toy graph initializes
+    // that join/shuffle codegen path, untimed.
+    try {
+      val edges = spark.range(48)
+        .selectExpr("id % 12 as src", "(id * 7 + 3) % 12 as dst")
+      new graft.nodes.TriangleCountNode("src", "dst")
+        .transform(graft.dag.Ctx(spark),
+          graft.dag.In.single("edges" -> edges))("result").count()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      spark.catalog.clearCache()
+    } catch { case _: Throwable => } // warmup is best-effort
     // streaming warmup: state-store + micro-batch machinery init is ~1-2 s of
     // one-time cost that otherwise lands on the first timed stream query;
     // skipped when the filtered set times no streaming query, temp dir removed
@@ -137,6 +151,14 @@ object Bench {
       }
       val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       spark.catalog.clearCache() // node-internal persists must not leak across queries
+      // localCheckpoint blocks (CC rounds, PageRank, CheckpointNode
+      // barriers) live OUTSIDE the SQL cache manager, so clearCache leaves
+      // them pinned for the rest of the run — an accumulation mechanism the
+      // r13 driver band (q132/q136/q140/q152, all AFTER the newly
+      // lazily-checkpointed q124 flagship in registry order) is consistent
+      // with. The queries are done; their truncated-lineage RDDs are dead
+      // weight — sweep them between timings.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       System.err.println(f"[bench] $name%-22s $sec%8.2f s")
       sec
     }
