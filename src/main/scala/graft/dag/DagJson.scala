@@ -29,6 +29,8 @@ object DagJson {
     def bool(k: String): Boolean = m(k).asInstanceOf[Boolean]
     def boolOr(k: String, d: Boolean): Boolean = m.get(k).fold(d)(_.asInstanceOf[Boolean])
     def intOr(k: String, d: Int): Int = if (m.contains(k) && m(k) != null) int(k) else d
+    def lng(k: String): Long = m(k) match { case i: Int => i.toLong; case l: Long => l; case b: BigInt => b.toLong }
+    def lngOr(k: String, d: Long): Long = if (m.contains(k) && m(k) != null) lng(k) else d
     def strs(k: String): Seq[String] = m.getOrElse(k, Nil).asInstanceOf[Seq[Any]].map(_.toString)
     def pairs(k: String): Seq[(String, String)] =
       m.getOrElse(k, Nil).asInstanceOf[Seq[Any]].map {

@@ -293,7 +293,8 @@ object NodeRegistry {
     register("materialized_join")(p => new MaterializedJoinNode(
       p.strs("leftOn"), p.strs("rightOn"), p.str("leftId"), p.str("rightId"),
       p.strOpt("joinType").getOrElse("inner"),
-      p.intOr("compactEvery", 0), p.strOpt("compactPath")))
+      p.intOr("compactEvery", 0), p.strOpt("compactPath"),
+      p.lngOr("maxBroadcastDim", 5000000L)))
     register("snapshot_diff")(p => new SnapshotDiffNode(p.strs("keys"), p.strs("compareCols"),
       p.boolOr("includeUnchanged", false), p.str("changeCol")))
     register("outlier_filter")(p => new OutlierFilterNode(p.strs("groupCols"), p.str("valueExpr"),

@@ -3590,6 +3590,33 @@ class NodesSpec extends AnyFunSuite {
     mj.unpersistIndex()
   }
 
+  test("MaterializedJoinNode left_outer serve guard: a dim ledger past " +
+       "maxBroadcastDim degrades the dangler derivation to an unhinted " +
+       "(shuffle-eligible) anti-join — identical rows either way") {
+    import spark.implicits._
+    val c = Ctx(spark)
+    val facts = (1L to 200L).map(i => (i, i % 13, i * 2)).toDF("oid", "cust", "amount")
+    val dims = (0L to 6L).map(i => (i, s"t$i")).toDF("cid", "tier")
+    def build(thresh: Long): MaterializedJoinNode = {
+      val mj = new MaterializedJoinNode(leftOn = Seq("cust"),
+        rightOn = Seq("cid"), leftId = "oid", rightId = "cid",
+        joinType = "left_outer", maxBroadcastDim = thresh)
+      mj.fit(c, In.single("left" -> facts, "right" -> dims))
+      mj
+    }
+    def serve(mj: MaterializedJoinNode): Set[(Long, Long, Option[String])] =
+      mj.transform(c, In.single("probe" -> facts.select("cust").distinct()))(
+        "result").select("oid", "cust", "tier")
+        .as[(Long, Long, Option[String])].collect().toSet
+    val hinted = build(Long.MaxValue)   // dim fits: broadcast path
+    val guarded = build(0L)             // "degenerate dim": fallback path
+    val a = serve(hinted); val b = serve(guarded)
+    assert(a == b, "guarded fallback must serve the identical outer view")
+    assert(a.count(_._3.isEmpty) == (1L to 200L).count(_ % 13 > 6),
+      "danglers present under both paths")
+    hinted.unpersistIndex(); guarded.unpersistIndex()
+  }
+
   test("AggIndexNode.deleteWhere: predicate retention — victims selected by " +
        "a ledger-column condition (no id round-trip), NULL evaluations kept, " +
        "every measure class stays exact, emptied groups drop") {

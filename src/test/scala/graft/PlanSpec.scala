@@ -629,4 +629,38 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges(p) <= 2,
       s"only overlay-sized broadcast/window exchanges expected:\n$p")
   }
+
+  test("materialized join dim-delta maintenance: L ⋈ ΔR reads only the fact " +
+       "buckets the delta's keys hash into — bucket filter pinned, ledger " +
+       "laid bucket-per-partition, no layout column in any serve output") {
+    val spark0 = spark
+    import spark0.implicits._
+    val ctx = Ctx(spark)
+    val mj = new MaterializedJoinNode(leftOn = Seq("k"), rightOn = Seq("rk"),
+      leftId = "lid", rightId = "rk")
+    mj.fit(ctx, In.single(
+      "left" -> (1L to 2000L).map(i => (i, i % 40)).toDF("lid", "k"),
+      "right" -> (0L to 39L).map(i => (i, s"t$i")).toDF("rk", "tier")))
+    val m = mj.model.get
+    assert(m.left.rdd.getNumPartitions == m.nBuckets,
+      "the fact ledger must be laid bucket-per-partition at fit")
+    val delta = Seq((3L, "t3b")).toDF("rk", "tier")
+    val pruned = mj.prunedLeftFor(m, delta)
+    val pp = planOf(pruned)
+    assert(pp.contains("__graft_bucket"),
+      s"the dim-delta fact scan must filter on the bucket column:\n$pp")
+    assert(pp.contains("InMemoryTableScan"),
+      s"the pruned scan must read the persisted ledger:\n$pp")
+    // conservative: every fact matching the delta's key survives the prune
+    assert(pruned.filter("k = 3").count() == (1L to 2000L).count(_ % 40 == 3))
+    // maintenance through the pruned path stays exact (two dim rows for
+    // k = 3 after the upsertless append)
+    mj.updateRight(ctx, delta)
+    val served = mj.transform(ctx,
+      In.single("probe" -> Seq(3L).toDF("k")))("result")
+    assert(!served.columns.contains("__graft_bucket"),
+      "the layout column must never surface")
+    assert(served.count() == 2L * (1L to 2000L).count(_ % 40 == 3))
+    mj.unpersistIndex()
+  }
 }

@@ -393,14 +393,16 @@ class SerializationSpec extends AnyFunSuite {
     val mj = d.add(new MaterializedJoinNode(leftOn = Seq("cust", "region"),
       rightOn = Seq("c_id", "c_region"), leftId = "oid", rightId = "c_id",
       joinType = "left_outer",
-      compactEvery = 6, compactPath = Some("/tmp/mjc")))
+      compactEvery = 6, compactPath = Some("/tmp/mjc"),
+      maxBroadcastDim = 777L))
     val d4 = DagJson.fromJson(DagJson.toJson(d))
     val mj2 = d4.node(mj.name).asInstanceOf[MaterializedJoinNode]
     assert(mj2.leftOn == Seq("cust", "region") &&
       mj2.rightOn == Seq("c_id", "c_region") && mj2.leftId == "oid" &&
       mj2.rightId == "c_id" && mj2.joinType == "left_outer" &&
       mj2.compactEvery == 6 &&
-      mj2.compactPath.contains("/tmp/mjc"))
+      mj2.compactPath.contains("/tmp/mjc") &&
+      mj2.maxBroadcastDim == 777L)
   }
 
   test("round-trip covers quality kinds: heuristic/vocab/semdedup/domain-quota") {
