@@ -4127,6 +4127,93 @@ object Advanced {
       |WHERE o_orderkey % 7 <> 0 AND c_nationkey <> 3
       |ORDER BY o_orderkey""".stripMargin
 
+  // ---- q209: THE IVM CHAIN — maintained GROUP BY over the maintained
+  // join (the star-schema materialized view: orders ⋈ customer, grouped
+  // by market segment, live under CDC on BOTH feeds). A published fact
+  // corpus's change feed (MorTailNode → maintainFromStream: a re-pricing
+  // upsert wave, then tombstones) drives the LEFT-OUTER view, dim waves
+  // (late arrivals + a nation takedown) drive the right side, and a
+  // chained AggIndexNode consumes the join's Δview feed — corpus → view →
+  // dashboard, one consistent chain with zero new maintenance classes.
+  // The NULL segment row (facts whose customer is gone) is a REAL group
+  // the whole way: dim deletes demote facts into it through the feed's
+  // dangler re-inserts and the aggregate's null-safe group machinery.
+  // Gate: the served dashboard equals the declarative GROUP BY over the
+  // LEFT JOIN of the post-CDC corpora — a missed retraction, a stale
+  // dangler, a double-counted upsert, or a lost NULL group all change
+  // the hash. ----
+  def q209_chained_dashboard(spark: SparkSession, dir: String): DataFrame = {
+    val ctx = Ctx(spark)
+    val facts = Queries.run(spark) { d =>
+      d.add(SourceNode.table(dir, "orders")) >>
+        ProjectNode("o_orderkey", "o_custkey", "o_totalprice") >> d.output("result")
+    }.selectExpr("o_orderkey", "o_custkey",
+      "cast(floor(o_totalprice) as bigint) as price_i")
+    val dims = Queries.run(spark) { d =>
+      d.add(SourceNode.table(dir, "customer")) >>
+        ProjectNode("c_custkey", "c_mktsegment", "c_nationkey") >> d.output("result")
+    }
+    val work = java.nio.file.Files.createTempDirectory("graft_q209_")
+    work.toFile.deleteOnExit()
+    val root = s"$work/facts_mor"
+    new SinkNode(root, atomicPublish = true).transform(ctx,
+      In.single("df" -> facts.filter("o_orderkey % 5 != 0")))
+    val mj = new MaterializedJoinNode(leftOn = Seq("o_custkey"),
+      rightOn = Seq("c_custkey"), leftId = "o_orderkey", rightId = "c_custkey",
+      joinType = "left_outer")
+    mj.fit(ctx, In.single(
+      "left" -> Queries.run(spark) { d =>
+        d.add(new MorSourceNode(root, keys = Seq("o_orderkey"))) >> d.output("result")
+      },
+      "right" -> dims.filter("c_custkey % 10 != 0")))
+    val agg = new AggIndexNode(groupCols = Seq("c_mktsegment"),
+      sumCols = Seq("price_i"), idCol = MaterializedJoinNode.ViewIdCol)
+    mj.chainAggregate(ctx, agg)
+    // fact CDC: a re-pricing upsert wave (+1000 on every %3 order, plus
+    // the held-out %5 inserts), then a %7 takedown wave
+    AtomicPublish.publishDelta(spark, root, 1L, { t =>
+      facts.filter("o_orderkey % 5 = 0 OR o_orderkey % 3 = 0")
+        .selectExpr("o_orderkey", "o_custkey",
+          "CASE WHEN o_orderkey % 3 = 0 THEN price_i + 1000 ELSE price_i END AS price_i",
+          s"false as ${MorCdc.DeletedCol}")
+        .coalesce(1).write.parquet(t)
+    })
+    AtomicPublish.publishDelta(spark, root, 2L, { t =>
+      facts.filter("o_orderkey % 7 = 0")
+        .selectExpr("o_orderkey", "cast(null as bigint) as o_custkey",
+          "cast(null as bigint) as price_i",
+          s"true as ${MorCdc.DeletedCol}")
+        .coalesce(1).write.parquet(t)
+    })
+    val tail = new MorTailNode(root, maxFilesPerTrigger = Some(1))
+      .transform(ctx, In.empty)("result")
+    IndexMaintenance.maintainFromStream(mj, ctx, tail,
+      checkpoint = Some(s"$work/ckpt"), deleteCol = Some(MorCdc.DeletedCol))
+    // dim waves: the late %10 customers arrive (retracting their facts'
+    // danglers), then a nation takedown (demoting its facts to NULL)
+    mj.updateRight(ctx, dims.filter("c_custkey % 10 = 0"))
+    mj.deleteFromRight(ctx, dims.filter("c_nationkey = 3").select("c_custkey"))
+    // the dashboard: every segment plus the NULL group, served from the
+    // chained aggregate's group-count-sized totals
+    val probe = dims.select("c_mktsegment").distinct()
+      .unionByName(dims.selectExpr("cast(null as string) as c_mktsegment").limit(1))
+    agg.transform(ctx, In.single("probe" -> probe))("result")
+      .orderBy("c_mktsegment")
+  }
+  val q209Sql: String =
+    """WITH live_facts AS (
+      |  SELECT o_orderkey, o_custkey,
+      |    CASE WHEN o_orderkey % 3 = 0
+      |         THEN CAST(floor(o_totalprice) AS BIGINT) + 1000
+      |         ELSE CAST(floor(o_totalprice) AS BIGINT) END AS price_i
+      |  FROM orders WHERE o_orderkey % 7 <> 0),
+      |live_dims AS (
+      |  SELECT c_custkey, c_mktsegment FROM customer WHERE c_nationkey <> 3)
+      |SELECT c_mktsegment, count(*) AS n_rows,
+      |       CAST(sum(price_i) AS BIGINT) AS sum_price_i
+      |FROM live_facts LEFT JOIN live_dims ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   // ---- q194: the dashboard MAINTAINS ITSELF off a published corpus — the
   // q187/q189 subscription pattern driving the materialized aggregate:
   // a MoR root's change feed (MorTailNode) flows through
@@ -4603,5 +4690,6 @@ object Advanced {
     ("q206_stream_sketch_maintenance", q206_stream_sketch_maintenance _, q206Sql),
     ("q207_agg_index_variance", q207_agg_index_variance _, q207Sql),
     ("q208_stream_agg_serving", q208_stream_agg_serving _, q208Sql),
+    ("q209_chained_dashboard", q209_chained_dashboard _, q209Sql),
   )
 }

@@ -3590,6 +3590,62 @@ class NodesSpec extends AnyFunSuite {
     mj.unpersistIndex()
   }
 
+  test("MaterializedJoinNode.chainAggregate: maintained GROUP BY over the " +
+       "maintained join — fact waves, dim waves and takedowns on BOTH sides " +
+       "flow through the Δview feed; outer NULL group stays exact; equals " +
+       "the declarative join+GROUP BY at every step") {
+    import spark.implicits._
+    val c = Ctx(spark)
+    val facts0 = (1L to 60L).map(i => (i, i % 9, i)).toDF("oid", "cust", "amt")
+    val dims0 = (0L to 5L).map(i => (i, s"seg${i % 3}")).toDF("cid", "seg")
+    def drill(jt: String): Unit = {
+      val mj = new MaterializedJoinNode(leftOn = Seq("cust"),
+        rightOn = Seq("cid"), leftId = "oid", rightId = "cid", joinType = jt)
+      mj.fit(c, In.single("left" -> facts0.filter("oid <= 40"),
+        "right" -> dims0.filter("cid <= 3")))
+      val agg = new AggIndexNode(groupCols = Seq("seg"), sumCols = Seq("amt"),
+        idCol = MaterializedJoinNode.ViewIdCol)
+      mj.chainAggregate(c, agg)
+      // mirrored live state for the declarative oracle
+      var liveL = facts0.filter("oid <= 40")
+      var liveR = dims0.filter("cid <= 3")
+      def check(stage: String): Unit = {
+        val probe = dims0.select("seg").distinct()
+          .unionByName(Seq(Option.empty[String]).toDF("seg"))
+        val got = agg.transform(c, In.single("probe" -> probe))("result")
+          .as[(Option[String], Long, Long)].collect().toSet
+        val joined = liveL.join(liveR, liveL("cust") === liveR("cid"), jt)
+        val want = joined.groupBy("seg")
+          .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n_rows"),
+            org.apache.spark.sql.functions.sum("amt").as("sum_amt"))
+          .as[(Option[String], Long, Long)].collect().toSet
+        assert(got == want, s"[$jt/$stage] chained dashboard diverged: " +
+          s"got $got want $want")
+      }
+      check("seed")
+      // fact wave (some match, some dangle under outer)
+      mj.updateIndex(c, facts0.filter("oid > 40"))
+      liveL = facts0; check("fact-insert")
+      // late dim wave retro-matches (and retracts danglers under outer)
+      mj.updateRight(c, dims0.filter("cid > 3"))
+      liveR = dims0; check("dim-insert")
+      // fact takedown
+      mj.deleteFromIndex(c, facts0.filter("oid % 4 = 0").select("oid"))
+      liveL = liveL.filter("oid % 4 != 0"); check("fact-delete")
+      // dim takedown (facts resurface as NULL-group danglers under outer)
+      mj.deleteFromRight(c, Seq(1L, 4L).toDF("cid"))
+      liveR = liveR.filter("cid != 1 AND cid != 4"); check("dim-delete")
+      // wrong idCol refused
+      val bad = intercept[GraftException] {
+        mj.chainAggregate(c, new AggIndexNode(groupCols = Seq("seg")))
+      }
+      assert(bad.getMessage.contains("__view_id"))
+      agg.unpersistIndex(); mj.unpersistIndex()
+    }
+    drill("inner")
+    drill("left_outer")
+  }
+
   test("MaterializedJoinNode left_outer serve guard: a dim ledger past " +
        "maxBroadcastDim degrades the dangler derivation to an unhinted " +
        "(shuffle-eligible) anti-join — identical rows either way") {
@@ -3615,6 +3671,37 @@ class NodesSpec extends AnyFunSuite {
     assert(a.count(_._3.isEmpty) == (1L to 200L).count(_ % 13 > 6),
       "danglers present under both paths")
     hinted.unpersistIndex(); guarded.unpersistIndex()
+  }
+
+  test("AggIndexNode NULL group: SQL GROUP BY treats NULL as one real group — " +
+       "merges never duplicate it, deletes splice it, a NULL probe key " +
+       "serves it (the chained outer-view dangler group rides this)") {
+    import spark.implicits._
+    val c = Ctx(spark)
+    def df(rows: Seq[(Long, Option[String], Long, String)]) =
+      rows.toDF("doc_id", "grp", "v", "lang")
+    val idx = new AggIndexNode(groupCols = Seq("grp"), sumCols = Seq("v"),
+      minCols = Seq("v"), distinctCols = Seq("lang"))
+    idx.fit(c, In.single("corpus" -> df(Seq(
+      (1L, Some("a"), 10L, "en"), (2L, None, 5L, "en"), (3L, None, 7L, "de")))))
+    // insert wave touches the NULL group: the full-outer merge must fold
+    // into ONE null-group row, not two
+    idx.updateIndex(c, df(Seq((4L, None, 2L, "fr"), (5L, Some("a"), 1L, "en"))))
+    val probe = Seq(Option("a"), Option.empty[String]).toDF("grp")
+    def served() = idx.transform(c, In.single("probe" -> probe))("result")
+      .select("grp", "n_rows", "sum_v", "min_v", "nd_lang")
+      .as[(Option[String], Long, Long, Long, Long)].collect().toSet
+    assert(served() == Set(
+      (Some("a"), 2L, 11L, 1L, 1L), (None, 3L, 14L, 2L, 3L)))
+    // a takedown deleting the NULL group's minimum forces the splice path
+    // (left_anti/left_semi on the touched NULL key must match it)
+    idx.deleteFromIndex(c, Seq(4L).toDF("doc_id"))
+    assert(served() == Set(
+      (Some("a"), 2L, 11L, 1L, 1L), (None, 2L, 12L, 5L, 2L)))
+    // exhausting the group drops it entirely
+    idx.deleteFromIndex(c, Seq(2L, 3L).toDF("doc_id"))
+    assert(served() == Set((Some("a"), 2L, 11L, 1L, 1L)))
+    idx.unpersistIndex()
   }
 
   test("AggIndexNode.deleteWhere: predicate retention — victims selected by " +
