@@ -289,7 +289,7 @@ object NodeRegistry {
       p.strOpt("compactPath")))
     register("sketch_index")(p => new SketchIndexNode(p.strs("groupCols"),
       p.strs("cols"), p.intOr("lgConfigK", 12), p.intOr("compactEvery", 0),
-      p.strOpt("compactPath")))
+      p.strOpt("compactPath"), p.strs("quantileCols"), p.intOr("kllK", 200)))
     register("materialized_join")(p => new MaterializedJoinNode(
       p.strs("leftOn"), p.strs("rightOn"), p.str("leftId"), p.str("rightId"),
       p.strOpt("joinType").getOrElse("inner"),

@@ -1015,14 +1015,28 @@ class SketchIndexNode(
     val cols: Seq[String],
     val lgConfigK: Int = 12,
     val compactEvery: Int = 0,
-    val compactPath: Option[String] = None)
+    val compactPath: Option[String] = None,
+    // FLOAT-MEASURE QUANTILES (the AggIndexNode gap): one mergeable KLL
+    // doubles sketch per group per column — perplexity/loss/score columns
+    // (DoubleType) get maintained p50/p95/p99 under insert-only feeds with
+    // a published ~1.65% normalized-rank error at the default k = 200.
+    // Same contract as the HLL measures: associative merges, O(groups ×
+    // sketch) state, deletes refused. Serve via `quantilesOf`.
+    val quantileCols: Seq[String] = Nil,
+    val kllK: Int = 200)
   extends EstimatorNode with IncrementalIndex {
   require(groupCols.nonEmpty, "sketch_index: groupCols must be non-empty")
-  require(cols.nonEmpty, "sketch_index: cols must be non-empty")
+  require(cols.nonEmpty || quantileCols.nonEmpty,
+    "sketch_index: need at least one HLL or quantile measure")
   require(cols.distinct.size == cols.size && cols.forall(!groupCols.contains(_)),
     "sketch_index: cols must be distinct and disjoint from groupCols")
+  require(quantileCols.distinct.size == quantileCols.size &&
+    quantileCols.forall(!groupCols.contains(_)),
+    "sketch_index: quantileCols must be distinct and disjoint from groupCols")
   require(lgConfigK >= 4 && lgConfigK <= 21,
     s"sketch_index: lgConfigK must be in [4, 21], got $lgConfigK")
+  require(kllK >= 8 && kllK <= 65535,
+    s"sketch_index: kllK must be in [8, 65535], got $kllK")
   require(compactEvery >= 0, "compactEvery must be >= 0")
   type Model = DataFrame // totals: groupCols..., n_rows, __sk_<c> per col
   override protected def defaultName: String = "sketch_index"
@@ -1031,15 +1045,19 @@ class SketchIndexNode(
   override def jsonKind: Option[String] = Some("sketch_index")
   override def jsonParams: Map[String, Any] = Map(
     "groupCols" -> groupCols, "cols" -> cols, "lgConfigK" -> lgConfigK,
-    "compactEvery" -> compactEvery, "compactPath" -> compactPath.orNull)
+    "compactEvery" -> compactEvery, "compactPath" -> compactPath.orNull,
+    "quantileCols" -> quantileCols, "kllK" -> kllK)
 
   private def skName(c: String) = s"__sk_$c"
+  private def kllName(c: String) = s"__kll_$c"
 
   /** hll_sketch_agg accepts int/long/string/binary; anything else (and a
     * float in particular, whose binary equality is not value identity)
-    * must be refused loudly, not left to a mid-job analyzer error. */
+    * must be refused loudly, not left to a mid-job analyzer error.
+    * Quantile measures are the mirror image: any NUMERIC column goes
+    * (floats are the point), everything else is refused. */
   private def checkTypes(df: DataFrame): Unit = {
-    import org.apache.spark.sql.types.{BinaryType, IntegerType, LongType, StringType}
+    import org.apache.spark.sql.types.{BinaryType, IntegerType, LongType, NumericType, StringType}
     cols.foreach { c =>
       val t = df.schema(c).dataType
       if (!Seq(IntegerType, LongType, StringType, BinaryType).contains(t))
@@ -1047,22 +1065,33 @@ class SketchIndexNode(
           s"sketch_index '$name': column '$c' is ${t.simpleString} — HLL " +
             "sketches take int/bigint/string/binary (cast or hash upstream)")
     }
+    quantileCols.foreach { c =>
+      if (!df.schema(c).dataType.isInstanceOf[NumericType])
+        throw new GraftException(
+          s"sketch_index '$name': quantile column '$c' is " +
+            s"${df.schema(c).dataType.simpleString} — KLL quantiles need a " +
+            "numeric measure")
+    }
   }
 
   private def sketchTotalsOf(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{count, lit}
     checkTypes(df)
-    val aggs = count(lit(1)).as("n_rows") +:
-      cols.map(c => expr(s"hll_sketch_agg(`$c`, $lgConfigK)").as(skName(c)))
+    val kllAgg = graft.functions.Kll.agg(kllK)
+    val aggs = (count(lit(1)).as("n_rows") +:
+      cols.map(c => expr(s"hll_sketch_agg(`$c`, $lgConfigK)").as(skName(c)))) ++
+      // NULL rides as NaN (the Aggregator skips it) — percentile semantics
+      quantileCols.map(c => kllAgg(
+        expr(s"coalesce(cast(`$c` as double), double('NaN'))")).as(kllName(c)))
     df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
   /** totals ⊕ delta: exact counts add; sketches union (a group all-null
-    * on a measure carries a null sketch — union treats it as empty). */
+    * on a measure carries a null/empty sketch — union treats it as empty). */
   private def sketchMerged(totals: DataFrame, delta: DataFrame): DataFrame = {
-    import org.apache.spark.sql.functions.coalesce
     val d = delta.select((groupCols.map(col) :+ col("n_rows").as("__dn")) ++
-      cols.map(c => col(skName(c)).as(s"__d_${c}")): _*)
+      cols.map(c => col(skName(c)).as(s"__d_${c}")) ++
+      quantileCols.map(c => col(kllName(c)).as(s"__dk_${c}")): _*)
     IvmUtil.nsJoin(totals, d, groupCols, "full_outer")
       .select((groupCols.map(col) :+
         expr("coalesce(n_rows, 0L) + coalesce(__dn, 0L)").as("n_rows")) ++
@@ -1070,7 +1099,33 @@ class SketchIndexNode(
           val (a, b) = (skName(c), s"__d_$c")
           expr(s"case when `$a` is null then `$b` when `$b` is null then `$a` " +
             s"else hll_union(`$a`, `$b`) end").as(skName(c))
+        } ++
+        quantileCols.map { c =>
+          graft.functions.Kll.mergeBytes(col(kllName(c)), col(s"__dk_$c"))
+            .as(kllName(c))
         }: _*)
+  }
+
+  /** Serve per-group quantiles of a KLL measure — probe-bounded keyed
+    * lookup against the group-count-sized totals, one row per (group, q);
+    * values carry the sketch's ~1.65% normalized-RANK error bound (k=200).
+    * Groups whose measure was all-NULL serve a NULL value. */
+  def quantilesOf(ctx: Ctx, probe: DataFrame, column: String,
+      qs: Seq[Double]): DataFrame = {
+    import org.apache.spark.sql.functions.explode
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      s"sketch_index '$name': quantiles must be in [0, 1], got ${qs.mkString(", ")}")
+    val m = model.getOrElse(
+      throw new GraftException(s"estimator node '$name' not fitted"))
+    if (!quantileCols.contains(column))
+      throw new GraftException(
+        s"sketch_index '$name': quantilesOf needs '$column' in quantileCols " +
+          s"(have: ${quantileCols.mkString(", ")})")
+    val keys = probe.select(groupCols.map(col): _*).distinct()
+    IvmUtil.nsJoin(m, broadcast(keys), groupCols, "left_semi")
+      .withColumn("q", explode(lit(qs.toArray)))
+      .select((groupCols.map(col) :+ col("q")) :+
+        graft.functions.Kll.quantile(col(kllName(column)), col("q")).as("value"): _*)
   }
 
   def fitModel(ctx: Ctx, in: In): Model = {

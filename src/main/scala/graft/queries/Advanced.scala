@@ -4214,6 +4214,51 @@ object Advanced {
       |FROM live_facts LEFT JOIN live_dims ON o_custkey = c_custkey
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  // ---- q210: MAINTAINED FLOAT QUANTILES — the measure class the exact
+  // families refuse by design: AggIndexNode demands integral sums/bins
+  // (exactness under decrement) and its histograms need a pinned range,
+  // but a perplexity/score/price column is DoubleType with unknown
+  // support. SketchIndexNode's KLL measure closes it: one mergeable
+  // quantile sketch per group, maintained across TWO insert waves
+  // (day-2 state = union of wave sketches), served as p50/p95/p99 per
+  // priority class. The gate is the sketch's own contract — RANK error:
+  // for each served value, the fraction of the group's true rows at or
+  // below it must sit within 5% of the asked q (KLL k=200 promises
+  // ~1.65%; rank-space is the right metric — value-space comparison vs
+  // percentile_cont is ill-posed on plateaued distributions). The
+  // oracle states the gate as the same (group × q) grid of trues. ----
+  def q210_sketch_float_quantiles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{abs, count, lit, sum, when}
+    val ctx = Ctx(spark)
+    val orders = Queries.run(spark) { d =>
+      d.add(SourceNode.table(dir, "orders")) >>
+        ProjectNode("o_orderkey", "o_orderpriority", "o_totalprice") >>
+        d.output("result")
+    }
+    val idx = new SketchIndexNode(groupCols = Seq("o_orderpriority"),
+      cols = Nil, quantileCols = Seq("o_totalprice"))
+    idx.fit(ctx, In.single("corpus" -> orders.filter("o_orderkey % 3 = 0")))
+    idx.updateIndex(ctx, orders.filter("o_orderkey % 3 = 1"))
+    idx.updateIndex(ctx, orders.filter("o_orderkey % 3 = 2"))
+    val served = idx.quantilesOf(ctx,
+      orders.select("o_orderpriority").distinct(), "o_totalprice",
+      Seq(0.5, 0.95, 0.99))
+    served.alias("s")
+      .join(orders.alias("o"), col("s.o_orderpriority") === col("o.o_orderpriority"))
+      .groupBy(col("s.o_orderpriority").as("o_orderpriority"), col("s.q"),
+        col("s.value"))
+      .agg((sum(when(col("o.o_totalprice") <= col("s.value"), 1L).otherwise(0L))
+        .cast("double") / count(lit(1))).as("__rank"))
+      .select(col("o_orderpriority"), col("q"),
+        (abs(col("__rank") - col("q")) <= lit(0.05)).as("ok"))
+      .orderBy("o_orderpriority", "q")
+  }
+  val q210Sql: String =
+    """SELECT o_orderpriority, q, true AS ok
+      |FROM (SELECT DISTINCT o_orderpriority FROM orders)
+      |CROSS JOIN (SELECT unnest(CAST([0.5, 0.95, 0.99] AS DOUBLE[])) AS q)
+      |ORDER BY o_orderpriority, q""".stripMargin
+
   // ---- q194: the dashboard MAINTAINS ITSELF off a published corpus — the
   // q187/q189 subscription pattern driving the materialized aggregate:
   // a MoR root's change feed (MorTailNode) flows through
@@ -4691,5 +4736,6 @@ object Advanced {
     ("q207_agg_index_variance", q207_agg_index_variance _, q207Sql),
     ("q208_stream_agg_serving", q208_stream_agg_serving _, q208Sql),
     ("q209_chained_dashboard", q209_chained_dashboard _, q209Sql),
+    ("q210_sketch_float_quantiles", q210_sketch_float_quantiles _, q210Sql),
   )
 }

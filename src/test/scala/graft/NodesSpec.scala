@@ -3774,6 +3774,65 @@ class NodesSpec extends AnyFunSuite {
     idx.unpersistIndex()
   }
 
+  test("SketchIndexNode quantileCols: maintained KLL float quantiles — " +
+       "small-n sketches are exact, waves merge, rank error bounded at 50k, " +
+       "all-NULL group serves NULL, non-numeric refused, save/load keeps " +
+       "the sketches") {
+    import spark.implicits._
+    val c = Ctx(spark)
+    val idx = new SketchIndexNode(groupCols = Seq("src"), cols = Nil,
+      quantileCols = Seq("ppl"))
+    idx.fit(c, In.single("corpus" -> Seq(
+      (1L, "a", Some(1.0)), (2L, "a", Some(2.0)), (3L, "a", Some(3.0)),
+      (4L, "b", Option.empty[Double])).toDF("id", "src", "ppl")))
+    def q(n: SketchIndexNode, qs: Seq[Double]) =
+      n.quantilesOf(c, Seq("a", "b").toDF("src"), "ppl", qs)
+        .as[(String, Double, Option[Double])].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+    // n below the sketch capacity: exact (inclusive rule — first value
+    // whose rank reaches q), and the all-NULL group serves NULL
+    assert(q(idx, Seq(0.5, 1.0)) == Map(
+      ("a", 0.5) -> Some(2.0), ("a", 1.0) -> Some(3.0),
+      ("b", 0.5) -> None, ("b", 1.0) -> None))
+    // an insert wave merges; NULLs in a wave are skipped not counted
+    idx.updateIndex(c, Seq((5L, "a", Some(4.0)), (6L, "a", Option.empty[Double]),
+      (7L, "b", Some(9.0))).toDF("id", "src", "ppl"))
+    assert(q(idx, Seq(0.5)) == Map(
+      ("a", 0.5) -> Some(2.0), ("b", 0.5) -> Some(9.0)))
+    // 50k values, two waves vs exact percentile: served value's true RANK
+    // within 5% of the asked q (the KLL contract is rank error, k=200 is
+    // ~1.65% — 5% is the engine gate convention)
+    val big = new SketchIndexNode(groupCols = Seq("src"), cols = Nil,
+      quantileCols = Seq("v"))
+    val base = spark.range(50000).selectExpr("id", "'g' as src",
+      "cast(pmod(id * 2654435761, 100000) as double) / 100 as v")
+    big.fit(c, In.single("corpus" -> base.filter("id % 2 = 0")))
+    big.updateIndex(c, base.filter("id % 2 = 1"))
+    val got = big.quantilesOf(c, Seq("g").toDF("src"), "v", Seq(0.5, 0.95, 0.99))
+      .as[(String, Double, Option[Double])].collect()
+    got.foreach { case (_, qq, Some(v)) =>
+      val rank = base.filter(s"v <= $v").count().toDouble / 50000.0
+      assert(math.abs(rank - qq) <= 0.05,
+        s"q=$qq served $v with true rank $rank — outside the 5% gate")
+    case other => fail(s"unexpected null quantile row $other")
+    }
+    // refusals: non-numeric quantile column; deletes (family contract)
+    val bad = intercept[GraftException] {
+      new SketchIndexNode(groupCols = Seq("src"), cols = Nil,
+        quantileCols = Seq("s"))
+        .fit(c, In.single("corpus" -> Seq((1L, "a", "txt")).toDF("id", "src", "s")))
+    }
+    assert(bad.getMessage.contains("numeric measure"))
+    // save/load round-trips the KLL column
+    val dir = java.nio.file.Files.createTempDirectory("graft_kllidx").toString
+    idx.saveFitted(dir)
+    val idx2 = new SketchIndexNode(groupCols = Seq("src"), cols = Nil,
+      quantileCols = Seq("ppl"))
+    idx2.loadFitted(dir, Some(spark))
+    assert(q(idx2, Seq(0.5)) == q(idx, Seq(0.5)))
+    idx.unpersistIndex(); idx2.unpersistIndex(); big.unpersistIndex()
+  }
+
   test("SketchIndexNode: ledgerless HLL distinct counts — union across " +
        "insert batches is order-independent and exact at small cardinality, " +
        "within 5% at 20k; deletes and float measures refused; save/load " +

@@ -390,6 +390,12 @@ class SerializationSpec extends AnyFunSuite {
     assert(sk2.groupCols == Seq("src") && sk2.cols == Seq("url", "doc_id") &&
       sk2.lgConfigK == 14 && sk2.compactEvery == 3 &&
       sk2.compactPath.contains("/tmp/skc"))
+    val skq = d.add(new SketchIndexNode(Seq("src"), Nil,
+      quantileCols = Seq("ppl", "score"), kllK = 400))
+    val skq2 = DagJson.fromJson(DagJson.toJson(d))
+      .node(skq.name).asInstanceOf[SketchIndexNode]
+    assert(skq2.quantileCols == Seq("ppl", "score") && skq2.kllK == 400 &&
+      skq2.cols.isEmpty)
     val mj = d.add(new MaterializedJoinNode(leftOn = Seq("cust", "region"),
       rightOn = Seq("c_id", "c_region"), leftId = "oid", rightId = "c_id",
       joinType = "left_outer",
