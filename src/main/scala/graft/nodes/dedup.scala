@@ -464,6 +464,14 @@ class ClusterIndexNode(val idA: String = "id_a", val idB: String = "id_b",
     * folded in once and never replayed (the from-scratch equivalent: CC
     * over ALL edges, mapping then restricted to live ids). A deleted id
     * queried afterwards maps to itself (singleton), like any unknown id. */
+  /** Retention ledger: (id, cluster_id) — CURRENT labels, so "drop every
+    * member of cluster X" is `cluster_id = X` (whole-cluster takedowns). */
+  override protected def retentionLedger: Option[(DataFrame, String)] = {
+    val m = model.getOrElse(
+      throw new graft.dag.GraftException(s"estimator node '$name' not fitted"))
+    Some((effectiveMapping(m), "id"))
+  }
+
   def deleteFromIndex(ctx: Ctx, deletes: DataFrame): Unit = {
     val m = model.getOrElse(
       throw new graft.dag.GraftException(s"estimator node '$name' not fitted"))
@@ -1088,6 +1096,15 @@ class MinHashIndexNode(
     * false positives) until `rebuildIndex` re-derives the buckets from the
     * shingle ledger. Kept buckets only shrink, so the cap needs no
     * re-evaluation. Tombstones for unknown ids are no-ops. */
+  /** Retention ledger: (idCol, n_shingles) — e.g. "drop every doc whose
+    * shingle set is smaller than K" (too short to dedup meaningfully). */
+  override protected def retentionLedger: Option[(DataFrame, String)] = {
+    val m = model.getOrElse(
+      throw new graft.dag.GraftException(s"estimator node '$name' not fitted"))
+    Some((m.shingles.select(col("base_id").as(idCol),
+      expr("size(__sh_b)").as("n_shingles")), idCol))
+  }
+
   def deleteFromIndex(ctx: Ctx, deletes: DataFrame): Unit = {
     import org.apache.spark.storage.StorageLevel
     val m = model.getOrElse(

@@ -773,7 +773,7 @@ class AggIndexNode(
     * TRUE; kept = everything else, including NULL evaluations), so
     * victims and survivors always partition the ledger exactly. Same
     * decrement/splice machinery as deleteFromIndex. */
-  def deleteWhere(ctx: Ctx, condition: String): Unit = {
+  override def deleteWhere(ctx: Ctx, condition: String): Unit = {
     import org.apache.spark.sql.functions.coalesce
     val cond = coalesce(expr(condition).cast("boolean"), lit(false))
     applyDelete(m => m.ledger.filter(cond), m => m.ledger.filter(!cond))
@@ -1535,6 +1535,16 @@ class MaterializedJoinNode(
     bumpGeneration()
   }
 
+  /** Retention ledger: the fact ledger's full row (leftId, join keys,
+    * payload) — "drop every fact older than X / from source Y" without an
+    * id round-trip; the chained Δview feed sees the deletes like any
+    * other fact takedown. */
+  override protected def retentionLedger: Option[(DataFrame, String)] = {
+    val m = model.getOrElse(
+      throw new GraftException(s"estimator node '$name' not fitted"))
+    Some((leftData(m), leftId))
+  }
+
   /** Fact takedown: anti-join ledger and view on the fact row id. */
   def deleteFromIndex(ctx: Ctx, deletes: DataFrame): Unit = {
     import org.apache.spark.storage.StorageLevel
@@ -1649,6 +1659,13 @@ class MaterializedJoinNode(
         outer.updateRight(ctx, delta)
       def deleteFromIndex(ctx: Ctx, deletes: DataFrame): Unit =
         outer.deleteFromRight(ctx, deletes)
+      /** Retention over the DIM ledger ("drop nation 3") — the dim-side
+        * mirror of the fact ledger's predicate path. */
+      override protected def retentionLedger: Option[(DataFrame, String)] = {
+        val m = outer.model.getOrElse(
+          throw new GraftException(s"estimator node '${outer.name}' not fitted"))
+        Some((m.right, outer.rightId))
+      }
     }
   }
 

@@ -38,6 +38,34 @@ trait IncrementalIndex { self: Node =>
     * exactly that when given a `deleteCol`. */
   def deleteFromIndex(ctx: Ctx, deletes: DataFrame): Unit
 
+  /** The family's per-document RETENTION ledger: (frame, id column), where
+    * the frame carries the id under the name `deleteFromIndex` consumes
+    * plus whatever per-document columns the family keeps (each override
+    * documents its schema). None (default) = the family has no
+    * per-document state to evaluate a predicate over (e.g. ledgerless
+    * sketches) — `deleteWhere` then refuses loudly. */
+  protected def retentionLedger: Option[(DataFrame, String)] = None
+
+  /** RETENTION deletes across the family: remove every indexed document
+    * matching `condition` — a Spark SQL boolean over the family's ledger
+    * columns (see `retentionLedger`). The "drop everything shorter than X /
+    * older than Y / in cluster Z" path: at 100 TB the victim set must not
+    * round-trip through the driver as an id list — the predicate IS the
+    * victim set, evaluated distributed over the ledger and routed straight
+    * into `deleteFromIndex` (so `deleteWhere(cond)` ==
+    * `deleteFromIndex(ledger WHERE cond)` by construction, which is what
+    * the per-family spec pins). NULL-safe: rows where the condition
+    * evaluates NULL are KEPT (victims are rows where it is TRUE). Families
+    * with a richer direct path (AggIndexNode's ledger filter) override. */
+  def deleteWhere(ctx: Ctx, condition: String): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, col, expr, lit}
+    val (ledger, idc) = retentionLedger.getOrElse(throw new GraftException(
+      s"deleteWhere: this index family keeps no per-document ledger to " +
+        s"evaluate '$condition' over (ledgerless state cannot decrement)"))
+    val cond = coalesce(expr(condition).cast("boolean"), lit(false))
+    deleteFromIndex(ctx, ledger.filter(cond).select(col(idc)).distinct())
+  }
+
   /** Highest streaming micro-batch id already folded in — the foreachBatch
     * replay guard. Structured Streaming redelivers the last UNCOMMITTED
     * batch after a restart with the SAME batch id, so skipping

@@ -554,6 +554,15 @@ class DHashIndexNode(
   /** Two anti joins; kept buckets only shrink so the cap needs no
     * re-evaluation. Dropped-whole buckets do not resurrect until
     * `rebuildIndex` (the MinHashIndexNode contract). Unknown ids no-op. */
+  /** Retention ledger: (idCol, hash) — the per-doc perceptual hash, so
+    * blocklist-style retention ("drop every doc carrying hash H") needs
+    * no id round-trip. */
+  override protected def retentionLedger: Option[(DataFrame, String)] = {
+    val m = model.getOrElse(
+      throw new GraftException(s"estimator node '$name' not fitted"))
+    Some((m.ledger.select(col("base_id").as(idCol), col("__h").as("hash")), idCol))
+  }
+
   def deleteFromIndex(ctx: Ctx, deletes: DataFrame): Unit = {
     import org.apache.spark.storage.StorageLevel
     val m = model.getOrElse(

@@ -688,6 +688,15 @@ class IvfIndexNode(
     * centroids: assignment is per-row, deletion removes rows, nothing else
     * in the index depends on corpus membership. Tombstones for unknown ids
     * are no-ops. */
+  /** Retention ledger: (idCol, cluster, norm) — e.g. "drop every
+    * zero-norm vector" or per-cluster takedowns. */
+  override protected def retentionLedger: Option[(DataFrame, String)] = {
+    val m = model.getOrElse(
+      throw new graft.dag.GraftException(s"estimator node '$name' not fitted"))
+    Some((m.assignments.select(col(idCol), col("__cluster").as("cluster"),
+      col("__cnorm").as("norm")), idCol))
+  }
+
   def deleteFromIndex(ctx: Ctx, deletes: DataFrame): Unit = {
     import org.apache.spark.storage.StorageLevel
     val m = model.getOrElse(
@@ -1291,6 +1300,18 @@ class InvertedIndexNode(
     * post-delete corpus, the same proof shape as updateIndex/q141. Work is
     * one semi/anti join pair against the partitioned index plus a
     * delete-sized df aggregate. */
+  /** Retention ledger: (idCol, doc_len) — doc_len is the tokenized length
+    * (NULL for docs whose text tokenizes to nothing), so "drop every doc
+    * shorter than K tokens" is `coalesce(doc_len, 0) < K`. */
+  override protected def retentionLedger: Option[(DataFrame, String)] = {
+    val m = model.getOrElse(
+      throw new graft.dag.GraftException(s"estimator node '$name' not fitted"))
+    Some((m.docs.select(col("__id"))
+      .join(m.postings.select(col("__id"), col("__dl")).distinct(),
+        Seq("__id"), "left")
+      .select(col("__id").as(idCol), col("__dl").as("doc_len")), idCol))
+  }
+
   def deleteFromIndex(ctx: Ctx, deletes: DataFrame): Unit = {
     import org.apache.spark.storage.StorageLevel
     import org.apache.spark.sql.functions.coalesce

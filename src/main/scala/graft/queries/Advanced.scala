@@ -4259,6 +4259,32 @@ object Advanced {
       |CROSS JOIN (SELECT unnest(CAST([0.5, 0.95, 0.99] AS DOUBLE[])) AS q)
       |ORDER BY o_orderpriority, q""".stripMargin
 
+  // ---- q211: PREDICATE RETENTION on a retrieval index — the q203
+  // deleteWhere contract lifted to the non-agg families: "drop every doc
+  // shorter than 20 tokens" evaluated over the inverted index's own
+  // per-doc ledger (doc_id, doc_len), victims never round-tripping
+  // through the driver as an id list. Rides the exact decremental delete
+  // machinery (df/N decrement), so post-retention retrieval must equal
+  // the declarative top-k over the length-filtered corpus — a missed
+  // victim, an over-deleted survivor, or a stale df all change the
+  // hash. ----
+  def q211_inverted_retention(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Queries.run(spark) { d =>
+      d.add(SourceNode.table(dir, "documents")) >> d.output("result")
+    }
+    val ctx = Ctx(spark)
+    val idx = new InvertedIndexNode(k = 5, maxDfFrac = 0.79)
+    idx.fit(ctx, In.single("corpus" -> docs.filter("doc_id % 5 != 0")))
+    idx.updateIndex(ctx, docs.filter("doc_id % 5 = 0"))
+    idx.deleteWhere(ctx, "coalesce(doc_len, 0) < 20")
+    val queries = docs.filter(queryBatchPred)
+      .selectExpr("doc_id as query_id", "text")
+    idx.transform(ctx, In.single("queries" -> queries))("result")
+      .orderBy("query_id", "rank")
+  }
+  val q211Sql: String = q161OracleSql(
+    "len(regexp_split_to_array(lower(trim(text)), '\\s+')) >= 20")
+
   // ---- q194: the dashboard MAINTAINS ITSELF off a published corpus — the
   // q187/q189 subscription pattern driving the materialized aggregate:
   // a MoR root's change feed (MorTailNode) flows through
@@ -4737,5 +4763,6 @@ object Advanced {
     ("q208_stream_agg_serving", q208_stream_agg_serving _, q208Sql),
     ("q209_chained_dashboard", q209_chained_dashboard _, q209Sql),
     ("q210_sketch_float_quantiles", q210_sketch_float_quantiles _, q210Sql),
+    ("q211_inverted_retention", q211_inverted_retention _, q211Sql),
   )
 }

@@ -3590,6 +3590,105 @@ class NodesSpec extends AnyFunSuite {
     mj.unpersistIndex()
   }
 
+  test("deleteWhere across the index families: predicate retention equals " +
+       "deleteFromIndex on the same victims for inverted/minhash/ivf/dhash/" +
+       "cluster/materialized-join (+ dim side); ledgerless sketch refuses") {
+    import spark.implicits._
+    val c = Ctx(spark)
+    // inverted index — ledger (doc_id, doc_len): drop docs under 3 tokens
+    val corpus = Seq((1L, "apple banana apple"), (2L, "banana cherry"),
+      (3L, "durian elder fig"), (4L, "apple")).toDF("doc_id", "text")
+    val queries = Seq((100L, "apple cherry banana")).toDF("query_id", "text")
+    def inv() = { val n = new InvertedIndexNode(k = 10, maxDfFrac = 1.0)
+      n.fit(c, In.single("corpus" -> corpus)); n }
+    val iA = inv(); iA.deleteWhere(c, "coalesce(doc_len, 0) < 3")
+    val iB = inv(); iB.deleteFromIndex(c, Seq(2L, 4L).toDF("doc_id"))
+    def serveInv(n: InvertedIndexNode) =
+      n.transform(c, In.single("queries" -> queries))("result")
+        .select("query_id", "doc_id", "score", "rank")
+        .as[(Long, Long, Long, Int)].collect().toSet
+    assert(serveInv(iA) == serveInv(iB) && serveInv(iA).nonEmpty)
+    iA.unpersistIndex(); iB.unpersistIndex()
+    // minhash index — ledger (doc_id, n_shingles): composite predicate
+    val mhDocs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "completely different words that share nothing at all")).toDF("doc_id", "text")
+    val mhDelta = Seq((10L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    def mh() = { val n = new MinHashIndexNode(numHashes = 32, bands = 16)
+      n.fit(c, In.single("corpus" -> mhDocs)); n }
+    def serveMh(n: MinHashIndexNode) =
+      n.transform(c, In.single("delta" -> mhDelta))("result")
+        .as[(Long, Long, Double)].collect().toSet
+    val mA = mh(); mA.deleteWhere(c, "doc_id % 2 = 0 AND n_shingles >= 2")
+    val mB = mh(); mB.deleteFromIndex(c, Seq(2L).toDF("doc_id"))
+    assert(serveMh(mA) == serveMh(mB) && serveMh(mA) == Set((10L, 1L, 1.0)))
+    mA.unpersistIndex(); mB.unpersistIndex()
+    // ivf index — ledger (vec_id, cluster, norm): drop low-norm vectors
+    val vecs = (1L to 8L).map(i =>
+      (i, Array(i.toFloat, 0f))).toDF("vec_id", "embedding")
+    def ivf() = { val n = new IvfIndexNode(k = 3, nClusters = 2, nProbe = 2,
+      maxLiteralCentroids = 0)
+      n.fit(c, In.single("corpus" -> vecs)); n }
+    def serveIvf(n: IvfIndexNode) =
+      n.transform(c, In.single("queries" ->
+        Seq((1L, Array(2f, 0f))).toDF("query_id", "embedding")))("result")
+        .select("query_id", "vec_id", "rank")
+        .as[(Long, Long, Int)].collect().toSet
+    val vA = ivf(); vA.deleteWhere(c, "norm < 3.5")
+    val vB = ivf(); vB.deleteFromIndex(c, Seq(1L, 2L, 3L).toDF("vec_id"))
+    assert(serveIvf(vA) == serveIvf(vB) && serveIvf(vA).nonEmpty)
+    vA.unpersistIndex(); vB.unpersistIndex()
+    // dhash index — ledger (doc_id, hash): blocklist a hash value
+    val hashes = Seq((1L, 0xF0F0L), (2L, 0xF0F0L), (3L, 0x0A0AL))
+      .toDF("doc_id", "dhash")
+    def dh() = { val n = new DHashIndexNode(maxHamming = 0)
+      n.fit(c, In.single("corpus" -> hashes)); n }
+    def serveDh(n: DHashIndexNode) =
+      n.transform(c, In.single("delta" ->
+        Seq((10L, 0xF0F0L)).toDF("doc_id", "dhash")))("result")
+        .as[(Long, Long, Int)].collect().toSet
+    val hA = dh(); hA.deleteWhere(c, s"hash = ${0xF0F0L}")
+    val hB = dh(); hB.deleteFromIndex(c, Seq(1L, 2L).toDF("doc_id"))
+    assert(serveDh(hA) == serveDh(hB) && serveDh(hA).isEmpty)
+    hA.unpersistIndex(); hB.unpersistIndex()
+    // cluster index — ledger (id, cluster_id): whole-cluster takedown
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    def ci() = { val n = new ClusterIndexNode()
+      n.fit(c, In.single("pairs" -> pairs)); n }
+    def serveCi(n: ClusterIndexNode) =
+      n.transform(c, In.single("queries" ->
+        Seq(1L, 2L, 3L, 5L, 6L).toDF("id")))("result")
+        .as[(Long, Long)].collect().toSet
+    val cA = ci(); cA.deleteWhere(c, "cluster_id = 1")
+    val cB = ci(); cB.deleteFromIndex(c, Seq(1L, 2L, 3L).toDF("id"))
+    assert(serveCi(cA) == serveCi(cB))
+    cA.unpersistIndex(); cB.unpersistIndex()
+    // materialized join — fact ledger predicate AND dim-side predicate
+    val facts = (1L to 20L).map(i => (i, i % 5, i * 10)).toDF("oid", "cust", "amt")
+    val dims = (0L to 4L).map(i => (i, s"t${i % 2}")).toDF("cid", "tier")
+    def mj() = { val n = new MaterializedJoinNode(leftOn = Seq("cust"),
+      rightOn = Seq("cid"), leftId = "oid", rightId = "cid")
+      n.fit(c, In.single("left" -> facts, "right" -> dims)); n }
+    def serveMj(n: MaterializedJoinNode) =
+      n.transform(c, In.single("probe" -> facts.select("cust").distinct()))(
+        "result").select("oid", "cust", "amt", "tier")
+        .as[(Long, Long, Long, String)].collect().toSet
+    val jA = mj(); jA.deleteWhere(c, "amt > 120")
+    jA.rightSide.deleteWhere(c, "tier = 't1'")
+    val jB = mj(); jB.deleteFromIndex(c, facts.filter("amt > 120").select("oid"))
+    jB.deleteFromRight(c, dims.filter("tier = 't1'").select("cid"))
+    assert(serveMj(jA) == serveMj(jB) && serveMj(jA).nonEmpty)
+    jA.unpersistIndex(); jB.unpersistIndex()
+    // ledgerless sketch: no per-document state to evaluate over
+    val sk = new SketchIndexNode(groupCols = Seq("src"), cols = Seq("v"))
+    sk.fit(c, In.single("corpus" -> Seq((1L, "a", "x")).toDF("id", "src", "v")))
+    val refuse = intercept[GraftException] { sk.deleteWhere(c, "v = 'x'") }
+    assert(refuse.getMessage.contains("no per-document ledger"))
+    sk.unpersistIndex()
+  }
+
   test("MaterializedJoinNode.chainAggregate: maintained GROUP BY over the " +
        "maintained join — fact waves, dim waves and takedowns on BOTH sides " +
        "flow through the Δview feed; outer NULL group stays exact; equals " +
