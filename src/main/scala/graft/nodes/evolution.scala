@@ -715,7 +715,11 @@ class AggIndexNode(
     val m = model.getOrElse(
       throw new GraftException(s"estimator node '$name' not fitted"))
     val fresh = ledgerOf(delta)
-    val newLedger = m.ledger.unionByName(fresh).persist(StorageLevel.MEMORY_AND_DISK)
+    // state frames are BARRIERED (plan → blocks), not just persisted: a
+    // maintained dashboard runs unbounded batches, and when chained onto a
+    // materialized join the un-cut union trees grow super-linearly (see
+    // IvmUtil.barrier; compactEvery remains the durable parquet fold)
+    val newLedger = IvmUtil.barrier(m.ledger.unionByName(fresh))
     // per-distinct-col: batch value counts, the genuinely NEW (group,
     // value) pairs (anti-join against the support frame — delta-sized),
     // and the merged support frame
@@ -731,17 +735,15 @@ class AggIndexNode(
         .select((keys.map(col) :+
           (coalesce(col("__vc"), lit(0L)) + coalesce(col("__dvc"), lit(0L)))
             .as("__vc")): _*)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    }.toMap
+    }.toMap.map { case (c, df) => c -> IvmUtil.barrier(df) }
     val deltaTotals = distinctCols.foldLeft(totalsOf(fresh, ndFromData = false)) {
       (t, c) => IvmUtil.nsJoin(t, ndInc(c), groupCols, "left")
         .withColumn(s"nd_$c", coalesce(col(s"nd_$c"), lit(0L)))
     }
-    val newTotals = merged(m.totals, deltaTotals, +1)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val newTotals = IvmUtil.barrier(merged(m.totals, deltaTotals, +1))
     val newHists = histSpecs.map { s =>
-      s.column -> histMerged(m.hists(s.column), binnedOf(fresh, s), +1)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      s.column -> IvmUtil.barrier(
+        histMerged(m.hists(s.column), binnedOf(fresh, s), +1))
     }.toMap
     // materialize everything before releasing old state — ONE action
     materializeAll(Seq(newLedger, newTotals) ++ newVC.values ++ newHists.values)
@@ -785,24 +787,24 @@ class AggIndexNode(
     val m = model.getOrElse(
       throw new GraftException(s"estimator node '$name' not fitted"))
     val victims = victimsOf(m)
-    val newLedger = keptOf(m).persist(StorageLevel.MEMORY_AND_DISK)
-    val newTotals = (if (needsSplice) splicedTotals(m.totals, newLedger, victims)
-                     else merged(m.totals, totalsOf(victims), -1))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val newLedger = IvmUtil.barrier(keptOf(m))
+    val newTotals = IvmUtil.barrier(
+      if (needsSplice) splicedTotals(m.totals, newLedger, victims)
+      else merged(m.totals, totalsOf(victims), -1))
     // support frames ride the same touched-group splice (a vanished value
     // is a multiplicity reaching zero — the recompute handles it exactly)
     val touched = victims.select(groupCols.map(col): _*).distinct()
     val newVC = distinctCols.map { c =>
-      c -> IvmUtil.nsJoin(m.valueCounts(c), broadcast(touched), groupCols, "left_anti")
-        .unionByName(valueCountsOf(
-          IvmUtil.nsJoin(newLedger, broadcast(touched), groupCols, "left_semi"), c))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      c -> IvmUtil.barrier(
+        IvmUtil.nsJoin(m.valueCounts(c), broadcast(touched), groupCols, "left_anti")
+          .unionByName(valueCountsOf(
+            IvmUtil.nsJoin(newLedger, broadcast(touched), groupCols, "left_semi"), c)))
     }.toMap
     // bin counts are SUMS — the delete is an exact decrement, no
     // touched-group recompute needed (contrast extrema/distinct above)
     val newHists = histSpecs.map { s =>
-      s.column -> histMerged(m.hists(s.column), binnedOf(victims, s), -1)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      s.column -> IvmUtil.barrier(
+        histMerged(m.hists(s.column), binnedOf(victims, s), -1))
     }.toMap
     materializeAll(Seq(newLedger, newTotals) ++ newVC.values ++ newHists.values)
     model = Some(AggIndexNode.Index(newLedger, newTotals, newVC, newHists))
@@ -820,11 +822,11 @@ class AggIndexNode(
     import org.apache.spark.storage.StorageLevel
     val m = model.getOrElse(
       throw new GraftException(s"estimator node '$name' not fitted"))
-    val newTotals = totalsOf(m.ledger).persist(StorageLevel.MEMORY_AND_DISK)
+    val newTotals = IvmUtil.barrier(totalsOf(m.ledger))
     val newVC = distinctCols.map(c => c ->
-      valueCountsOf(m.ledger, c).persist(StorageLevel.MEMORY_AND_DISK)).toMap
+      IvmUtil.barrier(valueCountsOf(m.ledger, c))).toMap
     val newHists = histSpecs.map(s => s.column ->
-      binnedOf(m.ledger, s).persist(StorageLevel.MEMORY_AND_DISK)).toMap
+      IvmUtil.barrier(binnedOf(m.ledger, s))).toMap
     materializeAll(Seq(newTotals) ++ newVC.values ++ newHists.values)
     model = Some(AggIndexNode.Index(m.ledger, newTotals, newVC, newHists))
     m.totals.unpersist()
@@ -906,6 +908,22 @@ private[nodes] object IvmUtil {
     import org.apache.spark.sql.functions.lit
     frames.map(_.select(lit(1L).as("__m"))).reduce(_ union _).count()
   }
+
+  /** Lineage BARRIER for chained IVM state: truncate the frame's logical
+    * plan to its computed blocks (lazy `localCheckpoint`, materialized by
+    * the caller's single `materializeAll` action alongside the batch's
+    * other frames). Persisting is NOT enough here — a persisted frame
+    * still carries its full logical plan, so k chained maintenance ops
+    * (state referencing state referencing Δview derivations) build
+    * super-linear Catalyst trees that the driver re-analyzes per op:
+    * the chained-dashboard flagship measured ~180 s of pure driver plan
+    * work (data-size-FLAT from sf0.001 to sf0.1) and an eventual
+    * driver-heap OOM from the accumulated trees before barriering. The
+    * stated price: checkpoint blocks are not lineage-recoverable on
+    * executor loss — each family's `compactEvery`/`compactPath` parquet
+    * fold is the durable root at cluster scale, exactly as for the CC /
+    * PageRank iteration cuts (`dedup.scala:163`). */
+  def barrier(df: DataFrame): DataFrame = df.localCheckpoint(eager = false)
 
   /** USING-style join with NULL-SAFE key equality. SQL `GROUP BY` treats
     * NULL as one real group, but a plain equi-join never matches NULL keys
@@ -1440,6 +1458,40 @@ class MaterializedJoinNode(
     })
   }
 
+  /** Chain ANOTHER materialized join onto the maintained view — the
+    * THREE-TABLE STAR (fact ⋈ dim1 ⋈ dim2, live under CDC on all three
+    * feeds). `next`'s LEFT side seeds from this view (with the synthesized
+    * row id renamed to `next.leftId` — the id column names must differ, a
+    * view row is `next`'s fact) and then consumes this node's Δview feed:
+    * a retraction here is a fact takedown there, an insert a fact arrival,
+    * so every wave propagates transitively — and `next` can itself chain a
+    * further join or an [[AggIndexNode]] dashboard. For `left_outer`
+    * chains the semantics compose exactly like SQL's LEFT JOIN chain: a
+    * dim1 dangler carries NULL dim1 attributes, so it null-joins into
+    * `next` and lands in ITS dangler (NULL-group) bucket. */
+  def chainJoin(ctx: Ctx, next: MaterializedJoinNode, right: DataFrame): Unit = {
+    if (next.leftId == MaterializedJoinNode.ViewIdCol)
+      throw new GraftException(
+        s"materialized_join '$name': a chained join must rename the view-row " +
+          s"id — pick a leftId other than '${MaterializedJoinNode.ViewIdCol}'")
+    val m = model.getOrElse(
+      throw new GraftException(s"estimator node '$name' not fitted"))
+    val idAs = next.leftId
+    next.fit(ctx, In.single(
+      "left" -> viewWithVid(m)
+        .withColumnRenamed(MaterializedJoinNode.ViewIdCol, idAs),
+      "right" -> right))
+    subscribeView(new MaterializedJoinNode.ViewSubscriber {
+      def onViewDelta(ctx: Ctx, deletes: Option[DataFrame],
+          inserts: Option[DataFrame]): Unit = {
+        deletes.foreach(d => next.deleteFromIndex(ctx,
+          d.withColumnRenamed(MaterializedJoinNode.ViewIdCol, idAs)))
+        inserts.foreach(i => next.updateIndex(ctx,
+          i.withColumnRenamed(MaterializedJoinNode.ViewIdCol, idAs)))
+      }
+    })
+  }
+
   /** The delta rule's join: the delta side broadcast against the persisted
     * other side. Used for ΔL ⋈ R, L ⋈ ΔR, and (at fit/rebuild, with no
     * hint) L ⋈ R. */
@@ -1518,19 +1570,23 @@ class MaterializedJoinNode(
     val newLeft = m.left.unionByName(withBucket(dRows, m.nBuckets))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val fresh = viewOf(dRows, m.right, broadcastLeft = true)
-    val newView = m.view.unionByName(fresh)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    IvmUtil.materializeAll(Seq(newLeft, newView)) // one action per batch
-    model = Some(m.copy(left = newLeft, view = newView))
-    if (hasSubs) {
-      // Δview feed: the batch's matched rows, plus (outer) its danglers
+    // the VIEW is barriered, not just persisted: its per-batch union chain
+    // cross-references the side ledgers, and a chained subscriber embeds
+    // every Δview derivation — without the plan cut the op chain's Catalyst
+    // trees grow super-linearly (see IvmUtil.barrier)
+    val newView = IvmUtil.barrier(m.view.unionByName(fresh))
+    // Δview feed (delta-sized), barriered so a chained index's state
+    // plans stay flat across batches
+    val feedIns = if (!hasSubs) None else {
       val ins0 = withVid(fresh)
-      val ins = if (joinType == "inner") ins0
+      Some(IvmUtil.barrier(if (joinType == "inner") ins0
         else ins0.unionByName(withVid(nullExtend(
           dRows.join(broadcast(rKeysAsLeft(m.right)), leftOn, "left_anti"),
-          m.right)))
-      notifySubs(ctx, None, Some(ins))
+          m.right)))))
     }
+    IvmUtil.materializeAll(Seq(newLeft, newView) ++ feedIns) // one action per batch
+    model = Some(m.copy(left = newLeft, view = newView))
+    feedIns.foreach(ins => notifySubs(ctx, None, Some(ins)))
     m.left.unpersist(); m.view.unpersist()
     bumpGeneration()
   }
@@ -1553,23 +1609,23 @@ class MaterializedJoinNode(
     val del = deletes.select(col(leftId)).distinct()
     val newLeft = m.left.join(broadcast(del), Seq(leftId), "left_anti")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val newView = m.view.join(broadcast(del), Seq(leftId), "left_anti")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    IvmUtil.materializeAll(Seq(newLeft, newView)) // one action per batch
-    model = Some(m.copy(left = newLeft, view = newView))
-    if (hasSubs) {
-      // Δview feed: every view row the facts owned, plus (outer) their
-      // dangler rows — both sides of "a deleted fact leaves the view"
+    val newView = IvmUtil.barrier(
+      m.view.join(broadcast(del), Seq(leftId), "left_anti"))
+    // Δview feed: every view row the facts owned, plus (outer) their
+    // dangler rows — both sides of "a deleted fact leaves the view"
+    val feedDels = if (!hasSubs) None else {
       val delMatched = withVid(
         m.view.join(broadcast(del), Seq(leftId), "left_semi"))
         .select(MaterializedJoinNode.ViewIdCol)
-      val dels = if (joinType == "inner") delMatched
+      Some(IvmUtil.barrier(if (joinType == "inner") delMatched
         else delMatched.union(
           leftData(m).join(broadcast(del), Seq(leftId), "left_semi")
             .join(broadcast(rKeysAsLeft(m.right)), leftOn, "left_anti")
-            .select(danglerVid(col(leftId)).as(MaterializedJoinNode.ViewIdCol)))
-      notifySubs(ctx, Some(dels), None)
+            .select(danglerVid(col(leftId)).as(MaterializedJoinNode.ViewIdCol)))))
     }
+    IvmUtil.materializeAll(Seq(newLeft, newView) ++ feedDels) // one action per batch
+    model = Some(m.copy(left = newLeft, view = newView))
+    feedDels.foreach(dels => notifySubs(ctx, Some(dels), None))
     m.left.unpersist(); m.view.unpersist()
     bumpGeneration()
   }
@@ -1589,19 +1645,21 @@ class MaterializedJoinNode(
     // prune the rest) — per-dim-wave cost tracks the matching buckets,
     // not the fact corpus (VERDICT r13 missing #2)
     val fresh = viewOf(prunedLeftFor(m, dRows), dRows, broadcastRight = true)
-    val newView = m.view.unionByName(fresh)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    IvmUtil.materializeAll(Seq(newRight, newView)) // one action per batch
-    model = Some(m.copy(right = newRight, view = newView))
-    if (hasSubs) {
-      // Δview feed: the retro-matched rows insert; (outer) a fact whose
-      // FIRST match just arrived retracts its dangler row
+    val newView = IvmUtil.barrier(m.view.unionByName(fresh))
+    // Δview feed: the retro-matched rows insert; (outer) a fact whose
+    // FIRST match just arrived retracts its dangler row
+    val feed = if (!hasSubs) None else {
       val dels = if (joinType == "inner") None
-        else Some(fresh.join(broadcast(rKeysAsLeft(m.right)), leftOn, "left_anti")
-          .select(danglerVid(col(leftId)).as(MaterializedJoinNode.ViewIdCol))
-          .distinct())
-      notifySubs(ctx, dels, Some(withVid(fresh)))
+        else Some(IvmUtil.barrier(
+          fresh.join(broadcast(rKeysAsLeft(m.right)), leftOn, "left_anti")
+            .select(danglerVid(col(leftId)).as(MaterializedJoinNode.ViewIdCol))
+            .distinct()))
+      Some((dels, IvmUtil.barrier(withVid(fresh))))
     }
+    IvmUtil.materializeAll(Seq(newRight, newView) ++
+      feed.toSeq.flatMap { case (d, i) => d.toSeq :+ i }) // one action per batch
+    model = Some(m.copy(right = newRight, view = newView))
+    feed.foreach { case (dels, ins) => notifySubs(ctx, dels, Some(ins)) }
     m.right.unpersist(); m.view.unpersist()
     bumpGeneration()
   }
@@ -1614,24 +1672,27 @@ class MaterializedJoinNode(
     val del = deletes.select(col(rightId)).distinct()
     val newRight = m.right.join(broadcast(del), Seq(rightId), "left_anti")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val newView = m.view.join(broadcast(del), Seq(rightId), "left_anti")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    IvmUtil.materializeAll(Seq(newRight, newView)) // one action per batch
-    model = Some(m.copy(right = newRight, view = newView))
-    if (hasSubs) {
-      // Δview feed: every view row the dims owned retracts; (outer) a fact
-      // whose LAST match just left re-inserts as a dangler
+    val newView = IvmUtil.barrier(
+      m.view.join(broadcast(del), Seq(rightId), "left_anti"))
+    // Δview feed: every view row the dims owned retracts; (outer) a fact
+    // whose LAST match just left re-inserts as a dangler
+    val feed = if (!hasSubs) None else {
       val removed = m.view.join(broadcast(del), Seq(rightId), "left_semi")
-      val dels = withVid(removed).select(MaterializedJoinNode.ViewIdCol)
+      val dels = IvmUtil.barrier(
+        withVid(removed).select(MaterializedJoinNode.ViewIdCol))
       val ins = if (joinType == "inner") None
-        else Some(withVid(nullExtend(
+        else Some(IvmUtil.barrier(withVid(nullExtend(
           leftData(m)
             .join(broadcast(removed.select(leftOn.map(col): _*).distinct()),
               leftOn, "left_semi")
             .join(broadcast(rKeysAsLeft(newRight)), leftOn, "left_anti"),
-          m.right)))
-      notifySubs(ctx, Some(dels), ins)
+          m.right))))
+      Some((dels, ins))
     }
+    IvmUtil.materializeAll(Seq(newRight, newView) ++
+      feed.toSeq.flatMap { case (d, i) => d +: i.toSeq }) // one action per batch
+    model = Some(m.copy(right = newRight, view = newView))
+    feed.foreach { case (dels, ins) => notifySubs(ctx, Some(dels), ins) }
     m.right.unpersist(); m.view.unpersist()
     bumpGeneration()
   }

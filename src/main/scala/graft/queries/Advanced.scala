@@ -4285,6 +4285,86 @@ object Advanced {
   val q211Sql: String = q161OracleSql(
     "len(regexp_split_to_array(lower(trim(text)), '\\s+')) >= 20")
 
+  // ---- q212: THE THREE-TABLE STAR — a maintained join chained onto a
+  // maintained join chained onto a maintained aggregate (orders ⋈
+  // customer ⋈ nation, grouped by nation, live under CDC on ALL THREE
+  // feeds). mj1's Δview feed maintains mj2's LEFT side (a view row is
+  // mj2's fact, its synthesized id renamed to mj2's fact id), and mj2's
+  // Δview feed maintains the dashboard — every wave propagates
+  // transitively: a fact re-price flows through two joins into the
+  // totals; a customer takedown demotes its facts to mj1 danglers, which
+  // null-join through mj2 into the NULL-nation group; a nation takedown
+  // demotes a whole country's rows the same way. Gate: the served
+  // dashboard equals the declarative GROUP BY over the LEFT JOIN chain
+  // of the three post-CDC corpora. ----
+  def q212_star_view(spark: SparkSession, dir: String): DataFrame = {
+    val ctx = Ctx(spark)
+    val facts = Queries.run(spark) { d =>
+      d.add(SourceNode.table(dir, "orders")) >>
+        ProjectNode("o_orderkey", "o_custkey", "o_totalprice") >> d.output("result")
+    }.selectExpr("o_orderkey", "o_custkey",
+      "cast(floor(o_totalprice) as bigint) as price_i")
+    val dims = Queries.run(spark) { d =>
+      d.add(SourceNode.table(dir, "customer")) >>
+        ProjectNode("c_custkey", "c_mktsegment", "c_nationkey") >> d.output("result")
+    }
+    val nations = Queries.run(spark) { d =>
+      d.add(SourceNode.table(dir, "nation")) >> d.output("result")
+    }
+    val mj1 = new MaterializedJoinNode(leftOn = Seq("o_custkey"),
+      rightOn = Seq("c_custkey"), leftId = "o_orderkey", rightId = "c_custkey",
+      joinType = "left_outer")
+    mj1.fit(ctx, In.single(
+      "left" -> facts.filter("o_orderkey % 5 != 0"),
+      "right" -> dims.filter("c_custkey % 10 != 0")))
+    val mj2 = new MaterializedJoinNode(leftOn = Seq("c_nationkey"),
+      rightOn = Seq("n_nationkey"), leftId = "v1_id", rightId = "n_nationkey",
+      joinType = "left_outer")
+    mj1.chainJoin(ctx, mj2,
+      nations.filter("n_nationkey % 2 = 0").select("n_nationkey", "n_name"))
+    val agg = new AggIndexNode(groupCols = Seq("n_name"),
+      sumCols = Seq("price_i"), idCol = MaterializedJoinNode.ViewIdCol)
+    mj2.chainAggregate(ctx, agg)
+    // fact waves: the held-out %5 arrive, a %3 re-pricing upsert
+    // (delete-then-insert, the CDC convention), then a %7 takedown
+    mj1.updateIndex(ctx, facts.filter("o_orderkey % 5 = 0"))
+    mj1.deleteFromIndex(ctx,
+      facts.filter("o_orderkey % 3 = 0").select("o_orderkey"))
+    mj1.updateIndex(ctx, facts.filter("o_orderkey % 3 = 0")
+      .selectExpr("o_orderkey", "o_custkey", "price_i + 1000 as price_i"))
+    mj1.deleteFromIndex(ctx,
+      facts.filter("o_orderkey % 7 = 0").select("o_orderkey"))
+    // dim1 waves: the late %10 customers arrive, then a nation-3 takedown
+    mj1.updateRight(ctx, dims.filter("c_custkey % 10 = 0"))
+    mj1.deleteFromRight(ctx, dims.filter("c_nationkey = 3").select("c_custkey"))
+    // dim2 waves: the late odd nations arrive, then region 2 is taken down
+    mj2.updateRight(ctx,
+      nations.filter("n_nationkey % 2 = 1").select("n_nationkey", "n_name"))
+    mj2.deleteFromRight(ctx,
+      nations.filter("n_regionkey = 2").select("n_nationkey"))
+    val probe = nations.select("n_name").distinct()
+      .unionByName(nations.selectExpr("cast(null as string) as n_name").limit(1))
+    agg.transform(ctx, In.single("probe" -> probe))("result")
+      .orderBy("n_name")
+  }
+  val q212Sql: String =
+    """WITH live_facts AS (
+      |  SELECT o_orderkey, o_custkey,
+      |    CASE WHEN o_orderkey % 3 = 0
+      |         THEN CAST(floor(o_totalprice) AS BIGINT) + 1000
+      |         ELSE CAST(floor(o_totalprice) AS BIGINT) END AS price_i
+      |  FROM orders WHERE o_orderkey % 7 <> 0),
+      |live_dims AS (
+      |  SELECT c_custkey, c_nationkey FROM customer WHERE c_nationkey <> 3),
+      |live_nations AS (
+      |  SELECT n_nationkey, n_name FROM nation WHERE n_regionkey <> 2)
+      |SELECT n_name, count(*) AS n_rows,
+      |       CAST(sum(price_i) AS BIGINT) AS sum_price_i
+      |FROM live_facts
+      |LEFT JOIN live_dims ON o_custkey = c_custkey
+      |LEFT JOIN live_nations ON c_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
   // ---- q194: the dashboard MAINTAINS ITSELF off a published corpus — the
   // q187/q189 subscription pattern driving the materialized aggregate:
   // a MoR root's change feed (MorTailNode) flows through
@@ -4764,5 +4844,6 @@ object Advanced {
     ("q209_chained_dashboard", q209_chained_dashboard _, q209Sql),
     ("q210_sketch_float_quantiles", q210_sketch_float_quantiles _, q210Sql),
     ("q211_inverted_retention", q211_inverted_retention _, q211Sql),
+    ("q212_star_view", q212_star_view _, q212Sql),
   )
 }

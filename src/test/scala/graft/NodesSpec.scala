@@ -3745,6 +3745,67 @@ class NodesSpec extends AnyFunSuite {
     drill("left_outer")
   }
 
+  test("MaterializedJoinNode.chainJoin: the three-table star — a maintained " +
+       "join chained onto a maintained join chained onto a dashboard; waves " +
+       "on all three feeds propagate transitively and NULLs compose like a " +
+       "SQL LEFT JOIN chain; equals the declarative two-join GROUP BY at " +
+       "every step") {
+    import org.apache.spark.sql.functions.{count, lit, sum}
+    import spark.implicits._
+    val c = Ctx(spark)
+    val facts0 = (1L to 60L).map(i => (i, i % 9, i)).toDF("oid", "cust", "amt")
+    val dims0 = (0L to 8L).map(i => (i, i % 4)).toDF("cid", "nat")
+    val nats0 = (0L to 3L).map(i => (i, s"n$i")).toDF("nid", "nname")
+    val mj1 = new MaterializedJoinNode(leftOn = Seq("cust"),
+      rightOn = Seq("cid"), leftId = "oid", rightId = "cid",
+      joinType = "left_outer")
+    mj1.fit(c, In.single("left" -> facts0.filter("oid <= 40"),
+      "right" -> dims0.filter("cid <= 5")))
+    val mj2 = new MaterializedJoinNode(leftOn = Seq("nat"),
+      rightOn = Seq("nid"), leftId = "v1", rightId = "nid",
+      joinType = "left_outer")
+    mj1.chainJoin(c, mj2, nats0.filter("nid <= 2"))
+    val agg = new AggIndexNode(groupCols = Seq("nname"), sumCols = Seq("amt"),
+      idCol = MaterializedJoinNode.ViewIdCol)
+    mj2.chainAggregate(c, agg)
+    var liveL = facts0.filter("oid <= 40")
+    var liveD = dims0.filter("cid <= 5")
+    var liveN = nats0.filter("nid <= 2")
+    def check(stage: String): Unit = {
+      val probe = nats0.select("nname").distinct()
+        .unionByName(Seq(Option.empty[String]).toDF("nname"))
+      val got = agg.transform(c, In.single("probe" -> probe))("result")
+        .as[(Option[String], Long, Long)].collect().toSet
+      val want = liveL
+        .join(liveD, liveL("cust") === liveD("cid"), "left_outer")
+        .join(liveN, liveD("nat") === liveN("nid"), "left_outer")
+        .groupBy("nname").agg(count(lit(1)).as("n_rows"), sum("amt").as("sum_amt"))
+        .as[(Option[String], Long, Long)].collect().toSet
+      assert(got == want, s"[$stage] star dashboard diverged: got $got want $want")
+    }
+    check("seed")
+    mj1.updateIndex(c, facts0.filter("oid > 40"))
+    liveL = facts0; check("fact-insert")
+    mj1.deleteFromIndex(c, facts0.filter("oid % 4 = 0").select("oid"))
+    liveL = liveL.filter("oid % 4 != 0"); check("fact-delete")
+    mj1.updateRight(c, dims0.filter("cid > 5"))
+    liveD = dims0; check("dim1-insert")
+    mj1.deleteFromRight(c, Seq(2L, 7L).toDF("cid"))
+    liveD = liveD.filter("cid != 2 AND cid != 7"); check("dim1-delete")
+    mj2.updateRight(c, nats0.filter("nid > 2"))
+    liveN = nats0; check("dim2-insert")
+    mj2.deleteFromRight(c, Seq(1L).toDF("nid"))
+    liveN = liveN.filter("nid != 1"); check("dim2-delete")
+    // the chained id must be renamed — a '__view_id' fact id is refused
+    val bad = intercept[GraftException] {
+      mj1.chainJoin(c, new MaterializedJoinNode(leftOn = Seq("nat"),
+        rightOn = Seq("nid"), leftId = MaterializedJoinNode.ViewIdCol,
+        rightId = "nid"), nats0)
+    }
+    assert(bad.getMessage.contains("rename"))
+    agg.unpersistIndex(); mj2.unpersistIndex(); mj1.unpersistIndex()
+  }
+
   test("MaterializedJoinNode left_outer serve guard: a dim ledger past " +
        "maxBroadcastDim degrades the dangler derivation to an unhinted " +
        "(shuffle-eligible) anti-join — identical rows either way") {
