@@ -44,10 +44,10 @@ object Scale10 {
     // dims stay CONSTANT while facts grow k-fold — the realistic star
     // shape (q197/q198/q204's materialized views join k-fold orders
     // against the fixed customer dimension); plain copy, NOT cloned
-    locally {
-      val p = s"$out/customer.parquet"
+    Seq("customer", "nation").foreach { t =>
+      val p = s"$out/$t.parquet"
       if (!new java.io.File(p).exists())
-        spark.read.parquet(s"$src/customer.parquet")
+        spark.read.parquet(s"$src/$t.parquet")
           .write.mode("overwrite").parquet(p)
     }
     // grows k-fold on BOTH as-of sides — the expand path's L*R blowup is k^2
@@ -172,7 +172,16 @@ object Scale10 {
       "q207_agg_index_variance",
       // streamed serving: per-batch lookups stay probe-bounded against
       // group-count-sized totals
-      "q208_stream_agg_serving")
+      "q208_stream_agg_serving",
+      // round-14 additions: the chained dashboard and the three-table star
+      // (k-fold fact ledgers flow through barriered per-wave delta-view
+      // feeds — the Δ computations and agg splices are the hazards; plan
+      // size per op is CONSTANT by the lineage barrier), maintained KLL
+      // float quantiles (sketch-agg legs linear, state group-sized),
+      // predicate retention on the inverted index (ledger-filter victim
+      // selection + df decrement at k-fold postings)
+      "q209_chained_dashboard", "q212_star_view",
+      "q210_sketch_float_quantiles", "q211_inverted_retention")
     val names = if (queries.nonEmpty) queries else defaults
     names.foreach { n =>
       try time(n)(Queries.all(n)(spark, out).count())
