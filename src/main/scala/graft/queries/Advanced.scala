@@ -2367,19 +2367,19 @@ object Advanced {
     * df caps, N, postings, and scores all re-derive from the post-delete
     * corpus; queries still come from the FULL table (a deleted doc may
     * still issue queries — query text is independent of index content). */
-  private def q161OracleSql(liveWhere: String): String =
-    q161OracleBody(liveWhere) + "\nORDER BY query_id, rank"
+  private def q161OracleSql(liveWhere: String, dfFrac: Double = 0.79): String =
+    q161OracleBody(liveWhere, dfFrac) + "\nORDER BY query_id, rank"
 
   /** The post-delete retrieval oracle WITHOUT the final ORDER BY, so
     * callers (q168) can wrap it in further projection. */
-  private def q161OracleBody(liveWhere: String): String =
+  private def q161OracleBody(liveWhere: String, dfFrac: Double = 0.79): String =
     s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE $liveWhere),
        |toks AS (
        |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
        |  FROM corpus),
        |ctf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
        |ok AS (SELECT tok FROM (SELECT tok, count(*) AS df FROM ctf GROUP BY tok)
-       |       WHERE df <= greatest(1, cast(floor(0.79 * (SELECT count(*) FROM corpus)) as bigint))),
+       |       WHERE df <= greatest(1, cast(floor($dfFrac * (SELECT count(*) FROM corpus)) as bigint))),
        |qt AS (
        |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
        |  FROM documents WHERE $queryBatchPred),
@@ -4273,7 +4273,14 @@ object Advanced {
       d.add(SourceNode.table(dir, "documents")) >> d.output("result")
     }
     val ctx = Ctx(spark)
-    val idx = new InvertedIndexNode(k = 5, maxDfFrac = 0.79)
+    // df cap 0.825 splits the synthetic vocabulary's stopword cluster
+    // (df fractions 0.80-0.87 at every SF): pruning stays ACTIVE — the df
+    // decrement under retention is what the gate checks — while enough
+    // terms survive that retrieval is non-empty at sf0.1 and the clone
+    // probes (0.79 leaves ONE surviving term above sf0.01 and an empty,
+    // meaningless serve; both engines agreed on the emptiness, but an
+    // empty top-k is no gate)
+    val idx = new InvertedIndexNode(k = 5, maxDfFrac = 0.825)
     idx.fit(ctx, In.single("corpus" -> docs.filter("doc_id % 5 != 0")))
     idx.updateIndex(ctx, docs.filter("doc_id % 5 = 0"))
     idx.deleteWhere(ctx, "coalesce(doc_len, 0) < 20")
@@ -4283,7 +4290,8 @@ object Advanced {
       .orderBy("query_id", "rank")
   }
   val q211Sql: String = q161OracleSql(
-    "len(regexp_split_to_array(lower(trim(text)), '\\s+')) >= 20")
+    "len(regexp_split_to_array(lower(trim(text)), '\\s+')) >= 20",
+    dfFrac = 0.825)
 
   // ---- q212: THE THREE-TABLE STAR — a maintained join chained onto a
   // maintained join chained onto a maintained aggregate (orders ⋈
