@@ -3796,6 +3796,10 @@ class NodesSpec extends AnyFunSuite {
     liveN = nats0; check("dim2-insert")
     mj2.deleteFromRight(c, Seq(1L).toDF("nid"))
     liveN = liveN.filter("nid != 1"); check("dim2-delete")
+    // predicate retention on the ROOT fact ledger flows through the whole
+    // chain (deleteWhere -> deleteFromIndex -> Δview feed -> mj2 -> agg)
+    mj1.deleteWhere(c, "amt > 50")
+    liveL = liveL.filter("amt <= 50"); check("fact-retention")
     // the chained id must be renamed — a '__view_id' fact id is refused
     val bad = intercept[GraftException] {
       mj1.chainJoin(c, new MaterializedJoinNode(leftOn = Seq("nat"),
