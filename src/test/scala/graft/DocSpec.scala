@@ -425,4 +425,54 @@ class DocSpec extends AnyFunSuite {
     stats.unpersistIndex(); view.unpersistIndex()
     hist.unpersistIndex(); card.unpersistIndex()
   }
+
+  test("README chain-and-star example runs") {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    val ctx = Ctx(spark)
+    // 8: maintained float quantiles (KLL measure, insert-only)
+    val docs = (1L to 90L).map(i => (i, s"d${i % 3}", i / 7.0))
+      .toDF("doc_id", "domain", "score")
+    val domains = docs.select("domain").distinct()
+    val scores = new SketchIndexNode(groupCols = Seq("domain"),
+      cols = Nil, quantileCols = Seq("score"))
+    scores.fit(ctx, In.single("corpus" -> docs.filter("doc_id % 2 = 0")))
+    scores.updateIndex(ctx, docs.filter("doc_id % 2 = 1"))
+    val qs = scores.quantilesOf(ctx, domains, "score", Seq(0.5, 0.95, 0.99))
+    assert(qs.count() == 9L) // 3 domains x 3 quantiles
+    // 9+10: join chained onto join, dashboard chained onto the far end
+    val orders = (1L to 30L).map(i => (i, i % 5, i)).toDF("o_orderkey", "o_custkey", "o_qty")
+    val custs = (0L to 4L).map(i => (i, s"c$i", i % 2)).toDF("c_custkey", "c_name", "c_nationkey")
+    val nations = Seq((0L, "n0"), (1L, "n1")).toDF("n_nationkey", "n_name")
+    val view = new MaterializedJoinNode(leftOn = Seq("o_custkey"),
+      rightOn = Seq("c_custkey"), leftId = "o_orderkey", rightId = "c_custkey",
+      joinType = "left_outer")
+    view.fit(ctx, In.single("left" -> orders, "right" -> custs))
+    val star = new MaterializedJoinNode(leftOn = Seq("c_nationkey"),
+      rightOn = Seq("n_nationkey"), leftId = "v1_id", rightId = "n_nationkey",
+      joinType = "left_outer")
+    view.chainJoin(ctx, star, nations)
+    val dash = new AggIndexNode(groupCols = Seq("n_name"),
+      sumCols = Seq("o_qty"), idCol = MaterializedJoinNode.ViewIdCol)
+    star.chainAggregate(ctx, dash)
+    // one wave per feed, then the dashboard equals the declarative chain
+    view.deleteFromIndex(ctx, orders.filter("o_orderkey % 6 = 0").select("o_orderkey"))
+    view.deleteFromRight(ctx, Seq(2L).toDF("c_custkey"))
+    star.deleteFromRight(ctx, Seq(1L).toDF("n_nationkey"))
+    val probe = nations.select("n_name").distinct()
+      .unionByName(Seq(Option.empty[String]).toDF("n_name"))
+    val got = dash.transform(ctx, In.single("probe" -> probe))("result")
+      .as[(Option[String], Long, Long)].collect().toSet
+    val want = orders.filter("o_orderkey % 6 != 0")
+      .join(custs.filter("c_custkey != 2"), $"o_custkey" === $"c_custkey", "left_outer")
+      .join(nations.filter("n_nationkey != 1"), $"c_nationkey" === $"n_nationkey", "left_outer")
+      .groupBy("n_name")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_rows"),
+        org.apache.spark.sql.functions.sum("o_qty").as("sum_o_qty"))
+      .as[(Option[String], Long, Long)].collect().toSet
+    assert(got == want)
+    dash.unpersistIndex(); star.unpersistIndex(); view.unpersistIndex()
+    scores.unpersistIndex()
+  }
 }
