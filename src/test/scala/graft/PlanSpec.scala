@@ -663,4 +663,40 @@ class PlanSpec extends AnyFunSuite {
     assert(served.count() == 2L * (1L to 2000L).count(_ % 40 == 3))
     mj.unpersistIndex()
   }
+
+  test("chained IVM state is lineage-BARRIERED: the dashboard's serve plan " +
+       "stays constant-size as maintenance ops accumulate (the r14 find — " +
+       "un-cut chains grew super-linear Catalyst trees, 180 s data-size-flat " +
+       "and a driver-heap OOM on the chained flagship)") {
+    val spark0 = spark
+    import spark0.implicits._
+    val ctx = Ctx(spark)
+    val facts = (1L to 200L).map(i => (i, i % 7, i)).toDF("oid", "cust", "amt")
+    val dims = (0L to 6L).map(i => (i, s"g${i % 3}")).toDF("cid", "seg")
+    val mj = new MaterializedJoinNode(leftOn = Seq("cust"),
+      rightOn = Seq("cid"), leftId = "oid", rightId = "cid",
+      joinType = "left_outer")
+    mj.fit(ctx, In.single("left" -> facts.filter("oid <= 100"), "right" -> dims))
+    val agg = new AggIndexNode(groupCols = Seq("seg"), sumCols = Seq("amt"),
+      idCol = MaterializedJoinNode.ViewIdCol)
+    mj.chainAggregate(ctx, agg)
+    val probe = dims.select("seg").distinct()
+    def servePlanNodes: Int = agg.transform(ctx,
+      In.single("probe" -> probe))("result")
+      .queryExecution.analyzed.collect { case p => p }.size
+    val after1 = { mj.updateIndex(ctx, facts.filter("oid > 100 AND oid <= 120"))
+      servePlanNodes }
+    // six more waves across all four op types — the plan must NOT grow
+    mj.updateIndex(ctx, facts.filter("oid > 120 AND oid <= 140"))
+    mj.deleteFromIndex(ctx, facts.filter("oid % 9 = 0").select("oid"))
+    mj.updateRight(ctx, Seq((7L, "g1")).toDF("cid", "seg"))
+    mj.deleteFromRight(ctx, Seq(2L).toDF("cid"))
+    mj.updateIndex(ctx, facts.filter("oid > 140 AND oid <= 160"))
+    mj.deleteFromIndex(ctx, facts.filter("oid % 11 = 0").select("oid"))
+    val after7 = servePlanNodes
+    assert(after7 <= after1,
+      s"chained state lineage must stay barrier-truncated: serve plan grew " +
+        s"$after1 -> $after7 nodes across six maintenance ops")
+    agg.unpersistIndex(); mj.unpersistIndex()
+  }
 }
