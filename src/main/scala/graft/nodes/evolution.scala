@@ -604,11 +604,7 @@ class AggIndexNode(
 
   def fitModel(ctx: Ctx, in: In): Model = {
     import org.apache.spark.storage.StorageLevel
-    // the ledger is barriered (blocks, not a cache entry) because the
-    // insert path chains DELTA-TAILS onto it lazily (see updateIndex) —
-    // a SQL-cache base under a lazy union would leak its cache entry at
-    // the first delete collapse
-    val ledger = IvmUtil.barrier(ledgerOf(in("corpus")))
+    val ledger = ledgerOf(in("corpus")).persist(StorageLevel.MEMORY_AND_DISK)
     val totals = totalsOf(ledger).persist(StorageLevel.MEMORY_AND_DISK)
     val vcs = distinctCols.map(c => c ->
       valueCountsOf(ledger, c).persist(StorageLevel.MEMORY_AND_DISK)).toMap
@@ -718,15 +714,12 @@ class AggIndexNode(
     import org.apache.spark.sql.functions.{coalesce, count, lit}
     val m = model.getOrElse(
       throw new GraftException(s"estimator node '$name' not fitted"))
-    // DELTA-TAIL insert: barrier ONLY the batch's ledger rows and chain
-    // them lazily onto the base — per-wave state write cost is O(delta),
-    // not O(corpus) (re-materializing the union read the whole old cache
-    // and wrote a whole new copy every batch). The chain's plan grows one
-    // barriered leaf per insert wave; every DELETE (applyDelete) and every
-    // compactEvery fold collapses it back to a single frame, and the
-    // barrier keeps each leaf's plan constant-size (see IvmUtil.barrier).
-    val fresh = IvmUtil.barrier(ledgerOf(delta))
-    val newLedger = m.ledger.unionByName(fresh)
+    val fresh = ledgerOf(delta)
+    // state frames are BARRIERED (plan → blocks), not just persisted: a
+    // maintained dashboard runs unbounded batches, and when chained onto a
+    // materialized join the un-cut union trees grow super-linearly (see
+    // IvmUtil.barrier; compactEvery remains the durable parquet fold)
+    val newLedger = IvmUtil.barrier(m.ledger.unionByName(fresh))
     // per-distinct-col: batch value counts, the genuinely NEW (group,
     // value) pairs (anti-join against the support frame — delta-sized),
     // and the merged support frame
@@ -752,12 +745,10 @@ class AggIndexNode(
       s.column -> IvmUtil.barrier(
         histMerged(m.hists(s.column), binnedOf(fresh, s), +1))
     }.toMap
-    // materialize everything before releasing old state — ONE action.
-    // The delta-tail (fresh), not the whole union, is what materializes;
-    // the old ledger is NOT released — it is the tail's base.
-    materializeAll(Seq(fresh, newTotals) ++ newVC.values ++ newHists.values)
+    // materialize everything before releasing old state — ONE action
+    materializeAll(Seq(newLedger, newTotals) ++ newVC.values ++ newHists.values)
     model = Some(AggIndexNode.Index(newLedger, newTotals, newVC, newHists))
-    m.totals.unpersist()
+    m.ledger.unpersist(); m.totals.unpersist()
     m.valueCounts.values.foreach(_.unpersist())
     m.hists.values.foreach(_.unpersist())
     generation += 1
@@ -864,16 +855,13 @@ class AggIndexNode(
     val session = m.ledger.sparkSession
     saveFitted(path)
     model = Some(AggIndexNode.Index(
-      // barriered, NOT cached: the insert path chains lazy delta-tails
-      // onto the ledger, and a cache entry under a lazy union strands at
-      // the next collapse (blocks are cleaner-reclaimed instead)
-      IvmUtil.barrier(session.read.parquet(s"$path/ledger")),
+      session.read.parquet(s"$path/ledger").persist(StorageLevel.MEMORY_AND_DISK),
       session.read.parquet(s"$path/totals").persist(StorageLevel.MEMORY_AND_DISK),
       distinctCols.map(c => c -> session.read.parquet(s"$path/vc_$c")
         .persist(StorageLevel.MEMORY_AND_DISK)).toMap,
       histSpecs.map(s => s.column -> session.read.parquet(s"$path/hist_${s.column}")
         .persist(StorageLevel.MEMORY_AND_DISK)).toMap))
-    m.totals.unpersist()
+    m.ledger.unpersist(); m.totals.unpersist()
     m.valueCounts.values.foreach(_.unpersist())
     m.hists.values.foreach(_.unpersist())
   }
@@ -900,7 +888,7 @@ class AggIndexNode(
     import org.apache.spark.storage.StorageLevel
     val spark = session.getOrElse(org.apache.spark.sql.SparkSession.active)
     model = Some(AggIndexNode.Index(
-      IvmUtil.barrier(spark.read.parquet(s"$path/ledger")),
+      spark.read.parquet(s"$path/ledger").persist(StorageLevel.MEMORY_AND_DISK),
       spark.read.parquet(s"$path/totals").persist(StorageLevel.MEMORY_AND_DISK),
       distinctCols.map(c => c -> spark.read.parquet(s"$path/vc_$c")
         .persist(StorageLevel.MEMORY_AND_DISK)).toMap,
@@ -1521,23 +1509,19 @@ class MaterializedJoinNode(
   }
 
   def fitModel(ctx: Ctx, in: In): Model = {
+    import org.apache.spark.storage.StorageLevel
     val l = in("left"); val r = in("right")
     checkSides(l, r)
     if (l.columns.contains(BucketCol) || r.columns.contains(BucketCol))
       throw new GraftException(
         s"materialized_join '$name': '$BucketCol' is reserved for the " +
           "fact-ledger layout — rename the input column")
-    // bucket-per-partition fact layout: one shuffle at fit, never per batch.
-    // The fact ledger stays a SQL-cached frame (its InMemoryRelation batch
-    // stats drive the dim-delta bucket prune) with `leftBase` tracking the
-    // cache root for precise release under lazy delta-tails; the dim ledger
-    // and the view are BARRIERED blocks (no cache entries — a lazy tail
-    // over a cached base would strand the entry at the next collapse).
+    // bucket-per-partition fact layout: one shuffle at fit, never per batch
     val n = sessionBuckets(l)
     val lp = layLeft(l, n)
-    val rp = IvmUtil.barrier(r)
-    val v = IvmUtil.barrier(viewOf(lp.drop(BucketCol), rp))
-    MaterializedJoinNode.Index(lp, rp, v, n, leftBase = lp)
+    val rp = r.persist(StorageLevel.MEMORY_AND_DISK)
+    val v = viewOf(lp.drop(BucketCol), rp).persist(StorageLevel.MEMORY_AND_DISK)
+    MaterializedJoinNode.Index(lp, rp, v, n)
   }
 
   def applyModel(m: Model, ctx: Ctx, in: In): Map[String, DataFrame] = {
@@ -1582,18 +1566,17 @@ class MaterializedJoinNode(
       throw new GraftException(s"estimator node '$name' not fitted"))
     checkSides(delta, m.right)
     val dRows = delta.select(leftData(m).columns.map(col): _*)
-    // DELTA-TAIL insert (both frames): barrier ONLY the batch's rows and
-    // chain them lazily onto the bases — per-wave state write cost is
-    // O(delta), not O(corpus); every delete op collapses the chains (it
-    // barriers the full anti-join) and compactEvery folds them to parquet.
-    // The fact tail rides un-laid until the next fold (delta-sized); the
-    // barrier keeps each leaf's plan constant (see IvmUtil.barrier), so a
-    // chained subscriber's trees stay flat across batches too.
-    val dTail = IvmUtil.barrier(withBucket(dRows, m.nBuckets))
-    val newLeft = m.left.unionByName(dTail)
-    val fresh = IvmUtil.barrier(viewOf(dRows, m.right, broadcastLeft = true))
-    val newView = m.view.unionByName(fresh)
-    // Δview feed (delta-sized), barriered off the materialized view tail
+    // the appended delta-tail rides un-laid until the next fold (delta-sized)
+    val newLeft = m.left.unionByName(withBucket(dRows, m.nBuckets))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val fresh = viewOf(dRows, m.right, broadcastLeft = true)
+    // the VIEW is barriered, not just persisted: its per-batch union chain
+    // cross-references the side ledgers, and a chained subscriber embeds
+    // every Δview derivation — without the plan cut the op chain's Catalyst
+    // trees grow super-linearly (see IvmUtil.barrier)
+    val newView = IvmUtil.barrier(m.view.unionByName(fresh))
+    // Δview feed (delta-sized), barriered so a chained index's state
+    // plans stay flat across batches
     val feedIns = if (!hasSubs) None else {
       val ins0 = withVid(fresh)
       Some(IvmUtil.barrier(if (joinType == "inner") ins0
@@ -1601,9 +1584,10 @@ class MaterializedJoinNode(
           dRows.join(broadcast(rKeysAsLeft(m.right)), leftOn, "left_anti"),
           m.right)))))
     }
-    IvmUtil.materializeAll(Seq(dTail, fresh) ++ feedIns) // one action per batch
+    IvmUtil.materializeAll(Seq(newLeft, newView) ++ feedIns) // one action per batch
     model = Some(m.copy(left = newLeft, view = newView))
     feedIns.foreach(ins => notifySubs(ctx, None, Some(ins)))
+    m.left.unpersist(); m.view.unpersist()
     bumpGeneration()
   }
 
@@ -1640,12 +1624,9 @@ class MaterializedJoinNode(
             .select(danglerVid(col(leftId)).as(MaterializedJoinNode.ViewIdCol)))))
     }
     IvmUtil.materializeAll(Seq(newLeft, newView) ++ feedDels) // one action per batch
-    // the anti-join collapse is the chain's natural compaction point: the
-    // new persisted left becomes the cache base; the OLD base's entry is
-    // released precisely (unpersist on a lazy union would be a no-op)
-    model = Some(m.copy(left = newLeft, view = newView, leftBase = newLeft))
+    model = Some(m.copy(left = newLeft, view = newView))
     feedDels.foreach(dels => notifySubs(ctx, Some(dels), None))
-    if (m.leftBase != null) m.leftBase.unpersist()
+    m.left.unpersist(); m.view.unpersist()
     bumpGeneration()
   }
 
@@ -1657,16 +1638,14 @@ class MaterializedJoinNode(
       throw new GraftException(s"estimator node '$name' not fitted"))
     checkSides(leftData(m), delta)
     val dRows = delta.select(m.right.columns.map(col): _*)
-    // delta-tail on the dim ledger too (same contract as updateIndex)
-    val rTail = IvmUtil.barrier(dRows)
-    val newRight = m.right.unionByName(rTail)
+    val newRight = m.right.unionByName(dRows)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // L ⋈ ΔR over the BUCKET-PRUNED ledger: only the fact buckets the
     // delta's keys hash into are read (cached-batch / row-group stats
     // prune the rest) — per-dim-wave cost tracks the matching buckets,
     // not the fact corpus (VERDICT r13 missing #2)
-    val fresh = IvmUtil.barrier(
-      viewOf(prunedLeftFor(m, dRows), dRows, broadcastRight = true))
-    val newView = m.view.unionByName(fresh)
+    val fresh = viewOf(prunedLeftFor(m, dRows), dRows, broadcastRight = true)
+    val newView = IvmUtil.barrier(m.view.unionByName(fresh))
     // Δview feed: the retro-matched rows insert; (outer) a fact whose
     // FIRST match just arrived retracts its dangler row
     val feed = if (!hasSubs) None else {
@@ -1677,10 +1656,11 @@ class MaterializedJoinNode(
             .distinct()))
       Some((dels, IvmUtil.barrier(withVid(fresh))))
     }
-    IvmUtil.materializeAll(Seq(rTail, fresh) ++
+    IvmUtil.materializeAll(Seq(newRight, newView) ++
       feed.toSeq.flatMap { case (d, i) => d.toSeq :+ i }) // one action per batch
     model = Some(m.copy(right = newRight, view = newView))
     feed.foreach { case (dels, ins) => notifySubs(ctx, dels, Some(ins)) }
+    m.right.unpersist(); m.view.unpersist()
     bumpGeneration()
   }
 
@@ -1690,8 +1670,8 @@ class MaterializedJoinNode(
     val m = model.getOrElse(
       throw new GraftException(s"estimator node '$name' not fitted"))
     val del = deletes.select(col(rightId)).distinct()
-    val newRight = IvmUtil.barrier(
-      m.right.join(broadcast(del), Seq(rightId), "left_anti"))
+    val newRight = m.right.join(broadcast(del), Seq(rightId), "left_anti")
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val newView = IvmUtil.barrier(
       m.view.join(broadcast(del), Seq(rightId), "left_anti"))
     // Δview feed: every view row the dims owned retracts; (outer) a fact
@@ -1713,6 +1693,7 @@ class MaterializedJoinNode(
       feed.toSeq.flatMap { case (d, i) => d +: i.toSeq }) // one action per batch
     model = Some(m.copy(right = newRight, view = newView))
     feed.foreach { case (dels, ins) => notifySubs(ctx, Some(dels), ins) }
+    m.right.unpersist(); m.view.unpersist()
     bumpGeneration()
   }
 
@@ -1751,11 +1732,13 @@ class MaterializedJoinNode(
 
   /** Recompute the view from the ledgers — the exactness pin. */
   def rebuildIndex(): Unit = {
+    import org.apache.spark.storage.StorageLevel
     val m = model.getOrElse(
       throw new GraftException(s"estimator node '$name' not fitted"))
-    val newView = IvmUtil.barrier(viewOf(leftData(m), m.right))
+    val newView = viewOf(leftData(m), m.right).persist(StorageLevel.MEMORY_AND_DISK)
     newView.count()
     model = Some(m.copy(view = newView))
+    m.view.unpersist()
     bumpGeneration()
   }
 
@@ -1781,20 +1764,16 @@ class MaterializedJoinNode(
     }
     val session = m.left.sparkSession
     saveFitted(path) // folds the delta-tail back into the bucket layout
-    val foldedLeft = session.read.parquet(s"$path/left")
-      .persist(StorageLevel.MEMORY_AND_DISK)
     model = Some(MaterializedJoinNode.Index(
-      foldedLeft,
-      IvmUtil.barrier(session.read.parquet(s"$path/right")),
-      IvmUtil.barrier(session.read.parquet(s"$path/view")),
-      m.nBuckets, leftBase = foldedLeft))
-    if (m.leftBase != null) m.leftBase.unpersist()
+      session.read.parquet(s"$path/left").persist(StorageLevel.MEMORY_AND_DISK),
+      session.read.parquet(s"$path/right").persist(StorageLevel.MEMORY_AND_DISK),
+      session.read.parquet(s"$path/view").persist(StorageLevel.MEMORY_AND_DISK),
+      m.nBuckets))
+    m.left.unpersist(); m.right.unpersist(); m.view.unpersist()
   }
 
   def unpersistIndex(): Unit = model.foreach { m =>
-    // only the fact base holds a SQL-cache entry; right/view are
-    // barriered blocks, reclaimed by the context cleaner on release
-    if (m.leftBase != null) m.leftBase.unpersist() else m.left.unpersist()
+    m.left.unpersist(); m.right.unpersist(); m.view.unpersist()
   }
 
   override def saveFitted(path: String): Unit = {
@@ -1830,9 +1809,9 @@ class MaterializedJoinNode(
       }
     model = Some(MaterializedJoinNode.Index(
       left,
-      IvmUtil.barrier(spark.read.parquet(s"$path/right")),
-      IvmUtil.barrier(spark.read.parquet(s"$path/view")),
-      n, leftBase = left))
+      spark.read.parquet(s"$path/right").persist(StorageLevel.MEMORY_AND_DISK),
+      spark.read.parquet(s"$path/view").persist(StorageLevel.MEMORY_AND_DISK),
+      n))
     loadMaintenanceState(spark, path)
   }
 }
@@ -1840,14 +1819,9 @@ class MaterializedJoinNode(
 object MaterializedJoinNode {
   /** The fitted state: both side ledgers + the materialized inner join.
     * `nBuckets` pins the fact ledger's hash-bucket modulus at lay time
-    * (session conf may drift; stored bucket values must stay consistent).
-    * `left` may be a lazy union of the SQL-cached base plus barriered
-    * delta-tails; `leftBase` is the cached root itself, kept for precise
-    * unpersist when a delete/fold collapses the chain (Dataset.unpersist
-    * on the union is a no-op and would strand the entry). `right`/`view`
-    * are barriered blocks — no cache entries to track. */
+    * (session conf may drift; stored bucket values must stay consistent). */
   case class Index(left: DataFrame, right: DataFrame, view: DataFrame,
-      nBuckets: Int = 32, leftBase: DataFrame = null)
+      nBuckets: Int = 32)
 
   /** Synthesized view-row id column carried by the change feed — a chained
     * [[AggIndexNode]] keys its ledger on it. */

@@ -3874,20 +3874,18 @@ class NodesSpec extends AnyFunSuite {
     import spark.implicits._
     val c = Ctx(spark)
     val rows = Seq(
-      (1L, "a", 5L, "en"), (2L, "a", 40L, "de"),
-      (3L, "a", 55L, null), (4L, "b", 7L, "fr"),
-      (5L, "b", 8L, "fr"), (6L, "cc", 3L, "en"))
-      .toDF("doc_id", "src", "v", "lang")
+      (1L, "a", 5L, "en", "old"), (2L, "a", 40L, "de", "new"),
+      (3L, "a", 55L, "de", null), (4L, "b", 7L, "fr", "old"),
+      (5L, "b", 8L, "fr", "new"), (6L, "cc", 3L, "en", "old"))
+      .toDF("doc_id", "src", "v", "lang", "tag")
     val idx = new AggIndexNode(groupCols = Seq("src"), sumCols = Seq("v"),
       minCols = Seq("v"), maxCols = Seq("v"), distinctCols = Seq("lang"),
       histSpecs = Seq(AggIndexNode.HistSpec("v", 0L, 99L, 10)))
     idx.fit(c, In.single("corpus" -> rows))
-    // retention over LEDGER columns only (the documented contract — the
-    // barriered ledger enforces it; a non-ledger corpus column fails
-    // loudly below): drop v < 8 OR lang = 'en'; row 3's lang is NULL ->
-    // the condition evaluates NULL -> survivor (null-safe partition)
-    idx.deleteWhere(c, "v < 8 OR lang = 'en'")
-    // live: (2,a,40,de), (3,a,55,null-lang), (5,b,8,fr); cc emptied
+    // retention: drop v < 8 OR tag = 'old'; row 3's tag is NULL -> the
+    // condition evaluates NULL -> survivor (null-safe partition)
+    idx.deleteWhere(c, "v < 8 OR tag = 'old'")
+    // live: (2,a,40,de,new), (3,a,55,de,null), (5,b,8,fr,new); cc emptied
     val served = idx.transform(c,
       In.single("probe" -> Seq("a", "b", "cc").toDF("src")))("result")
       .select("src", "n_rows", "sum_v", "min_v", "max_v", "nd_lang")

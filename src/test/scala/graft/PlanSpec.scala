@@ -590,11 +590,8 @@ class PlanSpec extends AnyFunSuite {
       Seq(1L).toDF("k")))("result"))
     assert(mp.contains("BroadcastHashJoin") && !mp.contains("SortMergeJoin"),
       s"join serve must broadcast the probe keys:\n$mp")
-    // the materialized view is barriered blocks (Scan ExistingRDD) since
-    // the delta-tail change; either scan shape proves the serve reads
-    // maintained state instead of re-joining the ledgers
-    assert(mp.contains("InMemoryTableScan") || mp.contains("ExistingRDD"),
-      s"join serve must read the materialized view, not re-join:\n$mp")
+    assert(mp.contains("InMemoryTableScan"),
+      s"join serve must read the persisted view, not re-join:\n$mp")
     // left_outer serve: the derived-dangler leg adds ONE broadcast
     // anti-join against the dim keys — still no sort-merge anywhere
     val mo = new MaterializedJoinNode(leftOn = Seq("k"), rightOn = Seq("rk"),
