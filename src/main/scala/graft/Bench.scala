@@ -96,6 +96,43 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       spark.catalog.clearCache()
     } catch { case _: Throwable => } // warmup is best-effort
+    // index DELETE-maintenance warmup (VERDICT r14 wrong #3): the worst cold
+    // entries of the round (q163 cluster-delete 85 s, q161 inverted-delete
+    // 58 s, q140 62 s, q179 73 s) all share the delete-wave first touch —
+    // anti-join victim removal + touched-group recompute/splice + the
+    // served re-read — which the CC/IVF/triangle/stream warmups never
+    // build. Three toy 48-64-row indexes run the full
+    // fit → update → delete → serve lifecycle, untimed.
+    try {
+      val ctx = graft.dag.Ctx(spark)
+      val docs = spark.range(64).selectExpr("id as doc_id",
+        "concat('tok', id % 17, ' tok', id % 7, ' tok', id % 5, ' tok', id % 3) as text")
+      val inv = new graft.nodes.InvertedIndexNode(k = 3, maxDfFrac = 0.9)
+      inv.fit(ctx, graft.dag.In.single("corpus" -> docs.filter("doc_id < 48")))
+      inv.updateIndex(ctx, docs.filter("doc_id >= 48"))
+      inv.deleteFromIndex(ctx, docs.filter("doc_id % 4 = 0").select("doc_id"))
+      inv.transform(ctx, graft.dag.In.single("queries" ->
+        docs.limit(4).selectExpr("doc_id as query_id", "text")))("result").count()
+      inv.unpersistIndex()
+      val edges = spark.range(48).selectExpr("id % 12 as id_a", "(id * 5 + 1) % 12 as id_b")
+      val cl = new graft.nodes.ClusterIndexNode()
+      cl.fit(ctx, graft.dag.In.single("pairs" -> edges.filter("id_a % 5 != 0")))
+      cl.updateIndex(ctx, edges.filter("id_a % 5 = 0"))
+      cl.deleteFromIndex(ctx, spark.range(4).selectExpr("id * 3 as doc_id"))
+      cl.transform(ctx, graft.dag.In.single("queries" ->
+        spark.range(12).selectExpr("id as doc_id")))("result").count()
+      cl.unpersistIndex()
+      val imgs = spark.range(48).selectExpr("id as doc_id",
+        "cast(id * 2654435761 as bigint) as dhash")
+      val dh = new graft.nodes.DHashIndexNode(maxHamming = 2)
+      dh.fit(ctx, graft.dag.In.single("corpus" -> imgs.filter("doc_id < 40")))
+      dh.updateIndex(ctx, imgs.filter("doc_id >= 40"))
+      dh.deleteFromIndex(ctx, imgs.filter("doc_id % 4 = 0").select("doc_id"))
+      dh.transform(ctx, graft.dag.In.single("delta" -> imgs.limit(4)))("result").count()
+      dh.unpersistIndex()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      spark.catalog.clearCache()
+    } catch { case _: Throwable => } // warmup is best-effort
     // streaming warmup: state-store + micro-batch machinery init is ~1-2 s of
     // one-time cost that otherwise lands on the first timed stream query;
     // skipped when the filtered set times no streaming query, temp dir removed
@@ -130,6 +167,52 @@ object Bench {
       org.apache.commons.io.FileUtils.deleteQuietly(wdir.toFile)
     } catch { case _: Throwable => } // warmup is best-effort
     val errors = scala.collection.mutable.ArrayBuffer[String]()
+    // ---- between-query instrumentation + hygiene (VERDICT r14 wrong #1) ----
+    // The r14 driver run regressed 13 untouched queries ≥2x at run positions
+    // 136-187 while local runs stayed flat — an accumulation signature. The
+    // bench now (a) emits per-query evidence (heap, persisted-RDD count,
+    // broadcast-block count, loaded state-store providers) to a metrics
+    // sidecar so a recurrence is adjudicable from the artifact alone, and
+    // (b) applies the two candidate reclaimers between timings: a periodic
+    // System.gc() (ContextCleaner only reclaims broadcast/shuffle files on
+    // GC — 200+ queries of broadcasts otherwise wait for a full heap) and a
+    // StateStore unload after each query (HDFSBackedStateStoreProvider
+    // keeps per-provider version maps loaded for the rest of the run; the
+    // band was streaming/lakehouse-heavy). Both env-overridable for A/B.
+    val gcEvery = sys.env.getOrElse("SPARK_GRAFT_GC_EVERY", "8").toInt
+    val unloadStateStores =
+      sys.env.getOrElse("SPARK_GRAFT_UNLOAD_STATESTORES", "true").toBoolean
+    var queriesTimed = 0
+    def reflectStateStore(method: String): Unit = try {
+      val cls = Class.forName(
+        "org.apache.spark.sql.execution.streaming.state.StateStore$")
+      val mod = cls.getField("MODULE$").get(null)
+      cls.getMethod(method).invoke(mod)
+    } catch { case _: Throwable => }
+    def broadcastBlockCount(): Long = try {
+      val env = org.apache.spark.SparkEnv.get
+      val bm = env.getClass.getMethod("blockManager").invoke(env)
+      val fn: scala.Function1[AnyRef, AnyRef] =
+        (b: AnyRef) => Boolean.box(b.toString.startsWith("broadcast"))
+      bm.getClass.getMethod("getMatchingBlockIds", classOf[scala.Function1[_, _]])
+        .invoke(bm, fn).asInstanceOf[scala.collection.Seq[_]].size.toLong
+    } catch { case _: Throwable => -1L }
+    def loadedProviderCount(): Long = try {
+      val cls = Class.forName(
+        "org.apache.spark.sql.execution.streaming.state.StateStore$")
+      val mod = cls.getField("MODULE$").get(null)
+      val f = cls.getDeclaredFields.find(_.getName.contains("loadedProviders"))
+        .getOrElse(return -1L)
+      f.setAccessible(true)
+      f.get(mod) match {
+        case m: java.util.Map[_, _] => m.size.toLong
+        case m: scala.collection.Map[_, _] => m.size.toLong
+        case _ => -1L
+      }
+    } catch { case _: Throwable => -1L }
+    case class QMetric(q: String, sec: Double, heapMb: Long, rdds: Int,
+        bcast: Long, ssp: Long)
+    val metrics = scala.collection.mutable.ArrayBuffer[QMetric]()
     def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
                 recordError: Boolean): Double = {
       val t0 = System.nanoTime()
@@ -159,10 +242,35 @@ object Bench {
       // with. The queries are done; their truncated-lineage RDDs are dead
       // weight — sweep them between timings.
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      // state-store providers loaded by streaming queries stay resident for
+      // the whole run otherwise; unload is cheap (reload on next use)
+      if (unloadStateStores) reflectStateStore("unloadAll")
+      queriesTimed += 1
+      // ContextCleaner reclaims broadcast/shuffle artifacts only when their
+      // driver references are GC'd — force that on a cadence so a long run
+      // cannot accumulate hundreds of queries' worth
+      if (gcEvery > 0 && queriesTimed % gcEvery == 0) System.gc()
+      val rt = Runtime.getRuntime
+      metrics += QMetric(name, sec,
+        (rt.totalMemory - rt.freeMemory) / (1024 * 1024),
+        spark.sparkContext.getPersistentRDDs.size,
+        broadcastBlockCount(), loadedProviderCount())
       System.err.println(f"[bench] $name%-22s $sec%8.2f s")
       sec
     }
-    val firstPass = SparkEntry.queryOrder.map(n => n -> SparkEntry.queries(n))
+    // registry-order control for the accumulation-vs-query A/B (VERDICT r14
+    // next #1): if a regression band follows run POSITION under a shuffled
+    // or reversed order, it is accumulation; if it follows the QUERY, it is
+    // the query
+    val orderMode = sys.env.getOrElse("SPARK_GRAFT_ORDER", "natural")
+    val runOrder = orderMode match {
+      case "reverse" => SparkEntry.queryOrder.reverse
+      case s if s.startsWith("shuffle") =>
+        val seed = s.split(":").lift(1).map(_.toLong).getOrElse(42L)
+        new scala.util.Random(seed).shuffle(SparkEntry.queryOrder)
+      case _ => SparkEntry.queryOrder
+    }
+    val firstPass = runOrder.map(n => n -> SparkEntry.queries(n))
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) => (name, fn, timeOne(name, fn, recordError = true)) }
     // Host-noise hygiene (VERDICT r5 #9): single-pass timings on this host
@@ -246,6 +354,25 @@ object Bench {
     try {
       val w = new java.io.PrintWriter(sidecar, "UTF-8")
       try w.println(fullJson) finally w.close()
+    } catch { case _: Throwable => } // sidecar is best-effort
+    // per-query evidence sidecar (run order preserved, re-timings included):
+    // heap after cleanup, persisted-RDD count, broadcast blocks, loaded
+    // state-store providers — the accumulation adjudication artifact
+    try {
+      val mPath = sys.env.getOrElse("SPARK_GRAFT_METRICS_SIDECAR",
+        "BENCH_METRICS.json")
+      val w = new java.io.PrintWriter(mPath, "UTF-8")
+      try {
+        w.println(s"""{"order":"$orderMode","gc_every":$gcEvery,""" +
+          s""""unload_statestores":$unloadStateStores,"samples":[""")
+        metrics.zipWithIndex.foreach { case (m, i) =>
+          val sep = if (i == metrics.size - 1) "" else ","
+          w.println(s"""{"q":"${short(m.q)}","sec":${num(m.sec)},""" +
+            s""""heap_mb":${m.heapMb},"rdds":${m.rdds},"bcast":${m.bcast},""" +
+            s""""ssp":${m.ssp}}$sep""")
+        }
+        w.println("]}")
+      } finally w.close()
     } catch { case _: Throwable => } // sidecar is best-effort
     // heaviest-first, shrink until the line fits; failed (-1) queries are
     // always kept visible ahead of fast successes

@@ -53,6 +53,39 @@ final class Dag(val dagName: String = "dag") {
   def nodeOpt(name: String): Option[Node] = nodeMap.get(name)
   def contains(n: Node): Boolean = n.attached.contains(this)
 
+  // ------------------------------------------------------------------
+  // IVM chain topology (source's Δview feed -> downstream maintained state)
+  // ------------------------------------------------------------------
+  private[dag] val chainDecls = mutable.ArrayBuffer[(String, String, String)]()
+  /** Chain declarations (from, kind, to) in insertion order — serialized by
+    * DagJson so a restored pipeline knows what to re-attach. */
+  def chains: Seq[(String, String, String)] = chainDecls.toSeq
+  /** Record a chain between two attached nodes. The RUNTIME attach (fit or
+    * re-attach) is the caller's move — this records topology only, so it
+    * composes with both the fresh-fit path (source.chainX) and the restored
+    * path ([[reattachChains]]). */
+  def addChain(from: Node, kind: String, to: Node): Unit = {
+    require(contains(from) && contains(to),
+      s"addChain: both nodes must be attached to dag '$dagName'")
+    require(from.isInstanceOf[ChainSource],
+      s"addChain: '${from.name}' (${from.getClass.getSimpleName}) cannot " +
+        "source a chain (not a ChainSource)")
+    chainDecls += ((from.name, kind, to.name))
+  }
+  /** Re-attach every declared chain on ALREADY-LOADED nodes — the restart
+    * path: each node's own saveFitted/loadFitted state is the seed, so no
+    * refit happens here (an O(corpus) re-seed per restart is the failure
+    * mode this exists to avoid). Sources re-subscribe in declaration order,
+    * which preserves upstream-before-downstream notification order for
+    * transitively chained state. */
+  def reattachChains(ctx: Ctx): Unit = chainDecls.foreach { case (f, k, t) =>
+    node(f) match {
+      case cs: ChainSource => cs.reattachChain(ctx, k, node(t))
+      case other => throw new GraftException(
+        s"reattachChains: '$f' (${other.getClass.getSimpleName}) is not a ChainSource")
+    }
+  }
+
   /** Attach a node, auto-naming with counter dedup (reference add_vertex
     * override, mldagbase.py:1449-1482). Idempotent for already-attached nodes;
     * errors on cross-dag attach (reference graph.py:80-127).

@@ -86,7 +86,11 @@ object DagJson {
     "edges" -> dag.edges.map(e => Seq(e.from, e.fromPort, e.to, e.toPort)).toSeq,
     "deps" -> dag.deps.map { case (a, b) => Seq(a, b) }.toSeq,
     "inputs" -> dag.inputBinds.map(b => Seq(b.inName, b.node, b.port)).toSeq,
-    "outputs" -> dag.outputBinds.map { case (o, (n, p)) => Seq(o, n, p) }.toSeq)
+    "outputs" -> dag.outputBinds.map { case (o, (n, p)) => Seq(o, n, p) }.toSeq,
+    // IVM chain topology (from, kind, to): process-local subscriptions do
+    // not survive a restart, so the DECLARATIONS must — a restored pipeline
+    // re-attaches them over loaded state via Dag.reattachChains
+    "chains" -> dag.chainDecls.map { case (f, k, t) => Seq(f, k, t) }.toSeq)
 
   def dagFromMap(m: Map[String, Any]): Dag = {
     val dag = new Dag(m("dag").toString)
@@ -116,6 +120,10 @@ object DagJson {
     m("outputs").asInstanceOf[Seq[Any]].foreach { j =>
       val Seq(o, n, p) = strs(j); dag.setOutput(o, byName(n), Some(p))
     }
+    // optional for backward compatibility with pre-chain serializations
+    m.get("chains").foreach(_.asInstanceOf[Seq[Any]].foreach { j =>
+      val Seq(f, k, t) = strs(j); dag.addChain(byName(f), k, byName(t))
+    })
     dag
   }
 

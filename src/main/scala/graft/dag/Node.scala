@@ -321,3 +321,16 @@ object Node {
   /** Reference `as_transform` (mldagbase.py:1229-1251). */
   def asTransform(parent: Node): TransformNode = new TransformNode(parent.name)
 }
+
+/** A node whose maintained state can feed DOWNSTREAM maintained state (the
+  * IVM chain: a materialized join feeding a chained join or dashboard).
+  * The subscription itself is process-local runtime wiring, so a restored
+  * pipeline must RE-ATTACH it; this trait is the dag-core hook that lets
+  * [[Dag.reattachChains]] do that without the dag layer depending on the
+  * node library. `kind` names the chain flavor the source understands
+  * (e.g. "aggregate", "join"); `target` is the already-LOADED downstream
+  * node — re-attachment must never refit it (its own saved state is the
+  * seed; an O(corpus) re-seed per restart is exactly what this avoids). */
+trait ChainSource { self: Node =>
+  def reattachChain(ctx: Ctx, kind: String, target: Node): Unit
+}

