@@ -181,7 +181,13 @@ object Scale10 {
       // predicate retention on the inverted index (ledger-filter victim
       // selection + df decrement at k-fold postings)
       "q209_chained_dashboard", "q212_star_view",
-      "q210_sketch_float_quantiles", "q211_inverted_retention")
+      "q210_sketch_float_quantiles", "q211_inverted_retention",
+      // round-16 additions: the published Δview feed (per-wave overlay
+      // publish + consumer micro-batch maintenance — the r15 fan-out
+      // regression class; cost must track waves, not files) and the
+      // decimal-exact dashboard (ledger-sized ingest cast, group-sized
+      // decimal merges)
+      "q213_published_view_feed", "q214_agg_index_decimal")
     val names = if (queries.nonEmpty) queries else defaults
     names.foreach { n =>
       try time(n)(Queries.all(n)(spark, out).count())

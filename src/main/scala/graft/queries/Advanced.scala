@@ -4388,9 +4388,13 @@ object Advanced {
   // consumer that only knows the published ROOT — seeds from the base
   // generation (MorSourceNode before any overlay) and maintains itself
   // through MorTailNode + maintainFromStream, exactly like q187/q194 off
-  // a published corpus. maxFilesPerTrigger = 1 keeps each overlay its own
-  // micro-batch, so a wave-1 tombstone and a wave-2 re-insert of the same
-  // view row can never fold into one batch out of order. Gate: identical
+  // a published corpus. publishViewDelta writes each overlay as ONE file
+  // (delta-sized by contract), so maxFilesPerTrigger = 1 really does make
+  // each overlay its own micro-batch: a wave-1 tombstone and a wave-2
+  // re-insert of the same view row can never fold into one batch out of
+  // order, and the consumer pays one maintenance pass per WAVE, not per
+  // part file (the r15 fan-out lesson — 270 s from ~32 files/overlay).
+  // Gate: identical
   // dashboard to q209's declarative GROUP BY — a missed overlay, a
   // tombstone resolving the wrong key, or an unordered drain all change
   // the hash. ----
@@ -4477,6 +4481,56 @@ object Advanced {
       |       CAST(sum(price_i) AS BIGINT) AS sum_price_i
       |FROM live_facts LEFT JOIN live_dims ON o_custkey = c_custkey
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  // ---- q214: EXACT DECIMAL FLOAT SUMS under re-pricing upserts AND
+  // takedowns — the AVG/SUM(o_totalprice)-class dashboard (VERDICT r15
+  // wrong #3: decSumCols shipped ungated). The ledger pins each row's
+  // contribution with ONE deterministic cast to DECIMAL(38,4); from there
+  // every +/- is exact decimal arithmetic, so the maintained dsum must
+  // reproduce the declarative SUM(CAST(price AS DECIMAL(38,4))) over the
+  // live corpus BIT-FOR-BIT at the final generation — float-sum drift,
+  // a double-rounded re-cast on the delete path, or an order-dependent
+  // accumulation all change the hash. The re-pricing uses price*2 (exact
+  // in binary, so Spark and DuckDB round the same doubles to the same
+  // 4-decimal values). AVG rides as (dsum, n_rows): divide at the
+  // consumer, never in the maintained state. ----
+  def q214_agg_index_decimal(spark: SparkSession, dir: String): DataFrame = {
+    val ctx = Ctx(spark)
+    val orders = Queries.run(spark) { d =>
+      d.add(SourceNode.table(dir, "orders")) >>
+        ProjectNode("o_orderkey", "o_orderpriority", "o_totalprice") >>
+        d.output("result")
+    }
+    val idx = new AggIndexNode(groupCols = Seq("o_orderpriority"),
+      decSumCols = Seq("o_totalprice"), decScale = 4, idCol = "o_orderkey")
+    idx.fit(ctx, In.single("corpus" -> orders.filter("o_orderkey % 5 != 0")))
+    // day-2 arrivals
+    idx.updateIndex(ctx, orders.filter("o_orderkey % 5 = 0"))
+    // re-pricing UPSERT: delete-then-insert at 2x — the exact-decrement
+    // leg (merged sign = -1) followed by a fresh ingest cast
+    idx.deleteFromIndex(ctx,
+      orders.filter("o_orderkey % 3 = 0").select("o_orderkey"))
+    idx.updateIndex(ctx, orders.filter("o_orderkey % 3 = 0")
+      .withColumn("o_totalprice", col("o_totalprice") * 2))
+    // takedown wave
+    idx.deleteFromIndex(ctx,
+      orders.filter("o_orderkey % 7 = 0").select("o_orderkey"))
+    // the STATE is decimal-exact; only the FINAL output casts to double
+    // for the driver hash (q1 convention: the exact sum's unscaled value
+    // stays under 2^53, so decimal→double is one correct rounding of the
+    // same rational on both engines — bit-identical float64)
+    idx.transform(ctx, In.single(
+      "probe" -> orders.select("o_orderpriority").distinct()))("result")
+      .withColumn("dsum_o_totalprice", col("dsum_o_totalprice").cast("double"))
+      .orderBy("o_orderpriority")
+  }
+  val q214Sql: String =
+    """SELECT o_orderpriority, count(*) AS n_rows,
+      |  CAST(sum(CAST(CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 2
+      |                     ELSE o_totalprice END AS DECIMAL(38,4)))
+      |       AS DOUBLE) AS dsum_o_totalprice
+      |FROM orders WHERE o_orderkey % 7 <> 0
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
   // ---- q194: the dashboard MAINTAINS ITSELF off a published corpus — the
   // q187/q189 subscription pattern driving the materialized aggregate:
@@ -4959,5 +5013,6 @@ object Advanced {
     ("q211_inverted_retention", q211_inverted_retention _, q211Sql),
     ("q212_star_view", q212_star_view _, q212Sql),
     ("q213_published_view_feed", q213_published_view_feed _, q213Sql),
+    ("q214_agg_index_decimal", q214_agg_index_decimal _, q214Sql),
   )
 }

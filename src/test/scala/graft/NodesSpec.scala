@@ -10,6 +10,9 @@ import org.scalatest.funsuite.AnyFunSuite
   * oracle diff vs DuckDB runs via tools/compare.py at sf0.01).
   */
 class NodesSpec extends AnyFunSuite {
+  // the restart drill deserializes topology — must not depend on another
+  // suite having populated the DagJson factory table first
+  NodeRegistry.ensure
   private lazy val spark = SparkFixture.spark
   import spark.implicits._
 
@@ -5389,6 +5392,188 @@ class NodesSpec extends AnyFunSuite {
     def msgs(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
     assert(msgs(err).exists(_.contains("empty profile side")))
+  }
+
+  test("AggIndexNode decSumCols: decimal-exact float sums equal SUM(CAST) " +
+       "re-aggregation at every generation — update, exact decrement, " +
+       "upsert, SPLICE interaction with minCols, save/load, rebuild; " +
+       "decScale and non-numeric refusals") {
+    import org.apache.spark.sql.functions.{count, lit, min, sum}
+    val c = Ctx(spark)
+    // prices chosen with non-terminating binary expansions: a float-sum
+    // (double accumulation) path would drift away from the decimal oracle
+    var rows = Seq(
+      (1L, "a", 0.1, 10L), (2L, "a", 0.2, 20L), (3L, "b", 1.1, 5L),
+      (4L, "b", 2.2, 7L), (5L, "c", 3.3, 1L), (6L, "a", 0.3, 2L))
+    def live = rows.toDF("doc_id", "src", "price", "v")
+    // minCols force needsSplice: the delete leg recomputes touched groups
+    // (totalsOf over the spliced ledger) — the decimal measures must ride
+    // that recompute, not a decrement shortcut
+    val idx = new AggIndexNode(groupCols = Seq("src"),
+      decSumCols = Seq("price"), minCols = Seq("v"), decScale = 4)
+    idx.fit(c, In.single("corpus" -> live))
+    def check(stage: String): Unit = {
+      val probe = Seq("a", "b", "c", "d", "zz").toDF("src")
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getString(0), r.getLong(1), r.getDecimal(2), r.getLong(3))
+      val got = idx.transform(c, In.single("probe" -> probe))("result")
+        .collect().map(key).toSet
+      val want = live.groupBy("src").agg(count(lit(1)).as("n_rows"),
+          sum(col("price").cast("decimal(38,4)")).cast("decimal(38,4)")
+            .as("dsum_price"),
+          min("v").as("min_v"))
+        .collect().map(key).toSet
+      assert(got == want, s"[$stage] got $got want $want")
+    }
+    check("fit")
+    // insert wave: new group + growth on an existing one
+    idx.updateIndex(c,
+      Seq((7L, "d", 0.7, 3L), (8L, "a", 123.456, 1L))
+        .toDF("doc_id", "src", "price", "v"))
+    rows ++= Seq((7L, "d", 0.7, 3L), (8L, "a", 123.456, 1L))
+    check("insert")
+    // takedown removing group a's min row: the splice must move min_v AND
+    // recompute dsum_price for the touched group exactly
+    idx.deleteFromIndex(c, Seq(8L, 999L).toDF("doc_id"))
+    rows = rows.filterNot(_._1 == 8L)
+    check("splice-delete")
+    // re-pricing upsert (delete-then-insert at 2x — exact in binary)
+    idx.deleteFromIndex(c, Seq(2L).toDF("doc_id"))
+    idx.updateIndex(c, Seq((2L, "a", 0.4, 20L)).toDF("doc_id", "src", "price", "v"))
+    rows = rows.filterNot(_._1 == 2L) :+ (2L, "a", 0.4, 20L)
+    check("upsert")
+    // rebuild from the ledger == the maintained totals (exactness pin)
+    idx.rebuildIndex(); check("rebuild")
+    // save/load round-trip keeps the DECIMAL(38,4) state bit-exact
+    val dir = java.nio.file.Files.createTempDirectory("graft_decsum").toString
+    idx.saveFitted(dir)
+    val idx2 = new AggIndexNode(groupCols = Seq("src"),
+      decSumCols = Seq("price"), minCols = Seq("v"), decScale = 4)
+    idx2.loadFitted(dir, Some(spark))
+    val reloaded = idx2.transform(c,
+      In.single("probe" -> Seq("a").toDF("src")))("result").collect().head
+    assert(reloaded.getDecimal(2) ==
+      live.filter("src = 'a'")
+        .agg(sum(col("price").cast("decimal(38,4)")).cast("decimal(38,4)"))
+        .collect().head.getDecimal(0))
+    // NON-splice family too: without minCols the delete is merged(-1) —
+    // the exact decimal DECREMENT leg
+    val dec = new AggIndexNode(groupCols = Seq("src"),
+      decSumCols = Seq("price"), decScale = 4)
+    dec.fit(c, In.single("corpus" -> live))
+    dec.deleteFromIndex(c, Seq(1L, 3L).toDF("doc_id"))
+    val afterDec = dec.transform(c,
+      In.single("probe" -> Seq("a", "b").toDF("src")))("result")
+      .collect().map(r => r.getString(0) -> r.getDecimal(2)).toMap
+    val wantDec = live.filter("doc_id NOT IN (1, 3)").groupBy("src")
+      .agg(sum(col("price").cast("decimal(38,4)")).cast("decimal(38,4)"))
+      .collect().map(r => r.getString(0) -> r.getDecimal(1)).toMap
+    assert(afterDec("a") == wantDec("a") && afterDec("b") == wantDec("b"))
+    // refusals: decScale out of range; non-numeric measure; a decSum
+    // column doubling as an extremum measure
+    intercept[IllegalArgumentException] {
+      new AggIndexNode(groupCols = Seq("src"), decSumCols = Seq("price"),
+        decScale = 19)
+    }
+    val nonNum = intercept[GraftException] {
+      new AggIndexNode(groupCols = Seq("src"), decSumCols = Seq("txt"))
+        .fit(c, In.single("corpus" ->
+          Seq((1L, "a", "oops")).toDF("doc_id", "src", "txt")))
+    }
+    assert(nonNum.getMessage.contains("numeric"))
+    intercept[IllegalArgumentException] {
+      new AggIndexNode(groupCols = Seq("src"), decSumCols = Seq("price"),
+        minCols = Seq("price"))
+    }
+    idx.unpersistIndex(); idx2.unpersistIndex(); dec.unpersistIndex()
+  }
+
+  test("MaterializedJoinNode.publishViewDelta: ONE data file per overlay, " +
+       "typed tombstones resolve the MoR read to the live outer view at " +
+       "every wave, the fold-fence claim raises loudly with no stranded " +
+       "overlay, and re-publish replaces the subscription (restart path) " +
+       "with the two-generation retention honored") {
+    val c = Ctx(spark)
+    val facts0 = (1L to 40L).map(i => (i, i % 7, i)).toDF("oid", "cust", "amt")
+    val dims0 = (0L to 6L).map(i => (i, s"s${i % 3}")).toDF("cid", "seg")
+    val mj = new MaterializedJoinNode(leftOn = Seq("cust"),
+      rightOn = Seq("cid"), leftId = "oid", rightId = "cid",
+      joinType = "left_outer")
+    mj.fit(c, In.single("left" -> facts0.filter("oid <= 30"),
+      "right" -> dims0.filter("cid <= 4")))
+    var liveL = facts0.filter("oid <= 30")
+    var liveR = dims0.filter("cid <= 4")
+    val root = java.nio.file.Files.createTempDirectory("graft_pvd_")
+      .toString + "/view_mor"
+    mj.publishViewDelta(c, root)
+    def resolvedEqualsLive(stage: String): Unit = {
+      val vid = MaterializedJoinNode.ViewIdCol
+      val got = new MorSourceNode(root, keys = Seq(vid))
+        .transform(c, In.empty)("result")
+        .select("oid", "cid", "seg", "amt")
+        .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+      val want = liveL.join(liveR, liveL("cust") === liveR("cid"), "left_outer")
+        .select("oid", "cid", "seg", "amt")
+        .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+      assert(got == want, s"[$stage] resolved feed diverged from live view")
+    }
+    resolvedEqualsLive("base")
+    // four wave classes: fact insert, late dim (retro-match + dangler
+    // retraction), fact takedown, dim takedown (dangler re-insert)
+    mj.updateIndex(c, facts0.filter("oid > 30")); liveL = facts0
+    mj.updateRight(c, dims0.filter("cid > 4")); liveR = dims0
+    mj.deleteFromIndex(c, facts0.filter("oid % 4 = 0").select("oid"))
+    liveL = liveL.filter("oid % 4 != 0")
+    mj.deleteFromRight(c, Seq(1L).toDF("cid"))
+    liveR = liveR.filter("cid != 1")
+    resolvedEqualsLive("after-waves")
+    // the overlay contract: each wave is EXACTLY ONE data file (the r15
+    // fan-out lesson — maxFilesPerTrigger=1 must mean one overlay per
+    // micro-batch, and cross-wave ordering must not depend on file count)
+    val deltas = AtomicPublish.listDeltas(spark, root)
+    assert(deltas.map(_._1) == Seq(0L, 1L, 2L, 3L),
+      s"expected overlays 0..3, got ${deltas.map(_._1)}")
+    deltas.foreach { case (id, p) =>
+      val n = new java.io.File(new java.net.URI(p).getPath).listFiles()
+        .count(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+      assert(n == 1, s"delta-$id has $n data files — contract is ONE")
+    }
+    // fold-fence: with a gen claim outstanding a wave must RAISE (not
+    // strand an overlay inside a to-be-retired generation)
+    val gen = AtomicPublish.currentGen(spark, root).get
+    val claim = new java.io.File(s"$root/${AtomicPublish.ClaimPrefix}${gen + 1}")
+    assert(claim.createNewFile())
+    val fenced = intercept[GraftException] {
+      mj.updateRight(c, Seq((99L, "s9")).toDF("cid", "seg"))
+    }
+    assert(fenced.getMessage.contains("claim"))
+    assert(AtomicPublish.listDeltas(spark, root).size == 4,
+      "the fenced wave must not leave a stranded overlay")
+    assert(claim.delete())
+    // the join itself DID absorb the fenced wave (subscriber runs after
+    // state commit) — recovery is the restart path: RE-publish the root,
+    // which swaps a fresh base generation (the current view) and REPLACES
+    // the old subscription, so later waves are written exactly once
+    liveR = liveR.unionByName(Seq((99L, "s9")).toDF("cid", "seg"))
+    mj.publishViewDelta(c, root)
+    val gen2 = AtomicPublish.currentGen(spark, root).get
+    assert(gen2 == gen + 1)
+    resolvedEqualsLive("re-published")
+    mj.deleteFromRight(c, Seq(99L).toDF("cid"))
+    liveR = liveR.filter("cid != 99")
+    resolvedEqualsLive("post-republish-wave")
+    assert(AtomicPublish.listDeltas(spark, root).map(_._1) == Seq(0L),
+      "a replaced subscription must write each wave exactly once, ids from 0")
+    // retention: gen-(N) survives one re-publish (a consumer one full
+    // generation behind can still read), and is reclaimed after two
+    assert(new java.io.File(s"$root/gen-$gen").exists(),
+      "previous generation must survive one publish (lagging-consumer contract)")
+    mj.publishViewDelta(c, root)
+    assert(AtomicPublish.currentGen(spark, root).contains(gen2 + 1))
+    assert(!new java.io.File(s"$root/gen-$gen").exists(),
+      "a generation two behind the head is past retention and reclaimed")
+    resolvedEqualsLive("third-generation")
+    mj.unpersistIndex()
   }
 }
 
