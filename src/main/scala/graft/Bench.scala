@@ -199,7 +199,14 @@ object Bench {
     // StateStore unload after each query (HDFSBackedStateStoreProvider
     // keeps per-provider version maps loaded for the rest of the run; the
     // band was streaming/lakehouse-heavy). Both env-overridable for A/B.
-    val gcEvery = sys.env.getOrElse("SPARK_GRAFT_GC_EVERY", "8").toInt
+    // Round-16 A/B on the shared q1-q55 set (totals + sidecar invariants):
+    // gc=8 39.3 s / gc=32 37.7 / gc=0 36.6 / no-unload 39.1 — but gc=0
+    // grows heap 1.9->3.1 GB and broadcast blocks 90->188 over just 55
+    // queries (the accumulation recipe at 214), and no-unload leaves 60
+    // state-store providers resident (the r14 band mechanism). Chosen:
+    // gcEvery=32 (insurance at ~1 s / 55 queries) + unload only when
+    // providers are actually loaded (below).
+    val gcEvery = sys.env.getOrElse("SPARK_GRAFT_GC_EVERY", "32").toInt
     val unloadStateStores =
       sys.env.getOrElse("SPARK_GRAFT_UNLOAD_STATESTORES", "true").toBoolean
     var queriesTimed = 0

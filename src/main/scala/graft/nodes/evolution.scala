@@ -957,6 +957,11 @@ class AggIndexNode(
     m.hists.values.foreach(_.unpersist())
   }
 
+  /** One ledger id, for the chain vid-scheme guard (None if empty). */
+  private[nodes] def sampleLedgerId(): Option[String] =
+    model.flatMap(_.ledger.select(col(idCol)).limit(1)
+      .collect().headOption.map(_.get(0).toString))
+
   override def saveFitted(path: String): Unit = {
     val m = model.getOrElse(
       throw new GraftException(s"estimator node '$name' not fitted"))
@@ -1718,8 +1723,24 @@ class MaterializedJoinNode(
         s"materialized_join '$name': reattachAggregate needs the chained " +
           s"aggregate '${agg.name}' already fitted or loaded — re-attachment " +
           "never refits (call chainAggregate for a fresh seed)")
+    checkVidScheme(agg.sampleLedgerId(), agg.name)
     subscribeAgg(agg)
   }
+
+  /** Vid-scheme guard (ADVICE r15): chained state saved before the
+    * length-prefixed encoding keys its ledger on separator-based vids —
+    * re-attaching it under the new scheme would silently yield unmatched
+    * deletes and duplicate inserts. One sampled id (reattach is the rare
+    * restart path) catches it loudly instead. */
+  private def checkVidScheme(sample: Option[String], target: String): Unit =
+    sample.foreach { vid =>
+      if (!vid.matches("\\d+:.*"))
+        throw new GraftException(
+          s"materialized_join '$name': chained state of '$target' keys on a " +
+            s"PRE-length-prefix view-row id ('$vid') — saves from before the " +
+            "vid-scheme change cannot re-attach; re-seed with " +
+            "chainAggregate/chainJoin (one refit), then save fresh state")
+    }
 
   private def checkAggChain(agg: AggIndexNode): Unit =
     if (agg.idCol != MaterializedJoinNode.ViewIdCol)
@@ -1786,8 +1807,14 @@ class MaterializedJoinNode(
         s"materialized_join '$name': reattachJoin needs the chained join " +
           s"'${next.name}' already fitted or loaded — re-attachment never " +
           "refits (call chainJoin for a fresh seed)")
+    checkVidScheme(next.sampleLeftId(), next.name)
     subscribeJoin(next)
   }
+
+  /** One fact-ledger id, for the chain vid-scheme guard (None if empty). */
+  private[nodes] def sampleLeftId(): Option[String] =
+    model.flatMap(m => leftData(m).select(col(leftId)).limit(1)
+      .collect().headOption.map(_.get(0).toString))
 
   private def checkJoinChain(next: MaterializedJoinNode): Unit =
     if (next.leftId == MaterializedJoinNode.ViewIdCol)

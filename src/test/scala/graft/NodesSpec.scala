@@ -5488,6 +5488,33 @@ class NodesSpec extends AnyFunSuite {
     idx.unpersistIndex(); idx2.unpersistIndex(); dec.unpersistIndex()
   }
 
+  test("reattachAggregate refuses chained state keyed on PRE-length-prefix " +
+       "vids (the r15 encoding change): one sampled id gates the restart " +
+       "path loudly instead of silently missing deletes") {
+    val c = Ctx(spark)
+    val mj = new MaterializedJoinNode(leftOn = Seq("cust"),
+      rightOn = Seq("cid"), leftId = "oid", rightId = "cid")
+    mj.fit(c, In.single(
+      "left" -> Seq((1L, 2L, 10L)).toDF("oid", "cust", "amt"),
+      "right" -> Seq((2L, "s0")).toDF("cid", "seg")))
+    // an aggregate whose loaded ledger carries OLD separator-based vids
+    val stale = new AggIndexNode(groupCols = Seq("seg"), sumCols = Seq("amt"),
+      idCol = MaterializedJoinNode.ViewIdCol)
+    stale.fit(c, In.single("corpus" ->
+      Seq(("1|m:2", "s0", 10L))
+        .toDF(MaterializedJoinNode.ViewIdCol, "seg", "amt")))
+    val err = intercept[GraftException] { mj.reattachAggregate(c, stale) }
+    assert(err.getMessage.contains("PRE-length-prefix"))
+    // a current-scheme ledger re-attaches fine
+    val fresh = new AggIndexNode(groupCols = Seq("seg"), sumCols = Seq("amt"),
+      idCol = MaterializedJoinNode.ViewIdCol)
+    fresh.fit(c, In.single("corpus" ->
+      Seq(("1:1|m:2", "s0", 10L))
+        .toDF(MaterializedJoinNode.ViewIdCol, "seg", "amt")))
+    mj.reattachAggregate(c, fresh)
+    stale.unpersistIndex(); fresh.unpersistIndex(); mj.unpersistIndex()
+  }
+
   test("MaterializedJoinNode.publishViewDelta: ONE data file per overlay, " +
        "typed tombstones resolve the MoR read to the live outer view at " +
        "every wave, the fold-fence claim raises loudly with no stranded " +
