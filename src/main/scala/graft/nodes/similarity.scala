@@ -1156,6 +1156,20 @@ class InvertedIndexNode(
     (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
   }
 
+  // Columnar MoR stores behind the two corpus-sized frames (see SegStore):
+  // insert/delete waves write O(delta) parquet instead of re-copying the
+  // whole postings/docs unions; the vocab-sized terms frame keeps the
+  // merge-and-materialize path (it is the small side by construction).
+  @volatile private var postStore: Option[SegStore] = None
+  @volatile private var docStore: Option[SegStore] = None
+  private def foldStores(): Unit = {
+    var folded = false
+    Seq(postStore, docStore).flatten.foreach { st =>
+      if (st.needsFold) { st.fold(); folded = true } }
+    if (folded) model = model.map(m =>
+      m.copy(postings = postStore.get.live, docs = docStore.get.live))
+  }
+
   def fitModel(ctx: Ctx, in: In): Model = {
     import org.apache.spark.storage.StorageLevel
     val corpus = in("corpus")
@@ -1170,6 +1184,11 @@ class InvertedIndexNode(
     // tokenizes to nothing (they have no postings but still counted in N)
     val docs = corpus.select(col(idCol).as("__id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    Seq(postStore, docStore).flatten.foreach(_.unpersistAll())
+    postStore = Some(new SegStore(s"${name}_post",
+      compactPath.map(_ + "/segs")).reset(postings))
+    docStore = Some(new SegStore(s"${name}_doc",
+      compactPath.map(_ + "/segs")).reset(docs))
     InvertedIndexNode.Index(postings, terms, docs.count(), docs, pd, ls)
   }
 
@@ -1266,26 +1285,27 @@ class InvertedIndexNode(
     import org.apache.spark.storage.StorageLevel
     val m = model.getOrElse(
       throw new graft.dag.GraftException(s"estimator node '$name' not fitted"))
-    val dPost = termFreqs(delta, idCol, textCol)
-      .select(col("tok"), col(idCol).as("__id"), col("tf"), col("__dl"))
-    val newPostings = m.postings.select("tok", "__id", "tf", "__dl")
-      .union(dPost)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val ps = postStore.getOrElse(
+      throw new graft.dag.GraftException(s"inverted_index '$name': no store"))
+    val ds = docStore.get
+    // O(delta) state writes: the batch's postings and doc ids land once as
+    // parquet segments (cached, columnar) — no corpus-sized union copy
+    val postSeg = ps.appendSegment(termFreqs(delta, idCol, textCol)
+      .select(col("tok"), col(idCol).as("__id"), col("tf"), col("__dl")))
+    val docSeg = ds.appendSegment(delta.select(col(idCol).as("__id")))
     import org.apache.spark.sql.functions.coalesce
-    val dDf = dPost.groupBy("tok").agg(count(lit(1)).as("__ddf"))
+    val dDf = postSeg.groupBy("tok").agg(count(lit(1)).as("__ddf"))
     val newTerms = m.terms.select("tok", "df").join(dDf, Seq("tok"), "full_outer")
       .select(col("tok"),
         (coalesce(col("df"), lit(0L)) + coalesce(col("__ddf"), lit(0L))).as("df"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val newDocs = m.docs.select("__id")
-      .union(delta.select(col(idCol).as("__id")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val dN = delta.count()
-    val (dpd, dls) = postStats(dPost) // delta-sized BM25 stat increments
-    newPostings.count(); newTerms.count(); newDocs.count() // materialize before releasing old
-    model = Some(InvertedIndexNode.Index(newPostings, newTerms, m.nDocs + dN, newDocs,
-      m.postDocs + dpd, m.lenSum + dls))
-    m.postings.unpersist(); m.terms.unpersist(); m.docs.unpersist()
+    val dN = docSeg.count() // also fills the doc-segment cache
+    val (dpd, dls) = postStats(postSeg) // delta-sized BM25 stat increments
+    newTerms.count() // materialize before releasing the old terms
+    model = Some(InvertedIndexNode.Index(ps.live, newTerms, m.nDocs + dN,
+      ds.live, m.postDocs + dpd, m.lenSum + dls))
+    m.terms.unpersist()
+    foldStores()
     generation += 1
     if (compactEvery > 0 && generation % compactEvery == 0) compactIndex()
   }
@@ -1317,27 +1337,29 @@ class InvertedIndexNode(
     import org.apache.spark.sql.functions.coalesce
     val m = model.getOrElse(
       throw new graft.dag.GraftException(s"estimator node '$name' not fitted"))
-    val del = deletes.select(col(idCol).as("__id")).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val removed = del.join(m.docs.select("__id"), Seq("__id"), "left_semi").count()
-    val removedPost = m.postings.join(del, Seq("__id"), "left_semi")
+    val ps = postStore.getOrElse(
+      throw new graft.dag.GraftException(s"inverted_index '$name': no store"))
+    val ds = docStore.get
+    // O(delta) state write: generation-stamped id tombstones on both
+    // corpus-sized frames, resolved at read (re-adding a deleted doc
+    // later — the upsert composition — survives by generation)
+    val tomb = ps.appendTombstones("__id",
+      deletes.select(col(idCol).as("__id")).distinct())
+    ds.appendTombstones("__id", tomb)
+    val removed = tomb.join(m.docs.select("__id"), Seq("__id"), "left_semi").count()
+    val removedPost = m.postings.join(tomb, Seq("__id"), "left_semi")
     val dDf = removedPost.groupBy("tok").agg(count(lit(1)).as("__ddf"))
     val newTerms = m.terms.select("tok", "df").join(dDf, Seq("tok"), "left")
       .select(col("tok"), (col("df") - coalesce(col("__ddf"), lit(0L))).as("df"))
       .filter(col("df") > 0)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val newPostings = m.postings.select("tok", "__id", "tf", "__dl")
-      .join(del, Seq("__id"), "left_anti")
-      .select("tok", "__id", "tf", "__dl")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val newDocs = m.docs.select("__id").join(del, Seq("__id"), "left_anti")
-      .persist(StorageLevel.MEMORY_AND_DISK)
     // exact BM25 stat decrements from the removed postings' rollup
     val (rpd, rls) = postStats(removedPost)
-    newPostings.count(); newTerms.count(); newDocs.count()
-    model = Some(InvertedIndexNode.Index(newPostings, newTerms, m.nDocs - removed, newDocs,
-      m.postDocs - rpd, m.lenSum - rls))
-    m.postings.unpersist(); m.terms.unpersist(); m.docs.unpersist(); del.unpersist()
+    newTerms.count() // materialize before releasing the old terms
+    model = Some(InvertedIndexNode.Index(ps.live, newTerms, m.nDocs - removed,
+      ds.live, m.postDocs - rpd, m.lenSum - rls))
+    m.terms.unpersist()
+    foldStores()
     generation += 1
     if (compactEvery > 0 && generation % compactEvery == 0) compactIndex()
   }
@@ -1360,20 +1382,28 @@ class InvertedIndexNode(
         d.toFile.deleteOnExit()
         d.toString
     }
-    val session = m.postings.sparkSession
-    saveFitted(path)
+    val session = m.terms.sparkSession
+    saveFitted(path) // writes the RESOLVED live frames
+    val postings = session.read.parquet(s"$path/postings")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val docs = session.read.parquet(s"$path/docs")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // the durable fold doubles as the store folds
+    postStore.foreach { st => st.unpersistAll(); st.reset(postings) }
+    docStore.foreach { st => st.unpersistAll(); st.reset(docs) }
     model = Some(InvertedIndexNode.Index(
-      session.read.parquet(s"$path/postings").persist(StorageLevel.MEMORY_AND_DISK),
+      postings,
       session.read.parquet(s"$path/terms").persist(StorageLevel.MEMORY_AND_DISK),
       m.nDocs,
-      session.read.parquet(s"$path/docs").persist(StorageLevel.MEMORY_AND_DISK),
+      docs,
       m.postDocs, m.lenSum))
-    m.postings.unpersist(); m.terms.unpersist(); m.docs.unpersist()
+    m.terms.unpersist()
   }
 
   /** Release the persisted index frames (fit again to rebuild). */
   def unpersistIndex(): Unit = model.foreach { m =>
-    m.postings.unpersist(); m.terms.unpersist(); m.docs.unpersist()
+    Seq(postStore, docStore).flatten.foreach(_.unpersistAll())
+    m.terms.unpersist()
   }
 
   override def saveFitted(path: String): Unit = {
@@ -1419,10 +1449,17 @@ class InvertedIndexNode(
     val postings =
       if (postings0.columns.contains("__dl")) postings0
       else postings0.withColumn("__dl", lit(null).cast("long"))
+    val postingsP = postings.persist(StorageLevel.MEMORY_AND_DISK)
+    val docsP = docs.persist(StorageLevel.MEMORY_AND_DISK)
+    Seq(postStore, docStore).flatten.foreach(_.unpersistAll())
+    postStore = Some(new SegStore(s"${name}_post",
+      compactPath.map(_ + "/segs")).reset(postingsP))
+    docStore = Some(new SegStore(s"${name}_doc",
+      compactPath.map(_ + "/segs")).reset(docsP))
     model = Some(InvertedIndexNode.Index(
-      postings.persist(StorageLevel.MEMORY_AND_DISK),
+      postingsP,
       spark.read.parquet(s"$path/terms").persist(StorageLevel.MEMORY_AND_DISK), n,
-      docs.persist(StorageLevel.MEMORY_AND_DISK), pd, ls))
+      docsP, pd, ls))
     loadMaintenanceState(spark, path)
   }
 }
