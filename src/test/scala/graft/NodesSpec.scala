@@ -5488,6 +5488,51 @@ class NodesSpec extends AnyFunSuite {
     idx.unpersistIndex(); idx2.unpersistIndex(); dec.unpersistIndex()
   }
 
+  test("SegStore fold boundary: 36 interleaved insert/delete/upsert waves " +
+       "cross the 32-wave fold — totals stay bit-identical to re-aggregation " +
+       "through the consolidation, and tombstoned ids re-inserted after a " +
+       "fold stay live") {
+    import org.apache.spark.sql.functions.{count, lit, sum}
+    val c = Ctx(spark)
+    val idx = new AggIndexNode(groupCols = Seq("src"), sumCols = Seq("v"))
+    var rows = Map[Long, (String, Long)](1L -> ("a", 10L), 2L -> ("b", 20L))
+    def liveDf = rows.toSeq.map { case (id, (s, v)) => (id, s, v) }
+      .toDF("doc_id", "src", "v")
+    idx.fit(c, In.single("corpus" -> liveDf))
+    // 36 waves (9 x 4 ops): inserts, takedowns, and delete-then-reinsert
+    // upserts — enough to cross SegStore's 32-wave fold in the middle of
+    // the lifecycle (the consolidation must be invisible to correctness)
+    (0 until 9).foreach { i =>
+      val nid = 100L + i
+      idx.updateIndex(c, Seq((nid, s"s${i % 3}", i.toLong))
+        .toDF("doc_id", "src", "v"))
+      rows += nid -> (s"s${i % 3}", i.toLong)
+      idx.deleteFromIndex(c, Seq(100L + math.max(0, i - 5)).toDF("doc_id"))
+      rows -= (100L + math.max(0, i - 5))
+      // upsert: kill and re-add id 1 with a new value — the re-insert must
+      // survive every tombstone before AND after the fold
+      idx.deleteFromIndex(c, Seq(1L).toDF("doc_id"))
+      idx.updateIndex(c, Seq((1L, "a", 10L + i)).toDF("doc_id", "src", "v"))
+      rows += 1L -> ("a", 10L + i)
+    }
+    val probe = (rows.values.map(_._1).toSeq :+ "zz").distinct.toDF("src")
+    val got = idx.transform(c, In.single("probe" -> probe))("result")
+      .as[(String, Long, Long)].collect().toSet
+    val want = liveDf.groupBy("src")
+      .agg(count(lit(1)).as("n_rows"), sum("v").as("sum_v"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == want, s"fold-boundary divergence: got $got want $want")
+    // the save path writes the RESOLVED ledger: reload equals live state
+    val dir = java.nio.file.Files.createTempDirectory("graft_fold").toString
+    idx.saveFitted(dir)
+    val idx2 = new AggIndexNode(groupCols = Seq("src"), sumCols = Seq("v"))
+    idx2.loadFitted(dir, Some(spark))
+    val got2 = idx2.transform(c, In.single("probe" -> probe))("result")
+      .as[(String, Long, Long)].collect().toSet
+    assert(got2 == want)
+    idx.unpersistIndex(); idx2.unpersistIndex()
+  }
+
   test("reattachAggregate refuses chained state keyed on PRE-length-prefix " +
        "vids (the r15 encoding change): one sampled id gates the restart " +
        "path loudly instead of silently missing deletes") {

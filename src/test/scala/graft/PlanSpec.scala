@@ -699,4 +699,28 @@ class PlanSpec extends AnyFunSuite {
         s"$after1 -> $after7 nodes across six maintenance ops")
     agg.unpersistIndex(); mj.unpersistIndex()
   }
+
+  test("SegStore-backed index state stays COLUMNAR: the lexical serve plan " +
+       "after insert and delete waves reads cached segments as " +
+       "InMemoryTableScan, never row-block RDD scans (the r14 delta-tail " +
+       "negative result — checkpoint-block tails lost column pruning — " +
+       "locked against regression)") {
+    val spark0 = spark
+    import spark0.implicits._
+    val ctx = Ctx(spark)
+    val docs = spark.range(80).selectExpr("id as doc_id",
+      "concat('tok', id % 17, ' tok', id % 7, ' tok', id % 5) as text")
+    val inv = new InvertedIndexNode(k = 3, maxDfFrac = 0.9)
+    inv.fit(ctx, In.single("corpus" -> docs.filter("doc_id < 60")))
+    inv.updateIndex(ctx, docs.filter("doc_id >= 60"))
+    inv.deleteFromIndex(ctx, docs.filter("doc_id % 4 = 0").select("doc_id"))
+    val served = inv.transform(ctx, In.single("queries" ->
+      docs.limit(2).selectExpr("doc_id as query_id", "text")))("result")
+    val p = served.queryExecution.executedPlan.toString
+    assert(p.contains("InMemoryTableScan"),
+      s"post-wave serve must read CACHED state (InMemoryTableScan):\n$p")
+    assert(!p.contains("Scan ExistingRDD"),
+      s"post-wave state must never degrade to row-block RDD scans:\n$p")
+    inv.unpersistIndex()
+  }
 }
