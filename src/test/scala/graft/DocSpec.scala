@@ -475,4 +475,55 @@ class DocSpec extends AnyFunSuite {
     dash.unpersistIndex(); star.unpersistIndex(); view.unpersistIndex()
     scores.unpersistIndex()
   }
+
+  test("README published-feed and decimal-sum example runs") {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    val ctx = Ctx(spark)
+    // README item 11: the chain across processes — publish the Δview
+    // feed, seed a consumer from the base generation, drain the overlays
+    val orders = Seq((1L, 10L, 5L), (2L, 11L, 7L), (3L, 10L, 2L))
+      .toDF("o_orderkey", "o_custkey", "o_qty")
+    val custs = Seq((10L, "alice"), (11L, "bob")).toDF("c_custkey", "c_name")
+    val view = new MaterializedJoinNode(leftOn = Seq("o_custkey"),
+      rightOn = Seq("c_custkey"), leftId = "o_orderkey",
+      rightId = "c_custkey", joinType = "left_outer")
+    view.fit(ctx, In.single("left" -> orders, "right" -> custs))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_doc_feed_")
+    val viewRoot = s"$tmp/view_mor"
+    view.publishViewDelta(ctx, viewRoot)
+    // consumer process: seed the dashboard from the published base
+    val dash = new AggIndexNode(groupCols = Seq("c_name"),
+      sumCols = Seq("o_qty"), idCol = MaterializedJoinNode.ViewIdCol)
+    dash.fit(ctx, In.single("corpus" ->
+      new MorSourceNode(viewRoot, keys = Seq(MaterializedJoinNode.ViewIdCol))
+        .transform(ctx, In.empty)("result")))
+    // producer waves land as single-file overlays...
+    view.updateIndex(ctx, Seq((4L, 11L, 3L)).toDF("o_orderkey", "o_custkey", "o_qty"))
+    view.deleteFromRight(ctx, Seq(10L).toDF("c_custkey"))
+    // ...and the consumer drains them through the standard subscription
+    IndexMaintenance.maintainFromStream(dash, ctx,
+      new MorTailNode(viewRoot, maxFilesPerTrigger = Some(1))
+        .transform(ctx, In.empty)("result"),
+      checkpoint = Some(s"$tmp/ckpt"), deleteCol = Some(MorCdc.DeletedCol))
+    val probe = custs.select("c_name")
+      .unionByName(Seq(Option.empty[String]).toDF("c_name")).distinct()
+    val got = dash.transform(ctx, In.single("probe" -> probe))("result")
+      .as[(Option[String], Long, Long)].collect().toSet
+    // live algebra: customer 10 taken down -> its orders dangle (NULL group)
+    assert(got == Set((Some("bob"), 2L, 10L), (None, 2L, 7L)))
+    // README item 12: decimal-exact float sums under a re-pricing upsert
+    val priced = Seq((1L, "HIGH", 0.1), (2L, "HIGH", 0.2), (3L, "LOW", 1.1))
+      .toDF("o_orderkey", "o_orderpriority", "o_totalprice")
+    val spend = new AggIndexNode(groupCols = Seq("o_orderpriority"),
+      decSumCols = Seq("o_totalprice"), decScale = 4, idCol = "o_orderkey")
+    spend.fit(ctx, In.single("corpus" -> priced))
+    spend.deleteFromIndex(ctx, Seq(2L).toDF("o_orderkey"))
+    spend.updateIndex(ctx, Seq((2L, "HIGH", 0.4))
+      .toDF("o_orderkey", "o_orderpriority", "o_totalprice"))
+    val dsum = spend.transform(ctx, In.single("probe" ->
+      Seq("HIGH").toDF("o_orderpriority")))("result").collect().head.getDecimal(2)
+    assert(dsum == new java.math.BigDecimal("0.5000")) // 0.1 + 0.4, exact
+    dash.unpersistIndex(); view.unpersistIndex(); spend.unpersistIndex()
+  }
 }
