@@ -1074,12 +1074,23 @@ class MinHashIndexNode(
       .persist(StorageLevel.MEMORY_AND_DISK)
     // explicit column order on BOTH sides: union is positional, and the
     // fitted buckets frame carries (band, band_hash, base_id) from its cap
-    // join while fresh band keys arrive as (base_id, band, band_hash)
-    val grown = m.buckets.select("band", "band_hash", "base_id")
-      .union(bandKeys(sh, "base_id", "__sh_b").select("band", "band_hash", "base_id"))
-    val ok = grown.groupBy("band", "band_hash").count()
-      .filter(col("count") <= maxBucket).select("band", "band_hash")
-    val newBuckets = grown.join(ok, Seq("band", "band_hash"))
+    // join while fresh band keys arrive as (base_id, band, band_hash).
+    // Cap re-evaluation is restricted to the TOUCHED buckets (stored
+    // buckets are ≤ maxBucket by invariant, so only buckets the delta
+    // lands in can cross it): the per-wave count is delta-bucket-sized,
+    // not corpus-sized — the groupBy over ALL buckets was an O(corpus)
+    // compute every wave at 100×.
+    val freshKeys = bandKeys(sh, "base_id", "__sh_b")
+      .select("band", "band_hash", "base_id")
+    val touched = freshKeys.select("band", "band_hash").distinct()
+    val overCap = m.buckets.select("band", "band_hash", "base_id")
+      .join(broadcast(touched), Seq("band", "band_hash"), "left_semi")
+      .union(freshKeys)
+      .groupBy("band", "band_hash").count()
+      .filter(col("count") > maxBucket).select("band", "band_hash")
+    val newBuckets = m.buckets.select("band", "band_hash", "base_id")
+      .union(freshKeys)
+      .join(broadcast(overCap), Seq("band", "band_hash"), "left_anti")
       .persist(StorageLevel.MEMORY_AND_DISK)
     newShingles.count(); newBuckets.count() // materialize before releasing old
     model = Some(MinHashIndexNode.Index(newShingles, newBuckets))

@@ -3,7 +3,7 @@ package graft.nodes
 import graft.dag._
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.catalyst.encoders.RowEncoder
-import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.functions.{broadcast, col, expr}
 import org.apache.spark.sql.types._
 
 /** Multimodal-column nodes (north-star scope): image/audio/video payloads are
@@ -536,12 +536,20 @@ class DHashIndexNode(
     val newLedger = m.ledger.select("base_id", "__h")
       .union(fresh.select("base_id", "__h"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val grown = m.buckets.select("__c", "__v", "base_id", "__h")
-      .union(HammingBands.chunkKeys(fresh, maxHamming + 1)
-        .select("__c", "__v", "base_id", "__h"))
-    val ok = grown.groupBy("__c", "__v").count()
-      .filter(col("count") <= maxBucket).select("__c", "__v")
-    val newBuckets = grown.join(ok, Seq("__c", "__v"))
+    // cap re-evaluation restricted to the TOUCHED buckets (stored buckets
+    // are ≤ maxBucket by invariant — only buckets the delta lands in can
+    // cross it): delta-bucket-sized per wave, not a corpus-sized groupBy
+    val freshKeys = HammingBands.chunkKeys(fresh, maxHamming + 1)
+      .select("__c", "__v", "base_id", "__h")
+    val touched = freshKeys.select("__c", "__v").distinct()
+    val overCap = m.buckets.select("__c", "__v", "base_id", "__h")
+      .join(broadcast(touched), Seq("__c", "__v"), "left_semi")
+      .union(freshKeys)
+      .groupBy("__c", "__v").count()
+      .filter(col("count") > maxBucket).select("__c", "__v")
+    val newBuckets = m.buckets.select("__c", "__v", "base_id", "__h")
+      .union(freshKeys)
+      .join(broadcast(overCap), Seq("__c", "__v"), "left_anti")
       .select("__c", "__v", "base_id", "__h")
       .persist(StorageLevel.MEMORY_AND_DISK)
     newLedger.count(); newBuckets.count() // materialize before releasing old

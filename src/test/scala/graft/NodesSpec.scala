@@ -5533,6 +5533,33 @@ class NodesSpec extends AnyFunSuite {
     idx.unpersistIndex(); idx2.unpersistIndex()
   }
 
+  test("SegStore state survives a FULL cache wipe mid-lifecycle (executor-" +
+       "loss shape): every piece is parquet-recoverable, so serving and " +
+       "further maintenance after clearCache stay exact — the durability " +
+       "localCheckpoint block state could never give") {
+    import org.apache.spark.sql.functions.{count, lit, sum}
+    val c = Ctx(spark)
+    val idx = new AggIndexNode(groupCols = Seq("src"), sumCols = Seq("v"))
+    val base = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "a", 5L))
+      .toDF("doc_id", "src", "v")
+    idx.fit(c, In.single("corpus" -> base))
+    idx.updateIndex(c, Seq((4L, "b", 7L)).toDF("doc_id", "src", "v"))
+    idx.deleteFromIndex(c, Seq(3L).toDF("doc_id"))
+    // the wipe: all cached blocks gone (totals are lazily-checkpointed
+    // group-sized frames — their blocks survive clearCache; the
+    // corpus-sized ledger pieces must recompute from their parquet roots)
+    spark.catalog.clearCache()
+    // maintenance AFTER the wipe reads the ledger (splice/victim legs)
+    idx.updateIndex(c, Seq((5L, "c", 1L)).toDF("doc_id", "src", "v"))
+    idx.deleteFromIndex(c, Seq(1L).toDF("doc_id"))
+    val got = idx.transform(c,
+      In.single("probe" -> Seq("a", "b", "c").toDF("src")))("result")
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == Set(("b", 2L, 27L), ("c", 1L, 1L)),
+      s"post-wipe state diverged: $got")
+    idx.unpersistIndex()
+  }
+
   test("reattachAggregate refuses chained state keyed on PRE-length-prefix " +
        "vids (the r15 encoding change): one sampled id gates the restart " +
        "path loudly instead of silently missing deletes") {
