@@ -377,12 +377,22 @@ class ImageDHashNode(
 private[nodes] object HammingBands {
   import org.apache.spark.sql.functions.{array, explode, lit, struct}
   /** Explode `hashSrc` (a 64-bit column named `__h` on `df`) into
-    * pigeonhole chunk keys (__c, __v): nChunks ceil-width bit chunks via
+    * pigeonhole chunk keys (__c, __v): nChunks FLOOR-width bit chunks via
     * unsigned shifts (sign bit never smears); a full-width chunk is the
     * hash itself. Two hashes within `nChunks - 1` bit flips MUST agree on
-    * at least one whole chunk. */
+    * at least one whole chunk: flips in the ≤ 63 - nChunks*w uncovered
+    * top bits never break a chunk agreement, and the covered flips are
+    * ≤ nChunks - 1 across nChunks chunks (the SimHashDedupNode argument).
+    *
+    * The width must be the FLOOR of 64/nChunks: the former ceil width
+    * shifted the last chunk's offset past bit 63 for nChunks ∉ {divisors
+    * of 64} — and Java/Spark long shifts wrap mod 64, so that chunk
+    * silently DUPLICATED chunk 0's bits. Pigeonhole then had one fewer
+    * effective chunk, and a pair at hamming distance exactly nChunks - 1
+    * with one flip per real chunk was MISSED (found by the PropertySpec
+    * random oracle at maxHamming = 8, round 16). */
   def chunkKeys(df: DataFrame, nChunks: Int): DataFrame = {
-    val w = (64 + nChunks - 1) / nChunks
+    val w = 64 / nChunks
     def chunkVal(c: Int): String =
       if (w >= 64) "__h"
       else s"shiftrightunsigned(__h, ${c * w}) & ${(1L << w) - 1}L"
@@ -644,9 +654,19 @@ class DHashIndexNode(
   def loadFitted(path: String, session: Option[org.apache.spark.sql.SparkSession]): Unit = {
     import org.apache.spark.storage.StorageLevel
     val spark = session.getOrElse(org.apache.spark.sql.SparkSession.active)
+    val ledger = spark.read.parquet(s"$path/ledger")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // the bucket table is RE-DERIVED from the ledger at load (one pass
+    // over the skinny (id, hash) frame): bucket values are a pure function
+    // of (hash, chunk layout), and pre-fix saves carry ceil-width chunk
+    // values that would silently mismatch new delta keys (see
+    // HammingBands.chunkKeys). Load therefore follows the rebuildIndex
+    // contract — bit-identical to a from-scratch fit over the live rows,
+    // including cap resurrection.
     model = Some(DHashIndexNode.Index(
-      spark.read.parquet(s"$path/ledger").persist(StorageLevel.MEMORY_AND_DISK),
-      spark.read.parquet(s"$path/buckets").persist(StorageLevel.MEMORY_AND_DISK)))
+      ledger,
+      cappedBuckets(ledger.select("base_id", "__h"))
+        .persist(StorageLevel.MEMORY_AND_DISK)))
     loadMaintenanceState(spark, path)
   }
 }

@@ -5488,6 +5488,31 @@ class NodesSpec extends AnyFunSuite {
     idx.unpersistIndex(); idx2.unpersistIndex(); dec.unpersistIndex()
   }
 
+  test("HammingNearDupNode chunk-wrap regression: a pair at distance exactly " +
+       "maxHamming with one flip per chunk is found at EVERY budget — the " +
+       "former ceil-width layout shifted the last chunk past bit 63, which " +
+       "long shifts wrap mod 64, silently duplicating chunk 0 and losing " +
+       "one pigeonhole chunk (missed pairs at maxHamming = 8)") {
+    val c = Ctx(spark)
+    // the PropertySpec-found counterexample, pinned verbatim
+    val found = new HammingNearDupNode("id", "h", maxHamming = 8)
+      .transform(c, In.single("df" ->
+        Seq((0L, -1525311471592598279L), (1L, -6141483428213352743L))
+          .toDF("id", "h")))("result").count()
+    assert(found == 1L, "distance-8 counterexample pair must be found at mh=8")
+    // adversarial sweep: exactly mh flips, one per floor-width chunk —
+    // the hardest placement the pigeonhole guarantee allows
+    (0 to 11).foreach { mh =>
+      val w = 64 / (mh + 1)
+      val base = 0x0123456789abcdefL
+      val flipped = (0 until mh).foldLeft(base)((h, ci) => h ^ (1L << (ci * w)))
+      val n = new HammingNearDupNode("id", "h", maxHamming = mh)
+        .transform(c, In.single("df" ->
+          Seq((0L, base), (1L, flipped)).toDF("id", "h")))("result").count()
+      assert(n == 1L, s"budget $mh: adversarial one-flip-per-chunk pair missed")
+    }
+  }
+
   test("SegStore fold boundary: 36 interleaved insert/delete/upsert waves " +
        "cross the 32-wave fold — totals stay bit-identical to re-aggregation " +
        "through the consolidation, and tombstoned ids re-inserted after a " +
