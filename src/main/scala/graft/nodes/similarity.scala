@@ -514,8 +514,16 @@ class IvfIndexNode(
       .persist(StorageLevel.MEMORY_AND_DISK)
     val assignments = idxSelect(assign(withVecNorm(in("corpus"), idCol), centroids, cents))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    assignStore.foreach(_.unpersistAll()) // refit releases the old store
+    assignStore = Some(new SegStore(s"${name}_ivf",
+      compactPath.map(_ + "/segs")).reset(assignments))
     IvfIndexNode.Index(centroids, assignments)
   }
+
+  // Columnar MoR store behind the inverted file (see SegStore): insert
+  // and delete waves write O(delta) parquet instead of re-copying the
+  // whole assignments union per wave; centroids are tiny and frozen.
+  @volatile private var assignStore: Option[SegStore] = None
 
   def applyModel(m: Model, ctx: Ctx, in: In): Map[String, DataFrame] = {
     VecExprs.ensure(ctx.spark)
@@ -631,13 +639,15 @@ class IvfIndexNode(
       throw new graft.dag.GraftException(s"estimator node '$name' not fitted"))
     VecExprs.ensure(ctx.spark)
     graft.functions.VecFunctions.register(delta.sparkSession)
-    val fresh = idxSelect(assign(withVecNorm(delta, idCol), m.centroids, collectCentroids(m)))
-    val grown = m.assignments.select(idxColNames.map(col): _*)
-      .union(fresh)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    grown.count() // materialize before releasing the superseded generation
-    model = Some(IvfIndexNode.Index(m.centroids, grown))
-    m.assignments.unpersist()
+    val st = assignStore.getOrElse(
+      throw new graft.dag.GraftException(s"ivf_index '$name': no store"))
+    // O(delta) state write: the delta's assignments land once as a parquet
+    // segment — no corpus-sized union copy per wave
+    val fresh = st.appendSegment(idxSelect(
+      assign(withVecNorm(delta, idCol), m.centroids, collectCentroids(m))))
+    fresh.count() // materialize the segment cache
+    model = Some(IvfIndexNode.Index(m.centroids, st.live))
+    if (st.needsFold) { st.fold(); model = Some(IvfIndexNode.Index(m.centroids, st.live)) }
     generation += 1
     if (compactEvery > 0 && generation % compactEvery == 0) compactIndex()
   }
@@ -666,7 +676,15 @@ class IvfIndexNode(
     VecExprs.ensure(ctx.spark)
     val spark = ctx.spark
     import spark.implicits._
+    // DETERMINISTIC layout before the k-means re-fit: seeded k-means||
+    // init is partition-layout-sensitive, and the live index expression's
+    // layout depends on its state representation (consolidated cache vs
+    // base ∪ segments ∖ tombstones) — hash-repartition by id + in-partition
+    // sort pins the layout so rebuild centroids depend only on index
+    // CONTENT, not on how many waves produced it
     val corpus = m.assignments.select(col(idCol), col("__cv").as(vecCol))
+      .repartition(spark.sessionState.conf.numShufflePartitions, col(idCol))
+      .sortWithinPartitions(idCol)
     val (km, rows) = QuantizerFit.sampled(ctx, corpus, idCol, vecCol, nClusters, maxFitRows)
     lastFitRows = rows
     val cents = km.clusterCenters.zipWithIndex
@@ -676,8 +694,9 @@ class IvfIndexNode(
     val assignments = idxSelect(assign(withVecNorm(corpus, idCol), centroids, cents))
       .persist(StorageLevel.MEMORY_AND_DISK)
     assignments.count() // materialize before releasing the superseded generation
+    assignStore.foreach { st => st.unpersistAll(); st.reset(assignments) }
     model = Some(IvfIndexNode.Index(centroids, assignments))
-    m.centroids.unpersist(); m.assignments.unpersist()
+    m.centroids.unpersist()
     generation += 1
     if (compactEvery > 0 && generation % compactEvery == 0) compactIndex()
   }
@@ -701,14 +720,14 @@ class IvfIndexNode(
     import org.apache.spark.storage.StorageLevel
     val m = model.getOrElse(
       throw new graft.dag.GraftException(s"estimator node '$name' not fitted"))
-    val del = deletes.select(col(idCol)).distinct()
-    val kept = m.assignments.select(idxColNames.map(col): _*)
-      .join(del, Seq(idCol), "left_anti")
-      .select(idxColNames.map(col): _*)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    kept.count() // materialize before releasing the superseded generation
-    model = Some(IvfIndexNode.Index(m.centroids, kept))
-    m.assignments.unpersist()
+    val st = assignStore.getOrElse(
+      throw new graft.dag.GraftException(s"ivf_index '$name': no store"))
+    // O(delta) state write: generation-stamped id tombstones, resolved at
+    // read (a re-added vector later survives by generation)
+    val tomb = st.appendTombstones(idCol, deletes.select(col(idCol)).distinct())
+    tomb.count() // materialize the tombstone cache
+    model = Some(IvfIndexNode.Index(m.centroids, st.live))
+    if (st.needsFold) { st.fold(); model = Some(IvfIndexNode.Index(m.centroids, st.live)) }
     generation += 1
     if (compactEvery > 0 && generation % compactEvery == 0) compactIndex()
   }
@@ -732,17 +751,21 @@ class IvfIndexNode(
         d.toFile.deleteOnExit()
         d.toString
     }
-    val session = m.assignments.sparkSession
-    saveFitted(path)
+    val session = m.centroids.sparkSession
+    saveFitted(path) // writes the RESOLVED live assignments
+    val assignments = session.read.parquet(s"$path/assignments")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    assignStore.foreach { st => st.unpersistAll(); st.reset(assignments) }
     model = Some(IvfIndexNode.Index(
       session.read.parquet(s"$path/centroids").persist(StorageLevel.MEMORY_AND_DISK),
-      session.read.parquet(s"$path/assignments").persist(StorageLevel.MEMORY_AND_DISK)))
-    m.centroids.unpersist(); m.assignments.unpersist()
+      assignments))
+    m.centroids.unpersist()
   }
 
   /** Release the persisted index frames (fit again to rebuild). */
   def unpersistIndex(): Unit = model.foreach { m =>
-    m.centroids.unpersist(); m.assignments.unpersist()
+    m.centroids.unpersist()
+    assignStore.foreach(_.unpersistAll())
   }
 
   override def saveFitted(path: String): Unit = {
@@ -760,9 +783,14 @@ class IvfIndexNode(
   def loadFitted(path: String, session: Option[org.apache.spark.sql.SparkSession]): Unit = {
     import org.apache.spark.storage.StorageLevel
     val spark = session.getOrElse(org.apache.spark.sql.SparkSession.active)
+    val assignments = spark.read.parquet(s"$path/assignments")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    assignStore.foreach(_.unpersistAll())
+    assignStore = Some(new SegStore(s"${name}_ivf",
+      compactPath.map(_ + "/segs")).reset(assignments))
     model = Some(IvfIndexNode.Index(
       spark.read.parquet(s"$path/centroids").persist(StorageLevel.MEMORY_AND_DISK),
-      spark.read.parquet(s"$path/assignments").persist(StorageLevel.MEMORY_AND_DISK)))
+      assignments))
     loadMaintenanceState(spark, path)
   }
 }
