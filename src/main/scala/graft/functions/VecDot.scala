@@ -138,9 +138,15 @@ object VecFunctions {
       case b: Boolean => b
       case other      => throw new IllegalArgumentException(s"expected boolean literal, got $other")
     }
-  /** Idempotently register graft's vector/sketch functions into a session. */
+  /** Idempotently register graft's vector/sketch functions into a session.
+    * Register-once: re-registration is a no-op (the kernels are stateless
+    * singletons keyed by name), which keeps `SimpleFunctionRegistry` from
+    * logging a "replaced a previously registered function" warning per
+    * kernel per call — pure noise across a 214-query bench run. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+    if (reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("morton3"))) return
     reg.createOrReplaceTempFunction(
       "vec_dot", exprs => VecDot(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction(

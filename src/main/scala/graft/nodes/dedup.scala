@@ -969,6 +969,18 @@ class MinHashIndexNode(
         expr(s"minhash_bands($shCol, $numHashes, $bands)").as("__bands"))
       .selectExpr(id, "posexplode(__bands) as (band, band_hash)")
 
+  // ---- columnar MoR state (SegStore, VERDICT r16 next #2): per-wave
+  // writes are O(delta) parquet segments. The cap-drop semantics that
+  // blocked id-tombstones ("a bucket crossing maxBucket drops WHOLE") are
+  // expressed exactly by COMPOSITE-KEY tombstones on (band, band_hash):
+  // every stored row of the dropped bucket dies at the wave's generation,
+  // while rows inserted into the same bucket by a LATER wave (the restart
+  // semantics fit/update always had) survive the generation rule. ----
+  @volatile private var shStore: Option[SegStore] = None
+  @volatile private var bkStore: Option[SegStore] = None
+  private def segRoot: Option[String] = compactPath.map(_ + "/segs")
+  private def idxStores: Seq[SegStore] = Seq(shStore, bkStore).flatten
+
   def fitModel(ctx: Ctx, in: In): Model = {
     import org.apache.spark.storage.StorageLevel
     graft.functions.VecFunctions.register(ctx.spark)
@@ -978,7 +990,11 @@ class MinHashIndexNode(
     val ok = buckets0.groupBy("band", "band_hash").count()
       .filter(col("count") <= maxBucket).select("band", "band_hash")
     val buckets = buckets0.join(ok, Seq("band", "band_hash"))
+      .select("band", "band_hash", "base_id")
       .persist(StorageLevel.MEMORY_AND_DISK)
+    idxStores.foreach(_.unpersistAll()) // refit releases any old stores
+    shStore = Some(new SegStore(s"${name}_sh", segRoot).reset(sh))
+    bkStore = Some(new SegStore(s"${name}_bk", segRoot).reset(buckets))
     MinHashIndexNode.Index(sh, buckets)
   }
 
@@ -1050,53 +1066,64 @@ class MinHashIndexNode(
     * (`transform`), merge survivors into the corpus, then `updateIndex` so
     * the NEXT delta generation also dedups against this one — without ever
     * re-sketching the base corpus. The bucket cap is re-applied over the
-    * union: a bucket that crosses `maxBucket` only after growth is dropped
-    * whole (it became a boilerplate family; same guard as fit). Cost is
-    * delta-sized sketching plus one bucket-count aggregate; the two count()
-    * actions materialize the merged frames so the superseded generation can
-    * be released. Lineage grows one union per generation — `compactEvery > 0`
-    * auto-truncates it every N generations by round-tripping the index
-    * through parquet (under `compactPath`, or a JVM temp dir when unset):
-    * the next generation's plan then starts from a parquet scan instead of
-    * an N-deep union chain, bounding plan-compile time and the recompute
-    * cost of a lost cached block. saveFitted/loadFitted remains the manual
-    * equivalent (and the durable production checkpoint).
+    * live table: a bucket that crosses `maxBucket` only after growth is
+    * dropped whole (it became a boilerplate family; same guard as fit).
+    * Per-wave state writes are O(delta) (SegStore): the delta's shingle
+    * rows and surviving band keys land as parquet segments, cap-drops as
+    * composite-key tombstones, and the live frames are resolved unions —
+    * no corpus-sized copy per wave. The store folds every `foldEvery`
+    * waves (amortized O(corpus/32)); `compactEvery > 0` additionally
+    * round-trips the index through parquet (under `compactPath`, or a JVM
+    * temp dir when unset) as the durable crash-recovery cadence.
+    * saveFitted/loadFitted remains the manual equivalent.
     */
   def updateIndex(ctx: Ctx, delta: DataFrame): Unit = {
-    import org.apache.spark.storage.StorageLevel
     val m = model.getOrElse(
       throw new graft.dag.GraftException(s"estimator node '$name' not fitted"))
     graft.functions.VecFunctions.register(ctx.spark)
     graft.functions.VecFunctions.register(delta.sparkSession)
-    val sh = sketch(delta, "base_id", "__sh_b")
-    val newShingles = m.shingles.select("base_id", "__sh_b")
-      .union(sh.select("base_id", "__sh_b"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // explicit column order on BOTH sides: union is positional, and the
-    // fitted buckets frame carries (band, band_hash, base_id) from its cap
-    // join while fresh band keys arrive as (base_id, band, band_hash).
+    val ss = shStore.get; val bs = bkStore.get
+    // O(delta) state writes (VERDICT r16 next #2 — this was the last
+    // copy-per-wave family): the delta's shingle rows land once as a
+    // parquet segment; fresh band keys derive from the CACHED segment.
+    val shSeg = ss.appendSegment(
+      sketch(delta, "base_id", "__sh_b").select("base_id", "__sh_b"))
+    val freshKeys = bandKeys(shSeg, "base_id", "__sh_b")
+      .select("band", "band_hash", "base_id")
     // Cap re-evaluation is restricted to the TOUCHED buckets (stored
     // buckets are ≤ maxBucket by invariant, so only buckets the delta
-    // lands in can cross it): the per-wave count is delta-bucket-sized,
-    // not corpus-sized — the groupBy over ALL buckets was an O(corpus)
-    // compute every wave at 100×.
-    val freshKeys = bandKeys(sh, "base_id", "__sh_b")
-      .select("band", "band_hash", "base_id")
+    // lands in can cross it): the per-wave count is delta-bucket-sized.
+    // No explicit broadcast hint on `touched` (ADVICE r16: a large wave
+    // makes it delta×bands-sized — let the autoBroadcast threshold
+    // decide from the plan's own stats).
     val touched = freshKeys.select("band", "band_hash").distinct()
-    val overCap = m.buckets.select("band", "band_hash", "base_id")
-      .join(broadcast(touched), Seq("band", "band_hash"), "left_semi")
-      .union(freshKeys)
+    val overCap = m.buckets.select("band", "band_hash")
+      .join(touched, Seq("band", "band_hash"), "left_semi")
+      .union(freshKeys.select("band", "band_hash"))
       .groupBy("band", "band_hash").count()
       .filter(col("count") > maxBucket).select("band", "band_hash")
-    val newBuckets = m.buckets.select("band", "band_hash", "base_id")
-      .union(freshKeys)
-      .join(broadcast(overCap), Seq("band", "band_hash"), "left_anti")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    newShingles.count(); newBuckets.count() // materialize before releasing old
-    model = Some(MinHashIndexNode.Index(newShingles, newBuckets))
-    m.shingles.unpersist(); m.buckets.unpersist()
+    // a bucket crossing the cap is dropped WHOLE: composite-key tombstone
+    // at this generation (kills every stored row of the bucket), and the
+    // fresh keys landing in it are filtered out of the insert segment —
+    // the exact pre-SegStore newBuckets semantics, including the restart
+    // behavior (a later wave can repopulate the dropped bucket)
+    val capTomb = bs.appendTombstones(Seq("band", "band_hash"), overCap)
+    val bkSeg = bs.appendSegment(
+      freshKeys.join(capTomb, Seq("band", "band_hash"), "left_anti"))
+    IvmUtil.materializeAll(Seq(shSeg, capTomb, bkSeg))
+    model = Some(MinHashIndexNode.Index(ss.live, bs.live))
+    foldStoresIfDue()
     generation += 1
     if (compactEvery > 0 && generation % compactEvery == 0) compactIndex()
+  }
+
+  /** Amortized consolidation (the SegStore contract): one O(corpus)
+    * columnar rewrite every `foldEvery` waves per store. */
+  private def foldStoresIfDue(): Unit = {
+    var folded = false
+    idxStores.foreach { st => if (st.needsFold) { st.fold(); folded = true } }
+    if (folded)
+      model = Some(MinHashIndexNode.Index(shStore.get.live, bkStore.get.live))
   }
 
   /** Remove deleted documents' shingle rows and band-bucket entries — two
@@ -1117,20 +1144,19 @@ class MinHashIndexNode(
   }
 
   def deleteFromIndex(ctx: Ctx, deletes: DataFrame): Unit = {
-    import org.apache.spark.storage.StorageLevel
     val m = model.getOrElse(
       throw new graft.dag.GraftException(s"estimator node '$name' not fitted"))
+    val ss = shStore.get; val bs = bkStore.get
+    // O(delta) state writes: generation-stamped id tombstones on both
+    // stores, resolved at read (kept buckets only shrink — the cap needs
+    // no re-evaluation; dropped-whole buckets stay dropped until
+    // rebuildIndex, the documented under-recall gap)
     val del = deletes.select(col(idCol).as("base_id")).distinct()
-    val newShingles = m.shingles.select("base_id", "__sh_b")
-      .join(del, Seq("base_id"), "left_anti")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val newBuckets = m.buckets.select("band", "band_hash", "base_id")
-      .join(del, Seq("base_id"), "left_anti")
-      .select("band", "band_hash", "base_id")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    newShingles.count(); newBuckets.count() // materialize before releasing old
-    model = Some(MinHashIndexNode.Index(newShingles, newBuckets))
-    m.shingles.unpersist(); m.buckets.unpersist()
+    val shTomb = ss.appendTombstones("base_id", del)
+    val bkTomb = bs.appendTombstones("base_id", shTomb)
+    IvmUtil.materializeAll(Seq(shTomb, bkTomb))
+    model = Some(MinHashIndexNode.Index(ss.live, bs.live))
+    foldStoresIfDue()
     generation += 1
     if (compactEvery > 0 && generation % compactEvery == 0) compactIndex()
   }
@@ -1156,8 +1182,10 @@ class MinHashIndexNode(
       .select("band", "band_hash", "base_id")
       .persist(StorageLevel.MEMORY_AND_DISK)
     newBuckets.count() // materialize before releasing the superseded generation
+    // full bucket-table replacement (cap resurrection included): the
+    // bucket store re-seeds on the rebuilt frame, clearing its tombstones
+    bkStore.foreach { st => st.unpersistAll(); st.reset(newBuckets) }
     model = Some(MinHashIndexNode.Index(m.shingles, newBuckets))
-    m.buckets.unpersist()
     generation += 1
     if (compactEvery > 0 && generation % compactEvery == 0) compactIndex()
   }
@@ -1193,20 +1221,23 @@ class MinHashIndexNode(
         d.toString
     }
     val session = m.shingles.sparkSession
-    saveFitted(path)
-    model = Some(MinHashIndexNode.Index(
-      session.read.parquet(s"$path/shingles").persist(StorageLevel.MEMORY_AND_DISK),
-      session.read.parquet(s"$path/buckets").persist(StorageLevel.MEMORY_AND_DISK)))
-    m.shingles.unpersist(); m.buckets.unpersist()
+    saveFitted(path) // writes the RESOLVED live frames (store pieces folded)
+    val sh = session.read.parquet(s"$path/shingles")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val bk = session.read.parquet(s"$path/buckets")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // the durable fold doubles as the store fold: release the old
+    // base/segments/tombstones, re-seed on the parquet read-back
+    shStore.foreach { st => st.unpersistAll(); st.reset(sh) }
+    bkStore.foreach { st => st.unpersistAll(); st.reset(bk) }
+    model = Some(MinHashIndexNode.Index(sh, bk))
   }
 
   /** Compactions applied so far (selects the gen-0/gen-1 write buffer). */
   @volatile private var compactGen: Long = 0L
 
   /** Release the persisted index frames (fit again to rebuild). */
-  def unpersistIndex(): Unit = model.foreach { m =>
-    m.shingles.unpersist(); m.buckets.unpersist()
-  }
+  def unpersistIndex(): Unit = model.foreach { _ => idxStores.foreach(_.unpersistAll()) }
 
   override def saveFitted(path: String): Unit = {
     val m = model.getOrElse(
@@ -1226,11 +1257,16 @@ class MinHashIndexNode(
     import org.apache.spark.storage.StorageLevel
     val spark = session.getOrElse(org.apache.spark.sql.SparkSession.active)
     // persisted like fit/compact's frames: a loaded index serves every
-    // subsequent delta batch, and updateIndex's unpersist of the superseded
-    // generation must have a persist to release (ADVICE r10)
-    model = Some(MinHashIndexNode.Index(
-      spark.read.parquet(s"$path/shingles").persist(StorageLevel.MEMORY_AND_DISK),
-      spark.read.parquet(s"$path/buckets").persist(StorageLevel.MEMORY_AND_DISK)))
+    // subsequent delta batch, and the superseded-generation release cycle
+    // must have a persist to release (ADVICE r10)
+    val sh = spark.read.parquet(s"$path/shingles")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val bk = spark.read.parquet(s"$path/buckets")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    idxStores.foreach(_.unpersistAll())
+    shStore = Some(new SegStore(s"${name}_sh", segRoot).reset(sh))
+    bkStore = Some(new SegStore(s"${name}_bk", segRoot).reset(bk))
+    model = Some(MinHashIndexNode.Index(sh, bk))
     loadMaintenanceState(spark, path)
   }
 }

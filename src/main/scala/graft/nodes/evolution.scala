@@ -765,13 +765,56 @@ class AggIndexNode(
         col("q"), expr(spec.hiEdge("__bin")).as("value"))): _*)
   }
 
-  def updateIndex(ctx: Ctx, delta: DataFrame): Unit = {
-    import org.apache.spark.storage.StorageLevel
-    import org.apache.spark.sql.functions.{coalesce, count, lit}
-    val m = model.getOrElse(
+  def updateIndex(ctx: Ctx, delta: DataFrame): Unit =
+    IvmUtil.runWave(prepareWave(ctx, None, Some(delta)))
+
+  /** Build ONE maintenance wave (optional delete step, then optional
+    * insert step — the Δview-feed contract: the two key sets are disjoint
+    * within a wave) WITHOUT materializing it: state segments/tombstones
+    * land on the stores, the new group frames are built lazily, and the
+    * returned [[IvmUtil.Prepared]] carries them plus the commit. A chained
+    * caller (MaterializedJoinNode's Δview feed) folds these frames into
+    * ITS OWN single materializing action, so a whole join→dashboard chain
+    * pays one action per wave instead of one per node. */
+  private[nodes] def prepareWave(ctx: Ctx, deletes: Option[DataFrame],
+      inserts: Option[DataFrame]): IvmUtil.Prepared = {
+    val m0 = model.getOrElse(
       throw new GraftException(s"estimator node '$name' not fitted"))
     val store = ledgerStore.getOrElse(
       throw new GraftException(s"agg_index '$name': no ledger store"))
+    var cur = m0
+    var frames = Vector.empty[DataFrame]
+    var superseded = Vector.empty[Model]
+    def step(run: Model => (Model, Seq[DataFrame])): Unit = {
+      val (nm, fs) = run(cur)
+      frames ++= fs; superseded :+= cur; cur = nm
+    }
+    deletes.foreach(d =>
+      step(m => deleteCore(m, store, d.select(col(idCol)).distinct())))
+    inserts.foreach(i => step(m => insertCore(m, store, i)))
+    val fin = cur; val rel = superseded
+    IvmUtil.Prepared(frames, _ => {
+      model = Some(fin)
+      rel.foreach(releaseIndex)
+      rel.indices.foreach { _ =>
+        generation += 1
+        foldIfDue(store)
+        if (compactEvery > 0 && generation % compactEvery == 0) compactIndex()
+      }
+    })
+  }
+
+  /** Release a superseded generation's group-state frames (the ledger's
+    * pieces belong to the SegStore, which manages its own lifecycle). */
+  private def releaseIndex(m: Model): Unit = {
+    m.totals.unpersist()
+    m.valueCounts.values.foreach(_.unpersist())
+    m.hists.values.foreach(_.unpersist())
+  }
+
+  private def insertCore(m: Model, store: SegStore, delta: DataFrame)
+      : (Model, Seq[DataFrame]) = {
+    import org.apache.spark.sql.functions.{coalesce, count, lit}
     // O(delta) state write: the batch's ledger rows land once as a parquet
     // segment (cached, columnar, lineage cut at a leaf — see SegStore);
     // the live ledger is base ∪ segments resolved against tombstones, so
@@ -803,17 +846,11 @@ class AggIndexNode(
       s.column -> IvmUtil.barrier(
         histMerged(m.hists(s.column), binnedOf(fresh, s), +1))
     }.toMap
-    // materialize the delta-sized pieces before releasing old group state —
-    // ONE action; the ledger itself is NOT copied (its old base/segments
+    // the delta-sized pieces to materialize before old group state is
+    // released; the ledger itself is NOT copied (its old base/segments
     // stay live inside the store)
-    materializeAll(Seq(fresh, newTotals) ++ newVC.values ++ newHists.values)
-    model = Some(AggIndexNode.Index(newLedger, newTotals, newVC, newHists))
-    m.totals.unpersist()
-    m.valueCounts.values.foreach(_.unpersist())
-    m.hists.values.foreach(_.unpersist())
-    generation += 1
-    foldIfDue(store)
-    if (compactEvery > 0 && generation % compactEvery == 0) compactIndex()
+    (AggIndexNode.Index(newLedger, newTotals, newVC, newHists),
+      Seq(fresh, newTotals) ++ newVC.values ++ newHists.values)
   }
 
   /** Amortized consolidation: one O(corpus) columnar rewrite every
@@ -829,7 +866,7 @@ class AggIndexNode(
     * row contributed; unknown ids no-op; groups reaching zero drop.
     * Bit-identical to re-aggregating the post-delete corpus. */
   def deleteFromIndex(ctx: Ctx, deletes: DataFrame): Unit =
-    applyDelete(deletes.select(col(idCol)).distinct())
+    IvmUtil.runWave(prepareWave(ctx, Some(deletes), None))
 
   /** RETENTION deletes: remove every ledger row matching `condition` — a
     * Spark SQL boolean expression over the LEDGER columns (idCol, the
@@ -850,15 +887,12 @@ class AggIndexNode(
     // victims resolve to ROW IDS (idCol is the row handle — the ledger
     // keys every contribution by it), so predicate retention rides the
     // same O(delta) tombstone channel as deleteFromIndex
-    applyDelete(m.ledger.filter(cond).select(col(idCol)).distinct())
+    IvmUtil.runWave(prepareWave(ctx,
+      Some(m.ledger.filter(cond).select(col(idCol))), None))
   }
 
-  private def applyDelete(del: DataFrame): Unit = {
-    import org.apache.spark.storage.StorageLevel
-    val m = model.getOrElse(
-      throw new GraftException(s"estimator node '$name' not fitted"))
-    val store = ledgerStore.getOrElse(
-      throw new GraftException(s"agg_index '$name': no ledger store"))
+  private def deleteCore(m: Model, store: SegStore, del: DataFrame)
+      : (Model, Seq[DataFrame]) = {
     val preLive = m.ledger
     // O(delta) state write: the victim ids land once as a generation-
     // stamped tombstone segment, applied at read — a later re-insert of
@@ -884,14 +918,8 @@ class AggIndexNode(
       s.column -> IvmUtil.barrier(
         histMerged(m.hists(s.column), binnedOf(victims, s), -1))
     }.toMap
-    materializeAll(Seq(tombSeg, newTotals) ++ newVC.values ++ newHists.values)
-    model = Some(AggIndexNode.Index(newLedger, newTotals, newVC, newHists))
-    m.totals.unpersist()
-    m.valueCounts.values.foreach(_.unpersist())
-    m.hists.values.foreach(_.unpersist())
-    generation += 1
-    foldIfDue(store)
-    if (compactEvery > 0 && generation % compactEvery == 0) compactIndex()
+    (AggIndexNode.Index(newLedger, newTotals, newVC, newHists),
+      Seq(tombSeg, newTotals) ++ newVC.values ++ newHists.values)
   }
 
   /** Re-derive totals from the ledger — the exact re-derivation every
@@ -1021,9 +1049,11 @@ class AggIndexNode(
   * cached frames carry size stats, so the usual autoBroadcast threshold
   * applies — no hand fence needed.
   *
-  * Segment/fold files live under a per-store temp dir (or `root`) and are
-  * NOT deleted at fold: previously served frames may still reference them
-  * lazily (the same contract as the compactPath double-buffer). */
+  * Segment/fold files live under a per-store temp dir (or `root`).
+  * Retirement is DEFERRED ONE FOLD (ADVICE r16): files superseded by a
+  * fold/reset may still back frames handed out before it, so they are
+  * deleted only at the NEXT fold/reset — disk usage stays bounded at
+  * ~2 fold generations instead of growing for the life of the store. */
 private[nodes] final class SegStore(
     label: String, root: Option[String] = None, foldEvery: Int = 32) {
   import org.apache.spark.storage.StorageLevel
@@ -1032,9 +1062,13 @@ private[nodes] final class SegStore(
   private var base: DataFrame = _
   private var baseGen: Long = 0L
   private var segs: Vector[(Long, DataFrame)] = Vector.empty
-  private var tombs: Map[String, Vector[(Long, DataFrame)]] = Map.empty
+  private var tombs: Map[Seq[String], Vector[(Long, DataFrame)]] = Map.empty
   private var nextGen: Long = 0L
   private var nextFile: Long = 0L
+  // file-retirement ledger: everything written since the last fold/reset,
+  // and the previous generation's files (deleted at the NEXT rotation)
+  private var liveFiles: Vector[String] = Vector.empty
+  private var retired: Vector[String] = Vector.empty
   // unique per store INSTANCE even under a shared compactPath root —
   // refit/reload must never collide with a previous store's files
   private lazy val dir: String = root match {
@@ -1042,18 +1076,38 @@ private[nodes] final class SegStore(
       s"$r/store-${java.util.UUID.randomUUID().toString.take(8)}"
     case None =>
       val d = java.nio.file.Files.createTempDirectory(s"graft_seg_${label}_")
-      d.toFile.deleteOnExit()
+      SegStore.cleanAtExit(d.toString)
       d.toString
   }
-  /** Seed (or re-seed after an external fold/load) from a cached base. */
+  /** Seed (or re-seed after an external fold/load) from a cached base.
+    * Rotates the file-retirement ledger: the PREVIOUS generation's files
+    * are deleted (nothing can reference them two folds later), this
+    * generation's move to retired. */
   def reset(newBase: DataFrame): this.type = synchronized {
     base = newBase; baseGen = nextGen
     segs = Vector.empty; tombs = Map.empty
+    SegStore.deleteFiles(newBase.sparkSession, retired)
+    retired = liveFiles
+    liveFiles = Vector.empty
     this
+  }
+  /** File-count control (VERDICT r16 next #3): a delta-sized wave lands as
+    * ONE file; anything bigger targets ~128 MB files, capped at the
+    * session's parallelism (coalesce never increases partitions, so the
+    * cap is only a ceiling). Plan stats are free — cached/parquet-leaf
+    * inputs carry real sizes; an unknown size falls back to the cap. */
+  private def targetParts(rows: DataFrame): Int = {
+    val cap = math.max(1, rows.sparkSession.sparkContext.defaultParallelism)
+    val bytes =
+      try rows.queryExecution.optimizedPlan.stats.sizeInBytes
+      catch { case _: Throwable => BigInt(Long.MaxValue) }
+    val want = (bytes / SegStore.TargetFileBytes) + 1
+    if (want >= cap) cap else want.toInt
   }
   private def writeBack(rows: DataFrame): DataFrame = {
     val p = s"$dir/part-$nextFile"; nextFile += 1
-    rows.write.parquet(p)
+    rows.coalesce(targetParts(rows)).write.parquet(p)
+    liveFiles :+= p
     rows.sparkSession.read.parquet(p).persist(StorageLevel.MEMORY_AND_DISK)
   }
   /** Append an insert wave: ONE delta-sized parquet write, returns the
@@ -1066,12 +1120,20 @@ private[nodes] final class SegStore(
     f
   }
   /** Append a delete wave's victim ids on `keyCol`: delta-sized write. */
-  def appendTombstones(keyCol: String, ids: DataFrame): DataFrame = synchronized {
-    nextGen += 1
-    val f = writeBack(ids)
-    tombs += keyCol -> (tombs.getOrElse(keyCol, Vector.empty) :+ (nextGen, f))
-    f
-  }
+  def appendTombstones(keyCol: String, ids: DataFrame): DataFrame =
+    appendTombstones(Seq(keyCol), ids)
+  /** COMPOSITE-key tombstone channel (VERDICT r16 next #2): kills every
+    * live row matching on ALL of `keyCols` — e.g. a whole (band,
+    * band_hash) bucket — at the wave's generation; rows inserted LATER
+    * on the same key survive (generation rule unchanged). */
+  def appendTombstones(keyCols: Seq[String], ids: DataFrame): DataFrame =
+    synchronized {
+      nextGen += 1
+      val f = writeBack(ids)
+      tombs += keyCols ->
+        (tombs.getOrElse(keyCols, Vector.empty) :+ (nextGen, f))
+      f
+    }
   /** The resolved live frame (column set = the base's; `SegCol` internal). */
   def live: DataFrame = synchronized {
     val cols = base.columns
@@ -1079,12 +1141,12 @@ private[nodes] final class SegStore(
     val stacked = (base.withColumn(SegCol, lit(baseGen)) +:
       segs.map { case (g, f) => f.withColumn(SegCol, lit(g)) })
       .reduce(_ unionByName _)
-    val resolved = tombs.foldLeft(stacked) { case (acc, (key, chan)) =>
-      val tg = s"__tg_$key"
+    val resolved = tombs.foldLeft(stacked) { case (acc, (keys, chan)) =>
+      val tg = s"__tg_${keys.mkString("_")}"
       val tmax = chan.map { case (g, f) => f.withColumn(tg, lit(g)) }
         .reduce(_ unionByName _)
-        .groupBy(col(key)).agg(max(col(tg)).as(tg))
-      acc.join(tmax, Seq(key), "left")
+        .groupBy(keys.map(col): _*).agg(max(col(tg)).as(tg))
+      acc.join(tmax, keys, "left")
         .filter(col(tg).isNull || col(SegCol) > col(tg))
         .drop(tg)
     }
@@ -1093,16 +1155,21 @@ private[nodes] final class SegStore(
   def waveCount: Int = segs.size + tombs.valuesIterator.map(_.size).sum
   def needsFold: Boolean = waveCount >= foldEvery
   /** Consolidate: resolve `live`, rewrite it once to parquet (columnar,
-    * stats-laid), swap it in as the new base, release the old pieces. */
-  def fold(): Unit = synchronized {
+    * stats-laid, ~128 MB files), swap it in as the new base, release the
+    * old pieces, and rotate the file-retirement ledger. Returns the new
+    * base's ROW COUNT (free out of the materializing count — callers that
+    * cache a state cardinality re-derive it here, ADVICE r16). */
+  def fold(): Long = synchronized {
     val resolved = live
     val p = s"$dir/fold-$nextFile"; nextFile += 1
-    resolved.write.parquet(p)
+    resolved.coalesce(targetParts(resolved)).write.parquet(p)
     val nb = resolved.sparkSession.read.parquet(p)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    nb.count() // materialize before releasing the pieces it replaces
+    val n = nb.count() // materialize before releasing the pieces it replaces
     unpersistAll()
-    reset(nb)
+    reset(nb) // rotates liveFiles -> retired, deletes the pre-fold retired set
+    liveFiles = Vector(p) // the fold file backs the new base
+    n
   }
   def unpersistAll(): Unit = synchronized {
     if (base != null) base.unpersist()
@@ -1111,8 +1178,56 @@ private[nodes] final class SegStore(
   }
 }
 
+private[nodes] object SegStore {
+  val TargetFileBytes: Long = 128L * 1024 * 1024
+  def deleteFiles(spark: org.apache.spark.sql.SparkSession,
+                  paths: Seq[String]): Unit =
+    paths.foreach { p =>
+      try {
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(hp, true)
+      } catch { case _: Throwable => } // best-effort; temp roots also swept at exit
+    }
+  // File.deleteOnExit is a no-op for non-empty dirs (ADVICE r16) — one
+  // shared shutdown hook sweeps every temp-rooted store dir recursively.
+  private val exitDirs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private lazy val hook: Unit = Runtime.getRuntime.addShutdownHook(new Thread {
+    override def run(): Unit = exitDirs.forEach { d =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)); ()
+    }
+  })
+  def cleanAtExit(dir: String): Unit = { hook; exitDirs.add(dir); () }
+}
+
 /** Shared IVM-node plumbing. */
 private[nodes] object IvmUtil {
+  /** A maintenance wave built LAZILY and not yet materialized: `frames`
+    * are the wave's new cached/barriered state frames; `commit(counts)`
+    * swaps them in and releases the superseded generation, and must be
+    * called ONLY after one driver action has materialized every frame
+    * (`counts` = per-frame row counts out of that action, positionally).
+    * `++` concatenates two prepared waves (frames appended, commits run
+    * in order with the counts vector split at the boundary) — this is
+    * what lets a whole chained-IVM wave (join → join → dashboard) share
+    * ONE materializing action instead of one per node (VERDICT r16 next
+    * #1: per-wave fixed driver cost dominated the bench tail). */
+  final case class Prepared(frames: Seq[DataFrame],
+                            commit: Seq[Long] => Unit) {
+    def ++(o: Prepared): Prepared = {
+      val n = frames.length
+      Prepared(frames ++ o.frames,
+        cs => { commit(cs.take(n)); o.commit(cs.drop(n)) })
+    }
+  }
+  val PreparedEmpty: Prepared = Prepared(Nil, _ => ())
+
+  /** Materialize a prepared wave with ONE driver action, then commit. */
+  def runWave(p: Prepared): Unit = {
+    val counts = if (p.frames.isEmpty) Nil else materializeAllCounts(p.frames)
+    p.commit(counts)
+  }
+
   /** ONE driver action materializes every just-persisted frame: counting
     * the union scans each persisted child exactly once (the q157 lesson —
     * per-frame counts multiply per-micro-batch driver actions when an
@@ -1683,9 +1798,19 @@ class MaterializedJoinNode(
   def subscribeView(s: MaterializedJoinNode.ViewSubscriber): Unit =
     viewSubscribers ::= s
   private def hasSubs: Boolean = viewSubscribers.nonEmpty
-  private def notifySubs(ctx: Ctx, deletes: Option[DataFrame],
-      inserts: Option[DataFrame]): Unit =
-    viewSubscribers.reverse.foreach(_.onViewDelta(ctx, deletes, inserts))
+  /** Collect every subscriber's handling of this wave's Δview feed as ONE
+    * prepared unit. Chained indexes (agg/join) prepare LAZILY — their
+    * frames fold into the caller's single materializing action; a
+    * subscriber without a prepare path (the published-feed overlay writer,
+    * inherently its own write) runs eagerly inside commit, i.e. after the
+    * caller's action — the pre-r17 ordering. */
+  private def prepareSubs(ctx: Ctx, deletes: Option[DataFrame],
+      inserts: Option[DataFrame]): IvmUtil.Prepared =
+    if ((deletes.isEmpty && inserts.isEmpty) || !hasSubs) IvmUtil.PreparedEmpty
+    else viewSubscribers.reverse.map { s =>
+      s.prepareViewDelta(ctx, deletes, inserts).getOrElse(
+        IvmUtil.Prepared(Nil, _ => s.onViewDelta(ctx, deletes, inserts)))
+    }.foldLeft(IvmUtil.PreparedEmpty)(_ ++ _)
 
   /** Chain a maintained GROUPED DASHBOARD onto the maintained view — the
     * star-schema materialized-view classic (facts ⋈ dims, GROUP BY dim
@@ -1772,6 +1897,10 @@ class MaterializedJoinNode(
         deletes.foreach(d => agg.deleteFromIndex(ctx, d))
         inserts.foreach(i => agg.updateIndex(ctx, i))
       }
+      override private[nodes] def prepareViewDelta(ctx: Ctx,
+          deletes: Option[DataFrame],
+          inserts: Option[DataFrame]): Option[IvmUtil.Prepared] =
+        Some(agg.prepareWave(ctx, deletes, inserts))
     })
 
   /** Chain ANOTHER materialized join onto the maintained view — the
@@ -1832,6 +1961,12 @@ class MaterializedJoinNode(
         inserts.foreach(i => next.updateIndex(ctx,
           i.withColumnRenamed(MaterializedJoinNode.ViewIdCol, idAs)))
       }
+      override private[nodes] def prepareViewDelta(ctx: Ctx,
+          deletes: Option[DataFrame],
+          inserts: Option[DataFrame]): Option[IvmUtil.Prepared] =
+        Some(next.prepareFactWave(ctx,
+          deletes.map(_.withColumnRenamed(MaterializedJoinNode.ViewIdCol, idAs)),
+          inserts.map(_.withColumnRenamed(MaterializedJoinNode.ViewIdCol, idAs))))
     })
   }
 
@@ -1906,21 +2041,24 @@ class MaterializedJoinNode(
         // exactly this), and cross-wave ordering would rest on file
         // mod-times instead of overlay ids. Single-file overlays make
         // "one overlay = one micro-batch" literally true.
-        AtomicPublish.publishDelta(spark, root, waveId,
-          target => wave.coalesce(1).write.parquet(target))
         // strictly-increasing commit stamps: the file-source tail orders
         // overlays by modification time, and two waves committed within
         // one FS timestamp tick could interleave micro-batches (single
         // files make a wave atomic; the monotone stamp makes the ORDER
-        // total). setTimes on the overlay's files after the rename.
+        // total). Stamped on the STAGED files BEFORE the atomic rename
+        // (ADVICE r16: stamping after the rename left a window where a
+        // tailing consumer lists raw FS mtimes). The directory rename
+        // preserves file mtimes, so the overlay becomes visible already
+        // carrying its stamp — and no post-commit re-listing is needed.
         lastStamp = math.max(lastStamp + 1, System.currentTimeMillis())
-        AtomicPublish.listDeltas(spark, root).find(_._1 == waveId)
-          .foreach { case (_, p) =>
-            val hp = new org.apache.hadoop.fs.Path(p)
-            val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-            fs.listStatus(hp).foreach(st =>
-              if (st.isFile) fs.setTimes(st.getPath, lastStamp, -1))
-          }
+        val stamp = lastStamp
+        AtomicPublish.publishDelta(spark, root, waveId, { target =>
+          wave.coalesce(1).write.parquet(target)
+          val hp = new org.apache.hadoop.fs.Path(target)
+          val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          fs.listStatus(hp).foreach(st =>
+            if (st.isFile) fs.setTimes(st.getPath, stamp, -1))
+        })
       }
     }
     publishedRoots += root -> sub
@@ -2025,34 +2163,83 @@ class MaterializedJoinNode(
   /** ΔL ⋈ R appended; the fact ledger grows by the delta. Append-only —
     * re-sent fact rows must be deleted first (maintainFromStream's CDC
     * mode does exactly that). */
-  def updateIndex(ctx: Ctx, delta: DataFrame): Unit = {
-    val m = model.getOrElse(
+  def updateIndex(ctx: Ctx, delta: DataFrame): Unit =
+    IvmUtil.runWave(prepareFactWave(ctx, None, Some(delta)))
+
+  /** Build a fact-side wave (optional takedown step, then optional insert
+    * step — disjoint fact ids within a wave, the Δview-feed contract)
+    * WITHOUT materializing it. State lands on the SegStores at prepare
+    * time; the new live frames, the Δview feed, and every CHAINED
+    * subscriber's own prepared wave are all returned in one
+    * [[IvmUtil.Prepared]] — so a join → join → dashboard chain pays ONE
+    * driver action per wave, not one per node (VERDICT r16 next #1; the
+    * feed frames are barriered, which is what makes the downstream plans
+    * safe to build before anything has materialized). */
+  private[nodes] def prepareFactWave(ctx: Ctx, deletes: Option[DataFrame],
+      inserts: Option[DataFrame]): IvmUtil.Prepared = {
+    val m0 = model.getOrElse(
       throw new GraftException(s"estimator node '$name' not fitted"))
-    checkSides(delta, m.right)
     val ls = leftStore.get; val vs = viewStore.get
-    val dRows = delta.select(leftData(m).columns.map(col): _*)
-    // O(delta) state writes (the r15 structural fix): the fact tail and
-    // the view delta each land ONCE as a parquet segment — cached,
-    // columnar, lineage cut at a leaf — and the live frames are resolved
-    // unions; no corpus-sized copy per wave. The fact segment rides
-    // un-laid (bucket column attached, not repartitioned) until the fold.
-    val leftSeg = ls.appendSegment(withBucket(dRows, m.nBuckets))
-    val viewSeg = vs.appendSegment(viewOf(dRows, m.right, broadcastLeft = true))
-    // Δview feed (delta-sized), barriered so a chained index's state
-    // plans stay flat across batches; danglers derive from the CACHED
-    // fact segment, not the incoming batch plan
-    val feedIns = if (!hasSubs) None else {
-      val ins0 = withVid(viewSeg)
-      Some(IvmUtil.barrier(if (joinType == "inner") ins0
-        else ins0.unionByName(withVid(nullExtend(
-          leftSeg.drop(BucketCol)
-            .join(guardedDimKeys(m.right, m.rightCount), leftOn, "left_anti"),
-          m.right)))))
+    var cur = m0
+    var frames = Vector.empty[DataFrame]
+    var feedDels: Option[DataFrame] = None
+    var feedIns: Option[DataFrame] = None
+    var waves = 0
+    deletes.foreach { d0 =>
+      val m = cur
+      val del = d0.select(col(leftId)).distinct()
+      val tombL = ls.appendTombstones(leftId, del)
+      val tombV = vs.appendTombstones(leftId, tombL) // view rows carry leftId
+      // Δview feed: every view row the facts owned, plus (outer) their
+      // dangler rows — both sides of "a deleted fact leaves the view";
+      // derived from the PRE-delete frames and the cached tombstone segment
+      feedDels = if (!hasSubs) None else {
+        val delMatched = withVid(
+          m.view.join(broadcast(tombL), Seq(leftId), "left_semi"))
+          .select(MaterializedJoinNode.ViewIdCol)
+        Some(IvmUtil.barrier(if (joinType == "inner") delMatched
+          else delMatched.union(
+            leftData(m).join(broadcast(tombL), Seq(leftId), "left_semi")
+              .join(guardedDimKeys(m.right, m.rightCount), leftOn, "left_anti")
+              .select(danglerVid(col(leftId)).as(MaterializedJoinNode.ViewIdCol)))))
+      }
+      frames ++= Seq(tombL, tombV) ++ feedDels
+      cur = m.copy(left = ls.live, view = vs.live)
+      waves += 1
     }
-    IvmUtil.materializeAll(Seq(leftSeg, viewSeg) ++ feedIns) // one action per batch
-    model = Some(m.copy(left = ls.live, view = vs.live))
-    feedIns.foreach(ins => notifySubs(ctx, None, Some(ins)))
-    bumpGeneration()
+    inserts.foreach { d0 =>
+      val m = cur
+      checkSides(d0, m.right)
+      val dRows = d0.select(leftData(m).columns.map(col): _*)
+      // O(delta) state writes (the r15 structural fix): the fact tail and
+      // the view delta each land ONCE as a parquet segment — cached,
+      // columnar, lineage cut at a leaf — and the live frames are resolved
+      // unions; no corpus-sized copy per wave. The fact segment rides
+      // un-laid (bucket column attached, not repartitioned) until the fold.
+      val leftSeg = ls.appendSegment(withBucket(dRows, m.nBuckets))
+      val viewSeg = vs.appendSegment(viewOf(dRows, m.right, broadcastLeft = true))
+      // Δview feed (delta-sized), barriered so a chained index's state
+      // plans stay flat across batches; danglers derive from the CACHED
+      // fact segment, not the incoming batch plan
+      feedIns = if (!hasSubs) None else {
+        val ins0 = withVid(viewSeg)
+        Some(IvmUtil.barrier(if (joinType == "inner") ins0
+          else ins0.unionByName(withVid(nullExtend(
+            leftSeg.drop(BucketCol)
+              .join(guardedDimKeys(m.right, m.rightCount), leftOn, "left_anti"),
+            m.right)))))
+      }
+      frames ++= Seq(leftSeg, viewSeg) ++ feedIns
+      cur = m.copy(left = ls.live, view = vs.live)
+      waves += 1
+    }
+    val downstream = prepareSubs(ctx, feedDels, feedIns)
+    val fin = cur; val own = frames.length; val n = waves
+    IvmUtil.Prepared(frames ++ downstream.frames, cs => {
+      model = Some(fin)
+      downstream.commit(cs.drop(own))
+      (1 to n).foreach(_ => bumpGeneration())
+    })
   }
 
   /** Retention ledger: the fact ledger's full row (leftId, join keys,
@@ -2067,31 +2254,8 @@ class MaterializedJoinNode(
 
   /** Fact takedown: generation-stamped tombstones on the fact row id —
     * O(delta) state write; the ledger and view resolve them at read. */
-  def deleteFromIndex(ctx: Ctx, deletes: DataFrame): Unit = {
-    val m = model.getOrElse(
-      throw new GraftException(s"estimator node '$name' not fitted"))
-    val ls = leftStore.get; val vs = viewStore.get
-    val del = deletes.select(col(leftId)).distinct()
-    val tombL = ls.appendTombstones(leftId, del)
-    val tombV = vs.appendTombstones(leftId, tombL) // view rows carry leftId
-    // Δview feed: every view row the facts owned, plus (outer) their
-    // dangler rows — both sides of "a deleted fact leaves the view";
-    // derived from the PRE-delete frames and the cached tombstone segment
-    val feedDels = if (!hasSubs) None else {
-      val delMatched = withVid(
-        m.view.join(broadcast(tombL), Seq(leftId), "left_semi"))
-        .select(MaterializedJoinNode.ViewIdCol)
-      Some(IvmUtil.barrier(if (joinType == "inner") delMatched
-        else delMatched.union(
-          leftData(m).join(broadcast(tombL), Seq(leftId), "left_semi")
-            .join(guardedDimKeys(m.right, m.rightCount), leftOn, "left_anti")
-            .select(danglerVid(col(leftId)).as(MaterializedJoinNode.ViewIdCol)))))
-    }
-    IvmUtil.materializeAll(Seq(tombL, tombV) ++ feedDels) // one action per batch
-    model = Some(m.copy(left = ls.live, view = vs.live))
-    feedDels.foreach(dels => notifySubs(ctx, Some(dels), None))
-    bumpGeneration()
-  }
+  def deleteFromIndex(ctx: Ctx, deletes: DataFrame): Unit =
+    IvmUtil.runWave(prepareFactWave(ctx, Some(deletes), None))
 
   /** L ⋈ ΔR appended; the dim ledger grows by the delta. Re-keyed or
     * re-valued dim rows are upserts: `deleteFromRight` first. */
@@ -2110,7 +2274,9 @@ class MaterializedJoinNode(
     val viewSeg = vs.appendSegment(
       viewOf(prunedLeftFor(m, rightSeg), rightSeg, broadcastRight = true))
     // Δview feed: the retro-matched rows insert; (outer) a fact whose
-    // FIRST match just arrived retracts its dangler row
+    // FIRST match just arrived retracts its dangler row. Dangler-vid
+    // retractions and pair-vid inserts are key-disjoint, so they ride as
+    // ONE downstream wave.
     val feed = if (!hasSubs) None else {
       val dels = if (joinType == "inner") None
         else Some(IvmUtil.barrier(
@@ -2119,17 +2285,22 @@ class MaterializedJoinNode(
             .distinct()))
       Some((dels, IvmUtil.barrier(withVid(viewSeg))))
     }
-    // the single materializing action doubles as the dim-count refresh
-    // (the dim ledger grows by exactly the segment's row count)
-    val counts = IvmUtil.materializeAllCounts(Seq(rightSeg, viewSeg) ++
-      feed.toSeq.flatMap { case (d, i) => d.toSeq :+ i }) // one action per batch
-    val newCount =
-      if (m.rightCount == Long.MaxValue) Long.MaxValue
-      else m.rightCount + counts.head
-    model = Some(m.copy(right = rs.live, view = vs.live,
-      rightCount = newCount))
-    feed.foreach { case (dels, ins) => notifySubs(ctx, dels, Some(ins)) }
-    bumpGeneration()
+    val own = Seq(rightSeg, viewSeg) ++
+      feed.toSeq.flatMap { case (d, i) => d.toSeq :+ i }
+    val downstream = prepareSubs(ctx,
+      feed.flatMap(_._1), feed.map(_._2))
+    // the single materializing action (shared with every chained
+    // subscriber's wave) doubles as the dim-count refresh — the dim
+    // ledger grows by exactly the segment's row count
+    IvmUtil.runWave(IvmUtil.Prepared(own ++ downstream.frames, cs => {
+      val newCount =
+        if (m.rightCount == Long.MaxValue) Long.MaxValue
+        else m.rightCount + cs.head
+      model = Some(m.copy(right = rs.live, view = vs.live,
+        rightCount = newCount))
+      downstream.commit(cs.drop(own.length))
+      bumpGeneration()
+    }))
   }
 
   /** Dim takedown: generation-stamped tombstones on the dim row id —
@@ -2162,15 +2333,18 @@ class MaterializedJoinNode(
           m.right))))
       Some((dels, ins))
     }
-    val counts = IvmUtil.materializeAllCounts(Seq(tombR, tombV, removedDims) ++
-      feed.toSeq.flatMap { case (d, i) => d +: i.toSeq }) // one action per batch
-    val newCount =
-      if (m.rightCount == Long.MaxValue) Long.MaxValue
-      else math.max(0L, m.rightCount - counts(2))
-    model = Some(m.copy(right = newRight, view = vs.live,
-      rightCount = newCount))
-    feed.foreach { case (dels, ins) => notifySubs(ctx, Some(dels), ins) }
-    bumpGeneration()
+    val own = Seq(tombR, tombV, removedDims) ++
+      feed.toSeq.flatMap { case (d, i) => d +: i.toSeq }
+    val downstream = prepareSubs(ctx, feed.map(_._1), feed.flatMap(_._2))
+    IvmUtil.runWave(IvmUtil.Prepared(own ++ downstream.frames, cs => {
+      val newCount =
+        if (m.rightCount == Long.MaxValue) Long.MaxValue
+        else math.max(0L, m.rightCount - cs(2))
+      model = Some(m.copy(right = newRight, view = vs.live,
+        rightCount = newCount))
+      downstream.commit(cs.drop(own.length))
+      bumpGeneration()
+    }))
   }
 
   /** The DIM side as an [[IncrementalIndex]] — `updateIndex` delegates
@@ -2222,12 +2396,24 @@ class MaterializedJoinNode(
   @volatile private var compactGen: Long = 0L
   private def bumpGeneration(): Unit = {
     // amortized consolidation: a store past its fold budget rewrites its
-    // resolved live frame once (columnar, stats-laid) and resets
+    // resolved live frame once (columnar, stats-laid) and resets. The dim
+    // store's fold count re-derives the cached dim cardinality (ADVICE
+    // r16: the incremental rightCount would drift forever on an
+    // upsert-contract violation — the amortized O(corpus) pass self-heals
+    // it, and upgrades an unknown/MaxValue count to exact for free).
     var folded = false
-    stores.foreach { st => if (st.needsFold) { st.fold(); folded = true } }
+    var rightN: Option[Long] = None
+    stores.foreach { st =>
+      if (st.needsFold) {
+        val n = st.fold()
+        if (rightStore.exists(_ eq st)) rightN = Some(n)
+        folded = true
+      }
+    }
     if (folded)
       model = model.map(m => m.copy(left = leftStore.get.live,
-        right = rightStore.get.live, view = viewStore.get.live))
+        right = rightStore.get.live, view = viewStore.get.live,
+        rightCount = rightN.getOrElse(m.rightCount)))
     generation += 1
     if (compactEvery > 0 && generation % compactEvery == 0) compactIndex()
   }
@@ -2338,5 +2524,16 @@ object MaterializedJoinNode {
   trait ViewSubscriber {
     def onViewDelta(ctx: graft.dag.Ctx, deletes: Option[DataFrame],
         inserts: Option[DataFrame]): Unit
+    /** Deferred variant: build the wave's maintenance frames lazily and
+      * return them with a commit, so the NOTIFYING node folds them into
+      * its own single materializing action (one driver action per wave
+      * across a whole chain). `None` (the default) falls back to one
+      * eager [[onViewDelta]] call inside the notifier's commit. Within a
+      * wave the delete and insert key sets are disjoint (the Δview-feed
+      * contract), so delete-then-insert threading inside one prepared
+      * unit is exact. */
+    private[nodes] def prepareViewDelta(ctx: graft.dag.Ctx,
+        deletes: Option[DataFrame],
+        inserts: Option[DataFrame]): Option[IvmUtil.Prepared] = None
   }
 }

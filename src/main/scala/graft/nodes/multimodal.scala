@@ -505,10 +505,21 @@ class DHashIndexNode(
       .select("__c", "__v", "base_id", "__h")
   }
 
+  // ---- columnar MoR state (SegStore, VERDICT r16 next #2): O(delta)
+  // per-wave writes; cap-drops ride COMPOSITE-KEY tombstones on the
+  // (__c, __v) chunk-bucket key — the MinHashIndexNode conversion's twin ----
+  @volatile private var ledStore: Option[SegStore] = None
+  @volatile private var bkStore: Option[SegStore] = None
+  private def segRoot: Option[String] = compactPath.map(_ + "/segs")
+  private def idxStores: Seq[SegStore] = Seq(ledStore, bkStore).flatten
+
   def fitModel(ctx: Ctx, in: In): Model = {
     import org.apache.spark.storage.StorageLevel
     val ledger = ledgerOf(in("corpus"), "base_id").persist(StorageLevel.MEMORY_AND_DISK)
     val buckets = cappedBuckets(ledger).persist(StorageLevel.MEMORY_AND_DISK)
+    idxStores.foreach(_.unpersistAll()) // refit releases any old stores
+    ledStore = Some(new SegStore(s"${name}_led", segRoot).reset(ledger))
+    bkStore = Some(new SegStore(s"${name}_bk", segRoot).reset(buckets))
     DHashIndexNode.Index(ledger, buckets)
   }
 
@@ -534,39 +545,52 @@ class DHashIndexNode(
     Map("result" -> pairs)
   }
 
-  /** Fold a delta into the index: ledger union + bucket re-cap over the
-    * grown table (a bucket crossing `maxBucket` only after growth drops
-    * whole — the fit-time guard re-applied; order-sensitive like
-    * MinHashIndexNode, `rebuildIndex` is the exact re-derivation). */
+  /** Fold a delta into the index with O(delta) state writes (SegStore):
+    * the hash rows and surviving chunk keys land as parquet segments, a
+    * bucket crossing `maxBucket` after growth drops WHOLE via a
+    * composite-key tombstone (the fit-time guard re-applied;
+    * order-sensitive like MinHashIndexNode, `rebuildIndex` is the exact
+    * re-derivation). */
   def updateIndex(ctx: Ctx, delta: DataFrame): Unit = {
-    import org.apache.spark.storage.StorageLevel
     val m = model.getOrElse(
       throw new GraftException(s"estimator node '$name' not fitted"))
-    val fresh = ledgerOf(delta, "base_id")
-    val newLedger = m.ledger.select("base_id", "__h")
-      .union(fresh.select("base_id", "__h"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val ls = ledStore.get; val bs = bkStore.get
+    // O(delta) state writes: the delta's hash rows land once as a parquet
+    // segment; chunk keys derive from the CACHED segment
+    val ledSeg = ls.appendSegment(ledgerOf(delta, "base_id").select("base_id", "__h"))
+    val freshKeys = HammingBands.chunkKeys(ledSeg, maxHamming + 1)
+      .select("__c", "__v", "base_id", "__h")
     // cap re-evaluation restricted to the TOUCHED buckets (stored buckets
     // are ≤ maxBucket by invariant — only buckets the delta lands in can
-    // cross it): delta-bucket-sized per wave, not a corpus-sized groupBy
-    val freshKeys = HammingBands.chunkKeys(fresh, maxHamming + 1)
-      .select("__c", "__v", "base_id", "__h")
+    // cross it): delta-bucket-sized per wave. No explicit broadcast hint
+    // (ADVICE r16 — a large wave makes these delta×chunks-sized; the
+    // autoBroadcast threshold decides from plan stats).
     val touched = freshKeys.select("__c", "__v").distinct()
-    val overCap = m.buckets.select("__c", "__v", "base_id", "__h")
-      .join(broadcast(touched), Seq("__c", "__v"), "left_semi")
-      .union(freshKeys)
+    val overCap = m.buckets.select("__c", "__v")
+      .join(touched, Seq("__c", "__v"), "left_semi")
+      .union(freshKeys.select("__c", "__v"))
       .groupBy("__c", "__v").count()
       .filter(col("count") > maxBucket).select("__c", "__v")
-    val newBuckets = m.buckets.select("__c", "__v", "base_id", "__h")
-      .union(freshKeys)
-      .join(broadcast(overCap), Seq("__c", "__v"), "left_anti")
-      .select("__c", "__v", "base_id", "__h")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    newLedger.count(); newBuckets.count() // materialize before releasing old
-    model = Some(DHashIndexNode.Index(newLedger, newBuckets))
-    m.ledger.unpersist(); m.buckets.unpersist()
+    // a bucket crossing the cap drops WHOLE: composite-key tombstone at
+    // this generation; the fresh keys landing in it are filtered out of
+    // the insert segment (same semantics as the pre-SegStore rewrite,
+    // including later-wave repopulation)
+    val capTomb = bs.appendTombstones(Seq("__c", "__v"), overCap)
+    val bkSeg = bs.appendSegment(
+      freshKeys.join(capTomb, Seq("__c", "__v"), "left_anti"))
+    IvmUtil.materializeAll(Seq(ledSeg, capTomb, bkSeg))
+    model = Some(DHashIndexNode.Index(ls.live, bs.live))
+    foldStoresIfDue()
     generation += 1
     if (compactEvery > 0 && generation % compactEvery == 0) compactIndex()
+  }
+
+  /** Amortized consolidation (the SegStore contract). */
+  private def foldStoresIfDue(): Unit = {
+    var folded = false
+    idxStores.foreach { st => if (st.needsFold) { st.fold(); folded = true } }
+    if (folded)
+      model = Some(DHashIndexNode.Index(ledStore.get.live, bkStore.get.live))
   }
 
   /** Two anti joins; kept buckets only shrink so the cap needs no
@@ -582,20 +606,15 @@ class DHashIndexNode(
   }
 
   def deleteFromIndex(ctx: Ctx, deletes: DataFrame): Unit = {
-    import org.apache.spark.storage.StorageLevel
     val m = model.getOrElse(
       throw new GraftException(s"estimator node '$name' not fitted"))
+    val ls = ledStore.get; val bs = bkStore.get
     val del = deletes.select(col(idCol).as("base_id")).distinct()
-    val newLedger = m.ledger.select("base_id", "__h")
-      .join(del, Seq("base_id"), "left_anti")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val newBuckets = m.buckets.select("__c", "__v", "base_id", "__h")
-      .join(del, Seq("base_id"), "left_anti")
-      .select("__c", "__v", "base_id", "__h")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    newLedger.count(); newBuckets.count()
-    model = Some(DHashIndexNode.Index(newLedger, newBuckets))
-    m.ledger.unpersist(); m.buckets.unpersist()
+    val ledTomb = ls.appendTombstones("base_id", del)
+    val bkTomb = bs.appendTombstones("base_id", ledTomb)
+    IvmUtil.materializeAll(Seq(ledTomb, bkTomb))
+    model = Some(DHashIndexNode.Index(ls.live, bs.live))
+    foldStoresIfDue()
     generation += 1
     if (compactEvery > 0 && generation % compactEvery == 0) compactIndex()
   }
@@ -609,8 +628,9 @@ class DHashIndexNode(
     val newBuckets = cappedBuckets(m.ledger.select("base_id", "__h"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     newBuckets.count()
+    // full bucket-table replacement (cap resurrection): re-seed the store
+    bkStore.foreach { st => st.unpersistAll(); st.reset(newBuckets) }
     model = Some(DHashIndexNode.Index(m.ledger, newBuckets))
-    m.buckets.unpersist()
     generation += 1
     if (compactEvery > 0 && generation % compactEvery == 0) compactIndex()
   }
@@ -632,16 +652,17 @@ class DHashIndexNode(
         d.toString
     }
     val session = m.ledger.sparkSession
-    saveFitted(path)
-    model = Some(DHashIndexNode.Index(
-      session.read.parquet(s"$path/ledger").persist(StorageLevel.MEMORY_AND_DISK),
-      session.read.parquet(s"$path/buckets").persist(StorageLevel.MEMORY_AND_DISK)))
-    m.ledger.unpersist(); m.buckets.unpersist()
+    saveFitted(path) // writes the RESOLVED live frames (store pieces folded)
+    val led = session.read.parquet(s"$path/ledger")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val bk = session.read.parquet(s"$path/buckets")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    ledStore.foreach { st => st.unpersistAll(); st.reset(led) }
+    bkStore.foreach { st => st.unpersistAll(); st.reset(bk) }
+    model = Some(DHashIndexNode.Index(led, bk))
   }
 
-  def unpersistIndex(): Unit = model.foreach { m =>
-    m.ledger.unpersist(); m.buckets.unpersist()
-  }
+  def unpersistIndex(): Unit = model.foreach { _ => idxStores.foreach(_.unpersistAll()) }
 
   override def saveFitted(path: String): Unit = {
     val m = model.getOrElse(
@@ -663,10 +684,12 @@ class DHashIndexNode(
     // HammingBands.chunkKeys). Load therefore follows the rebuildIndex
     // contract — bit-identical to a from-scratch fit over the live rows,
     // including cap resurrection.
-    model = Some(DHashIndexNode.Index(
-      ledger,
-      cappedBuckets(ledger.select("base_id", "__h"))
-        .persist(StorageLevel.MEMORY_AND_DISK)))
+    val bk = cappedBuckets(ledger.select("base_id", "__h"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    idxStores.foreach(_.unpersistAll())
+    ledStore = Some(new SegStore(s"${name}_led", segRoot).reset(ledger))
+    bkStore = Some(new SegStore(s"${name}_bk", segRoot).reset(bk))
+    model = Some(DHashIndexNode.Index(ledger, bk))
     loadMaintenanceState(spark, path)
   }
 }
