@@ -216,6 +216,71 @@ object Scale10 {
     retrievalFixedBatch("q100_fixed_batch", () => new Bm25TopKNode(
       idCol = "doc_id", textCol = "text", queryIdCol = "query_id",
       queryTextCol = "text", k = 5, maxDfFrac = 0.79))
+
+    // q213 with CORPUS-INDEPENDENT waves (VERDICT r16 next #6): the
+    // defaults-list q213 probe conflates machinery cost with wave payload
+    // (its CDC waves are corpus filters, so they scale k-fold). Here the
+    // k-fold base seeds the published view, but every fact wave is pinned
+    // to the UNCLONED id range (ids below the clone shift — exactly the 1x
+    // wave), so producer overlay cost and consumer maintenance cost must
+    // track the FIXED delta, not the corpus.
+    if (queries.isEmpty || queries.contains("q213_fixed_waves"))
+      try time("q213_fixed_waves") {
+        val ctx = Ctx(spark)
+        val base = "o_orderkey < 100000000"
+        val facts = spark.read.parquet(s"$out/orders.parquet")
+          .selectExpr("o_orderkey", "o_custkey",
+            "cast(floor(o_totalprice) as bigint) as price_i")
+        val dims = spark.read.parquet(s"$out/customer.parquet")
+          .select("c_custkey", "c_mktsegment", "c_nationkey")
+        val work = java.nio.file.Files.createTempDirectory("graft_s213_")
+        org.apache.commons.io.FileUtils.forceDeleteOnExit(work.toFile)
+        val factsRoot = s"$work/facts_mor"; val viewRoot = s"$work/view_mor"
+        new SinkNode(factsRoot, atomicPublish = true).transform(ctx,
+          In.single("df" -> facts.filter("o_orderkey % 5 != 0")))
+        val mj = new MaterializedJoinNode(leftOn = Seq("o_custkey"),
+          rightOn = Seq("c_custkey"), leftId = "o_orderkey",
+          rightId = "c_custkey", joinType = "left_outer")
+        mj.fit(ctx, In.single(
+          "left" -> new MorSourceNode(factsRoot, keys = Seq("o_orderkey"))
+            .transform(ctx, In.empty)("result"),
+          "right" -> dims.filter("c_custkey % 10 != 0")))
+        mj.publishViewDelta(ctx, viewRoot)
+        val agg = new AggIndexNode(groupCols = Seq("c_mktsegment"),
+          sumCols = Seq("price_i"), idCol = MaterializedJoinNode.ViewIdCol)
+        agg.fit(ctx, In.single("corpus" ->
+          new MorSourceNode(viewRoot,
+            keys = Seq(MaterializedJoinNode.ViewIdCol))
+            .transform(ctx, In.empty)("result")))
+        AtomicPublish.publishDelta(spark, factsRoot, 1L, { t =>
+          facts.filter(s"(o_orderkey % 5 = 0 OR o_orderkey % 3 = 0) AND $base")
+            .selectExpr("o_orderkey", "o_custkey",
+              "CASE WHEN o_orderkey % 3 = 0 THEN price_i + 1000 ELSE price_i END AS price_i",
+              s"false as ${MorCdc.DeletedCol}")
+            .coalesce(1).write.parquet(t)
+        })
+        AtomicPublish.publishDelta(spark, factsRoot, 2L, { t =>
+          facts.filter(s"o_orderkey % 7 = 0 AND $base")
+            .selectExpr("o_orderkey", "cast(null as bigint) as o_custkey",
+              "cast(null as bigint) as price_i",
+              s"true as ${MorCdc.DeletedCol}")
+            .coalesce(1).write.parquet(t)
+        })
+        val ftail = new MorTailNode(factsRoot, maxFilesPerTrigger = Some(1))
+          .transform(ctx, In.empty)("result")
+        IndexMaintenance.maintainFromStream(mj, ctx, ftail,
+          checkpoint = Some(s"$work/fckpt"), deleteCol = Some(MorCdc.DeletedCol))
+        mj.updateRight(ctx, dims.filter("c_custkey % 10 = 0"))
+        mj.deleteFromRight(ctx, dims.filter("c_nationkey = 3").select("c_custkey"))
+        val vtail = new MorTailNode(viewRoot, maxFilesPerTrigger = Some(1))
+          .transform(ctx, In.empty)("result")
+        IndexMaintenance.maintainFromStream(agg, ctx, vtail,
+          checkpoint = Some(s"$work/vckpt"), deleteCol = Some(MorCdc.DeletedCol))
+        val probe = dims.select("c_mktsegment").distinct()
+          .unionByName(dims.selectExpr("cast(null as string) as c_mktsegment").limit(1))
+        agg.transform(ctx, In.single("probe" -> probe))("result").count()
+      } catch { case e: Throwable =>
+        println(s"[scale10] q213_fixed_waves FAILED: ${e.getMessage}") }
     spark.stop()
   }
 }

@@ -368,4 +368,118 @@ class PropertySpec extends AnyFunSuite {
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(25), p)
     assert(res.passed, res.status.toString)
   }
+
+  test("minhash band splits partition the signature exactly: grouped-band " +
+    "agreement on random near-dup pairs tracks the per-row agreement of " +
+    "precisely its own row slice (the Hamming chunk-wrap analogue — a " +
+    "wrapped, duplicated, or dropped signature row would break the iff)") {
+    val spark = SparkFixture.spark
+    graft.functions.VecFunctions.register(spark)
+    import spark.implicits._
+    val alphabet = (0 until 40).map(i => s"t$i")
+    val genCase = for {
+      nTok <- Gen.choose(6, 30)
+      toks <- Gen.listOfN(nTok, Gen.oneOf(alphabet))
+      nMut <- Gen.choose(0, 6)
+      muts <- Gen.listOfN(nMut, for {
+        pos <- Gen.choose(0, nTok - 1)
+        t <- Gen.oneOf(alphabet)
+      } yield (pos, t))
+      // includes non-power-of-two splits — the Hamming bug lived at
+      // nChunks that do not divide the word width
+      hb <- Gen.oneOf((8, 2), (8, 4), (16, 4), (32, 8), (12, 3), (20, 5))
+    } yield (toks, muts, hb._1, hb._2)
+    val p = Prop.forAll(genCase) { case (toks, muts, h, b) =>
+      // y = x with a few token substitutions, so signatures share many
+      // rows (agreement actually occurs) while differing on others
+      val ys = muts.foldLeft(toks.toVector) { case (v, (pos, t)) => v.updated(pos, t) }
+      val rows = Seq(("x", toks.mkString(" ")), ("y", ys.mkString(" ")))
+        .toDF("id", "text")
+        .selectExpr("id", "shingle_hashes(split(text, ' '), 2) as sh")
+        .filter("size(sh) > 0")
+        .selectExpr("id", s"minhash_bands(sh, $h, $b) as bands",
+          s"minhash_bands(sh, $h, $h) as sig") // one band per row = the signature
+        .collect()
+        .map(r => r.getString(0) -> (r.getSeq[Any](1), r.getSeq[Any](2))).toMap
+      if (rows.size < 2) Prop.passed // degenerate: a side shingled to empty
+      else {
+        val (bx, sx) = rows("x"); val (by, sy) = rows("y")
+        val k = h / b
+        Prop.all((0 until b).map { i =>
+          val sliceEq = sx.slice(i * k, (i + 1) * k) == sy.slice(i * k, (i + 1) * k)
+          val bandEq = bx(i) == by(i)
+          Prop(bandEq == sliceEq) :|
+            s"band $i of $b (rows ${i * k}..${(i + 1) * k - 1}): " +
+              s"bandEq=$bandEq sliceEq=$sliceEq (h=$h)"
+        }: _*)
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("IVF probe-all equals the brute-force cosine top-k exactly, and " +
+    "true-neighbor recall is pointwise monotone in nProbe on random corpora") {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    import graft.nodes.IvfIndexNode
+    val genCase = for {
+      n <- Gen.choose(8, 28)
+      vecs <- Gen.listOfN(n, Gen.listOfN(4, Gen.choose(-100, 100).map(_ / 7.0)))
+      nq <- Gen.choose(1, 2)
+      k <- Gen.choose(1, 4)
+      nc <- Gen.choose(2, 4)
+      p1 <- Gen.choose(1, nc)
+      p2 <- Gen.choose(1, nc)
+    } yield (vecs, nq, k, nc, math.min(p1, p2), math.max(p1, p2))
+    val p = Prop.forAll(genCase) { case (vecs, nq, k, nc, p1, p2) =>
+      val ctx = Ctx(spark)
+      val fvecs = vecs.map(_.map(_.toFloat))
+      val corpus = fvecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("vec_id", "embedding")
+      val qvecs = fvecs.take(nq).map(_.map(x => x + 0.37f))
+      val queries = qvecs.zipWithIndex.map { case (v, i) => (1000L + i, v) }
+        .toDF("query_id", "embedding")
+      def run(np: Int): Map[Long, Seq[Long]] = {
+        val node = new IvfIndexNode(k = k, nClusters = nc, nProbe = np,
+          maxLiteralCentroids = 0)
+        node.fit(ctx, In.single("corpus" -> corpus))
+        val out = node.transform(ctx, In.single("queries" -> queries))("result")
+          .select("query_id", "vec_id", "rank").as[(Long, Long, Int)].collect()
+        node.unpersistIndex()
+        out.groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+      }
+      // brute-force oracle (same tiebreak as the node: score desc, id asc);
+      // queries whose top-(k+1) has any near-tie (< 1e-6 gap) are skipped —
+      // sub-ulp accumulation-order differences could legitimately flip them
+      def cos(a: Seq[Float], q: Seq[Float]): Double = {
+        val num = a.zip(q).map { case (x, y) => x.toDouble * y.toDouble }.sum
+        val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+        val nq0 = math.sqrt(q.map(x => x.toDouble * x.toDouble).sum)
+        if (na == 0 || nq0 == 0) 0.0 else num / (na * nq0)
+      }
+      val rAll = run(nc); val r1 = run(p1); val r2 = run(p2)
+      Prop.all(qvecs.zipWithIndex.map { case (qv, qi) =>
+        val qid = 1000L + qi
+        val ranked = fvecs.zipWithIndex
+          .map { case (v, i) => (i.toLong, cos(v, qv)) }
+          .sortBy { case (id, s) => (-s, id) }
+        val gaps = ranked.take(k + 1).map(_._2).sliding(2)
+          .forall(w => w.size < 2 || w.head - w.last > 1e-6)
+        if (!gaps) Prop.passed
+        else {
+          val truth = ranked.take(k).map(_._1)
+          val tset = truth.toSet
+          val exact = Prop(rAll.getOrElse(qid, Nil) == truth) :|
+            s"probe-all mismatch q$qid: got ${rAll.get(qid)} want $truth"
+          val mono = Prop(r1.getOrElse(qid, Nil).toSet.intersect(tset)
+              .subsetOf(r2.getOrElse(qid, Nil).toSet.intersect(tset))) :|
+            s"recall not monotone q$qid: nProbe=$p1 beat nProbe=$p2"
+          exact && mono
+        }
+      }: _*)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), p)
+    assert(res.passed, res.status.toString)
+  }
 }
