@@ -1085,7 +1085,7 @@ private[nodes] final class SegStore(
     * generation's move to retired. */
   def reset(newBase: DataFrame): this.type = synchronized {
     base = newBase; baseGen = nextGen
-    segs = Vector.empty; tombs = Map.empty
+    segs = Vector.empty; tombs = Map.empty; adopted = Set.empty
     SegStore.deleteFiles(newBase.sparkSession, retired)
     retired = liveFiles
     liveFiles = Vector.empty
@@ -1134,6 +1134,25 @@ private[nodes] final class SegStore(
         (tombs.getOrElse(keyCols, Vector.empty) :+ (nextGen, f))
       f
     }
+  /** Register ANOTHER STORE's already-written tombstone wave on a channel
+    * without re-writing it — the MaterializedJoinNode fact/dim takedown
+    * writes its victim ids once and the view store adopts the cached
+    * read-back (one parquet write per delete wave, not two). Lifetime:
+    * safe because the owning ledger store cannot retire the file before
+    * this store's next fold clears the channel — both stores fold in the
+    * same `bumpGeneration` pass, the view store appends at least as often
+    * as either ledger store, and retirement is deferred one further fold.
+    * The adopted frame is NOT unpersisted here (the owner manages its
+    * cache). */
+  def adoptTombstones(keyCol: String, cached: DataFrame): DataFrame =
+    synchronized {
+      nextGen += 1
+      tombs += Seq(keyCol) ->
+        (tombs.getOrElse(Seq(keyCol), Vector.empty) :+ (nextGen, cached))
+      adopted += System.identityHashCode(cached)
+      cached
+    }
+  private var adopted: Set[Int] = Set.empty
   /** The resolved live frame (column set = the base's; `SegCol` internal). */
   def live: DataFrame = synchronized {
     val cols = base.columns
@@ -1174,7 +1193,10 @@ private[nodes] final class SegStore(
   def unpersistAll(): Unit = synchronized {
     if (base != null) base.unpersist()
     segs.foreach(_._2.unpersist())
-    tombs.valuesIterator.foreach(_.foreach(_._2.unpersist()))
+    tombs.valuesIterator.foreach(_.foreach { case (_, f) =>
+      if (!adopted.contains(System.identityHashCode(f))) f.unpersist()
+    })
+    adopted = Set.empty
   }
 }
 
@@ -1213,20 +1235,26 @@ private[nodes] object IvmUtil {
     * ONE materializing action instead of one per node (VERDICT r16 next
     * #1: per-wave fixed driver cost dominated the bench tail). */
   final case class Prepared(frames: Seq[DataFrame],
-                            commit: Seq[Long] => Unit) {
+                            commit: Seq[Long] => Unit,
+                            wantCounts: Boolean = false) {
     def ++(o: Prepared): Prepared = {
       val n = frames.length
       Prepared(frames ++ o.frames,
-        cs => { commit(cs.take(n)); o.commit(cs.drop(n)) })
+        cs => { commit(cs.take(n)); o.commit(cs.drop(n)) },
+        wantCounts || o.wantCounts)
     }
   }
   val PreparedEmpty: Prepared = Prepared(Nil, _ => ())
 
-  /** Materialize a prepared wave with ONE driver action, then commit. */
-  def runWave(p: Prepared): Unit = {
-    val counts = if (p.frames.isEmpty) Nil else materializeAllCounts(p.frames)
-    p.commit(counts)
-  }
+  /** Materialize a prepared wave with ONE driver action, then commit.
+    * The per-frame counts (a groupBy exchange instead of a plain union
+    * count) are computed only when some commit actually consumes them
+    * (`wantCounts` — the dim-cardinality refresh paths); every other wave
+    * materializes with the cheaper single-stage count. */
+  def runWave(p: Prepared): Unit =
+    if (p.frames.isEmpty) p.commit(Nil)
+    else if (p.wantCounts) p.commit(materializeAllCounts(p.frames))
+    else { materializeAll(p.frames); p.commit(Vector.fill(p.frames.length)(0L)) }
 
   /** ONE driver action materializes every just-persisted frame: counting
     * the union scans each persisted child exactly once (the q157 lesson —
@@ -2189,7 +2217,7 @@ class MaterializedJoinNode(
       val m = cur
       val del = d0.select(col(leftId)).distinct()
       val tombL = ls.appendTombstones(leftId, del)
-      val tombV = vs.appendTombstones(leftId, tombL) // view rows carry leftId
+      vs.adoptTombstones(leftId, tombL) // view rows carry leftId — one write
       // Δview feed: every view row the facts owned, plus (outer) their
       // dangler rows — both sides of "a deleted fact leaves the view";
       // derived from the PRE-delete frames and the cached tombstone segment
@@ -2203,7 +2231,7 @@ class MaterializedJoinNode(
               .join(guardedDimKeys(m.right, m.rightCount), leftOn, "left_anti")
               .select(danglerVid(col(leftId)).as(MaterializedJoinNode.ViewIdCol)))))
       }
-      frames ++= Seq(tombL, tombV) ++ feedDels
+      frames ++= Seq(tombL) ++ feedDels
       cur = m.copy(left = ls.live, view = vs.live)
       waves += 1
     }
@@ -2300,7 +2328,7 @@ class MaterializedJoinNode(
         rightCount = newCount))
       downstream.commit(cs.drop(own.length))
       bumpGeneration()
-    }))
+    }, wantCounts = true))
   }
 
   /** Dim takedown: generation-stamped tombstones on the dim row id —
@@ -2311,7 +2339,7 @@ class MaterializedJoinNode(
     val rs = rightStore.get; val vs = viewStore.get
     val del = deletes.select(col(rightId)).distinct()
     val tombR = rs.appendTombstones(rightId, del)
-    val tombV = vs.appendTombstones(rightId, tombR) // view rows carry rightId
+    vs.adoptTombstones(rightId, tombR) // view rows carry rightId — one write
     val newRight = rs.live
     // the removed dim rows, counted once in the shared action below, keep
     // the cached dim cardinality exact without a full re-count
@@ -2333,18 +2361,18 @@ class MaterializedJoinNode(
           m.right))))
       Some((dels, ins))
     }
-    val own = Seq(tombR, tombV, removedDims) ++
+    val own = Seq(tombR, removedDims) ++
       feed.toSeq.flatMap { case (d, i) => d +: i.toSeq }
     val downstream = prepareSubs(ctx, feed.map(_._1), feed.flatMap(_._2))
     IvmUtil.runWave(IvmUtil.Prepared(own ++ downstream.frames, cs => {
       val newCount =
         if (m.rightCount == Long.MaxValue) Long.MaxValue
-        else math.max(0L, m.rightCount - cs(2))
+        else math.max(0L, m.rightCount - cs(1)) // removedDims is own frame #1
       model = Some(m.copy(right = newRight, view = vs.live,
         rightCount = newCount))
       downstream.commit(cs.drop(own.length))
       bumpGeneration()
-    }))
+    }, wantCounts = true))
   }
 
   /** The DIM side as an [[IncrementalIndex]] — `updateIndex` delegates
