@@ -188,7 +188,8 @@ object Scale10 {
       // decimal-exact dashboard (ledger-sized ingest cast, group-sized
       // decimal merges)
       "q213_published_view_feed", "q214_agg_index_decimal")
-    val names = if (queries.nonEmpty) queries else defaults
+    val names = (if (queries.nonEmpty) queries else defaults)
+      .filter(Queries.all.contains) // custom probes below have their own gates
     names.foreach { n =>
       try time(n)(Queries.all(n)(spark, out).count())
       catch { case e: Throwable => println(s"[scale10] $n FAILED: ${e.getMessage}") }
@@ -210,12 +211,14 @@ object Scale10 {
         n >> d.output("result")
         d.fitTransform(Ctx(spark)).outputs("result").count()
       } catch { case e: Throwable => println(s"[scale10] $label FAILED: ${e.getMessage}") }
-    retrievalFixedBatch("q98_fixed_batch", () => new InvertedIndexTopKNode(
-      idCol = "doc_id", textCol = "text", queryIdCol = "query_id",
-      queryTextCol = "text", k = 5, maxDfFrac = 0.79))
-    retrievalFixedBatch("q100_fixed_batch", () => new Bm25TopKNode(
-      idCol = "doc_id", textCol = "text", queryIdCol = "query_id",
-      queryTextCol = "text", k = 5, maxDfFrac = 0.79))
+    if (queries.isEmpty || queries.contains("q98_fixed_batch"))
+      retrievalFixedBatch("q98_fixed_batch", () => new InvertedIndexTopKNode(
+        idCol = "doc_id", textCol = "text", queryIdCol = "query_id",
+        queryTextCol = "text", k = 5, maxDfFrac = 0.79))
+    if (queries.isEmpty || queries.contains("q100_fixed_batch"))
+      retrievalFixedBatch("q100_fixed_batch", () => new Bm25TopKNode(
+        idCol = "doc_id", textCol = "text", queryIdCol = "query_id",
+        queryTextCol = "text", k = 5, maxDfFrac = 0.79))
 
     // q213 with CORPUS-INDEPENDENT waves (VERDICT r16 next #6): the
     // defaults-list q213 probe conflates machinery cost with wave payload
