@@ -1108,7 +1108,10 @@ class MinHashIndexNode(
     // the exact pre-SegStore newBuckets semantics, including the restart
     // behavior (a later wave can repopulate the dropped bucket)
     val capTomb = bs.appendTombstones(Seq("band", "band_hash"), overCap)
-    val bkSeg = bs.appendSegment(
+    // DERIVED segment — no second write: band keys are a pure function of
+    // the just-written ledger segment and the written cap tombstones, so
+    // the lineage roots in this wave's parquet (depth 1, recoverable)
+    val bkSeg = bs.appendDerivedSegment(
       freshKeys.join(capTomb, Seq("band", "band_hash"), "left_anti"))
     IvmUtil.materializeAll(Seq(shSeg, capTomb, bkSeg))
     model = Some(MinHashIndexNode.Index(ss.live, bs.live))
@@ -1153,8 +1156,8 @@ class MinHashIndexNode(
     // rebuildIndex, the documented under-recall gap)
     val del = deletes.select(col(idCol).as("base_id")).distinct()
     val shTomb = ss.appendTombstones("base_id", del)
-    val bkTomb = bs.appendTombstones("base_id", shTomb)
-    IvmUtil.materializeAll(Seq(shTomb, bkTomb))
+    bs.adoptTombstones("base_id", shTomb) // same ids — one write, one file
+    IvmUtil.materializeAll(Seq(shTomb))
     model = Some(MinHashIndexNode.Index(ss.live, bs.live))
     foldStoresIfDue()
     generation += 1

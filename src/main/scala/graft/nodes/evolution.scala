@@ -1103,8 +1103,15 @@ private[nodes] final class SegStore(
     * (probed); unknown stats err toward no coalesce, never toward
     * serializing a big wave. */
   private def oneFileIfSmall(rows: DataFrame): DataFrame = {
+    // stats off the ANALYZED plan, not the optimized one: analysis is
+    // already memoized on every Dataset, while touching optimizedPlan
+    // here forced a SECOND full Catalyst optimization per state write
+    // (the write re-optimizes its own plan regardless) — measured as a
+    // +30-50% tax on small index queries before this was caught. The
+    // analyzed-plan estimate is coarser (no pruning), which only errs
+    // toward NOT coalescing — never toward serializing a big wave.
     val small =
-      try rows.queryExecution.optimizedPlan.stats.sizeInBytes <=
+      try rows.queryExecution.analyzed.stats.sizeInBytes <=
         SegStore.TargetFileBytes
       catch { case _: Throwable => false }
     if (small) rows.coalesce(1) else rows
@@ -1132,6 +1139,20 @@ private[nodes] final class SegStore(
   def appendSegment(rows: DataFrame): DataFrame = synchronized {
     nextGen += 1
     val f = writeBack(rows)
+    segs :+= (nextGen, f)
+    f
+  }
+  /** Append a DERIVED insert wave WITHOUT a parquet write: the caller
+    * guarantees `rows`' lineage roots in durable leaves of bounded depth
+    * (e.g. band keys derived from the SAME wave's just-written ledger
+    * segment plus a written tombstone read-back) — so the frame stays
+    * recoverable from disk after a cache wipe, reads stay columnar
+    * (InMemoryRelation), and the wave saves one write job. NOT for
+    * frames referencing a live/resolved plan (that lineage grows with
+    * wave count — the plan-size hazard the stores exist to prevent). */
+  def appendDerivedSegment(rows: DataFrame): DataFrame = synchronized {
+    nextGen += 1
+    val f = rows.persist(StorageLevel.MEMORY_AND_DISK)
     segs :+= (nextGen, f)
     f
   }

@@ -576,7 +576,9 @@ class DHashIndexNode(
     // the insert segment (same semantics as the pre-SegStore rewrite,
     // including later-wave repopulation)
     val capTomb = bs.appendTombstones(Seq("__c", "__v"), overCap)
-    val bkSeg = bs.appendSegment(
+    // DERIVED segment — no second write (lineage roots in this wave's
+    // just-written ledger segment + cap tombstones; depth 1, recoverable)
+    val bkSeg = bs.appendDerivedSegment(
       freshKeys.join(capTomb, Seq("__c", "__v"), "left_anti"))
     IvmUtil.materializeAll(Seq(ledSeg, capTomb, bkSeg))
     model = Some(DHashIndexNode.Index(ls.live, bs.live))
@@ -611,8 +613,8 @@ class DHashIndexNode(
     val ls = ledStore.get; val bs = bkStore.get
     val del = deletes.select(col(idCol).as("base_id")).distinct()
     val ledTomb = ls.appendTombstones("base_id", del)
-    val bkTomb = bs.appendTombstones("base_id", ledTomb)
-    IvmUtil.materializeAll(Seq(ledTomb, bkTomb))
+    bs.adoptTombstones("base_id", ledTomb) // same ids — one write, one file
+    IvmUtil.materializeAll(Seq(ledTomb))
     model = Some(DHashIndexNode.Index(ls.live, bs.live))
     foldStoresIfDue()
     generation += 1
