@@ -369,6 +369,79 @@ class PropertySpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("MinHashIndexNode random-wave lifecycle on the SegStore: arbitrary " +
+    "insert/delete interleavings (+ compaction folds) then rebuildIndex " +
+    "equal a from-scratch fit over the surviving docs — bucket table AND " +
+    "serve results, bit-for-bit") {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    import graft.nodes.MinHashIndexNode
+    // docs drawn from a few duplicate FAMILIES (same text => identical
+    // signatures, guaranteed shared buckets) so the maxBucket cap and the
+    // composite-key tombstones actually fire under random waves
+    val famTexts = (0 until 4).map(f =>
+      (0 until 25).map(i => s"f${f}w${i}").mkString(" "))
+    val genCase = for {
+      n <- Gen.choose(8, 20)
+      fams <- Gen.listOfN(n, Gen.choose(0, 3))
+      nWaves <- Gen.choose(2, 4)
+      waves <- Gen.listOfN(nWaves, for {
+        isDelete <- Gen.oneOf(false, false, true) // ~1/3 deletes
+        members <- Gen.someOf(0 until n)
+      } yield (isDelete, members.toList))
+      cap <- Gen.oneOf(3, 5, 1000)
+    } yield (fams, waves, cap)
+    val p = Prop.forAll(genCase) { case (fams, waves, cap) =>
+      val ctx = Ctx(spark)
+      val docs = fams.zipWithIndex
+        .map { case (f, i) => (i.toLong, famTexts(f)) }
+      def df(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+      // seed with the first half; replay random waves over the rest
+      val (seed, pool) = docs.splitAt(docs.size / 2)
+      val idx = new MinHashIndexNode(numHashes = 16, bands = 8,
+        jaccardThreshold = 0.9, maxBucket = cap, compactEvery = 2)
+      idx.fit(ctx, In.single("corpus" -> df(seed)))
+      var live = seed.toMap
+      waves.foreach { case (isDelete, members) =>
+        val ids = members.map(_.toLong).filter(i =>
+          if (isDelete) live.contains(i) else !live.contains(i))
+        val rows = docs.filter(d => ids.contains(d._1))
+        if (rows.nonEmpty) {
+          if (isDelete) {
+            idx.deleteFromIndex(ctx, rows.map(_._1).toDF("doc_id"))
+            live --= rows.map(_._1)
+          } else {
+            idx.updateIndex(ctx, df(rows))
+            live ++= rows
+          }
+        }
+      }
+      // rebuild == from-scratch fit over the live docs, bit-for-bit
+      // (resolves every segment, composite tombstone, id tombstone, and
+      // compaction fold the random sequence produced)
+      idx.rebuildIndex()
+      val scratch = new MinHashIndexNode(numHashes = 16, bands = 8,
+        jaccardThreshold = 0.9, maxBucket = cap)
+      scratch.fit(ctx, In.single("corpus" -> df(live.toSeq.sortBy(_._1))))
+      def buckets(m: MinHashIndexNode): Set[(Int, Long, Long)] =
+        m.model.get.buckets.as[(Int, Long, Long)].collect().toSet
+      def shingleIds(m: MinHashIndexNode): Set[Long] =
+        m.model.get.shingles.select("base_id").as[Long].collect().toSet
+      val probe = famTexts.zipWithIndex
+        .map { case (t, i) => (1000L + i, t) }.toDF("doc_id", "text")
+      def serve(m: MinHashIndexNode): Set[(Long, Long)] =
+        m.transform(ctx, In.single("delta" -> probe))("result")
+          .select("delta_id", "base_id").as[(Long, Long)].collect().toSet
+      val ok = buckets(idx) == buckets(scratch) &&
+        shingleIds(idx) == shingleIds(scratch) &&
+        serve(idx) == serve(scratch)
+      idx.unpersistIndex(); scratch.unpersistIndex()
+      Prop(ok) :| s"live=${live.keys.toSeq.sorted} cap=$cap waves=$waves"
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), p)
+    assert(res.passed, res.status.toString)
+  }
+
   test("minhash band splits partition the signature exactly: grouped-band " +
     "agreement on random near-dup pairs tracks the per-row agreement of " +
     "precisely its own row slice (the Hamming chunk-wrap analogue — a " +
