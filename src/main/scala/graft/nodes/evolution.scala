@@ -2259,13 +2259,19 @@ class MaterializedJoinNode(
       // dangler rows — both sides of "a deleted fact leaves the view";
       // derived from the PRE-delete frames and the cached tombstone segment
       feedDels = if (!hasSubs) None else {
-        val delMatched = withVid(
-          m.view.join(broadcast(tombL), Seq(leftId), "left_semi"))
+        val matchedDel =
+          m.view.join(broadcast(tombL), Seq(leftId), "left_semi")
+        val delMatched = withVid(matchedDel)
           .select(MaterializedJoinNode.ViewIdCol)
+        // dangler detection from WAVE-LOCAL data: a deleted fact owned a
+        // dangler row iff it owned NO matched view row — anti-join the
+        // deleted facts against the wave's own matched set instead of
+        // rebuilding the dim-key broadcast per takedown wave
         Some(IvmUtil.barrier(if (joinType == "inner") delMatched
           else delMatched.union(
             leftData(m).join(broadcast(tombL), Seq(leftId), "left_semi")
-              .join(guardedDimKeys(m.right, m.rightCount), leftOn, "left_anti")
+              .join(matchedDel.select(col(leftId)).distinct(),
+                Seq(leftId), "left_anti")
               .select(danglerVid(col(leftId)).as(MaterializedJoinNode.ViewIdCol)))))
       }
       frames ++= Seq(tombL) ++ feedDels
@@ -2288,10 +2294,17 @@ class MaterializedJoinNode(
       // fact segment, not the incoming batch plan
       feedIns = if (!hasSubs) None else {
         val ins0 = withVid(viewSeg)
+        // dangler detection from WAVE-LOCAL data: a delta fact is a
+        // dangler iff it produced no row in this wave's view segment —
+        // no dim-key broadcast needed (the old guardedDimKeys anti-join
+        // rebuilt a dim-corpus-sized broadcast EVERY fact wave; at 10^8
+        // dims that is a per-wave shuffle, here it is a delta-sized
+        // anti-join against the cached segment)
         Some(IvmUtil.barrier(if (joinType == "inner") ins0
           else ins0.unionByName(withVid(nullExtend(
             leftSeg.drop(BucketCol)
-              .join(guardedDimKeys(m.right, m.rightCount), leftOn, "left_anti"),
+              .join(viewSeg.select(col(leftId)).distinct(),
+                Seq(leftId), "left_anti"),
             m.right)))))
       }
       frames ++= Seq(leftSeg, viewSeg) ++ feedIns
