@@ -442,6 +442,71 @@ class PropertySpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("DHashIndexNode random-wave lifecycle on the SegStore: arbitrary " +
+    "insert/delete interleavings (+ compaction folds) then rebuildIndex " +
+    "equal a from-scratch fit over the surviving hashes — chunk-bucket " +
+    "table and Hamming-pair serve results, bit-for-bit") {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    import graft.nodes.DHashIndexNode
+    // hashes drawn from a few cluster centers with <= maxHamming flips so
+    // chunk buckets are genuinely shared and the cap can fire
+    val centers = Seq(0x1234567890abcdefL, -0x0fedcba987654321L, 0x0f0f0f0f0f0f0f0fL)
+    val genCase = for {
+      n <- Gen.choose(8, 18)
+      rows <- Gen.listOfN(n, for {
+        c <- Gen.choose(0, centers.size - 1)
+        nFlips <- Gen.choose(0, 2)
+        flips <- Gen.listOfN(nFlips, Gen.choose(0, 63))
+      } yield flips.foldLeft(centers(c))((h, b) => h ^ (1L << b)))
+      nWaves <- Gen.choose(2, 4)
+      waves <- Gen.listOfN(nWaves, for {
+        isDelete <- Gen.oneOf(false, false, true)
+        members <- Gen.someOf(0 until n)
+      } yield (isDelete, members.toList))
+      cap <- Gen.oneOf(3, 5, 1000)
+    } yield (rows, waves, cap)
+    val p = Prop.forAll(genCase) { case (hashes, waves, cap) =>
+      val ctx = Ctx(spark)
+      val docs = hashes.zipWithIndex.map { case (h, i) => (i.toLong, h) }
+      def df(rows: Seq[(Long, Long)]) = rows.toDF("doc_id", "dhash")
+      val (seed, _) = docs.splitAt(docs.size / 2)
+      val idx = new DHashIndexNode(maxHamming = 2, maxBucket = cap,
+        compactEvery = 2)
+      idx.fit(ctx, In.single("corpus" -> df(seed)))
+      var live = seed.toMap
+      waves.foreach { case (isDelete, members) =>
+        val ids = members.map(_.toLong).filter(i =>
+          if (isDelete) live.contains(i) else !live.contains(i))
+        val rows = docs.filter(d => ids.contains(d._1))
+        if (rows.nonEmpty) {
+          if (isDelete) {
+            idx.deleteFromIndex(ctx, rows.map(_._1).toDF("doc_id"))
+            live --= rows.map(_._1)
+          } else {
+            idx.updateIndex(ctx, df(rows))
+            live ++= rows
+          }
+        }
+      }
+      idx.rebuildIndex()
+      val scratch = new DHashIndexNode(maxHamming = 2, maxBucket = cap)
+      scratch.fit(ctx, In.single("corpus" -> df(live.toSeq.sortBy(_._1))))
+      def buckets(m: DHashIndexNode): Set[(Int, Long, Long, Long)] =
+        m.model.get.buckets.as[(Int, Long, Long, Long)].collect().toSet
+      val probe = centers.zipWithIndex
+        .map { case (h, i) => (1000L + i, h) }.toDF("doc_id", "dhash")
+      def serve(m: DHashIndexNode): Set[(Long, Long, Int)] =
+        m.transform(ctx, In.single("delta" -> probe))("result")
+          .as[(Long, Long, Int)].collect().toSet
+      val ok = buckets(idx) == buckets(scratch) && serve(idx) == serve(scratch)
+      idx.unpersistIndex(); scratch.unpersistIndex()
+      Prop(ok) :| s"live=${live.keys.toSeq.sorted} cap=$cap waves=$waves"
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), p)
+    assert(res.passed, res.status.toString)
+  }
+
   test("minhash band splits partition the signature exactly: grouped-band " +
     "agreement on random near-dup pairs tracks the per-row agreement of " +
     "precisely its own row slice (the Hamming chunk-wrap analogue — a " +
