@@ -2260,16 +2260,18 @@ class MaterializedJoinNode(
       // derived from the PRE-delete frames and the cached tombstone segment
       feedDels = if (!hasSubs) None else {
         val matchedDel =
-          m.view.join(broadcast(tombL), Seq(leftId), "left_semi")
+          m.view.join(tombL, Seq(leftId), "left_semi")
         val delMatched = withVid(matchedDel)
           .select(MaterializedJoinNode.ViewIdCol)
         // dangler detection from WAVE-LOCAL data: a deleted fact owned a
         // dangler row iff it owned NO matched view row — anti-join the
         // deleted facts against the wave's own matched set instead of
-        // rebuilding the dim-key broadcast per takedown wave
+        // rebuilding the dim-key broadcast per takedown wave; no
+        // forced broadcast on any wave-sized frame (see the insert
+        // path's note — stats + AQE decide).
         Some(IvmUtil.barrier(if (joinType == "inner") delMatched
           else delMatched.union(
-            leftData(m).join(broadcast(tombL), Seq(leftId), "left_semi")
+            leftData(m).join(tombL, Seq(leftId), "left_semi")
               .join(matchedDel.select(col(leftId)).distinct(),
                 Seq(leftId), "left_anti")
               .select(danglerVid(col(leftId)).as(MaterializedJoinNode.ViewIdCol)))))
@@ -2298,8 +2300,13 @@ class MaterializedJoinNode(
         // dangler iff it produced no row in this wave's view segment —
         // no dim-key broadcast needed (the old guardedDimKeys anti-join
         // rebuilt a dim-corpus-sized broadcast EVERY fact wave; at 10^8
-        // dims that is a per-wave shuffle, here it is a delta-sized
-        // anti-join against the cached segment)
+        // dims that is a per-wave shuffle). NO broadcast hint on any
+        // wave-sized frame here: a wave can be backfill-huge (the 100×
+        // q212 probe OOM'd the driver building force-hinted wave
+        // broadcasts — ~10M-id tombstone sets — concurrently across the
+        // chain's single action). The segment read-backs carry REAL
+        // parquet stats, so the planner broadcasts small waves and
+        // shuffles big ones, and AQE refines from runtime sizes.
         Some(IvmUtil.barrier(if (joinType == "inner") ins0
           else ins0.unionByName(withVid(nullExtend(
             leftSeg.drop(BucketCol)
@@ -2393,17 +2400,17 @@ class MaterializedJoinNode(
     val newRight = rs.live
     // the removed dim rows, counted once in the shared action below, keep
     // the cached dim cardinality exact without a full re-count
-    val removedDims = m.right.join(broadcast(tombR), Seq(rightId), "left_semi")
+    val removedDims = m.right.join(tombR, Seq(rightId), "left_semi")
     // Δview feed: every view row the dims owned retracts; (outer) a fact
     // whose LAST match just left re-inserts as a dangler
     val feed = if (!hasSubs) None else {
-      val removed = m.view.join(broadcast(tombR), Seq(rightId), "left_semi")
+      val removed = m.view.join(tombR, Seq(rightId), "left_semi")
       val dels = IvmUtil.barrier(
         withVid(removed).select(MaterializedJoinNode.ViewIdCol))
       val ins = if (joinType == "inner") None
         else Some(IvmUtil.barrier(withVid(nullExtend(
           leftData(m)
-            .join(broadcast(removed.select(leftOn.map(col): _*).distinct()),
+            .join(removed.select(leftOn.map(col): _*).distinct(),
               leftOn, "left_semi")
             // the post-delete dim can only be SMALLER, so the pre-delete
             // cached count is a sound (conservative) fence here
