@@ -188,7 +188,14 @@ object Scale10 {
       // decimal-exact dashboard (ledger-sized ingest cast, group-sized
       // decimal merges)
       "q213_published_view_feed", "q214_agg_index_decimal")
-    val names = (if (queries.nonEmpty) queries else defaults)
+    val requested = if (queries.nonEmpty) queries else defaults
+    // surface unknown names instead of silently dropping them (ADVICE r17):
+    // a typo'd probe list must not masquerade as a clean run
+    val customProbes =
+      Set("q98_fixed_batch", "q100_fixed_batch", "q213_fixed_waves")
+    requested.filterNot(n => Queries.all.contains(n) || customProbes(n))
+      .foreach(n => println(s"[scale10] skipping unknown query $n"))
+    val names = requested
       .filter(Queries.all.contains) // custom probes below have their own gates
     names.foreach { n =>
       try time(n)(Queries.all(n)(spark, out).count())

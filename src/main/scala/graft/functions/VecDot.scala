@@ -145,31 +145,29 @@ object VecFunctions {
     * kernel per call — pure noise across a 214-query bench run. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    if (reg.functionExists(
-        org.apache.spark.sql.catalyst.FunctionIdentifier("morton3"))) return
-    reg.createOrReplaceTempFunction(
-      "vec_dot", exprs => VecDot(exprs(0), exprs(1)), "scala_udf")
-    reg.createOrReplaceTempFunction(
-      "vec_dot_int", exprs => VecDotInt(exprs(0), exprs(1)), "scala_udf")
-    reg.createOrReplaceTempFunction(
-      "minhash_bands", exprs => MinHashBands(exprs(0), intLit(exprs(1)), intLit(exprs(2))), "scala_udf")
-    reg.createOrReplaceTempFunction(
-      "shingle_hashes", exprs => ShingleHashes(exprs(0), intLit(exprs(1)),
-        if (exprs.length > 2) boolLit(exprs(2)) else true), "scala_udf")
-    reg.createOrReplaceTempFunction(
-      "simhash64", exprs => SimHash64(exprs(0)), "scala_udf")
-    reg.createOrReplaceTempFunction(
-      "lsh_signs", exprs => LshSigns(exprs(0), intLit(exprs(1)), intLit(exprs(2))), "scala_udf")
-    reg.createOrReplaceTempFunction(
-      "winnow_fp", exprs => WinnowFingerprint(exprs(0), intLit(exprs(1)), intLit(exprs(2))), "scala_udf")
-    reg.createOrReplaceTempFunction(
-      "unicode_norm", exprs => UnicodeNormalize.fromExprs(exprs), "scala_udf")
-    reg.createOrReplaceTempFunction(
-      "bpe_encode", exprs => BpeEncode(exprs(0), strLit(exprs(1)).split('\n').toSeq), "scala_udf")
-    reg.createOrReplaceTempFunction(
-      "morton2", exprs => MortonInterleave(exprs(0), exprs(1)), "scala_udf")
-    reg.createOrReplaceTempFunction(
-      "morton3", exprs => Morton3Interleave(exprs(0), exprs(1), exprs(2)), "scala_udf")
+    // check-and-register EACH kernel (ADVICE r17): a single guard keyed on
+    // one name silently skipped every OTHER kernel when a session already
+    // carried a same-named function from any other source — a user UDF
+    // named "morton3" made `vec_dot` an undefined function. Idempotence
+    // per name also keeps SimpleFunctionRegistry's "replaced a function"
+    // warning out of the logs; an existing same-named user function is
+    // deliberately left alone (we never clobber the user's registry).
+    def reg1(name: String, builder: Seq[Expression] => Expression): Unit =
+      if (!reg.functionExists(
+          org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+        reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+    reg1("vec_dot", exprs => VecDot(exprs(0), exprs(1)))
+    reg1("vec_dot_int", exprs => VecDotInt(exprs(0), exprs(1)))
+    reg1("minhash_bands", exprs => MinHashBands(exprs(0), intLit(exprs(1)), intLit(exprs(2))))
+    reg1("shingle_hashes", exprs => ShingleHashes(exprs(0), intLit(exprs(1)),
+      if (exprs.length > 2) boolLit(exprs(2)) else true))
+    reg1("simhash64", exprs => SimHash64(exprs(0)))
+    reg1("lsh_signs", exprs => LshSigns(exprs(0), intLit(exprs(1)), intLit(exprs(2))))
+    reg1("winnow_fp", exprs => WinnowFingerprint(exprs(0), intLit(exprs(1)), intLit(exprs(2))))
+    reg1("unicode_norm", exprs => UnicodeNormalize.fromExprs(exprs))
+    reg1("bpe_encode", exprs => BpeEncode(exprs(0), strLit(exprs(1)).split('\n').toSeq))
+    reg1("morton2", exprs => MortonInterleave(exprs(0), exprs(1)))
+    reg1("morton3", exprs => Morton3Interleave(exprs(0), exprs(1), exprs(2)))
   }
   private[functions] def strLit(e: Expression): String =
     e.eval(null) match {

@@ -1085,7 +1085,7 @@ private[nodes] final class SegStore(
     * generation's move to retired. */
   def reset(newBase: DataFrame): this.type = synchronized {
     base = newBase; baseGen = nextGen
-    segs = Vector.empty; tombs = Map.empty; adopted = Set.empty
+    segs = Vector.empty; tombs = Map.empty; adopted.clear()
     SegStore.deleteFiles(newBase.sparkSession, retired)
     retired = liveFiles
     liveFiles = Vector.empty
@@ -1186,10 +1186,14 @@ private[nodes] final class SegStore(
       nextGen += 1
       tombs += Seq(keyCol) ->
         (tombs.getOrElse(Seq(keyCol), Vector.empty) :+ (nextGen, cached))
-      adopted += System.identityHashCode(cached)
+      adopted.add(cached)
       cached
     }
-  private var adopted: Set[Int] = Set.empty
+  // reference-identity set (ADVICE r17): an identityHashCode collision in
+  // a Set[Int] would silently skip unpersisting a store-owned frame
+  private val adopted: java.util.Set[DataFrame] =
+    java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[DataFrame, java.lang.Boolean]())
   /** The resolved live frame (column set = the base's; `SegCol` internal). */
   def live: DataFrame = synchronized {
     val cols = base.columns
@@ -1231,9 +1235,9 @@ private[nodes] final class SegStore(
     if (base != null) base.unpersist()
     segs.foreach(_._2.unpersist())
     tombs.valuesIterator.foreach(_.foreach { case (_, f) =>
-      if (!adopted.contains(System.identityHashCode(f))) f.unpersist()
+      if (!adopted.contains(f)) f.unpersist()
     })
-    adopted = Set.empty
+    adopted.clear()
   }
 }
 
@@ -2320,11 +2324,14 @@ class MaterializedJoinNode(
     }
     val downstream = prepareSubs(ctx, feedDels, feedIns)
     val fin = cur; val own = frames.length; val n = waves
+    // propagate wantCounts (ADVICE r17): a chained subscriber's prepared
+    // wave that asks for real per-frame counts must not silently receive
+    // the all-zero placeholder vector from the cheap union-count path
     IvmUtil.Prepared(frames ++ downstream.frames, cs => {
       model = Some(fin)
       downstream.commit(cs.drop(own))
       (1 to n).foreach(_ => bumpGeneration())
-    })
+    }, downstream.wantCounts)
   }
 
   /** Retention ledger: the fact ledger's full row (leftId, join keys,

@@ -14,7 +14,20 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * stream, not a batch.
   */
 trait IncrementalIndex { self: Node =>
-  /** Fold a delta batch into the fitted index (delta-sized work only). */
+  /** Fold a delta batch into the fitted index (delta-sized work only).
+    *
+    * FRAME LIFETIME (all stored families): a DataFrame handed out by a
+    * fitted index (a model's bucket/posting/ledger frame, a transform
+    * output derived from one) stays readable for at most TWO index folds
+    * after it was served — state lives in per-wave parquet segments that
+    * a periodic fold consolidates, and the files a fold supersedes are
+    * retired one fold later (disk stays bounded at ~2 fold generations).
+    * A consumer holding a served frame across many `updateIndex`/
+    * `deleteFromIndex` waves (≥ 2×`compactEvery`) must materialize it
+    * (write/collect/checkpoint) before continuing maintenance; after
+    * cache eviction a frame older than two folds fails with
+    * FileNotFoundException. Re-reading through the model accessor after
+    * each wave always serves the live generation. */
   def updateIndex(ctx: Ctx, delta: DataFrame): Unit
 
   /** Remove documents from the fitted index — the takedown/GDPR path that
