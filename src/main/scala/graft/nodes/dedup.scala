@@ -1106,14 +1106,29 @@ class MinHashIndexNode(
     // at this generation (kills every stored row of the bucket), and the
     // fresh keys landing in it are filtered out of the insert segment —
     // the exact pre-SegStore newBuckets semantics, including the restart
-    // behavior (a later wave can repopulate the dropped bucket)
-    val capTomb = bs.appendTombstones(Seq("band", "band_hash"), overCap)
-    // DERIVED segment — no second write: band keys are a pure function of
-    // the just-written ledger segment and the written cap tombstones, so
-    // the lineage roots in this wave's parquet (depth 1, recoverable)
-    val bkSeg = bs.appendDerivedSegment(
-      freshKeys.join(capTomb, Seq("band", "band_hash"), "left_anti"))
-    IvmUtil.materializeAll(Seq(shSeg, capTomb, bkSeg))
+    // behavior (a later wave can repopulate the dropped bucket).
+    // Cap-crossings are RARE: most waves drop nothing, and an empty
+    // tombstone costs a full parquet-commit write job plus a permanent
+    // extra channel join in every bucket-live resolution until the next
+    // fold — so one delta-bucket-sized count decides first (the count
+    // doubles as the wave's materializing action: it fills the ledger
+    // segment's cache through freshKeys). The r17 per-wave
+    // materializeAll is gone with it — every remaining frame roots in
+    // this wave's parquet (the derived-segment contract), so caches fill
+    // lazily on first use with no recompute hazard.
+    val overCapC = overCap.persist()
+    val bkSeg = if (overCapC.count() == 0L) {
+      overCapC.unpersist()
+      bs.appendDerivedSegment(freshKeys)
+    } else {
+      val capTomb = bs.appendTombstones(Seq("band", "band_hash"), overCapC)
+      overCapC.unpersist()
+      // DERIVED segment — no second write: band keys are a pure function
+      // of the just-written ledger segment and the written cap tombstones,
+      // so the lineage roots in this wave's parquet (depth 1, recoverable)
+      bs.appendDerivedSegment(
+        freshKeys.join(capTomb, Seq("band", "band_hash"), "left_anti"))
+    }
     model = Some(MinHashIndexNode.Index(ss.live, bs.live))
     foldStoresIfDue()
     generation += 1
@@ -1157,7 +1172,8 @@ class MinHashIndexNode(
     val del = deletes.select(col(idCol).as("base_id")).distinct()
     val shTomb = ss.appendTombstones("base_id", del)
     bs.adoptTombstones("base_id", shTomb) // same ids — one write, one file
-    IvmUtil.materializeAll(Seq(shTomb))
+    // no materializing action: the tombstone is already durable (the
+    // append wrote it), and its read-back cache fills on first use
     model = Some(MinHashIndexNode.Index(ss.live, bs.live))
     foldStoresIfDue()
     generation += 1

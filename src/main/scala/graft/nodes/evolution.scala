@@ -1131,7 +1131,11 @@ private[nodes] final class SegStore(
     val p = s"$dir/part-$nextFile"; nextFile += 1
     oneFileIfSmall(rows).write.parquet(p)
     liveFiles :+= p
-    rows.sparkSession.read.parquet(p).persist(StorageLevel.MEMORY_AND_DISK)
+    // explicit schema (it IS the written frame's schema): an un-schema'd
+    // parquet read runs a footer/schema-discovery driver job per
+    // read-back — one wasted ~100 ms job per state write at wave cadence
+    rows.sparkSession.read.schema(rows.schema).parquet(p)
+      .persist(StorageLevel.MEMORY_AND_DISK)
   }
   /** Append an insert wave: ONE delta-sized parquet write, returns the
     * cached read-back (the caller's single materializing action fills the
@@ -1223,7 +1227,7 @@ private[nodes] final class SegStore(
     val resolved = live
     val p = s"$dir/fold-$nextFile"; nextFile += 1
     resolved.coalesce(targetParts(resolved)).write.parquet(p)
-    val nb = resolved.sparkSession.read.parquet(p)
+    val nb = resolved.sparkSession.read.schema(resolved.schema).parquet(p)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = nb.count() // materialize before releasing the pieces it replaces
     unpersistAll()

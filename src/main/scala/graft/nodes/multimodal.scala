@@ -574,13 +574,25 @@ class DHashIndexNode(
     // a bucket crossing the cap drops WHOLE: composite-key tombstone at
     // this generation; the fresh keys landing in it are filtered out of
     // the insert segment (same semantics as the pre-SegStore rewrite,
-    // including later-wave repopulation)
-    val capTomb = bs.appendTombstones(Seq("__c", "__v"), overCap)
-    // DERIVED segment — no second write (lineage roots in this wave's
-    // just-written ledger segment + cap tombstones; depth 1, recoverable)
-    val bkSeg = bs.appendDerivedSegment(
-      freshKeys.join(capTomb, Seq("__c", "__v"), "left_anti"))
-    IvmUtil.materializeAll(Seq(ledSeg, capTomb, bkSeg))
+    // including later-wave repopulation). Cap-crossings are RARE — an
+    // empty tombstone costs a parquet-commit write plus a permanent
+    // extra channel join until the next fold, so one delta-bucket-sized
+    // count decides first (it doubles as the wave's materializing
+    // action, filling the ledger segment's cache through freshKeys); the
+    // per-wave materializeAll is gone — every remaining frame roots in
+    // this wave's parquet, so caches fill lazily with no recompute hazard
+    val overCapC = overCap.persist()
+    val bkSeg = if (overCapC.count() == 0L) {
+      overCapC.unpersist()
+      bs.appendDerivedSegment(freshKeys)
+    } else {
+      val capTomb = bs.appendTombstones(Seq("__c", "__v"), overCapC)
+      overCapC.unpersist()
+      // DERIVED segment — no second write (lineage roots in this wave's
+      // just-written ledger segment + cap tombstones; depth 1, recoverable)
+      bs.appendDerivedSegment(
+        freshKeys.join(capTomb, Seq("__c", "__v"), "left_anti"))
+    }
     model = Some(DHashIndexNode.Index(ls.live, bs.live))
     foldStoresIfDue()
     generation += 1
@@ -614,7 +626,8 @@ class DHashIndexNode(
     val del = deletes.select(col(idCol).as("base_id")).distinct()
     val ledTomb = ls.appendTombstones("base_id", del)
     bs.adoptTombstones("base_id", ledTomb) // same ids — one write, one file
-    IvmUtil.materializeAll(Seq(ledTomb))
+    // no materializing action: the tombstone is already durable, and its
+    // read-back cache fills on first use
     model = Some(DHashIndexNode.Index(ls.live, bs.live))
     foldStoresIfDue()
     generation += 1
