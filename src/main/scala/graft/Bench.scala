@@ -173,6 +173,20 @@ object Bench {
           .groupBy("split")
           .agg(org.apache.spark.sql.functions.expr("count(distinct cluster) as nc"))
           .count()
+        // q140's tail (VERDICT r17 #7, the one >3x cold entry left): the
+        // best-survivor pick is a DOUBLE window over the same cluster
+        // partition (row_number + count) AFTER the CC label joins — a
+        // first-touch composition the split-aggregate tail above misses
+        locally {
+          import org.apache.spark.sql.functions.{col, count, lit, row_number}
+          val wBest = org.apache.spark.sql.expressions.Window
+            .partitionBy("cluster").orderBy(col("doc_id"))
+          clustered.select(col("cluster"), col("doc_id"),
+              row_number().over(wBest).as("__rn"),
+              count(lit(1)).over(org.apache.spark.sql.expressions.Window
+                .partitionBy("cluster")).as("n_members"))
+            .filter("__rn = 1").count()
+        }
       }
       val imgs = spark.range(48).selectExpr("id as doc_id",
         "cast(id * 2654435761 as bigint) as dhash")

@@ -589,15 +589,35 @@ class AggIndexNode(
       .agg(count(lit(1)).as("__hc"))
   }
 
+  /** Per-row HIST-shape contributions (__hc = 1 per ledger row): feeding
+    * these straight into [[histMerged]]'s single groupBy lets its partial
+    * (map-side) aggregate do the combine a separate delta pre-aggregate
+    * used to pay one more exchange + AQE stage round-trip for. */
+  private def binLift(ledger: DataFrame, s: AggIndexNode.HistSpec): DataFrame =
+    ledger.filter(col(s.column).isNotNull)
+      .withColumn("__bin", expr(s.binSql))
+      .select((groupCols.map(col) :+ col("__bin")) :+ lit(1L).as("__hc"): _*)
+
+  /** Per-row TOTALS-shape contributions of ledger rows — one partial-agg
+    * exchange merges a wave into the totals (see [[binLift]]); exact for
+    * sums/counts/extrema/decimals (nd columns ride their own increments). */
+  private def liftedRows(ledger: DataFrame): DataFrame =
+    ledger.select((groupCols.map(col) :+ lit(1L).as("n_rows")) ++
+      sumMeasures.map { case (lc, out) => col(lc).cast("long").as(out) } ++
+      decMeasures.map { case (lc, out) => col(lc).cast(decType).as(out) } ++
+      minCols.map(c => col(c).as(s"min_$c")) ++
+      maxCols.map(c => col(c).as(s"max_$c")) ++
+      distinctCols.map(c => lit(0L).as(s"nd_$c")): _*)
+
   /** hist ⊕ sign·delta on (group, bin); bins reaching zero drop. */
   private def histMerged(old: DataFrame, delta: DataFrame, sign: Int): DataFrame = {
-    import org.apache.spark.sql.functions.coalesce
+    // UNION + re-aggregate, not a full-outer merge join: one exchange over
+    // two group-sized sides instead of two plus a join, and groupBy keeps
+    // NULL keys as one real group (the nsJoin <=> contract)
     val keys = groupCols :+ "__bin"
-    IvmUtil.nsJoin(old.withColumnRenamed("__hc", "__oc"),
-        delta.withColumnRenamed("__hc", "__dc"), keys, "full_outer")
-      .select((keys.map(col) :+
-        (coalesce(col("__oc"), lit(0L)) +
-          lit(sign.toLong) * coalesce(col("__dc"), lit(0L))).as("__hc")): _*)
+    old.unionByName(delta.withColumn("__hc", lit(sign.toLong) * col("__hc")))
+      .groupBy(keys.map(col): _*)
+      .agg(org.apache.spark.sql.functions.sum(col("__hc")).as("__hc"))
       .filter(col("__hc") > 0)
   }
 
@@ -612,28 +632,31 @@ class AggIndexNode(
   private def merged(totals: DataFrame, delta: DataFrame, sign: Int): DataFrame = {
     assert(sign == 1 || !needsSplice,
       "merged(sign = -1) is unsound for MIN/MAX/DISTINCT — use splicedTotals")
-    val d = delta.select(
-      (groupCols.map(col) :+ col("n_rows").as("__dn")) ++
-        sumMeasures.map { case (_, out) => col(out).as(s"__d_$out") } ++
-        decMeasures.map { case (_, out) => col(out).as(s"__d_$out") } ++
-        minCols.map(c => col(s"min_$c").as(s"__dmin_$c")) ++
-        maxCols.map(c => col(s"max_$c").as(s"__dmax_$c")) ++
-        distinctCols.map(c => col(s"nd_$c").as(s"__dnd_$c")): _*)
-    val joined = IvmUtil.nsJoin(totals, d, groupCols, "full_outer")
-    val outCols = groupCols.map(col) ++ Seq(
-      expr(s"coalesce(n_rows, 0L) + ${sign}L * coalesce(__dn, 0L)").as("n_rows")) ++
-      sumMeasures.map { case (_, out) => expr(
-        s"coalesce(`$out`, 0L) + ${sign}L * coalesce(`__d_$out`, 0L)")
-        .as(out) } ++
-      decMeasures.map { case (_, out) => expr(
-        s"cast(coalesce(`$out`, cast(0 as $decSql)) + " +
-          s"$sign * coalesce(`__d_$out`, cast(0 as $decSql)) as $decSql)")
-        .as(out) } ++
-      minCols.map(c => least(col(s"min_$c"), col(s"__dmin_$c")).as(s"min_$c")) ++
-      maxCols.map(c => greatest(col(s"max_$c"), col(s"__dmax_$c")).as(s"max_$c")) ++
-      distinctCols.map(c => expr(
-        s"coalesce(nd_$c, 0L) + ${sign}L * coalesce(__dnd_$c, 0L)").as(s"nd_$c"))
-    joined.select(outCols: _*).filter(col("n_rows") > 0)
+    // UNION + re-aggregate, not a full-outer merge join (see histMerged):
+    // one exchange over two group-count-sized sides, exact for every
+    // maintained aggregate — sums/counts add with the sign, extrema fold
+    // monotone (insert-only by the assert), a group present on one side
+    // only contributes its own values (no row from the other side), and
+    // groupBy keeps NULL keys as one real group
+    import org.apache.spark.sql.functions.{max, min, sum}
+    val d =
+      if (sign == 1) delta.select(totals.columns.map(col): _*)
+      else delta.select(
+        (groupCols.map(col) :+ (lit(-1L) * col("n_rows")).as("n_rows")) ++
+          sumMeasures.map { case (_, out) => (lit(-1L) * col(out)).as(out) } ++
+          decMeasures.map { case (_, out) =>
+            (lit(-1) * col(out)).cast(decType).as(out) } ++
+          distinctCols.map(c => (lit(-1L) * col(s"nd_$c")).as(s"nd_$c")): _*)
+        .select(totals.columns.map(col): _*)
+    val aggs = (sum(col("n_rows")).as("n_rows") +:
+      sumMeasures.map { case (_, out) => sum(col(out)).as(out) }) ++
+      decMeasures.map { case (_, out) => sum(col(out)).cast(decType).as(out) } ++
+      minCols.map(c => min(col(s"min_$c")).as(s"min_$c")) ++
+      maxCols.map(c => max(col(s"max_$c")).as(s"max_$c")) ++
+      distinctCols.map(c => sum(col(s"nd_$c")).as(s"nd_$c"))
+    totals.unionByName(d)
+      .groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      .filter(col("n_rows") > 0)
   }
 
   /** Post-delete totals when extrema are maintained: recompute ONLY the
@@ -829,23 +852,35 @@ class AggIndexNode(
       c -> IvmUtil.nsJoin(freshVC(c), m.valueCounts(c), groupCols :+ c, "left_anti")
         .groupBy(groupCols.map(col): _*).agg(count(lit(1)).as(s"nd_$c"))
     }.toMap
-    val newVC = distinctCols.map { c =>
+    val vcPlans = distinctCols.map { c =>
       val keys = groupCols :+ c
-      c -> IvmUtil.nsJoin(m.valueCounts(c),
-          freshVC(c).withColumnRenamed("__vc", "__dvc"), keys, "full_outer")
-        .select((keys.map(col) :+
-          (coalesce(col("__vc"), lit(0L)) + coalesce(col("__dvc"), lit(0L)))
-            .as("__vc")): _*)
-    }.toMap.map { case (c, df) => c -> IvmUtil.barrier(df) }
-    val deltaTotals = distinctCols.foldLeft(totalsOf(fresh, ndFromData = false)) {
-      (t, c) => IvmUtil.nsJoin(t, ndInc(c), groupCols, "left")
-        .withColumn(s"nd_$c", coalesce(col(s"nd_$c"), lit(0L)))
+      // union + re-aggregate (see histMerged): one exchange, NULL-safe keys
+      c -> m.valueCounts(c).unionByName(freshVC(c))
+        .groupBy(keys.map(col): _*)
+        .agg(org.apache.spark.sql.functions.sum(col("__vc")).as("__vc"))
     }
-    val newTotals = IvmUtil.barrier(merged(m.totals, deltaTotals, +1))
-    val newHists = histSpecs.map { s =>
-      s.column -> IvmUtil.barrier(
-        histMerged(m.hists(s.column), binnedOf(fresh, s), +1))
-    }.toMap
+    // no-distinct fast path: the batch's per-ROW contributions feed the
+    // merge's own partial aggregate — one exchange for the whole totals
+    // update instead of a delta pre-aggregate + merge (two stages + AQE
+    // round-trips per wave). With distinct counts the nd increments need
+    // the anti-join path; the pre-aggregated delta rides along.
+    val deltaTotals =
+      if (distinctCols.isEmpty) liftedRows(fresh)
+      else distinctCols.foldLeft(totalsOf(fresh, ndFromData = false)) {
+        (t, c) => IvmUtil.nsJoin(t, ndInc(c), groupCols, "left")
+          .withColumn(s"nd_$c", coalesce(col(s"nd_$c"), lit(0L)))
+      }
+    val histPlans = histSpecs.map(s =>
+      s.column -> histMerged(m.hists(s.column), binLift(fresh, s), +1))
+    // independent group-state cuts run CONCURRENTLY: each barrier executes
+    // its plan's stages under AQE, and the per-frame merges share no data
+    // dependency — serializing them summed their walls (r17 job census)
+    val cut = IvmUtil.inParallel(
+      (merged(m.totals, deltaTotals, +1) +: vcPlans.map(_._2)) ++
+        histPlans.map(_._2) map (df => () => IvmUtil.barrier(df)))
+    val newTotals = cut.head
+    val newVC = vcPlans.map(_._1).zip(cut.slice(1, 1 + vcPlans.size)).toMap
+    val newHists = histPlans.map(_._1).zip(cut.drop(1 + vcPlans.size)).toMap
     // the delta-sized pieces to materialize before old group state is
     // released; the ledger itself is NOT copied (its old base/segments
     // stay live inside the store)
@@ -900,24 +935,30 @@ class AggIndexNode(
     val tombSeg = store.appendTombstones(idCol, del)
     val victims = preLive.join(tombSeg, Seq(idCol), "left_semi")
     val newLedger = store.live
-    val newTotals = IvmUtil.barrier(
+    val totalsPlan =
       if (needsSplice) splicedTotals(m.totals, newLedger, victims)
-      else merged(m.totals, totalsOf(victims), -1))
+      // per-ROW negated contributions — one exchange (see insertCore)
+      else merged(m.totals, liftedRows(victims), -1)
     // support frames ride the same touched-group splice (a vanished value
     // is a multiplicity reaching zero — the recompute handles it exactly)
     val touched = victims.select(groupCols.map(col): _*).distinct()
-    val newVC = distinctCols.map { c =>
-      c -> IvmUtil.barrier(
+    val vcPlans = distinctCols.map { c =>
+      c ->
         IvmUtil.nsJoin(m.valueCounts(c), broadcast(touched), groupCols, "left_anti")
           .unionByName(valueCountsOf(
-            IvmUtil.nsJoin(newLedger, broadcast(touched), groupCols, "left_semi"), c)))
-    }.toMap
+            IvmUtil.nsJoin(newLedger, broadcast(touched), groupCols, "left_semi"), c))
+    }
     // bin counts are SUMS — the delete is an exact decrement, no
     // touched-group recompute needed (contrast extrema/distinct above)
-    val newHists = histSpecs.map { s =>
-      s.column -> IvmUtil.barrier(
-        histMerged(m.hists(s.column), binnedOf(victims, s), -1))
-    }.toMap
+    val histPlans = histSpecs.map(s =>
+      s.column -> histMerged(m.hists(s.column), binLift(victims, s), -1))
+    // independent per-frame cuts overlap (see insertCore)
+    val cut = IvmUtil.inParallel(
+      (totalsPlan +: vcPlans.map(_._2)) ++ histPlans.map(_._2)
+        map (df => () => IvmUtil.barrier(df)))
+    val newTotals = cut.head
+    val newVC = vcPlans.map(_._1).zip(cut.slice(1, 1 + vcPlans.size)).toMap
+    val newHists = histPlans.map(_._1).zip(cut.drop(1 + vcPlans.size)).toMap
     (AggIndexNode.Index(newLedger, newTotals, newVC, newHists),
       Seq(tombSeg, newTotals) ++ newVC.values ++ newHists.values)
   }
@@ -1290,6 +1331,32 @@ private[nodes] object IvmUtil {
     }
   }
   val PreparedEmpty: Prepared = Prepared(Nil, _ => ())
+
+  /** Run INDEPENDENT driver-blocking wave steps concurrently. A
+    * maintenance wave is a chain of small sequential executions — state
+    * writes and [[barrier]] calls — and under AQE each one executes its
+    * plan's intermediate stages before returning, so the wall cost is the
+    * SUM of steps even though the driver and 32 local cores sit mostly
+    * idle within each (the r17 job census: 8-10 such steps of 0.2-2 s
+    * each per chained wave). Steps with no data dependency (the fact and
+    * view segments of one wave; a wave's per-frame group-state cuts; the
+    * Δview feed's delete and insert legs) overlap here instead. Spark
+    * actions are thread-safe; each thunk's jobs run under its own thread.
+    * Exceptions propagate unwrapped, first-failing-step first. */
+  def inParallel[A](thunks: Seq[() => A]): Seq[A] =
+    if (thunks.lengthCompare(1) <= 0) thunks.map(_())
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(thunks.size)
+      try {
+        val futs = thunks.map(t => pool.submit(
+          new java.util.concurrent.Callable[A] { def call(): A = t() }))
+        futs.map { f =>
+          try f.get()
+          catch { case e: java.util.concurrent.ExecutionException =>
+            throw e.getCause }
+        }
+      } finally pool.shutdown()
+    }
 
   /** Materialize a prepared wave with ONE driver action, then commit.
     * The per-frame counts (a groupBy exchange instead of a plain union
@@ -1880,10 +1947,12 @@ class MaterializedJoinNode(
   private def prepareSubs(ctx: Ctx, deletes: Option[DataFrame],
       inserts: Option[DataFrame]): IvmUtil.Prepared =
     if ((deletes.isEmpty && inserts.isEmpty) || !hasSubs) IvmUtil.PreparedEmpty
-    else viewSubscribers.reverse.map { s =>
+    else IvmUtil.inParallel(viewSubscribers.reverse.map { s => () =>
+      // independent subscribers prepare CONCURRENTLY (each runs its own
+      // state writes/cuts against its own stores); commits stay ordered
       s.prepareViewDelta(ctx, deletes, inserts).getOrElse(
         IvmUtil.Prepared(Nil, _ => s.onViewDelta(ctx, deletes, inserts)))
-    }.foldLeft(IvmUtil.PreparedEmpty)(_ ++ _)
+    }).foldLeft(IvmUtil.PreparedEmpty)(_ ++ _)
 
   /** Chain a maintained GROUPED DASHBOARD onto the maintained view — the
     * star-schema materialized-view classic (facts ⋈ dims, GROUP BY dim
@@ -2297,8 +2366,13 @@ class MaterializedJoinNode(
       // columnar, lineage cut at a leaf — and the live frames are resolved
       // unions; no corpus-sized copy per wave. The fact segment rides
       // un-laid (bucket column attached, not repartitioned) until the fold.
-      val leftSeg = ls.appendSegment(withBucket(dRows, m.nBuckets))
-      val viewSeg = vs.appendSegment(viewOf(dRows, m.right, broadcastLeft = true))
+      // the two segment writes are independent (both derive from the
+      // incoming delta, not from each other) — overlap them (IvmUtil
+      // .inParallel doc: a wave's wall is the SUM of its sequential
+      // driver-blocking steps)
+      val Seq(leftSeg, viewSeg) = IvmUtil.inParallel(Seq(
+        () => ls.appendSegment(withBucket(dRows, m.nBuckets)),
+        () => vs.appendSegment(viewOf(dRows, m.right, broadcastLeft = true))))
       // Δview feed (delta-sized), barriered so a chained index's state
       // plans stay flat across batches; danglers derive from the CACHED
       // fact segment, not the incoming batch plan
@@ -2374,12 +2448,15 @@ class MaterializedJoinNode(
     // retractions and pair-vid inserts are key-disjoint, so they ride as
     // ONE downstream wave.
     val feed = if (!hasSubs) None else {
-      val dels = if (joinType == "inner") None
-        else Some(IvmUtil.barrier(
+      val delPlan = if (joinType == "inner") None
+        else Some(
           viewSeg.join(guardedDimKeys(m.right, m.rightCount), leftOn, "left_anti")
             .select(danglerVid(col(leftId)).as(MaterializedJoinNode.ViewIdCol))
-            .distinct()))
-      Some((dels, IvmUtil.barrier(withVid(viewSeg))))
+            .distinct())
+      // the feed's retract and insert legs are independent — overlap them
+      val cut = IvmUtil.inParallel(
+        (delPlan.toSeq :+ withVid(viewSeg)).map(df => () => IvmUtil.barrier(df)))
+      Some((delPlan.map(_ => cut.head), cut.last))
     }
     val own = Seq(rightSeg, viewSeg) ++
       feed.toSeq.flatMap { case (d, i) => d.toSeq :+ i }
@@ -2416,18 +2493,20 @@ class MaterializedJoinNode(
     // whose LAST match just left re-inserts as a dangler
     val feed = if (!hasSubs) None else {
       val removed = m.view.join(tombR, Seq(rightId), "left_semi")
-      val dels = IvmUtil.barrier(
-        withVid(removed).select(MaterializedJoinNode.ViewIdCol))
-      val ins = if (joinType == "inner") None
-        else Some(IvmUtil.barrier(withVid(nullExtend(
+      val delPlan = withVid(removed).select(MaterializedJoinNode.ViewIdCol)
+      val insPlan = if (joinType == "inner") None
+        else Some(withVid(nullExtend(
           leftData(m)
             .join(removed.select(leftOn.map(col): _*).distinct(),
               leftOn, "left_semi")
             // the post-delete dim can only be SMALLER, so the pre-delete
             // cached count is a sound (conservative) fence here
             .join(guardedDimKeys(newRight, m.rightCount), leftOn, "left_anti"),
-          m.right))))
-      Some((dels, ins))
+          m.right)))
+      // the feed's retract and re-insert legs are independent — overlap
+      val cut = IvmUtil.inParallel(
+        (delPlan +: insPlan.toSeq).map(df => () => IvmUtil.barrier(df)))
+      Some((cut.head, insPlan.map(_ => cut.last)))
     }
     val own = Seq(tombR, removedDims) ++
       feed.toSeq.flatMap { case (d, i) => d +: i.toSeq }

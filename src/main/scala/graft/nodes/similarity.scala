@@ -1337,11 +1337,11 @@ class InvertedIndexNode(
     val postSeg = ps.appendSegment(termFreqs(delta, idCol, textCol)
       .select(col("tok"), col(idCol).as("__id"), col("tf"), col("__dl")))
     val docSeg = ds.appendSegment(delta.select(col(idCol).as("__id")))
-    import org.apache.spark.sql.functions.coalesce
-    val dDf = postSeg.groupBy("tok").agg(count(lit(1)).as("__ddf"))
-    val newTerms = m.terms.select("tok", "df").join(dDf, Seq("tok"), "full_outer")
-      .select(col("tok"),
-        (coalesce(col("df"), lit(0L)) + coalesce(col("__ddf"), lit(0L))).as("df"))
+    // union + re-aggregate, not a full-outer merge join: one exchange
+    // over the vocab-sized sides instead of two plus a join
+    val newTerms = m.terms.select("tok", "df")
+      .unionByName(postSeg.groupBy("tok").agg(count(lit(1)).as("df")))
+      .groupBy("tok").agg(org.apache.spark.sql.functions.sum("df").as("df"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // ONE driver action per wave (was three): the doc-segment count, the
     // BM25 stat increments, and the terms materialization fuse into a
@@ -1398,9 +1398,13 @@ class InvertedIndexNode(
       deletes.select(col(idCol).as("__id")).distinct())
     ds.appendTombstones("__id", tomb)
     val removedPost = m.postings.join(tomb, Seq("__id"), "left_semi")
-    val dDf = removedPost.groupBy("tok").agg(count(lit(1)).as("__ddf"))
-    val newTerms = m.terms.select("tok", "df").join(dDf, Seq("tok"), "left")
-      .select(col("tok"), (col("df") - coalesce(col("__ddf"), lit(0L))).as("df"))
+    // union + re-aggregate with a negated decrement side (removed tokens
+    // are always ⊆ the live terms, so no phantom rows can appear); terms
+    // whose df reaches zero drop, exactly as before
+    val newTerms = m.terms.select("tok", "df")
+      .unionByName(removedPost.groupBy("tok")
+        .agg((lit(-1L) * count(lit(1))).as("df")))
+      .groupBy("tok").agg(org.apache.spark.sql.functions.sum("df").as("df"))
       .filter(col("df") > 0)
       .persist(StorageLevel.MEMORY_AND_DISK)
     // ONE driver action per wave (was three): live-victim count, exact

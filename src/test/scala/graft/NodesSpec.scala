@@ -5174,6 +5174,24 @@ class NodesSpec extends AnyFunSuite {
     // delete a FRESH id (in the post-fold base now); delete it and re-check
     idx.deleteFromIndex(c, Seq(50L).toDF("doc_id"))
     assert(mapping(idx) == Set((1L, 1L), (2L, 2L), (3L, 1L), (50L, 50L)))
+    // broadcast gate (VERDICT r17 #6): bounded overlays serve with the
+    // broadcast hints on the tombstone/remap joins; oversized ones (forced
+    // via the test hook — organically only reachable inside the fold that
+    // clears them) drop the hints so the planner sizes from plan stats
+    // instead of force-broadcasting an unbounded frame. Results identical.
+    def overlayHints(n: ClusterIndexNode): Int =
+      n.transform(c, In.single("queries" -> queries))("result")
+        .queryExecution.analyzed.collect {
+          case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+        }.size
+    // the serve lineage carries upstream hints too — assert the DELTA:
+    // exactly the two overlay hints disappear when the counts cross the gate
+    val hinted = overlayHints(idx)
+    idx.overlayRowsForTest(tomb = 5000001L, remap = 5000001L)
+    assert(overlayHints(idx) == hinted - 2,
+      "oversized overlays must drop exactly the two overlay broadcast hints")
+    assert(mapping(idx) == Set((1L, 1L), (2L, 2L), (3L, 1L), (50L, 50L)))
+    idx.overlayRowsForTest(0L, 0L)
     idx.unpersistIndex()
   }
 
