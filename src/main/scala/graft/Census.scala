@@ -4,10 +4,14 @@ import graft.dag.{Ctx, In}
 import graft.nodes._
 import org.apache.spark.sql.SparkSession
 
-/** Scratch per-wave driver-job census for the chained-IVM tail (VERDICT
-  * r17 next #1): brackets each maintenance wave of the q212 star chain
-  * and prints every driver job's callsite, so broadcast-exchange builds
-  * are countable per wave. Delete after use.
+/** Per-wave driver-cost census for the chained-IVM tail: brackets each
+  * maintenance wave of the q212-shaped star chain and prints (a) every
+  * driver job's last-stage callsite (SparkListener) and (b) every tracked
+  * execution's duration (QueryExecutionListener) — the r18 instrument
+  * that located the wave wall in sequential driver-blocking executions
+  * (state writes + barrier `toRdd` stage execution under AQE), not in
+  * broadcast-build counts. Run with an optional sf-dir argument:
+  * `sbt "runMain graft.Census /root/testdata/sf0.1"`.
   */
 object Census {
   def main(args: Array[String]): Unit = {
