@@ -764,7 +764,13 @@ class MorSourceNode(val path: String, val keys: Seq[String],
   */
 class MorTailNode(val path: String, val format: String = "parquet",
                   val maxFilesPerTrigger: Option[Int] = None,
-                  val followCompactions: Boolean = false) extends Node {
+                  val followCompactions: Boolean = false,
+                  // attach each row's overlay id (totally ordered across
+                  // generations) under this name — what lets a consumer
+                  // fold MANY overlays into one micro-batch and still
+                  // apply them in commit order (net-resolution per key in
+                  // IndexMaintenance.maintainFromStream)
+                  val waveIdCol: Option[String] = None) extends Node {
   override protected def defaultName: String = "mor_tail"
   override def persistableOutput: Boolean = false // streaming source
   val inputs: Seq[graft.dag.Port] = Nil
@@ -773,7 +779,8 @@ class MorTailNode(val path: String, val format: String = "parquet",
   override def jsonParams: Map[String, Any] =
     Map("path" -> path, "format" -> format,
       "maxFilesPerTrigger" -> maxFilesPerTrigger.orNull,
-      "followCompactions" -> followCompactions)
+      "followCompactions" -> followCompactions,
+      "waveIdCol" -> waveIdCol.orNull)
   override def transform(ctx: Ctx, in: In): Map[String, DataFrame] = {
     import org.apache.spark.sql.functions.{col, input_file_name, regexp_extract}
     val spark = ctx.spark
@@ -810,7 +817,24 @@ class MorTailNode(val path: String, val format: String = "parquet",
         reader.load(s"$path/gen-*/_deltas/delta-*").where(
           regexp_extract(input_file_name(), "/gen-(\\d+)/_deltas/", 1)
             .cast("long") >= startGen)
-    Map("result" -> feed)
+    // overlay-id stamp: (generation << 32) | delta-id — commit order as ONE
+    // long, monotone across compaction folds (delta ids continue above any
+    // already committed, and a new generation's base absorbs all prior
+    // overlays). Derived in-plan from the file path, no extra state.
+    val stamped = waveIdCol match {
+      case None => feed
+      case Some(wc) =>
+        import org.apache.spark.sql.functions.coalesce
+        import org.apache.spark.sql.functions.lit
+        val g = regexp_extract(input_file_name(), "/gen-(\\d+)/_deltas/", 1)
+          .cast("long")
+        val d = regexp_extract(input_file_name(), "/delta-(\\d+)/", 1)
+          .cast("long")
+        feed.withColumn(wc,
+          org.apache.spark.sql.functions.shiftleft(coalesce(g, lit(0L)), 32) +
+            coalesce(d, lit(0L)))
+    }
+    Map("result" -> stamped)
   }
 }
 
@@ -849,10 +873,30 @@ object IndexMaintenance {
       trigger: Trigger = Trigger.AvailableNow(),
       await: Boolean = true,
       deleteCol: Option[String] = None,
-      positionalReplaySkipOk: Boolean = false): StreamingQuery = {
+      positionalReplaySkipOk: Boolean = false,
+      // MULTI-OVERLAY batching (the "one overlay = one micro-batch"
+      // amortization): when a micro-batch may contain SEVERAL change
+      // waves (e.g. a MorTailNode without maxFilesPerTrigger = 1),
+      // `netResolveKeys` + `waveCol` (the tail's `waveIdCol`) resolve
+      // each key to its LATEST version by wave order before applying —
+      // exactly the merge-on-read latest-wins rule, so the batch's net
+      // effect equals sequential per-overlay application (keys are
+      // unique WITHIN a wave by the feed contract, so max-wave-per-key
+      // is unambiguous). N producer waves then cost the consumer ONE
+      // maintenance pass instead of N. Requires `deleteCol` (append-only
+      // streams have no superseded versions to resolve). A `waveCol`
+      // given WITHOUT netResolveKeys is simply dropped before applying.
+      netResolveKeys: Seq[String] = Nil,
+      waveCol: Option[String] = None): StreamingQuery = {
     if (!delta.isStreaming)
       throw new GraftException(
         "maintainFromStream needs a streaming delta — for a batch delta call updateIndex directly")
+    if (netResolveKeys.nonEmpty && (waveCol.isEmpty || deleteCol.isEmpty))
+      throw new GraftException(
+        "maintainFromStream: netResolveKeys needs BOTH waveCol (the " +
+          "within-batch wave order — MorTailNode's waveIdCol) and deleteCol " +
+          "(net-resolution only makes sense for CDC feeds, where a later " +
+          "wave supersedes a key's earlier versions)")
     if (checkpoint.isEmpty && idx.lastAppliedBatch >= 0 && !positionalReplaySkipOk)
       throw new GraftException(
         s"maintainFromStream: index already applied streamed batches up to " +
@@ -864,12 +908,23 @@ object IndexMaintenance {
     val writer = delta.writeStream
       .queryName(s"maintain_${System.nanoTime()}")
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
         if (batchId > idx.lastAppliedBatch) {
+          import org.apache.spark.sql.functions.{col, coalesce, lit, row_number}
+          // net-resolve a multi-overlay batch to each key's latest version
+          // (wave order), then drop the wave stamp either way
+          val batch = (netResolveKeys, waveCol) match {
+            case (ks, Some(wc)) if ks.nonEmpty =>
+              val w = org.apache.spark.sql.expressions.Window
+                .partitionBy(ks.map(col): _*).orderBy(col(wc).desc)
+              batch0.withColumn("__mor_rn", row_number().over(w))
+                .filter(col("__mor_rn") === 1).drop("__mor_rn", wc)
+            case (_, Some(wc)) => batch0.drop(wc)
+            case _ => batch0
+          }
           deleteCol match {
             case None => idx.updateIndex(ctx, batch)
             case Some(c) =>
-              import org.apache.spark.sql.functions.{col, coalesce, lit}
               val flag = coalesce(col(c).cast("boolean"), lit(false))
               val upserts = batch.filter(!flag).drop(c)
               val deletes = batch.filter(flag).drop(c)

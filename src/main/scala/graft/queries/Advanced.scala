@@ -4466,6 +4466,91 @@ object Advanced {
     agg.transform(ctx, In.single("probe" -> probe))("result")
       .orderBy("c_mktsegment")
   }
+  // ---- q215: the Δview feed consumed in MULTI-OVERLAY micro-batches —
+  // q213's exact pipeline, but neither tail caps maxFilesPerTrigger, so a
+  // micro-batch folds MANY overlays together and correctness rests on
+  // net-resolution: MorTailNode stamps each row's overlay id from the file
+  // path ((gen << 32) | delta — commit order as one long) and
+  // maintainFromStream resolves each key to its LATEST version by that
+  // order before applying. The fact feed's wave-1 upserts overlap wave-2
+  // tombstones on ids %35/%21 (upserted then deleted — net = deleted), and
+  // the view feed's re-pricing waves retract and re-insert the SAME view
+  // row id across adjacent overlays with different payloads — both are
+  // exactly the interleavings the "one overlay = one micro-batch" contract
+  // existed to prevent, now folded into single batches on purpose. The
+  // answer must equal q213's declarative oracle bit-for-bit; at 100 TB
+  // this is the consumer-side amortization lever: N producer waves cost
+  // ONE maintenance pass instead of N (VERDICT r17 missing #4). ----
+  def q215_batched_view_feed(spark: SparkSession, dir: String): DataFrame = {
+    val ctx = Ctx(spark)
+    val facts = Queries.run(spark) { d =>
+      d.add(SourceNode.table(dir, "orders")) >>
+        ProjectNode("o_orderkey", "o_custkey", "o_totalprice") >> d.output("result")
+    }.selectExpr("o_orderkey", "o_custkey",
+      "cast(floor(o_totalprice) as bigint) as price_i")
+    val dims = Queries.run(spark) { d =>
+      d.add(SourceNode.table(dir, "customer")) >>
+        ProjectNode("c_custkey", "c_mktsegment", "c_nationkey") >> d.output("result")
+    }
+    val work = java.nio.file.Files.createTempDirectory("graft_q215_")
+    work.toFile.deleteOnExit()
+    val factsRoot = s"$work/facts_mor"
+    val viewRoot = s"$work/view_mor"
+    new SinkNode(factsRoot, atomicPublish = true).transform(ctx,
+      In.single("df" -> facts.filter("o_orderkey % 5 != 0")))
+    val mj = new MaterializedJoinNode(leftOn = Seq("o_custkey"),
+      rightOn = Seq("c_custkey"), leftId = "o_orderkey", rightId = "c_custkey",
+      joinType = "left_outer")
+    mj.fit(ctx, In.single(
+      "left" -> Queries.run(spark) { d =>
+        d.add(new MorSourceNode(factsRoot, keys = Seq("o_orderkey"))) >> d.output("result")
+      },
+      "right" -> dims.filter("c_custkey % 10 != 0")))
+    mj.publishViewDelta(ctx, viewRoot)
+    val agg = new AggIndexNode(groupCols = Seq("c_mktsegment"),
+      sumCols = Seq("price_i"), idCol = MaterializedJoinNode.ViewIdCol)
+    agg.fit(ctx, In.single("corpus" -> Queries.run(spark) { d =>
+      d.add(new MorSourceNode(viewRoot,
+        keys = Seq(MaterializedJoinNode.ViewIdCol))) >> d.output("result")
+    }))
+    AtomicPublish.publishDelta(spark, factsRoot, 1L, { t =>
+      facts.filter("o_orderkey % 5 = 0 OR o_orderkey % 3 = 0")
+        .selectExpr("o_orderkey", "o_custkey",
+          "CASE WHEN o_orderkey % 3 = 0 THEN price_i + 1000 ELSE price_i END AS price_i",
+          s"false as ${MorCdc.DeletedCol}")
+        .coalesce(1).write.parquet(t)
+    })
+    AtomicPublish.publishDelta(spark, factsRoot, 2L, { t =>
+      facts.filter("o_orderkey % 7 = 0")
+        .selectExpr("o_orderkey", "cast(null as bigint) as o_custkey",
+          "cast(null as bigint) as price_i",
+          s"true as ${MorCdc.DeletedCol}")
+        .coalesce(1).write.parquet(t)
+    })
+    // BOTH overlays in one micro-batch: the %35/%21 ids are upserted by
+    // wave 1 AND tombstoned by wave 2 — net-resolution must pick wave 2
+    val ftail = new MorTailNode(factsRoot, waveIdCol = Some("__wave"))
+      .transform(ctx, In.empty)("result")
+    IndexMaintenance.maintainFromStream(mj, ctx, ftail,
+      checkpoint = Some(s"$work/fckpt"), deleteCol = Some(MorCdc.DeletedCol),
+      netResolveKeys = Seq("o_orderkey"), waveCol = Some("__wave"))
+    mj.updateRight(ctx, dims.filter("c_custkey % 10 = 0"))
+    mj.deleteFromRight(ctx, dims.filter("c_nationkey = 3").select("c_custkey"))
+    // the consumer folds the WHOLE overlay backlog (fact inserts, the
+    // re-pricing's same-vid retract/re-insert pairs, dim retro-matches and
+    // takedowns) into as few micro-batches as the source allows
+    val vtail = new MorTailNode(viewRoot, waveIdCol = Some("__wave"))
+      .transform(ctx, In.empty)("result")
+    IndexMaintenance.maintainFromStream(agg, ctx, vtail,
+      checkpoint = Some(s"$work/vckpt"), deleteCol = Some(MorCdc.DeletedCol),
+      netResolveKeys = Seq(MaterializedJoinNode.ViewIdCol),
+      waveCol = Some("__wave"))
+    val probe = dims.select("c_mktsegment").distinct()
+      .unionByName(dims.selectExpr("cast(null as string) as c_mktsegment").limit(1))
+    agg.transform(ctx, In.single("probe" -> probe))("result")
+      .orderBy("c_mktsegment")
+  }
+
   // identical live-state algebra to q209 — the machinery differs (published
   // feed vs in-JVM subscription), the answer must not
   val q213Sql: String =
@@ -5014,5 +5099,8 @@ object Advanced {
     ("q212_star_view", q212_star_view _, q212Sql),
     ("q213_published_view_feed", q213_published_view_feed _, q213Sql),
     ("q214_agg_index_decimal", q214_agg_index_decimal _, q214Sql),
+    // multi-overlay consumer batching: same declarative oracle as q213 —
+    // folding N overlays into one micro-batch must not change the answer
+    ("q215_batched_view_feed", q215_batched_view_feed _, q213Sql),
   )
 }

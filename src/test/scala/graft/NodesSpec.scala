@@ -5195,6 +5195,66 @@ class NodesSpec extends AnyFunSuite {
     idx.unpersistIndex()
   }
 
+  test("maintainFromStream multi-overlay batching: a micro-batch folding " +
+       "overlays that DELETE and RE-INSERT the same key net-resolves to the " +
+       "latest version by wave order — equal to sequential per-overlay " +
+       "application; refusal without waveCol/deleteCol") {
+    import spark.implicits._
+    val c = Ctx(spark)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_multiov_spec").toString + "/pub"
+    // base generation: docs 0-9, payload v0
+    AtomicPublish.publish(spark, root, t =>
+      (0L until 10L).map(i => (i, s"v0_$i")).toDF("doc_id", "payload")
+        .coalesce(1).write.parquet(t))
+    // consumer seeds from the base generation BEFORE any overlay commits
+    val agg = new AggIndexNode(groupCols = Seq("payload"), idCol = "doc_id")
+    agg.fit(c, In.single("corpus" -> new MorSourceNode(root,
+      keys = Seq("doc_id")).transform(c, In.empty)("result")))
+    // overlay 1: tombstone docs 2,3 + insert doc 20 (v1)
+    AtomicPublish.publishDelta(spark, root, 1L, { t =>
+      Seq((2L, null: String, true), (3L, null: String, true),
+        (20L, "v1_20", false))
+        .toDF("doc_id", "payload", MorCdc.DeletedCol)
+        .coalesce(1).write.parquet(t)
+    })
+    // overlay 2: RE-INSERT doc 3 with a NEW payload + tombstone doc 20 —
+    // the same keys overlay 1 touched, opposite polarity. Folded into one
+    // batch, the pre-netResolve CDC order (upserts first, deletes last)
+    // would delete doc 20 correctly but ALSO end doc 3 deleted if the
+    // overlay-1 tombstone won — net-resolution by wave order must keep
+    // doc 3 (v2) and drop doc 20.
+    AtomicPublish.publishDelta(spark, root, 2L, { t =>
+      Seq((3L, "v2_3", false), (20L, null: String, true))
+        .toDF("doc_id", "payload", MorCdc.DeletedCol)
+        .coalesce(1).write.parquet(t)
+    })
+    // BOTH overlays in one micro-batch (no maxFilesPerTrigger cap)
+    val tail = new MorTailNode(root, waveIdCol = Some("__wave"))
+      .transform(c, In.empty)("result")
+    IndexMaintenance.maintainFromStream(agg, c, tail,
+      checkpoint = Some(root + "_ckpt"), deleteCol = Some(MorCdc.DeletedCol),
+      netResolveKeys = Seq("doc_id"), waveCol = Some("__wave"))
+    assert(agg.lastAppliedBatch == 0L,
+      "both overlays must fold into ONE micro-batch for this drill")
+    // oracle: sequential application = docs {0,1,4..9} v0 + doc 3 v2
+    val expect = ((0L until 10L).filterNot(Set(2L, 3L).contains)
+      .map(i => (s"v0_$i", 1L)) :+ (("v2_3", 1L))).toSet
+    val probe = (0L until 10L).map(i => s"v0_$i")
+      .union(Seq("v1_20", "v2_3")).toDF("payload")
+    val got = agg.transform(c, In.single("probe" -> probe))("result")
+      .select("payload", "n_rows").as[(String, Long)].collect().toSet
+    assert(got == expect, s"got $got want $expect")
+    agg.unpersistIndex()
+    // refusal: netResolveKeys without waveCol (or deleteCol) is an error
+    val err = intercept[GraftException] {
+      IndexMaintenance.maintainFromStream(agg, c,
+        new MorTailNode(root).transform(c, In.empty)("result"),
+        deleteCol = Some(MorCdc.DeletedCol), netResolveKeys = Seq("doc_id"))
+    }
+    assert(err.getMessage.contains("waveCol"))
+  }
+
   test("maintainFromStream CDC mode: upserts replace, tombstones delete; " +
        "checkpoint-less re-maintenance refused after applied batches") {
     import spark.implicits._
