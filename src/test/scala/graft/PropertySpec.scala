@@ -727,4 +727,111 @@ class PropertySpec extends AnyFunSuite {
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(6), p)
     assert(res.passed, res.status.toString)
   }
+
+  test("three-table star random lifecycle: arbitrary wave sequences on ALL " +
+    "THREE feeds (facts, dim1, dim2) through join→join→dashboard equal the " +
+    "recompute-from-scratch oracle exactly — the transitively-propagated " +
+    "prepared-wave path the r18 merge rewrites touched deepest") {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    import graft.nodes.{AggIndexNode, MaterializedJoinNode}
+    val nKeys = 6; val nNats = 4
+    // ops: 0 fact-ins, 1 fact-del, 2 dim-ins, 3 dim-del, 4 nat-ins, 5 nat-del
+    val genCase = for {
+      nFacts <- Gen.choose(18, 30)
+      joinType <- Gen.oneOf("inner", "left_outer")
+      nWaves <- Gen.choose(3, 5)
+      waves <- Gen.listOfN(nWaves, for {
+        op <- Gen.choose(0, 5)
+        members <- Gen.someOf(0 until 30)
+      } yield (op, members.toList))
+    } yield (nFacts, joinType, waves)
+    val p = Prop.forAll(genCase) { case (nFacts, joinType, waves) =>
+      val ctx = Ctx(spark)
+      val factPool = (1 to nFacts).map(i => (i.toLong, (i % nKeys).toLong, i.toLong))
+      val dimPool = (0 until nKeys).map(k => (k.toLong, (k % nNats).toLong))
+      val natPool = (0 until nNats).map(n => (n.toLong, s"nat$n"))
+      def fdf(rows: Seq[(Long, Long, Long)]) = rows.toDF("oid", "cust", "amt")
+      def ddf(rows: Seq[(Long, Long)]) = rows.toDF("cid", "nat")
+      def ndf(rows: Seq[(Long, String)]) = rows.toDF("nid", "nname")
+      var liveF = factPool.take(nFacts / 2).map(r => r._1 -> r).toMap
+      var liveD = dimPool.take(nKeys / 2).map(r => r._1 -> r).toMap
+      var liveN = natPool.take(nNats / 2).map(r => r._1 -> r).toMap
+      val mj1 = new MaterializedJoinNode(leftOn = Seq("cust"),
+        rightOn = Seq("cid"), leftId = "oid", rightId = "cid",
+        joinType = joinType)
+      mj1.fit(ctx, In.single("left" -> fdf(liveF.values.toSeq.sortBy(_._1)),
+        "right" -> ddf(liveD.values.toSeq.sortBy(_._1))))
+      val mj2 = new MaterializedJoinNode(leftOn = Seq("nat"),
+        rightOn = Seq("nid"), leftId = "v1_id", rightId = "nid",
+        joinType = joinType)
+      mj1.chainJoin(ctx, mj2, ndf(liveN.values.toSeq.sortBy(_._1)))
+      val agg = new AggIndexNode(groupCols = Seq("nname"), sumCols = Seq("amt"),
+        idCol = MaterializedJoinNode.ViewIdCol)
+      mj2.chainAggregate(ctx, agg)
+      waves.foreach { case (op, members) =>
+        op match {
+          case 0 =>
+            val rows = members.map(_.toLong + 1)
+              .filter(i => i <= nFacts && !liveF.contains(i))
+              .map(i => factPool(i.toInt - 1))
+            if (rows.nonEmpty) {
+              mj1.updateIndex(ctx, fdf(rows)); liveF ++= rows.map(r => r._1 -> r)
+            }
+          case 1 =>
+            val ids = members.map(_.toLong + 1).filter(liveF.contains)
+            if (ids.nonEmpty) {
+              mj1.deleteFromIndex(ctx, ids.toDF("oid")); liveF --= ids
+            }
+          case 2 =>
+            val rows = members.map(_.toLong % nKeys).distinct
+              .filterNot(liveD.contains).map(k => dimPool(k.toInt))
+            if (rows.nonEmpty) {
+              mj1.updateRight(ctx, ddf(rows)); liveD ++= rows.map(r => r._1 -> r)
+            }
+          case 3 =>
+            val ids = members.map(_.toLong % nKeys).distinct.filter(liveD.contains)
+            if (ids.nonEmpty) {
+              mj1.deleteFromRight(ctx, ids.toDF("cid")); liveD --= ids
+            }
+          case 4 =>
+            val rows = members.map(_.toLong % nNats).distinct
+              .filterNot(liveN.contains).map(n => natPool(n.toInt))
+            if (rows.nonEmpty) {
+              mj2.updateRight(ctx, ndf(rows)); liveN ++= rows.map(r => r._1 -> r)
+            }
+          case 5 =>
+            val ids = members.map(_.toLong % nNats).distinct.filter(liveN.contains)
+            if (ids.nonEmpty) {
+              mj2.deleteFromRight(ctx, ids.toDF("nid")); liveN --= ids
+            }
+        }
+      }
+      // recompute-from-scratch oracle: two-join chain in plain Scala.
+      // left_outer composes like SQL's LEFT JOIN chain — a dim1 dangler
+      // carries NULL nat, which null-joins into mj2 and lands in ITS
+      // NULL group; inner keeps only fully-matched rows.
+      val expect: Set[(Option[String], Long, Long)] = {
+        val rows = liveF.values.toSeq.flatMap { case (_, cust, amt) =>
+          val nm = liveD.get(cust).flatMap(d => liveN.get(d._2)).map(_._2)
+          if (joinType == "inner") {
+            if (liveD.contains(cust) && nm.isDefined) Seq((nm, amt)) else Nil
+          } else Seq((nm, amt))
+        }
+        rows.groupBy(_._1)
+          .map { case (g, rs) => (g, rs.size.toLong, rs.map(_._2).sum) }
+          .toSet
+      }
+      val probe = natPool.map(n => Option(n._2)).toDF("nname")
+        .unionByName(Seq(Option.empty[String]).toDF("nname"))
+      val got = agg.transform(ctx, In.single("probe" -> probe))("result")
+        .select("nname", "n_rows", "sum_amt")
+        .as[(Option[String], Long, Long)].collect().toSet
+      mj1.unpersistIndex(); mj2.unpersistIndex(); agg.unpersistIndex()
+      Prop(got == expect) :|
+        s"jt=$joinType waves=$waves got=$got want=$expect"
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(5), p)
+    assert(res.passed, res.status.toString)
+  }
 }
