@@ -189,18 +189,6 @@ object Scale10 {
       // decimal merges)
       "q213_published_view_feed", "q214_agg_index_decimal")
     val requested = if (queries.nonEmpty) queries else defaults
-    // surface unknown names instead of silently dropping them (ADVICE r17):
-    // a typo'd probe list must not masquerade as a clean run
-    val customProbes =
-      Set("q98_fixed_batch", "q100_fixed_batch", "q213_fixed_waves")
-    requested.filterNot(n => Queries.all.contains(n) || customProbes(n))
-      .foreach(n => println(s"[scale10] skipping unknown query $n"))
-    val names = requested
-      .filter(Queries.all.contains) // custom probes below have their own gates
-    names.foreach { n =>
-      try time(n)(Queries.all(n)(spark, out).count())
-      catch { case e: Throwable => println(s"[scale10] $n FAILED: ${e.getMessage}") }
-    }
 
     // Retrieval with a BOUNDED query batch — the production serving shape.
     // q98/q100 in the list above grow ~k^2 in this probe because their
@@ -218,24 +206,20 @@ object Scale10 {
         n >> d.output("result")
         d.fitTransform(Ctx(spark)).outputs("result").count()
       } catch { case e: Throwable => println(s"[scale10] $label FAILED: ${e.getMessage}") }
-    if (queries.isEmpty || queries.contains("q98_fixed_batch"))
-      retrievalFixedBatch("q98_fixed_batch", () => new InvertedIndexTopKNode(
-        idCol = "doc_id", textCol = "text", queryIdCol = "query_id",
-        queryTextCol = "text", k = 5, maxDfFrac = 0.79))
-    if (queries.isEmpty || queries.contains("q100_fixed_batch"))
-      retrievalFixedBatch("q100_fixed_batch", () => new Bm25TopKNode(
-        idCol = "doc_id", textCol = "text", queryIdCol = "query_id",
-        queryTextCol = "text", k = 5, maxDfFrac = 0.79))
 
-    // q213 with CORPUS-INDEPENDENT waves (VERDICT r16 next #6): the
-    // defaults-list q213 probe conflates machinery cost with wave payload
-    // (its CDC waves are corpus filters, so they scale k-fold). Here the
-    // k-fold base seeds the published view, but every fact wave is pinned
-    // to the UNCLONED id range (ids below the clone shift — exactly the 1x
-    // wave), so producer overlay cost and consumer maintenance cost must
-    // track the FIXED delta, not the corpus.
-    if (queries.isEmpty || queries.contains("q213_fixed_waves"))
-      try time("q213_fixed_waves") {
+    // q213/q215 with CORPUS-INDEPENDENT waves (VERDICT r16 next #6, r18
+    // next #2): the defaults-list q213 probe conflates machinery cost with
+    // wave payload (its CDC waves are corpus filters, so they scale
+    // k-fold). Here the k-fold base seeds the published view, but every
+    // fact wave is pinned to the UNCLONED id range (ids below the clone
+    // shift — exactly the 1x wave), so producer overlay cost and consumer
+    // maintenance cost must track the FIXED delta, not the corpus.
+    // `batched = true` is the q215 shape — SAME pipeline, but neither tail
+    // caps maxFilesPerTrigger and the consumers net-resolve multi-overlay
+    // micro-batches by the plan-stamped wave id: the paired run is the
+    // scale evidence for the N-waves→one-pass consumer amortization.
+    def viewFeedProbe(label: String, batched: Boolean): Unit =
+      try time(label) {
         val ctx = Ctx(spark)
         val base = "o_orderkey < 100000000"
         val facts = spark.read.parquet(s"$out/orders.parquet")
@@ -276,21 +260,57 @@ object Scale10 {
               s"true as ${MorCdc.DeletedCol}")
             .coalesce(1).write.parquet(t)
         })
-        val ftail = new MorTailNode(factsRoot, maxFilesPerTrigger = Some(1))
-          .transform(ctx, In.empty)("result")
+        val wave = if (batched) Some("__wave") else None
+        val cap = if (batched) None else Some(1)
+        val ftail = new MorTailNode(factsRoot, maxFilesPerTrigger = cap,
+          waveIdCol = wave).transform(ctx, In.empty)("result")
         IndexMaintenance.maintainFromStream(mj, ctx, ftail,
-          checkpoint = Some(s"$work/fckpt"), deleteCol = Some(MorCdc.DeletedCol))
+          checkpoint = Some(s"$work/fckpt"), deleteCol = Some(MorCdc.DeletedCol),
+          netResolveKeys = if (batched) Seq("o_orderkey") else Nil,
+          waveCol = wave)
         mj.updateRight(ctx, dims.filter("c_custkey % 10 = 0"))
         mj.deleteFromRight(ctx, dims.filter("c_nationkey = 3").select("c_custkey"))
-        val vtail = new MorTailNode(viewRoot, maxFilesPerTrigger = Some(1))
-          .transform(ctx, In.empty)("result")
+        val vtail = new MorTailNode(viewRoot, maxFilesPerTrigger = cap,
+          waveIdCol = wave).transform(ctx, In.empty)("result")
         IndexMaintenance.maintainFromStream(agg, ctx, vtail,
-          checkpoint = Some(s"$work/vckpt"), deleteCol = Some(MorCdc.DeletedCol))
+          checkpoint = Some(s"$work/vckpt"), deleteCol = Some(MorCdc.DeletedCol),
+          netResolveKeys =
+            if (batched) Seq(MaterializedJoinNode.ViewIdCol) else Nil,
+          waveCol = wave)
         val probe = dims.select("c_mktsegment").distinct()
           .unionByName(dims.selectExpr("cast(null as string) as c_mktsegment").limit(1))
         agg.transform(ctx, In.single("probe" -> probe))("result").count()
       } catch { case e: Throwable =>
-        println(s"[scale10] q213_fixed_waves FAILED: ${e.getMessage}") }
+        println(s"[scale10] $label FAILED: ${e.getMessage}") }
+
+    // ONE registry drives both the unknown-name warning and the probe
+    // gates (ADVICE r18: a probe added below but not to the set would
+    // spuriously warn while actually running)
+    val customProbes: Seq[(String, () => Unit)] = Seq(
+      "q98_fixed_batch" -> (() => retrievalFixedBatch("q98_fixed_batch",
+        () => new InvertedIndexTopKNode(
+          idCol = "doc_id", textCol = "text", queryIdCol = "query_id",
+          queryTextCol = "text", k = 5, maxDfFrac = 0.79))),
+      "q100_fixed_batch" -> (() => retrievalFixedBatch("q100_fixed_batch",
+        () => new Bm25TopKNode(
+          idCol = "doc_id", textCol = "text", queryIdCol = "query_id",
+          queryTextCol = "text", k = 5, maxDfFrac = 0.79))),
+      "q213_fixed_waves" -> (() => viewFeedProbe("q213_fixed_waves", batched = false)),
+      "q215_fixed_waves" -> (() => viewFeedProbe("q215_fixed_waves", batched = true)))
+    val customNames = customProbes.map(_._1).toSet
+    // surface unknown names instead of silently dropping them (ADVICE r17):
+    // a typo'd probe list must not masquerade as a clean run
+    requested.filterNot(n => Queries.all.contains(n) || customNames(n))
+      .foreach(n => println(s"[scale10] skipping unknown query $n"))
+    val names = requested
+      .filter(Queries.all.contains) // custom probes have their own gates
+    names.foreach { n =>
+      try time(n)(Queries.all(n)(spark, out).count())
+      catch { case e: Throwable => println(s"[scale10] $n FAILED: ${e.getMessage}") }
+    }
+    customProbes.foreach { case (label, run) =>
+      if (queries.isEmpty || queries.contains(label)) run()
+    }
     spark.stop()
   }
 }

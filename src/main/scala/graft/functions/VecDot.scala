@@ -145,17 +145,38 @@ object VecFunctions {
     * kernel per call — pure noise across a 214-query bench run. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+    // first graft registration into THIS function registry? Detected by a
+    // sentinel carried IN the registry itself (not a session-keyed map):
+    // cloned/derived sessions copy the registry contents, so the sentinel
+    // travels with the kernels and re-registration through a clone stays
+    // silent.
+    val sentinel =
+      org.apache.spark.sql.catalyst.FunctionIdentifier("__graft_kernels_v1")
+    val firstInSession = !reg.functionExists(sentinel)
+    if (firstInSession)
+      reg.createOrReplaceTempFunction(sentinel.funcName,
+        _ => org.apache.spark.sql.catalyst.expressions.Literal(true),
+        "scala_udf")
     // check-and-register EACH kernel (ADVICE r17): a single guard keyed on
     // one name silently skipped every OTHER kernel when a session already
     // carried a same-named function from any other source — a user UDF
     // named "morton3" made `vec_dot` an undefined function. Idempotence
     // per name also keeps SimpleFunctionRegistry's "replaced a function"
     // warning out of the logs; an existing same-named user function is
-    // deliberately left alone (we never clobber the user's registry).
+    // deliberately left alone (we never clobber the user's registry) but
+    // the hijack is made DETECTABLE (ADVICE r18): on the session's FIRST
+    // graft registration an already-bound kernel name can only be a
+    // foreign function, so it logs a warning (later re-registrations stay
+    // silent — the existing names are graft's own).
     def reg1(name: String, builder: Seq[Expression] => Expression): Unit =
       if (!reg.functionExists(
           org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
         reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+      else if (firstInSession)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"graft kernel '$name' not registered: the session already binds " +
+            "a function of that name — graft queries using this kernel " +
+            "will run the session's function, not graft's")
     reg1("vec_dot", exprs => VecDot(exprs(0), exprs(1)))
     reg1("vec_dot_int", exprs => VecDotInt(exprs(0), exprs(1)))
     reg1("minhash_bands", exprs => MinHashBands(exprs(0), intLit(exprs(1)), intLit(exprs(2))))

@@ -51,6 +51,26 @@ trait IncrementalIndex { self: Node =>
     * exactly that when given a `deleteCol`. */
   def deleteFromIndex(ctx: Ctx, deletes: DataFrame): Unit
 
+  /** Apply ONE CDC wave: `upserts` REPLACE any stored version of their ids
+    * (delete-then-insert, the upsert composition above), `deletes` are
+    * takedowns applied LAST — an id in BOTH sets nets to the delete (the
+    * MergeNode/CdcApply convention, q164's shape). Default: the
+    * three-call sequence `maintainFromStream` has always used — exact for
+    * every family. Families whose internals support a COMBINED
+    * tombstone-then-insert wave override this to pay one materializing
+    * driver action (and one state generation) per micro-batch instead of
+    * three: at wave cadence the per-call fixed driver cost IS the
+    * maintenance tail (guide §1.2 — fewer driver-blocking steps before
+    * per-task tuning). An override must preserve the delete-wins rule
+    * (drop upsert rows whose id is also tombstoned in the same wave), and
+    * every override is pinned batched == sequential by the family's
+    * oracle tests. */
+  def applyCdcWave(ctx: Ctx, upserts: DataFrame, deletes: DataFrame): Unit = {
+    deleteFromIndex(ctx, upserts)
+    updateIndex(ctx, upserts)
+    deleteFromIndex(ctx, deletes)
+  }
+
   /** The family's per-document RETENTION ledger: (frame, id column), where
     * the frame carries the id under the name `deleteFromIndex` consumes
     * plus whatever per-document columns the family keeps (each override
@@ -910,15 +930,30 @@ object IndexMaintenance {
       .outputMode("append")
       .foreachBatch { (batch0: DataFrame, batchId: Long) =>
         if (batchId > idx.lastAppliedBatch) {
-          import org.apache.spark.sql.functions.{col, coalesce, lit, row_number}
+          import org.apache.spark.sql.functions.{assert_true, col, coalesce,
+            concat_ws, lit, rank, row_number}
           // net-resolve a multi-overlay batch to each key's latest version
           // (wave order), then drop the wave stamp either way
           val batch = (netResolveKeys, waveCol) match {
             case (ks, Some(wc)) if ks.nonEmpty =>
               val w = org.apache.spark.sql.expressions.Window
                 .partitionBy(ks.map(col): _*).orderBy(col(wc).desc)
+              // within-wave duplicate detector (ADVICE r18): net-resolution
+              // is only unambiguous while keys are unique WITHIN a wave
+              // (the feed contract) — a producer violation would otherwise
+              // pick a nondeterministic survivor SILENTLY. Same window
+              // spec as the resolution itself (no extra exchange): a
+              // second row of one (key, wave) has row_number 2 but rank 1.
               batch0.withColumn("__mor_rn", row_number().over(w))
-                .filter(col("__mor_rn") === 1).drop("__mor_rn", wc)
+                .withColumn("__mor_rk", rank().over(w))
+                .filter(assert_true(
+                  !(col("__mor_rn") === 2 && col("__mor_rk") === 1),
+                  concat_ws("", lit("maintainFromStream: duplicate key " +
+                    "within one wave violates the net-resolution contract " +
+                    "(keys must be unique per overlay) — offending key: "),
+                    concat_ws(",", ks.map(k => col(k).cast("string")): _*),
+                    lit(" wave: "), col(wc).cast("string"))).isNull)
+                .filter(col("__mor_rn") === 1).drop("__mor_rn", "__mor_rk", wc)
             case (_, Some(wc)) => batch0.drop(wc)
             case _ => batch0
           }
@@ -928,10 +963,11 @@ object IndexMaintenance {
               val flag = coalesce(col(c).cast("boolean"), lit(false))
               val upserts = batch.filter(!flag).drop(c)
               val deletes = batch.filter(flag).drop(c)
-              // upsert = replace: drop any superseded version, then append
-              idx.deleteFromIndex(ctx, upserts)
-              idx.updateIndex(ctx, upserts)
-              idx.deleteFromIndex(ctx, deletes)
+              // upsert = replace (drop any superseded version, then
+              // append), tombstones last — as ONE index wave where the
+              // family supports it (applyCdcWave doc), the three-call
+              // sequence otherwise
+              idx.applyCdcWave(ctx, upserts, deletes)
           }
           idx.lastAppliedBatch = batchId
         }
