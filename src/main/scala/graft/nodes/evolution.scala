@@ -791,20 +791,6 @@ class AggIndexNode(
   def updateIndex(ctx: Ctx, delta: DataFrame): Unit =
     IvmUtil.runWave(prepareWave(ctx, None, Some(delta)))
 
-  /** One COMBINED CDC wave (IncrementalIndex doc): upsert ids' superseded
-    * ledger rows and takedown ids tombstone in one delete step, the
-    * surviving upsert rows append in one insert step — a single prepared
-    * wave, one materializing driver action per micro-batch instead of
-    * three. Exact by the SegStore generation rule; the delete-wins rule
-    * for ids in BOTH sets is preserved by dropping their upsert rows. */
-  override def applyCdcWave(ctx: Ctx, upserts: DataFrame,
-      deletes: DataFrame): Unit = {
-    val delIds = deletes.select(col(idCol))
-    IvmUtil.runWave(prepareWave(ctx,
-      Some(upserts.select(col(idCol)).unionByName(delIds)),
-      Some(upserts.join(delIds.distinct(), Seq(idCol), "left_anti"))))
-  }
-
   /** Build ONE maintenance wave (optional delete step, then optional
     * insert step — the Δview-feed contract: the two key sets are disjoint
     * within a wave) WITHOUT materializing it: state segments/tombstones
@@ -1375,7 +1361,13 @@ private[nodes] object IvmUtil {
           // SegStore state (appendSegment writes, liveFiles/nextFile)
           futs.foreach(_.cancel(true))
           pool.shutdown()
-          pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS)
+          // surface a failed quiesce (ADVICE r19): a straggler thread may
+          // still be mutating SegStore state — a catch-and-retry caller
+          // must know the race window is NOT closed
+          if (!pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS))
+            System.err.println("[graft] WARN inParallel: worker pool did not " +
+              "quiesce within 60s after cancellation; a straggler wave thunk " +
+              "may still be running (retry is unsafe until it exits)")
           throw e
         }
       } finally pool.shutdown()
@@ -2196,18 +2188,7 @@ class MaterializedJoinNode(
           payload.map(f => lit(null).cast(f.dataType).as(f.name)) :+
           lit(true).as(MorCdc.DeletedCol): _*))
         val ins = inserts.map(_.withColumn(MorCdc.DeletedCol, lit(false)))
-        // a COMBINED wave (applyCdcWave / applyFactWaves) may retract and
-        // re-insert the SAME view-row id (an upsert whose dim match is
-        // unchanged); within ONE overlay that key collision would make
-        // latest-wins resolution ambiguous, and delete-then-insert nets to
-        // the insert — drop the superseded tombstones so overlays stay
-        // key-unique (the feed contract consumers rely on)
-        val tombNet = (tomb, inserts) match {
-          case (Some(t), Some(i)) =>
-            Some(t.join(i.select(col(vid)), Seq(vid), "left_anti"))
-          case _ => tomb
-        }
-        val wave = (tombNet.toSeq ++ ins.toSeq).reduce(_ unionByName _)
+        val wave = (tomb.toSeq ++ ins.toSeq).reduce(_ unionByName _)
         waveId += 1
         // ONE file per overlay: a wave is delta-sized by contract, and the
         // Δview frames come out of shuffles, so an uncoalesced write lands
@@ -2341,76 +2322,6 @@ class MaterializedJoinNode(
     * mode does exactly that). */
   def updateIndex(ctx: Ctx, delta: DataFrame): Unit =
     IvmUtil.runWave(prepareFactWave(ctx, None, Some(delta)))
-
-  /** One COMBINED CDC wave (IncrementalIndex doc): the upsert ids'
-    * superseded versions and the takedown ids tombstone in ONE delete
-    * step, then the surviving upsert rows append in ONE insert step — a
-    * single prepared wave, so the whole micro-batch (including every
-    * chained subscriber's wave and the published overlay) materializes
-    * with one driver action instead of three. Exact by the SegStore
-    * generation rule (a tombstone kills only rows written BEFORE it — the
-    * CDC delete-then-reinsert composition); the delete-wins rule for ids
-    * in BOTH sets is preserved by dropping their upsert rows (sequential
-    * order applied the tombstone AFTER the insert). */
-  override def applyCdcWave(ctx: Ctx, upserts: DataFrame,
-      deletes: DataFrame): Unit = {
-    val delIds = deletes.select(col(leftId))
-    IvmUtil.runWave(prepareFactWave(ctx,
-      Some(upserts.select(col(leftId)).unionByName(delIds)),
-      Some(upserts.join(delIds.distinct(), Seq(leftId), "left_anti"))))
-  }
-
-  /** Apply N QUEUED fact-side waves as ONE net-resolved maintenance pass —
-    * the in-JVM twin of `maintainFromStream`'s multi-overlay batching
-    * (q215's consumer lever, landed where the chained bench tail pays:
-    * VERDICT r18 next #1). Waves are ordered; each fact id resolves to its
-    * LATEST operation across the batch (latest-wins — exactly the
-    * merge-on-read rule, with a wave's deletes ordered before its
-    * inserts so a within-wave delete+insert is the upsert composition),
-    * and the batch applies as one delete-then-insert wave: tombstones for
-    * EVERY touched id (superseded versions and takedowns alike — a
-    * tombstone for an id that never existed is a no-op), then inserts for
-    * ids whose final operation is an arrival. Sequential application of
-    * the same waves yields the same ledger, view, Δview-fed chain state
-    * and served results (PropertySpec pins batched == sequential over
-    * random wave sequences); N driver-blocking wave passes — and N
-    * downstream waves on every chained subscriber — collapse to one.
-    * Contract: FACT waves only (dim waves must not interleave inside one
-    * batch), and within each wave an id appears at most once per step. */
-  def applyFactWaves(ctx: Ctx,
-      waves: Seq[MaterializedJoinNode.FactWave]): Unit = {
-    import org.apache.spark.sql.functions.row_number
-    if (waves.isEmpty) return
-    if (waves.lengthCompare(1) == 0) {
-      IvmUtil.runWave(
-        prepareFactWave(ctx, waves.head.deletes, waves.head.inserts))
-      return
-    }
-    val m = model.getOrElse(
-      throw new GraftException(s"estimator node '$name' not fitted"))
-    val schema = leftData(m).schema
-    val factCols = schema.fieldNames.toSeq
-    val ops = waves.zipWithIndex.flatMap { case (w, i) =>
-      // within a wave deletes apply first: stamp them 2i, inserts 2i+1
-      w.deletes.map(_.select(col(leftId) +:
-          factCols.filterNot(_ == leftId)
-            .map(c => lit(null).cast(schema(c).dataType).as(c)): _*)
-        .withColumn("__w", lit(2L * i))
-        .withColumn("__del", lit(true))).toSeq ++
-        w.inserts.map(_.select(factCols.map(col): _*)
-          .withColumn("__w", lit(2L * i + 1))
-          .withColumn("__del", lit(false))).toSeq
-    }
-    val all = ops.reduce(_ unionByName _)
-    val latest = all.withColumn("__rn", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col(leftId)).orderBy(col("__w").desc)))
-      .filter(col("__rn") === 1)
-    val finalIns = latest.filter(!col("__del"))
-      .select(factCols.map(col): _*)
-    val touched = all.select(col(leftId)).distinct()
-    IvmUtil.runWave(prepareFactWave(ctx, Some(touched), Some(finalIns)))
-  }
 
   /** Build a fact-side wave (optional takedown step, then optional insert
     * step — disjoint fact ids within a wave, the Δview-feed contract)
@@ -2796,13 +2707,6 @@ object MaterializedJoinNode {
   /** Synthesized view-row id column carried by the change feed — a chained
     * [[AggIndexNode]] keys its ledger on it. */
   val ViewIdCol = "__view_id"
-
-  /** One queued fact-side CDC wave for [[MaterializedJoinNode.applyFactWaves]]:
-    * `deletes` carries the fact id column (takedowns — applied first),
-    * `inserts` full fact rows (arrivals). An upsert inside one wave is the
-    * id in `deletes` plus the new row in `inserts`. */
-  final case class FactWave(deletes: Option[DataFrame] = None,
-                            inserts: Option[DataFrame] = None)
 
   /** Per-batch Δview consumer (see `subscribeView`): `deletes` carries
     * [[ViewIdCol]] values to retract, `inserts` full view rows + id. Called

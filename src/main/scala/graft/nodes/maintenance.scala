@@ -54,17 +54,17 @@ trait IncrementalIndex { self: Node =>
   /** Apply ONE CDC wave: `upserts` REPLACE any stored version of their ids
     * (delete-then-insert, the upsert composition above), `deletes` are
     * takedowns applied LAST — an id in BOTH sets nets to the delete (the
-    * MergeNode/CdcApply convention, q164's shape). Default: the
-    * three-call sequence `maintainFromStream` has always used — exact for
-    * every family. Families whose internals support a COMBINED
-    * tombstone-then-insert wave override this to pay one materializing
-    * driver action (and one state generation) per micro-batch instead of
-    * three: at wave cadence the per-call fixed driver cost IS the
-    * maintenance tail (guide §1.2 — fewer driver-blocking steps before
-    * per-task tuning). An override must preserve the delete-wins rule
-    * (drop upsert rows whose id is also tombstoned in the same wave), and
-    * every override is pinned batched == sequential by the family's
-    * oracle tests. */
+    * MergeNode/CdcApply convention, q164's shape). The default three-call
+    * sequence is exact for every family and is the MEASURED-FAST path:
+    * round 19 overrode it in three families with a combined
+    * tombstone-then-insert wave (one driver action per micro-batch instead
+    * of three) and the contract-config bench measured that 1.9-13.5x
+    * SLOWER (q209 14.98 → 201.97 s) — the combined wave forces BOTH the
+    * delete-step Δview derivation and the insert-step join on every
+    * micro-batch where pure-upsert/pure-delete batches paid one side, and
+    * its anti-join re-evaluates each uncached wave leg 2-3x. Reverted in
+    * r20 (A/B in OPTIMIZATION_r20.md); do not re-add an override without
+    * a committed 32-core win on q198/q204/q205/q209/q211. */
   def applyCdcWave(ctx: Ctx, upserts: DataFrame, deletes: DataFrame): Unit = {
     deleteFromIndex(ctx, upserts)
     updateIndex(ctx, upserts)
@@ -931,29 +931,31 @@ object IndexMaintenance {
       .foreachBatch { (batch0: DataFrame, batchId: Long) =>
         if (batchId > idx.lastAppliedBatch) {
           import org.apache.spark.sql.functions.{assert_true, col, coalesce,
-            concat_ws, lit, rank, row_number}
+            concat_ws, lag, lit, row_number}
           // net-resolve a multi-overlay batch to each key's latest version
           // (wave order), then drop the wave stamp either way
           val batch = (netResolveKeys, waveCol) match {
             case (ks, Some(wc)) if ks.nonEmpty =>
               val w = org.apache.spark.sql.expressions.Window
                 .partitionBy(ks.map(col): _*).orderBy(col(wc).desc)
-              // within-wave duplicate detector (ADVICE r18): net-resolution
-              // is only unambiguous while keys are unique WITHIN a wave
-              // (the feed contract) — a producer violation would otherwise
-              // pick a nondeterministic survivor SILENTLY. Same window
-              // spec as the resolution itself (no extra exchange): a
-              // second row of one (key, wave) has row_number 2 but rank 1.
+              // within-wave duplicate detector (ADVICE r18/r19):
+              // net-resolution is only unambiguous while keys are unique
+              // WITHIN a wave (the feed contract) — a producer violation
+              // would otherwise pick a nondeterministic survivor SILENTLY.
+              // Same window spec as the resolution itself (no extra
+              // exchange): in wc-desc order, two rows of one (key, wave)
+              // are adjacent, so lag(wc) == wc flags a duplicate in ANY
+              // wave, not just the key's latest (ADVICE r19 #1 closed).
               batch0.withColumn("__mor_rn", row_number().over(w))
-                .withColumn("__mor_rk", rank().over(w))
+                .withColumn("__mor_dup", lag(col(wc), 1).over(w) === col(wc))
                 .filter(assert_true(
-                  !(col("__mor_rn") === 2 && col("__mor_rk") === 1),
+                  !coalesce(col("__mor_dup"), lit(false)),
                   concat_ws("", lit("maintainFromStream: duplicate key " +
                     "within one wave violates the net-resolution contract " +
                     "(keys must be unique per overlay) — offending key: "),
                     concat_ws(",", ks.map(k => col(k).cast("string")): _*),
                     lit(" wave: "), col(wc).cast("string"))).isNull)
-                .filter(col("__mor_rn") === 1).drop("__mor_rn", "__mor_rk", wc)
+                .filter(col("__mor_rn") === 1).drop("__mor_rn", "__mor_dup", wc)
             case (_, Some(wc)) => batch0.drop(wc)
             case _ => batch0
           }

@@ -1424,74 +1424,6 @@ class InvertedIndexNode(
     if (compactEvery > 0 && generation % compactEvery == 0) compactIndex()
   }
 
-  /** One COMBINED CDC wave (IncrementalIndex doc): tombstones for the
-    * upsert ids' superseded versions AND the takedown ids land as one
-    * delete step, the upsert postings/doc-ids as one insert step, the df
-    * merge folds the decrement and increment sides into ONE
-    * union+re-aggregate, and ALL wave scalars (live victims, removed
-    * posting stats, inserted docs, inserted posting stats, the terms
-    * materialization) fuse into a single collect — one driver action, one
-    * terms merge and one state generation per micro-batch instead of
-    * three of each (guide §1.2: at wave cadence the per-call fixed driver
-    * cost IS the maintenance tail). Exact: removals are computed against
-    * the PRE-wave postings (exactly the stored rows of the upsert +
-    * takedown ids, which are disjoint within a wave), insertions against
-    * the new segment — the same df/N/length-sum algebra as the
-    * sequential three calls, so the refreshed index stays bit-identical
-    * to a from-scratch fit over the post-wave corpus. */
-  override def applyCdcWave(ctx: Ctx, upserts: DataFrame,
-      deletes: DataFrame): Unit = {
-    import org.apache.spark.storage.StorageLevel
-    val m = model.getOrElse(
-      throw new graft.dag.GraftException(s"estimator node '$name' not fitted"))
-    val ps = postStore.getOrElse(
-      throw new graft.dag.GraftException(s"inverted_index '$name': no store"))
-    val ds = docStore.get
-    // delete-wins rule (IncrementalIndex doc): an id both upserted and
-    // tombstoned in one wave nets to the delete — drop its upsert rows
-    // (the sequential order applied the tombstone AFTER the insert)
-    val delKeys = deletes.select(col(idCol)).distinct()
-    val ups = upserts.join(delKeys, Seq(idCol), "left_anti")
-    // one tombstone wave on both corpus-sized stores: superseded upsert
-    // versions + takedowns (generation-stamped BEFORE the insert segment,
-    // so the new rows survive by the SegStore generation rule)
-    val tomb = ps.appendTombstones("__id",
-      upserts.select(col(idCol).as("__id"))
-        .unionByName(delKeys.select(col(idCol).as("__id"))).distinct())
-    ds.appendTombstones("__id", tomb)
-    val removedPost = m.postings.join(tomb, Seq("__id"), "left_semi")
-    val postSeg = ps.appendSegment(termFreqs(ups, idCol, textCol)
-      .select(col("tok"), col(idCol).as("__id"), col("tf"), col("__dl")))
-    val docSeg = ds.appendSegment(ups.select(col(idCol).as("__id")))
-    // decrement and increment sides in one union+re-aggregate (removed
-    // tokens ⊆ live terms, fresh tokens may be new — both exact)
-    val newTerms = m.terms.select("tok", "df")
-      .unionByName(removedPost.groupBy("tok")
-        .agg((lit(-1L) * count(lit(1))).as("df")))
-      .unionByName(postSeg.groupBy("tok").agg(count(lit(1)).as("df")))
-      .groupBy("tok").agg(org.apache.spark.sql.functions.sum("df").as("df"))
-      .filter(col("df") > 0)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val st = fusedWaveStats(Seq(
-      tomb.join(m.docs.select("__id"), Seq("__id"), "left_semi")
-        .agg(count(lit(1)).as("v1"), lit(0L).as("v2")),
-      postStatsAgg(removedPost),
-      docSeg.agg(count(lit(1)).as("v1"), lit(0L).as("v2")),
-      postStatsAgg(postSeg),
-      newTerms.agg(count(lit(1)).as("v1"), lit(0L).as("v2"))))
-    val removed = st(0)._1
-    val (rpd, rls) = st(1)
-    val dN = st(2)._1
-    val (dpd, dls) = st(3)
-    model = Some(InvertedIndexNode.Index(ps.live, newTerms,
-      m.nDocs - removed + dN, ds.live,
-      m.postDocs - rpd + dpd, m.lenSum - rls + dls))
-    m.terms.unpersist()
-    foldStores()
-    generation += 1
-    if (compactEvery > 0 && generation % compactEvery == 0) compactIndex()
-  }
-
   @volatile private var generation: Long = 0L
   @volatile private var compactGen: Long = 0L
 

@@ -4339,24 +4339,17 @@ object Advanced {
       sumCols = Seq("price_i"), idCol = MaterializedJoinNode.ViewIdCol)
     mj2.chainAggregate(ctx, agg)
     // fact waves: the held-out %5 arrive, a %3 re-pricing upsert
-    // (delete-then-insert, the CDC convention), then a %7 takedown —
-    // queued and applied as ONE net-resolved batch (applyFactWaves), the
-    // in-JVM twin of q215's multi-overlay consumer batching: each key
-    // resolves to its latest operation and the whole chain (mj1 → mj2 →
-    // dashboard) pays one wave pass instead of four. Batched ==
-    // sequential is pinned by PropertySpec's random-wave oracle, and the
-    // served dashboard still gates against the declarative three-table
-    // oracle below (hash-exact).
-    mj1.applyFactWaves(ctx, Seq(
-      MaterializedJoinNode.FactWave(
-        inserts = Some(facts.filter("o_orderkey % 5 = 0"))),
-      MaterializedJoinNode.FactWave(
-        deletes = Some(facts.filter("o_orderkey % 3 = 0").select("o_orderkey"))),
-      MaterializedJoinNode.FactWave(
-        inserts = Some(facts.filter("o_orderkey % 3 = 0")
-          .selectExpr("o_orderkey", "o_custkey", "price_i + 1000 as price_i"))),
-      MaterializedJoinNode.FactWave(
-        deletes = Some(facts.filter("o_orderkey % 7 = 0").select("o_orderkey")))))
+    // (delete-then-insert, the CDC convention), then a %7 takedown.
+    // (Round 19 batched these four calls through a net-resolved
+    // applyFactWaves pass; the driver bench measured that 2-13x SLOWER at
+    // the contract config — reverted to the sequential waves, r20.)
+    mj1.updateIndex(ctx, facts.filter("o_orderkey % 5 = 0"))
+    mj1.deleteFromIndex(ctx,
+      facts.filter("o_orderkey % 3 = 0").select("o_orderkey"))
+    mj1.updateIndex(ctx, facts.filter("o_orderkey % 3 = 0")
+      .selectExpr("o_orderkey", "o_custkey", "price_i + 1000 as price_i"))
+    mj1.deleteFromIndex(ctx,
+      facts.filter("o_orderkey % 7 = 0").select("o_orderkey"))
     // dim1 waves: the late %10 customers arrive, then a nation-3 takedown
     mj1.updateRight(ctx, dims.filter("c_custkey % 10 = 0"))
     mj1.deleteFromRight(ctx, dims.filter("c_nationkey = 3").select("c_custkey"))

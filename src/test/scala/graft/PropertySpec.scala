@@ -835,122 +835,4 @@ class PropertySpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
-  test("batched fact waves (applyFactWaves): arbitrary insert/delete/upsert " +
-    "wave sequences, folded into ARBITRARY batch partitionings, equal " +
-    "sequential per-wave application exactly — through a join→dashboard " +
-    "chain, for both join types (VERDICT r18 next #3: the net-resolution " +
-    "rule must pick each key's latest operation; a missed supersede, a " +
-    "resurrected delete, or a stale upsert payload all change the sums)") {
-    val spark = SparkFixture.spark
-    import spark.implicits._
-    import graft.nodes.{AggIndexNode, MaterializedJoinNode}
-    import graft.nodes.MaterializedJoinNode.FactWave
-    val nKeys = 5
-    // wave op encoding: 0 = insert (new ids), 1 = delete (live ids),
-    // 2 = upsert (live ids re-inserted with a new payload — the CDC
-    // delete+insert composition INSIDE one wave)
-    val genCase = for {
-      nFacts <- Gen.choose(16, 30)
-      joinType <- Gen.oneOf("inner", "left_outer")
-      nWaves <- Gen.choose(2, 6)
-      waves <- Gen.listOfN(nWaves, for {
-        op <- Gen.choose(0, 2)
-        members <- Gen.someOf(0 until 30)
-      } yield (op, members.toList))
-      // arbitrary batch partitioning: cut AFTER each wave with p=1/2
-      cuts <- Gen.listOfN(nWaves, Gen.oneOf(true, false))
-    } yield (nFacts, joinType, waves, cuts)
-    val p = Prop.forAll(genCase) { case (nFacts, joinType, waves, cuts) =>
-      val ctx = Ctx(spark)
-      val factPool = (1 to nFacts).map(i => (i.toLong, (i % nKeys).toLong))
-      val dims = (0 until nKeys).filter(_ % 2 == 0)
-        .map(k => (k.toLong, s"g${k % 3}")).toDF("cid", "seg")
-      def fdf(rows: Seq[(Long, Long, Long)]) = rows.toDF("oid", "cust", "amt")
-      def mkChain() = {
-        val mj = new MaterializedJoinNode(leftOn = Seq("cust"),
-          rightOn = Seq("cid"), leftId = "oid", rightId = "cid",
-          joinType = joinType)
-        val agg = new AggIndexNode(groupCols = Seq("seg"),
-          sumCols = Seq("amt"), idCol = MaterializedJoinNode.ViewIdCol)
-        (mj, agg)
-      }
-      // resolve the random ops into concrete valid waves, tracking live
-      // state so upserts really change payloads (version-scaled amt)
-      var live = factPool.take(nFacts / 2)
-        .map { case (id, c) => id -> ((id, c, id)) }.toMap
-      val seed = live.values.toSeq.sortBy(_._1)
-      val resolved = waves.zipWithIndex.flatMap { case ((op, members), wi) =>
-        val v = (wi + 2).toLong
-        op match {
-          case 0 =>
-            val rows = members.map(_.toLong + 1)
-              .filter(i => i <= nFacts && !live.contains(i))
-              .map(i => (i, factPool(i.toInt - 1)._2, i * v))
-            if (rows.isEmpty) None
-            else { live ++= rows.map(r => r._1 -> r)
-              Some(FactWave(inserts = Some(fdf(rows)))) }
-          case 1 =>
-            val ids = members.map(_.toLong + 1).filter(live.contains).distinct
-            if (ids.isEmpty) None
-            else { live --= ids
-              Some(FactWave(deletes = Some(ids.toDF("oid")))) }
-          case _ =>
-            val ids = members.map(_.toLong + 1).filter(live.contains).distinct
-            val rows = ids.map(i => (i, factPool(i.toInt - 1)._2, i * v + 1))
-            if (rows.isEmpty) None
-            else { live ++= rows.map(r => r._1 -> r)
-              Some(FactWave(deletes = Some(ids.toDF("oid")),
-                inserts = Some(fdf(rows)))) }
-        }
-      }
-      val (mjS, aggS) = mkChain(); val (mjB, aggB) = mkChain()
-      mjS.fit(ctx, In.single("left" -> fdf(seed), "right" -> dims))
-      mjS.chainAggregate(ctx, aggS)
-      mjB.fit(ctx, In.single("left" -> fdf(seed), "right" -> dims))
-      mjB.chainAggregate(ctx, aggB)
-      // sequential reference: one wave at a time (upsert = delete-then-
-      // insert, two calls — the pre-batching path exactly)
-      resolved.foreach { w =>
-        w.deletes.foreach(d => mjS.deleteFromIndex(ctx, d))
-        w.inserts.foreach(i => mjS.updateIndex(ctx, i))
-      }
-      // batched: the SAME waves folded at the random cut points
-      val batches = resolved.zip(cuts).foldLeft(Vector(Vector.empty[FactWave])) {
-        case (acc, (w, cut)) =>
-          val upd = acc.updated(acc.size - 1, acc.last :+ w)
-          if (cut) upd :+ Vector.empty else upd
-      }.filter(_.nonEmpty)
-      batches.foreach(b => mjB.applyFactWaves(ctx, b.toList))
-      // plain-Scala oracle over the final live state
-      val dimMap = (0 until nKeys).filter(_ % 2 == 0)
-        .map(k => k.toLong -> s"g${k % 3}").toMap
-      val expect: Set[(Option[String], Long, Long)] = {
-        val rows = live.values.toSeq.flatMap { case (_, cust, amt) =>
-          dimMap.get(cust) match {
-            case Some(g) => Seq((Option(g), amt))
-            case None => if (joinType == "inner") Nil
-              else Seq((Option.empty[String], amt))
-          }
-        }
-        rows.groupBy(_._1)
-          .map { case (g, rs) => (g, rs.size.toLong, rs.map(_._2).sum) }
-          .toSet
-      }
-      val probe = (dimMap.values.toSeq.distinct.map(Option(_)) :+
-        Option.empty[String]).toDF("seg")
-      def served(a: AggIndexNode) =
-        a.transform(ctx, In.single("probe" -> probe))("result")
-          .select("seg", "n_rows", "sum_amt")
-          .as[(Option[String], Long, Long)].collect().toSet
-      val gotS = served(aggS); val gotB = served(aggB)
-      mjS.unpersistIndex(); aggS.unpersistIndex()
-      mjB.unpersistIndex(); aggB.unpersistIndex()
-      (Prop(gotB == gotS) :|
-        s"batched != sequential: jt=$joinType batches=${batches.map(_.size)} got=$gotB want=$gotS") &&
-        (Prop(gotS == expect) :|
-          s"sequential != oracle: jt=$joinType got=$gotS want=$expect")
-    }
-    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(6), p)
-    assert(res.passed, res.status.toString)
-  }
 }
